@@ -1,0 +1,63 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Debezium envelope decode — the engine's core source transform (SURVEY §2
+  * O4, composing O1/O2/O3/O5/O6/O7/O8).
+  *
+  * Reference semantics (DuckDB CTE `products_create_update_delete`, reference
+  * `example/duckdb_minio_product_scd2.sql:12-30`, `README.md:89-107`):
+  * key = COALESCE(after.id, before.id); op code classified CREATE / UPDATE /
+  * DELETE / SNAPSHOT / INVALID; `lsn` kept as the event-order column (never
+  * Kafka offsets — reference orders strictly by LSN, `README.md:101,120`);
+  * `ts_ms` epoch-millis → timestamp; tombstones/heartbeats dropped via
+  * `log_seq_num IS NOT NULL` (reference `example…sql:28-29`).
+  *
+  * Everything here is built-in, codegen'd `functions._` — one narrow
+  * projection + filter over the parsed envelope, so Catalyst pushes the
+  * null-filter to the scan and prunes unread envelope fields. No shuffle.
+  */
+object Decode {
+
+  /** Op-code classification (reference `README.md:94-100`). The reference
+    * compares against *quoted* JSON literals (`'"c"'`) — a DuckDB `->`
+    * artifact; struct access yields unquoted codes, same classification
+    * (SURVEY §7.4).
+    */
+  def opType(op: Column): Column =
+    when(op === "c", "CREATE")
+      .when(op === "d", "DELETE")
+      .when(op === "u", "UPDATE")
+      .when(op === "r", "SNAPSHOT")
+      .otherwise("INVALID")
+
+  /** Parse raw NDJSON lines (`{"value": {...}}`) with an explicit envelope
+    * schema — schema-on-read like the reference's `read_ndjson_objects`
+    * (reference `README.md:104`), but validated and prunable. Output has the
+    * single `value` struct column [[decodeEnvelope]] expects.
+    */
+  def parseLines(lines: Dataset[String], lineSchema: StructType): DataFrame =
+    lines.toDF("line")
+      .select(from_json(col("line"), lineSchema).as("parsed"))
+      .select(col("parsed.*"))
+
+  /** raw envelope rows (one `value` struct column) → flat change log:
+    * `(id, <payload after.*>, before, after, operation_type, log_seq_num,
+    * source_timestamp)`.
+    *
+    * @param keyField name of the primary-key field inside the payload structs
+    */
+  def decodeEnvelope(raw: DataFrame, keyField: String = "id"): DataFrame =
+    raw.select(
+        coalesce(col(s"value.after.$keyField"), col(s"value.before.$keyField"))
+          .as(keyField),
+        col("value.before").as("before"),
+        col("value.after").as("after"),
+        opType(col("value.op")).as("operation_type"),
+        col("value.source.lsn").as("log_seq_num"),
+        timestamp_millis(col("value.source.ts_ms")).cast("timestamp_ntz")
+          .as("source_timestamp"))
+      .filter(col("log_seq_num").isNotNull)
+}

@@ -1,0 +1,71 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SCD Type-2 derivation from a decoded change log — the reference's flagship
+  * analytics transform (reference `example/duckdb_minio_product_scd2.sql:32-47`,
+  * `README.md:108-124`), generalized over (key, order column, event-time
+  * column, payload columns) so it serves `products`, `users`, and any other
+  * CDC-tracked table.
+  *
+  * Semantics preserved exactly for oracle parity (SURVEY §7.4):
+  *   - every change event becomes one version row (deletes too — their
+  *     payload columns are null, from the null `after` image);
+  *   - a version's validity is `[source_timestamp, next event's
+  *     source_timestamp)`, ordered per key by LSN (not wall clock);
+  *   - open versions are closed with the sentinel `9999-01-01` (reference
+  *     `example…sql:39`);
+  *   - only keys with MORE THAN ONE change event are published (the
+  *     `IN (… HAVING COUNT(*) > 1)` semi-join, reference `example…sql:43`).
+  *
+  * Scale shape: the changed-keys filter is a self-grouped count + left-semi
+  * join, and the versioning is a window — all three hash-partition by the same
+  * key, so Catalyst/AQE plan ONE shuffle by `key` and reuse the exchange; the
+  * small aggregated side broadcasts. `LEAD … IS NULL THEN sentinel` is
+  * expressed as `coalesce(lead(...), sentinel)` — same semantics, one window
+  * function instead of two (SURVEY §2 O11).
+  */
+object Scd2 {
+
+  val SENTINEL = "9999-01-01"
+
+  /** Sentinel timestamp closing open versions (reference `example…sql:39`).
+    * TIMESTAMP_NTZ end-to-end: the lake's event times are naive (epoch millis
+    * interpreted in UTC) and the DuckDB oracle's TIMESTAMP is naive too.
+    */
+  def sentinelTs: Column = lit(SENTINEL).cast("timestamp_ntz")
+
+  /** Keys with more than one change event (reference `example…sql:43`):
+    * `changes WHERE key IN (SELECT key … GROUP BY key HAVING COUNT(*) > 1)`.
+    * DataFrame form of the `RewritePredicateSubquery` → left-semi rewrite.
+    */
+  def changedKeysOnly(changes: DataFrame, key: String): DataFrame = {
+    val multi = changes.groupBy(col(key))
+      .agg(count(lit(1)).as("__change_count"))
+      .filter(col("__change_count") > 1)
+      .select(col(key))
+    changes.join(multi, Seq(key), "left_semi")
+  }
+
+  /** Derive the SCD2 dimension.
+    *
+    * @param changes     decoded change log (one row per change event)
+    * @param key         business key column
+    * @param orderCol    total-order column within a key (LSN)
+    * @param tsCol       event-time column (source_timestamp)
+    * @param payloadCols dimension attribute columns to carry through
+    */
+  def scd2(changes: DataFrame, key: String, orderCol: String, tsCol: String,
+           payloadCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(orderCol))
+    changedKeysOnly(changes, key)
+      .withColumn("row_valid_start_timestamp", col(tsCol))
+      .withColumn("row_valid_expiration_timestamp",
+        coalesce(lead(col(tsCol), 1).over(w), sentinelTs))
+      .select((key +: payloadCols ++: Seq(
+        "row_valid_start_timestamp", "row_valid_expiration_timestamp"))
+        .map(col): _*)
+  }
+}

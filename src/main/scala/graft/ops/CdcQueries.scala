@@ -1,0 +1,161 @@
+package graft.ops
+
+import java.math.BigInteger
+import java.util.Base64
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.cdc.{Decode, Fixtures, Scd2}
+import graft.functions.DebeziumDecimal
+
+/** Reference-parity CDC queries (SURVEY §2), run over a deterministic
+  * Debezium-envelope change stream derived from `$sfDir/orders.parquet` and
+  * round-tripped through real NDJSON text (see [[graft.cdc.Fixtures]]) — so
+  * every query exercises the full S4 (NDJSON scan semantics) + O4 (envelope
+  * decode) path, and the DuckDB oracle can independently derive the same
+  * change stream relationally.
+  */
+object CdcQueries {
+
+  /** Shared decoded+flattened change log: the reference's
+    * `products_create_update_delete` CTE shape (reference
+    * `example/duckdb_minio_product_scd2.sql:12-30`), C1 = one `val` reused.
+    */
+  private def changeLog(spark: SparkSession, sfDir: String): DataFrame = {
+    val log = Fixtures.ordersChangeLog(Tables(spark, sfDir, "orders"))
+    log.select(
+      col("id"),
+      col("after.status").as("status"),
+      col("after.totalprice").as("totalprice"),
+      col("operation_type"),
+      col("log_seq_num"),
+      col("source_timestamp"))
+  }
+
+  /** DuckDB-side derivation of the identical change stream (tombstones never
+    * materialize — they carry no lsn and are dropped by O7 on the Spark side).
+    */
+  private val changesCte: String = """
+    WITH changes AS (
+      SELECT o_orderkey AS id, o_orderstatus AS status,
+             o_totalprice AS totalprice, 'CREATE' AS operation_type,
+             o_orderkey*10 AS log_seq_num, o_orderdate AS source_timestamp
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'F', o_totalprice + 100.0, 'UPDATE',
+             o_orderkey*10+1, o_orderdate + INTERVAL 1 HOUR
+      FROM orders WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey, NULL, NULL, 'DELETE',
+             o_orderkey*10+2, o_orderdate + INTERVAL 2 HOUR
+      FROM orders WHERE o_orderkey % 20 = 7
+      UNION ALL
+      SELECT o_orderkey, 'X', o_totalprice, 'INVALID',
+             o_orderkey*10+3, o_orderdate + INTERVAL 4 HOUR
+      FROM orders WHERE o_orderkey % 40 = 21
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, 'SNAPSHOT',
+             o_orderkey*10+5, o_orderdate + INTERVAL 3 HOUR
+      FROM orders WHERE o_orderkey % 50 = 13
+    )"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O4 composite: O1/O2 envelope paths, O3 casts, O5 COALESCE key, O6 CASE
+    // op classification, O7 lsn null-filter, O8 epoch-ms → timestamp, T2 sort.
+    "cdc_decode_envelope" -> ((s, dir) =>
+      changeLog(s, dir).orderBy(col("log_seq_num"))),
+
+    // A1 GROUP BY + COUNT(*) over the op classification.
+    "cdc_op_counts" -> ((s, dir) =>
+      changeLog(s, dir)
+        .groupBy(col("operation_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("operation_type"))),
+
+    // The flagship: full SCD2 derivation (J1 semi-join on HAVING COUNT>1,
+    // A1/A2, W1 LEAD, O10 sentinel literal, O11 null-replacement, T1 sort).
+    "cdc_scd2_orders" -> ((s, dir) =>
+      Scd2.scd2(changeLog(s, dir), "id", "log_seq_num", "source_timestamp",
+          Seq("status", "totalprice"))
+        .orderBy(col("id"), col("row_valid_start_timestamp"))),
+
+    // T3: reference caps its published dimension at LIMIT 200
+    // (reference `example…sql:46-47`).
+    "cdc_scd2_top200" -> ((s, dir) =>
+      Scd2.scd2(changeLog(s, dir), "id", "log_seq_num", "source_timestamp",
+          Seq("status", "totalprice"))
+        .orderBy(col("id"), col("row_valid_start_timestamp"))
+        .limit(200)),
+
+    // W3: ROW_NUMBER op-ordinal per key (reference exploratory query,
+    // `README.md:220-243`).
+    "cdc_row_number_ops" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("id")).orderBy(col("log_seq_num"))
+      changeLog(s, dir)
+        .select(col("id"), col("operation_type"), col("log_seq_num"),
+          row_number().over(w).as("op_order"))
+        .orderBy(col("log_seq_num"))
+    }),
+
+    // Kafka-Connect Decimal logical type: encode p_retailprice the way
+    // Debezium ships Postgres numerics (base64 big-endian unscaled int,
+    // reference `README.md:214`), then decode with the native Catalyst
+    // expression — end-to-end identity the oracle checks against a plain
+    // decimal cast.
+    "cdc_debezium_decimal" -> ((s, dir) => {
+      val part = Tables(s, dir, "part")
+      val dec = col("p_retailprice").cast(DecimalType(20, 2))
+      val unscaled = (dec * 100).cast(LongType)
+      val b64 = udf((u: Long) =>
+        Base64.getEncoder.encodeToString(BigInteger.valueOf(u).toByteArray))
+      part.select(col("p_partkey"), b64(unscaled).as("price_b64"))
+        .select(col("p_partkey"),
+          DebeziumDecimal(col("price_b64"), 2).as("price"))
+        .orderBy(col("p_partkey"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "cdc_decode_envelope" -> s"""$changesCte
+      SELECT id, status, totalprice, operation_type, log_seq_num,
+             source_timestamp
+      FROM changes ORDER BY log_seq_num""",
+
+    "cdc_op_counts" -> s"""$changesCte
+      SELECT operation_type, COUNT(*) AS n_events
+      FROM changes GROUP BY operation_type ORDER BY operation_type""",
+
+    "cdc_scd2_orders" -> s"""$changesCte
+      SELECT c.id, c.status, c.totalprice,
+             c.source_timestamp AS row_valid_start_timestamp,
+             COALESCE(LEAD(c.source_timestamp) OVER
+               (PARTITION BY c.id ORDER BY c.log_seq_num),
+               TIMESTAMP '9999-01-01') AS row_valid_expiration_timestamp
+      FROM changes c
+      WHERE c.id IN (SELECT id FROM changes GROUP BY id HAVING COUNT(*) > 1)
+      ORDER BY id, row_valid_start_timestamp""",
+
+    "cdc_scd2_top200" -> s"""$changesCte
+      SELECT c.id, c.status, c.totalprice,
+             c.source_timestamp AS row_valid_start_timestamp,
+             COALESCE(LEAD(c.source_timestamp) OVER
+               (PARTITION BY c.id ORDER BY c.log_seq_num),
+               TIMESTAMP '9999-01-01') AS row_valid_expiration_timestamp
+      FROM changes c
+      WHERE c.id IN (SELECT id FROM changes GROUP BY id HAVING COUNT(*) > 1)
+      ORDER BY id, row_valid_start_timestamp LIMIT 200""",
+
+    "cdc_row_number_ops" -> s"""$changesCte
+      SELECT id, operation_type, log_seq_num,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY log_seq_num)
+               AS op_order
+      FROM changes ORDER BY log_seq_num""",
+
+    "cdc_debezium_decimal" -> """
+      SELECT p_partkey, CAST(p_retailprice AS DECIMAL(20,2)) AS price
+      FROM part ORDER BY p_partkey"""
+  )
+}
