@@ -17,8 +17,8 @@ object SparkEntry {
     queries("cdc_scd2_orders")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.CdcQueries.queries
+    ops.CdcQueries.queries ++ ops.RelationalQueries.queries
 
   def oracleSql: Map[String, String] =
-    ops.CdcQueries.oracleSql
+    ops.CdcQueries.oracleSql ++ ops.RelationalQueries.oracleSql
 }

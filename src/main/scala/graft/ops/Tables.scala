@@ -1,9 +1,25 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Driver-provided parquet tables (`/root/repo/TESTDATA.md`). */
 object Tables {
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; `nanosAsLong` surfaces it as raw nanos and we
+    * convert (integer `DIV`, no double round-trip) to µs TIMESTAMP_NTZ — the
+    * same value DuckDB materializes for its own TIMESTAMP from the ns column.
+    */
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) if name == "events" =>
+        df.withColumn("ts",
+          timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz"))
+      case _ => df
+    }
+  }
 }
