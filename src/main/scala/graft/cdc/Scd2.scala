@@ -39,14 +39,19 @@ object Scd2 {
 
   /** Keys with more than one change event (reference `example…sql:43`):
     * `changes WHERE key IN (SELECT key … GROUP BY key HAVING COUNT(*) > 1)`.
-    * DataFrame form of the `RewritePredicateSubquery` → left-semi rewrite.
+    *
+    * Expressed as a per-key windowed count rather than the literal
+    * groupBy + left-semi join: identical row set, but ONE hash exchange by
+    * `key` and ONE scan of the input instead of two scans + a join — on a
+    * 100 TB change log the input is the expensive side (JSON decode), and
+    * the window's exchange is then shared with the LEAD in [[scd2]].
     */
   def changedKeysOnly(changes: DataFrame, key: String): DataFrame = {
-    val multi = changes.groupBy(col(key))
-      .agg(count(lit(1)).as("__change_count"))
+    val wAll = Window.partitionBy(col(key))
+    changes
+      .withColumn("__change_count", count(lit(1)).over(wAll))
       .filter(col("__change_count") > 1)
-      .select(col(key))
-    changes.join(multi, Seq(key), "left_semi")
+      .drop("__change_count")
   }
 
   /** Derive the SCD2 dimension.
@@ -59,11 +64,19 @@ object Scd2 {
     */
   def scd2(changes: DataFrame, key: String, orderCol: String, tsCol: String,
            payloadCols: Seq[String]): DataFrame = {
+    // Both window functions share one (partition, order) spec — the per-key
+    // count uses an explicit whole-partition frame — so Catalyst plans a
+    // single Window exec over a single exchange + sort by `key`. Filtering
+    // multi-event keys after the windows is equivalent to the reference's
+    // semi-join (lead never crosses keys) and keeps the plan one-pass.
     val w = Window.partitionBy(col(key)).orderBy(col(orderCol))
-    changedKeysOnly(changes, key)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    changes
+      .withColumn("__change_count", count(lit(1)).over(wFull))
       .withColumn("row_valid_start_timestamp", col(tsCol))
       .withColumn("row_valid_expiration_timestamp",
         coalesce(lead(col(tsCol), 1).over(w), sentinelTs))
+      .filter(col("__change_count") > 1)
       .select((key +: payloadCols ++: Seq(
         "row_valid_start_timestamp", "row_valid_expiration_timestamp"))
         .map(col): _*)
