@@ -17,8 +17,12 @@ object SparkEntry {
     queries("cdc_scd2_orders")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.CdcQueries.queries ++ ops.RelationalQueries.queries
+    ops.CdcQueries.queries ++ ops.RelationalQueries.queries ++
+      ops.TextQueries.queries ++ ops.DedupQueries.queries ++
+      ops.SimQueries.queries
 
   def oracleSql: Map[String, String] =
-    ops.CdcQueries.oracleSql ++ ops.RelationalQueries.oracleSql
+    ops.CdcQueries.oracleSql ++ ops.RelationalQueries.oracleSql ++
+      ops.TextQueries.oracleSql ++ ops.DedupQueries.oracleSql ++
+      ops.SimQueries.oracleSql
 }

@@ -1,0 +1,149 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions._
+
+/** Deduplication operators for LLM training-data pipelines: exact
+  * (fingerprint hash-group), MinHash+LSH banding, SimHash, and exact n-gram
+  * Jaccard verification.
+  *
+  * Scale shape (the whole point):
+  *   - signatures/fingerprints are row-local narrow projections (codegen'd,
+  *     no shuffle);
+  *   - candidate generation NEVER does the O(n²) cross join — LSH bands
+  *     shuffle by (band, bandHash) so only same-bucket docs meet
+  *     (self-equi-join on the bucket key, AQE handles skewed buckets);
+  *   - exact verification runs only on the candidate pairs.
+  * At 100 TB the only wide ops are the bucket join and final dedup —
+  * both hash-partitioned equi-joins, no broadcast of the corpus.
+  */
+object Dedup {
+
+  /** Exact-duplicate groups: normalized-text fingerprint → group, keeping the
+    * smallest id as the canonical representative. One hash shuffle.
+    */
+  def exactDuplicateGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Drop exact duplicates, keeping the min-id representative per fingerprint
+    * (deterministic, unlike `dropDuplicates` which keeps an arbitrary row).
+    * Window min over the fingerprint — one shuffle, no join.
+    */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(fingerprint(col(textCol)))
+    df.withColumn("__keep", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__keep")
+  }
+
+  /** MinHash signatures as `(id, sig array<long>)` via explode + hash-agg.
+    *
+    * Formulated as `explode(shingles) → groupBy(id).agg(min(hash_j) …)`
+    * rather than an array-lambda fold: every `min` is a codegen'd,
+    * map-side-combinable aggregate (higher-order-function folds run on the
+    * interpreted expression path and re-evaluate their input array per seed —
+    * measured ~15× slower; and partial aggregation is exactly what a
+    * 1000-executor cluster needs for skew-free signature computation).
+    */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int, k: Int): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleN)).as("s"))
+    val mins = (0 until k).map(j =>
+      min(hash60(concat(lit(s"$j:"), col("s")))).as(s"__m$j"))
+    exploded.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until k).map(j => col(s"__m$j")): _*).as("sig"))
+  }
+
+  /** Candidate near-duplicate pairs via MinHash + LSH banding.
+    *
+    * Signature of `k = bands*rowsPerBand` min-hashes per doc; each band of
+    * `rowsPerBand` consecutive signature values is hashed to a bucket; docs
+    * sharing any (band, bucket) become one candidate pair. Probability a pair
+    * with Jaccard J is emitted: 1 - (1 - J^r)^b.
+    *
+    * Plan: signatures (one agg shuffle by id) → posexplode bands (narrow) →
+    * self-equi-join on (band, bucket) — shuffles by bucket key, never n².
+    */
+  def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
+                            shingleN: Int = 3, bands: Int = 4,
+                            rowsPerBand: Int = 3): DataFrame = {
+    val sig = minhashSignatures(df, textCol, idCol, shingleN, bands * rowsPerBand)
+    val banded = sig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => md5(array_join(
+            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast("string")), ",").cast("binary"))))
+          .as(Seq("band", "bucket")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** LSH candidates verified with exact shingle-set Jaccard >= tau. The
+    * shingle arrays are recomputed join-side from the (small) candidate set —
+    * at scale, join candidates back to the corpus instead of carrying shingle
+    * arrays through the bucket shuffle.
+    */
+  def nearDuplicatePairs(df: DataFrame, textCol: String, idCol: String,
+                         tau: Double, shingleN: Int = 3, bands: Int = 4,
+                         rowsPerBand: Int = 3): DataFrame = {
+    val cand = minhashCandidatePairs(df, textCol, idCol, shingleN, bands, rowsPerBand)
+    val sh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    cand
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 60-bit SimHashes as `(id, sh)` via explode + hash-agg: bit j of the
+    * simhash is set iff at least half the (distinct) tokens have bit j of
+    * their [[hash60]] set (majority vote, ties to 1).
+    *
+    * Same explode-instead-of-lambda-fold rationale as [[minhashSignatures]]:
+    * 60 `sum(bit_j)` aggregates are codegen'd and partially aggregated
+    * map-side; the final bit-assembly is one scalar projection.
+    */
+  def simhashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+        explode(array_distinct(tokens(col(textCol)))).as("t"))
+      .select(col("id"), hash60(col("t")).as("h"))
+    val bitSums = (0 until 60).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"__b$j"))
+    exploded.groupBy(col("id"))
+      .agg(count(lit(1)).as("__n"), bitSums: _*)
+      .select(col("id"),
+        (0 until 60).map(j =>
+          when(col(s"__b$j") * 2 >= col("__n"), lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh"))
+  }
+
+  /** SimHash near-dup pairs: bucket by the top `prefixBits` of the simhash
+    * (cheap LSH — near-identical docs share the prefix), then verify Hamming
+    * distance <= maxHamming inside buckets. One shuffle by prefix bucket.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 8, prefixBits: Int = 20): DataFrame = {
+    // shiftright, not `/ 2^k`: double division would round the 60-bit hash
+    // (53-bit mantissa) and mis-bucket vs. integer semantics.
+    val s = simhashes(df, textCol, idCol)
+      .withColumn("bucket", shiftright(col("sh"), 60 - prefixBits))
+    s.as("a").join(s.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Deduplication queries over `documents`: exact fingerprint groups,
+  * MinHash+LSH near-dup pairs (verified with exact n-gram Jaccard), and
+  * SimHash near-dup pairs. The DuckDB oracles re-derive the identical
+  * md5-based hashes, so even the LSH *candidate* sets match exactly.
+  */
+object DedupQueries {
+
+  private val ShingleN = 3
+  private val Bands = 4
+  private val RowsPerBand = 3
+  private val JaccardTau = 0.8
+  private val MaxHamming = 8
+  private val PrefixBits = 20
+
+  /** Shared DuckDB CTEs: tokens → distinct 3-shingles → minhash signature. */
+  private val shinglesCte: String = raw"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(len(t) - ${ShingleN - 1}, 1)),
+        i -> array_to_string(list_slice(t, i, i + ${ShingleN - 1}), ' '))) AS s
+      FROM toks
+    )"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "dd1_exact_groups" -> ((s, dir) =>
+      Dedup.exactDuplicateGroups(Tables(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("fp"))),
+
+    "dd2_minhash_neardups" -> ((s, dir) =>
+      Dedup.nearDuplicatePairs(Tables(s, dir, "documents"), "text", "doc_id",
+          JaccardTau, ShingleN, Bands, RowsPerBand)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "dd3_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables(s, dir, "documents"), "text", "doc_id",
+          MaxHamming, PrefixBits)
+        .orderBy(col("id_a"), col("id_b")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dd1_exact_groups" -> raw"""
+      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY fp""",
+
+    "dd2_minhash_neardups" -> s"""
+      $shinglesCte, sig AS (
+        SELECT doc_id, list_transform(generate_series(0, ${Bands * RowsPerBand - 1}),
+          j -> list_min(list_transform(s,
+            x -> ('0x' || substr(md5(j || ':' || x), 1, 15))::BIGINT))) AS sg
+        FROM sh
+      ), banded AS (
+        SELECT doc_id, band, md5(array_to_string(list_transform(
+          list_slice(sg, band * $RowsPerBand + 1, band * $RowsPerBand + $RowsPerBand),
+          v -> v::VARCHAR), ',')) AS bucket
+        FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) AS band)
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      )
+      SELECT * FROM (
+        SELECT c.id_a, c.id_b,
+          len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+            / len(list_distinct(sa.s || sb.s)) AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+      ) WHERE jaccard >= $JaccardTau ORDER BY id_a, id_b""",
+
+    "dd3_simhash_pairs" -> s"""
+      $shinglesCte, hs AS (
+        SELECT doc_id, list_transform(array_distinct(t),
+          x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
+        FROM toks
+      ), sim AS (
+        SELECT doc_id,
+          list_sum(list_transform(generate_series(0, 59), j ->
+            CASE WHEN 2 * len(list_filter(h,
+                v -> (v & CAST(power(2, j) AS BIGINT)) != 0)) >= len(h)
+              THEN CAST(power(2, j) AS BIGINT) ELSE 0 END))::BIGINT AS sh,
+          doc_id AS id FROM hs
+      ), bucketed AS (
+        SELECT id, sh, sh >> ${60 - PrefixBits} AS bucket FROM sim
+      )
+      SELECT * FROM (
+        SELECT a.id AS id_a, b.id AS id_b,
+          bit_count(xor(a.sh, b.sh)) AS hamming
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.id < b.id
+      ) WHERE hamming <= $MaxHamming ORDER BY id_a, id_b"""
+  )
+}

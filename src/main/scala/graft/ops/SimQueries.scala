@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sim.Similarity
+
+/** Similarity-search queries over `embeddings` (64-dim `array<float>`):
+  * brute-force cosine top-k (exactness baseline), LSH-bucketed approximate
+  * top-k (the scale path), and embedding near-dup pairs. The ±1 hyperplanes
+  * are seeded literals rendered identically into the Spark plan and the
+  * DuckDB oracle, so even the approximate results match exactly.
+  */
+object SimQueries {
+
+  private val K = 5
+  private val NQueries = 10
+  private val NPlanes = 4
+  private val Dim = 64
+  private val NearDupTau = 0.3
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  /** DuckDB sequential-fold dot product of two list expressions. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, $Dim), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Plane p as a DuckDB list literal. */
+  private lazy val planeLits: Seq[String] =
+    Similarity.hyperplanes(NPlanes, Dim)
+      .map(_.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]"))
+
+  /** DuckDB LSH bucket: bit p = sign of dot(vec, plane_p). */
+  private def bucketSql(v: String): String =
+    planeLits.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotSql(v, p)} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "sm1_topk_bruteforce" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e.filter(col("id") < NQueries), e, K)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "sm2_topk_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshTopK(e.filter(col("id") < NQueries), e, K, NPlanes, Dim)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "sm3_cosine_neardups" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(emb(s, dir), NearDupTau, NPlanes, Dim)
+        .orderBy(col("id_a"), col("id_b")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sm1_topk_bruteforce" -> s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id < $NQueries
+      ), scored AS (
+        SELECT query_id, c.vec_id AS corpus_id,
+          ${cosSql("qv", "c.embedding")} AS cos
+        FROM embeddings c, q WHERE c.vec_id != query_id
+      ), ranked AS (
+        SELECT query_id, corpus_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, corpus_id) AS rank
+        FROM scored
+      )
+      SELECT query_id, corpus_id, cos, rank FROM ranked
+      WHERE rank <= $K ORDER BY query_id, rank""",
+
+    "sm2_topk_lsh" -> s"""
+      WITH b AS (
+        SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+        FROM embeddings
+      ), q AS (
+        SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+        WHERE vec_id < $NQueries
+      ), scored AS (
+        SELECT query_id, c.vec_id AS corpus_id,
+          ${cosSql("qv", "c.embedding")} AS cos
+        FROM b c JOIN q USING (bucket) WHERE c.vec_id != query_id
+      ), ranked AS (
+        SELECT query_id, corpus_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, corpus_id) AS rank
+        FROM scored
+      )
+      SELECT query_id, corpus_id, cos, rank FROM ranked
+      WHERE rank <= $K ORDER BY query_id, rank""",
+
+    "sm3_cosine_neardups" -> s"""
+      WITH b AS (
+        SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+        FROM embeddings
+      )
+      SELECT * FROM (
+        SELECT a.vec_id AS id_a, e.vec_id AS id_b,
+          ${cosSql("a.embedding", "e.embedding")} AS cos
+        FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id
+      ) WHERE cos >= $NearDupTau ORDER BY id_a, id_b"""
+  )
+}

@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions._
+
+/** Text-analysis queries over the `documents` table: token counting
+  * (whitespace + BPE-ish pre-tokenizer), quality scoring, n-gram language-ID,
+  * and document fingerprinting — every Spark expression has an exact DuckDB
+  * twin built from the same constants below.
+  *
+  * All queries are narrow projections (+ one grouped agg) — they fuse into
+  * one codegen stage over the parquet scan; nothing shuffles except tx5's
+  * count aggregation.
+  */
+object TextQueries {
+
+  /** DuckDB token-array expression — mirror of [[TextFunctions.tokens]]. */
+  private val T = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
+  private val NT = raw"len($T)"
+  private val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def occSql(sub: String): String =
+    s"(length(lower(text)) - length(replace(lower(text), '$sub', ''))) / ${sub.length}"
+
+  private def langScoreSql(markers: Seq[String]): String =
+    markers.map(occSql).mkString("(", " + ", s") / length(text)")
+
+  /** Cascading argmax CASE — mirror of [[TextFunctions.langId]]. */
+  private val langCaseSql: String = {
+    val scores = LangMarkers.map { case (l, ms) => l -> s"s_$l" }
+    val branches = scores.init.zipWithIndex.map { case ((lang, s), i) =>
+      val cond = scores.drop(i + 1).map(o => s"$s >= ${o._2}").mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }
+    s"CASE ${branches.mkString(" ")} ELSE '${scores.last._1}' END"
+  }
+
+  private val scoresCte: String = {
+    val cols = LangMarkers.map { case (l, ms) =>
+      s"${langScoreSql(ms)} AS s_$l"
+    }.mkString(",\n        ")
+    s"WITH scores AS (\n      SELECT doc_id, $cols\n      FROM documents\n    )"
+  }
+
+  private val stopRatioSql =
+    s"len(list_filter($T, w -> list_contains($stopList, w)))::DOUBLE / $NT"
+  private val ttrSql = s"len(array_distinct($T))::DOUBLE / $NT"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "tx1_token_stats" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+          col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          bpeTokenCount(col("text")).as("n_pieces"),
+          meanTokenLen(col("text")).as("mean_token_len"))
+        .orderBy(col("doc_id"))),
+
+    "tx2_quality" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+          col("doc_id"),
+          typeTokenRatio(col("text")).as("ttr"),
+          stopwordRatio(col("text")).as("stop_ratio"),
+          qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    "tx3_langid" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+          col("doc_id"),
+          langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    "tx4_fingerprint" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+          col("doc_id"),
+          fingerprint(col("text")).as("fp"),
+          minCharGramHash(col("text")).as("sketch"))
+        .orderBy(col("doc_id"))),
+
+    // Grouped agg over a derived (computed) key.
+    "tx5_lang_counts" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang_pred")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "tx1_token_stats" -> raw"""
+      SELECT doc_id,
+        $NT AS n_tokens,
+        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_pieces,
+        length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / $NT AS mean_token_len
+      FROM documents ORDER BY doc_id""",
+
+    "tx2_quality" -> s"""
+      SELECT doc_id,
+        $ttrSql AS ttr,
+        $stopRatioSql AS stop_ratio,
+        0.4 * least($NT::DOUBLE / 100.0, 1.0)
+          + 0.3 * ($ttrSql)
+          + 0.3 * (1.0 - $stopRatioSql) AS quality
+      FROM documents ORDER BY doc_id""",
+
+    "tx3_langid" -> s"""
+      $scoresCte
+      SELECT doc_id, $langCaseSql AS lang_pred
+      FROM scores ORDER BY doc_id""",
+
+    "tx4_fingerprint" -> raw"""
+      WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        FROM documents
+      )
+      SELECT doc_id, md5(nt) AS fp,
+        list_min(list_transform(
+          generate_series(1, greatest(length(nt) - 7, 1)),
+          i -> ('0x' || substr(md5(substr(nt, i, 8)), 1, 15))::BIGINT)) AS sketch
+      FROM norm ORDER BY doc_id""",
+
+    "tx5_lang_counts" -> s"""
+      $scoresCte
+      SELECT $langCaseSql AS lang_pred, COUNT(*) AS n_docs
+      FROM scores GROUP BY 1 ORDER BY lang_pred"""
+  )
+}

@@ -1,0 +1,107 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Numeric contract: every reduction is a sequential left fold over doubles
+  * (`aggregate(zip_with(...))`) so results are bit-identical to any engine
+  * folding the same element order — the DuckDB oracles use
+  * `list_reduce(..., (a,b) -> a+b)` over the same products.
+  *
+  * Scale shape:
+  *   - brute-force top-k is the exactness baseline: broadcast the (small)
+  *     query set against the corpus — corpus never shuffles, a per-query
+  *     window takes the top k;
+  *   - the LSH path buckets the corpus by sign-bit hyperplane hashes
+  *     (deterministic ±1 planes), so candidate generation is a bucket
+  *     equi-join — the 100 TB corpus is scanned once, hashed once, and only
+  *     same-bucket vectors are compared.
+  */
+object Similarity {
+
+  /** Elementwise-product sequential sum: dot(a, b) as double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; the `sqrt(na)*sqrt(nb)` shape (not `sqrt(na*nb)`)
+    * is mirrored in the oracle SQL.
+    */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k nearest corpus vectors per query vector by cosine.
+    *
+    * `queries` and `corpus`: (id, vec). The query side is expected small and
+    * is broadcast; ties break on corpus id for determinism. At extreme corpus
+    * scale, AQE's local top-k (rank filter pushdown into the window) keeps
+    * the per-partition state bounded.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val c = corpus.select(col("id").as("corpus_id"), col("vec").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+  }
+
+  /** Deterministic ±1 hyperplanes (seeded, engine-independent literals): one
+    * array<double> literal per plane.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Sign-bit LSH bucket id: bit p = (dot(vec, plane_p) >= 0). */
+  def lshBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vec, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: compare only vectors whose LSH bucket matches the
+    * query's bucket. Recall < 1 by construction (documented); bucket count
+    * 2^nPlanes bounds the candidate set per query.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      lshBucket(col("vec"), planes).as("bucket"))
+    val c = corpus.select(col("id").as("corpus_id"), col("vec").as("cv"),
+      lshBucket(col("vec"), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+  }
+
+  /** All corpus pairs with cosine >= tau, via LSH buckets (near-duplicate
+    * detection on embeddings). Same-bucket equi-join, never n².
+    */
+  def cosineNearDupPairs(corpus: DataFrame, tau: Double,
+                         nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val c = corpus.select(col("id"), col("vec"),
+      lshBucket(col("vec"), planes).as("bucket"))
+    c.as("a").join(c.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.vec"), col("b.vec")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+}
