@@ -19,10 +19,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.CdcQueries.queries ++ ops.RelationalQueries.queries ++
       ops.TextQueries.queries ++ ops.DedupQueries.queries ++
-      ops.SimQueries.queries
+      ops.SimQueries.queries ++ ops.MediaQueries.queries
 
   def oracleSql: Map[String, String] =
     ops.CdcQueries.oracleSql ++ ops.RelationalQueries.oracleSql ++
       ops.TextQueries.oracleSql ++ ops.DedupQueries.oracleSql ++
-      ops.SimQueries.oracleSql
+      ops.SimQueries.oracleSql ++ ops.MediaQueries.oracleSql
 }
