@@ -72,11 +72,16 @@ object TextQueries {
           langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // Sketch = min hash60 over char 8-grams, via explode + min-agg (codegen'd
+    // + map-side combinable); fp and norm are projected once per row and
+    // carried through the explode as data.
     "tx4_fingerprint" -> ((s, dir) =>
-      Tables(s, dir, "documents").select(
-          col("doc_id"),
-          fingerprint(col("text")).as("fp"),
-          minCharGramHash(col("text")).as("sketch"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), normalizeText(col("text")).as("nt"))
+        .select(col("doc_id"), md5(col("nt").cast("binary")).as("fp"),
+          explode(charGramPositions(col("nt"), 8)).as("i"), col("nt"))
+        .groupBy(col("doc_id"), col("fp"))
+        .agg(min(hash60(col("nt").substr(col("i"), lit(8)))).as("sketch"))
         .orderBy(col("doc_id"))),
 
     // Grouped agg over a derived (computed) key.

@@ -42,11 +42,16 @@ object Similarity {
     * the per-partition state bounded.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
-    val c = corpus.select(col("id").as("corpus_id"), col("vec").as("cv"))
+    // Norms are projected per ROW below the join (n + q sqrt-folds), so the
+    // per-PAIR work is a single dot fold — identical values, 3× less work
+    // where it multiplies (same `sqrt(na)*sqrt(nb)` shape as the oracle).
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      norm(col("vec")).as("qn"))
+    val c = corpus.select(col("id").as("corpus_id"), col("vec").as("cv"),
+      norm(col("vec")).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -77,12 +82,12 @@ object Similarity {
               nPlanes: Int = 4, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
-      lshBucket(col("vec"), planes).as("bucket"))
+      lshBucket(col("vec"), planes).as("bucket"), norm(col("vec")).as("qn"))
     val c = corpus.select(col("id").as("corpus_id"), col("vec").as("cv"),
-      lshBucket(col("vec"), planes).as("bucket"))
+      lshBucket(col("vec"), planes).as("bucket"), norm(col("vec")).as("cn"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -97,11 +102,12 @@ object Similarity {
                          nPlanes: Int = 4, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(nPlanes, dim)
     val c = corpus.select(col("id"), col("vec"),
-      lshBucket(col("vec"), planes).as("bucket"))
+      lshBucket(col("vec"), planes).as("bucket"), norm(col("vec")).as("nrm"))
     c.as("a").join(c.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.vec"), col("b.vec")).as("cos"))
+        (dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos"))
       .filter(col("cos") >= tau)
   }
 }

@@ -96,11 +96,19 @@ object TextFunctions {
     }
   }
 
+  /** Whitespace-normalized lowercase text — the canonical form hashed by
+    * [[fingerprint]] and the char-gram sketch. Project it ONCE per row before
+    * any per-gram operation: as an outer reference inside a lambda it would
+    * re-evaluate (regexp and all) per array element.
+    */
+  def normalizeText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
   /** Whole-document fingerprint: md5 of the whitespace-normalized lowercase
     * text — byte-identical to DuckDB's `md5(...)` hex output.
     */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+    md5(normalizeText(text).cast("binary"))
 
   /** 60-bit positive hash from the md5 hex prefix — the shared cross-engine
     * hash for MinHash/LSH (`('0x' || substr(md5(x),1,15))::BIGINT` in DuckDB).
@@ -108,16 +116,14 @@ object TextFunctions {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast(LongType)
 
-  /** Rolling-hash document sketch: minimum [[hash60]] over all character
-    * 8-grams of the normalized text (winnowing-style content fingerprint,
-    * robust to reordering whole words at the edges).
+  /** Rolling-hash sketch positions 1..len-n+1 for a PRE-PROJECTED normalized
+    * text attribute. Used by the explode+min-agg sketch in
+    * [[graft.ops.TextQueries]] — the lambda-fold form would re-evaluate the
+    * normalization per gram and run interpreted (measured 27 s → 2 s at
+    * sf0.1 after the explode rewrite).
     */
-  def minCharGramHash(text: Column, n: Int = 8): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    array_min(transform(
-      sequence(lit(1), greatest(length(norm) - lit(n - 1), lit(1))),
-      i => hash60(norm.substr(i, lit(n)))))
-  }
+  def charGramPositions(normCol: Column, n: Int): Column =
+    sequence(lit(1), greatest(length(normCol) - lit(n - 1), lit(1)))
 
   /** Distinct word n-gram shingles (space-joined). */
   def shingles(text: Column, n: Int): Column = {
