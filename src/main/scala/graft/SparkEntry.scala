@@ -19,10 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.CdcQueries.queries ++ ops.RelationalQueries.queries ++
       ops.TextQueries.queries ++ ops.DedupQueries.queries ++
-      ops.SimQueries.queries ++ ops.MediaQueries.queries
+      ops.SimQueries.queries ++ ops.MediaQueries.queries ++
+      ops.AdvancedQueries.queries
 
   def oracleSql: Map[String, String] =
     ops.CdcQueries.oracleSql ++ ops.RelationalQueries.oracleSql ++
       ops.TextQueries.oracleSql ++ ops.DedupQueries.oracleSql ++
-      ops.SimQueries.oracleSql ++ ops.MediaQueries.oracleSql
+      ops.SimQueries.oracleSql ++ ops.MediaQueries.oracleSql ++
+      ops.AdvancedQueries.oracleSql
 }

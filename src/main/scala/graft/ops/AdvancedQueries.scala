@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.joins.AsOfJoin
+
+/** Breadth beyond the reference surface: as-of join, ROLLUP, set operators,
+  * sliding window frames, exact + approximate distinct counting.
+  */
+object AdvancedQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // As-of join: each click gets the latest same-user purchase at or before
+    // its timestamp (nulls if none).
+    "aj1_asof_click_purchase" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      AsOfJoin.asOf(clicks, purchases, "user_id", "ts", "ts",
+          Seq("purchase_ts", "purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ROLLUP hierarchy totals (grouping-set aggregation).
+    "q12_rollup_orders" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(18, 2)).as("revenue"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // Set operators: INTERSECT / EXCEPT both ways, tagged and unioned.
+    "q13_setops_customers" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val high = orders.filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey")).distinct()
+      val repeat = orders.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 12)
+        .select(col("o_custkey"))
+      high.intersect(repeat).withColumn("tag", lit("both"))
+        .unionByName(high.except(repeat).withColumn("tag", lit("high_only")))
+        .unionByName(repeat.except(high).withColumn("tag", lit("repeat_only")))
+        .orderBy(col("tag"), col("o_custkey"))
+    }),
+
+    // Sliding aggregate frame: trailing 4-row stats per user (order-free
+    // aggregates — min/max/count + exact integer sum — so any engine's
+    // frame evaluation order gives identical values).
+    "q14_sliding_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      Tables(s, dir, "events").select(
+          col("user_id"), col("event_id"), col("ts"),
+          count(lit(1)).over(w).as("n_in_frame"),
+          min(col("value")).over(w).as("min_v"),
+          max(col("value")).over(w).as("max_v"),
+          sum(col("event_id")).over(w).as("sum_ids"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Exact distinct counting (multi-agg with COUNT(DISTINCT)).
+    "q15_count_distinct" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))),
+
+    // HLL++ sketch — approximate, engine-specific, so no oracle (driver
+    // records a rows-only check); the exact twin above is the correctness
+    // anchor.
+    "q16_approx_distinct" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .orderBy(col("event_type")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "aj1_asof_click_purchase" -> """
+      WITH clicks AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+      ), purchases AS (
+        SELECT user_id, ts, ts AS purchase_ts, value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+      )
+      SELECT c.user_id, c.event_id, c.ts, p.purchase_ts, p.purchase_value
+      FROM clicks c ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY c.event_id""",
+
+    "q12_rollup_orders" -> """
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+      FROM orders
+      GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q13_setops_customers" -> """
+      WITH high AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000
+      ), repeat AS (
+        SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) > 12
+      )
+      SELECT o_custkey, 'both' AS tag
+        FROM (SELECT * FROM high INTERSECT SELECT * FROM repeat)
+      UNION ALL
+      SELECT o_custkey, 'high_only'
+        FROM (SELECT * FROM high EXCEPT SELECT * FROM repeat)
+      UNION ALL
+      SELECT o_custkey, 'repeat_only'
+        FROM (SELECT * FROM repeat EXCEPT SELECT * FROM high)
+      ORDER BY tag, o_custkey""",
+
+    "q14_sliding_frame" -> """
+      SELECT user_id, event_id, ts,
+        COUNT(*) OVER w AS n_in_frame,
+        MIN(value) OVER w AS min_v,
+        MAX(value) OVER w AS max_v,
+        SUM(event_id) OVER w AS sum_ids
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id""",
+
+    "q15_count_distinct" -> """
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        COUNT(*) AS n_events
+      FROM events GROUP BY event_type ORDER BY event_type"""
+  )
+}
