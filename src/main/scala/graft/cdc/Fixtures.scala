@@ -111,4 +111,72 @@ object Fixtures {
     val parsed = Decode.parseLines(ordersChangeLines(orders), Envelope.orders)
     Decode.decodeEnvelope(parsed, "id")
   }
+
+  /** `commerce.products`-shaped change stream derived from the `part` table —
+    * the reference's actual flagship table (`postgres/init.sql:9-14`), with
+    * `price` carried the way Debezium really ships it: base64 of the
+    * big-endian two's-complement unscaled int at scale 2 (the Kafka-Connect
+    * `Decimal` logical type, sample reference `README.md:214`).
+    *
+    * Op mix mirrors [[ordersChangeLines]] keyed on `p_partkey`:
+    * CREATE all; UPDATE (price+100.00) k%10==3; DELETE k%20==7;
+    * tombstone k%25==9.
+    */
+  def productsChangeLines(part: DataFrame): Dataset[String] = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val pk = col("p_partkey")
+    val b64 = udf((u: Long) => java.util.Base64.getEncoder.encodeToString(
+      java.math.BigInteger.valueOf(u).toByteArray))
+    def priceB64(priceDec: Column): Column =
+      b64((priceDec * 100).cast(LongType))
+
+    val basePrice = col("p_retailprice").cast(DecimalType(20, 2))
+    def payload(price: Column): Column = struct(
+      pk.cast("int").as("id"), col("p_name").as("name"),
+      col("p_type").as("description"), priceB64(price).as("price"))
+
+    val pPayload = Envelope.productsPayload
+    val pValueType = Envelope.products.fields.head.dataType
+    def nullP: Column = lit(null).cast(pPayload)
+
+    def tsMsP(hourOff: Int): Column = lit(1700000000000L) + pk * 1000 +
+      lit(hourOff * 3600000L)
+    def sourceP(lsnOff: Int, hourOff: Int): Column = struct(
+      lit("2.5.0.Final").as("version"), lit("postgresql").as("connector"),
+      lit("debezium").as("name"), tsMsP(hourOff).as("ts_ms"),
+      lit("false").as("snapshot"), lit("postgres").as("db"),
+      lit(null).cast(StringType).as("sequence"),
+      lit("commerce").as("schema"), lit("products").as("table"),
+      (pk * 10 + lsnOff).as("txId"), (pk * 10 + lsnOff).as("lsn"),
+      lit(null).cast("long").as("xmin"))
+    def env(op: String, lsnOff: Int, hourOff: Int,
+            before: Column, after: Column): Column = struct(
+      before.as("before"), after.as("after"),
+      sourceP(lsnOff, hourOff).as("source"), lit(op).as("op"),
+      tsMsP(hourOff).as("ts_ms"),
+      lit(null).cast(StringType).as("transaction")).as("value")
+
+    val creates = part.select(env("c", 0, 0, nullP, payload(basePrice)))
+    val updates = part.filter(pk % 10 === 3)
+      .select(env("u", 1, 1, payload(basePrice), payload(basePrice + 100)))
+    val deletes = part.filter(pk % 20 === 7)
+      .select(env("d", 2, 2, payload(basePrice), nullP))
+    val tombstones = part.filter(pk % 25 === 9)
+      .select(lit(null).cast(pValueType).as("value"))
+
+    val all = creates.unionByName(updates).unionByName(deletes)
+      .unionByName(tombstones)
+    import part.sparkSession.implicits._
+    all.select(to_json(struct(col("value")),
+        Map("ignoreNullFields" -> "false")).as("line"))
+      .as[String]
+  }
+
+  /** Decoded products change log: NDJSON round-trip + envelope decode + the
+    * native [[graft.functions.DebeziumDecimal]] price decode.
+    */
+  def productsChangeLog(part: DataFrame): DataFrame = {
+    val parsed = Decode.parseLines(productsChangeLines(part), Envelope.products)
+    Decode.decodeEnvelope(parsed, "id")
+  }
 }

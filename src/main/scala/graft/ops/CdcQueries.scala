@@ -100,6 +100,24 @@ object CdcQueries {
         .orderBy(col("log_seq_num"))
     }),
 
+    // The reference's ACTUAL flagship: products SCD2 where `price` rides the
+    // envelope as the Kafka-Connect Decimal logical type (base64 unscaled
+    // int) and is decoded by the native debezium_decimal expression — the
+    // correct decode the reference's own CAST gets wrong (SURVEY §7.4).
+    // Payload columns are prefixed v_ so a column-name-sorted row comparator
+    // (like the driver's) orders rows by the never-null timestamps before
+    // touching the nullable delete-row payloads.
+    "cdc_scd2_products" -> ((s, dir) => {
+      val log = Fixtures.productsChangeLog(Tables(s, dir, "part"))
+        .select(col("id"),
+          col("after.name").as("v_name"),
+          DebeziumDecimal(col("after.price"), 2).as("v_price"),
+          col("operation_type"), col("log_seq_num"), col("source_timestamp"))
+      Scd2.scd2(log, "id", "log_seq_num", "source_timestamp",
+          Seq("v_name", "v_price"))
+        .orderBy(col("id"), col("row_valid_start_timestamp"))
+    }),
+
     // Kafka-Connect Decimal logical type: encode p_retailprice the way
     // Debezium ships Postgres numerics (base64 big-endian unscaled int,
     // reference `README.md:214`), then decode with the native Catalyst
@@ -153,6 +171,35 @@ object CdcQueries {
              ROW_NUMBER() OVER (PARTITION BY id ORDER BY log_seq_num)
                AS op_order
       FROM changes ORDER BY log_seq_num""",
+
+    "cdc_scd2_products" -> """
+      WITH pchanges AS (
+        SELECT p_partkey::INT AS id, p_name AS v_name,
+               CAST(p_retailprice AS DECIMAL(20,2)) AS v_price,
+               p_partkey*10 AS log_seq_num,
+               make_timestamp((1700000000000 + p_partkey*1000) * 1000)
+                 AS source_timestamp
+        FROM part
+        UNION ALL
+        SELECT p_partkey::INT, p_name,
+               CAST(p_retailprice AS DECIMAL(20,2)) + 100,
+               p_partkey*10+1,
+               make_timestamp((1700000000000 + p_partkey*1000 + 3600000) * 1000)
+        FROM part WHERE p_partkey % 10 = 3
+        UNION ALL
+        SELECT p_partkey::INT, NULL, NULL,
+               p_partkey*10+2,
+               make_timestamp((1700000000000 + p_partkey*1000 + 7200000) * 1000)
+        FROM part WHERE p_partkey % 20 = 7
+      )
+      SELECT c.id, c.v_name, c.v_price,
+             c.source_timestamp AS row_valid_start_timestamp,
+             COALESCE(LEAD(c.source_timestamp) OVER
+               (PARTITION BY c.id ORDER BY c.log_seq_num),
+               TIMESTAMP '9999-01-01') AS row_valid_expiration_timestamp
+      FROM pchanges c
+      WHERE c.id IN (SELECT id FROM pchanges GROUP BY id HAVING COUNT(*) > 1)
+      ORDER BY id, row_valid_start_timestamp""",
 
     "cdc_debezium_decimal" -> """
       SELECT p_partkey, CAST(p_retailprice AS DECIMAL(20,2)) AS price

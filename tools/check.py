@@ -22,13 +22,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(val):
+    # Null-tagged sort key: rows may mix None with strings/numbers in the
+    # same column (e.g. SCD2 delete rows), which plain tuple sort can't order.
     if val is None:
-        return None
-    if isinstance(val, float):
-        if math.isnan(val):
-            return "NaN"
-        return val
-    return val
+        return (0, "")
+    if isinstance(val, float) and math.isnan(val):
+        return (2, "NaN")
+    return (1, val)
 
 
 def frame_key(rows):
