@@ -101,4 +101,56 @@ object Scd2Stream {
     Scd2.scd2(changes.toDF(), "id", "log_seq_num", "source_timestamp",
       Seq("status", "totalprice"))
   }
+
+  /** Merge one micro-batch of emitted [[Version]] rows into a parquet
+    * dimension at `dimPath`: existing rows superseded by a new emission for
+    * the same (id, start) are replaced; everything else is kept.
+    *
+    * This is MERGE-into-parquet without a table format: read + anti-by-key +
+    * union + atomic directory swap. On a real deployment use Delta/Iceberg
+    * `MERGE` (row-level upsert, no full rewrite); the logic — new emission
+    * wins per (id, row_valid_start_timestamp) — is identical. Rewrite cost
+    * is bounded because closed versions never re-emit: steady-state churn is
+    * one open row per changed key per batch.
+    */
+  def upsertBatch(spark: SparkSession, batch: Dataset[Version],
+                  dimPath: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Paths.get(dimPath)
+    if (batch.isEmpty) return
+    // Distributed merge (no collect): union existing + incoming with a
+    // priority tag, keep the incoming row per (id, start) via one window.
+    val incoming = batch.toDF().withColumn("__p", lit(1))
+    val merged = (if (java.nio.file.Files.exists(dir))
+        spark.read.parquet(dimPath).withColumn("__p", lit(0))
+          .unionByName(incoming)
+      else incoming)
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("id"), col("row_valid_start_timestamp"))
+          .orderBy(col("__p").desc)))
+      .filter(col("__r") === 1).drop("__p", "__r")
+    // Write-then-swap: the read path can't be overwritten mid-read.
+    val tmp = dimPath + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dir)
+  }
+
+  /** Wire the full incremental pipeline: change stream → stateful versions →
+    * foreachBatch dimension upsert.
+    */
+  def dimensionStream(changes: Dataset[Change], dimPath: String,
+                      checkpoint: String) =
+    versions(changes).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Version], _: Long) =>
+        upsertBatch(batch.sparkSession, batch, dimPath)
+      }
+      .start()
 }
