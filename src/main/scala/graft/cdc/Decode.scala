@@ -39,7 +39,15 @@ object Decode {
     * single `value` struct column [[decodeEnvelope]] expects.
     */
   def parseLines(lines: Dataset[String], lineSchema: StructType): DataFrame =
-    lines.toDF("line")
+    parseLineColumn(lines.toDF("line"), lineSchema)
+
+  /** Columnar variant: parse an existing string column named `line` without
+    * the `Dataset[String]` object round-trip (Serialize/DeserializeToObject
+    * copies every line to a JVM String and back, breaking codegen between
+    * the producer and the JSON parser).
+    */
+  def parseLineColumn(lines: DataFrame, lineSchema: StructType): DataFrame =
+    lines
       .select(from_json(col("line"), lineSchema).as("parsed"))
       .select(col("parsed.*"))
 

@@ -72,44 +72,70 @@ object Fixtures {
       lit(null).cast(StringType).as("transaction")
     ).as("value")
 
-  /** The change stream as raw NDJSON lines (one string column `line`). */
-  def ordersChangeLines(orders: DataFrame): Dataset[String] = {
+  /** The change stream as raw NDJSON lines (one string column `line`).
+    *
+    * Single scan of `orders`: each row emits its applicable envelopes as an
+    * array (conditional slots nulled out, `array_compact`ed) and one
+    * `explode` flattens — instead of 5 unioned scans. Same rows, one pass.
+    */
+  def ordersChangeLines(orders: DataFrame): DataFrame = {
     val afterUpdate = struct(
       k.as("id"), lit("F").as("status"),
       (col("o_totalprice") + 100.0).as("totalprice"))
     val afterInvalid = struct(
       k.as("id"), lit("X").as("status"), col("o_totalprice").as("totalprice"))
 
-    val creates = orders.select(envelope("c", 0, 0, nullPayload, afterCreate))
-    val updates = orders.filter(k % 10 === 3)
-      .select(envelope("u", 1, 1, afterCreate, afterUpdate))
-    val deletes = orders.filter(k % 20 === 7)
-      .select(envelope("d", 2, 2, afterCreate, nullPayload))
-    val invalids = orders.filter(k % 40 === 21)
-      .select(envelope("z", 3, 4, afterCreate, afterInvalid))
-    val snapshots = orders.filter(k % 50 === 13)
-      .select(envelope("r", 5, 3, nullPayload, afterCreate))
-    val tombstones = orders.filter(k % 25 === 9)
-      .select(lit(null).cast(valueType).as("value"))
+    // Tombstones need a present-but-null `value`; encode the "emit a
+    // tombstone" case as a non-null marker struct, mapped back after explode.
+    val emitted = orders.select(explode(array_compact(array(
+      struct(lit(false).as("tomb"),
+        envelope("c", 0, 0, nullPayload, afterCreate).as("v")),
+      when(k % 10 === 3, struct(lit(false).as("tomb"),
+        envelope("u", 1, 1, afterCreate, afterUpdate).as("v"))),
+      when(k % 20 === 7, struct(lit(false).as("tomb"),
+        envelope("d", 2, 2, afterCreate, nullPayload).as("v"))),
+      when(k % 40 === 21, struct(lit(false).as("tomb"),
+        envelope("z", 3, 4, afterCreate, afterInvalid).as("v"))),
+      when(k % 50 === 13, struct(lit(false).as("tomb"),
+        envelope("r", 5, 3, nullPayload, afterCreate).as("v"))),
+      when(k % 25 === 9, struct(lit(true).as("tomb"),
+        lit(null).cast(valueType).as("v")))
+    ))).as("e"))
 
-    val all = creates.unionByName(updates).unionByName(deletes)
-      .unionByName(invalids).unionByName(snapshots)
-      .unionByName(tombstones, allowMissingColumns = false)
-
-    import orders.sparkSession.implicits._
-    all.select(to_json(struct(col("value")),
+    emitted
+      .select(when(col("e.tomb"), lit(null).cast(valueType))
+        .otherwise(col("e.v")).as("value"))
+      .select(to_json(struct(col("value")),
         Map("ignoreNullFields" -> "false")).as("line"))
-      .as[String]
   }
 
-  /** Parsed + decoded change log derived from `$sfDir/orders.parquet`,
-    * round-tripped through real NDJSON text (generate → `from_json` with the
-    * declared envelope schema → decode) so every query over it exercises the
-    * reference's full S4+O4 path.
+  /** Materialize a change stream as real NDJSON files under
+    * `target/fixture_lake/<sf>/<table>` (once per scale factor — the files
+    * are deterministic) and return the directory. Queries then SCAN the lake
+    * from disk like the reference's DuckDB does (S4), so what they measure
+    * is the engine's scan+parse+decode, not fixture generation.
     */
-  def ordersChangeLog(orders: DataFrame): DataFrame = {
-    val parsed = Decode.parseLines(ordersChangeLines(orders), Envelope.orders)
-    Decode.decodeEnvelope(parsed, "id")
+  private val lakeLock = new Object
+  def lakeDir(lines: => DataFrame, sfDir: String, table: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = s"target/fixture_lake/$key/$table"
+    lakeLock.synchronized {
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
+        lines.write.mode("overwrite").text(dir)
+    }
+    dir
+  }
+
+  /** Decoded change log scanned from the NDJSON fixture lake for
+    * `$sfDir/orders.parquet` — the reference's full S4+O4 path: text scan →
+    * `from_json` with the declared envelope schema → envelope decode.
+    */
+  def ordersChangeLog(orders: DataFrame, sfDir: String): DataFrame = {
+    val spark = orders.sparkSession
+    val dir = lakeDir(ordersChangeLines(orders), sfDir, "orders")
+    val lines = spark.read.text(dir).select(col("value").as("line"))
+    Decode.decodeEnvelope(
+      Decode.parseLineColumn(lines, Envelope.orders), "id")
   }
 
   /** `commerce.products`-shaped change stream derived from the `part` table —
@@ -122,7 +148,7 @@ object Fixtures {
     * CREATE all; UPDATE (price+100.00) k%10==3; DELETE k%20==7;
     * tombstone k%25==9.
     */
-  def productsChangeLines(part: DataFrame): Dataset[String] = {
+  def productsChangeLines(part: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, LongType}
     val pk = col("p_partkey")
     val b64 = udf((u: Long) => java.util.Base64.getEncoder.encodeToString(
@@ -166,17 +192,18 @@ object Fixtures {
 
     val all = creates.unionByName(updates).unionByName(deletes)
       .unionByName(tombstones)
-    import part.sparkSession.implicits._
     all.select(to_json(struct(col("value")),
         Map("ignoreNullFields" -> "false")).as("line"))
-      .as[String]
   }
 
-  /** Decoded products change log: NDJSON round-trip + envelope decode + the
-    * native [[graft.functions.DebeziumDecimal]] price decode.
+  /** Decoded products change log from the fixture lake: NDJSON scan +
+    * envelope decode (+ downstream [[graft.functions.DebeziumDecimal]]).
     */
-  def productsChangeLog(part: DataFrame): DataFrame = {
-    val parsed = Decode.parseLines(productsChangeLines(part), Envelope.products)
-    Decode.decodeEnvelope(parsed, "id")
+  def productsChangeLog(part: DataFrame, sfDir: String): DataFrame = {
+    val spark = part.sparkSession
+    val dir = lakeDir(productsChangeLines(part), sfDir, "products")
+    val lines = spark.read.text(dir).select(col("value").as("line"))
+    Decode.decodeEnvelope(
+      Decode.parseLineColumn(lines, Envelope.products), "id")
   }
 }

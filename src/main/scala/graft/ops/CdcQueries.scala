@@ -24,7 +24,7 @@ object CdcQueries {
     * `example/duckdb_minio_product_scd2.sql:12-30`), C1 = one `val` reused.
     */
   private def changeLog(spark: SparkSession, sfDir: String): DataFrame = {
-    val log = Fixtures.ordersChangeLog(Tables(spark, sfDir, "orders"))
+    val log = Fixtures.ordersChangeLog(Tables(spark, sfDir, "orders"), sfDir)
     log.select(
       col("id"),
       col("after.status").as("status"),
@@ -108,7 +108,7 @@ object CdcQueries {
     // (like the driver's) orders rows by the never-null timestamps before
     // touching the nullable delete-row payloads.
     "cdc_scd2_products" -> ((s, dir) => {
-      val log = Fixtures.productsChangeLog(Tables(s, dir, "part"))
+      val log = Fixtures.productsChangeLog(Tables(s, dir, "part"), dir)
         .select(col("id"),
           col("after.name").as("v_name"),
           DebeziumDecimal(col("after.price"), 2).as("v_price"),

@@ -23,7 +23,7 @@ class LandingSpec extends SparkSpec {
     // as the streaming input.
     val lines = Fixtures
       .ordersChangeLines(ops.Tables(spark, sfDir, "orders").limit(50))
-      .collect()
+      .collect().map(_.getString(0))
     val dup = lines ++ lines.take(10)
     Files.write(java.nio.file.Paths.get(s"$srcDir/batch0.json"),
       dup.mkString("\n").getBytes)
