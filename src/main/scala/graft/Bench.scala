@@ -33,6 +33,14 @@ object Bench {
       try run(warmDir, n)
       catch { case _: Throwable => }
     }
+    // Plan-construction pass at the bench SF: materializes the one-time
+    // fixture lakes (written eagerly at DataFrame build time) without
+    // executing the queries, so the first measured query isn't charged for
+    // test-data setup.
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir)
+      catch { case _: Throwable => }
+    }
 
     val results = names.map { name =>
       val t0 = System.nanoTime()

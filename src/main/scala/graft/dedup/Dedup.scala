@@ -41,21 +41,38 @@ object Dedup {
       .drop("__keep")
   }
 
+  /** Mersenne prime 2^31-1: the universal-hash modulus. Products
+    * `a_j * h` stay < 2^62, inside BIGINT, in any engine.
+    */
+  val HashPrime: Long = 2147483647L
+
+  /** Deterministic universal-hash family coefficients (a_j, b_j), a_j != 0. */
+  def hashFamily(k: Int, seed: Long = 7L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((1L + rnd.nextInt((HashPrime - 1).toInt).toLong,
+      rnd.nextInt(HashPrime.toInt).toLong))
+  }
+
   /** MinHash signatures as `(id, sig array<long>)` via explode + hash-agg.
     *
-    * Formulated as `explode(shingles) → groupBy(id).agg(min(hash_j) …)`
-    * rather than an array-lambda fold: every `min` is a codegen'd,
-    * map-side-combinable aggregate (higher-order-function folds run on the
-    * interpreted expression path and re-evaluate their input array per seed —
-    * measured ~15× slower; and partial aggregation is exactly what a
-    * 1000-executor cluster needs for skew-free signature computation).
+    * Two design choices, both load-bearing at scale:
+    *   - `explode(shingles) → groupBy(id).agg(min(h_j) …)`: every `min` is a
+    *     codegen'd, map-side-combinable aggregate (array-lambda folds run on
+    *     the interpreted path and re-evaluate their input per seed —
+    *     measured ~15× slower);
+    *   - ONE md5 per shingle, then k affine universal-hash transforms
+    *     `(a_j * h + b_j) mod (2^31-1)` (integer ops, codegen'd, exact in
+    *     any engine) instead of k md5s — the md5 was the dominant cost.
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int, k: Int): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleN)).as("s"))
-    val mins = (0 until k).map(j =>
-      min(hash60(concat(lit(s"$j:"), col("s")))).as(s"__m$j"))
+        explode(shingles(col(textCol), shingleN)).as("s"))
+      .select(col("id"), pmod(hash60(col("s")), lit(HashPrime)).as("h"))
+    val fam = hashFamily(k)
+    val mins = fam.zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("h") * a + b, lit(HashPrime))).as(s"__m$j")
+    }
     exploded.groupBy(col("id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("id"),

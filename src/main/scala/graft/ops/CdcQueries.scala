@@ -100,6 +100,25 @@ object CdcQueries {
         .orderBy(col("log_seq_num"))
     }),
 
+    // Point-in-interval dimension lookup: each change event finds the SCD2
+    // version whose [start, expiration) validity covers its event time — the
+    // canonical "dimension value as of event time" range predicate, planned
+    // as an equi-join on id + range filter (no nested-loop).
+    "cdc_scd2_lookup" -> ((s, dir) => {
+      val ev = changeLog(s, dir)
+        .select(col("id"), col("log_seq_num"), col("source_timestamp"))
+      val dim = Scd2.scd2(changeLog(s, dir), "id", "log_seq_num",
+        "source_timestamp", Seq("status"))
+      ev.join(dim,
+          ev("id") === dim("id") &&
+            ev("source_timestamp") >= dim("row_valid_start_timestamp") &&
+            ev("source_timestamp") < dim("row_valid_expiration_timestamp"))
+        .select(ev("id"), col("log_seq_num"),
+          col("row_valid_start_timestamp"),
+          col("row_valid_expiration_timestamp"))
+        .orderBy(col("log_seq_num"))
+    }),
+
     // The reference's ACTUAL flagship: products SCD2 where `price` rides the
     // envelope as the Kafka-Connect Decimal logical type (base64 unscaled
     // int) and is decoded by the native debezium_decimal expression — the
@@ -171,6 +190,22 @@ object CdcQueries {
              ROW_NUMBER() OVER (PARTITION BY id ORDER BY log_seq_num)
                AS op_order
       FROM changes ORDER BY log_seq_num""",
+
+    "cdc_scd2_lookup" -> s"""$changesCte, scd2 AS (
+        SELECT c.id, c.status,
+               c.source_timestamp AS row_valid_start_timestamp,
+               COALESCE(LEAD(c.source_timestamp) OVER
+                 (PARTITION BY c.id ORDER BY c.log_seq_num),
+                 TIMESTAMP '9999-01-01') AS row_valid_expiration_timestamp
+        FROM changes c
+        WHERE c.id IN (SELECT id FROM changes GROUP BY id HAVING COUNT(*) > 1)
+      )
+      SELECT c.id, c.log_seq_num,
+             s.row_valid_start_timestamp, s.row_valid_expiration_timestamp
+      FROM changes c JOIN scd2 s ON c.id = s.id
+        AND c.source_timestamp >= s.row_valid_start_timestamp
+        AND c.source_timestamp < s.row_valid_expiration_timestamp
+      ORDER BY c.log_seq_num""",
 
     "cdc_scd2_products" -> """
       WITH pchanges AS (

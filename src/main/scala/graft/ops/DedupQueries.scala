@@ -55,11 +55,16 @@ object DedupQueries {
       FROM documents GROUP BY 1 ORDER BY fp""",
 
     "dd2_minhash_neardups" -> s"""
-      $shinglesCte, sig AS (
-        SELECT doc_id, list_transform(generate_series(0, ${Bands * RowsPerBand - 1}),
-          j -> list_min(list_transform(s,
-            x -> ('0x' || substr(md5(j || ':' || x), 1, 15))::BIGINT))) AS sg
+      $shinglesCte, hs AS (
+        SELECT doc_id, list_transform(s,
+          x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % ${Dedup.HashPrime}) AS h
         FROM sh
+      ), sig AS (
+        SELECT doc_id, ${
+          Dedup.hashFamily(Bands * RowsPerBand).map { case (a, b) =>
+            s"list_min(list_transform(h, v -> (v * $a + $b) % ${Dedup.HashPrime}))"
+          }.mkString("[", ",\n          ", "]")} AS sg
+        FROM hs
       ), banded AS (
         SELECT doc_id, band, md5(array_to_string(list_transform(
           list_slice(sg, band * $RowsPerBand + 1, band * $RowsPerBand + $RowsPerBand),
