@@ -83,7 +83,39 @@ object AdvancedQueries {
       Tables(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // Gap-based sessionization: a new session starts after a >30 min silence
+    // per user; running sum of session starts numbers the sessions, then one
+    // grouped agg summarizes each. Two window/agg passes, both partitioned
+    // by user_id — one exchange reused.
+    "q17_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .withColumn("new_session",
+          when(unix_micros(col("ts").cast("timestamp"))
+            - unix_micros(lag(col("ts"), 1).over(w).cast("timestamp"))
+            > 1800000000L, 1).otherwise(
+              when(lag(col("ts"), 1).over(w).isNull, 1).otherwise(0)))
+        .withColumn("session_seq", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // Exact interpolated percentiles per group (Spark `percentile` ==
+    // DuckDB `quantile_cont`).
+    "q18_percentiles" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -136,6 +168,33 @@ object AdvancedQueries {
     "q15_count_distinct" -> """
       SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
         COUNT(*) AS n_events
-      FROM events GROUP BY event_type ORDER BY event_type"""
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q17_sessionize" -> """
+      WITH flagged AS (
+        SELECT user_id, event_id, ts,
+          CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+               THEN 1
+               WHEN LAG(ts) OVER w IS NULL THEN 1
+               ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), numbered AS (
+        SELECT user_id, event_id, ts,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged
+      )
+      SELECT user_id, session_seq, COUNT(*) AS n_events,
+        MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM numbered GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq""",
+
+    "q18_percentiles" -> """
+      SELECT o_orderstatus,
+        quantile_cont(o_totalprice, 0.5) AS p50,
+        quantile_cont(o_totalprice, 0.9) AS p90,
+        COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   )
 }

@@ -1,0 +1,55 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "completely different content about spark engines"),
+    (4L, "THE  quick brown fox jumps over the lazy dog"),  // exact dup of 1 (norm)
+    (5L, "the quick brown fox jumps over the lazy dog")    // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact duplicate groups keep the min id") {
+    val g = Dedup.exactDuplicateGroups(docs, "text", "doc_id")
+      .filter(col("n_copies") > 1).collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("keep_id") == 1L)
+    assert(g.head.getAs[Long]("n_copies") == 3L)
+
+    val kept = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
+  test("minhash near-dup pairs find the exact and near duplicates, not the distinct doc") {
+    val pairs = Dedup.nearDuplicatePairs(docs, "text", "doc_id", tau = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact dups always pair; the one-word-changed doc pairs at tau=0.5
+    assert(pairs.contains((1L, 4L)) && pairs.contains((1L, 5L))
+      && pairs.contains((4L, 5L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs have hamming 0, near-dups small, distinct large") {
+    val s = Dedup.simhashes(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(1L) == s(4L) && s(1L) == s(5L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(s(1L), s(2L)) < ham(s(1L), s(3L)))
+  }
+
+  test("universal hash family is deterministic and in range") {
+    val fam = Dedup.hashFamily(12)
+    assert(fam == Dedup.hashFamily(12))
+    fam.foreach { case (a, b) =>
+      assert(a > 0 && a < Dedup.HashPrime && b >= 0 && b < Dedup.HashPrime)
+    }
+  }
+}
