@@ -118,7 +118,11 @@ object Fixtures {
   private val lakeLock = new Object
   def lakeDir(lines: => DataFrame, sfDir: String, table: String): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = s"target/fixture_lake/$key/$table"
+    // Absolute, always-writable base: the invoking process's cwd is not ours
+    // to assume (the round driver runs Verify from its own directory).
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val dir = s"$base/$key/$table"
     lakeLock.synchronized {
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
         lines.write.mode("overwrite").text(dir)

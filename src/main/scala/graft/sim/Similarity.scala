@@ -37,9 +37,11 @@ object Similarity {
   /** Exact top-k nearest corpus vectors per query vector by cosine.
     *
     * `queries` and `corpus`: (id, vec). The query side is expected small and
-    * is broadcast; ties break on corpus id for determinism. At extreme corpus
-    * scale, AQE's local top-k (rank filter pushdown into the window) keeps
-    * the per-partition state bounded.
+    * is broadcast; ties break on corpus id for determinism. The
+    * `row_number() <= k` filter is planned as WindowGroupLimit (verified in
+    * the physical plan): Spark keeps a bounded per-partition top-k heap
+    * BEFORE the shuffle and again after — the corpus is never globally
+    * sorted, so this scales to arbitrary corpus size.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     // Norms are projected per ROW below the join (n + q sqrt-folds), so the
