@@ -18,6 +18,8 @@ object SimQueries {
   private val NPlanes = 4
   private val Dim = 64
   private val NearDupTau = 0.3
+  private val CentroidStride = 125
+  private val NProbe = 2
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -58,7 +60,14 @@ object SimQueries {
 
     "sm3_cosine_neardups" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir), NearDupTau, NPlanes, Dim)
-        .orderBy(col("id_a"), col("id_b")))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "sm4_topk_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e.filter(col("id") < NQueries), e, K,
+          CentroidStride, NProbe)
+        .orderBy(col("query_id"), col("rank"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -108,6 +117,45 @@ object SimQueries {
         SELECT a.vec_id AS id_a, e.vec_id AS id_b,
           ${cosSql("a.embedding", "e.embedding")} AS cos
         FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id
-      ) WHERE cos >= $NearDupTau ORDER BY id_a, id_b"""
+      ) WHERE cos >= $NearDupTau ORDER BY id_a, id_b""",
+
+    "sm4_topk_ivf" -> s"""
+      WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+        WHERE vec_id % $CentroidStride = 0
+      ), corpus_scored AS (
+        SELECT c.vec_id AS corpus_id, ct.centroid_id, c.embedding AS cv,
+          ${cosSql("c.embedding", "ct.cvec")} AS cs
+        FROM embeddings c, cent ct
+      ), corpus_cells AS (
+        SELECT corpus_id, centroid_id, cv FROM (
+          SELECT corpus_id, centroid_id, cv,
+            ROW_NUMBER() OVER (PARTITION BY corpus_id
+                               ORDER BY cs DESC, centroid_id) AS cr
+          FROM corpus_scored
+        ) WHERE cr = 1
+      ), query_scored AS (
+        SELECT q.vec_id AS query_id, ct.centroid_id, q.embedding AS qv,
+          ${cosSql("q.embedding", "ct.cvec")} AS cs
+        FROM embeddings q, cent ct WHERE q.vec_id < $NQueries
+      ), query_cells AS (
+        SELECT query_id, centroid_id, qv FROM (
+          SELECT query_id, centroid_id, qv,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cs DESC, centroid_id) AS cr
+          FROM query_scored
+        ) WHERE cr <= $NProbe
+      ), scored AS (
+        SELECT query_id, corpus_id, ${cosSql("qv", "cv")} AS cos
+        FROM corpus_cells JOIN query_cells USING (centroid_id)
+        WHERE query_id != corpus_id
+      ), ranked AS (
+        SELECT query_id, corpus_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, corpus_id) AS rank
+        FROM scored
+      )
+      SELECT query_id, corpus_id, cos, rank FROM ranked
+      WHERE rank <= $K ORDER BY query_id, rank"""
   )
 }

@@ -97,6 +97,53 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — every
+    * `centroidStride`-th corpus vector is a centroid — assigns each corpus
+    * vector to its nearest centroid (one broadcast join, corpus scanned
+    * once); a query searches only the vectors in its `nProbe` nearest
+    * centroid cells.
+    *
+    * At 100 TB the assignment is a narrow broadcast pass and the search
+    * shuffles only (query, cell) candidates — the classic IVF recall/cost
+    * dial. A trained k-means quantizer drops in by replacing `centroids`;
+    * the stride pick keeps the whole pipeline engine-reproducible.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              centroidStride: Int = 125, nProbe: Int = 2): DataFrame = {
+    val centroids = corpus.filter(pmod(col("id"), lit(centroidStride)) === 0)
+      .select(col("id").as("centroid_id"), col("vec").as("cvec"),
+        norm(col("vec")).as("cn"))
+
+    // nearest centroid per vector (rank 1..nProbe for queries)
+    def cells(side: DataFrame, idAs: String, vecAs: String, probes: Int) = {
+      val scored = side.crossJoin(broadcast(centroids))
+        .withColumn("__cs", dot(col(vecAs), col("cvec"))
+          / (norm(col(vecAs)) * col("cn")))
+      val w = Window.partitionBy(col(idAs))
+        .orderBy(col("__cs").desc, col("centroid_id"))
+      scored.withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= probes)
+        .drop("cvec", "cn", "__cs", "__cr")
+    }
+
+    val corpusCells = cells(
+      corpus.select(col("id").as("corpus_id"), col("vec").as("cv")),
+      "corpus_id", "cv", 1)
+    val queryCells = cells(
+      queries.select(col("id").as("query_id"), col("vec").as("qv")),
+      "query_id", "qv", nProbe)
+
+    val scored = corpusCells.join(broadcast(queryCells), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", dot(col("qv"), col("cv"))
+        / (norm(col("qv")) * norm(col("cv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+  }
+
   /** All corpus pairs with cosine >= tau, via LSH buckets (near-duplicate
     * detection on embeddings). Same-bucket equi-join, never n².
     */
