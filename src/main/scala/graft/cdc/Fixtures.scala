@@ -200,6 +200,64 @@ object Fixtures {
         Map("ignoreNullFields" -> "false")).as("line"))
   }
 
+  /** `commerce.users`-shaped change stream derived from `customer`
+    * (reference `postgres/init.sql:17-21`: id, username, password). The
+    * datagen updates users in the same iterations as products
+    * (reference `datagen/gen_user_payment_data.py:77-87`), mirrored here
+    * with the same modular op mix: CREATE all; UPDATE (password rotate)
+    * k%10==3; DELETE k%20==7; tombstone k%25==9.
+    */
+  def usersChangeLines(customer: DataFrame): DataFrame = {
+    val ck = col("c_custkey")
+    def payload(pw: Column): Column = struct(
+      ck.cast("int").as("id"), col("c_name").as("username"),
+      pw.as("password"))
+    val pw0 = md5(col("c_name").cast("binary"))
+    val pw1 = md5(concat(col("c_name"), lit(":rotated")).cast("binary"))
+
+    val uPayload = Envelope.usersPayload
+    val uValueType = Envelope.users.fields.head.dataType
+    def nullU: Column = lit(null).cast(uPayload)
+    def tsMsU(hourOff: Int): Column = lit(1700000000000L) + ck * 1000 +
+      lit(hourOff * 3600000L)
+    def sourceU(lsnOff: Int, hourOff: Int): Column = struct(
+      lit("2.5.0.Final").as("version"), lit("postgresql").as("connector"),
+      lit("debezium").as("name"), tsMsU(hourOff).as("ts_ms"),
+      lit("false").as("snapshot"), lit("postgres").as("db"),
+      lit(null).cast(StringType).as("sequence"),
+      lit("commerce").as("schema"), lit("users").as("table"),
+      (ck * 10 + lsnOff).as("txId"), (ck * 10 + lsnOff).as("lsn"),
+      lit(null).cast("long").as("xmin"))
+    def env(op: String, lsnOff: Int, hourOff: Int,
+            before: Column, after: Column): Column = struct(
+      before.as("before"), after.as("after"),
+      sourceU(lsnOff, hourOff).as("source"), lit(op).as("op"),
+      tsMsU(hourOff).as("ts_ms"),
+      lit(null).cast(StringType).as("transaction")).as("value")
+
+    val creates = customer.select(env("c", 0, 0, nullU, payload(pw0)))
+    val updates = customer.filter(ck % 10 === 3)
+      .select(env("u", 1, 1, payload(pw0), payload(pw1)))
+    val deletes = customer.filter(ck % 20 === 7)
+      .select(env("d", 2, 2, payload(pw0), nullU))
+    val tombstones = customer.filter(ck % 25 === 9)
+      .select(lit(null).cast(uValueType).as("value"))
+
+    creates.unionByName(updates).unionByName(deletes)
+      .unionByName(tombstones)
+      .select(to_json(struct(col("value")),
+        Map("ignoreNullFields" -> "false")).as("line"))
+  }
+
+  /** Decoded users change log from the fixture lake. */
+  def usersChangeLog(customer: DataFrame, sfDir: String): DataFrame = {
+    val spark = customer.sparkSession
+    val dir = lakeDir(usersChangeLines(customer), sfDir, "users")
+    val lines = spark.read.text(dir).select(col("value").as("line"))
+    Decode.decodeEnvelope(
+      Decode.parseLineColumn(lines, Envelope.users), "id")
+  }
+
   /** Decoded products change log from the fixture lake: NDJSON scan +
     * envelope decode (+ downstream [[graft.functions.DebeziumDecimal]]).
     */

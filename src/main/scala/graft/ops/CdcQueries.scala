@@ -100,6 +100,19 @@ object CdcQueries {
         .orderBy(col("log_seq_num"))
     }),
 
+    // The reference's second table: users SCD2 (id, username, password),
+    // password-rotation updates, same envelope path.
+    "cdc_scd2_users" -> ((s, dir) => {
+      val log = Fixtures.usersChangeLog(Tables(s, dir, "customer"), dir)
+        .select(col("id"),
+          col("after.username").as("v_username"),
+          col("after.password").as("v_password"),
+          col("operation_type"), col("log_seq_num"), col("source_timestamp"))
+      Scd2.scd2(log, "id", "log_seq_num", "source_timestamp",
+          Seq("v_username", "v_password"))
+        .orderBy(col("id"), col("row_valid_start_timestamp"))
+    }),
+
     // Point-in-interval dimension lookup: each change event finds the SCD2
     // version whose [start, expiration) validity covers its event time — the
     // canonical "dimension value as of event time" range predicate, planned
@@ -190,6 +203,34 @@ object CdcQueries {
              ROW_NUMBER() OVER (PARTITION BY id ORDER BY log_seq_num)
                AS op_order
       FROM changes ORDER BY log_seq_num""",
+
+    "cdc_scd2_users" -> """
+      WITH uchanges AS (
+        SELECT c_custkey::INT AS id, c_name AS v_username,
+               md5(c_name) AS v_password,
+               c_custkey*10 AS log_seq_num,
+               make_timestamp((1700000000000 + c_custkey*1000) * 1000)
+                 AS source_timestamp
+        FROM customer
+        UNION ALL
+        SELECT c_custkey::INT, c_name, md5(c_name || ':rotated'),
+               c_custkey*10+1,
+               make_timestamp((1700000000000 + c_custkey*1000 + 3600000) * 1000)
+        FROM customer WHERE c_custkey % 10 = 3
+        UNION ALL
+        SELECT c_custkey::INT, NULL, NULL,
+               c_custkey*10+2,
+               make_timestamp((1700000000000 + c_custkey*1000 + 7200000) * 1000)
+        FROM customer WHERE c_custkey % 20 = 7
+      )
+      SELECT c.id, c.v_username, c.v_password,
+             c.source_timestamp AS row_valid_start_timestamp,
+             COALESCE(LEAD(c.source_timestamp) OVER
+               (PARTITION BY c.id ORDER BY c.log_seq_num),
+               TIMESTAMP '9999-01-01') AS row_valid_expiration_timestamp
+      FROM uchanges c
+      WHERE c.id IN (SELECT id FROM uchanges GROUP BY id HAVING COUNT(*) > 1)
+      ORDER BY id, row_valid_start_timestamp""",
 
     "cdc_scd2_lookup" -> s"""$changesCte, scd2 AS (
         SELECT c.id, c.status,
