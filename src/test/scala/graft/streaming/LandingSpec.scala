@@ -48,5 +48,13 @@ class LandingSpec extends SparkSpec {
     assert(decoded.count() == expected.count())
     assert(decoded.select("log_seq_num").as[Long].collect().sorted.toSeq ==
       expected.select("log_seq_num").as[Long].collect().sorted.toSeq)
+
+    // A topic/date filter on the lake must partition-prune, not scan-filter.
+    val pruned = spark.read.format("text").load(lake)
+      .filter(col("topic") === "debezium.commerce.orders" &&
+        col("event_date") === "1995-01-01")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("isnotnull(topic"))
   }
 }
