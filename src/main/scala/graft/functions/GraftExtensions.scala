@@ -31,5 +31,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         DebeziumDecimalExpr(args.head, scale)
       }))
+
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "vec_dot(a, b) takes 2 arguments")
+        DotProductExpr(args.head, args(1))
+      }))
   }
 }

@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise-product sequential sum: dot(a, b) as double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Elementwise-product sequential sum: dot(a, b) as double, via the
+    * native codegen'd [[graft.functions.DotProductExpr]] — same sequential
+    * accumulation a `aggregate(zip_with(...))` fold computes, minus the
+    * interpreted-path dispatch and per-pair intermediate array.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
