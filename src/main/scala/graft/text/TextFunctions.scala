@@ -110,11 +110,12 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(normalizeText(text).cast("binary"))
 
-  /** 60-bit positive hash from the md5 hex prefix — the shared cross-engine
-    * hash for MinHash/LSH (`('0x' || substr(md5(x),1,15))::BIGINT` in DuckDB).
+  /** 60-bit positive hash from the md5 prefix — the shared cross-engine
+    * hash for MinHash/LSH (`('0x' || substr(md5(x),1,15))::BIGINT` in
+    * DuckDB), computed by the native [[graft.functions.Hash60Expr]]
+    * (digest bytes directly, no hex-string round-trip).
     */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast(LongType)
+  def hash60(c: Column): Column = graft.functions.Hash60(c)
 
   /** Rolling-hash sketch positions 1..len-n+1 for a PRE-PROJECTED normalized
     * text attribute. Used by the explode+min-agg sketch in
