@@ -72,16 +72,14 @@ object TextQueries {
           langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
-    // Sketch = min hash60 over char 8-grams, via explode + min-agg (codegen'd
-    // + map-side combinable); fp and norm are projected once per row and
-    // carried through the explode as data.
+    // Sketch = min hash60 over char 8-grams — one native loop per row
+    // (graft.functions.MinCharGramHashExpr), so the whole query is a narrow
+    // codegen'd projection; norm is projected once and shared by fp+sketch.
     "tx4_fingerprint" -> ((s, dir) =>
       Tables(s, dir, "documents")
         .select(col("doc_id"), normalizeText(col("text")).as("nt"))
         .select(col("doc_id"), md5(col("nt").cast("binary")).as("fp"),
-          explode(charGramPositions(col("nt"), 8)).as("i"), col("nt"))
-        .groupBy(col("doc_id"), col("fp"))
-        .agg(min(hash60(col("nt").substr(col("i"), lit(8)))).as("sketch"))
+          graft.functions.Hash60.minGram(col("nt"), 8).as("sketch"))
         .orderBy(col("doc_id"))),
 
     // Grouped agg over a derived (computed) key.
