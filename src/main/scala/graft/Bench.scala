@@ -42,10 +42,15 @@ object Bench {
       catch { case _: Throwable => }
     }
 
+    // Best-of-2 per query: single-JVM local mode has multi-second GC/JIT
+    // jitter; the min is the steady-state cost of the plan.
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try run(sfDir, name) catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try run(sfDir, name) catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
