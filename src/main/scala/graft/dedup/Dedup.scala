@@ -99,7 +99,10 @@ object Dedup {
             transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
               x => x.cast("string")), ",").cast("binary"))))
           .as(Seq("band", "bucket")))
-    banded.as("a").join(banded.as("b"),
+    // Self-join as SHUFFLE hash join, deliberately: broadcasting the corpus's
+    // own bands is wrong at scale, and with identical shuffle children
+    // Catalyst's ReuseExchange computes the signature pipeline ONCE.
+    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -157,7 +160,9 @@ object Dedup {
     // (53-bit mantissa) and mis-bucket vs. integer semantics.
     val s = simhashes(df, textCol, idCol)
       .withColumn("bucket", shiftright(col("sh"), 60 - prefixBits))
-    s.as("a").join(s.as("b"),
+    // Shuffle self-join: same ReuseExchange + don't-broadcast-the-corpus
+    // rationale as minhashCandidatePairs.
+    s.as("a").hint("shuffle_hash").join(s.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))

@@ -154,7 +154,9 @@ object Similarity {
     val planes = hyperplanes(nPlanes, dim)
     val c = corpus.select(col("id"), col("vec"),
       lshBucket(col("vec"), planes).as("bucket"), norm(col("vec")).as("nrm"))
-    c.as("a").join(c.as("b"),
+    // Shuffle self-join: never broadcast the corpus against itself, and the
+    // identical shuffle children let ReuseExchange hash/bucket it once.
+    c.as("a").hint("shuffle_hash").join(c.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")))
