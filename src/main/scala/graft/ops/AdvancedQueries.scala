@@ -115,7 +115,35 @@ object AdvancedQueries {
         .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
           percentile(col("o_totalprice"), lit(0.9)).as("p90"),
           count(lit(1)).as("n"))
-        .orderBy(col("o_orderstatus")))
+        .orderBy(col("o_orderstatus"))),
+
+    // Correlated scalar subqueries through the SQL front-end — Catalyst
+    // decorrelates both into aggregate joins. The above-nation-average test
+    // is expressed as exact decimal cross-multiplication (bal*n > sum), not
+    // a double AVG, so boundary rows can't flip between engines.
+    "q19_correlated_subquery" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("graft_q19_customer")
+      s.sql("""
+        SELECT c_custkey, c_acctbal FROM graft_q19_customer c
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+              (SELECT COUNT(*) FROM graft_q19_customer c2
+               WHERE c2.c_nationkey = c.c_nationkey)
+            > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+               FROM graft_q19_customer c2
+               WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey""")
+    }),
+
+    // Corpus-wide bigram document frequencies (shingles dedup per doc),
+    // top-k — the n-gram statistics pass of a text pipeline.
+    "tx6_bigram_docfreq" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(
+          graft.text.TextFunctions.shingles(col("text"), 2)).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("bigram"))
+        .limit(20))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -195,6 +223,28 @@ object AdvancedQueries {
         quantile_cont(o_totalprice, 0.5) AS p50,
         quantile_cont(o_totalprice, 0.9) AS p90,
         COUNT(*) AS n
-      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q19_correlated_subquery" -> """
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+            (SELECT COUNT(*) FROM customer c2
+             WHERE c2.c_nationkey = c.c_nationkey)
+          > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer c2
+             WHERE c2.c_nationkey = c.c_nationkey)
+      ORDER BY c_custkey""",
+
+    "tx6_bigram_docfreq" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+      ), sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(t) - 1, 1)),
+          i -> array_to_string(list_slice(t, i, i + 1), ' ')))) AS bigram
+        FROM toks
+      )
+      SELECT bigram, COUNT(*) AS n_docs FROM sh
+      GROUP BY bigram ORDER BY n_docs DESC, bigram LIMIT 20"""
   )
 }
