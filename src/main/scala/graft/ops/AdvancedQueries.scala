@@ -143,7 +143,47 @@ object AdvancedQueries {
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("n_docs").desc, col("bigram"))
-        .limit(20))
+        .limit(20)),
+
+    // Pivot (explicit value list → stable schema); absent combinations are
+    // 0 like SQL conditional aggregation.
+    "q20_pivot_status" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0, Seq("F", "O", "P"))
+        .orderBy(col("o_orderpriority"))),
+
+    // Multiset set ops: EXCEPT ALL / INTERSECT ALL preserve multiplicity.
+    "q21_setops_all" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val big = orders.filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey"))
+      val open = orders.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey"))
+      big.exceptAll(open).withColumn("tag", lit("big_not_open"))
+        .unionByName(big.intersectAll(open)
+          .withColumn("tag", lit("both")))
+        .groupBy(col("tag"), col("o_custkey"))
+        .agg(count(lit(1)).as("multiplicity"))
+        .orderBy(col("tag"), col("o_custkey"))
+    }),
+
+    // Navigation window functions: first/nth value, ntile, rank-based
+    // fractions (exact doubles — pure integer-ratio formulas).
+    "q22_window_navigation" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events").select(
+          col("user_id"), col("event_id"),
+          first(col("value")).over(w).as("first_v"),
+          nth_value(col("value"), 2).over(w).as("second_v"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy(col("user_id"), col("event_id"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -245,6 +285,39 @@ object AdvancedQueries {
         FROM toks
       )
       SELECT bigram, COUNT(*) AS n_docs FROM sh
-      GROUP BY bigram ORDER BY n_docs DESC, bigram LIMIT 20"""
+      GROUP BY bigram ORDER BY n_docs DESC, bigram LIMIT 20""",
+
+    "q20_pivot_status" -> """
+      SELECT o_orderpriority,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q21_setops_all" -> """
+      WITH big AS (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+      ), open_o AS (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      ), tagged AS (
+        SELECT o_custkey, 'big_not_open' AS tag
+          FROM (SELECT * FROM big EXCEPT ALL SELECT * FROM open_o)
+        UNION ALL
+        SELECT o_custkey, 'both'
+          FROM (SELECT * FROM big INTERSECT ALL SELECT * FROM open_o)
+      )
+      SELECT tag, o_custkey, COUNT(*) AS multiplicity FROM tagged
+      GROUP BY tag, o_custkey ORDER BY tag, o_custkey""",
+
+    "q22_window_navigation" -> """
+      SELECT user_id, event_id,
+        FIRST_VALUE(value) OVER w AS first_v,
+        NTH_VALUE(value, 2) OVER w AS second_v,
+        NTILE(4) OVER w AS quartile,
+        PERCENT_RANK() OVER w AS pct_rank,
+        CUME_DIST() OVER w AS cume
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id"""
   )
 }
