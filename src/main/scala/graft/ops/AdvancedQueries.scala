@@ -170,6 +170,44 @@ object AdvancedQueries {
         .orderBy(col("tag"), col("o_custkey"))
     }),
 
+    // Time-based RANGE window frame: events in the trailing hour per user
+    // (peers with equal timestamps included, per SQL RANGE semantics).
+    "q23_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ep"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("ep", unix_micros(col("ts").cast("timestamp")))
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_last_hour"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // TF-IDF: term frequency × ln(N/df), top-3 terms per document
+    // (deterministic tie-break on the term). N stays declarative via a
+    // broadcast scalar, not a driver-side collect.
+    "tx7_tfidf" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(graft.text.TextFunctions.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          // round(…, 6): JVM Math.log and DuckDB's libm differ by 1 ulp on
+          // some inputs; 6 dp makes score values and rank order engine-equal.
+          round(col("tf").cast("double") *
+            log(col("n").cast("double") / col("df")), 6))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("tfidf"), col("rk"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     // Navigation window functions: first/nth value, ntile, rank-based
     // fractions (exact doubles — pure integer-ratio formulas).
     "q22_window_navigation" -> ((s, dir) => {
@@ -308,6 +346,35 @@ object AdvancedQueries {
       )
       SELECT tag, o_custkey, COUNT(*) AS multiplicity FROM tagged
       GROUP BY tag, o_custkey ORDER BY tag, o_custkey""",
+
+    "q23_range_frame" -> """
+      SELECT user_id, event_id,
+        COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
+      FROM events ORDER BY user_id, event_id""",
+
+    "tx7_tfidf" -> raw"""
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+      ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+      ), dfreq AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+          round(tf.tf::DOUBLE * ln((SELECT COUNT(*) FROM documents)::DOUBLE
+                             / dfreq.df), 6) AS tfidf
+        FROM tf JOIN dfreq USING (term)
+      ), ranked AS (
+        SELECT doc_id, term, tf, df, tfidf,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY tfidf DESC, term) AS rk
+        FROM scored
+      )
+      SELECT doc_id, term, tf, df, tfidf, rk FROM ranked
+      WHERE rk <= 3 ORDER BY doc_id, rk""",
 
     "q22_window_navigation" -> """
       SELECT user_id, event_id,
