@@ -42,6 +42,19 @@ class DecodeSpec extends SparkSpec {
     assert(del.select($"after").filter($"after".isNotNull).count() == 0)
   }
 
+  test("malformed / truncated / wrong-shape lines decode to null and are filtered") {
+    val bad = Seq(
+      """not json at all""",
+      """{"value": {"truncated": """,
+      """{"unexpected": 42}""",
+      """{"value": {"before": "not-a-struct", "op": 7}}""",
+      "")
+    val decoded = Decode.decodeEnvelope(
+      Decode.parseLines((lines ++ bad).toDS(), Envelope.orders), "id")
+    // exactly the 5 well-formed events survive (lsn null-filter drops the rest)
+    assert(decoded.count() == 5)
+  }
+
   test("source_timestamp is epoch-millis as TIMESTAMP_NTZ") {
     val ts = decoded.filter($"log_seq_num" === 100)
       .select($"source_timestamp".cast("string")).as[String].head()
