@@ -208,6 +208,20 @@ object AdvancedQueries {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // Correlated LATERAL subquery with per-group LIMIT (top-2 customers by
+    // balance per nation) through the SQL front-end.
+    "q24_lateral_topn" -> ((s, dir) => {
+      Tables(s, dir, "nation").createOrReplaceTempView("graft_q24_nation")
+      Tables(s, dir, "customer").createOrReplaceTempView("graft_q24_customer")
+      s.sql("""
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM graft_q24_nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM graft_q24_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")
+    }),
+
     // Navigation window functions: first/nth value, ntile, rank-based
     // fractions (exact doubles — pure integer-ratio formulas).
     "q22_window_navigation" -> ((s, dir) => {
@@ -375,6 +389,14 @@ object AdvancedQueries {
       )
       SELECT doc_id, term, tf, df, tfidf, rk FROM ranked
       WHERE rk <= 3 ORDER BY doc_id, rk""",
+
+    "q24_lateral_topn" -> """
+      SELECT n.n_name, t.c_custkey, t.c_acctbal
+      FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""",
 
     "q22_window_navigation" -> """
       SELECT user_id, event_id,

@@ -55,6 +55,19 @@ class DecodeSpec extends SparkSpec {
     assert(decoded.count() == 5)
   }
 
+  test("S5: schema-inferred single-file JSON scan sees the envelope shape") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-s5")
+    val f = dir.resolve("sample.json")
+    java.nio.file.Files.write(f, lines.filter(_.contains("\"op\""))
+      .mkString("\n").getBytes)
+    val inferred = spark.read.json(f.toString)
+    val value = inferred.schema("value").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(value.fieldNames.toSet
+      .intersect(Set("after", "before", "op", "source")).size == 4)
+    assert(inferred.count() == 5)
+  }
+
   test("source_timestamp is epoch-millis as TIMESTAMP_NTZ") {
     val ts = decoded.filter($"log_seq_num" === 100)
       .select($"source_timestamp".cast("string")).as[String].head()
