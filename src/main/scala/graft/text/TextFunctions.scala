@@ -126,13 +126,11 @@ object TextFunctions {
   def charGramPositions(normCol: Column, n: Int): Column =
     sequence(lit(1), greatest(length(normCol) - lit(n - 1), lit(1)))
 
-  /** Distinct word n-gram shingles (space-joined). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
-      i => array_join(slice(toks, i, lit(n)), " ")))
-  }
+  /** Distinct word n-gram shingles (space-joined), via the native
+    * [[WordNGramsExpr]] — one generated pass per row instead of an
+    * interpreted transform re-walking the token array per position.
+    */
+  def shingles(text: Column, n: Int): Column = WordNGrams(text, n)
 
   /** Exact Jaccard similarity of two shingle sets (arrays assumed distinct).
     * (MinHash/SimHash signature computation lives in [[graft.dedup.Dedup]] as
