@@ -208,6 +208,26 @@ object AdvancedQueries {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // Moment statistics (mean/variance/stddev) from EXACT decimal sums —
+    // order-free under any partitioning, unlike streaming stddev aggregates;
+    // the double math happens once, after the exact sums, in the same
+    // operation order as the oracle.
+    "q25_stats_moments" -> ((s, dir) => {
+      val p = col("o_totalprice").cast(DecimalType(18, 2))
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(p).cast("double").as("s1"),
+          sum((p * p).cast(DecimalType(38, 4))).cast("double").as("s2"))
+        .select(col("o_orderstatus"), col("n"),
+          (col("s1") / col("n")).as("mean"),
+          ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+            .as("variance"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n"))
+            / (col("n") - 1)).as("stddev"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Correlated LATERAL subquery with per-group LIMIT (top-2 customers by
     // balance per nation) through the SQL front-end.
     "q24_lateral_topn" -> ((s, dir) => {
@@ -389,6 +409,21 @@ object AdvancedQueries {
       )
       SELECT doc_id, term, tf, df, tfidf, rk FROM ranked
       WHERE rk <= 3 ORDER BY doc_id, rk""",
+
+    "q25_stats_moments" -> """
+      WITH sums AS (
+        SELECT o_orderstatus, COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+            * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS DOUBLE) AS s2
+        FROM orders GROUP BY o_orderstatus
+      )
+      SELECT o_orderstatus, n,
+        s1 / n AS mean,
+        (s2 - s1 * s1 / n) / (n - 1) AS variance,
+        sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev
+      FROM sums ORDER BY o_orderstatus""",
 
     "q24_lateral_topn" -> """
       SELECT n.n_name, t.c_custkey, t.c_acctbal
