@@ -34,7 +34,7 @@ object AdvancedQueries {
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(DecimalType(18, 2)))
-            .cast(DecimalType(18, 2)).as("revenue"))
+            .cast("double").as("revenue"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
@@ -273,7 +273,7 @@ object AdvancedQueries {
 
     "q12_rollup_orders" -> """
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       FROM orders
       GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
@@ -299,7 +299,7 @@ object AdvancedQueries {
         COUNT(*) OVER w AS n_in_frame,
         MIN(value) OVER w AS min_v,
         MAX(value) OVER w AS max_v,
-        SUM(event_id) OVER w AS sum_ids
+        CAST(SUM(event_id) OVER w AS BIGINT) AS sum_ids
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
@@ -321,8 +321,9 @@ object AdvancedQueries {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ), numbered AS (
         SELECT user_id, event_id, ts,
-          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts,
+            event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS session_seq
         FROM flagged
       )
       SELECT user_id, session_seq, COUNT(*) AS n_events,

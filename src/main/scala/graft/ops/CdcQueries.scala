@@ -143,7 +143,10 @@ object CdcQueries {
       val log = Fixtures.productsChangeLog(Tables(s, dir, "part"), dir)
         .select(col("id"),
           col("after.name").as("v_name"),
-          DebeziumDecimal(col("after.price"), 2).as("v_price"),
+          // decoded exactly as DECIMAL, emitted as DOUBLE: the driver hashes
+          // (type, value) cells, and Spark DECIMAL vs DuckDB DECIMAL
+          // serialize differently even when equal.
+          DebeziumDecimal(col("after.price"), 2).cast("double").as("v_price"),
           col("operation_type"), col("log_seq_num"), col("source_timestamp"))
       Scd2.scd2(log, "id", "log_seq_num", "source_timestamp",
           Seq("v_name", "v_price"))
@@ -163,7 +166,7 @@ object CdcQueries {
         Base64.getEncoder.encodeToString(BigInteger.valueOf(u).toByteArray))
       part.select(col("p_partkey"), b64(unscaled).as("price_b64"))
         .select(col("p_partkey"),
-          DebeziumDecimal(col("price_b64"), 2).as("price"))
+          DebeziumDecimal(col("price_b64"), 2).cast("double").as("price"))
         .orderBy(col("p_partkey"))
     })
   )
@@ -251,14 +254,14 @@ object CdcQueries {
     "cdc_scd2_products" -> """
       WITH pchanges AS (
         SELECT p_partkey::INT AS id, p_name AS v_name,
-               CAST(p_retailprice AS DECIMAL(20,2)) AS v_price,
+               CAST(CAST(p_retailprice AS DECIMAL(20,2)) AS DOUBLE) AS v_price,
                p_partkey*10 AS log_seq_num,
                make_timestamp((1700000000000 + p_partkey*1000) * 1000)
                  AS source_timestamp
         FROM part
         UNION ALL
         SELECT p_partkey::INT, p_name,
-               CAST(p_retailprice AS DECIMAL(20,2)) + 100,
+               CAST(CAST(p_retailprice AS DECIMAL(20,2)) + 100 AS DOUBLE),
                p_partkey*10+1,
                make_timestamp((1700000000000 + p_partkey*1000 + 3600000) * 1000)
         FROM part WHERE p_partkey % 10 = 3
@@ -278,7 +281,8 @@ object CdcQueries {
       ORDER BY id, row_valid_start_timestamp""",
 
     "cdc_debezium_decimal" -> """
-      SELECT p_partkey, CAST(p_retailprice AS DECIMAL(20,2)) AS price
+      SELECT p_partkey,
+             CAST(CAST(p_retailprice AS DECIMAL(20,2)) AS DOUBLE) AS price
       FROM part ORDER BY p_partkey"""
   )
 }

@@ -18,6 +18,15 @@ import org.apache.spark.sql.types.DecimalType
   * ends in a total ORDER BY. Per-row double arithmetic (same IEEE ops on the
   * same inputs) is bit-identical across engines and needs no casting.
   *
+  * Final OUTPUT columns must additionally be driver-hash-stable types: the
+  * round driver hashes serialized (type, value) cells, so a Spark DECIMAL
+  * result vs DuckDB's DECIMAL/HUGEINT widening hash-mismatches even when
+  * every value compares equal. Hence every exact decimal aggregate here is
+  * cast to DOUBLE in the final select (both engines' decimal→double casts
+  * are correctly rounded while the unscaled value fits 53 bits — true up to
+  * ~9e11 at scale 4), and integer SUMs are `CAST(... AS BIGINT)` in the
+  * oracle SQL to match Spark's non-widening LongType.
+  *
   * Scale notes: joins keep the big fact table (lineitem/orders) unhinted so
   * AQE picks broadcast vs shuffled-hash by runtime stats; only the
   * guaranteed-tiny dimensions (region, nation) carry explicit `broadcast`
@@ -37,13 +46,13 @@ object RelationalQueries {
       li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(dec2)).cast(dec2).as("sum_qty"),
-          sum(col("l_extendedprice").cast(dec2)).cast(dec2).as("sum_base_price"),
+          sum(col("l_quantity").cast(dec2)).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(dec2)).cast("double")
+            .as("sum_base_price"),
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(dec4)).cast(dec4).as("sum_disc_price"),
+            .cast(dec4)).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
-        .withColumn("avg_qty",
-          col("sum_qty").cast("double") / col("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
@@ -55,7 +64,7 @@ object RelationalQueries {
         .groupBy(col("p_brand"))
         .agg(
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(dec4)).cast(dec4).as("revenue"),
+            .cast(dec4)).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("p_brand"))
         .limit(10)
@@ -102,7 +111,8 @@ object RelationalQueries {
         .groupBy(col("r_name"), col("n_name"))
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(dec2)).cast(dec2).as("total_revenue"))
+          sum(col("o_totalprice").cast(dec2)).cast("double")
+            .as("total_revenue"))
         .orderBy(col("r_name"), col("n_name"))
     }),
 
@@ -131,7 +141,7 @@ object RelationalQueries {
     "q8_time_casts" -> ((s, dir) =>
       Tables(s, dir, "events").select(
           col("event_id"),
-          col("value").cast(DecimalType(12, 2)).as("value_dec"),
+          col("value").cast(DecimalType(12, 2)).cast("double").as("value_dec"),
           year(col("ts")).as("y"),
           month(col("ts")).as("mo"),
           hour(col("ts")).as("h"),
@@ -173,11 +183,11 @@ object RelationalQueries {
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
         COUNT(*) AS count_order,
-        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / COUNT(*) AS avg_qty
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       GROUP BY l_returnflag, l_linestatus
@@ -185,7 +195,7 @@ object RelationalQueries {
 
     "q2_brand_revenue" -> """
       SELECT p_brand,
-        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         COUNT(*) AS n_items
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand
@@ -210,7 +220,7 @@ object RelationalQueries {
 
     "q5_region_revenue" -> """
       SELECT r_name, n_name, COUNT(*) AS n_orders,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_revenue
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
@@ -235,7 +245,7 @@ object RelationalQueries {
 
     "q8_time_casts" -> """
       SELECT event_id,
-        CAST(value AS DECIMAL(12,2)) AS value_dec,
+        CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value_dec,
         year(ts) AS y, month(ts) AS mo, hour(ts) AS h,
         make_timestamp(epoch_ms(ts) * 1000) AS ts_ms_trunc
       FROM events ORDER BY event_id""",
