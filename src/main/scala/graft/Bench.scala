@@ -43,19 +43,36 @@ object Bench {
     }
 
     // Best-of-2 per query: single-JVM local mode has multi-second GC/JIT
-    // jitter; the min is the steady-state cost of the plan.
-    val results = names.map { name =>
-      val times = (1 to 2).map { _ =>
+    // jitter; the min is the steady-state cost of the plan. A query that
+    // throws must not be published as a (fast) time — it is recorded in
+    // `errors` and excluded from the per-query map so the total can never
+    // be built on silently failing queries.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = names.flatMap { name =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try run(sfDir, name) catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          run(sfDir, name)
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              e.getClass.getSimpleName + ": " +
+                Option(e.getMessage).getOrElse("").take(120))
+            None
+        }
       }
-      name -> times.min
+      if (times.isEmpty) None else Some(name -> times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    def jstr(s: String) =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,9 +16,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * interpreted expression path (higher-order functions don't codegen) and
   * allocates an intermediate array per pair.
   *
-  * Numeric contract preserved: strict sequential left-to-right
-  * accumulation in double — bit-identical to the lambda fold AND to the
-  * DuckDB oracle's `list_reduce(list_transform(...), (a,b) -> a+b)`.
+  * Numeric contract: strict sequential left-to-right accumulation in
+  * double — bit-identical to the lambda fold AND to the DuckDB oracle's
+  * `list_reduce(list_transform(...), (a,b) -> a+b)` on WELL-FORMED input
+  * (equal lengths, no null elements — which is what every caller in this
+  * library feeds it). On ragged input the semantics intentionally differ
+  * from the lambda fold and are defined, not an accident: length mismatch
+  * truncates to the shorter array, and null elements contribute 0.0 —
+  * whereas `aggregate(zip_with(...))` would return NULL for both. Documented
+  * divergence; both paths (interpreted + codegen) implement it identically.
   */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -50,9 +56,14 @@ case class DotProductExpr(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
-      acc += x * y
+      // null elements contribute 0.0 on BOTH eval paths (GenericArrayData
+      // would otherwise NPE here while UnsafeArrayData reads 0 — this check
+      // makes the interpreted path match the generated code exactly).
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+        acc += x * y
+      }
       i += 1
     }
     acc
@@ -71,7 +82,9 @@ case class DotProductExpr(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${get(a, left)} * ${get(b, right)};
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += ${get(a, left)} * ${get(b, right)};
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -76,13 +76,19 @@ object AdvancedQueries {
           count(lit(1)).as("n_events"))
         .orderBy(col("event_type"))),
 
-    // HLL++ sketch — approximate, engine-specific, so no oracle (driver
-    // records a rows-only check); the exact twin above is the correctness
-    // anchor.
+    // HLL++ sketch — the approximate VALUE is engine-specific, so the gated
+    // output is the exact count plus a tolerance verdict both engines can
+    // agree on: |approx - exact| / exact <= 5% (the sketch runs at rsd 1%,
+    // so the bound has 5× headroom). The oracle asserts within_tol = TRUE,
+    // making the sketch's accuracy — not its internals — the contract.
     "q16_approx_distinct" -> ((s, dir) =>
       Tables(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("approx_users") - col("n_users")).cast("double")
+            / col("n_users") <= 0.05).as("within_tol"))
         .orderBy(col("event_type"))),
 
     // Gap-based sessionization: a new session starts after a >30 min silence
@@ -308,6 +314,11 @@ object AdvancedQueries {
     "q15_count_distinct" -> """
       SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
         COUNT(*) AS n_events
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q16_approx_distinct" -> """
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        TRUE AS within_tol
       FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q17_sessionize" -> """

@@ -18,7 +18,7 @@ object SimQueries {
   private val NPlanes = 4
   private val Dim = 64
   private val NearDupTau = 0.3
-  private val CentroidStride = 125
+  private val NumCentroids = 256
   private val NProbe = 2
 
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -65,7 +65,7 @@ object SimQueries {
     "sm4_topk_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfTopK(e.filter(col("id") < NQueries), e, K,
-          CentroidStride, NProbe)
+          NumCentroids, NProbe)
         .orderBy(col("query_id"), col("rank"))
     })
   )
@@ -122,7 +122,8 @@ object SimQueries {
     "sm4_topk_ivf" -> s"""
       WITH cent AS (
         SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
-        WHERE vec_id % $CentroidStride = 0
+        WHERE vec_id % greatest(CAST(ceil(
+          (SELECT COUNT(*) FROM embeddings) / $NumCentroids.0) AS BIGINT), 1) = 0
       ), corpus_scored AS (
         SELECT c.vec_id AS corpus_id, ct.centroid_id, c.embedding AS cv,
           ${cosSql("c.embedding", "ct.cvec")} AS cs

@@ -99,20 +99,28 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 
-  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — every
-    * `centroidStride`-th corpus vector is a centroid — assigns each corpus
-    * vector to its nearest centroid (one broadcast join, corpus scanned
-    * once); a query searches only the vectors in its `nProbe` nearest
-    * centroid cells.
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — a FIXED
+    * number of centroids (`numCentroids`), picked as every
+    * `ceil(corpusCount / numCentroids)`-th corpus vector by id — assigns
+    * each corpus vector to its nearest centroid (one broadcast join, corpus
+    * scanned once); a query searches only the vectors in its `nProbe`
+    * nearest centroid cells.
     *
-    * At 100 TB the assignment is a narrow broadcast pass and the search
-    * shuffles only (query, cell) candidates — the classic IVF recall/cost
-    * dial. A trained k-means quantizer drops in by replacing `centroids`;
-    * the stride pick keeps the whole pipeline engine-reproducible.
+    * The centroid count is capped independent of corpus size, so the
+    * broadcast stays O(numCentroids·dim) and assignment work is
+    * O(n·numCentroids) at any scale — a stride-per-fixed-count quantizer,
+    * not a fixed stride (which would grow the centroid set, and the
+    * broadcast, linearly with the corpus). The stride is derived
+    * declaratively from a broadcast 1-row COUNT — no driver-side collect.
+    * A trained k-means quantizer drops in by replacing `centroids`; the
+    * deterministic pick keeps the whole pipeline engine-reproducible.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              centroidStride: Int = 125, nProbe: Int = 2): DataFrame = {
-    val centroids = corpus.filter(pmod(col("id"), lit(centroidStride)) === 0)
+              numCentroids: Int = 256, nProbe: Int = 2): DataFrame = {
+    val n = corpus.agg(count(lit(1)).as("__n"))
+    val centroids = corpus.crossJoin(broadcast(n))
+      .filter(pmod(col("id"),
+        greatest(ceil(col("__n") / numCentroids).cast("long"), lit(1L))) === 0)
       .select(col("id").as("centroid_id"), col("vec").as("cvec"),
         norm(col("vec")).as("cn"))
 
