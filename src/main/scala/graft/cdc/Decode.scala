@@ -55,10 +55,14 @@ object Decode {
     * `(id, <payload after.*>, before, after, operation_type, log_seq_num,
     * source_timestamp)`.
     *
-    * @param keyField name of the primary-key field inside the payload structs
+    * @param keyField    name of the primary-key field inside the payload structs
+    * @param passthrough extra input columns to carry through unchanged
+    *                    (e.g. path-derived partition columns from
+    *                    [[graft.streaming.ForeignLake]])
     */
-  def decodeEnvelope(raw: DataFrame, keyField: String = "id"): DataFrame =
-    raw.select(
+  def decodeEnvelope(raw: DataFrame, keyField: String = "id",
+                     passthrough: Seq[String] = Nil): DataFrame =
+    raw.select(Seq(
         coalesce(col(s"value.after.$keyField"), col(s"value.before.$keyField"))
           .as(keyField),
         col("value.before").as("before"),
@@ -66,6 +70,6 @@ object Decode {
         opType(col("value.op")).as("operation_type"),
         col("value.source.lsn").as("log_seq_num"),
         timestamp_millis(col("value.source.ts_ms")).cast("timestamp_ntz")
-          .as("source_timestamp"))
+          .as("source_timestamp")) ++ passthrough.map(col): _*)
       .filter(col("log_seq_num").isNotNull)
 }

@@ -155,10 +155,8 @@ object Fixtures {
   def productsChangeLines(part: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, LongType}
     val pk = col("p_partkey")
-    val b64 = udf((u: Long) => java.util.Base64.getEncoder.encodeToString(
-      java.math.BigInteger.valueOf(u).toByteArray))
     def priceB64(priceDec: Column): Column =
-      b64((priceDec * 100).cast(LongType))
+      graft.functions.DebeziumDecimal.encodeCol((priceDec * 100).cast(LongType))
 
     val basePrice = col("p_retailprice").cast(DecimalType(20, 2))
     def payload(price: Column): Column = struct(

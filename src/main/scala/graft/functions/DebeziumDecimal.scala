@@ -44,6 +44,32 @@ case class DebeziumDecimalExpr(child: Expression, scale: Int)
   override def prettyName: String = "debezium_decimal"
 }
 
+/** Encode twin of [[DebeziumDecimalExpr]]: a signed 64-bit *unscaled* value
+  * → base64 of its minimal big-endian two's-complement bytes — exactly the
+  * wire form Debezium ships (`BigInteger.toByteArray` semantics, so 3300 →
+  * 0x0CE4 → `"DOQ="`). Used by the fixture generator and by any pipeline
+  * that needs to round-trip values back INTO the Kafka-Connect Decimal
+  * format; native so the encode side of the fixture lake stays inside
+  * whole-stage codegen too (this removed the library's last Scala UDFs).
+  */
+case class DebeziumDecimalEncodeExpr(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullSafeEval(input: Any): Any =
+    DebeziumDecimal.encode(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.DebeziumDecimal.encode($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "debezium_decimal_encode"
+}
+
 object DebeziumDecimal {
   /** Wide enough for any NUMERIC(10,2)-class source column; the reference
     * caps at NUMERIC(10,2) (reference `example…sql:35`).
@@ -56,8 +82,18 @@ object DebeziumDecimal {
     Decimal(new JBigDecimal(new BigInteger(bytes), scale), PRECISION, scale)
   }
 
+  /** Static encode helper shared by interpreted eval and generated code. */
+  def encode(unscaled: Long): UTF8String =
+    UTF8String.fromString(Base64.getEncoder.encodeToString(
+      BigInteger.valueOf(unscaled).toByteArray))
+
   /** Column-level entry point: `debezium_decimal($"value.after.price", 2)`. */
   def apply(col: Column, scale: Int): Column =
     GraftBridge.column(
       DebeziumDecimalExpr(GraftBridge.expression(col), scale))
+
+  /** Column-level encode: long unscaled value → base64 wire string. */
+  def encodeCol(unscaled: Column): Column =
+    GraftBridge.column(
+      DebeziumDecimalEncodeExpr(GraftBridge.expression(unscaled)))
 }

@@ -33,6 +33,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("debezium_decimal_encode"),
+      new ExpressionInfo(classOf[DebeziumDecimalEncodeExpr].getName,
+        "debezium_decimal_encode"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1,
+          "debezium_decimal_encode(unscaledLong) takes 1 argument")
+        DebeziumDecimalEncodeExpr(args.head)
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "vec_dot"),
       (args: Seq[Expression]) => {

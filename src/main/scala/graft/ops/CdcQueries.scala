@@ -1,8 +1,5 @@
 package graft.ops
 
-import java.math.BigInteger
-import java.util.Base64
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
@@ -162,9 +159,8 @@ object CdcQueries {
       val part = Tables(s, dir, "part")
       val dec = col("p_retailprice").cast(DecimalType(20, 2))
       val unscaled = (dec * 100).cast(LongType)
-      val b64 = udf((u: Long) =>
-        Base64.getEncoder.encodeToString(BigInteger.valueOf(u).toByteArray))
-      part.select(col("p_partkey"), b64(unscaled).as("price_b64"))
+      part.select(col("p_partkey"),
+          DebeziumDecimal.encodeCol(unscaled).as("price_b64"))
         .select(col("p_partkey"),
           DebeziumDecimal(col("price_b64"), 2).cast("double").as("price"))
         .orderBy(col("p_partkey"))

@@ -23,6 +23,24 @@ class DebeziumDecimalSpec extends SparkSpec {
     assert(out == Seq(Some(new java.math.BigDecimal("-0.01")), None))
   }
 
+  test("encode is the exact inverse: unscaled long → wire base64 → decimal") {
+    // Known vector: 3300 → 0x0CE4 → "DOQ=". Round-trip a spread of signed
+    // values (incl. negatives whose minimal two's-complement adds/drops a
+    // sign byte) through encode → decode.
+    val enc = Seq(3300L).toDF("u")
+      .select(DebeziumDecimal.encodeCol($"u").as("b64"))
+      .as[String].head()
+    assert(enc == "DOQ=")
+    val vals = Seq(0L, 1L, -1L, 127L, 128L, -128L, -129L, 3300L,
+      1234567890123L, -987654321L)
+    val bad = vals.toDF("u")
+      .select($"u",
+        DebeziumDecimal(DebeziumDecimal.encodeCol($"u"), 2).as("d"))
+      .filter($"d" =!= $"u".cast("decimal(20,2)") / 100)
+      .count()
+    assert(bad == 0)
+  }
+
   test("stays inside whole-stage codegen (no UDF fallback)") {
     // Input must depend on the row (a pure literal constant-folds away, a
     // LocalRelation folds entirely); `*(n)` marks a codegen'd stage in the

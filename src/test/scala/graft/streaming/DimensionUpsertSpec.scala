@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 import graft.streaming.Scd2Stream.{Change, Version}
@@ -16,30 +17,70 @@ class DimensionUpsertSpec extends SparkSpec {
   private def chg(id: Long, st: String, lsn: Long, t: Long) =
     Change(id, Option(st), Some(lsn * 1.0), "UPDATE", lsn, ts(t))
 
-  test("dimensionStream maintains an upserted parquet SCD2 dimension") {
+  /** (name, size, md5) of every data file under a directory — byte-level
+    * fingerprint for the untouched-bucket assertion.
+    */
+  private def fileSigs(dir: String): Seq[(String, Long, String)] = {
+    val d = new java.io.File(dir)
+    d.listFiles().filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+      val bytes = Files.readAllBytes(f.toPath)
+      val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+      (f.getName, f.length(), md5)
+    }.sortBy(_._1)
+  }
+
+  test("dimensionStream maintains a bucketed parquet SCD2 dimension; " +
+       "batches rewrite only touched buckets") {
     val base = Files.createTempDirectory("graft-dim").toString
     val dim = s"$base/dim"
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Change]
     val q = Scd2Stream.dimensionStream(input.toDS(), dim, s"$base/ckpt")
 
-    input.addData(chg(1, "a", 1, 10), chg(1, "b", 2, 20))
+    // Keys 1 and 2 must land in different buckets for the untouched-bucket
+    // assertion to bite (deterministic Murmur3; verified, not assumed).
+    val Seq(b1, b2) = Seq(1L, 2L).toDF("id")
+      .select(pmod(hash(col("id")), lit(64))).as[Int].collect().toSeq
+    assert(b1 != b2, "pick different test ids: buckets collide")
+
+    input.addData(chg(1, "a", 1, 10), chg(1, "b", 2, 20), chg(2, "x", 1, 15))
     q.processAllAvailable()
     val after1 = spark.read.parquet(dim).as[Version].collect()
-    assert(after1.length == 2)
-    assert(after1.count(!_.closed) == 1)
-    assert(after1.find(!_.closed).get.status.contains("b"))
+    assert(after1.length == 3) // key1: a(closed), b(open); key2: x(open)
+    assert(after1.count(!_.closed) == 2)
+    assert(after1.find(v => v.id == 1L && !v.closed).get.status.contains("b"))
+    val bucket1Before = fileSigs(s"$dim/__bucket=$b1")
+    assert(bucket1Before.nonEmpty)
 
-    input.addData(chg(1, "c", 3, 30), chg(2, "x", 1, 15))
+    // Second batch touches ONLY key 2 → bucket b1's files must remain
+    // byte-identical (never read, rewritten, or moved).
+    input.addData(chg(2, "y", 2, 25))
     q.processAllAvailable()
     q.stop()
     val after2 = spark.read.parquet(dim).as[Version].collect()
-    // key 1: a(closed), b(closed, upserted over the open b), c(open);
-    // key 2: x(open)
+    // key1: a(closed), b(open); key2: x(closed, upserted over open x), y(open)
     assert(after2.length == 4)
     assert(after2.count(!_.closed) == 2)
-    val bRow = after2.find(v => v.status.contains("b")).get
-    assert(bRow.closed &&
-      bRow.row_valid_expiration_timestamp == ts(30))
+    val xRow = after2.find(v => v.status.contains("x")).get
+    assert(xRow.closed && xRow.row_valid_expiration_timestamp == ts(25))
+
+    assert(fileSigs(s"$dim/__bucket=$b1") == bucket1Before)
+  }
+
+  test("upsertBatch keeps same-start versions with distinct LSNs " +
+       "(same-millisecond CDC updates)") {
+    val base = Files.createTempDirectory("graft-dim-lsn").toString
+    val dim = s"$base/dim"
+    // Two versions of key 9 opened at the SAME timestamp by events lsn=1,2:
+    // the zero-length [T,T) version and its successor must BOTH persist,
+    // matching the batch SCD2 derivation.
+    val (out, _) = Scd2Stream.foldKey(9L,
+      Seq(chg(9, "v1", 1, 10), chg(9, "v2", 2, 10)), None)
+    Scd2Stream.upsertBatch(spark, out.toDS(), dim)
+    val rows = spark.read.parquet(dim).as[Version].collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.lsn).sorted.toSeq == Seq(1L, 2L))
+    assert(rows.forall(_.row_valid_start_timestamp == ts(10)))
   }
 }
