@@ -139,7 +139,8 @@ object Fixtures {
     val dir = lakeDir(ordersChangeLines(orders), sfDir, "orders")
     val lines = spark.read.text(dir).select(col("value").as("line"))
     Decode.decodeEnvelope(
-      Decode.parseLineColumn(lines, Envelope.orders), "id")
+      Decode.parseLineColumn(lines,
+        Envelope.prunedLineSchema(Envelope.ordersPayload)), "id")
   }
 
   /** `commerce.products`-shaped change stream derived from the `part` table —
@@ -253,7 +254,8 @@ object Fixtures {
     val dir = lakeDir(usersChangeLines(customer), sfDir, "users")
     val lines = spark.read.text(dir).select(col("value").as("line"))
     Decode.decodeEnvelope(
-      Decode.parseLineColumn(lines, Envelope.users), "id")
+      Decode.parseLineColumn(lines,
+        Envelope.prunedLineSchema(Envelope.usersPayload)), "id")
   }
 
   /** Decoded products change log from the fixture lake: NDJSON scan +
@@ -264,6 +266,7 @@ object Fixtures {
     val dir = lakeDir(productsChangeLines(part), sfDir, "products")
     val lines = spark.read.text(dir).select(col("value").as("line"))
     Decode.decodeEnvelope(
-      Decode.parseLineColumn(lines, Envelope.products), "id")
+      Decode.parseLineColumn(lines,
+        Envelope.prunedLineSchema(Envelope.productsPayload)), "id")
   }
 }

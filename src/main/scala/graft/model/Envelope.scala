@@ -80,6 +80,31 @@ object Envelope {
     StructField("totalprice", DoubleType)
   ))
 
+  /** Decode-path pruned line schema: exactly the fields
+    * [[graft.cdc.Decode.decodeEnvelope]] reads — `before.<key>` (delete
+    * rows key from the before-image), the full `after` payload,
+    * `source.{ts_ms, lsn}`, `op`. Spark's JacksonParser skips JSON fields
+    * absent from the schema without materializing them, so parsing with
+    * this schema does at the source what Catalyst's `OptimizeJsonExprs`
+    * schema pruning cannot see through a full-struct projection: ~10 source
+    * fields, `transaction`, and the non-key before-image are never built.
+    * At local bench SF the win is within noise (Jackson tokenization
+    * dominates); at lake scale the saved per-field materialization and the
+    * narrower rows feeding the exchange are the point.
+    */
+  def prunedLineSchema(payload: StructType,
+                       keyField: String = "id"): StructType = StructType(Seq(
+    StructField("value", StructType(Seq(
+      StructField("before",
+        StructType(payload.fields.filter(_.name == keyField).toSeq)),
+      StructField("after", payload),
+      StructField("source", StructType(Seq(
+        StructField("ts_ms", LongType),
+        StructField("lsn", LongType)))),
+      StructField("op", StringType)
+    )))
+  ))
+
   val products: StructType = lineSchema(productsPayload)
   val users: StructType = lineSchema(usersPayload)
   val orders: StructType = lineSchema(ordersPayload)
