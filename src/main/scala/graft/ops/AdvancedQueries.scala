@@ -81,11 +81,19 @@ object AdvancedQueries {
     // agree on: |approx - exact| / exact <= 5% (the sketch runs at rsd 1%,
     // so the bound has 5× headroom). The oracle asserts within_tol = TRUE,
     // making the sketch's accuracy — not its internals — the contract.
+    //
+    // Shape note: `agg(approx_count_distinct, countDistinct)` together is a
+    // trap — the distinct-agg rewrite groups by (event_type, user_id) first
+    // and merges a 16 KB HLL buffer PER DISTINCT USER (measured 4-6 s
+    // here). Deduplicate first, then aggregate: HLL is duplicate-insensitive
+    // so the estimate is identical, and only one sketch per group exists
+    // (measured ~8×, 0.6 s).
     "q16_approx_distinct" -> ((s, dir) =>
       Tables(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-          countDistinct(col("user_id")).as("n_users"))
+        .agg(count(lit(1)).as("n_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
         .select(col("event_type"), col("n_users"),
           (abs(col("approx_users") - col("n_users")).cast("double")
             / col("n_users") <= 0.05).as("within_tol"))
@@ -246,6 +254,73 @@ object AdvancedQueries {
           WHERE c.c_nationkey = n.n_nationkey
           ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
         ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")
+    }),
+
+    // CUBE grouping sets with GROUPING() markers — all four grouping
+    // combinations in one pass (one Expand + hash-agg, no re-scan per set).
+    "q26_cube_orders" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("revenue"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+        .orderBy(col("g_status"), col("g_prio"),
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // Regex extraction + string function family (codegen'd, narrow — the
+    // shape of a log-parsing / URL-splitting pass at lake scale).
+    "q27_regex_strings" -> ((s, dir) =>
+      Tables(s, dir, "orders").select(
+          col("o_orderkey"),
+          regexp_extract(col("o_orderpriority"), "^(\\d+)-(.+)$", 1)
+            .cast("int").as("prio_num"),
+          regexp_extract(col("o_orderpriority"), "^(\\d+)-(.+)$", 2)
+            .as("prio_word"),
+          lower(col("o_orderstatus")).as("st_lower"),
+          concat_ws("|", col("o_orderstatus"), col("o_orderpriority"))
+            .as("combo"),
+          length(col("o_orderpriority")).as("prio_len"))
+        .orderBy(col("o_orderkey"))),
+
+    // Calendar bucketing: ISO-week truncation + per-bucket distincts — the
+    // partition-by-time rollup every retention/usage pipeline runs.
+    "q29_time_buckets" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(date_trunc("week", col("ts")).cast("timestamp_ntz").as("wk"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("wk"))),
+
+    // Array-column statistics over embeddings: size / element access /
+    // order-free min-max — all codegen'd collection expressions, no
+    // interpreted lambda folds (SNIPPETS/HOF pitfall).
+    "q28_array_stats" -> ((s, dir) =>
+      Tables(s, dir, "embeddings").select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          array_min(col("embedding")).cast("double").as("min_e"),
+          array_max(col("embedding")).cast("double").as("max_e"),
+          element_at(col("embedding"), 1).cast("double").as("first_e"))
+        .orderBy(col("vec_id"))),
+
+    // Salted skew join gated against the PLAIN join in DuckDB: salting must
+    // be a pure physical rewrite — row-for-row identical results. Events'
+    // user_id is the skewable big side; the customer dim replicates per salt.
+    "sj1_salted_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("value"))
+      val dim = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_acctbal"))
+      graft.joins.SaltedJoin.saltedJoin(ev, dim, Seq("user_id"), 8)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_value"),
+          max(col("c_acctbal")).as("bal"))
+        .orderBy(col("user_id"))
     }),
 
     // Navigation window functions: first/nth value, ntile, rank-based
@@ -444,6 +519,46 @@ object AdvancedQueries {
         WHERE c.c_nationkey = n.n_nationkey
         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
       ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""",
+
+    "q26_cube_orders" -> """
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY g_status, g_prio,
+        o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q27_regex_strings" -> raw"""
+      SELECT o_orderkey,
+        CAST(regexp_extract(o_orderpriority, '^(\d+)-(.+)$$', 1) AS INT)
+          AS prio_num,
+        regexp_extract(o_orderpriority, '^(\d+)-(.+)$$', 2) AS prio_word,
+        lower(o_orderstatus) AS st_lower,
+        concat_ws('|', o_orderstatus, o_orderpriority) AS combo,
+        CAST(length(o_orderpriority) AS INT) AS prio_len
+      FROM orders ORDER BY o_orderkey""",
+
+    "q29_time_buckets" -> """
+      SELECT date_trunc('week', ts) AS wk, COUNT(*) AS n_events,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q28_array_stats" -> """
+      SELECT vec_id,
+        CAST(len(embedding) AS INT) AS dim,
+        CAST(list_min(embedding) AS DOUBLE) AS min_e,
+        CAST(list_max(embedding) AS DOUBLE) AS max_e,
+        CAST(embedding[1] AS DOUBLE) AS first_e
+      FROM embeddings ORDER BY vec_id""",
+
+    "sj1_salted_join" -> """
+      SELECT user_id, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        MAX(c_acctbal) AS bal
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY user_id ORDER BY user_id""",
 
     "q22_window_navigation" -> """
       SELECT user_id, event_id,

@@ -40,6 +40,29 @@ object Landing {
       .load()
       .select(col("topic"), col("value").cast("string").as("line"))
 
+  /** Batch snapshot bootstrap straight from the OLTP source — the
+    * `spark.read.jdbc` twin of Debezium's initial-snapshot phase
+    * (reference `postgres/init.sql:9-21` tables; Debezium emits the same
+    * rows as `op='r'` SNAPSHOT envelopes, which [[graft.cdc.Decode]]
+    * classifies). Use when standing up a dimension without replaying the
+    * whole change log: snapshot here, then stream from the topic's current
+    * offset.
+    *
+    * `partitionColumn`/bounds shard the read across executors (one JDBC
+    * connection per partition — the only way a 100 M-row snapshot isn't a
+    * single-connection trickle). Requires the source's JDBC driver jar on
+    * the cluster classpath (not bundled here, like the Kafka connector;
+    * no driver ships in this harness so coverage is compile-level, same
+    * standard as [[kafkaSource]]).
+    */
+  def jdbcSnapshot(spark: SparkSession, url: String, table: String,
+                   partitionColumn: String, lowerBound: Long, upperBound: Long,
+                   numPartitions: Int,
+                   connectionProperties: java.util.Properties =
+                     new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
+      numPartitions, connectionProperties)
+
   /** File-based change-stream source (NDJSON dropped by any producer) —
     * the test-harness stand-in for the Kafka source; same output shape.
     */
