@@ -128,6 +128,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** LSH candidates verified with the exact OVERLAP COEFFICIENT
+    * (|A∩B| / min(|A|,|B|)) — the containment dedup pass: catches a short
+    * document wholly embedded in a longer one, which Jaccard misses (the
+    * union in its denominator dilutes subset pairs). Same candidate
+    * generation and scale shape as [[nearDuplicatePairs]].
+    */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       tau: Double, shingleN: Int = 3, bands: Int = 4,
+                       rowsPerBand: Int = 3): DataFrame = {
+    val cand = minhashCandidatePairs(df, textCol, idCol, shingleN, bands, rowsPerBand)
+    val sh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    cand
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+      .filter(col("containment") >= tau)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** 60-bit SimHashes as `(id, sh)` via explode + hash-agg: bit j of the
     * simhash is set iff at least half the (distinct) tokens have bit j of
     * their [[hash60]] set (majority vote, ties to 1).

@@ -256,6 +256,22 @@ object AdvancedQueries {
         ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")
     }),
 
+    // Approximate percentile gated on ACCURACY against the exact value —
+    // same tolerance-verdict pattern as q16: exact per-group percentile
+    // doesn't scale (it buffers every value), percentile_approx streams a
+    // bounded sketch; the contract is that the sketch lands within 1% of
+    // exact, which both engines can assert.
+    "q30_approx_percentile" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50_exact"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+            .as("p50_approx"))
+        .select(col("o_orderstatus"), col("p50_exact"),
+          (abs(col("p50_approx") - col("p50_exact")) / col("p50_exact")
+            <= 0.01).as("within_tol"))
+        .orderBy(col("o_orderstatus"))),
+
     // CUBE grouping sets with GROUPING() markers — all four grouping
     // combinations in one pass (one Expand + hash-agg, no re-scan per set).
     "q26_cube_orders" -> ((s, dir) =>
@@ -519,6 +535,12 @@ object AdvancedQueries {
         WHERE c.c_nationkey = n.n_nationkey
         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
       ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""",
+
+    "q30_approx_percentile" -> """
+      SELECT o_orderstatus,
+        quantile_cont(o_totalprice, 0.5) AS p50_exact,
+        TRUE AS within_tol
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q26_cube_orders" -> """
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,

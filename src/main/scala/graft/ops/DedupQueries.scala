@@ -16,6 +16,7 @@ object DedupQueries {
   private val Bands = 4
   private val RowsPerBand = 3
   private val JaccardTau = 0.8
+  private val ContainTau = 0.9
   private val MaxHamming = 8
   private val PrefixBits = 20
 
@@ -45,6 +46,13 @@ object DedupQueries {
     "dd3_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables(s, dir, "documents"), "text", "doc_id",
           MaxHamming, PrefixBits)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Containment (overlap-coefficient) near-dups: subset-duplication the
+    // Jaccard pass misses.
+    "dd4_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables(s, dir, "documents"), "text", "doc_id",
+          ContainTau, ShingleN, Bands, RowsPerBand)
         .orderBy(col("id_a"), col("id_b")))
   )
 
@@ -104,6 +112,36 @@ object DedupQueries {
           bit_count(xor(a.sh, b.sh)) AS hamming
         FROM bucketed a JOIN bucketed b
           ON a.bucket = b.bucket AND a.id < b.id
-      ) WHERE hamming <= $MaxHamming ORDER BY id_a, id_b"""
+      ) WHERE hamming <= $MaxHamming ORDER BY id_a, id_b""",
+
+    "dd4_containment_pairs" -> s"""
+      $shinglesCte, hs AS (
+        SELECT doc_id, list_transform(s,
+          x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % ${Dedup.HashPrime}) AS h
+        FROM sh
+      ), sig AS (
+        SELECT doc_id, ${
+          Dedup.hashFamily(Bands * RowsPerBand).map { case (a, b) =>
+            s"list_min(list_transform(h, v -> (v * $a + $b) % ${Dedup.HashPrime}))"
+          }.mkString("[", ",\n          ", "]")} AS sg
+        FROM hs
+      ), banded AS (
+        SELECT doc_id, band, md5(array_to_string(list_transform(
+          list_slice(sg, band * $RowsPerBand + 1, band * $RowsPerBand + $RowsPerBand),
+          v -> v::VARCHAR), ',')) AS bucket
+        FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) AS band)
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      )
+      SELECT * FROM (
+        SELECT c.id_a, c.id_b,
+          len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+            / least(len(sa.s), len(sb.s)) AS containment
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+      ) WHERE containment >= $ContainTau ORDER BY id_a, id_b"""
   )
 }

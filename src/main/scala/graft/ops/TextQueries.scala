@@ -87,7 +87,24 @@ object TextQueries {
       Tables(s, dir, "documents")
         .groupBy(langId(col("text")).as("lang_pred"))
         .agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("lang_pred")))
+        .orderBy(col("lang_pred"))),
+
+    // The composed pretraining-curation pass: keep documents whose
+    // heuristic language-ID agrees with the label, whose quality score
+    // clears a bar, and whose token count is in range — the
+    // filter-the-corpus step every training-data pipeline runs before
+    // dedup. One narrow codegen'd projection + filter; at lake scale this
+    // is a single scan with every predicate evaluated scan-side.
+    "cur1_curation" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          langId(col("text")).as("lang_pred"),
+          tokenCount(col("text")).as("n_tokens"),
+          qualityScore(col("text")).as("quality"))
+        .filter(col("quality") >= 0.6 &&
+          col("n_tokens").between(20, 2000) &&
+          col("lang_pred") === col("lang"))
+        .orderBy(col("doc_id")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -126,6 +143,22 @@ object TextQueries {
     "tx5_lang_counts" -> s"""
       $scoresCte
       SELECT $langCaseSql AS lang_pred, COUNT(*) AS n_docs
-      FROM scores GROUP BY 1 ORDER BY lang_pred"""
+      FROM scores GROUP BY 1 ORDER BY lang_pred""",
+
+    "cur1_curation" -> s"""
+      $scoresCte, pred AS (
+        SELECT doc_id, $langCaseSql AS lang_pred FROM scores
+      ), feat AS (
+        SELECT d.doc_id, d.lang, p.lang_pred,
+          $NT AS n_tokens,
+          0.4 * least($NT::DOUBLE / 100.0, 1.0)
+            + 0.3 * ($ttrSql)
+            + 0.3 * (1.0 - $stopRatioSql) AS quality
+        FROM documents d JOIN pred p USING (doc_id)
+      )
+      SELECT doc_id, lang, lang_pred, n_tokens, quality FROM feat
+      WHERE quality >= 0.6 AND n_tokens BETWEEN 20 AND 2000
+        AND lang_pred = lang
+      ORDER BY doc_id"""
   )
 }

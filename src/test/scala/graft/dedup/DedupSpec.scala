@@ -37,6 +37,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containment catches a subset document that Jaccard misses") {
+    val subsetDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      // doc 2 = a strict prefix of doc 1: containment 1.0, but its shingle
+      // set is under half of doc 1's union → Jaccard < 0.5.
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "unrelated words entirely here nothing shared at all today")
+    ).toDF("doc_id", "text")
+    val contained = Dedup.containmentPairs(subsetDocs, "text", "doc_id",
+        tau = 0.99, bands = 6, rowsPerBand = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val jacc = Dedup.nearDuplicatePairs(subsetDocs, "text", "doc_id",
+        tau = 0.5, bands = 6, rowsPerBand = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(contained.contains((1L, 2L)))
+    assert(!jacc.contains((1L, 2L)))
+    assert(!contained.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhash: identical docs have hamming 0, near-dups small, distinct large") {
     val s = Dedup.simhashes(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
