@@ -113,11 +113,15 @@ object Landing {
       .trigger(Trigger.ProcessingTime(triggerMs))
       .start()
 
-  /** End-to-end landing job: source → transform → dedup → partitioned lake. */
+  /** End-to-end landing job: source → transform → dedup → partitioned lake.
+    * `dedupDelay` is the watermark horizon bounding dedup state (events —
+    * and duplicates — older than it are dropped as late).
+    */
   def landingJob(source: DataFrame, payload: StructType, lakePath: String,
-                 checkpoint: String): StreamingQuery =
+                 checkpoint: String,
+                 dedupDelay: String = "1 hour"): StreamingQuery =
     landingSink(
-      dedupWithinWatermark(landingTransform(source, payload)),
+      dedupWithinWatermark(landingTransform(source, payload), dedupDelay),
       lakePath, checkpoint)
 
   /** Read a landed lake back (batch): partition-pruned by topic/date/hour. */
