@@ -20,4 +20,26 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .withExtensions(new functions.GraftExtensions)
   }
+
+  /** S3-compatible object-store access (SURVEY §2 S6) — the Hadoop-conf
+    * mirror of the reference's DuckDB `SET s3_*` block (reference
+    * `example/duckdb_minio_product_scd2.sql:2-11`): explicit endpoint,
+    * path-style addressing, static credentials, optional plain HTTP — the
+    * MinIO/on-prem shape. Call once per session; all `s3a://` paths
+    * (lake reads, [[streaming.Landing.landingSink]] targets,
+    * [[streaming.ForeignLake]] roots) then resolve through it. Needs the
+    * `hadoop-aws` + AWS SDK jars on the cluster classpath (not in this
+    * harness — conf wiring is unit-tested, the network path is not).
+    */
+  def withS3a(spark: SparkSession, endpoint: String, accessKey: String,
+              secretKey: String, pathStyle: Boolean = true,
+              ssl: Boolean = false): SparkSession = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.endpoint", endpoint)
+    hc.set("fs.s3a.access.key", accessKey)
+    hc.set("fs.s3a.secret.key", secretKey)
+    hc.set("fs.s3a.path.style.access", pathStyle.toString)
+    hc.set("fs.s3a.connection.ssl.enabled", ssl.toString)
+    spark
+  }
 }

@@ -57,12 +57,26 @@ case class DebeziumDecimalEncodeExpr(child: Expression)
 
   override def dataType: DataType = org.apache.spark.sql.types.StringType
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"debezium_decimal_encode needs an integral unscaled value, " +
+            s"got ${other.sql}")
+    }
+
   override def nullSafeEval(input: Any): Any =
-    DebeziumDecimal.encode(input.asInstanceOf[Long])
+    DebeziumDecimal.encode(input.asInstanceOf[Number].longValue())
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.DebeziumDecimal.encode($c)")
+      s"graft.functions.DebeziumDecimal.encode((long)($c))")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

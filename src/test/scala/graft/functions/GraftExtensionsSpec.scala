@@ -19,4 +19,21 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("2 arguments"))
   }
+
+  test("debezium_decimal_encode round-trips from SQL") {
+    val out = spark.sql(
+      "SELECT debezium_decimal(debezium_decimal_encode(3300), 2) AS d")
+      .collect().head.getDecimal(0)
+    assert(out == new java.math.BigDecimal("33.00"))
+  }
+
+  test("withS3a mirrors the reference's s3 conf block onto the Hadoop conf") {
+    graft.GraftSession.withS3a(spark, "http://localhost:9000",
+      "minio", "minio123")
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.endpoint") == "http://localhost:9000")
+    assert(hc.get("fs.s3a.access.key") == "minio")
+    assert(hc.get("fs.s3a.path.style.access") == "true")
+    assert(hc.get("fs.s3a.connection.ssl.enabled") == "false")
+  }
 }
