@@ -370,7 +370,7 @@ object AdvancedQueries {
 
     "q12_rollup_orders" -> """
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
       FROM orders
       GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
@@ -516,10 +516,11 @@ object AdvancedQueries {
     "q25_stats_moments" -> """
       WITH sums AS (
         SELECT o_orderstatus, COUNT(*) AS n,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-          CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+            AS DOUBLE) AS s1,
+          CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
             * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
-            AS DOUBLE) AS s2
+            AS VARCHAR) AS DOUBLE) AS s2
         FROM orders GROUP BY o_orderstatus
       )
       SELECT o_orderstatus, n,
@@ -544,7 +545,7 @@ object AdvancedQueries {
 
     "q26_cube_orders" -> """
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue,
         CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
         CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
       FROM orders
@@ -577,7 +578,8 @@ object AdvancedQueries {
 
     "sj1_salted_join" -> """
       SELECT user_id, COUNT(*) AS n,
-        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+          AS sum_value,
         MAX(c_acctbal) AS bal
       FROM events JOIN customer ON user_id = c_custkey
       GROUP BY user_id ORDER BY user_id""",

@@ -22,10 +22,18 @@ import org.apache.spark.sql.types.DecimalType
   * round driver hashes serialized (type, value) cells, so a Spark DECIMAL
   * result vs DuckDB's DECIMAL/HUGEINT widening hash-mismatches even when
   * every value compares equal. Hence every exact decimal aggregate here is
-  * cast to DOUBLE in the final select (both engines' decimal→double casts
-  * are correctly rounded while the unscaled value fits 53 bits — true up to
-  * ~9e11 at scale 4), and integer SUMs are `CAST(... AS BIGINT)` in the
-  * oracle SQL to match Spark's non-widening LongType.
+  * cast to DOUBLE in the final select, and integer SUMs are
+  * `CAST(... AS BIGINT)` in the oracle SQL to match Spark's non-widening
+  * LongType.
+  *
+  * The oracle's decimal→double casts route through VARCHAR
+  * (`CAST(CAST(sum AS VARCHAR) AS DOUBLE)`): DuckDB's direct cast
+  * double-rounds (int128→double, then ÷10^scale) and drifts 1 ulp from the
+  * correctly-rounded value once the unscaled sum exceeds 2^53, while the
+  * decimal→string→double route and Spark's `BigDecimal.doubleValue` are
+  * both correctly rounded at any magnitude. Found by an sf0.1 soak on
+  * `q25_stats_moments` (scale-4 sums of squares cross 2^53 first); the
+  * sf0.01 gate alone cannot see it.
   *
   * Scale notes: joins keep the big fact table (lineitem/orders) unhinted so
   * AQE picks broadcast vs shuffled-hash by runtime stats; only the
@@ -183,11 +191,11 @@ object RelationalQueries {
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
         COUNT(*) AS count_order,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       GROUP BY l_returnflag, l_linestatus
@@ -195,7 +203,7 @@ object RelationalQueries {
 
     "q2_brand_revenue" -> """
       SELECT p_brand,
-        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
         COUNT(*) AS n_items
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand
@@ -220,7 +228,7 @@ object RelationalQueries {
 
     "q5_region_revenue" -> """
       SELECT r_name, n_name, COUNT(*) AS n_orders,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_revenue
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
