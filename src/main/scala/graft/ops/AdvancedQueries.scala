@@ -256,6 +256,51 @@ object AdvancedQueries {
         ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")
     }),
 
+    // Full outer join with COALESCE reconciliation — the two-ledger
+    // comparison shape (keys present on either side survive).
+    "q31_full_outer" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val big = orders.filter(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+      val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_urgent"))
+      big.join(urgent, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"),
+          coalesce(col("n_urgent"), lit(0L)).as("n_urgent"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Positional explode (LATERAL VIEW posexplode) over the embedding
+    // arrays — the generator/ordinality operator class.
+    "q32_posexplode" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .filter(col("vec_id") < 20)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "val")))
+        .filter(col("pos") < 8)
+        .select(col("vec_id"), col("pos"),
+          col("val").cast("double").as("val"))
+        .orderBy(col("vec_id"), col("pos"))),
+
+    // Deterministic train/valid/test split by CONTENT hash (not doc_id):
+    // byte-identical texts always land in the same split, so exact
+    // duplicates can never leak from train into eval — the split
+    // assignment every training-data pipeline needs, as a pure
+    // engine-reproducible projection (md5-derived hash60 mod 100).
+    "q33_hash_split" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(graft.text.TextFunctions.hash60(col("text")), lit(100L))
+            .as("bucket"))
+        .select(col("doc_id"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "valid")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split"))),
+
     // Approximate percentile gated on ACCURACY against the exact value —
     // same tolerance-verdict pattern as q16: exact per-group percentile
     // doesn't scale (it buffers every value), percentile_approx streams a
@@ -536,6 +581,39 @@ object AdvancedQueries {
         WHERE c.c_nationkey = n.n_nationkey
         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
       ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""",
+
+    "q31_full_outer" -> """
+      WITH big AS (
+        SELECT o_custkey, COUNT(*) AS n_big FROM orders
+        WHERE o_totalprice > 400000 GROUP BY o_custkey
+      ), urgent AS (
+        SELECT o_custkey, COUNT(*) AS n_urgent FROM orders
+        WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+      )
+      SELECT COALESCE(b.o_custkey, u.o_custkey) AS o_custkey,
+        COALESCE(n_big, 0) AS n_big,
+        COALESCE(n_urgent, 0) AS n_urgent
+      FROM big b FULL OUTER JOIN urgent u ON b.o_custkey = u.o_custkey
+      ORDER BY o_custkey""",
+
+    "q32_posexplode" -> """
+      SELECT vec_id, CAST(g.i - 1 AS INT) AS pos,
+        CAST(embedding[g.i] AS DOUBLE) AS val
+      FROM embeddings, generate_series(1, 8) g(i)
+      WHERE vec_id < 20 AND g.i <= len(embedding)
+      ORDER BY vec_id, pos""",
+
+    "q33_hash_split" -> """
+      WITH b AS (
+        SELECT doc_id,
+          ('0x' || substr(md5(text), 1, 15))::BIGINT % 100 AS bucket
+        FROM documents
+      )
+      SELECT CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'valid'
+                  ELSE 'test' END AS split,
+        COUNT(*) AS n_docs
+      FROM b GROUP BY 1 ORDER BY split""",
 
     "q30_approx_percentile" -> """
       SELECT o_orderstatus,
