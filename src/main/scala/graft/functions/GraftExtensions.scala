@@ -49,5 +49,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.size == 2, "vec_dot(a, b) takes 2 arguments")
         DotProductExpr(args.head, args(1))
       }))
+
+    ext.injectFunction((
+      FunctionIdentifier("hash60"),
+      new ExpressionInfo(classOf[Hash60Expr].getName, "hash60"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "hash60(str) takes 1 argument")
+        Hash60Expr(args.head)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("min_chargram_hash"),
+      new ExpressionInfo(classOf[MinCharGramHashExpr].getName,
+        "min_chargram_hash"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2,
+          "min_chargram_hash(str, nLiteral) takes 2 arguments")
+        MinCharGramHashExpr(args.head, intLit(args(1), "min_chargram_hash n"))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[graft.text.WordNGramsExpr].getName,
+        "word_ngrams"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "word_ngrams(str, nLiteral) takes 2 arguments")
+        graft.text.WordNGramsExpr(args.head, intLit(args(1), "word_ngrams n"))
+      }))
+  }
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
   }
 }

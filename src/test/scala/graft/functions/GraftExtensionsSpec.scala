@@ -27,6 +27,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(out == new java.math.BigDecimal("33.00"))
   }
 
+  test("hash60 / min_chargram_hash / word_ngrams are SQL-callable and " +
+       "agree with their composed built-in forms") {
+    val r = spark.sql("""
+      SELECT hash60('abc') AS h,
+             CAST(conv(substr(md5(CAST('abc' AS BINARY)), 1, 15), 16, 10)
+               AS BIGINT) AS h_composed,
+             min_chargram_hash('the quick brown fox', 8) AS mg,
+             word_ngrams('a b c', 2) AS ng
+    """).collect().head
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(2) >= 0 && r.getLong(2) < (1L << 60))
+    assert(r.getSeq[String](3).sorted == Seq("a b", "b c"))
+  }
+
   test("withS3a mirrors the reference's s3 conf block onto the Hadoop conf") {
     graft.GraftSession.withS3a(spark, "http://localhost:9000",
       "minio", "minio123")
