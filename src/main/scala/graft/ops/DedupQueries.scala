@@ -53,16 +53,30 @@ object DedupQueries {
     "dd4_containment_pairs" -> ((s, dir) =>
       Dedup.containmentPairs(Tables(s, dir, "documents"), "text", "doc_id",
           ContainTau, ShingleN, Bands, RowsPerBand)
-        .orderBy(col("id_a"), col("id_b")))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // The composed corpus dedup: exact-duplicate collapse (keep the min id
+    // per normalized fingerprint) then greedy near-dup drop (for each
+    // verified pair, the higher id goes) — the standard
+    // keep-one-per-cluster approximation that needs no iterative
+    // connected-components pass, so it stays two shuffles at any corpus
+    // size.
+    "cur2_dedup_corpus" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val keepExact = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+        .select(col("doc_id"))
+      val nearDrops = Dedup.nearDuplicatePairs(docs, "text", "doc_id",
+          JaccardTau, ShingleN, Bands, RowsPerBand)
+        .select(col("id_b").as("doc_id")).distinct()
+      keepExact.join(nearDrops, Seq("doc_id"), "left_anti")
+        .orderBy(col("doc_id"))
+    })
   )
 
-  val oracleSql: Map[String, String] = Map(
-    "dd1_exact_groups" -> raw"""
-      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-             min(doc_id) AS keep_id, count(*) AS n_copies
-      FROM documents GROUP BY 1 ORDER BY fp""",
-
-    "dd2_minhash_neardups" -> s"""
+  /** Shared CTE chain through LSH candidate pairs (`cand`), reused by the
+    * pair queries and the corpus-dedup composition.
+    */
+  private val candCte: String = s"""
       $shinglesCte, hs AS (
         SELECT doc_id, list_transform(s,
           x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % ${Dedup.HashPrime}) AS h
@@ -82,15 +96,26 @@ object DedupQueries {
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-      )
-      SELECT * FROM (
-        SELECT c.id_a, c.id_b,
-          len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
-            / len(list_distinct(sa.s || sb.s)) AS jaccard
-        FROM cand c
-        JOIN sh sa ON sa.doc_id = c.id_a
-        JOIN sh sb ON sb.doc_id = c.id_b
-      ) WHERE jaccard >= $JaccardTau ORDER BY id_a, id_b""",
+      )"""
+
+  private val jaccardPairsSql: String = s"""
+      SELECT c.id_a, c.id_b,
+        len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+          / len(list_distinct(sa.s || sb.s)) AS jaccard
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b"""
+
+  val oracleSql: Map[String, String] = Map(
+    "dd1_exact_groups" -> raw"""
+      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY fp""",
+
+    "dd2_minhash_neardups" -> s"""
+      $candCte
+      SELECT * FROM ($jaccardPairsSql)
+      WHERE jaccard >= $JaccardTau ORDER BY id_a, id_b""",
 
     "dd3_simhash_pairs" -> s"""
       $shinglesCte, hs AS (
@@ -115,26 +140,7 @@ object DedupQueries {
       ) WHERE hamming <= $MaxHamming ORDER BY id_a, id_b""",
 
     "dd4_containment_pairs" -> s"""
-      $shinglesCte, hs AS (
-        SELECT doc_id, list_transform(s,
-          x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % ${Dedup.HashPrime}) AS h
-        FROM sh
-      ), sig AS (
-        SELECT doc_id, ${
-          Dedup.hashFamily(Bands * RowsPerBand).map { case (a, b) =>
-            s"list_min(list_transform(h, v -> (v * $a + $b) % ${Dedup.HashPrime}))"
-          }.mkString("[", ",\n          ", "]")} AS sg
-        FROM hs
-      ), banded AS (
-        SELECT doc_id, band, md5(array_to_string(list_transform(
-          list_slice(sg, band * $RowsPerBand + 1, band * $RowsPerBand + $RowsPerBand),
-          v -> v::VARCHAR), ',')) AS bucket
-        FROM sig, (SELECT unnest(generate_series(0, ${Bands - 1})) AS band)
-      ), cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a JOIN banded b
-          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-      )
+      $candCte
       SELECT * FROM (
         SELECT c.id_a, c.id_b,
           len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
@@ -142,6 +148,18 @@ object DedupQueries {
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.id_a
         JOIN sh sb ON sb.doc_id = c.id_b
-      ) WHERE containment >= $ContainTau ORDER BY id_a, id_b"""
+      ) WHERE containment >= $ContainTau ORDER BY id_a, id_b""",
+
+    "cur2_dedup_corpus" -> raw"""
+      $candCte, near_drops AS (
+        SELECT DISTINCT id_b AS doc_id FROM ($jaccardPairsSql)
+        WHERE jaccard >= $JaccardTau
+      ), exact_keep AS (
+        SELECT min(doc_id) AS doc_id FROM documents
+        GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      )
+      SELECT doc_id FROM exact_keep
+      WHERE doc_id NOT IN (SELECT doc_id FROM near_drops)
+      ORDER BY doc_id"""
   )
 }

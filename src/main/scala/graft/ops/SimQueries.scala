@@ -93,8 +93,10 @@ object SimQueries {
         SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
         FROM embeddings
       ), q AS (
-        SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
-        WHERE vec_id < $NQueries
+        SELECT vec_id AS query_id, embedding AS qv,
+          unnest([bucket${(0 until NPlanes)
+            .map(i => s", xor(bucket, ${1L << i})").mkString}]) AS bucket
+        FROM b WHERE vec_id < $NQueries
       ), scored AS (
         SELECT query_id, c.vec_id AS corpus_id,
           ${cosSql("qv", "c.embedding")} AS cos

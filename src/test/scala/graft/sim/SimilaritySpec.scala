@@ -44,4 +44,26 @@ class SimilaritySpec extends SparkSpec {
     assert(p1.map(_.toSeq) == p2.map(_.toSeq))
     assert(p1.flatten.forall(v => v == 1.0 || v == -1.0))
   }
+
+  test("ANN recall vs brute force clears the floor (deterministic data)") {
+    // Random embeddings are the ANN worst case (no cluster structure), so
+    // these floors are honest lower bounds, not aspirations. Measured on
+    // the driver data: IVF 0.38-0.44, multi-probe LSH 0.36-0.54; without
+    // multi-probe LSH sat at 0.06-0.18. Deterministic inputs + seeded
+    // planes → exact values are stable; the floor catches regressions in
+    // the quantizer/probing, not data drift.
+    val emb = graft.ops.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val bf = pairs(Similarity.bruteForceTopK(q, emb, 5))
+    val ivfRecall =
+      (pairs(Similarity.ivfTopK(q, emb, 5, 256, 2)) & bf).size.toDouble / bf.size
+    val lshRecall =
+      (pairs(Similarity.lshTopK(q, emb, 5, 4, 64)) & bf).size.toDouble / bf.size
+    assert(bf.size == 50)
+    assert(ivfRecall >= 0.3, s"IVF recall regressed: $ivfRecall")
+    assert(lshRecall >= 0.3, s"multi-probe LSH recall regressed: $lshRecall")
+  }
 }
