@@ -130,6 +130,13 @@ object Fixtures {
     dir
   }
 
+  /** Path of the materialized orders NDJSON fixture lake (building it on
+    * first use) — for callers that scan the raw files themselves (e.g. the
+    * S5 schema-inference twin).
+    */
+  def ordersLakeDir(orders: DataFrame, sfDir: String): String =
+    lakeDir(ordersChangeLines(orders), sfDir, "orders")
+
   /** Decoded change log scanned from the NDJSON fixture lake for
     * `$sfDir/orders.parquet` — the reference's full S4+O4 path: text scan →
     * `from_json` with the declared envelope schema → envelope decode.

@@ -93,4 +93,17 @@ object Media {
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(step)))
           .as("frame_idx"))
+
+  /** Byte-exact content dedup on the opaque binary column — the
+    * content-hash pass every multimodal pipeline runs before any decode
+    * (distinct from text dedup: this hashes the RAW bytes, no
+    * normalization, so two files differing in one byte are different).
+    * One hash shuffle; the binary payload itself never shuffles — only the
+    * 16-byte digest does.
+    */
+  def contentDuplicateGroups(media: Dataset[MediaRow]): DataFrame =
+    media.toDF()
+      .groupBy(md5(col("content")).as("content_fp"))
+      .agg(min(col("media_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
 }

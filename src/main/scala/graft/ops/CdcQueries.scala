@@ -71,6 +71,18 @@ object CdcQueries {
         .agg(count(lit(1)).as("n_events"))
         .orderBy(col("operation_type"))),
 
+    // S5 twin: the SAME lake read with schema INFERENCE (the reference's
+    // `SELECT * FROM 'file.json'` auto-detect probing) must classify ops
+    // identically to the declared-schema decode path.
+    "cdc_infer_op_counts" -> ((s, dir) => {
+      val lake = Fixtures.ordersLakeDir(Tables(s, dir, "orders"), dir)
+      s.read.json(lake)
+        .filter(col("value.source.lsn").isNotNull)
+        .groupBy(Decode.opType(col("value.op")).as("operation_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("operation_type"))
+    }),
+
     // The flagship: full SCD2 derivation (J1 semi-join on HAVING COUNT>1,
     // A1/A2, W1 LEAD, O10 sentinel literal, O11 null-replacement, T1 sort).
     "cdc_scd2_orders" -> ((s, dir) =>
@@ -174,6 +186,10 @@ object CdcQueries {
       FROM changes ORDER BY log_seq_num""",
 
     "cdc_op_counts" -> s"""$changesCte
+      SELECT operation_type, COUNT(*) AS n_events
+      FROM changes GROUP BY operation_type ORDER BY operation_type""",
+
+    "cdc_infer_op_counts" -> s"""$changesCte
       SELECT operation_type, COUNT(*) AS n_events
       FROM changes GROUP BY operation_type ORDER BY operation_type""",
 

@@ -30,7 +30,14 @@ object MediaQueries {
 
     "mm3_resize_meta" -> ((s, dir) =>
       Media.resizeMeta(features(s, dir), maxDim = 256)
-        .orderBy(col("media_id")))
+        .orderBy(col("media_id"))),
+
+    // Byte-exact content dedup on the binary column (raw bytes, no text
+    // normalization — a different contract than dd1).
+    "mm4_content_dedup" -> ((s, dir) =>
+      Media.contentDuplicateGroups(
+          Media.mediaFromDocuments(Tables(s, dir, "documents")))
+        .orderBy(col("content_fp")))
   )
 
   /** `kind` mapping mirror: doc_id % 3 → 1=image, 2=audio, 0(+3)=video
@@ -70,6 +77,13 @@ object MediaQueries {
       $featuresCte
       SELECT media_id, kind, least(width, 256) AS out_width,
              least(height, 256) AS out_height
-      FROM f ORDER BY media_id"""
+      FROM f ORDER BY media_id""",
+
+    // content = UTF-8 bytes of text, and DuckDB's md5(VARCHAR) hashes the
+    // string's UTF-8 bytes — byte-identical input to Spark's md5(BINARY).
+    "mm4_content_dedup" -> """
+      SELECT md5(text) AS content_fp, min(doc_id) AS keep_id,
+             COUNT(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY content_fp"""
   )
 }
