@@ -98,6 +98,22 @@ object CdcQueries {
         .orderBy(col("id"), col("row_valid_start_timestamp"))
         .limit(200)),
 
+    // CDC compaction: the CURRENT-STATE table — latest event per key wins,
+    // deleted keys drop out. The most common materialization of a change
+    // log (the SCD2 dimension's memoryless sibling); one exchange + one
+    // window, same partitioning as SCD2 so a pipeline computing both
+    // reuses the shuffle.
+    "cdc_current_state" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("id")).orderBy(col("log_seq_num").desc)
+      changeLog(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("operation_type") =!= "DELETE")
+        .select(col("id"), col("status"), col("totalprice"),
+          col("log_seq_num"))
+        .orderBy(col("id"))
+    }),
+
     // W3: ROW_NUMBER op-ordinal per key (reference exploratory query,
     // `README.md:220-243`).
     "cdc_row_number_ops" -> ((s, dir) => {
@@ -212,6 +228,14 @@ object CdcQueries {
       FROM changes c
       WHERE c.id IN (SELECT id FROM changes GROUP BY id HAVING COUNT(*) > 1)
       ORDER BY id, row_valid_start_timestamp LIMIT 200""",
+
+    "cdc_current_state" -> s"""$changesCte
+      SELECT id, status, totalprice, log_seq_num FROM (
+        SELECT id, status, totalprice, log_seq_num, operation_type,
+          ROW_NUMBER() OVER (PARTITION BY id ORDER BY log_seq_num DESC) AS rn
+        FROM changes
+      ) WHERE rn = 1 AND operation_type != 'DELETE'
+      ORDER BY id""",
 
     "cdc_row_number_ops" -> s"""$changesCte
       SELECT id, operation_type, log_seq_num,
