@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hash60
+import graft.pack.Packing
+import graft.text.TextFunctions
+
+/** Corpus-preparation queries over `documents` — the steps between a curated
+  * corpus and a training run: sequence packing into fixed token budgets,
+  * deterministic stratified sampling for data mixing, and repeated-shingle
+  * boilerplate scoring. Every expression has an exact DuckDB twin.
+  */
+object CorpusQueries {
+
+  /** Tokens per context window. */
+  private val PackBudget = 1000L
+
+  /** Docs per prefix-sum bucket — at corpus scale this is sized so
+    * `n / PackBucketWidth` (the single-task cumsum input) stays ~1e5.
+    * Small here so the sf0.01 gate exercises many buckets.
+    */
+  private val PackBucketWidth = 50L
+
+  /** A shingle is boilerplate when `df * CommonDocDenom >= n_docs`, i.e. it
+    * appears in ≥ 1/CommonDocDenom of all documents. Integer cross-multiply:
+    * a fractional literal (0.2) would be DECIMAL in DuckDB but a
+    * round-to-nearest double in Spark, and `0.2 * n` can straddle a
+    * representability boundary.
+    */
+  private val CommonDocDenom = 5
+
+  /** Per-mille keep rates per language stratum (mixing weights). */
+  private def mixRate = when(col("lang") === "en", 400)
+    .when(col("lang") === "zh", 300)
+    .otherwise(800)
+
+  /** DuckDB token-array length — mirror of [[TextFunctions.tokenCount]]. */
+  private val NT = raw"len(regexp_split_to_array(trim(lower(text)), '\s+'))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Sequence packing: each document's global token start offset and its
+    // budget-sized pack — computed as a distributed prefix sum (bucket
+    // totals + tiny cumsum + partitioned within-bucket window), never a
+    // corpus-sized single-task window. graft.pack.Packing documents the
+    // scale story.
+    "pk1_doc_packing" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      Packing.packByBudget(toks, "doc_id", "n_tokens",
+          PackBudget, PackBucketWidth)
+        .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+          col("pack_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic stratified sampling for data mixing: per-language
+    // keep rates applied via a salted 60-bit md5 hash of the doc id, so
+    // the sample is reproducible, resample-stable (a doc's fate never
+    // depends on other rows), and a pure scan-side filter — no shuffle,
+    // no RNG state, safe to re-run incrementally at any scale.
+    "cur3_stratified_sample" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("bucket",
+          Hash60(concat(lit("mix:"), col("doc_id").cast("string"))) % 1000)
+        .filter(col("bucket") < mixRate)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id"))),
+
+    // Boilerplate fraction (CCNet-style): the share of a document's
+    // distinct 3-gram shingles that are corpus-common (df ≥ 20% of docs).
+    // Explode → shingle doc-freq (one hash-agg shuffle, map-side
+    // combined), threshold against a broadcast scalar N, join the small
+    // common set back, re-aggregate per doc. The common set is small by
+    // construction (high-df shingles are few), so the join side stays
+    // broadcastable at any corpus size.
+    "tx8_boilerplate_frac" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val ex = docs.select(col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 3)).as("shingle"))
+      val dfreq = ex.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val common = dfreq.crossJoin(broadcast(n))
+        .filter(col("df") * CommonDocDenom >= col("n_docs"))
+        .select(col("shingle"), lit(1).as("is_common"))
+      ex.join(common, Seq("shingle"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(col("is_common")).as("n_common"))
+        .withColumn("boiler_frac",
+          col("n_common").cast("double") / col("n_shingles"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "pk1_doc_packing" -> s"""
+      WITH toks AS (
+        SELECT doc_id, $NT AS n_tokens FROM documents
+      ), run AS (
+        SELECT doc_id, n_tokens,
+          CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+            AS BIGINT) AS start_offset
+        FROM toks
+      )
+      SELECT doc_id, n_tokens, start_offset,
+        start_offset // $PackBudget AS pack_id
+      FROM run ORDER BY doc_id""",
+
+    "cur3_stratified_sample" -> """
+      SELECT doc_id, lang, bucket FROM (
+        SELECT doc_id, lang,
+          ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT
+            % 1000 AS bucket
+        FROM documents)
+      WHERE bucket < CASE lang WHEN 'en' THEN 400 WHEN 'zh' THEN 300
+        ELSE 800 END
+      ORDER BY doc_id""",
+
+    "tx8_boilerplate_frac" -> s"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents
+      ), sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          generate_series(1, greatest(len(t) - 2, 1)),
+          i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+        FROM toks
+      ), ex AS (
+        SELECT doc_id, unnest(s) AS shingle FROM sh
+      ), dfreq AS (
+        SELECT shingle, COUNT(*) AS df FROM ex GROUP BY 1
+      ), nd AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+      ), common AS (
+        SELECT shingle FROM dfreq, nd WHERE df * $CommonDocDenom >= n_docs
+      )
+      SELECT ex.doc_id, COUNT(*) AS n_shingles, COUNT(c.shingle) AS n_common,
+        COUNT(c.shingle)::DOUBLE / COUNT(*) AS boiler_frac
+      FROM ex LEFT JOIN common c ON ex.shingle = c.shingle
+      GROUP BY ex.doc_id ORDER BY doc_id"""
+  )
+}
