@@ -39,6 +39,20 @@ object CorpusQueries {
   /** DuckDB token-array length — mirror of [[TextFunctions.tokenCount]]. */
   private val NT = raw"len(regexp_split_to_array(trim(lower(text)), '\s+'))"
 
+  /** Context-window chunking: tokens per chunk / overlapped stride. */
+  private val ChunkSize = 32
+  private val ChunkOverlap = 8
+  private val ChunkStride = ChunkSize - ChunkOverlap
+
+  /** Quantization grid for per-term log-probabilities: floor(x * 2^20) /
+    * 2^20 keeps every addend an exact multiple of 2^-20, so per-document
+    * double sums are EXACT and therefore order-independent — Spark's
+    * parallel aggregation and DuckDB's sequential one cannot disagree.
+    * (Scaling by a power of two and floor are both exact; only the shared
+    * ln() result feeds in.)
+    */
+  private val LogGrid = 1048576L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Sequence packing: each document's global token start offset and its
@@ -93,6 +107,55 @@ object CorpusQueries {
         .withColumn("boiler_frac",
           col("n_common").cast("double") / col("n_shingles"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Overlapped context-window chunking: split each document's token
+    // stream into ChunkSize-token windows advancing by ChunkStride, with
+    // the chunk text materialized from the token array. Pure narrow
+    // explode — no shuffle; chunk count is integer arithmetic (DIV), so
+    // both engines agree exactly.
+    "pk2_doc_chunks" -> ((s, dir) => {
+      val withToks = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        .withColumn("n_tokens", size(col("t")))
+        .withColumn("n_chunks", expr(
+          s"greatest((n_tokens - $ChunkOverlap + ${ChunkStride - 1})" +
+            s" DIV $ChunkStride, 1)"))
+      withToks
+        .select(col("doc_id"), col("t"), col("n_tokens"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+        .withColumn("chunk_start", col("chunk_idx") * ChunkStride)
+        .withColumn("chunk_len",
+          least(lit(ChunkSize), col("n_tokens") - col("chunk_start")))
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+          col("chunk_len"),
+          array_join(slice(col("t"), (col("chunk_start") + 1).cast("int"),
+            col("chunk_len").cast("int")), " ").as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Unigram language-model quality score: mean ln p(token) under the
+    // corpus's own unigram distribution (the cheap KenLM-style perplexity
+    // proxy every curation pipeline runs). Term frequencies are one
+    // hash-agg; the corpus total rides a broadcast scalar; per-term log
+    // probabilities are quantized to the 2^-20 grid (see LogGrid) so the
+    // per-document sum is exact under any aggregation order.
+    "tx9_unigram_logprob" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val tot = tf.agg(sum(col("c")).as("t"))
+      val logp = tf.crossJoin(broadcast(tot))
+        .select(col("term"),
+          (floor(log(col("c").cast("double") / col("t")) * LogGrid) /
+            LogGrid).as("logp"))
+      toks.join(logp, Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("logp")).as("sum_logp"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("sum_logp") / col("n_tokens")).as("avg_logprob"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -142,6 +205,48 @@ object CorpusQueries {
       SELECT ex.doc_id, COUNT(*) AS n_shingles, COUNT(c.shingle) AS n_common,
         COUNT(c.shingle)::DOUBLE / COUNT(*) AS boiler_frac
       FROM ex LEFT JOIN common c ON ex.shingle = c.shingle
-      GROUP BY ex.doc_id ORDER BY doc_id"""
+      GROUP BY ex.doc_id ORDER BY doc_id""",
+
+    "pk2_doc_chunks" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+          $NT AS n_tokens
+        FROM documents
+      ), chunked AS (
+        SELECT doc_id, t, n_tokens,
+          greatest((n_tokens - $ChunkOverlap + ${ChunkStride - 1})
+            // $ChunkStride, 1) AS n_chunks
+        FROM toks
+      ), ex AS (
+        SELECT doc_id, t, n_tokens,
+          unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+        FROM chunked
+      )
+      SELECT doc_id, chunk_idx,
+        chunk_idx * $ChunkStride AS chunk_start,
+        least($ChunkSize, n_tokens - chunk_idx * $ChunkStride) AS chunk_len,
+        array_to_string(list_slice(t, chunk_idx * $ChunkStride + 1,
+          chunk_idx * $ChunkStride +
+            least($ChunkSize, n_tokens - chunk_idx * $ChunkStride)), ' ')
+          AS chunk_text
+      FROM ex ORDER BY doc_id, chunk_idx""",
+
+    "tx9_unigram_logprob" -> raw"""
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents
+      ), tf AS (
+        SELECT term, COUNT(*) AS c FROM toks GROUP BY 1
+      ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS t FROM tf
+      ), logp AS (
+        SELECT term, floor(ln(c::DOUBLE / t) * $LogGrid) / $LogGrid AS logp
+        FROM tf, tot
+      )
+      SELECT doc_id, COUNT(*) AS n_tokens,
+        SUM(logp) / COUNT(*) AS avg_logprob
+      FROM toks JOIN logp USING (term)
+      GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -70,6 +70,29 @@ object DedupQueries {
         .select(col("id_b").as("doc_id")).distinct()
       keepExact.join(nearDrops, Seq("doc_id"), "left_anti")
         .orderBy(col("doc_id"))
+    }),
+
+    // Duplicate-cluster formation: connected components over the verified
+    // near-dup pair graph (large-star/small-star, O(log n) rounds — see
+    // graft.graph.ConnectedComponents), every document labeled with its
+    // cluster's min id; docs outside the graph are singletons. The
+    // principled alternative to cur2's greedy drop when clusters chain
+    // (A~B, B~C but A!~C still collapse to one cluster here).
+    "dd5_dup_clusters" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.nearDuplicatePairs(docs, "text", "doc_id",
+        JaccardTau, ShingleN, Bands, RowsPerBand)
+      val comp = graft.graph.ConnectedComponents
+        .minLabel(pairs, "id_a", "id_b")
+      val labeled = docs.select(col("doc_id"))
+        .join(comp, docs("doc_id") === comp("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      val sizes = labeled.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labeled.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -160,6 +183,29 @@ object DedupQueries {
       )
       SELECT doc_id FROM exact_keep
       WHERE doc_id NOT IN (SELECT doc_id FROM near_drops)
+      ORDER BY doc_id""",
+
+    // Min-label reachability as a recursive CTE: enumerate (node, reachable
+    // label) pairs to a fixpoint (UNION dedups, so it terminates), then take
+    // the min per node — exact same labels the star-contraction computes.
+    "dd5_dup_clusters" -> s"""
+      ${candCte.replaceFirst("WITH", "WITH RECURSIVE")}, pr AS (
+        SELECT id_a, id_b FROM ($jaccardPairsSql)
+        WHERE jaccard >= $JaccardTau
+      ), sym AS (
+        SELECT id_a AS a, id_b AS b FROM pr
+        UNION ALL SELECT id_b, id_a FROM pr
+      ), reach AS (
+        SELECT doc_id AS id, doc_id AS lab FROM documents
+        UNION
+        SELECT s.b AS id, r.lab FROM reach r JOIN sym s ON s.a = r.id
+      ), comp AS (
+        SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+      )
+      SELECT c.doc_id, c.cluster_id, n.cluster_size
+      FROM comp c JOIN (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+      ) n USING (cluster_id)
       ORDER BY doc_id"""
   )
 }
