@@ -3,8 +3,10 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
 import graft.functions.Hash60
 import graft.pack.Packing
+import graft.sim.Similarity
 import graft.text.TextFunctions
 
 /** Corpus-preparation queries over `documents` — the steps between a curated
@@ -156,6 +158,60 @@ object CorpusQueries {
         .select(col("doc_id"), col("n_tokens"),
           (col("sum_logp") / col("n_tokens")).as("avg_logprob"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Within-document repetition (Gopher-rule signal): the fraction of a
+    // document's 3-gram positions occupied by a repeated shingle. Narrow
+    // codegen'd projection — the distinct count comes straight off the
+    // native word_ngrams kernel, no explode.
+    "tx10_repetition" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(graft.text.WordNGrams(col("text"), 3)).as("distinct_3grams"),
+          greatest(TextFunctions.tokenCount(col("text")) - 2, lit(1))
+            .as("total_3grams"))
+        .withColumn("dup_frac",
+          lit(1.0) - col("distinct_3grams").cast("double") /
+            col("total_3grams"))
+        .orderBy(col("doc_id"))),
+
+    // The COMPOSED end-to-end preprocessing pipeline: curation filter
+    // (quality/length/lang-agreement) → exact-duplicate collapse →
+    // MinHash near-dup drop → embedding-cosine semantic near-dup drop →
+    // sequence packing of the survivors. One DAG from raw corpus to
+    // training-ready packs, every stage the same library call the
+    // standalone gates use — this is the query a real pretraining run
+    // executes.
+    "cur4_pipeline" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val curated = docs.select(col("doc_id"), col("lang"),
+          TextFunctions.langId(col("text")).as("lang_pred"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .filter(col("quality") >= 0.6 &&
+          col("n_tokens").between(20, 2000) &&
+          col("lang_pred") === col("lang"))
+        .select(col("doc_id"), col("n_tokens"))
+      val exactKeep = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+        .select(col("doc_id"))
+      val nearDrops = Dedup.nearDuplicatePairs(docs, "text", "doc_id",
+          DedupQueries.JaccardTau, DedupQueries.ShingleN,
+          DedupQueries.Bands, DedupQueries.RowsPerBand)
+        .select(col("id_b").as("doc_id")).distinct()
+      val semDrops = Similarity.cosineNearDupPairs(
+          Tables(s, dir, "embeddings")
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          SimQueries.NearDupTau, SimQueries.NPlanes, SimQueries.Dim)
+        .select(col("id_b").as("doc_id")).distinct()
+      val keep = curated
+        .join(exactKeep, Seq("doc_id"), "left_semi")
+        .join(nearDrops, Seq("doc_id"), "left_anti")
+        .join(semDrops, Seq("doc_id"), "left_anti")
+      Packing.packByBudget(keep, "doc_id", "n_tokens",
+          PackBudget, PackBucketWidth)
+        .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+          col("pack_id"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -247,6 +303,69 @@ object CorpusQueries {
       SELECT doc_id, COUNT(*) AS n_tokens,
         SUM(logp) / COUNT(*) AS avg_logprob
       FROM toks JOIN logp USING (term)
-      GROUP BY doc_id ORDER BY doc_id"""
+      GROUP BY doc_id ORDER BY doc_id""",
+
+    "tx10_repetition" -> raw"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+      ), g AS (
+        SELECT doc_id,
+          len(list_distinct(list_transform(
+            generate_series(1, greatest(len(t) - 2, 1)),
+            i -> array_to_string(list_slice(t, i, i + 2), ' '))))
+            AS distinct_3grams,
+          greatest(len(t) - 2, 1) AS total_3grams
+        FROM toks
+      )
+      SELECT doc_id, distinct_3grams, total_3grams,
+        1.0 - distinct_3grams::DOUBLE / total_3grams AS dup_frac
+      FROM g ORDER BY doc_id""",
+
+    "cur4_pipeline" -> s"""
+      ${DedupQueries.candCte}, ${TextQueries.scoresCte.replaceFirst(
+        raw"\s*WITH\s+", "")}, pred AS (
+        SELECT doc_id, ${TextQueries.langCaseSql} AS lang_pred FROM scores
+      ), feat AS (
+        SELECT d.doc_id, d.lang, p.lang_pred,
+          ${TextQueries.NT} AS n_tokens,
+          0.4 * least(${TextQueries.NT}::DOUBLE / 100.0, 1.0)
+            + 0.3 * (${TextQueries.ttrSql})
+            + 0.3 * (1.0 - ${TextQueries.stopRatioSql}) AS quality
+        FROM documents d JOIN pred p USING (doc_id)
+      ), curated AS (
+        SELECT doc_id, n_tokens FROM feat
+        WHERE quality >= 0.6 AND n_tokens BETWEEN 20 AND 2000
+          AND lang_pred = lang
+      ), exact_keep AS (
+        SELECT min(doc_id) AS doc_id FROM documents
+        GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+      ), near_drops AS (
+        SELECT DISTINCT id_b AS doc_id FROM (${DedupQueries.jaccardPairsSql})
+        WHERE jaccard >= ${DedupQueries.JaccardTau}
+      ), eb AS (
+        SELECT vec_id, embedding, ${SimQueries.bucketSql("embedding")} AS bucket
+        FROM embeddings
+      ), sem_drops AS (
+        SELECT DISTINCT id_b AS doc_id FROM (
+          SELECT a.vec_id AS id_a, e.vec_id AS id_b,
+            ${SimQueries.cosSql("a.embedding", "e.embedding")} AS cos
+          FROM eb a JOIN eb e ON a.bucket = e.bucket AND a.vec_id < e.vec_id
+        ) WHERE cos >= ${SimQueries.NearDupTau}
+      ), keep AS (
+        SELECT c.doc_id, c.n_tokens FROM curated c
+        WHERE c.doc_id IN (SELECT doc_id FROM exact_keep)
+          AND c.doc_id NOT IN (SELECT doc_id FROM near_drops)
+          AND c.doc_id NOT IN (SELECT doc_id FROM sem_drops)
+      ), run AS (
+        SELECT doc_id, n_tokens,
+          CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+            AS BIGINT) AS start_offset
+        FROM keep
+      )
+      SELECT doc_id, n_tokens, start_offset,
+        start_offset // $PackBudget AS pack_id
+      FROM run ORDER BY doc_id"""
   )
 }

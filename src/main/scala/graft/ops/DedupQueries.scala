@@ -12,10 +12,10 @@ import graft.dedup.Dedup
   */
 object DedupQueries {
 
-  private val ShingleN = 3
-  private val Bands = 4
-  private val RowsPerBand = 3
-  private val JaccardTau = 0.8
+  private[ops] val ShingleN = 3
+  private[ops] val Bands = 4
+  private[ops] val RowsPerBand = 3
+  private[ops] val JaccardTau = 0.8
   private val ContainTau = 0.9
   private val MaxHamming = 8
   private val PrefixBits = 20
@@ -99,7 +99,7 @@ object DedupQueries {
   /** Shared CTE chain through LSH candidate pairs (`cand`), reused by the
     * pair queries and the corpus-dedup composition.
     */
-  private val candCte: String = s"""
+  private[ops] val candCte: String = s"""
       $shinglesCte, hs AS (
         SELECT doc_id, list_transform(s,
           x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % ${Dedup.HashPrime}) AS h
@@ -121,7 +121,7 @@ object DedupQueries {
           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
       )"""
 
-  private val jaccardPairsSql: String = s"""
+  private[ops] val jaccardPairsSql: String = s"""
       SELECT c.id_a, c.id_b,
         len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
           / len(list_distinct(sa.s || sb.s)) AS jaccard

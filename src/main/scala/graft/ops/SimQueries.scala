@@ -15,9 +15,9 @@ object SimQueries {
 
   private val K = 5
   private val NQueries = 10
-  private val NPlanes = 4
-  private val Dim = 64
-  private val NearDupTau = 0.3
+  private[ops] val NPlanes = 4
+  private[ops] val Dim = 64
+  private[ops] val NearDupTau = 0.3
   private val NumCentroids = 256
   private val NProbe = 2
 
@@ -30,7 +30,7 @@ object SimQueries {
     s"list_reduce(list_transform(generate_series(1, $Dim), " +
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"
 
-  private def cosSql(a: String, b: String): String =
+  private[ops] def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
   /** Plane p as a DuckDB list literal. */
@@ -39,7 +39,7 @@ object SimQueries {
       .map(_.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]"))
 
   /** DuckDB LSH bucket: bit p = sign of dot(vec, plane_p). */
-  private def bucketSql(v: String): String =
+  private[ops] def bucketSql(v: String): String =
     planeLits.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN ${dotSql(v, p)} >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")

@@ -18,7 +18,7 @@ object TextQueries {
 
   /** DuckDB token-array expression — mirror of [[TextFunctions.tokens]]. */
   private val T = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
-  private val NT = raw"len($T)"
+  private[ops] val NT = raw"len($T)"
   private val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   private def occSql(sub: String): String =
@@ -28,7 +28,7 @@ object TextQueries {
     markers.map(occSql).mkString("(", " + ", s") / length(text)")
 
   /** Cascading argmax CASE — mirror of [[TextFunctions.langId]]. */
-  private val langCaseSql: String = {
+  private[ops] val langCaseSql: String = {
     val scores = LangMarkers.map { case (l, ms) => l -> s"s_$l" }
     val branches = scores.init.zipWithIndex.map { case ((lang, s), i) =>
       val cond = scores.drop(i + 1).map(o => s"$s >= ${o._2}").mkString(" AND ")
@@ -37,16 +37,16 @@ object TextQueries {
     s"CASE ${branches.mkString(" ")} ELSE '${scores.last._1}' END"
   }
 
-  private val scoresCte: String = {
+  private[ops] val scoresCte: String = {
     val cols = LangMarkers.map { case (l, ms) =>
       s"${langScoreSql(ms)} AS s_$l"
     }.mkString(",\n        ")
     s"WITH scores AS (\n      SELECT doc_id, $cols\n      FROM documents\n    )"
   }
 
-  private val stopRatioSql =
+  private[ops] val stopRatioSql =
     s"len(list_filter($T, w -> list_contains($stopList, w)))::DOUBLE / $NT"
-  private val ttrSql = s"len(array_distinct($T))::DOUBLE / $NT"
+  private[ops] val ttrSql = s"len(array_distinct($T))::DOUBLE / $NT"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
