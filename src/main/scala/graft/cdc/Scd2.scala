@@ -81,4 +81,54 @@ object Scd2 {
         "row_valid_start_timestamp", "row_valid_expiration_timestamp"))
         .map(col): _*)
   }
+
+  /** The all-keys version store: [[scd2]] WITHOUT the more-than-one-event
+    * filter, RETAINING the order column — the internal state an incremental
+    * pipeline maintains between batches. Single-event keys must stay in the
+    * store (their second change may arrive in a later batch); [[publish]]
+    * applies the reference's filter at read-out. Versions are losslessly
+    * re-expandable into change events: (key, orderCol, payload,
+    * row_valid_start_timestamp) is exactly the event that created them.
+    */
+  def versionStore(changes: DataFrame, key: String, orderCol: String,
+      tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(orderCol))
+    changes
+      .withColumn("row_valid_start_timestamp", col(tsCol))
+      .withColumn("row_valid_expiration_timestamp",
+        coalesce(lead(col(tsCol), 1).over(w), sentinelTs))
+      .select((key +: orderCol +: payloadCols ++: Seq(
+        "row_valid_start_timestamp", "row_valid_expiration_timestamp"))
+        .map(col): _*)
+  }
+
+  /** Publish the reference-semantics dimension from a [[versionStore]]. */
+  def publish(store: DataFrame, key: String, orderCol: String): DataFrame =
+    changedKeysOnly(store, key).drop(orderCol)
+
+  /** Apply a new batch of change events to an existing [[versionStore]],
+    * recomputing ONLY the keys the batch touches — the batch-side answer to
+    * keeping a 100 TB dimension current without re-deriving it: cost is
+    * O(touched keys' versions + new changes) window work, while untouched
+    * keys pass through join-pruned (and with a key-bucketed store layout —
+    * see graft.streaming.Scd2Stream — untouched buckets are never read).
+    *
+    * Replays are tolerated: a change that already produced a version is
+    * deduplicated on (key, orderCol). Result is exactly
+    * `versionStore(allChangesSoFar)` for any batch split.
+    */
+  def incrementalMerge(store: DataFrame, newChanges: DataFrame, key: String,
+      orderCol: String, tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val eventCols = (key +: orderCol +: payloadCols :+ tsCol).map(col)
+    val changedKeys = newChanges.select(col(key)).distinct()
+    val untouched = store.join(changedKeys, Seq(key), "left_anti")
+    val replayed = store.join(changedKeys, Seq(key), "left_semi")
+      .withColumn(tsCol, col("row_valid_start_timestamp"))
+      .select(eventCols: _*)
+    val recomputed = versionStore(
+      replayed.unionByName(newChanges.select(eventCols: _*))
+        .dropDuplicates(key, orderCol),
+      key, orderCol, tsCol, payloadCols)
+    untouched.unionByName(recomputed)
+  }
 }

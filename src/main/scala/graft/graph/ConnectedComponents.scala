@@ -29,8 +29,14 @@ object ConnectedComponents {
     */
   def minLabel(edges: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 30): DataFrame = {
-    val init = edges
+    // Materialize the input once: the edge list often sits on top of an
+    // expensive DAG (LSH candidate mining), and this method fans out over
+    // it (init + node set + rounds) — without the checkpoint that upstream
+    // would re-execute per reference.
+    val base = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .localCheckpoint(true)
+    val init = base
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
@@ -93,8 +99,8 @@ object ConnectedComponents {
     // re-attach them as singletons so every input node gets a row.
     val labels = sym(current).groupBy(col("u"))
       .agg(least(min(col("v")), first(col("u"))).as("component"))
-    val nodes = edges.select(col(srcCol).cast("long").as("u"))
-      .unionByName(edges.select(col(dstCol).cast("long").as("u")))
+    val nodes = base.select(col("a").as("u"))
+      .unionByName(base.select(col("b").as("u")))
       .distinct()
     nodes.join(labels, Seq("u"), "left")
       .select(col("u").as("id"),

@@ -90,6 +90,25 @@ object CdcQueries {
           Seq("status", "totalprice"))
         .orderBy(col("id"), col("row_valid_start_timestamp"))),
 
+    // Incremental SCD2 maintenance: batch 1 (creates + updates) builds the
+    // version store, batch 2 (deletes/invalid/snapshot events) merges in
+    // touching only its keys — published result must equal the full
+    // recompute, so the oracle IS the cdc_scd2_orders SQL. This is the
+    // batch twin of the streaming bucketed upsert (Scd2Stream), gated
+    // cross-engine.
+    "cdc_scd2_incremental" -> ((s, dir) => {
+      val log = changeLog(s, dir)
+      val payload = Seq("status", "totalprice")
+      val store1 = Scd2.versionStore(
+        log.filter(col("log_seq_num") % 10 <= 1),
+        "id", "log_seq_num", "source_timestamp", payload)
+      val merged = Scd2.incrementalMerge(store1,
+        log.filter(col("log_seq_num") % 10 > 1),
+        "id", "log_seq_num", "source_timestamp", payload)
+      Scd2.publish(merged, "id", "log_seq_num")
+        .orderBy(col("id"), col("row_valid_start_timestamp"))
+    }),
+
     // T3: reference caps its published dimension at LIMIT 200
     // (reference `example…sql:46-47`).
     "cdc_scd2_top200" -> ((s, dir) =>
@@ -210,6 +229,18 @@ object CdcQueries {
       FROM changes GROUP BY operation_type ORDER BY operation_type""",
 
     "cdc_scd2_orders" -> s"""$changesCte
+      SELECT c.id, c.status, c.totalprice,
+             c.source_timestamp AS row_valid_start_timestamp,
+             COALESCE(LEAD(c.source_timestamp) OVER
+               (PARTITION BY c.id ORDER BY c.log_seq_num),
+               TIMESTAMP '9999-01-01') AS row_valid_expiration_timestamp
+      FROM changes c
+      WHERE c.id IN (SELECT id FROM changes GROUP BY id HAVING COUNT(*) > 1)
+      ORDER BY id, row_valid_start_timestamp""",
+
+    // Incremental merge must equal the full recompute — same SQL as
+    // cdc_scd2_orders by construction.
+    "cdc_scd2_incremental" -> s"""$changesCte
       SELECT c.id, c.status, c.totalprice,
              c.source_timestamp AS row_valid_start_timestamp,
              COALESCE(LEAD(c.source_timestamp) OVER
