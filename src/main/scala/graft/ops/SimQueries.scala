@@ -20,6 +20,9 @@ object SimQueries {
   private[ops] val NearDupTau = 0.3
   private val NumCentroids = 256
   private val NProbe = 2
+  private val KMeansCentroids = 8
+  private val KMeansIters = 2
+  private val Grid = 1048576L
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -66,6 +69,17 @@ object SimQueries {
       val e = emb(s, dir)
       Similarity.ivfTopK(e.filter(col("id") < NQueries), e, K,
           NumCentroids, NProbe)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF with a TRAINED quantizer: spherical k-means (2 Lloyd rounds from
+    // the stride seed) — cells follow the data distribution instead of the
+    // id sequence. Deterministic cross-engine: grid-quantized exact mean
+    // sums, min-id tie-breaks (see Similarity.kmeansIvfTopK).
+    "sm5_topk_kmeans" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.kmeansIvfTopK(e.filter(col("id") < NQueries), e, K,
+          KMeansCentroids, KMeansIters, NProbe)
         .orderBy(col("query_id"), col("rank"))
     })
   )
@@ -159,6 +173,79 @@ object SimQueries {
         FROM scored
       )
       SELECT query_id, corpus_id, cos, rank FROM ranked
+      WHERE rank <= $K ORDER BY query_id, rank""",
+
+    "sm5_topk_kmeans" -> s"""
+      WITH cent_seed AS (
+        SELECT vec_id AS centroid_id,
+          list_transform(embedding, x -> x::DOUBLE) AS cvec
+        FROM embeddings
+        WHERE vec_id % greatest(CAST(ceil(
+          (SELECT COUNT(*) FROM embeddings) / $KMeansCentroids.0) AS BIGINT), 1) = 0
+      ), ${(1 to KMeansIters).map(i =>
+        lloydRoundSql(i, if (i == 1) "cent_seed" else s"cent${i - 1}"))
+        .mkString(", ")}, corpus_scored AS (
+        SELECT c.vec_id AS corpus_id, ct.centroid_id, c.embedding AS cv,
+          ${cosSql("c.embedding", "ct.cvec")} AS cs
+        FROM embeddings c, cent$KMeansIters ct
+      ), corpus_cells AS (
+        SELECT corpus_id, centroid_id, cv FROM (
+          SELECT corpus_id, centroid_id, cv,
+            ROW_NUMBER() OVER (PARTITION BY corpus_id
+                               ORDER BY cs DESC, centroid_id) AS cr
+          FROM corpus_scored
+        ) WHERE cr = 1
+      ), query_scored AS (
+        SELECT q.vec_id AS query_id, ct.centroid_id, q.embedding AS qv,
+          ${cosSql("q.embedding", "ct.cvec")} AS cs
+        FROM embeddings q, cent$KMeansIters ct WHERE q.vec_id < $NQueries
+      ), query_cells AS (
+        SELECT query_id, centroid_id, qv FROM (
+          SELECT query_id, centroid_id, qv,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cs DESC, centroid_id) AS cr
+          FROM query_scored
+        ) WHERE cr <= $NProbe
+      ), scored AS (
+        SELECT query_id, corpus_id, ${cosSql("qv", "cv")} AS cos
+        FROM corpus_cells JOIN query_cells USING (centroid_id)
+        WHERE query_id != corpus_id
+      ), ranked AS (
+        SELECT query_id, corpus_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, corpus_id) AS rank
+        FROM scored
+      )
+      SELECT query_id, corpus_id, cos, rank FROM ranked
       WHERE rank <= $K ORDER BY query_id, rank"""
   )
+
+  /** One Lloyd round as CTEs `a<i>`, `m<i>`, `cent<i>` reading centroid CTE
+    * `prev` — mirror of one iteration inside `Similarity.kmeansIvfTopK`
+    * (max-cosine assignment with min-id tie-break, grid-quantized exact
+    * component sums, empty cells keep the previous centroid).
+    */
+  private def lloydRoundSql(i: Int, prev: String): String = s"""a$i AS (
+        SELECT centroid_id, cv FROM (
+          SELECT corpus_id, centroid_id, cv,
+            ROW_NUMBER() OVER (PARTITION BY corpus_id
+                               ORDER BY cs DESC, centroid_id) AS r
+          FROM (
+            SELECT c.vec_id AS corpus_id, ct.centroid_id, c.embedding AS cv,
+              ${cosSql("c.embedding", "ct.cvec")} AS cs
+            FROM embeddings c, $prev ct
+          )
+        ) WHERE r = 1
+      ), m$i AS (
+        SELECT centroid_id, d,
+          SUM(floor(cv[d]::DOUBLE * $Grid) / $Grid) AS s, COUNT(*) AS cnt
+        FROM a$i, (SELECT unnest(generate_series(1, $Dim)) AS d)
+        GROUP BY 1, 2
+      ), cent$i AS (
+        SELECT p.centroid_id, COALESCE(m.mvec, p.cvec) AS cvec
+        FROM $prev p LEFT JOIN (
+          SELECT centroid_id, list(s / cnt ORDER BY d) AS mvec
+          FROM m$i GROUP BY 1
+        ) m USING (centroid_id)
+      )"""
 }

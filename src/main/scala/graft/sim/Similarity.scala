@@ -129,13 +129,28 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               numCentroids: Int = 256, nProbe: Int = 2): DataFrame = {
+    val centroids = strideCentroids(corpus, numCentroids)
+      .withColumn("cn", norm(col("cvec")))
+    probeTopK(queries, corpus, centroids, k, nProbe)
+  }
+
+  /** Stride-seeded coarse quantizer: every ceil(n/numCentroids)-th corpus
+    * vector by id — at most `numCentroids` of them at any corpus size.
+    */
+  private def strideCentroids(corpus: DataFrame, numCentroids: Int): DataFrame = {
     val n = corpus.agg(count(lit(1)).as("__n"))
-    val centroids = corpus.crossJoin(broadcast(n))
+    corpus.crossJoin(broadcast(n))
       .filter(pmod(col("id"),
         greatest(ceil(col("__n") / numCentroids).cast("long"), lit(1L))) === 0)
-      .select(col("id").as("centroid_id"), col("vec").as("cvec"),
-        norm(col("vec")).as("cn"))
+      .select(col("id").as("centroid_id"), col("vec").as("cvec"))
+  }
 
+  /** The IVF probe: assign corpus vectors to their nearest centroid cell,
+    * expand each query to its `nProbe` nearest cells, brute-force only
+    * within matching cells. `centroids`: (centroid_id, cvec, cn).
+    */
+  private def probeTopK(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
     // nearest centroid per vector (rank 1..nProbe for queries)
     def cells(side: DataFrame, idAs: String, vecAs: String, probes: Int) = {
       val scored = side.crossJoin(broadcast(centroids))
@@ -164,6 +179,68 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+  }
+
+  /** Quantization grid for centroid updates: flooring every contribution to
+    * an exact multiple of 2^-20 makes the per-(centroid, dim) sum EXACT in
+    * double while `|sum| < 2^33` — so Spark's parallel aggregation and a
+    * sequential engine cannot disagree on the trained centroids. (Exceeding
+    * that bound needs > ~8e9 members per cell; coarsen the grid if a corpus
+    * ever gets there.)
+    */
+  private val CentroidGrid = 1048576L
+
+  /** IVF with a spherical-k-means-TRAINED coarse quantizer: stride-seeded
+    * centroids refined by `iters` Lloyd rounds (assign to max-cosine cell,
+    * re-center on the members' componentwise mean), then the same
+    * cell-probe search as [[ivfTopK]]. Trained cells track the data
+    * distribution, so recall at equal probe cost beats the stride quantizer
+    * on clustered corpora.
+    *
+    * Scale shape per round: one broadcast-centroids assignment pass over
+    * the corpus (O(n·numCentroids) dot products, the standard IVF training
+    * cost), one posexplode + hash-agg for the means (map-side combined;
+    * only (numCentroids × dim) groups), and the centroid table — never the
+    * corpus — is checkpointed between rounds. Deterministic end-to-end:
+    * stride seeding, min-id tie-breaks, and exact grid-quantized sums (see
+    * [[CentroidGrid]]); empty cells keep their previous centroid.
+    */
+  def kmeansIvfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      numCentroids: Int = 256, iters: Int = 2, nProbe: Int = 2): DataFrame = {
+    val c = corpus.select(col("id").as("corpus_id"), col("vec").as("cv"),
+      norm(col("vec")).as("nrm"))
+
+    var cent = strideCentroids(corpus, numCentroids)
+      .withColumn("cvec", col("cvec").cast("array<double>"))
+
+    for (_ <- 1 to iters) {
+      val scored = c.crossJoin(broadcast(cent))
+        .withColumn("__cs", dot(col("cv"), col("cvec"))
+          / (col("nrm") * norm(col("cvec"))))
+      val w = Window.partitionBy(col("corpus_id"))
+        .orderBy(col("__cs").desc, col("centroid_id"))
+      val assigned = scored.withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(col("centroid_id"), col("cv"))
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("cv")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(sum(floor(col("col").cast("double") * CentroidGrid)
+            / CentroidGrid).as("s"),
+          count(lit(1)).as("cnt"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"),
+            (col("s") / col("cnt")).as("m")))),
+          x => x.getField("m")).as("mvec"))
+      cent = cent.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("mvec"), col("cvec")).as("cvec"))
+        .localCheckpoint(true)
+    }
+
+    probeTopK(queries, corpus,
+      cent.withColumn("cn", norm(col("cvec"))), k, nProbe)
   }
 
   /** All corpus pairs with cosine >= tau, via LSH buckets (near-duplicate
