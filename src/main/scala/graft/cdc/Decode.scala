@@ -63,6 +63,21 @@ object Decode {
       .select(explode(array(from_json(col("line"), lineSchema))).as("parsed"))
       .select(col("parsed.*"))
 
+  /** [[parseLineColumn]] through the native single-pass
+    * [[graft.functions.EnvelopeParseExpr]] instead of `from_json` —
+    * identical rows (spec-enforced), measured 1.35× on the whole envelope
+    * decode query at sf0.1 (0.76 s → 0.55 s; the parse runs inside
+    * whole-stage codegen with a precompiled schema plan rather than on the
+    * interpreted CodegenFallback path). Same explode barrier, for the same
+    * reason: a pushed-down filter re-parsing every line costs double no
+    * matter how fast one parse is.
+    */
+  def parseLineColumnNative(lines: DataFrame, lineSchema: StructType): DataFrame =
+    lines
+      .select(explode(array(
+        graft.functions.EnvelopeParse(col("line"), lineSchema))).as("parsed"))
+      .select(col("parsed.*"))
+
   /** raw envelope rows (one `value` struct column) → flat change log:
     * `(id, <payload after.*>, before, after, operation_type, log_seq_num,
     * source_timestamp)`.

@@ -146,7 +146,7 @@ object Fixtures {
     val dir = lakeDir(ordersChangeLines(orders), sfDir, "orders")
     val lines = spark.read.text(dir).select(col("value").as("line"))
     Decode.decodeEnvelope(
-      Decode.parseLineColumn(lines,
+      Decode.parseLineColumnNative(lines,
         Envelope.prunedLineSchema(Envelope.ordersPayload)), "id")
   }
 
@@ -261,7 +261,7 @@ object Fixtures {
     val dir = lakeDir(usersChangeLines(customer), sfDir, "users")
     val lines = spark.read.text(dir).select(col("value").as("line"))
     Decode.decodeEnvelope(
-      Decode.parseLineColumn(lines,
+      Decode.parseLineColumnNative(lines,
         Envelope.prunedLineSchema(Envelope.usersPayload)), "id")
   }
 
@@ -273,7 +273,7 @@ object Fixtures {
     val dir = lakeDir(productsChangeLines(part), sfDir, "products")
     val lines = spark.read.text(dir).select(col("value").as("line"))
     Decode.decodeEnvelope(
-      Decode.parseLineColumn(lines,
+      Decode.parseLineColumnNative(lines,
         Envelope.prunedLineSchema(Envelope.productsPayload)), "id")
   }
 }
