@@ -76,6 +76,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.size == 2, "word_ngrams(str, nLiteral) takes 2 arguments")
         graft.text.WordNGramsExpr(args.head, intLit(args(1), "word_ngrams n"))
       }))
+
+    ext.injectFunction((
+      FunctionIdentifier("envelope_parse"),
+      new ExpressionInfo(classOf[EnvelopeParseExpr].getName, "envelope_parse"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2,
+          "envelope_parse(line, 'schema ddl literal') takes 2 arguments")
+        val ddl = args(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"envelope_parse schema must be a string literal, got $other")
+        }
+        EnvelopeParseExpr(args.head,
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      }))
   }
 
   private def intLit(e: Expression, what: String): Int = e match {

@@ -41,6 +41,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getSeq[String](3).sorted == Seq("a b", "b c"))
   }
 
+  test("envelope_parse is SQL-callable with a DDL schema literal") {
+    val r = spark.sql("""
+      SELECT envelope_parse(
+        '{"value": {"op": "c", "source": {"lsn": 42}}}',
+        'value STRUCT<op: STRING, source: STRUCT<lsn: BIGINT>>') AS e
+    """).selectExpr("e.value.op", "e.value.source.lsn").collect().head
+    assert(r.getString(0) == "c" && r.getLong(1) == 42L)
+  }
+
   test("withS3a mirrors the reference's s3 conf block onto the Hadoop conf") {
     graft.GraftSession.withS3a(spark, "http://localhost:9000",
       "minio", "minio123")
