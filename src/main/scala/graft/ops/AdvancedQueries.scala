@@ -331,6 +331,49 @@ object AdvancedQueries {
           col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    // Explicit GROUPING SETS — mixed granularities rollup/cube can't
+    // express (detail, by-priority, grand total in ONE pass; Spark plans a
+    // single Expand + hash-agg, not three scans).
+    "q34_grouping_sets" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_q34_orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+          CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        FROM graft_q34_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+          (o_orderpriority), ())
+        ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+          o_orderpriority NULLS FIRST""")
+    }),
+
+    // UNPIVOT (wide → long melt) — the inverse of q20's pivot; narrow
+    // Expand node, no shuffle.
+    "q35_unpivot" -> ((s, dir) =>
+      Tables(s, dir, "orders").filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"),
+          col("o_custkey").cast("double").as("custkey"),
+          year(col("o_orderdate")).cast("double").as("orderyear"),
+          col("o_totalprice").cast("double").as("totalprice"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("custkey"), col("orderyear"), col("totalprice")),
+          "metric", "val")
+        .orderBy(col("o_orderkey"), col("metric"))),
+
+    // Ordered string aggregation (LISTAGG ... WITHIN GROUP) — deterministic
+    // via a unique (priority, orderkey) sort inside the aggregate.
+    "q36_listagg" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_q36_orders")
+      s.sql("""
+        SELECT o_orderstatus,
+          listagg(o_orderpriority, ',')
+            WITHIN GROUP (ORDER BY o_orderpriority, o_orderkey) AS prios
+        FROM graft_q36_orders
+        WHERE o_orderkey <= 200
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")
+    }),
+
     // Regex extraction + string function family (codegen'd, narrow — the
     // shape of a log-parsing / URL-splitting pass at lake scale).
     "q27_regex_strings" -> ((s, dir) =>
@@ -630,6 +673,35 @@ object AdvancedQueries {
       GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY g_status, g_prio,
         o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "q34_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        (o_orderpriority), ())
+      ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+        o_orderpriority NULLS FIRST""",
+
+    "q35_unpivot" -> """
+      SELECT o_orderkey, metric, val FROM (
+        SELECT o_orderkey, 'custkey' AS metric, o_custkey::DOUBLE AS val
+        FROM orders WHERE o_orderkey <= 500
+        UNION ALL
+        SELECT o_orderkey, 'orderyear', year(o_orderdate)::DOUBLE
+        FROM orders WHERE o_orderkey <= 500
+        UNION ALL
+        SELECT o_orderkey, 'totalprice', o_totalprice::DOUBLE
+        FROM orders WHERE o_orderkey <= 500
+      ) ORDER BY o_orderkey, metric""",
+
+    "q36_listagg" -> """
+      SELECT o_orderstatus,
+        string_agg(o_orderpriority, ','
+          ORDER BY o_orderpriority, o_orderkey) AS prios
+      FROM orders WHERE o_orderkey <= 200
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q27_regex_strings" -> raw"""
       SELECT o_orderkey,
