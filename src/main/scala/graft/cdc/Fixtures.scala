@@ -137,6 +137,38 @@ object Fixtures {
   def ordersLakeDir(orders: DataFrame, sfDir: String): String =
     lakeDir(ordersChangeLines(orders), sfDir, "orders")
 
+  /** The SAME orders fixture lake re-laid-out in the reference's RAW
+    * Kafka-Connect sink template (`<topic>/<yyyy-MM-dd>/<HH>/<part>-
+    * <offset>.json`, reference `connectors/s3-sink.json:14`) so
+    * [[graft.streaming.ForeignLake]] can be driver-gated end-to-end: the
+    * Hive-layout part files are copied (driver-side metadata-scale file
+    * ops, not a data pass) into topic/date/hour paths spread over three
+    * hours of one day. Row content is byte-identical to the Hive lake, so
+    * decode results must match the relational oracle exactly.
+    */
+  def ordersForeignLakeRoot(orders: DataFrame, sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val hive = Paths.get(ordersLakeDir(orders, sfDir))
+    val root = hive.getParent.resolve("orders_foreign")
+    lakeLock.synchronized {
+      if (!Files.exists(root.resolve("_SUCCESS"))) {
+        import scala.jdk.CollectionConverters._
+        val parts = Files.list(hive).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .toSeq.sortBy(_.getFileName.toString)
+        parts.zipWithIndex.foreach { case (f, i) =>
+          val tgt = root.resolve("debezium.commerce.orders")
+            .resolve("2024-05-01").resolve(f"${i % 3}%02d")
+            .resolve(s"${i % 2}-${i.toLong * 20}.json")
+          Files.createDirectories(tgt.getParent)
+          Files.copy(f, tgt)
+        }
+        Files.createFile(root.resolve("_SUCCESS"))
+      }
+    }
+    root.toString
+  }
+
   /** Decoded change log scanned from the NDJSON fixture lake for
     * `$sfDir/orders.parquet` — the reference's full S4+O4 path: text scan →
     * `from_json` with the declared envelope schema → envelope decode.

@@ -71,6 +71,19 @@ object CdcQueries {
         .agg(count(lit(1)).as("n_events"))
         .orderBy(col("operation_type"))),
 
+    // Foreign-layout twin: the SAME lake re-laid-out in the reference's raw
+    // Kafka-Connect template (topic/yyyy-MM-dd/HH/part-offset.json), read
+    // through ForeignLake with date-pruned listing + path-derived columns —
+    // decode must classify ops identically to the Hive-layout path.
+    "cdc_foreign_op_counts" -> ((s, dir) => {
+      val root = Fixtures.ordersForeignLakeRoot(Tables(s, dir, "orders"), dir)
+      graft.streaming.ForeignLake.read(s, root, "debezium.commerce.orders",
+          graft.model.Envelope.ordersPayload, dates = Seq("2024-05-01"))
+        .groupBy(col("operation_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("operation_type"))
+    }),
+
     // S5 twin: the SAME lake read with schema INFERENCE (the reference's
     // `SELECT * FROM 'file.json'` auto-detect probing) must classify ops
     // identically to the declared-schema decode path.
@@ -225,6 +238,10 @@ object CdcQueries {
       FROM changes GROUP BY operation_type ORDER BY operation_type""",
 
     "cdc_infer_op_counts" -> s"""$changesCte
+      SELECT operation_type, COUNT(*) AS n_events
+      FROM changes GROUP BY operation_type ORDER BY operation_type""",
+
+    "cdc_foreign_op_counts" -> s"""$changesCte
       SELECT operation_type, COUNT(*) AS n_events
       FROM changes GROUP BY operation_type ORDER BY operation_type""",
 
