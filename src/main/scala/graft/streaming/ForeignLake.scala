@@ -76,8 +76,13 @@ object ForeignLake {
            payload: StructType, keyField: String = "id",
            dates: Seq[String] = Nil, hours: Seq[String] = Nil): DataFrame = {
     val schema = graft.model.Envelope.lineSchema(payload)
+    // Native parse behind the Generate barrier: decodeEnvelope filters on
+    // `log_seq_num IS NOT NULL` downstream, and a pushed-down filter would
+    // re-parse every line (see graft.cdc.Decode.parseLineColumn).
     val withEnvelope = readLines(spark, root, topic, dates, hours)
-      .withColumn("parsed", from_json(col("line"), schema))
+      .select(explode(array(
+          graft.functions.EnvelopeParse(col("line"), schema))).as("parsed") +:
+        PathCols.map(col): _*)
       .select(col("parsed.value").as("value") +: PathCols.map(col): _*)
     graft.cdc.Decode.decodeEnvelope(withEnvelope, keyField, PathCols)
   }

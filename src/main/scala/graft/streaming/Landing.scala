@@ -78,8 +78,14 @@ object Landing {
     */
   def landingTransform(raw: DataFrame, payload: StructType): DataFrame = {
     val schema = graft.model.Envelope.lineSchema(payload)
+    // Native single-pass parse behind a Generate barrier: `parsed` is
+    // referenced five times below, and CollapseProject would inline a
+    // from_json (CodegenFallback, no subexpression elimination) into every
+    // reference — five Jackson passes per line. The explode keeps it one.
     raw
-      .withColumn("parsed", from_json(col("line"), schema))
+      .select(col("topic"), col("line"),
+        explode(array(graft.functions.EnvelopeParse(col("line"), schema)))
+          .as("parsed"))
       .withColumn("event_ts",
         timestamp_millis(col("parsed.value.source.ts_ms")))
       .withColumn("event_date", date_format(col("event_ts"), "yyyy-MM-dd"))
