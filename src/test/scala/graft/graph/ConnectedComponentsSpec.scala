@@ -48,6 +48,11 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got(5L) == 5L)
   }
 
+  test("degenerate inputs: empty edge list, single edge") {
+    assert(components(Nil).isEmpty)
+    assert(components(Seq((2L, 1L))) == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("matches union-find on seeded random graphs") {
     val rnd = new Random(42)
     for (_ <- 1 to 3) {

@@ -32,6 +32,19 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("degenerate inputs: empty corpus, single document") {
+    val empty = Packing.packByBudget(
+      docs.filter(col("doc_id") < 0), "doc_id", "n_tokens", 1000L, 10L)
+    assert(empty.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "start_offset", "pack_id"))
+    assert(empty.count() == 0)
+
+    val one = Packing.packByBudget(
+      docs.filter(col("doc_id") === 3L), "doc_id", "n_tokens", 1000L, 10L)
+      .select("start_offset", "pack_id").as[(Long, Long)].collect()
+    assert(one.toSeq == Seq((0L, 0L)))
+  }
+
   test("pack ids are non-decreasing in doc order and start at zero") {
     val rows = Packing.packByBudget(docs, "doc_id", "n_tokens", 1000L, 3L)
       .orderBy("doc_id")
