@@ -22,15 +22,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * cdc_decode_envelope query at sf0.1 (scan + parse + decode + sort; the
   * parse step itself shrinks more — the scan and sort are unchanged).
   *
-  * Semantics match `from_json` in PERMISSIVE mode on the envelope data this
-  * library reads: absent fields → null, JSON null → null, duplicate fields →
-  * last wins, unknown fields skipped cheaply, type mismatches null the FIELD
-  * (row kept), malformed lines → one all-null row. Intentional divergence
-  * (not reachable on envelope data): a string-typed field whose JSON value
-  * is an object/array nulls the field here, where `from_json` would capture
-  * the raw JSON text.
+  * Semantics match `from_json` in PERMISSIVE mode (fuzz-spec-enforced):
+  * absent fields → null, JSON null → null, duplicate fields → last wins,
+  * unknown fields skipped cheaply, a type-mismatched field aborts the
+  * record keeping the partial row parsed so far at every nesting level
+  * (SPARK-40646 partial results), malformed lines → one all-null row, a
+  * non-scalar under a string-typed field is captured as its re-serialized
+  * JSON text.
   * Scalar types covered: string, long, int, double, boolean; nested structs
-  * to any depth. Arrays/maps are not supported (the envelope has none).
+  * to any depth. Array/map SCHEMA fields are not supported (the envelope
+  * declares none).
   */
 case class EnvelopeParseExpr(child: Expression, schema: StructType)
     extends UnaryExpression {
@@ -90,8 +91,16 @@ final class JsonStructParser(schema: StructType) extends Serializable {
 
   private def nullRow: InternalRow = new GenericInternalRow(root.size)
 
-  /** Parse one NDJSON line; malformed input yields an all-null row (the
-    * PERMISSIVE contract `from_json` has on this path).
+  /** Field-conversion failure: abort the rest of the record but keep the
+    * fields parsed so far at every level — `from_json`'s partial-result
+    * semantics (SPARK-40646). Pre-sized, stackless control-flow exception.
+    */
+  private final class PartialAbort(var row: InternalRow)
+      extends RuntimeException(null, null, false, false)
+
+  /** Parse one NDJSON line; a field-level type mismatch yields the partial
+    * row parsed so far, malformed input an all-null row — the PERMISSIVE
+    * contract `from_json` has on this path.
     */
   def parse(line: UTF8String): InternalRow = {
     try {
@@ -102,58 +111,87 @@ final class JsonStructParser(schema: StructType) extends Serializable {
         else parseStruct(p, root)
       } finally p.close()
     } catch {
+      case a: PartialAbort => a.row
       case _: Exception => nullRow
     }
   }
 
+  /** Marks a scalar whose token type doesn't fit the schema'd field. */
+  private object Mismatch
+      extends RuntimeException("type mismatch", null, false, false)
+
   private def parseStruct(p: JsonParser, plan: StructPlan): InternalRow = {
     val values = new Array[Any](plan.size)
-    while (p.nextToken() != JsonToken.END_OBJECT) {
-      // current token is FIELD_NAME
+    var failed = false
+    var ft = p.nextToken()
+    while (ft != JsonToken.END_OBJECT) {
+      // truncated input (EOF mid-object) is malformed, not a partial row
+      if (ft != JsonToken.FIELD_NAME)
+        throw new RuntimeException("malformed: expected field name")
       val slot = plan.index.get(p.currentName())
       val t = p.nextToken()
+      if (t == null) throw new RuntimeException("malformed: EOF at value")
       if (slot == null) {
         if (t == JsonToken.START_OBJECT || t == JsonToken.START_ARRAY)
           p.skipChildren()
-      } else if (t != JsonToken.VALUE_NULL) {
+      } else {
         val i = slot.intValue()
-        // On a type mismatch, null the FIELD and keep the row — the same
-        // per-field recovery from_json's PERMISSIVE mode applies here.
-        values(i) = plan.types(i) match {
-          case _: StructType =>
-            if (t == JsonToken.START_OBJECT) parseStruct(p, plan.children(i))
-            else skipAsNull(p, t)
-          case LongType =>
-            if (t == JsonToken.VALUE_NUMBER_INT) p.getLongValue
-            else skipAsNull(p, t)
-          case IntegerType =>
-            if (t == JsonToken.VALUE_NUMBER_INT) p.getIntValue
-            else skipAsNull(p, t)
-          case DoubleType =>
-            if (t == JsonToken.VALUE_NUMBER_FLOAT ||
-              t == JsonToken.VALUE_NUMBER_INT) p.getDoubleValue
-            else skipAsNull(p, t)
-          case BooleanType =>
-            if (t == JsonToken.VALUE_TRUE || t == JsonToken.VALUE_FALSE)
-              p.getBooleanValue
-            else skipAsNull(p, t)
-          case StringType =>
-            if (t != JsonToken.START_OBJECT && t != JsonToken.START_ARRAY)
-              UTF8String.fromString(p.getText)
-            else skipAsNull(p, t)
-          case other =>
-            throw new IllegalArgumentException(
-              s"envelope_parse: unsupported type ${other.sql}")
+        // Per-field recovery, exactly like from_json's convertObject with
+        // partial results on: a failed field is skipped (its slot keeps a
+        // prior duplicate's value or stays null), parsing CONTINUES, and a
+        // nested struct's partial row lands in its parent slot; the record
+        // then surfaces as a partial row rather than nulling wholesale.
+        try {
+          values(i) =
+            if (t == JsonToken.VALUE_NULL) null
+            else plan.types(i) match {
+              case _: StructType =>
+                if (t != JsonToken.START_OBJECT) throw Mismatch
+                try parseStruct(p, plan.children(i))
+                catch { case a: PartialAbort => failed = true; a.row }
+              case LongType =>
+                if (t != JsonToken.VALUE_NUMBER_INT) throw Mismatch
+                p.getLongValue
+              case IntegerType =>
+                if (t != JsonToken.VALUE_NUMBER_INT) throw Mismatch
+                p.getIntValue
+              case DoubleType =>
+                if (t != JsonToken.VALUE_NUMBER_FLOAT &&
+                  t != JsonToken.VALUE_NUMBER_INT) throw Mismatch
+                p.getDoubleValue
+              case BooleanType =>
+                if (t != JsonToken.VALUE_TRUE && t != JsonToken.VALUE_FALSE)
+                  throw Mismatch
+                p.getBooleanValue
+              case StringType =>
+                if (t == JsonToken.VALUE_STRING)
+                  UTF8String.fromString(p.getText)
+                else {
+                  // from_json captures any non-string value under a string
+                  // field as its re-SERIALIZED form (generator copy — a
+                  // float renders as Java's double toString, an object as
+                  // minimal JSON), not the raw input bytes. Mirror that.
+                  val w = new java.io.StringWriter
+                  val g = factory.createGenerator(w)
+                  g.copyCurrentStructure(p)
+                  g.close()
+                  UTF8String.fromString(w.toString)
+                }
+              case other =>
+                throw new IllegalArgumentException(
+                  s"envelope_parse: unsupported type ${other.sql}")
+            }
+        } catch {
+          case Mismatch | _: com.fasterxml.jackson.core.exc.InputCoercionException =>
+            failed = true
+            if (t == JsonToken.START_OBJECT || t == JsonToken.START_ARRAY)
+              p.skipChildren()
         }
       }
+      ft = p.nextToken()
     }
-    new GenericInternalRow(values)
-  }
-
-  private def skipAsNull(p: JsonParser, t: JsonToken): Any = {
-    if (t == JsonToken.START_OBJECT || t == JsonToken.START_ARRAY)
-      p.skipChildren()
-    null
+    val row = new GenericInternalRow(values)
+    if (failed) throw new PartialAbort(row) else row
   }
 }
 
