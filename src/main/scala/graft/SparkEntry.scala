@@ -20,11 +20,13 @@ object SparkEntry {
     ops.CdcQueries.queries ++ ops.RelationalQueries.queries ++
       ops.TextQueries.queries ++ ops.DedupQueries.queries ++
       ops.SimQueries.queries ++ ops.MediaQueries.queries ++
-      ops.AdvancedQueries.queries ++ ops.CorpusQueries.queries
+      ops.AdvancedQueries.queries ++ ops.CorpusQueries.queries ++
+      ops.DecontamQueries.queries
 
   def oracleSql: Map[String, String] =
     ops.CdcQueries.oracleSql ++ ops.RelationalQueries.oracleSql ++
       ops.TextQueries.oracleSql ++ ops.DedupQueries.oracleSql ++
       ops.SimQueries.oracleSql ++ ops.MediaQueries.oracleSql ++
-      ops.AdvancedQueries.oracleSql ++ ops.CorpusQueries.oracleSql
+      ops.AdvancedQueries.oracleSql ++ ops.CorpusQueries.oracleSql ++
+      ops.DecontamQueries.oracleSql
 }

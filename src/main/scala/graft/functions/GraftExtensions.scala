@@ -78,6 +78,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
     ext.injectFunction((
+      FunctionIdentifier("word_ngrams_all"),
+      new ExpressionInfo(classOf[graft.text.WordNGramsAllExpr].getName,
+        "word_ngrams_all"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2,
+          "word_ngrams_all(str, nLiteral) takes 2 arguments")
+        graft.text.WordNGramsAllExpr(args.head,
+          intLit(args(1), "word_ngrams_all n"))
+      }))
+
+    ext.injectFunction((
       FunctionIdentifier("envelope_parse"),
       new ExpressionInfo(classOf[EnvelopeParseExpr].getName, "envelope_parse"),
       (args: Seq[Expression]) => {

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -84,6 +85,25 @@ object CorpusQueries {
           Hash60(concat(lit("mix:"), col("doc_id").cast("string"))) % 1000)
         .filter(col("bucket") < mixRate)
         .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id"))),
+
+    // Per-domain cap (data-mixing balance): keep at most DomainCap docs
+    // per source, chosen by a salted hash of the doc id (deterministic,
+    // order-independent — re-running on a grown corpus keeps a stable
+    // preference order rather than "first K by arrival"). The filter
+    // directly above row_number lets Spark plan a WindowGroupLimit:
+    // each map task pre-limits to K rows per source BEFORE the shuffle,
+    // so a monster domain (the classic web-crawl skew) contributes at
+    // most K·tasks rows to the exchange, never its full document count.
+    "cur5_domain_cap" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("pri",
+          Hash60(concat(lit("cap:"), col("doc_id").cast("string"))))
+        .withColumn("rnk", row_number().over(Window
+          .partitionBy(col("source"))
+          .orderBy(col("pri"), col("doc_id"))).cast("long"))
+        .filter(col("rnk") <= DecontamQueries.DomainCap)
+        .select(col("doc_id"), col("source"), col("rnk"))
         .orderBy(col("doc_id"))),
 
     // Boilerplate fraction (CCNet-style): the share of a document's
@@ -238,6 +258,16 @@ object CorpusQueries {
         FROM documents)
       WHERE bucket < CASE lang WHEN 'en' THEN 400 WHEN 'zh' THEN 300
         ELSE 800 END
+      ORDER BY doc_id""",
+
+    "cur5_domain_cap" -> s"""
+      SELECT doc_id, source, rnk FROM (
+        SELECT doc_id, source,
+          CAST(row_number() OVER (PARTITION BY source ORDER BY
+            ('0x' || substr(md5('cap:' || doc_id::VARCHAR), 1, 15))::BIGINT,
+            doc_id) AS BIGINT) AS rnk
+        FROM documents)
+      WHERE rnk <= ${DecontamQueries.DomainCap}
       ORDER BY doc_id""",
 
     "tx8_boilerplate_frac" -> s"""
