@@ -81,6 +81,40 @@ object SimQueries {
       Similarity.kmeansIvfTopK(e.filter(col("id") < NQueries), e, K,
           KMeansCentroids, KMeansIters, NProbe)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Per-label cluster cohesion: each label's centroid and the mean cosine
+    // of its members to it — the standard embedding-space diagnostic for a
+    // labeled corpus (tight labels → high avg_cos). One posexplode, one
+    // (label, dim) hash-agg for the centroids (map-side combined; the
+    // centroid table is O(labels · dim), broadcastable at any corpus
+    // size), one broadcast probe back, one (vec, dim)-local re-agg.
+    // Every double addend is floor-quantized to the 2^-20 grid before
+    // SUM, so the parallel sums are exact and order-independent —
+    // bit-identical to DuckDB's sequential ones (same trick as tx9).
+    "sm6_label_cohesion" -> ((s, dir) => {
+      val ex = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("vq",
+          floor(col("v").cast("double") * Grid) / Grid)
+      val cent = ex.groupBy(col("label"), col("dim"))
+        .agg(sum(col("vq")).as("sv"), count(lit(1)).as("n"))
+        .withColumn("c", col("sv") / col("n"))
+        .select(col("label"), col("dim"), col("c"))
+      val perVec = ex.join(broadcast(cent), Seq("label", "dim"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(
+          sum(floor(col("vq") * col("c") * Grid) / Grid).as("dot"),
+          sum(floor(col("vq") * col("vq") * Grid) / Grid).as("nv"),
+          sum(floor(col("c") * col("c") * Grid) / Grid).as("nc"))
+        .withColumn("cosq",
+          floor(col("dot") / (sqrt(col("nv")) * sqrt(col("nc"))) * Grid) /
+            Grid)
+      perVec.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          (sum(col("cosq")) / count(lit(1))).as("avg_cos"))
+        .orderBy(col("label"))
     })
   )
 
@@ -217,7 +251,36 @@ object SimQueries {
         FROM scored
       )
       SELECT query_id, corpus_id, cos, rank FROM ranked
-      WHERE rank <= $K ORDER BY query_id, rank"""
+      WHERE rank <= $K ORDER BY query_id, rank""",
+
+    "sm6_label_cohesion" -> s"""
+      WITH ex AS (
+        SELECT vec_id, label,
+          unnest(generate_series(1, len(embedding))) AS dim,
+          embedding AS e
+        FROM embeddings
+      ), exq AS (
+        SELECT vec_id, label, dim,
+          floor(e[dim]::DOUBLE * $Grid) / $Grid AS vq
+        FROM ex
+      ), cent AS (
+        SELECT label, dim, SUM(vq) / COUNT(*) AS c
+        FROM exq GROUP BY label, dim
+      ), pv AS (
+        SELECT vec_id, exq.label,
+          SUM(floor(vq * c * $Grid) / $Grid) AS dot,
+          SUM(floor(vq * vq * $Grid) / $Grid) AS nv,
+          SUM(floor(c * c * $Grid) / $Grid) AS nc
+        FROM exq JOIN cent USING (label, dim)
+        GROUP BY vec_id, exq.label
+      ), pc AS (
+        SELECT vec_id, label,
+          floor(dot / (sqrt(nv) * sqrt(nc)) * $Grid) / $Grid AS cosq
+        FROM pv
+      )
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        SUM(cosq) / COUNT(*) AS avg_cos
+      FROM pc GROUP BY label ORDER BY label"""
   )
 
   /** One Lloyd round as CTEs `a<i>`, `m<i>`, `cent<i>` reading centroid CTE
