@@ -92,13 +92,8 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                             shingleN: Int = 3, bands: Int = 4,
                             rowsPerBand: Int = 3): DataFrame = {
-    val sig = minhashSignatures(df, textCol, idCol, shingleN, bands * rowsPerBand)
-    val banded = sig.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => md5(array_join(
-            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-              x => x.cast("string")), ",").cast("binary"))))
-          .as(Seq("band", "bucket")))
+    val banded = bandedSignatures(df, textCol, idCol, shingleN, bands,
+      rowsPerBand)
     // Self-join as SHUFFLE hash join, deliberately: broadcasting the corpus's
     // own bands is wrong at scale, and with identical shuffle children
     // Catalyst's ReuseExchange computes the signature pipeline ONCE.
@@ -107,6 +102,54 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+  }
+
+  /** `(id, band, bucket)` LSH band keys: each band of `rowsPerBand`
+    * consecutive signature values md5-hashed to a bucket.
+    */
+  def bandedSignatures(df: DataFrame, textCol: String, idCol: String,
+                       shingleN: Int, bands: Int,
+                       rowsPerBand: Int): DataFrame = {
+    val sig = minhashSignatures(df, textCol, idCol, shingleN,
+      bands * rowsPerBand)
+    sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(array_join(
+          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string")), ",").cast("binary"))))
+        .as(Seq("band", "bucket")))
+  }
+
+  /** Batch ids dropped by INCREMENTAL near-dedup: the asymmetric twin of
+    * [[nearDuplicatePairs]] — banded signatures are computed per side and
+    * batch bands equi-join STORE bands, so an incoming batch never
+    * self-joins or rescans the corpus. In production the store side is a
+    * precomputed signature table maintained alongside the corpus; a new
+    * batch then costs O(batch shingles) for its own signatures plus one
+    * bucket-keyed shuffle against the store — the candidate verify re-reads
+    * text for the (small) candidate set only. Shuffle-hash hint for the
+    * same reason as the self-join: broadcasting a corpus-sized store is
+    * wrong at scale.
+    */
+  def incrementalNearDupDrops(store: DataFrame, batch: DataFrame,
+                              textCol: String, idCol: String, tau: Double,
+                              shingleN: Int = 3, bands: Int = 4,
+                              rowsPerBand: Int = 3): DataFrame = {
+    val sb = bandedSignatures(store, textCol, idCol, shingleN, bands,
+      rowsPerBand).withColumnRenamed("id", "store_id")
+    val bb = bandedSignatures(batch, textCol, idCol, shingleN, bands,
+      rowsPerBand).withColumnRenamed("id", "batch_id")
+    val cand = bb.hint("shuffle_hash")
+      .join(sb, Seq("band", "bucket"))
+      .select(col("batch_id"), col("store_id")).distinct()
+    val shS = store.select(col(idCol).as("store_id"),
+      shingles(col(textCol), shingleN).as("sh_s"))
+    val shB = batch.select(col(idCol).as("batch_id"),
+      shingles(col(textCol), shingleN).as("sh_b"))
+    cand.join(shB, "batch_id").join(shS, "store_id")
+      .withColumn("jaccard", jaccard(col("sh_b"), col("sh_s")))
+      .filter(col("jaccard") >= tau)
+      .select(col("batch_id")).distinct()
   }
 
   /** LSH candidates verified with exact shingle-set Jaccard >= tau. The

@@ -55,6 +55,25 @@ object DedupQueries {
           ContainTau, ShingleN, Bands, RowsPerBand)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Incremental ingestion dedup: the corpus is split into an
+    // already-ingested STORE (doc_id % 10 < 7) and an incoming BATCH; a
+    // batch doc is dropped when it is a verified MinHash near-dup of any
+    // store doc. The asymmetric batch-bands x store-bands join means an
+    // incoming batch never triggers a corpus self-join — the store's
+    // signatures are a standing table in production (see
+    // Dedup.incrementalNearDupDrops). Output: the surviving batch docs.
+    "dd7_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val store = docs.filter(col("doc_id") % 10 < 7)
+      val batch = docs.filter(col("doc_id") % 10 >= 7)
+      val drops = Dedup.incrementalNearDupDrops(store, batch, "text",
+          "doc_id", JaccardTau, ShingleN, Bands, RowsPerBand)
+        .withColumnRenamed("batch_id", "doc_id")
+      batch.join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The composed corpus dedup: exact-duplicate collapse (keep the min id
     // per normalized fingerprint) then greedy near-dup drop (for each
     // verified pair, the higher id goes) — the standard
@@ -139,6 +158,22 @@ object DedupQueries {
       $candCte
       SELECT * FROM ($jaccardPairsSql)
       WHERE jaccard >= $JaccardTau ORDER BY id_a, id_b""",
+
+    "dd7_incremental_dedup" -> s"""
+      $candCte, verified AS (
+        SELECT id_a, id_b FROM ($jaccardPairsSql)
+        WHERE jaccard >= $JaccardTau
+      ), drops AS (
+        SELECT id_b AS doc_id FROM verified
+        WHERE id_a % 10 < 7 AND id_b % 10 >= 7
+        UNION
+        SELECT id_a AS doc_id FROM verified
+        WHERE id_b % 10 < 7 AND id_a % 10 >= 7
+      )
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE doc_id % 10 >= 7
+        AND doc_id NOT IN (SELECT doc_id FROM drops)
+      ORDER BY doc_id""",
 
     "dd3_simhash_pairs" -> s"""
       $shinglesCte, hs AS (

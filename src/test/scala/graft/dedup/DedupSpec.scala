@@ -37,6 +37,31 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental drops equal the self-join pairs filtered to cross-split") {
+    // small synthetic: store = {1,2,3}, batch = {4,5} (4,5 dup doc 1)
+    val store = docs.filter(col("doc_id") <= 3)
+    val batch = docs.filter(col("doc_id") > 3)
+    val drops = Dedup.incrementalNearDupDrops(store, batch, "text", "doc_id",
+        tau = 0.5).as[Long].collect().toSet
+    assert(drops == Set(4L, 5L))
+
+    // corpus-scale cross-check on real data: asymmetric join == self-join
+    // pairs restricted to (store partner, batch member)
+    val corpus = graft.ops.Tables(spark, sfDir, "documents")
+    val st = corpus.filter(col("doc_id") % 10 < 7)
+    val ba = corpus.filter(col("doc_id") % 10 >= 7)
+    val asym = Dedup.incrementalNearDupDrops(st, ba, "text", "doc_id",
+        tau = 0.8).as[Long].collect().toSet
+    val pairs = Dedup.nearDuplicatePairs(corpus, "text", "doc_id", tau = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val expected = pairs.flatMap { case (a, b) =>
+      (if (a % 10 < 7 && b % 10 >= 7) Seq(b) else Nil) ++
+        (if (b % 10 < 7 && a % 10 >= 7) Seq(a) else Nil)
+    }.toSet
+    assert(asym == expected)
+    assert(asym.nonEmpty)
+  }
+
   test("containment catches a subset document that Jaccard misses") {
     val subsetDocs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
