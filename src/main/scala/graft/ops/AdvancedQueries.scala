@@ -374,6 +374,43 @@ object AdvancedQueries {
         ORDER BY o_orderstatus""")
     }),
 
+    // Ordered funnel analysis (view -> click -> purchase, 12 h conversion
+    // window per step): each step's timestamp is the MIN event time
+    // strictly after the previous step and within the window — the
+    // product-analytics sequential-pattern query. One conditional-min
+    // aggregation per funnel step, every stage keyed on user_id: the agg
+    // outputs are already hash-partitioned by the join key, so the
+    // step-over-step joins add no extra exchange on the accumulating
+    // (one-row-per-user) side, and nothing ever collects event lists.
+    "q37_funnel" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val ta = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val tb = ev.filter(col("event_type") === "click")
+        .join(ta, "user_id")
+        .filter(col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + expr("INTERVAL 12 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val tc = ev.filter(col("event_type") === "purchase")
+        .join(tb, "user_id")
+        .filter(col("ts") > col("t_click") &&
+          col("ts") <= col("t_click") + expr("INTERVAL 12 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      ev.select(col("user_id")).distinct()
+        .join(ta, Seq("user_id"), "left")
+        .join(tb, Seq("user_id"), "left")
+        .join(tc, Seq("user_id"), "left")
+        .withColumn("funnel_depth",
+          when(col("t_purchase").isNotNull, 3L)
+            .when(col("t_click").isNotNull, 2L)
+            .when(col("t_view").isNotNull, 1L)
+            .otherwise(0L))
+        .select(col("user_id"), col("funnel_depth"), col("t_view"),
+          col("t_click"), col("t_purchase"))
+        .orderBy(col("user_id"))
+    }),
+
     // Regex extraction + string function family (codegen'd, narrow — the
     // shape of a log-parsing / URL-splitting pass at lake scale).
     "q27_regex_strings" -> ((s, dir) =>
@@ -702,6 +739,35 @@ object AdvancedQueries {
           ORDER BY o_orderpriority, o_orderkey) AS prios
       FROM orders WHERE o_orderkey <= 200
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q37_funnel" -> """
+      WITH ta AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1
+      ), tb AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN ta USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > ta.t_view
+          AND e.ts <= ta.t_view + INTERVAL 12 HOURS
+        GROUP BY 1
+      ), tc AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN tb USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > tb.t_click
+          AND e.ts <= tb.t_click + INTERVAL 12 HOURS
+        GROUP BY 1
+      )
+      SELECT u.user_id,
+        CAST(CASE WHEN tc.t_purchase IS NOT NULL THEN 3
+                  WHEN tb.t_click IS NOT NULL THEN 2
+                  WHEN ta.t_view IS NOT NULL THEN 1
+                  ELSE 0 END AS BIGINT) AS funnel_depth,
+        ta.t_view, tb.t_click, tc.t_purchase
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN ta USING (user_id)
+      LEFT JOIN tb USING (user_id)
+      LEFT JOIN tc USING (user_id)
+      ORDER BY user_id""",
 
     "q27_regex_strings" -> raw"""
       SELECT o_orderkey,
