@@ -435,6 +435,28 @@ object AdvancedQueries {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("wk"))),
 
+    // Behavioral cohort retention: users grouped by their FIRST event type
+    // (row_number argmin — the rn=1 filter directly above the window plans
+    // a WindowGroupLimit, top-1 per user before the shuffle), crossed with
+    // the distinct (user, week) activity matrix. Both sides shuffle on
+    // user_id once; the output is O(cohorts × weeks), a broadcast-sized
+    // retention matrix at any event volume.
+    "q38_retention_cohorts" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val firstEv = ev.select(col("user_id"), col("event_type"),
+          row_number().over(Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))).as("rn"))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("cohort"))
+      val uw = ev.select(col("user_id"),
+          date_trunc("week", col("ts")).cast("timestamp_ntz").as("wk"))
+        .distinct()
+      uw.join(firstEv, "user_id")
+        .groupBy(col("cohort"), col("wk"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort"), col("wk"))
+    }),
+
     // Array-column statistics over embeddings: size / element access /
     // order-free min-max — all codegen'd collection expressions, no
     // interpreted lambda folds (SNIPPETS/HOF pitfall).
@@ -778,6 +800,20 @@ object AdvancedQueries {
         concat_ws('|', o_orderstatus, o_orderpriority) AS combo,
         CAST(length(o_orderpriority) AS INT) AS prio_len
       FROM orders ORDER BY o_orderkey""",
+
+    "q38_retention_cohorts" -> """
+      WITH first_ev AS (
+        SELECT user_id, event_type AS cohort FROM (
+          SELECT user_id, event_type,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn
+          FROM events) WHERE rn = 1
+      ), uw AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+      )
+      SELECT cohort, wk, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM uw JOIN first_ev USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q29_time_buckets" -> """
       SELECT date_trunc('week', ts) AS wk, COUNT(*) AS n_events,
