@@ -106,6 +106,23 @@ object CorpusQueries {
         .select(col("doc_id"), col("source"), col("rnk"))
         .orderBy(col("doc_id"))),
 
+    // Quality-weighted sampling: each doc kept with probability equal to
+    // its quality score, decided by a salted hash bucket on the 2^20 grid
+    // — the deterministic form of importance sampling every mixing recipe
+    // uses to up-weight high-quality data. Same properties as cur3: pure
+    // scan-side filter, resample-stable, no RNG state, re-runnable
+    // incrementally at any scale.
+    "cur6_weighted_sample" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .withColumn("bucket",
+          Hash60(concat(lit("wsample:"), col("doc_id").cast("string")))
+            % (1L << 20))
+        .filter(col("bucket") < floor(col("quality") * (1L << 20)))
+        .select(col("doc_id"), col("quality"), col("bucket"))
+        .orderBy(col("doc_id"))),
+
     // Boilerplate fraction (CCNet-style): the share of a document's
     // distinct 3-gram shingles that are corpus-common (df ≥ 20% of docs).
     // Explode → shingle doc-freq (one hash-agg shuffle, map-side
@@ -268,6 +285,15 @@ object CorpusQueries {
             doc_id) AS BIGINT) AS rnk
         FROM documents)
       WHERE rnk <= ${DecontamQueries.DomainCap}
+      ORDER BY doc_id""",
+
+    "cur6_weighted_sample" -> s"""
+      SELECT doc_id, quality, bucket FROM (
+        SELECT doc_id, ${TextQueries.qualitySql} AS quality,
+          ('0x' || substr(md5('wsample:' || doc_id::VARCHAR), 1, 15))::BIGINT
+            % ${1L << 20} AS bucket
+        FROM documents)
+      WHERE bucket < CAST(floor(quality * ${1L << 20}) AS BIGINT)
       ORDER BY doc_id""",
 
     "tx8_boilerplate_frac" -> s"""

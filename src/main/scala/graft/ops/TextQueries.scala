@@ -48,6 +48,12 @@ object TextQueries {
     s"len(list_filter($T, w -> list_contains($stopList, w)))::DOUBLE / $NT"
   private[ops] val ttrSql = s"len(array_distinct($T))::DOUBLE / $NT"
 
+  /** DuckDB twin of [[graft.text.TextFunctions.qualityScore]]. */
+  private[ops] val qualitySql =
+    s"""0.4 * least($NT::DOUBLE / 100.0, 1.0)
+          + 0.3 * ($ttrSql)
+          + 0.3 * (1.0 - $stopRatioSql)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "tx1_token_stats" -> ((s, dir) =>
@@ -119,9 +125,7 @@ object TextQueries {
       SELECT doc_id,
         $ttrSql AS ttr,
         $stopRatioSql AS stop_ratio,
-        0.4 * least($NT::DOUBLE / 100.0, 1.0)
-          + 0.3 * ($ttrSql)
-          + 0.3 * (1.0 - $stopRatioSql) AS quality
+        $qualitySql AS quality
       FROM documents ORDER BY doc_id""",
 
     "tx3_langid" -> s"""

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+
+import graft.dedup.Dedup
+
+/** Streaming corpus ingestion with near-duplicate rejection — the streaming
+  * face of [[Dedup.incrementalNearDupDrops]].
+  *
+  * Each micro-batch is deduplicated (a) against itself with the greedy
+  * min-id-wins pass (any verified pair drops its higher id) and (b) against
+  * the standing corpus STORE with the asymmetric batch-bands × store-bands
+  * join; survivors are APPENDED to the store. The store is therefore
+  * append-only parquet — object-store safe (no directory swaps, no
+  * rewrites; contrast the bounded-bucket rewrite [[Scd2Stream]] needs for
+  * row-level upserts), and its accumulated size only ever costs one
+  * bucket-keyed shuffle per batch, never a corpus self-join.
+  *
+  * At production scale the signature computation for the store would be
+  * persisted alongside it rather than recomputed per batch; the store side
+  * here stays a plain `spark.read.parquet` so the helper has no state
+  * beyond the directory itself — a restart resumes from whatever batches
+  * committed (at-least-once upstream dedup keeps replays out, same
+  * contract as [[Landing]]).
+  */
+object IncrementalDedupStream {
+
+  /** Survivors of `batch` after within-batch greedy near-dedup and
+    * near-dedup against `store`. Pure batch logic, unit-testable.
+    */
+  def dedupBatch(store: DataFrame, batch: DataFrame, textCol: String,
+                 idCol: String, tau: Double, shingleN: Int = 3,
+                 bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
+    val withinDrops = Dedup.nearDuplicatePairs(batch, textCol, idCol, tau,
+        shingleN, bands, rowsPerBand)
+      .select(col("id_b").as(idCol)).distinct()
+    val selfClean = batch.join(withinDrops, Seq(idCol), "left_anti")
+    val storeDrops = Dedup.incrementalNearDupDrops(store, selfClean,
+        textCol, idCol, tau, shingleN, bands, rowsPerBand)
+      .withColumnRenamed("batch_id", idCol)
+    selfClean.join(storeDrops, Seq(idCol), "left_anti")
+  }
+
+  /** Wire a streaming Dataset of documents into an append-only deduped
+    * store at `storeDir`. Caller starts the returned writer (and may add
+    * a checkpoint location first).
+    */
+  def writer(docs: DataFrame, storeDir: String, textCol: String,
+             idCol: String, tau: Double, shingleN: Int = 3, bands: Int = 4,
+             rowsPerBand: Int = 3): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendBatch(batch, storeDir, textCol, idCol, tau, shingleN, bands,
+          rowsPerBand)
+      }
+
+  /** One micro-batch: dedup against the current store, append survivors. */
+  def appendBatch(batch: DataFrame, storeDir: String, textCol: String,
+                  idCol: String, tau: Double, shingleN: Int, bands: Int,
+                  rowsPerBand: Int): Unit = {
+    val spark = batch.sparkSession
+    val survivors = dedupBatch(readStore(spark, storeDir, batch), batch,
+      textCol, idCol, tau, shingleN, bands, rowsPerBand)
+    survivors.write.mode("append").parquet(storeDir)
+  }
+
+  /** The store as a DataFrame; empty-with-batch-schema before first write. */
+  def readStore(spark: SparkSession, storeDir: String,
+                schemaFrom: DataFrame): DataFrame = {
+    val p = new Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
+      spark.read.schema(schemaFrom.schema).parquet(storeDir)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schemaFrom.schema)
+  }
+}
