@@ -21,4 +21,16 @@ class QueriesSmokeSpec extends SparkSpec {
   test("every oracle key has a query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("no gate query plans a cartesian product") {
+    // The scale guard: an accidental unconditioned join anywhere in the
+    // catalog would pass a row-count gate at sf0.001 and melt at corpus
+    // scale. (BroadcastNestedLoopJoin is NOT banned — the scalar-count
+    // crossJoin(broadcast(1-row)) pattern legitimately plans one.)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
 }
