@@ -106,6 +106,16 @@ object ConnectedComponents {
       sig = nextSig
       rounds += 1
     }
+    // Alternating star contraction converges in O(log n) rounds, so the
+    // default 30-round budget covers any realistic graph (2^30 nodes).
+    // Exhausting it means the edge set never stabilized — returning the
+    // unconverged labels would silently publish wrong cluster ids, so fail
+    // loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge after $rounds rounds " +
+          s"(${sig._1} edges remain); raise maxRounds only if the input " +
+          "graph legitimately needs more contraction rounds")
 
     // Star forest: every node's label is its min neighbor (the root's own
     // min neighbor is a child, so fold the node id into the min). Nodes

@@ -47,12 +47,16 @@ object CorpusQueries {
   private val ChunkOverlap = 8
   private val ChunkStride = ChunkSize - ChunkOverlap
 
-  /** Quantization grid for per-term log-probabilities: floor(x * 2^20) /
+  /** Quantization grid for per-term log-probabilities: round(x * 2^20) /
     * 2^20 keeps every addend an exact multiple of 2^-20, so per-document
     * double sums are EXACT and therefore order-independent — Spark's
     * parallel aggregation and DuckDB's sequential one cannot disagree.
-    * (Scaling by a power of two and floor are both exact; only the shared
-    * ln() result feeds in.)
+    * (Scaling by a power of two is exact; only the shared ln() result feeds
+    * in.) round — not floor — to the grid: Java's Math.log and DuckDB's
+    * libm may differ by 1 ulp, and floor flips a whole grid step whenever
+    * ln(x)*2^20 lands within that ulp of an integer; rounding to the
+    * NEAREST grid point means a 1-ulp input wobble can only matter in the
+    * measure-zero case of landing half-way between grid points.
     */
   private val LogGrid = 1048576L
 
@@ -187,7 +191,7 @@ object CorpusQueries {
       val tot = tf.agg(sum(col("c")).as("t"))
       val logp = tf.crossJoin(broadcast(tot))
         .select(col("term"),
-          (floor(log(col("c").cast("double") / col("t")) * LogGrid) /
+          (round(log(col("c").cast("double") / col("t")) * LogGrid, 0) /
             LogGrid).as("logp"))
       toks.join(logp, Seq("term"))
         .groupBy(col("doc_id"))
@@ -353,7 +357,7 @@ object CorpusQueries {
       ), tot AS (
         SELECT CAST(SUM(c) AS BIGINT) AS t FROM tf
       ), logp AS (
-        SELECT term, floor(ln(c::DOUBLE / t) * $LogGrid) / $LogGrid AS logp
+        SELECT term, round(ln(c::DOUBLE / t) * $LogGrid) / $LogGrid AS logp
         FROM tf, tot
       )
       SELECT doc_id, COUNT(*) AS n_tokens,

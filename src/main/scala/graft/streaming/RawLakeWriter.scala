@@ -17,12 +17,25 @@ import org.apache.spark.sql.functions._
   * Mechanics: rows are hash-partitioned by (topic, date, hour) so one task
   * owns each target directory, then streamed through a bounded `flushSize`
   * buffer — memory per task is O(flushSize lines), never the partition.
-  * File names are `<sparkPartitionId>-<first lsn of the chunk>.json`:
-  * unique (a task's chunks within a directory have disjoint ascending
-  * lsns; tasks differ in partition id) and deterministic given the same
-  * partitioning. Hadoop `FileSystem` handles the IO, so `root` may be any
-  * supported scheme (local, `s3a://`, ...); the driver's Hadoop conf is
-  * shipped as a plain `Map` (public API only).
+  * File names are `<sparkPartitionId>-<ordinal of the chunk's first record
+  * within the task's directory stream>.json` — the analog of the reference
+  * template's Kafka start-offset (a stream position, not a payload field),
+  * unique by construction even when LSNs repeat (replayed events, tombstone
+  * sentinels) and deterministic given the same partitioning. Files are
+  * created no-clobber: colliding with an existing file (e.g. a re-run into
+  * a non-empty directory) fails the task loudly instead of silently
+  * overwriting landed data.
+  *
+  * Tombstones/heartbeats (null envelope value → null event time and lsn,
+  * see [[Landing.landingTransform]]) are routed to the epoch directory
+  * `1970-01-01/00` with a 0 lsn — the fixed-path fallback for keyless
+  * messages that [[ForeignLakeSpec]] mirrors — rather than NPE-ing the
+  * task or writing literal `null/null` path segments; real CDC streams
+  * always contain them.
+  *
+  * Hadoop `FileSystem` handles the IO, so `root` may be any supported
+  * scheme (local, `s3a://`, ...); the driver's Hadoop conf is shipped as a
+  * plain `Map` (public API only).
   *
   * Use from `foreachBatch` for streaming, or directly for batch backfills.
   */
@@ -46,8 +59,11 @@ object RawLakeWriter {
     }
 
     batch
-      .select(col("topic"), col("event_date"), col("event_hour"),
-        col("line"), col("lsn"))
+      .select(col("topic"),
+        // epoch-dir fallback for tombstones/heartbeats (null event time)
+        coalesce(col("event_date"), lit("1970-01-01")).as("event_date"),
+        coalesce(col("event_hour"), lit("00")).as("event_hour"),
+        col("line"), coalesce(col("lsn"), lit(0L)).as("lsn"))
       .repartition(col("topic"), col("event_date"), col("event_hour"))
       .sortWithinPartitions(col("topic"), col("event_date"),
         col("event_hour"), col("lsn"))
@@ -56,17 +72,22 @@ object RawLakeWriter {
         confMap.foreach { case (k, v) => conf.set(k, v) }
         val part = TaskContext.getPartitionId()
         var dirKey: (String, String, String) = null
-        val buf = new scala.collection.mutable.ArrayBuffer[(String, Long)]
+        // ordinal of the next record within the current directory's stream —
+        // the file-name "offset" (unique even when lsns repeat)
+        var dirOrdinal = 0L
+        val buf = new scala.collection.mutable.ArrayBuffer[String]
         def flush(): Unit = if (buf.nonEmpty) {
           val (topic, date, hour) = dirKey
           val path = new Path(
-            s"$root/$topic/$date/$hour/$part-${buf.head._2}.json")
+            s"$root/$topic/$date/$hour/$part-${dirOrdinal - buf.size}.json")
           val fs = path.getFileSystem(conf)
           // no .crc sidecars — a sink directory should hold only the
           // template-named files (object stores never have them anyway)
           fs.setWriteChecksum(false)
-          val out = fs.create(path, true)
-          try buf.foreach { case (line, _) =>
+          // no-clobber: overwrite=false throws FileAlreadyExistsException
+          // instead of silently replacing previously landed rows
+          val out = fs.create(path, false)
+          try buf.foreach { line =>
             out.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             out.write('\n')
           } finally out.close()
@@ -74,8 +95,9 @@ object RawLakeWriter {
         }
         rows.foreach { r =>
           val key = (r.getString(0), r.getString(1), r.getString(2))
-          if (key != dirKey) { flush(); dirKey = key }
-          buf += ((r.getString(3), r.getLong(4)))
+          if (key != dirKey) { flush(); dirKey = key; dirOrdinal = 0L }
+          buf += r.getString(3)
+          dirOrdinal += 1
           if (buf.size >= flushSize) flush()
         }
         flush()

@@ -15,12 +15,14 @@ class RawLakeWriterSpec extends SparkSpec {
   test("round-trip: write the raw sink template, read it back via ForeignLake") {
     val root = Files.createTempDirectory("graft_rawlake").toString
     val orders = graft.ops.Tables(spark, sfDir, "orders")
+    // NO tombstone pre-filter: the writer must consume landingTransform's
+    // full output (real CDC streams always carry tombstones) and route the
+    // null-ts/lsn rows to the epoch directory.
     val landed = Landing.landingTransform(
         Fixtures.ordersChangeLines(orders)
           .select(lit("debezium.commerce.orders").as("topic"),
             col("line")),
         Envelope.ordersPayload)
-      .filter(col("lsn").isNotNull)
 
     RawLakeWriter.writeBatch(landed, root, flushSize = 20)
 
@@ -36,6 +38,16 @@ class RawLakeWriterSpec extends SparkSpec {
       assert(tmpl.findFirstIn(f.toString).isDefined, s"bad path: $f")
       assert(Files.readAllLines(f).size <= 20)
     }
+
+    // tombstones landed in the epoch-dir fallback, nowhere else
+    val nTombstones = landed.filter(col("lsn").isNull).count()
+    assert(nTombstones > 0, "fixture should contain tombstones")
+    val epochDir = Paths.get(root,
+      "debezium.commerce.orders", "1970-01-01", "00")
+    val epochLines = Files.walk(epochDir).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .flatMap(Files.readAllLines(_).asScala).toSeq
+    assert(epochLines.length == nTombstones)
 
     // identical line multiset back through the foreign reader
     val written = ForeignLake

@@ -6,11 +6,17 @@ Usage: python3 tools/check.py [sfDir] [outDir]
 
 1. Expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have been run.
 2. For each query: loads <outDir>/<name> parquet (Spark result) via
-   pandas/pyarrow, runs the oracle SQL from oracle_sql.json in DuckDB
-   against the sfDir parquet tables and fetches it as a pandas frame
-   (`.df()`), sorts columns by name, sorts rows, and compares
-   TYPE-TAGGED canonical serializations of every cell — `(type(v).__name__,
-   str(v))` — not Python `==`.
+   pandas/pyarrow in part-file order, runs the oracle SQL from
+   oracle_sql.json in DuckDB against the sfDir parquet tables and fetches
+   it as a pandas frame (`.df()`), sorts columns by name, keeps rows in
+   DELIVERED order, and compares TYPE-TAGGED canonical serializations of
+   every cell — `(type(v).__name__, str(v))` — not Python `==`.
+
+Why delivered order: the driver hashes serialized frames in order. Every
+gate query ends in a total ORDER BY, but Spark's ASC default is NULLS
+FIRST while DuckDB's is NULLS LAST — an oracle missing an explicit NULLS
+FIRST would pass a sorted-row compare here yet hash-fail the driver. A
+pure ordering divergence is reported as ORDER-MISMATCH (FAIL).
 
 Why type-tagged: the round driver hashes serialized frames, and the two
 load paths type cells differently even when values compare equal —
@@ -47,9 +53,10 @@ def canon(val):
 
 
 def frame_key(df):
+    """Rows in DELIVERED order (driver-mimic), columns sorted by name."""
     cols = sorted(df.columns)
     rows = df[cols].itertuples(index=False, name=None)
-    return sorted(tuple(canon(v) for v in r) for r in rows)
+    return [tuple(canon(v) for v in r) for r in rows]
 
 
 def main():
@@ -69,7 +76,9 @@ def main():
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     for name in names:
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        # part-file-name order = Spark's global output order for a sorted
+        # result (range-partitioned parts are written in order)
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             results[name] = "NO-OUTPUT"
             continue
@@ -97,7 +106,9 @@ def main():
             if g != e:
                 diff = next((i, a, b)
                             for i, (a, b) in enumerate(zip(g, e)) if a != b)
-                results[name] = (f"CELL-MISMATCH first-diff row {diff[0]}:\n"
+                kind = ("ORDER-MISMATCH (sorted rows match)"
+                        if sorted(g) == sorted(e) else "CELL-MISMATCH")
+                results[name] = (f"{kind} first-diff row {diff[0]}:\n"
                                  f"  spark={diff[1]}\n  duck ={diff[2]}")
             else:
                 results[name] = f"MATCH ({len(got)} rows)"
