@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
@@ -13,10 +12,13 @@ import graft.dedup.Dedup
   * Each micro-batch is deduplicated (a) against itself with the greedy
   * min-id-wins pass (any verified pair drops its higher id) and (b) against
   * the standing corpus STORE with the asymmetric batch-bands × store-bands
-  * join; survivors are APPENDED to the store. The store is therefore
-  * append-only parquet — object-store safe (no directory swaps, no
-  * rewrites; contrast the bounded-bucket rewrite [[Scd2Stream]] needs for
-  * row-level upserts), and its accumulated size only ever costs one
+  * join; survivors are APPENDED to the store as an immutable SEGMENT whose
+  * visibility is one atomic [[ManifestStore]] commit. The store is
+  * therefore append-only parquet with manifest-pointer commits —
+  * object-store safe (no directory swaps, no rewrites, and a crash between
+  * the segment write and its commit leaves an invisible orphan, never a
+  * torn store; contrast the bounded-bucket rewrite [[Scd2Stream]] needs for
+  * row-level upserts) — and its accumulated size only ever costs one
   * bucket-keyed shuffle per batch, never a corpus self-join.
   *
   * At production scale the signature computation for the store would be
@@ -58,25 +60,31 @@ object IncrementalDedupStream {
           rowsPerBand)
       }
 
-  /** One micro-batch: dedup against the current store, append survivors. */
+  /** One micro-batch: dedup against the current store, append survivors as
+    * a committed segment. Empty survivor sets commit nothing (no empty
+    * segments, no manifest churn).
+    */
   def appendBatch(batch: DataFrame, storeDir: String, textCol: String,
                   idCol: String, tau: Double, shingleN: Int, bands: Int,
                   rowsPerBand: Int): Unit = {
     val spark = batch.sparkSession
     val survivors = dedupBatch(readStore(spark, storeDir, batch), batch,
       textCol, idCol, tau, shingleN, bands, rowsPerBand)
-    survivors.write.mode("append").parquet(storeDir)
+    if (survivors.isEmpty) return
+    val version = ManifestStore.nextVersion(spark, storeDir)
+    val rel = ManifestStore.dataRel(version)
+    survivors.write.mode("errorifexists").parquet(s"$storeDir/$rel")
+    val entries =
+      ManifestStore.latest(spark, storeDir).map(_.entries)
+        .getOrElse(Map.empty[String, String]) +
+      (f"seg$version%020d" -> rel)
+    ManifestStore.commit(spark, storeDir, version, entries)
   }
 
-  /** The store as a DataFrame; empty-with-batch-schema before first write. */
+  /** The store's committed state as a DataFrame; empty-with-batch-schema
+    * before the first commit.
+    */
   def readStore(spark: SparkSession, storeDir: String,
-                schemaFrom: DataFrame): DataFrame = {
-    val p = new Path(storeDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet")))
-      spark.read.schema(schemaFrom.schema).parquet(storeDir)
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schemaFrom.schema)
-  }
+                schemaFrom: DataFrame): DataFrame =
+    ManifestStore.readOrEmpty(spark, storeDir, schemaFrom.schema)
 }

@@ -1,0 +1,203 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Object-store-atomic table commits via a manifest pointer — the core trick
+  * of transactional table formats (Delta's `_delta_log`, Iceberg's metadata
+  * pointer), reduced to the minimum this engine's two mutable stores need.
+  * No table-format jars exist in this environment (documented gap, VERDICT
+  * round 2); this closes the production-correctness hazard without them.
+  *
+  * Layout under a store root:
+  * {{{
+  *   <root>/data/v<version>/...        immutable, never rewritten or renamed
+  *   <root>/_manifests/v<version>.manifest
+  * }}}
+  *
+  * A manifest is a tiny text file mapping logical SLOTS (a bucket id for the
+  * SCD2 dimension, a segment id for the append-only dedup store) to relative
+  * data directories. The CURRENT table state is the highest-versioned
+  * manifest; data directories referenced by no manifest are invisible.
+  *
+  * Commit protocol and why it is atomic on an object store:
+  *   1. writers stage new data under a fresh `data/v<N>/` prefix — crash
+  *      here leaves an orphan directory no reader ever resolves;
+  *   2. the commit is the appearance of ONE small manifest object. It is
+  *      written to a dot-prefixed temp name and renamed into place — rename
+  *      is atomic on HDFS/local filesystems, and on S3-style stores the
+  *      copy+delete the s3a connector performs is still safe because the
+  *      manifest only becomes the latest version when the full object
+  *      exists (PUT visibility is all-or-nothing) and dot-temp names are
+  *      excluded from [[latest]]'s listing;
+  *   3. rename-refuses-to-overwrite doubles as single-writer enforcement:
+  *      two concurrent committers of the same version fail loudly rather
+  *      than last-write-wins.
+  *
+  * Readers resolve a snapshot once and then read immutable files, so a
+  * reader concurrent with any number of commits sees exactly one version —
+  * never a mix of old and new buckets (the crash-injection spec asserts
+  * this). Superseded data is reclaimed explicitly via [[vacuum]], never in
+  * the commit path (a reader may still be scanning it).
+  */
+object ManifestStore {
+
+  /** One resolved table state: manifest `version` + slot → relative dir. */
+  case class Snapshot(version: Long, entries: Map[String, String])
+
+  private val ManifestName = """v(\d+)\.manifest""".r
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(root: String) = new Path(root, "_manifests")
+  private def dataDir(root: String) = new Path(root, "data")
+
+  /** Relative data directory for a version's staged files. */
+  def dataRel(version: Long): String = f"data/v$version%020d"
+
+  /** The highest committed snapshot, if any commit ever happened. */
+  def latest(spark: SparkSession, root: String): Option[Snapshot] = {
+    val f = fs(spark, root)
+    val dir = manifestDir(root)
+    if (!f.exists(dir)) return None
+    val versions = f.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestName(v) => Some((v.toLong, st.getPath))
+        case _               => None // dot-temps, _SUCCESS noise, ...
+      }
+    }
+    if (versions.isEmpty) None
+    else {
+      val (v, p) = versions.maxBy(_._1)
+      val in = f.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val entries = text.linesIterator.drop(1).filter(_.nonEmpty).map { l =>
+        val Array(slot, rel) = l.split('\t')
+        slot -> rel
+      }.toMap
+      Some(Snapshot(v, entries))
+    }
+  }
+
+  /** Next version a writer should stage under: one past both the last
+    * commit AND any orphaned (crashed, uncommitted) data directory, so a
+    * retry after a crash never collides with its predecessor's leftovers.
+    */
+  def nextVersion(spark: SparkSession, root: String): Long = {
+    val committed = latest(spark, root).map(_.version).getOrElse(0L)
+    val f = fs(spark, root)
+    val dd = dataDir(root)
+    val staged =
+      if (!f.exists(dd)) 0L
+      else f.listStatus(dd).toSeq.map(_.getPath.getName).collect {
+        case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) =>
+          s.drop(1).toLong
+      }.foldLeft(0L)(math.max)
+    math.max(committed, staged) + 1
+  }
+
+  /** Publish `entries` as manifest `version`. Fails (loudly) if that
+    * version is already committed — single-writer contract.
+    */
+  def commit(spark: SparkSession, root: String, version: Long,
+             entries: Map[String, String]): Unit = {
+    val f = fs(spark, root)
+    val dir = manifestDir(root)
+    f.mkdirs(dir)
+    // Monotonicity: a stale writer waking up after newer commits must not
+    // publish at all — its manifest would be invisible (lower version) yet
+    // look like a success. Conflict, not silent no-op.
+    val committed = latest(spark, root).map(_.version).getOrElse(0L)
+    if (version <= committed)
+      throw new IllegalStateException(
+        s"commit of v$version conflicts with already-committed v$committed " +
+          s"under $root — stale or concurrent writer")
+    val target = new Path(dir, f"v$version%020d.manifest")
+    if (f.exists(target))
+      throw new IllegalStateException(
+        s"manifest $target already exists — concurrent committer?")
+    val tmp = new Path(dir, f".tmp-v$version%020d-${java.util.UUID.randomUUID}")
+    val out = f.create(tmp, false)
+    try {
+      val body = new StringBuilder
+      body.append(version).append('\n')
+      entries.toSeq.sortBy(_._1).foreach { case (slot, rel) =>
+        body.append(slot).append('\t').append(rel).append('\n')
+      }
+      out.write(body.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    if (!f.rename(tmp, target)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"manifest commit of $target lost a race — concurrent committer?")
+    }
+  }
+
+  /** Absolute paths of a snapshot's data directories (slot order). */
+  def resolvePaths(root: String, snap: Snapshot): Seq[String] =
+    snap.entries.toSeq.sortBy(_._1).map { case (_, rel) => s"$root/$rel" }
+
+  /** Read the latest committed state; empty frame (with `schema`) when no
+    * commit exists yet or the latest manifest references no data.
+    */
+  def readOrEmpty(spark: SparkSession, root: String,
+                  schema: StructType): DataFrame =
+    latest(spark, root).map(resolvePaths(root, _)).filter(_.nonEmpty)
+      .map(paths => spark.read.schema(schema).parquet(paths: _*))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+
+  /** Read the latest committed state, inferring the schema from the data;
+    * throws when nothing was ever committed.
+    */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val snap = latest(spark, root).getOrElse(throw new IllegalStateException(
+      s"no committed manifest under $root — nothing to read"))
+    val paths = resolvePaths(root, snap)
+    require(paths.nonEmpty, s"manifest v${snap.version} references no data")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Reclaim data directories the LATEST manifest no longer references and
+    * all superseded manifests. Explicit maintenance (like a table format's
+    * VACUUM) — never called from the commit path, because a concurrent
+    * reader may still be scanning superseded files; run it when no reader
+    * can hold a snapshot older than the latest commit.
+    */
+  def vacuum(spark: SparkSession, root: String): Unit = {
+    latest(spark, root).foreach { snap =>
+      val f = fs(spark, root)
+      val live: Set[String] =
+        snap.entries.values.map(rel => new Path(s"$root/$rel").toUri.getPath)
+          .toSet
+      val dd = dataDir(root)
+      if (f.exists(dd)) f.listStatus(dd).foreach { vdir =>
+        // a version dir is live if any live path sits under (or is) it
+        val vPath = vdir.getPath.toUri.getPath
+        val keepWhole = live.contains(vPath)
+        if (!keepWhole) {
+          val children = f.listStatus(vdir.getPath)
+          val anyLive = children.exists(c => live.contains(c.getPath.toUri.getPath))
+          if (!anyLive) f.delete(vdir.getPath, true)
+          else children.foreach { c =>
+            if (!live.contains(c.getPath.toUri.getPath) &&
+                c.getPath.getName.startsWith("__"))
+              f.delete(c.getPath, true)
+          }
+        }
+      }
+      val md = manifestDir(root)
+      f.listStatus(md).foreach { st =>
+        st.getPath.getName match {
+          case ManifestName(v) if v.toLong < snap.version =>
+            f.delete(st.getPath, false)
+          case _ => ()
+        }
+      }
+    }
+  }
+}

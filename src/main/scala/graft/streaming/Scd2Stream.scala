@@ -109,53 +109,67 @@ object Scd2Stream {
       Seq("status", "totalprice"))
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
-
-  /** Merge one micro-batch of emitted [[Version]] rows into a parquet
-    * dimension at `dimPath`, key-BUCKETED so a batch rewrites only the
-    * buckets its keys hash into — not the whole dimension.
+  /** Merge one micro-batch of emitted [[Version]] rows into a
+    * manifest-committed parquet dimension at `dimPath`, key-BUCKETED so a
+    * batch rewrites only the buckets its keys hash into — not the whole
+    * dimension. Read the dimension back with [[readDimension]] (a plain
+    * `spark.read.parquet(dimPath)` sees staged + superseded files too).
     *
-    * Layout: Hive-partitioned by `__bucket = pmod(hash(id), numBuckets)`.
+    * Layout: [[ManifestStore]] slots are bucket ids
+    * (`pmod(hash(id), numBuckets)`); each commit's rewritten buckets live
+    * under an immutable `data/v<N>/__bucket=<b>/` prefix and the manifest
+    * points every bucket at its current prefix.
+    *
     * Per batch: (1) the touched-bucket set is computed (a ≤ numBuckets-int
     * driver-side collect — metadata on the same order as a table format's
-    * file index, not a data collect); (2) ONLY those buckets are read back
-    * (partition-pruned scan), merged with the incoming rows — the newest
-    * emission wins per (id, row_valid_start_timestamp, lsn), so
-    * same-millisecond versions with distinct LSNs both survive, matching
-    * the batch derivation; (3) the rewritten buckets are swapped in
-    * per-directory while untouched buckets' files are never opened, read,
-    * or rewritten. Rewrite cost per batch is O(dimension/numBuckets ×
-    * touched buckets), not O(dimension).
+    * file index, not a data collect); (2) ONLY those buckets' current data
+    * dirs are read back (manifest-pruned scan), merged with the incoming
+    * rows — the newest emission wins per (id, row_valid_start_timestamp,
+    * lsn), so same-millisecond versions with distinct LSNs both survive,
+    * matching the batch derivation; (3) the rewritten buckets are staged
+    * under a fresh versioned prefix and the commit is one atomic manifest
+    * publish ([[ManifestStore]] documents why that is object-store-safe) —
+    * untouched buckets' files are never opened, read, rewritten, or even
+    * re-pointed. A crash between stage and commit leaves readers on the
+    * old dimension; they can never observe a mix. Rewrite cost per batch
+    * is O(dimension/numBuckets × touched buckets), not O(dimension).
     *
-    * On a real deployment use Delta/Iceberg `MERGE` (row-level upsert,
-    * object-store-atomic commits); the merge logic here is identical, and
-    * the per-bucket directory move is atomic on a real filesystem but NOT
-    * on S3-style object stores — documented limitation, same as before but
-    * now bounded to touched buckets.
+    * This is the same merge a Delta/Iceberg `MERGE` would run, with the
+    * manifest pointer standing in for their transaction log.
     */
   def upsertBatch(spark: SparkSession, batch: Dataset[Version],
                   dimPath: String, numBuckets: Int = 64): Unit = {
+    if (batch.isEmpty) return
+    val (version, entries) = stageBatch(spark, batch, dimPath, numBuckets)
+    ManifestStore.commit(spark, dimPath, version, entries)
+  }
+
+  /** The stage half of [[upsertBatch]]: write the merged touched buckets
+    * under a fresh versioned prefix WITHOUT committing. Returns the staged
+    * version and the full entry map a commit of it would publish. Split out
+    * so the crash-injection spec can stop exactly between stage and commit.
+    */
+  private[streaming] def stageBatch(spark: SparkSession,
+      batch: Dataset[Version], dimPath: String,
+      numBuckets: Int): (Long, Map[String, String]) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val dir = java.nio.file.Paths.get(dimPath)
-    if (batch.isEmpty) return
+    val snap = ManifestStore.latest(spark, dimPath)
     val incoming = batch.toDF()
       .withColumn("__bucket", pmod(hash(col("id")), lit(numBuckets)))
       .withColumn("__p", lit(1))
     val touched = incoming.select("__bucket").distinct()
       .collect().map(_.getInt(0)).sorted
-    val exists = java.nio.file.Files.exists(dir)
-    // Distributed merge (no data collect): union the touched slice of the
-    // existing dimension + incoming with a priority tag, keep the newest
-    // row per (id, start, lsn) via one window.
-    val base = if (exists)
-        spark.read.parquet(dimPath)
-          .filter(col("__bucket").isin(touched.map(Int.box): _*))
+    // Distributed merge (no data collect): union the touched buckets'
+    // current files + incoming with a priority tag, keep the newest row per
+    // (id, start, lsn) via one window. `__bucket` is a DATA column in the
+    // files (the directory split below duplicates it into `__dir`), so the
+    // read needs no partition discovery across mixed version prefixes.
+    val touchedPaths = snap.toSeq.flatMap { s =>
+      touched.flatMap(b => s.entries.get(b.toString)).map(rel => s"$dimPath/$rel")
+    }
+    val base = if (touchedPaths.nonEmpty)
+        spark.read.parquet(touchedPaths: _*)
           .withColumn("__p", lit(0))
           .unionByName(incoming)
       else incoming
@@ -165,22 +179,24 @@ object Scd2Stream {
             col("lsn"))
           .orderBy(col("__p").desc)))
       .filter(col("__r") === 1).drop("__p", "__r")
-    // Write-then-swap: the read path can't be overwritten mid-read.
-    val tmp = java.nio.file.Paths.get(dimPath + ".tmp")
-    merged.write.mode("overwrite").partitionBy("__bucket")
-      .parquet(tmp.toString)
-    if (!exists) {
-      java.nio.file.Files.move(tmp, dir)
-    } else {
-      touched.foreach { b =>
-        val target = dir.resolve(s"__bucket=$b")
-        val src = tmp.resolve(s"__bucket=$b")
-        deleteRecursively(target)
-        if (java.nio.file.Files.exists(src))
-          java.nio.file.Files.move(src, target)
-      }
-      deleteRecursively(tmp)
-    }
+    val version = ManifestStore.nextVersion(spark, dimPath)
+    val rel = ManifestStore.dataRel(version)
+    merged.withColumn("__dir", col("__bucket"))
+      .write.mode("errorifexists").partitionBy("__dir")
+      .parquet(s"$dimPath/$rel")
+    val entries = snap.map(_.entries).getOrElse(Map.empty[String, String]) ++
+      touched.map(b => b.toString -> s"$rel/__dir=$b")
+    (version, entries)
+  }
+
+  /** The dimension's current committed state. */
+  def readDimension(spark: SparkSession, dimPath: String): Dataset[Version] = {
+    import spark.implicits._
+    ManifestStore.read(spark, dimPath)
+      .select(col("id"), col("status"), col("totalprice"),
+        col("row_valid_start_timestamp"),
+        col("row_valid_expiration_timestamp"), col("closed"), col("lsn"))
+      .as[Version]
   }
 
   /** Wire the full incremental pipeline: change stream → stateful versions →

@@ -46,26 +46,33 @@ class DimensionUpsertSpec extends SparkSpec {
 
     input.addData(chg(1, "a", 1, 10), chg(1, "b", 2, 20), chg(2, "x", 1, 15))
     q.processAllAvailable()
-    val after1 = spark.read.parquet(dim).as[Version].collect()
+    val after1 = Scd2Stream.readDimension(spark, dim).collect()
     assert(after1.length == 3) // key1: a(closed), b(open); key2: x(open)
     assert(after1.count(!_.closed) == 2)
     assert(after1.find(v => v.id == 1L && !v.closed).get.status.contains("b"))
-    val bucket1Before = fileSigs(s"$dim/__bucket=$b1")
+    val snap1 = ManifestStore.latest(spark, dim).get
+    val bucket1Dir = s"$dim/${snap1.entries(b1.toString)}"
+    val bucket1Before = fileSigs(bucket1Dir)
     assert(bucket1Before.nonEmpty)
 
-    // Second batch touches ONLY key 2 → bucket b1's files must remain
-    // byte-identical (never read, rewritten, or moved).
+    // Second batch touches ONLY key 2 → bucket b1 must keep pointing at the
+    // SAME data directory and its files must remain byte-identical (never
+    // read, rewritten, or moved).
     input.addData(chg(2, "y", 2, 25))
     q.processAllAvailable()
     q.stop()
-    val after2 = spark.read.parquet(dim).as[Version].collect()
+    val after2 = Scd2Stream.readDimension(spark, dim).collect()
     // key1: a(closed), b(open); key2: x(closed, upserted over open x), y(open)
     assert(after2.length == 4)
     assert(after2.count(!_.closed) == 2)
     val xRow = after2.find(v => v.status.contains("x")).get
     assert(xRow.closed && xRow.row_valid_expiration_timestamp == ts(25))
 
-    assert(fileSigs(s"$dim/__bucket=$b1") == bucket1Before)
+    val snap2 = ManifestStore.latest(spark, dim).get
+    assert(snap2.version > snap1.version)
+    assert(snap2.entries(b1.toString) == snap1.entries(b1.toString))
+    assert(snap2.entries(b2.toString) != snap1.entries(b2.toString))
+    assert(fileSigs(bucket1Dir) == bucket1Before)
   }
 
   test("upsertBatch keeps same-start versions with distinct LSNs " +
@@ -78,7 +85,7 @@ class DimensionUpsertSpec extends SparkSpec {
     val (out, _) = Scd2Stream.foldKey(9L,
       Seq(chg(9, "v1", 1, 10), chg(9, "v2", 2, 10)), None)
     Scd2Stream.upsertBatch(spark, out.toDS(), dim)
-    val rows = spark.read.parquet(dim).as[Version].collect()
+    val rows = Scd2Stream.readDimension(spark, dim).collect()
     assert(rows.length == 2)
     assert(rows.map(_.lsn).sorted.toSeq == Seq(1L, 2L))
     assert(rows.forall(_.row_valid_start_timestamp == ts(10)))

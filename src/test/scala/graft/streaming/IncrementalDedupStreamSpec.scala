@@ -34,7 +34,7 @@ class IncrementalDedupStreamSpec extends SparkSpec {
       q.processAllAvailable()
     }
     q.stop()
-    val streamed = spark.read.parquet(storeDir)
+    val streamed = ManifestStore.read(spark, storeDir)
 
     // sequential batch application of the same splits
     var expect = corpus.filter(lit(false))

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.streaming.Scd2Stream.{Change, Version}
+
+/** Crash-injection coverage for the manifest-pointer commit protocol: a
+  * writer killed between the data write (stage) and the manifest publish
+  * (commit) must leave every reader on the OLD table state — never a mix of
+  * old and new buckets, never a torn read.
+  */
+class ManifestStoreSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000)
+  private def chg(id: Long, st: String, lsn: Long, t: Long) =
+    Change(id, Option(st), Some(lsn * 1.0), "UPDATE", lsn, ts(t))
+
+  private def versionsOf(changes: Seq[Change]): Seq[Version] =
+    changes.groupBy(_.id).toSeq.flatMap { case (id, evs) =>
+      Scd2Stream.foldKey(id, evs, None)._1
+    }
+
+  test("crash between stage and commit: readers see the old dimension " +
+       "exactly; commit flips them to the new one; vacuum reclaims orphans") {
+    val dim = Files.createTempDirectory("graft-manifest").toString + "/dim"
+
+    // Commit 1: two keys.
+    Scd2Stream.upsertBatch(spark,
+      versionsOf(Seq(chg(1, "a", 1, 10), chg(2, "x", 1, 15))).toDS(), dim)
+    val before = Scd2Stream.readDimension(spark, dim).collect().toSet
+    assert(before.map(_.id) == Set(1L, 2L))
+
+    // "Crash": stage a second batch (touches key 1 AND new key 3) but die
+    // before the manifest commit.
+    val staged = versionsOf(Seq(chg(1, "b", 2, 20), chg(3, "z", 1, 30)))
+    val (stagedVersion, stagedEntries) =
+      Scd2Stream.stageBatch(spark, staged.toDS(), dim, 64)
+
+    // The staged files exist on disk...
+    assert(Files.exists(
+      Paths.get(dim, "data", f"v$stagedVersion%020d")))
+    // ...but every read still resolves the OLD manifest: identical rows, no
+    // mix (key 1 not updated, key 3 absent).
+    assert(Scd2Stream.readDimension(spark, dim).collect().toSet == before)
+
+    // Recovery path A — the writer retries the whole batch: the retry must
+    // stage under a FRESH version (no collision with the orphan)...
+    val (retryVersion, retryEntries) =
+      Scd2Stream.stageBatch(spark, staged.toDS(), dim, 64)
+    assert(retryVersion > stagedVersion)
+    ManifestStore.commit(spark, dim, retryVersion, retryEntries)
+    val after = Scd2Stream.readDimension(spark, dim).collect()
+    assert(after.map(_.id).toSet == Set(1L, 2L, 3L))
+    assert(after.count(_.id == 1L) == 2) // a(closed) + b(open)
+    // the first, never-committed staging is dead weight, not data
+    assert(ManifestStore.latest(spark, dim).get.version == retryVersion)
+
+    // Recovery path B — the ORIGINAL crashed writer wakes up and tries to
+    // commit its stale staging: its version is now below the latest commit,
+    // so the publish must fail loudly (conflict, not a silently invisible
+    // manifest).
+    intercept[IllegalStateException] {
+      ManifestStore.commit(spark, dim, stagedVersion, stagedEntries)
+    }
+
+    // Vacuum drops the orphaned staging dir and superseded data, keeps all
+    // live entries readable.
+    ManifestStore.vacuum(spark, dim)
+    assert(!Files.exists(Paths.get(dim, "data", f"v$stagedVersion%020d")))
+    assert(Scd2Stream.readDimension(spark, dim).collect().toSet ==
+      after.toSet)
+  }
+
+  test("incomplete manifest temp files are never resolved as a commit") {
+    val dim = Files.createTempDirectory("graft-manifest-tmp").toString + "/dim"
+    Scd2Stream.upsertBatch(spark,
+      versionsOf(Seq(chg(1, "a", 1, 10))).toDS(), dim)
+    val v1 = ManifestStore.latest(spark, dim).get
+
+    // A writer died mid-write of the NEXT manifest: a dot-temp with partial
+    // content sits in _manifests/.
+    Files.write(
+      Paths.get(dim, "_manifests", ".tmp-v00000000000000000099-dead"),
+      "99\ngarbage".getBytes)
+    assert(ManifestStore.latest(spark, dim).get == v1)
+  }
+
+  test("the append-only dedup store ignores uncommitted segments") {
+    val store = Files.createTempDirectory("graft-manifest-seg").toString + "/s"
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "wholly unrelated text"))
+      .toDF("doc_id", "text")
+    IncrementalDedupStream.appendBatch(docs, store, "text", "doc_id",
+      tau = 0.8, shingleN = 3, bands = 4, rowsPerBand = 3)
+    val committed = ManifestStore.read(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(committed == Seq(1L, 2L))
+
+    // Crash: a segment written but never committed.
+    val orphanRel = ManifestStore.dataRel(ManifestStore.nextVersion(spark, store))
+    Seq((99L, "orphan row")).toDF("doc_id", "text")
+      .write.parquet(s"$store/$orphanRel")
+    assert(ManifestStore.read(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+
+    // The next successful append must not collide with the orphan and must
+    // leave exactly the committed rows visible.
+    IncrementalDedupStream.appendBatch(
+      Seq((3L, "a third completely different document")).toDF("doc_id", "text"),
+      store, "text", "doc_id", 0.8, 3, 4, 3)
+    assert(ManifestStore.read(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("duplicate commit of the same version fails loudly") {
+    val root = Files.createTempDirectory("graft-manifest-dup").toString + "/t"
+    Seq((1L, "x")).toDF("id", "v").write.parquet(s"$root/data/v1")
+    ManifestStore.commit(spark, root, 1L, Map("s" -> "data/v1"))
+    intercept[IllegalStateException] {
+      ManifestStore.commit(spark, root, 1L, Map("s" -> "data/v1"))
+    }
+  }
+}
