@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Physical-plan regression guards for the load-bearing plan properties of
+  * the most expensive / structurally-critical gate queries.
+  *
+  * The bench data (sf0.1) is far too small to *time* a regression like a
+  * top-k that stops planning WindowGroupLimit (each map task would ship its
+  * whole partition instead of K rows) or a semi-join that degrades to a
+  * shuffled inner join + distinct — but at 100 TB those are the difference
+  * between a working plan and a melted cluster. So the properties are
+  * asserted directly against the executed plan string:
+  *
+  *  - top-k        → TakeOrderedAndProject (never global Sort + Limit)
+  *  - per-group K  → WindowGroupLimit (rank filter pushed below exchange)
+  *  - small side   → BroadcastHashJoin / broadcast nested loop (no shuffle
+  *                   of the big side against a dim/centroid/query set)
+  *  - semi/anti    → LeftSemi / LeftAnti (never inner-join + distinct)
+  *  - percentiles  → Window cumulative ranks, NOT an ObjectHashAggregate
+  *                   whose buffer holds a group's full value multiset
+  *  - every scan   → PushedFilters present; pruned columns stay out of
+  *                   ReadSchema (checked via plan-string absence)
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  /** query -> plan fragments that MUST appear */
+  private val must: Map[String, Seq[String]] = Map(
+    // top-k: driver-side K rows, map-side TakeOrdered per partition
+    "q10_topk_orders" -> Seq("TakeOrderedAndProject"),
+    "q2_brand_revenue" -> Seq("TakeOrderedAndProject", "BroadcastHashJoin"),
+    "tx6_bigram_docfreq" -> Seq("TakeOrderedAndProject"),
+    "cdc_scd2_top200" -> Seq("TakeOrderedAndProject"),
+    // per-group top-k: rank filter below the exchange
+    "cur5_domain_cap" -> Seq("WindowGroupLimit"),
+    "q24_lateral_topn" -> Seq("WindowGroupLimit", "BroadcastHashJoin"),
+    "q38_retention_cohorts" -> Seq("WindowGroupLimit"),
+    "cdc_current_state" -> Seq("WindowGroupLimit"),
+    // ANN: corpus never shuffles against the query/centroid set
+    "sm1_topk_bruteforce" ->
+      Seq("WindowGroupLimit", "BroadcastNestedLoopJoin"),
+    "sm2_topk_lsh" -> Seq("WindowGroupLimit", "BroadcastHashJoin"),
+    "sm4_topk_ivf" -> Seq("WindowGroupLimit", "BroadcastHashJoin"),
+    "sm5_topk_kmeans" -> Seq("WindowGroupLimit", "BroadcastHashJoin"),
+    // tf-idf joins per-term docfreq (broadcast scalar + hash join)
+    "tx7_tfidf" -> Seq("WindowGroupLimit", "BroadcastHashJoin"),
+    // rank-based percentiles: distinct-value window + broadcast totals
+    "q18_percentiles" -> Seq("Window", "BroadcastHashJoin"),
+    // semi/anti joins stay semi/anti
+    "q3_repeat_customers" -> Seq("LeftSemi"),
+    "q9_inactive_customers" -> Seq("LeftAnti"),
+    "cdc_scd2_incremental" -> Seq("LeftSemi", "LeftAnti", "Window"),
+    "cur2_dedup_corpus" -> Seq("LeftAnti"),
+    // near-dup banding: bucket equi-joins (shuffled-hash or sort-merge)
+    "dd5_dup_clusters" -> Seq("SortMergeJoin"),
+    // decontamination broadcasts the (tiny) eval-shingle set
+    "dc1_decontam" -> Seq("BroadcastHashJoin"),
+    "sj1_salted_join" -> Seq("BroadcastHashJoin")
+  )
+
+  /** query -> plan fragments that must NOT appear */
+  private val mustNot: Map[String, Seq[String]] = Map(
+    // the whole point of the rank-based rewrite: no per-group value buffer
+    "q18_percentiles" -> Seq("ObjectHashAggregate"),
+    "q16_approx_distinct" -> Seq("ObjectHashAggregate"),
+    // banded joins must stay equi — a nested-loop fallback means the band
+    // keys broke and Spark is comparing all pairs
+    "dd2_minhash_neardups" -> Seq("BroadcastNestedLoopJoin"),
+    "dd3_simhash_pairs" -> Seq("BroadcastNestedLoopJoin"),
+    "dd4_containment_pairs" -> Seq("BroadcastNestedLoopJoin"),
+    "sm3_cosine_neardups" -> Seq("BroadcastNestedLoopJoin"),
+    "dd5_dup_clusters" -> Seq("BroadcastNestedLoopJoin")
+  )
+
+  /** query -> a column of the scanned table that the query does not need;
+    * if it shows up anywhere in the plan, column pruning broke and the
+    * scan ships dead bytes (at 100 TB: dead terabytes).
+    */
+  private val pruned: Map[String, String] = Map(
+    "q10_topk_orders" -> "o_orderpriority",
+    "q1_pricing_summary" -> "l_partkey",
+    "tx5_lang_counts" -> "source", // lang-ID needs only the text payload
+    "dd1_exact_groups" -> "lang",
+    "q15_count_distinct" -> "props"
+  )
+
+  (must.keySet ++ mustNot.keySet ++ pruned.keySet).toSeq.sorted.foreach {
+    name =>
+      test(s"$name keeps its load-bearing plan shape") {
+        val p = plan(name)
+        must.getOrElse(name, Nil).foreach { frag =>
+          assert(p.contains(frag), s"$name lost plan property '$frag'")
+        }
+        mustNot.getOrElse(name, Nil).foreach { frag =>
+          assert(!p.contains(frag), s"$name gained forbidden '$frag'")
+        }
+        pruned.get(name).foreach { colName =>
+          assert(!p.contains(colName),
+            s"$name reads pruned column '$colName' — scan no longer pruned")
+        }
+      }
+  }
+
+  test("every gate query pushes scan-level filters/schema (PushedFilters)") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      assert(plan(name).contains("PushedFilters: ["),
+        s"$name scan lost pushdown metadata")
+    }
+  }
+}
