@@ -137,6 +137,53 @@ object Fixtures {
   def ordersLakeDir(orders: DataFrame, sfDir: String): String =
     lakeDir(ordersChangeLines(orders), sfDir, "orders")
 
+  /** Run the REAL incremental pipeline once per sfDir and return the
+    * dimension path: Structured-Streaming file source over the NDJSON
+    * fixture lake (forced into multiple micro-batches via
+    * `maxFilesPerTrigger`) → native envelope decode → stateful SCD2
+    * (`flatMapGroupsWithState`) → manifest-committed bucketed dimension
+    * upserts ([[graft.streaming.Scd2Stream.dimensionStream]]).
+    *
+    * This is what the `cdc_stream_scd2_dim` gate reads: a
+    * streaming-MAINTAINED table whose final contents the DuckDB oracle
+    * derives relationally — the end-to-end proof that the streaming path
+    * (not just the batch twin) lands reference-exact SCD2 semantics. A
+    * done-marker makes later calls (and Verify re-runs) read-only; the
+    * result is micro-batch-split-invariant, so the marker guards cost, not
+    * determinism.
+    */
+  def streamedOrdersDimensionDir(orders: DataFrame, sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val lake = ordersLakeDir(orders, sfDir)
+    val root = Paths.get(lake).getParent.resolve("orders_stream_dim")
+    val dimPath = root.resolve("dim").toString
+    lakeLock.synchronized {
+      if (!Files.exists(root.resolve("_DONE"))) {
+        val lines = spark.readStream
+          .option("maxFilesPerTrigger", 2)
+          .text(lake)
+          .select(col("value").as("line"))
+        val changes = Decode.decodeEnvelope(
+          Decode.parseLineColumnNative(lines,
+            Envelope.prunedLineSchema(Envelope.ordersPayload)), "id")
+          .select(col("id"),
+            col("after.status").as("status"),
+            col("after.totalprice").as("totalprice"),
+            col("operation_type"), col("log_seq_num"),
+            col("source_timestamp").cast("timestamp").as("source_timestamp"))
+          .as[graft.streaming.Scd2Stream.Change]
+        val q = graft.streaming.Scd2Stream.dimensionStream(changes, dimPath,
+          root.resolve("ckpt").toString, numBuckets = 16)
+        q.processAllAvailable()
+        q.stop()
+        Files.createFile(root.resolve("_DONE"))
+      }
+    }
+    dimPath
+  }
+
   /** The SAME orders fixture lake re-laid-out in the reference's RAW
     * Kafka-Connect sink template (`<topic>/<yyyy-MM-dd>/<HH>/<part>-
     * <offset>.json`, reference `connectors/s3-sink.json:14`) so

@@ -122,6 +122,26 @@ object CdcQueries {
         .orderBy(col("id"), col("row_valid_start_timestamp"))
     }),
 
+    // The streaming-MAINTAINED dimension, driver-gated end-to-end: a real
+    // Structured Streaming run (file source over the NDJSON lake in
+    // multiple micro-batches → stateful SCD2 → manifest-committed bucketed
+    // upserts) materializes the dimension once per sfDir; this query READS
+    // that maintained table and publishes it with reference semantics.
+    // Oracle = the batch SCD2 SQL — streamed upserts must land the exact
+    // relational result.
+    "cdc_stream_scd2_dim" -> ((s, dir) => {
+      val dimPath = Fixtures.streamedOrdersDimensionDir(
+        Tables(s, dir, "orders"), dir)
+      val dim = graft.streaming.Scd2Stream.readDimension(s, dimPath).toDF()
+      Scd2.changedKeysOnly(dim, "id")
+        .select(col("id"), col("status"), col("totalprice"),
+          col("row_valid_start_timestamp").cast("timestamp_ntz")
+            .as("row_valid_start_timestamp"),
+          col("row_valid_expiration_timestamp").cast("timestamp_ntz")
+            .as("row_valid_expiration_timestamp"))
+        .orderBy(col("id"), col("row_valid_start_timestamp"))
+    }),
+
     // T3: reference caps its published dimension at LIMIT 200
     // (reference `example…sql:46-47`).
     "cdc_scd2_top200" -> ((s, dir) =>
@@ -246,6 +266,18 @@ object CdcQueries {
       FROM changes GROUP BY operation_type ORDER BY operation_type""",
 
     "cdc_scd2_orders" -> s"""$changesCte
+      SELECT c.id, c.status, c.totalprice,
+             c.source_timestamp AS row_valid_start_timestamp,
+             COALESCE(LEAD(c.source_timestamp) OVER
+               (PARTITION BY c.id ORDER BY c.log_seq_num),
+               TIMESTAMP '9999-01-01') AS row_valid_expiration_timestamp
+      FROM changes c
+      WHERE c.id IN (SELECT id FROM changes GROUP BY id HAVING COUNT(*) > 1)
+      ORDER BY id, row_valid_start_timestamp""",
+
+    // The streaming-maintained dimension must equal the full batch
+    // recompute — same SQL as cdc_scd2_orders by construction.
+    "cdc_stream_scd2_dim" -> s"""$changesCte
       SELECT c.id, c.status, c.totalprice,
              c.source_timestamp AS row_valid_start_timestamp,
              COALESCE(LEAD(c.source_timestamp) OVER
