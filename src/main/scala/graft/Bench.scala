@@ -84,9 +84,31 @@ object Bench {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_profile.json"), profile)
 
+    // Measured ANN recall@5 on the bench embeddings (first 10 ids as
+    // queries, brute force as truth) — the spec asserts floors; the bench
+    // REPORTS the per-round numbers backing the multi-probe/IVF claims.
+    val recall = try {
+      import org.apache.spark.sql.functions.col
+      import graft.sim.Similarity
+      val emb = graft.ops.Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = emb.filter(col("id") < 10)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "corpus_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bf = pairs(Similarity.bruteForceTopK(q, emb, 5))
+      def r(s: Set[(Long, Long)]) =
+        BigDecimal((s & bf).size.toDouble / bf.size)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      val ivf = r(pairs(Similarity.ivfTopK(q, emb, 5, 256, 2)))
+      val lsh = r(pairs(Similarity.lshTopK(q, emb, 5, 4, 64)))
+      val km = r(pairs(Similarity.kmeansIvfTopK(q, emb, 5, 16, 2, 2)))
+      s"""{"ivf":$ivf,"lsh":$lsh,"kmeans":$km}"""
+    } catch { case _: Throwable => "{}" }
+
     val budget = 1500
     val bySlow = results.sortBy(-_._2)
-    val head = s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","errors":$errs,"queries":{"""
+    val head = s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","errors":$errs,"recall":$recall,"queries":{"""
     val fixedTail = 90 // "},"omitted":{"n":NN,"sec":NNN.NNN},"profile":"bench_profile.json"}"
     var used = head.length + fixedTail
     val kept = bySlow.takeWhile { case (k, v) =>

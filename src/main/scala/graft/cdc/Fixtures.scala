@@ -152,28 +152,38 @@ object Fixtures {
     * result is micro-batch-split-invariant, so the marker guards cost, not
     * determinism.
     */
-  def streamedOrdersDimensionDir(orders: DataFrame, sfDir: String): String = {
-    import java.nio.file.{Files, Paths}
+  /** The streamed orders change Dataset (file source over the NDJSON lake,
+    * `maxFilesPerTrigger` forcing multiple micro-batches) — shared by the
+    * streaming-maintained-table fixtures.
+    */
+  private def ordersChangeStream(orders: DataFrame, sfDir: String)
+      : (String, org.apache.spark.sql.Dataset[graft.streaming.Scd2Stream.Change]) = {
     val spark = orders.sparkSession
     import spark.implicits._
     val lake = ordersLakeDir(orders, sfDir)
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", 2)
+      .text(lake)
+      .select(col("value").as("line"))
+    val changes = Decode.decodeEnvelope(
+      Decode.parseLineColumnNative(lines,
+        Envelope.prunedLineSchema(Envelope.ordersPayload)), "id")
+      .select(col("id"),
+        col("after.status").as("status"),
+        col("after.totalprice").as("totalprice"),
+        col("operation_type"), col("log_seq_num"),
+        col("source_timestamp").cast("timestamp").as("source_timestamp"))
+      .as[graft.streaming.Scd2Stream.Change]
+    (lake, changes)
+  }
+
+  def streamedOrdersDimensionDir(orders: DataFrame, sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val (lake, changes) = ordersChangeStream(orders, sfDir)
     val root = Paths.get(lake).getParent.resolve("orders_stream_dim")
     val dimPath = root.resolve("dim").toString
     lakeLock.synchronized {
       if (!Files.exists(root.resolve("_DONE"))) {
-        val lines = spark.readStream
-          .option("maxFilesPerTrigger", 2)
-          .text(lake)
-          .select(col("value").as("line"))
-        val changes = Decode.decodeEnvelope(
-          Decode.parseLineColumnNative(lines,
-            Envelope.prunedLineSchema(Envelope.ordersPayload)), "id")
-          .select(col("id"),
-            col("after.status").as("status"),
-            col("after.totalprice").as("totalprice"),
-            col("operation_type"), col("log_seq_num"),
-            col("source_timestamp").cast("timestamp").as("source_timestamp"))
-          .as[graft.streaming.Scd2Stream.Change]
         val q = graft.streaming.Scd2Stream.dimensionStream(changes, dimPath,
           root.resolve("ckpt").toString, numBuckets = 16)
         q.processAllAvailable()
@@ -182,6 +192,28 @@ object Fixtures {
       }
     }
     dimPath
+  }
+
+  /** Streaming-maintained CURRENT-STATE table (the compacted sibling):
+    * same change stream, `mapGroupsWithState` fold, per-batch
+    * [[graft.streaming.BucketedUpsert]] into a manifest-committed
+    * key-latest store — gated by `cdc_stream_current_state`.
+    */
+  def streamedOrdersCurrentDir(orders: DataFrame, sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val (lake, changes) = ordersChangeStream(orders, sfDir)
+    val root = Paths.get(lake).getParent.resolve("orders_stream_current")
+    val storePath = root.resolve("store").toString
+    lakeLock.synchronized {
+      if (!Files.exists(root.resolve("_DONE"))) {
+        val q = graft.streaming.CurrentStateStream.storeStream(changes,
+          storePath, root.resolve("ckpt").toString, numBuckets = 16)
+        q.processAllAvailable()
+        q.stop()
+        Files.createFile(root.resolve("_DONE"))
+      }
+    }
+    storePath
   }
 
   /** The SAME orders fixture lake re-laid-out in the reference's RAW

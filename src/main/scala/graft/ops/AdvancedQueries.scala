@@ -467,6 +467,21 @@ object AdvancedQueries {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("wk"))),
 
+    // The streaming ST4 surface, driver-gated: a real multi-micro-batch
+    // Structured Streaming run (file source over range-split event chunks →
+    // tumbling 1-hour windowed agg, complete output → foreachBatch store)
+    // materializes once per sfDir; this READS the streamed store and the
+    // oracle recomputes it relationally.
+    "ev1_stream_hourly" -> ((s, dir) => {
+      val store =
+        graft.streaming.EventWindowStream.materializedHourlyDir(s, dir)
+      s.read.parquet(store)
+        .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+          col("event_type"), col("n_events"),
+          col("sum_value_dec").cast("double").as("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    }),
+
     // Behavioral cohort retention: users grouped by their FIRST event type
     // (row_number argmin — the rn=1 filter directly above the window plans
     // a WindowGroupLimit, top-1 per user before the shuffle), crossed with
@@ -877,6 +892,14 @@ object AdvancedQueries {
         CUME_DIST() OVER w AS cume
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-      ORDER BY user_id, event_id"""
+      ORDER BY user_id, event_id""",
+
+    // Streamed complete-mode hourly agg must equal the relational GROUP BY.
+    "ev1_stream_hourly" -> """
+      SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        COUNT(*) AS n_events,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+          AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

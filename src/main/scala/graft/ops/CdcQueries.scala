@@ -166,6 +166,18 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // The streaming-maintained CURRENT-STATE table (the other mutable-store
+    // shape: key-latest upsert with tombstone retention), driver-gated:
+    // mapGroupsWithState fold → BucketedUpsert manifest commits; this READS
+    // the maintained store (tombstones filtered) and the oracle recomputes
+    // the compaction relationally.
+    "cdc_stream_current_state" -> ((s, dir) => {
+      val store = Fixtures.streamedOrdersCurrentDir(
+        Tables(s, dir, "orders"), dir)
+      graft.streaming.CurrentStateStream.readCurrent(s, store)
+        .orderBy(col("id"))
+    }),
+
     // W3: ROW_NUMBER op-ordinal per key (reference exploratory query,
     // `README.md:220-243`).
     "cdc_row_number_ops" -> ((s, dir) => {
@@ -310,6 +322,15 @@ object CdcQueries {
       ORDER BY id, row_valid_start_timestamp LIMIT 200""",
 
     "cdc_current_state" -> s"""$changesCte
+      SELECT id, status, totalprice, log_seq_num FROM (
+        SELECT id, status, totalprice, log_seq_num, operation_type,
+          ROW_NUMBER() OVER (PARTITION BY id ORDER BY log_seq_num DESC) AS rn
+        FROM changes
+      ) WHERE rn = 1 AND operation_type != 'DELETE'
+      ORDER BY id""",
+
+    // The streamed key-latest store must equal the batch compaction.
+    "cdc_stream_current_state" -> s"""$changesCte
       SELECT id, status, totalprice, log_seq_num FROM (
         SELECT id, status, totalprice, log_seq_num, operation_type,
           ROW_NUMBER() OVER (PARTITION BY id ORDER BY log_seq_num DESC) AS rn

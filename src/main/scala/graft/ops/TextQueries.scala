@@ -110,10 +110,52 @@ object TextQueries {
         .filter(col("quality") >= 0.6 &&
           col("n_tokens").between(20, 2000) &&
           col("lang_pred") === col("lang"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // PII scrubbing — the redaction pass a training-data pipeline runs
+    // before anything ships. The synthetic corpus carries no PII, so a
+    // deterministic contact line (email + phone derived from doc_id) is
+    // appended identically on both engines; the gate then verifies the
+    // REGEX path cross-engine (Java regex vs DuckDB RE2 — patterns are
+    // restricted to the shared dialect) via match counts and an md5 of the
+    // fully redacted text. Narrow scan-side projection; no shuffle.
+    "tx11_pii_redact" -> ((s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+1-555-[0-9]{4}"
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+          .as("aug"))
+        .select(col("doc_id"),
+          regexp_count(col("aug"), lit(email)).cast("bigint").as("n_emails"),
+          regexp_count(col("aug"), lit(phone)).cast("bigint").as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("aug"), lit(email),
+            lit("<EMAIL>")), lit(phone), lit("<PHONE>")).cast("binary"))
+            .as("redacted_md5"),
+          length(col("aug")).cast("bigint").as("n_chars_in"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx11_pii_redact" -> raw"""
+      WITH aug AS (
+        SELECT doc_id,
+          text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+        FROM documents
+      )
+      SELECT doc_id,
+        len(regexp_extract_all(aug,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        len(regexp_extract_all(aug, '\+1-555-[0-9]{4}')) AS n_phones,
+        md5(regexp_replace(regexp_replace(aug,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5,
+        strlen(aug) AS n_chars_in
+      FROM aug ORDER BY doc_id""",
+
     "tx1_token_stats" -> raw"""
       SELECT doc_id,
         $NT AS n_tokens,

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic manifest-committed bucketed KEY-LATEST store — the upsert shape
+  * a current-state (compacted) table needs, factored out of the
+  * SCD2-specific merge in [[Scd2Stream]]: one row per key survives, the
+  * row with the highest `orderCol` (incoming beats stored on ties, making
+  * replays idempotent).
+  *
+  * Same scale contract as the dimension store: a batch rewrites ONLY the
+  * buckets its keys hash into (manifest-pruned read of those buckets, one
+  * window merge, staged write under an immutable versioned prefix, one
+  * atomic manifest commit); untouched buckets are never opened. Cost per
+  * batch is O(store/numBuckets × touched buckets + batch), not O(store).
+  *
+  * Deletes: callers keep tombstone rows (e.g. a `deleted` flag) IN the
+  * store rather than physically removing keys — the tombstone's order
+  * value keeps dropping late lower-order replays that would otherwise
+  * resurrect the key; the read path filters them. Physical reclamation is
+  * a maintenance rewrite (like a table format's purge), not an upsert
+  * concern.
+  */
+object BucketedUpsert {
+
+  def upsertBatch(spark: SparkSession, batch: DataFrame, root: String,
+                  keyCol: String, orderCol: String,
+                  numBuckets: Int = 64): Unit = {
+    if (batch.isEmpty) return
+    val snap = ManifestStore.latest(spark, root)
+    val incoming = batch
+      .withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
+      .withColumn("__p", lit(1))
+    // driver-side metadata collect: ≤ numBuckets ints (a file-index scale
+    // lookup, not a data collect)
+    val touched = incoming.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val touchedPaths = snap.toSeq.flatMap { s =>
+      touched.flatMap(b => s.entries.get(b.toString))
+        .map(rel => s"$root/$rel")
+    }
+    val base =
+      if (touchedPaths.nonEmpty)
+        spark.read.parquet(touchedPaths: _*)
+          .withColumn("__p", lit(0)).unionByName(incoming)
+      else incoming
+    val merged = base
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(col(orderCol).desc, col("__p").desc)))
+      .filter(col("__r") === 1).drop("__p", "__r")
+    val version = ManifestStore.nextVersion(spark, root)
+    val rel = ManifestStore.dataRel(version)
+    merged.withColumn("__dir", col("__bucket"))
+      .write.mode("errorifexists").partitionBy("__dir")
+      .parquet(s"$root/$rel")
+    val entries = snap.map(_.entries).getOrElse(Map.empty[String, String]) ++
+      touched.map(b => b.toString -> s"$rel/__dir=$b")
+    ManifestStore.commit(spark, root, version, entries)
+  }
+}

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.streaming.Scd2Stream.Change
 
@@ -70,4 +71,26 @@ object CurrentStateStream {
     changes.groupByKey(_.id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(stateFunc)
   }
+
+  /** Full incremental pipeline: change stream → stateful current-state →
+    * per-batch [[BucketedUpsert]] into a manifest-committed key-latest
+    * store at `storePath`. Tombstones stay in the store (their LSN drops
+    * late replays); [[readCurrent]] filters them.
+    */
+  def storeStream(changes: Dataset[Change], storePath: String,
+                  checkpoint: String, numBuckets: Int = 64) =
+    currentState(changes).writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Current], _: Long) =>
+        BucketedUpsert.upsertBatch(batch.sparkSession, batch.toDF(),
+          storePath, "id", "log_seq_num", numBuckets)
+      }
+      .start()
+
+  /** The maintained table's committed live rows (tombstones filtered). */
+  def readCurrent(spark: SparkSession, storePath: String): DataFrame =
+    ManifestStore.read(spark, storePath)
+      .filter(!col("deleted"))
+      .select("id", "status", "totalprice", "log_seq_num")
 }
