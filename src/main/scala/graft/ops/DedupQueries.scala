@@ -74,6 +74,24 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Leakage-guarded train/eval split: hash-split the corpus, then drop
+    // from TRAIN every verified MinHash near-dup of an EVAL doc — the
+    // near-dup-level decontamination that dc1's passage-level pass can't
+    // see (a paraphrased eval doc shares shingle SETS, not exact
+    // passages). Same asymmetric banded join as dd7 with the roles
+    // flipped: eval is the small side, train never self-joins.
+    "cur7_leakage_split" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val eval_ = docs.filter(col("doc_id") % 10 === 9)
+      val train = docs.filter(col("doc_id") % 10 =!= 9)
+      val drops = Dedup.incrementalNearDupDrops(eval_, train, "text",
+          "doc_id", JaccardTau, ShingleN, Bands, RowsPerBand)
+        .withColumnRenamed("batch_id", "doc_id")
+      train.join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The composed corpus dedup: exact-duplicate collapse (keep the min id
     // per normalized fingerprint) then greedy near-dup drop (for each
     // verified pair, the higher id goes) — the standard
@@ -172,6 +190,22 @@ object DedupQueries {
       )
       SELECT doc_id, source, n_chars FROM documents
       WHERE doc_id % 10 >= 7
+        AND doc_id NOT IN (SELECT doc_id FROM drops)
+      ORDER BY doc_id""",
+
+    "cur7_leakage_split" -> s"""
+      $candCte, verified AS (
+        SELECT id_a, id_b FROM ($jaccardPairsSql)
+        WHERE jaccard >= $JaccardTau
+      ), drops AS (
+        SELECT id_b AS doc_id FROM verified
+        WHERE id_a % 10 = 9 AND id_b % 10 != 9
+        UNION
+        SELECT id_a AS doc_id FROM verified
+        WHERE id_b % 10 = 9 AND id_a % 10 != 9
+      )
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE doc_id % 10 != 9
         AND doc_id NOT IN (SELECT doc_id FROM drops)
       ORDER BY doc_id""",
 
