@@ -99,6 +99,29 @@ object AdvancedQueries {
             / col("n_users") <= 0.05).as("within_tol"))
         .orderBy(col("event_type"))),
 
+    // Mergeable distinct-count sketches — the shape a 100 TB pipeline
+    // actually stores: one DataSketches HLL per (event_type, day) partition
+    // (incrementally maintainable, reorderable, re-aggregatable), unioned
+    // into the per-type total. Gated like q16: the union's estimate must
+    // land within 5% of the exact distinct count (oracle emits the exact
+    // count; both engines assert the verdict, not the sketch bytes).
+    "q39_hll_merge" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      val daily = ev.groupBy(col("event_type"), col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = daily.groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), false))
+          .as("merged_users"))
+      val exact = ev.select(col("event_type"), col("user_id")).distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("n_users"),
+          (abs(col("merged_users") - col("n_users")).cast("double")
+            / col("n_users") <= 0.05).as("within_tol"))
+        .orderBy(col("event_type"))
+    }),
+
     // Gap-based sessionization: a new session starts after a >30 min silence
     // per user; running sum of session starts numbers the sessions, then one
     // grouped agg summarizes each. Two window/agg passes, both partitioned
@@ -602,6 +625,11 @@ object AdvancedQueries {
       FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q16_approx_distinct" -> """
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        TRUE AS within_tol
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q39_hll_merge" -> """
       SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
         TRUE AS within_tol
       FROM events GROUP BY event_type ORDER BY event_type""",

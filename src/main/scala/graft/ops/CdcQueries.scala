@@ -178,6 +178,38 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // Snapshot diffing — the CDC bootstrap twin (Debezium's snapshot mode
+    // derives a change stream when no WAL history exists): full-outer join
+    // of the BEFORE snapshot (the orders table) against the AFTER state
+    // (current-state compaction of the change log), classifying each key
+    // as CREATE / UPDATE / DELETE and dropping unchanged keys. One shuffle
+    // per side on the join key; null-safe equality so NULL payloads
+    // compare correctly.
+    "cdc_snapshot_diff" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val before = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("id"),
+          col("o_orderstatus").as("old_status"),
+          col("o_totalprice").as("old_price"), lit(true).as("in_old"))
+      val w = Window.partitionBy(col("id")).orderBy(col("log_seq_num").desc)
+      val after = changeLog(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("operation_type") =!= "DELETE")
+        .select(col("id"), col("status").as("new_status"),
+          col("totalprice").as("new_price"), lit(true).as("in_new"))
+      before.join(after, Seq("id"), "full_outer")
+        .filter(col("in_new").isNull || col("in_old").isNull ||
+          !(col("old_status") <=> col("new_status")) ||
+          !(col("old_price") <=> col("new_price")))
+        .select(col("id"),
+          when(col("in_new").isNull, "DELETE")
+            .when(col("in_old").isNull, "CREATE")
+            .otherwise("UPDATE").as("op"),
+          col("old_status"), col("new_status"),
+          col("old_price"), col("new_price"))
+        .orderBy(col("id"))
+    }),
+
     // W3: ROW_NUMBER op-ordinal per key (reference exploratory query,
     // `README.md:220-243`).
     "cdc_row_number_ops" -> ((s, dir) => {
@@ -327,6 +359,25 @@ object CdcQueries {
           ROW_NUMBER() OVER (PARTITION BY id ORDER BY log_seq_num DESC) AS rn
         FROM changes
       ) WHERE rn = 1 AND operation_type != 'DELETE'
+      ORDER BY id""",
+
+    "cdc_snapshot_diff" -> s"""$changesCte, cur AS (
+        SELECT id, status, totalprice FROM (
+          SELECT id, status, totalprice, operation_type,
+            ROW_NUMBER() OVER (PARTITION BY id ORDER BY log_seq_num DESC) AS rn
+          FROM changes
+        ) WHERE rn = 1 AND operation_type != 'DELETE'
+      )
+      SELECT COALESCE(o.o_orderkey, c.id) AS id,
+        CASE WHEN c.id IS NULL THEN 'DELETE'
+             WHEN o.o_orderkey IS NULL THEN 'CREATE'
+             ELSE 'UPDATE' END AS op,
+        o.o_orderstatus AS old_status, c.status AS new_status,
+        o.o_totalprice AS old_price, c.totalprice AS new_price
+      FROM orders o FULL OUTER JOIN cur c ON o.o_orderkey = c.id
+      WHERE c.id IS NULL OR o.o_orderkey IS NULL
+         OR c.status IS DISTINCT FROM o.o_orderstatus
+         OR c.totalprice IS DISTINCT FROM o.o_totalprice
       ORDER BY id""",
 
     // The streamed key-latest store must equal the batch compaction.
