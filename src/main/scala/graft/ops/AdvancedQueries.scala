@@ -145,46 +145,13 @@ object AdvancedQueries {
     }),
 
     // Exact interpolated percentiles per group (== DuckDB `quantile_cont`),
-    // computed rank-based: collapse to distinct (group, value) counts (hash
-    // agg, fully parallel), cumulative-count window over the distinct values
-    // (streaming running sum — spills, never buffers a group's full value
-    // multiset the way the `percentile` agg's ObjectHashAggregate does),
-    // then select the two values bracketing each target rank and interpolate
-    // with the exact arithmetic Spark's Percentile uses:
-    //   pos = p*(n-1); (hi-pos)*loVal + (pos-lo)*hiVal, loVal if lo==hi.
-    "q18_percentiles" -> ((s, dir) => {
-      val vals = Tables(s, dir, "orders")
-        .groupBy(col("o_orderstatus"), col("o_totalprice").cast("double").as("v"))
-        .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("v"))
-      // 0-indexed sorted ranks covered by this distinct value:
-      // [cum_start, cum_end).
-      val cum = vals
-        .withColumn("cum_end", sum(col("cnt")).over(w))
-        .withColumn("cum_start", col("cum_end") - col("cnt"))
-      val totals = cum.groupBy(col("o_orderstatus"))
-        .agg(max(col("cum_end")).as("n"))
-      val joined = cum.join(broadcast(totals), "o_orderstatus")
-      def pos(p: Double) = (col("n") - lit(1L)).cast("double") * lit(p)
-      def covers(rank: org.apache.spark.sql.Column) =
-        col("cum_start") <= rank && rank < col("cum_end")
-      def bracket(p: Double, tag: String) = Seq(
-        max(when(covers(floor(pos(p)).cast("long")), col("v"))).as(s"lo$tag"),
-        max(when(covers(ceil(pos(p)).cast("long")), col("v"))).as(s"hi$tag"))
-      def interp(p: Double, tag: String) = {
-        val h = (col("n") - lit(1L)).cast("double") * lit(p)
-        val lo = floor(h); val hi = ceil(h)
-        when(lo === hi, col(s"lo$tag"))
-          .otherwise((hi - h) * col(s"lo$tag") + (h - lo) * col(s"hi$tag"))
-      }
-      joined.groupBy(col("o_orderstatus"))
-        .agg(max(col("n")).as("n"),
-          bracket(0.5, "50") ++ bracket(0.9, "90"): _*)
-        .select(col("o_orderstatus"),
-          interp(0.5, "50").as("p50"), interp(0.9, "90").as("p90"),
-          col("n"))
-        .orderBy(col("o_orderstatus"))
-    }),
+    // rank-based via the library kernel — no per-group value buffer; see
+    // graft.functions.RankPercentiles for the scale rationale.
+    "q18_percentiles" -> ((s, dir) =>
+      graft.functions.RankPercentiles.exact(
+          Tables(s, dir, "orders"), "o_orderstatus", "o_totalprice",
+          Seq("p50" -> 0.5, "p90" -> 0.9))
+        .orderBy(col("o_orderstatus"))),
 
     // Correlated scalar subqueries through the SQL front-end — Catalyst
     // decorrelates both into aggregate joins. The above-nation-average test

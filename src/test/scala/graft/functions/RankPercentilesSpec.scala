@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RankPercentilesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("bit-identical to the percentile aggregate (ties, singletons, negatives)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 500).map { i =>
+      val g = s"g${i % 5}"
+      // heavy ties (quantized values), negatives, and group g4 singleton-ish
+      val v = if (i % 5 == 4 && i > 400) rnd.nextDouble() * 10
+        else math.floor(rnd.nextDouble() * 40 - 20) / 2.0
+      (g, v)
+    } :+ (("solo", 3.25))
+    val df = rows.toDF("g", "v")
+
+    val expected = df.groupBy(col("g"))
+      .agg(percentile(col("v"), lit(0.25)).as("p25"),
+        percentile(col("v"), lit(0.5)).as("p50"),
+        percentile(col("v"), lit(0.99)).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("g"))
+      .collect().map(r => (r.getString(0),
+        r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+
+    val got = RankPercentiles.exact(df, "g", "v",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p99" -> 0.99))
+      .orderBy(col("g"))
+      .collect().map(r => (r.getString(0),
+        r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+
+    // exact tuple equality — the interpolation must be bit-identical
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("plan has no ObjectHashAggregate value buffer") {
+    val df = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val plan = RankPercentiles.exact(df, "g", "v", Seq("p50" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate"))
+    assert(plan.contains("Window"))
+  }
+}
