@@ -194,6 +194,35 @@ object Fixtures {
     dimPath
   }
 
+  /** Run the full LANDING job once per sfDir and return the landed lake
+    * path: file-source stream of the raw fixture NDJSON (multiple
+    * micro-batches) → envelope parse → watermark dedup →
+    * Hive-partitioned text lake ([[graft.streaming.Landing.landingJob]],
+    * the reference's Kafka-Connect S3-sink path). Gated by
+    * `cdc_landed_op_counts`: decode of the LANDED lake must classify ops
+    * identically to the relational oracle — proving the landing path
+    * loses/duplicates nothing (the watermark dedup sees each line once).
+    */
+  def landedOrdersLakeDir(orders: DataFrame, sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val spark = orders.sparkSession
+    val lake = ordersLakeDir(orders, sfDir)
+    val root = Paths.get(lake).getParent.resolve("orders_landed")
+    val out = root.resolve("lake").toString
+    lakeLock.synchronized {
+      if (!Files.exists(root.resolve("_DONE"))) {
+        val src = graft.streaming.Landing.fileSource(spark, lake,
+          "debezium.commerce.orders", maxFilesPerTrigger = Some(2))
+        val q = graft.streaming.Landing.landingJob(src,
+          Envelope.ordersPayload, out, root.resolve("ckpt").toString)
+        q.processAllAvailable()
+        q.stop()
+        Files.createFile(root.resolve("_DONE"))
+      }
+    }
+    out
+  }
+
   /** Streaming-maintained CURRENT-STATE table (the compacted sibling):
     * same change stream, `mapGroupsWithState` fold, per-batch
     * [[graft.streaming.BucketedUpsert]] into a manifest-committed

@@ -178,6 +178,21 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // The LANDING path driver-gated end-to-end: the raw NDJSON stream runs
+    // through the full landing job (parse → watermark dedup → partitioned
+    // lake write) and this decodes the LANDED lake — op classification
+    // must match the relational derivation exactly, proving the landing
+    // sink neither loses nor duplicates events.
+    "cdc_landed_op_counts" -> ((s, dir) => {
+      val lakePath = Fixtures.landedOrdersLakeDir(Tables(s, dir, "orders"), dir)
+      Decode.decodeEnvelope(
+          graft.streaming.Landing.readLake(s, lakePath,
+            graft.model.Envelope.ordersPayload))
+        .groupBy(col("operation_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("operation_type"))
+    }),
+
     // Snapshot diffing — the CDC bootstrap twin (Debezium's snapshot mode
     // derives a change stream when no WAL history exists): full-outer join
     // of the BEFORE snapshot (the orders table) against the AFTER state
@@ -306,6 +321,11 @@ object CdcQueries {
       FROM changes GROUP BY operation_type ORDER BY operation_type""",
 
     "cdc_foreign_op_counts" -> s"""$changesCte
+      SELECT operation_type, COUNT(*) AS n_events
+      FROM changes GROUP BY operation_type ORDER BY operation_type""",
+
+    // The landed lake must carry exactly the relational change stream.
+    "cdc_landed_op_counts" -> s"""$changesCte
       SELECT operation_type, COUNT(*) AS n_events
       FROM changes GROUP BY operation_type ORDER BY operation_type""",
 

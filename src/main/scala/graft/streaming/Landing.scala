@@ -66,10 +66,14 @@ object Landing {
   /** File-based change-stream source (NDJSON dropped by any producer) —
     * the test-harness stand-in for the Kafka source; same output shape.
     */
-  def fileSource(spark: SparkSession, dir: String, topic: String): DataFrame =
-    spark.readStream.format("text")
-      .load(dir)
+  def fileSource(spark: SparkSession, dir: String, topic: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.format("text")
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader.load(dir)
       .select(lit(topic).as("topic"), col("value").as("line"))
+  }
 
   /** The landing transform (pure, batch/streaming agnostic): raw
     * `(topic, line)` → parsed envelope columns + partition columns + dedup
