@@ -67,7 +67,15 @@ object Bench {
     def jstr(s: String) =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ") + "\""
-    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+    // Cap the inline error map: a catalog-wide failure must not blow the
+    // stdout line past the driver's 2000-char capture window exactly when
+    // parsing it matters most. Full messages are in bench_profile.json.
+    val errs = (errors.take(3).map { case (k, v) =>
+        jstr(k) + ":" + jstr(v.take(60))
+      } ++ (if (errors.size > 3)
+        Seq("\"__more_errors\":" + (errors.size - 3)) else Nil))
+      .mkString("{", ",", "}")
+    val errsFull = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     def sec(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
@@ -80,7 +88,8 @@ object Bench {
     // and stop adding per-query entries once the line would pass the
     // budget; the residue is summarized in "omitted".
     val profile = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{\"queries\":{", ",", s"},\"total\":$total,\"errors\":$errs}")
+      .mkString("{\"queries\":{", ",",
+        s"},\"total\":$total,\"errors\":$errsFull}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_profile.json"), profile)
 
