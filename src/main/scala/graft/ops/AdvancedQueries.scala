@@ -99,6 +99,37 @@ object AdvancedQueries {
             / col("n_users") <= 0.05).as("within_tol"))
         .orderBy(col("event_type"))),
 
+    // Bucketed co-located join — the shuffle-elimination path for joins
+    // run MANY times on the same key: both sides are written ONCE as
+    // bucketed+sorted external tables (8 buckets on the join key, data
+    // under the fixture tmpdir, metadata in the session catalog), and the
+    // join then reads bucket-aligned files — the physical plan has NO
+    // hash-partitioning exchange on either join input (asserted in
+    // PlanGuardSpec). At 100 TB this turns every repeated
+    // customer-grain join from a full shuffle into a local merge.
+    "q40_bucketed_join" -> ((s, dir) => {
+      val key = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+        System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+      def ensure(name: String, df: DataFrame, bucketCol: String): String = {
+        val tbl = s"graft_${name}_$key"
+        if (!s.catalog.tableExists(tbl))
+          df.write.mode("overwrite")
+            .option("path", s"$base/$key/buckets/$name")
+            .bucketBy(8, bucketCol).sortBy(bucketCol)
+            .saveAsTable(tbl)
+        tbl
+      }
+      val o = ensure("orders_b", Tables(s, dir, "orders"), "o_custkey")
+      val c = ensure("customer_b", Tables(s, dir, "customer"), "c_custkey")
+      s.table(o).join(s.table(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("revenue"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // Mergeable distinct-count sketches — the shape a 100 TB pipeline
     // actually stores: one DataSketches HLL per (event_type, day) partition
     // (incrementally maintainable, reorderable, re-aggregatable), unioned
@@ -600,6 +631,13 @@ object AdvancedQueries {
       SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
         TRUE AS within_tol
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q40_bucketed_join" -> """
+      SELECT c_nationkey, COUNT(*) AS n_orders,
+        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+          AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
 
     "q17_sessionize" -> """
       WITH flagged AS (

@@ -59,7 +59,12 @@ class PlanGuardSpec extends SparkSpec {
     "dd5_dup_clusters" -> Seq("SortMergeJoin"),
     // decontamination broadcasts the (tiny) eval-shingle set
     "dc1_decontam" -> Seq("BroadcastHashJoin"),
-    "sj1_salted_join" -> Seq("BroadcastHashJoin")
+    "sj1_salted_join" -> Seq("BroadcastHashJoin"),
+    // bucketed co-located join: both scans read bucket-aligned files
+    // (at fixture scale Catalyst rightly broadcasts the small side; the
+    // dedicated test below proves the zero-shuffle merge join once
+    // broadcast is off, i.e. the both-sides-large regime)
+    "q40_bucketed_join" -> Seq("Bucketed: true")
   )
 
   /** query -> plan fragments that must NOT appear */
@@ -73,7 +78,11 @@ class PlanGuardSpec extends SparkSpec {
     "dd3_simhash_pairs" -> Seq("BroadcastNestedLoopJoin"),
     "dd4_containment_pairs" -> Seq("BroadcastNestedLoopJoin"),
     "sm3_cosine_neardups" -> Seq("BroadcastNestedLoopJoin"),
-    "dd5_dup_clusters" -> Seq("BroadcastNestedLoopJoin")
+    "dd5_dup_clusters" -> Seq("BroadcastNestedLoopJoin"),
+    // the whole point of bucketing: NO shuffle on either join input
+    // (the post-join groupBy exchange is on c_nationkey, not these keys)
+    "q40_bucketed_join" ->
+      Seq("hashpartitioning(o_custkey", "hashpartitioning(c_custkey")
   )
 
   /** query -> a column of the scanned table that the query does not need;
@@ -103,6 +112,19 @@ class PlanGuardSpec extends SparkSpec {
             s"$name reads pruned column '$colName' — scan no longer pruned")
         }
       }
+  }
+
+  test("bucketed join is a zero-shuffle merge join when neither side broadcasts") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q40_bucketed_join")
+      assert(p.contains("SortMergeJoin"),
+        "bucketed join fell off the merge-join path")
+      assert(!p.contains("hashpartitioning(o_custkey") &&
+        !p.contains("hashpartitioning(c_custkey"),
+        "bucketed join shuffled a side it should read bucket-aligned")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("every gate query pushes scan-level filters/schema (PushedFilters)") {
