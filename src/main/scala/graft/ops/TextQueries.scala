@@ -112,6 +112,15 @@ object TextQueries {
           col("lang_pred") === col("lang"))
         .orderBy(col("doc_id"))),
 
+    // Language-ID evaluation: the (label, prediction) confusion matrix —
+    // the accuracy readout any heuristic classifier pass ships with. One
+    // hash agg over O(langs²) cells.
+    "tx12_lang_confusion" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(col("lang"), langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("lang_pred"))),
+
     // PII scrubbing — the redaction pass a training-data pipeline runs
     // before anything ships. The synthetic corpus carries no PII, so a
     // deterministic contact line (email + phone derived from doc_id) is
@@ -139,6 +148,12 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx12_lang_confusion" -> s"""
+      $scoresCte
+      SELECT d.lang, $langCaseSql AS lang_pred, COUNT(*) AS n_docs
+      FROM scores JOIN documents d USING (doc_id)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "tx11_pii_redact" -> raw"""
       WITH aug AS (
         SELECT doc_id,
