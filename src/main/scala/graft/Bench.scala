@@ -112,7 +112,8 @@ object Bench {
       val ivf = r(pairs(Similarity.ivfTopK(q, emb, 5, 256, 2)))
       val lsh = r(pairs(Similarity.lshTopK(q, emb, 5, 4, 64)))
       val km = r(pairs(Similarity.kmeansIvfTopK(q, emb, 5, 16, 2, 2)))
-      s"""{"ivf":$ivf,"lsh":$lsh,"kmeans":$km}"""
+      val pq = r(pairs(Similarity.pqTopK(q, emb, 5, 16, 16)))
+      s"""{"ivf":$ivf,"lsh":$lsh,"kmeans":$km,"pq":$pq}"""
     } catch { case _: Throwable => "{}" }
 
     val budget = 1500

@@ -83,6 +83,19 @@ object SimQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Product-quantization ANN (the memory lever: 64 floats → 16 codes,
+    // asymmetric-distance scoring touches only the integer code table at
+    // query time). Codebook training / encoding / ADC math is engine-
+    // internal (16 vectorized Lloyd-trained codebooks), so this gate is
+    // rows-only by design — recall floors are asserted in SimilaritySpec
+    // and measured recall is reported by the bench every round.
+    "sm7_topk_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqTopK(e.filter(col("id") < NQueries), e, K,
+          m = 16, codebookSize = 16, iters = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Per-label cluster cohesion: each label's centroid and the mean cosine
     // of its members to it — the standard embedding-space diagnostic for a
     // labeled corpus (tight labels → high avg_cos). One posexplode, one

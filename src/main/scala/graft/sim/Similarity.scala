@@ -207,6 +207,20 @@ object Similarity {
     */
   def kmeansIvfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       numCentroids: Int = 256, iters: Int = 2, nProbe: Int = 2): DataFrame = {
+    val cent = trainCentroids(corpus, numCentroids, iters)
+    probeTopK(queries, corpus,
+      cent.withColumn("cn", norm(col("cvec"))), k, nProbe)
+  }
+
+  /** Spherical-k-means training shared by [[kmeansIvfTopK]] and [[pqTopK]]:
+    * stride seeding + `iters` grid-quantized Lloyd rounds (see
+    * [[CentroidGrid]] for why the sums are engine-exact). Input (id, vec);
+    * output (centroid_id, cvec). Per round: one broadcast-centroid
+    * assignment pass + a (numCentroids × dim)-group mean agg; only the
+    * centroid table is checkpointed.
+    */
+  private[sim] def trainCentroids(corpus: DataFrame, numCentroids: Int,
+      iters: Int): DataFrame = {
     val c = corpus.select(col("id").as("corpus_id"), col("vec").as("cv"),
       norm(col("vec")).as("nrm"))
 
@@ -238,9 +252,126 @@ object Similarity {
           coalesce(col("mvec"), col("cvec")).as("cvec"))
         .localCheckpoint(true)
     }
+    cent
+  }
 
-    probeTopK(queries, corpus,
-      cent.withColumn("cn", norm(col("cvec"))), k, nProbe)
+  /** Product-quantization ANN (asymmetric distance). The memory lever of
+    * large-scale vector search: `dim` floats per corpus vector become `m`
+    * small codes — the corpus raw vectors are read ONCE at encode time and
+    * never touched again at query time.
+    *
+    *   - Train: the vector is split into `m` equal subspaces; each gets a
+    *     `codebookSize`-centroid codebook via the same deterministic
+    *     grid-quantized Lloyd rounds as [[kmeansIvfTopK]] (subvector ids
+    *     reuse the corpus ids, so seeding is deterministic per subspace).
+    *   - Encode: one broadcast-codebook argmax pass per subspace → codes
+    *     (id, sub, code), plus each vector's reconstructed norm
+    *     `sqrt(Σ_sub |codeword|²)`.
+    *   - Query (ADC): each query precomputes dot(q_sub, codeword) for every
+    *     (sub, code) — a (queries × m × codebookSize) table, broadcast —
+    *     and a corpus vector's approximate cosine is just the SUM of m
+    *     table lookups over its codes, normalized by |q|·|x̂|. The scoring
+    *     join touches only the integer code table: broadcast equi-join on
+    *     (sub, code) + one hash-agg by (query, corpus) — no vector math on
+    *     the corpus at query time, no shuffle of anything corpus-sized but
+    *     the m-int codes.
+    *
+    * Approximate by construction (quantization error); recall floors are
+    * asserted in SimilaritySpec and reported per round by the bench.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 8, codebookSize: Int = 32, iters: Int = 2,
+      dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+
+    def explodeSubs(df: DataFrame, idName: String): DataFrame =
+      df.select(col("id").as(idName),
+        posexplode(array((0 until m).map(s =>
+          slice(col("vec"), s * subDim + 1, subDim)): _*)))
+        .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
+
+    val csubs = explodeSubs(corpus, "corpus_id")
+
+    // All m codebooks train in ONE vectorized Lloyd loop: rows are
+    // (vector, subspace) subvectors, codebook membership is keyed by
+    // `sub`, so each round is a single broadcast join + argmax window +
+    // (m × codebookSize × subDim)-group mean agg — not m sequential
+    // trainings. Seeding: the same stride-picked vector ids for every
+    // subspace (deterministic, id-ranked).
+    val nRow = corpus.agg(count(lit(1)).as("__n"))
+    val seedIds = corpus.crossJoin(broadcast(nRow))
+      .filter(pmod(col("id"),
+        greatest(ceil(col("__n") / codebookSize).cast("long"), lit(1L))) === 0)
+      .select(col("id"))
+      .withColumn("code",
+        row_number().over(Window.orderBy(col("id"))) - 1)
+      .filter(col("code") < codebookSize)
+    var books = csubs.join(broadcast(seedIds),
+        col("corpus_id") === col("id"))
+      .select(col("sub"), col("code"),
+        col("sv").cast("array<double>").as("cw"))
+      .localCheckpoint(true)
+
+    val wAssign = Window.partitionBy(col("corpus_id"), col("sub"))
+      .orderBy(col("__s").desc, col("code"))
+    for (_ <- 1 to iters) {
+      val assigned = csubs.join(broadcast(books), Seq("sub"))
+        .withColumn("__s", dot(col("sv"), col("cw"))
+          / sqrt(dot(col("cw"), col("cw"))))
+        .withColumn("__r", row_number().over(wAssign))
+        .filter(col("__r") === 1)
+        .select(col("sub"), col("code"), col("sv"))
+      val means = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(sum(floor(col("col").cast("double") * CentroidGrid)
+            / CentroidGrid).as("s"),
+          count(lit(1)).as("cnt"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"),
+            (col("s") / col("cnt")).as("mv")))),
+          x => x.getField("mv")).as("mvec"))
+      books = books.join(means, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("mvec"), col("cw")).as("cw"))
+        .localCheckpoint(true)
+    }
+    val codebooks = books.withColumn("cwn2", dot(col("cw"), col("cw")))
+
+    // encode: for each (vector, subspace), the max-dot codeword
+    val codes = csubs.join(broadcast(codebooks), Seq("sub"))
+      .withColumn("__s", dot(col("sv"), col("cw"))
+        / sqrt(col("cwn2")))
+      .withColumn("__r", row_number().over(wAssign))
+      .filter(col("__r") === 1)
+      .select(col("corpus_id"), col("sub"), col("code"), col("cwn2"))
+    val cnorm = codes.groupBy(col("corpus_id"))
+      .agg(sqrt(sum(col("cwn2"))).as("xn"))
+
+    // ADC tables: dot(q_sub, codeword) for every (query, sub, code)
+    val qsubs = explodeSubs(queries, "query_id")
+    val qnorms = queries.select(col("id").as("query_id"),
+      norm(col("vec")).as("qn"))
+    val table = qsubs.join(qnorms, Seq("query_id"))
+      .join(broadcast(codebooks), Seq("sub"))
+      .select(col("query_id"), col("qn"), col("sub"), col("code"),
+        dot(col("sv"), col("cw")).as("pd"))
+
+    // score: sum of m lookups per (query, corpus vector)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("corpus_id"))
+    codes.join(broadcast(table), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("qn"), col("corpus_id"))
+      .agg(sum(col("pd")).as("sd"), count(lit(1)).as("nparts"))
+      .filter(col("nparts") === m && col("query_id") =!= col("corpus_id"))
+      .join(cnorm, Seq("corpus_id"))
+      .withColumn("approx_cos", col("sd") / (col("qn") * col("xn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("approx_cos"),
+        col("rank"))
   }
 
   /** All corpus pairs with cosine >= tau, via LSH buckets (near-duplicate

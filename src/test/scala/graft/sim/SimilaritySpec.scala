@@ -103,5 +103,32 @@ class SimilaritySpec extends SparkSpec {
     val lshRecall = (lsh & bf).size.toDouble / bf.size
     assert(lshRecall >= 0.8,
       s"multi-probe LSH recall on clustered data: $lshRecall")
+
+    // PQ/ADC on the clustered fixture: quantization preserves the COARSE
+    // structure — every approximate neighbor must come from the query's
+    // true cluster (id % 3 encodes the cluster) — while fine intra-cluster
+    // ranking is noise-limited by construction (16 codes can't rank the
+    // 0.5-amplitude noise dims, so exact-NN recall is not the right bar).
+    val pq = pairs(Similarity.pqTopK(q, emb, 5, m = 16, codebookSize = 8,
+      iters = 2, dim = dim))
+    val sameCluster = pq.count { case (qid, cid) => qid % 3 == cid % 3 }
+    assert(sameCluster.toDouble / pq.size >= 0.9,
+      s"PQ neighbors leak across clusters: $sameCluster/${pq.size}")
+    // determinism: a second run returns the identical pair set
+    assert(pairs(Similarity.pqTopK(q, emb, 5, 16, 8, 2, dim)) == pq)
+  }
+
+  test("PQ recall on worst-case random embeddings clears the floor") {
+    val emb = graft.ops.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val bf = pairs(Similarity.bruteForceTopK(q, emb, 5))
+    val pq = pairs(Similarity.pqTopK(q, emb, 5, m = 16, codebookSize = 16))
+    val recall = (pq & bf).size.toDouble / bf.size
+    // measured 0.24-0.48 across the driver SFs (random data is the ANN
+    // worst case; 4x memory compression at 16 codes × 16 centroids)
+    assert(recall >= 0.15, s"PQ recall regressed: $recall")
   }
 }
