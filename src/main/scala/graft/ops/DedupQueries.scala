@@ -32,6 +32,57 @@ object DedupQueries {
       FROM toks
     )"""
 
+  /** Materialize the streamed dedup store once per sfDir (see
+    * `dd8_stream_dedup_store`): two mtime-ordered parquet chunk files →
+    * file-source stream (`maxFilesPerTrigger=1`) → the real
+    * [[graft.streaming.IncrementalDedupStream.writer]]. Deterministic:
+    * the chunk split is by doc_id, batch order is pinned by mtime, and
+    * every dedup decision is hash-based.
+    */
+  private val storeLock = new Object
+  private def streamedDedupStoreDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/dedup_stream_store")
+    val store = root.resolve("store").toString
+    storeLock.synchronized {
+      if (!Files.exists(root.resolve("_DONE"))) {
+        val docs = Tables(s, dir, "documents")
+        val chunkDir = root.resolve("chunks")
+        Files.createDirectories(chunkDir)
+        Seq(col("doc_id") % 10 <= 4, col("doc_id") % 10 >= 5)
+          .zipWithIndex.foreach { case (pred, i) =>
+            val tmp = root.resolve(s"tmp$i").toString
+            docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+            val part = Files.list(Paths.get(tmp)).iterator()
+            var src: java.nio.file.Path = null
+            while (part.hasNext) {
+              val p = part.next()
+              if (p.getFileName.toString.startsWith("part-")) src = p
+            }
+            val tgt = chunkDir.resolve(f"chunk$i%04d.parquet")
+            Files.copy(src, tgt, StandardCopyOption.REPLACE_EXISTING)
+            // pin batch order: strictly increasing mtimes
+            tgt.toFile.setLastModified(1700000000000L + i * 600000L)
+          }
+        val src = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(chunkDir.toString)
+        val q = graft.streaming.IncrementalDedupStream
+          .writer(src, store, "text", "doc_id", JaccardTau, ShingleN,
+            Bands, RowsPerBand)
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        Files.createFile(root.resolve("_DONE"))
+      }
+    }
+    store
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "dd1_exact_groups" -> ((s, dir) =>
@@ -70,6 +121,21 @@ object DedupQueries {
           "doc_id", JaccardTau, ShingleN, Bands, RowsPerBand)
         .withColumnRenamed("batch_id", "doc_id")
       batch.join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The streaming ingestion dedup STORE, driver-gated end-to-end: the
+    // corpus streams through the real writer in two deterministic
+    // micro-batches (doc_id%10 ∈ [0,4] then [5,9]; one file per chunk,
+    // mtime-ordered, maxFilesPerTrigger=1); each batch is greedily
+    // self-deduped then deduped against the standing store, survivors
+    // append as manifest-committed segments. The oracle replays the exact
+    // two-step semantics as chained CTEs over the corpus-wide verified
+    // pair set.
+    "dd8_stream_dedup_store" -> ((s, dir) => {
+      val store = streamedDedupStoreDir(s, dir)
+      graft.streaming.ManifestStore.read(s, store)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
@@ -191,6 +257,33 @@ object DedupQueries {
       SELECT doc_id, source, n_chars FROM documents
       WHERE doc_id % 10 >= 7
         AND doc_id NOT IN (SELECT doc_id FROM drops)
+      ORDER BY doc_id""",
+
+    "dd8_stream_dedup_store" -> s"""
+      $candCte, verified AS (
+        SELECT id_a, id_b FROM ($jaccardPairsSql)
+        WHERE jaccard >= $JaccardTau
+      ), k1 AS (
+        -- batch 1 (doc_id%10 in [0,4]): greedy self-dedup, store empty
+        SELECT doc_id FROM documents WHERE doc_id % 10 <= 4
+          AND doc_id NOT IN (SELECT id_b FROM verified
+                             WHERE id_a % 10 <= 4 AND id_b % 10 <= 4)
+      ), sc2 AS (
+        -- batch 2 self-dedup
+        SELECT doc_id FROM documents WHERE doc_id % 10 >= 5
+          AND doc_id NOT IN (SELECT id_b FROM verified
+                             WHERE id_a % 10 >= 5 AND id_b % 10 >= 5)
+      ), k2 AS (
+        -- then drop batch-2 survivors near-dupping any STORE (k1) doc
+        SELECT doc_id FROM sc2 WHERE doc_id NOT IN (
+          SELECT id_b FROM verified WHERE id_a IN (SELECT doc_id FROM k1)
+          UNION
+          SELECT id_a FROM verified WHERE id_b IN (SELECT doc_id FROM k1)
+        )
+      )
+      SELECT doc_id, source, n_chars FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM k1
+                       UNION SELECT doc_id FROM k2)
       ORDER BY doc_id""",
 
     "cur7_leakage_split" -> s"""
