@@ -187,7 +187,7 @@ object CdcQueries {
       val lakePath = Fixtures.landedOrdersLakeDir(Tables(s, dir, "orders"), dir)
       Decode.decodeEnvelope(
           graft.streaming.Landing.readLake(s, lakePath,
-            graft.model.Envelope.ordersPayload))
+            graft.model.Envelope.ordersPayload, partitioned = false))
         .groupBy(col("operation_type"))
         .agg(count(lit(1)).as("n_events"))
         .orderBy(col("operation_type"))

@@ -171,11 +171,21 @@ object Landing {
       .mode("overwrite").text(outPath)
 
   /** Read a landed lake back (batch): partition-pruned by topic/date/hour. */
-  def readLake(spark: SparkSession, lakePath: String,
-               payload: StructType): DataFrame = {
-    val lines = spark.read.format("text").load(lakePath)
-    graft.cdc.Decode.parseLines(
-      lines.select(col("value")).as(org.apache.spark.sql.Encoders.STRING),
+  /** @param partitioned true (default) discovers the Hive partition
+    *   columns so callers can prune by topic/date/hour; false lists files
+    *   recursively with no partition inference — the faster whole-lake
+    *   scan when nothing prunes (every envelope field is in the line).
+    */
+  def readLake(spark: SparkSession, lakePath: String, payload: StructType,
+               partitioned: Boolean = true): DataFrame = {
+    val reader = spark.read.format("text")
+    val lines =
+      if (partitioned) reader.load(lakePath)
+      else reader.option("recursiveFileLookup", "true").load(lakePath)
+    // native single-pass parse (no Dataset[String] object round-trip —
+    // see Decode.parseLineColumn's scaladoc for the codegen rationale)
+    graft.cdc.Decode.parseLineColumnNative(
+      lines.select(col("value").as("line")),
       graft.model.Envelope.lineSchema(payload))
   }
 }
