@@ -130,6 +130,45 @@ object AdvancedQueries {
         .orderBy(col("c_nationkey"))
     }),
 
+    // Interval-overlap (range) join, binned: user sessions (gap-based,
+    // q17's derivation) against weekly maintenance windows (the first day
+    // of each active week). A naive range join is a cartesian with a
+    // theta filter; the scalable shape bins each interval to the week(s)
+    // it spans (tiny explode — sessions are minutes long) and equi-joins
+    // on the bin, applying the overlap predicate after — the 100 TB
+    // pattern for every time-interval join Spark lacks natively.
+    "q41_interval_join" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sessions = Tables(s, dir, "events")
+        .withColumn("new_session",
+          when(unix_micros(col("ts").cast("timestamp"))
+            - unix_micros(lag(col("ts"), 1).over(w).cast("timestamp"))
+            > 1800000000L, 1).otherwise(
+              when(lag(col("ts"), 1).over(w).isNull, 1).otherwise(0)))
+        .withColumn("session_seq", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+      val windows = Tables(s, dir, "events")
+        .select(date_trunc("week", col("ts")).cast("timestamp_ntz")
+          .as("w_start")).distinct()
+        .withColumn("w_end", col("w_start") + expr("INTERVAL 1 DAY"))
+        .withColumn("bin", col("w_start"))
+      val binned = sessions.withColumn("bin",
+        explode(sequence(
+          date_trunc("week", col("session_start")).cast("timestamp_ntz"),
+          date_trunc("week", col("session_end")).cast("timestamp_ntz"),
+          expr("INTERVAL 7 DAYS"))))
+      binned.join(windows, Seq("bin"))
+        .filter(col("session_start") < col("w_end") &&
+          col("w_start") <= col("session_end"))
+        .groupBy(col("w_start"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("w_start"))
+    }),
+
     // Mergeable distinct-count sketches — the shape a 100 TB pipeline
     // actually stores: one DataSketches HLL per (event_type, day) partition
     // (incrementally maintainable, reorderable, re-aggregatable), unioned
@@ -638,6 +677,34 @@ object AdvancedQueries {
           AS DOUBLE) AS revenue
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    // The oracle joins directly (theta overlap) — binning is an
+    // execution-side strategy, invisible in the result.
+    "q41_interval_join" -> """
+      WITH flagged AS (
+        SELECT user_id, event_id, ts,
+          CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+               THEN 1
+               WHEN LAG(ts) OVER w IS NULL THEN 1
+               ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), numbered AS (
+        SELECT user_id, ts,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged
+      ), s AS (
+        SELECT user_id, session_seq, MIN(ts) AS session_start,
+          MAX(ts) AS session_end
+        FROM numbered GROUP BY user_id, session_seq
+      ), w AS (
+        SELECT DISTINCT date_trunc('week', ts) AS w_start FROM events
+      )
+      SELECT w.w_start, COUNT(*) AS n_sessions
+      FROM w JOIN s ON s.session_start < w.w_start + INTERVAL 1 DAY
+                   AND w.w_start <= s.session_end
+      GROUP BY 1 ORDER BY 1""",
 
     "q17_sessionize" -> """
       WITH flagged AS (
