@@ -227,12 +227,19 @@ object Fixtures {
         // compacted lake the way a steady-state consumer would.
         graft.streaming.Landing.compactLake(spark, raw, compact,
           granularity = Seq("topic", "event_date"))
-        // the raw micro-batch files have served their purpose; reclaim
-        // the inode storm so repeated fixture use stays cheap
-        org.apache.commons.io.FileUtils.deleteDirectory(
-          new java.io.File(raw))
+        // marker FIRST: a crash between compactLake and the raw-dir
+        // delete must not wedge the fixture (rerun with the marker absent
+        // but raw deleted would no-op the landing job via its checkpoint
+        // and then fail compaction on the missing path)
         Files.createFile(root.resolve("_DONE"))
       }
+      // best-effort cleanup keyed on the marker: the raw micro-batch
+      // files have served their purpose; reclaim the inode storm so
+      // repeated fixture use stays cheap
+      val rawDir = new java.io.File(raw)
+      if (Files.exists(root.resolve("_DONE")) && rawDir.exists())
+        try org.apache.commons.io.FileUtils.deleteDirectory(rawDir)
+        catch { case _: java.io.IOException => () }
     }
     compact
   }

@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   * Spark's `Percentile.getPercentile` bit-for-bit
   * (`(hi−pos)·loVal + (pos−lo)·hiVal`, the lower value when the position
   * is integral), so results are drop-in identical to the aggregate's.
+  *
+  * NULL semantics also match the aggregate: null values are ignored
+  * (`n` counts non-null rows only), and a group whose values are ALL
+  * null still yields a row — null percentiles, `n = 0` — exactly as
+  * `groupBy.agg(percentile(...))` would emit it.
   */
 object RankPercentiles {
 
@@ -32,9 +37,17 @@ object RankPercentiles {
     */
   def exact(df: DataFrame, groupCol: String, valueCol: String,
             probs: Seq[(String, Double)]): DataFrame = {
-    val vals = df
+    // one heavy pass: distinct (group, value) counts with null kept as its
+    // own row for now — both the percentile branch and the all-groups
+    // branch below hang off this aggregate, so the scan+partial-agg
+    // exchange is computed once and reused (ReusedExchange), not scanned
+    // twice.
+    val counts = df
       .groupBy(col(groupCol), col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__cnt"))
+    // nulls must not form their own __v group: they'd inflate __n and
+    // shift every cumulative rank range (Spark's Percentile ignores them)
+    val vals = counts.where(col("__v").isNotNull)
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
     // 0-indexed sorted ranks covered by this distinct value:
     // [__cum_start, __cum_end)
@@ -61,10 +74,19 @@ object RankPercentiles {
         .otherwise((hi - h) * col(s"__lo_$name") + (h - lo) * col(s"__hi_$name"))
         .as(name)
     }
-    joined.groupBy(col(groupCol))
+    val computed = joined.groupBy(col(groupCol))
       .agg(max(col("__n")).as("__n"), brackets: _*)
       .select(col(groupCol) +:
         probs.map { case (name, p) => interp(name, p) } :+
         col("__n").as("n"): _*)
+    // groups whose values are all null vanished at the isNotNull filter;
+    // restore them (null percentiles, n=0) so the output has exactly the
+    // groups the aggregate form would emit. Re-aggregating `counts` (the
+    // already-distinct rows) is O(distinct values), not another data pass.
+    val allGroups = counts.groupBy(col(groupCol)).agg(lit(1).as("__present"))
+    allGroups.join(broadcast(computed), Seq(groupCol), "left")
+      .select(col(groupCol) +:
+        probs.map { case (name, _) => col(name) } :+
+        coalesce(col("n"), lit(0L)).as("n"): _*)
   }
 }

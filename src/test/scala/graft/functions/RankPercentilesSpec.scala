@@ -38,6 +38,31 @@ class RankPercentilesSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("nulls are ignored like the aggregate (mixed-null and all-null groups)") {
+    val rows: Seq[(String, java.lang.Double)] = Seq(
+      ("a", 1.0), ("a", null), ("a", 3.0), ("a", 2.0), ("a", null),
+      ("b", 5.0),
+      ("allnull", null), ("allnull", null))
+    val df = rows.toDF("g", "v")
+
+    val expected = df.groupBy(col("g"))
+      .agg(percentile(col("v"), lit(0.5)).as("p50"),
+        count(col("v")).as("n")) // count(col) = non-null rows, like our n
+      .orderBy(col("g"))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2)))
+
+    val got = RankPercentiles.exact(df, "g", "v", Seq("p50" -> 0.5))
+      .orderBy(col("g"))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2)))
+
+    assert(got.toSeq == expected.toSeq)
+    // the mixed-null group's median must come from the 3 non-null values
+    assert(got.find(_._1 == "a").get == (("a", Some(2.0), 3L)))
+    assert(got.find(_._1 == "allnull").get == (("allnull", None, 0L)))
+  }
+
   test("plan has no ObjectHashAggregate value buffer") {
     val df = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
     val plan = RankPercentiles.exact(df, "g", "v", Seq("p50" -> 0.5))

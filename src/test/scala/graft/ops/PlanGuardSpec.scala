@@ -24,9 +24,25 @@ import graft.{SparkEntry, SparkSpec}
   */
 class PlanGuardSpec extends SparkSpec {
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // keep scan metadata (ReadSchema/PushedFilters) untruncated so the
+    // pruned-column checks below see the full column list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.executedPlan.toString
+  }
+
+  /** The scan-schema lines of the executed plan — the authoritative record
+    * of what the file scans read. Pruning checks anchor here rather than
+    * the whole plan string, so an alias/path/UDF merely containing the
+    * column name can't fail spuriously, and a column that IS read never
+    * hides behind a rename elsewhere in the plan.
+    */
+  private def readSchemas(p: String): String = {
+    val lines = p.linesIterator.filter(_.contains("ReadSchema:")).toSeq
+    assert(lines.nonEmpty, "plan has no ReadSchema line to check")
+    lines.mkString("\n")
+  }
 
   /** query -> plan fragments that MUST appear */
   private val must: Map[String, Seq[String]] = Map(
@@ -108,7 +124,7 @@ class PlanGuardSpec extends SparkSpec {
           assert(!p.contains(frag), s"$name gained forbidden '$frag'")
         }
         pruned.get(name).foreach { colName =>
-          assert(!p.contains(colName),
+          assert(!readSchemas(p).contains(colName),
             s"$name reads pruned column '$colName' — scan no longer pruned")
         }
       }
