@@ -1,5 +1,9 @@
 package graft.media
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import java.awt.image.BufferedImage
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -7,11 +11,21 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` columns with typed metadata, plus the decode /
   * feature-extract / resize / frame-sample stages.
   *
-  * The container has no image/audio codecs, so the *byte-level decode* is a
-  * clearly-marked deterministic STUB ([[StubCodec]]) — everything around it
-  * (schema, case-class Encoders, mapPartitions batch shape, partitioning,
-  * the explode-based frame sampler) is real, tested Spark plumbing. Swap
-  * [[StubCodec.decode]] for a JNI/javacv call and nothing else changes.
+  * IMAGE decode is REAL: fixture rows carry genuine PNG bytes (encoded by
+  * the JDK's own `javax.imageio`, no external codecs) and
+  * [[extractFeatures]] decodes them back with `ImageIO.read`, reporting the
+  * decoded raster's width/height plus two probe pixels — so the gate proves
+  * an actual encode→bytes→decode round-trip, not arithmetic on byte
+  * lengths. The PNG content is a pure function of the document text
+  * ([[DeterministicPng]]), which is what lets a SQL oracle predict the
+  * decoded dims and pixels without being able to parse PNG itself.
+  *
+  * AUDIO/VIDEO decode remains a clearly-marked deterministic STUB
+  * ([[StubCodec]]) — the container genuinely has no audio/video codecs.
+  * Everything around it (schema, case-class Encoders, mapPartitions batch
+  * shape, partitioning, the explode-based frame sampler) is real, tested
+  * Spark plumbing; swap [[StubCodec.decode]] for a JNI/javacv call and
+  * nothing else changes.
   *
   * Scale shape: decode runs as `mapPartitions` (one codec init per
   * partition, not per row — the same batching rationale as arrow-batched
@@ -24,53 +38,108 @@ object Media {
   case class MediaRow(media_id: Long, kind: String, mime: String,
                       content: Array[Byte])
 
-  /** Extracted features (decode output). */
+  /** Extracted features (decode output). `px00` / `px_corner` are the
+    * packed 24-bit RGB of the decoded pixels at (0,0) and (w-1,h-1) —
+    * 0 for non-image rows.
+    */
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                            width: Int, height: Int, n_frames: Int,
-                           sample_rate: Int)
+                           sample_rate: Int, px00: Int, px_corner: Int)
 
-  /** STUB codec — a pure, deterministic stand-in for the real byte decoder.
-    * Derives fake dimensions from the byte length so results are stable and
-    * oracle-checkable. Replace `decode` with a real codec in production.
+  /** Deterministic PNG generator: dimensions and every pixel are pure
+    * functions of a single integer `seed` (the source document's text
+    * length), so a SQL oracle can predict what a real decoder must read
+    * back. Dims stay small (≤111×111) — fixture encode cost is
+    * sub-millisecond per image.
+    */
+  object DeterministicPng {
+    def dims(seed: Int): (Int, Int) =
+      ((seed % 96) + 16, ((seed / 96) % 96) + 16)
+
+    /** Packed 24-bit RGB at (x,y): a position-dependent gradient so the
+      * raster isn't flat (PNG row filters actually do work).
+      */
+    def rgb(seed: Int, x: Int, y: Int): Int =
+      (((seed + x) % 256) << 16) | (((seed + y) % 256) << 8) |
+        ((seed + x + y) % 256)
+
+    def encode(seed: Int): Array[Byte] = {
+      val (w, h) = dims(seed)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb(seed, x, y)); x += 1 }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream(1024)
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** STUB codec for the modalities with no codec in this environment
+    * (audio/video). Derives fake dimensions from the byte length so results
+    * are stable and oracle-checkable. Replace `decode` with a real codec in
+    * production; the image path shows the pattern.
     */
   object StubCodec {
     def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int, Int) = {
       val n = bytes.length
       kind match {
-        case "image" => ((n % 512) + 1, ((n / 512) % 512) + 1, 1, 0)
         case "video" => ((n % 512) + 1, ((n / 512) % 512) + 1, (n % 32) + 1, 0)
         case _       => (0, 0, 0, 8000 + (n % 8) * 4000) // audio
       }
     }
   }
 
-  /** Build a media table from the `documents` fixture: content = UTF-8 bytes
-    * of the text, kind assigned round-robin — a stand-in for a real
-    * `binary`-column parquet corpus.
+  /** Build a media table from the `documents` fixture: image rows carry
+    * REAL PNG bytes ([[DeterministicPng]], seeded by the text's byte
+    * length), audio/video rows carry the UTF-8 text bytes (their decode is
+    * stubbed anyway); kind assigned round-robin on doc_id. Runs as
+    * mapPartitions — the PNG encoder warms up once per partition, and
+    * `ImageIO`'s disk cache is disabled so encode stays in-memory.
     */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
-    docs.select(
-        col("doc_id").as("media_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-        element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
-          (col("doc_id") % 3 + 1).cast("int")).as("mime"),
-        encode(col("text"), "UTF-8").as("content"))
-      .as[MediaRow]
+    val kinds = Array("image", "audio", "video")
+    val mimes = Array("image/png", "audio/wav", "video/mp4")
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false) // once per partition: no temp-file cache
+        rows.map { case (id, text) =>
+          val k = (id % 3).toInt
+          val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val content =
+            if (k == 0) DeterministicPng.encode(bytes.length) else bytes
+          MediaRow(id, kinds(k), mimes(k), content)
+        }
+      }
   }
 
   /** Decode + feature-extract via mapPartitions: codec state initializes once
     * per partition; rows stream through without materializing the partition.
+    * Image rows go through a REAL `ImageIO.read` of the content bytes.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real codecs would init here, once per partition
+      ImageIO.setUseCache(false) // real codec init, once per partition
       rows.map { r =>
-        val (w, h, frames, rate) = StubCodec.decode(r.kind, r.content)
-        MediaFeatures(r.media_id, r.kind, r.content.length.toLong, w, h,
-          frames, rate)
+        if (r.kind == "image") {
+          val img = ImageIO.read(new ByteArrayInputStream(r.content))
+          require(img != null, s"undecodable image bytes for ${r.media_id}")
+          val (w, h) = (img.getWidth, img.getHeight)
+          MediaFeatures(r.media_id, r.kind, r.content.length.toLong, w, h,
+            n_frames = 1, sample_rate = 0,
+            px00 = img.getRGB(0, 0) & 0xFFFFFF,
+            px_corner = img.getRGB(w - 1, h - 1) & 0xFFFFFF)
+        } else {
+          val (w, h, frames, rate) = StubCodec.decode(r.kind, r.content)
+          MediaFeatures(r.media_id, r.kind, r.content.length.toLong, w, h,
+            frames, rate, px00 = 0, px_corner = 0)
+        }
       }
     }
   }

@@ -5,10 +5,22 @@ import org.apache.spark.sql.functions._
 
 import graft.media.Media
 
-/** Multimodal queries: the media table derives from `documents` (content =
-  * UTF-8 bytes), decode is the documented stub, but the oracle can still
-  * verify the whole pipeline because the stub is a pure function of byte
-  * length — which DuckDB computes as `strlen(text)` (ASCII corpus).
+/** Multimodal queries over the media table derived from `documents`.
+  *
+  * Image rows carry REAL PNG bytes and go through a real `ImageIO` decode
+  * ([[graft.media.Media.DeterministicPng]]); because the PNG generator is a
+  * pure function of `strlen(text)`, DuckDB can predict the decoded
+  * width/height and two probe pixels arithmetically — the oracle verifies a
+  * genuine encode→decode round-trip without parsing PNG. Audio/video decode
+  * is the documented stub (pure function of byte length → `strlen(text)`,
+  * ASCII corpus).
+  *
+  * The PNG container's byte size is codec-internal (filter choices, zlib),
+  * so `n_bytes` and the raw content hash are NOT oracle-expressible for
+  * image rows: mm1 gates the decoded features instead of n_bytes, and mm4
+  * gates dedup group structure (keep_id, n_copies) rather than fingerprint
+  * values — group membership is still byte-exact, because identical text
+  * yields identical PNG bytes and differing text yields differing pixels.
   */
 object MediaQueries {
 
@@ -20,8 +32,8 @@ object MediaQueries {
 
     "mm1_media_features" -> ((s, dir) =>
       features(s, dir).toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"), col("width"),
-          col("height"), col("n_frames"), col("sample_rate"))
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("n_frames"), col("sample_rate"), col("px00"), col("px_corner"))
         .orderBy(col("media_id"))),
 
     "mm2_frame_sample" -> ((s, dir) =>
@@ -33,57 +45,84 @@ object MediaQueries {
         .orderBy(col("media_id"))),
 
     // Byte-exact content dedup on the binary column (raw bytes, no text
-    // normalization — a different contract than dd1).
+    // normalization — a different contract than dd1). Output is the group
+    // structure; the md5 fingerprint itself stays internal (PNG bytes are
+    // not SQL-predictable).
     "mm4_content_dedup" -> ((s, dir) =>
       Media.contentDuplicateGroups(
           Media.mediaFromDocuments(Tables(s, dir, "documents")))
-        .orderBy(col("content_fp")))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id")))
   )
 
-  /** `kind` mapping mirror: doc_id % 3 → 1=image, 2=audio, 0(+3)=video
-    * (element_at is 1-based on [image, audio, video]).
+  /** `kind` mapping mirror: doc_id % 3 → 0=image, 1=audio, 2=video
+    * (element-style 1-based index on [image, audio, video]).
     */
   private val kindSql =
     "(['image','audio','video'])[(doc_id % 3 + 1)::INT]"
 
+  /** Mirror of [[graft.media.Media.DeterministicPng]]: seed = strlen(text);
+    * dims = (seed%96+16, (seed//96)%96+16); pixel(x,y) packed RGB =
+    * ((seed+x)%256)*65536 + ((seed+y)%256)*256 + (seed+x+y)%256.
+    */
   private val featuresCte = s"""
     WITH f AS (
       SELECT doc_id AS media_id, $kindSql AS kind,
-        strlen(text) AS n_bytes,
-        CASE WHEN $kindSql IN ('image','video')
-          THEN (strlen(text) % 512) + 1 ELSE 0 END AS width,
-        CASE WHEN $kindSql IN ('image','video')
-          THEN ((strlen(text) // 512) % 512) + 1 ELSE 0 END AS height,
+        strlen(text) AS seed,
+        CASE WHEN $kindSql = 'image' THEN (strlen(text) % 96) + 16
+             WHEN $kindSql = 'video' THEN (strlen(text) % 512) + 1
+             ELSE 0 END AS width,
+        CASE WHEN $kindSql = 'image' THEN ((strlen(text) // 96) % 96) + 16
+             WHEN $kindSql = 'video' THEN ((strlen(text) // 512) % 512) + 1
+             ELSE 0 END AS height,
         CASE WHEN $kindSql = 'image' THEN 1
              WHEN $kindSql = 'video' THEN (strlen(text) % 32) + 1
              ELSE 0 END AS n_frames,
         CASE WHEN $kindSql = 'audio'
           THEN 8000 + (strlen(text) % 8) * 4000 ELSE 0 END AS sample_rate
       FROM documents
+    ), g AS (
+      SELECT *,
+        CASE WHEN kind = 'image' THEN
+          (seed % 256) * 65536 + (seed % 256) * 256 + (seed % 256)
+        ELSE 0 END AS px00,
+        CASE WHEN kind = 'image' THEN
+            ((seed + width - 1) % 256) * 65536
+          + ((seed + height - 1) % 256) * 256
+          + ((seed + width + height - 2) % 256)
+        ELSE 0 END AS px_corner
+      FROM f
     )"""
 
   val oracleSql: Map[String, String] = Map(
     "mm1_media_features" -> s"""
       $featuresCte
-      SELECT media_id, kind, n_bytes, width, height, n_frames, sample_rate
-      FROM f ORDER BY media_id""",
+      SELECT media_id, kind, width, height, n_frames, sample_rate,
+             px00, px_corner
+      FROM g ORDER BY media_id""",
 
     "mm2_frame_sample" -> s"""
       $featuresCte
       SELECT media_id, unnest(range(0, n_frames, 4)) AS frame_idx
-      FROM f WHERE kind = 'video' ORDER BY media_id, frame_idx""",
+      FROM g WHERE kind = 'video' ORDER BY media_id, frame_idx""",
 
     "mm3_resize_meta" -> s"""
       $featuresCte
       SELECT media_id, kind, least(width, 256) AS out_width,
              least(height, 256) AS out_height
-      FROM f ORDER BY media_id""",
+      FROM g ORDER BY media_id""",
 
-    // content = UTF-8 bytes of text, and DuckDB's md5(VARCHAR) hashes the
-    // string's UTF-8 bytes — byte-identical input to Spark's md5(BINARY).
+    // Group-key mirror of the content generator: an image row's PNG is a
+    // pure function of strlen(text), so two image rows share bytes iff
+    // their text LENGTHS are equal; audio/video rows carry the raw text
+    // bytes and share bytes iff the text is equal (across those two
+    // kinds). The 'i'/'t' prefixes keep the two key spaces disjoint.
     "mm4_content_dedup" -> """
-      SELECT md5(text) AS content_fp, min(doc_id) AS keep_id,
-             COUNT(*) AS n_copies
-      FROM documents GROUP BY 1 ORDER BY content_fp"""
+      SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY CASE WHEN (doc_id % 3) = 0
+                    THEN 'i' || strlen(text)::VARCHAR
+                    ELSE 't' || text END
+      ORDER BY keep_id"""
   )
 }

@@ -1,0 +1,52 @@
+package graft.media
+
+import graft.SparkSpec
+
+/** The image path is a REAL encode→bytes→decode round-trip through
+  * `javax.imageio` — these tests pin that the decoded raster matches the
+  * generator formula for arbitrary seeds (not just the fixture corpus),
+  * and that the dedup fixture's byte-identity contract holds.
+  */
+class MediaSpec extends SparkSpec {
+
+  import Media.DeterministicPng
+
+  test("PNG round-trip: decoded dims and pixels match the formula") {
+    for (seed <- Seq(0, 1, 44, 96, 255, 256, 577, 9215)) {
+      val bytes = DeterministicPng.encode(seed)
+      // PNG magic — these are real image files, not a fake container
+      assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P'.toByte)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val (w, h) = DeterministicPng.dims(seed)
+      assert(img.getWidth == w && img.getHeight == h, s"dims for seed=$seed")
+      // every pixel, not just the probes — the codec must be lossless
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xFFFFFF) == DeterministicPng.rgb(seed, x, y),
+          s"pixel ($x,$y) for seed=$seed")
+    }
+  }
+
+  test("PNG bytes are a pure function of the seed (dedup contract)") {
+    assert(DeterministicPng.encode(123).toSeq ==
+      DeterministicPng.encode(123).toSeq)
+    assert(DeterministicPng.encode(123).toSeq !=
+      DeterministicPng.encode(124).toSeq)
+  }
+
+  test("extractFeatures decodes real PNGs distributed") {
+    import spark.implicits._
+    val media = Seq(
+      Media.MediaRow(0L, "image", "image/png", DeterministicPng.encode(50)),
+      Media.MediaRow(1L, "audio", "audio/wav", Array[Byte](1, 2, 3)),
+      Media.MediaRow(2L, "video", "video/mp4", Array.fill(600)(7.toByte))
+    ).toDS()
+    val f = Media.extractFeatures(media).collect().sortBy(_.media_id)
+    val (w, h) = DeterministicPng.dims(50)
+    assert(f(0).width == w && f(0).height == h && f(0).n_frames == 1)
+    assert(f(0).px00 == DeterministicPng.rgb(50, 0, 0))
+    assert(f(0).px_corner == DeterministicPng.rgb(50, w - 1, h - 1))
+    assert(f(1).sample_rate == 8000 + (3 % 8) * 4000)
+    assert(f(2).width == (600 % 512) + 1 && f(2).n_frames == (600 % 32) + 1)
+  }
+}
