@@ -23,15 +23,23 @@ object SimQueries {
   private val KMeansCentroids = 8
   private val KMeansIters = 2
   private val Grid = 1048576L
+  private val PqM = 16
+  private val PqCodebook = 16
+  private val PqIters = 2
+  private val PqSubDim = Dim / PqM
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
 
-  /** DuckDB sequential-fold dot product of two list expressions. */
-  private def dotSql(a: String, b: String): String =
-    s"list_reduce(list_transform(generate_series(1, $Dim), " +
+  /** DuckDB sequential-fold dot product over the first `n` elements of two
+    * list expressions — same accumulation order as the native `vec_dot`.
+    */
+  private def dotNSql(a: String, b: String, n: Int): String =
+    s"list_reduce(list_transform(generate_series(1, $n), " +
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (acc, x) -> acc + x)"
+
+  private def dotSql(a: String, b: String): String = dotNSql(a, b, Dim)
 
   private[ops] def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
@@ -85,10 +93,10 @@ object SimQueries {
 
     // Product-quantization ANN (the memory lever: 64 floats → 16 codes,
     // asymmetric-distance scoring touches only the integer code table at
-    // query time). Codebook training / encoding / ADC math is engine-
-    // internal (16 vectorized Lloyd-trained codebooks), so this gate is
-    // rows-only by design — recall floors are asserted in SimilaritySpec
-    // and measured recall is reported by the bench every round.
+    // query time). Fully ORACLED: the 16 codebooks' Lloyd training,
+    // encoding argmax, and ADC scoring are mirrored as chained DuckDB CTEs
+    // (grid-quantized sums make every multi-term double sum exact and
+    // order-independent in both engines — see Similarity.pqTopK).
     "sm7_topk_pq" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.pqTopK(e.filter(col("id") < NQueries), e, K,
@@ -266,6 +274,8 @@ object SimQueries {
       SELECT query_id, corpus_id, cos, rank FROM ranked
       WHERE rank <= $K ORDER BY query_id, rank""",
 
+    "sm7_topk_pq" -> pqSql,
+
     "sm6_label_cohesion" -> s"""
       WITH ex AS (
         SELECT vec_id, label,
@@ -324,4 +334,111 @@ object SimQueries {
           FROM m$i GROUP BY 1
         ) m USING (centroid_id)
       )"""
+
+  /** One PQ Lloyd round over all $PqM codebooks at once as CTEs `pa<i>`,
+    * `pm<i>`, `books<i>` reading `prev` — mirror of one iteration inside
+    * `Similarity.pqTopK` (per-(vector,subspace) max-cosine assignment with
+    * min-code tie-break, grid-quantized exact component sums, empty codes
+    * keep the previous codeword).
+    */
+  private def pqRoundSql(i: Int, prev: String): String = s"""pa$i AS (
+        SELECT sub, code, sv FROM (
+          SELECT corpus_id, sub, code, sv,
+            ROW_NUMBER() OVER (PARTITION BY corpus_id, sub
+                               ORDER BY s DESC, code) AS r
+          FROM (
+            SELECT cs.corpus_id, cs.sub, b.code, cs.sv,
+              ${dotNSql("cs.sv", "b.cw", PqSubDim)}
+                / sqrt(${dotNSql("b.cw", "b.cw", PqSubDim)}) AS s
+            FROM pq_csubs cs JOIN $prev b ON cs.sub = b.sub
+          )
+        ) WHERE r = 1
+      ), pm$i AS (
+        SELECT sub, code, d,
+          SUM(floor(sv[d]::DOUBLE * $Grid) / $Grid) AS s, COUNT(*) AS cnt
+        FROM pa$i, (SELECT unnest(generate_series(1, $PqSubDim)) AS d)
+        GROUP BY 1, 2, 3
+      ), books$i AS (
+        SELECT p.sub, p.code, COALESCE(m.mvec, p.cw) AS cw
+        FROM $prev p LEFT JOIN (
+          SELECT sub, code, list(s / cnt ORDER BY d) AS mvec
+          FROM pm$i GROUP BY 1, 2
+        ) m ON p.sub = m.sub AND p.code = m.code
+      )"""
+
+  /** Full mirror of `Similarity.pqTopK(m=$PqM, codebookSize=$PqCodebook,
+    * iters=$PqIters)`: subspace explode → stride seed → $PqIters vectorized
+    * Lloyd rounds → encode argmax → quantized ADC tables → sum-of-lookups
+    * scoring. Every multi-term double sum is grid-quantized on both sides,
+    * so the chain is engine-exact end to end.
+    */
+  private def pqSql: String = s"""
+      WITH pq_csubs AS (
+        SELECT e.vec_id AS corpus_id, s.sub,
+          list_slice(e.embedding, s.sub * $PqSubDim + 1,
+                     s.sub * $PqSubDim + $PqSubDim) AS sv
+        FROM embeddings e,
+          (SELECT unnest(generate_series(0, ${PqM - 1})) AS sub) s
+      ), pq_seed AS (
+        SELECT id, code FROM (
+          SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS code
+          FROM (
+            SELECT vec_id AS id FROM embeddings
+            WHERE vec_id % greatest(CAST(ceil(
+              (SELECT COUNT(*) FROM embeddings) / $PqCodebook.0) AS BIGINT),
+              1) = 0
+          )
+        ) WHERE code < $PqCodebook
+      ), books0 AS (
+        SELECT cs.sub, sd.code,
+          list_transform(cs.sv, x -> x::DOUBLE) AS cw
+        FROM pq_seed sd JOIN pq_csubs cs ON cs.corpus_id = sd.id
+      ), ${(1 to PqIters).map(i =>
+        pqRoundSql(i, s"books${i - 1}")).mkString(", ")}, codebooks AS (
+        SELECT sub, code, cw,
+          floor(${dotNSql("cw", "cw", PqSubDim)} * $Grid) / $Grid AS cwn2
+        FROM books$PqIters
+      ), codes AS (
+        SELECT corpus_id, sub, code, cwn2 FROM (
+          SELECT corpus_id, sub, code, cwn2,
+            ROW_NUMBER() OVER (PARTITION BY corpus_id, sub
+                               ORDER BY s DESC, code) AS r
+          FROM (
+            SELECT cs.corpus_id, cs.sub, b.code, b.cwn2,
+              ${dotNSql("cs.sv", "b.cw", PqSubDim)} / sqrt(b.cwn2) AS s
+            FROM pq_csubs cs JOIN codebooks b ON cs.sub = b.sub
+          )
+        ) WHERE r = 1
+      ), cnorm AS (
+        SELECT corpus_id, sqrt(SUM(cwn2)) AS xn FROM codes GROUP BY 1
+      ), qsubs AS (
+        SELECT corpus_id AS query_id, sub, sv FROM pq_csubs
+        WHERE corpus_id < $NQueries
+      ), qnorms AS (
+        SELECT vec_id AS query_id,
+          sqrt(${dotSql("embedding", "embedding")}) AS qn
+        FROM embeddings WHERE vec_id < $NQueries
+      ), adc AS (
+        SELECT q.query_id, n.qn, b.sub, b.code,
+          floor(${dotNSql("q.sv", "b.cw", PqSubDim)} * $Grid) / $Grid AS pd
+        FROM qsubs q
+        JOIN qnorms n ON q.query_id = n.query_id
+        JOIN codebooks b ON q.sub = b.sub
+      ), agg AS (
+        SELECT t.query_id, t.qn, c.corpus_id,
+          SUM(t.pd) AS sd, COUNT(*) AS nparts
+        FROM codes c JOIN adc t ON c.sub = t.sub AND c.code = t.code
+        GROUP BY 1, 2, 3
+      ), scored AS (
+        SELECT query_id, corpus_id, sd / (qn * xn) AS approx_cos
+        FROM agg JOIN cnorm USING (corpus_id)
+        WHERE nparts = $PqM AND query_id != corpus_id
+      ), ranked AS (
+        SELECT query_id, corpus_id, approx_cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY approx_cos DESC, corpus_id) AS rank
+        FROM scored
+      )
+      SELECT query_id, corpus_id, approx_cos, rank FROM ranked
+      WHERE rank <= $K ORDER BY query_id, rank"""
 }

@@ -278,6 +278,15 @@ object Similarity {
     *
     * Approximate by construction (quantization error); recall floors are
     * asserted in SimilaritySpec and reported per round by the bench.
+    *
+    * Cross-engine exactness: the two places a multi-term DOUBLE sum feeds
+    * the output — the per-code ADC lookup values (summed over `m` codes
+    * per candidate) and the per-code squared norms (summed into the
+    * reconstructed vector norm) — are floor-quantized to the 2^-20 grid
+    * BEFORE the sum (same trick as [[CentroidGrid]] training sums), so
+    * the sums are exact integers-on-a-grid, independent of addition
+    * order, and bit-identical to a sequential SQL oracle's. Relative
+    * error ~1e-6 on an approximate score: immaterial for recall.
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 8, codebookSize: Int = 32, iters: Int = 2,
@@ -338,7 +347,8 @@ object Similarity {
           coalesce(col("mvec"), col("cw")).as("cw"))
         .localCheckpoint(true)
     }
-    val codebooks = books.withColumn("cwn2", dot(col("cw"), col("cw")))
+    val codebooks = books.withColumn("cwn2",
+      floor(dot(col("cw"), col("cw")) * CentroidGrid) / CentroidGrid)
 
     // encode: for each (vector, subspace), the max-dot codeword
     val codes = csubs.join(broadcast(codebooks), Seq("sub"))
@@ -357,7 +367,8 @@ object Similarity {
     val table = qsubs.join(qnorms, Seq("query_id"))
       .join(broadcast(codebooks), Seq("sub"))
       .select(col("query_id"), col("qn"), col("sub"), col("code"),
-        dot(col("sv"), col("cw")).as("pd"))
+        (floor(dot(col("sv"), col("cw")) * CentroidGrid) / CentroidGrid)
+          .as("pd"))
 
     // score: sum of m lookups per (query, corpus vector)
     val w = Window.partitionBy(col("query_id"))
