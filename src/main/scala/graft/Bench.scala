@@ -109,9 +109,11 @@ object Bench {
       def r(s: Set[(Long, Long)]) =
         BigDecimal((s & bf).size.toDouble / bf.size)
           .setScale(3, BigDecimal.RoundingMode.HALF_UP)
-      val ivf = r(pairs(Similarity.ivfTopK(q, emb, 5, 256, 2)))
-      val lsh = r(pairs(Similarity.lshTopK(q, emb, 5, 4, 64)))
-      val km = r(pairs(Similarity.kmeansIvfTopK(q, emb, 5, 16, 2, 2)))
+      // library DEFAULTS (auto-sized probe budgets + PQ rerank) — what a
+      // user calling the four variants with no tuning actually gets
+      val ivf = r(pairs(Similarity.ivfTopK(q, emb, 5)))
+      val lsh = r(pairs(Similarity.lshTopK(q, emb, 5)))
+      val km = r(pairs(Similarity.kmeansIvfTopK(q, emb, 5)))
       val pq = r(pairs(Similarity.pqTopK(q, emb, 5, 16, 16)))
       s"""{"ivf":$ivf,"lsh":$lsh,"kmeans":$km,"pq":$pq}"""
     } catch { case _: Throwable => "{}" }

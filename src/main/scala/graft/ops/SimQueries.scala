@@ -27,6 +27,7 @@ object SimQueries {
   private val PqCodebook = 16
   private val PqIters = 2
   private val PqSubDim = Dim / PqM
+  private val PqRerank = 64
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -93,14 +94,15 @@ object SimQueries {
 
     // Product-quantization ANN (the memory lever: 64 floats → 16 codes,
     // asymmetric-distance scoring touches only the integer code table at
-    // query time). Fully ORACLED: the 16 codebooks' Lloyd training,
-    // encoding argmax, and ADC scoring are mirrored as chained DuckDB CTEs
+    // query time), plus exact re-ranking of the ADC top-64 shortlist.
+    // Fully ORACLED: the 16 codebooks' Lloyd training, encoding argmax,
+    // ADC scoring, and rerank are mirrored as chained DuckDB CTEs
     // (grid-quantized sums make every multi-term double sum exact and
     // order-independent in both engines — see Similarity.pqTopK).
     "sm7_topk_pq" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.pqTopK(e.filter(col("id") < NQueries), e, K,
-          m = 16, codebookSize = 16, iters = 2)
+          m = 16, codebookSize = 16, iters = 2, dim = Dim, rerank = PqRerank)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -433,12 +435,24 @@ object SimQueries {
         SELECT query_id, corpus_id, sd / (qn * xn) AS approx_cos
         FROM agg JOIN cnorm USING (corpus_id)
         WHERE nparts = $PqM AND query_id != corpus_id
-      ), ranked AS (
-        SELECT query_id, corpus_id, approx_cos,
+      ), adc_ranked AS (
+        SELECT query_id, corpus_id,
           ROW_NUMBER() OVER (PARTITION BY query_id
-                             ORDER BY approx_cos DESC, corpus_id) AS rank
+                             ORDER BY approx_cos DESC, corpus_id) AS r
         FROM scored
+      ), exact AS (
+        SELECT c.query_id, c.corpus_id,
+          ${cosSql("q.embedding", "e.embedding")} AS cos
+        FROM adc_ranked c
+        JOIN embeddings q ON q.vec_id = c.query_id
+        JOIN embeddings e ON e.vec_id = c.corpus_id
+        WHERE c.r <= $PqRerank
+      ), reranked AS (
+        SELECT query_id, corpus_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, corpus_id) AS rank
+        FROM exact
       )
-      SELECT query_id, corpus_id, approx_cos, rank FROM ranked
+      SELECT query_id, corpus_id, cos, rank FROM reranked
       WHERE rank <= $K ORDER BY query_id, rank"""
 }

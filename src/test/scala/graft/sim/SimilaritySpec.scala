@@ -65,6 +65,19 @@ class SimilaritySpec extends SparkSpec {
     assert(bf.size == 50)
     assert(ivfRecall >= 0.3, s"IVF recall regressed: $ivfRecall")
     assert(lshRecall >= 0.3, s"multi-probe LSH recall regressed: $lshRecall")
+
+    // The library DEFAULTS (auto-sized cells/probes, round-4 fix for the
+    // mis-sized fixed 256/2) must clear 0.5 even on this worst-case
+    // unclustered data — measured 0.66 (ivf) / 0.54 (lsh) at sf0.001 and
+    // 0.56 / 0.68 at sf0.1, deterministic per SF.
+    val ivfAuto = (pairs(Similarity.ivfTopK(q, emb, 5)) & bf).size.toDouble / bf.size
+    val lshAuto = (pairs(Similarity.lshTopK(q, emb, 5)) & bf).size.toDouble / bf.size
+    assert(ivfAuto >= 0.5, s"IVF default recall regressed: $ivfAuto")
+    assert(lshAuto >= 0.5, s"LSH default recall regressed: $lshAuto")
+    // trained-quantizer defaults (measured 0.80 at sf0.001, 0.60 at sf0.1)
+    val kmAuto =
+      (pairs(Similarity.kmeansIvfTopK(q, emb, 5)) & bf).size.toDouble / bf.size
+    assert(kmAuto >= 0.5, s"k-means IVF default recall regressed: $kmAuto")
   }
 
   test("k-means training refines the quantizer on clustered data") {
@@ -125,10 +138,17 @@ class SimilaritySpec extends SparkSpec {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
     val bf = pairs(Similarity.bruteForceTopK(q, emb, 5))
+    // raw ADC (rerank off): the quantized estimate alone — measured
+    // 0.24-0.48 across the driver SFs (4x memory compression at 16 codes
+    // × 16 centroids ranks a random-data head poorly by construction)
+    val adc = pairs(Similarity.pqTopK(q, emb, 5, m = 16, codebookSize = 16,
+      rerank = 0))
+    val adcRecall = (adc & bf).size.toDouble / bf.size
+    assert(adcRecall >= 0.15, s"raw-ADC recall regressed: $adcRecall")
+    // DEFAULT path (exact rerank of the ADC top-64 shortlist): measured
+    // 0.96 at sf0.001, 0.84 at sf0.1 — the round-4 recall fix
     val pq = pairs(Similarity.pqTopK(q, emb, 5, m = 16, codebookSize = 16))
     val recall = (pq & bf).size.toDouble / bf.size
-    // measured 0.24-0.48 across the driver SFs (random data is the ANN
-    // worst case; 4x memory compression at 16 codes × 16 centroids)
-    assert(recall >= 0.15, s"PQ recall regressed: $recall")
+    assert(recall >= 0.5, s"PQ default (reranked) recall regressed: $recall")
   }
 }
