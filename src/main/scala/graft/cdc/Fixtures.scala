@@ -207,7 +207,10 @@ object Fixtures {
     import java.nio.file.{Files, Paths}
     val spark = orders.sparkSession
     val lake = ordersLakeDir(orders, sfDir)
-    val root = Paths.get(lake).getParent.resolve("orders_landed")
+    // _v2: the compacted layout changed (daily → monthly rollup + file
+    // index) — a fresh root sidesteps stale _DONE-marked caches of the
+    // old layout
+    val root = Paths.get(lake).getParent.resolve("orders_landed_v2")
     val raw = root.resolve("lake").toString
     val compact = root.resolve("lake_compact").toString
     lakeLock.synchronized {
@@ -220,13 +223,16 @@ object Fixtures {
         q.stop()
         // the maintenance pass a long-running landing job needs: collapse
         // the O(batches × partitions) micro-batch files (187k at sf0.1,
-        // 27 s/scan) to one per partition, coarsened to daily — the
-        // fixture's event times span ~7 synthetic years, so hourly dirs
-        // are pure listing overhead, exactly the cold-history case the
-        // hourly→daily rollup exists for. Same rows; the gate reads the
-        // compacted lake the way a steady-state consumer would.
+        // 27 s/scan) to one per partition, coarsened to MONTHLY — the
+        // fixture's event times span ~6.6 synthetic years of pure cold
+        // history, exactly what the hourly→daily→monthly rollup ladder's
+        // last tier exists for (daily still left 2.4k dirs ≈ 4.5 s/scan;
+        // monthly is 80 data-bound files). compactLake also commits the
+        // manifest file index, so readers plan in O(manifest). Same rows;
+        // the gate reads the compacted lake the way a steady-state
+        // consumer would.
         graft.streaming.Landing.compactLake(spark, raw, compact,
-          granularity = Seq("topic", "event_date"))
+          granularity = Seq("topic", "event_month"))
         // marker FIRST: a crash between compactLake and the raw-dir
         // delete must not wedge the fixture (rerun with the marker absent
         // but raw deleted would no-op the landing job via its checkpoint
