@@ -82,6 +82,38 @@ object Scd2 {
         .map(col): _*)
   }
 
+  /** [[scd2]] for HOT-KEY change logs — same output, no per-key task bound.
+    *
+    * The default [[scd2]] windows by `key`: correct and one-pass, but a
+    * window partition is indivisible — AQE cannot split it — so a
+    * pathological key with ~10⁶⁺ changes serializes its whole history into
+    * one sorted task. This variant computes the lead via
+    * [[graft.joins.RangeLead]] (range-partitioned two-phase lookahead: a
+    * hot key spans many consecutive partitions) and the per-key
+    * multiplicity via hash-agg + join — a pair AQE's skew handling CAN
+    * split. Output is bit-identical to [[scd2]] (Scd2SkewSpec + the 1M
+    * hot-key soak assert it). Use when key skew is measured; the window
+    * path stays the default.
+    */
+  def scd2Skewed(changes: DataFrame, key: String, orderCol: String,
+      tsCol: String, payloadCols: Seq[String],
+      numPartitions: Int = 0): DataFrame = {
+    val cols = (Seq(key, orderCol, tsCol) ++ payloadCols).distinct
+    val led = graft.joins.RangeLead.withLead(
+      changes.select(cols.map(col): _*),
+      key, orderCol, tsCol, "__next_ts", numPartitions)
+    val counts = led.groupBy(col(key))
+      .agg(count(lit(1)).as("__change_count"))
+    led.join(counts, Seq(key))
+      .filter(col("__change_count") > 1)
+      .withColumn("row_valid_start_timestamp", col(tsCol))
+      .withColumn("row_valid_expiration_timestamp",
+        coalesce(col("__next_ts"), sentinelTs))
+      .select((key +: payloadCols ++: Seq(
+        "row_valid_start_timestamp", "row_valid_expiration_timestamp"))
+        .map(col): _*)
+  }
+
   /** The all-keys version store: [[scd2]] WITHOUT the more-than-one-event
     * filter, RETAINING the order column — the internal state an incremental
     * pipeline maintains between batches. Single-event keys must stay in the
