@@ -46,6 +46,11 @@ object Packing {
     val totals = bucketed.groupBy(col("__bucket"))
       .agg(sum(col(tokensCol)).as("__bucket_tokens"))
 
+    // BOUNDED global window (emits a "No Partition Defined" WindowExec
+    // warning — provably benign): its input is `totals`, ONE ROW PER
+    // BUCKET (ceil(maxId / bucketWidth) rows), never the corpus. The
+    // single-partition pass is over bucket aggregates only; the per-row
+    // prefix sums below are partitioned by bucket and fully parallel.
     val overBuckets = Window.orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = totals

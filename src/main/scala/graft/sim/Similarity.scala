@@ -360,6 +360,10 @@ object Similarity {
       .filter(pmod(col("id"),
         greatest(ceil(col("__n") / codebookSize).cast("long"), lit(1L))) === 0)
       .select(col("id"))
+      // BOUNDED global window (emits a "No Partition Defined" warning —
+      // provably benign): the stride filter above keeps ≈codebookSize
+      // seed ids (≤ a few dozen rows), so the single-partition
+      // row_number ranks a handful of rows, never the corpus.
       .withColumn("code",
         row_number().over(Window.orderBy(col("id"))) - 1)
       .filter(col("code") < codebookSize)
