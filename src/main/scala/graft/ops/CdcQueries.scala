@@ -103,6 +103,15 @@ object CdcQueries {
           Seq("status", "totalprice"))
         .orderBy(col("id"), col("row_valid_start_timestamp"))),
 
+    // The HOT-KEY fallback (RangeLead range-partitioned two-phase lead +
+    // AQE-splittable hash-agg multiplicity) driven through the same real
+    // fixture change log — must hash-match the window formulation's
+    // oracle, proving the two SCD2 formulations are interchangeable.
+    "cdc_scd2_skew_fallback" -> ((s, dir) =>
+      Scd2.scd2Skewed(changeLog(s, dir), "id", "log_seq_num",
+          "source_timestamp", Seq("status", "totalprice"))
+        .orderBy(col("id"), col("row_valid_start_timestamp"))),
+
     // Incremental SCD2 maintenance: batch 1 (creates + updates) builds the
     // version store, batch 2 (deletes/invalid/snapshot events) merges in
     // touching only its keys — published result must equal the full
@@ -163,6 +172,33 @@ object CdcQueries {
         .filter(col("rn") === 1 && col("operation_type") =!= "DELETE")
         .select(col("id"), col("status"), col("totalprice"),
           col("log_seq_num"))
+        .orderBy(col("id"))
+    }),
+
+    // Row-level MERGE INTO driver-gated as a CDC batch apply: batch 1
+    // inserts the CREATE payloads, batch 2 merges each key's LATEST
+    // non-create event (updates/snapshots replace the row, deletes remove
+    // it physically) through the manifest-committed bucketed table — the
+    // table-format primitive (MergeInto) exercised end-to-end with a
+    // relational oracle. Unlike every other gate this one WRITES: two
+    // staged+committed versions per run, read back via schema-merged scan.
+    "cdc_merge_into" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val log = changeLog(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_merge_gate").toString
+      val b1 = log.filter(col("operation_type") === "CREATE")
+        .select(col("id"), col("status"), col("totalprice"))
+      val w = Window.partitionBy(col("id")).orderBy(col("log_seq_num").desc)
+      val b2 = log.filter(col("operation_type") =!= "CREATE")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("id"), col("status"), col("totalprice"),
+          (col("operation_type") === "DELETE").as("del"))
+      graft.streaming.MergeInto.mergeBatch(s, b1, root, "id")
+      graft.streaming.MergeInto.mergeBatch(s, b2, root, "id",
+        deleteCol = Some("del"))
+      graft.streaming.MergeInto.readTable(s, root)
+        .select(col("id"), col("status"), col("totalprice"))
         .orderBy(col("id"))
     }),
 
@@ -339,6 +375,18 @@ object CdcQueries {
       WHERE c.id IN (SELECT id FROM changes GROUP BY id HAVING COUNT(*) > 1)
       ORDER BY id, row_valid_start_timestamp""",
 
+    // The skew fallback must equal the window formulation — same SQL as
+    // cdc_scd2_orders by construction.
+    "cdc_scd2_skew_fallback" -> s"""$changesCte
+      SELECT c.id, c.status, c.totalprice,
+             c.source_timestamp AS row_valid_start_timestamp,
+             COALESCE(LEAD(c.source_timestamp) OVER
+               (PARTITION BY c.id ORDER BY c.log_seq_num),
+               TIMESTAMP '9999-01-01') AS row_valid_expiration_timestamp
+      FROM changes c
+      WHERE c.id IN (SELECT id FROM changes GROUP BY id HAVING COUNT(*) > 1)
+      ORDER BY id, row_valid_start_timestamp""",
+
     // The streaming-maintained dimension must equal the full batch
     // recompute — same SQL as cdc_scd2_orders by construction.
     "cdc_stream_scd2_dim" -> s"""$changesCte
@@ -379,6 +427,30 @@ object CdcQueries {
           ROW_NUMBER() OVER (PARTITION BY id ORDER BY log_seq_num DESC) AS rn
         FROM changes
       ) WHERE rn = 1 AND operation_type != 'DELETE'
+      ORDER BY id""",
+
+    // MERGE semantics mirror: creates left-joined with each key's latest
+    // non-create event; a DELETE latest removes the key, any other latest
+    // replaces the row wholesale.
+    "cdc_merge_into" -> s"""$changesCte, b2 AS (
+        SELECT id, status, totalprice, operation_type FROM (
+          SELECT id, status, totalprice, operation_type,
+            ROW_NUMBER() OVER (PARTITION BY id
+                               ORDER BY log_seq_num DESC) AS rn
+          FROM changes WHERE operation_type != 'CREATE'
+        ) WHERE rn = 1
+      )
+      SELECT id, status, totalprice FROM (
+        SELECT c.id,
+          CASE WHEN b.id IS NOT NULL THEN b.status ELSE c.status END
+            AS status,
+          CASE WHEN b.id IS NOT NULL THEN b.totalprice ELSE c.totalprice END
+            AS totalprice,
+          b.operation_type AS bop
+        FROM (SELECT id, status, totalprice FROM changes
+              WHERE operation_type = 'CREATE') c
+        LEFT JOIN b2 b USING (id)
+      ) WHERE bop IS NULL OR bop != 'DELETE'
       ORDER BY id""",
 
     "cdc_snapshot_diff" -> s"""$changesCte, cur AS (

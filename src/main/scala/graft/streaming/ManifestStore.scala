@@ -57,30 +57,67 @@ object ManifestStore {
   /** Relative data directory for a version's staged files. */
   def dataRel(version: Long): String = f"data/v$version%020d"
 
-  /** The highest committed snapshot, if any commit ever happened. */
-  def latest(spark: SparkSession, root: String): Option[Snapshot] = {
+  private def parseManifest(f: FileSystem, p: Path, v: Long): Snapshot = {
+    val in = f.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val entries = text.linesIterator.drop(1).filter(_.nonEmpty).map { l =>
+      val Array(slot, rel) = l.split('\t')
+      slot -> rel
+    }.toMap
+    Snapshot(v, entries)
+  }
+
+  private def manifestList(spark: SparkSession, root: String): Seq[(Long, Path)] = {
     val f = fs(spark, root)
     val dir = manifestDir(root)
-    if (!f.exists(dir)) return None
-    val versions = f.listStatus(dir).toSeq.flatMap { st =>
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.flatMap { st =>
       st.getPath.getName match {
         case ManifestName(v) => Some((v.toLong, st.getPath))
         case _               => None // dot-temps, _SUCCESS noise, ...
       }
     }
-    if (versions.isEmpty) None
+  }
+
+  /** The highest committed snapshot, if any commit ever happened. */
+  def latest(spark: SparkSession, root: String): Option[Snapshot] = {
+    val vs = manifestList(spark, root)
+    if (vs.isEmpty) None
     else {
-      val (v, p) = versions.maxBy(_._1)
-      val in = f.open(p)
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val entries = text.linesIterator.drop(1).filter(_.nonEmpty).map { l =>
-        val Array(slot, rel) = l.split('\t')
-        slot -> rel
-      }.toMap
-      Some(Snapshot(v, entries))
+      val (v, p) = vs.maxBy(_._1)
+      Some(parseManifest(fs(spark, root), p, v))
     }
+  }
+
+  /** All committed versions, ascending — the table's history. */
+  def versions(spark: SparkSession, root: String): Seq[Long] =
+    manifestList(spark, root).map(_._1).sorted
+
+  /** TIME TRAVEL: a SPECIFIC committed snapshot. Every manifest is a tiny
+    * immutable object and superseded data files are only removed by an
+    * explicit [[vacuum]], so any still-un-vacuumed version is readable
+    * exactly as committed — the same retention contract as a table
+    * format's `VERSION AS OF`.
+    */
+  def snapshotAt(spark: SparkSession, root: String,
+                 version: Long): Option[Snapshot] =
+    manifestList(spark, root).find(_._1 == version)
+      .map { case (v, p) => parseManifest(fs(spark, root), p, v) }
+
+  /** Read the table as of `version` (time travel). `mergeSchema` unifies
+    * bucket files written before/after a schema evolution.
+    */
+  def readAt(spark: SparkSession, root: String, version: Long,
+             mergeSchema: Boolean = false): DataFrame = {
+    val snap = snapshotAt(spark, root, version).getOrElse(
+      throw new IllegalStateException(
+        s"no committed manifest v$version under $root (vacuumed or never " +
+          s"written); available: ${versions(spark, root).mkString(",")}"))
+    val paths = resolvePaths(root, snap)
+    require(paths.nonEmpty, s"manifest v$version references no data")
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
   }
 
   /** Next version a writer should stage under: one past both the last
@@ -152,14 +189,17 @@ object ManifestStore {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
 
   /** Read the latest committed state, inferring the schema from the data;
-    * throws when nothing was ever committed.
+    * throws when nothing was ever committed. `mergeSchema` unifies bucket
+    * files written before/after a schema evolution (older buckets surface
+    * NULL for columns they predate).
     */
-  def read(spark: SparkSession, root: String): DataFrame = {
+  def read(spark: SparkSession, root: String,
+           mergeSchema: Boolean = false): DataFrame = {
     val snap = latest(spark, root).getOrElse(throw new IllegalStateException(
       s"no committed manifest under $root — nothing to read"))
     val paths = resolvePaths(root, snap)
     require(paths.nonEmpty, s"manifest v${snap.version} references no data")
-    spark.read.parquet(paths: _*)
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
   }
 
   /** Reclaim data directories the LATEST manifest no longer references and

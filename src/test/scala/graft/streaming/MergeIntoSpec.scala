@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MergeIntoSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def table(root: String) =
+    MergeInto.readTable(spark, root)
+
+  test("merge: insert, replace, physical delete in one statement") {
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "s", "v"),
+      root, "k", numBuckets = 4)
+    // replace k=2, delete k=3, insert k=4; a delete for an absent key (9)
+    // is a no-op
+    MergeInto.mergeBatch(spark,
+      Seq((2L, "B", 21, false), (3L, "", 0, true), (4L, "d", 40, false),
+          (9L, "", 0, true))
+        .toDF("k", "s", "v", "del"),
+      root, "k", numBuckets = 4, deleteCol = Some("del"))
+    val got = table(root).select("k", "s", "v")
+      .as[(Long, String, Int)].collect().sorted.toSeq
+    assert(got == Seq((1L, "a", 10), (2L, "B", 21), (4L, "d", 40)))
+  }
+
+  test("merge rejects an ambiguous multi-row-per-key source") {
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    val err = intercept[IllegalArgumentException] {
+      MergeInto.mergeBatch(spark,
+        Seq((1L, "a"), (1L, "b")).toDF("k", "s"), root, "k")
+    }
+    assert(err.getMessage.contains("multiple source rows"))
+  }
+
+  test("untouched buckets carry their manifest entries (and files) forward") {
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    MergeInto.mergeBatch(spark,
+      (0L until 64L).map(i => (i, s"v$i")).toDF("k", "s"),
+      root, "k", numBuckets = 8)
+    val before = ManifestStore.latest(spark, root).get.entries
+    // touch exactly one key → at most one bucket rewrites
+    MergeInto.mergeBatch(spark, Seq((0L, "V0")).toDF("k", "s"),
+      root, "k", numBuckets = 8)
+    val after = ManifestStore.latest(spark, root).get.entries
+    val changed = after.filter { case (slot, rel) => before.get(slot) != Some(rel) }
+    assert(changed.size == 1, s"expected 1 rewritten bucket, got $changed")
+    // unchanged entries still point at the ORIGINAL v1 files — no rewrite
+    assert((after -- changed.keys) == (before -- changed.keys))
+    assert(table(root).count() == 64)
+  }
+
+  test("schema evolution: new source column widens, old buckets read as null") {
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root, "k", numBuckets = 2)
+    // second batch adds a `score` column and touches only k=1's bucket
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "A", 0.9)).toDF("k", "s", "score"), root, "k", numBuckets = 2)
+    val got = table(root).select(col("k"), col("s"), col("score"))
+      .as[(Long, String, Option[Double])].collect().sorted.toSeq
+    assert(got == Seq((1L, "A", Some(0.9)), (2L, "b", None)))
+  }
+
+  test("time travel: every version reads exactly as committed") {
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    MergeInto.mergeBatch(spark, Seq((1L, "a")).toDF("k", "s"), root, "k")
+    MergeInto.mergeBatch(spark, Seq((1L, "b"), (2L, "c")).toDF("k", "s"),
+      root, "k")
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "", true)).toDF("k", "s", "del"), root, "k",
+      deleteCol = Some("del"))
+    val vs = ManifestStore.versions(spark, root)
+    assert(vs == Seq(1L, 2L, 3L))
+    def at(v: Long) = MergeInto.readTableAt(spark, root, v)
+      .select("k", "s").as[(Long, String)].collect().sorted.toSeq
+    assert(at(1L) == Seq((1L, "a")))
+    assert(at(2L) == Seq((1L, "b"), (2L, "c")))
+    assert(at(3L) == Seq((2L, "c")))
+    // vacuum keeps only the latest version readable
+    ManifestStore.vacuum(spark, root)
+    assert(ManifestStore.versions(spark, root) == Seq(3L))
+    assert(at(3L) == Seq((2L, "c")))
+    assert(intercept[IllegalStateException](at(1L))
+      .getMessage.contains("vacuumed or never written"))
+  }
+
+  test("delete-to-empty removes the bucket's manifest entry") {
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    MergeInto.mergeBatch(spark, Seq((1L, "a")).toDF("k", "s"),
+      root, "k", numBuckets = 2)
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "", true)).toDF("k", "s", "del"), root, "k", numBuckets = 2,
+      deleteCol = Some("del"))
+    assert(ManifestStore.latest(spark, root).get.entries.isEmpty)
+  }
+}
