@@ -542,6 +542,22 @@ object AdvancedQueries {
         .orderBy(col("hour_start"), col("event_type"))
     }),
 
+    // Watermarked STREAM-STREAM interval join, driver-gated: a real
+    // two-stream run (clicks ⋈ purchases within a 1-hour attribution
+    // window per user, both sides watermarked, pairs forming ACROSS
+    // micro-batches) appends to a store; this READS it and the oracle
+    // recomputes the interval join relationally — the appended multiset
+    // must equal the batch join exactly.
+    "ev2_stream_attribution" -> ((s, dir) => {
+      val store =
+        graft.streaming.StreamJoin.materializedAttributionDir(s, dir)
+      s.read.parquet(store)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"),
+          col("value"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
+
     // Behavioral cohort retention: users grouped by their FIRST event type
     // (row_number argmin — the rn=1 filter directly above the window plans
     // a WindowGroupLimit, top-1 per user before the shuffle), crossed with
@@ -1000,6 +1016,16 @@ object AdvancedQueries {
         COUNT(*) AS n_events,
         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
           AS sum_value
-      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // The streamed attribution store must equal the batch interval join.
+    "ev2_stream_attribution" -> """
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        p.ts AS purchase_ts, p.value
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      ORDER BY c.user_id, click_id, purchase_id"""
   )
 }

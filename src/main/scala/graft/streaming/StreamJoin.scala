@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Watermarked STREAM-STREAM interval join — the last core Structured
+  * Streaming shape in the engine's coverage (alongside windowed aggs,
+  * mapGroupsWithState stores, and dedup): click→purchase attribution,
+  * `purchase.ts ∈ [click.ts, click.ts + attributionWindow]` per user.
+  *
+  * Why this exact shape: an inner stream-stream join is only bounded if
+  * BOTH sides carry a watermark and the join condition bounds event time
+  * on both sides — Spark then sizes each side's state to the attribution
+  * window + watermark delay and evicts behind it. Without the time bound
+  * the state is infinite (Spark rejects it in append mode).
+  *
+  * Deterministic for any micro-batch split: an inner join emits a pair
+  * exactly once, whenever both sides have arrived, and the generous
+  * watermark delay guarantees no in-window match is ever evicted early —
+  * so the final appended store equals the batch interval join
+  * bit-for-bit, which is what the `ev2_stream_attribution` gate asserts
+  * against the DuckDB oracle.
+  *
+  * Scale shape: one hash exchange per side on `user_id` (the equi-key);
+  * state per side is O(events inside watermark horizon), not O(stream).
+  */
+object StreamJoin {
+
+  /** The attribution join (works on batch or streaming frames). */
+  def attribution(clicks: DataFrame, purchases: DataFrame,
+                  attributionWindow: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("user_id"),
+      col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val p = purchases.select(col("user_id").as("p_user_id"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+      col("value"))
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $attributionWindow"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("purchase_ts"), col("value"))
+  }
+
+  private val lock = new Object
+
+  /** Run the attribution join as a REAL two-stream job once per sfDir and
+    * return the result store path. The events table is range-split into
+    * chunk files consumed `maxFilesPerTrigger=2`, so clicks and purchases
+    * genuinely arrive across multiple micro-batches and pairs form across
+    * batch boundaries (state-matched), not within one degenerate batch.
+    */
+  def materializedAttributionDir(spark: SparkSession, sfDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/events_attribution_stream")
+    val store = root.resolve("store").toString
+    lock.synchronized {
+      if (!Files.exists(root.resolve("_DONE"))) {
+        val events = graft.ops.Tables(spark, sfDir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        val chunks = root.resolve("chunks").toString
+        events.repartitionByRange(8, col("ts"))
+          .write.mode("overwrite").parquet(chunks)
+        // watermarks demand TIMESTAMP (not NTZ); the session runs UTC so
+        // the cast is a wall-clock no-op, and the gate casts back to NTZ
+        def src() = spark.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", 2).parquet(chunks)
+          .withColumn("ts", col("ts").cast("timestamp"))
+        // watermark delay must cover the attribution window plus chunk
+        // skew, or a late-arriving purchase's click may be evicted; the
+        // fixture spans days, so "2 hours" is generous and still bounds
+        // state
+        val clicks = src().filter(col("event_type") === "click")
+          .withWatermark("ts", "2 hours")
+        val purchases = src().filter(col("event_type") === "purchase")
+          .withWatermark("ts", "2 hours")
+        val q = attribution(clicks, purchases).writeStream
+          .outputMode("append")
+          .option("checkpointLocation", root.resolve("ckpt").toString)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(store)
+          }
+          .start()
+        q.processAllAvailable()
+        q.stop()
+        Files.createFile(root.resolve("_DONE"))
+      }
+    }
+    store
+  }
+}
