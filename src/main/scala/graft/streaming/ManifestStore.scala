@@ -174,9 +174,16 @@ object ManifestStore {
     }
   }
 
+  /** Slots prefixed `__` are table METADATA (e.g. the bucket count a
+    * bucketed table was written with), not data paths — committed
+    * atomically with the data entries but excluded from path resolution.
+    */
+  def isMetaSlot(slot: String): Boolean = slot.startsWith("__")
+
   /** Absolute paths of a snapshot's data directories (slot order). */
   def resolvePaths(root: String, snap: Snapshot): Seq[String] =
-    snap.entries.toSeq.sortBy(_._1).map { case (_, rel) => s"$root/$rel" }
+    snap.entries.toSeq.filterNot(e => isMetaSlot(e._1))
+      .sortBy(_._1).map { case (_, rel) => s"$root/$rel" }
 
   /** Read the latest committed state; empty frame (with `schema`) when no
     * commit exists yet or the latest manifest references no data.

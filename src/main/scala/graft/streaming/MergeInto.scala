@@ -53,6 +53,15 @@ object MergeInto {
         s"multiple source rows match a single target key")
 
     val snap = ManifestStore.latest(spark, root)
+    // the bucket count is part of the table's identity (it determines
+    // which bucket a key hashes to): recorded as manifest metadata on the
+    // first commit, enforced on every later merge — a mismatched merge
+    // would silently put keys in the wrong buckets
+    val n = snap.flatMap(_.entries.get(NumBucketsSlot).map(_.toInt))
+      .getOrElse(numBuckets)
+    require(n == numBuckets,
+      s"table at $root was bucketed with $n buckets; merge requested " +
+        s"$numBuckets — bucket count is immutable after the first commit")
     val bucketed = source
       .withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
     // driver-side metadata collect: ≤ numBuckets ints
@@ -96,8 +105,38 @@ object MergeInto {
     // its entry must be REMOVED, not carried forward
     val entries = snap.map(_.entries).getOrElse(Map.empty[String, String]) --
       touched.map(_.toString) ++
-      touched.filter(written).map(b => b.toString -> s"$rel/__dir=$b")
+      touched.filter(written).map(b => b.toString -> s"$rel/__dir=$b") +
+      (NumBucketsSlot -> numBuckets.toString)
     ManifestStore.commit(spark, root, version, entries)
+  }
+
+  /** Metadata slot recording the table's immutable bucket count. */
+  val NumBucketsSlot = "__numBuckets"
+
+  /** POINT LOOKUP: read ONLY the bucket `key` hashes into —
+    * O(store/numBuckets) I/O instead of a table scan, resolved purely
+    * from the manifest (bucket count metadata + that bucket's entry; no
+    * listing, no other bucket opened). The bucket id is computed with the
+    * same declarative `pmod(hash(key))` the writer used, so engine and
+    * layout can never disagree.
+    */
+  def lookupKey(spark: SparkSession, root: String, keyCol: String,
+                key: Any): DataFrame = {
+    val snap = ManifestStore.latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed table under $root"))
+    val n = snap.entries.getOrElse(NumBucketsSlot,
+      throw new IllegalStateException(
+        s"table at $root has no $NumBucketsSlot metadata")).toInt
+    val bucket = spark.range(1)
+      .select(pmod(hash(lit(key)), lit(n))).head.getInt(0)
+    snap.entries.get(bucket.toString) match {
+      case None => // bucket never written ⇒ key cannot exist
+        MergeInto.readTable(spark, root).limit(0).filter(lit(false))
+      case Some(rel) =>
+        spark.read.option("mergeSchema", "true").parquet(s"$root/$rel")
+          .filter(col(keyCol) === lit(key))
+          .drop("__bucket", "__dir")
+    }
   }
 
   /** Latest table state, schema-merged across evolutions, bookkeeping

@@ -96,6 +96,36 @@ class MergeIntoSpec extends SparkSpec {
     MergeInto.mergeBatch(spark,
       Seq((1L, "", true)).toDF("k", "s", "del"), root, "k", numBuckets = 2,
       deleteCol = Some("del"))
-    assert(ManifestStore.latest(spark, root).get.entries.isEmpty)
+    // only the metadata slot survives — no data entry left
+    assert(ManifestStore.latest(spark, root).get.entries.keySet ==
+      Set(MergeInto.NumBucketsSlot))
+  }
+
+  test("bucket count is immutable after the first commit") {
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    MergeInto.mergeBatch(spark, Seq((1L, "a")).toDF("k", "s"),
+      root, "k", numBuckets = 4)
+    val err = intercept[IllegalArgumentException] {
+      MergeInto.mergeBatch(spark, Seq((2L, "b")).toDF("k", "s"),
+        root, "k", numBuckets = 8)
+    }
+    assert(err.getMessage.contains("immutable"))
+  }
+
+  test("point lookup reads only the key's bucket") {
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    MergeInto.mergeBatch(spark,
+      (0L until 100L).map(i => (i, s"v$i")).toDF("k", "s"),
+      root, "k", numBuckets = 16)
+    val hit = MergeInto.lookupKey(spark, root, "k", 42L)
+    assert(hit.select("k", "s").as[(Long, String)].collect().toSeq ==
+      Seq((42L, "v42")))
+    // plan-level proof: the lookup's scan touches ONE bucket directory
+    val dirs = hit.inputFiles.map(f =>
+      f.substring(0, f.lastIndexOf('/'))).distinct
+    assert(dirs.length == 1 && dirs.head.contains("__dir="),
+      s"lookup read ${dirs.length} bucket dirs: ${dirs.mkString(",")}")
+    // absent key in an existing bucket → empty
+    assert(MergeInto.lookupKey(spark, root, "k", 4242L).count() == 0)
   }
 }
