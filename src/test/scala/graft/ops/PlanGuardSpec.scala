@@ -62,6 +62,10 @@ class PlanGuardSpec extends SparkSpec {
     "sm2_topk_lsh" -> Seq("WindowGroupLimit", "BroadcastHashJoin"),
     "sm4_topk_ivf" -> Seq("WindowGroupLimit", "BroadcastHashJoin"),
     "sm5_topk_kmeans" -> Seq("WindowGroupLimit", "BroadcastHashJoin"),
+    // PQ: codebook joins broadcast; ADC shortlist + final top-k both plan
+    // WindowGroupLimit; the rerank candidate set broadcasts against the
+    // corpus scan (never a shuffle of the corpus)
+    "sm7_topk_pq" -> Seq("WindowGroupLimit", "BroadcastHashJoin"),
     // tf-idf joins per-term docfreq (broadcast scalar + hash join)
     "tx7_tfidf" -> Seq("WindowGroupLimit", "BroadcastHashJoin"),
     // rank-based percentiles: distinct-value window + broadcast totals
@@ -94,6 +98,7 @@ class PlanGuardSpec extends SparkSpec {
     "dd3_simhash_pairs" -> Seq("BroadcastNestedLoopJoin"),
     "dd4_containment_pairs" -> Seq("BroadcastNestedLoopJoin"),
     "sm3_cosine_neardups" -> Seq("BroadcastNestedLoopJoin"),
+    "sm7_topk_pq" -> Seq("BroadcastNestedLoopJoin", "CartesianProduct"),
     "dd5_dup_clusters" -> Seq("BroadcastNestedLoopJoin"),
     // the whole point of bucketing: NO shuffle on either join input
     // (the post-join groupBy exchange is on c_nationkey, not these keys)
