@@ -42,7 +42,9 @@ object CdcQueries {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    val root = Paths.get(s"$base/$key/orders_merge_table")
+    // _v2: v1 tables predate the __numBuckets manifest metadata the
+    // point-lookup gate needs; a fresh root sidesteps stale caches
+    val root = Paths.get(s"$base/$key/orders_merge_table_v2")
     val store = root.resolve("table").toString
     mergeLock.synchronized {
       if (!Files.exists(root.resolve("_DONE"))) {
@@ -220,6 +222,27 @@ object CdcQueries {
     "cdc_merge_into" -> ((s, dir) => {
       graft.streaming.MergeInto
         .readTable(s, mergedOrdersTableDir(s, dir))
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // TIME TRAVEL driver-gated: version 1 of the merge table (committed
+    // BEFORE the update/delete batch) must still read exactly as the
+    // CREATE payloads — the un-vacuumed snapshot survives later commits.
+    "cdc_merge_time_travel" -> ((s, dir) => {
+      graft.streaming.MergeInto
+        .readTableAt(s, mergedOrdersTableDir(s, dir), version = 1L)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // Manifest-resolved POINT LOOKUP driver-gated: one key, one bucket
+    // directory read (plan-proven in MergeIntoSpec); the row must equal
+    // the relational final state for that key. Key 3 is %10==3 → its
+    // latest event is the UPDATE, so the lookup sees the updated payload.
+    "cdc_merge_lookup" -> ((s, dir) => {
+      graft.streaming.MergeInto
+        .lookupKey(s, mergedOrdersTableDir(s, dir), "id", 3L)
         .select(col("id"), col("status"), col("totalprice"))
         .orderBy(col("id"))
     }),
@@ -473,6 +496,34 @@ object CdcQueries {
               WHERE operation_type = 'CREATE') c
         LEFT JOIN b2 b USING (id)
       ) WHERE bop IS NULL OR bop != 'DELETE'
+      ORDER BY id""",
+
+    // Version 1 = the CREATE batch exactly as committed.
+    "cdc_merge_time_travel" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE' ORDER BY id""",
+
+    // Key 3's final state after the two-batch apply (its latest
+    // non-create event is the UPDATE: status 'F', totalprice + 100).
+    "cdc_merge_lookup" -> s"""$changesCte, b2 AS (
+        SELECT id, status, totalprice, operation_type FROM (
+          SELECT id, status, totalprice, operation_type,
+            ROW_NUMBER() OVER (PARTITION BY id
+                               ORDER BY log_seq_num DESC) AS rn
+          FROM changes WHERE operation_type != 'CREATE'
+        ) WHERE rn = 1
+      )
+      SELECT id, status, totalprice FROM (
+        SELECT c.id,
+          CASE WHEN b.id IS NOT NULL THEN b.status ELSE c.status END
+            AS status,
+          CASE WHEN b.id IS NOT NULL THEN b.totalprice ELSE c.totalprice END
+            AS totalprice,
+          b.operation_type AS bop
+        FROM (SELECT id, status, totalprice FROM changes
+              WHERE operation_type = 'CREATE') c
+        LEFT JOIN b2 b USING (id)
+      ) WHERE (bop IS NULL OR bop != 'DELETE') AND id = 3
       ORDER BY id""",
 
     "cdc_snapshot_diff" -> s"""$changesCte, cur AS (
