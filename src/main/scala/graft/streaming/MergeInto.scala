@@ -38,10 +38,19 @@ object MergeInto {
 
   /** @param deleteCol boolean source column marking matched keys for
     *   physical deletion; dropped from the stored rows.
+    * @param updateCols non-empty = `WHEN MATCHED UPDATE SET <cols>`:
+    *   matched target rows take ONLY these columns from the source
+    *   (assigned unconditionally, nulls included, like SQL MERGE) and
+    *   keep every other column; unmatched source rows still insert whole.
+    *   A column not yet in the table widens it (schema evolution). Empty
+    *   (default) = whole-row replace.
     */
   def mergeBatch(spark: SparkSession, source: DataFrame, root: String,
                  keyCol: String, numBuckets: Int = 64,
-                 deleteCol: Option[String] = None): Unit = {
+                 deleteCol: Option[String] = None,
+                 updateCols: Seq[String] = Nil): Unit = {
+    require(!updateCols.contains(keyCol),
+      s"updateCols must not contain the merge key '$keyCol'")
     if (source.isEmpty) return
     // MERGE is ambiguous if the source has two rows for one key: fail like
     // a table format would, not last-row-wins silently. One cheap agg.
@@ -80,13 +89,35 @@ object MergeInto {
         val target = spark.read
           .option("mergeSchema", "true").parquet(touchedPaths: _*)
         // kept = target rows whose key the source doesn't mention at all
-        // (matched rows are either replaced by `upserts` or deleted)
+        // (matched rows are replaced/updated by `upserts` or deleted)
         val kept = target.join(
           broadcast(bucketed.select(col(keyCol))), Seq(keyCol), "left_anti")
+        val incoming =
+          if (updateCols.isEmpty) upserts // whole-row replace + inserts
+          else {
+            // partial update: matched rows take updateCols from the
+            // source, keep the rest; inserts stay whole source rows
+            val srcSel = upserts.select(col(keyCol) +:
+              updateCols.map(c => col(c).as(s"__src_$c")): _*)
+            val tCols = target.columns.toSeq
+            val updated = target.join(broadcast(srcSel), Seq(keyCol))
+              .select(col(keyCol) +: (
+                tCols.filterNot(_ == keyCol).map { c =>
+                  if (updateCols.contains(c)) col(s"__src_$c").as(c)
+                  else col(c)
+                } ++ updateCols.filterNot(tCols.contains)
+                  .map(c => col(s"__src_$c").as(c))): _*)
+            // no broadcast hint: the preserved (left) side is the small
+            // batch, and the target-keys side scales with the touched
+            // buckets — let AQE pick the strategy
+            val inserts = upserts.join(
+              target.select(col(keyCol)), Seq(keyCol), "left_anti")
+            updated.unionByName(inserts, allowMissingColumns = true)
+          }
         // allowMissingColumns both ways = schema evolution: a source with
         // new columns widens kept rows with NULL; a source missing table
         // columns gets NULL for them
-        kept.unionByName(upserts, allowMissingColumns = true)
+        kept.unionByName(incoming, allowMissingColumns = true)
       }
 
     val version = ManifestStore.nextVersion(spark, root)

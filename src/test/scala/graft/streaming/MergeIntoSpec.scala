@@ -101,6 +101,40 @@ class MergeIntoSpec extends SparkSpec {
       Set(MergeInto.NumBucketsSlot))
   }
 
+  test("partial-column update: matched rows keep unlisted columns") {
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a", 10, "keep1"), (2L, "b", 20, "keep2"))
+        .toDF("k", "s", "v", "note"),
+      root, "k", numBuckets = 4)
+    // update ONLY (s, v) for k=1 (note must survive), insert k=3 whole;
+    // the source's note column is ignored for matched rows
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "A", 11, "SHOULD-NOT-LAND"), (3L, "c", 30, "keep3"))
+        .toDF("k", "s", "v", "note"),
+      root, "k", numBuckets = 4, updateCols = Seq("s", "v"))
+    val got = MergeInto.readTable(spark, root)
+      .select("k", "s", "v", "note")
+      .as[(Long, String, Int, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, "A", 11, "keep1"), (2L, "b", 20, "keep2"),
+      (3L, "c", 30, "keep3")))
+  }
+
+  test("partial update with a NEW column widens matched rows only (plus inserts)") {
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root, "k", numBuckets = 2)
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "zzz", 0.9)).toDF("k", "ignored", "score"),
+      root, "k", numBuckets = 2, updateCols = Seq("score"))
+    val got = MergeInto.readTable(spark, root)
+      .select(col("k"), col("s"), col("score"))
+      .as[(Long, String, Option[Double])].collect().sorted.toSeq
+    // k=1 gains score, keeps s (the source's other column never lands);
+    // k=2 untouched, reads null for the new column
+    assert(got == Seq((1L, "a", Some(0.9)), (2L, "b", None)))
+  }
+
   test("bucket count is immutable after the first commit") {
     val root = java.nio.file.Files.createTempDirectory("merge").toString
     MergeInto.mergeBatch(spark, Seq((1L, "a")).toDF("k", "s"),
