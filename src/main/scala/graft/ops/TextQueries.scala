@@ -121,6 +121,15 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"), col("lang_pred"))),
 
+    // EXACT heavy hitters without a full-vocabulary shuffle: per-partition
+    // Misra-Gries candidate summaries + broadcast exact verify — output
+    // provably equals the naive GROUP BY ... HAVING (threshold above the
+    // n/capacity guarantee), which is exactly what the oracle computes.
+    "tx13_heavy_hitters" -> ((s, dir) =>
+      graft.text.HeavyHitters.frequentTokens(
+          Tables(s, dir, "documents"), "text", threshold = 150)
+        .orderBy(col("tok"))),
+
     // PII scrubbing — the redaction pass a training-data pipeline runs
     // before anything ships. The synthetic corpus carries no PII, so a
     // deterministic contact line (email + phone derived from doc_id) is
@@ -153,6 +162,15 @@ object TextQueries {
       SELECT d.lang, $langCaseSql AS lang_pred, COUNT(*) AS n_docs
       FROM scores JOIN documents d USING (doc_id)
       GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "tx13_heavy_hitters" -> raw"""
+      WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+      )
+      SELECT tok, COUNT(*) AS n_occurrences
+      FROM toks GROUP BY tok HAVING COUNT(*) >= 150
+      ORDER BY tok""",
 
     "tx11_pii_redact" -> raw"""
       WITH aug AS (
