@@ -209,18 +209,30 @@ object ManifestStore {
     spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
   }
 
-  /** Reclaim data directories the LATEST manifest no longer references and
-    * all superseded manifests. Explicit maintenance (like a table format's
-    * VACUUM) — never called from the commit path, because a concurrent
-    * reader may still be scanning superseded files; run it when no reader
-    * can hold a snapshot older than the latest commit.
+  /** Reclaim data directories no RETAINED manifest references and all
+    * manifests older than the retention window. Explicit maintenance
+    * (like a table format's VACUUM ... RETAIN) — never called from the
+    * commit path, because a concurrent reader may still be scanning
+    * superseded files; run it when no reader can hold a snapshot older
+    * than the retention cutoff.
+    *
+    * @param keepVersions how many newest committed versions stay
+    *   time-travelable (default 1 = latest only, the original behavior).
     */
-  def vacuum(spark: SparkSession, root: String): Unit = {
+  def vacuum(spark: SparkSession, root: String,
+             keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1, "must retain at least the latest version")
     latest(spark, root).foreach { snap =>
       val f = fs(spark, root)
-      val live: Set[String] =
-        snap.entries.values.map(rel => new Path(s"$root/$rel").toUri.getPath)
-          .toSet
+      val keptVersions = versions(spark, root).takeRight(keepVersions)
+      val cutoff = keptVersions.min
+      val live: Set[String] = keptVersions
+        .flatMap(v => snapshotAt(spark, root, v))
+        .flatMap(_.entries.collect {
+          case (slot, rel) if !isMetaSlot(slot) =>
+            new Path(s"$root/$rel").toUri.getPath
+        })
+        .toSet
       val dd = dataDir(root)
       if (f.exists(dd)) f.listStatus(dd).foreach { vdir =>
         // a version dir is live if any live path sits under (or is) it
@@ -240,7 +252,7 @@ object ManifestStore {
       val md = manifestDir(root)
       f.listStatus(md).foreach { st =>
         st.getPath.getName match {
-          case ManifestName(v) if v.toLong < snap.version =>
+          case ManifestName(v) if v.toLong < cutoff =>
             f.delete(st.getPath, false)
           case _ => ()
         }

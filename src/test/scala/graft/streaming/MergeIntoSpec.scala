@@ -81,12 +81,17 @@ class MergeIntoSpec extends SparkSpec {
     assert(at(1L) == Seq((1L, "a")))
     assert(at(2L) == Seq((1L, "b"), (2L, "c")))
     assert(at(3L) == Seq((2L, "c")))
-    // vacuum keeps only the latest version readable
-    ManifestStore.vacuum(spark, root)
-    assert(ManifestStore.versions(spark, root) == Seq(3L))
+    // retention vacuum: keep the last TWO versions time-travelable
+    ManifestStore.vacuum(spark, root, keepVersions = 2)
+    assert(ManifestStore.versions(spark, root) == Seq(2L, 3L))
+    assert(at(2L) == Seq((1L, "b"), (2L, "c")))
     assert(at(3L) == Seq((2L, "c")))
     assert(intercept[IllegalStateException](at(1L))
       .getMessage.contains("vacuumed or never written"))
+    // then tighten to latest-only (the default)
+    ManifestStore.vacuum(spark, root)
+    assert(ManifestStore.versions(spark, root) == Seq(3L))
+    assert(at(3L) == Seq((2L, "c")))
   }
 
   test("delete-to-empty removes the bucket's manifest entry") {
