@@ -60,4 +60,44 @@ object BucketedUpsert {
       touched.map(b => b.toString -> s"$rel/__dir=$b")
     ManifestStore.commit(spark, root, version, entries)
   }
+
+  /** Physical tombstone reclamation — the maintenance rewrite the upsert
+    * path deliberately never does (see the object doc: tombstones stay in
+    * the store so late lower-order replays can't resurrect a key).
+    *
+    * Drops tombstone rows whose `orderCol` is BELOW `horizon` — i.e. the
+    * upstream can no longer replay anything that old, so the tombstone
+    * has finished its job — and keeps younger tombstones guarding. One
+    * full rewrite committed as a new version (all buckets; this is the
+    * scheduled compaction pass, not a per-batch cost), after which a
+    * [[ManifestStore.vacuum]] reclaims the superseded files.
+    *
+    * @param tombstoneCol boolean column marking tombstones (e.g. `deleted`)
+    */
+  def purgeTombstones(spark: SparkSession, root: String,
+                      tombstoneCol: String, orderCol: String,
+                      horizon: Long): Unit = {
+    val snap = ManifestStore.latest(spark, root).getOrElse(return)
+    val paths = ManifestStore.resolvePaths(root, snap)
+    if (paths.isEmpty) return
+    val kept = spark.read.parquet(paths: _*)
+      .filter(!coalesce(col(tombstoneCol), lit(false)) ||
+        col(orderCol) >= horizon)
+    val version = ManifestStore.nextVersion(spark, root)
+    val rel = ManifestStore.dataRel(version)
+    val written: Set[Int] =
+      if (kept.isEmpty) Set.empty // the whole store purged to nothing
+      else {
+        kept.withColumn("__dir", col("__bucket"))
+          .write.mode("errorifexists").partitionBy("__dir")
+          .parquet(s"$root/$rel")
+        spark.read.parquet(s"$root/$rel")
+          .select("__dir").distinct().collect().map(_.getInt(0)).toSet
+      }
+    val dataSlots = snap.entries.keys
+      .filterNot(ManifestStore.isMetaSlot).toSeq
+    val entries = snap.entries -- dataSlots ++
+      written.map(b => b.toString -> s"$rel/__dir=$b")
+    ManifestStore.commit(spark, root, version, entries)
+  }
 }

@@ -55,4 +55,30 @@ class BucketedUpsertSpec extends SparkSpec {
     assert(changed.size == 1)
     assert(before.keySet == after.keySet)
   }
+
+  test("purgeTombstones drops only tombstones behind the replay horizon") {
+    val root = tmp()
+    upsert(root, Seq(row(1, "a1", 10), row(2, "b1", 11), row(3, "c1", 12)))
+    // delete keys 1 and 2 at lsn 20/40; key 3 stays live
+    upsert(root, Seq(row(1, "DEL", 20, deleted = true),
+      row(2, "DEL", 40, deleted = true)))
+
+    // horizon 30: key 1's tombstone (lsn 20) is unreplayable -> purged;
+    // key 2's (lsn 40) still guards; key 3 untouched
+    BucketedUpsert.purgeTombstones(spark, root, "deleted", "lsn",
+      horizon = 30L)
+    val s1 = state(root)
+    assert(!s1.contains(1L), s"purged tombstone resurfaced: $s1")
+    assert(s1(2L) == (("DEL", 40L, true)))
+    assert(s1(3L) == (("c1", 12L, false)))
+
+    // the surviving tombstone still wins against a late replay below it
+    upsert(root, Seq(row(2, "late-replay", 35)))
+    assert(state(root)(2L) == (("DEL", 40L, true)))
+
+    // but key 1 was purged PAST the horizon, so nothing blocks a genuine
+    // re-create above it
+    upsert(root, Seq(row(1, "recreated", 50)))
+    assert(state(root)(1L) == (("recreated", 50L, false)))
+  }
 }
