@@ -115,7 +115,8 @@ object Bench {
       val lsh = r(pairs(Similarity.lshTopK(q, emb, 5)))
       val km = r(pairs(Similarity.kmeansIvfTopK(q, emb, 5)))
       val pq = r(pairs(Similarity.pqTopK(q, emb, 5, 16, 16)))
-      s"""{"ivf":$ivf,"lsh":$lsh,"kmeans":$km,"pq":$pq}"""
+      val ivfpq = r(pairs(Similarity.ivfPqTopK(q, emb, 5, 16, 16)))
+      s"""{"ivf":$ivf,"lsh":$lsh,"kmeans":$km,"pq":$pq,"ivfpq":$ivfpq}"""
     } catch { case _: Throwable => "{}" }
 
     val budget = 1500

@@ -28,6 +28,8 @@ object SimQueries {
   private val PqIters = 2
   private val PqSubDim = Dim / PqM
   private val PqRerank = 64
+  private val IvfPqCentroids = 64
+  private val IvfPqProbe = 8
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -103,6 +105,19 @@ object SimQueries {
       val e = emb(s, dir)
       Similarity.pqTopK(e.filter(col("id") < NQueries), e, K,
           m = 16, codebookSize = 16, iters = 2, dim = Dim, rerank = PqRerank)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF-PQ composition (the FAISS IVFPQ shape): the stride coarse
+    // quantizer restricts each query to its 8 nearest cells' vectors, PQ
+    // ADC scores only those candidates, exact rerank of the shortlist.
+    // Fully oracled — the entire composition is mirrored as DuckDB CTEs.
+    "sm8_topk_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqTopK(e.filter(col("id") < NQueries), e, K,
+          m = 16, codebookSize = 16, iters = 2, dim = Dim,
+          numCentroids = IvfPqCentroids, nProbe = IvfPqProbe,
+          rerank = PqRerank)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -278,6 +293,8 @@ object SimQueries {
 
     "sm7_topk_pq" -> pqSql,
 
+    "sm8_topk_ivfpq" -> ivfPqSql,
+
     "sm6_label_cohesion" -> s"""
       WITH ex AS (
         SELECT vec_id, label,
@@ -368,13 +385,13 @@ object SimQueries {
         ) m ON p.sub = m.sub AND p.code = m.code
       )"""
 
-  /** Full mirror of `Similarity.pqTopK(m=$PqM, codebookSize=$PqCodebook,
-    * iters=$PqIters)`: subspace explode → stride seed → $PqIters vectorized
-    * Lloyd rounds → encode argmax → quantized ADC tables → sum-of-lookups
-    * scoring. Every multi-term double sum is grid-quantized on both sides,
-    * so the chain is engine-exact end to end.
+  /** The PQ machinery CTEs shared by the flat-PQ (sm7) and IVF-PQ (sm8)
+    * mirrors: subspace explode → stride seed → $PqIters vectorized Lloyd
+    * rounds → encode argmax → quantized ADC tables. Every multi-term
+    * double sum is grid-quantized on both sides, so the chain is
+    * engine-exact end to end.
     */
-  private def pqSql: String = s"""
+  private def pqCommonCtes: String = s"""
       WITH pq_csubs AS (
         SELECT e.vec_id AS corpus_id, s.sub,
           list_slice(e.embedding, s.sub * $PqSubDim + 1,
@@ -426,12 +443,12 @@ object SimQueries {
         FROM qsubs q
         JOIN qnorms n ON q.query_id = n.query_id
         JOIN codebooks b ON q.sub = b.sub
-      ), agg AS (
-        SELECT t.query_id, t.qn, c.corpus_id,
-          SUM(t.pd) AS sd, COUNT(*) AS nparts
-        FROM codes c JOIN adc t ON c.sub = t.sub AND c.code = t.code
-        GROUP BY 1, 2, 3
-      ), scored AS (
+      )"""
+
+  /** ADC-rank + exact-rerank tail shared by sm7/sm8; reads CTE `agg`
+    * (query_id, qn, corpus_id, sd, nparts).
+    */
+  private def pqRankTail: String = s""", scored AS (
         SELECT query_id, corpus_id, sd / (qn * xn) AS approx_cos
         FROM agg JOIN cnorm USING (corpus_id)
         WHERE nparts = $PqM AND query_id != corpus_id
@@ -455,4 +472,58 @@ object SimQueries {
       )
       SELECT query_id, corpus_id, cos, rank FROM reranked
       WHERE rank <= $K ORDER BY query_id, rank"""
+
+  /** Full mirror of `Similarity.pqTopK`: flat PQ — every corpus vector
+    * is an ADC candidate.
+    */
+  private def pqSql: String = s"""$pqCommonCtes, agg AS (
+        SELECT t.query_id, t.qn, c.corpus_id,
+          SUM(t.pd) AS sd, COUNT(*) AS nparts
+        FROM codes c JOIN adc t ON c.sub = t.sub AND c.code = t.code
+        GROUP BY 1, 2, 3
+      )$pqRankTail"""
+
+  /** Full mirror of `Similarity.ivfPqTopK`: the stride coarse quantizer
+    * (sm4's shape) restricts candidates to each query's $IvfPqProbe
+    * nearest cells; ADC scores only candidate pairs.
+    */
+  private def ivfPqSql: String = s"""$pqCommonCtes, cents AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+        WHERE vec_id % greatest(CAST(ceil(
+          (SELECT COUNT(*) FROM embeddings) / $IvfPqCentroids.0) AS BIGINT),
+          1) = 0
+      ), corpus_cells AS (
+        SELECT corpus_id, centroid_id FROM (
+          SELECT corpus_id, centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY corpus_id
+                               ORDER BY cs DESC, centroid_id) AS cr
+          FROM (
+            SELECT c.vec_id AS corpus_id, ct.centroid_id,
+              ${cosSql("c.embedding", "ct.cvec")} AS cs
+            FROM embeddings c, cents ct
+          )
+        ) WHERE cr = 1
+      ), query_cells AS (
+        SELECT query_id, centroid_id FROM (
+          SELECT query_id, centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cs DESC, centroid_id) AS cr
+          FROM (
+            SELECT q.vec_id AS query_id, ct.centroid_id,
+              ${cosSql("q.embedding", "ct.cvec")} AS cs
+            FROM embeddings q, cents ct WHERE q.vec_id < $NQueries
+          )
+        ) WHERE cr <= $IvfPqProbe
+      ), cand AS (
+        SELECT query_id, corpus_id
+        FROM corpus_cells JOIN query_cells USING (centroid_id)
+      ), agg AS (
+        SELECT t.query_id, t.qn, c.corpus_id,
+          SUM(t.pd) AS sd, COUNT(*) AS nparts
+        FROM codes c
+        JOIN cand ca ON c.corpus_id = ca.corpus_id
+        JOIN adc t ON t.query_id = ca.query_id
+          AND c.sub = t.sub AND c.code = t.code
+        GROUP BY 1, 2, 3
+      )$pqRankTail"""
 }

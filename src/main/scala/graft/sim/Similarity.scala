@@ -338,6 +338,79 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 8, codebookSize: Int = 32, iters: Int = 2,
       dim: Int = 64, rerank: Int = 64): DataFrame = {
+    val (codes, cnorm, table) =
+      pqIndex(queries, corpus, m, codebookSize, iters, dim)
+    // score: sum of m lookups per (query, corpus vector) — every corpus
+    // vector is a candidate (flat PQ; see ivfPqTopK for the cell-restricted
+    // composition)
+    val scored = codes.join(broadcast(table), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("qn"), col("corpus_id"))
+      .agg(sum(col("pd")).as("sd"), count(lit(1)).as("nparts"))
+    pqRank(scored, cnorm, queries, corpus, k, m, rerank)
+  }
+
+  /** IVF-PQ — the production ANN composition (FAISS's IVFPQ shape): the
+    * stride coarse quantizer restricts each query to the corpus vectors in
+    * its `nProbe` nearest cells, and PQ/ADC scores ONLY those candidates —
+    * so per-query scoring work is O(candidates · m) integer-keyed lookups
+    * instead of O(corpus · m), on top of PQ's memory compression. The
+    * exact-rerank tail then rescores the ADC shortlist.
+    *
+    * Scale shape: both restriction joins broadcast SMALL sides (the
+    * centroid set, the query cell list, the candidate pair set); the
+    * corpus-sized code table is touched once, filtered by the broadcast
+    * candidate ids. Deterministic end-to-end like its two parents —
+    * the sm8 gate mirrors the whole composition in DuckDB.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 8, codebookSize: Int = 32, iters: Int = 2, dim: Int = 64,
+      numCentroids: Int = -1, nProbe: Int = -1,
+      rerank: Int = 64): DataFrame = {
+    // -1 = auto, same dial as ivfTopK: sqrt(n) cells, ~1/8 probed
+    val c = if (numCentroids > 0) numCentroids
+      else autoCentroids(corpus.count(), cap = 65536)
+    val p = if (nProbe > 0) nProbe else autoProbes(c)
+    val centroids = strideCentroids(corpus, c)
+      .withColumn("cn", norm(col("cvec")))
+    def cells(side: DataFrame, idAs: String, vecAs: String, probes: Int) = {
+      val scored = side.crossJoin(broadcast(centroids))
+        .withColumn("__cs", dot(col(vecAs), col("cvec"))
+          / (norm(col(vecAs)) * col("cn")))
+      val w = Window.partitionBy(col(idAs))
+        .orderBy(col("__cs").desc, col("centroid_id"))
+      scored.withColumn("__cr", row_number().over(w))
+        .filter(col("__cr") <= probes)
+        .select(col(idAs), col("centroid_id"))
+    }
+    val corpusCells = cells(
+      corpus.select(col("id").as("corpus_id"), col("vec").as("cv")),
+      "corpus_id", "cv", 1)
+    val queryCells = cells(
+      queries.select(col("id").as("query_id"), col("vec").as("qv")),
+      "query_id", "qv", p)
+    // candidate pairs: corpus vector sits in one of the query's probed
+    // cells; unique per (query, corpus) since a corpus vector has ONE cell
+    val cand = corpusCells.join(broadcast(queryCells), Seq("centroid_id"))
+      .select(col("query_id"), col("corpus_id"))
+
+    val (codes, cnorm, table) =
+      pqIndex(queries, corpus, m, codebookSize, iters, dim)
+    val scored = codes.join(broadcast(cand), Seq("corpus_id"))
+      .join(broadcast(table), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("qn"), col("corpus_id"))
+      .agg(sum(col("pd")).as("sd"), count(lit(1)).as("nparts"))
+    pqRank(scored, cnorm, queries, corpus, k, m, rerank)
+  }
+
+  /** Shared PQ machinery: train the `m` codebooks, encode the corpus, and
+    * precompute the queries' ADC lookup tables.
+    * Returns (codes (corpus_id, sub, code, cwn2),
+    *          cnorm (corpus_id, xn),
+    *          table (query_id, qn, sub, code, pd)).
+    */
+  private def pqIndex(queries: DataFrame, corpus: DataFrame,
+      m: Int, codebookSize: Int, iters: Int,
+      dim: Int): (DataFrame, DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
 
@@ -420,13 +493,18 @@ object Similarity {
       .select(col("query_id"), col("qn"), col("sub"), col("code"),
         (floor(dot(col("sv"), col("cw")) * CentroidGrid) / CentroidGrid)
           .as("pd"))
+    (codes, cnorm, table)
+  }
 
-    // score: sum of m lookups per (query, corpus vector)
+  /** Shared PQ tail: ADC ranking of the scored pairs + optional exact
+    * rerank. `scored`: (query_id, qn, corpus_id, sd, nparts).
+    */
+  private def pqRank(scored: DataFrame, cnorm: DataFrame,
+      queries: DataFrame, corpus: DataFrame,
+      k: Int, m: Int, rerank: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cos").desc, col("corpus_id"))
-    val adcRanked = codes.join(broadcast(table), Seq("sub", "code"))
-      .groupBy(col("query_id"), col("qn"), col("corpus_id"))
-      .agg(sum(col("pd")).as("sd"), count(lit(1)).as("nparts"))
+    val adcRanked = scored
       .filter(col("nparts") === m && col("query_id") =!= col("corpus_id"))
       .join(cnorm, Seq("corpus_id"))
       .withColumn("approx_cos", col("sd") / (col("qn") * col("xn")))

@@ -38,6 +38,7 @@ object RecallTune {
     m("lsh DEFAULTS")(Similarity.lshTopK(q, emb, 5))
     m("kmeans DEFAULTS")(Similarity.kmeansIvfTopK(q, emb, 5))
     m("pq DEFAULTS (rerank)")(Similarity.pqTopK(q, emb, 5, 16, 16))
+    m("ivfpq DEFAULTS")(Similarity.ivfPqTopK(q, emb, 5, 16, 16))
     for (c <- Seq(256, 64, 45); np <- Seq(2, 4, 8, 16))
       m(s"ivf c=$c probe=$np")(Similarity.ivfTopK(q, emb, 5, c, np))
     for (p <- Seq(4, 3); mp <- Seq(true, false))

@@ -150,5 +150,11 @@ class SimilaritySpec extends SparkSpec {
     val pq = pairs(Similarity.pqTopK(q, emb, 5, m = 16, codebookSize = 16))
     val recall = (pq & bf).size.toDouble / bf.size
     assert(recall >= 0.5, s"PQ default (reranked) recall regressed: $recall")
+    // IVF-PQ composition at auto defaults (sqrt(n) cells, ~1/8 probed,
+    // rerank): measured 0.66 at sf0.001, 0.56 at sf0.1
+    val ivfpq = pairs(Similarity.ivfPqTopK(q, emb, 5, m = 16,
+      codebookSize = 16))
+    val ipRecall = (ivfpq & bf).size.toDouble / bf.size
+    assert(ipRecall >= 0.5, s"IVF-PQ default recall regressed: $ipRecall")
   }
 }
