@@ -87,4 +87,26 @@ object IncrementalDedupStream {
   def readStore(spark: SparkSession, storeDir: String,
                 schemaFrom: DataFrame): DataFrame =
     ManifestStore.readOrEmpty(spark, storeDir, schemaFrom.schema)
+
+  /** Segment compaction — the maintenance pass an append-only store needs:
+    * a long-running writer leaves one segment per micro-batch, and every
+    * dedup join re-opens all of them. Rewrites the current state as ONE
+    * segment committed atomically (readers concurrent with the compaction
+    * keep their snapshot; a crash leaves an invisible orphan, exactly like
+    * an interrupted append). Rows are untouched — same survivors, fewer
+    * files. Run it on a schedule; [[ManifestStore.vacuum]] reclaims the
+    * superseded segment files afterwards.
+    */
+  def compactSegments(spark: SparkSession, storeDir: String): Unit = {
+    val snap = ManifestStore.latest(spark, storeDir).getOrElse(return)
+    val dataSlots = snap.entries.keys
+      .filterNot(ManifestStore.isMetaSlot).toSeq
+    if (dataSlots.size <= 1) return // nothing to merge
+    val all = ManifestStore.read(spark, storeDir)
+    val version = ManifestStore.nextVersion(spark, storeDir)
+    val rel = ManifestStore.dataRel(version)
+    all.write.mode("errorifexists").parquet(s"$storeDir/$rel")
+    val entries = snap.entries -- dataSlots + (f"seg$version%020d" -> rel)
+    ManifestStore.commit(spark, storeDir, version, entries)
+  }
 }

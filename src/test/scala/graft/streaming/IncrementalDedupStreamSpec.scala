@@ -51,4 +51,30 @@ class IncrementalDedupStreamSpec extends SparkSpec {
     assert(Dedup.nearDuplicatePairs(streamed, "text", "doc_id", Tau)
       .count() == 0)
   }
+
+  test("segment compaction preserves rows and collapses to one segment") {
+    import java.nio.file.Files
+    val storeDir = Files.createTempDirectory("graft_compact").toString + "/store"
+    // three appends of disjoint docs -> three committed segments
+    (0 until 3).foreach { b =>
+      IncrementalDedupStream.appendBatch(
+        (0 until 5).map(i => (b * 100L + i, s"batch $b unique doc $i with enough tokens to shingle properly " + i))
+          .toDF("doc_id", "text"),
+        storeDir, "text", "doc_id", Tau, 5, 8, 2)
+    }
+    val before = ManifestStore.read(spark, storeDir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val segsBefore = ManifestStore.latest(spark, storeDir).get.entries.size
+    assert(segsBefore == 3)
+
+    IncrementalDedupStream.compactSegments(spark, storeDir)
+    val after = ManifestStore.read(spark, storeDir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(after == before)
+    assert(ManifestStore.latest(spark, storeDir).get.entries.size == 1)
+    // idempotent: a second compaction is a no-op (single segment already)
+    val v = ManifestStore.latest(spark, storeDir).get.version
+    IncrementalDedupStream.compactSegments(spark, storeDir)
+    assert(ManifestStore.latest(spark, storeDir).get.version == v)
+  }
 }
