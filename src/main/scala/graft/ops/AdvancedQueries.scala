@@ -622,6 +622,24 @@ object AdvancedQueries {
           percent_rank().over(w).as("pct_rank"),
           cume_dist().over(w).as("cume"))
         .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Zone-map data skipping: a 3-day range query against the range-CLUSTERED
+    // events table. Planning resolves the manifest's per-segment min/max and
+    // opens only the overlapping segments (≈3 of 16 at every SF); the oracle
+    // recomputes the same aggregate from the flat parquet — pruning must be a
+    // pure physical optimization, row-for-row invisible in the result.
+    "zm1_clustered_prune" -> ((s, dir) => {
+      val root = graft.streaming.ClusteredTable.materializedEventsDir(s, dir)
+      val lo = java.time.LocalDateTime.of(2024, 1, 10, 0, 0, 0)
+      val hi = java.time.LocalDateTime.of(2024, 1, 12, 23, 59, 59)
+      graft.streaming.ClusteredTable.rangeScan(s, root, Some(lo), Some(hi))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_value"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -1026,6 +1044,17 @@ object AdvancedQueries {
         ON c.user_id = p.user_id
         AND c.event_type = 'click' AND p.event_type = 'purchase'
         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
-      ORDER BY c.user_id, click_id, purchase_id"""
+      ORDER BY c.user_id, click_id, purchase_id""",
+
+    // The zone-map-pruned range scan must equal the flat-parquet filter.
+    "zm1_clustered_prune" -> """
+      SELECT event_type, COUNT(*) AS n_events,
+        COUNT(DISTINCT user_id) AS n_users,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+          AS sum_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts <= TIMESTAMP '2024-01-12 23:59:59'
+      GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Zone-map clustering invariants: pruning is a pure physical optimization
+  * (rangeScan ≡ full-scan filter on every probe), the pruning decision is
+  * manifest-only and actually skips segments, and the encoded zone values
+  * survive hostile data (tabs/newlines in string bounds, all-null segments).
+  */
+class ClusteredTableSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshRoot() =
+    Files.createTempDirectory("graft-clustered").toString + "/t"
+
+  test("rangeScan equals full-scan filter and prunes segments (long key)") {
+    val root = freshRoot()
+    val df = spark.range(0, 10000).toDF("k")
+      .withColumn("payload", col("k") * 7)
+    ClusteredTable.write(spark, df, root, "k", numSegments = 16)
+
+    // narrow range: a 16-segment layout over 0..9999 gives ~625-wide
+    // slices; [3000, 3400] can overlap at most 2-3 of them
+    val segs = ClusteredTable.resolveSegments(spark, root, Some(3000L), Some(3400L))
+    assert(segs.nonEmpty && segs.size <= 3,
+      s"expected <=3 overlapping segments, got $segs")
+
+    val pruned = ClusteredTable.rangeScan(spark, root, Some(3000L), Some(3400L))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (3000L to 3400L).map(k => (k, k * 7))
+    assert(pruned.toSeq == expected)
+  }
+
+  test("open-ended bounds and miss ranges") {
+    val root = freshRoot()
+    ClusteredTable.write(spark,
+      spark.range(0, 1000).toDF("k"), root, "k", numSegments = 8)
+
+    // hi-only: everything <= 99
+    assert(ClusteredTable.rangeScan(spark, root, None, Some(99L))
+      .count() == 100)
+    // lo-only: everything >= 900
+    assert(ClusteredTable.rangeScan(spark, root, Some(900L), None)
+      .count() == 100)
+    // a range entirely above the table resolves ZERO segments and an
+    // empty (but correctly-typed) frame
+    assert(ClusteredTable.resolveSegments(spark, root,
+      Some(5000L), Some(6000L)).isEmpty)
+    val empty = ClusteredTable.rangeScan(spark, root, Some(5000L), Some(6000L))
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("k"))
+  }
+
+  test("string cluster column with hostile bytes; nulls never match") {
+    val root = freshRoot()
+    val rows = Seq("alpha", "bravo", "tab\there", "line\nbreak", null,
+      "zulu", "mike").map(Tuple1(_))
+    ClusteredTable.write(spark, rows.toDF("name"), root, "name",
+      numSegments = 2)
+
+    val got = ClusteredTable.rangeScan(spark, root, Some("a"), Some("n"))
+      .as[String].collect().sorted
+    assert(got.toSeq == Seq("alpha", "bravo", "line\nbreak", "mike"))
+    // full-range scan still excludes NULL (range predicates never match it)
+    assert(ClusteredTable.rangeScan(spark, root, Some(""), None).count() == 6)
+    // the raw table retains the null row
+    assert(ClusteredTable.readTable(spark, root).count() == 7)
+  }
+
+  test("all-null segment is skippable; timestamp_ntz bounds round-trip") {
+    val root = freshRoot()
+    val df = spark.range(0, 100).toDF("i")
+      .withColumn("ts", when(col("i") < 50,
+        timestamp_micros(col("i") * 1000000L).cast("timestamp_ntz")))
+    // 4 range partitions: NULLs sort first, so segment 0 is all-null
+    ClusteredTable.write(spark, df, root, "ts", numSegments = 4)
+
+    val lo = java.time.LocalDateTime.ofEpochSecond(10, 0, java.time.ZoneOffset.UTC)
+    val hi = java.time.LocalDateTime.ofEpochSecond(20, 0, java.time.ZoneOffset.UTC)
+    val segs = ClusteredTable.resolveSegments(spark, root, Some(lo), Some(hi))
+    val all = ClusteredTable.resolveSegments(spark, root, None, None)
+    assert(segs.size < all.size, s"expected pruning, got $segs of $all")
+    assert(ClusteredTable.rangeScan(spark, root, Some(lo), Some(hi))
+      .count() == 11) // seconds 10..20 inclusive
+  }
+
+  test("the zm1 gate's events table prunes to a minority of segments " +
+       "and the residual filter reaches the parquet scan") {
+    val root = ClusteredTable.materializedEventsDir(spark, sfDir)
+    val lo = java.time.LocalDateTime.of(2024, 1, 10, 0, 0, 0)
+    val hi = java.time.LocalDateTime.of(2024, 1, 12, 23, 59, 59)
+    val segs = ClusteredTable.resolveSegments(spark, root, Some(lo), Some(hi))
+    val all = ClusteredTable.resolveSegments(spark, root, None, None)
+    assert(all.size >= 8, s"fixture should have many segments, got $all")
+    // 3 days of a 30-day span across 16 segments: at most 4 survive
+    assert(segs.nonEmpty && segs.size <= 4,
+      s"3/30-day range should prune to <=4 of ${all.size} segments, got $segs")
+
+    // two-tier skipping: the residual lands in PushedFilters for row-group
+    // pruning inside the kept segments
+    val plan = ClusteredTable.rangeScan(spark, root, Some(lo), Some(hi))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("GreaterThanOrEqual(ts"),
+      s"expected ts bounds pushed to the scan:\n$plan")
+  }
+}
