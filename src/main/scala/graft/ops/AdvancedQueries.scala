@@ -624,6 +624,37 @@ object AdvancedQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Fuzzy (edit-distance) join with FastSS deletion-neighborhood blocking:
+    // a deterministic typo is derived from every part-name word (one char
+    // deleted at a hash-picked position) and matched back against the vocab
+    // at Levenshtein distance <= 1. The blocking trick: two strings within
+    // distance 1 always share a member of their single-deletion
+    // neighborhoods (incl. the string itself), so candidate generation is a
+    // plain EQUI-join on exploded variants — O(len) variants per word, a
+    // hash join Spark can shuffle/broadcast like any other, never the
+    // all-pairs nested loop a raw `levenshtein(a,b) <= 1` predicate forces.
+    // The exact distance then verifies the few candidates.
+    "q42_fuzzy_join" -> ((s, dir) => {
+      val words = Tables(s, dir, "part")
+        .select(explode(split(lower(col("p_name")), " ")).as("w")).distinct()
+      val typos = words.filter(length(col("w")) >= 4)
+        .withColumn("pos",
+          (graft.functions.Hash60(concat(lit("typo:"), col("w")))
+            % length(col("w")).cast("long")).cast("int") + 1)
+        .selectExpr("concat(substring(w, 1, pos - 1), " +
+          "substring(w, pos + 1, length(w))) AS q")
+        .distinct()
+      def delVars(df: DataFrame, c: String) = df.selectExpr(c,
+        s"explode(concat(array($c), transform(sequence(1, length($c)), " +
+          s"i -> concat(substring($c, 1, i - 1), " +
+          s"substring($c, i + 1, length($c)))))) AS v")
+      delVars(typos, "q").join(delVars(words, "w"), Seq("v"))
+        .select(col("q"), col("w")).distinct()
+        .withColumn("dist", levenshtein(col("q"), col("w")).cast("long"))
+        .filter(col("dist") <= 1)
+        .orderBy(col("q"), col("w"))
+    }),
+
     // Zone-map data skipping: a 3-day range query against the range-CLUSTERED
     // events table. Planning resolves the manifest's per-segment min/max and
     // opens only the overlapping segments (≈3 of 16 at every SF); the oracle
@@ -1045,6 +1076,35 @@ object AdvancedQueries {
         AND c.event_type = 'click' AND p.event_type = 'purchase'
         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
       ORDER BY c.user_id, click_id, purchase_id""",
+
+    // Same deletion-neighborhood candidate join; DuckDB's levenshtein is
+    // the same classic DP distance as Spark's.
+    "q42_fuzzy_join" -> """
+      WITH words AS (
+        SELECT DISTINCT unnest(string_split(lower(p_name), ' ')) AS w
+        FROM part
+      ), typos AS (
+        SELECT DISTINCT substr(w, 1, pos - 1) || substr(w, pos + 1, length(w))
+          AS q
+        FROM (
+          SELECT w, CAST(('0x' || substr(md5('typo:' || w), 1, 15))::BIGINT
+            % length(w) AS INT) + 1 AS pos
+          FROM words WHERE length(w) >= 4)
+      ), wv AS (
+        SELECT w, unnest(list_append(list_transform(
+          generate_series(1, length(w)),
+          i -> substr(w, 1, i - 1) || substr(w, i + 1, length(w))), w)) AS v
+        FROM words
+      ), qv AS (
+        SELECT q, unnest(list_append(list_transform(
+          generate_series(1, length(q)),
+          i -> substr(q, 1, i - 1) || substr(q, i + 1, length(q))), q)) AS v
+        FROM typos
+      )
+      SELECT q, w, CAST(levenshtein(q, w) AS BIGINT) AS dist
+      FROM (SELECT DISTINCT q.q, wv.w FROM qv q JOIN wv ON q.v = wv.v) t(q, w)
+      WHERE levenshtein(q, w) <= 1
+      ORDER BY q, w""",
 
     // The zone-map-pruned range scan must equal the flat-parquet filter.
     "zm1_clustered_prune" -> """

@@ -127,6 +127,39 @@ object CorpusQueries {
         .select(col("doc_id"), col("quality"), col("bucket"))
         .orderBy(col("doc_id"))),
 
+    // Temperature-rebalanced domain mixture (the multilingual-LM α=0.5
+    // recipe): per-domain keep rates ∝ sqrt(domain size), normalized to
+    // retain half the corpus, applied as the same deterministic hash-bucket
+    // filter as cur6. sqrt on integer counts is correctly rounded in every
+    // IEEE engine, the weight sum is exact (weights floor-quantized to the
+    // 2^20 grid, summed as integers), and the rate arithmetic is written in
+    // one fixed association order on both sides — so the sampled set is
+    // bit-reproducible cross-engine. Shape: domain stats are a tiny agg
+    // broadcast back over the scan; the filter itself is scan-side, no
+    // shuffle of the corpus at any scale.
+    "cur8_domain_mixture" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+        .withColumn("wq",
+          floor(sqrt(col("c").cast("double")) * (1L << 20)).cast("long"))
+      val tot = counts.agg(sum(col("c")).as("n"), sum(col("wq")).as("sumw"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .withColumn("rate", least(lit(1.0),
+          lit(0.5) * col("n") * col("wq") / col("sumw") / col("c")))
+      val kept = docs
+        .join(broadcast(rates.select(col("source"), col("rate"))), Seq("source"))
+        .withColumn("bucket",
+          Hash60(concat(lit("mix8:"), col("doc_id").cast("string")))
+            % (1L << 20))
+        .filter(col("bucket") < floor(col("rate") * (1L << 20)))
+        .groupBy(col("source")).agg(count(lit(1)).as("kept"))
+      rates.join(kept, Seq("source"), "left")
+        .select(col("source"), col("c").as("n_docs"),
+          coalesce(col("kept"), lit(0L)).as("kept"),
+          (floor(col("rate") * (1L << 20)) / lit(1048576.0)).as("rate_q"))
+        .orderBy(col("source"))
+    }),
+
     // Boilerplate fraction (CCNet-style): the share of a document's
     // distinct 3-gram shingles that are corpus-common (df ≥ 20% of docs).
     // Explode → shingle doc-freq (one hash-agg shuffle, map-side
@@ -299,6 +332,30 @@ object CorpusQueries {
         FROM documents)
       WHERE bucket < CAST(floor(quality * ${1L << 20}) AS BIGINT)
       ORDER BY doc_id""",
+
+    // Same fixed association order as the Spark rate expression:
+    // ((((0.5 * n) * wq) / sumw) / c).
+    "cur8_domain_mixture" -> s"""
+      WITH c AS (
+        SELECT source, COUNT(*) AS c,
+          CAST(floor(sqrt(COUNT(*)) * ${1L << 20}) AS BIGINT) AS wq
+        FROM documents GROUP BY source
+      ), t AS (
+        SELECT SUM(c) AS n, SUM(wq) AS sumw FROM c
+      ), r AS (
+        SELECT source, c, least(1.0, 0.5 * n * wq / sumw / c) AS rate
+        FROM c, t
+      ), k AS (
+        SELECT d.source, COUNT(*) AS kept
+        FROM documents d JOIN r USING (source)
+        WHERE ('0x' || substr(md5('mix8:' || doc_id::VARCHAR), 1, 15))::BIGINT
+            % ${1L << 20} < floor(rate * ${1L << 20})
+        GROUP BY d.source
+      )
+      SELECT r.source, CAST(r.c AS BIGINT) AS n_docs,
+        CAST(COALESCE(k.kept, 0) AS BIGINT) AS kept,
+        floor(rate * ${1L << 20}) / 1048576.0 AS rate_q
+      FROM r LEFT JOIN k USING (source) ORDER BY source""",
 
     "tx8_boilerplate_frac" -> s"""
       WITH toks AS (

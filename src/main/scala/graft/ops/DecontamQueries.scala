@@ -91,6 +91,39 @@ object DecontamQueries {
         .withColumn("dup_frac",
           col("dup_windows").cast("double") / col("n_windows"))
         .orderBy(col("doc_id"))
+    }),
+
+    // SPAN-level dedup (the removal step of Lee et al. 2022): for every
+    // document, the exact count of TOKEN POSITIONS covered by some 8-gram
+    // window that occurs more than once in the corpus — what a
+    // dedup-before-training pass would actually mask out, not just the
+    // window-level fraction dd6 reports. Shape: positional windows off the
+    // codegen kernel (posexplode gives the 0-based window start), repeated
+    // windows found by one shingle-keyed hash-agg (`count>1` is map-side
+    // combinable), and coverage expands each duplicated window to its ≤8
+    // clamped positions before a per-doc distinct — the explode factor is
+    // bounded by the window width, never corpus-sized, and nothing is
+    // all-pairs.
+    "dd9_span_dedup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        WordNGrams.all(col("text"), NGram).as("ws"))
+      val ex = docs.select(col("doc_id"), col("n_tokens"),
+        posexplode(col("ws")).as(Seq("p", "sh")))
+      val dup = ex.groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1).select(col("sh"))
+      val masked = ex.join(dup, Seq("sh"))
+        .select(col("doc_id"), explode(sequence(col("p") + 1,
+          least(col("p") + lit(NGram), col("n_tokens")))).as("tp"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("tp")).as("masked_tokens"))
+      docs.select(col("doc_id"), col("n_tokens"))
+        .join(masked, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("masked_tokens"), lit(0L)).as("masked_tokens"))
+        .withColumn("masked_frac",
+          col("masked_tokens").cast("double") / col("n_tokens"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -133,6 +166,40 @@ object DecontamQueries {
         CAST(COUNT(d.sh) AS BIGINT) AS dup_windows,
         COUNT(d.sh)::DOUBLE / COUNT(*) AS dup_frac
       FROM ex e LEFT JOIN dup d ON e.sh = d.sh
-      GROUP BY e.doc_id ORDER BY doc_id"""
+      GROUP BY e.doc_id ORDER BY doc_id""",
+
+    // Positional twin of the Spark span-mask walk: window start i is
+    // 1-based here vs posexplode's 0-based p (i = p + 1), coverage is the
+    // same clamped [start, start + 7] token range.
+    "dd9_span_dedup" -> s"""
+      WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents
+      ), pos AS (
+        SELECT doc_id, t, len(t) AS n_tokens,
+          unnest(generate_series(1, greatest(len(t) - ${NGram - 1}, 1)))
+            AS i
+        FROM toks
+      ), ex AS (
+        SELECT doc_id, n_tokens, i,
+          array_to_string(list_slice(t, i, i + ${NGram - 1}), ' ') AS sh
+        FROM pos
+      ), dup AS (
+        SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) > 1
+      ), cov AS (
+        SELECT DISTINCT doc_id, tp FROM (
+          SELECT e.doc_id, unnest(generate_series(e.i,
+            least(e.i + ${NGram - 1}, e.n_tokens))) AS tp
+          FROM ex e JOIN dup USING (sh)
+        )
+      ), masked AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS masked_tokens
+        FROM cov GROUP BY doc_id
+      )
+      SELECT d.doc_id, len(d.t) AS n_tokens,
+        COALESCE(m.masked_tokens, 0) AS masked_tokens,
+        COALESCE(m.masked_tokens, 0)::DOUBLE / len(d.t) AS masked_frac
+      FROM toks d LEFT JOIN masked m USING (doc_id)
+      ORDER BY doc_id"""
   )
 }
