@@ -30,6 +30,8 @@ object SimQueries {
   private val PqRerank = 64
   private val IvfPqCentroids = 64
   private val IvfPqProbe = 8
+  private val IvfStoreCentroids = 64
+  private val IvfStoreProbe = 8
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -153,6 +155,20 @@ object SimQueries {
         .agg(count(lit(1)).as("n_vecs"),
           (sum(col("cosq")) / count(lit(1))).as("avg_cos"))
         .orderBy(col("label"))
+    }),
+
+    // The STANDING vector index: even vec_ids bootstrap (training the
+    // frozen stride quantizer), odd vec_ids append as a second
+    // manifest-committed segment, queries probe cell-partitioned
+    // directories only. The frozen quantizer makes the two-batch build
+    // equal to a one-shot index over the union — which is exactly what the
+    // oracle recomputes relationally (assignment argmax + probe + rank).
+    "sm9_ivf_store" -> ((s, dir) => {
+      val root = graft.sim.IvfStore.materializedEmbeddingsDir(
+        s, dir, IvfStoreCentroids)
+      graft.sim.IvfStore.topK(s, root,
+          emb(s, dir).filter(col("id") < NQueries), K, IvfStoreProbe)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -322,7 +338,53 @@ object SimQueries {
       )
       SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
         SUM(cosq) / COUNT(*) AS avg_cos
-      FROM pc GROUP BY label ORDER BY label"""
+      FROM pc GROUP BY label ORDER BY label""",
+
+    // One-shot relational recompute of the incrementally-built index: the
+    // quantizer strides over the EVEN-id bootstrap batch only; assignment,
+    // probing, and ranking are sm4's shapes over the full corpus.
+    "sm9_ivf_store" -> s"""
+      WITH boot AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+      ), cent AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec FROM boot
+        WHERE vec_id % greatest(CAST(ceil(
+          (SELECT COUNT(*) FROM boot) / $IvfStoreCentroids.0) AS BIGINT),
+          1) = 0
+      ), corpus_scored AS (
+        SELECT c.vec_id AS corpus_id, ct.centroid_id, c.embedding AS cv,
+          ${cosSql("c.embedding", "ct.cvec")} AS cs
+        FROM embeddings c, cent ct
+      ), corpus_cells AS (
+        SELECT corpus_id, centroid_id, cv FROM (
+          SELECT corpus_id, centroid_id, cv,
+            ROW_NUMBER() OVER (PARTITION BY corpus_id
+                               ORDER BY cs DESC, centroid_id) AS cr
+          FROM corpus_scored
+        ) WHERE cr = 1
+      ), query_scored AS (
+        SELECT q.vec_id AS query_id, ct.centroid_id, q.embedding AS qv,
+          ${cosSql("q.embedding", "ct.cvec")} AS cs
+        FROM embeddings q, cent ct WHERE q.vec_id < $NQueries
+      ), query_cells AS (
+        SELECT query_id, centroid_id, qv FROM (
+          SELECT query_id, centroid_id, qv,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cs DESC, centroid_id) AS cr
+          FROM query_scored
+        ) WHERE cr <= $IvfStoreProbe
+      ), scored AS (
+        SELECT query_id, corpus_id, ${cosSql("qv", "cv")} AS cos
+        FROM corpus_cells JOIN query_cells USING (centroid_id)
+        WHERE query_id != corpus_id
+      ), ranked AS (
+        SELECT query_id, corpus_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, corpus_id) AS rank
+        FROM scored
+      )
+      SELECT query_id, corpus_id, cos, rank FROM ranked
+      WHERE rank <= $K ORDER BY query_id, rank"""
   )
 
   /** One Lloyd round as CTEs `a<i>`, `m<i>`, `cent<i>` reading centroid CTE

@@ -173,7 +173,7 @@ object Similarity {
   /** Stride-seeded coarse quantizer: every ceil(n/numCentroids)-th corpus
     * vector by id — at most `numCentroids` of them at any corpus size.
     */
-  private def strideCentroids(corpus: DataFrame, numCentroids: Int): DataFrame = {
+  private[sim] def strideCentroids(corpus: DataFrame, numCentroids: Int): DataFrame = {
     val n = corpus.agg(count(lit(1)).as("__n"))
     corpus.crossJoin(broadcast(n))
       .filter(pmod(col("id"),

@@ -1,0 +1,83 @@
+package graft.sim
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.ManifestStore
+
+/** Standing-index invariants: incremental builds equal one-shot builds
+  * (the frozen quantizer makes batch order irrelevant), appends never touch
+  * existing segments, and queries prune to the probed cell directories.
+  */
+class IvfStoreSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Deterministic little vectors: id plus a two-hot float pattern. */
+  private def vecs(ids: Range): DataFrame =
+    ids.map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (if (d == i % 8) 1.0f else 0.0f) + (if (d == (i / 8) % 8) 0.5f else 0.0f)))
+    }.toDF("id", "vec")
+
+  private def freshRoot() =
+    Files.createTempDirectory("graft-ivfstore").toString + "/idx"
+
+  test("two-batch incremental build equals the one-shot index") {
+    // same bootstrap batch trains the same frozen quantizer on both roots;
+    // the remainder arrives as two appends on one and a single append on
+    // the other — batch splits must not be observable
+    val incr = freshRoot()
+    IvfStore.bootstrap(spark, vecs(0 until 64), incr, numCentroids = 8)
+    IvfStore.append(spark, vecs(64 until 80), incr)
+    IvfStore.append(spark, vecs(80 until 100), incr)
+
+    val all = freshRoot()
+    IvfStore.bootstrap(spark, vecs(0 until 64), all, numCentroids = 8)
+    IvfStore.append(spark, vecs(64 until 100), all)
+
+    val q = vecs(0 until 3)
+    def res(root: String) =
+      IvfStore.topK(spark, root, q, k = 4, nProbe = 2)
+        .orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    assert(res(incr) == res(all))
+    assert(res(incr).nonEmpty)
+  }
+
+  test("append stages a new segment and carries old entries forward") {
+    val root = freshRoot()
+    IvfStore.bootstrap(spark, vecs(0 until 32), root, numCentroids = 4)
+    val v1 = ManifestStore.latest(spark, root).get
+    IvfStore.append(spark, vecs(32 until 48), root)
+    val v2 = ManifestStore.latest(spark, root).get
+    assert(v2.version == v1.version + 1)
+    // every v1 entry survives verbatim; exactly one new data slot appears
+    v1.entries.foreach { case (k, v) => assert(v2.entries.get(k).contains(v)) }
+    assert((v2.entries.keySet -- v1.entries.keySet) == Set(s"seg-${v2.version}"))
+  }
+
+  test("bootstrap refuses a second call; append refuses a missing index") {
+    val root = freshRoot()
+    IvfStore.bootstrap(spark, vecs(0 until 16), root, numCentroids = 4)
+    intercept[IllegalArgumentException] {
+      IvfStore.bootstrap(spark, vecs(0 until 16), root, numCentroids = 4)
+    }
+    intercept[IllegalStateException] {
+      IvfStore.append(spark, vecs(0 until 4), freshRoot())
+    }
+  }
+
+  test("query plan prunes to the probed cell partitions") {
+    val root = freshRoot()
+    IvfStore.bootstrap(spark, vecs(0 until 64), root, numCentroids = 8)
+    IvfStore.append(spark, vecs(64 until 96), root)
+    val plan = IvfStore.topK(spark, root, vecs(0 until 1), k = 3, nProbe = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__cell"),
+      s"expected a __cell partition filter in the scan:\n$plan")
+  }
+}
