@@ -1,0 +1,57 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank as pure DataFrame algebra — the influence
+  * companion to [[ConnectedComponents]]' cluster ids (e.g. ranking the
+  * canonical document inside a duplicate cluster, or the most-connected
+  * suppliers in a purchase graph).
+  *
+  * Shape per iteration: one equi-join (edge → source rank) and one hash
+  * aggregation (sum of contributions at the destination) — both key-
+  * partitioned shuffles Spark scales horizontally; no driver-side state,
+  * no collect, and the iteration count is a small constant (power
+  * iteration converges geometrically; ranking stabilizes in a handful of
+  * rounds). Edges are made undirected and deduplicated up front, so every
+  * node has degree ≥ 1 and no dangling-mass correction is needed.
+  *
+  * Cross-engine determinism (the gate's oracle unrolls the same rounds as
+  * DuckDB CTEs): every per-edge contribution `pr/outdeg` and every updated
+  * rank is floor-quantized to the 2^-20 grid, so the hash-agg sums are
+  * sums of grid multiples — exact under 2^53 and therefore independent of
+  * accumulation order in BOTH engines.
+  */
+object PageRank {
+
+  private val Grid = 1048576L // 2^20
+
+  /** @param edges (src, dst) pairs, any direction, duplicates allowed.
+    * @return (id, pr) — quantized rank after `iters` damped rounds.
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+               damping: Double = 0.85): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .select(col("src").as("id"), col("outdeg"))
+    val n = deg.agg(count(lit(1)).as("n"))
+
+    var v = deg.crossJoin(broadcast(n))
+      .select(col("id"), (lit(1.0) / col("n")).as("pr"), col("outdeg"))
+    for (_ <- 1 to iters) {
+      val contrib = und
+        .join(v.select(col("id").as("src"), col("pr"), col("outdeg")), "src")
+        .select(col("dst").as("id"),
+          (floor(col("pr") / col("outdeg") * Grid) / Grid).as("c"))
+      v = contrib.groupBy(col("id")).agg(sum(col("c")).as("s"))
+        .join(deg, "id").crossJoin(broadcast(n))
+        .select(col("id"),
+          (floor((lit(1.0 - damping) / col("n") + lit(damping) * col("s"))
+            * Grid) / Grid).as("pr"),
+          col("outdeg"))
+    }
+    v.select(col("id"), col("pr"))
+  }
+}

@@ -624,6 +624,24 @@ object AdvancedQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // PageRank over the customer–supplier purchase graph (3 damped power
+    // iterations, undirected edges from orders⋈lineitem; supplier node ids
+    // offset into their own range). Each iteration is one equi-join + one
+    // hash agg — key-partitioned shuffles that scale horizontally; the
+    // grid-quantized contributions make both engines' sums exact (see
+    // PageRank). Top-50 nodes by rank.
+    "q43_pagerank" -> ((s, dir) => {
+      val edges = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      graft.graph.PageRank.pageRank(edges, iters = 3)
+        .orderBy(col("pr").desc, col("id")).limit(50)
+    }),
+
     // Fuzzy (edit-distance) join with FastSS deletion-neighborhood blocking:
     // a deterministic typo is derived from every part-name word (one char
     // deleted at a hash-picked position) and matched back against the vocab
@@ -673,6 +691,38 @@ object AdvancedQueries {
         .orderBy(col("event_type"))
     })
   )
+
+  /** Three unrolled PageRank rounds as chained CTEs, numerically identical
+    * to the Spark loop: same 2^-20 contribution/update quantization, same
+    * `(1.0 - 0.85)` teleport constant computed in binary double.
+    */
+  private def pageRankSql: String = {
+    val G = 1048576L
+    val iters = (1 to 3).map { i =>
+      s"""c$i AS (
+        SELECT u.dst AS id, SUM(floor(v.pr / v.outdeg * $G) / $G) AS s
+        FROM und u JOIN v${i - 1} v ON u.src = v.id GROUP BY 1
+      ), v$i AS (
+        SELECT d.id, floor(((1.0::DOUBLE - 0.85::DOUBLE) / n
+          + 0.85::DOUBLE * c.s) * $G) / $G AS pr, d.outdeg
+        FROM deg d JOIN c$i c USING (id), nn
+      )"""
+    }.mkString(", ")
+    s"""
+      WITH e0 AS (
+        SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      ), und AS (
+        SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+      ), deg AS (
+        SELECT src AS id, COUNT(*) AS outdeg FROM und GROUP BY 1
+      ), nn AS (
+        SELECT COUNT(*) AS n FROM deg
+      ), v0 AS (
+        SELECT id, 1.0::DOUBLE / n AS pr, outdeg FROM deg, nn
+      ), $iters
+      SELECT id, pr FROM v3 ORDER BY pr DESC, id LIMIT 50"""
+  }
 
   val oracleSql: Map[String, String] = Map(
     "aj1_asof_click_purchase" -> """
@@ -1076,6 +1126,11 @@ object AdvancedQueries {
         AND c.event_type = 'click' AND p.event_type = 'purchase'
         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
       ORDER BY c.user_id, click_id, purchase_id""",
+
+    // Unrolled twin of the quantized power iteration (PageRank.scala).
+    // DuckDB parses bare decimals as DECIMAL, so every rank constant is
+    // cast ::DOUBLE to reproduce Spark's binary-double arithmetic exactly.
+    "q43_pagerank" -> pageRankSql,
 
     // Same deletion-neighborhood candidate join; DuckDB's levenshtein is
     // the same classic DP distance as Spark's.

@@ -19,6 +19,13 @@ object TextQueries {
   /** DuckDB token-array expression — mirror of [[TextFunctions.tokens]]. */
   private val T = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
   private[ops] val NT = raw"len($T)"
+
+  /** Count-min sketch geometry (tx14): depth (independent hash rows) ×
+    * width (counters per row). ε ≈ e/width, δ ≈ e^-depth.
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 1024L
+  private val CmsRowsSql = (0 until CmsDepth).mkString("[", ", ", "]")
   private val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   private def occSql(sub: String): String =
@@ -130,6 +137,39 @@ object TextQueries {
           Tables(s, dir, "documents"), "text", threshold = 150)
         .orderBy(col("tok"))),
 
+    // Relational COUNT-MIN SKETCH: the point-query frequency companion to
+    // q39's mergeable HLL. The sketch IS a (depth × width) counter table —
+    // 4 salted Hash60 rows of 1024 buckets — built by one map-side-
+    // combinable hash agg over the token stream; its size is fixed at any
+    // corpus scale, and two sketches merge by summing counters (per shard,
+    // per day, per stream micro-batch). Point estimate = MIN over the
+    // depth rows' counters, guaranteed ≥ the true count; the gate reports
+    // estimate vs exact for every vocab word so the oracle checks the
+    // whole estimator, not just the bound.
+    "tx14_cms_sketch" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+      def rb(wCol: org.apache.spark.sql.Column) =
+        explode(array((0 until CmsDepth).map(i =>
+          struct(lit(i).as("r"),
+            (graft.functions.Hash60(concat(lit(s"cms$i:"), wCol))
+              % CmsWidth).as("b"))): _*))
+      val ex = toks.select(rb(col("w")).as("rb"))
+        .select(col("rb.r").as("r"), col("rb.b").as("b"))
+      val sketch = ex.groupBy(col("r"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("exact_cnt"))
+      exact.select(col("w"), col("exact_cnt"), rb(col("w")).as("rb"))
+        .select(col("w"), col("exact_cnt"),
+          col("rb.r").as("r"), col("rb.b").as("b"))
+        .join(broadcast(sketch), Seq("r", "b"))
+        .groupBy(col("w"), col("exact_cnt"))
+        .agg(min(col("cnt")).as("cms_est"))
+        .select(col("w").as("word"), col("exact_cnt"), col("cms_est"),
+          (col("cms_est") - col("exact_cnt")).as("overcount"))
+        .orderBy(col("word"))
+    }),
+
     // PII scrubbing — the redaction pass a training-data pipeline runs
     // before anything ships. The synthetic corpus carries no PII, so a
     // deterministic contact line (email + phone derived from doc_id) is
@@ -171,6 +211,29 @@ object TextQueries {
       SELECT tok, COUNT(*) AS n_occurrences
       FROM toks GROUP BY tok HAVING COUNT(*) >= 150
       ORDER BY tok""",
+
+    "tx14_cms_sketch" -> s"""
+      WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents
+      ), ex AS (
+        SELECT r, ('0x' || substr(md5('cms' || r::VARCHAR || ':' || w),
+          1, 15))::BIGINT % $CmsWidth AS b
+        FROM toks, (SELECT unnest($CmsRowsSql) AS r) rr
+      ), sketch AS (
+        SELECT r, b, COUNT(*) AS cnt FROM ex GROUP BY 1, 2
+      ), exact AS (
+        SELECT w, COUNT(*) AS exact_cnt FROM toks GROUP BY 1
+      ), kb AS (
+        SELECT e.w, e.exact_cnt, rr.r,
+          ('0x' || substr(md5('cms' || rr.r::VARCHAR || ':' || e.w),
+            1, 15))::BIGINT % $CmsWidth AS b
+        FROM exact e, (SELECT unnest($CmsRowsSql) AS r) rr
+      )
+      SELECT k.w AS word, k.exact_cnt,
+        MIN(s.cnt) AS cms_est, MIN(s.cnt) - k.exact_cnt AS overcount
+      FROM kb k JOIN sketch s USING (r, b)
+      GROUP BY 1, 2 ORDER BY 1""",
 
     "tx11_pii_redact" -> raw"""
       WITH aug AS (
