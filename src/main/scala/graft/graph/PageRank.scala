@@ -31,11 +31,17 @@ object PageRank {
     */
   def pageRank(edges: DataFrame, iters: Int,
                damping: Double = 0.85): DataFrame = {
+    // materialize the symmetrized edge list and degrees once — every
+    // iteration re-reads them, and without the checkpoint each round's
+    // lineage would recompute the upstream edge derivation (the same
+    // reason ConnectedComponents checkpoints per round)
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .localCheckpoint()
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .select(col("src").as("id"), col("outdeg"))
+      .localCheckpoint()
     val n = deg.agg(count(lit(1)).as("n"))
 
     var v = deg.crossJoin(broadcast(n))

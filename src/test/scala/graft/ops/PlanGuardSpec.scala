@@ -150,9 +150,11 @@ class PlanGuardSpec extends SparkSpec {
 
   test("every gate query pushes scan-level filters/schema (PushedFilters)") {
     // cdc_scd2_skew_fallback roots on RangeLead's RDD path (the hot-key
-    // fallback is deliberately non-declarative), so its plan has a
-    // LogicalRDD scan with no file-scan metadata line to check.
-    val rddRooted = Set("cdc_scd2_skew_fallback")
+    // fallback is deliberately non-declarative), and q43_pagerank
+    // localCheckpoints its symmetrized edge list before iterating — both
+    // plans root on a LogicalRDD scan with no file-scan metadata line to
+    // check.
+    val rddRooted = Set("cdc_scd2_skew_fallback", "q43_pagerank")
     (SparkEntry.queries.keySet -- rddRooted).toSeq.sorted.foreach { name =>
       assert(plan(name).contains("PushedFilters: ["),
         s"$name scan lost pushdown metadata")
