@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -65,6 +67,20 @@ object StreamJoin {
         val chunks = root.resolve("chunks").toString
         events.repartitionByRange(8, col("ts"))
           .write.mode("overwrite").parquet(chunks)
+        // FileStreamSource admits files in MODIFICATION-TIME order, and the
+        // 8 range chunks finish writing in racy parallel order. If a
+        // high-ts chunk lands first, the watermark jumps past an unwritten
+        // low-ts chunk and its pairs are dropped as late — a build-time
+        // coin flip (it cost 33/371 pairs at sf0.1 once). Pin the arrival
+        // order to the ts order: part-file NAMES follow the range-partition
+        // order, so stamp ascending mtimes by name.
+        Files.list(Paths.get(chunks)).iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .sortBy(_.getFileName.toString)
+          .zipWithIndex.foreach { case (p, i) =>
+            Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 1000L))
+          }
         // watermarks demand TIMESTAMP (not NTZ); the session runs UTC so
         // the cast is a wall-clock no-op, and the gate casts back to NTZ
         def src() = spark.readStream.schema(events.schema)

@@ -98,4 +98,29 @@ class StreamJoinSpec extends SparkSpec {
     assert(got.contains((2L, 101L, None)),
       s"expired unmatched click never emitted with nulls: $got")
   }
+
+  test("attribution fixture chunks arrive in event-time order " +
+       "(ascending mtimes pinned by range-partition name)") {
+    // FileStreamSource admits files in modification-time order; the
+    // materializer stamps ascending mtimes onto the ts-range-ordered part
+    // files because a racy parallel-write order once let the watermark
+    // jump a low-ts chunk and silently drop 33/371 in-window pairs at
+    // sf0.1. This pins the contract on the real fixture.
+    StreamJoin.materializedAttributionDir(spark, sfDir)
+    val chunks = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+        System.getProperty("java.io.tmpdir") + "/graft_fixture_lake"),
+      sfDir.replaceAll("[^A-Za-z0-9.]", "_"),
+      "events_attribution_stream", "chunks")
+    val parts = java.nio.file.Files.list(chunks).iterator()
+    val sorted = scala.jdk.CollectionConverters.IteratorHasAsScala(parts)
+      .asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .sortBy(_.getFileName.toString)
+    assert(sorted.size > 1, "expected multiple range chunks")
+    val mtimes = sorted.map(p =>
+      java.nio.file.Files.getLastModifiedTime(p).toMillis)
+    assert(mtimes == mtimes.sorted && mtimes.distinct.size == mtimes.size,
+      s"chunk mtimes must strictly ascend in range order: $mtimes")
+  }
 }
