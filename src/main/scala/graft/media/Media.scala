@@ -20,8 +20,14 @@ import org.apache.spark.sql.functions._
   * ([[DeterministicPng]]), which is what lets a SQL oracle predict the
   * decoded dims and pixels without being able to parse PNG itself.
   *
-  * AUDIO/VIDEO decode remains a clearly-marked deterministic STUB
-  * ([[StubCodec]]) — the container genuinely has no audio/video codecs.
+  * AUDIO decode is REAL too: fixture rows carry genuine PCM WAVE bytes
+  * (encoded and re-parsed by the JDK's own `javax.sound.sampled`), and the
+  * features report the container-decoded sample rate, frame count, and the
+  * first/last 16-bit samples read back from the PCM payload
+  * ([[DeterministicWav]]).
+  *
+  * VIDEO decode remains a clearly-marked deterministic STUB
+  * ([[StubCodec]]) — the container genuinely has no video codecs.
   * Everything around it (schema, case-class Encoders, mapPartitions batch
   * shape, partitioning, the explode-based frame sampler) is real, tested
   * Spark plumbing; swap [[StubCodec.decode]] for a JNI/javacv call and
@@ -78,18 +84,71 @@ object Media {
     }
   }
 
-  /** STUB codec for the modalities with no codec in this environment
-    * (audio/video). Derives fake dimensions from the byte length so results
+  /** Deterministic WAV generator — the audio twin of [[DeterministicPng]],
+    * using the JDK's own `javax.sound.sampled` (PCM WAVE needs no external
+    * codec). Sample rate, frame count, and every 16-bit mono sample are
+    * pure functions of the seed, so a SQL oracle can predict what a real
+    * decoder must read back: the format fields plus the first and last
+    * decoded samples.
+    */
+  object DeterministicWav {
+    val Rates: Array[Int] = Array(8000, 16000, 22050, 44100)
+
+    def rate(seed: Int): Int = Rates(seed % 4)
+    def frames(seed: Int): Int = (seed % 480) + 32
+
+    /** Signed 16-bit PCM sample at frame `i`. */
+    def sample(seed: Int, i: Int): Int = ((seed * 31 + i * 17) % 65536) - 32768
+
+    def encode(seed: Int): Array[Byte] = {
+      val n = frames(seed)
+      val pcm = new Array[Byte](n * 2) // 16-bit mono little-endian
+      var i = 0
+      while (i < n) {
+        val s = sample(seed, i)
+        pcm(i * 2) = (s & 0xFF).toByte
+        pcm(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        rate(seed).toFloat, 16, 1, true, false)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new ByteArrayOutputStream(pcm.length + 64)
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Real decode: container-parsed format + fully-read PCM frames.
+      * Returns (sampleRate, nFrames, firstSample, lastSample).
+      */
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"unexpected WAV layout: $fmt")
+        val n = in.getFrameLength.toInt
+        val pcm = in.readAllBytes()
+        require(pcm.length == n * 2, s"short WAV read: ${pcm.length}/${n * 2}")
+        def at(i: Int): Int =
+          ((pcm(i * 2 + 1) << 8) | (pcm(i * 2) & 0xFF))
+        (fmt.getSampleRate.toInt, n, at(0), at(n - 1))
+      } finally in.close()
+    }
+  }
+
+  /** STUB codec for the one modality with no codec in this environment
+    * (video). Derives fake dimensions from the byte length so results
     * are stable and oracle-checkable. Replace `decode` with a real codec in
-    * production; the image path shows the pattern.
+    * production; the image and audio paths show the pattern.
     */
   object StubCodec {
     def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int, Int) = {
       val n = bytes.length
-      kind match {
-        case "video" => ((n % 512) + 1, ((n / 512) % 512) + 1, (n % 32) + 1, 0)
-        case _       => (0, 0, 0, 8000 + (n % 8) * 4000) // audio
-      }
+      ((n % 512) + 1, ((n / 512) % 512) + 1, (n % 32) + 1, 0) // video
     }
   }
 
@@ -111,8 +170,11 @@ object Media {
         rows.map { case (id, text) =>
           val k = (id % 3).toInt
           val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val content =
-            if (k == 0) DeterministicPng.encode(bytes.length) else bytes
+          val content = k match {
+            case 0 => DeterministicPng.encode(bytes.length)
+            case 1 => DeterministicWav.encode(bytes.length)
+            case _ => bytes // video decode is stubbed anyway
+          }
           MediaRow(id, kinds(k), mimes(k), content)
         }
       }
@@ -135,6 +197,14 @@ object Media {
             n_frames = 1, sample_rate = 0,
             px00 = img.getRGB(0, 0) & 0xFFFFFF,
             px_corner = img.getRGB(w - 1, h - 1) & 0xFFFFFF)
+        } else if (r.kind == "audio") {
+          // REAL container decode: format fields + first/last PCM samples
+          // read back through javax.sound.sampled (px fields carry the
+          // signed sample probes for audio rows)
+          val (rate, n, s0, sN) = DeterministicWav.decode(r.content)
+          MediaFeatures(r.media_id, r.kind, r.content.length.toLong,
+            width = 0, height = 0, n_frames = n, sample_rate = rate,
+            px00 = s0, px_corner = sN)
         } else {
           val (w, h, frames, rate) = StubCodec.decode(r.kind, r.content)
           MediaFeatures(r.media_id, r.kind, r.content.length.toLong, w, h,

@@ -8,12 +8,14 @@ import graft.media.Media
 /** Multimodal queries over the media table derived from `documents`.
   *
   * Image rows carry REAL PNG bytes and go through a real `ImageIO` decode
-  * ([[graft.media.Media.DeterministicPng]]); because the PNG generator is a
-  * pure function of `strlen(text)`, DuckDB can predict the decoded
-  * width/height and two probe pixels arithmetically — the oracle verifies a
-  * genuine encode→decode round-trip without parsing PNG. Audio/video decode
-  * is the documented stub (pure function of byte length → `strlen(text)`,
-  * ASCII corpus).
+  * ([[graft.media.Media.DeterministicPng]]); audio rows carry REAL PCM WAVE
+  * bytes re-parsed by `javax.sound.sampled`
+  * ([[graft.media.Media.DeterministicWav]]) — both generators are pure
+  * functions of `strlen(text)`, so DuckDB predicts the decoded dims, probe
+  * pixels, sample rate, frame count, and first/last PCM samples
+  * arithmetically: the oracles verify genuine encode→decode round-trips
+  * without parsing the containers. Video decode is the documented stub
+  * (pure function of byte length → `strlen(text)`, ASCII corpus).
   *
   * The PNG container's byte size is codec-internal (filter choices, zlib),
   * so `n_bytes` and the raw content hash are NOT oracle-expressible for
@@ -76,20 +78,26 @@ object MediaQueries {
              WHEN $kindSql = 'video' THEN ((strlen(text) // 512) % 512) + 1
              ELSE 0 END AS height,
         CASE WHEN $kindSql = 'image' THEN 1
+             WHEN $kindSql = 'audio' THEN (strlen(text) % 480) + 32
              WHEN $kindSql = 'video' THEN (strlen(text) % 32) + 1
              ELSE 0 END AS n_frames,
         CASE WHEN $kindSql = 'audio'
-          THEN 8000 + (strlen(text) % 8) * 4000 ELSE 0 END AS sample_rate
+          THEN ([8000, 16000, 22050, 44100])[(strlen(text) % 4 + 1)::INT]
+          ELSE 0 END AS sample_rate
       FROM documents
     ), g AS (
       SELECT *,
         CASE WHEN kind = 'image' THEN
           (seed % 256) * 65536 + (seed % 256) * 256 + (seed % 256)
+        WHEN kind = 'audio' THEN
+          ((seed * 31) % 65536) - 32768
         ELSE 0 END AS px00,
         CASE WHEN kind = 'image' THEN
             ((seed + width - 1) % 256) * 65536
           + ((seed + height - 1) % 256) * 256
           + ((seed + width + height - 2) % 256)
+        WHEN kind = 'audio' THEN
+          ((seed * 31 + (n_frames - 1) * 17) % 65536) - 32768
         ELSE 0 END AS px_corner
       FROM f
     )"""
@@ -112,16 +120,18 @@ object MediaQueries {
              least(height, 256) AS out_height
       FROM g ORDER BY media_id""",
 
-    // Group-key mirror of the content generator: an image row's PNG is a
-    // pure function of strlen(text), so two image rows share bytes iff
-    // their text LENGTHS are equal; audio/video rows carry the raw text
-    // bytes and share bytes iff the text is equal (across those two
-    // kinds). The 'i'/'t' prefixes keep the two key spaces disjoint.
+    // Group-key mirror of the content generator: image PNG and audio WAV
+    // bytes are each a pure function of strlen(text) (two rows of the same
+    // kind share bytes iff their text LENGTHS are equal); video rows carry
+    // the raw text bytes and share bytes iff the text is equal. The
+    // 'i'/'a'/'t' prefixes keep the key spaces disjoint.
     "mm4_content_dedup" -> """
       SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
       FROM documents
       GROUP BY CASE WHEN (doc_id % 3) = 0
                     THEN 'i' || strlen(text)::VARCHAR
+                    WHEN (doc_id % 3) = 1
+                    THEN 'a' || strlen(text)::VARCHAR
                     ELSE 't' || text END
       ORDER BY keep_id"""
   )

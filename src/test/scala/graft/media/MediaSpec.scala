@@ -34,11 +34,12 @@ class MediaSpec extends SparkSpec {
       DeterministicPng.encode(124).toSeq)
   }
 
-  test("extractFeatures decodes real PNGs distributed") {
+  test("extractFeatures decodes real PNGs and WAVs distributed") {
     import spark.implicits._
     val media = Seq(
       Media.MediaRow(0L, "image", "image/png", DeterministicPng.encode(50)),
-      Media.MediaRow(1L, "audio", "audio/wav", Array[Byte](1, 2, 3)),
+      Media.MediaRow(1L, "audio", "audio/wav",
+        Media.DeterministicWav.encode(77)),
       Media.MediaRow(2L, "video", "video/mp4", Array.fill(600)(7.toByte))
     ).toDS()
     val f = Media.extractFeatures(media).collect().sortBy(_.media_id)
@@ -46,7 +47,24 @@ class MediaSpec extends SparkSpec {
     assert(f(0).width == w && f(0).height == h && f(0).n_frames == 1)
     assert(f(0).px00 == DeterministicPng.rgb(50, 0, 0))
     assert(f(0).px_corner == DeterministicPng.rgb(50, w - 1, h - 1))
-    assert(f(1).sample_rate == 8000 + (3 % 8) * 4000)
+    assert(f(1).sample_rate == Media.DeterministicWav.rate(77))
+    assert(f(1).n_frames == Media.DeterministicWav.frames(77))
+    assert(f(1).px00 == Media.DeterministicWav.sample(77, 0))
+    assert(f(1).px_corner ==
+      Media.DeterministicWav.sample(77, Media.DeterministicWav.frames(77) - 1))
     assert(f(2).width == (600 % 512) + 1 && f(2).n_frames == (600 % 32) + 1)
+  }
+
+  test("WAV round-trip: every PCM sample survives the container") {
+    for (seed <- Seq(0, 1, 2, 3, 77, 479, 511)) {
+      val bytes = Media.DeterministicWav.encode(seed)
+      val (rate, n, s0, sN) = Media.DeterministicWav.decode(bytes)
+      assert(rate == Media.DeterministicWav.rate(seed))
+      assert(n == Media.DeterministicWav.frames(seed))
+      assert(s0 == Media.DeterministicWav.sample(seed, 0))
+      assert(sN == Media.DeterministicWav.sample(seed, n - 1))
+      // pure function of the seed (mm4 dedup contract)
+      assert(bytes.toSeq == Media.DeterministicWav.encode(seed).toSeq)
+    }
   }
 }
