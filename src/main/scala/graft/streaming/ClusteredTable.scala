@@ -119,6 +119,55 @@ object ClusteredTable {
     ManifestStore.commit(spark, root, version, entries)
   }
 
+  /** Incremental ingest: range-partition the BATCH on the table's
+    * clustering column, stage its segments, and commit them alongside the
+    * existing ones (slot ids continue from the current maximum). Appended
+    * batches may OVERLAP existing segments' value ranges — correctness is
+    * untouched (zone pruning is a superset filter and the residual
+    * predicate always runs), but a range query may open more segments
+    * after many out-of-order appends. [[optimize]] restores the tight
+    * layout; this is exactly the ingest-vs-OPTIMIZE split of a table
+    * format's clustering story.
+    */
+  def append(spark: SparkSession, df: DataFrame, root: String,
+             segmentsPerBatch: Int): Unit = {
+    val snap = ManifestStore.latest(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no clustered table under $root — use write first"))
+    val cc = clusterColOf(spark, root)
+    val version = ManifestStore.nextVersion(spark, root)
+    val rel = ManifestStore.dataRel(version)
+    df.repartitionByRange(segmentsPerBatch, col(cc))
+      .withColumn("__seg", spark_partition_id())
+      .write.mode("errorifexists").partitionBy("__seg")
+      .parquet(s"$root/$rel")
+    val stats = spark.read.parquet(s"$root/$rel")
+      .groupBy(col("__seg"))
+      .agg(min(col(cc)).as("mn"), max(col(cc)).as("mx"))
+      .collect()
+    val base = snap.entries.keys
+      .collect { case s if !ManifestStore.isMetaSlot(s) => s.toInt }
+      .foldLeft(-1)(math.max) + 1
+    val added = stats.flatMap { r =>
+      val dir = r.getInt(0)
+      val slot = base + dir
+      Seq(slot.toString -> s"$rel/__seg=$dir",
+        zminSlot(slot) -> encode(r.get(1)),
+        zmaxSlot(slot) -> encode(r.get(2)))
+    }.toMap
+    ManifestStore.commit(spark, root, version, snap.entries ++ added)
+  }
+
+  /** Re-cluster the whole table into `numSegments` disjoint slices and
+    * commit the result as a full replacement snapshot (the OPTIMIZE /
+    * re-cluster maintenance pass). Old versions stay time-travelable until
+    * [[ManifestStore.vacuum]].
+    */
+  def optimize(spark: SparkSession, root: String, numSegments: Int): Unit = {
+    val cc = clusterColOf(spark, root)
+    write(spark, readTable(spark, root), root, cc, numSegments)
+  }
+
   /** The clustering column a table was written with. */
   def clusterColOf(spark: SparkSession, root: String): String =
     ManifestStore.latest(spark, root).getOrElse(throw new IllegalStateException(

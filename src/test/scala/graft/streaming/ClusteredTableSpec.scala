@@ -88,6 +88,37 @@ class ClusteredTableSpec extends SparkSpec {
       .count() == 11) // seconds 10..20 inclusive
   }
 
+  test("append keeps answers exact while overlapping; optimize restores " +
+       "tight pruning; old versions stay time-travelable") {
+    val root = freshRoot()
+    ClusteredTable.write(spark,
+      spark.range(0, 4000).toDF("k"), root, "k", numSegments = 8)
+    // two out-of-order batches, each spanning the full key range —
+    // their segments overlap every existing one
+    ClusteredTable.append(spark,
+      spark.range(4000, 8000, 2).toDF("k"), root, segmentsPerBatch = 4)
+    ClusteredTable.append(spark,
+      spark.range(4001, 8000, 2).toDF("k"), root, segmentsPerBatch = 4)
+
+    def probe() = ClusteredTable.rangeScan(spark, root, Some(3900L), Some(4100L))
+      .as[Long].collect().sorted.toSeq
+    assert(probe() == (3900L to 4100L))
+    val before = ClusteredTable.resolveSegments(spark, root,
+      Some(3900L), Some(4100L)).size
+
+    val vPre = ManifestStore.latest(spark, root).get.version
+    ClusteredTable.optimize(spark, root, numSegments = 16)
+    assert(probe() == (3900L to 4100L)) // identical answers post-optimize
+    val after = ClusteredTable.resolveSegments(spark, root,
+      Some(3900L), Some(4100L)).size
+    assert(after < before,
+      s"optimize should tighten pruning: $before -> $after")
+    assert(after <= 2, s"a 200-wide range over 16 tight segments: $after")
+    // the pre-optimize snapshot still reads exactly as committed
+    assert(ManifestStore.readAt(spark, root, vPre).count() == 8000)
+    assert(ClusteredTable.readTable(spark, root).count() == 8000)
+  }
+
   test("the zm1 gate's events table prunes to a minority of segments " +
        "and the residual filter reaches the parquet scan") {
     val root = ClusteredTable.materializedEventsDir(spark, sfDir)
