@@ -39,10 +39,12 @@ import graft.streaming.ManifestStore
 object IvfStore {
 
   /** Meta slots: quantizer location + size (data slots are segments only,
-    * so plain [[ManifestStore.read]] over data slots stays homogeneous).
+    * so plain [[ManifestStore.read]] over data slots stays homogeneous),
+    * plus the last applied transaction id for idempotent streaming appends.
     */
   private val CentroidsSlot = "__centroids"
   private val NumCentroidsSlot = "__numCentroids"
+  private val LastTxnSlot = "__lastTxn"
 
   /** Train the frozen coarse quantizer from the first batch (stride pick —
     * deterministic and engine-reproducible) and commit it together with the
@@ -73,17 +75,42 @@ object IvfStore {
     * stay O(batch) as the index grows (same flat-cost contract as the
     * dedup store's, soaked in `tools/MergeSoak` for the merge table).
     */
-  def append(spark: SparkSession, batch: DataFrame, root: String): Unit = {
+  /** @param txnId monotone transaction id for IDEMPOTENT appends (a
+    *   streaming micro-batch id): an append whose txnId is ≤ the last one
+    *   recorded in the manifest is a no-op, so an at-least-once foreachBatch
+    *   retry can never double-ingest a batch — the txn-id-in-commit trick
+    *   transactional table formats use for exactly-once streaming writes.
+    */
+  def append(spark: SparkSession, batch: DataFrame, root: String,
+             txnId: Option[Long] = None): Unit = {
     val snap = ManifestStore.latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no index at $root — bootstrap first"))
+    val applied = snap.entries.get(LastTxnSlot).map(_.toLong)
+    if (txnId.exists(id => applied.exists(id <= _))) return // replayed batch
     val version = ManifestStore.nextVersion(spark, root)
     val rel = ManifestStore.dataRel(version)
     assign(batch, centroidsOf(spark, root, snap))
       .write.mode("errorifexists").partitionBy("__cell")
       .parquet(s"$root/$rel/seg")
     ManifestStore.commit(spark, root, version,
-      snap.entries + (s"seg-$version" -> s"$rel/seg"))
+      snap.entries + (s"seg-$version" -> s"$rel/seg") ++
+        txnId.map(id => LastTxnSlot -> id.toString))
   }
+
+  /** Maintain the index from a STREAM of vectors: each micro-batch appends
+    * one manifest-committed segment, with the batch id as the idempotence
+    * txn — the streaming twin of the dedup store's ingestion path.
+    */
+  def appendStream(spark: SparkSession, vectors: DataFrame, root: String,
+                   checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        append(spark, batch, root, txnId = Some(id))
+      }
+      .start()
 
   private def centroidsOf(spark: SparkSession, root: String,
                           snap: ManifestStore.Snapshot): DataFrame =

@@ -71,6 +71,40 @@ class IvfStoreSpec extends SparkSpec {
     }
   }
 
+  test("txn-id appends are idempotent (at-least-once retry is a no-op) " +
+       "and a memory-stream ingest equals the batch build") {
+    val root = freshRoot()
+    IvfStore.bootstrap(spark, vecs(0 until 32), root, numCentroids = 4)
+    IvfStore.append(spark, vecs(32 until 40), root, txnId = Some(0L))
+    val v = graft.streaming.ManifestStore.latest(spark, root).get.version
+    // foreachBatch retry: same batch id arrives again — must not commit
+    IvfStore.append(spark, vecs(32 until 40), root, txnId = Some(0L))
+    assert(graft.streaming.ManifestStore.latest(spark, root).get.version == v)
+    assert(IvfStore.topK(spark, root, vecs(0 until 1), k = 40, nProbe = 4)
+      .count() <= 39) // no duplicate corpus rows possible
+
+    // real micro-batch ingest through the streaming writer
+    val streamed = freshRoot()
+    IvfStore.bootstrap(spark, vecs(0 until 32), streamed, numCentroids = 4)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = IvfStore.appendStream(spark,
+      ms.toDF().toDF("id", "vec"), streamed,
+      Files.createTempDirectory("graft-ivfstream-ckpt").toString)
+    val data = vecs(32 until 40).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    ms.addData(data.take(4).toSeq)
+    q.processAllAvailable()
+    ms.addData(data.drop(4).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    def res(r: String) = IvfStore.topK(spark, r, vecs(0 until 2), 5, 2)
+      .orderBy("query_id", "rank")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(3))).toSeq
+    assert(res(streamed) == res(root))
+  }
+
   test("query plan prunes to the probed cell partitions") {
     val root = freshRoot()
     IvfStore.bootstrap(spark, vecs(0 until 64), root, numCentroids = 8)
