@@ -61,6 +61,14 @@ object StreamJoin {
     val store = root.resolve("store").toString
     lock.synchronized {
       if (!Files.exists(root.resolve("_DONE"))) {
+        // a crashed earlier build leaves a checkpoint whose resume could
+        // re-run the last batch into the plain-append store (duplicates)
+        // or skip its output (losses) — without _DONE the partial state is
+        // worthless, so always rebuild from scratch
+        Seq("ckpt", "store", "chunks").foreach { d =>
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            root.resolve(d).toFile)
+        }
         val events = graft.ops.Tables(spark, sfDir, "events")
           .select(col("event_id"), col("ts"), col("user_id"),
             col("event_type"), col("value"))
