@@ -84,7 +84,9 @@ class PlanGuardSpec extends SparkSpec {
     // (at fixture scale Catalyst rightly broadcasts the small side; the
     // dedicated test below proves the zero-shuffle merge join once
     // broadcast is off, i.e. the both-sides-large regime)
-    "q40_bucketed_join" -> Seq("Bucketed: true")
+    "q40_bucketed_join" -> Seq("Bucketed: true"),
+    // CMS probe: the fixed d×w sketch broadcasts against the vocab side
+    "tx14_cms_sketch" -> Seq("BroadcastHashJoin")
   )
 
   /** query -> plan fragments that must NOT appear */
@@ -100,6 +102,12 @@ class PlanGuardSpec extends SparkSpec {
     "sm3_cosine_neardups" -> Seq("BroadcastNestedLoopJoin"),
     "sm7_topk_pq" -> Seq("BroadcastNestedLoopJoin", "CartesianProduct"),
     "dd5_dup_clusters" -> Seq("BroadcastNestedLoopJoin"),
+    // FastSS blocking exists precisely so edit-distance matching is an
+    // equi-join on deletion variants — a nested loop means the predicate
+    // degenerated to all-pairs levenshtein
+    "q42_fuzzy_join" -> Seq("BroadcastNestedLoopJoin", "CartesianProduct"),
+    // span coverage joins on the shingle key, never all-pairs
+    "dd9_span_dedup" -> Seq("BroadcastNestedLoopJoin", "CartesianProduct"),
     // the whole point of bucketing: NO shuffle on either join input
     // (the post-join groupBy exchange is on c_nationkey, not these keys)
     "q40_bucketed_join" ->

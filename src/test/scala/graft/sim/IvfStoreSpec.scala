@@ -105,6 +105,21 @@ class IvfStoreSpec extends SparkSpec {
     assert(res(streamed) == res(root))
   }
 
+  test("standing-index recall vs brute force clears the floor on the " +
+       "worst-case unclustered fixture embeddings") {
+    import spark.implicits._
+    val emb = graft.ops.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("id") < 10)
+    val root = IvfStore.materializedEmbeddingsDir(spark, sfDir, 64)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val bf = pairs(Similarity.bruteForceTopK(q, emb, 5))
+    val recall = (pairs(IvfStore.topK(spark, root, q, 5, nProbe = 8))
+      & bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF-store recall regressed: $recall")
+  }
+
   test("query plan prunes to the probed cell partitions") {
     val root = freshRoot()
     IvfStore.bootstrap(spark, vecs(0 until 64), root, numCentroids = 8)

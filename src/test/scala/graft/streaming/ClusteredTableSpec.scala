@@ -119,6 +119,25 @@ class ClusteredTableSpec extends SparkSpec {
     assert(ClusteredTable.readTable(spark, root).count() == 8000)
   }
 
+  test("staged-but-uncommitted segments are invisible to readers") {
+    val root = freshRoot()
+    ClusteredTable.write(spark,
+      spark.range(0, 100).toDF("k"), root, "k", numSegments = 4)
+    // "crash": a writer stages a full extra version's worth of data but
+    // dies before the manifest commit
+    val orphanRel = ManifestStore.dataRel(
+      ManifestStore.nextVersion(spark, root))
+    spark.range(1000, 1100).toDF("k")
+      .withColumn("__seg", spark_partition_id())
+      .write.partitionBy("__seg").parquet(s"$root/$orphanRel")
+    assert(ClusteredTable.readTable(spark, root).count() == 100)
+    assert(ClusteredTable.rangeScan(spark, root, Some(0L), None)
+      .count() == 100)
+    // the next successful writer skips past the orphan's version
+    ClusteredTable.append(spark, spark.range(100, 120).toDF("k"), root, 2)
+    assert(ClusteredTable.readTable(spark, root).count() == 120)
+  }
+
   test("the zm1 gate's events table prunes to a minority of segments " +
        "and the residual filter reaches the parquet scan") {
     val root = ClusteredTable.materializedEventsDir(spark, sfDir)
