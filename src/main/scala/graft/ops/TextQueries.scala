@@ -170,6 +170,39 @@ object TextQueries {
         .orderBy(col("word"))
     }),
 
+    // URL canonicalization + dedup-by-URL — the crawl-pipeline step that
+    // runs before any content dedup (WARC processing collapses refetches
+    // of the same page under tracking-parameter noise). The corpus carries
+    // no URLs, so a deterministic raw URL is derived per doc exactly like
+    // tx11 derives PII: mixed-case host from the source domain, a path,
+    // rotating utm/session tracking params, an optional #fragment.
+    // Canonicalize = lowercase scheme+host, strip utm_*/session params,
+    // drop the fragment, drop a trailing slash. Pure scan-side regex
+    // surgery (codegen'd), then one hash agg on the canonical key.
+    "tx15_url_normalize" -> ((s, dir) => {
+      val raw = concat(
+        lit("https://WWW."), upper(substring(col("source"), 1, 1)),
+        substring(col("source"), 2, 100), lit(".example.com/docs/"),
+        pmod(col("doc_id"), lit(50)).cast("string"),
+        lit("?utm_source=feed&id="), pmod(col("doc_id"), lit(25)).cast("string"),
+        lit("&session="), col("doc_id").cast("string"),
+        lit("#sec"), pmod(col("doc_id"), lit(7)).cast("string"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), raw.as("raw_url"))
+        .withColumn("no_frag", regexp_replace(col("raw_url"), lit("#.*$"), lit("")))
+        .withColumn("clean_q", regexp_replace(col("no_frag"),
+          lit("(?:utm_[A-Za-z]+|session)=[^&#]*&?"), lit("")))
+        .withColumn("tidy", regexp_replace(col("clean_q"), lit("[?&]$"), lit("")))
+        .withColumn("canon_url", concat(
+          lower(regexp_extract(col("tidy"), "^https?://[^/]+", 0)),
+          regexp_replace(regexp_extract(col("tidy"), "^https?://[^/]+(.*)$", 1),
+            lit("/$"), lit(""))))
+        .groupBy(col("source"), col("canon_url"))
+        .agg(count(lit(1)).as("n_fetches"),
+          min(col("doc_id")).as("keep_doc"))
+        .orderBy(col("source"), col("canon_url"))
+    }),
+
     // PII scrubbing — the redaction pass a training-data pipeline runs
     // before anything ships. The synthetic corpus carries no PII, so a
     // deterministic contact line (email + phone derived from doc_id) is
@@ -211,6 +244,37 @@ object TextQueries {
       SELECT tok, COUNT(*) AS n_occurrences
       FROM toks GROUP BY tok HAVING COUNT(*) >= 150
       ORDER BY tok""",
+
+    // Patterns restricted to the Java∩RE2 dialect (like tx11); DuckDB
+    // regexp_replace needs the 'g' flag to match Java's replace-all.
+    "tx15_url_normalize" -> raw"""
+      WITH rawu AS (
+        SELECT doc_id, source,
+          'https://WWW.' || upper(substr(source, 1, 1))
+            || substr(source, 2, 100)
+            || '.example.com/docs/' || (doc_id % 50)::VARCHAR
+            || '?utm_source=feed&id=' || (doc_id % 25)::VARCHAR
+            || '&session=' || doc_id::VARCHAR
+            || '#sec' || (doc_id % 7)::VARCHAR AS raw_url
+        FROM documents
+      ), t AS (
+        SELECT doc_id, source,
+          regexp_replace(regexp_replace(
+            regexp_replace(raw_url, '#.*$$', '', 'g'),
+            '(?:utm_[A-Za-z]+|session)=[^&#]*&?', '', 'g'),
+            '[?&]$$', '', 'g') AS tidy
+        FROM rawu
+      ), c AS (
+        SELECT doc_id, source,
+          lower(regexp_extract(tidy, '^https?://[^/]+', 0)) ||
+          regexp_replace(
+            regexp_extract(tidy, '^https?://[^/]+(.*)$$', 1), '/$$', '', 'g')
+            AS canon_url
+        FROM t
+      )
+      SELECT source, canon_url, COUNT(*) AS n_fetches,
+        MIN(doc_id) AS keep_doc
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "tx14_cms_sketch" -> s"""
       WITH toks AS (

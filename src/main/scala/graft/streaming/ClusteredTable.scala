@@ -39,6 +39,7 @@ object ClusteredTable {
   private val ClusterColSlot = "__clusterCol"
   private def zminSlot(seg: Int) = s"__zmin.$seg"
   private def zmaxSlot(seg: Int) = s"__zmax.$seg"
+  private def zrowsSlot(seg: Int) = s"__zrows.$seg"
 
   /** Typed order-preserving encoding for manifest metadata values. Strings
     * are URL-encoded so the manifest's tab-separated line format can never
@@ -108,13 +109,15 @@ object ClusteredTable {
     // + partition column only). Driver collect is bounded by numSegments.
     val stats = spark.read.parquet(s"$root/$rel")
       .groupBy(col("__seg"))
-      .agg(min(col(clusterCol)).as("mn"), max(col(clusterCol)).as("mx"))
+      .agg(min(col(clusterCol)).as("mn"), max(col(clusterCol)).as("mx"),
+        count(lit(1)).as("n"))
       .collect()
     val entries = stats.flatMap { r =>
       val seg = r.getInt(0)
       Seq(seg.toString -> s"$rel/__seg=$seg",
         zminSlot(seg) -> encode(r.get(1)),
-        zmaxSlot(seg) -> encode(r.get(2)))
+        zmaxSlot(seg) -> encode(r.get(2)),
+        zrowsSlot(seg) -> r.getLong(3).toString)
     }.toMap + (ClusterColSlot -> clusterCol)
     ManifestStore.commit(spark, root, version, entries)
   }
@@ -143,7 +146,8 @@ object ClusteredTable {
       .parquet(s"$root/$rel")
     val stats = spark.read.parquet(s"$root/$rel")
       .groupBy(col("__seg"))
-      .agg(min(col(cc)).as("mn"), max(col(cc)).as("mx"))
+      .agg(min(col(cc)).as("mn"), max(col(cc)).as("mx"),
+        count(lit(1)).as("n"))
       .collect()
     val base = snap.entries.keys
       .collect { case s if !ManifestStore.isMetaSlot(s) => s.toInt }
@@ -153,7 +157,8 @@ object ClusteredTable {
       val slot = base + dir
       Seq(slot.toString -> s"$rel/__seg=$dir",
         zminSlot(slot) -> encode(r.get(1)),
-        zmaxSlot(slot) -> encode(r.get(2)))
+        zmaxSlot(slot) -> encode(r.get(2)),
+        zrowsSlot(slot) -> r.getLong(3).toString)
     }.toMap
     ManifestStore.commit(spark, root, version, snap.entries ++ added)
   }
@@ -166,6 +171,26 @@ object ClusteredTable {
   def optimize(spark: SparkSession, root: String, numSegments: Int): Unit = {
     val cc = clusterColOf(spark, root)
     write(spark, readTable(spark, root), root, cc, numSegments)
+  }
+
+  /** METADATA-ONLY COUNT(*): resolved entirely from the manifest's
+    * per-segment row stats — zero data files opened, zero tasks launched,
+    * the table-format trick behind instant counts at any table size.
+    */
+  def fastCount(spark: SparkSession, root: String): Long = {
+    val snap = ManifestStore.latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no clustered table under $root"))
+    // toSeq before mapping to counts: the key set's Set semantics would
+    // otherwise collapse equal per-segment counts before the sum
+    snap.entries.keys
+      .collect { case s if !ManifestStore.isMetaSlot(s) => s.toInt }
+      .toSeq
+      .map { seg =>
+        snap.entries.getOrElse(zrowsSlot(seg),
+          throw new IllegalStateException(
+            s"segment $seg has no row stats — table predates them; " +
+              s"run optimize to rewrite with stats")).toLong
+      }.sum
   }
 
   /** The clustering column a table was written with. */
@@ -235,7 +260,8 @@ object ClusteredTable {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    val root = java.nio.file.Paths.get(s"$base/$key/events_clustered_v1")
+    // v2: manifests gained per-segment __zrows stats (fastCount)
+    val root = java.nio.file.Paths.get(s"$base/$key/events_clustered_v2")
     buildLock.synchronized {
       if (!java.nio.file.Files.exists(root.resolve("_DONE"))) {
         write(spark, graft.ops.Tables(spark, sfDir, "events"),

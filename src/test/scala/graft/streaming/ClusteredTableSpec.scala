@@ -119,6 +119,18 @@ class ClusteredTableSpec extends SparkSpec {
     assert(ClusteredTable.readTable(spark, root).count() == 8000)
   }
 
+  test("fastCount answers COUNT(*) from the manifest alone") {
+    val root = freshRoot()
+    ClusteredTable.write(spark,
+      spark.range(0, 1234).toDF("k"), root, "k", numSegments = 8)
+    assert(ClusteredTable.fastCount(spark, root) == 1234)
+    ClusteredTable.append(spark, spark.range(1234, 1500).toDF("k"), root, 2)
+    assert(ClusteredTable.fastCount(spark, root) == 1500)
+    ClusteredTable.optimize(spark, root, numSegments = 4)
+    assert(ClusteredTable.fastCount(spark, root) == 1500)
+    assert(ClusteredTable.readTable(spark, root).count() == 1500)
+  }
+
   test("staged-but-uncommitted segments are invisible to readers") {
     val root = freshRoot()
     ClusteredTable.write(spark,
