@@ -39,7 +39,7 @@ object Soak {
     spark.sparkContext.setLogLevel("ERROR")
 
     val out = System.getProperty("java.io.tmpdir") +
-      s"/graft_soak_${factor}x"
+      s"/graft_soak_${factor}x_v2" // v2: events scaled too
     val marker = java.nio.file.Paths.get(out, "_READY")
     if (!java.nio.file.Files.exists(marker)) {
       val docs = graft.ops.Tables(spark, base, "documents")
@@ -63,9 +63,20 @@ object Soak {
       }.reduce(_ unionByName _)
       embN.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+      // events: factor stacked copies shifted +35 days per copy — history
+      // GROWS while any fixed time window stays constant-sized, which is
+      // exactly the regime zone-map pruning must keep flat
+      val ev = graft.ops.Tables(spark, base, "events")
+      val evStride = ev.agg(max("event_id")).head.getLong(0) + 1
+      val evN = (0 until factor).map { i =>
+        ev.withColumn("event_id", col("event_id") + lit(i * evStride))
+          .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 35} DAYS"))
+      }.reduce(_ unionByName _)
+      evN.write.mode("overwrite").parquet(s"$out/events.parquet")
+
       // relational tables pass through 1× (soak targets the corpus ops)
       Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events").foreach { t =>
+        "lineitem").foreach { t =>
         spark.read.format("parquet")
           .option("recursiveFileLookup", "true")
           .load(s"$base/$t.parquet")
