@@ -127,6 +127,20 @@ object CorpusQueries {
         .select(col("doc_id"), col("quality"), col("bucket"))
         .orderBy(col("doc_id"))),
 
+    // Shard plan — the pipeline's LAST step: every document lands in one
+    // of 16 balanced output shards by salted id-hash (stable under
+    // re-runs and upstream partitioning; expected imbalance
+    // O(sqrt(docs/shard))). The gate checks the full assignment via
+    // per-shard doc and token totals; Shards.write publishes the physical
+    // shard dirs under one atomic manifest (spec-verified).
+    "cur10_shard_plan" -> ((s, dir) =>
+      graft.pack.Shards.assign(Tables(s, dir, "documents"), "doc_id", 16)
+        .groupBy(col("__shard").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("sum_tokens"))
+        .orderBy(col("shard"))),
+
     // Temperature-rebalanced domain mixture (the multilingual-LM α=0.5
     // recipe): per-domain keep rates ∝ sqrt(domain size), normalized to
     // retain half the corpus, applied as the same deterministic hash-bucket
@@ -332,6 +346,14 @@ object CorpusQueries {
         FROM documents)
       WHERE bucket < CAST(floor(quality * ${1L << 20}) AS BIGINT)
       ORDER BY doc_id""",
+
+    "cur10_shard_plan" -> raw"""
+      SELECT ('0x' || substr(md5('shard:' || doc_id::VARCHAR), 1, 15))::BIGINT
+          % 16 AS shard,
+        COUNT(*) AS n_docs,
+        CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+          AS BIGINT) AS sum_tokens
+      FROM documents GROUP BY 1 ORDER BY 1""",
 
     // Same fixed association order as the Spark rate expression:
     // ((((0.5 * n) * wq) / sumw) / c).

@@ -144,6 +144,50 @@ object MergeInto {
   /** Metadata slot recording the table's immutable bucket count. */
   val NumBucketsSlot = "__numBuckets"
 
+  /** Row-level `DELETE FROM t WHERE cond` (the GDPR/right-to-erasure path
+    * a lake table needs beyond keyed MERGE): one scan finds which buckets
+    * hold matching rows, ONLY those buckets are rewritten without them,
+    * and every untouched bucket's manifest entry carries forward — cost is
+    * O(matching buckets + scan), not O(store rewrite). Rows where `cond`
+    * evaluates NULL are kept, exactly like SQL DELETE.
+    *
+    * @return number of rows deleted.
+    */
+  def deleteWhere(spark: SparkSession, root: String,
+                  cond: org.apache.spark.sql.Column): Long = {
+    val snap = ManifestStore.latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed table under $root"))
+    val paths = ManifestStore.resolvePaths(root, snap)
+    if (paths.isEmpty) return 0L
+    val full = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    // bounded driver metadata: ≤ numBuckets ints
+    val touched = full.filter(cond).select(col("__bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return 0L
+    val touchedPaths = touched
+      .flatMap(b => snap.entries.get(b.toString)).map(rel => s"$root/$rel")
+    val target = spark.read.option("mergeSchema", "true")
+      .parquet(touchedPaths: _*)
+    val deleted = target.filter(cond).count()
+    val kept = target.filter(!coalesce(cond, lit(false)))
+
+    val version = ManifestStore.nextVersion(spark, root)
+    val rel = ManifestStore.dataRel(version)
+    val written: Set[Int] =
+      if (kept.isEmpty) Set.empty // touched buckets deleted to empty
+      else {
+        kept.withColumn("__dir", col("__bucket"))
+          .write.mode("errorifexists").partitionBy("__dir")
+          .parquet(s"$root/$rel")
+        spark.read.parquet(s"$root/$rel")
+          .select(col("__dir")).distinct().collect().map(_.getInt(0)).toSet
+      }
+    val entries = snap.entries -- touched.map(_.toString) ++
+      touched.filter(written).map(b => b.toString -> s"$rel/__dir=$b")
+    ManifestStore.commit(spark, root, version, entries)
+    deleted
+  }
+
   /** POINT LOOKUP: read ONLY the bucket `key` hashes into —
     * O(store/numBuckets) I/O instead of a table scan, resolved purely
     * from the manifest (bucket count metadata + that bucket's entry; no

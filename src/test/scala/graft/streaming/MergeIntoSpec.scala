@@ -167,4 +167,34 @@ class MergeIntoSpec extends SparkSpec {
     // absent key in an existing bucket → empty
     assert(MergeInto.lookupKey(spark, root, "k", 4242L).count() == 0)
   }
+
+  test("deleteWhere rewrites only matching buckets; NULL predicate rows " +
+       "are kept; no-match is a version no-op") {
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    MergeInto.mergeBatch(spark,
+      (0L until 100L).map(i =>
+        (i, if (i == 7) null else s"u${i % 10}")).toDF("k", "owner"),
+      root, "k", numBuckets = 8)
+    val before = ManifestStore.latest(spark, root).get
+
+    // GDPR-style erasure of one owner's rows (predicate is NULL for k=7,
+    // which SQL DELETE keeps)
+    val deleted = MergeInto.deleteWhere(spark, root, col("owner") === "u3")
+    assert(deleted == 10)
+    val after = ManifestStore.latest(spark, root).get
+    assert(after.version == before.version + 1)
+    val got = table(root).select("k").as[Long].collect().toSet
+    assert(got.size == 90 && !got.exists(_ % 10 == 3) && got.contains(7L))
+
+    // buckets with no matching rows carried their entries forward verbatim
+    val changed = after.entries.filter { case (slot, rel) =>
+      !ManifestStore.isMetaSlot(slot) && before.entries.get(slot) != Some(rel)
+    }
+    assert(changed.nonEmpty && changed.size < 8,
+      s"expected a strict subset of buckets rewritten, got ${changed.size}")
+
+    // no-match delete: no new version, nothing changes
+    assert(MergeInto.deleteWhere(spark, root, col("owner") === "nobody") == 0)
+    assert(ManifestStore.latest(spark, root).get.version == after.version)
+  }
 }
