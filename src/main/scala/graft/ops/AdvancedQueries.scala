@@ -624,6 +624,23 @@ object AdvancedQueries {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Equi-depth histogram (the statistics a CBO or data-profiler collects):
+    // 10 same-population bins over order totals via NTILE with a total
+    // order (price, key) so bin membership is deterministic; per-bin count
+    // and exact decimal bounds. One window exchange + one hash agg.
+    "q44_equidepth_hist" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_totalprice"), ntile(10).over(w).as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).cast(DecimalType(18, 2)).cast("double")
+            .as("lo"),
+          max(col("o_totalprice")).cast(DecimalType(18, 2)).cast("double")
+            .as("hi"))
+        .orderBy(col("bin"))
+    }),
+
     // PageRank over the customer–supplier purchase graph (3 damped power
     // iterations, undirected edges from orders⋈lineitem; supplier node ids
     // offset into their own range). Each iteration is one equi-join + one
@@ -1126,6 +1143,18 @@ object AdvancedQueries {
         AND c.event_type = 'click' AND p.event_type = 'purchase'
         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
       ORDER BY c.user_id, click_id, purchase_id""",
+
+    "q44_equidepth_hist" -> """
+      SELECT bin, COUNT(*) AS n_orders,
+        CAST(CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+          AS DOUBLE) AS lo,
+        CAST(CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+          AS DOUBLE) AS hi
+      FROM (
+        SELECT o_totalprice,
+          NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+        FROM orders)
+      GROUP BY bin ORDER BY bin""",
 
     // Unrolled twin of the quantized power iteration (PageRank.scala).
     // DuckDB parses bare decimals as DECIMAL, so every rank constant is
