@@ -101,7 +101,11 @@ object ClusteredTable {
     // repartitionByRange puts NULLs first and assigns each partition a
     // disjoint slice of the cluster column; the partition id IS the
     // segment id, so __seg doubles as the Hive partition directory.
+    // sortWithinPartitions: rows inside a segment are ordered by the
+    // cluster column, so parquet row-group min/max are tight slices and
+    // the pushed residual filter skips row groups, not just segments
     df.repartitionByRange(numSegments, col(clusterCol))
+      .sortWithinPartitions(col(clusterCol))
       .withColumn("__seg", spark_partition_id())
       .write.mode("errorifexists").partitionBy("__seg")
       .parquet(s"$root/$rel")
@@ -141,6 +145,7 @@ object ClusteredTable {
     val version = ManifestStore.nextVersion(spark, root)
     val rel = ManifestStore.dataRel(version)
     df.repartitionByRange(segmentsPerBatch, col(cc))
+      .sortWithinPartitions(col(cc))
       .withColumn("__seg", spark_partition_id())
       .write.mode("errorifexists").partitionBy("__seg")
       .parquet(s"$root/$rel")
@@ -260,8 +265,8 @@ object ClusteredTable {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    // v2: manifests gained per-segment __zrows stats (fastCount)
-    val root = java.nio.file.Paths.get(s"$base/$key/events_clustered_v2")
+    // v3: sorted-within-segment rows (v2 added __zrows stats)
+    val root = java.nio.file.Paths.get(s"$base/$key/events_clustered_v3")
     buildLock.synchronized {
       if (!java.nio.file.Files.exists(root.resolve("_DONE"))) {
         write(spark, graft.ops.Tables(spark, sfDir, "events"),
