@@ -223,7 +223,11 @@ object ClusteredTable {
         case (Some(mn), Some(mx)) =>
           // overlap: NOT (segment entirely below lo or entirely above hi)
           !loE.exists(l => lt(mx, l)) && !hiE.exists(h => lt(h, mn))
-        case _ => false // all-null segment: no range predicate matches NULL
+        case _ =>
+          // all-null segment: no range PREDICATE matches NULL, but a fully
+          // unbounded scan has no predicate — it must equal readTable,
+          // null rows included (mixed segments already return theirs)
+          loE.isEmpty && hiE.isEmpty
       }
     }
   }

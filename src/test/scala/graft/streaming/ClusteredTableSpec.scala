@@ -65,8 +65,11 @@ class ClusteredTableSpec extends SparkSpec {
     val got = ClusteredTable.rangeScan(spark, root, Some("a"), Some("n"))
       .as[String].collect().sorted
     assert(got.toSeq == Seq("alpha", "bravo", "line\nbreak", "mike"))
-    // full-range scan still excludes NULL (range predicates never match it)
+    // bounded scan excludes NULL (range predicates never match it)...
     assert(ClusteredTable.rangeScan(spark, root, Some(""), None).count() == 6)
+    // ...but a fully UNBOUNDED scan has no predicate: ≡ readTable,
+    // null rows included (even when they sit in an all-null segment)
+    assert(ClusteredTable.rangeScan(spark, root, None, None).count() == 7)
     // the raw table retains the null row
     assert(ClusteredTable.readTable(spark, root).count() == 7)
   }
