@@ -659,6 +659,20 @@ object AdvancedQueries {
         .orderBy(col("pr").desc, col("id")).limit(50)
     }),
 
+    // Bloom-index point lookup on a SECONDARY column of the clustered
+    // events table: zone maps serve the ts clustering column, the
+    // manifest-resident per-segment blooms serve user_id — the lookup
+    // opens only the (expected 1 + fpp·15 of 16) segments that might hold
+    // the user. The oracle is the plain filter; index pruning must be
+    // row-for-row invisible.
+    "zm2_bloom_lookup" -> ((s, dir) => {
+      val root = graft.streaming.ClusteredTable.materializedEventsDir(s, dir)
+      graft.streaming.BloomIndex.lookup(s, root, 5L)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Fuzzy (edit-distance) join with FastSS deletion-neighborhood blocking:
     // a deterministic typo is derived from every part-name word (one char
     // deleted at a hash-picked position) and matched back against the vocab
@@ -1189,6 +1203,12 @@ object AdvancedQueries {
       FROM (SELECT DISTINCT q.q, wv.w FROM qv q JOIN wv ON q.v = wv.v) t(q, w)
       WHERE levenshtein(q, w) <= 1
       ORDER BY q, w""",
+
+    // The bloom-pruned lookup must equal the flat-parquet equality filter.
+    "zm2_bloom_lookup" -> """
+      SELECT event_id, ts, user_id, event_type, value
+      FROM events WHERE user_id = 5
+      ORDER BY event_id""",
 
     // The zone-map-pruned range scan must equal the flat-parquet filter.
     "zm1_clustered_prune" -> """

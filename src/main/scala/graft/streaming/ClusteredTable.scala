@@ -269,12 +269,14 @@ object ClusteredTable {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    // v3: sorted-within-segment rows (v2 added __zrows stats)
-    val root = java.nio.file.Paths.get(s"$base/$key/events_clustered_v3")
+    // v4: + user_id bloom index (v3 sorted segments, v2 __zrows stats)
+    val root = java.nio.file.Paths.get(s"$base/$key/events_clustered_v4")
     buildLock.synchronized {
       if (!java.nio.file.Files.exists(root.resolve("_DONE"))) {
         write(spark, graft.ops.Tables(spark, sfDir, "events"),
           root.toString, "ts", numSegments = 16)
+        BloomIndex.build(spark, root.toString, "user_id",
+          expectedItems = 100000L)
         java.nio.file.Files.createFile(root.resolve("_DONE"))
       }
     }
