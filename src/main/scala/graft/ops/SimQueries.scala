@@ -32,6 +32,7 @@ object SimQueries {
   private val IvfPqProbe = 8
   private val IvfStoreCentroids = 64
   private val IvfStoreProbe = 8
+  private val SemDedupTau = 0.3
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -156,6 +157,16 @@ object SimQueries {
           (sum(col("cosq")) / count(lit(1))).as("avg_cos"))
         .orderBy(col("label"))
     }),
+
+    // SemDeDup (arXiv:2303.09540): k-means the embedding space, then
+    // near-dup pairs are sought only WITHIN a cluster — Σ|cluster|² work
+    // instead of n². Same trained quantizer as sm5 (2 grid-exact Lloyd
+    // rounds), min-id keeper, per-pair (not transitive) drop — see
+    // Similarity.semDedup. Fully oracled: the training CTEs are sm5's,
+    // the within-cluster pair count is plain SQL.
+    "sm10_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(emb(s, dir), SemDedupTau,
+        KMeansCentroids, KMeansIters)),
 
     // The STANDING vector index: even vec_ids bootstrap (training the
     // frozen stride quantizer), odd vec_ids append as a second
@@ -306,6 +317,42 @@ object SimQueries {
       )
       SELECT query_id, corpus_id, cos, rank FROM ranked
       WHERE rank <= $K ORDER BY query_id, rank""",
+
+    // sm5's trained quantizer verbatim (seed + 2 Lloyd CTEs + argmax
+    // assignment), then the SemDeDup tail: within-cluster smaller-id
+    // near-dup count and the keep flag.
+    "sm10_semdedup" -> s"""
+      WITH cent_seed AS (
+        SELECT vec_id AS centroid_id,
+          list_transform(embedding, x -> x::DOUBLE) AS cvec
+        FROM embeddings
+        WHERE vec_id % greatest(CAST(ceil(
+          (SELECT COUNT(*) FROM embeddings) / $KMeansCentroids.0) AS BIGINT), 1) = 0
+      ), ${(1 to KMeansIters).map(i =>
+        lloydRoundSql(i, if (i == 1) "cent_seed" else s"cent${i - 1}"))
+        .mkString(", ")}, corpus_scored AS (
+        SELECT c.vec_id AS corpus_id, ct.centroid_id, c.embedding AS cv,
+          ${cosSql("c.embedding", "ct.cvec")} AS cs
+        FROM embeddings c, cent$KMeansIters ct
+      ), corpus_cells AS (
+        SELECT corpus_id, centroid_id, cv FROM (
+          SELECT corpus_id, centroid_id, cv,
+            ROW_NUMBER() OVER (PARTITION BY corpus_id
+                               ORDER BY cs DESC, centroid_id) AS cr
+          FROM corpus_scored
+        ) WHERE cr = 1
+      ), dup AS (
+        SELECT b.corpus_id AS id, COUNT(*) AS n_dup
+        FROM corpus_cells a JOIN corpus_cells b
+          ON a.centroid_id = b.centroid_id AND a.corpus_id < b.corpus_id
+        WHERE ${cosSql("a.cv", "b.cv")} >= $SemDedupTau
+        GROUP BY 1
+      )
+      SELECT c.corpus_id AS vec_id, c.centroid_id AS cluster_id,
+        COALESCE(d.n_dup, 0) AS n_dup_smaller,
+        CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+      FROM corpus_cells c LEFT JOIN dup d ON c.corpus_id = d.id
+      ORDER BY vec_id""",
 
     "sm7_topk_pq" -> pqSql,
 

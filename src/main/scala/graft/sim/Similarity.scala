@@ -558,4 +558,59 @@ object Similarity {
           .as("cos"))
       .filter(col("cos") >= tau)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    * by clustering the embedding space with k-means and comparing pairs only
+    * WITHIN a cluster — the trick that makes embedding-level dedup tractable
+    * at corpus scale. Pairwise cost is Σ|cluster|², not n²: with cluster
+    * count grown alongside the corpus (see [[autoCentroids]]), per-cluster
+    * populations stay bounded and the whole pass is one bucketed self-join,
+    * exactly the shape of the MinHash band join in `Dedup`.
+    *
+    * Keeper rule: deterministic min-id — a vector is dropped when some
+    * SMALLER-id vector in the same cluster has cosine ≥ `tau` with it.
+    * (The paper keeps the member farthest from the cluster centroid; any
+    * single-representative rule has the same dedup power, and min-id makes
+    * the result engine-reproducible.) Like the paper — and unlike
+    * connected-component dedup (`dd5`) — the rule is applied per PAIR, not
+    * per transitive group: x can be dropped because of y even when y was
+    * itself dropped. That is the documented SemDeDup behavior (each
+    * ε-neighborhood keeps one point), not an accident.
+    *
+    * Returns one row per corpus vector: (vec_id, cluster_id,
+    * n_dup_smaller, keep 1/0), totally ordered by vec_id.
+    *
+    * Scale shape: centroid training is [[trainCentroids]] (broadcast
+    * centroids, O(k·dim) state); assignment is one broadcast argmax pass;
+    * the only corpus-sized shuffle is the cluster-keyed self-join, which
+    * `shuffle_hash` + identical children let ReuseExchange hash once.
+    */
+  def semDedup(corpus: DataFrame, tau: Double, numCentroids: Int = -1,
+               iters: Int = 2): DataFrame = {
+    val k = if (numCentroids > 0) numCentroids
+      else autoCentroids(corpus.count(), cap = 4096)
+    val cent = trainCentroids(corpus, k, iters)
+      .withColumn("cn", norm(col("cvec")))
+    val scored = corpus
+      .select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
+      .crossJoin(broadcast(cent))
+      .withColumn("__cs", dot(col("vec"), col("cvec")) / (col("nrm") * col("cn")))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("__cs").desc, col("centroid_id"))
+    val assigned = scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("id"), col("centroid_id"), col("vec"), col("nrm"))
+    val dup = assigned.as("a").hint("shuffle_hash").join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.id") < col("b.id"))
+      .filter(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm"))
+        >= tau)
+      .groupBy(col("b.id").as("id"))
+      .agg(count(lit(1)).as("n_dup"))
+    assigned.join(dup, Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("centroid_id").as("cluster_id"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_smaller"),
+        when(col("n_dup").isNull, 1).otherwise(0).cast("int").as("keep"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -45,6 +45,42 @@ class SimilaritySpec extends SparkSpec {
     assert(p1.flatten.forall(v => v == 1.0 || v == -1.0))
   }
 
+  test("semDedup: min-id keeper within clusters, per-pair (non-transitive) drop") {
+    // Two tight directions (x-ish, y-ish) plus an isolated opposite vector.
+    // With 2 clusters the x-ish and y-ish families land in separate cells;
+    // within each family every pair has cosine ≈ 1, so only the min id
+    // survives. id 4 shares the x-ish cluster but is anti-aligned
+    // (cos = -1 < tau) — it must keep.
+    val fam = Seq(
+      (0L, Array(1.0f, 0.01f, 0.0f)),
+      (1L, Array(1.0f, -0.01f, 0.0f)),
+      (2L, Array(0.01f, 1.0f, 0.0f)),
+      (3L, Array(-0.01f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("id", "vec")
+    val out = Similarity.semDedup(fam, tau = 0.9, numCentroids = 2, iters = 1)
+      .select("vec_id", "n_dup_smaller", "keep")
+      .as[(Long, Long, Int)].collect().toSeq.sortBy(_._1)
+    val keep = out.filter(_._3 == 1).map(_._1)
+    val drop = out.filter(_._3 == 0).map(_._1)
+    assert(keep.contains(0L) && keep.contains(4L),
+      s"min ids and the anti-aligned vector must keep, got keep=$keep")
+    assert(drop.contains(1L), s"same-cluster near-dup of id 0 must drop: $out")
+    // every vector appears exactly once, keep ⇔ n_dup_smaller == 0
+    assert(out.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(out.forall(r => (r._3 == 1) == (r._2 == 0L)))
+  }
+
+  test("semDedup at the gate's parameters is deterministic across runs") {
+    val emb = graft.ops.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def run() = Similarity.semDedup(emb, 0.3, 8, 2)
+      .collect().map(_.toSeq).toSeq
+    val a = run(); val b = run()
+    assert(a == b)
+    assert(a.size == 500) // one row per sf0.001 corpus vector
+  }
+
   test("ANN recall vs brute force clears the floor (deterministic data)") {
     // Random embeddings are the ANN worst case (no cluster structure), so
     // these floors are honest lower bounds, not aspirations. Measured on
