@@ -26,12 +26,15 @@ import org.apache.spark.sql.functions._
   * first/last 16-bit samples read back from the PCM payload
   * ([[DeterministicWav]]).
   *
-  * VIDEO decode remains a clearly-marked deterministic STUB
-  * ([[StubCodec]]) — the container genuinely has no video codecs.
-  * Everything around it (schema, case-class Encoders, mapPartitions batch
-  * shape, partitioning, the explode-based frame sampler) is real, tested
-  * Spark plumbing; swap [[StubCodec.decode]] for a JNI/javacv call and
-  * nothing else changes.
+  * VIDEO decode is REAL as well: fixture rows carry genuine multi-frame
+  * animated-GIF bytes (the JDK's own `javax.imageio` GIF writer/reader —
+  * a frame-sequence container is precisely the video surface this layer
+  * needs), and [[extractFeatures]] reads back the container-parsed frame
+  * count plus pixel probes from the first and last decoded frames
+  * ([[DeterministicGif]]). An indexed 256-gray palette makes GIF's
+  * quantization lossless, so every decoded pixel is oracle-predictable.
+  * For codecs outside the JDK (H.264 & co.) the swap point is
+  * [[DeterministicGif.decode]] — nothing else changes.
   *
   * Scale shape: decode runs as `mapPartitions` (one codec init per
   * partition, not per row — the same batching rationale as arrow-batched
@@ -140,24 +143,88 @@ object Media {
     }
   }
 
-  /** STUB codec for the one modality with no codec in this environment
-    * (video). Derives fake dimensions from the byte length so results
-    * are stable and oracle-checkable. Replace `decode` with a real codec in
-    * production; the image and audio paths show the pattern.
+  /** Deterministic animated-GIF generator — the VIDEO twin of
+    * [[DeterministicPng]]/[[DeterministicWav]], using the JDK's own
+    * multi-frame GIF writer/reader (`javax.imageio`, no external codecs):
+    * an animated GIF IS a frame-sequence container, which is exactly the
+    * surface a video pipeline needs — per-frame decode, frame count,
+    * frame-sample. Frames are 8-bit INDEXED rasters over an explicit
+    * 256-gray palette, so GIF's palette quantization is lossless and every
+    * decoded pixel is a pure function of the seed: a SQL oracle predicts
+    * what the real decoder must read back.
     */
-  object StubCodec {
-    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int, Int) = {
-      val n = bytes.length
-      ((n % 512) + 1, ((n / 512) % 512) + 1, (n % 32) + 1, 0) // video
+  object DeterministicGif {
+    def dims(seed: Int): (Int, Int) =
+      ((seed % 24) + 8, ((seed / 24) % 24) + 8)
+    def frames(seed: Int): Int = (seed % 12) + 2
+
+    /** Gray level (= palette index) at (x,y) of frame f. */
+    def gray(seed: Int, f: Int, x: Int, y: Int): Int =
+      (seed + 7 * f + x + 2 * y) % 256
+
+    private val palette: java.awt.image.IndexColorModel = {
+      val ramp = Array.tabulate(256)(j => j.toByte)
+      new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    }
+
+    def encode(seed: Int): Array[Byte] = {
+      val (w, h) = dims(seed)
+      val n = frames(seed)
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new ByteArrayOutputStream(1024)
+      val ios = ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < n) {
+          val img = new BufferedImage(w, h,
+            BufferedImage.TYPE_BYTE_INDEXED, palette)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, gray(seed, f, x, y)); x += 1
+            }
+            y += 1
+          }
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
+    /** Real decode: container-parsed frame count + first/last frames read
+      * back through the GIF reader. Returns (width, height, nFrames,
+      * packed-RGB pixel(0,0) of frame 0, packed-RGB pixel(w-1,h-1) of the
+      * last frame).
+      */
+    def decode(bytes: Array[Byte]): (Int, Int, Int, Int, Int) = {
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis, false, true)
+        val n = reader.getNumImages(true)
+        require(n > 0, "GIF container holds no frames")
+        val first = reader.read(0)
+        val last = reader.read(n - 1)
+        val (w, h) = (first.getWidth, first.getHeight)
+        (w, h, n, first.getRGB(0, 0) & 0xFFFFFF,
+          last.getRGB(w - 1, h - 1) & 0xFFFFFF)
+      } finally { reader.dispose(); iis.close() }
     }
   }
 
   /** Build a media table from the `documents` fixture: image rows carry
-    * REAL PNG bytes ([[DeterministicPng]], seeded by the text's byte
-    * length), audio/video rows carry the UTF-8 text bytes (their decode is
-    * stubbed anyway); kind assigned round-robin on doc_id. Runs as
-    * mapPartitions — the PNG encoder warms up once per partition, and
-    * `ImageIO`'s disk cache is disabled so encode stays in-memory.
+    * REAL PNG bytes, audio rows REAL PCM WAVE bytes, video rows REAL
+    * multi-frame GIF bytes — each generator a pure function of the text's
+    * byte length; kind assigned round-robin on doc_id. Runs as
+    * mapPartitions — codecs warm up once per partition, and `ImageIO`'s
+    * disk cache is disabled so encode stays in-memory.
     */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
     import docs.sparkSession.implicits._
@@ -173,11 +240,43 @@ object Media {
           val content = k match {
             case 0 => DeterministicPng.encode(bytes.length)
             case 1 => DeterministicWav.encode(bytes.length)
-            case _ => bytes // video decode is stubbed anyway
+            case _ => DeterministicGif.encode(bytes.length)
           }
           MediaRow(id, kinds(k), mimes(k), content)
         }
       }
+  }
+
+  private val buildLock = new Object
+
+  /** Materialize-once media fixture per SF: encoding 5k PNG/WAV/GIF
+    * containers is fixture CONSTRUCTION, not query work — four gates each
+    * re-encoding the corpus quadruples codec cost for nothing. The binary
+    * rows land in parquet under a versioned root with a `_DONE` marker
+    * (created only after a successful write); gates read the parquet and
+    * pay only the DECODE they are actually gating.
+    */
+  def materializedMediaDir(spark: SparkSession, sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    // v1: real PNG + WAV + multi-frame GIF content
+    val root = java.nio.file.Paths.get(s"$base/$key/media_v1")
+    buildLock.synchronized {
+      if (!java.nio.file.Files.exists(root.resolve("_DONE"))) {
+        mediaFromDocuments(
+            graft.ops.Tables(spark, sfDir, "documents"))
+          .write.mode("overwrite").parquet(root.resolve("rows").toString)
+        java.nio.file.Files.createFile(root.resolve("_DONE"))
+      }
+    }
+    root.resolve("rows").toString
+  }
+
+  /** The materialized media table, typed. */
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(materializedMediaDir(spark, sfDir)).as[MediaRow]
   }
 
   /** Decode + feature-extract via mapPartitions: codec state initializes once
@@ -206,9 +305,11 @@ object Media {
             width = 0, height = 0, n_frames = n, sample_rate = rate,
             px00 = s0, px_corner = sN)
         } else {
-          val (w, h, frames, rate) = StubCodec.decode(r.kind, r.content)
+          // REAL frame-sequence decode: container-parsed frame count +
+          // first/last frame pixel probes through the JDK's GIF reader
+          val (w, h, frames, px0, pxc) = DeterministicGif.decode(r.content)
           MediaFeatures(r.media_id, r.kind, r.content.length.toLong, w, h,
-            frames, rate, px00 = 0, px_corner = 0)
+            frames, sample_rate = 0, px00 = px0, px_corner = pxc)
         }
       }
     }

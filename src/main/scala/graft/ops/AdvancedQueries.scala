@@ -169,6 +169,88 @@ object AdvancedQueries {
         .orderBy(col("w_start"))
     }),
 
+    // KMV (bottom-k / theta) distinct sketches — the mergeable sketch that,
+    // unlike HLL (q39), supports set INTERSECTION: audience-overlap
+    // estimation without co-shuffling the raw sets. Per event type, the
+    // first-week and last-week user sets are sketched as the K smallest
+    // 60-bit md5 hashes of user_id (deterministic — no RNG, so both
+    // engines build bit-identical sketches). Estimators are the textbook
+    // ones: n̂ = (K-1)·2^60/θ when saturated (θ = Kth smallest hash),
+    // exact count when not; union = K smallest of the merged hash sets;
+    // intersection = common sketch hashes below θ = min(θ_a, θ_b), scaled
+    // by 2^60/θ. Exact overlap rides along so the gate shows estimate vs
+    // truth. Scale shape: sketch construction is one hash-agg + per-group
+    // WindowGroupLimit (each map task pre-limits to K rows per type before
+    // the exchange); everything downstream of the sketches is O(types·K).
+    "q45_kmv_overlap" -> ((s, dir) => {
+      val K = 16
+      val Dom = 1L << 60
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          col("ts").cast("timestamp").as("ts"))
+      def sketch(cond: org.apache.spark.sql.Column, tag: String) = {
+        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        ev.filter(cond)
+          .select(col("event_type"),
+            graft.functions.Hash60(col("user_id").cast("string")).as("h"))
+          .distinct()
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= K)
+          .withColumn("tag", lit(tag))
+      }
+      val a = sketch(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"), "a")
+      val b = sketch(col("ts") >= lit("2024-01-24 00:00:00").cast("timestamp"), "b")
+      // θ and estimate per sketch: exact when the set never filled K slots
+      def estOf(sk: DataFrame, name: String) = sk.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), max(col("h")).as("hk"))
+        .select(col("event_type"),
+          when(col("cnt") < K, lit(Dom)).otherwise(col("hk")).as(s"theta_$name"),
+          when(col("cnt") < K, col("cnt").cast("double"))
+            .otherwise(lit((K - 1).toDouble) * Dom.toDouble
+              / col("hk").cast("double")).as(s"est_$name"))
+      val estA = estOf(a, "a")
+      val estB = estOf(b, "b")
+      // union sketch: K smallest of the merged (distinct) hash sets
+      val wu = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val u = a.select(col("event_type"), col("h"))
+        .union(b.select(col("event_type"), col("h"))).distinct()
+        .withColumn("rn", row_number().over(wu)).filter(col("rn") <= K)
+      val estU = estOf(u, "union")
+      // intersection: common sketch hashes below θ = min(θa, θb)
+      val common = a.select(col("event_type"), col("h"))
+        .join(b.select(col("event_type"), col("h")), Seq("event_type", "h"))
+      val estI = common
+        .join(broadcast(estA.select(col("event_type"), col("theta_a"))),
+          Seq("event_type"))
+        .join(broadcast(estB.select(col("event_type"), col("theta_b"))),
+          Seq("event_type"))
+        .filter(col("h") < least(col("theta_a"), col("theta_b")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("ci"),
+          min(least(col("theta_a"), col("theta_b"))).as("ti"))
+        .select(col("event_type"),
+          when(col("ti") === Dom, col("ci").cast("double"))
+            .otherwise(col("ci").cast("double") * Dom.toDouble
+              / col("ti").cast("double")).as("est_intersect"))
+      val exact = ev.filter(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"))
+        .select(col("event_type"), col("user_id")).distinct()
+        .join(ev.filter(col("ts") >= lit("2024-01-24 00:00:00").cast("timestamp"))
+          .select(col("event_type"), col("user_id")).distinct(),
+          Seq("event_type", "user_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("exact_intersect"))
+      estA.select(col("event_type"), col("est_a"))
+        .join(estB.select(col("event_type"), col("est_b")), Seq("event_type"))
+        .join(estU.select(col("event_type"), col("est_union")), Seq("event_type"))
+        .join(estI, Seq("event_type"), "left")
+        .join(exact, Seq("event_type"), "left")
+        .select(col("event_type"), col("est_a"), col("est_b"),
+          col("est_union"), coalesce(col("est_intersect"), lit(0.0))
+            .as("est_intersect"),
+          coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
+        .orderBy(col("event_type"))
+    }),
+
     // Mergeable distinct-count sketches — the shape a 100 TB pipeline
     // actually stores: one DataSketches HLL per (event_type, day) partition
     // (incrementally maintainable, reorderable, re-aggregatable), unioned
@@ -811,6 +893,90 @@ object AdvancedQueries {
       SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
         TRUE AS within_tol
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // Bit-identical sketch mirror: same md5-derived 60-bit hashes, same
+    // bottom-K selection, same estimator arithmetic (all left-associative
+    // double ops over exactly-representable inputs).
+    "q45_kmv_overlap" -> """
+      WITH ha AS (
+        SELECT DISTINCT event_type,
+          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+      ), hb AS (
+        SELECT DISTINCT event_type,
+          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+      ), ska AS (
+        SELECT event_type, h FROM (
+          SELECT event_type, h,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM ha) WHERE rn <= 16
+      ), skb AS (
+        SELECT event_type, h FROM (
+          SELECT event_type, h,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM hb) WHERE rn <= 16
+      ), esta AS (
+        SELECT event_type,
+          CASE WHEN COUNT(*) < 16 THEN 1152921504606846976
+               ELSE MAX(h) END AS theta_a,
+          CASE WHEN COUNT(*) < 16 THEN COUNT(*)::DOUBLE
+               ELSE 15.0 * 1152921504606846976::DOUBLE / MAX(h)::DOUBLE
+          END AS est_a
+        FROM ska GROUP BY 1
+      ), estb AS (
+        SELECT event_type,
+          CASE WHEN COUNT(*) < 16 THEN 1152921504606846976
+               ELSE MAX(h) END AS theta_b,
+          CASE WHEN COUNT(*) < 16 THEN COUNT(*)::DOUBLE
+               ELSE 15.0 * 1152921504606846976::DOUBLE / MAX(h)::DOUBLE
+          END AS est_b
+        FROM skb GROUP BY 1
+      ), sku AS (
+        SELECT event_type, h FROM (
+          SELECT event_type, h,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM (SELECT event_type, h FROM ska
+                UNION SELECT event_type, h FROM skb)
+        ) WHERE rn <= 16
+      ), estu AS (
+        SELECT event_type,
+          CASE WHEN COUNT(*) < 16 THEN COUNT(*)::DOUBLE
+               ELSE 15.0 * 1152921504606846976::DOUBLE / MAX(h)::DOUBLE
+          END AS est_union
+        FROM sku GROUP BY 1
+      ), esti AS (
+        SELECT c.event_type,
+          CASE WHEN MIN(least(ta.theta_a, tb.theta_b)) = 1152921504606846976
+               THEN COUNT(*)::DOUBLE
+               ELSE COUNT(*)::DOUBLE * 1152921504606846976::DOUBLE
+                    / MIN(least(ta.theta_a, tb.theta_b))::DOUBLE
+          END AS est_intersect
+        FROM (SELECT event_type, h FROM ska
+              INTERSECT SELECT event_type, h FROM skb) c
+        JOIN esta ta ON c.event_type = ta.event_type
+        JOIN estb tb ON c.event_type = tb.event_type
+        WHERE c.h < least(ta.theta_a, tb.theta_b)
+        GROUP BY 1
+      ), exact AS (
+        SELECT a.event_type, COUNT(*) AS exact_intersect FROM (
+          SELECT DISTINCT event_type, user_id FROM events
+          WHERE ts < TIMESTAMP '2024-01-08 00:00:00') a
+        JOIN (
+          SELECT DISTINCT event_type, user_id FROM events
+          WHERE ts >= TIMESTAMP '2024-01-24 00:00:00') b
+        ON a.event_type = b.event_type AND a.user_id = b.user_id
+        GROUP BY 1
+      )
+      SELECT esta.event_type, est_a, est_b, est_union,
+        COALESCE(est_intersect, 0.0) AS est_intersect,
+        COALESCE(exact_intersect, 0) AS exact_intersect
+      FROM esta
+      JOIN estb USING (event_type)
+      JOIN estu USING (event_type)
+      LEFT JOIN esti USING (event_type)
+      LEFT JOIN exact USING (event_type)
+      ORDER BY event_type""",
 
     "q39_hll_merge" -> """
       SELECT event_type, COUNT(DISTINCT user_id) AS n_users,

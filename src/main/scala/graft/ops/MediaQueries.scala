@@ -14,8 +14,10 @@ import graft.media.Media
   * functions of `strlen(text)`, so DuckDB predicts the decoded dims, probe
   * pixels, sample rate, frame count, and first/last PCM samples
   * arithmetically: the oracles verify genuine encode→decode round-trips
-  * without parsing the containers. Video decode is the documented stub
-  * (pure function of byte length → `strlen(text)`, ASCII corpus).
+  * without parsing the containers. Video rows carry REAL multi-frame
+  * animated-GIF bytes decoded by the JDK's own GIF reader
+  * ([[graft.media.Media.DeterministicGif]]) — all three modalities now
+  * round-trip through genuine codecs.
   *
   * The PNG container's byte size is codec-internal (filter choices, zlib),
   * so `n_bytes` and the raw content hash are NOT oracle-expressible for
@@ -27,8 +29,7 @@ import graft.media.Media
 object MediaQueries {
 
   private def features(s: SparkSession, dir: String) =
-    Media.extractFeatures(
-      Media.mediaFromDocuments(Tables(s, dir, "documents")))
+    Media.extractFeatures(Media.mediaTable(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -51,8 +52,7 @@ object MediaQueries {
     // structure; the md5 fingerprint itself stays internal (PNG bytes are
     // not SQL-predictable).
     "mm4_content_dedup" -> ((s, dir) =>
-      Media.contentDuplicateGroups(
-          Media.mediaFromDocuments(Tables(s, dir, "documents")))
+      Media.contentDuplicateGroups(Media.mediaTable(s, dir))
         .select(col("keep_id"), col("n_copies"))
         .orderBy(col("keep_id")))
   )
@@ -72,14 +72,14 @@ object MediaQueries {
       SELECT doc_id AS media_id, $kindSql AS kind,
         strlen(text) AS seed,
         CASE WHEN $kindSql = 'image' THEN (strlen(text) % 96) + 16
-             WHEN $kindSql = 'video' THEN (strlen(text) % 512) + 1
+             WHEN $kindSql = 'video' THEN (strlen(text) % 24) + 8
              ELSE 0 END AS width,
         CASE WHEN $kindSql = 'image' THEN ((strlen(text) // 96) % 96) + 16
-             WHEN $kindSql = 'video' THEN ((strlen(text) // 512) % 512) + 1
+             WHEN $kindSql = 'video' THEN ((strlen(text) // 24) % 24) + 8
              ELSE 0 END AS height,
         CASE WHEN $kindSql = 'image' THEN 1
              WHEN $kindSql = 'audio' THEN (strlen(text) % 480) + 32
-             WHEN $kindSql = 'video' THEN (strlen(text) % 32) + 1
+             WHEN $kindSql = 'video' THEN (strlen(text) % 12) + 2
              ELSE 0 END AS n_frames,
         CASE WHEN $kindSql = 'audio'
           THEN ([8000, 16000, 22050, 44100])[(strlen(text) % 4 + 1)::INT]
@@ -91,6 +91,9 @@ object MediaQueries {
           (seed % 256) * 65536 + (seed % 256) * 256 + (seed % 256)
         WHEN kind = 'audio' THEN
           ((seed * 31) % 65536) - 32768
+        WHEN kind = 'video' THEN
+          -- gray(seed, f=0, x=0, y=0) on the 256-gray palette, packed RGB
+          (seed % 256) * 65793
         ELSE 0 END AS px00,
         CASE WHEN kind = 'image' THEN
             ((seed + width - 1) % 256) * 65536
@@ -98,6 +101,10 @@ object MediaQueries {
           + ((seed + width + height - 2) % 256)
         WHEN kind = 'audio' THEN
           ((seed * 31 + (n_frames - 1) * 17) % 65536) - 32768
+        WHEN kind = 'video' THEN
+          -- gray(seed, last frame, w-1, h-1), packed RGB
+          ((seed + 7 * (n_frames - 1) + (width - 1) + 2 * (height - 1))
+            % 256) * 65793
         ELSE 0 END AS px_corner
       FROM f
     )"""
@@ -120,11 +127,10 @@ object MediaQueries {
              least(height, 256) AS out_height
       FROM g ORDER BY media_id""",
 
-    // Group-key mirror of the content generator: image PNG and audio WAV
-    // bytes are each a pure function of strlen(text) (two rows of the same
-    // kind share bytes iff their text LENGTHS are equal); video rows carry
-    // the raw text bytes and share bytes iff the text is equal. The
-    // 'i'/'a'/'t' prefixes keep the key spaces disjoint.
+    // Group-key mirror of the content generator: PNG, WAV, and GIF bytes
+    // are each a pure function of strlen(text), so two rows of the same
+    // kind share bytes iff their text LENGTHS are equal. The 'i'/'a'/'v'
+    // prefixes keep the key spaces disjoint.
     "mm4_content_dedup" -> """
       SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
       FROM documents
@@ -132,7 +138,7 @@ object MediaQueries {
                     THEN 'i' || strlen(text)::VARCHAR
                     WHEN (doc_id % 3) = 1
                     THEN 'a' || strlen(text)::VARCHAR
-                    ELSE 't' || text END
+                    ELSE 'v' || strlen(text)::VARCHAR END
       ORDER BY keep_id"""
   )
 }

@@ -34,13 +34,14 @@ class MediaSpec extends SparkSpec {
       DeterministicPng.encode(124).toSeq)
   }
 
-  test("extractFeatures decodes real PNGs and WAVs distributed") {
+  test("extractFeatures decodes real PNGs, WAVs, and GIFs distributed") {
     import spark.implicits._
     val media = Seq(
       Media.MediaRow(0L, "image", "image/png", DeterministicPng.encode(50)),
       Media.MediaRow(1L, "audio", "audio/wav",
         Media.DeterministicWav.encode(77)),
-      Media.MediaRow(2L, "video", "video/mp4", Array.fill(600)(7.toByte))
+      Media.MediaRow(2L, "video", "video/mp4",
+        Media.DeterministicGif.encode(600))
     ).toDS()
     val f = Media.extractFeatures(media).collect().sortBy(_.media_id)
     val (w, h) = DeterministicPng.dims(50)
@@ -52,7 +53,41 @@ class MediaSpec extends SparkSpec {
     assert(f(1).px00 == Media.DeterministicWav.sample(77, 0))
     assert(f(1).px_corner ==
       Media.DeterministicWav.sample(77, Media.DeterministicWav.frames(77) - 1))
-    assert(f(2).width == (600 % 512) + 1 && f(2).n_frames == (600 % 32) + 1)
+    val (vw, vh) = Media.DeterministicGif.dims(600)
+    assert(f(2).width == vw && f(2).height == vh)
+    assert(f(2).n_frames == Media.DeterministicGif.frames(600))
+    val g = Media.DeterministicGif.gray(600, 0, 0, 0)
+    assert(f(2).px00 == g * 0x010101)
+  }
+
+  test("GIF round-trip: frame count and every pixel of every frame survive") {
+    for (seed <- Seq(0, 1, 23, 24, 255, 256, 577, 9215)) {
+      val bytes = Media.DeterministicGif.encode(seed)
+      // GIF magic — these are real containers, not a fake envelope
+      assert(bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte &&
+        bytes(2) == 'F'.toByte)
+      val (w, h, n, px0, pxc) = Media.DeterministicGif.decode(bytes)
+      assert((w, h) == Media.DeterministicGif.dims(seed), s"dims seed=$seed")
+      assert(n == Media.DeterministicGif.frames(seed), s"frames seed=$seed")
+      assert(px0 == Media.DeterministicGif.gray(seed, 0, 0, 0) * 0x010101)
+      assert(pxc ==
+        Media.DeterministicGif.gray(seed, n - 1, w - 1, h - 1) * 0x010101)
+      // lossless palette: EVERY pixel of EVERY frame, not just the probes
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      reader.setInput(iis, false, true)
+      for (f <- 0 until n) {
+        val img = reader.read(f)
+        for (y <- 0 until h; x <- 0 until w)
+          assert((img.getRGB(x, y) & 0xFFFFFF) ==
+            Media.DeterministicGif.gray(seed, f, x, y) * 0x010101,
+            s"pixel ($x,$y) frame $f seed=$seed")
+      }
+      reader.dispose(); iis.close()
+      // pure function of the seed (mm4 dedup contract)
+      assert(bytes.toSeq == Media.DeterministicGif.encode(seed).toSeq)
+    }
   }
 
   test("WAV round-trip: every PCM sample survives the container") {

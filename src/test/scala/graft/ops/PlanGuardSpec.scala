@@ -86,7 +86,15 @@ class PlanGuardSpec extends SparkSpec {
     // broadcast is off, i.e. the both-sides-large regime)
     "q40_bucketed_join" -> Seq("Bucketed: true"),
     // CMS probe: the fixed d×w sketch broadcasts against the vocab side
-    "tx14_cms_sketch" -> Seq("BroadcastHashJoin")
+    "tx14_cms_sketch" -> Seq("BroadcastHashJoin"),
+    // KMV sketches: bottom-K per type pre-limits below the exchange
+    "q45_kmv_overlap" -> Seq("WindowGroupLimit"),
+    // SemDeDup: centroid assignment broadcasts; the within-cluster pair
+    // join is the hinted shuffled-hash equi-join
+    "sm10_semdedup" -> Seq("ShuffledHashJoin", "BroadcastNestedLoopJoin"),
+    // DSIR: log-ratio table + selected-id set broadcast; global top-N is
+    // TakeOrdered, never a single-partition window
+    "cur11_dsir_sample" -> Seq("BroadcastHashJoin", "TakeOrderedAndProject")
   )
 
   /** query -> plan fragments that must NOT appear */
@@ -111,7 +119,10 @@ class PlanGuardSpec extends SparkSpec {
     // the whole point of bucketing: NO shuffle on either join input
     // (the post-join groupBy exchange is on c_nationkey, not these keys)
     "q40_bucketed_join" ->
-      Seq("hashpartitioning(o_custkey", "hashpartitioning(c_custkey")
+      Seq("hashpartitioning(o_custkey", "hashpartitioning(c_custkey"),
+    // the cluster-keyed pair join must stay equi — a cartesian fallback
+    // would mean SemDeDup degraded to the all-pairs scan it exists to avoid
+    "sm10_semdedup" -> Seq("CartesianProduct")
   )
 
   /** query -> a column of the scanned table that the query does not need;
