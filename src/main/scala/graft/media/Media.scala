@@ -334,6 +334,84 @@ object Media {
         explode(sequence(lit(0), col("n_frames") - 1, lit(step)))
           .as("frame_idx"))
 
+  /** One decoded frame probe: packed-RGB pixels at (0,0) and (w-1,h-1)
+    * of a sampled video frame.
+    */
+  case class FramePixels(media_id: Long, frame_idx: Int, px00: Int,
+                         px_corner: Int)
+
+  /** Per-frame DECODE of every `step`-th frame of each video — the real
+    * work [[sampleFrames]]'s index arithmetic stands in front of: each
+    * container is opened once per row and only the sampled frames are
+    * actually rendered (the GIF reader seeks by frame index). mapPartitions
+    * keeps codec init per partition; output is a narrow 4-column frame
+    * table, so downstream shuffles never carry the binary payload.
+    */
+  def sampleFramePixels(media: Dataset[MediaRow],
+                        step: Int): Dataset[FramePixels] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "video").mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val reader = ImageIO.getImageReadersByFormatName("gif").next()
+        val iis = ImageIO.createImageInputStream(
+          new ByteArrayInputStream(r.content))
+        try {
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          (0 until n by step).map { f =>
+            val img = reader.read(f)
+            FramePixels(r.media_id, f, img.getRGB(0, 0) & 0xFFFFFF,
+              img.getRGB(img.getWidth - 1, img.getHeight - 1) & 0xFFFFFF)
+          }
+        } finally { reader.dispose(); iis.close() }
+      }
+    }
+  }
+
+  /** One fixed-size analysis window of a decoded audio stream. */
+  case class AudioWindow(media_id: Long, win_idx: Int, n_samples: Int,
+                         rms: Double, zero_cross: Int)
+
+  /** Windowed audio features over REAL WAV decode — the RMS-energy +
+    * zero-crossing pass a speech/audio curation pipeline runs for
+    * silence/noise segmentation. Every container is decoded by the JDK's
+    * `javax.sound.sampled` reader inside mapPartitions (codec init per
+    * partition, bytes never shuffled; output is a narrow 5-column window
+    * table). Cross-engine determinism: the window sum-of-squares is exact
+    * 64-bit integer math, and rms = sqrt(ss/n) is two correctly-rounded
+    * IEEE ops — bit-identical in any engine, no quantization grid needed.
+    */
+  def audioWindowFeatures(media: Dataset[MediaRow],
+                          win: Int): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "audio").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(r.content))
+        try {
+          val pcm = in.readAllBytes()
+          val n = pcm.length / 2
+          def at(i: Int): Int = (pcm(i * 2 + 1) << 8) | (pcm(i * 2) & 0xFF)
+          (0 until n by win).map { w0 =>
+            val end = math.min(w0 + win, n)
+            var ss = 0L
+            var zc = 0
+            var i = w0
+            while (i < end) {
+              val sm = at(i)
+              ss += sm.toLong * sm
+              if (i > w0 && (at(i - 1) >= 0) != (sm >= 0)) zc += 1
+              i += 1
+            }
+            AudioWindow(r.media_id, w0 / win, end - w0,
+              math.sqrt(ss.toDouble / (end - w0).toDouble), zc)
+          }
+        } finally in.close()
+      }
+    }
+  }
+
   /** Byte-exact content dedup on the opaque binary column — the
     * content-hash pass every multimodal pipeline runs before any decode
     * (distinct from text dedup: this hashes the RAW bytes, no

@@ -624,6 +624,35 @@ object AdvancedQueries {
         .orderBy(col("hour_start"), col("event_type"))
     }),
 
+    // STANDING KMV sketch store, driver-gated: per-type distinct-user
+    // sketches maintained across two manifest-committed merges (even
+    // event_ids, then odd, exactly-once txn ids). Because bottom-k merge
+    // is lossless — bottom-k(A∪B) = bottom-k(bottom-k(A) ∪ bottom-k(B)) —
+    // the incrementally-built store's estimates are BIT-IDENTICAL to a
+    // one-shot sketch over all events, which is what the oracle recomputes
+    // relationally.
+    "ev3_stream_kmv_store" -> ((s, dir) => {
+      val root = graft.streaming.KmvStore
+        .materializedEventsKmvDir(s, dir, k = 16)
+      graft.streaming.KmvStore.estimates(s, root, k = 16)
+        .withColumnRenamed("group", "event_type")
+        .orderBy(col("event_type"))
+    }),
+
+    // STANDING weighted sample, driver-gated: the top-(K+1) priority-
+    // sampling rows maintained across two manifest-committed merges (even
+    // event_ids, then odd, exactly-once txn ids). Because top-k merge is
+    // lossless — top-k(A∪B) = top-k(top-k(A) ∪ top-k(B)) — the
+    // incrementally-built store is BIT-IDENTICAL to one-shot priority
+    // sampling over all events, which the oracle recomputes relationally.
+    "ev4_stream_priority_sample" -> ((s, dir) => {
+      val root = graft.streaming.PrioritySampleStore
+        .materializedEventsPriorityDir(s, dir, k = 32)
+      graft.streaming.PrioritySampleStore.sample(s, root, k = 32)
+        .withColumnRenamed("id", "event_id")
+        .orderBy(col("rank"))
+    }),
+
     // Watermarked STREAM-STREAM interval join, driver-gated: a real
     // two-stream run (clicks ⋈ purchases within a 1-hour attribution
     // window per user, both sides watermarked, pairs forming ACROSS
@@ -723,6 +752,39 @@ object AdvancedQueries {
         .orderBy(col("bin"))
     }),
 
+    // Priority sampling (Duffield–Lund–Thorup, JACM '07) — the one-pass
+    // fixed-size WEIGHTED sample a 100 TB pipeline takes instead of
+    // sorting the world: priority q_i = w_i/u_i with u_i ∈ (0,1] derived
+    // deterministically from the 60-bit md5 hash, keep the K largest
+    // priorities (TakeOrderedAndProject: per-partition top-K, then a
+    // driver merge of K·numPartitions rows — no full shuffle), and the
+    // (K+1)th priority τ gives the unbiased subset-sum estimator
+    // ŵ_i = max(w_i, τ). Unlike the log-based gates, cross-engine
+    // determinism here needs NO quantization grid: u and q are two
+    // IEEE-754 divisions (correctly rounded everywhere), never libm.
+    "q46_priority_sample" -> ((s, dir) => {
+      val K = 64
+      val Dom = (1L << 60).toDouble
+      val pr = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").as("weight"),
+          (col("o_totalprice") /
+            ((graft.functions.Hash60(col("o_orderkey").cast("string")) +
+              lit(1L)).cast("double") / lit(Dom))).as("priority"))
+      val top = pr.orderBy(col("priority").desc, col("o_orderkey"))
+        .limit(K + 1)
+      // bounded global window: input is exactly the K+1 retained rows
+      val w = Window.orderBy(col("priority").desc, col("o_orderkey"))
+      val ranked = top.withColumn("rank", row_number().over(w))
+      val tau = ranked.filter(col("rank") === K + 1)
+        .select(col("priority").as("tau"))
+      ranked.filter(col("rank") <= K)
+        .join(broadcast(tau), lit(true), "left")
+        .select(col("rank"), col("o_orderkey"), col("weight"),
+          greatest(col("weight"), coalesce(col("tau"), lit(0.0)))
+            .as("est_weight"))
+        .orderBy(col("rank"))
+    }),
+
     // PageRank over the customer–supplier purchase graph (3 damped power
     // iterations, undirected edges from orders⋈lineitem; supplier node ids
     // offset into their own range). Each iteration is one equi-join + one
@@ -801,6 +863,25 @@ object AdvancedQueries {
           countDistinct(col("user_id")).as("n_users"),
           sum(col("value").cast(DecimalType(18, 2))).cast("double")
             .as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Z-ORDER 2-D box query (the OPTIMIZE ZORDER BY (user_id, value)
+    // story): Morton-interleaved clustering gives BOTH columns locality,
+    // so the manifest's per-column zone maps prune segments on two
+    // dimensions at once — a box that 1-D clustering could prune on only
+    // one axis. Layout is invisible in the result: the residual
+    // conjunction always runs (and lands in PushedFilters), so the oracle
+    // is the plain flat-parquet filter.
+    "zm3_zorder_prune" -> ((s, dir) => {
+      val root = graft.streaming.ClusteredTable
+        .materializedEventsZOrderDir(s, dir)
+      graft.streaming.ClusteredTable.zScan(s, root,
+          Some(3L), Some(40L), Some(20.0), Some(150.0))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))
         .orderBy(col("event_type"))
     })
   )
@@ -1306,7 +1387,49 @@ object AdvancedQueries {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ORDER BY user_id, event_id""",
 
+    // One-shot recompute of the incrementally-merged priority sample:
+    // same two-division priority arithmetic as q46, over ALL events.
+    "ev4_stream_priority_sample" -> """
+      WITH pr AS (
+        SELECT event_id, value AS weight,
+          value /
+            ((('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                ::BIGINT + 1)::DOUBLE
+             / 1152921504606846976::DOUBLE) AS priority
+        FROM events
+      ), ranked AS (
+        SELECT event_id, weight, priority,
+          ROW_NUMBER() OVER (ORDER BY priority DESC, event_id) AS rank
+        FROM pr
+      ), tau AS (
+        SELECT priority AS tau FROM ranked WHERE rank = 33
+      )
+      SELECT rank, event_id, weight,
+        greatest(weight, COALESCE(tau, 0.0::DOUBLE)) AS est_weight
+      FROM ranked LEFT JOIN tau ON TRUE
+      WHERE rank <= 32 ORDER BY rank""",
+
     // Streamed complete-mode hourly agg must equal the relational GROUP BY.
+    // One-shot relational recompute of the incrementally-merged store:
+    // bottom-16 md5-hash sketch per type over ALL events + the same
+    // estimator arithmetic as the Spark side.
+    "ev3_stream_kmv_store" -> """
+      WITH hs AS (
+        SELECT DISTINCT event_type,
+          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM events
+      ), sk AS (
+        SELECT event_type, h FROM (
+          SELECT event_type, h,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM hs) WHERE rn <= 16
+      )
+      SELECT event_type,
+        CASE WHEN COUNT(*) < 16 THEN COUNT(*)::DOUBLE
+             ELSE 15.0 * 1152921504606846976::DOUBLE / MAX(h)::DOUBLE
+        END AS est_distinct
+      FROM sk GROUP BY 1 ORDER BY event_type""",
+
     "ev1_stream_hourly" -> """
       SELECT date_trunc('hour', ts) AS hour_start, event_type,
         COUNT(*) AS n_events,
@@ -1335,6 +1458,29 @@ object AdvancedQueries {
           NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
         FROM orders)
       GROUP BY bin ORDER BY bin""",
+
+    // Same two-division priority arithmetic; o_totalprice is a raw parquet
+    // DOUBLE, so both engines start from identical bits and every derived
+    // value is a correctly-rounded IEEE op — bit-exact with no grid.
+    "q46_priority_sample" -> """
+      WITH pr AS (
+        SELECT o_orderkey, o_totalprice AS weight,
+          o_totalprice /
+            ((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                ::BIGINT + 1)::DOUBLE
+             / 1152921504606846976::DOUBLE) AS priority
+        FROM orders
+      ), ranked AS (
+        SELECT o_orderkey, weight, priority,
+          ROW_NUMBER() OVER (ORDER BY priority DESC, o_orderkey) AS rank
+        FROM pr
+      ), tau AS (
+        SELECT priority AS tau FROM ranked WHERE rank = 65
+      )
+      SELECT rank, o_orderkey, weight,
+        greatest(weight, COALESCE(tau, 0.0::DOUBLE)) AS est_weight
+      FROM ranked LEFT JOIN tau ON TRUE
+      WHERE rank <= 64 ORDER BY rank""",
 
     // Unrolled twin of the quantized power iteration (PageRank.scala).
     // DuckDB parses bare decimals as DECIMAL, so every rank constant is
@@ -1385,6 +1531,17 @@ object AdvancedQueries {
       FROM events
       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         AND ts <= TIMESTAMP '2024-01-12 23:59:59'
+      GROUP BY 1 ORDER BY 1""",
+
+    // The Z-order-pruned 2-D box scan must equal the flat-parquet filter;
+    // min/max of double are exact picks (no float-sum hazard).
+    "zm3_zorder_prune" -> """
+      SELECT event_type, COUNT(*) AS n_events,
+        COUNT(DISTINCT user_id) AS n_users,
+        MIN(value) AS vmin, MAX(value) AS vmax
+      FROM events
+      WHERE user_id >= 3 AND user_id <= 40
+        AND value >= 20.0 AND value <= 150.0
       GROUP BY 1 ORDER BY 1"""
   )
 }

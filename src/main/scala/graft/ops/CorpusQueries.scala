@@ -315,6 +315,82 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Interpolated BIGRAM language-model score — the KenLM-style upgrade
+    // of tx9: p(w|prev) = λ·(c₂(prev,w)/c₂(prev,·)) + (1-λ)·(c₁(w)/N),
+    // first tokens scored by the unigram term alone. Jelinek-Mercer
+    // interpolation is the simplest smoothing that needs no discount
+    // tuning and never yields log(0). Both probability tables are
+    // vocab-bounded (c₁: |V|, c₂: ≤|V|²) → broadcast joins against the
+    // token stream; per-(prev,w) log values are grid-quantized (LogGrid)
+    // so per-doc sums are exact under any aggregation order.
+    "tx16_bigram_lm" -> ((s, dir) => {
+      val lam = 0.7
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      val tok = docs
+        .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "w")),
+          col("t"))
+        // element_at is 1-based, so t[pos] IS the previous token
+        .withColumn("prev",
+          when(col("pos") > 0, element_at(col("t"), col("pos"))))
+        .select(col("doc_id"), col("prev"), col("w"))
+      val c1 = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val n = c1.agg(sum(col("c")).as("n"))
+      val c2 = tok.filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c2"))
+      val cs = c2.groupBy(col("prev")).agg(sum(col("c2")).as("cs"))
+      val p1 = c1.crossJoin(broadcast(n))
+        .select(col("w"),
+          (round(log(col("c").cast("double") / col("n")) * LogGrid, 0) /
+            LogGrid).as("lp"))
+      val p2 = c2.join(cs, Seq("prev")).join(c1, Seq("w"))
+        .crossJoin(broadcast(n))
+        .select(col("prev"), col("w"),
+          (round(log(lit(lam) * (col("c2").cast("double") / col("cs")) +
+            lit(1 - lam) * (col("c").cast("double") / col("n"))) * LogGrid,
+            0) / LogGrid).as("lp"))
+      // No broadcast hints: p1 is |V| rows and p2 is O(observed bigrams)
+      // — bounded at fixture scale (AQE broadcasts them) but corpus-sized
+      // in the worst case at 100 TB, where these must be shuffle joins.
+      val scored = tok.filter(col("prev").isNull)
+          .join(p1, Seq("w")).select(col("doc_id"), col("lp"))
+        .unionAll(tok.filter(col("prev").isNotNull)
+          .join(p2, Seq("prev", "w"))
+          .select(col("doc_id"), col("lp")))
+      scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("s"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("s") / col("n_tokens")).as("avg_logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Character-trigram Shannon entropy — the gibberish/template signal
+    // quality filters cut on (low entropy = repeated boilerplate, high =
+    // random noise; natural text sits in a band). Pure scan + two hash
+    // aggs over (doc, gram) — no joins against anything corpus-sized
+    // except the broadcast-free per-doc total join on doc_id. Each
+    // addend p·ln(p) is grid-quantized BEFORE the sum (LogGrid) so the
+    // per-doc entropy is exact under any aggregation order.
+    "tx17_char_entropy" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+        .filter(length(col("t")) >= 3)
+      val cnt = docs
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("t")) - 2)).as("i"), col("t"))
+        .select(col("doc_id"), expr("substring(t, i, 3)").as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+      val p = col("c").cast("double") / col("n").cast("double")
+      cnt.join(tot, Seq("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(first(col("n")).as("n_grams"),
+          first(col("n_distinct")).as("n_distinct"),
+          (-sum(round(p * log(p) * LogGrid, 0) / LogGrid)).as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Within-document repetition (Gopher-rule signal): the fraction of a
     // document's 3-gram positions occupied by a repeated shingle. Narrow
     // codegen'd projection — the distinct count comes straight off the
@@ -554,6 +630,66 @@ object CorpusQueries {
       SELECT doc_id, COUNT(*) AS n_tokens,
         SUM(logp) / COUNT(*) AS avg_logprob
       FROM toks JOIN logp USING (term)
+      GROUP BY doc_id ORDER BY doc_id""",
+
+    "tx16_bigram_lm" -> raw"""
+      WITH docs AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+      ), pos AS (
+        SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t FROM docs
+      ), tok AS (
+        SELECT doc_id, t[i] AS w,
+          CASE WHEN i > 1 THEN t[i - 1] ELSE NULL END AS prev
+        FROM pos
+      ), c1 AS (
+        SELECT w, COUNT(*) AS c FROM tok GROUP BY 1
+      ), n AS (
+        SELECT SUM(c) AS n FROM c1
+      ), c2 AS (
+        SELECT prev, w, COUNT(*) AS c2 FROM tok
+        WHERE prev IS NOT NULL GROUP BY 1, 2
+      ), cs AS (
+        SELECT prev, SUM(c2) AS cs FROM c2 GROUP BY 1
+      ), p1 AS (
+        SELECT w, round(ln(c::DOUBLE / n) * $LogGrid) / $LogGrid AS lp
+        FROM c1, n
+      ), p2 AS (
+        SELECT c2.prev, c2.w,
+          round(ln(0.7 * (c2.c2::DOUBLE / cs.cs)
+                 + 0.3 * (c1.c::DOUBLE / n.n)) * $LogGrid) / $LogGrid AS lp
+        FROM c2 JOIN cs USING (prev) JOIN c1 ON c2.w = c1.w, n
+      ), scored AS (
+        SELECT doc_id, p1.lp FROM tok JOIN p1 ON tok.w = p1.w
+        WHERE tok.prev IS NULL
+        UNION ALL
+        SELECT doc_id, p2.lp FROM tok
+        JOIN p2 ON tok.prev = p2.prev AND tok.w = p2.w
+      )
+      SELECT doc_id, COUNT(*) AS n_tokens,
+        SUM(lp) / COUNT(*) AS avg_logprob
+      FROM scored GROUP BY 1 ORDER BY doc_id""",
+
+    "tx17_char_entropy" -> s"""
+      WITH docs AS (
+        SELECT doc_id, lower(trim(text)) AS t FROM documents
+        WHERE length(lower(trim(text))) >= 3
+      ), grams AS (
+        SELECT doc_id, substr(t, i, 3) AS g FROM (
+          SELECT doc_id, t,
+            unnest(generate_series(1, length(t) - 2)) AS i
+          FROM docs)
+      ), cnt AS (
+        SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2
+      ), tot AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+          COUNT(*) AS n_distinct
+        FROM cnt GROUP BY 1
+      )
+      SELECT doc_id, MAX(n) AS n_grams, MAX(n_distinct) AS n_distinct,
+        -SUM(round((c::DOUBLE / n::DOUBLE) * ln(c::DOUBLE / n::DOUBLE)
+          * $LogGrid) / $LogGrid) AS entropy
+      FROM cnt JOIN tot USING (doc_id)
       GROUP BY doc_id ORDER BY doc_id""",
 
     "tx10_repetition" -> raw"""

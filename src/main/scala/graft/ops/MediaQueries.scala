@@ -47,6 +47,21 @@ object MediaQueries {
       Media.resizeMeta(features(s, dir), maxDim = 256)
         .orderBy(col("media_id"))),
 
+    // Per-frame DECODE of the sampled frames (mm2 gates only the index
+    // arithmetic; this gates the pixels a real frame-extraction stage
+    // reads): every 4th frame of every video is rendered by the GIF
+    // reader and probed at two corners.
+    "mm5_frame_pixels" -> ((s, dir) =>
+      Media.sampleFramePixels(Media.mediaTable(s, dir), step = 4)
+        .toDF().orderBy(col("media_id"), col("frame_idx"))),
+
+    // Windowed audio features off the REAL WAV decode: 64-sample RMS
+    // energy + zero-crossing counts per window — integer sums + one
+    // division + one sqrt, so bit-exact cross-engine with no grid.
+    "mm6_audio_windows" -> ((s, dir) =>
+      Media.audioWindowFeatures(Media.mediaTable(s, dir), win = 64)
+        .toDF().orderBy(col("media_id"), col("win_idx"))),
+
     // Byte-exact content dedup on the binary column (raw bytes, no text
     // normalization — a different contract than dd1). Output is the group
     // structure; the md5 fingerprint itself stays internal (PNG bytes are
@@ -120,6 +135,43 @@ object MediaQueries {
       $featuresCte
       SELECT media_id, unnest(range(0, n_frames, 4)) AS frame_idx
       FROM g WHERE kind = 'video' ORDER BY media_id, frame_idx""",
+
+    // gray(seed, f, x, y) = (seed + 7f + x + 2y) % 256 on the 256-gray
+    // palette, packed to RGB by * 0x010101.
+    "mm5_frame_pixels" -> s"""
+      $featuresCte
+      SELECT media_id, frame_idx,
+        ((seed + 7 * frame_idx) % 256) * 65793 AS px00,
+        ((seed + 7 * frame_idx + (width - 1) + 2 * (height - 1)) % 256)
+          * 65793 AS px_corner
+      FROM (
+        SELECT media_id, seed, width, height,
+          unnest(range(0, n_frames, 4)) AS frame_idx
+        FROM g WHERE kind = 'video'
+      ) ORDER BY media_id, frame_idx""",
+
+    // sample(seed, i) = ((seed*31 + i*17) % 65536) - 32768, 64-sample
+    // windows; rms = sqrt(sum(s²)/n) is exact-int + two IEEE ops.
+    "mm6_audio_windows" -> s"""
+      $featuresCte
+      , smp AS (
+        SELECT media_id, i, CAST(i // 64 AS INT) AS win_idx,
+          ((seed * 31 + i * 17) % 65536) - 32768 AS sv
+        FROM (
+          SELECT media_id, seed, unnest(range(0, n_frames)) AS i
+          FROM g WHERE kind = 'audio')
+      ), lagged AS (
+        SELECT media_id, win_idx, i, sv,
+          LAG(sv) OVER (PARTITION BY media_id ORDER BY i) AS prev
+        FROM smp
+      )
+      SELECT media_id, win_idx, COUNT(*) AS n_samples,
+        sqrt(CAST(SUM(sv * sv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+          AS rms,
+        CAST(SUM(CASE WHEN i % 64 > 0 AND (prev >= 0) != (sv >= 0)
+            THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+      FROM lagged GROUP BY media_id, win_idx
+      ORDER BY media_id, win_idx""",
 
     "mm3_resize_meta" -> s"""
       $featuresCte

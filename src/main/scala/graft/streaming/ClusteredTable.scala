@@ -258,6 +258,150 @@ object ClusteredTable {
   def readTable(spark: SparkSession, root: String): DataFrame =
     ManifestStore.read(spark, root).drop("__seg")
 
+  // ---------------------------------------------------------------------
+  // Z-ORDER (multi-dimensional) clustering — the OPTIMIZE ZORDER BY (a, b)
+  // half of the table-format story. 1-D range clustering makes range
+  // queries on THE clustering column cheap and leaves every other column
+  // unclustered; Morton-interleaving two columns' quantized ranks gives
+  // BOTH columns locality, so a 2-D box query prunes on two zone maps at
+  // once. Layout is a pure performance choice: readers always apply the
+  // residual predicate, so results are identical under any clustering
+  // (the spec asserts zScan ≡ full-scan filter on every probe).
+  // ---------------------------------------------------------------------
+
+  private val ZColsSlot = "__zCols"
+  private def zminSlot2(c: Int, seg: Int) = s"__zmin$c.$seg"
+  private def zmaxSlot2(c: Int, seg: Int) = s"__zmax$c.$seg"
+
+  /** Spread the low 16 bits of a non-negative long so one zero bit
+    * separates consecutive data bits (the classic mask-shift Morton
+    * dilation) — plain Column arithmetic, fully codegen'd, no UDF.
+    */
+  private def spread16(c: Column): Column = {
+    val s1 = (c.bitwiseOR(shiftleft(c, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = (s1.bitwiseOR(shiftleft(s1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = (s2.bitwiseOR(shiftleft(s2, 2))).bitwiseAND(lit(0x33333333L))
+    (s3.bitwiseOR(shiftleft(s3, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton code of two 16-bit quantized columns. Quantization is
+    * min/max linear scaling (one tiny agg for the bounds, then pure
+    * map-side arithmetic — no global rank window, which would serialize at
+    * scale). Heavily skewed columns would want rank quantiles instead;
+    * linear keeps the write path one-pass and is right for the fixture's
+    * near-uniform columns.
+    */
+  private def zCode(qa: Column, qb: Column): Column =
+    spread16(qa).bitwiseOR(shiftleft(spread16(qb), 1))
+
+  private def quantize16(c: Column, mn: Column, mx: Column): Column = {
+    val span = mx.cast("double") - mn.cast("double")
+    val frac = when(span > 0,
+      (c.cast("double") - mn.cast("double")) / span).otherwise(lit(0.0))
+    least(floor(frac * 65536.0).cast("long"), lit(65535L))
+  }
+
+  /** Write `df` Z-ordered on two numeric columns: quantize each to 16-bit
+    * by its global min/max, interleave to a 32-bit Morton key, range-
+    * partition + sort on the key, and commit per-segment min/max zone maps
+    * for BOTH columns (plus row counts). Null in either column sorts to
+    * z-code 0 (quantize of null is null → coalesced to 0); zone maps track
+    * the real per-column min/max so pruning stays a superset filter.
+    */
+  def writeZOrdered(spark: SparkSession, df: DataFrame, root: String,
+                    colA: String, colB: String, numSegments: Int): Unit = {
+    require(numSegments >= 1, "need at least one segment")
+    val version = ManifestStore.nextVersion(spark, root)
+    val rel = ManifestStore.dataRel(version)
+    val bounds = df.agg(min(col(colA)), max(col(colA)),
+      min(col(colB)), max(col(colB))).collect()(0)
+    val (mnA, mxA, mnB, mxB) =
+      (lit(bounds.get(0)), lit(bounds.get(1)),
+        lit(bounds.get(2)), lit(bounds.get(3)))
+    val z = coalesce(zCode(quantize16(col(colA), mnA, mxA),
+      quantize16(col(colB), mnB, mxB)), lit(0L))
+    df.withColumn("__z", z)
+      .repartitionByRange(numSegments, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .withColumn("__seg", spark_partition_id())
+      .drop("__z")
+      .write.mode("errorifexists").partitionBy("__seg")
+      .parquet(s"$root/$rel")
+    val stats = spark.read.parquet(s"$root/$rel")
+      .groupBy(col("__seg"))
+      .agg(min(col(colA)).as("mnA"), max(col(colA)).as("mxA"),
+        min(col(colB)).as("mnB"), max(col(colB)).as("mxB"),
+        count(lit(1)).as("n"))
+      .collect()
+    val entries = stats.flatMap { r =>
+      val seg = r.getInt(0)
+      Seq(seg.toString -> s"$rel/__seg=$seg",
+        zminSlot2(0, seg) -> encode(r.get(1)),
+        zmaxSlot2(0, seg) -> encode(r.get(2)),
+        zminSlot2(1, seg) -> encode(r.get(3)),
+        zmaxSlot2(1, seg) -> encode(r.get(4)),
+        zrowsSlot(seg) -> r.getLong(5).toString)
+    }.toMap + (ZColsSlot -> s"$colA,$colB")
+    ManifestStore.commit(spark, root, version, entries)
+  }
+
+  /** 2-D pruning decision, driver-side, manifest-only: segments whose
+    * per-column zones BOTH intersect the query box. A segment whose zone
+    * is missing a bound (all-null column slice) survives only an
+    * unbounded query on that column — same null contract as 1-D.
+    */
+  def resolveSegments2D(spark: SparkSession, root: String,
+                        loA: Option[Any], hiA: Option[Any],
+                        loB: Option[Any], hiB: Option[Any]): Seq[Int] = {
+    val snap = ManifestStore.latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed table under $root"))
+    def overlaps(c: Int, seg: Int, lo: Option[Any], hi: Option[Any]) = {
+      val loE = lo.map(v => decode(encode(v)).get)
+      val hiE = hi.map(v => decode(encode(v)).get)
+      (decode(snap.entries(zminSlot2(c, seg))),
+        decode(snap.entries(zmaxSlot2(c, seg)))) match {
+        case (Some(mn), Some(mx)) =>
+          !loE.exists(l => lt(mx, l)) && !hiE.exists(h => lt(h, mn))
+        case _ => loE.isEmpty && hiE.isEmpty
+      }
+    }
+    snap.entries.keys.collect {
+      case slot if !ManifestStore.isMetaSlot(slot) => slot.toInt
+    }.toSeq.sorted
+      .filter(seg => overlaps(0, seg, loA, hiA) && overlaps(1, seg, loB, hiB))
+  }
+
+  /** The Z-ordered columns a table was written with. */
+  def zColsOf(spark: SparkSession, root: String): (String, String) = {
+    val s = ManifestStore.latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed table under $root"))
+      .entries.getOrElse(ZColsSlot, throw new IllegalStateException(
+        s"table at $root is not Z-ordered"))
+    val Array(a, b) = s.split(',')
+    (a, b)
+  }
+
+  /** 2-D box query with manifest pruning on both zone maps; the residual
+    * conjunction lands in PushedFilters for row-group pruning inside the
+    * kept segments.
+    */
+  def zScan(spark: SparkSession, root: String,
+            loA: Option[Any], hiA: Option[Any],
+            loB: Option[Any], hiB: Option[Any]): DataFrame = {
+    val snap = ManifestStore.latest(spark, root).get
+    val (ca, cb) = zColsOf(spark, root)
+    val segs = resolveSegments2D(spark, root, loA, hiA, loB, hiB)
+    if (segs.isEmpty) {
+      ManifestStore.read(spark, root).drop("__seg").filter(lit(false))
+    } else {
+      val paths = segs.map(s => s"$root/${snap.entries(s.toString)}")
+      val residual = (loA.map(col(ca) >= lit(_)) ++ hiA.map(col(ca) <= lit(_)) ++
+        loB.map(col(cb) >= lit(_)) ++ hiB.map(col(cb) <= lit(_)))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      spark.read.parquet(paths: _*).filter(residual).drop("__seg")
+    }
+  }
+
   /** Materialize the clustered EVENTS table once per scale factor (the
     * gate fixture): events clustered by `ts` into 16 segments under the
     * shared fixture-lake base. `_DONE` written only after the manifest
@@ -265,6 +409,27 @@ object ClusteredTable {
     * stale cache.
     */
   private val buildLock = new Object
+
+  /** Materialize the Z-ORDERED events table once per scale factor: Morton
+    * clustering on (user_id, value) into 16 segments — the 2-D fixture the
+    * zm3 gate's box query prunes against.
+    */
+  def materializedEventsZOrderDir(spark: SparkSession,
+                                  sfDir: String): String = {
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = java.nio.file.Paths.get(s"$base/$key/events_zorder_v1")
+    buildLock.synchronized {
+      if (!java.nio.file.Files.exists(root.resolve("_DONE"))) {
+        writeZOrdered(spark, graft.ops.Tables(spark, sfDir, "events"),
+          root.toString, "user_id", "value", numSegments = 16)
+        java.nio.file.Files.createFile(root.resolve("_DONE"))
+      }
+    }
+    root.toString
+  }
+
   def materializedEventsDir(spark: SparkSession, sfDir: String): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",

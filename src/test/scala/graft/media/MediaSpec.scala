@@ -90,6 +90,28 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("audioWindowFeatures: windows match the generator formula exactly") {
+    import spark.implicits._
+    val seed = 133 // frames(133) = 165 → 2 full windows + a 37-sample tail
+    val n = Media.DeterministicWav.frames(seed)
+    val media = Seq(Media.MediaRow(7L, "audio", "audio/wav",
+      Media.DeterministicWav.encode(seed))).toDS()
+    val got = Media.audioWindowFeatures(media, win = 64)
+      .collect().sortBy(_.win_idx)
+    assert(got.map(_.win_idx).toSeq == (0 until (n + 63) / 64).toSeq)
+    assert(got.map(_.n_samples).sum == n)
+    got.foreach { w =>
+      val lo = w.win_idx * 64
+      val hi = math.min(lo + 64, n)
+      val samples = (lo until hi).map(Media.DeterministicWav.sample(seed, _))
+      val ss = samples.map(s => s.toLong * s).sum
+      assert(w.n_samples == hi - lo)
+      assert(w.rms == math.sqrt(ss.toDouble / (hi - lo).toDouble))
+      assert(w.zero_cross == samples.sliding(2).count(p =>
+        p.size == 2 && (p(0) >= 0) != (p(1) >= 0)))
+    }
+  }
+
   test("WAV round-trip: every PCM sample survives the container") {
     for (seed <- Seq(0, 1, 2, 3, 77, 479, 511)) {
       val bytes = Media.DeterministicWav.encode(seed)

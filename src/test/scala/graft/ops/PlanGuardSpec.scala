@@ -94,7 +94,10 @@ class PlanGuardSpec extends SparkSpec {
     "sm10_semdedup" -> Seq("ShuffledHashJoin", "BroadcastNestedLoopJoin"),
     // DSIR: log-ratio table + selected-id set broadcast; global top-N is
     // TakeOrdered, never a single-partition window
-    "cur11_dsir_sample" -> Seq("BroadcastHashJoin", "TakeOrderedAndProject")
+    "cur11_dsir_sample" -> Seq("BroadcastHashJoin", "TakeOrderedAndProject"),
+    // priority sampling: the K+1 shortlist is TakeOrdered (map-side top-K
+    // then a driver merge), never a global sort of the weighted table
+    "q46_priority_sample" -> Seq("TakeOrderedAndProject")
   )
 
   /** query -> plan fragments that must NOT appear */

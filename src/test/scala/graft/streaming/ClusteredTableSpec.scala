@@ -36,6 +36,43 @@ class ClusteredTableSpec extends SparkSpec {
     assert(pruned.toSeq == expected)
   }
 
+  test("zScan: 2-D Morton layout prunes on both axes and equals the " +
+      "full-scan box filter") {
+    val root = freshRoot()
+    // a 100×100 grid: both axes uniform, so 1-D clustering on x would
+    // leave y zone maps spanning the full range in every segment
+    val df = spark.range(0, 10000).toDF("id")
+      .withColumn("x", col("id") % 100)
+      .withColumn("y", (col("id") / 100).cast("long"))
+      .withColumn("payload", col("id") * 3)
+    ClusteredTable.writeZOrdered(spark, df, root, "x", "y", numSegments = 16)
+
+    // a tight 2-D box: Morton locality must keep it inside a minority of
+    // segments — impossible for 1-D layouts on EITHER axis alone, which
+    // is the whole point of Z-ordering
+    val segs = ClusteredTable.resolveSegments2D(spark, root,
+      Some(10L), Some(30L), Some(10L), Some(30L))
+    assert(segs.nonEmpty && segs.size <= 8,
+      s"2-D box should prune to a minority of 16 segments, got $segs")
+
+    def box(loX: Option[Any], hiX: Option[Any],
+            loY: Option[Any], hiY: Option[Any]): Seq[(Long, Long, Long)] =
+      ClusteredTable.zScan(spark, root, loX, hiX, loY, hiY)
+        .select("id", "x", "y").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    def oracle(loX: Long, hiX: Long, loY: Long, hiY: Long) =
+      (0L until 10000L).map(i => (i, i % 100, i / 100))
+        .filter(t => t._2 >= loX && t._2 <= hiX && t._3 >= loY && t._3 <= hiY)
+        .sorted
+    assert(box(Some(10L), Some(30L), Some(10L), Some(30L)) ==
+      oracle(10, 30, 10, 30))
+    // open bounds on one axis; miss box is empty
+    assert(box(Some(95L), None, None, Some(2L)) == oracle(95, 99, 0, 2))
+    assert(box(Some(200L), Some(300L), None, None).isEmpty)
+    // unbounded scan returns the whole table
+    assert(box(None, None, None, None).size == 10000)
+  }
+
   test("open-ended bounds and miss ranges") {
     val root = freshRoot()
     ClusteredTable.write(spark,
