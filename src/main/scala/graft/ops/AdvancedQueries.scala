@@ -866,6 +866,44 @@ object AdvancedQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Distribution-DRIFT detection — the monitoring pass a production
+    // training pipeline runs between data snapshots: per event type, the
+    // `value` distribution of the first half of January vs the rest,
+    // compared as total-variation distance over a fixed 20-bin equi-width
+    // histogram (bins from the GLOBAL min/max so both snapshots share
+    // edges). Scale shape: two scans + one hash agg on (type, bin) — the
+    // bin table is O(types·20), so the TVD arithmetic is driver-trivial
+    // and the corpus is never joined against itself. Binning is
+    // floor/division (correctly-rounded IEEE); the ≤20 |p−q| addends are
+    // grid-quantized so the per-type sum is order-exact.
+    "q47_drift_tvd" -> ((s, dir) => {
+      val G = 1048576L
+      val split = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("value"))
+      val bounds = ev.agg(min(col("value")).as("mn"),
+        max(col("value")).as("mx"))
+      val binned = ev.join(broadcast(bounds))
+        .select(col("event_type"), (col("ts") < split).as("is_a"),
+          least(floor((col("value") - col("mn")) /
+            (col("mx") - col("mn")) * 20.0).cast("long"), lit(19L))
+            .as("bin"))
+      val cells = binned.groupBy(col("event_type"), col("bin"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(col("is_a"), 0L).otherwise(1L)).as("cb"))
+      val totals = cells.groupBy(col("event_type"))
+        .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      cells.join(totals, Seq("event_type"))
+        .select(col("event_type"), col("na"), col("nb"),
+          (round(abs(col("ca").cast("double") / col("na").cast("double") -
+            col("cb").cast("double") / col("nb").cast("double")) * G, 0) / G)
+            .as("d"))
+        .groupBy(col("event_type"))
+        .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+          (sum(col("d")) / 2.0).as("tvd"))
+        .orderBy(col("event_type"))
+    }),
+
     // Z-ORDER 2-D box query (the OPTIMIZE ZORDER BY (user_id, value)
     // story): Morton-interleaved clustering gives BOTH columns locality,
     // so the manifest's per-column zone maps prune segments on two
@@ -1532,6 +1570,32 @@ object AdvancedQueries {
       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         AND ts <= TIMESTAMP '2024-01-12 23:59:59'
       GROUP BY 1 ORDER BY 1""",
+
+    // Same fixed-edge 20-bin histogram + grid-quantized |p−q| sum; /2 is
+    // a power-of-two division, exact in binary double.
+    "q47_drift_tvd" -> """
+      WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+      binned AS (
+        SELECT event_type,
+          ts < TIMESTAMP '2024-01-15 00:00:00' AS is_a,
+          least(CAST(floor((value - mn) / (mx - mn) * 20.0::DOUBLE)
+            AS BIGINT), 19) AS bin
+        FROM events, b
+      ), cells AS (
+        SELECT event_type, bin,
+          SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+          SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+        FROM binned GROUP BY 1, 2
+      ), totals AS (
+        SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+          CAST(SUM(cb) AS BIGINT) AS nb
+        FROM cells GROUP BY 1
+      )
+      SELECT event_type, MAX(na) AS n_a, MAX(nb) AS n_b,
+        SUM(round(abs(ca::DOUBLE / na::DOUBLE - cb::DOUBLE / nb::DOUBLE)
+          * 1048576) / 1048576) / 2.0::DOUBLE AS tvd
+      FROM cells JOIN totals USING (event_type)
+      GROUP BY event_type ORDER BY event_type""",
 
     // The Z-order-pruned 2-D box scan must equal the flat-parquet filter;
     // min/max of double are exact picks (no float-sum hazard).

@@ -366,30 +366,23 @@ object CorpusQueries {
 
     // Character-trigram Shannon entropy — the gibberish/template signal
     // quality filters cut on (low entropy = repeated boilerplate, high =
-    // random noise; natural text sits in a band). Pure scan + two hash
-    // aggs over (doc, gram) — no joins against anything corpus-sized
-    // except the broadcast-free per-doc total join on doc_id. Each
-    // addend p·ln(p) is grid-quantized BEFORE the sum (LogGrid) so the
-    // per-doc entropy is exact under any aggregation order.
-    "tx17_char_entropy" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
+    // random noise; natural text sits in a band). Entropy is a
+    // PER-DOCUMENT function, so it runs as ONE scan-side codegen struct
+    // ([[graft.functions.CharNgramEntropy]]) — zero shuffles; the
+    // relational explode+groupBy form moves ~n_chars rows per doc through
+    // an exchange to compute the same number (measured 3.2 s → scan cost
+    // at sf0.1). Addends are grid-quantized inside the kernel, so the
+    // DuckDB oracle's relational recompute lands on identical doubles.
+    "tx17_char_entropy" -> ((s, dir) =>
+      Tables(s, dir, "documents")
         .select(col("doc_id"), lower(trim(col("text"))).as("t"))
         .filter(length(col("t")) >= 3)
-      val cnt = docs
         .select(col("doc_id"),
-          explode(sequence(lit(1), length(col("t")) - 2)).as("i"), col("t"))
-        .select(col("doc_id"), expr("substring(t, i, 3)").as("g"))
-        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      val tot = cnt.groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
-      val p = col("c").cast("double") / col("n").cast("double")
-      cnt.join(tot, Seq("doc_id"))
-        .groupBy(col("doc_id"))
-        .agg(first(col("n")).as("n_grams"),
-          first(col("n_distinct")).as("n_distinct"),
-          (-sum(round(p * log(p) * LogGrid, 0) / LogGrid)).as("entropy"))
-        .orderBy(col("doc_id"))
-    }),
+          graft.functions.CharNgramEntropy(col("t"), 3).as("e"))
+        .select(col("doc_id"), col("e.n_grams").as("n_grams"),
+          col("e.n_distinct").as("n_distinct"),
+          col("e.entropy").as("entropy"))
+        .orderBy(col("doc_id"))),
 
     // Within-document repetition (Gopher-rule signal): the fraction of a
     // document's 3-gram positions occupied by a repeated shingle. Narrow
