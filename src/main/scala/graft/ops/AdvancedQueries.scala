@@ -866,6 +866,63 @@ object AdvancedQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Per-STRATUM priority sampling — the fixed-k-per-domain weighted
+    // sample (cur5's group-cap shape ⊗ q46's estimator): rank by
+    // deterministic priority within each event type, keep K+1, per-group
+    // τ from the (K+1)th. The rank filter plans as WindowGroupLimit, so
+    // every map task pre-limits its groups to K+1 rows BEFORE the
+    // exchange — per-group work never concentrates in one task beyond
+    // the group's own top rows.
+    "q48_group_priority_sample" -> ((s, dir) => {
+      val K = 8
+      val pr = Tables(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          col("value").as("weight"),
+          graft.streaming.PrioritySampleStore
+            .priorityOf(col("event_id"), col("value")).as("priority"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("priority").desc, col("event_id"))
+      val ranked = pr.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K + 1)
+      val tau = ranked.filter(col("rank") === K + 1)
+        .select(col("event_type"), col("priority").as("tau"))
+      ranked.filter(col("rank") <= K)
+        .join(broadcast(tau), Seq("event_type"), "left")
+        .select(col("event_type"), col("rank"), col("event_id"),
+          col("weight"),
+          greatest(col("weight"), coalesce(col("tau"), lit(0.0)))
+            .as("est_weight"))
+        .orderBy(col("event_type"), col("rank"))
+    }),
+
+    // Robust outlier detection (median/MAD z-score — the data-cleaning
+    // pass that survives the outliers it hunts, unlike mean/stddev): two
+    // passes of the rank-based percentile kernel (median of value, then
+    // median of |v−med|), flag |v−med| > 3·MAD. All arithmetic is
+    // single-op IEEE (sub, abs, one multiply, compare) on values both
+    // engines derive identically — no grids needed; the kernel's
+    // interpolation already matches quantile_cont bit-for-bit (q18).
+    "q49_mad_outliers" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), col("value"))
+      val med = graft.functions.RankPercentiles
+        .exact(ev, "event_type", "value", Seq("med" -> 0.5))
+        .select(col("event_type"), col("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), col("med"),
+          abs(col("value") - col("med")).as("dev"))
+      val mad = graft.functions.RankPercentiles
+        .exact(dev, "event_type", "dev", Seq("mad" -> 0.5))
+        .select(col("event_type"), col("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(first(col("med")).as("median"), first(col("mad")).as("mad"),
+          sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // Distribution-DRIFT detection — the monitoring pass a production
     // training pipeline runs between data snapshots: per event type, the
     // `value` distribution of the first half of January vs the rest,
@@ -1570,6 +1627,48 @@ object AdvancedQueries {
       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         AND ts <= TIMESTAMP '2024-01-12 23:59:59'
       GROUP BY 1 ORDER BY 1""",
+
+    // Same per-group rank + τ arithmetic, QUALIFY-style.
+    "q48_group_priority_sample" -> """
+      WITH pr AS (
+        SELECT event_type, event_id, value AS weight,
+          value /
+            ((('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                ::BIGINT + 1)::DOUBLE
+             / 1152921504606846976::DOUBLE) AS priority
+        FROM events
+      ), ranked AS (
+        SELECT event_type, event_id, weight, priority,
+          ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY priority DESC, event_id) AS rank
+        FROM pr
+      ), tau AS (
+        SELECT event_type, priority AS tau FROM ranked WHERE rank = 9
+      )
+      SELECT r.event_type, r.rank, r.event_id, r.weight,
+        greatest(r.weight, COALESCE(t.tau, 0.0::DOUBLE)) AS est_weight
+      FROM ranked r LEFT JOIN tau t USING (event_type)
+      WHERE r.rank <= 8 ORDER BY r.event_type, r.rank""",
+
+    // quantile_cont twice (the kernel matches it bit-for-bit, see q18);
+    // dev/compare arithmetic is single-op IEEE on identical inputs.
+    "q49_mad_outliers" -> """
+      WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS median
+        FROM events GROUP BY 1
+      ), dev AS (
+        SELECT e.event_type, m.median, abs(e.value - m.median) AS dev
+        FROM events e JOIN med m USING (event_type)
+      ), mad AS (
+        SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        FROM dev GROUP BY 1
+      )
+      SELECT d.event_type, MAX(d.median) AS median, MAX(m.mad) AS mad,
+        CAST(SUM(CASE WHEN d.dev > 3.0::DOUBLE * m.mad THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_outliers,
+        COUNT(*) AS n
+      FROM dev d JOIN mad m USING (event_type)
+      GROUP BY d.event_type ORDER BY d.event_type""",
 
     // Same fixed-edge 20-bin histogram + grid-quantized |p−q| sum; /2 is
     // a power-of-two division, exact in binary double.

@@ -97,7 +97,11 @@ class PlanGuardSpec extends SparkSpec {
     "cur11_dsir_sample" -> Seq("BroadcastHashJoin", "TakeOrderedAndProject"),
     // priority sampling: the K+1 shortlist is TakeOrdered (map-side top-K
     // then a driver merge), never a global sort of the weighted table
-    "q46_priority_sample" -> Seq("TakeOrderedAndProject")
+    "q46_priority_sample" -> Seq("TakeOrderedAndProject"),
+    // per-stratum sampling: rank filter pre-limits groups below the
+    // exchange; the τ side broadcasts
+    "q48_group_priority_sample" ->
+      Seq("WindowGroupLimit", "BroadcastHashJoin")
   )
 
   /** query -> plan fragments that must NOT appear */
