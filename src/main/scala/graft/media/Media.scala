@@ -412,6 +412,58 @@ object Media {
     }
   }
 
+  /** 64-bit perceptual hash of a decoded image, split into two signed
+    * 32-bit halves so SQL engines never touch the sign bit of a LONG.
+    */
+  case class PHash(media_id: Long, phash_hi: Long, phash_lo: Long)
+
+  /** Perceptual AVERAGE-HASH over the REAL PNG decode — the near-dup
+    * fingerprint for images, complementing the byte-exact [[contentDedup]]
+    * (re-encoded or resized copies change every byte but barely move this
+    * hash). An 8×8 grid of pixels is sampled at block centers
+    * (`(2k+1)·w/16`), summed as integer gray = r+g+b, and each cell's bit
+    * is `gray·64 > total` — exact integer cross-multiplication, no
+    * division, so both engines compute identical bits. Scale shape: one
+    * `mapPartitions` decode pass, 3 longs out per image; the hash is the
+    * join/bucket key for any downstream near-dup pass, so the binary
+    * column never reaches a shuffle.
+    */
+  def perceptualHash(media: Dataset[MediaRow]): Dataset[PHash] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "image").mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.content))
+        val w = img.getWidth
+        val h = img.getHeight
+        val gray = new Array[Int](64)
+        var tot = 0
+        var j = 0
+        while (j < 8) {
+          var k = 0
+          while (k < 8) {
+            val px = img.getRGB((2 * k + 1) * w / 16, (2 * j + 1) * h / 16)
+            val g = ((px >> 16) & 0xFF) + ((px >> 8) & 0xFF) + (px & 0xFF)
+            gray(j * 8 + k) = g
+            tot += g
+            k += 1
+          }
+          j += 1
+        }
+        var lo = 0L
+        var hi = 0L
+        var i = 0
+        while (i < 64) {
+          if (gray(i) * 64 > tot) {
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        PHash(r.media_id, hi, lo)
+      }
+    }
+  }
+
   /** Byte-exact content dedup on the opaque binary column — the
     * content-hash pass every multimodal pipeline runs before any decode
     * (distinct from text dedup: this hashes the RAW bytes, no

@@ -62,6 +62,13 @@ object MediaQueries {
       Media.audioWindowFeatures(Media.mediaTable(s, dir), win = 64)
         .toDF().orderBy(col("media_id"), col("win_idx"))),
 
+    // Perceptual average-hash over the REAL image decode: the near-dup
+    // fingerprint byte-exact dedup (mm4) cannot give — integer-only bits,
+    // oracled from the generator formula.
+    "mm7_phash" -> ((s, dir) =>
+      Media.perceptualHash(Media.mediaTable(s, dir))
+        .toDF().orderBy(col("media_id"))),
+
     // Byte-exact content dedup on the binary column (raw bytes, no text
     // normalization — a different contract than dd1). Output is the group
     // structure; the md5 fingerprint itself stays internal (PNG bytes are
@@ -149,6 +156,30 @@ object MediaQueries {
           unnest(range(0, n_frames, 4)) AS frame_idx
         FROM g WHERE kind = 'video'
       ) ORDER BY media_id, frame_idx""",
+
+    // Sampled-grid aHash from the pixel formula: gray(x,y) =
+    // ((seed+x)%256) + ((seed+y)%256) + ((seed+x+y)%256) at block centers
+    // x=(2k+1)w/16, y=(2j+1)h/16; bit = gray*64 > total (integer
+    // cross-multiply, no division).
+    "mm7_phash" -> s"""
+      $featuresCte
+      , px AS (
+        SELECT media_id, j * 8 + k AS i,
+          ((seed + ((2 * k + 1) * width) // 16) % 256)
+            + ((seed + ((2 * j + 1) * height) // 16) % 256)
+            + ((seed + ((2 * k + 1) * width) // 16
+                + ((2 * j + 1) * height) // 16) % 256) AS gray
+        FROM g, (SELECT unnest(range(0, 8)) AS j),
+             (SELECT unnest(range(0, 8)) AS k)
+        WHERE kind = 'image'
+      )
+      SELECT media_id,
+        CAST(SUM(CASE WHEN i >= 32 AND gray * 64 > tot
+          THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS phash_hi,
+        CAST(SUM(CASE WHEN i < 32 AND gray * 64 > tot
+          THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS phash_lo
+      FROM (SELECT *, SUM(gray) OVER (PARTITION BY media_id) AS tot FROM px)
+      GROUP BY media_id ORDER BY media_id""",
 
     // sample(seed, i) = ((seed*31 + i*17) % 65536) - 32768, 64-sample
     // windows; rms = sqrt(sum(s²)/n) is exact-int + two IEEE ops.

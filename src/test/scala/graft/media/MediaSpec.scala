@@ -90,6 +90,41 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("perceptualHash: decode-side bits match the formula; robust to a " +
+      "pixel-level change that breaks byte identity") {
+    import spark.implicits._
+    val seed = 250
+    val (w, h) = DeterministicPng.dims(seed)
+    // formula-side hash
+    val gray = for (j <- 0 until 8; k <- 0 until 8) yield {
+      val x = (2 * k + 1) * w / 16
+      val y = (2 * j + 1) * h / 16
+      ((seed + x) % 256) + ((seed + y) % 256) + ((seed + x + y) % 256)
+    }
+    val tot = gray.sum
+    var (lo, hi) = (0L, 0L)
+    gray.zipWithIndex.foreach { case (g, i) =>
+      if (g * 64 > tot) { if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32) }
+    }
+    val media = Seq(Media.MediaRow(0L, "image", "image/png",
+      DeterministicPng.encode(seed))).toDS()
+    val got = Media.perceptualHash(media).collect().head
+    assert(got.phash_lo == lo && got.phash_hi == hi)
+
+    // flip ONE off-grid pixel: bytes change, perceptual hash must not
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(DeterministicPng.encode(seed)))
+    img.setRGB(0, 0, img.getRGB(0, 0) ^ 0x010101)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val tweaked = bos.toByteArray
+    assert(!java.util.Arrays.equals(tweaked, DeterministicPng.encode(seed)))
+    val got2 = Media.perceptualHash(
+      Seq(Media.MediaRow(1L, "image", "image/png", tweaked)).toDS())
+      .collect().head
+    assert(got2.phash_lo == lo && got2.phash_hi == hi)
+  }
+
   test("audioWindowFeatures: windows match the generator formula exactly") {
     import spark.implicits._
     val seed = 133 // frames(133) = 165 → 2 full windows + a 37-sample tail
