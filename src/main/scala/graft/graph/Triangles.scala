@@ -1,0 +1,95 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-vertex triangle counting over an undirected edge list — the graph
+  * statistic behind community detection, spam-cluster pruning, and local
+  * clustering coefficients in web-graph curation.
+  *
+  * Uses degree-ordered edge orientation (Chiba–Nishizeki ordering, the
+  * "node-iterator++" MapReduce formulation): every undirected edge is
+  * directed toward its higher-(degree, id) endpoint, each wedge is
+  * enumerated only at its lowest-rank corner, and a triangle closes when
+  * the wedge's two out-neighbors are themselves an edge. Why this shape at
+  * scale: out-degree under this orientation is O(√m) regardless of how
+  * skewed the raw degree distribution is, so the wedge self-join — the only
+  * superlinear stage — is bounded by Σ d⁺(v)² = O(m^1.5) worst case and far
+  * less on real graphs, while a naive neighbor-list intersection at a
+  * celebrity vertex would materialize deg² pairs from one key. All stages
+  * are hash joins and hash aggregations on the edge set; no adjacency list
+  * is ever collected to one row or to the driver.
+  */
+object Triangles {
+
+  /** One row per distinct vertex: (`id`, `degree`, `triangles`) where
+    * `triangles` is the number of triangles the vertex participates in
+    * (0 for triangle-free vertices).
+    *
+    * @param edges two integral id columns; interpreted undirected;
+    *              self-loops and duplicate/reversed edges ignored
+    */
+  def vertexTriangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // Canonicalize once (u < v, no self-loops, distinct) and cut lineage:
+    // the edge set fans out into degrees, both sides of the wedge join and
+    // the closure semi-join — five references onto what is often an
+    // expensive upstream DAG (a pair-mining join).
+    val base = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    val deg = base
+      .select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+
+    // Orient each edge toward the higher (degree, id) rank. Two hash joins
+    // against the degree table; at 100 TB the degree side is one long per
+    // vertex and shuffles on the same key as the edge endpoint.
+    val ranked = base
+      .join(deg.select(col("id").as("u"), col("degree").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("degree").as("dv")), "v")
+    val oriented = ranked.select(
+      when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+        struct(col("u").as("s"), col("v").as("t")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+
+    // Wedges at the lowest-rank corner: unordered out-neighbor pairs. The
+    // t1 < t2 tiebreak means each wedge appears once, and (t1, t2) is
+    // already in base's canonical u < v form for the closure check.
+    val wedges = oriented.as("x")
+      .join(oriented.as("y"),
+        col("x.s") === col("y.s") && col("x.t") < col("y.t"))
+      .select(col("x.s").as("a"), col("x.t").as("b"), col("y.t").as("c"))
+
+    // Close the wedge: (b, c) must be an edge. Left-semi keeps the output
+    // at one row per triangle; every triangle is found exactly once (at its
+    // unique lowest-rank corner).
+    val tri = wedges.join(base,
+      wedges("b") === base("u") && wedges("c") === base("v"), "left_semi")
+
+    val corners = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+
+    deg.join(corners, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** Local clustering coefficient per vertex: 2·T / (d·(d−1)) for vertices
+    * with degree ≥ 2. Division-only arithmetic (both operands are exactly
+    * representable integer products), so the value is bit-exact across
+    * engines with no quantization grid.
+    */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    vertexTriangles(edges, srcCol, dstCol)
+      .filter(col("degree") >= 2)
+      .withColumn("clustering_coeff",
+        (col("triangles") * lit(2L)).cast("double") /
+          (col("degree") * (col("degree") - lit(1L))).cast("double"))
+}

@@ -653,6 +653,21 @@ object AdvancedQueries {
         .orderBy(col("rank"))
     }),
 
+    // CONTINUOUS drift monitoring, driver-gated: per-(type,bin) histogram
+    // cells maintained across two manifest-committed merges (even
+    // event_ids, then odd, exactly-once txn ids) against bin edges FROZEN
+    // at store creation. Counter merge is additive — incremental ≡
+    // one-shot — so the TVD readout off the standing store is
+    // BIT-IDENTICAL to the relational recompute the oracle runs; drift
+    // checks are O(types·bins), the corpus is never rescanned.
+    "ev5_stream_drift_cells" -> ((s, dir) => {
+      val root = graft.streaming.HistogramStore
+        .materializedEventsDriftDir(s, dir)
+      graft.streaming.HistogramStore.tvd(s, root)
+        .withColumnRenamed("group", "event_type")
+        .orderBy(col("event_type"))
+    }),
+
     // Watermarked STREAM-STREAM interval join, driver-gated: a real
     // two-stream run (clicks ⋈ purchases within a 1-hour attribution
     // window per user, both sides watermarked, pairs forming ACROSS
@@ -921,6 +936,31 @@ object AdvancedQueries {
             .as("n_outliers"),
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))
+    }),
+
+    // Per-vertex TRIANGLE counting + local clustering coefficient over the
+    // co-purchase graph (parts that share an order) — the graph statistic
+    // behind community detection and spam-cluster pruning in web-graph
+    // curation. The edge list is a self-join bounded by order size (≤7
+    // lineitems in TPC-H shape); the count uses degree-ordered orientation
+    // (graph/Triangles.scala) so the wedge join is bounded by O(√m)
+    // out-degrees — no celebrity vertex ever materializes deg² pairs. The
+    // coefficient is division-only IEEE arithmetic: bit-exact
+    // cross-engine, no quantization grid. Top-100 on the (triangles,
+    // part_id) key is a total order → deterministic TakeOrdered.
+    "q50_triangles" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      graft.graph.Triangles.clusteringCoefficients(edges, "u", "v")
+        .filter(col("triangles") > 0)
+        .select(col("id").as("part_id"), col("degree"), col("triangles"),
+          col("clustering_coeff"))
+        .orderBy(col("triangles").desc, col("part_id"))
+        .limit(100)
     }),
 
     // Distribution-DRIFT detection — the monitoring pass a production
@@ -1628,6 +1668,33 @@ object AdvancedQueries {
         AND ts <= TIMESTAMP '2024-01-12 23:59:59'
       GROUP BY 1 ORDER BY 1""",
 
+    // One-shot relational recompute of the incrementally-merged drift
+    // cells — same SQL as q47 (additive merges are lossless, edges frozen
+    // from the same global range).
+    "ev5_stream_drift_cells" -> """
+      WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+      binned AS (
+        SELECT event_type,
+          ts < TIMESTAMP '2024-01-15 00:00:00' AS is_a,
+          least(CAST(floor((value - mn) / (mx - mn) * 20.0::DOUBLE)
+            AS BIGINT), 19) AS bin
+        FROM events, b
+      ), cells AS (
+        SELECT event_type, bin,
+          SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+          SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+        FROM binned GROUP BY 1, 2
+      ), totals AS (
+        SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+          CAST(SUM(cb) AS BIGINT) AS nb
+        FROM cells GROUP BY 1
+      )
+      SELECT event_type, MAX(na) AS n_a, MAX(nb) AS n_b,
+        SUM(round(abs(ca::DOUBLE / na::DOUBLE - cb::DOUBLE / nb::DOUBLE)
+          * 1048576) / 1048576) / 2.0::DOUBLE AS tvd
+      FROM cells JOIN totals USING (event_type)
+      GROUP BY event_type ORDER BY event_type""",
+
     // Same per-group rank + τ arithmetic, QUALIFY-style.
     "q48_group_priority_sample" -> """
       WITH pr AS (
@@ -1669,6 +1736,39 @@ object AdvancedQueries {
         COUNT(*) AS n
       FROM dev d JOIN mad m USING (event_type)
       GROUP BY d.event_type ORDER BY d.event_type""",
+
+    // Canonical u<v edges; triangles enumerated once as a<b<c paths
+    // (e1=(a,b), e2=(b,c), e3=(a,c)); per-vertex counts are
+    // algorithm-independent, so the oracle's naive 3-way join matches the
+    // oriented-wedge plan exactly. 2T and d(d-1) are exact integers → the
+    // single division is correctly rounded on both engines.
+    "q50_triangles" -> """
+      WITH e AS (
+        SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+               greatest(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      ), deg AS (
+        SELECT id, COUNT(*) AS degree FROM (
+          SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e)
+        GROUP BY 1
+      ), tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+      ), corners AS (
+        SELECT id, COUNT(*) AS triangles FROM (
+          SELECT a AS id FROM tri UNION ALL SELECT b AS id FROM tri
+          UNION ALL SELECT c AS id FROM tri)
+        GROUP BY 1
+      )
+      SELECT d.id AS part_id, d.degree, c.triangles,
+        CAST(2 * c.triangles AS DOUBLE) /
+          CAST(d.degree * (d.degree - 1) AS DOUBLE) AS clustering_coeff
+      FROM deg d JOIN corners c ON c.id = d.id
+      WHERE c.triangles > 0
+      ORDER BY c.triangles DESC, part_id LIMIT 100""",
 
     // Same fixed-edge 20-bin histogram + grid-quantized |p−q| sum; /2 is
     // a power-of-two division, exact in binary double.
