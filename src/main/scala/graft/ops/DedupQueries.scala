@@ -40,6 +40,60 @@ object DedupQueries {
     * every dedup decision is hash-based.
     */
   private val storeLock = new Object
+
+  /** Materialize-once fixture for the INCREMENTAL cluster store (gate
+    * `dd10_stream_cluster_store`): the dd5 LSH pair set written as two
+    * mtime-ordered parquet chunk files (split by id_a parity) → file-source
+    * stream (`maxFilesPerTrigger=1`) → the real
+    * [[graft.streaming.ClusterStore.mergeStream]] writer. Star-forest
+    * merges are lossless, so the standing labels equal the one-shot CC the
+    * dd5 oracle recomputes recursively.
+    */
+  private def streamedClusterStoreDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/cluster_store_v1")
+    val store = root.resolve("store").toString
+    storeLock.synchronized {
+      if (!Files.exists(root.resolve("_DONE"))) {
+        val docs = Tables(s, dir, "documents")
+        val pairs = Dedup.nearDuplicatePairs(docs, "text", "doc_id",
+            JaccardTau, ShingleN, Bands, RowsPerBand)
+          .select(col("id_a").cast("long").as("id_a"),
+            col("id_b").cast("long").as("id_b"))
+        val chunkDir = root.resolve("chunks")
+        Files.createDirectories(chunkDir)
+        Seq(col("id_a") % 2 === 0, col("id_a") % 2 === 1)
+          .zipWithIndex.foreach { case (pred, i) =>
+            val tmp = root.resolve(s"tmp$i").toString
+            pairs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+            val part = Files.list(Paths.get(tmp)).iterator()
+            var src: java.nio.file.Path = null
+            while (part.hasNext) {
+              val p = part.next()
+              if (p.getFileName.toString.startsWith("part-")) src = p
+            }
+            val tgt = chunkDir.resolve(f"chunk$i%04d.parquet")
+            Files.copy(src, tgt, StandardCopyOption.REPLACE_EXISTING)
+            // pin batch order: strictly increasing mtimes
+            tgt.toFile.setLastModified(1700000000000L + i * 600000L)
+          }
+        graft.streaming.ClusterStore.create(s, store)
+        val src = s.readStream.schema(pairs.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(chunkDir.toString)
+        val q = graft.streaming.ClusterStore.mergeStream(s, src, store,
+          root.resolve("ckpt").toString)
+        q.processAllAvailable()
+        q.stop()
+        Files.createFile(root.resolve("_DONE"))
+      }
+    }
+    store
+  }
+
   private def streamedDedupStoreDir(s: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -187,6 +241,27 @@ object DedupQueries {
         JaccardTau, ShingleN, Bands, RowsPerBand)
       val comp = graft.graph.ConnectedComponents
         .minLabel(pairs, "id_a", "id_b")
+      val labeled = docs.select(col("doc_id"))
+        .join(comp, docs("doc_id") === comp("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      val sizes = labeled.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labeled.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // INCREMENTALLY-maintained duplicate clusters, driver-gated: the dd5
+    // pair set folded into a standing ClusterStore across two
+    // manifest-committed streaming merges. Star-forest compression makes
+    // each merge O(clustered nodes + batch pairs) — edge history is never
+    // rescanned — and the merge is lossless, so the labels are
+    // BIT-IDENTICAL to the one-shot recursive CC the oracle runs.
+    "dd10_stream_cluster_store" -> ((s, dir) => {
+      val store = streamedClusterStoreDir(s, dir)
+      val docs = Tables(s, dir, "documents")
+      val comp = graft.streaming.ClusterStore.labels(s, store)
       val labeled = docs.select(col("doc_id"))
         .join(comp, docs("doc_id") === comp("id"), "left")
         .select(col("doc_id"),
@@ -351,6 +426,29 @@ object DedupQueries {
     // label) pairs to a fixpoint (UNION dedups, so it terminates), then take
     // the min per node — exact same labels the star-contraction computes.
     "dd5_dup_clusters" -> s"""
+      ${candCte.replaceFirst("WITH", "WITH RECURSIVE")}, pr AS (
+        SELECT id_a, id_b FROM ($jaccardPairsSql)
+        WHERE jaccard >= $JaccardTau
+      ), sym AS (
+        SELECT id_a AS a, id_b AS b FROM pr
+        UNION ALL SELECT id_b, id_a FROM pr
+      ), reach AS (
+        SELECT doc_id AS id, doc_id AS lab FROM documents
+        UNION
+        SELECT s.b AS id, r.lab FROM reach r JOIN sym s ON s.a = r.id
+      ), comp AS (
+        SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+      )
+      SELECT c.doc_id, c.cluster_id, n.cluster_size
+      FROM comp c JOIN (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+      ) n USING (cluster_id)
+      ORDER BY doc_id""",
+
+    // Incremental ≡ one-shot (lossless star-forest merges), so the
+    // standing store's labels are oracled by the SAME recursive CC the
+    // one-shot dd5 gate uses.
+    "dd10_stream_cluster_store" -> s"""
       ${candCte.replaceFirst("WITH", "WITH RECURSIVE")}, pr AS (
         SELECT id_a, id_b FROM ($jaccardPairsSql)
         WHERE jaccard >= $JaccardTau
