@@ -1008,6 +1008,38 @@ object AdvancedQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Two-sample KOLMOGOROV–SMIRNOV drift test per event type (same
+    // snapshot split as q47): KS = max |F_a(v) − F_b(v)| over the merged
+    // support — the distribution-shape check TVD-over-fixed-bins can
+    // smooth away. Scale shape: one hash agg collapses the corpus to
+    // distinct (type, value) points, then ONE window per type computes
+    // both running CDFs (parallel across types; the window input is
+    // already distinct-value-sized). All arithmetic is count division →
+    // correctly-rounded IEEE, identical operand bits cross-engine — no
+    // quantization grid.
+    "q51_ks_drift" -> ((s, dir) => {
+      val split = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+      val pts = Tables(s, dir, "events")
+        .select(col("event_type"), (col("ts") < split).as("is_a"),
+          col("value"))
+        .groupBy(col("event_type"), col("value"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(col("is_a"), 0L).otherwise(1L)).as("cb"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      val cum = pts.select(col("event_type"),
+        sum(col("ca")).over(w).as("cca"),
+        sum(col("cb")).over(w).as("ccb"))
+      val totals = pts.groupBy(col("event_type"))
+        .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      cum.join(broadcast(totals), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(first(col("na")).as("n_a"), first(col("nb")).as("n_b"),
+          max(abs(col("cca").cast("double") / col("na").cast("double") -
+            col("ccb").cast("double") / col("nb").cast("double")))
+            .as("ks"))
+        .orderBy(col("event_type"))
+    }),
+
     // Z-ORDER 2-D box query (the OPTIMIZE ZORDER BY (user_id, value)
     // story): Morton-interleaved clustering gives BOTH columns locality,
     // so the manifest's per-column zone maps prune segments on two
@@ -1701,6 +1733,35 @@ object AdvancedQueries {
           * 1048576) / 1048576) / 2.0::DOUBLE AS tvd
       FROM cells JOIN totals USING (event_type)
       GROUP BY event_type ORDER BY event_type""",
+
+    // Same distinct-point CDF construction; window SUM defaults to RANGE
+    // UNBOUNDED PRECEDING..CURRENT ROW on both engines and the points are
+    // distinct per (type, value), so the running counts agree row-for-row.
+    // Divisions of identical integer operands are correctly rounded →
+    // identical bits; abs/max exact.
+    "q51_ks_drift" -> """
+      WITH pts AS (
+        SELECT event_type, value,
+          SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+            THEN 1 ELSE 0 END) AS ca,
+          SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+            THEN 0 ELSE 1 END) AS cb
+        FROM events GROUP BY 1, 2
+      ), cum AS (
+        SELECT event_type,
+          SUM(ca) OVER (PARTITION BY event_type ORDER BY value) AS cca,
+          SUM(cb) OVER (PARTITION BY event_type ORDER BY value) AS ccb
+        FROM pts
+      ), tot AS (
+        SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+          CAST(SUM(cb) AS BIGINT) AS nb
+        FROM pts GROUP BY 1
+      )
+      SELECT c.event_type, MAX(t.na) AS n_a, MAX(t.nb) AS n_b,
+        MAX(abs(c.cca::DOUBLE / t.na::DOUBLE - c.ccb::DOUBLE / t.nb::DOUBLE))
+          AS ks
+      FROM cum c JOIN tot t USING (event_type)
+      GROUP BY c.event_type ORDER BY c.event_type""",
 
     // Same per-group rank + τ arithmetic, QUALIFY-style.
     "q48_group_priority_sample" -> """

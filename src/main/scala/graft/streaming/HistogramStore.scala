@@ -137,6 +137,28 @@ object HistogramStore {
         (sum(col("d")) / 2.0).as("tvd"))
   }
 
+  /** Per-group Kolmogorov–Smirnov statistic off the standing cells:
+    * max |cumF_ref − cumF_cur| over bin edges — the O(cells) sketch of the
+    * exact KS (the exact statistic's resolution at the frozen bin
+    * granularity). One window over ≤bins rows per group; division-only
+    * arithmetic, no grid.
+    */
+  def ks(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cs = cells(spark, root)
+    val totals = cs.groupBy(col("group"))
+      .agg(sum(col("c_ref")).as("na"), sum(col("c_cur")).as("nb"))
+    val w = Window.partitionBy(col("group")).orderBy(col("bin"))
+    cs.select(col("group"),
+        sum(col("c_ref")).over(w).as("cca"),
+        sum(col("c_cur")).over(w).as("ccb"))
+      .join(totals, Seq("group"))
+      .groupBy(col("group"))
+      .agg(first(col("na")).as("n_ref"), first(col("nb")).as("n_cur"),
+        max(abs(col("cca").cast("double") / col("na").cast("double") -
+          col("ccb").cast("double") / col("nb").cast("double"))).as("ks"))
+  }
+
   private val buildLock = new Object
 
   /** Materialize-once fixture: the events drift cells built as TWO merges

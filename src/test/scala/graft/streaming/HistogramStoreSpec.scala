@@ -95,6 +95,27 @@ class HistogramStoreSpec extends SparkSpec {
     assert(st(streamed) == st(direct))
   }
 
+  test("histogram KS equals the exact KS of the binned values") {
+    val root = freshRoot()   // edges 0..100, 10 bins
+    val data = mk(60)
+    HistogramStore.merge(spark, root, rows(data: _*))
+    val got = HistogramStore.ks(spark, root)
+      .select("group", "ks").as[(String, Double)].collect().toMap
+    // exact KS over the binned representative (bin index) of each value:
+    // same information content as the cells, so the readout must agree.
+    for (g <- Seq("g0", "g1")) {
+      val binned = data.filter(_._1 == g)
+        .map(t => (math.min((t._3 / 10.0).floor.toLong, 9L), t._2))
+      val na = binned.count(_._2).toDouble
+      val nb = binned.count(!_._2).toDouble
+      val ksExact = (0L to 9L).map { b =>
+        math.abs(binned.count(t => t._1 <= b && t._2) / na -
+          binned.count(t => t._1 <= b && !t._2) / nb)
+      }.max
+      assert(got(g) == ksExact, s"group $g")
+    }
+  }
+
   test("the gate fixture's TVD matches a one-shot store over all events") {
     val root = HistogramStore.materializedEventsDriftDir(spark, sfDir)
     val incremental = HistogramStore.tvd(spark, root)
