@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.NfcNormalize
+import graft.text.{Bpe, TextFunctions}
+
+/** Retrieval and tokenization gates over `documents`: Unicode NFC
+  * canonicalization (tx18), BM25 ranked retrieval (q52), and BPE tokenizer
+  * training (tx19) / encoding (tx20).
+  *
+  * Scale notes per gate:
+  *  - tx18 is a pure scan-side projection (native codegen expression with an
+  *    ASCII fast path) — zero shuffles.
+  *  - q52 shuffles only the (doc, query-term) hits — the term filter is
+  *    pushed into the scan-side explode, so the exchange carries O(hits)
+  *    rows, never the token stream; df and corpus stats are one-row /
+  *    O(terms) broadcasts; top-k pins TakeOrderedAndProject.
+  *  - tx19 collapses the corpus to the distinct-word table in its first agg
+  *    and iterates on O(vocab) rows only (see [[graft.text.Bpe]]).
+  *  - tx20 is a scan-side fold under one broadcast merge list + a per-doc
+  *    hash agg.
+  */
+object SearchQueries {
+
+  /** BPE merge rounds — small enough that the generated DuckDB CTE chain
+    * stays readable, large enough that later merges build on earlier ones
+    * (multi-char symbols appear from round ~3 on the corpus vocabulary).
+    */
+  private val BpeRounds = 8
+
+  /** BM25 parameters (the standard Robertson defaults) and the fixed query
+    * term set — high-df corpus terms so every parameter of the formula
+    * (idf spread, length normalization) is exercised.
+    */
+  private val K1 = 1.2
+  private val B = 0.75
+  private val Terms = Seq("vector", "hash", "join", "filter", "merge")
+  private val TopK = 25
+  private val G = 1048576L // 2^-20 grid for the one libm term (ln)
+
+  /** DuckDB token-array expression — mirror of [[TextFunctions.tokens]]. */
+  private val T = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
+  private val NT = raw"len($T)"
+
+  /** Decomposed vs pre-composed spellings of the same suffix — NFC maps the
+    * former onto the latter, so even-doc rows change under normalization and
+    * odd-doc rows are already-NFC fixpoints (both paths of the kernel).
+    */
+  private val Decomposed = " café öl år éclair "
+  private val Composed = " café öl år éclair "
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Unicode NFC canonicalization — the normalize-before-anything pass of
+    // a crawl pipeline, as a native codegen expression (Spark has no
+    // built-in; DuckDB's nfc_normalize is the oracle twin). The corpus is
+    // ASCII, so a deterministic mixed-form suffix is appended on both
+    // engines: even doc_ids get base+combining-mark sequences (change under
+    // NFC), odd doc_ids get the pre-composed equivalents (NFC fixpoint).
+    "tx18_nfc_normalize" -> ((s, dir) => {
+      val aug = concat(substring(col("text"), 1, 80),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(Decomposed))
+          .otherwise(lit(Composed)),
+        pmod(col("doc_id"), lit(3)).cast("string"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          length(col("aug")).cast("bigint").as("n_chars_raw"),
+          length(NfcNormalize(col("aug"))).cast("bigint").as("n_chars_nfc"),
+          (col("aug") =!= NfcNormalize(col("aug"))).cast("int").as("changed"),
+          md5(NfcNormalize(col("aug")).cast("binary")).as("nfc_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BM25 ranked retrieval: score = Σ_t idf(t) · tf·(k1+1) /
+    // (tf + k1·(1−b+b·dl/avgdl)). The only libm call (ln in idf) is
+    // floor-quantized to the 2^-20 grid, and so is each per-term addend, so
+    // the ≤|Terms| addend sum is EXACT in double on both engines (addends
+    // are grid multiples < 2^5 → 25 significand bits).
+    "q52_bm25" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("dl"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sd"))
+        .select(col("n_docs"),
+          (col("sd").cast("double") / col("n_docs")).as("avgdl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+        .filter(col("tok").isin(Terms: _*))
+        .groupBy(col("doc_id"), col("dl"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val idfQ = floor(log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * G) /
+        lit(G.toDouble)
+      val addend = idfQ * (col("tf") * lit(K1 + 1)) /
+        (col("tf") + lit(K1) *
+          (lit(1 - B) + lit(B) * col("dl") / col("avgdl")))
+      tf.join(broadcast(dfq), Seq("tok"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (floor(addend * G) / lit(G.toDouble)).as("addend"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("addend")).as("score"),
+          count(lit(1)).as("n_terms_hit"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(TopK)
+    }),
+
+    // BPE tokenizer training: the learned merge table (round, pair, count).
+    // All-integer, tie-broken (count DESC, pair ASC) — bit-exact.
+    "tx19_bpe_merges" -> ((s, dir) =>
+      Bpe.train(Tables(s, dir, "documents"), BpeRounds)._1
+        .orderBy(col("round"))),
+
+    // Encode the corpus under the trained merges: per-doc subword piece
+    // counts — the number every token-budget / packing decision consumes.
+    "tx20_bpe_encode" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      Bpe.encode(docs, Bpe.train(docs, BpeRounds)._1).orderBy(col("doc_id"))
+    })
+  )
+
+  private val termList = Terms.map(t => s"'$t'").mkString(", ")
+
+  val oracleSql: Map[String, String] = Map(
+
+    "tx18_nfc_normalize" -> s"""
+      WITH aug AS (
+        SELECT doc_id, substr(text, 1, 80) ||
+          CASE WHEN doc_id % 2 = 0
+            THEN ' cafe' || chr(769) || ' o' || chr(776) || 'l a' ||
+              chr(778) || 'r ' || chr(233) || 'clair '
+            ELSE ' caf' || chr(233) || ' ' || chr(246) || 'l ' ||
+              chr(229) || 'r ' || chr(233) || 'clair '
+          END || (doc_id % 3)::VARCHAR AS aug
+        FROM documents
+      )
+      SELECT doc_id, length(aug) AS n_chars_raw,
+        length(nfc_normalize(aug)) AS n_chars_nfc,
+        (aug <> nfc_normalize(aug))::INT AS changed,
+        md5(nfc_normalize(aug)) AS nfc_md5
+      FROM aug ORDER BY doc_id""",
+
+    "q52_bm25" -> raw"""
+      WITH docs AS (
+        SELECT doc_id, $NT AS dl, $T AS toks FROM documents
+      ), stats AS (
+        SELECT COUNT(*) AS n_docs,
+          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM docs
+      ), tf AS (
+        SELECT doc_id, dl, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM docs)
+        WHERE tok IN ($termList)
+        GROUP BY 1, 2, 3
+      ), dfq AS (
+        SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+      ), scored AS (
+        SELECT t.doc_id,
+          floor((floor(ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+              * $G) / $G.0)
+            * (t.tf * ${K1 + 1}) /
+            (t.tf + $K1 * (${1 - B} + $B * t.dl / s.avgdl)) * $G) / $G.0
+            AS addend
+        FROM tf t JOIN dfq q USING (tok), stats s
+      )
+      SELECT doc_id, SUM(addend) AS score, COUNT(*) AS n_terms_hit
+      FROM scored GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT $TopK""",
+
+    "tx19_bpe_merges" -> Bpe.mergesOracle(BpeRounds),
+
+    "tx20_bpe_encode" -> Bpe.encodeOracle(BpeRounds)
+  )
+}
