@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.NfcNormalize
-import graft.text.{Bpe, TextFunctions}
+import graft.text.{Bm25, Bpe, PostingStore, TextFunctions}
 
 /** Retrieval and tokenization gates over `documents`: Unicode NFC
   * canonicalization (tx18), BM25 ranked retrieval (q52), and BPE tokenizer
@@ -34,11 +34,15 @@ object SearchQueries {
     * term set — high-df corpus terms so every parameter of the formula
     * (idf spread, length normalization) is exercised.
     */
-  private val K1 = 1.2
-  private val B = 0.75
+  private val K1 = Bm25.K1
+  private val B = Bm25.B
   private val Terms = Seq("vector", "hash", "join", "filter", "merge")
   private val TopK = 25
   private val G = 1048576L // 2^-20 grid for the one libm term (ln)
+
+  /** Tokenize→pack budget (in SUBWORD pieces) and prefix-sum bucket width. */
+  private val PackBudget = 512L
+  private val PackBucket = 1024L
 
   /** DuckDB token-array expression — mirror of [[TextFunctions.tokens]]. */
   private val T = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
@@ -75,10 +79,10 @@ object SearchQueries {
     }),
 
     // BM25 ranked retrieval: score = Σ_t idf(t) · tf·(k1+1) /
-    // (tf + k1·(1−b+b·dl/avgdl)). The only libm call (ln in idf) is
-    // floor-quantized to the 2^-20 grid, and so is each per-term addend, so
-    // the ≤|Terms| addend sum is EXACT in double on both engines (addends
-    // are grid multiples < 2^5 → 25 significand bits).
+    // (tf + k1·(1−b+b·dl/avgdl)), scored by the shared [[Bm25]] kernel
+    // (the only libm call and each per-term addend are 2^-20
+    // grid-quantized, so the ≤|Terms| addend sum is exact on both
+    // engines).
     "q52_bm25" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents").select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("dl"),
@@ -92,21 +96,33 @@ object SearchQueries {
         .groupBy(col("doc_id"), col("dl"), col("tok"))
         .agg(count(lit(1)).as("tf"))
       val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val idfQ = floor(log(lit(1.0) +
-        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * G) /
-        lit(G.toDouble)
-      val addend = idfQ * (col("tf") * lit(K1 + 1)) /
-        (col("tf") + lit(K1) *
-          (lit(1 - B) + lit(B) * col("dl") / col("avgdl")))
-      tf.join(broadcast(dfq), Seq("tok"))
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"),
-          (floor(addend * G) / lit(G.toDouble)).as("addend"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("addend")).as("score"),
-          count(lit(1)).as("n_terms_hit"))
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(TopK)
+      Bm25.topK(tf, dfq, stats, TopK)
+    }),
+
+    // The same BM25 query against the STANDING inverted index: a
+    // two-segment manifest-committed posting store (bootstrap + append)
+    // whose probe opens only the query terms' bucket directories. Batch
+    // disjointness + the shared scoring kernel make the result equal to
+    // the ad-hoc recompute — so this gate shares q52's oracle, proving
+    // store ≡ recompute end-to-end.
+    "tx21_bm25_index" -> ((s, dir) => {
+      val root = PostingStore.materializedDocsDir(s, dir)
+      PostingStore.topK(s, root, Terms, TopK)
+    }),
+
+    // Tokenize→pack: the end-to-end budget-accurate packing pass — per-doc
+    // subword piece counts from the TRAINED tokenizer (not whitespace
+    // counts) feed the distributed prefix-sum packer, so context windows
+    // are sized in the units the model actually consumes.
+    "cur12_tokenize_pack" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pieces = Bpe.encode(docs, Bpe.train(docs, BpeRounds)._1)
+        .select(col("doc_id"), col("n_pieces"))
+      graft.pack.Packing
+        .packByBudget(pieces, "doc_id", "n_pieces", PackBudget, PackBucket)
+        .select(col("doc_id"), col("n_pieces"), col("start_offset"),
+          col("pack_id"))
+        .orderBy(col("doc_id"))
     }),
 
     // BPE tokenizer training: the learned merge table (round, pair, count).
@@ -144,7 +160,28 @@ object SearchQueries {
         md5(nfc_normalize(aug)) AS nfc_md5
       FROM aug ORDER BY doc_id""",
 
-    "q52_bm25" -> raw"""
+    "q52_bm25" -> Bm25Oracle,
+
+    // The standing index must equal the ad-hoc recompute — same oracle.
+    "tx21_bm25_index" -> Bm25Oracle,
+
+    "tx19_bpe_merges" -> Bpe.mergesOracle(BpeRounds),
+
+    "tx20_bpe_encode" -> Bpe.encodeOracle(BpeRounds),
+
+    "cur12_tokenize_pack" -> s"""${Bpe.encodeCtes(BpeRounds)}, run AS (
+        SELECT doc_id, n_pieces,
+          CAST(SUM(n_pieces) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_pieces
+            AS BIGINT) AS start_offset
+        FROM pieces
+      )
+      SELECT doc_id, n_pieces, start_offset,
+        start_offset // $PackBudget AS pack_id
+      FROM run ORDER BY doc_id"""
+  )
+
+  private lazy val Bm25Oracle: String = raw"""
       WITH docs AS (
         SELECT doc_id, $NT AS dl, $T AS toks FROM documents
       ), stats AS (
@@ -169,10 +206,5 @@ object SearchQueries {
       )
       SELECT doc_id, SUM(addend) AS score, COUNT(*) AS n_terms_hit
       FROM scored GROUP BY doc_id
-      ORDER BY score DESC, doc_id LIMIT $TopK""",
-
-    "tx19_bpe_merges" -> Bpe.mergesOracle(BpeRounds),
-
-    "tx20_bpe_encode" -> Bpe.encodeOracle(BpeRounds)
-  )
+      ORDER BY score DESC, doc_id LIMIT $TopK"""
 }

@@ -159,7 +159,11 @@ object Bpe {
       SELECT * FROM (${rows.mkString(" UNION ALL ")}) ORDER BY round"""
   }
 
-  private[graft] def encodeOracle(rounds: Int): String = {
+  /** Training chain + per-doc piece counts, ending in a `pieces(doc_id,
+    * n_alpha_tokens, n_pieces)` CTE — composable (the tokenize→pack gate
+    * appends a running-sum CTE on top).
+    */
+  private[graft] def encodeCtes(rounds: Int): String = {
     val inner = (1 to rounds).foldLeft("wrapped") { (acc, r) =>
       s"replace($acc, '(' || b$r.a || ')(' || b$r.b || ')', " +
         s"'(' || b$r.a || b$r.b || ')')"
@@ -178,10 +182,14 @@ object Bpe {
           CAST(SUM(length(enc) - length(replace(enc, '(', ''))) AS BIGINT)
             AS n_pieces
         FROM enc GROUP BY 1
-      )
-      SELECT d.doc_id, COALESCE(a.n_alpha_tokens, 0) AS n_alpha_tokens,
-        COALESCE(a.n_pieces, 0) AS n_pieces
-      FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
-      ORDER BY doc_id"""
+      ), pieces AS (
+        SELECT d.doc_id, COALESCE(a.n_alpha_tokens, 0) AS n_alpha_tokens,
+          COALESCE(a.n_pieces, 0) AS n_pieces
+        FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+      )"""
   }
+
+  private[graft] def encodeOracle(rounds: Int): String =
+    s"""${encodeCtes(rounds)}
+      SELECT doc_id, n_alpha_tokens, n_pieces FROM pieces ORDER BY doc_id"""
 }

@@ -101,7 +101,15 @@ class PlanGuardSpec extends SparkSpec {
     // per-stratum sampling: rank filter pre-limits groups below the
     // exchange; the τ side broadcasts
     "q48_group_priority_sample" ->
-      Seq("WindowGroupLimit", "BroadcastHashJoin")
+      Seq("WindowGroupLimit", "BroadcastHashJoin"),
+    // BM25: per-term docfreq and the corpus-stats row broadcast against
+    // the term-filtered hit stream; final top-k is TakeOrdered, never a
+    // global sort of all scored docs
+    "q52_bm25" -> Seq("TakeOrderedAndProject", "BroadcastHashJoin"),
+    // BPE encode: the learned merge list broadcasts to the token scan
+    // (a shuffle here would re-partition the whole corpus against an
+    // O(rounds) artifact)
+    "tx20_bpe_encode" -> Seq("BroadcastNestedLoopJoin")
   )
 
   /** query -> plan fragments that must NOT appear */
@@ -141,7 +149,9 @@ class PlanGuardSpec extends SparkSpec {
     "q1_pricing_summary" -> "l_partkey",
     "tx5_lang_counts" -> "source", // lang-ID needs only the text payload
     "dd1_exact_groups" -> "lang",
-    "q15_count_distinct" -> "props"
+    "q15_count_distinct" -> "props",
+    "tx18_nfc_normalize" -> "source", // NFC needs only doc_id + text
+    "q52_bm25" -> "lang"
   )
 
   (must.keySet ++ mustNot.keySet ++ pruned.keySet).toSeq.sorted.foreach {
@@ -176,11 +186,14 @@ class PlanGuardSpec extends SparkSpec {
 
   test("every gate query pushes scan-level filters/schema (PushedFilters)") {
     // cdc_scd2_skew_fallback roots on RangeLead's RDD path (the hot-key
-    // fallback is deliberately non-declarative), and q43_pagerank
-    // localCheckpoints its symmetrized edge list before iterating — both
-    // plans root on a LogicalRDD scan with no file-scan metadata line to
-    // check.
-    val rddRooted = Set("cdc_scd2_skew_fallback", "q43_pagerank")
+    // fallback is deliberately non-declarative); q43_pagerank and
+    // q50_triangles localCheckpoint their symmetrized/deduped edge lists
+    // before iterating; tx19_bpe_merges is a union of the per-round
+    // checkpointed best-pair rows — all these plans root on a LogicalRDD
+    // scan with no file-scan metadata line to check.
+    val rddRooted =
+      Set("cdc_scd2_skew_fallback", "q43_pagerank", "q50_triangles",
+        "tx19_bpe_merges")
     (SparkEntry.queries.keySet -- rddRooted).toSeq.sorted.foreach { name =>
       assert(plan(name).contains("PushedFilters: ["),
         s"$name scan lost pushdown metadata")
