@@ -110,6 +110,16 @@ object SearchQueries {
       PostingStore.topK(s, root, Terms, TopK)
     }),
 
+    // The same probe against an index maintained by the REAL streaming
+    // writer (two file-source micro-batches through appendStream's
+    // bootstrap-then-append foreachBatch with exactly-once txn ids) —
+    // streaming ingest ≡ batch build ≡ ad-hoc recompute, all on one
+    // oracle.
+    "ev6_stream_bm25_index" -> ((s, dir) => {
+      val root = PostingStore.materializedStreamDocsDir(s, dir)
+      PostingStore.topK(s, root, Terms, TopK)
+    }),
+
     // Tokenize→pack: the end-to-end budget-accurate packing pass — per-doc
     // subword piece counts from the TRAINED tokenizer (not whitespace
     // counts) feed the distributed prefix-sum packer, so context windows
@@ -164,6 +174,9 @@ object SearchQueries {
 
     // The standing index must equal the ad-hoc recompute — same oracle.
     "tx21_bm25_index" -> Bm25Oracle,
+
+    // ... and so must the stream-maintained index.
+    "ev6_stream_bm25_index" -> Bm25Oracle,
 
     "tx19_bpe_merges" -> Bpe.mergesOracle(BpeRounds),
 

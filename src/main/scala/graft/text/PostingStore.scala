@@ -68,13 +68,14 @@ object PostingStore {
   }
 
   def bootstrap(spark: SparkSession, docs: DataFrame, root: String,
-                numBuckets: Int = 64): Unit = {
+                numBuckets: Int = 64, txnId: Option[Long] = None): Unit = {
     require(ManifestStore.latest(spark, root).isEmpty,
       s"index at $root already bootstrapped — use append")
     val version = ManifestStore.nextVersion(spark, root)
     val slots = writeSegment(spark, docs, root, version, numBuckets)
     ManifestStore.commit(spark, root, version,
-      slots + (NumBucketsSlot -> numBuckets.toString))
+      slots + (NumBucketsSlot -> numBuckets.toString) ++
+        txnId.map(id => LastTxnSlot -> id.toString))
   }
 
   /** Append a batch of NEW documents as one segment; existing segments are
@@ -95,16 +96,20 @@ object PostingStore {
 
   /** Maintain the index from a STREAM of documents — each micro-batch
     * appends one manifest-committed segment with the batch id as the
-    * idempotence txn.
+    * idempotence txn (the first batch bootstraps, carrying its txn id too,
+    * so an at-least-once replay of ANY batch — including batch 0 — is a
+    * no-op).
     */
   def appendStream(spark: SparkSession, docs: DataFrame, root: String,
-                   checkpoint: String)
+                   checkpoint: String, numBuckets: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        append(spark, batch, root, txnId = Some(id))
+        if (ManifestStore.latest(spark, root).isEmpty)
+          bootstrap(spark, batch, root, numBuckets, txnId = Some(id))
+        else append(spark, batch, root, txnId = Some(id))
       }
       .start()
 
@@ -145,6 +150,53 @@ object PostingStore {
     * disjointness makes the index equal to a one-shot build — which is
     * what the gate's oracle recomputes from raw documents.
     */
+  /** Streamed twin of [[materializedDocsDir]]: the index is built by the
+    * REAL `appendStream` writer over two single-file micro-batches (even
+    * doc_ids, then odd; chunk mtimes stamped ascending so FileStreamSource
+    * admits them in that order). Same end state as the batch fixture and
+    * the one-shot build — which is what the shared oracle recomputes.
+    */
+  def materializedStreamDocsDir(spark: SparkSession, sfDir: String)
+      : String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/posting_stream_v1")
+    val store = root.resolve("store").toString
+    buildLock.synchronized {
+      if (!Files.exists(root.resolve("_DONE"))) {
+        val docs = graft.ops.Tables(spark, sfDir, "documents")
+        val chunkDir = root.resolve("chunks")
+        Files.createDirectories(chunkDir)
+        Seq(col("doc_id") % 2 === 0, col("doc_id") % 2 === 1)
+          .zipWithIndex.foreach { case (pred, i) =>
+            val tmp = root.resolve(s"tmp$i").toString
+            docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+            val part = Files.list(Paths.get(tmp)).iterator()
+            var src: java.nio.file.Path = null
+            while (part.hasNext) {
+              val p = part.next()
+              if (p.getFileName.toString.startsWith("part-")) src = p
+            }
+            val tgt = chunkDir.resolve(f"chunk$i%04d.parquet")
+            Files.copy(src, tgt, StandardCopyOption.REPLACE_EXISTING)
+            // pin batch order: strictly increasing mtimes
+            tgt.toFile.setLastModified(1700000000000L + i * 600000L)
+          }
+        val src = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(chunkDir.toString)
+        val q = appendStream(spark, src, store,
+          root.resolve("ckpt").toString)
+        q.processAllAvailable()
+        q.stop()
+        Files.createFile(root.resolve("_DONE"))
+      }
+    }
+    store
+  }
+
   private val buildLock = new Object
   def materializedDocsDir(spark: SparkSession, sfDir: String): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
