@@ -1040,6 +1040,31 @@ object AdvancedQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Time-DECAYED counts — the recency-weighted frequency monitor a
+    // continuous ingestion pipeline tracks per event type (a raw count
+    // never forgets; a decayed count answers "how hot is this stream
+    // NOW"). decayed = Σ 2^(−Δt/halflife) with Δt measured back from the
+    // corpus max timestamp, so the gate is deterministic from data alone.
+    // One scan + one hash agg; the single libm call (pow) is 2^-20
+    // grid-quantized per addend, so the per-type sums (≤ n addends in
+    // [0,1]) are exact in double on both engines.
+    "q53_decay_counts" -> ((s, dir) => {
+      val G = 1048576L
+      val hlUs = 6L * 3600 * 1000000 // 6-hour half-life, in microseconds
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("ep"))
+      val t0 = ev.agg(max(col("ep")).as("t0"))
+      ev.crossJoin(broadcast(t0))
+        .select(col("event_type"),
+          (floor(pow(lit(2.0),
+            -((col("t0") - col("ep")).cast("double") / lit(hlUs.toDouble)))
+            * G) / lit(G.toDouble)).as("w"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("w")).as("decayed_count"))
+        .orderBy(col("event_type"))
+    }),
+
     // Z-ORDER 2-D box query (the OPTIMIZE ZORDER BY (user_id, value)
     // story): Morton-interleaved clustering gives BOTH columns locality,
     // so the manifest's per-column zone maps prune segments on two
@@ -1093,6 +1118,20 @@ object AdvancedQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q53_decay_counts" -> """
+      WITH ev AS (
+        SELECT event_type, epoch_us(ts) AS ep FROM events
+      ), t0 AS (
+        SELECT MAX(ep) AS t0 FROM ev
+      ), wts AS (
+        SELECT event_type,
+          floor(power(2.0, -(CAST(t0.t0 - ep AS DOUBLE) / 21600000000.0))
+            * 1048576) / 1048576.0 AS w
+        FROM ev, t0
+      )
+      SELECT event_type, COUNT(*) AS n_events, SUM(w) AS decayed_count
+      FROM wts GROUP BY event_type ORDER BY event_type""",
+
     "aj1_asof_click_purchase" -> """
       WITH clicks AS (
         SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'

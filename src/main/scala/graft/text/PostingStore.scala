@@ -150,6 +150,35 @@ object PostingStore {
     * disjointness makes the index equal to a one-shot build — which is
     * what the gate's oracle recomputes from raw documents.
     */
+  /** Segment compaction — the maintenance pass a long-lived index needs: a
+    * streaming writer leaves one segment per micro-batch and every probe
+    * unions them all. Rewrites current postings as ONE bucket-partitioned
+    * segment and current stats as ONE row, committed atomically (concurrent
+    * readers keep their snapshot; a crash leaves an invisible orphan).
+    * Rows are untouched — same postings, fewer files;
+    * [[ManifestStore.vacuum]] reclaims superseded segments afterwards.
+    */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val snap = ManifestStore.latest(spark, root).getOrElse(return)
+    val segSlots = snap.entries.keys.filter(_.startsWith("seg-")).toSeq
+    val statSlots = snap.entries.keys.filter(_.startsWith("__stats-")).toSeq
+    if (segSlots.size <= 1) return // nothing to merge
+    val all = segSlots.map(sl => spark.read.parquet(s"$root/${snap.entries(sl)}"))
+      .reduce(_.unionByName(_))
+    val stats = statSlots.map(sl => spark.read.parquet(s"$root/${snap.entries(sl)}"))
+      .reduce(_.unionByName(_))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val version = ManifestStore.nextVersion(spark, root)
+    val rel = ManifestStore.dataRel(version)
+    all.write.mode("errorifexists").partitionBy("__bucket")
+      .parquet(s"$root/$rel/seg")
+    stats.write.mode("errorifexists").parquet(s"$root/$rel/stats")
+    ManifestStore.commit(spark, root, version,
+      snap.entries -- segSlots -- statSlots +
+        (s"seg-$version" -> s"$rel/seg") +
+        (statsSlot(version) -> s"$rel/stats"))
+  }
+
   /** Streamed twin of [[materializedDocsDir]]: the index is built by the
     * REAL `appendStream` writer over two single-file micro-batches (even
     * doc_ids, then odd; chunk mtimes stamped ascending so FileStreamSource

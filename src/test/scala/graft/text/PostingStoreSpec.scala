@@ -70,6 +70,24 @@ class PostingStoreSpec extends SparkSpec {
       s"bucket predicate did not reach the scan:\n$plan")
   }
 
+  test("compaction folds segments without changing any probe result") {
+    val root = freshRoot()
+    PostingStore.bootstrap(spark, corpus(0 until 30), root, numBuckets = 8)
+    PostingStore.append(spark, corpus(30 until 60), root)
+    PostingStore.append(spark, corpus(60 until 80), root)
+    val before = PostingStore.topK(spark, root, Seq("alpha", "beta"), 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    PostingStore.compact(spark, root)
+    val snap = ManifestStore.latest(spark, root).get
+    assert(snap.entries.keys.count(_.startsWith("seg-")) == 1,
+      "compaction must leave exactly one posting segment")
+    assert(snap.entries.keys.count(_.startsWith("__stats-")) == 1,
+      "compaction must leave exactly one stats row")
+    val after = PostingStore.topK(spark, root, Seq("alpha", "beta"), 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(after == before)
+  }
+
   test("stats merge across segments: N and avgdl cover every batch") {
     val root = freshRoot()
     PostingStore.bootstrap(spark, corpus(0 until 10), root, numBuckets = 4)
