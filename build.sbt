@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST 2000 chars of `sbt runMain` stdout for
+// graft.Bench's one-line JSON. sbt's default LoggedOutput strategy prefixes
+// every forked-process line with "[info] ", which is why BENCH_r01..r04 all
+// recorded `parsed: null` even once the line fit the window. StdoutOutput
+// pipes the forked JVM's stdout/stderr through verbatim — the JSON line
+// reaches the driver bare.
+run / connectInput := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
