@@ -181,24 +181,93 @@ object Similarity {
       .select(col("id").as("centroid_id"), col("vec").as("cvec"))
   }
 
+  /** Sequential left fold — the exact accumulation order of
+    * [[graft.functions.DotProductExpr]], so driver-computed norms carry
+    * the same bits Spark-side expressions would.
+    */
+  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Driver-literal threshold for quantizer state: at or below this many
+    * centroids the quantizer rides in the PLAN as one nested Literal node
+    * (bounded metadata, O(cells·dim) doubles — the same class as the PQ
+    * codebooks and bucket-id collects). Above it, the broadcast-join path
+    * keeps plan size flat. The literal path turns cell assignment into a
+    * pure scan-side projection — it REMOVES the corpus-sized window
+    * shuffle the join path needs for its per-vector argmax, which at
+    * 100 TB is a full extra exchange of the corpus.
+    */
+  private val LiteralCentroidCap = 1024
+
+  /** Collect (centroid_id, cvec, cn) to driver state if the quantizer is
+    * under [[LiteralCentroidCap]]; None → caller uses the join path.
+    * (`limit(cap+1)` bounds the collect; when the table exceeds the cap
+    * the truncated rows are discarded, so nondeterministic limit order
+    * can never leak into results.)
+    */
+  private def localCentroids(centroids: DataFrame)
+      : Option[Array[(Long, Seq[Double], Double)]] = {
+    val rows = centroids
+      .select(col("centroid_id"), col("cvec").cast("array<double>"),
+        col("cn").cast("double"))
+      .limit(LiteralCentroidCap + 1).collect()
+    if (rows.length > LiteralCentroidCap) None
+    else Some(rows.map(r => (r.getLong(0), r.getSeq[Double](1),
+      r.getDouble(2))).sortBy(_._1))
+  }
+
+  /** `side` plus a `centroid_id` column (exploded to `probes` rows per
+    * vector): nearest-cell assignment against a collected quantizer — one
+    * pure scan-side projection through the native
+    * [[graft.functions.NearestCells]] kernel; no join, no window, and
+    * primitive-loop scoring on both eval paths (the interpreted HOF
+    * formulation paid ~µs of lambda/boxing overhead per (row, centroid) —
+    * it dominated the 256-cell gates).
+    */
+  private def cellAssignLocal(side: DataFrame,
+      local: Array[(Long, Seq[Double], Double)],
+      vecAs: String, probes: Int): DataFrame = {
+    val cells = graft.functions.NearestCells(col(vecAs), local, probes)
+    if (probes == 1)
+      side.withColumn("centroid_id", element_at(cells, 1))
+    else
+      side.withColumn("centroid_id", explode(cells))
+  }
+
+  /** Join-path twin for quantizers over the literal cap: broadcast join +
+    * per-vector window ranking (this is the shape that pays a corpus-wide
+    * exchange for the argmax — only used when the quantizer is too big to
+    * ride in the plan).
+    */
+  private def cellAssignJoin(side: DataFrame, centroids: DataFrame,
+      idAs: String, vecAs: String, probes: Int): DataFrame = {
+    val scored = side.crossJoin(broadcast(centroids))
+      .withColumn("__cs", dot(col(vecAs), col("cvec"))
+        / (norm(col(vecAs)) * col("cn")))
+    val w = Window.partitionBy(col(idAs))
+      .orderBy(col("__cs").desc, col("centroid_id"))
+    scored.withColumn("__cr", row_number().over(w))
+      .filter(col("__cr") <= probes)
+      .drop("cvec", "cn", "__cs", "__cr")
+  }
+
   /** The IVF probe: assign corpus vectors to their nearest centroid cell,
     * expand each query to its `nProbe` nearest cells, brute-force only
-    * within matching cells. `centroids`: (centroid_id, cvec, cn).
+    * within matching cells. `centroids`: (centroid_id, cvec, cn). The
+    * quantizer is collected ONCE and shared by both sides' assignments.
     */
   private def probeTopK(queries: DataFrame, corpus: DataFrame,
       centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    // nearest centroid per vector (rank 1..nProbe for queries)
-    def cells(side: DataFrame, idAs: String, vecAs: String, probes: Int) = {
-      val scored = side.crossJoin(broadcast(centroids))
-        .withColumn("__cs", dot(col(vecAs), col("cvec"))
-          / (norm(col(vecAs)) * col("cn")))
-      val w = Window.partitionBy(col(idAs))
-        .orderBy(col("__cs").desc, col("centroid_id"))
-      scored.withColumn("__cr", row_number().over(w))
-        .filter(col("__cr") <= probes)
-        .drop("cvec", "cn", "__cs", "__cr")
-    }
-
+    val local = localCentroids(centroids)
+    def cells(side: DataFrame, idAs: String, vecAs: String, probes: Int) =
+      local match {
+        case Some(l) => cellAssignLocal(side, l, vecAs, probes)
+        case None => cellAssignJoin(side, centroids, idAs, vecAs, probes)
+      }
     val corpusCells = cells(
       corpus.select(col("id").as("corpus_id"), col("vec").as("cv")),
       "corpus_id", "cv", 1)
@@ -262,6 +331,8 @@ object Similarity {
     */
   private[sim] def trainCentroids(corpus: DataFrame, numCentroids: Int,
       iters: Int): DataFrame = {
+    if (numCentroids <= LiteralCentroidCap)
+      return trainCentroidsLocal(corpus, numCentroids, iters)
     val c = corpus.select(col("id").as("corpus_id"), col("vec").as("cv"),
       norm(col("vec")).as("nrm"))
 
@@ -294,6 +365,52 @@ object Similarity {
         .localCheckpoint(true)
     }
     cent
+  }
+
+  /** The under-cap twin of the Lloyd loop above: the centroid table lives
+    * on the DRIVER between rounds (O(cells·dim) doubles — bounded
+    * metadata), each round is ONE scan-side argmax projection + the
+    * (cells × dim)-group mean agg collected back. No broadcast join, no
+    * corpus-sized window shuffle, no checkpoint — and bit-identical to the
+    * join path: same stride seeds, same cosine folds (driver norms replay
+    * DotProductExpr's accumulation order), same grid-quantized mean sums,
+    * same (score desc NaN-greatest, centroid_id asc) argmax order, empty
+    * cells keep their codeword.
+    */
+  private def trainCentroidsLocal(corpus: DataFrame, numCentroids: Int,
+      iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val n = corpus.agg(count(lit(1))).collect()(0).getLong(0)
+    val stride = math.max(1L, math.ceil(n.toDouble / numCentroids).toLong)
+    var cent: Array[(Long, Array[Double])] =
+      corpus.filter(pmod(col("id"), lit(stride)) === 0)
+        .select(col("id"), col("vec").cast("array<double>")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+
+    for (_ <- 1 to iters) {
+      val local = cent.map { case (id, v) =>
+        (id, v.toSeq, Math.sqrt(dotSeq(v, v))) }
+      val assigned = corpus.select(
+        element_at(graft.functions.NearestCells(col("vec"), local, 1), 1)
+          .as("centroid_id"),
+        col("vec").as("cv"))
+      val stats = assigned
+        .select(col("centroid_id"), posexplode(col("cv")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(sum(floor(col("col").cast("double") * CentroidGrid)
+            / CentroidGrid).as("s"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val byId = cent.zipWithIndex.map { case ((id, _), i) => id -> i }.toMap
+      val next = cent.map { case (id, v) => (id, v.clone) }
+      stats.foreach { r =>
+        next(byId(r.getLong(0)))._2(r.getInt(1)) =
+          r.getDouble(2) / r.getLong(3).toDouble
+      }
+      cent = next
+    }
+    spark.createDataFrame(cent.toSeq.map { case (id, v) => (id, v.toSeq) })
+      .toDF("centroid_id", "cvec")
   }
 
   /** Product-quantization ANN (asymmetric distance). The memory lever of
@@ -338,15 +455,16 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 8, codebookSize: Int = 32, iters: Int = 2,
       dim: Int = 64, rerank: Int = 64): DataFrame = {
-    val (codes, cnorm, table) =
+    val (codes, table) =
       pqIndex(queries, corpus, m, codebookSize, iters, dim)
     // score: sum of m lookups per (query, corpus vector) — every corpus
     // vector is a candidate (flat PQ; see ivfPqTopK for the cell-restricted
-    // composition)
+    // composition). `xn` rides along as a grouping key (it is functionally
+    // determined by corpus_id), saving the separate norm join.
     val scored = codes.join(broadcast(table), Seq("sub", "code"))
-      .groupBy(col("query_id"), col("qn"), col("corpus_id"))
+      .groupBy(col("query_id"), col("qn"), col("corpus_id"), col("xn"))
       .agg(sum(col("pd")).as("sd"), count(lit(1)).as("nparts"))
-    pqRank(scored, cnorm, queries, corpus, k, m, rerank)
+    pqRank(scored, queries, corpus, k, m, rerank)
   }
 
   /** IVF-PQ — the production ANN composition (FAISS's IVFPQ shape): the
@@ -372,16 +490,12 @@ object Similarity {
     val p = if (nProbe > 0) nProbe else autoProbes(c)
     val centroids = strideCentroids(corpus, c)
       .withColumn("cn", norm(col("cvec")))
-    def cells(side: DataFrame, idAs: String, vecAs: String, probes: Int) = {
-      val scored = side.crossJoin(broadcast(centroids))
-        .withColumn("__cs", dot(col(vecAs), col("cvec"))
-          / (norm(col(vecAs)) * col("cn")))
-      val w = Window.partitionBy(col(idAs))
-        .orderBy(col("__cs").desc, col("centroid_id"))
-      scored.withColumn("__cr", row_number().over(w))
-        .filter(col("__cr") <= probes)
-        .select(col(idAs), col("centroid_id"))
-    }
+    val local = localCentroids(centroids)
+    def cells(side: DataFrame, idAs: String, vecAs: String, probes: Int) =
+      (local match {
+        case Some(l) => cellAssignLocal(side, l, vecAs, probes)
+        case None => cellAssignJoin(side, centroids, idAs, vecAs, probes)
+      }).select(col(idAs), col("centroid_id"))
     val corpusCells = cells(
       corpus.select(col("id").as("corpus_id"), col("vec").as("cv")),
       "corpus_id", "cv", 1)
@@ -393,120 +507,160 @@ object Similarity {
     val cand = corpusCells.join(broadcast(queryCells), Seq("centroid_id"))
       .select(col("query_id"), col("corpus_id"))
 
-    val (codes, cnorm, table) =
+    val (codes, table) =
       pqIndex(queries, corpus, m, codebookSize, iters, dim)
     val scored = codes.join(broadcast(cand), Seq("corpus_id"))
       .join(broadcast(table), Seq("query_id", "sub", "code"))
-      .groupBy(col("query_id"), col("qn"), col("corpus_id"))
+      .groupBy(col("query_id"), col("qn"), col("corpus_id"), col("xn"))
       .agg(sum(col("pd")).as("sd"), count(lit(1)).as("nparts"))
-    pqRank(scored, cnorm, queries, corpus, k, m, rerank)
+    pqRank(scored, queries, corpus, k, m, rerank)
   }
 
   /** Shared PQ machinery: train the `m` codebooks, encode the corpus, and
     * precompute the queries' ADC lookup tables.
-    * Returns (codes (corpus_id, sub, code, cwn2),
-    *          cnorm (corpus_id, xn),
+    * Returns (codes (corpus_id, xn, sub, code),
     *          table (query_id, qn, sub, code, pd)).
+    *
+    * The codebook state lives on the DRIVER between passes — it is
+    * O(m · codebookSize · subDim) doubles (a few KB), independent of corpus
+    * size, the same bounded-metadata class as the engine's other driver
+    * collects (bucket ids, convergence checksums). With codebooks as plan
+    * LITERALS, every pass over data becomes a single scan-side codegen
+    * projection: Lloyd assignment, corpus encoding, and the ADC tables need
+    * NO join, NO window, NO checkpoint — per training round the only
+    * exchange left is the (m × codebookSize × subDim)-group mean agg, and
+    * encode is pure map work. (The previous shape broadcast-joined a
+    * corpus-sized subvector table per round and argmaxed it through a
+    * window sort; all of that is now folded into the scan.)
+    *
+    * Numeric contract unchanged and bit-identical to the sm7/sm8 DuckDB
+    * mirrors: dots are strict sequential folds (driver-side folds replay
+    * the same IEEE op order as [[graft.functions.DotProductExpr]]), mean
+    * sums grid-quantize addends (see [[CentroidGrid]]) so Spark's parallel
+    * agg is exact, and the per-(row, sub) argmax — `array_max` over
+    * `struct(score, -code)` — has exactly the window's total-order
+    * semantics (score desc with NaN greatest, then code asc).
     */
   private def pqIndex(queries: DataFrame, corpus: DataFrame,
       m: Int, codebookSize: Int, iters: Int,
-      dim: Int): (DataFrame, DataFrame, DataFrame) = {
+      dim: Int): (DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
+    val G = CentroidGrid.toDouble
 
-    def explodeSubs(df: DataFrame, idName: String): DataFrame =
-      df.select(col("id").as(idName),
-        posexplode(array((0 until m).map(s =>
-          slice(col("vec"), s * subDim + 1, subDim)): _*)))
-        .withColumnRenamed("pos", "sub").withColumnRenamed("col", "sv")
+    def subSlice(vec: Column, s: Int): Column =
+      slice(vec, s * subDim + 1, subDim)
 
-    val csubs = explodeSubs(corpus, "corpus_id")
+    // Seeding: every ceil(n/codebookSize)-th corpus vector by id, id-ranked
+    // — deterministic and identical to the previous stride+row_number pick.
+    val n = corpus.count()
+    val stride = math.max(1L, math.ceil(n.toDouble / codebookSize).toLong)
+    val seeds = corpus.filter(pmod(col("id"), lit(stride)) === 0)
+      .orderBy(col("id")).limit(codebookSize)
+      .select(col("vec").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    // books(sub)(code) = codeword; all m codebooks share the seed vectors.
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(s =>
+      seeds.map(v => v.slice(s * subDim, (s + 1) * subDim)))
 
-    // All m codebooks train in ONE vectorized Lloyd loop: rows are
-    // (vector, subspace) subvectors, codebook membership is keyed by
-    // `sub`, so each round is a single broadcast join + argmax window +
-    // (m × codebookSize × subDim)-group mean agg — not m sequential
-    // trainings. Seeding: the same stride-picked vector ids for every
-    // subspace (deterministic, id-ranked).
-    val nRow = corpus.agg(count(lit(1)).as("__n"))
-    val seedIds = corpus.crossJoin(broadcast(nRow))
-      .filter(pmod(col("id"),
-        greatest(ceil(col("__n") / codebookSize).cast("long"), lit(1L))) === 0)
-      .select(col("id"))
-      // BOUNDED global window (emits a "No Partition Defined" warning —
-      // provably benign): the stride filter above keeps ≈codebookSize
-      // seed ids (≤ a few dozen rows), so the single-partition
-      // row_number ranks a handful of rows, never the corpus.
-      .withColumn("code",
-        row_number().over(Window.orderBy(col("id"))) - 1)
-      .filter(col("code") < codebookSize)
-    var books = csubs.join(broadcast(seedIds),
-        col("corpus_id") === col("id"))
-      .select(col("sub"), col("code"),
-        col("sv").cast("array<double>").as("cw"))
-      .localCheckpoint(true)
+    // Every plan below embeds the codebook state as ONE nested-array
+    // Literal node (typedlit), NOT per-codeword CreateArray trees — a
+    // m×k×subDim expression forest makes Catalyst's optimizer passes the
+    // bottleneck (measured: 3× the whole gate's runtime). With single-node
+    // literals + higher-order functions the trees stay tiny; the lambda
+    // evaluation is interpreted, but it runs DotProductExpr's eval path —
+    // the same sequential fold, bit-identical scores.
+    def bl(bs: Array[Array[Array[Double]]]): Column =
+      typedlit(bs.map(_.map(_.toSeq).toSeq).toSeq)
+    def dl(ds: Array[Array[Double]]): Column =
+      typedlit(ds.map(_.toSeq).toSeq)
 
-    val wAssign = Window.partitionBy(col("corpus_id"), col("sub"))
-      .orderBy(col("__s").desc, col("code"))
+    // The per-(row, sub) argmax through the native NearestCells kernel
+    // (codes as the "cell ids", codeword norms as the denominators,
+    // divideByRowNorm = false — PQ assignment scores are dot/|cw| only):
+    // max score, NaN greatest, ties → min code; exactly the total order
+    // the previous window sort used.
+    def argmaxCode(vec: Column, s: Int, bs: Array[Array[Array[Double]]],
+        denoms: Array[Array[Double]]): Column = {
+      val local = bs(s).indices.map(c =>
+        (c.toLong, bs(s)(c).toSeq, denoms(s)(c))).toArray
+      element_at(graft.functions.NearestCells(subSlice(vec, s), local, 1,
+        divideByRowNorm = false), 1).cast("int")
+    }
+
+    // Lloyd rounds: one scan + one bounded-group mean agg per round; the
+    // (m × codebookSize × subDim) stat rows (~1k) come back to the driver
+    // to refresh the literal codebooks. Empty cells keep their codeword.
     for (_ <- 1 to iters) {
-      val assigned = csubs.join(broadcast(books), Seq("sub"))
-        .withColumn("__s", dot(col("sv"), col("cw"))
-          / sqrt(dot(col("cw"), col("cw"))))
-        .withColumn("__r", row_number().over(wAssign))
-        .filter(col("__r") === 1)
-        .select(col("sub"), col("code"), col("sv"))
-      val means = assigned
+      val denoms = books.map(_.map(cw => Math.sqrt(dotSeq(cw, cw))))
+      val assigned = corpus.select(
+        posexplode(array((0 until m).map(s =>
+          struct(argmaxCode(col("vec"), s, books, denoms).as("code"),
+            subSlice(col("vec"), s).as("sv"))): _*)))
+        .select(col("pos").as("sub"), col("col.code").as("code"),
+          col("col.sv").as("sv"))
+      val stats = assigned
         .select(col("sub"), col("code"), posexplode(col("sv")))
         .groupBy(col("sub"), col("code"), col("pos"))
         .agg(sum(floor(col("col").cast("double") * CentroidGrid)
             / CentroidGrid).as("s"),
           count(lit(1)).as("cnt"))
-        .groupBy(col("sub"), col("code"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"),
-            (col("s") / col("cnt")).as("mv")))),
-          x => x.getField("mv")).as("mvec"))
-      books = books.join(means, Seq("sub", "code"), "left")
-        .select(col("sub"), col("code"),
-          coalesce(col("mvec"), col("cw")).as("cw"))
-        .localCheckpoint(true)
+        .collect()
+      val next = books.map(_.map(_.clone))
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getDouble(3) / r.getLong(4).toDouble
+      }
+      books = next
     }
-    val codebooks = books.withColumn("cwn2",
-      floor(dot(col("cw"), col("cw")) * CentroidGrid) / CentroidGrid)
 
-    // encode: for each (vector, subspace), the max-dot codeword
-    val codes = csubs.join(broadcast(codebooks), Seq("sub"))
-      .withColumn("__s", dot(col("sv"), col("cw"))
-        / sqrt(col("cwn2")))
-      .withColumn("__r", row_number().over(wAssign))
-      .filter(col("__r") === 1)
-      .select(col("corpus_id"), col("sub"), col("code"), col("cwn2"))
-    val cnorm = codes.groupBy(col("corpus_id"))
-      .agg(sqrt(sum(col("cwn2"))).as("xn"))
+    // Encode denominators use the GRID-QUANTIZED codeword norm (cwn2), as
+    // before; xn = sqrt(Σ_sub cwn2) — addends are exact on the grid, so the
+    // static ascending-sub sum equals the old hash-agg sum bit-for-bit.
+    val cwn2 = books.map(_.map(cw => Math.floor(dotSeq(cw, cw) * G) / G))
+    val encDenoms = cwn2.map(_.map(Math.sqrt))
+    val (bc, cwn2c) = (bl(books), dl(cwn2))
+    val codeCols = (0 until m).map(s =>
+      argmaxCode(col("vec"), s, books, encDenoms).as(s"c$s"))
+    val withCodes = corpus.select(
+      (col("id").as("corpus_id") +: codeCols): _*)
+    val codes = withCodes
+      .withColumn("xn", sqrt((0 until m).map(s =>
+        element_at(element_at(cwn2c, s + 1), col(s"c$s") + 1))
+        .reduce(_ + _)))
+      .select(col("corpus_id"), col("xn"),
+        posexplode(array((0 until m).map(s => col(s"c$s")): _*)))
+      .select(col("corpus_id"), col("xn"),
+        col("pos").as("sub"), col("col").as("code"))
 
-    // ADC tables: dot(q_sub, codeword) for every (query, sub, code)
-    val qsubs = explodeSubs(queries, "query_id")
-    val qnorms = queries.select(col("id").as("query_id"),
-      norm(col("vec")).as("qn"))
-    val table = qsubs.join(qnorms, Seq("query_id"))
-      .join(broadcast(codebooks), Seq("sub"))
-      .select(col("query_id"), col("qn"), col("sub"), col("code"),
-        (floor(dot(col("sv"), col("cw")) * CentroidGrid) / CentroidGrid)
-          .as("pd"))
-    (codes, cnorm, table)
+    // ADC tables: dot(q_sub, codeword) for every (query, sub, code) — all
+    // (sub, code) cells are static, so the table is one scan: per sub, a
+    // transform over that sub's codebook, flattened and exploded.
+    val adcPerSub = (0 until m).map { s =>
+      transform(element_at(bc, s + 1), (cw, c) =>
+        struct(lit(s).as("sub"), c.as("code"),
+          (floor(dot(subSlice(col("vec"), s), cw)
+            * CentroidGrid) / CentroidGrid).as("pd")))
+    }
+    val table = queries.select(col("id").as("query_id"),
+        norm(col("vec")).as("qn"),
+        explode(flatten(array(adcPerSub: _*))).as("e"))
+      .select(col("query_id"), col("qn"),
+        col("e.sub").as("sub"), col("e.code").as("code"),
+        col("e.pd").as("pd"))
+    (codes, table)
   }
 
   /** Shared PQ tail: ADC ranking of the scored pairs + optional exact
-    * rerank. `scored`: (query_id, qn, corpus_id, sd, nparts).
+    * rerank. `scored`: (query_id, qn, corpus_id, xn, sd, nparts).
     */
-  private def pqRank(scored: DataFrame, cnorm: DataFrame,
+  private def pqRank(scored: DataFrame,
       queries: DataFrame, corpus: DataFrame,
       k: Int, m: Int, rerank: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_cos").desc, col("corpus_id"))
     val adcRanked = scored
       .filter(col("nparts") === m && col("query_id") =!= col("corpus_id"))
-      .join(cnorm, Seq("corpus_id"))
       .withColumn("approx_cos", col("sd") / (col("qn") * col("xn")))
       .withColumn("rank", row_number().over(w))
 
@@ -591,15 +745,13 @@ object Similarity {
       else autoCentroids(corpus.count(), cap = 4096)
     val cent = trainCentroids(corpus, k, iters)
       .withColumn("cn", norm(col("cvec")))
-    val scored = corpus
-      .select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
-      .crossJoin(broadcast(cent))
-      .withColumn("__cs", dot(col("vec"), col("cvec")) / (col("nrm") * col("cn")))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("__cs").desc, col("centroid_id"))
-    val assigned = scored.withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
-      .select(col("id"), col("centroid_id"), col("vec"), col("nrm"))
+    // Scan-side assignment under the literal cap (no broadcast nested-loop
+    // join, no per-vector window shuffle); join path beyond it.
+    val side = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
+    val assigned = (localCentroids(cent) match {
+      case Some(l) => cellAssignLocal(side, l, "vec", 1)
+      case None => cellAssignJoin(side, cent, "id", "vec", 1)
+    }).select(col("id"), col("centroid_id"), col("vec"), col("nrm"))
     val dup = assigned.as("a").hint("shuffle_hash").join(assigned.as("b"),
         col("a.centroid_id") === col("b.centroid_id") &&
           col("a.id") < col("b.id"))

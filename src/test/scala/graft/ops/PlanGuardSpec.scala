@@ -89,9 +89,10 @@ class PlanGuardSpec extends SparkSpec {
     "tx14_cms_sketch" -> Seq("BroadcastHashJoin"),
     // KMV sketches: bottom-K per type pre-limits below the exchange
     "q45_kmv_overlap" -> Seq("WindowGroupLimit"),
-    // SemDeDup: centroid assignment broadcasts; the within-cluster pair
-    // join is the hinted shuffled-hash equi-join
-    "sm10_semdedup" -> Seq("ShuffledHashJoin", "BroadcastNestedLoopJoin"),
+    // SemDeDup: centroid assignment is a scan-side projection through the
+    // native NearestCells kernel (no join, no per-vector window exchange);
+    // the within-cluster pair join is the hinted shuffled-hash equi-join
+    "sm10_semdedup" -> Seq("ShuffledHashJoin"),
     // DSIR: log-ratio table + selected-id set broadcast; global top-N is
     // TakeOrdered, never a single-partition window
     "cur11_dsir_sample" -> Seq("BroadcastHashJoin", "TakeOrderedAndProject"),
