@@ -14,13 +14,13 @@ import graft.text.TextFunctions.tokens
   * collapses it to the distinct-word frequency table (O(vocab) rows — the
   * same few hundred thousand rows whether the corpus is 1 GB or 100 TB).
   * Each of the `rounds` merge iterations is a pair-explode + hash-agg over
-  * that small table, a global top-1, and a broadcast-scalar rewrite; per
-  * round the working vocab is `localCheckpoint`ed so the iterative plan
-  * stays O(1) deep (same pattern as [[graft.graph.ConnectedComponents]])
-  * instead of doubling per round. Encoding is scan-side: the learned merge
-  * list (O(rounds) rows) broadcasts to every task and applies as a
-  * left-to-right `replace` fold inside one codegen stage — no shuffle,
-  * no state, embarrassingly parallel over 100 TB.
+  * that small table whose global top-1 row is COLLECTED — the merge list is
+  * O(rounds) driver state, so the per-round vocab rewrite stacks as a lazy
+  * narrow literal-replace over the one checkpointed collapse (one job per
+  * round, nothing rewritten to storage). Encoding is scan-side: the learned
+  * merge list rides in the [[graft.functions.BpeApply]] kernel as reference
+  * objects and applies as a left-to-right `replace` fold inside one codegen
+  * stage — no shuffle, no state, embarrassingly parallel over 100 TB.
   *
   * Cross-engine determinism: every quantity is an integer count; the merge
   * choice tie-breaks (count DESC, pair ASC) on binary string order; and the
@@ -60,26 +60,35 @@ object Bpe {
       .agg(sum(col("freq")).as("cnt"))
 
   /** Train `rounds` merges. Returns (merge table: round | sym_a | sym_b |
-    * pair_cnt, final vocab: sym_str | freq). Runs `rounds` small jobs
-    * eagerly (one per localCheckpoint) at construction time.
+    * pair_cnt, final vocab: sym_str | freq).
+    *
+    * The merge list is O(rounds) rows — bounded DRIVER state — so each
+    * round runs exactly ONE job: the pair-count agg's global top-1 row is
+    * collected (TakeOrdered — deterministic (cnt DESC, a, b) order), and
+    * the vocab rewrite stacks as a LAZY narrow literal-replace projection
+    * on the one checkpointed corpus collapse. Round r's agg re-applies
+    * r−1 literal replaces to the checkpointed vocab scan — O(vocab·r)
+    * narrow work that replaces the former per-round checkpoint+broadcast
+    * pair of jobs (17 actions → rounds+1, and the vocab table is written
+    * once, not `rounds` times).
     */
   def train(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
     var v = vocab(docs).localCheckpoint()
-    val bests = (1 to rounds).map { r =>
-      val best = pairCounts(v)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val b = pairCounts(v)
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-        .localCheckpoint()
-      val search = concat(lit("("), col("a"), lit(")("), col("b"), lit(")"))
-      val target = concat(lit("("), col("a"), col("b"), lit(")"))
-      v = v.crossJoin(broadcast(
-          best.select(search.as("__s"), target.as("__t"))))
-        .select(replace(col("sym_str"), col("__s"), col("__t")).as("sym_str"),
-          col("freq"))
-        .localCheckpoint()
-      best.select(lit(r).as("round"), col("a").as("sym_a"),
-        col("b").as("sym_b"), col("cnt").as("pair_cnt"))
+        .collect()(0)
+      val (a, bb) = (b.getString(0), b.getString(1))
+      merges += ((r, a, bb, b.getLong(2)))
+      v = v.select(
+        replace(col("sym_str"), lit(s"($a)($bb)"), lit(s"($a$bb)"))
+          .as("sym_str"),
+        col("freq"))
     }
-    (bests.reduce(_.union(_)), v)
+    import spark.implicits._
+    (merges.result().toDF("round", "sym_a", "sym_b", "pair_cnt"), v)
   }
 
   /** Encode every document under a learned merge table: doc_id |
@@ -89,20 +98,19 @@ object Bpe {
     * per-doc hash agg.
     */
   def encode(docs: DataFrame, merges: DataFrame): DataFrame = {
-    val ms = merges.agg(array_sort(collect_list(struct(
-      col("round").as("r"),
-      concat(lit("("), col("sym_a"), lit(")("), col("sym_b"), lit(")"))
-        .as("s"),
-      concat(lit("("), col("sym_a"), col("sym_b"), lit(")")).as("t"))))
-      .as("ms"))
+    // The merge list is O(rounds) rows — collect it (bounded metadata) and
+    // apply the replace fold through the native BpeApply kernel: the whole
+    // encode is ONE scan-side projection, no broadcast, no per-token
+    // higher-order-function dispatch.
+    val ms = merges.orderBy(col("round"))
+      .select(col("sym_a"), col("sym_b")).collect()
+      .map(r => (s"(${r.getString(0)})(${r.getString(1)})",
+        s"(${r.getString(0)}${r.getString(1)})"))
     val perDoc = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
-      .select(col("doc_id"), wrapped(col("w")).as("w0"))
-      .crossJoin(broadcast(ms))
       .select(col("doc_id"),
-        expr("aggregate(ms, w0, (acc, m) -> replace(acc, m.s, m.t))")
-          .as("enc"))
+        graft.functions.BpeApply(wrapped(col("w")), ms).as("enc"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_alpha_tokens"),
         sum(length(col("enc")) - length(replace(col("enc"), lit("("))))

@@ -107,10 +107,11 @@ class PlanGuardSpec extends SparkSpec {
     // the term-filtered hit stream; final top-k is TakeOrdered, never a
     // global sort of all scored docs
     "q52_bm25" -> Seq("TakeOrderedAndProject", "BroadcastHashJoin"),
-    // BPE encode: the learned merge list broadcasts to the token scan
-    // (a shuffle here would re-partition the whole corpus against an
-    // O(rounds) artifact)
-    "tx20_bpe_encode" -> Seq("BroadcastNestedLoopJoin")
+    // BPE encode: the learned merge list is O(rounds) driver state applied
+    // by the scan-side BpeApply kernel — the plan must contain NO join at
+    // all between the corpus and the merge artifact (checked below via
+    // mustNot), and the per-doc agg still group-limits nothing corpus-wide
+    "tx20_bpe_encode" -> Seq("HashAggregate")
   )
 
   /** query -> plan fragments that must NOT appear */
@@ -138,7 +139,11 @@ class PlanGuardSpec extends SparkSpec {
       Seq("hashpartitioning(o_custkey", "hashpartitioning(c_custkey"),
     // the cluster-keyed pair join must stay equi — a cartesian fallback
     // would mean SemDeDup degraded to the all-pairs scan it exists to avoid
-    "sm10_semdedup" -> Seq("CartesianProduct")
+    "sm10_semdedup" -> Seq("CartesianProduct"),
+    // BPE encode is scan-side: any join in this plan means the merge
+    // artifact leaked back in as a relation
+    "tx20_bpe_encode" ->
+      Seq("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin")
   )
 
   /** query -> a column of the scanned table that the query does not need;
