@@ -116,7 +116,9 @@ object Bench {
       val km = r(pairs(Similarity.kmeansIvfTopK(q, emb, 5)))
       val pq = r(pairs(Similarity.pqTopK(q, emb, 5, 16, 16)))
       val ivfpq = r(pairs(Similarity.ivfPqTopK(q, emb, 5, 16, 16)))
-      s"""{"ivf":$ivf,"lsh":$lsh,"kmeans":$km,"pq":$pq,"ivfpq":$ivfpq}"""
+      val sq8 = r(pairs(Similarity.sq8TopK(q, emb, 5)))
+      s"""{"ivf":$ivf,"lsh":$lsh,"kmeans":$km,"pq":$pq,"ivfpq":$ivfpq""" +
+        s""","sq8":$sq8}"""
     } catch { case _: Throwable => "{}" }
 
     val budget = 1500

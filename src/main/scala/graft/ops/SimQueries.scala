@@ -180,6 +180,20 @@ object SimQueries {
       graft.sim.IvfStore.topK(s, root,
           emb(s, dir).filter(col("id") < NQueries), K, IvfStoreProbe)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Scalar-quantization (int8) ANN — each float becomes one byte on a
+    // per-dimension affine grid learned from corpus min/max; candidates
+    // rank by the EXACT integer dot of the codes, the top-64 shortlist is
+    // re-scored with exact cosines (sm7's rerank tail). Fully oracled:
+    // quantization is floor of correctly-rounded IEEE arithmetic, so both
+    // engines compute identical codes, identical integer scores, and an
+    // identical shortlist.
+    "sm11_topk_sq8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.sq8TopK(e.filter(col("id") < NQueries), e, K,
+          dim = Dim, rerank = PqRerank)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -431,6 +445,49 @@ object SimQueries {
         FROM scored
       )
       SELECT query_id, corpus_id, cos, rank FROM ranked
+      WHERE rank <= $K ORDER BY query_id, rank""",
+
+    // Full mirror of Similarity.sq8TopK: per-dimension min/max grid,
+    // floor-quantized int8 codes dequantized back to x̂ = mn + q·(mx−mn)/255,
+    // approximate-cosine shortlist over x̂, exact cosine rerank. Every
+    // step is the same sequential IEEE op chain on both engines.
+    "sm11_topk_sq8" -> s"""
+      WITH sq_stats AS (
+        SELECT d, MIN(e.embedding[d]::DOUBLE) AS mn,
+          MAX(e.embedding[d]::DOUBLE) AS mx
+        FROM embeddings e, (SELECT unnest(generate_series(1, $Dim)) AS d)
+        GROUP BY 1
+      ), sq_codes AS (
+        SELECT e.vec_id AS id,
+          list(CASE WHEN s.mx > s.mn THEN
+              s.mn + least(255.0, greatest(0.0,
+                floor((e.embedding[s.d]::DOUBLE - s.mn) * 255.0
+                  / (s.mx - s.mn)))) * (s.mx - s.mn) / 255.0
+            ELSE s.mn END ORDER BY s.d) AS q
+        FROM embeddings e, sq_stats s
+        GROUP BY 1
+      ), cand AS (
+        SELECT query_id, corpus_id FROM (
+          SELECT qq.id AS query_id, cc.id AS corpus_id,
+            ROW_NUMBER() OVER (PARTITION BY qq.id
+                               ORDER BY ${cosSql("qq.q", "cc.q")} DESC,
+                                 cc.id) AS r
+          FROM sq_codes cc, sq_codes qq
+          WHERE qq.id < $NQueries AND cc.id != qq.id
+        ) WHERE r <= $PqRerank
+      ), exact AS (
+        SELECT c.query_id, c.corpus_id,
+          ${cosSql("q.embedding", "e.embedding")} AS cos
+        FROM cand c
+        JOIN embeddings q ON q.vec_id = c.query_id
+        JOIN embeddings e ON e.vec_id = c.corpus_id
+      ), reranked AS (
+        SELECT query_id, corpus_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, corpus_id) AS rank
+        FROM exact
+      )
+      SELECT query_id, corpus_id, cos, rank FROM reranked
       WHERE rank <= $K ORDER BY query_id, rank"""
   )
 

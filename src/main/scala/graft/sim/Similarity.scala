@@ -669,30 +669,91 @@ object Similarity {
       adcRanked.filter(col("rank") <= k)
         .select(col("query_id"), col("corpus_id"),
           col("approx_cos").as("cos"), col("rank"))
-    else {
-      // Exact re-ranking of the ADC top-`rerank` shortlist — the standard
-      // recall recovery for PQ (quantization error reorders the head, but
-      // rarely pushes a true neighbor out of a 64-deep shortlist: measured
-      // recall@5 0.26 → ≥0.8 on the worst-case driver embeddings). Scale
-      // shape: the candidate id set is (queries × rerank) small and
-      // BROADCAST against one more corpus scan — the corpus still never
-      // shuffles, and the exact scoring is O(queries · rerank) dots.
-      val cand = adcRanked.filter(col("rank") <= rerank)
-        .select(col("query_id"), col("corpus_id"))
-      val cvecs = corpus.select(col("id").as("corpus_id"),
-        col("vec").as("cvv"), norm(col("vec")).as("cvn"))
-      val qvecs = queries.select(col("id").as("query_id"),
-        col("vec").as("qvv"), norm(col("vec")).as("qvn"))
-      val rw = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("corpus_id"))
-      cvecs.join(broadcast(cand), Seq("corpus_id"))
-        .join(broadcast(qvecs), Seq("query_id"))
-        .withColumn("cos",
-          dot(col("qvv"), col("cvv")) / (col("qvn") * col("cvn")))
-        .withColumn("rank", row_number().over(rw))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
-    }
+    else
+      // the standard recall recovery for PQ (quantization error reorders
+      // the head, but rarely pushes a true neighbor out of a 64-deep
+      // shortlist: measured recall@5 0.26 → ≥0.8 on the worst-case driver
+      // embeddings)
+      exactRerank(adcRanked.filter(col("rank") <= rerank)
+        .select(col("query_id"), col("corpus_id")), queries, corpus, k)
+  }
+
+  /** Exact re-ranking of an approximate top-`rerank` shortlist. Scale
+    * shape: the candidate id set is (queries × rerank) small and BROADCAST
+    * against one more corpus scan — the corpus never shuffles, and the
+    * exact scoring is O(queries · rerank) dots.
+    */
+  private def exactRerank(cand: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame = {
+    val cvecs = corpus.select(col("id").as("corpus_id"),
+      col("vec").as("cvv"), norm(col("vec")).as("cvn"))
+    val qvecs = queries.select(col("id").as("query_id"),
+      col("vec").as("qvv"), norm(col("vec")).as("qvn"))
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    cvecs.join(broadcast(cand), Seq("corpus_id"))
+      .join(broadcast(qvecs), Seq("query_id"))
+      .withColumn("cos",
+        dot(col("qvv"), col("cvv")) / (col("qvn") * col("cvn")))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+  }
+
+  /** Scalar-quantization (int8) ANN — the OTHER classic memory lever next
+    * to PQ: each float becomes one byte via a per-dimension affine grid
+    * learned from the corpus min/max (2·dim doubles of driver stats — the
+    * SQ state is bounded metadata, like the PQ codebooks). Candidates are
+    * ranked by the cosine of the DEQUANTIZED vectors — reconstructed on
+    * the fly from the byte code and the per-dimension grid (an int8 store
+    * is what scans at scale; the floats never persist) — and the
+    * top-`rerank` shortlist is re-scored with exact cosines. Flat scan
+    * like [[bruteForceTopK]] at 4× less scored state; compose with IVF
+    * cells (the sm8 pattern) for the candidate-restricted variant.
+    *
+    * Deterministic cross-engine: quantization is floor of IEEE
+    * (x−mn)·255/(mx−mn) (sub/mul/div are correctly rounded, floor exact),
+    * clamped to [0,255]; degenerate dimensions (mx = mn) code to 0;
+    * dequantization and the cosine folds are the same sequential IEEE op
+    * chains on both engines; both rankings tie-break on corpus id.
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int = 64, rerank: Int = 64): DataFrame = {
+    val stats = corpus.select(posexplode(col("vec")))
+      .groupBy(col("pos"))
+      .agg(min(col("col").cast("double")).as("mn"),
+        max(col("col").cast("double")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mnLit = typedlit(stats.map(_._2).toSeq)
+    val mxLit = typedlit(stats.map(_._3).toSeq)
+    // quantize-then-dequantize in one projection: x̂ = mn + q·(mx−mn)/255
+    def dequant(vec: Column): Column =
+      transform(vec, (x, i) => {
+        val mn = element_at(mnLit, i + 1)
+        val mx = element_at(mxLit, i + 1)
+        val q = least(lit(255L), greatest(lit(0L),
+          floor((x.cast("double") - mn) * 255.0 / (mx - mn))))
+        when(mx > mn, mn + q.cast("double") * (mx - mn) / 255.0)
+          .otherwise(mn)
+      })
+
+    val qq = queries.select(col("id").as("query_id"),
+      dequant(col("vec")).as("qh"))
+      .withColumn("qhn", norm(col("qh")))
+    val cc = corpus.select(col("id").as("corpus_id"),
+      dequant(col("vec")).as("ch"))
+      .withColumn("chn", norm(col("ch")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("corpus_id"))
+    val cand = cc.crossJoin(broadcast(qq))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("approx_cos",
+        dot(col("qh"), col("ch")) / (col("qhn") * col("chn")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= rerank)
+      .select(col("query_id"), col("corpus_id"))
+    exactRerank(cand, queries, corpus, k)
   }
 
   /** All corpus pairs with cosine >= tau, via LSH buckets (near-duplicate

@@ -192,5 +192,11 @@ class SimilaritySpec extends SparkSpec {
       codebookSize = 16))
     val ipRecall = (ivfpq & bf).size.toDouble / bf.size
     assert(ipRecall >= 0.5, s"IVF-PQ default recall regressed: $ipRecall")
+    // int8 scalar quantization + exact rerank: 8 bits/dim preserves the
+    // dot-product head far better than 16 PQ codes, so the 64-deep
+    // shortlist should recover nearly all true neighbors
+    val sq8 = pairs(Similarity.sq8TopK(q, emb, 5))
+    val sqRecall = (sq8 & bf).size.toDouble / bf.size
+    assert(sqRecall >= 0.8, s"SQ8 reranked recall regressed: $sqRecall")
   }
 }
