@@ -818,6 +818,26 @@ object AdvancedQueries {
         .orderBy(col("pr").desc, col("id")).limit(50)
     }),
 
+    // The WITH RECURSIVE workload: per-customer ancestor-chain rollup
+    // over the id-halving forest (parent = custkey div 2, root = 1) —
+    // chain length and chain balance in integer cents. Spark has no
+    // recursive CTE; graph/Hierarchy evaluates it by pointer doubling in
+    // ⌈log₂ depth⌉ self-joins (5 rounds cover ids < 2³²) while the oracle
+    // runs DuckDB's native WITH RECURSIVE. Long-cents sums make splice
+    // order irrelevant in both engines.
+    "q54_hierarchy_rollup" -> ((s, dir) => {
+      val nodes = Tables(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("id"),
+        when(col("c_custkey") >= 2,
+          expr("CAST(c_custkey AS BIGINT) div 2")).as("parent"),
+        (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
+          .as("weight"))
+      graft.graph.Hierarchy.chainAgg(nodes, rounds = 5)
+        .select(col("id").as("c_custkey"), col("chain_len"),
+          col("chain_sum").as("chain_cents"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Bloom-index point lookup on a SECONDARY column of the clustered
     // events table: zone maps serve the ts clustering column, the
     // manifest-resident per-segment blooms serve user_id — the lookup
@@ -1699,6 +1719,22 @@ object AdvancedQueries {
     // DuckDB parses bare decimals as DECIMAL, so every rank constant is
     // cast ::DOUBLE to reproduce Spark's binary-double arithmetic exactly.
     "q43_pagerank" -> pageRankSql,
+
+    // DuckDB's NATIVE recursive CTE — the engine-independent definition of
+    // the chain rollup the pointer-doubling operator computes.
+    "q54_hierarchy_rollup" -> """
+      WITH RECURSIVE anc AS (
+        SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+          CAST(c_custkey AS BIGINT) AS a
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, a // 2 FROM anc WHERE a >= 2
+      )
+      SELECT anc.c_custkey, CAST(COUNT(*) AS BIGINT) AS chain_len,
+        CAST(SUM(CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+          AS BIGINT) AS chain_cents
+      FROM anc JOIN customer c ON CAST(c.c_custkey AS BIGINT) = anc.a
+      GROUP BY 1 ORDER BY 1""",
 
     // Same deletion-neighborhood candidate join; DuckDB's levenshtein is
     // the same classic DP distance as Spark's.
