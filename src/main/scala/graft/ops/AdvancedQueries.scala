@@ -416,6 +416,38 @@ object AdvancedQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Per-group OLS regression + Pearson correlation from EXACT decimal
+    // sums (Σx, Σy, Σxy, Σx², Σy²) — the regr_slope/regr_intercept/corr
+    // family, but order-free under any partitioning (Spark's native corr
+    // streams doubles, so its parallel merge order could diverge from a
+    // sequential oracle). The double math happens once, after the exact
+    // sums, in the same operation order as the oracle.
+    "q55_group_regression" -> ((s, dir) => {
+      val x = col("l_quantity").cast(DecimalType(18, 2))
+      val y = col("l_extendedprice").cast(DecimalType(18, 2))
+      val sums = Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum((x * y).cast(DecimalType(38, 4))).cast("double").as("sxy"),
+          sum((x * x).cast(DecimalType(38, 4))).cast("double").as("sx2"),
+          sum((y * y).cast(DecimalType(38, 4))).cast("double").as("sy2"))
+      sums
+        .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+          ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sx2") - col("sx") * col("sx"))).as("slope"),
+          ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("n") * col("sx2") - col("sx") * col("sx"))
+              * sqrt(col("n") * col("sy2") - col("sy") * col("sy"))))
+            .as("corr_xy"))
+        .select(col("l_returnflag"), col("n"), col("slope"),
+          ((col("sy") - col("slope") * col("sx")) / col("n"))
+            .as("intercept"),
+          col("corr_xy"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Correlated LATERAL subquery with per-group LIMIT (top-2 customers by
     // balance per nation) through the SQL front-end.
     "q24_lateral_topn" -> ((s, dir) => {
@@ -1448,6 +1480,37 @@ object AdvancedQueries {
         (s2 - s1 * s1 / n) / (n - 1) AS variance,
         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev
       FROM sums ORDER BY o_orderstatus""",
+
+    // Same exact-decimal-sums chain; VARCHAR round-trip on the decimal →
+    // double casts reproduces Spark's conversion past 2^53 (the q25 trick).
+    "q55_group_regression" -> """
+      WITH sums AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+            AS DOUBLE) AS sx,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+            AS DOUBLE) AS sy,
+          CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+            * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS VARCHAR) AS DOUBLE) AS sxy,
+          CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+            * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS VARCHAR) AS DOUBLE) AS sx2,
+          CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS VARCHAR) AS DOUBLE) AS sy2
+        FROM lineitem GROUP BY l_returnflag
+      ), fit AS (
+        SELECT l_returnflag, n, sx, sy,
+          (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS slope,
+          (n * sxy - sx * sy)
+            / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy))
+            AS corr_xy
+        FROM sums
+      )
+      SELECT l_returnflag, n, slope,
+        (sy - slope * sx) / n AS intercept, corr_xy
+      FROM fit ORDER BY l_returnflag""",
 
     "q24_lateral_topn" -> """
       SELECT n.n_name, t.c_custkey, t.c_acctbal
