@@ -194,12 +194,13 @@ class PlanGuardSpec extends SparkSpec {
     // cdc_scd2_skew_fallback roots on RangeLead's RDD path (the hot-key
     // fallback is deliberately non-declarative); q43_pagerank and
     // q50_triangles localCheckpoint their symmetrized/deduped edge lists
-    // before iterating; tx19_bpe_merges is a union of the per-round
-    // checkpointed best-pair rows — all these plans root on a LogicalRDD
-    // scan with no file-scan metadata line to check.
+    // before iterating; tx19_bpe_merges materializes the collected
+    // per-round merge rows; q54_hierarchy_rollup's pointer-doubling state
+    // is localCheckpointed per round — all these plans root on a
+    // LogicalRDD scan with no file-scan metadata line to check.
     val rddRooted =
       Set("cdc_scd2_skew_fallback", "q43_pagerank", "q50_triangles",
-        "tx19_bpe_merges")
+        "tx19_bpe_merges", "q54_hierarchy_rollup")
     (SparkEntry.queries.keySet -- rddRooted).toSeq.sorted.foreach { name =>
       assert(plan(name).contains("PushedFilters: ["),
         s"$name scan lost pushdown metadata")
