@@ -448,6 +448,20 @@ object AdvancedQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // STANDING regression-sums store, driver-gated: per-returnflag OLS
+    // sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² as exact decimals)
+    // maintained across two manifest-committed merges (even l_orderkeys,
+    // then odd, exactly-once txn ids). Decimal addition is lossless, so
+    // the incrementally-built store's fit is BIT-IDENTICAL to the
+    // one-shot q55 aggregation — which is what the oracle recomputes.
+    "ev7_stream_regression_store" -> ((s, dir) => {
+      val root = graft.streaming.RegressionStore
+        .materializedLineitemRegDir(s, dir)
+      graft.streaming.RegressionStore.fit(s, root)
+        .withColumnRenamed("group", "l_returnflag")
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Correlated LATERAL subquery with per-group LIMIT (top-2 customers by
     // balance per nation) through the SQL front-end.
     "q24_lateral_topn" -> ((s, dir) => {
@@ -1480,6 +1494,37 @@ object AdvancedQueries {
         (s2 - s1 * s1 / n) / (n - 1) AS variance,
         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev
       FROM sums ORDER BY o_orderstatus""",
+
+    // The incrementally-merged store is decimal-lossless, so its oracle
+    // is the one-shot q55 recompute verbatim.
+    "ev7_stream_regression_store" -> """
+      WITH sums AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+            AS DOUBLE) AS sx,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+            AS DOUBLE) AS sy,
+          CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+            * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS VARCHAR) AS DOUBLE) AS sxy,
+          CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+            * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS VARCHAR) AS DOUBLE) AS sx2,
+          CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+            AS VARCHAR) AS DOUBLE) AS sy2
+        FROM lineitem GROUP BY l_returnflag
+      ), fit AS (
+        SELECT l_returnflag, n, sx, sy,
+          (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS slope,
+          (n * sxy - sx * sy)
+            / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy))
+            AS corr_xy
+        FROM sums
+      )
+      SELECT l_returnflag, n, slope,
+        (sy - slope * sx) / n AS intercept, corr_xy
+      FROM fit ORDER BY l_returnflag""",
 
     // Same exact-decimal-sums chain; VARCHAR round-trip on the decimal →
     // double casts reproduces Spark's conversion past 2^53 (the q25 trick).
