@@ -122,14 +122,14 @@ object IvfStore {
     */
   private def assign(batch: DataFrame, centroids: DataFrame): DataFrame = {
     val ct = centroids.withColumn("cn", Similarity.norm(col("cvec")))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("__cs").desc, col("centroid_id"))
-    batch.crossJoin(broadcast(ct))
-      .withColumn("__cs", Similarity.dot(col("vec"), col("cvec"))
-        / (Similarity.norm(col("vec")) * col("cn")))
-      .withColumn("__cr", row_number().over(w))
-      .filter(col("__cr") === 1)
-      .select(col("id"), col("vec"), col("centroid_id").as("__cell"))
+    val side = batch.select(col("id"), col("vec"))
+    // scan-side NearestCells kernel under the literal cap (no broadcast
+    // join, no per-vector window exchange on the ingest path); join twin
+    // above it — same bits either way (see Similarity.cellAssignLocal)
+    (Similarity.localCentroids(ct) match {
+      case Some(l) => Similarity.cellAssignLocal(side, l, "vec", 1)
+      case None => Similarity.cellAssignJoin(side, ct, "id", "vec", 1)
+    }).select(col("id"), col("vec"), col("centroid_id").as("__cell"))
   }
 
   /** Approximate top-k against the standing index. The probed-cell set is
@@ -146,16 +146,11 @@ object IvfStore {
     val ct = centroidsOf(spark, root, snap)
       .withColumn("cn", Similarity.norm(col("cvec")))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("__cs").desc, col("centroid_id"))
-    val queryCells = queries
-      .select(col("id").as("query_id"), col("vec").as("qv"))
-      .crossJoin(broadcast(ct))
-      .withColumn("__cs", Similarity.dot(col("qv"), col("cvec"))
-        / (Similarity.norm(col("qv")) * col("cn")))
-      .withColumn("__cr", row_number().over(w))
-      .filter(col("__cr") <= p)
-      .select(col("query_id"), col("qv"), col("centroid_id"))
+    val qside = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val queryCells = (Similarity.localCentroids(ct) match {
+      case Some(l) => Similarity.cellAssignLocal(qside, l, "qv", p)
+      case None => Similarity.cellAssignJoin(qside, ct, "query_id", "qv", p)
+    }).select(col("query_id"), col("qv"), col("centroid_id"))
 
     val probed = queryCells.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0))

@@ -209,7 +209,7 @@ object Similarity {
     * the truncated rows are discarded, so nondeterministic limit order
     * can never leak into results.)
     */
-  private def localCentroids(centroids: DataFrame)
+  private[sim] def localCentroids(centroids: DataFrame)
       : Option[Array[(Long, Seq[Double], Double)]] = {
     val rows = centroids
       .select(col("centroid_id"), col("cvec").cast("array<double>"),
@@ -228,7 +228,7 @@ object Similarity {
     * formulation paid ~µs of lambda/boxing overhead per (row, centroid) —
     * it dominated the 256-cell gates).
     */
-  private def cellAssignLocal(side: DataFrame,
+  private[sim] def cellAssignLocal(side: DataFrame,
       local: Array[(Long, Seq[Double], Double)],
       vecAs: String, probes: Int): DataFrame = {
     val cells = graft.functions.NearestCells(col(vecAs), local, probes)
@@ -243,7 +243,7 @@ object Similarity {
     * exchange for the argmax — only used when the quantizer is too big to
     * ride in the plan).
     */
-  private def cellAssignJoin(side: DataFrame, centroids: DataFrame,
+  private[sim] def cellAssignJoin(side: DataFrame, centroids: DataFrame,
       idAs: String, vecAs: String, probes: Int): DataFrame = {
     val scored = side.crossJoin(broadcast(centroids))
       .withColumn("__cs", dot(col(vecAs), col("cvec"))
