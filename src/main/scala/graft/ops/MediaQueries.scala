@@ -55,6 +55,30 @@ object MediaQueries {
       Media.sampleFramePixels(Media.mediaTable(s, dir), step = 4)
         .toDF().orderBy(col("media_id"), col("frame_idx"))),
 
+    // SCENE-CUT detection over the real multi-frame decode: every frame's
+    // probe luminance (gray frames: packed RGB / 65793), LAG delta per
+    // video, cut = |Δ| > 128 — the frame-segmentation pass a video
+    // curation pipeline runs before sampling. Decode is mapPartitions
+    // (bytes never shuffle); the per-video window partitions on media_id
+    // (frames-per-video bounded). Integer-only arithmetic; the oracle
+    // recomputes luminance from the deterministic generator formula.
+    "mm8_scene_cuts" -> ((s, dir) => {
+      val frames = Media.sampleFramePixels(Media.mediaTable(s, dir),
+        step = 1).toDF()
+        .select(col("media_id"), col("frame_idx"),
+          (col("px00") / 65793).cast("long").as("gray"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+      frames
+        .withColumn("delta", abs(col("gray") - lag(col("gray"), 1).over(w)))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("delta") > 128, 1L).otherwise(0L)).as("n_cuts"),
+          coalesce(min(when(col("delta") > 128,
+            col("frame_idx").cast("long"))), lit(-1L)).as("first_cut"))
+        .orderBy(col("media_id"))
+    }),
+
     // Windowed audio features off the REAL WAV decode: 64-sample RMS
     // energy + zero-crossing counts per window — integer sums + one
     // division + one sqrt, so bit-exact cross-engine with no grid.
@@ -156,6 +180,26 @@ object MediaQueries {
           unnest(range(0, n_frames, 4)) AS frame_idx
         FROM g WHERE kind = 'video'
       ) ORDER BY media_id, frame_idx""",
+
+    // Frame luminance from the generator formula ((seed + 7f) % 256), LAG
+    // delta per video, cut = |Δ| > 128 — mirrors the real-decode pipeline.
+    "mm8_scene_cuts" -> s"""
+      $featuresCte
+      , fr AS (
+        SELECT media_id, unnest(range(0, n_frames)) AS f,
+          (seed + 7 * unnest(range(0, n_frames))) % 256 AS gray
+        FROM g WHERE kind = 'video'
+      ), d AS (
+        SELECT media_id, f,
+          abs(gray - LAG(gray) OVER (PARTITION BY media_id ORDER BY f))
+            AS delta
+        FROM fr
+      )
+      SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        CAST(SUM(CASE WHEN delta > 128 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_cuts,
+        COALESCE(MIN(CASE WHEN delta > 128 THEN f END), -1) AS first_cut
+      FROM d GROUP BY media_id ORDER BY media_id""",
 
     // Sampled-grid aHash from the pixel formula: gray(x,y) =
     // ((seed+x)%256) + ((seed+y)%256) + ((seed+x+y)%256) at block centers
