@@ -602,6 +602,31 @@ object AdvancedQueries {
     // outputs are already hash-partitioned by the join key, so the
     // step-over-step joins add no extra exchange on the accumulating
     // (one-row-per-user) side, and nothing ever collects event lists.
+    // First-order MARKOV transition matrix over per-user event sequences
+    // (the behavioral-sequence summary a recommendation/curation pipeline
+    // builds): LEAD over (ts, event_id) within each user, transition
+    // counts, and row-normalized probabilities. One window exchange keyed
+    // by user (bounded per-user sequences) + one O(types²) agg; the
+    // probability is a single integer-count division — bit-exact
+    // cross-engine, no grid.
+    "q56_markov_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+      val totals = trans.groupBy(col("event_type"))
+        .agg(sum(col("n_transitions")).as("total"))
+      trans.join(broadcast(totals), Seq("event_type"))
+        .select(col("event_type"), col("next_type"), col("n_transitions"),
+          (col("n_transitions").cast("double") / col("total")).as("prob"))
+        .orderBy(col("event_type"), col("next_type"))
+    }),
+
     "q37_funnel" -> ((s, dir) => {
       val ev = Tables(s, dir, "events")
         .select(col("user_id"), col("event_type"), col("ts"))
@@ -1642,6 +1667,26 @@ object AdvancedQueries {
           ORDER BY o_orderpriority, o_orderkey) AS prios
       FROM orders WHERE o_orderkey <= 200
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q56_markov_transitions" -> """
+      WITH seq AS (
+        SELECT event_type,
+          LEAD(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS next_type
+        FROM events
+      ), trans AS (
+        SELECT event_type, next_type,
+          CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+      ), totals AS (
+        SELECT event_type, CAST(SUM(n_transitions) AS BIGINT) AS total
+        FROM trans GROUP BY 1
+      )
+      SELECT t.event_type, t.next_type, t.n_transitions,
+        t.n_transitions::DOUBLE / tot.total AS prob
+      FROM trans t JOIN totals tot USING (event_type)
+      ORDER BY t.event_type, t.next_type""",
 
     "q37_funnel" -> """
       WITH ta AS (
