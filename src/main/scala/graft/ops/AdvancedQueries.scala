@@ -448,6 +448,22 @@ object AdvancedQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // SESSION-window aggregation as a REAL Structured-Streaming run:
+    // Spark's native session_window merges per-user sessions across
+    // micro-batch boundaries (8 range-split chunks, 2 files/trigger);
+    // a new session starts when the inter-event gap is ≥ 30 min — the
+    // gaps-and-islands grouping the oracle recomputes relationally.
+    "ev8_stream_sessions" -> ((s, dir) => {
+      val store = graft.streaming.SessionWindowStream
+        .materializedSessionsDir(s, dir)
+      s.read.parquet(store)
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_last").cast("timestamp_ntz").as("session_last"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // STANDING regression-sums store, driver-gated: per-returnflag OLS
     // sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² as exact decimals)
     // maintained across two manifest-committed merges (even l_orderkeys,
@@ -1519,6 +1535,25 @@ object AdvancedQueries {
         (s2 - s1 * s1 / n) / (n - 1) AS variance,
         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev
       FROM sums ORDER BY o_orderstatus""",
+
+    // Gaps-and-islands recompute of the streamed session table: break at
+    // inter-event gap ≥ 30 min, cumulative-sum session ids, bounds + count.
+    "ev8_stream_sessions" -> """
+      WITH seq AS (
+        SELECT user_id, ts,
+          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+            >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        FROM events
+      ), ses AS (
+        SELECT user_id, ts,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+        FROM seq
+      )
+      SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_last,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM ses GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
 
     // The incrementally-merged store is decimal-lossless, so its oracle
     // is the one-shot q55 recompute verbatim.
