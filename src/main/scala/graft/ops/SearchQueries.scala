@@ -120,6 +120,25 @@ object SearchQueries {
       PostingStore.topK(s, root, Terms, TopK)
     }),
 
+    // PHRASE search — the positional match bag-of-words BM25 can't
+    // express: count adjacent ("table","scan") token pairs per document.
+    // A per-document function, so it is SCAN-SIDE by design (zip the
+    // token array with its own shift, filter, size): one TakeOrdered
+    // top-k over per-row counts — zero shuffles of anything corpus-sized,
+    // no posting join. The oracle recomputes the same shifted-zip match.
+    "tx22_phrase_search" -> ((s, dir) => {
+      val t = graft.text.TextFunctions.tokens(col("text"))
+      val pairHits = size(filter(
+        zip_with(slice(t, lit(1), size(t) - 1),
+          slice(t, lit(2), size(t) - 1),
+          (a, b) => a === "table" && b === "scan"),
+        x => x))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), pairHits.cast("long").as("n_matches"))
+        .filter(col("n_matches") > 0)
+        .orderBy(col("n_matches").desc, col("doc_id")).limit(TopK)
+    }),
+
     // Tokenize→pack: the end-to-end budget-accurate packing pass — per-doc
     // subword piece counts from the TRAINED tokenizer (not whitespace
     // counts) feed the distributed prefix-sum packer, so context windows
@@ -177,6 +196,18 @@ object SearchQueries {
 
     // ... and so must the stream-maintained index.
     "ev6_stream_bm25_index" -> Bm25Oracle,
+
+    // Shifted-zip adjacent-pair match, mirroring the scan-side count.
+    "tx22_phrase_search" -> s"""
+      WITH m AS (
+        SELECT doc_id,
+          CAST(len(list_filter(
+            list_zip(($T)[1:len($T) - 1], ($T)[2:len($T)]),
+            x -> x[1] = 'table' AND x[2] = 'scan')) AS BIGINT) AS n_matches
+        FROM documents
+      )
+      SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+      ORDER BY n_matches DESC, doc_id LIMIT $TopK""",
 
     "tx19_bpe_merges" -> Bpe.mergesOracle(BpeRounds),
 
