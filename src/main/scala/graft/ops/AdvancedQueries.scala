@@ -905,6 +905,22 @@ object AdvancedQueries {
         .orderBy(col("pr").desc, col("id")).limit(50)
     }),
 
+    // Label-propagation communities over the same purchase graph as q43:
+    // two synchronous rounds of most-frequent-neighbor-label (count desc,
+    // label asc tie-break — a shuffle-free max(struct) argmax, no window).
+    // Deterministic by construction; the oracle unrolls both rounds.
+    "q57_label_propagation" -> ((s, dir) => {
+      val edges = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      graft.graph.LabelPropagation.propagate(edges, rounds = 2)
+        .orderBy(col("id"))
+    }),
+
     // The WITH RECURSIVE workload: per-customer ancestor-chain rollup
     // over the id-halving forest (parent = custkey div 2, root = 1) —
     // chain length and chain balance in integer cents. Spark has no
@@ -1907,6 +1923,39 @@ object AdvancedQueries {
     // DuckDB parses bare decimals as DECIMAL, so every rank constant is
     // cast ::DOUBLE to reproduce Spark's binary-double arithmetic exactly.
     "q43_pagerank" -> pageRankSql,
+
+    // Two unrolled synchronous LPA rounds over the q43 edge derivation;
+    // per-node argmax as ROW_NUMBER (count desc, label asc).
+    "q57_label_propagation" -> """
+      WITH e0 AS (
+        SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      ), und AS (
+        SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+      ), l0 AS (
+        SELECT DISTINCT src AS id, src AS label FROM und
+      ), cnt1 AS (
+        SELECT u.src AS id, l.label, COUNT(*) AS c
+        FROM und u JOIN l0 l ON u.dst = l.id GROUP BY 1, 2
+      ), r1 AS (
+        SELECT id, label FROM (
+          SELECT id, label,
+            ROW_NUMBER() OVER (PARTITION BY id
+                               ORDER BY c DESC, label) AS rn
+          FROM cnt1
+        ) WHERE rn = 1
+      ), cnt2 AS (
+        SELECT u.src AS id, l.label, COUNT(*) AS c
+        FROM und u JOIN r1 l ON u.dst = l.id GROUP BY 1, 2
+      ), r2 AS (
+        SELECT id, label FROM (
+          SELECT id, label,
+            ROW_NUMBER() OVER (PARTITION BY id
+                               ORDER BY c DESC, label) AS rn
+          FROM cnt2
+        ) WHERE rn = 1
+      )
+      SELECT id, label FROM r2 ORDER BY id""",
 
     // DuckDB's NATIVE recursive CTE — the engine-independent definition of
     // the chain rollup the pointer-doubling operator computes.
