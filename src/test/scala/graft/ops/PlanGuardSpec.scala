@@ -200,7 +200,7 @@ class PlanGuardSpec extends SparkSpec {
     // LogicalRDD scan with no file-scan metadata line to check.
     val rddRooted =
       Set("cdc_scd2_skew_fallback", "q43_pagerank", "q50_triangles",
-        "tx19_bpe_merges", "q54_hierarchy_rollup")
+        "tx19_bpe_merges", "q54_hierarchy_rollup", "q57_label_propagation")
     (SparkEntry.queries.keySet -- rddRooted).toSeq.sorted.foreach { name =>
       assert(plan(name).contains("PushedFilters: ["),
         s"$name scan lost pushdown metadata")
