@@ -26,6 +26,35 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(df((0L, 2L)) - math.sqrt(0.5)) < 1e-12)
   }
 
+  test("literal and join cell-assignment paths agree (incl. above the cap)") {
+    // synthetic 1300-cell quantizer: ABOVE LiteralCentroidCap, so the
+    // public API would take the join path — this pins the two paths to
+    // identical assignments (same scores, same NaN/tie order) for both
+    // probes=1 and the multi-probe explode, on the same data.
+    val dim = 8
+    def v(seed: Long): Seq[Double] =
+      Seq.tabulate(dim)(j => ((seed * 31 + j * 17) % 13).toDouble - 6.0)
+    val cents = (0L until 1300L).map(i => (i, v(i),
+      Math.sqrt(v(i).map(x => x * x).sum))).toDF("centroid_id", "cvec", "cn")
+    val side = (0L until 90L).map(i => (i, v(i * 7 + 3).map(_.toFloat)))
+      .toDF("id", "vec")
+    val local = cents.select(col("centroid_id"),
+        col("cvec").cast("array<double>"), col("cn").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    for (probes <- Seq(1, 5)) {
+      val viaLocal = Similarity.cellAssignLocal(side, local, "vec", probes)
+        .select(col("id"), col("centroid_id"))
+        .as[(Long, Long)].collect().toSet
+      val viaJoin = Similarity.cellAssignJoin(side, cents, "id", "vec", probes)
+        .select(col("id"), col("centroid_id"))
+        .as[(Long, Long)].collect().toSet
+      assert(viaLocal == viaJoin, s"probes=$probes diverged")
+      assert(viaLocal.size == 90 * probes)
+    }
+  }
+
   test("bruteForceTopK ranks by cosine desc with id tie-break") {
     val out = Similarity.bruteForceTopK(vecs.filter(col("id") === 0), vecs, 3)
       .select("corpus_id", "rank").as[(Long, Int)].collect().toSeq.sortBy(_._2)
