@@ -15,6 +15,28 @@ class BpeSpec extends SparkSpec {
     (2L, "newest newest")
   ).toDF("doc_id", "text")
 
+  test("BpeApply kernel == chained SQL replaces on fuzzed inputs") {
+    // the kernel claims bit-identity with a fold of the SQL `replace` —
+    // pin it on 200 random wrapped words × 6 random merges, including
+    // overlapping/repeated-symbol cases the real trainer can produce
+    val rnd = new scala.util.Random(7)
+    val syms = Seq("a", "b", "c", "ab", "bc", "_")
+    val merges = Array.fill(6) {
+      val x = syms(rnd.nextInt(syms.size)); val y = syms(rnd.nextInt(syms.size))
+      (s"($x)($y)", s"($x$y)")
+    }
+    val words = Seq.fill(200)(
+      Seq.fill(rnd.nextInt(8) + 1)(syms(rnd.nextInt(syms.size)))
+        .map(s => s"($s)").mkString).toDF("w")
+    val chained = merges.foldLeft(col("w")) { case (acc, (s, t)) =>
+      replace(acc, lit(s), lit(t)) }
+    val diff = words.select(
+        graft.functions.BpeApply(col("w"), merges).as("k"),
+        chained.as("c"))
+      .filter(col("k") =!= col("c")).count()
+    assert(diff == 0L)
+  }
+
   test("learns hand-computable merges with frequency-weighted counts") {
     val (merges, _) = Bpe.train(docs, 3)
     val rows = merges.orderBy(col("round"))
