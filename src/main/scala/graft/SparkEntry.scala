@@ -21,12 +21,14 @@ object SparkEntry {
       ops.TextQueries.queries ++ ops.DedupQueries.queries ++
       ops.SimQueries.queries ++ ops.MediaQueries.queries ++
       ops.AdvancedQueries.queries ++ ops.CorpusQueries.queries ++
-      ops.DecontamQueries.queries ++ ops.SearchQueries.queries
+      ops.DecontamQueries.queries ++ ops.SearchQueries.queries ++
+      ops.LearnedQueries.queries
 
   def oracleSql: Map[String, String] =
     ops.CdcQueries.oracleSql ++ ops.RelationalQueries.oracleSql ++
       ops.TextQueries.oracleSql ++ ops.DedupQueries.oracleSql ++
       ops.SimQueries.oracleSql ++ ops.MediaQueries.oracleSql ++
       ops.AdvancedQueries.oracleSql ++ ops.CorpusQueries.oracleSql ++
-      ops.DecontamQueries.oracleSql ++ ops.SearchQueries.oracleSql
+      ops.DecontamQueries.oracleSql ++ ops.SearchQueries.oracleSql ++
+      ops.LearnedQueries.oracleSql
 }

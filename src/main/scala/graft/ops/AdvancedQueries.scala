@@ -1205,6 +1205,32 @@ object AdvancedQueries {
           countDistinct(col("user_id")).as("n_users"),
           min(col("value")).as("vmin"), max(col("value")).as("vmax"))
         .orderBy(col("event_type"))
+    }),
+
+    // Trailing-7-day distinct active users per day — the windowed
+    // COUNT(DISTINCT) no window function can express (distinct doesn't
+    // decompose over frames). Scale shape: the fact table collapses to
+    // day-grain (user, day) pairs FIRST (one hash agg over the scan), each
+    // pair is then exploded to the ≤7 window-ends it is visible to (a
+    // bounded ×7 blowup of the PRE-AGG, never of raw events), and a second
+    // distinct + count gives the rolling cardinality. Pure hash exchanges
+    // throughout — no range join, no per-day corpus rescan; the oracle
+    // derives the same numbers through an INDEPENDENT range-join
+    // formulation.
+    "q58_rolling_active_users" -> ((s, dir) => {
+      val ud = Tables(s, dir, "events")
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val days = ud.select(col("d")).distinct()
+      val contrib = ud
+        .select(col("user_id"),
+          explode(sequence(col("d"), date_add(col("d"), 6))).as("win_end"))
+        .distinct()
+      val counts = contrib.groupBy(col("win_end"))
+        .agg(count(lit(1)).as("n_active_7d"))
+      days.join(counts, days("d") === counts("win_end"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("n_active_7d"))
+        .orderBy(col("day"))
     })
   )
 
@@ -2186,6 +2212,20 @@ object AdvancedQueries {
       FROM events
       WHERE user_id >= 3 AND user_id <= 40
         AND value >= 20.0 AND value <= 150.0
-      GROUP BY 1 ORDER BY 1"""
+      GROUP BY 1 ORDER BY 1""",
+
+    // Independent derivation on purpose: the oracle counts distinct users
+    // through a 7-day range join, the Spark plan through pre-agg +
+    // window-end explosion — matching integer counts check the REWRITE,
+    // not just the arithmetic.
+    "q58_rolling_active_users" -> """
+      WITH ud AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+      ), days AS (SELECT DISTINCT d FROM ud)
+      SELECT strftime(days.d, '%Y-%m-%d') AS day,
+        COUNT(DISTINCT ud.user_id) AS n_active_7d
+      FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+      GROUP BY days.d
+      ORDER BY day"""
   )
 }

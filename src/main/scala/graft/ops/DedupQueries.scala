@@ -271,6 +271,38 @@ object DedupQueries {
       labeled.join(sizes, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Canonical-document selection: dedup-before-training keeps ONE doc per
+    // near-dup cluster, and the right one — the highest-QUALITY member, not
+    // the lowest id (crawl order is noise; quality is signal). dd5's
+    // cluster labels + tx2's quality score + one per-cluster
+    // WindowGroupLimit argmax (quality desc, doc_id tie-break). Scale: the
+    // window partitions by cluster_id over the labeled corpus — bounded
+    // per-cluster state, top-1 heaps before the exchange.
+    "cur14_canonical_pick" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.nearDuplicatePairs(docs, "text", "doc_id",
+        JaccardTau, ShingleN, Bands, RowsPerBand)
+      val comp = graft.graph.ConnectedComponents
+        .minLabel(pairs, "id_a", "id_b")
+      val labeled = docs
+        .select(col("doc_id"),
+          graft.text.TextFunctions.qualityScore(col("text")).as("quality"))
+        .join(comp, docs("doc_id") === comp("id"), "left")
+        .select(col("doc_id"), col("quality"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      val sizes = labeled.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labeled.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(sizes, "cluster_id")
+        .select(col("cluster_id"), col("doc_id").as("keep_doc_id"),
+          col("quality").as("keep_quality"), col("cluster_size"))
+        .orderBy(col("cluster_id"))
     })
   )
 
@@ -466,6 +498,38 @@ object DedupQueries {
       FROM comp c JOIN (
         SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1
       ) n USING (cluster_id)
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    // dd5's recursive CC + tx2's quality arithmetic + a per-cluster argmax
+    // — the per-cluster pick is the same (quality DESC, doc_id) order both
+    // engines evaluate on identical doubles.
+    "cur14_canonical_pick" -> s"""
+      ${candCte.replaceFirst("WITH", "WITH RECURSIVE")}, pr AS (
+        SELECT id_a, id_b FROM ($jaccardPairsSql)
+        WHERE jaccard >= $JaccardTau
+      ), sym AS (
+        SELECT id_a AS a, id_b AS b FROM pr
+        UNION ALL SELECT id_b, id_a FROM pr
+      ), reach AS (
+        SELECT doc_id AS id, doc_id AS lab FROM documents
+        UNION
+        SELECT s.b AS id, r.lab FROM reach r JOIN sym s ON s.a = r.id
+      ), comp AS (
+        SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+      ), labeled AS (
+        SELECT d.doc_id, c.cluster_id,
+          ${TextQueries.qualitySql} AS quality
+        FROM documents d JOIN comp c ON c.doc_id = d.doc_id
+      ), sizes AS (
+        SELECT cluster_id, COUNT(*) AS cluster_size FROM labeled GROUP BY 1
+      ), picked AS (
+        SELECT cluster_id, doc_id AS keep_doc_id, quality AS keep_quality,
+          ROW_NUMBER() OVER (PARTITION BY cluster_id
+                             ORDER BY quality DESC, doc_id) AS rn
+        FROM labeled
+      )
+      SELECT p.cluster_id, p.keep_doc_id, p.keep_quality, s.cluster_size
+      FROM picked p JOIN sizes s USING (cluster_id)
+      WHERE rn = 1 ORDER BY cluster_id"""
   )
 }

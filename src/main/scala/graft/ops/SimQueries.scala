@@ -194,6 +194,19 @@ object SimQueries {
       Similarity.sq8TopK(e.filter(col("id") < NQueries), e, K,
           dim = Dim, rerank = PqRerank)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Hard-negative mining — the training-pair construction step of
+    // contrastive/retrieval training: per query vector, the top-k most
+    // similar corpus vectors whose LABEL differs (maximum-loss negatives).
+    // Same broadcast-query / WindowGroupLimit shape as sm1; the label
+    // inequality filters below the score so the corpus is scanned once.
+    "sm12_hard_negatives" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label"))
+      Similarity.hardNegativeTopK(e.filter(col("id") < NQueries), e, K)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -488,7 +501,27 @@ object SimQueries {
         FROM exact
       )
       SELECT query_id, corpus_id, cos, rank FROM reranked
-      WHERE rank <= $K ORDER BY query_id, rank"""
+      WHERE rank <= $K ORDER BY query_id, rank""",
+
+    // sm1's shape with the cross-label restriction — same sequential-fold
+    // cosine, so approximate ranks are bit-identical.
+    "sm12_hard_negatives" -> s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, label AS query_label, embedding AS qv
+        FROM embeddings WHERE vec_id < $NQueries
+      ), scored AS (
+        SELECT query_id, query_label, c.vec_id AS corpus_id,
+          c.label AS neg_label,
+          ${cosSql("qv", "c.embedding")} AS cos
+        FROM embeddings c, q WHERE c.label != q.query_label
+      ), ranked AS (
+        SELECT query_id, query_label, corpus_id, neg_label, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, corpus_id) AS rank
+        FROM scored
+      )
+      SELECT query_id, query_label, corpus_id, neg_label, cos, rank
+      FROM ranked WHERE rank <= $K ORDER BY query_id, rank"""
   )
 
   /** One Lloyd round as CTEs `a<i>`, `m<i>`, `cent<i>` reading centroid CTE

@@ -63,6 +63,34 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most-similar corpus vectors carrying a DIFFERENT label — the
+    * highest-loss negatives a triplet/InfoNCE trainer wants. Same scale
+    * shape as [[bruteForceTopK]] (broadcast query set, corpus scanned once,
+    * WindowGroupLimit bounded top-k); the label inequality is evaluated
+    * BELOW the score so mismatched pairs never rank.
+    *
+    * `queries` and `corpus`: (id, vec, label).
+    */
+  def hardNegativeTopK(queries: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"),
+      col("label").as("query_label"), col("vec").as("qv"),
+      norm(col("vec")).as("qn"))
+    val c = corpus.select(col("id").as("corpus_id"),
+      col("label").as("neg_label"), col("vec").as("cv"),
+      norm(col("vec")).as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neg_label") =!= col("query_label"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("corpus_id"),
+        col("neg_label"), col("cos"), col("rank"))
+  }
+
   /** Auto-sizing for the ANN recall/cost dial. The round-3 measurement
     * behind these (driver embeddings, the unclustered WORST case for ANN):
     * fixed 256 centroids / 2 probes on a 2k corpus gave recall@5 = 0.26 —
