@@ -22,7 +22,7 @@ object SparkEntry {
       ops.SimQueries.queries ++ ops.MediaQueries.queries ++
       ops.AdvancedQueries.queries ++ ops.CorpusQueries.queries ++
       ops.DecontamQueries.queries ++ ops.SearchQueries.queries ++
-      ops.LearnedQueries.queries
+      ops.LearnedQueries.queries ++ ops.AnalyticsQueries.queries
 
   def oracleSql: Map[String, String] =
     ops.CdcQueries.oracleSql ++ ops.RelationalQueries.oracleSql ++
@@ -30,5 +30,5 @@ object SparkEntry {
       ops.SimQueries.oracleSql ++ ops.MediaQueries.oracleSql ++
       ops.AdvancedQueries.oracleSql ++ ops.CorpusQueries.oracleSql ++
       ops.DecontamQueries.oracleSql ++ ops.SearchQueries.oracleSql ++
-      ops.LearnedQueries.oracleSql
+      ops.LearnedQueries.oracleSql ++ ops.AnalyticsQueries.oracleSql
 }
