@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-5 additions: graph distance, time-series gap-fill, exact model
@@ -36,6 +37,40 @@ object AnalyticsQueries {
         .select(col("id").cast("long").as("id"),
           col("dist").cast("long").as("dist"))
         .orderBy(col("id"))
+    }),
+
+    // Time-series resample + forward fill: each user's event stream becomes
+    // a dense daily series from their first active day to the corpus' last
+    // day, carrying the day's closing value forward across gaps. The fill
+    // uses the engine-portable grouped-fill identity (running COUNT of
+    // non-nulls → group id → MAX within group) instead of
+    // last_value IGNORE NULLS, so both engines run the same algebra. The
+    // closing value is picked by max(struct(ts, event_id, value)) — a
+    // map-side-combinable argmax with a total tie-break, no window over
+    // the raw events. Scale shape: one groupBy on (user, day), the spine
+    // is O(users × days) — dense output is the operator's contract — and
+    // the windows partition by user: key-parallel, never global.
+    "q60_gapfill" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events").filter(col("user_id") < 100)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("ts"), col("event_id"), col("value"))
+      val daily = ev.groupBy(col("user_id"), col("day"))
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("day"), col("m.value").as("day_value"))
+      val bounds = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("min_day"))
+      val gmax = daily.agg(max(col("day")).as("max_day"))
+      val spine = bounds.crossJoin(broadcast(gmax))
+        .select(col("user_id"),
+          explode(expr("sequence(min_day, max_day, interval 1 day)")).as("day"))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("grp", count(col("day_value")).over(byUser))
+        .withColumn("value_filled",
+          max(col("day_value")).over(Window.partitionBy(col("user_id"), col("grp"))))
+        .select(col("user_id"),
+          col("day").cast("timestamp_ntz").as("day"), col("value_filled"))
+        .orderBy(col("user_id"), col("day"))
     })
   )
 
@@ -74,6 +109,41 @@ object AnalyticsQueries {
         ) GROUP BY id
       )
       SELECT CAST(id AS BIGINT) AS id, CAST(dist AS BIGINT) AS dist
-      FROM d3 ORDER BY id"""
+      FROM d3 ORDER BY id""",
+
+    "q60_gapfill" -> """
+      WITH ev AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+          ts, event_id, value
+        FROM events WHERE user_id < 100
+      ), daily AS (
+        SELECT user_id, day, value AS day_value FROM (
+          SELECT user_id, day, value,
+            ROW_NUMBER() OVER (PARTITION BY user_id, day
+                               ORDER BY ts DESC, event_id DESC) AS rn
+          FROM ev
+        ) WHERE rn = 1
+      ), bounds AS (
+        SELECT user_id, MIN(day) AS min_day FROM daily GROUP BY 1
+      ), gmax AS (
+        SELECT MAX(day) AS max_day FROM daily
+      ), spine AS (
+        SELECT user_id, CAST(day_ts AS DATE) AS day FROM (
+          SELECT b.user_id,
+            UNNEST(generate_series(CAST(b.min_day AS TIMESTAMP),
+              CAST(g.max_day AS TIMESTAMP), INTERVAL 1 DAY)) AS day_ts
+          FROM bounds b, gmax g
+        )
+      ), j AS (
+        SELECT s.user_id, s.day, d.day_value
+        FROM spine s LEFT JOIN daily d USING (user_id, day)
+      ), f AS (
+        SELECT user_id, day, day_value,
+          COUNT(day_value) OVER (PARTITION BY user_id ORDER BY day) AS grp
+        FROM j
+      )
+      SELECT user_id, CAST(day AS TIMESTAMP) AS day,
+        MAX(day_value) OVER (PARTITION BY user_id, grp) AS value_filled
+      FROM f ORDER BY user_id, day"""
   )
 }
