@@ -71,6 +71,32 @@ object AnalyticsQueries {
         .select(col("user_id"),
           col("day").cast("timestamp_ntz").as("day"), col("value_filled"))
         .orderBy(col("user_id"), col("day"))
+    }),
+
+    // Exact ROC-AUC (Mann-Whitney U with average-rank tie handling) of an
+    // integer feature (n_chars) predicting a binary label (lang = 'en') —
+    // the model-eval primitive next to cur13's trained classifier. All
+    // arithmetic is integral: for each DISTINCT score, doubled average
+    // rank = 2·cum − cnt + 1, U2 = Σ_pos 2·avgrank − n_pos(n_pos+1), and
+    // AUC is reported as floor(U2·10⁶ / (2·n_pos·n_neg)) ppm — bit-exact
+    // cross-engine with no float anywhere. Scale shape: one hash agg
+    // compresses the corpus to its distinct scores; the running-sum
+    // window orders those compressed rows only (the Packing bucket-totals
+    // pattern), never the corpus.
+    "q61_auc" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(
+        col("n_chars").cast("long").as("score"),
+        (col("lang") === "en").cast("long").as("pos"))
+      val byScore = d.groupBy(col("score"))
+        .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("p"))
+      val cum = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byScore.withColumn("cum", sum(col("cnt")).over(cum))
+        .agg(sum(col("p") * (col("cum") * 2 - col("cnt") + 1)).as("sum2r"),
+          sum(col("p")).as("n_pos"), sum(col("cnt") - col("p")).as("n_neg"))
+        .select(col("n_pos"), col("n_neg"),
+          expr("(sum2r - n_pos * (n_pos + 1)) * 1000000 div (2 * n_pos * n_neg)")
+            .as("auc_ppm"))
     })
   )
 
@@ -144,6 +170,31 @@ object AnalyticsQueries {
       )
       SELECT user_id, CAST(day AS TIMESTAMP) AS day,
         MAX(day_value) OVER (PARTITION BY user_id, grp) AS value_filled
-      FROM f ORDER BY user_id, day"""
+      FROM f ORDER BY user_id, day""",
+
+    "q61_auc" -> """
+      WITH d AS (
+        SELECT CAST(n_chars AS BIGINT) AS score,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+      ), g AS (
+        SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+          CAST(SUM(pos) AS BIGINT) AS p
+        FROM d GROUP BY 1
+      ), c AS (
+        SELECT score, cnt, p,
+          CAST(SUM(cnt) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum
+        FROM g
+      ), a AS (
+        SELECT CAST(SUM(p * (2 * cum - cnt + 1)) AS BIGINT) AS sum2r,
+          CAST(SUM(p) AS BIGINT) AS n_pos,
+          CAST(SUM(cnt - p) AS BIGINT) AS n_neg
+        FROM c
+      )
+      SELECT n_pos, n_neg,
+        CAST((sum2r - n_pos * (n_pos + 1)) * 1000000
+          // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+      FROM a"""
   )
 }
