@@ -226,6 +226,41 @@ object TextQueries {
             .as("redacted_md5"),
           length(col("aug")).cast("bigint").as("n_chars_in"))
         .orderBy(col("doc_id"))
+    }),
+
+    // RAKE keyword extraction (Rose et al. 2010): stopwords delimit
+    // candidate phrases; a word scores deg/freq where deg sums the length
+    // of every phrase occurrence containing it; a phrase scores the sum
+    // of its member word scores (with multiplicity). The division is
+    // floor-quantized to integer micro-units on both engines so the
+    // rational word scores stay bit-exact. Scale shape: phrase splitting
+    // is scan-side array algebra (no join, no window); then two hash aggs
+    // (word stats, phrase occurrence counts) and one equi-join on word —
+    // every exchange keyed, corpus never all-pairs.
+    "tx24_rake_keywords" -> ((s, dir) => {
+      val stop = array(graft.text.TextFunctions.Stopwords.map(lit): _*)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val marked = transform(toks, w =>
+        when(array_contains(stop, w), lit("|")).otherwise(w))
+      val phr = filter(transform(split(array_join(marked, " "), "\\|"),
+        p => trim(p)), p => p =!= "")
+      val occ = Tables(s, dir, "documents")
+        .select(explode(phr).as("phrase"))
+      val words = occ.select(col("phrase"),
+          size(split(col("phrase"), " ")).cast("long").as("len"))
+        .select(col("len"), explode(split(col("phrase"), " ")).as("w"))
+      val wstats = words.groupBy(col("w"))
+        .agg(sum(col("len")).as("deg"), count(lit(1)).as("freq"))
+        .select(col("w"), expr("deg * 1000000 div freq").as("wscore"))
+      val pd = occ.groupBy(col("phrase")).agg(count(lit(1)).as("n_occ"))
+      pd.select(col("phrase"), col("n_occ"),
+          explode(split(col("phrase"), " ")).as("w"))
+        .join(wstats, "w")
+        .groupBy(col("phrase"), col("n_occ"))
+        .agg(sum(col("wscore")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("phrase"))
+        .limit(50)
+        .select(col("phrase"), col("n_occ"), col("score_micro"))
     })
   )
 
@@ -365,6 +400,36 @@ object TextQueries {
       SELECT doc_id, lang, lang_pred, n_tokens, quality FROM feat
       WHERE quality >= 0.6 AND n_tokens BETWEEN 20 AND 2000
         AND lang_pred = lang
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    "tx24_rake_keywords" -> """
+      WITH toks AS (
+        SELECT string_split_regex(lower(trim(text)), '\s+') AS t
+        FROM documents
+      ), occ AS (
+        SELECT trim(p) AS phrase FROM (
+          SELECT UNNEST(string_split(array_to_string(
+            list_transform(t, w -> CASE WHEN w IN
+              ('the','a','an','of','to','and','in','is','it','on')
+              THEN '|' ELSE w END), ' '), '|')) AS p
+          FROM toks
+        ) WHERE trim(p) <> ''
+      ), words AS (
+        SELECT CAST(len(string_split(phrase, ' ')) AS BIGINT) AS l,
+          UNNEST(string_split(phrase, ' ')) AS w
+        FROM occ
+      ), wstats AS (
+        SELECT w, CAST(SUM(l) AS BIGINT) * 1000000
+          // CAST(COUNT(*) AS BIGINT) AS wscore
+        FROM words GROUP BY 1
+      ), pd AS (
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ FROM occ GROUP BY 1
+      ), pw AS (
+        SELECT phrase, n_occ, UNNEST(string_split(phrase, ' ')) AS w FROM pd
+      )
+      SELECT pw.phrase AS phrase, pw.n_occ AS n_occ,
+        CAST(SUM(ws.wscore) AS BIGINT) AS score_micro
+      FROM pw JOIN wstats ws ON pw.w = ws.w
+      GROUP BY 1, 2 ORDER BY score_micro DESC, phrase LIMIT 50"""
   )
 }
