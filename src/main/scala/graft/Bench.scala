@@ -117,8 +117,9 @@ object Bench {
       val pq = r(pairs(Similarity.pqTopK(q, emb, 5, 16, 16)))
       val ivfpq = r(pairs(Similarity.ivfPqTopK(q, emb, 5, 16, 16)))
       val sq8 = r(pairs(Similarity.sq8TopK(q, emb, 5)))
+      val rp = r(pairs(Similarity.rpTopK(q, emb, 5)))
       s"""{"ivf":$ivf,"lsh":$lsh,"kmeans":$km,"pq":$pq,"ivfpq":$ivfpq""" +
-        s""","sq8":$sq8}"""
+        s""","sq8":$sq8,"rp":$rp}"""
     } catch { case _: Throwable => "{}" }
 
     val budget = 1500

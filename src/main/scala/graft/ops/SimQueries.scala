@@ -33,6 +33,8 @@ object SimQueries {
   private val IvfStoreCentroids = 64
   private val IvfStoreProbe = 8
   private val SemDedupTau = 0.3
+  private val RpDims = 16
+  private val RpSeed = 7L
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -54,6 +56,19 @@ object SimQueries {
   private lazy val planeLits: Seq[String] =
     Similarity.hyperplanes(NPlanes, Dim)
       .map(_.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]"))
+
+  private def cosNSql(a: String, b: String, n: Int): String =
+    s"${dotNSql(a, b, n)} / (sqrt(${dotNSql(a, a, n)}) * sqrt(${dotNSql(b, b, n)}))"
+
+  /** The JL sketch of `v` as a DuckDB list: one sequential-fold dot per
+    * seeded ±1 plane — the literal mirror of `Similarity.rpTopK`'s
+    * projection.
+    */
+  private lazy val rpProjSql: String =
+    Similarity.hyperplanes(RpDims, Dim, RpSeed)
+      .map(_.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]"))
+      .map(p => dotNSql("embedding", p, Dim))
+      .mkString("[", ", ", "]")
 
   /** DuckDB LSH bucket: bit p = sign of dot(vec, plane_p). */
   private[ops] def bucketSql(v: String): String =
@@ -206,6 +221,18 @@ object SimQueries {
         .select(col("vec_id").as("id"), col("embedding").as("vec"),
           col("label"))
       Similarity.hardNegativeTopK(e.filter(col("id") < NQueries), e, K)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Random-projection (JL) ANN — 64 dims sketched to 16 through seeded
+    // ±1 hyperplanes (a pure-seed LINEAR map: no trained state, sketches
+    // maintainable on ingest), shortlist by sketch cosine, exact rerank.
+    // The planes render as identical literals in both engines, so the
+    // sketch ranking — and therefore the whole result — is bit-exact.
+    "sm13_topk_rp" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.rpTopK(e.filter(col("id") < NQueries), e, K,
+          rpDims = RpDims, dim = Dim, rerank = PqRerank)
         .orderBy(col("query_id"), col("rank"))
     })
   )
@@ -521,7 +548,37 @@ object SimQueries {
         FROM scored
       )
       SELECT query_id, query_label, corpus_id, neg_label, cos, rank
-      FROM ranked WHERE rank <= $K ORDER BY query_id, rank"""
+      FROM ranked WHERE rank <= $K ORDER BY query_id, rank""",
+
+    // JL-sketch shortlist (16-dim cosine over the projected lists) +
+    // sm11's exact-rerank tail; the ±1 planes are the same literals the
+    // Spark plan carries.
+    "sm13_topk_rp" -> s"""
+      WITH rp AS (
+        SELECT vec_id AS id, $rpProjSql AS h FROM embeddings
+      ), cand AS (
+        SELECT query_id, corpus_id FROM (
+          SELECT qq.id AS query_id, cc.id AS corpus_id,
+            ROW_NUMBER() OVER (PARTITION BY qq.id
+                               ORDER BY ${cosNSql("qq.h", "cc.h", RpDims)} DESC,
+                                 cc.id) AS r
+          FROM rp cc, rp qq
+          WHERE qq.id < $NQueries AND cc.id != qq.id
+        ) WHERE r <= $PqRerank
+      ), exact AS (
+        SELECT c.query_id, c.corpus_id,
+          ${cosSql("q.embedding", "e.embedding")} AS cos
+        FROM cand c
+        JOIN embeddings q ON q.vec_id = c.query_id
+        JOIN embeddings e ON e.vec_id = c.corpus_id
+      ), reranked AS (
+        SELECT query_id, corpus_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, corpus_id) AS rank
+        FROM exact
+      )
+      SELECT query_id, corpus_id, cos, rank FROM reranked
+      WHERE rank <= $K ORDER BY query_id, rank"""
   )
 
   /** One Lloyd round as CTEs `a<i>`, `m<i>`, `cent<i>` reading centroid CTE

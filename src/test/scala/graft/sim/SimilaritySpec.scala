@@ -227,5 +227,11 @@ class SimilaritySpec extends SparkSpec {
     val sq8 = pairs(Similarity.sq8TopK(q, emb, 5))
     val sqRecall = (sq8 & bf).size.toDouble / bf.size
     assert(sqRecall >= 0.8, s"SQ8 reranked recall regressed: $sqRecall")
+    // JL random projection 64→16 + exact rerank: a 16-dim sketch keeps
+    // pairwise angles to within JL distortion, so the 64-deep shortlist
+    // recovers most of the head even on worst-case random embeddings
+    val rp = pairs(Similarity.rpTopK(q, emb, 5))
+    val rpRecall = (rp & bf).size.toDouble / bf.size
+    assert(rpRecall >= 0.5, s"RP reranked recall regressed: $rpRecall")
   }
 }
