@@ -67,6 +67,38 @@ object CdcQueries {
     store
   }
 
+  /** Materialize the schema-EVOLUTION merge apply once per sfDir: batch 1
+    * commits the CREATE payloads as (id, status, totalprice); batch 2
+    * carries the UPDATE payloads WITH A NEW `priority` column the table
+    * has never seen. MergeInto widens the table schema on commit, only
+    * the touched buckets are rewritten in the new schema, and readers
+    * unify old- and new-schema buckets via parquet schema merge — so
+    * untouched rows read back with `priority` NULL. That read-side
+    * contract is what the gate pins.
+    */
+  private def evolvedOrdersTableDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_merge_evolve_v1")
+    val store = root.resolve("table").toString
+    mergeLock.synchronized {
+      if (!Files.exists(root.resolve("_DONE"))) {
+        val log = changeLog(s, dir)
+        val b1 = log.filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        val b2 = log.filter(col("operation_type") === "UPDATE")
+          .select(col("id"), col("status"), col("totalprice"),
+            concat(lit("P"), (col("id") % 5).cast("string")).as("priority"))
+        graft.streaming.MergeInto.mergeBatch(s, b1, store, "id")
+        graft.streaming.MergeInto.mergeBatch(s, b2, store, "id")
+        Files.createFile(root.resolve("_DONE"))
+      }
+    }
+    store
+  }
+
   /** DuckDB-side derivation of the identical change stream (tombstones never
     * materialize — they carry no lsn and are dropped by O7 on the Spark side).
     */
@@ -244,6 +276,17 @@ object CdcQueries {
       graft.streaming.MergeInto
         .lookupKey(s, mergedOrdersTableDir(s, dir), "id", 3L)
         .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // SCHEMA EVOLUTION driver-gated: the second merge batch introduces a
+    // `priority` column; the widened table must read back with the new
+    // column populated on merged keys and NULL on untouched rows (old
+    // buckets stay on disk in the old schema — the reader unifies).
+    "cdc_merge_evolve" -> ((s, dir) => {
+      graft.streaming.MergeInto
+        .readTable(s, evolvedOrdersTableDir(s, dir))
+        .select(col("id"), col("status"), col("totalprice"), col("priority"))
         .orderBy(col("id"))
     }),
 
@@ -502,6 +545,22 @@ object CdcQueries {
     "cdc_merge_time_travel" -> s"""$changesCte
       SELECT id, status, totalprice FROM changes
       WHERE operation_type = 'CREATE' ORDER BY id""",
+
+    // Evolved table: UPDATE keys carry the new column, everything else
+    // reads NULL through the schema-merged scan.
+    "cdc_merge_evolve" -> s"""$changesCte
+      SELECT c.id,
+        CASE WHEN u.id IS NOT NULL THEN u.status ELSE c.status END
+          AS status,
+        CASE WHEN u.id IS NOT NULL THEN u.totalprice ELSE c.totalprice END
+          AS totalprice,
+        CASE WHEN u.id IS NOT NULL
+          THEN 'P' || CAST(u.id % 5 AS VARCHAR) END AS priority
+      FROM (SELECT id, status, totalprice FROM changes
+            WHERE operation_type = 'CREATE') c
+      LEFT JOIN (SELECT id, status, totalprice FROM changes
+                 WHERE operation_type = 'UPDATE') u USING (id)
+      ORDER BY c.id""",
 
     // Key 3's final state after the two-batch apply (its latest
     // non-create event is the UPDATE: status 'F', totalprice + 100).
