@@ -193,6 +193,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("containment"))
   }
 
+  /** EXACT τ-Jaccard set-similarity self-join via prefix filtering
+    * (AllPairs/PPJoin, Bayardo et al. 2007 / Xiao et al. 2008) — the
+    * no-false-negatives counterpart to [[nearDuplicatePairs]]' LSH:
+    * MinHash banding misses a (tunable) tail of true pairs; prefix
+    * filtering is exact. Elements are ordered globally by (document
+    * frequency asc, token asc) — rarest first — and each doc keeps only
+    * its first `|d| − ⌈τ·|d|⌉ + 1` elements as its prefix. Any pair with
+    * Jaccard ≥ τ must collide inside both prefixes (the prefix-filter
+    * theorem), so the equi-join on prefix tokens is a complete candidate
+    * set and the exact-Jaccard verify makes the result provably equal to
+    * the all-pairs join — at a fraction of its cost, because prefixes are
+    * built from the RAREST tokens: the join key distribution is
+    * anti-skewed by construction.
+    *
+    * Scale shape: df counts are one hash agg; prefix selection is one
+    * per-doc window (partitioned by id — key-parallel); candidates are a
+    * shuffle equi-join on rare tokens; verify touches candidates only.
+    * No stage is O(n²), and unlike LSH there is no signature state.
+    */
+  def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                         tau: Double, shingleN: Int = 3): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleN)).as("sh"))
+    val ex = sets.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("dfreq"))
+    val byRarity = Window.partitionBy(col("id"))
+      .orderBy(col("dfreq"), col("s"))
+    val prefix = ex.join(dfreq, "s")
+      .withColumn("rnk", row_number().over(byRarity))
+      .filter(col("rnk") <= col("sz") - ceil(lit(tau) * col("sz")) + 1)
+      .select(col("id"), col("s"))
+    val cand = prefix.as("a").hint("shuffle_hash").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** 60-bit SimHashes as `(id, sh)` via explode + hash-agg: bit j of the
     * simhash is set iff at least half the (distinct) tokens have bit j of
     * their [[hash60]] set (majority vote, ties to 1).

@@ -97,6 +97,47 @@ object AnalyticsQueries {
         .select(col("n_pos"), col("n_neg"),
           expr("(sum2r - n_pos * (n_pos + 1)) * 1000000 div (2 * n_pos * n_neg)")
             .as("auc_ppm"))
+    }),
+
+    // Calibration curve for the q61 scorer: 10 equal-width score bins
+    // over [min, max], observed positive rate per bin in ppm — all
+    // integer arithmetic (bin = (score−mn)·10 div (mx−mn+1) lands in
+    // [0,9] exactly, rate is floor division). One scalar min/max agg
+    // broadcast against the scan, one hash agg — two passes, no window.
+    "q62_calibration" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(
+        col("n_chars").cast("long").as("score"),
+        (col("lang") === "en").cast("long").as("pos"))
+      val bounds = d.agg(min(col("score")).as("mn"), max(col("score")).as("mx"))
+      d.crossJoin(broadcast(bounds))
+        .select(expr("(score - mn) * 10 div (mx - mn + 1)").as("bin"),
+          col("pos"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          expr("n_pos * 1000000 div n").as("rate_ppm"))
+        .orderBy(col("bin"))
+    }),
+
+    // Exact per-group MODE with a total tie-break (count desc, value
+    // asc): the modal event_type per user — two hash aggs and one
+    // per-user argmax via max(struct(cnt, rev(type))); no window, fully
+    // map-side combinable. rev() keeps the tie-break inside one struct
+    // max: type strings are single tokens, so padding-free 0xFF-less
+    // inversion is done by negating the count first and taking min.
+    "q63_mode" -> ((s, dir) => {
+      val counts = Tables(s, dir, "events")
+        .filter(col("user_id") < 500)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      // min over (−cnt, type) = (count desc, type asc) lexicographically
+      counts
+        .groupBy(col("user_id"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("event_type").as("t")))
+          .as("m"))
+        .select(col("user_id"), col("m.t").as("mode_event_type"),
+          (-col("m.nc")).as("n_of_mode"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -195,6 +236,36 @@ object AnalyticsQueries {
       SELECT n_pos, n_neg,
         CAST((sum2r - n_pos * (n_pos + 1)) * 1000000
           // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
-      FROM a"""
+      FROM a""",
+
+    "q62_calibration" -> """
+      WITH s AS (
+        SELECT CAST(n_chars AS BIGINT) AS score,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+      ), b AS (
+        SELECT MIN(score) AS mn, MAX(score) AS mx FROM s
+      ), binned AS (
+        SELECT (score - mn) * 10 // (mx - mn + 1) AS bin, pos FROM s, b
+      )
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(pos) AS BIGINT) AS n_pos,
+        CAST(CAST(SUM(pos) AS BIGINT) * 1000000 // COUNT(*) AS BIGINT)
+          AS rate_ppm
+      FROM binned GROUP BY 1 ORDER BY 1""",
+
+    "q63_mode" -> """
+      WITH counts AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events WHERE user_id < 500
+        GROUP BY 1, 2
+      ), ranked AS (
+        SELECT user_id, event_type, cnt,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY cnt DESC, event_type) AS rn
+        FROM counts
+      )
+      SELECT user_id, event_type AS mode_event_type, cnt AS n_of_mode
+      FROM ranked WHERE rn = 1 ORDER BY user_id"""
   )
 }

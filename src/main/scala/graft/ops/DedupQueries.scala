@@ -160,6 +160,15 @@ object DedupQueries {
           ContainTau, ShingleN, Bands, RowsPerBand)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // EXACT set-similarity join via prefix filtering — zero false
+    // negatives, unlike the probabilistic LSH pass, so the oracle is the
+    // plain all-pairs definition (pairs sharing any shingle, exact
+    // Jaccard): the algorithm must reproduce it verbatim.
+    "dd11_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(Tables(s, dir, "documents"), "text",
+          "doc_id", JaccardTau, ShingleN)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Incremental ingestion dedup: the corpus is split into an
     // already-ingested STORE (doc_id % 10 < 7) and an incoming BATCH; a
     // batch doc is dropped when it is a verified MinHash near-dup of any
@@ -347,6 +356,20 @@ object DedupQueries {
 
     "dd2_minhash_neardups" -> s"""
       $candCte
+      SELECT * FROM ($jaccardPairsSql)
+      WHERE jaccard >= $JaccardTau ORDER BY id_a, id_b""",
+
+    // The engine-independent DEFINITION of the exact τ-Jaccard join:
+    // every pair sharing at least one shingle (J ≥ τ > 0 implies a shared
+    // element), exact Jaccard, threshold — no prefix mirror needed
+    // because prefix filtering is lossless by theorem.
+    "dd11_prefix_jaccard" -> s"""
+      $shinglesCte, ex AS (
+        SELECT doc_id, UNNEST(s) AS tok FROM sh
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      )
       SELECT * FROM ($jaccardPairsSql)
       WHERE jaccard >= $JaccardTau ORDER BY id_a, id_b""",
 

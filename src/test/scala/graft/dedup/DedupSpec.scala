@@ -90,6 +90,36 @@ class DedupSpec extends SparkSpec {
     assert(ham(s(1L), s(2L)) < ham(s(1L), s(3L)))
   }
 
+  test("prefix-filter join equals the exact all-pairs Jaccard join") {
+    // 40 docs with overlapping word runs → a mix of true pairs and misses;
+    // the prefix join must reproduce brute force EXACTLY (no LSH tail)
+    val corpus = (1L to 40L).map { i =>
+      val words = (0 until 8).map(j => s"w${(i / 4 + j) % 13}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val tau = 0.6
+    val prefix = pairSet(Dedup.prefixJaccardPairs(corpus, "text", "doc_id", tau))
+    // brute force: all pairs, exact jaccard on distinct 3-shingles
+    val sets = corpus.select(col("doc_id"),
+      array_distinct(graft.text.TextFunctions.shingles(col("text"), 3)).as("sh"))
+    val brute = pairSet(sets.as("a").crossJoin(sets.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", graft.text.TextFunctions.jaccard(col("a.sh"), col("b.sh")))
+      .filter(col("j") >= tau)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")))
+    assert(prefix == brute, s"prefix join diverged from brute force")
+    assert(brute.nonEmpty, "fixture produced no true pairs — test is vacuous")
+  }
+
+  test("prefix join: singleton and tiny sets don't crash and self-match is excluded") {
+    val tiny = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
+    val pairs = Dedup.prefixJaccardPairs(tiny, "text", "doc_id", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("universal hash family is deterministic and in range") {
     val fam = Dedup.hashFamily(12)
     assert(fam == Dedup.hashFamily(12))

@@ -197,10 +197,12 @@ class PlanGuardSpec extends SparkSpec {
     // before iterating; tx19_bpe_merges materializes the collected
     // per-round merge rows; q54_hierarchy_rollup's pointer-doubling state
     // is localCheckpointed per round — all these plans root on a
-    // LogicalRDD scan with no file-scan metadata line to check.
+    // LogicalRDD scan with no file-scan metadata line to check;
+    // q59_shortest_paths checkpoints its relaxation rounds the same way.
     val rddRooted =
       Set("cdc_scd2_skew_fallback", "q43_pagerank", "q50_triangles",
-        "tx19_bpe_merges", "q54_hierarchy_rollup", "q57_label_propagation")
+        "tx19_bpe_merges", "q54_hierarchy_rollup", "q57_label_propagation",
+        "q59_shortest_paths")
     (SparkEntry.queries.keySet -- rddRooted).toSeq.sorted.foreach { name =>
       assert(plan(name).contains("PushedFilters: ["),
         s"$name scan lost pushdown metadata")
