@@ -26,17 +26,19 @@ object NaiveBayesText {
 
   val Grid = 1048576L
 
-  /** Char-bigram rows (id, label, bg) from `docs(id, label, text)`. The
-    * CASE guard keeps sub-2-char texts empty — Spark's `sequence(1, 0)`
-    * would count DOWN rather than return an empty array.
+  /** Pre-counted char-bigram rows (id, label, bg, k) from
+    * `docs(id, label, text)` via the [[graft.text.CharNgrams]] codegen
+    * kernel — one scan-side pass per document instead of an interpreted
+    * per-character HOF explosion, and counts arrive already aggregated
+    * per (doc, bigram) so the eval path needs no corpus-wide shuffle at
+    * all. Sub-2-char texts yield zero rows (the kernel emits no short
+    * windows).
     */
-  private def bigramRows(docs: DataFrame): DataFrame =
-    docs.select(col("id"), col("label"), lower(col("text")).as("nt"))
+  private def bigramCountRows(docs: DataFrame): DataFrame =
+    docs.select(col("id"), col("label"),
+        explode(graft.text.CharNgrams(lower(col("text")), 2)).as("e"))
       .select(col("id"), col("label"),
-        explode(expr("""CASE WHEN length(nt) < 2
-            THEN CAST(array() AS ARRAY<STRING>)
-            ELSE transform(sequence(1, length(nt) - 1),
-                           i -> substring(nt, i, 2)) END""")).as("bg"))
+        col("e.ng").as("bg"), col("e.k").as("k"))
 
   /** Train on `id % evalMod != 0`, score the held-out `id % evalMod = 0`
     * split. Input `docs`: (id, label, text); output one row per eval doc:
@@ -44,10 +46,10 @@ object NaiveBayesText {
     */
   def heldOutPredictions(docs: DataFrame, evalMod: Int = 5): DataFrame = {
     val g = Grid.toDouble
-    val db = bigramRows(docs)
+    val db = bigramCountRows(docs)
     val train = db.filter(col("id") % evalMod =!= 0)
     val counts = train.groupBy(col("label"), col("bg"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("k")).as("c"))
     val totals = counts.groupBy(col("label")).agg(sum(col("c")).as("tl"))
     val v = counts.select(col("bg")).distinct().count()
     val tdocs = docs.filter(col("id") % evalMod =!= 0)
@@ -65,9 +67,8 @@ object NaiveBayesText {
     val fl = totals.select(col("label"),
       round(log(lit(1.0) / (col("tl") + lit(v)).cast("double")) * lit(g))
         .cast("long").as("fl"))
+    // kernel counts are already per-(doc, bigram) — no aggregation needed
     val evalCnt = db.filter(col("id") % evalMod === 0)
-      .groupBy(col("id"), col("label"), col("bg"))
-      .agg(count(lit(1)).as("k"))
       .withColumnRenamed("label", "label_true")
     val cand = fl.join(priors, "label")
     val scored = evalCnt.crossJoin(broadcast(cand))

@@ -42,9 +42,9 @@ object CdcQueries {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    // _v2: v1 tables predate the __numBuckets manifest metadata the
-    // point-lookup gate needs; a fresh root sidesteps stale caches
-    val root = Paths.get(s"$base/$key/orders_merge_table_v2")
+    // _v3: one-file-per-bucket commit layout (v2 predates the write-side
+    // repartition and carries tasks×buckets tiny files per commit)
+    val root = Paths.get(s"$base/$key/orders_merge_table_v3")
     val store = root.resolve("table").toString
     mergeLock.synchronized {
       if (!Files.exists(root.resolve("_DONE"))) {
@@ -81,7 +81,7 @@ object CdcQueries {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    val root = Paths.get(s"$base/$key/orders_merge_evolve_v1")
+    val root = Paths.get(s"$base/$key/orders_merge_evolve_v2")
     val store = root.resolve("table").toString
     mergeLock.synchronized {
       if (!Files.exists(root.resolve("_DONE"))) {
