@@ -290,6 +290,18 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // CHANGE DATA FEED driver-gated: the v1→v2 feed of the merge table
+    // (delete rows + update pre/post image pairs; keys the second batch
+    // rewrote to IDENTICAL values — SNAPSHOT-latest keys — emit nothing).
+    // The oracle re-derives the same key-level value diff relationally.
+    "cdc_change_feed" -> ((s, dir) => {
+      graft.streaming.MergeInto
+        .changeFeed(s, mergedOrdersTableDir(s, dir), "id", 1L, 2L)
+        .select(col("id"), col("status"), col("totalprice"),
+          col("_change_type"))
+        .orderBy(col("id"), col("_change_type"))
+    }),
+
     // The streaming-maintained CURRENT-STATE table (the other mutable-store
     // shape: key-latest upsert with tombstone retention), driver-gated:
     // mapGroupsWithState fold → BucketedUpsert manifest commits; this READS
@@ -540,6 +552,42 @@ object CdcQueries {
         LEFT JOIN b2 b USING (id)
       ) WHERE bop IS NULL OR bop != 'DELETE'
       ORDER BY id""",
+
+    // Key-level value diff of v2 against v1: v1 is the CREATE batch, v2
+    // applies each key's LATEST non-create event — deletes emit one row,
+    // value-changing rewrites a pre/post pair, identical rewrites nothing.
+    "cdc_change_feed" -> s"""$changesCte, b2 AS (
+        SELECT id, status, totalprice, operation_type FROM (
+          SELECT id, status, totalprice, operation_type,
+            ROW_NUMBER() OVER (PARTITION BY id
+                               ORDER BY log_seq_num DESC) AS rn
+          FROM changes WHERE operation_type != 'CREATE'
+        ) WHERE rn = 1
+      ), v1 AS (
+        SELECT id, status, totalprice FROM changes
+        WHERE operation_type = 'CREATE'
+      ), diff AS (
+        SELECT v1.id, v1.status AS s_pre, v1.totalprice AS p_pre,
+               b2.status AS s_post, b2.totalprice AS p_post,
+               b2.operation_type AS op
+        FROM v1 JOIN b2 USING (id)
+      )
+      SELECT id, status, totalprice, _change_type FROM (
+        SELECT id, s_pre AS status, p_pre AS totalprice,
+               'delete' AS _change_type
+        FROM diff WHERE op = 'DELETE'
+        UNION ALL
+        SELECT id, s_pre, p_pre, 'update_preimage'
+        FROM diff WHERE op != 'DELETE'
+          AND (s_post IS DISTINCT FROM s_pre
+               OR p_post IS DISTINCT FROM p_pre)
+        UNION ALL
+        SELECT id, s_post, p_post, 'update_postimage'
+        FROM diff WHERE op != 'DELETE'
+          AND (s_post IS DISTINCT FROM s_pre
+               OR p_post IS DISTINCT FROM p_pre)
+      )
+      ORDER BY id, _change_type""",
 
     // Version 1 = the CREATE batch exactly as committed.
     "cdc_merge_time_travel" -> s"""$changesCte

@@ -28,6 +28,41 @@ class MergeIntoSpec extends SparkSpec {
     assert(got == Seq((1L, "a", 10), (2L, "B", 21), (4L, "d", 40)))
   }
 
+  test("changeFeed: insert/delete/update pairs; identical rewrites silent") {
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "s", "v"),
+      root, "k", numBuckets = 4)
+    // v2: update k=2, delete k=3, insert k=4, rewrite k=1 IDENTICALLY
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a", 10, false), (2L, "B", 21, false), (3L, "", 0, true),
+          (4L, "d", 40, false)).toDF("k", "s", "v", "del"),
+      root, "k", numBuckets = 4, deleteCol = Some("del"))
+    val feed = MergeInto.changeFeed(spark, root, "k", 1L, 2L)
+      .select("k", "s", "v", "_change_type")
+      .as[(Long, String, Int, String)].collect().sortBy(r => (r._1, r._4))
+    assert(feed.toSeq == Seq( // 'update_postimage' < 'update_preimage'
+      (2L, "B", 21, "update_postimage"), (2L, "b", 20, "update_preimage"),
+      (3L, "c", 30, "delete"), (4L, "d", 40, "insert")),
+      s"got ${feed.toSeq}") // k=1 rewritten to identical values: no row
+  }
+
+  test("changeFeed spans a schema evolution: new column diffs as null-pre") {
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root, "k", numBuckets = 2)
+    MergeInto.mergeBatch(spark,
+      Seq((2L, "b", "X")).toDF("k", "s", "extra"), root, "k", numBuckets = 2)
+    val feed = MergeInto.changeFeed(spark, root, "k", 1L, 2L)
+      .select("k", "s", "extra", "_change_type")
+      .as[(Long, String, Option[String], String)].collect()
+      .sortBy(r => (r._1, r._4)).toSeq
+    // k=2 changed only by GAINING extra=X; k=1 untouched (null == null)
+    assert(feed == Seq(
+      (2L, "b", Some("X"), "update_postimage"),
+      (2L, "b", None, "update_preimage")), s"got $feed")
+  }
+
   test("merge rejects an ambiguous multi-row-per-key source") {
     val root = java.nio.file.Files.createTempDirectory("merge").toString
     val err = intercept[IllegalArgumentException] {
