@@ -97,9 +97,84 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 }
 
+/** Grid-quantized dot product: every per-term product is floored to the
+  * `1/grid` lattice BEFORE accumulating, so the sum is a sum of exact
+  * dyadic rationals — ORDER-INDEPENDENT (exact in double while
+  * `|sum| < 2^53/grid`), unlike [[DotProductExpr]]'s sequential fold. This
+  * is the form to use when the mirrored engine computes the same dot as a
+  * per-dimension SQL `SUM(floor(x*y*G)/G)` group (arbitrary order) rather
+  * than a list fold: both engines land on the identical bit pattern.
+  * Same null/ragged contract as vec_dot.
+  */
+case class DotProductGridExpr(left: Expression, right: Expression, grid: Long)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    DotProductExpr(left, right).checkInputDataTypes()
+
+  private def elemType(e: Expression) =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val aF = elemType(left) == FloatType
+    val bF = elemType(right) == FloatType
+    val g = grid.toDouble
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+        acc += Math.floor(x * y * g) / g
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      def get(arr: String, e: Expression) = elemType(e) match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case _ => s"$arr.getDouble($i)"
+      }
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += java.lang.Math.floor(
+         |      ${get(a, left)} * ${get(b, right)} * ${grid}.0d) / ${grid}.0d;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_dot_grid"
+}
+
 object DotProduct {
   /** `vec_dot(a, b)` as a Column. */
   def apply(a: Column, b: Column): Column =
     GraftBridge.column(
       DotProductExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** `vec_dot_grid(a, b)`: order-independent grid-quantized dot. */
+  def grid(a: Column, b: Column, grid: Long): Column =
+    GraftBridge.column(DotProductGridExpr(
+      GraftBridge.expression(a), GraftBridge.expression(b), grid))
 }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sim.Similarity
+import graft.sim.{Pca, Similarity}
 
 /** Similarity-search queries over `embeddings` (64-dim `array<float>`):
   * brute-force cosine top-k (exactness baseline), LSH-bucketed approximate
@@ -35,6 +35,7 @@ object SimQueries {
   private val SemDedupTau = 0.3
   private val RpDims = 16
   private val RpSeed = 7L
+  private val PcaIters = 3
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -234,10 +235,67 @@ object SimQueries {
       Similarity.rpTopK(e.filter(col("id") < NQueries), e, K,
           rpDims = RpDims, dim = Dim, rerank = PqRerank)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Top principal component by distributed power iteration (3 rounds
+    // from the 1/√dim seed), then every embedding's projection onto it —
+    // the dominant-variance analysis/whitening primitive. Engine-exact:
+    // grid-quantized mean/matvec/norm sums (order-independent dyadic
+    // rationals) and correctly-rounded sqrt/divide only, so the oracle
+    // unrolls the identical three rounds as chained CTEs (see sim.Pca).
+    "sm14_pca_power" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val (mean, v) = Pca.topComponent(e, "vec", Dim, PcaIters)
+      Pca.projections(e, "id", "vec", mean, v)
+        .select(col("id").as("vec_id"), col("proj"))
+        .orderBy(col("vec_id"))
     })
   )
 
+  /** One unrolled power round: mean·v scalar, per-row projection, un-
+    * normalized matvec, grid norm, normalized component — the literal
+    * mirror of `Pca.step` (all sums are grid-quantized dyadic rationals,
+    * so DuckDB's arbitrary aggregation order lands on Spark's bits).
+    */
+  private def pcaRoundSql(t: Int, prev: String): String = s"""
+      md$t AS (
+        SELECT SUM(floor(m.m * v.v * $Grid) / $Grid) AS md
+        FROM pmean m JOIN $prev v USING (d)
+      ), pp$t AS (
+        SELECT e.vec_id,
+          SUM(floor(e.x * v.v * $Grid) / $Grid)
+            - (SELECT md FROM md$t) AS p
+        FROM pex e JOIN $prev v USING (d) GROUP BY e.vec_id
+      ), uu$t AS (
+        SELECT e.d, SUM(floor((e.x - m.m) * p.p * $Grid) / $Grid) AS u
+        FROM pex e JOIN pmean m USING (d) JOIN pp$t p USING (vec_id)
+        GROUP BY e.d
+      ), ss$t AS (SELECT SUM(floor(u * u * $Grid) / $Grid) AS s FROM uu$t),
+      vv$t AS (
+        SELECT d, u / sqrt((SELECT s FROM ss$t)) AS v FROM uu$t
+      )"""
+
   val oracleSql: Map[String, String] = Map(
+    "sm14_pca_power" -> s"""
+      WITH pdims AS (SELECT unnest(generate_series(1, $Dim)) AS d),
+      pex AS (
+        SELECT vec_id, d, embedding[d]::DOUBLE AS x FROM embeddings, pdims
+      ), pn AS (SELECT COUNT(*)::DOUBLE AS n FROM embeddings),
+      pmean AS (
+        SELECT d, SUM(floor(x * $Grid) / $Grid) / (SELECT n FROM pn) AS m
+        FROM pex GROUP BY d
+      ), vv0 AS (SELECT d, 1.0 / sqrt($Dim.0) AS v FROM pdims),
+      ${(1 to PcaIters).map(t =>
+        pcaRoundSql(t, if (t == 1) "vv0" else s"vv${t - 1}")).mkString(", ")},
+      mdf AS (
+        SELECT SUM(floor(m.m * v.v * $Grid) / $Grid) AS md
+        FROM pmean m JOIN vv$PcaIters v USING (d)
+      )
+      SELECT e.vec_id,
+        SUM(floor(e.x * v.v * $Grid) / $Grid) - (SELECT md FROM mdf) AS proj
+      FROM pex e JOIN vv$PcaIters v USING (d)
+      GROUP BY e.vec_id ORDER BY e.vec_id""",
+
     "sm1_topk_bruteforce" -> s"""
       WITH q AS (
         SELECT vec_id AS query_id, embedding AS qv FROM embeddings
