@@ -1,0 +1,72 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration HITS (hubs & authorities) over a DIRECTED edge list —
+  * the bipartite-influence companion to [[PageRank]]: on a
+  * customer→supplier purchase graph, hub scores rank the breadth of a
+  * buyer's supplier base while authority scores rank how concentrated the
+  * demand on a supplier is (PageRank's single score conflates the two
+  * roles).
+  *
+  * Shape per round: authorities are one equi-join (edge → source hub) +
+  * one hash agg at the destination, hubs the mirror — key-partitioned
+  * shuffles that scale horizontally; the L2 normalizer is a scalar agg
+  * broadcast back (no driver loop). Edges are deduplicated once and
+  * localCheckpointed so each round re-reads a materialized list instead
+  * of replaying the upstream derivation.
+  *
+  * Cross-engine determinism: contributions are floor-quantized to the
+  * 2^-20 grid before summing (exact dyadic sums, order-independent), the
+  * normalizer is `sqrt` of a grid-quantized sum of squares, and each
+  * normalized score is re-floored to the grid — so an oracle unrolling
+  * the same rounds as SQL CTEs reproduces the bits exactly.
+  */
+object Hits {
+
+  private val Grid = 1048576L // 2^20
+
+  /** @param edges directed (src, dst) pairs, duplicates allowed.
+    * @return (id, hub, auth) — grid-quantized scores after `iters` rounds
+    *   from the all-ones start; nodes with no outgoing (resp. incoming)
+    *   edges score 0 on the hub (resp. authority) axis.
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint()
+
+    def normalized(raw: DataFrame, c: String): DataFrame = {
+      // scalar L2 normalizer, broadcast back — grid-exact sum of squares
+      val s = raw.agg(sum(floor(col(c) * col(c) * Grid) / Grid).as("s"))
+      raw.crossJoin(broadcast(s))
+        .select(col("id"),
+          when(col("s") > 0,
+            floor(col(c) / sqrt(col("s")) * Grid) / Grid)
+            .otherwise(lit(0.0)).as(c))
+    }
+
+    var scores = nodes.select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+    for (_ <- 1 to iters) {
+      val aRaw = e
+        .join(scores.select(col("id").as("src"), col("hub")), "src")
+        .groupBy(col("dst")).agg(sum(floor(col("hub") * Grid) / Grid).as("a"))
+        .select(col("dst").as("id"), col("a"))
+      val auth = normalized(aRaw, "a")
+      val hRaw = e
+        .join(auth.select(col("id").as("dst"), col("a")), "dst")
+        .groupBy(col("src")).agg(sum(floor(col("a") * Grid) / Grid).as("h"))
+        .select(col("src").as("id"), col("h"))
+      val hub = normalized(hRaw, "h")
+      scores = nodes
+        .join(hub, Seq("id"), "left")
+        .join(auth, Seq("id"), "left")
+        .select(col("id"), coalesce(col("h"), lit(0.0)).as("hub"),
+          coalesce(col("a"), lit(0.0)).as("auth"))
+        .localCheckpoint()
+    }
+    scores
+  }
+}

@@ -138,7 +138,48 @@ object AnalyticsQueries {
         .select(col("user_id"), col("m.t").as("mode_event_type"),
           (-col("m.nc")).as("n_of_mode"))
         .orderBy(col("user_id"))
-    })
+    }),
+
+    // Association rules over per-user event-type baskets: for every
+    // ordered type pair (ant → cons), basket co-occurrence count,
+    // support/confidence/lift in exact ppm integer arithmetic. Baskets
+    // are distinct (user, type) rows — the pair join fans out only by the
+    // per-user type count (≤ |event types|, bounded), then collapses to a
+    // |types|²-row rule table: two hash aggs + one bounded self-join, no
+    // all-pairs anything.
+    "q64_assoc_rules" -> ((s, dir) => {
+      val b = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+      val nUsers = b.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val item = b.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val both = b.as("a").join(b.as("b"), "user_id")
+        .filter(col("a.event_type") =!= col("b.event_type"))
+        .groupBy(col("a.event_type").as("ant"),
+          col("b.event_type").as("cons"))
+        .agg(count(lit(1)).as("n_both"))
+      both
+        .join(item.select(col("event_type").as("ant"), col("n").as("n_ant")),
+          "ant")
+        .join(item.select(col("event_type").as("cons"), col("n").as("n_cons")),
+          "cons")
+        .crossJoin(broadcast(nUsers))
+        .select(col("ant"), col("cons"), col("n_both"),
+          expr("n_both * 1000000 div n_users").as("support_ppm"),
+          expr("n_both * 1000000 div n_ant").as("confidence_ppm"),
+          expr("n_both * n_users * 1000000 div (n_ant * n_cons)")
+            .as("lift_ppm"))
+        .orderBy(col("ant"), col("cons"))
+    }),
+
+    // HITS hubs & authorities over the DIRECTED customer→supplier
+    // purchase graph (2 rounds, grid-quantized sums + L2 normalizers —
+    // see graph.Hits): hub = breadth of a customer's supplier base,
+    // authority = concentration of demand on a supplier. Top 50 nodes by
+    // authority (suppliers dominate by construction).
+    "q65_hits" -> ((s, dir) =>
+      graft.graph.Hits.hits(purchaseEdges(s, dir), iters = 2)
+        .orderBy(col("auth").desc, col("id")).limit(50))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -266,6 +307,69 @@ object AnalyticsQueries {
         FROM counts
       )
       SELECT user_id, event_type AS mode_event_type, cnt AS n_of_mode
-      FROM ranked WHERE rn = 1 ORDER BY user_id"""
+      FROM ranked WHERE rn = 1 ORDER BY user_id""",
+
+    "q64_assoc_rules" -> """
+      WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+      nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+             FROM b),
+      item AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1
+      ), pairs AS (
+        SELECT a.event_type AS ant, c.event_type AS cons,
+          CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM b a JOIN b c USING (user_id)
+        WHERE a.event_type != c.event_type
+        GROUP BY 1, 2
+      )
+      SELECT ant, cons, n_both,
+        CAST(n_both * 1000000 // n_users AS BIGINT) AS support_ppm,
+        CAST(n_both * 1000000 // ia.n AS BIGINT) AS confidence_ppm,
+        CAST(n_both * n_users * 1000000 // (ia.n * ic.n) AS BIGINT)
+          AS lift_ppm
+      FROM pairs
+      JOIN item ia ON ia.event_type = ant
+      JOIN item ic ON ic.event_type = cons, nu
+      ORDER BY ant, cons""",
+
+    "q65_hits" -> {
+      val G = "1048576"
+      def round(t: Int) = {
+        val prev = s"sc${t - 1}"
+        s"""ar$t AS (
+          SELECT e.dst AS id, SUM(floor(s.hub * $G) / $G) AS a
+          FROM e JOIN $prev s ON e.src = s.id GROUP BY 1
+        ), as$t AS (SELECT SUM(floor(a * a * $G) / $G) AS s FROM ar$t),
+        an$t AS (
+          SELECT id, CASE WHEN s > 0
+            THEN floor(a / sqrt(s) * $G) / $G ELSE 0.0 END AS a
+          FROM ar$t, as$t
+        ), hr$t AS (
+          SELECT e.src AS id, SUM(floor(an.a * $G) / $G) AS h
+          FROM e JOIN an$t an ON e.dst = an.id GROUP BY 1
+        ), hs$t AS (SELECT SUM(floor(h * h * $G) / $G) AS s FROM hr$t),
+        hn$t AS (
+          SELECT id, CASE WHEN s > 0
+            THEN floor(h / sqrt(s) * $G) / $G ELSE 0.0 END AS h
+          FROM hr$t, hs$t
+        ), sc$t AS (
+          SELECT n.id, COALESCE(hn.h, 0.0) AS hub,
+                 COALESCE(an.a, 0.0) AS auth
+          FROM nodes n LEFT JOIN hn$t hn USING (id)
+                       LEFT JOIN an$t an USING (id)
+        )"""
+      }
+      s"""
+      WITH e AS (
+        SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+          CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      ), nodes AS (
+        SELECT src AS id FROM e UNION SELECT dst FROM e
+      ), sc0 AS (SELECT id, 1.0 AS hub, 1.0 AS auth FROM nodes),
+      ${round(1)}, ${round(2)}
+      SELECT id, hub, auth FROM sc2
+      ORDER BY auth DESC, id LIMIT 50"""
+    }
   )
 }
