@@ -179,7 +179,56 @@ object AnalyticsQueries {
     // authority (suppliers dominate by construction).
     "q65_hits" -> ((s, dir) =>
       graft.graph.Hits.hits(purchaseEdges(s, dir), iters = 2)
-        .orderBy(col("auth").desc, col("id")).limit(50))
+        .orderBy(col("auth").desc, col("id")).limit(50)),
+
+    // Entity resolution end-to-end: dirty records (every 7th customer
+    // gains two deterministic single-deletion typo variants), FastSS
+    // deletion-neighborhood blocking + exact-address block key, Levenshtein
+    // ≤ 1 verification, connected components for transitive identity
+    // (A~orig~B merges A and B though lev(A,B)=2), min-id canonical pick.
+    // Same scale shape as q42+dd5: candidate generation is an equi-join on
+    // exploded variants (never all-pairs), clustering is the O(log n)
+    // star-contraction CC. The oracle replays blocking relationally and
+    // closes components with a WITH RECURSIVE transitive closure.
+    "er1_entity_clusters" -> ((s, dir) => {
+      // the testdata customer table carries no address — synthesize a
+      // deterministic one from the CLEAN name (variants inherit it), the
+      // same derive-the-missing-column pattern the CDC fixtures use
+      val cust = Tables(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("id"),
+        lower(col("c_name")).as("name"),
+        md5(concat(lit("addr:"), lower(col("c_name")))).as("addr"))
+      def variant(tag: String, offset: Long) =
+        cust.filter(col("id") % 7 === 0)
+          .withColumn("pos",
+            (graft.functions.Hash60(concat(lit(tag), col("name")))
+              % length(col("name")).cast("long")).cast("int") + 1)
+          .selectExpr(s"id + $offset AS id",
+            "concat(substring(name, 1, pos - 1), " +
+              "substring(name, pos + 1, length(name))) AS name",
+            "addr")
+      val records = cust.unionByName(variant("er1a:", 10000000L))
+        .unionByName(variant("er1b:", 20000000L))
+      val vars = records.selectExpr("id", "name", "addr",
+        "explode(concat(array(name), transform(sequence(1, length(name)), " +
+          "i -> concat(substring(name, 1, i - 1), " +
+          "substring(name, i + 1, length(name)))))) AS v")
+      val edges = vars.as("a").join(vars.as("b"),
+          col("a.addr") === col("b.addr") && col("a.v") === col("b.v") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("src"), col("b.id").as("dst"),
+          col("a.name").as("na"), col("b.name").as("nb"))
+        .distinct()
+        .filter(levenshtein(col("na"), col("nb")) <= 1)
+        .select(col("src"), col("dst"))
+      graft.graph.ConnectedComponents.minLabel(edges, "src", "dst")
+        .groupBy(col("component").as("cluster_id"))
+        .agg(count(lit(1)).as("n_records"))
+        .join(records.select(col("id").as("cluster_id"),
+          col("name").as("canonical_name")), "cluster_id")
+        .select(col("cluster_id"), col("n_records"), col("canonical_name"))
+        .orderBy(col("cluster_id"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -370,6 +419,61 @@ object AnalyticsQueries {
       ${round(1)}, ${round(2)}
       SELECT id, hub, auth FROM sc2
       ORDER BY auth DESC, id LIMIT 50"""
-    }
+    },
+
+    "er1_entity_clusters" -> """
+      WITH RECURSIVE cust AS (
+        SELECT CAST(c_custkey AS BIGINT) AS id, lower(c_name) AS name,
+          md5('addr:' || lower(c_name)) AS addr
+        FROM customer
+      ), va AS (
+        SELECT id + 10000000 AS id,
+          substr(name, 1, pos - 1) || substr(name, pos + 1, length(name))
+            AS name, addr
+        FROM (SELECT id, name, addr,
+          CAST(('0x' || substr(md5('er1a:' || name), 1, 15))::BIGINT
+            % length(name) AS INT) + 1 AS pos
+          FROM cust WHERE id % 7 = 0)
+      ), vb AS (
+        SELECT id + 20000000 AS id,
+          substr(name, 1, pos - 1) || substr(name, pos + 1, length(name))
+            AS name, addr
+        FROM (SELECT id, name, addr,
+          CAST(('0x' || substr(md5('er1b:' || name), 1, 15))::BIGINT
+            % length(name) AS INT) + 1 AS pos
+          FROM cust WHERE id % 7 = 0)
+      ), records AS (
+        SELECT * FROM cust UNION ALL SELECT * FROM va
+        UNION ALL SELECT * FROM vb
+      ), vars AS (
+        SELECT id, name, addr, unnest(list_append(list_transform(
+          generate_series(1, length(name)),
+          i -> substr(name, 1, i - 1) || substr(name, i + 1, length(name))),
+          name)) AS v
+        FROM records
+      ), cand AS (
+        SELECT DISTINCT a.id AS src, b.id AS dst,
+          a.name AS na, b.name AS nb
+        FROM vars a JOIN vars b
+          ON a.addr = b.addr AND a.v = b.v AND a.id < b.id
+      ), e2 AS (
+        SELECT src, dst FROM cand WHERE levenshtein(na, nb) <= 1
+      ), sym AS (
+        SELECT src AS u, dst AS v FROM e2
+        UNION SELECT dst, src FROM e2
+      ), r(u, v) AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT r.u, s.v FROM r JOIN sym s ON r.v = s.u WHERE s.v != r.u
+      ), lbl AS (
+        SELECT u AS id, LEAST(u, MIN(v)) AS component FROM r GROUP BY u
+      ), cl AS (
+        SELECT component AS cluster_id, CAST(COUNT(*) AS BIGINT)
+          AS n_records
+        FROM lbl GROUP BY 1
+      )
+      SELECT cl.cluster_id, cl.n_records, rec.name AS canonical_name
+      FROM cl JOIN records rec ON rec.id = cl.cluster_id
+      ORDER BY cl.cluster_id"""
   )
 }
