@@ -27,8 +27,21 @@ object ConnectedComponents {
     *               self-loops ignored
     * @return (`id`, `component`) — one row per distinct node
     */
+  /** Distinct-edge budget under which the contraction runs on the driver:
+    * 2^16 canonical edges ≈ 1 MB collected — the same bounded-driver-state
+    * class as `Similarity`'s literal-centroid cap. Min-label union-find is
+    * bit-identical to the star contraction (both compute "smallest
+    * reachable id"), so the switch is invisible in results; it deletes the
+    * ~6 fixed scheduler round-trips per contraction round that dominate
+    * wall time when the DEDUPED pair graph is small (the common case for
+    * near-dup mining even on a huge corpus — the cap is on distinct
+    * EDGES, not corpus rows). Above the cap the O(log n)-round
+    * distributed loop runs unchanged.
+    */
+  val LocalEdgeCap: Int = 1 << 16
+
   def minLabel(edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 30): DataFrame = {
+      maxRounds: Int = 30, localEdgeCap: Int = LocalEdgeCap): DataFrame = {
     // Materialize the input once: the edge list often sits on top of an
     // expensive DAG (LSH candidate mining), and this method fans out over
     // it (init + node set + rounds) — without the checkpoint that upstream
@@ -93,7 +106,46 @@ object ConnectedComponents {
       math.max(1, math.min(max.toLong, edgeCount / 500000L + 1L)).toInt
     }
 
-    var current = canonical(init).localCheckpoint(true)
+    val start = canonical(init).localCheckpoint(true)
+
+    // Under-cap twin: collect the canonical edges (≤ localEdgeCap, counted
+    // first) and union-find on the driver — same labels, none of the
+    // per-round scheduler latency. `base`/`nodes` stay distributed; only
+    // the bounded (id → component) table ships back, broadcast-joined.
+    if (start.count() <= localEdgeCap) {
+      val pairs = start.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) {
+          val n = parent.getOrElse(c, c); parent(c) = r; c = n
+        }
+        r
+      }
+      // union by MIN root: the surviving root is the smallest id seen, so
+      // find() lands directly on the min-label the star contraction emits
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val ids = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val labelDf = ids.map(i => (i, find(i))).toSeq
+        .toDF("u", "component")
+      val nodes = base.select(col("a").as("u"))
+        .unionByName(base.select(col("b").as("u")))
+        .distinct()
+      return nodes.join(broadcast(labelDf), Seq("u"), "left")
+        .select(col("u").as("id"),
+          coalesce(col("component"), col("u")).as("component"))
+    }
+
+    var current = start
     var sig = signature(current)
     var rounds = 0
     var converged = current.isEmpty

@@ -975,10 +975,11 @@ object AdvancedQueries {
         .selectExpr("concat(substring(w, 1, pos - 1), " +
           "substring(w, pos + 1, length(w))) AS q")
         .distinct()
-      def delVars(df: DataFrame, c: String) = df.selectExpr(c,
-        s"explode(concat(array($c), transform(sequence(1, length($c)), " +
-          s"i -> concat(substring($c, 1, i - 1), " +
-          s"substring($c, i + 1, length($c)))))) AS v")
+      // native single-deletion neighborhood (same variant set as the
+      // composed concat/transform/substring HOF, without its per-char
+      // interpreted lambda frames)
+      def delVars(df: DataFrame, c: String) = df.select(col(c),
+        explode(graft.text.DeletionVariants(col(c))).as("v"))
       delVars(typos, "q").join(delVars(words, "w"), Seq("v"))
         .select(col("q"), col("w")).distinct()
         .withColumn("dist", levenshtein(col("q"), col("w")).cast("long"))

@@ -209,16 +209,25 @@ object AnalyticsQueries {
             "addr")
       val records = cust.unionByName(variant("er1a:", 10000000L))
         .unionByName(variant("er1b:", 20000000L))
-      val vars = records.selectExpr("id", "name", "addr",
-        "explode(concat(array(name), transform(sequence(1, length(name)), " +
-          "i -> concat(substring(name, 1, i - 1), " +
-          "substring(name, i + 1, length(name)))))) AS v")
-      val edges = vars.as("a").join(vars.as("b"),
+      // native deletion-neighborhood kernel (vs the interpreted HOF: one
+      // lambda frame per character per record), materialized ONCE so the
+      // self-join's two sides don't each replay the explode DAG
+      val vars = records.select(col("id"), col("name"), col("addr"),
+          explode(graft.text.DeletionVariants(col("name"))).as("v"))
+        .localCheckpoint(true)
+      // candidate ids only through the wide join (names rejoin AFTER the
+      // distinct — the Levenshtein verify then runs once per candidate
+      // PAIR, not per raw variant collision inside the join stage, and
+      // the broadcast side stays narrow)
+      val cand = vars.as("a").join(vars.as("b"),
           col("a.addr") === col("b.addr") && col("a.v") === col("b.v") &&
             col("a.id") < col("b.id"))
-        .select(col("a.id").as("src"), col("b.id").as("dst"),
-          col("a.name").as("na"), col("b.name").as("nb"))
+        .select(col("a.id").as("src"), col("b.id").as("dst"))
         .distinct()
+      val names = records.select(col("id"), col("name"))
+      val edges = cand
+        .join(names.select(col("id").as("src"), col("name").as("na")), "src")
+        .join(names.select(col("id").as("dst"), col("name").as("nb")), "dst")
         .filter(levenshtein(col("na"), col("nb")) <= 1)
         .select(col("src"), col("dst"))
       graft.graph.ConnectedComponents.minLabel(edges, "src", "dst")

@@ -62,4 +62,19 @@ class ConnectedComponentsSpec extends SparkSpec {
       assert(components(edges) == unionFind(edges))
     }
   }
+
+  test("driver-local under-cap path equals the distributed contraction") {
+    val rnd = new Random(7)
+    for (_ <- 1 to 3) {
+      val edges = Seq.fill(120)(
+        (rnd.nextInt(70).toLong, rnd.nextInt(70).toLong))
+      val df = edges.toDF("s", "d")
+      val local = ConnectedComponents.minLabel(df, "s", "d")
+        .as[(Long, Long)].collect().toMap
+      val dist = ConnectedComponents
+        .minLabel(df, "s", "d", localEdgeCap = 0) // force the star loop
+        .as[(Long, Long)].collect().toMap
+      assert(local == dist)
+    }
+  }
 }
