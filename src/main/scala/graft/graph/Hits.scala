@@ -48,15 +48,20 @@ object Hits {
             .otherwise(lit(0.0)).as(c))
     }
 
+    // under GraphOps.BroadcastNodeCap the score tables broadcast, so the
+    // edge list never shuffles for the per-round joins
+    val nNodes = nodes.count()
     var scores = nodes.select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
     for (_ <- 1 to iters) {
       val aRaw = e
-        .join(scores.select(col("id").as("src"), col("hub")), "src")
+        .join(GraphOps.nodeSide(
+          scores.select(col("id").as("src"), col("hub")), nNodes), "src")
         .groupBy(col("dst")).agg(sum(floor(col("hub") * Grid) / Grid).as("a"))
         .select(col("dst").as("id"), col("a"))
       val auth = normalized(aRaw, "a")
       val hRaw = e
-        .join(auth.select(col("id").as("dst"), col("a")), "dst")
+        .join(GraphOps.nodeSide(
+          auth.select(col("id").as("dst"), col("a")), nNodes), "dst")
         .groupBy(col("src")).agg(sum(floor(col("a") * Grid) / Grid).as("h"))
         .select(col("src").as("id"), col("h"))
       val hub = normalized(hRaw, "h")

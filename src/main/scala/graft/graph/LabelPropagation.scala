@@ -31,9 +31,13 @@ object LabelPropagation {
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // under GraphOps.BroadcastNodeCap the label table broadcasts, so the
+    // edge list never shuffles for the per-round join
+    val nNodes = labels.count()
     for (_ <- 1 to rounds) {
       labels = und
-        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .join(GraphOps.nodeSide(
+          labels.select(col("id").as("dst"), col("label")), nNodes), "dst")
         .groupBy(col("src"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("src"))

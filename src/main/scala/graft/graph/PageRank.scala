@@ -43,12 +43,17 @@ object PageRank {
       .select(col("src").as("id"), col("outdeg"))
       .localCheckpoint()
     val n = deg.agg(count(lit(1)).as("n"))
+    // under GraphOps.BroadcastNodeCap the rank table broadcasts, so the
+    // edge list never shuffles for the per-round contribution join
+    val nNodes = deg.count()
 
     var v = deg.crossJoin(broadcast(n))
       .select(col("id"), (lit(1.0) / col("n")).as("pr"), col("outdeg"))
     for (_ <- 1 to iters) {
       val contrib = und
-        .join(v.select(col("id").as("src"), col("pr"), col("outdeg")), "src")
+        .join(GraphOps.nodeSide(
+          v.select(col("id").as("src"), col("pr"), col("outdeg")),
+          nNodes), "src")
         .select(col("dst").as("id"),
           (floor(col("pr") / col("outdeg") * Grid) / Grid).as("c"))
       v = contrib.groupBy(col("id")).agg(sum(col("c")).as("s"))

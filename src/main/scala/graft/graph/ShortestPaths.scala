@@ -43,6 +43,10 @@ object ShortestPaths {
       .withColumn("dist", lit(0L))
       .localCheckpoint(true)
     for (_ <- 1 to maxHops) {
+      // measured: hinting the frontier side broadcast (GraphOps.nodeSide)
+      // is a net LOSS here — the relax round is dominated by the min-agg
+      // exchange, and the per-round count+broadcast-build jobs outweigh
+      // the saved edge shuffle — so this keeps the plain keyed join
       val relaxed = und
         .join(dist.select(col("id").as("src"), col("dist")), "src")
         .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))

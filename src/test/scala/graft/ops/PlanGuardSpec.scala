@@ -202,7 +202,10 @@ class PlanGuardSpec extends SparkSpec {
     val rddRooted =
       Set("cdc_scd2_skew_fallback", "q43_pagerank", "q50_triangles",
         "tx19_bpe_merges", "q54_hierarchy_rollup", "q57_label_propagation",
-        "q59_shortest_paths")
+        "q59_shortest_paths",
+        // cur13 checkpoints its feature frame (read 7×: 6 GD rounds +
+        // inference); er1/q65 checkpoint variants/edge tables the same way
+        "cur13_lr_quality_model", "er1_entity_clusters", "q65_hits")
     (SparkEntry.queries.keySet -- rddRooted).toSeq.sorted.foreach { name =>
       assert(plan(name).contains("PushedFilters: ["),
         s"$name scan lost pushdown metadata")
