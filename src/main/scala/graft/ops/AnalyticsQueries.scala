@@ -181,6 +181,40 @@ object AnalyticsQueries {
       graft.graph.Hits.hits(purchaseEdges(s, dir), iters = 2)
         .orderBy(col("auth").desc, col("id")).limit(50)),
 
+    // The relative-rank window family in one pass over a shared window
+    // spec: percent_rank / cume_dist / ntile(4) of order totalprice
+    // within each order-priority group, for a deterministic key slice.
+    // percent_rank and cume_dist are division-only IEEE arithmetic on
+    // integer ranks — bit-exact cross-engine, no grid. Scale shape: the
+    // window partitions by priority (key-parallel) and the slice bounds
+    // the per-partition sort.
+    "q66_rank_family" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // STREAM–STATIC join enrichment driver-gated end-to-end: the event
+    // stream joins the broadcast customer dimension per micro-batch, the
+    // complete-mode aggregate lands in a parquet store, and the oracle
+    // recomputes the identical join+GROUP BY relationally (see
+    // streaming.EnrichedStream for the scale shape).
+    "ev9_stream_enriched" -> ((s, dir) => {
+      val store = graft.streaming.EnrichedStream.materializedSegmentDir(s, dir)
+      s.read.parquet(store)
+        .select(col("c_mktsegment").as("segment"), col("event_type"),
+          col("n_events"),
+          col("sum_value_dec").cast("double").as("sum_value"))
+        .orderBy(col("segment"), col("event_type"))
+    }),
+
     // Entity resolution end-to-end: dirty records (every 7th customer
     // gains two deterministic single-deletion typo variants), FastSS
     // deletion-neighborhood blocking + exact-address block key, Levenshtein
@@ -429,6 +463,24 @@ object AnalyticsQueries {
       SELECT id, hub, auth FROM sc2
       ORDER BY auth DESC, id LIMIT 50"""
     },
+
+    "q66_rank_family" -> """
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+        percent_rank() OVER w AS pct_rank,
+        cume_dist() OVER w AS cume,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      FROM orders WHERE o_orderkey % 50 = 0
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderkey""",
+
+    "ev9_stream_enriched" -> """
+      SELECT c_mktsegment AS segment, event_type,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+          AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "er1_entity_clusters" -> """
       WITH RECURSIVE cust AS (
