@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Round-5 additions: graph distance, time-series gap-fill, exact model
   * evaluation — analytics shapes not yet covered by the other ops files.
@@ -199,6 +200,62 @@ object AnalyticsQueries {
         .withColumn("cume", cume_dist().over(w))
         .withColumn("quartile", ntile(4).over(w).cast("long"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Sequence-pattern analytics (the MATCH_RECOGNIZE workload): each
+    // user's event types concatenated in (ts, event_id) order, then a
+    // regex over the sequence string detects view-then-purchase-then-error
+    // journeys. Deterministic: the order key is unique, and both engines
+    // run the same ordered aggregation + POSIX regex. Scale shape: one
+    // hash agg per user (collect bounded by per-user activity), regex
+    // scan-side — no window over raw events.
+    "q67_seq_pattern" -> ((s, dir) => {
+      val seq = Tables(s, dir, "events")
+        .filter(col("user_id") < 300)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), ">").as("seq"))
+      seq.select(col("user_id"), col("n_events"),
+          col("seq").rlike("view(>\\w+)*>purchase(>\\w+)*>error")
+            .cast("long").as("has_journey"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Exact covariance matrix over the four lineitem numeric measures in
+    // ONE pass: measures become integer CENTS (2-dp inputs, exact), the 14
+    // sufficient statistics (4 sums + 10 pair product-sums) accumulate in
+    // DECIMAL(38,0) — exact integers at any corpus size — and the
+    // covariance finishes in a FIXED IEEE op chain on the
+    // correctly-rounded double images of those integers, so both engines
+    // land on identical bits (DuckDB bridges decimal→double via VARCHAR).
+    // Scale shape: k² aggregates in one scan-side hash agg, no shuffle
+    // beyond the single global aggregate.
+    "q68_cov_matrix" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").select(
+        Seq("l_quantity" -> "x1", "l_extendedprice" -> "x2",
+          "l_discount" -> "x3", "l_tax" -> "x4").map { case (c, a) =>
+          round(col(c) * 100).cast("long").cast(DecimalType(38, 0)).as(a)
+        }: _*)
+      val xs = Seq("x1", "x2", "x3", "x4")
+      val pairs = for { i <- xs.indices; j <- xs.indices if i <= j }
+        yield (xs(i), xs(j))
+      val sums = xs.map(c => sum(col(c)).as(s"s_$c")) ++
+        pairs.map { case (a, b) =>
+          sum((col(a) * col(b)).cast(DecimalType(38, 0))).as(s"p_${a}_$b")
+        }
+      val agg = li.agg(count(lit(1)).cast("double").as("n"), sums: _*)
+      val rows = pairs.map { case (a, b) =>
+        struct(lit(a).as("var_a"), lit(b).as("var_b"),
+          (((col(s"p_${a}_$b").cast("double") -
+            col(s"s_$a").cast("double") * col(s"s_$b").cast("double")
+              / col("n")) / col("n")) / lit(10000.0)).as("cov"))
+      }
+      agg.select(explode(array(rows: _*)).as("r"))
+        .select(col("r.var_a"), col("r.var_b"), col("r.cov"))
+        .orderBy(col("var_a"), col("var_b"))
     }),
 
     // STREAM–STATIC join enrichment driver-gated end-to-end: the event
@@ -473,6 +530,42 @@ object AnalyticsQueries {
       WINDOW w AS (PARTITION BY o_orderpriority
                    ORDER BY o_totalprice, o_orderkey)
       ORDER BY o_orderkey""",
+
+    "q67_seq_pattern" -> """
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(CASE WHEN regexp_matches(
+            string_agg(event_type, '>' ORDER BY ts, event_id),
+            'view(>\w+)*>purchase(>\w+)*>error')
+          THEN 1 ELSE 0 END AS BIGINT) AS has_journey
+      FROM events WHERE user_id < 300
+      GROUP BY user_id ORDER BY user_id""",
+
+    "q68_cov_matrix" -> {
+      val xs = Seq("l_quantity" -> "x1", "l_extendedprice" -> "x2",
+        "l_discount" -> "x3", "l_tax" -> "x4")
+      val pairs = for { i <- xs.indices; j <- xs.indices if i <= j }
+        yield (xs(i)._2, xs(j)._2)
+      def d(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+      val rows = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS var_a, '$b' AS var_b,
+          ((${d(s"p_${a}_$b")} - ${d(s"s_$a")} * ${d(s"s_$b")} / n) / n)
+            / 10000.0 AS cov FROM a"""
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH c AS (
+        SELECT ${xs.map { case (c0, a) =>
+          s"CAST(round($c0 * 100) AS HUGEINT) AS $a" }.mkString(", ")}
+        FROM lineitem
+      ), a AS (
+        SELECT COUNT(*)::DOUBLE AS n,
+          ${xs.map { case (_, a) => s"SUM($a) AS s_$a" }.mkString(", ")},
+          ${pairs.map { case (a, b) => s"SUM($a * $b) AS p_${a}_$b" }
+            .mkString(", ")}
+        FROM c
+      )
+      SELECT var_a, var_b, cov FROM ($rows)
+      ORDER BY var_a, var_b"""
+    },
 
     "ev9_stream_enriched" -> """
       SELECT c_mktsegment AS segment, event_type,
