@@ -160,12 +160,13 @@ object DedupQueries {
           ContainTau, ShingleN, Bands, RowsPerBand)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // EXACT set-similarity join via prefix filtering — zero false
+    // EXACT set-similarity join (count-based token join; see
+    // Dedup.exactJaccardPairs vs the prefix-filter twin) — zero false
     // negatives, unlike the probabilistic LSH pass, so the oracle is the
     // plain all-pairs definition (pairs sharing any shingle, exact
     // Jaccard): the algorithm must reproduce it verbatim.
     "dd11_prefix_jaccard" -> ((s, dir) =>
-      Dedup.prefixJaccardPairs(Tables(s, dir, "documents"), "text",
+      Dedup.exactJaccardPairs(Tables(s, dir, "documents"), "text",
           "doc_id", JaccardTau, ShingleN)
         .orderBy(col("id_a"), col("id_b"))),
 

@@ -120,6 +120,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("count-based exact join equals the prefix join and brute force") {
+    val corpus = (1L to 40L).map { i =>
+      val words = (0 until 8).map(j => s"w${(i / 4 + j) % 13}")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+    for (tau <- Seq(0.3, 0.6, 0.9)) {
+      val cnt = pairSet(Dedup.exactJaccardPairs(corpus, "text", "doc_id", tau))
+      val pfx = pairSet(Dedup.prefixJaccardPairs(corpus, "text", "doc_id", tau))
+      assert(cnt == pfx, s"tau=$tau: count-based diverged from prefix join")
+    }
+    assert(pairSet(
+      Dedup.exactJaccardPairs(corpus, "text", "doc_id", 0.6)).nonEmpty)
+  }
+
   test("universal hash family is deterministic and in range") {
     val fam = Dedup.hashFamily(12)
     assert(fam == Dedup.hashFamily(12))
