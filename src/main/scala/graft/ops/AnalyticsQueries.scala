@@ -272,6 +272,25 @@ object AnalyticsQueries {
         .orderBy(col("segment"), col("event_type"))
     }),
 
+    // PCA from a STANDING covariance store, driver-gated end-to-end: the
+    // embedding stream folded (two manifest-committed merges) into exact
+    // integer second-moment cells, the top component derived from the
+    // STORE alone (O(dim²) driver work, corpus never rescanned), then a
+    // scan-side projection of every embedding onto it. The oracle
+    // recomputes the one-shot cells relationally and unrolls the same
+    // grid-exact power rounds — lossless merging makes store ≡ one-shot
+    // bit-for-bit (see streaming.CovarianceStore).
+    "ev10_stream_pca_store" -> ((s, dir) => {
+      val root = graft.streaming.CovarianceStore.materializedEmbCovDir(s, dir)
+      val (mean, v) = graft.streaming.CovarianceStore.topComponent(s, root, 64)
+      graft.sim.Pca.projections(
+          Tables(s, dir, "embeddings")
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          "id", "vec", mean, v)
+        .select(col("id").as("vec_id"), col("proj"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Entity resolution end-to-end: dirty records (every 7th customer
     // gains two deterministic single-deletion typo variants), FastSS
     // deletion-neighborhood blocking + exact-address block key, Levenshtein
@@ -565,6 +584,54 @@ object AnalyticsQueries {
       )
       SELECT var_a, var_b, cov FROM ($rows)
       ORDER BY var_a, var_b"""
+    },
+
+    "ev10_stream_pca_store" -> {
+      val G = "1048576"
+      val iters = 3
+      def round(t: Int) = s"""cu$t AS (
+          SELECT cc.d, SUM(floor(cc.c * v.v * $G) / $G) AS u
+          FROM cc JOIN cv${t - 1} v ON v.d = cc.e GROUP BY cc.d
+        ), cq$t AS (SELECT SUM(floor(u * u * $G) / $G) AS sq FROM cu$t),
+        cv$t AS (
+          SELECT cu.d, CASE WHEN cq.sq > 0
+            THEN cu.u / sqrt(cq.sq) ELSE pv.v END AS v
+          FROM cu$t cu JOIN cv${t - 1} pv USING (d), cq$t cq
+        )"""
+      s"""
+      WITH pdims AS (SELECT unnest(generate_series(1, 64)) AS d),
+      cex AS (
+        SELECT vec_id, d,
+          CAST(floor(embedding[d]::DOUBLE * $G) AS HUGEINT) AS xq,
+          embedding[d]::DOUBLE AS x
+        FROM embeddings, pdims
+      ), cn AS (
+        SELECT COUNT(*)::HUGEINT AS n, COUNT(*)::DOUBLE AS nd
+        FROM embeddings
+      ), cst AS (SELECT d, SUM(xq) AS s FROM cex GROUP BY d),
+      cp AS (
+        SELECT a.d AS d, b.d AS e, SUM(a.xq * b.xq) AS p
+        FROM cex a JOIN cex b ON a.vec_id = b.vec_id GROUP BY 1, 2
+      ), cc AS (
+        SELECT cp.d, cp.e,
+          CAST(CAST(cn.n * cp.p - sa.s * sb.s AS VARCHAR) AS DOUBLE)
+            / cn.nd / cn.nd / $G / $G AS c
+        FROM cp JOIN cst sa ON sa.d = cp.d
+                JOIN cst sb ON sb.d = cp.e, cn
+      ), cm AS (
+        SELECT d, CAST(CAST(s AS VARCHAR) AS DOUBLE)
+          / (SELECT nd FROM cn) / $G AS m
+        FROM cst
+      ), cv0 AS (SELECT d, 1.0 / sqrt(64.0) AS v FROM pdims),
+      ${(1 to iters).map(round).mkString(", ")},
+      cmd AS (
+        SELECT SUM(floor(cm.m * v.v * $G) / $G) AS md
+        FROM cm JOIN cv$iters v USING (d)
+      )
+      SELECT e.vec_id,
+        SUM(floor(e.x * v.v * $G) / $G) - (SELECT md FROM cmd) AS proj
+      FROM cex e JOIN cv$iters v USING (d)
+      GROUP BY e.vec_id ORDER BY e.vec_id"""
     },
 
     "ev9_stream_enriched" -> """
