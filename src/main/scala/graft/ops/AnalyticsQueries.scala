@@ -272,6 +272,35 @@ object AnalyticsQueries {
         .orderBy(col("segment"), col("event_type"))
     }),
 
+    // Zipf-law fit of the corpus vocabulary: log-log OLS slope of the
+    // top-100 token frequencies vs rank (a healthy natural-language
+    // corpus sits near −1; template/spam corpora flatten). ln values ride
+    // the 2^-20 grid as BIGINTs so the OLS sums are exact integers; the
+    // slope is ONE division of exact-int doubles — bit-exact
+    // cross-engine. Scale shape: token freq is one hash agg, the top-100
+    // is TakeOrdered, and the regression runs over 100 bounded rows.
+    "tx25_zipf" -> ((s, dir) => {
+      val g = 1048576L
+      val freq = Tables(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      val vocab = freq.agg(count(lit(1)).as("vocab"))
+      // bounded global window: input is the TakeOrdered top-100 rows
+      val top = freq.orderBy(col("f").desc, col("tok")).limit(100)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("f").desc, col("tok"))))
+      top.select(
+          round(log(col("rank").cast("double")) * g).cast("long").as("x"),
+          round(log(col("f").cast("double")) * g).cast("long").as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"))
+        .crossJoin(broadcast(vocab))
+        .select(col("vocab"), col("n").as("n_top"),
+          expr("CAST(n * sxy - sx * sy AS DOUBLE) " +
+            "/ CAST(n * sx2 - sx * sx AS DOUBLE)").as("slope"))
+    }),
+
     // PCA from a STANDING covariance store, driver-gated end-to-end: the
     // embedding stream folded (two manifest-committed merges) into exact
     // integer second-moment cells, the top component derived from the
@@ -585,6 +614,30 @@ object AnalyticsQueries {
       SELECT var_a, var_b, cov FROM ($rows)
       ORDER BY var_a, var_b"""
     },
+
+    "tx25_zipf" -> raw"""
+      WITH ztoks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+      ), zfreq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM ztoks GROUP BY 1
+      ), ztop AS (
+        SELECT f, tok, ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS rank
+        FROM zfreq ORDER BY f DESC, tok LIMIT 100
+      ), zp AS (
+        SELECT CAST(round(ln(rank::DOUBLE) * 1048576) AS BIGINT) AS x,
+               CAST(round(ln(f::DOUBLE) * 1048576) AS BIGINT) AS y
+        FROM ztop
+      ), za AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sx2
+        FROM zp
+      )
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM zfreq) AS vocab,
+        CAST(n AS BIGINT) AS n_top,
+        CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(n * sx2 - sx * sx AS VARCHAR) AS DOUBLE) AS slope
+      FROM za""",
 
     "ev10_stream_pca_store" -> {
       val G = "1048576"

@@ -243,6 +243,28 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // SCD TYPE-3 dimension (the limited-history design next to SCD2's
+    // full history and Type-1's none): current status + the immediately
+    // previous status in one row per live key, plus the change count.
+    // One ascending lag + one descending row_number over the same
+    // (id)-partitioned data — key-parallel, two sorts of each key's
+    // handful of events, no extra shuffle beyond the hash-by-id.
+    "cdc_scd3_prev" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val asc = Window.partitionBy(col("id")).orderBy(col("log_seq_num"))
+      val desc = Window.partitionBy(col("id"))
+        .orderBy(col("log_seq_num").desc)
+      changeLog(s, dir)
+        .withColumn("prev_status", lag(col("status"), 1).over(asc))
+        .withColumn("n_changes", count(lit(1)).over(
+          Window.partitionBy(col("id"))))
+        .withColumn("rn", row_number().over(desc))
+        .filter(col("rn") === 1 && col("operation_type") =!= "DELETE")
+        .select(col("id"), col("status"), col("prev_status"),
+          col("n_changes"))
+        .orderBy(col("id"))
+    }),
+
     // Row-level MERGE INTO driver-gated as a CDC batch apply: batch 1
     // inserts the CREATE payloads, batch 2 merges each key's LATEST
     // non-create event (updates/snapshots replace the row, deletes remove
@@ -551,6 +573,19 @@ object CdcQueries {
               WHERE operation_type = 'CREATE') c
         LEFT JOIN b2 b USING (id)
       ) WHERE bop IS NULL OR bop != 'DELETE'
+      ORDER BY id""",
+
+    "cdc_scd3_prev" -> s"""$changesCte
+      SELECT id, status, prev_status, n_changes FROM (
+        SELECT id, status,
+          LAG(status, 1) OVER (PARTITION BY id ORDER BY log_seq_num)
+            AS prev_status,
+          CAST(COUNT(*) OVER (PARTITION BY id) AS BIGINT) AS n_changes,
+          operation_type,
+          ROW_NUMBER() OVER (PARTITION BY id ORDER BY log_seq_num DESC)
+            AS rn
+        FROM changes
+      ) WHERE rn = 1 AND operation_type != 'DELETE'
       ORDER BY id""",
 
     // Key-level value diff of v2 against v1: v1 is the CREATE batch, v2
