@@ -272,6 +272,52 @@ object AnalyticsQueries {
         .orderBy(col("segment"), col("event_type"))
     }),
 
+    // CURRICULUM schedule: three training epochs annealing toward high
+    // quality — docs land in fixed-width quality bins, epoch e weights a
+    // bin (bin+1)^e (exact integer powers, no libm pow), each epoch's
+    // half-corpus budget splits across bins ∝ weight·size by integer
+    // division, and the selected docs are the deterministic-hash top
+    // n_target of each bin. Output: the realized plan per (epoch, bin)
+    // with selected-doc count and character mass. Scale shape: one bin
+    // agg, an O(epochs·bins) plan table, and one per-bin rank window
+    // (key-parallel) shared by all epochs.
+    "cur15_curriculum" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextFunctions.qualityScore(col("text")).as("q"),
+        col("n_chars"))
+      val binned = docs.select(col("doc_id"), col("n_chars"),
+        least(floor(col("q") * 10), lit(9)).cast("int").as("bin"),
+        graft.functions.Hash60(
+          concat(lit("cur15:"), col("doc_id").cast("string"))).as("pri"))
+      val counts = binned.groupBy(col("bin")).agg(count(lit(1)).as("n_bin"))
+      val epochs = s.range(1, 4).select(col("id").cast("int").as("epoch"))
+      val plan = counts.crossJoin(broadcast(epochs))
+        .withColumn("w", expr("""CAST(CASE WHEN epoch = 1 THEN bin + 1
+          WHEN epoch = 2 THEN (bin + 1) * (bin + 1)
+          ELSE (bin + 1) * (bin + 1) * (bin + 1) END AS BIGINT)"""))
+      val tot = plan.groupBy(col("epoch"))
+        .agg(sum(col("w") * col("n_bin")).as("wtot"),
+          sum(col("n_bin")).as("ntot"))
+      val tgt = plan.join(tot, "epoch")
+        .withColumn("n_target",
+          least(col("n_bin"),
+            expr("ntot div 2 * w * n_bin div wtot")))
+      val ranked = binned.withColumn("rk", row_number().over(
+        Window.partitionBy(col("bin"))
+          .orderBy(col("pri"), col("doc_id"))))
+      ranked.join(broadcast(tgt.select(col("epoch"), col("bin"),
+          col("n_target"))), "bin")
+        .filter(col("rk") <= col("n_target"))
+        .groupBy(col("epoch"), col("bin"))
+        .agg(count(lit(1)).as("n_selected"),
+          sum(col("n_chars").cast("long")).as("chars_selected"))
+        .join(tgt.select(col("epoch"), col("bin"), col("n_target")),
+          Seq("epoch", "bin"))
+        .select(col("epoch"), col("bin"), col("n_target"),
+          col("n_selected"), col("chars_selected"))
+        .orderBy(col("epoch"), col("bin"))
+    }),
+
     // Zipf-law fit of the corpus vocabulary: log-log OLS slope of the
     // top-100 token frequencies vs rank (a healthy natural-language
     // corpus sits near −1; template/spam corpora flatten). ln values ride
@@ -614,6 +660,45 @@ object AnalyticsQueries {
       SELECT var_a, var_b, cov FROM ($rows)
       ORDER BY var_a, var_b"""
     },
+
+    "cur15_curriculum" -> s"""
+      WITH qd AS (
+        SELECT doc_id, n_chars,
+          CAST(least(floor((${TextQueries.qualitySql}) * 10), 9) AS INT)
+            AS bin,
+          ('0x' || substr(md5('cur15:' || CAST(doc_id AS VARCHAR)), 1, 15))
+            ::BIGINT AS pri
+        FROM documents
+      ), bcounts AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_bin FROM qd GROUP BY 1
+      ), ep AS (SELECT unnest([1, 2, 3]) AS epoch),
+      bplan AS (
+        SELECT bin, n_bin, epoch,
+          CAST(CASE WHEN epoch = 1 THEN bin + 1
+            WHEN epoch = 2 THEN (bin + 1) * (bin + 1)
+            ELSE (bin + 1) * (bin + 1) * (bin + 1) END AS BIGINT) AS w
+        FROM bcounts, ep
+      ), btot AS (
+        SELECT epoch, SUM(w * n_bin) AS wtot, SUM(n_bin) AS ntot
+        FROM bplan GROUP BY 1
+      ), btgt AS (
+        SELECT p.epoch, p.bin,
+          CAST(LEAST(p.n_bin, ntot // 2 * w * n_bin // wtot) AS BIGINT)
+            AS n_target
+        FROM bplan p JOIN btot USING (epoch)
+      ), brk AS (
+        SELECT doc_id, n_chars, bin,
+          ROW_NUMBER() OVER (PARTITION BY bin ORDER BY pri, doc_id) AS rk
+        FROM qd
+      ), bsel AS (
+        SELECT t.epoch, r.bin, CAST(COUNT(*) AS BIGINT) AS n_selected,
+          CAST(SUM(n_chars) AS BIGINT) AS chars_selected
+        FROM brk r JOIN btgt t ON t.bin = r.bin AND r.rk <= t.n_target
+        GROUP BY 1, 2
+      )
+      SELECT s.epoch, s.bin, t.n_target, s.n_selected, s.chars_selected
+      FROM bsel s JOIN btgt t ON t.epoch = s.epoch AND t.bin = s.bin
+      ORDER BY s.epoch, s.bin""",
 
     "tx25_zipf" -> raw"""
       WITH ztoks AS (
