@@ -115,7 +115,6 @@ object Fixtures {
     * from disk like the reference's DuckDB does (S4), so what they measure
     * is the engine's scan+parse+decode, not fixture generation.
     */
-  private val lakeLock = new Object
   def lakeDir(lines: => DataFrame, sfDir: String, table: String): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     // Absolute, always-writable base: the invoking process's cwd is not ours
@@ -123,7 +122,11 @@ object Fixtures {
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
     val dir = s"$base/$key/$table"
-    lakeLock.synchronized {
+    // cross-process exclusive; the lock lives in a SIBLING dir because
+    // mode("overwrite") deletes `dir` itself (Spark's own _SUCCESS is the
+    // done marker)
+    graft.streaming.FixtureLock.exclusively(
+        java.nio.file.Paths.get(dir + "__lock")) {
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")))
         lines.write.mode("overwrite").text(dir)
     }
@@ -182,14 +185,11 @@ object Fixtures {
     val (lake, changes) = ordersChangeStream(orders, sfDir)
     val root = Paths.get(lake).getParent.resolve("orders_stream_dim")
     val dimPath = root.resolve("dim").toString
-    lakeLock.synchronized {
-      if (!Files.exists(root.resolve("_DONE"))) {
+    graft.streaming.FixtureLock.once(root) {
         val q = graft.streaming.Scd2Stream.dimensionStream(changes, dimPath,
           root.resolve("ckpt").toString, numBuckets = 16)
         q.processAllAvailable()
         q.stop()
-        Files.createFile(root.resolve("_DONE"))
-      }
     }
     dimPath
   }
@@ -213,7 +213,9 @@ object Fixtures {
     val root = Paths.get(lake).getParent.resolve("orders_landed_v2")
     val raw = root.resolve("lake").toString
     val compact = root.resolve("lake_compact").toString
-    lakeLock.synchronized {
+    // exclusively (not once): this builder stages its own early marker and
+    // runs a marker-keyed cleanup pass that must also be serialized
+    graft.streaming.FixtureLock.exclusively(root) {
       if (!Files.exists(root.resolve("_DONE"))) {
         val src = graft.streaming.Landing.fileSource(spark, lake,
           "debezium.commerce.orders", maxFilesPerTrigger = Some(2))
@@ -260,14 +262,11 @@ object Fixtures {
     val (lake, changes) = ordersChangeStream(orders, sfDir)
     val root = Paths.get(lake).getParent.resolve("orders_stream_current")
     val storePath = root.resolve("store").toString
-    lakeLock.synchronized {
-      if (!Files.exists(root.resolve("_DONE"))) {
+    graft.streaming.FixtureLock.once(root) {
         val q = graft.streaming.CurrentStateStream.storeStream(changes,
           storePath, root.resolve("ckpt").toString, numBuckets = 16)
         q.processAllAvailable()
         q.stop()
-        Files.createFile(root.resolve("_DONE"))
-      }
     }
     storePath
   }
@@ -285,7 +284,7 @@ object Fixtures {
     import java.nio.file.{Files, Paths}
     val hive = Paths.get(ordersLakeDir(orders, sfDir))
     val root = hive.getParent.resolve("orders_foreign")
-    lakeLock.synchronized {
+    graft.streaming.FixtureLock.exclusively(root) {
       if (!Files.exists(root.resolve("_SUCCESS"))) {
         import scala.jdk.CollectionConverters._
         val parts = Files.list(hive).iterator().asScala

@@ -247,7 +247,6 @@ object Media {
       }
   }
 
-  private val buildLock = new Object
 
   /** Materialize-once media fixture per SF: encoding 5k PNG/WAV/GIF
     * containers is fixture CONSTRUCTION, not query work — four gates each
@@ -262,13 +261,10 @@ object Media {
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
     // v1: real PNG + WAV + multi-frame GIF content
     val root = java.nio.file.Paths.get(s"$base/$key/media_v1")
-    buildLock.synchronized {
-      if (!java.nio.file.Files.exists(root.resolve("_DONE"))) {
+    graft.streaming.FixtureLock.once(root) {
         mediaFromDocuments(
             graft.ops.Tables(spark, sfDir, "documents"))
           .write.mode("overwrite").parquet(root.resolve("rows").toString)
-        java.nio.file.Files.createFile(root.resolve("_DONE"))
-      }
     }
     root.resolve("rows").toString
   }

@@ -31,7 +31,6 @@ object CdcQueries {
       col("source_timestamp"))
   }
 
-  private val mergeLock = new Object
 
   /** Materialize the two-batch MERGE apply once per sfDir; returns the
     * manifest-table root. Deterministic: both batches are pure functions
@@ -46,8 +45,7 @@ object CdcQueries {
     // repartition and carries tasks×buckets tiny files per commit)
     val root = Paths.get(s"$base/$key/orders_merge_table_v3")
     val store = root.resolve("table").toString
-    mergeLock.synchronized {
-      if (!Files.exists(root.resolve("_DONE"))) {
+    graft.streaming.FixtureLock.once(root) {
         import org.apache.spark.sql.expressions.Window
         val log = changeLog(s, dir)
         val b1 = log.filter(col("operation_type") === "CREATE")
@@ -61,8 +59,6 @@ object CdcQueries {
         graft.streaming.MergeInto.mergeBatch(s, b1, store, "id")
         graft.streaming.MergeInto.mergeBatch(s, b2, store, "id",
           deleteCol = Some("del"))
-        Files.createFile(root.resolve("_DONE"))
-      }
     }
     store
   }
@@ -83,8 +79,7 @@ object CdcQueries {
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
     val root = Paths.get(s"$base/$key/orders_merge_evolve_v2")
     val store = root.resolve("table").toString
-    mergeLock.synchronized {
-      if (!Files.exists(root.resolve("_DONE"))) {
+    graft.streaming.FixtureLock.once(root) {
         val log = changeLog(s, dir)
         val b1 = log.filter(col("operation_type") === "CREATE")
           .select(col("id"), col("status"), col("totalprice"))
@@ -93,8 +88,6 @@ object CdcQueries {
             concat(lit("P"), (col("id") % 5).cast("string")).as("priority"))
         graft.streaming.MergeInto.mergeBatch(s, b1, store, "id")
         graft.streaming.MergeInto.mergeBatch(s, b2, store, "id")
-        Files.createFile(root.resolve("_DONE"))
-      }
     }
     store
   }

@@ -39,7 +39,6 @@ object DedupQueries {
     * the chunk split is by doc_id, batch order is pinned by mtime, and
     * every dedup decision is hash-based.
     */
-  private val storeLock = new Object
 
   /** Materialize-once fixture for the INCREMENTAL cluster store (gate
     * `dd10_stream_cluster_store`): the dd5 LSH pair set written as two
@@ -56,8 +55,7 @@ object DedupQueries {
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
     val root = Paths.get(s"$base/$key/cluster_store_v1")
     val store = root.resolve("store").toString
-    storeLock.synchronized {
-      if (!Files.exists(root.resolve("_DONE"))) {
+    graft.streaming.FixtureLock.once(root) {
         val docs = Tables(s, dir, "documents")
         val pairs = Dedup.nearDuplicatePairs(docs, "text", "doc_id",
             JaccardTau, ShingleN, Bands, RowsPerBand)
@@ -88,8 +86,6 @@ object DedupQueries {
           root.resolve("ckpt").toString)
         q.processAllAvailable()
         q.stop()
-        Files.createFile(root.resolve("_DONE"))
-      }
     }
     store
   }
@@ -101,8 +97,7 @@ object DedupQueries {
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
     val root = Paths.get(s"$base/$key/dedup_stream_store")
     val store = root.resolve("store").toString
-    storeLock.synchronized {
-      if (!Files.exists(root.resolve("_DONE"))) {
+    graft.streaming.FixtureLock.once(root) {
         val docs = Tables(s, dir, "documents")
         val chunkDir = root.resolve("chunks")
         Files.createDirectories(chunkDir)
@@ -131,8 +126,6 @@ object DedupQueries {
           .start()
         q.processAllAvailable()
         q.stop()
-        Files.createFile(root.resolve("_DONE"))
-      }
     }
     store
   }

@@ -182,22 +182,18 @@ object IvfStore {
     * append as a second segment. Split-invariance makes the result equal
     * to a one-shot build — which is what the oracle recomputes.
     */
-  private val buildLock = new Object
   def materializedEmbeddingsDir(spark: SparkSession, sfDir: String,
                                 numCentroids: Int): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
     val root = java.nio.file.Paths.get(s"$base/$key/ivf_index_v1")
-    buildLock.synchronized {
-      if (!java.nio.file.Files.exists(root.resolve("_DONE"))) {
+    graft.streaming.FixtureLock.once(root) {
         val e = graft.ops.Tables(spark, sfDir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
         bootstrap(spark, e.filter(col("id") % 2 === 0), root.toString,
           numCentroids)
         append(spark, e.filter(col("id") % 2 === 1), root.toString)
-        java.nio.file.Files.createFile(root.resolve("_DONE"))
-      }
     }
     root.toString
   }

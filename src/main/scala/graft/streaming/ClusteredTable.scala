@@ -408,7 +408,6 @@ object ClusteredTable {
     * commit succeeds; versioned root so layout changes can never pick up a
     * stale cache.
     */
-  private val buildLock = new Object
 
   /** Materialize the Z-ORDERED events table once per scale factor: Morton
     * clustering on (user_id, value) into 16 segments — the 2-D fixture the
@@ -420,12 +419,9 @@ object ClusteredTable {
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
     val root = java.nio.file.Paths.get(s"$base/$key/events_zorder_v1")
-    buildLock.synchronized {
-      if (!java.nio.file.Files.exists(root.resolve("_DONE"))) {
+    FixtureLock.once(root) {
         writeZOrdered(spark, graft.ops.Tables(spark, sfDir, "events"),
           root.toString, "user_id", "value", numSegments = 16)
-        java.nio.file.Files.createFile(root.resolve("_DONE"))
-      }
     }
     root.toString
   }
@@ -436,14 +432,11 @@ object ClusteredTable {
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
     // v4: + user_id bloom index (v3 sorted segments, v2 __zrows stats)
     val root = java.nio.file.Paths.get(s"$base/$key/events_clustered_v4")
-    buildLock.synchronized {
-      if (!java.nio.file.Files.exists(root.resolve("_DONE"))) {
+    FixtureLock.once(root) {
         write(spark, graft.ops.Tables(spark, sfDir, "events"),
           root.toString, "ts", numSegments = 16)
         BloomIndex.build(spark, root.toString, "user_id",
           expectedItems = 100000L)
-        java.nio.file.Files.createFile(root.resolve("_DONE"))
-      }
     }
     root.toString
   }

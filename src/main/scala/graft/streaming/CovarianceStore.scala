@@ -162,7 +162,6 @@ object CovarianceStore {
     (mean, v)
   }
 
-  private val buildLock = new Object
 
   /** Materialize-once fixture: the embeddings covariance store built as
     * TWO merges (even vec_id, then odd) with txn ids — the store the
@@ -174,16 +173,13 @@ object CovarianceStore {
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
     val root = java.nio.file.Paths.get(s"$base/$key/emb_cov_v1")
-    buildLock.synchronized {
-      if (!java.nio.file.Files.exists(root.resolve("_DONE"))) {
+    FixtureLock.once(root) {
         val emb = graft.ops.Tables(spark, sfDir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
         merge(spark, root.toString,
           emb.filter(col("id") % 2 === 0), txnId = Some(1L))
         merge(spark, root.toString,
           emb.filter(col("id") % 2 === 1), txnId = Some(2L))
-        java.nio.file.Files.createFile(root.resolve("_DONE"))
-      }
     }
     root.toString
   }

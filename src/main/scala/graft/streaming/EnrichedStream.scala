@@ -28,7 +28,6 @@ object EnrichedStream {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).as("sum_value_dec"))
 
-  private val lock = new Object
 
   /** Materialize the streamed enriched aggregate once per sfDir; returns
     * the store path. Complete-mode aggregation is micro-batch-split
@@ -41,8 +40,7 @@ object EnrichedStream {
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
     val root = Paths.get(s"$base/$key/events_enriched_stream")
     val store = root.resolve("store").toString
-    lock.synchronized {
-      if (!Files.exists(root.resolve("_DONE"))) {
+    FixtureLock.once(root) {
         val events = graft.ops.Tables(spark, sfDir, "events")
           .select(col("ts"), col("user_id"), col("event_type"), col("value"))
         val dim = graft.ops.Tables(spark, sfDir, "customer")
@@ -63,8 +61,6 @@ object EnrichedStream {
           .start()
         q.processAllAvailable()
         q.stop()
-        Files.createFile(root.resolve("_DONE"))
-      }
     }
     store
   }

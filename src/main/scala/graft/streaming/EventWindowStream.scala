@@ -36,7 +36,6 @@ object EventWindowStream {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).as("sum_value_dec"))
 
-  private val lock = new Object
 
   /** Materialize the streamed hourly aggregate once per sfDir; returns the
     * store path. Deterministic for any micro-batch split (complete-mode
@@ -49,8 +48,7 @@ object EventWindowStream {
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
     val root = Paths.get(s"$base/$key/events_hourly_stream")
     val store = root.resolve("store").toString
-    lock.synchronized {
-      if (!Files.exists(root.resolve("_DONE"))) {
+    FixtureLock.once(root) {
         val events = graft.ops.Tables(spark, sfDir, "events")
           .select(col("ts"), col("event_type"), col("value"))
         val chunks = root.resolve("chunks").toString
@@ -69,8 +67,6 @@ object EventWindowStream {
           .start()
         q.processAllAvailable()
         q.stop()
-        Files.createFile(root.resolve("_DONE"))
-      }
     }
     store
   }

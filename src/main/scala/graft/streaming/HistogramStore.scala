@@ -159,7 +159,6 @@ object HistogramStore {
           col("ccb").cast("double") / col("nb").cast("double"))).as("ks"))
   }
 
-  private val buildLock = new Object
 
   /** Materialize-once fixture: the events drift cells built as TWO merges
     * (even event_ids, then odd) with txn ids against edges frozen from
@@ -172,8 +171,7 @@ object HistogramStore {
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
     val root = java.nio.file.Paths.get(s"$base/$key/events_drift_v1")
-    buildLock.synchronized {
-      if (!java.nio.file.Files.exists(root.resolve("_DONE"))) {
+    FixtureLock.once(root) {
         val ev = graft.ops.Tables(spark, sfDir, "events")
           .select(col("event_id"), col("event_type").as("group"),
             (col("ts") < lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
@@ -185,8 +183,6 @@ object HistogramStore {
           ev.filter(col("event_id") % 2 === 0), txnId = Some(1L))
         merge(spark, root.toString,
           ev.filter(col("event_id") % 2 === 1), txnId = Some(2L))
-        java.nio.file.Files.createFile(root.resolve("_DONE"))
-      }
     }
     root.toString
   }

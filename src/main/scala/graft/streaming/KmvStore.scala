@@ -91,7 +91,6 @@ object KmvStore {
             / col("hk").cast("double")).as("est_distinct"))
   }
 
-  private val buildLock = new Object
 
   /** Materialize-once fixture: the events table's per-type distinct-user
     * sketches built as TWO merges (even event_ids, then odd) with txn ids —
@@ -105,8 +104,7 @@ object KmvStore {
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
     val root = java.nio.file.Paths.get(s"$base/$key/events_kmv_v1")
-    buildLock.synchronized {
-      if (!java.nio.file.Files.exists(root.resolve("_DONE"))) {
+    FixtureLock.once(root) {
         val ev = graft.ops.Tables(spark, sfDir, "events")
           .select(col("event_id"), col("event_type").as("group"),
             graft.functions.Hash60(col("user_id").cast("string")).as("h"))
@@ -116,8 +114,6 @@ object KmvStore {
         merge(spark, root.toString,
           ev.filter(col("event_id") % 2 === 1).select("group", "h"),
           k, txnId = Some(2L))
-        java.nio.file.Files.createFile(root.resolve("_DONE"))
-      }
     }
     root.toString
   }

@@ -105,7 +105,6 @@ object PrioritySampleStore {
           .as("est_weight"))
   }
 
-  private val buildLock = new Object
 
   /** Materialize-once fixture: a standing weighted sample of the events
     * table (weight = `value`), built as TWO merges (even event_ids, then
@@ -119,8 +118,7 @@ object PrioritySampleStore {
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
     val root = java.nio.file.Paths.get(s"$base/$key/events_priority_v1")
-    buildLock.synchronized {
-      if (!java.nio.file.Files.exists(root.resolve("_DONE"))) {
+    FixtureLock.once(root) {
         val ev = graft.ops.Tables(spark, sfDir, "events")
           .select(col("event_id").as("id"), col("value").as("weight"))
           .withColumn("priority", priorityOf(col("id"), col("weight")))
@@ -128,8 +126,6 @@ object PrioritySampleStore {
           k, txnId = Some(1L))
         merge(spark, root.toString, ev.filter(col("id") % 2 === 1),
           k, txnId = Some(2L))
-        java.nio.file.Files.createFile(root.resolve("_DONE"))
-      }
     }
     root.toString
   }

@@ -135,7 +135,6 @@ object RegressionStore {
         ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"),
         col("corr_xy"))
 
-  private val buildLock = new Object
 
   /** Materialize-once fixture: the lineitem regression sums built as TWO
     * merges (even l_orderkey, then odd) with txn ids — the store the
@@ -147,8 +146,7 @@ object RegressionStore {
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
     val root = java.nio.file.Paths.get(s"$base/$key/lineitem_reg_v1")
-    buildLock.synchronized {
-      if (!java.nio.file.Files.exists(root.resolve("_DONE"))) {
+    FixtureLock.once(root) {
         val li = graft.ops.Tables(spark, sfDir, "lineitem")
           .select(col("l_orderkey"), col("l_returnflag").as("group"),
             col("l_quantity").as("x"), col("l_extendedprice").as("y"))
@@ -158,8 +156,6 @@ object RegressionStore {
         merge(spark, root.toString,
           li.filter(col("l_orderkey") % 2 === 1).select("group", "x", "y"),
           txnId = Some(2L))
-        java.nio.file.Files.createFile(root.resolve("_DONE"))
-      }
     }
     root.toString
   }

@@ -44,7 +44,6 @@ object SessionWindowStream {
       .select(col("user_id"), col("session_start"), col("session_last"),
         col("n_events"))
 
-  private val lock = new Object
 
   /** Materialize the streamed session table once per sfDir; returns the
     * store path. Complete-mode session aggregation is split-invariant, so
@@ -57,8 +56,7 @@ object SessionWindowStream {
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
     val root = Paths.get(s"$base/$key/events_session_stream")
     val store = root.resolve("store").toString
-    lock.synchronized {
-      if (!Files.exists(root.resolve("_DONE"))) {
+    FixtureLock.once(root) {
         val events = graft.ops.Tables(spark, sfDir, "events")
           .select(col("ts"), col("user_id"))
         val chunks = root.resolve("chunks").toString
@@ -77,8 +75,6 @@ object SessionWindowStream {
           .start()
         q.processAllAvailable()
         q.stop()
-        Files.createFile(root.resolve("_DONE"))
-      }
     }
     store
   }

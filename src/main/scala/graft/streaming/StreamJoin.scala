@@ -44,7 +44,6 @@ object StreamJoin {
         col("purchase_ts"), col("value"))
   }
 
-  private val lock = new Object
 
   /** Run the attribution join as a REAL two-stream job once per sfDir and
     * return the result store path. The events table is range-split into
@@ -59,8 +58,7 @@ object StreamJoin {
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
     val root = Paths.get(s"$base/$key/events_attribution_stream")
     val store = root.resolve("store").toString
-    lock.synchronized {
-      if (!Files.exists(root.resolve("_DONE"))) {
+    FixtureLock.once(root) {
         // a crashed earlier build leaves a checkpoint whose resume could
         // re-run the last batch into the plain-append store (duplicates)
         // or skip its output (losses) — without _DONE the partial state is
@@ -111,8 +109,6 @@ object StreamJoin {
           .start()
         q.processAllAvailable()
         q.stop()
-        Files.createFile(root.resolve("_DONE"))
-      }
     }
     store
   }

@@ -193,8 +193,7 @@ object PostingStore {
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
     val root = Paths.get(s"$base/$key/posting_stream_v1")
     val store = root.resolve("store").toString
-    buildLock.synchronized {
-      if (!Files.exists(root.resolve("_DONE"))) {
+    graft.streaming.FixtureLock.once(root) {
         val docs = graft.ops.Tables(spark, sfDir, "documents")
         val chunkDir = root.resolve("chunks")
         Files.createDirectories(chunkDir)
@@ -220,25 +219,19 @@ object PostingStore {
           root.resolve("ckpt").toString)
         q.processAllAvailable()
         q.stop()
-        Files.createFile(root.resolve("_DONE"))
-      }
     }
     store
   }
 
-  private val buildLock = new Object
   def materializedDocsDir(spark: SparkSession, sfDir: String): String = {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
     val root = java.nio.file.Paths.get(s"$base/$key/posting_index_v1")
-    buildLock.synchronized {
-      if (!java.nio.file.Files.exists(root.resolve("_DONE"))) {
+    graft.streaming.FixtureLock.once(root) {
         val d = graft.ops.Tables(spark, sfDir, "documents")
         bootstrap(spark, d.filter(col("doc_id") % 2 === 0), root.toString)
         append(spark, d.filter(col("doc_id") % 2 === 1), root.toString)
-        java.nio.file.Files.createFile(root.resolve("_DONE"))
-      }
     }
     root.toString
   }
