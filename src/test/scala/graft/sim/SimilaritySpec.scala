@@ -228,8 +228,10 @@ class SimilaritySpec extends SparkSpec {
     val sqRecall = (sq8 & bf).size.toDouble / bf.size
     assert(sqRecall >= 0.8, s"SQ8 reranked recall regressed: $sqRecall")
     // JL random projection 64→16 + exact rerank: a 16-dim sketch keeps
-    // pairwise angles to within JL distortion, so the 64-deep shortlist
-    // recovers most of the head even on worst-case random embeddings
+    // pairwise angles to within JL distortion, and the auto-sized
+    // (max(64, n/8)) shortlist recovers most of the head even on
+    // worst-case random embeddings (0.66 measured on the sf0.1 driver
+    // corpus at defaults; a FIXED 64-deep shortlist decayed to 0.34)
     val rp = pairs(Similarity.rpTopK(q, emb, 5))
     val rpRecall = (rp & bf).size.toDouble / bf.size
     assert(rpRecall >= 0.5, s"RP reranked recall regressed: $rpRecall")
