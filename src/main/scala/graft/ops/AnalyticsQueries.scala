@@ -272,6 +272,58 @@ object AnalyticsQueries {
         .orderBy(col("segment"), col("event_type"))
     }),
 
+    // TPC-H Q8-shaped national market share: within ASIA customers'
+    // ECONOMY-part order lines (1995–1997), the yearly revenue share
+    // carried by NATION_2 suppliers. Exercises the classic OLAP shape —
+    // a 6-table star join with small dims broadcast (nation/region
+    // hinted; supplier/part left to AQE, they scale with the corpus) and
+    // one grouped aggregation. Money stays DECIMAL until the final
+    // fixed-order double division (the repo's exact-sum discipline).
+    "q69_market_share" -> ((s, dir) => {
+      val dec = DecimalType(18, 2)
+      val asiaNations = Tables(s, dir, "nation")
+        .join(broadcast(Tables(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val cust = Tables(s, dir, "customer")
+        .join(broadcast(asiaNations),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val supp = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val orders = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+      val econParts = Tables(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice").cast(dec) *
+            (lit(1.0) - col("l_discount")).cast(dec))
+            .cast(DecimalType(38, 4)).as("volume"))
+        .join(econParts, col("l_partkey") === col("p_partkey"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg(sum(col("volume")).as("total_dec"),
+          sum(when(col("supp_nation") === "NATION_2", col("volume"))
+            .otherwise(lit(BigDecimal(0)).cast(DecimalType(38, 4))))
+            .as("nat_dec"))
+        .select(col("o_year"),
+          col("nat_dec").cast("double").as("nat_volume"),
+          col("total_dec").cast("double").as("total_volume"),
+          (col("nat_dec").cast("double") / col("total_dec").cast("double"))
+            .as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
     // CURRICULUM schedule: three training epochs annealing toward high
     // quality — docs land in fixed-width quality bins, epoch e weights a
     // bin (bin+1)^e (exact integer powers, no libm pow), each epoch's
@@ -660,6 +712,34 @@ object AnalyticsQueries {
       SELECT var_a, var_b, cov FROM ($rows)
       ORDER BY var_a, var_b"""
     },
+
+    "q69_market_share" -> """
+      WITH vol AS (
+        SELECT year(o_orderdate) AS o_year,
+          CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(1.0 - l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))
+            AS volume,
+          n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        JOIN orders ON l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      )
+      SELECT o_year,
+        CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+          ELSE CAST(0 AS DECIMAL(38,4)) END) AS VARCHAR) AS DOUBLE)
+          AS nat_volume,
+        CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS total_volume,
+        CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+          ELSE CAST(0 AS DECIMAL(38,4)) END) AS VARCHAR) AS DOUBLE)
+          / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS mkt_share
+      FROM vol GROUP BY o_year ORDER BY o_year""",
 
     "cur15_curriculum" -> s"""
       WITH qd AS (
