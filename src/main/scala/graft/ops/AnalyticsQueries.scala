@@ -272,6 +272,35 @@ object AnalyticsQueries {
         .orderBy(col("segment"), col("event_type"))
     }),
 
+    // Model LIFT/gains table for the q61 scorer (the third model-eval
+    // surface next to AUC and calibration): documents grouped into score
+    // deciles — each DISTINCT score's block is assigned wholly to the
+    // decile of its first row, `(cum_before·10) div N`, so the split is a
+    // pure function of the compressed (score, count) table both engines
+    // derive — with per-decile positive rate and lift vs the base rate in
+    // exact ppm integers. The running-cum window orders DISTINCT scores
+    // only (q61's compression), never the corpus.
+    "q70_decile_lift" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select(
+        col("n_chars").cast("long").as("score"),
+        (col("lang") === "en").cast("long").as("pos"))
+      val byScore = d.groupBy(col("score"))
+        .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("p"))
+      val tot = byScore.agg(sum(col("cnt")).as("nn"), sum(col("p")).as("pp"))
+      val w = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byScore.withColumn("cum", sum(col("cnt")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("decile", expr("(cum - cnt) * 10 div nn"))
+        .groupBy(col("decile"))
+        .agg(sum(col("cnt")).as("n"), sum(col("p")).as("n_pos"),
+          max(col("nn")).as("nn"), max(col("pp")).as("pp"))
+        .select(col("decile"), col("n"), col("n_pos"),
+          expr("n_pos * 1000000 div n").as("rate_ppm"),
+          expr("n_pos * nn * 1000000 div (n * pp)").as("lift_ppm"))
+        .orderBy(col("decile"))
+    }),
+
     // TPC-H Q8-shaped national market share: within ASIA customers'
     // ECONOMY-part order lines (1995–1997), the yearly revenue share
     // carried by NATION_2 suppliers. Exercises the classic OLAP shape —
@@ -712,6 +741,36 @@ object AnalyticsQueries {
       SELECT var_a, var_b, cov FROM ($rows)
       ORDER BY var_a, var_b"""
     },
+
+    "q70_decile_lift" -> """
+      WITH s AS (
+        SELECT CAST(n_chars AS BIGINT) AS score,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+      ), bys AS (
+        SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+          CAST(SUM(pos) AS BIGINT) AS p
+        FROM s GROUP BY 1
+      ), tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS nn, CAST(SUM(p) AS BIGINT) AS pp
+        FROM bys
+      ), cumed AS (
+        SELECT score, cnt, p,
+          SUM(cnt) OVER (ORDER BY score DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM bys
+      ), dec AS (
+        SELECT CAST((cum - cnt) * 10 // nn AS BIGINT) AS decile,
+          cnt, p, nn, pp
+        FROM cumed, tot
+      )
+      SELECT decile, CAST(SUM(cnt) AS BIGINT) AS n,
+        CAST(SUM(p) AS BIGINT) AS n_pos,
+        CAST(CAST(SUM(p) AS BIGINT) * 1000000 // CAST(SUM(cnt) AS BIGINT)
+          AS BIGINT) AS rate_ppm,
+        CAST(CAST(SUM(p) AS BIGINT) * MAX(nn) * 1000000
+          // (CAST(SUM(cnt) AS BIGINT) * MAX(pp)) AS BIGINT) AS lift_ppm
+      FROM dec GROUP BY decile ORDER BY decile""",
 
     "q69_market_share" -> """
       WITH vol AS (

@@ -317,6 +317,40 @@ object CdcQueries {
         .orderBy(col("id"), col("_change_type"))
     }),
 
+    // INCREMENTAL VIEW MAINTENANCE off the change feed: a per-status
+    // (count, revenue) aggregate materialized at v1 is advanced to v2 by
+    // folding ONLY the feed — insert/update_postimage rows add, delete/
+    // update_preimage rows subtract (exact decimal revenue, so the
+    // maintained view is bit-identical to recomputing over v2, which is
+    // exactly what the oracle does). The scale point: the recompute
+    // touches the whole table, the maintenance touches O(changed keys).
+    "cdc_cdf_maintenance" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 2)
+      val root = mergedOrdersTableDir(s, dir)
+      val base = graft.streaming.MergeInto.readTableAt(s, root, 1L)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("totalprice").cast(dec)).cast(dec).as("rev"))
+      val sgn = when(col("_change_type").isin("insert", "update_postimage"),
+        1L).otherwise(-1L)
+      val delta = graft.streaming.MergeInto
+        .changeFeed(s, root, "id", 1L, 2L)
+        .select(col("status"), col("totalprice"), sgn.as("sgn"))
+        .groupBy(col("status"))
+        .agg(sum(col("sgn")).as("dn"),
+          sum((col("totalprice").cast(dec) * col("sgn")).cast(dec))
+            .cast(dec).as("drev"))
+      base.join(delta, Seq("status"), "full_outer")
+        .select(col("status"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("rev"), lit(BigDecimal(0)).cast(dec)) +
+            coalesce(col("drev"), lit(BigDecimal(0)).cast(dec)))
+            .cast(dec).cast("double").as("revenue"))
+        .filter(col("n_orders") > 0)
+        .orderBy(col("status"))
+    }),
+
     // The streaming-maintained CURRENT-STATE table (the other mutable-store
     // shape: key-latest upsert with tombstone retention), driver-gated:
     // mapGroupsWithState fold → BucketedUpsert manifest commits; this READS
@@ -567,6 +601,32 @@ object CdcQueries {
         LEFT JOIN b2 b USING (id)
       ) WHERE bop IS NULL OR bop != 'DELETE'
       ORDER BY id""",
+
+    // The maintained view must equal the plain recompute over the v2
+    // state (same b2 derivation as cdc_merge_into).
+    "cdc_cdf_maintenance" -> s"""$changesCte, b2 AS (
+        SELECT id, status, totalprice, operation_type FROM (
+          SELECT id, status, totalprice, operation_type,
+            ROW_NUMBER() OVER (PARTITION BY id
+                               ORDER BY log_seq_num DESC) AS rn
+          FROM changes WHERE operation_type != 'CREATE'
+        ) WHERE rn = 1
+      ), v2 AS (
+        SELECT id,
+          CASE WHEN b.id IS NOT NULL THEN b.status ELSE c.status END
+            AS status,
+          CASE WHEN b.id IS NOT NULL THEN b.totalprice ELSE c.totalprice END
+            AS totalprice,
+          b.operation_type AS bop
+        FROM (SELECT id, status, totalprice FROM changes
+              WHERE operation_type = 'CREATE') c
+        LEFT JOIN b2 b USING (id)
+      )
+      SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(CAST(SUM(CAST(totalprice AS DECIMAL(38,2))) AS VARCHAR)
+          AS DOUBLE) AS revenue
+      FROM v2 WHERE bop IS NULL OR bop != 'DELETE'
+      GROUP BY status ORDER BY status""",
 
     "cdc_scd3_prev" -> s"""$changesCte
       SELECT id, status, prev_status, n_changes FROM (
