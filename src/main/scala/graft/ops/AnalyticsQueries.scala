@@ -272,6 +272,33 @@ object AnalyticsQueries {
         .orderBy(col("segment"), col("event_type"))
     }),
 
+    // 2-D SKYLINE (Pareto-optimal preference query): parts maximizing
+    // retail price while minimizing size — kept iff no other part is ≥ on
+    // price and ≤ on size with one strict. Computed as a WINDOW SWEEP
+    // (two frames: min size over STRICTLY-higher-price rows via an
+    // integer-cents RANGE frame, and min size among equal-price peers),
+    // while the oracle runs the definitional NOT-EXISTS anti-join — two
+    // different algorithms that must agree exactly. The global order is
+    // intrinsic to skyline; the input is the bounded part dimension (and
+    // a deterministic slice), not a fact table.
+    "q71_skyline" -> ((s, dir) => {
+      val p = Tables(s, dir, "part")
+        .filter(col("p_partkey") % 4 === 0)
+        .select(col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+          col("p_size").cast("long").as("size"))
+      val higher = Window.orderBy(col("price_cents").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val same = Window.partitionBy(col("price_cents"))
+      p.withColumn("min_higher", min(col("size")).over(higher))
+        .withColumn("min_same", min(col("size")).over(same))
+        .filter((col("min_higher").isNull ||
+          col("min_higher") > col("size")) &&
+          col("min_same") === col("size"))
+        .select(col("p_partkey"), col("price_cents"), col("size"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Model LIFT/gains table for the q61 scorer (the third model-eval
     // surface next to AUC and calibration): documents grouped into score
     // deciles — each DISTINCT score's block is assigned wholly to the
@@ -741,6 +768,22 @@ object AnalyticsQueries {
       SELECT var_a, var_b, cov FROM ($rows)
       ORDER BY var_a, var_b"""
     },
+
+    "q71_skyline" -> """
+      WITH pts AS (
+        SELECT p_partkey,
+          CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+          CAST(p_size AS BIGINT) AS size
+        FROM part WHERE p_partkey % 4 = 0
+      )
+      SELECT p.p_partkey, p.price_cents, p.size
+      FROM pts p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.price_cents >= p.price_cents AND q.size <= p.size
+          AND (q.price_cents > p.price_cents OR q.size < p.size)
+      )
+      ORDER BY p.p_partkey""",
 
     "q70_decile_lift" -> """
       WITH s AS (
