@@ -22,7 +22,8 @@ object SparkEntry {
       ops.SimQueries.queries ++ ops.MediaQueries.queries ++
       ops.AdvancedQueries.queries ++ ops.CorpusQueries.queries ++
       ops.DecontamQueries.queries ++ ops.SearchQueries.queries ++
-      ops.LearnedQueries.queries ++ ops.AnalyticsQueries.queries
+      ops.LearnedQueries.queries ++ ops.AnalyticsQueries.queries ++
+      ops.QualityQueries.queries
 
   def oracleSql: Map[String, String] =
     ops.CdcQueries.oracleSql ++ ops.RelationalQueries.oracleSql ++
@@ -30,5 +31,6 @@ object SparkEntry {
       ops.SimQueries.oracleSql ++ ops.MediaQueries.oracleSql ++
       ops.AdvancedQueries.oracleSql ++ ops.CorpusQueries.oracleSql ++
       ops.DecontamQueries.oracleSql ++ ops.SearchQueries.oracleSql ++
-      ops.LearnedQueries.oracleSql ++ ops.AnalyticsQueries.oracleSql
+      ops.LearnedQueries.oracleSql ++ ops.AnalyticsQueries.oracleSql ++
+      ops.QualityQueries.oracleSql
 }

@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.quality.DataQuality
+import graft.quality.DataQuality.{CentsCol, LongCol, StringCol, TimestampCol}
+
+/** Data-quality operators — the Deequ/Great-Expectations pillar of a
+  * production lake: one-pass column profiling and a declarative constraint
+  * audit. The reference pipeline lands CDC rows into a lake with no quality
+  * gate at all (`/root/reference/connectors/s3-sink.json` writes whatever
+  * Debezium emits); at 100 TB a profile/audit pass is what stands between
+  * an upstream schema drift and a silently-poisoned training corpus.
+  *
+  * Exactness discipline: every reported number is an exact integer (counts,
+  * ppm floor-divisions, canonical integer encodings of min/max — cents for
+  * doubles, epoch-micros for timestamps) so both engines agree bit-for-bit.
+  */
+object QualityQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // One-pass column PROFILE of the orders table: per column — row count,
+    // non-null count, completeness in ppm, exact distinct count, and
+    // canonical min/max (integer encoding for numerics/timestamps,
+    // lexicographic strings otherwise). ALL columns profile in ONE
+    // aggregate: Spark plans the 6 COUNT(DISTINCT)s as a single Expand
+    // (×|columns| row duplication — a constant factor, not a join or an
+    // extra scan), then one hash agg; the per-column rows come from an
+    // explode of the single result row. At 100 TB this is exactly the
+    // shape you want: one scan, one shuffle keyed by the expand tag.
+    "dq1_table_profile" -> ((s, dir) =>
+      DataQuality.profile(Tables(s, dir, "orders"), Seq(
+        "o_orderkey" -> LongCol, "o_custkey" -> LongCol,
+        "o_orderstatus" -> StringCol, "o_totalprice" -> CentsCol,
+        "o_orderdate" -> TimestampCol, "o_orderpriority" -> StringCol))),
+
+    // Declarative CONSTRAINT AUDIT across the star schema — one row per
+    // rule: primary-key uniqueness, referential integrity (null-safe
+    // anti-join), value ranges, an accepted-value domain, not-null, and
+    // event freshness. Each rule is a single scan-side filter + count
+    // (the FK rule is one shuffle anti-join); the union is of scalar
+    // rows. violations is exact; passed = violations == 0. At 100 TB
+    // each rule reads only the columns it checks (pruned scans) and the
+    // rules over the same table could share a scan — kept separate here
+    // so each rule's plan stays independently prunable and the audit set
+    // is compositional.
+    "dq2_constraint_audit" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+      val ev = Tables(s, dir, "events")
+      DataQuality.audit(Seq(
+        DataQuality.uniqueRule("pk_unique:orders.o_orderkey", orders,
+          col("o_orderkey")),
+        DataQuality.fkRule("fk:orders.o_custkey->customer.c_custkey",
+          orders, col("o_custkey"),
+          Tables(s, dir, "customer"), col("c_custkey")),
+        DataQuality.predicateRule("range:lineitem.l_discount in [0,0.1]",
+          li, col("l_discount") < 0 || col("l_discount") > 0.1),
+        DataQuality.predicateRule("range:lineitem.l_quantity in [1,50]",
+          li, col("l_quantity") < 1 || col("l_quantity") > 50),
+        DataQuality.predicateRule("domain:orders.o_orderstatus in {O,F,P}",
+          orders, !col("o_orderstatus").isin("O", "F", "P")),
+        DataQuality.predicateRule("not_null:events.user_id", ev,
+          col("user_id").isNull),
+        DataQuality.predicateRule("freshness:events.ts >= 2024-01-01", ev,
+          col("ts") < lit("2024-01-01").cast("timestamp_ntz"))))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dq1_table_profile" -> {
+      def prof(n: String, kind: String) = {
+        val (mnn, mxn, mns, mxs) = kind match {
+          case "string" =>
+            ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)",
+              s"MIN($n)", s"MAX($n)")
+          case "double" =>
+            (s"CAST(MIN(CAST(round($n * 100) AS BIGINT)) AS BIGINT)",
+              s"CAST(MAX(CAST(round($n * 100) AS BIGINT)) AS BIGINT)",
+              "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+          case "timestamp" =>
+            (s"CAST(MIN(epoch_us($n)) AS BIGINT)",
+              s"CAST(MAX(epoch_us($n)) AS BIGINT)",
+              "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+          case _ =>
+            (s"CAST(MIN($n) AS BIGINT)", s"CAST(MAX($n) AS BIGINT)",
+              "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        }
+        s"""SELECT '$n' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(COUNT($n) AS BIGINT) AS n_nonnull,
+          CAST(COUNT($n) * 1000000 // COUNT(*) AS BIGINT)
+            AS completeness_ppm,
+          CAST(COUNT(DISTINCT $n) AS BIGINT) AS n_distinct,
+          $mnn AS min_num, $mxn AS max_num,
+          $mns AS min_str, $mxs AS max_str
+        FROM orders"""
+      }
+      Seq("o_orderkey" -> "long", "o_custkey" -> "long",
+        "o_orderstatus" -> "string", "o_totalprice" -> "double",
+        "o_orderdate" -> "timestamp", "o_orderpriority" -> "string")
+        .map { case (n, k) => prof(n, k) }
+        .mkString("", "\n      UNION ALL ", "\n      ORDER BY col_name")
+    },
+
+    "dq2_constraint_audit" -> """
+      WITH audit AS (
+        SELECT 'pk_unique:orders.o_orderkey' AS constraint_name,
+          CAST(COUNT(*) AS BIGINT) AS n_checked,
+          CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+            AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'fk:orders.o_custkey->customer.c_custkey',
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+          CAST(COUNT(*) AS BIGINT)
+        FROM orders WHERE o_custkey NOT IN
+          (SELECT c_custkey FROM customer)
+        UNION ALL
+        SELECT 'range:lineitem.l_discount in [0,0.1]',
+          CAST(COUNT(*) AS BIGINT),
+          CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+            THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'range:lineitem.l_quantity in [1,50]',
+          CAST(COUNT(*) AS BIGINT),
+          CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+            THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'domain:orders.o_orderstatus in {O,F,P}',
+          CAST(COUNT(*) AS BIGINT),
+          CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+            THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'not_null:events.user_id', CAST(COUNT(*) AS BIGINT),
+          CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'freshness:events.ts >= 2024-01-01',
+          CAST(COUNT(*) AS BIGINT),
+          CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-01'
+            THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
+      )
+      SELECT constraint_name, n_checked, n_violations,
+        CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+          AS passed
+      FROM audit ORDER BY constraint_name"""
+  )
+}
