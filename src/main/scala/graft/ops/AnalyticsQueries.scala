@@ -474,6 +474,29 @@ object AnalyticsQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // K-CORE decomposition (k=6) of the thinned purchase graph: the
+    // maximal subgraph where every customer/supplier keeps ≥6 distinct
+    // partners inside it — the cohesive-core primitive (spam-farm and
+    // community seeding) completing the graph family (CC / PageRank /
+    // HITS / label-prop / triangles / BFS). Iterative peel, one degree
+    // agg + two semi-joins per round, loud failure if the round budget
+    // missed the fixpoint; the oracle unrolls the same 4 rounds as CTEs
+    // (integer degrees — bit-exact, rounds past the fixpoint are no-ops
+    // in both engines). See graph.KCore for the scale shape.
+    "q72_kcore" -> ((s, dir) => {
+      val edges = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      graft.graph.KCore.kCore(edges, k = 6, maxRounds = 4)
+        .select(col("id"), col("core_deg"))
+        .orderBy(col("id"))
+    }),
+
     // Entity resolution end-to-end: dirty records (every 7th customer
     // gains two deterministic single-deletion typo variants), FastSS
     // deletion-neighborhood blocking + exact-address block key, Levenshtein
@@ -961,6 +984,26 @@ object AnalyticsQueries {
           AS sum_value
       FROM events JOIN customer ON user_id = c_custkey
       GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q72_kcore" -> {
+      def round(t: Int) = s"""k$t AS (
+          SELECT u FROM u${t - 1} GROUP BY u HAVING COUNT(*) >= 6
+        ), u$t AS (
+          SELECT u, v FROM u${t - 1}
+          WHERE u IN (SELECT u FROM k$t) AND v IN (SELECT u FROM k$t)
+        )"""
+      s"""
+      WITH e AS (
+        SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src,
+          CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey % 10 = 0
+      ), u0 AS (
+        SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e
+      ), ${(1 to 4).map(round).mkString(", ")}
+      SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS core_deg
+      FROM u4 GROUP BY u ORDER BY id"""
+    },
 
     "er1_entity_clusters" -> """
       WITH RECURSIVE cust AS (
