@@ -497,6 +497,42 @@ object AnalyticsQueries {
         .orderBy(col("id"))
     }),
 
+    // INTERVAL UNION (coverage) per user — the gaps-and-islands algebra
+    // over overlapping time intervals: each event opens a deterministic
+    // [start, start + 60..359 s) window; islands are maximal overlapping
+    // runs (a new island starts when an interval opens strictly after the
+    // running max end of everything before it), and the union length is
+    // Σ island (max end − min start). The distinct-covered-time primitive
+    // behind ad-exposure, sensor-uptime and session-coverage queries —
+    // NOT expressible with plain sum(duration) because overlaps
+    // double-count. All arithmetic in integer epoch-micros. Scale shape:
+    // the two windows partition by user (key-parallel, never global) and
+    // one hash agg folds islands; nothing touches a cross join.
+    "q73_interval_union" -> ((s, dir) => {
+      val iv = Tables(s, dir, "events")
+        .filter(col("user_id") < 400)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("s"))
+        .withColumn("e",
+          col("s") + (col("event_id") % 300 + 60) * 1000000L)
+      val byStart = Window.partitionBy(col("user_id"))
+        .orderBy(col("s"), col("event_id"))
+      val prevMax = max(col("e"))
+        .over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+      val flagged = iv.withColumn("new_island",
+        when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      flagged
+        .withColumn("island", sum(col("new_island")).over(byStart))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("n_iv"),
+          (max(col("e")) - min(col("s"))).as("len_us"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("n_iv")).as("n_intervals"),
+          count(lit(1)).as("n_islands"),
+          sum(col("len_us")).as("covered_us"))
+        .orderBy(col("user_id"))
+    }),
+
     // Entity resolution end-to-end: dirty records (every 7th customer
     // gains two deterministic single-deletion typo variants), FastSS
     // deletion-neighborhood blocking + exact-address block key, Levenshtein
@@ -1004,6 +1040,34 @@ object AnalyticsQueries {
       SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS core_deg
       FROM u4 GROUP BY u ORDER BY id"""
     },
+
+    "q73_interval_union" -> """
+      WITH iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS s,
+          epoch_us(ts) + (event_id % 300 + 60) * 1000000 AS e
+        FROM events WHERE user_id < 400
+      ), flagged AS (
+        SELECT user_id, event_id, s, e,
+          CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS new_island
+        FROM (
+          SELECT user_id, event_id, s, e,
+            MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          FROM iv)
+      ), islands AS (
+        SELECT user_id, s, e,
+          SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+      ), per_island AS (
+        SELECT user_id, island, COUNT(*) AS n_iv,
+          MAX(e) - MIN(s) AS len_us
+        FROM islands GROUP BY 1, 2
+      )
+      SELECT user_id, CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+        CAST(COUNT(*) AS BIGINT) AS n_islands,
+        CAST(SUM(len_us) AS BIGINT) AS covered_us
+      FROM per_island GROUP BY user_id ORDER BY user_id""",
 
     "er1_entity_clusters" -> """
       WITH RECURSIVE cust AS (
