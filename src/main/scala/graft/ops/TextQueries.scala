@@ -63,6 +63,47 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // PMI COLLOCATIONS — pointwise mutual information of consecutive token
+    // pairs, the classic multi-word-expression detector (and a corpus-
+    // health signal: templated corpora surface machine boilerplate at the
+    // top). pmi = ln p(ab) − ln p(a) − ln p(b) over the bigram/unigram
+    // tables; every ln lands on the 2^-20 grid as a scaled BIGINT first,
+    // so the five-term sum is exact integer arithmetic and the reported
+    // double is one exact power-of-two division (the tx9/tx25
+    // discipline). min-count 10 guards the low-count PMI explosion. Scale
+    // shape: two vocab-bounded hash aggs + joins keyed on tokens (AQE
+    // broadcasts them at fixture scale, shuffle joins at corpus scale —
+    // deliberately unhinted, the tx16 note), TakeOrdered top-100.
+    "tx26_pmi" -> ((s, dir) => {
+      val g = 1048576L
+      def lng(c: org.apache.spark.sql.Column) =
+        round(log(c.cast("double")) * g).cast("long")
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(posexplode(col("t")).as(Seq("pos", "w")), col("t"))
+        .withColumn("prev",
+          when(col("pos") > 0, element_at(col("t"), col("pos"))))
+        .select(col("prev"), col("w"))
+      val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val nu = uni.agg(sum(col("c1")).as("nu"))
+      val bi = tok.filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("w1"), col("w").as("w2"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 10)
+      val nb = tok.filter(col("prev").isNotNull)
+        .agg(count(lit(1)).as("nb"))
+      bi.join(uni.select(col("w").as("w1"), col("c1").as("na")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c1").as("nc")), "w2")
+        .crossJoin(broadcast(nu))
+        .crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"), col("n_ab"),
+          ((lng(col("n_ab")) - lng(col("nb")) - lng(col("na")) -
+            lng(col("nc")) + lit(2) * lng(col("nu"))).cast("double") /
+            lit(g.toDouble)).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(100)
+    }),
+
     "tx1_token_stats" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
           col("doc_id"),
@@ -265,6 +306,38 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx26_pmi" -> raw"""
+      WITH docs AS (
+        SELECT doc_id, $T AS t FROM documents
+      ), pos AS (
+        SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t FROM docs
+      ), tok AS (
+        SELECT CASE WHEN i > 1 THEN t[i - 1] ELSE NULL END AS prev,
+          t[i] AS w
+        FROM pos
+      ), uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok GROUP BY 1
+      ), nu AS (SELECT CAST(SUM(c1) AS BIGINT) AS nu FROM uni),
+      nb AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM tok
+        WHERE prev IS NOT NULL
+      ), bi AS (
+        SELECT prev AS w1, w AS w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM tok WHERE prev IS NOT NULL
+        GROUP BY 1, 2 HAVING COUNT(*) >= 10
+      )
+      SELECT w1, w2, n_ab,
+        CAST(CAST(round(ln(n_ab::DOUBLE) * 1048576) AS BIGINT)
+          - CAST(round(ln(nb::DOUBLE) * 1048576) AS BIGINT)
+          - CAST(round(ln(ua.c1::DOUBLE) * 1048576) AS BIGINT)
+          - CAST(round(ln(uc.c1::DOUBLE) * 1048576) AS BIGINT)
+          + 2 * CAST(round(ln(nu::DOUBLE) * 1048576) AS BIGINT) AS DOUBLE)
+          / 1048576.0 AS pmi
+      FROM bi
+      JOIN uni ua ON ua.w = w1
+      JOIN uni uc ON uc.w = w2, nu, nb
+      ORDER BY pmi DESC, w1, w2 LIMIT 100""",
+
     "tx12_lang_confusion" -> s"""
       $scoresCte
       SELECT d.lang, $langCaseSql AS lang_pred, COUNT(*) AS n_docs
