@@ -533,6 +533,103 @@ object AnalyticsQueries {
         .orderBy(col("user_id"))
     }),
 
+    // CUSUM CHANGEPOINT scan over the daily order series: S_k = Σ_{i≤k}
+    // (x_i − μ), reported N-scaled (N·cum_k − k·Total) so every value is
+    // an exact integer — the standard single-changepoint statistic (the
+    // argmax of |S_k| estimates the level-shift day; its magnitude is the
+    // evidence). The running window orders the BOUNDED daily aggregate
+    // (one row per day — the Packing bucket-totals pattern), never raw
+    // orders; the peak flag joins one broadcast scalar.
+    "q74_cusum" -> ((s, dir) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      val tot = daily.agg(sum(col("n_orders")).as("total"),
+        count(lit(1)).as("n_days"))
+      // bounded global window: input is one row per distinct order day
+      val byDay = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = daily
+        .withColumn("k", count(lit(1)).over(byDay))
+        .withColumn("cum", sum(col("n_orders")).over(byDay))
+        .crossJoin(broadcast(tot))
+        .select(col("day").cast("timestamp_ntz").as("day"),
+          col("n_orders"),
+          (col("n_days") * col("cum") - col("k") * col("total"))
+            .as("cusum_scaled"))
+      val peak = scored.agg(max(abs(col("cusum_scaled"))).as("peak_abs"))
+      scored.crossJoin(broadcast(peak))
+        .select(col("day"), col("n_orders"), col("cusum_scaled"),
+          (abs(col("cusum_scaled")) === col("peak_abs")).cast("long")
+            .as("is_peak"))
+        .orderBy(col("day"))
+    }),
+
+    // Exact WEIGHTED MEDIAN of line-item price, weighted by quantity, per
+    // return flag — the robust-center primitive where every unit of
+    // quantity votes (plain median treats a 50-unit line like a 1-unit
+    // line). Same compressed-domain discipline as q18/q61: one hash agg
+    // to (flag, price_cents, Σweight), a running-weight window over the
+    // compressed rows only (key-parallel by flag), then the smallest
+    // price whose doubled cumulative weight reaches the total. All
+    // integer cents/quantities — bit-exact cross-engine.
+    "q75_weighted_median" -> ((s, dir) => {
+      val w = Tables(s, dir, "lineitem").select(
+        col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      val byPrice = w.groupBy(col("flag"), col("cents"))
+        .agg(sum(col("qty")).as("wt"))
+      val cum = Window.partitionBy(col("flag")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = byPrice.groupBy(col("flag"))
+        .agg(sum(col("wt")).as("tot_weight"))
+      byPrice.withColumn("cumw", sum(col("wt")).over(cum))
+        .join(tot, "flag")
+        .filter(col("cumw") * 2 >= col("tot_weight"))
+        .groupBy(col("flag"), col("tot_weight"))
+        .agg(min(col("cents")).as("median_cents"))
+        .select(col("flag"), col("median_cents"), col("tot_weight"))
+        .orderBy(col("flag"))
+    }),
+
+    // CHI-SQUARE test of independence: event type × customer market
+    // segment (does behavior depend on segment?). Every term of the
+    // statistic is exact: obs/row/col totals are integers, and each
+    // cell's (obs·N − rt·ct)²·10⁶ div (N·rt·ct) is floor-divided in
+    // DECIMAL(38,0) BEFORE the sum — both engines add the same ≤|types×
+    // segments| integers. (The ×N scaling caps exactness near N≈10⁹ per
+    // slice in 38 digits; beyond that, audit a partition or pre-scale.)
+    // Scale shape: one join keyed on user, one contingency hash agg —
+    // the row/col margins join the BOUNDED cell table.
+    "q76_chi2" -> ((s, dir) => {
+      val cells = Tables(s, dir, "events")
+        .join(Tables(s, dir, "customer"),
+          col("user_id") === col("c_custkey"))
+        .groupBy(col("event_type"), col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("obs"))
+      val rows = cells.groupBy(col("event_type"))
+        .agg(sum(col("obs")).as("rt"))
+      val colsT = cells.groupBy(col("segment"))
+        .agg(sum(col("obs")).as("ct"))
+      val n = cells.agg(sum(col("obs")).as("n"))
+      cells.join(rows, "event_type").join(colsT, "segment")
+        .crossJoin(broadcast(n))
+        .select(expr("""CAST(
+            (CAST(obs AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct)
+            * (CAST(obs AS DECIMAL(38,0)) * n - CAST(rt AS DECIMAL(38,0)) * ct)
+            * 1000000 div (CAST(n AS DECIMAL(38,0)) * rt * ct)
+            AS BIGINT)""").as("term_ppm"),
+          col("n"), col("event_type"), col("segment"))
+        .agg(max(col("n")).as("n_pairs"),
+          countDistinct(col("event_type")).as("n_types"),
+          countDistinct(col("segment")).as("n_segments"),
+          sum(col("term_ppm")).as("chi2_ppm"))
+        .select(col("n_pairs"),
+          ((col("n_types") - 1) * (col("n_segments") - 1)).as("dof"),
+          col("chi2_ppm"))
+    }),
+
     // Entity resolution end-to-end: dirty records (every 7th customer
     // gains two deterministic single-deletion typo variants), FastSS
     // deletion-neighborhood blocking + exact-address block key, Levenshtein
@@ -1068,6 +1165,77 @@ object AnalyticsQueries {
         CAST(COUNT(*) AS BIGINT) AS n_islands,
         CAST(SUM(len_us) AS BIGINT) AS covered_us
       FROM per_island GROUP BY user_id ORDER BY user_id""",
+
+    "q74_cusum" -> """
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+          CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+      ), tot AS (
+        SELECT CAST(SUM(n_orders) AS BIGINT) AS total,
+          CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily
+      ), scored AS (
+        SELECT CAST(day AS TIMESTAMP) AS day, n_orders,
+          n_days * CAST(SUM(n_orders) OVER w AS BIGINT)
+            - CAST(COUNT(*) OVER w AS BIGINT) * total AS cusum_scaled
+        FROM daily, tot
+        WINDOW w AS (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      )
+      SELECT day, n_orders, cusum_scaled,
+        CAST(CASE WHEN abs(cusum_scaled) =
+          (SELECT MAX(abs(cusum_scaled)) FROM scored)
+          THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+      FROM scored ORDER BY day""",
+
+    "q75_weighted_median" -> """
+      WITH w AS (
+        SELECT l_returnflag AS flag,
+          CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+          CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+      ), byp AS (
+        SELECT flag, cents, CAST(SUM(qty) AS BIGINT) AS wt
+        FROM w GROUP BY 1, 2
+      ), cum AS (
+        SELECT flag, cents, wt,
+          CAST(SUM(wt) OVER (PARTITION BY flag ORDER BY cents
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cumw
+        FROM byp
+      ), tot AS (
+        SELECT flag, CAST(SUM(wt) AS BIGINT) AS tot_weight
+        FROM byp GROUP BY 1
+      )
+      SELECT c.flag, CAST(MIN(c.cents) AS BIGINT) AS median_cents,
+        t.tot_weight
+      FROM cum c JOIN tot t ON c.flag = t.flag
+      WHERE c.cumw * 2 >= t.tot_weight
+      GROUP BY c.flag, t.tot_weight ORDER BY c.flag""",
+
+    "q76_chi2" -> """
+      WITH cells AS (
+        SELECT event_type, c_mktsegment AS segment,
+          CAST(COUNT(*) AS HUGEINT) AS obs
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2
+      ), rt AS (
+        SELECT event_type, SUM(obs) AS rt FROM cells GROUP BY 1
+      ), ct AS (
+        SELECT segment, SUM(obs) AS ct FROM cells GROUP BY 1
+      ), n AS (SELECT SUM(obs) AS n FROM cells),
+      terms AS (
+        SELECT CAST((obs * n - rt * ct) * (obs * n - rt * ct) * 1000000
+            // (n * rt * ct) AS BIGINT) AS term_ppm,
+          CAST(n AS BIGINT) AS n, event_type, segment
+        FROM cells JOIN rt USING (event_type) JOIN ct USING (segment), n
+      )
+      SELECT MAX(n) AS n_pairs,
+        CAST((COUNT(DISTINCT event_type) - 1)
+          * (COUNT(DISTINCT segment) - 1) AS BIGINT) AS dof,
+        CAST(SUM(term_ppm) AS BIGINT) AS chi2_ppm
+      FROM terms""",
 
     "er1_entity_clusters" -> """
       WITH RECURSIVE cust AS (
