@@ -36,6 +36,8 @@ object SimQueries {
   private val RpDims = 16
   private val RpSeed = 7L
   private val PcaIters = 3
+  private val MmrShortlist = 20
+  private val MmrK = 8
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -249,6 +251,20 @@ object SimQueries {
       Pca.projections(e, "id", "vec", mean, v)
         .select(col("id").as("vec_id"), col("proj"))
         .orderBy(col("vec_id"))
+    }),
+
+    // MMR-DIVERSIFIED top-k: relevance shortlist (exact top-20 cosine),
+    // then 8 greedy picks trading relevance against redundancy with the
+    // picked set (λ = 0.5 — an exact IEEE combination of fold-identical
+    // cosines). The greedy loop runs on the bounded per-query candidate
+    // array only; the oracle replays the same 8 steps as unrolled
+    // relational CTEs over the shortlist + its bounded pairwise-sim
+    // table. See Similarity.mmrTopK for the scale shape.
+    "sm15_topk_mmr" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.mmrTopK(e.filter(col("id") < NQueries), e,
+          m = MmrShortlist, k = MmrK)
+        .orderBy(col("query_id"), col("pick_rank"))
     })
   )
 
@@ -276,6 +292,65 @@ object SimQueries {
       )"""
 
   val oracleSql: Map[String, String] = Map(
+    "sm15_topk_mmr" -> {
+      def step(t: Int) = s"""rem$t AS (
+        SELECT r.* FROM shortlist r
+        WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+          WHERE s.query_id = r.query_id AND s.corpus_id = r.corpus_id)
+      ), pen$t AS (
+        SELECT p.query_id, p.ca AS corpus_id, MAX(p.sim) AS mx
+        FROM pairs p JOIN sel${t - 1} s
+          ON s.query_id = p.query_id AND s.corpus_id = p.cb
+        GROUP BY 1, 2
+      ), pk$t AS (
+        SELECT query_id, corpus_id, score, $t AS pick FROM (
+          SELECT r.query_id, r.corpus_id,
+            0.5 * r.cos - 0.5 * pen.mx AS score,
+            ROW_NUMBER() OVER (PARTITION BY r.query_id
+              ORDER BY 0.5 * r.cos - 0.5 * pen.mx DESC, r.corpus_id) AS rn
+          FROM rem$t r JOIN pen$t pen
+            ON pen.query_id = r.query_id AND pen.corpus_id = r.corpus_id
+        ) WHERE rn = 1
+      ), sel$t AS (
+        SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pk$t
+      )"""
+      s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id < $NQueries
+      ), shortlist AS (
+        SELECT query_id, corpus_id, cos FROM (
+          SELECT query_id, corpus_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, corpus_id) AS rank
+          FROM (
+            SELECT query_id, c.vec_id AS corpus_id,
+              ${cosSql("qv", "c.embedding")} AS cos
+            FROM embeddings c, q WHERE c.vec_id != query_id
+          )
+        ) WHERE rank <= $MmrShortlist
+      ), pairs AS (
+        SELECT a.query_id, a.corpus_id AS ca, b.corpus_id AS cb,
+          ${cosSql("ea.embedding", "eb.embedding")} AS sim
+        FROM shortlist a
+        JOIN shortlist b ON a.query_id = b.query_id
+          AND a.corpus_id != b.corpus_id
+        JOIN embeddings ea ON ea.vec_id = a.corpus_id
+        JOIN embeddings eb ON eb.vec_id = b.corpus_id
+      ), sel1 AS (
+        SELECT query_id, corpus_id, 0.5 * cos AS score, 1 AS pick
+        FROM (
+          SELECT query_id, corpus_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, corpus_id) AS rn
+          FROM shortlist
+        ) WHERE rn = 1
+      ), ${(2 to MmrK).map(step).mkString(", ")}
+      SELECT query_id, corpus_id, score AS mmr_score,
+        CAST(pick AS INT) AS pick_rank
+      FROM sel$MmrK ORDER BY query_id, pick_rank"""
+    },
+
     "sm14_pca_power" -> s"""
       WITH pdims AS (SELECT unnest(generate_series(1, $Dim)) AS d),
       pex AS (

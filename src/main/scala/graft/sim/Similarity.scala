@@ -63,6 +63,49 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 
+  /** MMR (maximal-marginal-relevance) DIVERSIFIED top-k: greedily pick k
+    * results trading off query relevance against redundancy with what is
+    * already picked — score(d) = λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s).
+    * The retrieval-diversification / coverage-sampling primitive (RAG
+    * result lists, exemplar selection for curation) that plain top-k
+    * cannot express: near-duplicate hits crowd out coverage.
+    *
+    * Scale shape: relevance is ONE [[bruteForceTopK]] pass (corpus
+    * scanned once, WindowGroupLimit bounded) producing an m-row shortlist
+    * per query; the greedy loop then runs entirely on the BOUNDED
+    * per-query candidate array (collect_list of m rows — never the
+    * corpus) as k unrolled scan-side HOF steps, so the sequential part is
+    * O(k·m·|S|) arithmetic per query row, zero extra shuffles.
+    *
+    * Cross-engine exactness: λ = 0.5 makes the combination two exact
+    * IEEE multiply-subtracts over cosines that are themselves sequential
+    * folds (the module contract), and every argmax breaks ties on lower
+    * corpus id via struct ordering — the DuckDB oracle replays the same
+    * k greedy steps relationally and lands on identical bits.
+    */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, m: Int,
+      k: Int): DataFrame = {
+    require(m >= k, s"shortlist m=$m must be >= k=$k")
+    val short = bruteForceTopK(queries, corpus, m)
+    val c = corpus.select(col("id").as("corpus_id"), col("vec").as("cv"),
+      norm(col("vec")).as("cn"))
+    // bounded per-query candidate array (m rows) — the greedy loop is the
+    // graft.functions.MmrSelect kernel: O(k·m) primitive arithmetic per
+    // query row, order-independent input (every argmax totally ordered),
+    // inside whole-stage codegen. The first HOF formulation of this loop
+    // re-inlined each step's tree at every reference and went exponential
+    // in k — see the kernel scaladoc.
+    val packed = short.join(c, "corpus_id")
+      .groupBy(col("query_id"))
+      .agg(collect_list(struct(col("corpus_id").as("cid"),
+        col("cos"), col("cv"), col("cn"))).as("cands"))
+    packed
+      .select(col("query_id"),
+        explode(graft.functions.MmrSelect(col("cands"), k)).as("p"))
+      .select(col("query_id"), col("p.cid").as("corpus_id"),
+        col("p.score").as("mmr_score"), col("p.pick").as("pick_rank"))
+  }
+
   /** Hard-negative mining for contrastive training: per query, the top-k
     * most-similar corpus vectors carrying a DIFFERENT label — the
     * highest-loss negatives a triplet/InfoNCE trainer wants. Same scale
