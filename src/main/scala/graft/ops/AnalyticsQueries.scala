@@ -630,6 +630,95 @@ object AnalyticsQueries {
           col("chi2_ppm"))
     }),
 
+    // Integer EWMA smoothing (α = 1/2 on the 2^-20 grid) of the daily
+    // order series: the level-tracking companion to q74's changepoint
+    // stat. The recurrence is inherently sequential, so it runs as ONE
+    // native prefix fold (functions.IntEwma) over the BOUNDED
+    // one-row-per-day aggregate collected into a single array — the raw
+    // table is reduced by a hash agg first and is never serialized
+    // through the fold. Exact integers all the way; the reported double
+    // is one dyadic division. The oracle replays the recurrence as a
+    // recursive CTE.
+    "q77_ewma" -> ((s, dir) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      // bounded global collect: one struct per distinct order day
+      val packed = daily
+        .agg(array_sort(collect_list(struct(col("day"), col("n_orders"))))
+          .as("series"))
+        .select(col("series"),
+          graft.functions.IntEwma(
+            transform(col("series"), x => x.getField("n_orders")))
+            .as("ewma_g"))
+      packed
+        .select(posexplode(col("series")).as(Seq("i", "x")),
+          col("ewma_g"))
+        .select(col("x.day").cast("timestamp_ntz").as("day"),
+          col("x.n_orders").as("n_orders"),
+          (element_at(col("ewma_g"), col("i") + 1).cast("double") /
+            lit(graft.functions.IntEwma.Grid.toDouble)).as("ewma"))
+        .orderBy(col("day"))
+    }),
+
+    // Deterministic multinomial BOOTSTRAP confidence interval for the
+    // mean order value: 16 replicas, each row's per-replica weight drawn
+    // from an 8-slot table (3×0, 3×1, 1×2, 1×3 — mean 1, variance 1,
+    // the Poisson(1) moments) keyed by the cross-engine md5 hash of
+    // (replica, orderkey). Replica means are exact integer cent
+    // floor-divisions; the CI is the 2nd/15th order statistic of the 16
+    // bounded replica rows. Scale shape: one ×B row expansion (constant
+    // factor, the profile-Expand argument) into a 16-group hash agg —
+    // uncertainty quantification without a second corpus pass per
+    // replica.
+    "q78_bootstrap" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders").select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val reps = s.range(0, 16).select(col("id").as("replica"))
+      val w = expr("""CASE WHEN slot <= 2 THEN 0 WHEN slot <= 5 THEN 1
+        WHEN slot = 6 THEN 2 ELSE 3 END""")
+      val repMeans = o.crossJoin(broadcast(reps))
+        .withColumn("slot", graft.functions.Hash60(
+          concat(lit("q78:"), col("replica").cast("string"), lit(":"),
+            col("o_orderkey").cast("string"))) % 8)
+        .withColumn("w", w)
+        .groupBy(col("replica"))
+        .agg(sum(col("w") * col("cents")).as("sw"), sum(col("w")).as("n"))
+        .select(col("replica"), expr("sw div n").as("mean_cents"))
+      // bounded global window: exactly 16 replica rows
+      val ranked = repMeans.withColumn("rk", row_number().over(
+        Window.orderBy(col("mean_cents"), col("replica"))))
+      val point = o.agg(expr("sum(cents) div count(1)").as("mean_point_cents"))
+      ranked.agg(count(lit(1)).as("n_replicas"),
+          min(when(col("rk") === 2, col("mean_cents"))).as("mean_lo_cents"),
+          min(when(col("rk") === 15, col("mean_cents"))).as("mean_hi_cents"))
+        .crossJoin(broadcast(point))
+        .select(col("n_replicas"), col("mean_lo_cents"),
+          col("mean_hi_cents"), col("mean_point_cents"))
+    }),
+
+    // GROUP K-FOLD cross-validation plan: every source (domain) lands
+    // wholly in one of 5 folds by deterministic hash — the grouping
+    // discipline that keeps same-source near-duplicates from straddling
+    // train and validation (the cur7 leakage rule, CV-shaped). Output
+    // audits the plan per fold: group count, doc/char mass, and the
+    // largest single source inside (the balance hazard group k-fold
+    // accepts by design). One per-source agg + one per-fold agg.
+    "cur16_group_kfold" -> ((s, dir) => {
+      val bySource = Tables(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("n_chars"))
+      bySource
+        .withColumn("fold", graft.functions.Hash60(
+          concat(lit("cur16:"), col("source"))) % 5)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_sources"), sum(col("n_docs")).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          max(col("n_docs")).as("max_source_docs"))
+        .orderBy(col("fold"))
+    }),
+
     // Entity resolution end-to-end: dirty records (every 7th customer
     // gains two deterministic single-deletion typo variants), FastSS
     // deletion-neighborhood blocking + exact-address block key, Levenshtein
@@ -1236,6 +1325,72 @@ object AnalyticsQueries {
           * (COUNT(DISTINCT segment) - 1) AS BIGINT) AS dof,
         CAST(SUM(term_ppm) AS BIGINT) AS chi2_ppm
       FROM terms""",
+
+    "q77_ewma" -> """
+      WITH RECURSIVE daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+          CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+      ), numbered AS (
+        SELECT day, n_orders,
+          ROW_NUMBER() OVER (ORDER BY day) AS k
+        FROM daily
+      ), ewma(k, e) AS (
+        SELECT k, n_orders * 1048576 FROM numbered WHERE k = 1
+        UNION ALL
+        SELECT d.k, (d.n_orders * 1048576 + e.e) // 2
+        FROM ewma e JOIN numbered d ON d.k = e.k + 1
+      )
+      SELECT CAST(n.day AS TIMESTAMP) AS day, n.n_orders,
+        CAST(e.e AS DOUBLE) / 1048576.0 AS ewma
+      FROM numbered n JOIN ewma e USING (k) ORDER BY day""",
+
+    "q78_bootstrap" -> """
+      WITH o AS (
+        SELECT o_orderkey,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+      ), reps AS (SELECT unnest(generate_series(0, 15)) AS replica),
+      weighted AS (
+        SELECT replica, cents,
+          CASE WHEN slot <= 2 THEN 0 WHEN slot <= 5 THEN 1
+            WHEN slot = 6 THEN 2 ELSE 3 END AS w
+        FROM (
+          SELECT replica, cents,
+            ('0x' || substr(md5('q78:' || CAST(replica AS VARCHAR) || ':'
+              || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 8 AS slot
+          FROM o, reps)
+      ), rep_means AS (
+        SELECT replica,
+          CAST(SUM(w * cents) // SUM(w) AS BIGINT) AS mean_cents
+        FROM weighted GROUP BY 1
+      ), ranked AS (
+        SELECT mean_cents,
+          ROW_NUMBER() OVER (ORDER BY mean_cents, replica) AS rk
+        FROM rep_means
+      )
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_replicas,
+        CAST(MIN(CASE WHEN rk = 2 THEN mean_cents END) AS BIGINT)
+          AS mean_lo_cents,
+        CAST(MIN(CASE WHEN rk = 15 THEN mean_cents END) AS BIGINT)
+          AS mean_hi_cents,
+        (SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) FROM o)
+          AS mean_point_cents
+      FROM ranked""",
+
+    "cur16_group_kfold" -> """
+      WITH by_source AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY 1
+      )
+      SELECT ('0x' || substr(md5('cur16:' || source), 1, 15))::BIGINT % 5
+          AS fold,
+        CAST(COUNT(*) AS BIGINT) AS n_sources,
+        CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        CAST(MAX(n_docs) AS BIGINT) AS max_source_docs
+      FROM by_source GROUP BY 1 ORDER BY 1""",
 
     "er1_entity_clusters" -> """
       WITH RECURSIVE cust AS (
