@@ -63,6 +63,39 @@ object CdcQueries {
     store
   }
 
+  /** Materialize the SNAPSHOT-SYNC apply once per sfDir: the table starts
+    * as the CREATE payloads, then a full export reconciles it —
+    * `WHEN NOT MATCHED BY SOURCE THEN DELETE` semantics with
+    * `updateCols = status` (the snapshot carries a DELIBERATELY-WRONG
+    * totalprice of 0 that a correct partial sync must NOT apply):
+    * id%3==0 keys vanish, surviving keys get status+"_SYNC" while
+    * keeping their CREATE totalprice, and id%7==0 keys gain a shifted
+    * twin row inserted whole (real totalprice).
+    */
+  private def syncedOrdersTableDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_merge_sync_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val b1 = changeLog(s, dir)
+          .filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        graft.streaming.MergeInto.mergeBatch(s, b1, store, "id")
+        val upd = b1.filter(col("id") % 3 =!= 0)
+          .select(col("id"), concat(col("status"), lit("_SYNC")).as("status"),
+            (col("totalprice") * lit(0)).as("totalprice"))
+        val ins = b1.filter(col("id") % 7 === 0)
+          .select((col("id") + 5000000L).as("id"), col("status"),
+            col("totalprice"))
+        graft.streaming.MergeInto.syncSnapshot(s, upd.unionByName(ins),
+          store, "id", updateCols = Seq("status"))
+    }
+    store
+  }
+
   /** Materialize the schema-EVOLUTION merge apply once per sfDir: batch 1
     * commits the CREATE payloads as (id, status, totalprice); batch 2
     * carries the UPDATE payloads WITH A NEW `priority` column the table
@@ -269,6 +302,20 @@ object CdcQueries {
     "cdc_merge_into" -> ((s, dir) => {
       graft.streaming.MergeInto
         .readTable(s, mergedOrdersTableDir(s, dir))
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // SNAPSHOT SYNC driver-gated — MERGE's WHEN-NOT-MATCHED-BY-SOURCE
+    // DELETE mode: after reconciling against a full export, the table's
+    // key set equals the snapshot's exactly (absent keys deleted, new
+    // keys inserted whole, matched keys taking ONLY the status column —
+    // the snapshot's poisoned totalprice must never land). The oracle
+    // recomputes the expected table relationally from the CREATE
+    // payloads. See MergeInto.syncSnapshot.
+    "cdc_merge_sync" -> ((s, dir) => {
+      graft.streaming.MergeInto
+        .readTable(s, syncedOrdersTableDir(s, dir))
         .select(col("id"), col("status"), col("totalprice"))
         .orderBy(col("id"))
     }),
@@ -581,6 +628,16 @@ object CdcQueries {
     // MERGE semantics mirror: creates left-joined with each key's latest
     // non-create event; a DELETE latest removes the key, any other latest
     // replaces the row wholesale.
+    "cdc_merge_sync" -> s"""$changesCte, b1 AS (
+        SELECT id, status, totalprice FROM changes
+        WHERE operation_type = 'CREATE'
+      )
+      SELECT id, status || '_SYNC' AS status, totalprice
+      FROM b1 WHERE id % 3 != 0
+      UNION ALL
+      SELECT id + 5000000, status, totalprice FROM b1 WHERE id % 7 = 0
+      ORDER BY id""",
+
     "cdc_merge_into" -> s"""$changesCte, b2 AS (
         SELECT id, status, totalprice, operation_type FROM (
           SELECT id, status, totalprice, operation_type,

@@ -65,6 +65,18 @@ object QualityQueries {
           col("user_id").isNull),
         DataQuality.predicateRule("freshness:events.ts >= 2024-01-01", ev,
           col("ts") < lit("2024-01-01").cast("timestamp_ntz"))))
+    }),
+
+    // STREAMING data-quality counters driver-gated: the events audit
+    // folded as two manifest-committed merges into a standing
+    // O(|constraints|) counter table (additive merge = lossless), read
+    // back as the report — which must equal the one-shot audit the
+    // oracle recomputes over all events. The range rule carries real
+    // violation mass, so the counters provably count. See
+    // streaming.DqStore (replay no-op + stream-ingest twin spec'd).
+    "ev11_stream_dq_store" -> ((s, dir) => {
+      val root = graft.streaming.DqStore.materializedEventsDqDir(s, dir)
+      graft.streaming.DqStore.report(s, root)
     })
   )
 
@@ -134,6 +146,36 @@ object QualityQueries {
           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
             THEN 1 ELSE 0 END) AS BIGINT)
         FROM orders
+        UNION ALL
+        SELECT 'not_null:events.user_id', CAST(COUNT(*) AS BIGINT),
+          CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'freshness:events.ts >= 2024-01-01',
+          CAST(COUNT(*) AS BIGINT),
+          CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-01'
+            THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
+      )
+      SELECT constraint_name, n_checked, n_violations,
+        CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+          AS passed
+      FROM audit ORDER BY constraint_name""",
+
+    "ev11_stream_dq_store" -> """
+      WITH audit AS (
+        SELECT 'range:events.value in [0,100]' AS constraint_name,
+          CAST(COUNT(*) AS BIGINT) AS n_checked,
+          CAST(SUM(CASE WHEN value < 0 OR value > 100 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations
+        FROM events
+        UNION ALL
+        SELECT 'domain:events.event_type in {view,click,purchase,signup,error}',
+          CAST(COUNT(*) AS BIGINT),
+          CAST(SUM(CASE WHEN event_type NOT IN
+            ('view', 'click', 'purchase', 'signup', 'error')
+            THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
         UNION ALL
         SELECT 'not_null:events.user_id', CAST(COUNT(*) AS BIGINT),
           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)

@@ -153,6 +153,80 @@ object MergeInto {
   /** Metadata slot recording the table's immutable bucket count. */
   val NumBucketsSlot = "__numBuckets"
 
+  /** FULL-SNAPSHOT SYNC — SQL MERGE's `WHEN NOT MATCHED BY SOURCE THEN
+    * DELETE` mode: after the commit the table's KEY SET equals the
+    * snapshot's exactly — matched keys update (whole-row, or only
+    * `updateCols` keeping every other target column), snapshot-only keys
+    * insert, and target keys ABSENT from the snapshot are deleted. The
+    * periodic-full-export reconciliation primitive next to the
+    * incremental `mergeBatch` path.
+    *
+    * Cost is a full-table rewrite BY DEFINITION (a deletion can hide in
+    * any bucket — every bucket must be reconciled), which is what any
+    * table format pays for this mode; the bucketed layout and manifest
+    * commit are unchanged, so later point lookups and incremental merges
+    * continue as before.
+    */
+  def syncSnapshot(spark: SparkSession, snapshot: DataFrame, root: String,
+                   keyCol: String, numBuckets: Int = 64,
+                   updateCols: Seq[String] = Nil): Unit = {
+    require(!updateCols.contains(keyCol),
+      s"updateCols must not contain the merge key '$keyCol'")
+    val Array(nRows, nKeys) = snapshot
+      .agg(count(lit(1)), count_distinct(col(keyCol))).head.toSeq
+      .map(_.asInstanceOf[Long]).toArray
+    require(nRows == nKeys,
+      s"snapshot has $nRows rows for $nKeys distinct keys — ambiguous sync")
+    val snap = ManifestStore.latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed table under $root"))
+    val n = snap.entries.getOrElse(NumBucketsSlot, numBuckets.toString).toInt
+    require(n == numBuckets,
+      s"table at $root was bucketed with $n buckets; sync requested " +
+        s"$numBuckets — bucket count is immutable after the first commit")
+    val paths = ManifestStore.resolvePaths(root, snap)
+    val target =
+      if (paths.isEmpty) null
+      else spark.read.option("mergeSchema", "true").parquet(paths: _*)
+        .drop("__bucket", "__dir")
+    val merged =
+      if (target == null || updateCols.isEmpty) snapshot // table := snapshot
+      else {
+        // matched keys: updateCols from the snapshot, everything else
+        // from the target; snapshot-only keys insert whole; target-only
+        // keys simply never enter the result (NOT MATCHED BY SOURCE).
+        val srcSel = snapshot.select(col(keyCol) +:
+          updateCols.map(c => col(c).as(s"__src_$c")): _*)
+        val tCols = target.columns.toSeq
+        val updated = target.join(srcSel, Seq(keyCol))
+          .select(col(keyCol) +: (
+            tCols.filterNot(_ == keyCol).map { c =>
+              if (updateCols.contains(c)) col(s"__src_$c").as(c) else col(c)
+            } ++ updateCols.filterNot(tCols.contains)
+              .map(c => col(s"__src_$c").as(c))): _*)
+        val inserts = snapshot.join(
+          target.select(col(keyCol)), Seq(keyCol), "left_anti")
+        updated.unionByName(inserts, allowMissingColumns = true)
+      }
+    val bucketed = merged
+      .withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
+    val version = ManifestStore.nextVersion(spark, root)
+    val rel = ManifestStore.dataRel(version)
+    val written: Set[Int] =
+      if (bucketed.isEmpty) Set.empty
+      else {
+        bucketed.repartition(col("__bucket"))
+          .withColumn("__dir", col("__bucket"))
+          .write.mode("errorifexists").partitionBy("__dir")
+          .parquet(s"$root/$rel")
+        spark.read.parquet(s"$root/$rel")
+          .select(col("__dir")).distinct().collect().map(_.getInt(0)).toSet
+      }
+    // the snapshot defines the whole table: every bucket entry is rebuilt
+    val entries = Map(NumBucketsSlot -> numBuckets.toString) ++
+      written.map(b => b.toString -> s"$rel/__dir=$b")
+    ManifestStore.commit(spark, root, version, entries)
+  }
+
   /** Row-level `DELETE FROM t WHERE cond` (the GDPR/right-to-erasure path
     * a lake table needs beyond keyed MERGE): one scan finds which buckets
     * hold matching rows, ONLY those buckets are rewritten without them,
