@@ -719,6 +719,28 @@ object AnalyticsQueries {
         .orderBy(col("fold"))
     }),
 
+    // ROLLING MEDIAN (trailing 7-day lower median) of the daily order
+    // series — the robust moving-average companion to q77's EWMA
+    // (medians shrug off the single-day spikes that drag a mean). The
+    // frame is collected per row (≤7 integers), sorted, and indexed at
+    // (n+1) div 2 — exact integer picks, no interpolation ambiguity
+    // cross-engine. The window orders the BOUNDED one-row-per-day
+    // aggregate (the q74/q77 discipline), never raw orders.
+    "q79_rolling_median" -> ((s, dir) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      // bounded global window: input is one row per distinct order day
+      val trailing = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      daily
+        .withColumn("win", collect_list(col("n_orders")).over(trailing))
+        .select(col("day").cast("timestamp_ntz").as("day"),
+          col("n_orders"), size(col("win")).cast("long").as("n_window"),
+          expr("element_at(array_sort(win), " +
+            "CAST((size(win) + 1) div 2 AS INT))").as("rolling_median"))
+        .orderBy(col("day"))
+    }),
+
     // Entity resolution end-to-end: dirty records (every 7th customer
     // gains two deterministic single-deletion typo variants), FastSS
     // deletion-neighborhood blocking + exact-address block key, Levenshtein
@@ -1391,6 +1413,23 @@ object AnalyticsQueries {
         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
         CAST(MAX(n_docs) AS BIGINT) AS max_source_docs
       FROM by_source GROUP BY 1 ORDER BY 1""",
+
+    "q79_rolling_median" -> """
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+          CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+      ), rolled AS (
+        SELECT day, n_orders,
+          list(n_orders) OVER (ORDER BY day
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS win
+        FROM daily
+      )
+      SELECT CAST(day AS TIMESTAMP) AS day, n_orders,
+        CAST(len(win) AS BIGINT) AS n_window,
+        CAST(list_sort(win)[(len(win) + 1) // 2] AS BIGINT)
+          AS rolling_median
+      FROM rolled ORDER BY day""",
 
     "er1_entity_clusters" -> """
       WITH RECURSIVE cust AS (

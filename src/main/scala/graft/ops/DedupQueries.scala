@@ -163,6 +163,30 @@ object DedupQueries {
           "doc_id", JaccardTau, ShingleN)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // LSH QUALITY EVALUATION — the measure-don't-guess op for the
+    // near-dup stack: the MinHash band candidates scored against the
+    // EXACT τ-Jaccard ground truth (the dd11 join — zero false
+    // negatives by theorem), reporting candidate-set recall and
+    // precision in exact ppm. This is how a pipeline owner picks
+    // bands×rows for a new corpus: recall bounds what dedup can ever
+    // catch, precision prices the verify stage. Scale shape: both sides
+    // are the existing bucketed joins (never all-pairs); the comparison
+    // is one semi-join on pair keys + three scalar counts.
+    "dd12_lsh_eval" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val truth = Dedup.exactJaccardPairs(docs, "text", "doc_id",
+        JaccardTau, ShingleN).select(col("id_a"), col("id_b"))
+      val cand = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
+        ShingleN, Bands, RowsPerBand)
+      val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          expr("n_hit * 1000000 div n_truth").as("recall_ppm"),
+          expr("n_hit * 1000000 div n_cand").as("precision_ppm"))
+    }),
+
     // Incremental ingestion dedup: the corpus is split into an
     // already-ingested STORE (doc_id % 10 < 7) and an incoming BATCH; a
     // batch doc is dropped when it is a verified MinHash near-dup of any
@@ -366,6 +390,33 @@ object DedupQueries {
       )
       SELECT * FROM ($jaccardPairsSql)
       WHERE jaccard >= $JaccardTau ORDER BY id_a, id_b""",
+
+    "dd12_lsh_eval" -> s"""
+      $candCte, ex AS (
+        SELECT doc_id, UNNEST(s) AS tok FROM sh
+      ), tcand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ex a JOIN ex b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      ), truth AS (
+        SELECT id_a, id_b FROM (
+          SELECT c.id_a, c.id_b,
+            len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+              / len(list_distinct(sa.s || sb.s)) AS jaccard
+          FROM tcand c
+          JOIN sh sa ON sa.doc_id = c.id_a
+          JOIN sh sb ON sb.doc_id = c.id_b
+        ) WHERE jaccard >= $JaccardTau
+      ), hit AS (
+        SELECT t.id_a, t.id_b FROM truth t
+        JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+      )
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_cand,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) * 1000000
+          // (SELECT COUNT(*) FROM truth) AS recall_ppm,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) * 1000000
+          // (SELECT COUNT(*) FROM cand) AS precision_ppm""",
 
     "dd7_incremental_dedup" -> s"""
       $candCte, verified AS (

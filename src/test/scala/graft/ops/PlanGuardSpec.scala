@@ -203,6 +203,8 @@ class PlanGuardSpec extends SparkSpec {
       Set("cdc_scd2_skew_fallback", "q43_pagerank", "q50_triangles",
         "tx19_bpe_merges", "q54_hierarchy_rollup", "q57_label_propagation",
         "q59_shortest_paths",
+        // q72's peel rounds localCheckpoint the shrinking edge list too
+        "q72_kcore",
         // cur13 checkpoints its feature frame (read 7×: 6 GD rounds +
         // inference); er1/q65 checkpoint variants/edge tables the same way
         "cur13_lr_quality_model", "er1_entity_clusters", "q65_hits")
