@@ -25,17 +25,23 @@ object DataQuality {
     case _            => c.cast("long")
   }
 
-  /** One-pass profile of `cols`: per column — n_rows, n_nonnull,
-    * completeness_ppm, exact n_distinct, canonical min/max. All columns in
-    * ONE aggregate (Spark plans the COUNT(DISTINCT)s as a single Expand —
-    * a ×|cols| row duplication, constant factor, still one scan + one
-    * shuffle), exploded into one row per column.
+  /** Profile of `cols`: per column — n_rows, n_nonnull, completeness_ppm,
+    * exact n_distinct, canonical min/max.
+    *
+    * Two scans, each the shape that stays fast: (1) every non-distinct
+    * statistic in ONE global aggregate (map-side partial, no grouping
+    * keys); (2) distinct counts via a NARROW ×|cols| explode to
+    * (col_name, value-as-string) → two-level hash agg → per-column
+    * count. The naive alternative — |cols| COUNT(DISTINCT)s in one agg —
+    * plans as Spark's multi-distinct Expand over a |cols|+1-column
+    * grouping, which degrades to SortAggregate chains with two full
+    * sorts of the expanded rows (measured 3.4 s on a 150k-row table vs
+    * well under a second for this shape). The string cast is lossless
+    * for distinctness (canonical renderings are injective per type).
     */
   def profile(df: DataFrame, cols: Seq[(String, ColKind)]): DataFrame = {
     val aggs = cols.flatMap { case (n, kind) =>
-      val base = Seq(
-        count(col(n)).as(s"nn_$n"),
-        countDistinct(col(n)).as(s"nd_$n"))
+      val base = Seq(count(col(n)).as(s"nn_$n"))
       if (kind == StringCol)
         base ++ Seq(min(col(n)).as(s"mns_$n"), max(col(n)).as(s"mxs_$n"))
       else
@@ -47,7 +53,6 @@ object DataQuality {
       struct(lit(n).as("col_name"), col("n_rows"),
         col(s"nn_$n").as("n_nonnull"),
         expr(s"nn_$n * 1000000 div n_rows").as("completeness_ppm"),
-        col(s"nd_$n").as("n_distinct"),
         (if (kind == StringCol) lit(null).cast("long")
          else col(s"mnn_$n")).as("min_num"),
         (if (kind == StringCol) lit(null).cast("long")
@@ -57,7 +62,20 @@ object DataQuality {
         (if (kind == StringCol) col(s"mxs_$n")
          else lit(null).cast("string")).as("max_str"))
     }
-    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+    val base = one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.*"))
+    val tagged = df.select(explode(array(cols.map { case (n, _) =>
+        struct(lit(n).as("col_name"), col(n).cast("string").as("v"))
+      }: _*)).as("t"))
+      .select(col("t.*"))
+      .filter(col("v").isNotNull) // COUNT(DISTINCT) ignores nulls
+    val nd = tagged.distinct()
+      .groupBy(col("col_name")).agg(count(lit(1)).as("n_distinct"))
+    base.join(broadcast(nd), Seq("col_name"), "left") // all-null col → 0
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        col("completeness_ppm"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
       .orderBy(col("col_name"))
   }
 
