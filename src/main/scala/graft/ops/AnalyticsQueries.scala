@@ -741,6 +741,63 @@ object AnalyticsQueries {
         .orderBy(col("day"))
     }),
 
+    // Classifier QUALITY REPORT for the heuristic language-ID (per-class
+    // precision / recall / F1 in exact ppm, derived from the tx12
+    // confusion cells): the metrics table every model gate should ship
+    // next to its predictions. All integer arithmetic — F1's harmonic
+    // mean is 2·p·r div (p+r) over ppm integers; empty-prediction
+    // classes report 0 by the explicit CASE both engines share. Scale
+    // shape: one scan-side predict + one |langs|²-bounded cell agg; the
+    // margins join the bounded cell table.
+    "q80_langid_prf" -> ((s, dir) => {
+      val cells = Tables(s, dir, "documents")
+        .groupBy(col("lang"),
+          graft.text.TextFunctions.langId(col("text")).as("pred"))
+        .agg(count(lit(1)).as("n"))
+      val truth = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_true"))
+      val preds = cells.groupBy(col("pred")).agg(sum(col("n")).as("n_pred"))
+      val diag = cells.filter(col("lang") === col("pred"))
+        .select(col("lang"), col("n").as("n_correct"))
+      truth
+        .join(preds.withColumnRenamed("pred", "lang"), Seq("lang"), "left")
+        .join(diag, Seq("lang"), "left")
+        .select(col("lang"), col("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+        .withColumn("precision_ppm", expr(
+          "CASE WHEN n_pred = 0 THEN 0 " +
+            "ELSE n_correct * 1000000 div n_pred END"))
+        .withColumn("recall_ppm",
+          expr("n_correct * 1000000 div n_true"))
+        .withColumn("f1_ppm", expr(
+          "CASE WHEN precision_ppm + recall_ppm = 0 THEN 0 " +
+            "ELSE 2 * precision_ppm * recall_ppm " +
+            "div (precision_ppm + recall_ppm) END"))
+        .orderBy(col("lang"))
+    }),
+
+    // ADDITIVE SEASONAL decomposition (day-of-week profile) of the daily
+    // order series: residual_scaled = n·|dow days| − Σ_dow n — the
+    // de-seasonalized signal q74's CUSUM should really scan at weekly-
+    // periodic load, kept exact by scaling instead of dividing. The dow
+    // margin joins the BOUNDED daily aggregate; Sunday=0 in both engines
+    // (Spark dayofweek()−1 ≡ DuckDB dayofweek()).
+    "q81_seasonal_residuals" -> ((s, dir) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("dow", (dayofweek(col("day")) - 1).cast("long"))
+      val prof = daily.groupBy(col("dow"))
+        .agg(sum(col("n_orders")).as("dow_sum"),
+          count(lit(1)).as("dow_days"))
+      daily.join(broadcast(prof), "dow")
+        .select(col("day").cast("timestamp_ntz").as("day"),
+          col("dow"), col("n_orders"), col("dow_days"),
+          (col("n_orders") * col("dow_days") - col("dow_sum"))
+            .as("resid_scaled"))
+        .orderBy(col("day"))
+    }),
+
     // Entity resolution end-to-end: dirty records (every 7th customer
     // gains two deterministic single-deletion typo variants), FastSS
     // deletion-neighborhood blocking + exact-address block key, Levenshtein
@@ -1430,6 +1487,56 @@ object AnalyticsQueries {
         CAST(list_sort(win)[(len(win) + 1) // 2] AS BIGINT)
           AS rolling_median
       FROM rolled ORDER BY day""",
+
+    "q80_langid_prf" -> s"""
+      ${TextQueries.scoresCte}, cells AS (
+        SELECT d.lang, (${TextQueries.langCaseSql}) AS pred,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM scores JOIN documents d USING (doc_id) GROUP BY 1, 2
+      ), truth AS (
+        SELECT lang, CAST(SUM(n) AS BIGINT) AS n_true FROM cells GROUP BY 1
+      ), preds AS (
+        SELECT pred AS lang, CAST(SUM(n) AS BIGINT) AS n_pred
+        FROM cells GROUP BY 1
+      ), diag AS (
+        SELECT lang, n AS n_correct FROM cells WHERE lang = pred
+      ), base AS (
+        SELECT t.lang, t.n_true,
+          COALESCE(p.n_pred, 0) AS n_pred,
+          COALESCE(d.n_correct, 0) AS n_correct
+        FROM truth t LEFT JOIN preds p USING (lang)
+        LEFT JOIN diag d USING (lang)
+      ), pr AS (
+        SELECT lang, n_true, n_pred, n_correct,
+          CAST(CASE WHEN n_pred = 0 THEN 0
+            ELSE n_correct * 1000000 // n_pred END AS BIGINT)
+            AS precision_ppm,
+          CAST(n_correct * 1000000 // n_true AS BIGINT) AS recall_ppm
+        FROM base
+      )
+      SELECT lang, n_true, n_pred, n_correct, precision_ppm, recall_ppm,
+        CAST(CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+          ELSE 2 * precision_ppm * recall_ppm
+            // (precision_ppm + recall_ppm) END AS BIGINT) AS f1_ppm
+      FROM pr ORDER BY lang""",
+
+    "q81_seasonal_residuals" -> """
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+          CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+      ), dailyd AS (
+        SELECT day, n_orders, CAST(dayofweek(day) AS BIGINT) AS dow
+        FROM daily
+      ), prof AS (
+        SELECT dow, CAST(SUM(n_orders) AS BIGINT) AS dow_sum,
+          CAST(COUNT(*) AS BIGINT) AS dow_days
+        FROM dailyd GROUP BY 1
+      )
+      SELECT CAST(d.day AS TIMESTAMP) AS day, d.dow, d.n_orders,
+        p.dow_days, d.n_orders * p.dow_days - p.dow_sum AS resid_scaled
+      FROM dailyd d JOIN prof p USING (dow)
+      ORDER BY day""",
 
     "er1_entity_clusters" -> """
       WITH RECURSIVE cust AS (

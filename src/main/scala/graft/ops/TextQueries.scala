@@ -61,7 +61,47 @@ object TextQueries {
           + 0.3 * ($ttrSql)
           + 0.3 * (1.0 - $stopRatioSql)"""
 
+  /** Suffix-stripping stem of token expression `t` — ONE template string
+    * rendered into both the Spark plan (expr) and the DuckDB oracle, so
+    * the rule set cannot drift between engines. Ordered longest-suffix-
+    * first with minimum-stem-length guards (the Porter S1 flavor).
+    */
+  private[ops] def stemCaseSql(t: String): String = s"""
+    CASE WHEN $t LIKE '%edly' AND length($t) > 6
+           THEN substr($t, 1, length($t) - 4)
+         WHEN $t LIKE '%ness' AND length($t) > 6
+           THEN substr($t, 1, length($t) - 4)
+         WHEN $t LIKE '%ment' AND length($t) > 6
+           THEN substr($t, 1, length($t) - 4)
+         WHEN $t LIKE '%ing' AND length($t) > 5
+           THEN substr($t, 1, length($t) - 3)
+         WHEN $t LIKE '%ed' AND length($t) > 4
+           THEN substr($t, 1, length($t) - 2)
+         WHEN $t LIKE '%ly' AND length($t) > 4
+           THEN substr($t, 1, length($t) - 2)
+         WHEN $t LIKE '%es' AND length($t) > 4
+           THEN substr($t, 1, length($t) - 2)
+         WHEN $t LIKE '%s' AND $t NOT LIKE '%ss' AND length($t) > 3
+           THEN substr($t, 1, length($t) - 1)
+         ELSE $t END"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // SUFFIX-STRIPPING STEMMER (Porter-S1-flavor rules, longest suffix
+    // first with stem-length guards) — the vocabulary-conflation
+    // primitive under search/TF-IDF recall. The rule CASE is one shared
+    // template rendered into BOTH engines, so rules can't drift. Output:
+    // the 20 heaviest stems with occurrence mass and how many distinct
+    // raw token forms each conflates. Scan-side map + one hash agg.
+    "tx27_stem" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .select(expr(stemCaseSql("tok")).as("stem"), col("tok"))
+        .groupBy(col("stem"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("tok")).as("n_variants"))
+        .orderBy(col("n_occurrences").desc, col("stem"))
+        .limit(20)),
 
     // PMI COLLOCATIONS — pointwise mutual information of consecutive token
     // pairs, the classic multi-word-expression detector (and a corpus-
@@ -306,6 +346,17 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx27_stem" -> raw"""
+      WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+      )
+      SELECT (${stemCaseSql("tok")}) AS stem,
+        CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_variants
+      FROM toks GROUP BY 1
+      ORDER BY n_occurrences DESC, stem LIMIT 20""",
+
     "tx26_pmi" -> raw"""
       WITH docs AS (
         SELECT doc_id, $T AS t FROM documents
