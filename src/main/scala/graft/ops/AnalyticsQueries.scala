@@ -798,6 +798,42 @@ object AnalyticsQueries {
         .orderBy(col("day"))
     }),
 
+    // BIPARTITE CO-PURCHASE projection: supplier pairs weighted by shared
+    // customers (the item-item collaborative-filtering primitive), with
+    // exact overlap Jaccard in ppm. The pair generation is the
+    // per-customer self-join of the thinned purchase graph — Σ deg²
+    // bounded by the slice (q72's graph), the classic co-occurrence
+    // shape (salt or cap hub customers at open-web scale). Margins join
+    // the bounded pair table; min-support 3 prunes the tail before the
+    // join.
+    "q82_copurchase" -> ((s, dir) => {
+      val e = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+      val deg = e.groupBy(col("supp")).agg(count(lit(1)).as("deg"))
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.cust") === col("b.cust") &&
+            col("a.supp") < col("b.supp"))
+        .groupBy(col("a.supp").as("supp_a"), col("b.supp").as("supp_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .filter(col("n_common") >= 3)
+      pairs
+        .join(deg.select(col("supp").as("supp_a"), col("deg").as("deg_a")),
+          "supp_a")
+        .join(deg.select(col("supp").as("supp_b"), col("deg").as("deg_b")),
+          "supp_b")
+        .select(col("supp_a"), col("supp_b"), col("n_common"),
+          col("deg_a"), col("deg_b"),
+          expr("n_common * 1000000 div (deg_a + deg_b - n_common)")
+            .as("overlap_jaccard_ppm"))
+        .orderBy(col("supp_a"), col("supp_b"))
+    }),
+
     // Entity resolution end-to-end: dirty records (every 7th customer
     // gains two deterministic single-deletion typo variants), FastSS
     // deletion-neighborhood blocking + exact-address block key, Levenshtein
@@ -1537,6 +1573,30 @@ object AnalyticsQueries {
         p.dow_days, d.n_orders * p.dow_days - p.dow_sum AS resid_scaled
       FROM dailyd d JOIN prof p USING (dow)
       ORDER BY day""",
+
+    "q82_copurchase" -> """
+      WITH e AS (
+        SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
+          CAST(l_suppkey AS BIGINT) AS supp
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey % 10 = 0
+      ), deg AS (
+        SELECT supp, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1
+      ), pairs AS (
+        SELECT a.supp AS supp_a, b.supp AS supp_b,
+          CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM e a JOIN e b ON a.cust = b.cust AND a.supp < b.supp
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      )
+      SELECT p.supp_a, p.supp_b, p.n_common,
+        da.deg AS deg_a, db.deg AS deg_b,
+        CAST(p.n_common * 1000000
+          // (da.deg + db.deg - p.n_common) AS BIGINT)
+          AS overlap_jaccard_ppm
+      FROM pairs p
+      JOIN deg da ON da.supp = p.supp_a
+      JOIN deg db ON db.supp = p.supp_b
+      ORDER BY p.supp_a, p.supp_b""",
 
     "er1_entity_clusters" -> """
       WITH RECURSIVE cust AS (

@@ -265,6 +265,37 @@ object SimQueries {
       Similarity.mmrTopK(e.filter(col("id") < NQueries), e,
           m = MmrShortlist, k = MmrK)
         .orderBy(col("query_id"), col("pick_rank"))
+    }),
+
+    // SQ8 QUANTIZATION-DISTORTION report — the measure-don't-guess op for
+    // the compressed-index stack (dd12's twin for vectors): per
+    // dimension, the reconstruction error of the int8 scalar quantizer
+    // sm11 searches with (grid-quantized squared-error sum — exact under
+    // any aggregation order — plus the worst-case absolute error, which
+    // for a uniform 255-step grid must stay ≤ (mx−mn)/255). One explode
+    // + one join to the 64-row stats table + one hash agg; this is how
+    // an index owner decides whether 8-bit grids are safe for a new
+    // embedding distribution before switching the fleet to them.
+    "sm16_sq8_distortion" -> ((s, dir) => {
+      val ex = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding"))
+          .as(Seq("pos", "xf")))
+        .select(col("pos"), col("xf").cast("double").as("x"))
+      val stats = ex.groupBy(col("pos"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      ex.join(broadcast(stats), "pos")
+        .withColumn("xhat", when(col("mx") > col("mn"),
+          col("mn") + least(lit(255.0), greatest(lit(0.0),
+            floor((col("x") - col("mn")) * 255.0 /
+              (col("mx") - col("mn"))))) *
+            (col("mx") - col("mn")) / 255.0).otherwise(col("mn")))
+        .withColumn("err", col("x") - col("xhat"))
+        .groupBy((col("pos") + 1).cast("long").as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("err") * col("err") * Grid) / Grid)
+            .as("sq_err_sum"),
+          max(abs(col("err"))).as("max_abs_err"))
+        .orderBy(col("d"))
     })
   )
 
@@ -292,6 +323,26 @@ object SimQueries {
       )"""
 
   val oracleSql: Map[String, String] = Map(
+    "sm16_sq8_distortion" -> s"""
+      WITH ex AS (
+        SELECT d AS pos, e.embedding[d]::DOUBLE AS x
+        FROM embeddings e, (SELECT unnest(generate_series(1, $Dim)) AS d)
+      ), stats AS (
+        SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY 1
+      ), errs AS (
+        SELECT ex.pos,
+          ex.x - (CASE WHEN s.mx > s.mn THEN
+            s.mn + least(255.0, greatest(0.0,
+              floor((ex.x - s.mn) * 255.0 / (s.mx - s.mn))))
+              * (s.mx - s.mn) / 255.0
+            ELSE s.mn END) AS err
+        FROM ex JOIN stats s USING (pos)
+      )
+      SELECT CAST(pos AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(floor(err * err * $Grid) / $Grid) AS sq_err_sum,
+        MAX(abs(err)) AS max_abs_err
+      FROM errs GROUP BY 1 ORDER BY 1""",
+
     "sm15_topk_mmr" -> {
       def step(t: Int) = s"""rem$t AS (
         SELECT r.* FROM shortlist r
