@@ -96,6 +96,58 @@ object CdcQueries {
     store
   }
 
+  /** Materialize the CROSS-TABLE transaction fixture once per sfDir: an
+    * orders table and its order-lines table, loaded in one atomic
+    * catalog txn, then a CORRELATED update (order status + its lines'
+    * quantities — the kind of change that commits together upstream)
+    * applied as table merges and published by a SECOND atomic catalog
+    * commit. Catalog v1/v2 are the two consistent cross-table snapshots.
+    */
+  private def txnCatalogDirs(s: SparkSession, dir: String)
+      : (String, Map[String, String]) = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_txn_catalog_v1")
+    val catalog = root.resolve("catalog").toString
+    val tables = Map(
+      "orders" -> root.resolve("orders").toString,
+      "lines" -> root.resolve("lines").toString)
+    graft.streaming.FixtureLock.once(root) {
+        import graft.streaming.{MergeInto, TxnCatalog}
+        val o = Tables(s, dir, "orders")
+          .filter(col("o_orderkey") % 10 === 3)
+          .select(col("o_orderkey").as("id"),
+            col("o_orderstatus").as("status"))
+        // (orderkey, linenumber) is NOT unique in the synthetic lineitem
+        // — collapse duplicates deterministically so line_id is a key
+        val l = Tables(s, dir, "lineitem")
+          .join(o.select(col("id")), col("l_orderkey") === col("id"))
+          .groupBy((col("l_orderkey") * 10 + col("l_linenumber"))
+              .as("line_id"),
+            col("l_orderkey").as("order_id"))
+          .agg(sum(col("l_quantity").cast("long")).as("quantity"))
+        MergeInto.mergeBatch(s, o, tables("orders"), "id")
+        MergeInto.mergeBatch(s, l, tables("lines"), "line_id")
+        TxnCatalog.commitTxn(s, catalog,
+          Map("orders" -> 1L, "lines" -> 1L))
+        // the correlated cross-table update: one upstream transaction
+        val hot = o.filter(col("id") % 30 === 3)
+        MergeInto.mergeBatch(s,
+          hot.select(col("id"), lit("F").as("status")),
+          tables("orders"), "id")
+        MergeInto.mergeBatch(s,
+          l.join(hot.select(col("id")), col("order_id") === col("id"))
+            .select(col("line_id"), col("order_id"),
+              (col("quantity") + 1).as("quantity")),
+          tables("lines"), "line_id")
+        TxnCatalog.commitTxn(s, catalog,
+          Map("orders" -> 2L, "lines" -> 2L))
+    }
+    (catalog, tables)
+  }
+
   /** Materialize the schema-EVOLUTION merge apply once per sfDir: batch 1
     * commits the CREATE payloads as (id, status, totalprice); batch 2
     * carries the UPDATE payloads WITH A NEW `priority` column the table
@@ -318,6 +370,32 @@ object CdcQueries {
         .readTable(s, syncedOrdersTableDir(s, dir))
         .select(col("id"), col("status"), col("totalprice"))
         .orderBy(col("id"))
+    }),
+
+    // CROSS-TABLE TRANSACTIONAL SNAPSHOT driver-gated: orders + lines
+    // resolved THROUGH the TxnCatalog at both catalog versions and
+    // joined — each row is one consistent cross-table state (v1 = the
+    // load, v2 = after the correlated status+quantity transaction). A
+    // reader can never observe order v2 against lines v1: tables are
+    // pinned by one atomically-committed catalog manifest (staged table
+    // versions invisible — TxnCatalogSpec). The oracle recomputes both
+    // states relationally.
+    "cdc_txn_snapshot" -> ((s, dir) => {
+      val (catalog, tables) = txnCatalogDirs(s, dir)
+      def state(v: Long): DataFrame = {
+        val o = graft.streaming.TxnCatalog.readTable(s, catalog, tables,
+          "orders", Some(v))
+        val l = graft.streaming.TxnCatalog.readTable(s, catalog, tables,
+          "lines", Some(v))
+        o.join(l, o("id") === l("order_id"))
+          .agg(count(lit(1)).as("n_join_rows"),
+            countDistinct(o("id")).as("n_orders"),
+            sum((o("status") === "F").cast("long")).as("n_f_lines"),
+            sum(l("quantity")).as("qty_sum"))
+          .select(lit(v).as("catalog_version"), col("n_join_rows"),
+            col("n_orders"), col("n_f_lines"), col("qty_sum"))
+      }
+      state(1L).unionByName(state(2L)).orderBy(col("catalog_version"))
     }),
 
     // TIME TRAVEL driver-gated: version 1 of the merge table (committed
@@ -628,6 +706,42 @@ object CdcQueries {
     // MERGE semantics mirror: creates left-joined with each key's latest
     // non-create event; a DELETE latest removes the key, any other latest
     // replaces the row wholesale.
+    "cdc_txn_snapshot" -> """
+      WITH o1 AS (
+        SELECT o_orderkey AS id, o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 10 = 3
+      ), l1 AS (
+        SELECT l_orderkey * 10 + l_linenumber AS line_id,
+          l_orderkey AS order_id,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS quantity
+        FROM lineitem JOIN o1 ON l_orderkey = o1.id
+        GROUP BY 1, 2
+      ), o2 AS (
+        SELECT id, CASE WHEN id % 30 = 3 THEN 'F' ELSE status END AS status
+        FROM o1
+      ), l2 AS (
+        SELECT line_id, order_id,
+          CASE WHEN order_id % 30 = 3 THEN quantity + 1 ELSE quantity END
+            AS quantity
+        FROM l1
+      ), s1 AS (
+        SELECT CAST(1 AS BIGINT) AS catalog_version,
+          CAST(COUNT(*) AS BIGINT) AS n_join_rows,
+          CAST(COUNT(DISTINCT o1.id) AS BIGINT) AS n_orders,
+          CAST(SUM(CASE WHEN o1.status = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_f_lines,
+          CAST(SUM(l1.quantity) AS BIGINT) AS qty_sum
+        FROM o1 JOIN l1 ON o1.id = l1.order_id
+      ), s2 AS (
+        SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+          CAST(COUNT(DISTINCT o2.id) AS BIGINT),
+          CAST(SUM(CASE WHEN o2.status = 'F' THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(l2.quantity) AS BIGINT)
+        FROM o2 JOIN l2 ON o2.id = l2.order_id
+      )
+      SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      ORDER BY catalog_version""",
+
     "cdc_merge_sync" -> s"""$changesCte, b1 AS (
         SELECT id, status, totalprice FROM changes
         WHERE operation_type = 'CREATE'
