@@ -834,6 +834,82 @@ object AnalyticsQueries {
         .orderBy(col("supp_a"), col("supp_b"))
     }),
 
+    // KAPLAN-MEIER survival over user lifetimes (weeks from first to
+    // last activity; users active in the corpus' final 7 days are
+    // CENSORED — observation ended, not churn). Reported as the exact
+    // running log-survival: each week's ln(1 − d/n) is the grid
+    // difference lng(n−d) − lng(n), so the cumulative product is an
+    // integer SUM over the bounded week series — no float product
+    // drift, and exp() (not correctly rounded in libm) never runs
+    // inside the gate. The per-user reduce is one hash agg; everything
+    // after runs on O(weeks) rows.
+    "q83_survival" -> ((s, dir) => {
+      val g = 1048576L
+      def lng(c: org.apache.spark.sql.Column) =
+        round(log(c.cast("double")) * g).cast("long")
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val gmax = ev.agg(max(col("day")).as("max_day"))
+      val users = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+        .crossJoin(broadcast(gmax))
+        .select(
+          (datediff(col("last_day"), col("first_day"))
+            .cast("long") / 7).cast("long").as("week"),
+          (col("last_day") > date_sub(col("max_day"), 7)).cast("long")
+            .as("censored"))
+      val byWeek = users.groupBy(col("week"))
+        .agg(sum(lit(1) - col("censored")).as("d"),
+          sum(col("censored")).as("c"))
+      val tot = byWeek.agg(sum(col("d") + col("c")).as("n_users"))
+      // bounded global window: one row per lifetime week
+      val w = Window.orderBy(col("week"))
+      val cum = byWeek.crossJoin(broadcast(tot))
+        .withColumn("removed_before",
+          coalesce(sum(col("d") + col("c"))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_at_risk", col("n_users") - col("removed_before"))
+        // survival hits exactly 0 when a week churns everyone at risk:
+        // ln(0) has no grid image — mask from that week on (NULL), the
+        // same CASE both engines run
+        .withColumn("lf", when(col("n_at_risk") === col("d"), lit(0L))
+          .otherwise(lng(col("n_at_risk") - col("d")) -
+            lng(col("n_at_risk"))))
+        .withColumn("zeroed", max((col("n_at_risk") === col("d"))
+          .cast("long")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      cum.withColumn("log_surv_grid",
+          when(col("zeroed") === 1, lit(null).cast("long"))
+            .otherwise(sum(col("lf"))
+              .over(w.rowsBetween(Window.unboundedPreceding,
+                Window.currentRow))))
+        .select(col("week"), col("n_at_risk"), col("d").as("n_churned"),
+          col("c").as("n_censored"), col("log_surv_grid"))
+        .orderBy(col("week"))
+    }),
+
+    // Longest consecutive-day activity STREAK per user — the
+    // engagement metric built on the day-number-minus-rank
+    // gaps-and-islands identity (q73's algebra on integer days instead
+    // of micros). Key-parallel windows over each user's DISTINCT active
+    // days; two hash aggs fold islands to per-user maxima.
+    "q84_streaks" -> ((s, dir) => {
+      val days = Tables(s, dir, "events")
+        .filter(col("user_id") < 500)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("dn", datediff(col("day"),
+          lit("2024-01-01").cast("date")).cast("long"))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("dn"))
+      val streaks = days
+        .withColumn("grp", col("dn") - row_number().over(byUser))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+      streaks.groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_active_days"),
+          count(lit(1)).as("n_streaks"), max(col("len")).as("max_streak"))
+        .orderBy(col("user_id"))
+    }),
+
     // Entity resolution end-to-end: dirty records (every 7th customer
     // gains two deterministic single-deletion typo variants), FastSS
     // deletion-neighborhood blocking + exact-address block key, Levenshtein
@@ -1597,6 +1673,65 @@ object AnalyticsQueries {
       JOIN deg da ON da.supp = p.supp_a
       JOIN deg db ON db.supp = p.supp_b
       ORDER BY p.supp_a, p.supp_b""",
+
+    "q83_survival" -> """
+      WITH ev AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+      ), gmax AS (SELECT MAX(day) AS max_day FROM ev),
+      users AS (
+        SELECT
+          CAST(date_diff('day', MIN(day), MAX(day)) // 7 AS BIGINT)
+            AS week,
+          CAST(CASE WHEN MAX(day) > (SELECT max_day FROM gmax)
+            - INTERVAL 7 DAY THEN 1 ELSE 0 END AS BIGINT) AS censored
+        FROM ev GROUP BY user_id
+      ), by_week AS (
+        SELECT week, CAST(SUM(1 - censored) AS BIGINT) AS d,
+          CAST(SUM(censored) AS BIGINT) AS c
+        FROM users GROUP BY 1
+      ), tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n_users FROM by_week),
+      cum AS (
+        SELECT week, d, c,
+          n_users - COALESCE(CAST(SUM(d + c) OVER (ORDER BY week
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+            0) AS n_at_risk
+        FROM by_week, tot
+      ), lf AS (
+        SELECT week, d, c, n_at_risk,
+          CASE WHEN n_at_risk = d THEN 0 ELSE
+            CAST(round(ln((n_at_risk - d)::DOUBLE) * 1048576) AS BIGINT)
+            - CAST(round(ln(n_at_risk::DOUBLE) * 1048576) AS BIGINT)
+          END AS lf,
+          MAX(CASE WHEN n_at_risk = d THEN 1 ELSE 0 END) OVER
+            (ORDER BY week
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeroed
+        FROM cum
+      )
+      SELECT week, n_at_risk, d AS n_churned, c AS n_censored,
+        CASE WHEN zeroed = 1 THEN NULL ELSE
+          CAST(SUM(lf) OVER (ORDER BY week
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        END AS log_surv_grid
+      FROM lf ORDER BY week""",
+
+    "q84_streaks" -> """
+      WITH days AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events WHERE user_id < 500
+      ), numbered AS (
+        SELECT user_id,
+          CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT) AS dn,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM days
+      ), streaks AS (
+        SELECT user_id, dn - rn AS grp, CAST(COUNT(*) AS BIGINT) AS len
+        FROM numbered GROUP BY 1, 2
+      )
+      SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        CAST(MAX(len) AS BIGINT) AS max_streak
+      FROM streaks GROUP BY user_id ORDER BY user_id""",
 
     "er1_entity_clusters" -> """
       WITH RECURSIVE cust AS (

@@ -103,6 +103,31 @@ object TextQueries {
         .orderBy(col("n_occurrences").desc, col("stem"))
         .limit(20)),
 
+    // TOKENIZER COMPRESSION report per source domain — the
+    // cost-of-serving instrument for the tokenizer stack (tx19/tx20):
+    // characters per pre-tokenized piece and pieces per whitespace word
+    // in exact ppm, aggregated from per-doc integer counts. A domain
+    // whose chars/piece collapses toward 1 is code/noise the byte-level
+    // pieces will bloat; training-budget math runs on exactly these
+    // ratios. One scan-side projection + one hash agg by source.
+    "tx28_token_compression" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("source"),
+          length(regexp_replace(col("text"), "\\s+", "")).cast("long")
+            .as("n_chars_nospace"),
+          tokenCount(col("text")).cast("long").as("n_tokens"),
+          bpeTokenCount(col("text")).cast("long").as("n_pieces"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars_nospace")).as("chars"),
+          sum(col("n_tokens")).as("tokens"),
+          sum(col("n_pieces")).as("pieces"))
+        .select(col("source"), col("n_docs"), col("chars"), col("tokens"),
+          col("pieces"),
+          expr("chars * 1000000 div pieces").as("chars_per_piece_ppm"),
+          expr("pieces * 1000000 div tokens").as("pieces_per_token_ppm"))
+        .orderBy(col("source"))),
+
     // PMI COLLOCATIONS — pointwise mutual information of consecutive token
     // pairs, the classic multi-word-expression detector (and a corpus-
     // health signal: templated corpora surface machine boilerplate at the
@@ -346,6 +371,28 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx28_token_compression" -> raw"""
+      WITH per_doc AS (
+        SELECT source,
+          CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+            AS n_chars_nospace,
+          CAST($NT AS BIGINT) AS n_tokens,
+          CAST(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_pieces
+        FROM documents
+      )
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars_nospace) AS BIGINT) AS chars,
+        CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+        CAST(SUM(n_pieces) AS BIGINT) AS pieces,
+        CAST(CAST(SUM(n_chars_nospace) AS BIGINT) * 1000000
+          // CAST(SUM(n_pieces) AS BIGINT) AS BIGINT)
+          AS chars_per_piece_ppm,
+        CAST(CAST(SUM(n_pieces) AS BIGINT) * 1000000
+          // CAST(SUM(n_tokens) AS BIGINT) AS BIGINT)
+          AS pieces_per_token_ppm
+      FROM per_doc GROUP BY source ORDER BY source""",
+
     "tx27_stem" -> raw"""
       WITH toks AS (
         SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
