@@ -910,6 +910,95 @@ object AnalyticsQueries {
         .orderBy(col("user_id"))
     }),
 
+    // FUNNEL TIME-TO-CONVERT: per user, seconds from first view to the
+    // first purchase AFTER it; per market segment, conversion count and
+    // the exact median delay via the q75 compressed-domain discipline
+    // (distinct delays + running-count window per segment — key-parallel,
+    // never a global sort). Exact integer seconds end to end.
+    "q85_funnel_time" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("view_us"))
+      val converts = ev.filter(col("event_type") === "purchase")
+        .join(firstView, "user_id")
+        .filter(col("us") > col("view_us"))
+        .groupBy(col("user_id"), col("view_us"))
+        .agg(min(col("us")).as("purch_us"))
+        .select(col("user_id"),
+          ((col("purch_us") - col("view_us")) / 1000000L).cast("long")
+            .as("delta_s"))
+      val seg = converts.join(Tables(s, dir, "customer"),
+          col("user_id") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"), col("delta_s"))
+      val byDelta = seg.groupBy(col("segment"), col("delta_s"))
+        .agg(count(lit(1)).as("w"))
+      val tot = byDelta.groupBy(col("segment"))
+        .agg(sum(col("w")).as("n_converted"))
+      val cum = Window.partitionBy(col("segment")).orderBy(col("delta_s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDelta.withColumn("cumw", sum(col("w")).over(cum))
+        .join(tot, "segment")
+        .filter(col("cumw") * 2 >= col("n_converted"))
+        .groupBy(col("segment"), col("n_converted"))
+        .agg(min(col("delta_s")).as("median_delta_s"))
+        .select(col("segment"), col("n_converted"), col("median_delta_s"))
+        .orderBy(col("segment"))
+    }),
+
+    // RFM SEGMENTATION with SCALABLE quantile binning: recency /
+    // frequency / monetary per customer, binned into quintiles by
+    // THRESHOLDS derived from the compressed distinct-value tables (the
+    // q18/q75 discipline) instead of ntile() — ntile is a global sort of
+    // every customer, this is a key-compressed window + a 4-value
+    // broadcast per metric. bin(v) = 1 + |{thresholds < v}|, thresholds
+    // t_i = min value with 5·cum ≥ i·total — pure integer picks, so both
+    // engines agree exactly. Output: populated (r,f,m) cells with
+    // customer counts and exact monetary mass.
+    "q86_rfm" -> ((s, dir) => {
+      val gmax = Tables(s, dir, "orders")
+        .agg(max(to_date(col("o_orderdate"))).as("max_day"))
+      val rfm = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+          count(lit(1)).as("f"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("m"))
+        .crossJoin(broadcast(gmax))
+        .select(col("o_custkey"),
+          datediff(col("max_day"), col("last_day")).cast("long").as("r"),
+          col("f"), col("m"))
+      def thresholds(metric: String): DataFrame = {
+        val byVal = rfm.groupBy(col(metric).as("v"))
+          .agg(count(lit(1)).as("c"))
+        val cum = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = byVal.agg(sum(col("c")).as("n"))
+        // bounded global window: one row per DISTINCT metric value
+        byVal.withColumn("cum", sum(col("c")).over(cum))
+          .crossJoin(broadcast(tot))
+          .select(explode(expr("array(1, 2, 3, 4)")).as("i"), col("v"),
+            col("cum"), col("n"))
+          .filter(col("cum") * 5 >= col("i") * col("n"))
+          .groupBy(col("i")).agg(min(col("v")).as("t"))
+          .agg(collect_list(struct(col("i"), col("t"))).as("ts"))
+          .select(transform(array_sort(col("ts")), x => x.getField("t"))
+            .as(s"t_$metric"))
+      }
+      def bin(v: org.apache.spark.sql.Column, ts: org.apache.spark.sql.Column) =
+        (lit(1) + size(filter(ts, t => t < v))).cast("long")
+      rfm
+        .crossJoin(broadcast(thresholds("r")))
+        .crossJoin(broadcast(thresholds("f")))
+        .crossJoin(broadcast(thresholds("m")))
+        .select(bin(col("r"), col("t_r")).as("r_bin"),
+          bin(col("f"), col("t_f")).as("f_bin"),
+          bin(col("m"), col("t_m")).as("m_bin"), col("m"))
+        .groupBy(col("r_bin"), col("f_bin"), col("m_bin"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("m")).as("m_cents"))
+        .orderBy(col("r_bin"), col("f_bin"), col("m_bin"))
+    }),
+
     // Entity resolution end-to-end: dirty records (every 7th customer
     // gains two deterministic single-deletion typo variants), FastSS
     // deletion-neighborhood blocking + exact-address block key, Levenshtein
@@ -1732,6 +1821,82 @@ object AnalyticsQueries {
         CAST(COUNT(*) AS BIGINT) AS n_streaks,
         CAST(MAX(len) AS BIGINT) AS max_streak
       FROM streaks GROUP BY user_id ORDER BY user_id""",
+
+    "q85_funnel_time" -> """
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      ), fv AS (
+        SELECT user_id, MIN(us) AS view_us FROM ev
+        WHERE event_type = 'view' GROUP BY 1
+      ), conv AS (
+        SELECT e.user_id,
+          CAST((MIN(e.us) - fv.view_us) // 1000000 AS BIGINT) AS delta_s
+        FROM ev e JOIN fv ON e.user_id = fv.user_id
+        WHERE e.event_type = 'purchase' AND e.us > fv.view_us
+        GROUP BY e.user_id, fv.view_us
+      ), seg AS (
+        SELECT c_mktsegment AS segment, delta_s
+        FROM conv JOIN customer ON user_id = c_custkey
+      ), byd AS (
+        SELECT segment, delta_s, CAST(COUNT(*) AS BIGINT) AS w
+        FROM seg GROUP BY 1, 2
+      ), tot AS (
+        SELECT segment, CAST(SUM(w) AS BIGINT) AS n_converted
+        FROM byd GROUP BY 1
+      ), cum AS (
+        SELECT segment, delta_s, w,
+          CAST(SUM(w) OVER (PARTITION BY segment ORDER BY delta_s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cumw
+        FROM byd
+      )
+      SELECT c.segment, t.n_converted,
+        CAST(MIN(c.delta_s) AS BIGINT) AS median_delta_s
+      FROM cum c JOIN tot t ON c.segment = t.segment
+      WHERE c.cumw * 2 >= t.n_converted
+      GROUP BY c.segment, t.n_converted ORDER BY c.segment""",
+
+    "q86_rfm" -> {
+      def th(metric: String) = s"""th_$metric AS (
+        SELECT i, MIN(v) AS t FROM (
+          SELECT v, cum, n, unnest([1, 2, 3, 4]) AS i FROM (
+            SELECT $metric AS v,
+              CAST(SUM(COUNT(*)) OVER (ORDER BY $metric
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum,
+              CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n
+            FROM rfm GROUP BY $metric
+          )
+        ) WHERE cum * 5 >= i * n GROUP BY i
+      )"""
+      s"""
+      WITH gmax AS (
+        SELECT MAX(CAST(date_trunc('day', o_orderdate) AS DATE)) AS max_day
+        FROM orders
+      ), rfm AS (
+        SELECT o_custkey,
+          CAST(date_diff('day',
+            CAST(date_trunc('day', MAX(o_orderdate)) AS DATE),
+            (SELECT max_day FROM gmax)) AS BIGINT) AS r,
+          CAST(COUNT(*) AS BIGINT) AS f,
+          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS m
+        FROM orders GROUP BY o_custkey
+      ), ${th("r")}, ${th("f")}, ${th("m")},
+      binned AS (
+        SELECT
+          1 + (SELECT COUNT(*) FROM th_r WHERE t < rfm.r) AS r_bin,
+          1 + (SELECT COUNT(*) FROM th_f WHERE t < rfm.f) AS f_bin,
+          1 + (SELECT COUNT(*) FROM th_m WHERE t < rfm.m) AS m_bin,
+          m
+        FROM rfm
+      )
+      SELECT CAST(r_bin AS BIGINT) AS r_bin, CAST(f_bin AS BIGINT) AS f_bin,
+        CAST(m_bin AS BIGINT) AS m_bin,
+        CAST(COUNT(*) AS BIGINT) AS n_customers,
+        CAST(SUM(m) AS BIGINT) AS m_cents
+      FROM binned GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+    },
 
     "er1_entity_clusters" -> """
       WITH RECURSIVE cust AS (

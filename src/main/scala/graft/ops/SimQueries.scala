@@ -267,6 +267,42 @@ object SimQueries {
         .orderBy(col("query_id"), col("pick_rank"))
     }),
 
+    // EMBEDDING-SPACE DRIFT monitor: the corpus split into two cohorts
+    // (vec_id parity — the stand-in for before/after an ingestion
+    // change), per-cohort MEAN vectors from exact integer grid sums, and
+    // the cosine between the means + their norms — the cheap
+    // did-the-distribution-move signal a production embedding pipeline
+    // alerts on (ev5/q47 watch scalar columns; this watches the vector
+    // space itself). Deterministic: integer sums, two correctly-rounded
+    // divisions per coordinate, one sequential fold per reduction.
+    // Scale: one scan → O(2·dim) cells; everything after is driver-size.
+    "sm17_embedding_drift" -> ((s, dir) => {
+      val g = 1048576L
+      val ex = Tables(s, dir, "embeddings")
+        .select((col("vec_id") % 2).as("side"),
+          posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("side"), col("pos"),
+          floor(col("xf").cast("double") * g).cast("long").as("xq"))
+      val cells = ex.groupBy(col("side"), col("pos"))
+        .agg(sum(col("xq")).as("s"), count(lit(1)).as("cnt"))
+        .withColumn("m", col("s").cast("double") /
+          col("cnt").cast("double") / lit(g.toDouble))
+      def side(p: Int) = cells.filter(col("side") === p)
+        .groupBy(col("side"))
+        .agg(max(col("cnt")).as(s"n_$p"),
+          transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as(s"mv_$p"))
+        .drop("side")
+      side(0).crossJoin(side(1))
+        .select(col("n_0").as("n_a"), col("n_1").as("n_b"),
+          (Similarity.dot(col("mv_0"), col("mv_1")) /
+            (sqrt(Similarity.dot(col("mv_0"), col("mv_0"))) *
+              sqrt(Similarity.dot(col("mv_1"), col("mv_1")))))
+            .as("cos_means"),
+          sqrt(Similarity.dot(col("mv_0"), col("mv_0"))).as("norm_a"),
+          sqrt(Similarity.dot(col("mv_1"), col("mv_1"))).as("norm_b"))
+    }),
+
     // SQ8 QUANTIZATION-DISTORTION report — the measure-don't-guess op for
     // the compressed-index stack (dd12's twin for vectors): per
     // dimension, the reconstruction error of the int8 scalar quantizer
@@ -323,6 +359,29 @@ object SimQueries {
       )"""
 
   val oracleSql: Map[String, String] = Map(
+    "sm17_embedding_drift" -> s"""
+      WITH ex AS (
+        SELECT vec_id % 2 AS side, d AS pos,
+          CAST(floor(e.embedding[d]::DOUBLE * $Grid) AS BIGINT) AS xq
+        FROM embeddings e, (SELECT unnest(generate_series(1, $Dim)) AS d)
+      ), cells AS (
+        SELECT side, pos,
+          CAST(SUM(xq) AS BIGINT)::DOUBLE
+            / CAST(COUNT(*) AS BIGINT)::DOUBLE / $Grid AS m,
+          CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ex GROUP BY 1, 2
+      ), mv AS (
+        SELECT side, MAX(cnt) AS n, list(m ORDER BY pos) AS v
+        FROM cells GROUP BY 1
+      )
+      SELECT a.n AS n_a, b.n AS n_b,
+        ${dotNSql("a.v", "b.v", 64)}
+          / (sqrt(${dotNSql("a.v", "a.v", 64)})
+             * sqrt(${dotNSql("b.v", "b.v", 64)})) AS cos_means,
+        sqrt(${dotNSql("a.v", "a.v", 64)}) AS norm_a,
+        sqrt(${dotNSql("b.v", "b.v", 64)}) AS norm_b
+      FROM mv a, mv b WHERE a.side = 0 AND b.side = 1""",
+
     "sm16_sq8_distortion" -> s"""
       WITH ex AS (
         SELECT d AS pos, e.embedding[d]::DOUBLE AS x
