@@ -67,6 +67,42 @@ object DecontamQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SEMANTIC decontamination shortlist — the embedding-space companion
+    // to dc1's exact n-gram probe (catches paraphrased benchmark leakage
+    // that token overlap misses): for every TRAINING vector, its maximum
+    // cosine to ANY eval vector (same salted eval split trick), ranked;
+    // the top-50 most-suspicious docs are what a human (or a stricter
+    // second-stage model) reviews. No fixed threshold: the corpus is
+    // unclustered, so the operator reports the ranked frontier rather
+    // than betting on an absolute cut. Scale shape: eval set broadcast
+    // (benchmarks are tiny by construction), corpus scanned once, argmax
+    // as one map-side-combinable struct max, global top-50 =
+    // TakeOrdered.
+    "dc2_semantic_decontam" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .withColumn("is_eval",
+          Hash60(concat(lit("dc2:"), col("vec_id").cast("string")))
+            % 100 < EvalPct)
+      val sim = graft.sim.Similarity
+      val ev = e.filter(col("is_eval"))
+        .select(col("vec_id").as("eval_id"), col("embedding").as("ev"),
+          sim.norm(col("embedding")).as("en"))
+      e.filter(!col("is_eval"))
+        .select(col("vec_id"), col("embedding").as("tv"),
+          sim.norm(col("embedding")).as("tn"))
+        .crossJoin(broadcast(ev))
+        .select(col("vec_id"),
+          struct((sim.dot(col("tv"), col("ev")) /
+            (col("tn") * col("en"))).as("cos"),
+            (-col("eval_id")).as("neg_eval")).as("p"))
+        .groupBy(col("vec_id"))
+        .agg(max(col("p")).as("m"))
+        .select(col("vec_id"), col("m.cos").as("max_cos"),
+          (-col("m.neg_eval")).as("nearest_eval_id"))
+        .orderBy(col("max_cos").desc, col("vec_id"))
+        .limit(50)
+    }),
+
     // Passage-level duplication (Lee et al. 2022, "Deduplicating Training
     // Data Makes Language Models Better"): the fraction of a document's
     // 8-token WINDOW POSITIONS covered by a shingle that also occurs in
@@ -128,6 +164,28 @@ object DecontamQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "dc2_semantic_decontam" -> s"""
+      WITH e AS (
+        SELECT vec_id, embedding,
+          ('0x' || substr(md5('dc2:' || vec_id::VARCHAR), 1, 15))::BIGINT
+            % 100 < $EvalPct AS is_eval
+        FROM embeddings
+      ), pairs AS (
+        SELECT t.vec_id, ev.vec_id AS eval_id,
+          ${SimQueries.cosSql("t.embedding", "ev.embedding")} AS cos
+        FROM e t, e ev WHERE NOT t.is_eval AND ev.is_eval
+      ), best AS (
+        SELECT vec_id, cos AS max_cos, eval_id AS nearest_eval_id FROM (
+          SELECT vec_id, cos, eval_id,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY cos DESC, eval_id) AS rn
+          FROM pairs
+        ) WHERE rn = 1
+      )
+      SELECT vec_id, max_cos, CAST(nearest_eval_id AS BIGINT)
+        AS nearest_eval_id
+      FROM best ORDER BY max_cos DESC, vec_id LIMIT 50""",
+
 
     "dc1_decontam" -> s"""
       WITH docs AS (

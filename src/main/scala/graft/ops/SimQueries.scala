@@ -267,6 +267,18 @@ object SimQueries {
         .orderBy(col("query_id"), col("pick_rank"))
     }),
 
+    // FILTERED vector search (tenant/collection-scoped): exact top-k
+    // among corpus vectors sharing the query's LABEL — the
+    // metadata-predicate-under-ANN capability production vector stores
+    // call filtered search. See Similarity.sameLabelTopK.
+    "sm18_filtered_topk" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label"))
+      Similarity.sameLabelTopK(e.filter(col("id") < NQueries), e, K)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // EMBEDDING-SPACE DRIFT monitor: the corpus split into two cohorts
     // (vec_id parity — the stand-in for before/after an ingestion
     // change), per-cohort MEAN vectors from exact integer grid sums, and
@@ -772,6 +784,25 @@ object SimQueries {
       )
       SELECT query_id, corpus_id, cos, rank FROM reranked
       WHERE rank <= $K ORDER BY query_id, rank""",
+
+    "sm18_filtered_topk" -> s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, label AS query_label, embedding AS qv
+        FROM embeddings WHERE vec_id < $NQueries
+      ), scored AS (
+        SELECT query_id, query_label, c.vec_id AS corpus_id,
+          ${cosSql("qv", "c.embedding")} AS cos
+        FROM embeddings c, q
+        WHERE c.label = q.query_label AND c.vec_id != q.query_id
+      ), ranked AS (
+        SELECT query_id, query_label, corpus_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, corpus_id) AS rank
+        FROM scored
+      )
+      SELECT query_id, query_label, corpus_id, cos,
+        CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= $K ORDER BY query_id, rank""",
 
     // sm1's shape with the cross-label restriction — same sequential-fold
     // cosine, so approximate ranks are bit-identical.

@@ -115,6 +115,35 @@ object Similarity {
     *
     * `queries` and `corpus`: (id, vec, label).
     */
+  /** FILTERED (tenant-scoped) exact top-k: each query ranks ONLY corpus
+    * vectors carrying the SAME label — the metadata-filtered vector
+    * search every multi-tenant / per-collection index serves (and the
+    * mirror of [[hardNegativeTopK]]'s cross-label restriction). The
+    * predicate is evaluated BELOW the score, so excluded rows never pay
+    * a dot product; scale shape otherwise identical to
+    * [[bruteForceTopK]] (broadcast queries, WindowGroupLimit top-k; at
+    * index scale the same filter drops into the IVF/PQ candidate walk).
+    */
+  def sameLabelTopK(queries: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"),
+      col("label").as("query_label"), col("vec").as("qv"),
+      norm(col("vec")).as("qn"))
+    val c = corpus.select(col("id").as("corpus_id"),
+      col("label").as("corpus_label"), col("vec").as("cv"),
+      norm(col("vec")).as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_label") === col("query_label") &&
+        col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("corpus_id"),
+        col("cos"), col("rank"))
+  }
+
   def hardNegativeTopK(queries: DataFrame, corpus: DataFrame,
       k: Int): DataFrame = {
     val q = queries.select(col("id").as("query_id"),
