@@ -111,7 +111,22 @@ class PlanGuardSpec extends SparkSpec {
     // by the scan-side BpeApply kernel — the plan must contain NO join at
     // all between the corpus and the merge artifact (checked below via
     // mustNot), and the per-doc agg still group-limits nothing corpus-wide
-    "tx20_bpe_encode" -> Seq("HashAggregate")
+    "tx20_bpe_encode" -> Seq("HashAggregate"),
+    // MMR: the shortlist pre-limits per query below the exchange; the
+    // greedy loop is the scan-side mmr_select kernel (no per-step joins)
+    "sm15_topk_mmr" -> Seq("WindowGroupLimit", "mmr_select"),
+    // filtered vector search: the label predicate upgrades the broadcast
+    // to a HASH join on label — queries still broadcast, corpus never
+    // shuffles
+    "sm18_filtered_topk" -> Seq("WindowGroupLimit", "BroadcastHashJoin"),
+    // semantic decontam: tiny eval set broadcast against the corpus scan
+    "dc2_semantic_decontam" -> Seq("BroadcastNestedLoopJoin"),
+    // EWMA: the sequential fold is the scan-side int_ewma kernel over the
+    // bounded collected series — no iterative joins
+    "q77_ewma" -> Seq("int_ewma"),
+    // weighted median: running-weight window is PARTITIONED by flag
+    // (key-parallel), never a global sort of the compressed domain
+    "q75_weighted_median" -> Seq("windowspecdefinition(flag")
   )
 
   /** query -> plan fragments that must NOT appear */
@@ -127,6 +142,9 @@ class PlanGuardSpec extends SparkSpec {
     "sm3_cosine_neardups" -> Seq("BroadcastNestedLoopJoin"),
     "sm7_topk_pq" -> Seq("BroadcastNestedLoopJoin", "CartesianProduct"),
     "dd5_dup_clusters" -> Seq("BroadcastNestedLoopJoin"),
+    // the LSH-eval comparison must stay on the bucketed joins — a
+    // nested-loop anywhere means a side lost its equi keys
+    "dd12_lsh_eval" -> Seq("CartesianProduct"),
     // FastSS blocking exists precisely so edit-distance matching is an
     // equi-join on deletion variants — a nested loop means the predicate
     // degenerated to all-pairs levenshtein
