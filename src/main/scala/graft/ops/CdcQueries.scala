@@ -109,7 +109,11 @@ object CdcQueries {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    val root = Paths.get(s"$base/$key/orders_txn_catalog_v1")
+    // _v2: 16 buckets per table — the v1 default of 64 made the gate pay
+    // 4 × 64 parquet footer opens per run for tables of a few thousand
+    // rows; bucket count should track table size (it is per-table
+    // metadata, not a global constant)
+    val root = Paths.get(s"$base/$key/orders_txn_catalog_v2")
     val catalog = root.resolve("catalog").toString
     val tables = Map(
       "orders" -> root.resolve("orders").toString,
@@ -128,20 +132,21 @@ object CdcQueries {
               .as("line_id"),
             col("l_orderkey").as("order_id"))
           .agg(sum(col("l_quantity").cast("long")).as("quantity"))
-        MergeInto.mergeBatch(s, o, tables("orders"), "id")
-        MergeInto.mergeBatch(s, l, tables("lines"), "line_id")
+        MergeInto.mergeBatch(s, o, tables("orders"), "id", numBuckets = 16)
+        MergeInto.mergeBatch(s, l, tables("lines"), "line_id",
+          numBuckets = 16)
         TxnCatalog.commitTxn(s, catalog,
           Map("orders" -> 1L, "lines" -> 1L))
         // the correlated cross-table update: one upstream transaction
         val hot = o.filter(col("id") % 30 === 3)
         MergeInto.mergeBatch(s,
           hot.select(col("id"), lit("F").as("status")),
-          tables("orders"), "id")
+          tables("orders"), "id", numBuckets = 16)
         MergeInto.mergeBatch(s,
           l.join(hot.select(col("id")), col("order_id") === col("id"))
             .select(col("line_id"), col("order_id"),
               (col("quantity") + 1).as("quantity")),
-          tables("lines"), "line_id")
+          tables("lines"), "line_id", numBuckets = 16)
         TxnCatalog.commitTxn(s, catalog,
           Map("orders" -> 2L, "lines" -> 2L))
     }
