@@ -999,6 +999,30 @@ object AnalyticsQueries {
         .orderBy(col("r_bin"), col("f_bin"), col("m_bin"))
     }),
 
+    // BENFORD first-digit audit of order amounts — the classic
+    // fabricated-data / fraud screen: observed leading-digit shares vs
+    // the Benford expectation log10(1+1/d), both in ppm integers (the
+    // nine log constants round identically in every IEEE libm —
+    // verified against DuckDB bit-for-bit — and the formula is computed
+    // in-engine, not pasted). One scan-side digit extraction + one
+    // 9-row agg.
+    "q87_benford" -> ((s, dir) => {
+      val digits = Tables(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .filter(col("cents") >= 1)
+        .select(substring(col("cents").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+      val tot = digits.agg(count(lit(1)).as("n"))
+      digits.groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), col("n_obs"),
+          expr("n_obs * 1000000 div n").as("obs_ppm"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+            * 1000000).cast("long").as("benford_ppm"))
+        .withColumn("diff_ppm", col("obs_ppm") - col("benford_ppm"))
+        .orderBy(col("digit"))
+    }),
+
     // Entity resolution end-to-end: dirty records (every 7th customer
     // gains two deterministic single-deletion typo variants), FastSS
     // deletion-neighborhood blocking + exact-address block key, Levenshtein
@@ -1897,6 +1921,24 @@ object AnalyticsQueries {
         CAST(SUM(m) AS BIGINT) AS m_cents
       FROM binned GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
     },
+
+    "q87_benford" -> """
+      WITH digits AS (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+          AS digit
+        FROM (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ) WHERE cents >= 1
+      ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM digits)
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        CAST(COUNT(*) * 1000000 // n AS BIGINT) AS obs_ppm,
+        CAST(round(log10(1.0 + 1.0 / digit::DOUBLE) * 1000000) AS BIGINT)
+          AS benford_ppm,
+        CAST(COUNT(*) * 1000000 // n AS BIGINT)
+          - CAST(round(log10(1.0 + 1.0 / digit::DOUBLE) * 1000000)
+            AS BIGINT) AS diff_ppm
+      FROM digits, tot GROUP BY digit, n ORDER BY digit""",
 
     "er1_entity_clusters" -> """
       WITH RECURSIVE cust AS (
