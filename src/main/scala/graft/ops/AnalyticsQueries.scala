@@ -1023,6 +1023,105 @@ object AnalyticsQueries {
         .orderBy(col("digit"))
     }),
 
+    // JOIN-KEY SKEW PROFILER — the diagnosis tool behind every salted
+    // join (sj1): for the orders⋈lineitem key, the top-20 heaviest keys
+    // by EXACT output contribution f_o·f_l, with each side's frequency
+    // and the key's share of the total join output in ppm. This is the
+    // operator an engineer runs BEFORE picking a salting factor: the
+    // per-key product is the number of rows that key alone forces
+    // through one task. Two hash aggs + one join of the (bounded-key)
+    // frequency tables + TakeOrdered.
+    "q88_join_skew_profile" -> ((s, dir) => {
+      val fo = Tables(s, dir, "orders").groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("f_orders"))
+      val fl = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("f_lines"))
+      val prods = fo.join(fl, "k")
+        .select(col("k"), col("f_orders"), col("f_lines"),
+          (col("f_orders") * col("f_lines")).as("join_rows"))
+      val tot = prods.agg(sum(col("join_rows")).as("total_join_rows"))
+      prods.crossJoin(broadcast(tot))
+        .select(col("k"), col("f_orders"), col("f_lines"),
+          col("join_rows"),
+          expr("join_rows * 1000000 div total_join_rows").as("share_ppm"))
+        .orderBy(col("join_rows").desc, col("k"))
+        .limit(20)
+    }),
+
+    // MUTUAL INFORMATION between event type and customer segment — the
+    // information-theoretic dependence measure next to q76's chi-square
+    // (feature selection ranks on exactly this). Computed as the exact
+    // integer sum Σ n_xy·(lng n_xy + lng N − lng n_x − lng n_y) over the
+    // bounded cell table (every ln on the 2^-20 grid), reported as the
+    // grid integer and as nats-per-sample via one division — no float
+    // accumulates anywhere. Same one-join + margins shape as q76.
+    "q89_mutual_info" -> ((s, dir) => {
+      val g = 1048576L
+      def lng(c: org.apache.spark.sql.Column) =
+        round(log(c.cast("double")) * g).cast("long")
+      val cells = Tables(s, dir, "events")
+        .join(Tables(s, dir, "customer"),
+          col("user_id") === col("c_custkey"))
+        .groupBy(col("event_type"), col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_xy"))
+      val rx = cells.groupBy(col("event_type")).agg(sum(col("n_xy")).as("n_x"))
+      val cy = cells.groupBy(col("segment")).agg(sum(col("n_xy")).as("n_y"))
+      val n = cells.agg(sum(col("n_xy")).as("n"))
+      cells.join(rx, "event_type").join(cy, "segment")
+        .crossJoin(broadcast(n))
+        .select(col("n_xy"), col("n"),
+          (col("n_xy") * (lng(col("n_xy")) + lng(col("n")) -
+            lng(col("n_x")) - lng(col("n_y")))).as("term"))
+        .agg(max(col("n")).as("n_pairs"), sum(col("term")).as("mi_grid"))
+        .select(col("n_pairs"), col("mi_grid"),
+          (col("mi_grid").cast("double") / col("n_pairs").cast("double") /
+            lit(g.toDouble)).as("mi_nats"))
+    }),
+
+    // NEYMAN-OPTIMAL stratified allocation: a 1000-row sampling budget
+    // split across market segments ∝ N_h·σ_h (stratum size × std of
+    // order value) — the design that minimizes estimator variance for a
+    // fixed budget, vs naive proportional allocation ∝ N_h alone. σ_h
+    // comes from exact integer cent sums; each weight is floor-quantized
+    // to the 2^-20 grid BEFORE the (bounded) weight sum so the integer
+    // allocation divisions agree exactly cross-engine. Output per
+    // stratum: size, σ in cents (double), Neyman and proportional
+    // allocations — the gap between the two columns IS the sampling
+    // efficiency the design buys.
+    "cur17_neyman_alloc" -> ((s, dir) => {
+      val g = 1048576L
+      val budget = 1000L
+      val st = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("stratum"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("stratum"))
+        .agg(count(lit(1)).as("n_h"),
+          sum(col("cents").cast(DecimalType(38, 0))).as("s1"),
+          // cents² sums overflow BIGINT at sf0.1 — exact DECIMAL(38,0)
+          sum((col("cents").cast(DecimalType(38, 0)) *
+            col("cents").cast(DecimalType(38, 0)))
+            .cast(DecimalType(38, 0))).as("s2"))
+        .withColumn("sigma_cents",
+          sqrt((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") /
+              col("n_h").cast("double")) / col("n_h").cast("double")))
+        // grid-floor the weight so the bounded weight sum is exact
+        .withColumn("w_grid",
+          floor(col("n_h").cast("double") * col("sigma_cents") /
+            lit(g.toDouble)).cast("long"))
+      val tot = st.agg(sum(col("w_grid")).as("w_tot"),
+        sum(col("n_h")).as("n_tot"))
+      st.crossJoin(broadcast(tot))
+        .select(col("stratum"), col("n_h"), col("sigma_cents"),
+          expr(s"$budget * w_grid div w_tot").as("neyman_alloc"),
+          expr(s"$budget * n_h div n_tot").as("proportional_alloc"))
+        .orderBy(col("stratum"))
+    }),
+
     // Entity resolution end-to-end: dirty records (every 7th customer
     // gains two deterministic single-deletion typo variants), FastSS
     // deletion-neighborhood blocking + exact-address block key, Levenshtein
@@ -1939,6 +2038,85 @@ object AnalyticsQueries {
           - CAST(round(log10(1.0 + 1.0 / digit::DOUBLE) * 1000000)
             AS BIGINT) AS diff_ppm
       FROM digits, tot GROUP BY digit, n ORDER BY digit""",
+
+    "q88_join_skew_profile" -> """
+      WITH fo AS (
+        SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS f_orders
+        FROM orders GROUP BY 1
+      ), fl AS (
+        SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS f_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+      ), prods AS (
+        SELECT k, f_orders, f_lines, f_orders * f_lines AS join_rows
+        FROM fo JOIN fl USING (k)
+      ), tot AS (
+        SELECT CAST(SUM(join_rows) AS BIGINT) AS total_join_rows
+        FROM prods
+      )
+      SELECT k, f_orders, f_lines, join_rows,
+        CAST(join_rows * 1000000 // total_join_rows AS BIGINT)
+          AS share_ppm
+      FROM prods, tot
+      ORDER BY join_rows DESC, k LIMIT 20""",
+
+    "q89_mutual_info" -> """
+      WITH cells AS (
+        SELECT event_type, c_mktsegment AS segment,
+          CAST(COUNT(*) AS BIGINT) AS n_xy
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2
+      ), rx AS (
+        SELECT event_type, CAST(SUM(n_xy) AS BIGINT) AS n_x
+        FROM cells GROUP BY 1
+      ), cy AS (
+        SELECT segment, CAST(SUM(n_xy) AS BIGINT) AS n_y
+        FROM cells GROUP BY 1
+      ), n AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells),
+      terms AS (
+        SELECT n_xy, n.n,
+          n_xy * (CAST(round(ln(n_xy::DOUBLE) * 1048576) AS BIGINT)
+            + CAST(round(ln(n.n::DOUBLE) * 1048576) AS BIGINT)
+            - CAST(round(ln(n_x::DOUBLE) * 1048576) AS BIGINT)
+            - CAST(round(ln(n_y::DOUBLE) * 1048576) AS BIGINT)) AS term
+        FROM cells JOIN rx USING (event_type) JOIN cy USING (segment), n
+      )
+      SELECT MAX(n) AS n_pairs, CAST(SUM(term) AS BIGINT) AS mi_grid,
+        CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE) / MAX(n)::DOUBLE
+          / 1048576.0 AS mi_nats
+      FROM terms""",
+
+    "cur17_neyman_alloc" -> """
+      WITH st AS (
+        SELECT c_mktsegment AS stratum, CAST(COUNT(*) AS BIGINT) AS n_h,
+          SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT))
+            AS s1,
+          SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)
+            * CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT))
+            AS s2
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+      ), sig AS (
+        SELECT stratum, n_h,
+          sqrt((CAST(CAST(s2 AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_h::DOUBLE)
+            / n_h::DOUBLE) AS sigma_cents
+        FROM st
+      ), wg AS (
+        SELECT stratum, n_h, sigma_cents,
+          CAST(floor(n_h::DOUBLE * sigma_cents / 1048576.0) AS BIGINT)
+            AS w_grid
+        FROM sig
+      ), tot AS (
+        SELECT CAST(SUM(w_grid) AS BIGINT) AS w_tot,
+          CAST(SUM(n_h) AS BIGINT) AS n_tot
+        FROM wg
+      )
+      SELECT stratum, n_h, sigma_cents,
+        CAST(1000 * w_grid // w_tot AS BIGINT) AS neyman_alloc,
+        CAST(1000 * n_h // n_tot AS BIGINT) AS proportional_alloc
+      FROM wg, tot ORDER BY stratum""",
 
     "er1_entity_clusters" -> """
       WITH RECURSIVE cust AS (
