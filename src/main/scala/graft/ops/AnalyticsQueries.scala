@@ -1122,6 +1122,38 @@ object AnalyticsQueries {
         .orderBy(col("stratum"))
     }),
 
+    // LEAD-LAG cross-correlation of the daily view series against the
+    // daily purchase series at lags −7..+7 — the does-X-precede-Y
+    // detector (demand sensing, campaign attribution at the aggregate
+    // level). Pearson r per lag from the six exact integer sums (the
+    // q55 discipline: all accumulation integral, one fixed IEEE chain
+    // at the end). Everything runs on the BOUNDED daily aggregates ×15
+    // lags; the raw events are touched once.
+    "q90_lead_lag" -> ((s, dir) => {
+      val daily = Tables(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum((col("event_type") === "view").cast("long")).as("x"),
+          sum((col("event_type") === "purchase").cast("long")).as("y"))
+      val lags = s.range(-7, 8).select(col("id").as("lag"))
+      val a = daily.select(col("day"), col("x"))
+      val b = daily.select(col("day").as("day_b"), col("y"))
+      a.crossJoin(broadcast(lags))
+        .join(b, expr("date_add(day, CAST(lag AS INT)) = day_b"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"),
+          sum(col("y") * col("y")).as("sy2"))
+        .select(col("lag"), col("n_days"),
+          ((col("n_days") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (sqrt((col("n_days") * col("sx2") - col("sx") * col("sx"))
+              .cast("double")) *
+             sqrt((col("n_days") * col("sy2") - col("sy") * col("sy"))
+               .cast("double")))).as("r"))
+        .orderBy(col("lag"))
+    }),
+
     // Entity resolution end-to-end: dirty records (every 7th customer
     // gains two deterministic single-deletion typo variants), FastSS
     // deletion-neighborhood blocking + exact-address block key, Levenshtein
@@ -2117,6 +2149,34 @@ object AnalyticsQueries {
         CAST(1000 * w_grid // w_tot AS BIGINT) AS neyman_alloc,
         CAST(1000 * n_h // n_tot AS BIGINT) AS proportional_alloc
       FROM wg, tot ORDER BY stratum""",
+
+    "q90_lead_lag" -> """
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+          CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS x,
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS y
+        FROM events GROUP BY 1
+      ), lags AS (
+        SELECT CAST(unnest(generate_series(-7, 7)) AS BIGINT) AS lag
+      ), joined AS (
+        SELECT l.lag, a.x, b.y
+        FROM daily a CROSS JOIN lags l
+        JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
+      ), sums AS (
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+          CAST(SUM(x * y) AS BIGINT) AS sxy,
+          CAST(SUM(x * x) AS BIGINT) AS sx2,
+          CAST(SUM(y * y) AS BIGINT) AS sy2
+        FROM joined GROUP BY 1
+      )
+      SELECT lag, n_days,
+        CAST(n_days * sxy - sx * sy AS DOUBLE)
+          / (sqrt(CAST(n_days * sx2 - sx * sx AS DOUBLE))
+             * sqrt(CAST(n_days * sy2 - sy * sy AS DOUBLE))) AS r
+      FROM sums ORDER BY lag""",
 
     "er1_entity_clusters" -> """
       WITH RECURSIVE cust AS (
