@@ -103,7 +103,7 @@ object CdcQueries {
     * applied as table merges and published by a SECOND atomic catalog
     * commit. Catalog v1/v2 are the two consistent cross-table snapshots.
     */
-  private def txnCatalogDirs(s: SparkSession, dir: String)
+  private[ops] def txnCatalogDirs(s: SparkSession, dir: String)
       : (String, Map[String, String]) = {
     import java.nio.file.Paths
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -113,7 +113,10 @@ object CdcQueries {
     // 4 × 64 parquet footer opens per run for tables of a few thousand
     // rows; bucket count should track table size (it is per-table
     // metadata, not a global constant)
-    val root = Paths.get(s"$base/$key/orders_txn_catalog_v2")
+    // _v3: txn 2 additionally INSERTS a new order + its two lines in the
+    // same transaction — the cross-table insert that makes a
+    // mixed-version read an OBSERVABLE FK violation (dq3 proves it)
+    val root = Paths.get(s"$base/$key/orders_txn_catalog_v3")
     val catalog = root.resolve("catalog").toString
     val tables = Map(
       "orders" -> root.resolve("orders").toString,
@@ -137,15 +140,25 @@ object CdcQueries {
           numBuckets = 16)
         TxnCatalog.commitTxn(s, catalog,
           Map("orders" -> 1L, "lines" -> 1L))
-        // the correlated cross-table update: one upstream transaction
+        // the correlated cross-table transaction: status+quantity updates
+        // PLUS a brand-new order with its two lines — all one upstream
+        // txn, so each table takes ONE merge and the catalog flips once
         val hot = o.filter(col("id") % 30 === 3)
+        val newOrder = s.range(1)
+          .select(lit(999999931L).as("id"), lit("O").as("status"))
+        val newLines = s.range(1, 3)
+          .select((lit(9999999310L) + col("id")).as("line_id"),
+            lit(999999931L).as("order_id"),
+            (col("id") * 2 + 3).as("quantity")) // 5 and 7
         MergeInto.mergeBatch(s,
-          hot.select(col("id"), lit("F").as("status")),
+          hot.select(col("id"), lit("F").as("status"))
+            .unionByName(newOrder),
           tables("orders"), "id", numBuckets = 16)
         MergeInto.mergeBatch(s,
           l.join(hot.select(col("id")), col("order_id") === col("id"))
             .select(col("line_id"), col("order_id"),
-              (col("quantity") + 1).as("quantity")),
+              (col("quantity") + 1).as("quantity"))
+            .unionByName(newLines),
           tables("lines"), "line_id", numBuckets = 16)
         TxnCatalog.commitTxn(s, catalog,
           Map("orders" -> 2L, "lines" -> 2L))
@@ -724,11 +737,14 @@ object CdcQueries {
       ), o2 AS (
         SELECT id, CASE WHEN id % 30 = 3 THEN 'F' ELSE status END AS status
         FROM o1
+        UNION ALL SELECT 999999931, 'O'
       ), l2 AS (
         SELECT line_id, order_id,
           CASE WHEN order_id % 30 = 3 THEN quantity + 1 ELSE quantity END
             AS quantity
         FROM l1
+        UNION ALL SELECT 9999999311, 999999931, 5
+        UNION ALL SELECT 9999999312, 999999931, 7
       ), s1 AS (
         SELECT CAST(1 AS BIGINT) AS catalog_version,
           CAST(COUNT(*) AS BIGINT) AS n_join_rows,

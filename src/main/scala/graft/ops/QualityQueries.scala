@@ -67,6 +67,28 @@ object QualityQueries {
           col("ts") < lit("2024-01-01").cast("timestamp_ntz"))))
     }),
 
+    // CATALOG-CONSISTENT FK AUDIT — the dq × TxnCatalog composition that
+    // PROVES the cross-table catalog earns its keep: lines.order_id ⊆
+    // orders.id holds at every cataloged snapshot (v1 and v2), but
+    // reading the tables at MIXED versions (orders v1 + lines v2 — what
+    // independent per-table readers can observe without a catalog)
+    // violates it with exactly the new order's lines dangling. The
+    // violation row is the measured cost of not having transaction
+    // boundaries; the two zero rows are the catalog's guarantee.
+    "dq3_catalog_fk" -> ((s, dir) => {
+      val (catalog, tables) = CdcQueries.txnCatalogDirs(s, dir)
+      def t(name: String, v: Long) =
+        graft.streaming.TxnCatalog.readTable(s, catalog, tables, name,
+          Some(v))
+      def fk(tag: String, ov: Long, lv: Long) =
+        DataQuality.fkRule(tag, t("lines", lv), col("order_id"),
+          t("orders", ov), col("id"))
+      DataQuality.audit(Seq(
+        fk("fk_at_v1", 1L, 1L),
+        fk("fk_at_v2", 2L, 2L),
+        fk("fk_mixed_orders_v1_lines_v2", 1L, 2L)))
+    }),
+
     // STREAMING data-quality counters driver-gated: the events audit
     // folded as two manifest-committed merges into a standing
     // O(|constraints|) counter table (additive merge = lossless), read
@@ -156,6 +178,41 @@ object QualityQueries {
           CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-01'
             THEN 1 ELSE 0 END) AS BIGINT)
         FROM events
+      )
+      SELECT constraint_name, n_checked, n_violations,
+        CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+          AS passed
+      FROM audit ORDER BY constraint_name""",
+
+    "dq3_catalog_fk" -> """
+      WITH o1 AS (
+        SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 10 = 3
+      ), l1 AS (
+        SELECT l_orderkey * 10 + l_linenumber AS line_id,
+          l_orderkey AS order_id
+        FROM lineitem JOIN o1 ON l_orderkey = o1.id
+        GROUP BY 1, 2
+      ), o2 AS (
+        SELECT id FROM o1 UNION ALL SELECT 999999931
+      ), l2 AS (
+        SELECT line_id, order_id FROM l1
+        UNION ALL SELECT 9999999311, 999999931
+        UNION ALL SELECT 9999999312, 999999931
+      ), audit AS (
+        SELECT 'fk_at_v1' AS constraint_name,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM l1) AS n_checked,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM l1
+           WHERE order_id NOT IN (SELECT id FROM o1)) AS n_violations
+        UNION ALL
+        SELECT 'fk_at_v2',
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM l2),
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM l2
+           WHERE order_id NOT IN (SELECT id FROM o2))
+        UNION ALL
+        SELECT 'fk_mixed_orders_v1_lines_v2',
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM l2),
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM l2
+           WHERE order_id NOT IN (SELECT id FROM o1))
       )
       SELECT constraint_name, n_checked, n_violations,
         CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
