@@ -166,6 +166,39 @@ object CdcQueries {
     (catalog, tables)
   }
 
+  /** Materialize the VACUUM fixture once per sfDir: the two-batch merge
+    * apply (CREATE load, then the update/delete batch) followed by a
+    * retention-1 VACUUM that physically deletes version 1's orphaned
+    * data. The latest table must read back byte-identically after the
+    * deletion — the post-vacuum readability contract, driver-gated
+    * (the old-version-unreadable half is ManifestStoreSpec's).
+    */
+  private def vacuumedOrdersTableDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_merge_vacuum_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        import org.apache.spark.sql.expressions.Window
+        val log = changeLog(s, dir)
+        val b1 = log.filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("log_seq_num").desc)
+        val b2 = log.filter(col("operation_type") =!= "CREATE")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("id"), col("status"), col("totalprice"),
+            (col("operation_type") === "DELETE").as("del"))
+        graft.streaming.MergeInto.mergeBatch(s, b1, store, "id")
+        graft.streaming.MergeInto.mergeBatch(s, b2, store, "id",
+          deleteCol = Some("del"))
+        graft.streaming.ManifestStore.vacuum(s, store, keepVersions = 1)
+    }
+    store
+  }
+
   /** Materialize the schema-EVOLUTION merge apply once per sfDir: batch 1
     * commits the CREATE payloads as (id, status, totalprice); batch 2
     * carries the UPDATE payloads WITH A NEW `priority` column the table
@@ -416,6 +449,20 @@ object CdcQueries {
       state(1L).unionByName(state(2L)).orderBy(col("catalog_version"))
     }),
 
+    // VACUUM driver-gated: after a retention-1 vacuum physically deletes
+    // version 1's orphaned files, the LATEST table still reads back
+    // exactly equal to the relational recompute — live data is provably
+    // untouched by the deletion (the other half — vacuumed history
+    // unreadable, staged orphans collected — is ManifestStoreSpec's).
+    // Same relational oracle as cdc_merge_into: vacuum must not change
+    // the answer.
+    "cdc_merge_vacuum" -> ((s, dir) => {
+      graft.streaming.MergeInto
+        .readTable(s, vacuumedOrdersTableDir(s, dir))
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
     // TIME TRAVEL driver-gated: version 1 of the merge table (committed
     // BEFORE the update/delete batch) must still read exactly as the
     // CREATE payloads — the un-vacuumed snapshot survives later commits.
@@ -634,6 +681,30 @@ object CdcQueries {
     })
   )
 
+  /** The two-batch merge apply's relational final state — shared by
+    * cdc_merge_into and cdc_merge_vacuum (vacuum must not change it).
+    */
+  private lazy val mergeFinalStateSql: String = s"""$changesCte, b2 AS (
+        SELECT id, status, totalprice, operation_type FROM (
+          SELECT id, status, totalprice, operation_type,
+            ROW_NUMBER() OVER (PARTITION BY id
+                               ORDER BY log_seq_num DESC) AS rn
+          FROM changes WHERE operation_type != 'CREATE'
+        ) WHERE rn = 1
+      )
+      SELECT id, status, totalprice FROM (
+        SELECT c.id,
+          CASE WHEN b.id IS NOT NULL THEN b.status ELSE c.status END
+            AS status,
+          CASE WHEN b.id IS NOT NULL THEN b.totalprice ELSE c.totalprice END
+            AS totalprice,
+          b.operation_type AS bop
+        FROM (SELECT id, status, totalprice FROM changes
+              WHERE operation_type = 'CREATE') c
+        LEFT JOIN b2 b USING (id)
+      ) WHERE bop IS NULL OR bop != 'DELETE'
+      ORDER BY id"""
+
   val oracleSql: Map[String, String] = Map(
     "cdc_decode_envelope" -> s"""$changesCte
       SELECT id, status, totalprice, operation_type, log_seq_num,
@@ -773,26 +844,9 @@ object CdcQueries {
       SELECT id + 5000000, status, totalprice FROM b1 WHERE id % 7 = 0
       ORDER BY id""",
 
-    "cdc_merge_into" -> s"""$changesCte, b2 AS (
-        SELECT id, status, totalprice, operation_type FROM (
-          SELECT id, status, totalprice, operation_type,
-            ROW_NUMBER() OVER (PARTITION BY id
-                               ORDER BY log_seq_num DESC) AS rn
-          FROM changes WHERE operation_type != 'CREATE'
-        ) WHERE rn = 1
-      )
-      SELECT id, status, totalprice FROM (
-        SELECT c.id,
-          CASE WHEN b.id IS NOT NULL THEN b.status ELSE c.status END
-            AS status,
-          CASE WHEN b.id IS NOT NULL THEN b.totalprice ELSE c.totalprice END
-            AS totalprice,
-          b.operation_type AS bop
-        FROM (SELECT id, status, totalprice FROM changes
-              WHERE operation_type = 'CREATE') c
-        LEFT JOIN b2 b USING (id)
-      ) WHERE bop IS NULL OR bop != 'DELETE'
-      ORDER BY id""",
+    "cdc_merge_into" -> mergeFinalStateSql,
+    // vacuum must not change the latest-state answer
+    "cdc_merge_vacuum" -> mergeFinalStateSql,
 
     // The maintained view must equal the plain recompute over the v2
     // state (same b2 derivation as cdc_merge_into).

@@ -163,6 +163,44 @@ object DedupQueries {
           "doc_id", JaccardTau, ShingleN)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // DUPLICATION CONCENTRATION audit: the one-row corpus summary of
+    // exact-duplicate structure — group counts, singleton/dup mass, the
+    // largest clone family, and the exact GINI coefficient of document
+    // mass across groups (how concentrated duplication is: a few huge
+    // template families vs diffuse pairwise copies demand different
+    // dedup strategies). Gini comes from the size HISTOGRAM, never a
+    // corpus-wide rank: a run of m equal-size groups contributes
+    // s·(m·r₀ + m(m−1)/2) to the Lorenz numerator in closed form, so
+    // the window orders the bounded distinct-size rows only. All
+    // integer; the two ppm terms floor-divide identically cross-engine.
+    "dd13_dup_concentration" -> ((s, dir) => {
+      val sizes = Tables(s, dir, "documents")
+        .groupBy(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+          .as("fp"))
+        .agg(count(lit(1)).as("sz"))
+      val hist = sizes.groupBy(col("sz")).agg(count(lit(1)).as("m"))
+      // bounded global window: one row per DISTINCT group size
+      val bySize = org.apache.spark.sql.expressions.Window
+        .orderBy(col("sz"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      hist
+        .withColumn("r0", coalesce(sum(col("m")).over(bySize), lit(0L)) + 1)
+        .agg(sum(col("m")).as("n_groups"),
+          sum(col("sz") * col("m")).as("n_docs"),
+          sum(when(col("sz") === 1, col("m")).otherwise(0L))
+            .as("n_singletons"),
+          max(col("sz")).as("max_group_size"),
+          sum(when(col("sz") > 1, col("sz") * col("m")).otherwise(0L))
+            .as("dup_docs"),
+          sum(col("sz") * (col("m") * col("r0") +
+            expr("m * (m - 1) div 2"))).as("lorenz_num"))
+        .select(col("n_groups"), col("n_docs"), col("n_singletons"),
+          col("max_group_size"), col("dup_docs"),
+          (expr("2 * lorenz_num * 1000000 div (n_groups * n_docs)") -
+            expr("(n_groups + 1) * 1000000 div n_groups")).as("gini_ppm"))
+    }),
+
     // LSH QUALITY EVALUATION — the measure-don't-guess op for the
     // near-dup stack: the MinHash band candidates scored against the
     // EXACT τ-Jaccard ground truth (the dd11 join — zero false
@@ -390,6 +428,36 @@ object DedupQueries {
       )
       SELECT * FROM ($jaccardPairsSql)
       WHERE jaccard >= $JaccardTau ORDER BY id_a, id_b""",
+
+    "dd13_dup_concentration" -> raw"""
+      WITH sizes AS (
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+          AS fp, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM documents GROUP BY 1
+      ), hist AS (
+        SELECT sz, CAST(COUNT(*) AS BIGINT) AS m FROM sizes GROUP BY 1
+      ), ranked AS (
+        SELECT sz, m,
+          COALESCE(CAST(SUM(m) OVER (ORDER BY sz
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+            0) + 1 AS r0
+        FROM hist
+      ), agg AS (
+        SELECT CAST(SUM(m) AS BIGINT) AS n_groups,
+          CAST(SUM(sz * m) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN sz = 1 THEN m ELSE 0 END) AS BIGINT)
+            AS n_singletons,
+          CAST(MAX(sz) AS BIGINT) AS max_group_size,
+          CAST(SUM(CASE WHEN sz > 1 THEN sz * m ELSE 0 END) AS BIGINT)
+            AS dup_docs,
+          CAST(SUM(sz * (m * r0 + m * (m - 1) // 2)) AS BIGINT)
+            AS lorenz_num
+        FROM ranked
+      )
+      SELECT n_groups, n_docs, n_singletons, max_group_size, dup_docs,
+        CAST(2 * lorenz_num * 1000000 // (n_groups * n_docs)
+          - (n_groups + 1) * 1000000 // n_groups AS BIGINT) AS gini_ppm
+      FROM agg""",
 
     "dd12_lsh_eval" -> s"""
       $candCte, ex AS (
