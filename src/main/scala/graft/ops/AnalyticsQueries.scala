@@ -1154,6 +1154,100 @@ object AnalyticsQueries {
         .orderBy(col("lag"))
     }),
 
+    // ABC INVENTORY CLASSIFICATION: parts bucketed A/B/C by cumulative
+    // revenue share (top ~80% of revenue = A, next 15% = B, tail = C) —
+    // the Pareto workhorse of supply-chain analytics. The running-share
+    // window orders the PART DIMENSION (bounded relative to the fact
+    // table; the lineitem fact is reduced by one hash agg first), ties
+    // broken on partkey; share thresholds compare exact integer cents ×
+    // scaled totals, no float anywhere before the output ppm.
+    "q91_abc_class" -> ((s, dir) => {
+      val rev = Tables(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("rev_cents"))
+      val tot = rev.agg(sum(col("rev_cents")).as("tot"))
+      // dimension-bounded global window: one row per part
+      val byRev = Window.orderBy(col("rev_cents").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("cum", sum(col("rev_cents")).over(byRev))
+        .crossJoin(broadcast(tot))
+        .withColumn("cls",
+          when(col("cum") * 100 <= col("tot") * 80, "A")
+            .when(col("cum") * 100 <= col("tot") * 95, "B")
+            .otherwise("C"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev_cents")).as("rev"),
+          max(col("tot")).as("tot"))
+        .select(col("cls"), col("n_parts"), col("rev").as("rev_cents"),
+          expr("rev * 1000000 div tot").as("rev_share_ppm"))
+        .orderBy(col("cls"))
+    }),
+
+    // SHIPPING-DELAY distribution: order-date → ship-date lag in whole
+    // days, with exact p50/p90/p99 via the q18 compressed-domain rank
+    // discipline (delays collapse to a few hundred distinct integers —
+    // the window runs over THOSE, never the fact rows) plus mean in
+    // exact centi-days. The fulfillment-SLA instrument.
+    "q92_ship_delay" -> ((s, dir) => {
+      val lags = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(datediff(to_date(col("l_shipdate")),
+          to_date(col("o_orderdate"))).cast("long").as("delay_days"))
+      val byDelay = lags.groupBy(col("delay_days"))
+        .agg(count(lit(1)).as("c"))
+      val tot = byDelay.agg(sum(col("c")).as("n"),
+        sum(col("delay_days") * col("c")).as("s"))
+      val cum = Window.orderBy(col("delay_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumd = byDelay.withColumn("cum", sum(col("c")).over(cum))
+        .crossJoin(broadcast(tot))
+      def pct(p: Int) = min(when(col("cum") * 100 >= col("n") * p,
+        col("delay_days")))
+      cumd.agg(max(col("n")).as("n_lines"),
+          expr("max(s * 100 div n)").as("mean_centidays"),
+          pct(50).as("p50_days"), pct(90).as("p90_days"),
+          pct(99).as("p99_days"))
+    }),
+
+    // COHORT LTV curves: users grouped by first-activity week, each
+    // cohort's CUMULATIVE purchase revenue per week-of-age in exact
+    // cents — the growth-accounting twin of q38's retention counts
+    // (money, not presence). Windows run over the bounded cohort×age
+    // grid (key-parallel by cohort), the events fact is reduced by one
+    // hash agg first.
+    "q93_cohort_ltv" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val firstDay = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"))
+      val cells = ev.filter(col("event_type") === "purchase")
+        .join(firstDay, "user_id")
+        .groupBy(
+          (datediff(col("first_day"), lit("2024-01-01").cast("date"))
+            .cast("long") / 7).cast("long").as("cohort_week"),
+          (datediff(col("day"), col("first_day"))
+            .cast("long") / 7).cast("long").as("age_week"))
+        .agg(sum(col("cents")).as("rev_cents"),
+          countDistinct(col("user_id")).as("n_buyers"))
+      val sizes = firstDay.groupBy(
+          (datediff(col("first_day"), lit("2024-01-01").cast("date"))
+            .cast("long") / 7).cast("long").as("cohort_week"))
+        .agg(count(lit(1)).as("cohort_size"))
+      val byAge = Window.partitionBy(col("cohort_week"))
+        .orderBy(col("age_week"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.withColumn("cum_rev_cents", sum(col("rev_cents")).over(byAge))
+        .join(sizes, "cohort_week")
+        .select(col("cohort_week"), col("age_week"), col("cohort_size"),
+          col("n_buyers"), col("rev_cents"), col("cum_rev_cents"),
+          expr("cum_rev_cents div cohort_size").as("ltv_cents_per_user"))
+        .orderBy(col("cohort_week"), col("age_week"))
+    }),
+
     // Entity resolution end-to-end: dirty records (every 7th customer
     // gains two deterministic single-deletion typo variants), FastSS
     // deletion-neighborhood blocking + exact-address block key, Levenshtein
@@ -2177,6 +2271,101 @@ object AnalyticsQueries {
           / (sqrt(CAST(n_days * sx2 - sx * sx AS DOUBLE))
              * sqrt(CAST(n_days * sy2 - sy * sy AS DOUBLE))) AS r
       FROM sums ORDER BY lag""",
+
+    "q91_abc_class" -> """
+      WITH rev AS (
+        SELECT l_partkey,
+          CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY 1
+      ), tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS tot FROM rev),
+      cumd AS (
+        SELECT l_partkey, rev_cents,
+          CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum,
+          tot
+        FROM rev, tot
+      ), classed AS (
+        SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+          WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS cls,
+          rev_cents, tot
+        FROM cumd
+      )
+      SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        CAST(SUM(rev_cents) AS BIGINT) AS rev_cents,
+        CAST(CAST(SUM(rev_cents) AS BIGINT) * 1000000 // MAX(tot)
+          AS BIGINT) AS rev_share_ppm
+      FROM classed GROUP BY cls ORDER BY cls""",
+
+    "q92_ship_delay" -> """
+      WITH lags AS (
+        SELECT CAST(date_diff('day',
+          CAST(date_trunc('day', o_orderdate) AS DATE),
+          CAST(date_trunc('day', l_shipdate) AS DATE)) AS BIGINT)
+          AS delay_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      ), byd AS (
+        SELECT delay_days, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lags GROUP BY 1
+      ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+          CAST(SUM(delay_days * c) AS BIGINT) AS s
+        FROM byd
+      ), cumd AS (
+        SELECT delay_days, c,
+          CAST(SUM(c) OVER (ORDER BY delay_days
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum, n, s
+        FROM byd, tot
+      )
+      SELECT MAX(n) AS n_lines,
+        CAST(MAX(s * 100 // n) AS BIGINT) AS mean_centidays,
+        CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN delay_days END)
+          AS BIGINT) AS p50_days,
+        CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN delay_days END)
+          AS BIGINT) AS p90_days,
+        CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN delay_days END)
+          AS BIGINT) AS p99_days
+      FROM cumd""",
+
+    "q93_cohort_ltv" -> """
+      WITH ev AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+          event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+      ), fd AS (
+        SELECT user_id, MIN(day) AS first_day FROM ev GROUP BY 1
+      ), cells AS (
+        SELECT
+          CAST(date_diff('day', DATE '2024-01-01', fd.first_day) // 7
+            AS BIGINT) AS cohort_week,
+          CAST(date_diff('day', fd.first_day, e.day) // 7 AS BIGINT)
+            AS age_week,
+          CAST(SUM(e.cents) AS BIGINT) AS rev_cents,
+          CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_buyers
+        FROM ev e JOIN fd ON e.user_id = fd.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+      ), sizes AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01', first_day) // 7
+            AS BIGINT) AS cohort_week,
+          CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM fd GROUP BY 1
+      ), cum AS (
+        SELECT cohort_week, age_week, rev_cents, n_buyers,
+          CAST(SUM(rev_cents) OVER (PARTITION BY cohort_week
+            ORDER BY age_week
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_rev_cents
+        FROM cells
+      )
+      SELECT c.cohort_week, c.age_week, s.cohort_size, c.n_buyers,
+        c.rev_cents, c.cum_rev_cents,
+        CAST(c.cum_rev_cents // s.cohort_size AS BIGINT)
+          AS ltv_cents_per_user
+      FROM cum c JOIN sizes s USING (cohort_week)
+      ORDER BY c.cohort_week, c.age_week""",
 
     "er1_entity_clusters" -> """
       WITH RECURSIVE cust AS (
