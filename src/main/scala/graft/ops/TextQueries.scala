@@ -128,6 +128,34 @@ object TextQueries {
           expr("pieces * 1000000 div tokens").as("pieces_per_token_ppm"))
         .orderBy(col("source"))),
 
+    // READABILITY (Flesch reading-ease) per source domain — the
+    // education-level quality signal filters cut on. Words, sentences
+    // and a vowel-group syllable proxy are exact integer counts summed
+    // per source; the score is ONE fixed IEEE chain on the aggregate
+    // ratios (constants + two divisions — no libm), so both engines
+    // land on identical doubles. Per-doc floats never accumulate.
+    "tx29_readability" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("source"),
+          tokenCount(col("text")).cast("long").as("w"),
+          greatest(size(expr(
+            raw"regexp_extract_all(text, '[.!?]+', 0)")).cast("long"),
+            lit(1L)).as("sent"),
+          size(expr(
+            raw"regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+            .cast("long").as("syll"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+          sum(col("sent")).as("sentences"),
+          sum(col("syll")).as("syllables"))
+        .withColumn("flesch",
+          lit(206.835) -
+            lit(1.015) * (col("words").cast("double") /
+              col("sentences").cast("double")) -
+            lit(84.6) * (col("syllables").cast("double") /
+              col("words").cast("double")))
+        .orderBy(col("source"))),
+
     // PMI COLLOCATIONS — pointwise mutual information of consecutive token
     // pairs, the classic multi-word-expression detector (and a corpus-
     // health signal: templated corpora surface machine boilerplate at the
@@ -371,6 +399,26 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx29_readability" -> raw"""
+      WITH per_doc AS (
+        SELECT source, CAST($NT AS BIGINT) AS w,
+          greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+            AS BIGINT), 1) AS sent,
+          CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+            AS BIGINT) AS syll
+        FROM documents
+      )
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(w) AS BIGINT) AS words,
+        CAST(SUM(sent) AS BIGINT) AS sentences,
+        CAST(SUM(syll) AS BIGINT) AS syllables,
+        206.835
+          - 1.015 * (CAST(SUM(w) AS BIGINT)::DOUBLE
+            / CAST(SUM(sent) AS BIGINT)::DOUBLE)
+          - 84.6 * (CAST(SUM(syll) AS BIGINT)::DOUBLE
+            / CAST(SUM(w) AS BIGINT)::DOUBLE) AS flesch
+      FROM per_doc GROUP BY source ORDER BY source""",
+
     "tx28_token_compression" -> raw"""
       WITH per_doc AS (
         SELECT source,
