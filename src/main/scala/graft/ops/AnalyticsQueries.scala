@@ -1248,6 +1248,84 @@ object AnalyticsQueries {
         .orderBy(col("cohort_week"), col("age_week"))
     }),
 
+    // NEW-vs-RETURNING daily decomposition — the product-analytics
+    // staple splitting each day's active users into first-ever-seen and
+    // returning, with the new share in exact ppm. Two hash aggs (first
+    // day per user, then per-day distinct actives via the (user, day)
+    // grain) — no window at all.
+    "q94_new_vs_returning" -> ((s, dir) => {
+      val userDays = Tables(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val firstDay = userDays.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"))
+      userDays.join(firstDay, "user_id")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"),
+          sum((col("day") === col("first_day")).cast("long")).as("n_new"))
+        .select(col("day").cast("timestamp_ntz").as("day"),
+          col("n_active"), col("n_new"),
+          (col("n_active") - col("n_new")).as("n_returning"),
+          expr("n_new * 1000000 div n_active").as("new_share_ppm"))
+        .orderBy(col("day"))
+    }),
+
+    // THINK-TIME distribution: per-user inter-event gaps in whole
+    // seconds, with exact p50/p90/p99 via the compressed-domain rank
+    // discipline (gaps collapse to distinct integers; the cumulative
+    // window runs over those, never the fact rows). The engagement-
+    // cadence instrument under session-gap threshold tuning (q17's 30
+    // minutes stops being a guess once you can read this table).
+    "q95_think_time" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val gaps = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("us"))
+        .withColumn("gap_s",
+          ((col("us") - lag(col("us"), 1).over(byUser)) / 1000000L)
+            .cast("long"))
+        .filter(col("gap_s").isNotNull)
+      val byGap = gaps.groupBy(col("gap_s")).agg(count(lit(1)).as("c"))
+      val tot = byGap.agg(sum(col("c")).as("n"))
+      val cum = Window.orderBy(col("gap_s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumd = byGap.withColumn("cum", sum(col("c")).over(cum))
+        .crossJoin(broadcast(tot))
+      def pct(p: Int) = min(when(col("cum") * 100 >= col("n") * p,
+        col("gap_s")))
+      cumd.agg(max(col("n")).as("n_gaps"), pct(50).as("p50_s"),
+        pct(90).as("p90_s"), pct(99).as("p99_s"))
+    }),
+
+    // PEAK CONCURRENCY per day: the maximum number of simultaneously
+    // open activity intervals (q73's deterministic [start, start+dur)
+    // windows) — the capacity-planning number. The ±1 boundary sweep
+    // partitions BY DAY (key-parallel; at open-web scale a single hot
+    // day would move to the Packing two-phase prefix sum — noted here,
+    // not needed at gate scale); ties order starts before ends so
+    // touching intervals count as concurrent in both engines.
+    "q96_peak_concurrency" -> ((s, dir) => {
+      val iv = Tables(s, dir, "events")
+        .select(col("event_id"), to_date(col("ts")).as("day"),
+          unix_micros(col("ts").cast("timestamp")).as("s"))
+        .withColumn("e",
+          col("s") + (col("event_id") % 300 + 60) * 1000000L)
+      val bounds = iv.select(col("day"), col("s").as("us"),
+          lit(1L).as("delta"), col("event_id"))
+        .unionByName(iv.select(col("day"), col("e").as("us"),
+          lit(-1L).as("delta"), col("event_id")))
+      val sweep = Window.partitionBy(col("day"))
+        .orderBy(col("us"), col("delta").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bounds.withColumn("open", sum(col("delta")).over(sweep))
+        .groupBy(col("day"))
+        .agg((count(lit(1)) / 2).cast("long").as("n_intervals"),
+          max(col("open")).as("peak_concurrency"))
+        .select(col("day").cast("timestamp_ntz").as("day"),
+          col("n_intervals"), col("peak_concurrency"))
+        .orderBy(col("day"))
+    }),
+
     // Entity resolution end-to-end: dirty records (every 7th customer
     // gains two deterministic single-deletion typo variants), FastSS
     // deletion-neighborhood blocking + exact-address block key, Levenshtein
@@ -2366,6 +2444,75 @@ object AnalyticsQueries {
           AS ltv_cents_per_user
       FROM cum c JOIN sizes s USING (cohort_week)
       ORDER BY c.cohort_week, c.age_week""",
+
+    "q94_new_vs_returning" -> """
+      WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE)
+          AS day
+        FROM events
+      ), fd AS (
+        SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY 1
+      )
+      SELECT CAST(day AS TIMESTAMP) AS day,
+        CAST(COUNT(*) AS BIGINT) AS n_active,
+        CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_new,
+        CAST(COUNT(*) - SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_returning,
+        CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) * 1000000
+          // COUNT(*) AS BIGINT) AS new_share_ppm
+      FROM ud JOIN fd USING (user_id)
+      GROUP BY day ORDER BY day""",
+
+    "q95_think_time" -> """
+      WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      ), gaps AS (
+        SELECT CAST((us - LAG(us) OVER (PARTITION BY user_id
+          ORDER BY us, event_id)) // 1000000 AS BIGINT) AS gap_s
+        FROM ev
+      ), byg AS (
+        SELECT gap_s, CAST(COUNT(*) AS BIGINT) AS c
+        FROM gaps WHERE gap_s IS NOT NULL GROUP BY 1
+      ), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM byg),
+      cumd AS (
+        SELECT gap_s, c,
+          CAST(SUM(c) OVER (ORDER BY gap_s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum, n
+        FROM byg, tot
+      )
+      SELECT MAX(n) AS n_gaps,
+        CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN gap_s END) AS BIGINT)
+          AS p50_s,
+        CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN gap_s END) AS BIGINT)
+          AS p90_s,
+        CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN gap_s END) AS BIGINT)
+          AS p99_s
+      FROM cumd""",
+
+    "q96_peak_concurrency" -> """
+      WITH iv AS (
+        SELECT event_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+          epoch_us(ts) AS s,
+          epoch_us(ts) + (event_id % 300 + 60) * 1000000 AS e
+        FROM events
+      ), bounds AS (
+        SELECT day, s AS us, CAST(1 AS BIGINT) AS delta, event_id FROM iv
+        UNION ALL
+        SELECT day, e AS us, CAST(-1 AS BIGINT) AS delta, event_id FROM iv
+      ), swept AS (
+        SELECT day,
+          CAST(SUM(delta) OVER (PARTITION BY day
+            ORDER BY us, delta DESC, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS open
+        FROM bounds
+      )
+      SELECT CAST(day AS TIMESTAMP) AS day,
+        CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
+        CAST(MAX(open) AS BIGINT) AS peak_concurrency
+      FROM swept GROUP BY day ORDER BY day""",
 
     "er1_entity_clusters" -> """
       WITH RECURSIVE cust AS (
