@@ -1326,6 +1326,64 @@ object AnalyticsQueries {
         .orderBy(col("day"))
     }),
 
+    // CALENDAR GROWTH: monthly revenue with month-over-month and
+    // year-over-year deltas in exact ppm of the prior period — the BI
+    // staple lag-aligned on the month GRID (lag 1 row for MoM; an
+    // explicit self-join on month−12 for YoY so a missing month can
+    // never misalign the comparison). Windows/joins run over the
+    // bounded one-row-per-month aggregate.
+    "q97_yoy_growth" -> ((s, dir) => {
+      val monthly = Tables(s, dir, "orders")
+        .groupBy(((year(col("o_orderdate")) * 12) +
+          month(col("o_orderdate")) - 1).cast("long").as("mk"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("rev_cents"))
+      // bounded global window: one row per month
+      val byMonth = Window.orderBy(col("mk"))
+      val prev = monthly.select(col("mk").as("mk_p"),
+        col("rev_cents").as("rev_yoy"))
+      monthly
+        .withColumn("rev_mom", lag(col("rev_cents"), 1).over(byMonth))
+        .join(prev, col("mk") - 12 === col("mk_p"), "left")
+        .select(expr("mk div 12").as("year"),
+          (col("mk") % 12 + 1).as("month"), col("rev_cents"),
+          expr("(rev_cents - rev_mom) * 1000000 div rev_mom")
+            .as("mom_ppm"),
+          expr("(rev_cents - rev_yoy) * 1000000 div rev_yoy")
+            .as("yoy_ppm"))
+        .orderBy(col("year"), col("month"))
+    }),
+
+    // LARGEST-REMAINDER APPORTIONMENT (Hamilton's method): a fixed
+    // 10000-unit budget split across market segments ∝ customer count —
+    // floor quotas first, then the leftover units go to the largest
+    // fractional remainders (ties to the lexicographically-first
+    // segment). The exact-integer allocation primitive behind quota
+    // systems, sampling budgets and proportional seat assignment;
+    // unlike naive rounding the totals provably sum to the budget.
+    // Remainders compare as integers (n_h·B mod total), never floats.
+    "q98_apportionment" -> ((s, dir) => {
+      val budget = 10000L
+      val seg = Tables(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_h"))
+      val tot = seg.agg(sum(col("n_h")).as("n"))
+      val quotas = seg.crossJoin(broadcast(tot))
+        .select(col("segment"), col("n_h"),
+          expr(s"n_h * $budget div n").as("floor_quota"),
+          expr(s"(n_h * $budget) % n").as("rem"))
+      val left = quotas.agg(
+        (lit(budget) - sum(col("floor_quota"))).as("leftover"))
+      // bounded global window: one row per segment
+      val byRem = Window.orderBy(col("rem").desc, col("segment"))
+      quotas.crossJoin(broadcast(left))
+        .withColumn("rk", row_number().over(byRem))
+        .select(col("segment"), col("n_h"), col("floor_quota"),
+          (col("floor_quota") +
+            (col("rk") <= col("leftover")).cast("long")).as("allocated"))
+        .orderBy(col("segment"))
+    }),
+
     // Entity resolution end-to-end: dirty records (every 7th customer
     // gains two deterministic single-deletion typo variants), FastSS
     // deletion-neighborhood blocking + exact-address block key, Levenshtein
@@ -2513,6 +2571,50 @@ object AnalyticsQueries {
         CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
         CAST(MAX(open) AS BIGINT) AS peak_concurrency
       FROM swept GROUP BY day ORDER BY day""",
+
+    "q97_yoy_growth" -> """
+      WITH monthly AS (
+        SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+            AS BIGINT) AS mk,
+          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS rev_cents
+        FROM orders GROUP BY 1
+      ), lagged AS (
+        SELECT mk, rev_cents,
+          LAG(rev_cents) OVER (ORDER BY mk) AS rev_mom
+        FROM monthly
+      )
+      SELECT CAST(l.mk // 12 AS BIGINT) AS year,
+        CAST(l.mk % 12 + 1 AS BIGINT) AS month, l.rev_cents,
+        CAST((l.rev_cents - l.rev_mom) * 1000000 // l.rev_mom AS BIGINT)
+          AS mom_ppm,
+        CAST((l.rev_cents - p.rev_cents) * 1000000 // p.rev_cents
+          AS BIGINT) AS yoy_ppm
+      FROM lagged l LEFT JOIN monthly p ON l.mk - 12 = p.mk
+      ORDER BY year, month""",
+
+    "q98_apportionment" -> """
+      WITH seg AS (
+        SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_h
+        FROM customer GROUP BY 1
+      ), tot AS (SELECT CAST(SUM(n_h) AS BIGINT) AS n FROM seg),
+      quotas AS (
+        SELECT segment, n_h,
+          CAST(n_h * 10000 // n AS BIGINT) AS floor_quota,
+          CAST((n_h * 10000) % n AS BIGINT) AS rem
+        FROM seg, tot
+      ), lft AS (
+        SELECT CAST(10000 - SUM(floor_quota) AS BIGINT) AS leftover
+        FROM quotas
+      ), ranked AS (
+        SELECT segment, n_h, floor_quota,
+          ROW_NUMBER() OVER (ORDER BY rem DESC, segment) AS rk, leftover
+        FROM quotas, lft
+      )
+      SELECT segment, n_h, floor_quota,
+        CAST(floor_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+          AS BIGINT) AS allocated
+      FROM ranked ORDER BY segment""",
 
     "er1_entity_clusters" -> """
       WITH RECURSIVE cust AS (
