@@ -1384,6 +1384,35 @@ object AnalyticsQueries {
         .orderBy(col("segment"))
     }),
 
+    // PRICE-VOLUME-MIX decomposition of the 1995→1996 revenue change
+    // (the FP&A waterfall): volume effect = Δqty at the old unit price,
+    // price effect = Δunit-price at the old volume, mix = the
+    // remainder — so the three effects sum EXACTLY to ΔRev. Unit prices
+    // are floor-divided cents-per-unit (documented integer semantics,
+    // identical cross-engine); everything else is exact integer cents.
+    // One two-group hash agg over the fact scan; the decomposition runs
+    // on two rows.
+    "q99_price_volume_mix" -> ((s, dir) => {
+      val yr = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(year(col("o_orderdate")).isin(1995, 1996))
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("rev"), sum(col("l_quantity").cast("long")).as("qty"))
+      val w = yr.groupBy()
+        .agg(min(when(col("yr") === 1995, col("rev"))).as("rev1"),
+          min(when(col("yr") === 1995, col("qty"))).as("q1"),
+          min(when(col("yr") === 1996, col("rev"))).as("rev2"),
+          min(when(col("yr") === 1996, col("qty"))).as("q2"))
+      w.select(col("rev1"), col("rev2"), col("q1"), col("q2"),
+          (col("rev2") - col("rev1")).as("delta_rev"),
+          expr("(q2 - q1) * (rev1 div q1)").as("volume_effect"),
+          expr("((rev2 div q2) - (rev1 div q1)) * q1").as("price_effect"))
+        .withColumn("mix_effect",
+          col("delta_rev") - col("volume_effect") - col("price_effect"))
+    }),
+
     // Entity resolution end-to-end: dirty records (every 7th customer
     // gains two deterministic single-deletion typo variants), FastSS
     // deletion-neighborhood blocking + exact-address block key, Levenshtein
@@ -2615,6 +2644,32 @@ object AnalyticsQueries {
         CAST(floor_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
           AS BIGINT) AS allocated
       FROM ranked ORDER BY segment""",
+
+    "q99_price_volume_mix" -> """
+      WITH yr AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+          CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS rev,
+          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE year(o_orderdate) IN (1995, 1996)
+        GROUP BY 1
+      ), w AS (
+        SELECT
+          MIN(CASE WHEN yr = 1995 THEN rev END) AS rev1,
+          MIN(CASE WHEN yr = 1995 THEN qty END) AS q1,
+          MIN(CASE WHEN yr = 1996 THEN rev END) AS rev2,
+          MIN(CASE WHEN yr = 1996 THEN qty END) AS q2
+        FROM yr
+      )
+      SELECT rev1, rev2, q1, q2,
+        rev2 - rev1 AS delta_rev,
+        CAST((q2 - q1) * (rev1 // q1) AS BIGINT) AS volume_effect,
+        CAST(((rev2 // q2) - (rev1 // q1)) * q1 AS BIGINT)
+          AS price_effect,
+        CAST((rev2 - rev1) - (q2 - q1) * (rev1 // q1)
+          - ((rev2 // q2) - (rev1 // q1)) * q1 AS BIGINT) AS mix_effect
+      FROM w""",
 
     "er1_entity_clusters" -> """
       WITH RECURSIVE cust AS (
