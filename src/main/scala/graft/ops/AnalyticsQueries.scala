@@ -1413,6 +1413,31 @@ object AnalyticsQueries {
           col("delta_rev") - col("volume_effect") - col("price_effect"))
     }),
 
+    // DIFFERENCE-IN-DIFFERENCES: the 2×2 causal-inference primitive —
+    // treatment (even custkeys, the deterministic stand-in for an
+    // exposed population) × period (before/after 1995-01-01), cell
+    // means of order value in floor-divided cents, DiD = (T_post −
+    // T_pre) − (C_post − C_pre). Everything integer; one hash agg over
+    // the fact scan, the 2×2 pivot runs on four rows.
+    "q100_did" -> ((s, dir) => {
+      val cells = Tables(s, dir, "orders")
+        .select((col("o_custkey") % 2 === 0).cast("long").as("treated"),
+          (col("o_orderdate") >= lit("1995-01-01").cast("timestamp_ntz"))
+            .cast("long").as("post"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy(col("treated"), col("post"))
+        .agg(count(lit(1)).as("n"), expr("sum(cents) div count(1)")
+          .as("mean_cents"))
+      def cell(t: Int, p: Int) =
+        min(when(col("treated") === t && col("post") === p,
+          col("mean_cents")))
+      cells.agg(sum(col("n")).as("n_orders"),
+          cell(1, 0).as("t_pre"), cell(1, 1).as("t_post"),
+          cell(0, 0).as("c_pre"), cell(0, 1).as("c_post"))
+        .withColumn("did_cents",
+          (col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre")))
+    }),
+
     // Entity resolution end-to-end: dirty records (every 7th customer
     // gains two deterministic single-deletion typo variants), FastSS
     // deletion-neighborhood blocking + exact-address block key, Levenshtein
@@ -2669,6 +2694,32 @@ object AnalyticsQueries {
           AS price_effect,
         CAST((rev2 - rev1) - (q2 - q1) * (rev1 // q1)
           - ((rev2 // q2) - (rev1 // q1)) * q1 AS BIGINT) AS mix_effect
+      FROM w""",
+
+    "q100_did" -> """
+      WITH cells AS (
+        SELECT CAST(CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS treated,
+          CAST(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01'
+            THEN 1 ELSE 0 END AS BIGINT) AS post,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+            // COUNT(*) AS BIGINT) AS mean_cents
+        FROM orders GROUP BY 1, 2
+      ), w AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_orders,
+          MIN(CASE WHEN treated = 1 AND post = 0 THEN mean_cents END)
+            AS t_pre,
+          MIN(CASE WHEN treated = 1 AND post = 1 THEN mean_cents END)
+            AS t_post,
+          MIN(CASE WHEN treated = 0 AND post = 0 THEN mean_cents END)
+            AS c_pre,
+          MIN(CASE WHEN treated = 0 AND post = 1 THEN mean_cents END)
+            AS c_post
+        FROM cells
+      )
+      SELECT n_orders, t_pre, t_post, c_pre, c_post,
+        CAST((t_post - t_pre) - (c_post - c_pre) AS BIGINT) AS did_cents
       FROM w""",
 
     "er1_entity_clusters" -> """

@@ -89,6 +89,26 @@ object QualityQueries {
         fk("fk_mixed_orders_v1_lines_v2", 1L, 2L)))
     }),
 
+    // CROSS-TABLE TEMPORAL consistency rule: a line must not ship before
+    // its order was placed — the rule class that needs a JOIN to
+    // evaluate (dq2's rules are all single-table). The synthetic data
+    // violates it massively (no temporal invariant was generated), so
+    // the gate proves violations are COUNTED across a join, not just
+    // detected: one equi-join keyed on the order, one agg.
+    "dq4_cross_table_rule" -> ((s, dir) => {
+      val joined = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      DataQuality.audit(Seq(
+        DataQuality.predicateRule(
+          "temporal:lineitem.l_shipdate >= orders.o_orderdate",
+          joined, col("l_shipdate") < col("o_orderdate")),
+        DataQuality.predicateRule(
+          "temporal:lineitem.l_shipdate <= orders.o_orderdate + 1y",
+          joined, col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 365 DAYS"))))
+    }),
+
     // STREAMING data-quality counters driver-gated: the events audit
     // folded as two manifest-committed merges into a standing
     // O(|constraints|) counter table (additive merge = lossless), read
@@ -213,6 +233,29 @@ object QualityQueries {
           (SELECT CAST(COUNT(*) AS BIGINT) FROM l2),
           (SELECT CAST(COUNT(*) AS BIGINT) FROM l2
            WHERE order_id NOT IN (SELECT id FROM o1))
+      )
+      SELECT constraint_name, n_checked, n_violations,
+        CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+          AS passed
+      FROM audit ORDER BY constraint_name""",
+
+    "dq4_cross_table_rule" -> """
+      WITH joined AS (
+        SELECT l_shipdate, o_orderdate
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      ), audit AS (
+        SELECT 'temporal:lineitem.l_shipdate >= orders.o_orderdate'
+            AS constraint_name,
+          CAST(COUNT(*) AS BIGINT) AS n_checked,
+          CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations
+        FROM joined
+        UNION ALL
+        SELECT 'temporal:lineitem.l_shipdate <= orders.o_orderdate + 1y',
+          CAST(COUNT(*) AS BIGINT),
+          CAST(SUM(CASE WHEN l_shipdate > o_orderdate
+            + INTERVAL 365 DAY THEN 1 ELSE 0 END) AS BIGINT)
+        FROM joined
       )
       SELECT constraint_name, n_checked, n_violations,
         CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
