@@ -1,6 +1,8 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
+
+import GraphOps.CheckpointSyntax
 import org.apache.spark.sql.functions._
 
 /** Min-label connected components over an undirected edge list — the cluster
@@ -15,9 +17,12 @@ import org.apache.spark.sql.functions._
   * hash aggregations and a join on the current edge set; node minima come
   * from `min` aggregates, so no neighbor list is ever collected and a
   * high-degree hub costs the same as anything else. Lineage is truncated
-  * every round with an eager `localCheckpoint` (documented trade-off: truly
-  * iterative DataFrame loops otherwise stack O(rounds) plans; on executor
-  * loss the job re-runs from the last checkpoint).
+  * every round with an eager [[GraphOps.checkpoint]] (truly iterative
+  * DataFrame loops otherwise stack O(rounds) plans): local executor
+  * blocks by default, or durable files under `spark.graft.checkpointDir`
+  * when configured — the local form dies with an executor on a
+  * preemptible cluster, the reliable form survives it at the cost of
+  * per-round I/O.
   */
 object ConnectedComponents {
 
@@ -48,7 +53,7 @@ object ConnectedComponents {
     // would re-execute per reference.
     val base = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val init = base
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
@@ -106,7 +111,7 @@ object ConnectedComponents {
       math.max(1, math.min(max.toLong, edgeCount / 500000L + 1L)).toInt
     }
 
-    val start = canonical(init).localCheckpoint(true)
+    val start = canonical(init).graftCheckpoint(true)
 
     // Under-cap twin: collect the canonical edges (≤ localEdgeCap, counted
     // first) and union-find on the driver — same labels, none of the
@@ -151,7 +156,7 @@ object ConnectedComponents {
     var converged = current.isEmpty
     while (!converged && rounds < maxRounds) {
       val next = canonical(smallStar(largeStar(current)))
-        .coalesce(parts(sig._1)).localCheckpoint(true)
+        .coalesce(parts(sig._1)).graftCheckpoint(true)
       val nextSig = signature(next)
       converged = nextSig == sig
       current = next

@@ -6,6 +6,48 @@ import org.apache.spark.sql.functions.broadcast
 /** Shared plumbing for the iterative graph algorithms. */
 object GraphOps {
 
+  /** Conf key: when set to a path, iterative algorithms cut lineage with
+    * RELIABLE checkpoints under it instead of `localCheckpoint`.
+    */
+  val CheckpointDirConf = "spark.graft.checkpointDir"
+
+  /** Per-round lineage cut for iterative loops.
+    *
+    * Default (`spark.graft.checkpointDir` unset): `localCheckpoint` —
+    * blocks live on executor local storage, the fastest cut, but lineage
+    * is TRUNCATED: lose an executor mid-iteration on a real cluster
+    * (preemption, spot reclaim) and the job cannot recompute — a 5-round
+    * PageRank over 100 TB restarts from zero or fails outright.
+    *
+    * With the conf set to a (durable, e.g. HDFS/S3) path: a reliable
+    * `checkpoint` — each round's state is written to the configured
+    * directory, so executor death costs one re-read, not the run. That is
+    * the right trade on preemptible clusters; the extra per-round I/O is
+    * why it is opt-in rather than the default.
+    *
+    * The SparkContext checkpoint dir is initialized from the conf on
+    * first use (a later conf change in the same session keeps the first
+    * directory — Spark's checkpoint dir is context-global).
+    */
+  def checkpoint(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(CheckpointDirConf).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = spark.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+  }
+
+  /** Postfix form so call chains read like the `localCheckpoint` they
+    * replace: `edges.distinct().graftCheckpoint(true)`.
+    */
+  implicit class CheckpointSyntax(private val df: DataFrame) extends AnyVal {
+    def graftCheckpoint(eager: Boolean = true): DataFrame =
+      checkpoint(df, eager)
+  }
+
   /** Node-table broadcast budget for per-round joins: every round of the
     * iterative algorithms equi-joins the EDGE list (the big side) against
     * a node-keyed table (labels / ranks / distances / scores). Below this

@@ -1,6 +1,8 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
+
+import GraphOps.CheckpointSyntax
 import org.apache.spark.sql.functions._
 
 /** Ancestor-chain aggregation over a parent forest — the WITH RECURSIVE
@@ -32,7 +34,7 @@ object Hierarchy {
   def chainAgg(nodes: DataFrame, rounds: Int = 5): DataFrame = {
     var st = nodes.select(col("id"), col("parent").as("anc"),
       lit(1L).as("len"), col("weight").as("s"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     for (_ <- 1 to rounds) {
       st = st.as("a")
         .join(st.as("b"), col("a.anc") === col("b.id"), "left")
@@ -41,7 +43,7 @@ object Hierarchy {
           col("b.anc").as("anc"),
           (col("a.len") + coalesce(col("b.len"), lit(0L))).as("len"),
           (col("a.s") + coalesce(col("b.s"), lit(0L))).as("s"))
-        .localCheckpoint(true)
+        .graftCheckpoint(true)
     }
     st.select(col("id"), col("len").as("chain_len"),
       col("s").as("chain_sum"))

@@ -1,6 +1,8 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
+
+import GraphOps.CheckpointSyntax
 import org.apache.spark.sql.functions._
 
 /** Fixed-iteration HITS (hubs & authorities) over a DIRECTED edge list —
@@ -33,10 +35,10 @@ object Hits {
     *   edges score 0 on the hub (resp. authority) axis.
     */
   def hits(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val e = edges.select(col("src"), col("dst")).distinct().graftCheckpoint()
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint()
+      .distinct().graftCheckpoint()
 
     def normalized(raw: DataFrame, c: String): DataFrame = {
       // scalar L2 normalizer, broadcast back — grid-exact sum of squares
@@ -70,7 +72,7 @@ object Hits {
         .join(auth, Seq("id"), "left")
         .select(col("id"), coalesce(col("h"), lit(0.0)).as("hub"),
           coalesce(col("a"), lit(0.0)).as("auth"))
-        .localCheckpoint()
+        .graftCheckpoint()
     }
     scores
   }

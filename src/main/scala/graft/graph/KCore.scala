@@ -1,6 +1,8 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
+
+import GraphOps.CheckpointSyntax
 import org.apache.spark.sql.functions._
 
 /** K-CORE decomposition by iterative peeling: repeatedly delete nodes of
@@ -11,12 +13,12 @@ import org.apache.spark.sql.functions._
   * Distributed shape: each round is one hash-agg (degrees) + two
   * semi-joins (restrict edges to surviving endpoints) — all key-partitioned
   * shuffles, no all-pairs anything; lineage is cut per round with
-  * `localCheckpoint` (the ConnectedComponents discipline, CC.scala). Rounds
-  * to fixpoint are bounded by the peel depth, which is small for real
-  * graphs (≤3 on every driver fixture SF); like CC, the loop FAILS LOUDLY
-  * if `maxRounds` did not reach the fixpoint rather than returning a
-  * silently-unpeeled core — the check is one scalar min-degree aggregate,
-  * not a data collect.
+  * [[GraphOps.checkpoint]] (local by default, reliable under
+  * `spark.graft.checkpointDir`). The loop EARLY-EXITS once a round removes
+  * no edge (the fixpoint), so `maxRounds` is a safety bound, not a
+  * parameter to tune; like CC, it still FAILS LOUDLY if the bound is
+  * exhausted while the graph is shrinking — the check is one scalar
+  * min-degree aggregate, not a data collect.
   */
 object KCore {
 
@@ -29,14 +31,26 @@ object KCore {
     val sym = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
       .distinct()
-    var und = sym.localCheckpoint(true)
-    for (_ <- 1 to maxRounds) {
+    var und = sym.graftCheckpoint(true)
+    // early-exit at the fixpoint: a round that removes no edge removed no
+    // node (nodes exist only through edges), so every later round is an
+    // identical materialization — stop. The count is one job over the
+    // round's already-checkpointed blocks, and it frees callers from
+    // guessing maxRounds ≥ the peel depth exactly.
+    var nEdges = und.count()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
       val keep = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("u"))
       und = und
         .join(keep, Seq("u"), "left_semi")
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
-        .localCheckpoint(true)
+        .graftCheckpoint(true)
+      val n = und.count()
+      converged = n == nEdges
+      nEdges = n
+      round += 1
     }
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("core_deg"))
     // Fixpoint proof: after maxRounds every surviving node must already

@@ -1,6 +1,8 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
+
+import GraphOps.CheckpointSyntax
 import org.apache.spark.sql.functions._
 
 /** Synchronous label-propagation community detection (Raghavan et al.
@@ -27,10 +29,10 @@ object LabelPropagation {
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     // under GraphOps.BroadcastNodeCap the label table broadcasts, so the
     // edge list never shuffles for the per-round join
     val nNodes = labels.count()
@@ -43,7 +45,7 @@ object LabelPropagation {
         .groupBy(col("src"))
         .agg(max(struct(col("cnt"), (col("label") * -1).as("nl"))).as("m"))
         .select(col("src").as("id"), (col("m.nl") * -1).as("label"))
-        .localCheckpoint(true)
+        .graftCheckpoint(true)
     }
     labels
   }

@@ -1,6 +1,8 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
+
+import GraphOps.CheckpointSyntax
 import org.apache.spark.sql.functions._
 
 /** Fixed-iteration PageRank as pure DataFrame algebra — the influence
@@ -38,10 +40,10 @@ object PageRank {
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .graftCheckpoint()
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .select(col("src").as("id"), col("outdeg"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val n = deg.agg(count(lit(1)).as("n"))
     // under GraphOps.BroadcastNodeCap the rank table broadcasts, so the
     // edge list never shuffles for the per-round contribution join

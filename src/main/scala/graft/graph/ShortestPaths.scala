@@ -1,6 +1,8 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
+
+import GraphOps.CheckpointSyntax
 import org.apache.spark.sql.functions._
 
 /** Bounded multi-source BFS (unweighted shortest hop-distance) as
@@ -38,10 +40,10 @@ object ShortestPaths {
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     var dist = sources.select(col("id")).distinct()
       .withColumn("dist", lit(0L))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     for (_ <- 1 to maxHops) {
       // measured: hinting the frontier side broadcast (GraphOps.nodeSide)
       // is a net LOSS here — the relax round is dominated by the min-agg
@@ -53,7 +55,7 @@ object ShortestPaths {
       dist = dist.unionByName(relaxed)
         .groupBy(col("id"))
         .agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+        .graftCheckpoint(true)
     }
     dist
   }

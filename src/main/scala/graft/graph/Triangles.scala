@@ -1,6 +1,8 @@
 package graft.graph
 
 import org.apache.spark.sql.DataFrame
+
+import GraphOps.CheckpointSyntax
 import org.apache.spark.sql.functions._
 
 /** Per-vertex triangle counting over an undirected edge list — the graph
@@ -39,7 +41,7 @@ object Triangles {
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
 
     val deg = base
       .select(explode(array(col("u"), col("v"))).as("id"))

@@ -838,13 +838,38 @@ object AdvancedQueries {
     }),
 
     // Equi-depth histogram (the statistics a CBO or data-profiler collects):
-    // 10 same-population bins over order totals via NTILE with a total
-    // order (price, key) so bin membership is deterministic; per-bin count
-    // and exact decimal bounds. One window exchange + one hash agg.
+    // 10 same-population bins over order totals under the total order
+    // (price, key). The oracle runs the definitional NTILE; this side runs
+    // the SCALABLE equivalent — a global NTILE is a single-task sort of the
+    // whole fact table (the round-5 audit's one scale-killer), but NTILE is
+    // a pure function of (global rank, N), so the rank comes from the
+    // PrefixSum two-phase decomposition (price-range buckets → per-bucket
+    // counts → tiny offset cumsum → partitioned within-bucket row_number)
+    // and the standard-SQL tile formula (first N%10 tiles get one extra
+    // row) is applied scan-side. Bit-identical to NTILE at any scale; every
+    // corpus-sized window is partitioned.
     "q44_equidepth_hist" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables(s, dir, "orders")
-        .select(col("o_totalprice"), ntile(10).over(w).as("bin"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_totalprice"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("__cents"))
+      // bounded driver-free metadata: 2-value bounds + 1-value count rows,
+      // broadcast back (monotone integer bucketing needs the cents range)
+      val bounds = o.agg(min(col("__cents")).as("__lo"),
+        (max(col("__cents")) - min(col("__cents")) + 1).as("__span"))
+      val tot = o.agg(count(lit(1)).as("__n"))
+      val ranked = graft.pack.PrefixSum.globalRowNumber(
+        o.crossJoin(broadcast(bounds)),
+        expr("(__cents - __lo) * 2048 div __span"),
+        Seq(col("o_totalprice"), col("o_orderkey")), "__rank")
+      ranked.crossJoin(broadcast(tot))
+        .select(col("o_totalprice"),
+          expr("""CAST(CASE
+            WHEN __rank <= (__n DIV 10 + 1) * (__n % 10)
+            THEN (__rank + __n DIV 10) DIV (__n DIV 10 + 1)
+            ELSE __n % 10 +
+              (__rank - (__n DIV 10 + 1) * (__n % 10) + __n DIV 10 - 1)
+                DIV (__n DIV 10)
+          END AS INT)""").as("bin"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_orders"),
           min(col("o_totalprice")).cast(DecimalType(18, 2)).cast("double")

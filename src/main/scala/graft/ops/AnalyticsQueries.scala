@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -287,14 +287,40 @@ object AnalyticsQueries {
         .select(col("p_partkey"),
           round(col("p_retailprice") * 100).cast("long").as("price_cents"),
           col("p_size").cast("long").as("size"))
-      val higher = Window.orderBy(col("price_cents").desc)
-        .rangeBetween(Window.unboundedPreceding, -1)
-      val same = Window.partitionBy(col("price_cents"))
-      p.withColumn("min_higher", min(col("size")).over(higher))
-        .withColumn("min_same", min(col("size")).over(same))
+      // The strictly-higher-price running MIN decomposes like PrefixSum
+      // (min is associative): compress to one row per DISTINCT price with
+      // its min size, price-range-bucket those rows, take per-bucket mins,
+      // run the only global window over the BUCKET table (min over strictly
+      // -earlier buckets = strictly-higher prices), and finish with a
+      // partitioned within-bucket exclusive-frame min. least() skips NULLs,
+      // so min_higher is NULL exactly at the overall max price — matching
+      // the RANGE-frame form this replaces (the part dimension scales with
+      // SF; nothing here is single-task over it).
+      val perPrice = p.groupBy(col("price_cents"))
+        .agg(min(col("size")).as("pmin"))
+      val bounds = perPrice.agg(max(col("price_cents")).as("__hi"),
+        (max(col("price_cents")) - min(col("price_cents")) + 1).as("__span"))
+      val tagged = perPrice.crossJoin(broadcast(bounds))
+        .withColumn("__b", expr("(__hi - price_cents) * 1024 div __span"))
+      val bucketMins = tagged.groupBy(col("__b"))
+        .agg(min(col("pmin")).as("__bmin"))
+      // bounded global window: one row per bucket, exclusive frame
+      val overBuckets = Window.orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bucketMins
+        .withColumn("__boff", min(col("__bmin")).over(overBuckets))
+        .select(col("__b"), col("__boff"))
+      val withinExcl = Window.partitionBy(col("__b"))
+        .orderBy(col("price_cents").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val mins = tagged.join(broadcast(offsets), Seq("__b"))
+        .withColumn("min_higher",
+          least(col("__boff"), min(col("pmin")).over(withinExcl)))
+        .select(col("price_cents"), col("pmin"), col("min_higher"))
+      p.join(mins, Seq("price_cents"))
         .filter((col("min_higher").isNull ||
           col("min_higher") > col("size")) &&
-          col("min_same") === col("size"))
+          col("pmin") === col("size"))
         .select(col("p_partkey"), col("price_cents"), col("size"))
         .orderBy(col("p_partkey"))
     }),
@@ -1156,21 +1182,27 @@ object AnalyticsQueries {
 
     // ABC INVENTORY CLASSIFICATION: parts bucketed A/B/C by cumulative
     // revenue share (top ~80% of revenue = A, next 15% = B, tail = C) —
-    // the Pareto workhorse of supply-chain analytics. The running-share
-    // window orders the PART DIMENSION (bounded relative to the fact
-    // table; the lineitem fact is reduced by one hash agg first), ties
-    // broken on partkey; share thresholds compare exact integer cents ×
-    // scaled totals, no float anywhere before the output ppm.
+    // the Pareto workhorse of supply-chain analytics. The lineitem fact is
+    // reduced by one hash agg first; the cumulative revenue over parts
+    // (rev desc, partkey) runs as the PrefixSum two-phase decomposition —
+    // the part DIMENSION scales with SF too (20B parts at 100 TB-class
+    // SF), so even the dimension-sized running sum is partitioned:
+    // revenue-range buckets → per-bucket totals → tiny offset cumsum →
+    // within-bucket partitioned window. Integer-cents sums reassociate
+    // exactly, so the result is bit-identical to the single global window.
     "q91_abc_class" -> ((s, dir) => {
       val rev = Tables(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
         .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
           .as("rev_cents"))
       val tot = rev.agg(sum(col("rev_cents")).as("tot"))
-      // dimension-bounded global window: one row per part
-      val byRev = Window.orderBy(col("rev_cents").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      rev.withColumn("cum", sum(col("rev_cents")).over(byRev))
+      val bounds = rev.agg(max(col("rev_cents")).as("__hi"),
+        (max(col("rev_cents")) - min(col("rev_cents")) + 1).as("__span"))
+      graft.pack.PrefixSum.runningSum(
+          rev.crossJoin(broadcast(bounds)),
+          expr("(__hi - rev_cents) * 1024 div __span"),
+          Seq(col("rev_cents").desc, col("l_partkey")),
+          col("rev_cents"), "cum")
         .crossJoin(broadcast(tot))
         .withColumn("cls",
           when(col("cum") * 100 <= col("tot") * 80, "A")
@@ -1436,6 +1468,129 @@ object AnalyticsQueries {
           cell(0, 0).as("c_pre"), cell(0, 1).as("c_post"))
         .withColumn("did_cents",
           (col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre")))
+    }),
+
+    // MANN–WHITNEY U (Wilcoxon rank-sum): the nonparametric two-sample
+    // location test — does `value` differ between click and purchase
+    // events without assuming normality. Average-tie ranks over the
+    // compressed (value → per-sample counts) table, kept EXACT by the
+    // doubled-rank trick (2·rank is integer even for .5 tie averages):
+    // 2R(v) = 2·cum_before(v) + cnt(v) + 1, rank-sums and the tie
+    // correction Σ(t³−t) all integer. The running count over distinct
+    // values runs as the PrefixSum decomposition (unit-value buckets) —
+    // `value` is a near-unique double, so its "compressed" domain scales
+    // with the fact table and gets a partitioned window like any other.
+    // Sanity invariant 2U_A + 2U_B = 2·n_A·n_B is a pure function of the
+    // outputs.
+    "q101_mann_whitney" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("value"),
+          (col("event_type") === "click").cast("long").as("is_a"))
+      val byVal = ev.groupBy(col("value"))
+        .agg(sum(col("is_a")).as("a"), sum(lit(1L) - col("is_a")).as("b"))
+        .withColumn("cnt", col("a") + col("b"))
+      val cum = graft.pack.PrefixSum.runningSum(byVal,
+        floor(col("value")).cast("long"), Seq(col("value")),
+        col("cnt"), "cumincl")
+      val tot = byVal.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("two_r",
+          lit(2) * (col("cumincl") - col("cnt")) + col("cnt") + 1)
+        .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+          sum(col("a") * col("two_r")).as("tra"),
+          sum(col("b") * col("two_r")).as("trb"),
+          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+            .as("tie_term"))
+        .select(col("na").as("n_a"), col("nb").as("n_b"),
+          (col("tra") - col("na") * (col("na") + 1)).as("two_u_a"),
+          (col("trb") - col("nb") * (col("nb") + 1)).as("two_u_b"),
+          col("tie_term"))
+    }),
+
+    // SPEARMAN rank correlation between per-customer order frequency and
+    // monetary total — the monotone-association measure Pearson (q90's
+    // machinery) cannot give. Average-tie ranks per metric via the same
+    // doubled-rank trick; Pearson over the doubled ranks in EXACT
+    // DECIMAL(38,0) sufficient statistics (4n³-scale products overflow
+    // longs at 100 TB-class SF; decimals never do here), with the one
+    // double landing computed by the identical correctly-rounded chain
+    // in both engines: cast exact ints → double, num / (sqrt·sqrt).
+    // Frequency's domain is genuinely small (orders per customer), so its
+    // rank table is a bounded-window aggregate; monetary is near-unique
+    // and rides PrefixSum.
+    "q102_spearman" -> ((s, dir) => {
+      val Dec38 = DecimalType(38, 0)
+      val cust = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("f"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("m"))
+      // doubled average-tie rank per distinct metric value
+      def ranksSmall(metric: String): DataFrame = {
+        // bounded domain (≤ max orders per customer distinct values):
+        // plain compressed-domain window
+        val byV = cust.groupBy(col(metric).as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byV.withColumn("cum", sum(col("cnt")).over(w))
+          .select(col("v").as(metric),
+            (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1)
+              .as(s"two_r_$metric"))
+      }
+      def ranksWide(metric: String, bucket: Column): DataFrame = {
+        val byV = cust.groupBy(col(metric).as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        graft.pack.PrefixSum.runningSum(byV, bucket, Seq(col("v")),
+            col("cnt"), "cum")
+          .select(col("v").as(metric),
+            (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1)
+              .as(s"two_r_$metric"))
+      }
+      val ranked = cust
+        .join(ranksSmall("f"), Seq("f"))
+        .join(ranksWide("m", expr("v div 1000000")), Seq("m"))
+        .select(col("two_r_f").cast(Dec38).as("x"),
+          col("two_r_m").cast(Dec38).as("y"))
+      ranked
+        .agg(count(lit(1)).cast(Dec38).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("n").cast("long").as("n_customers"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+               .cast("double")))).as("rho"))
+    }),
+
+    // CO-PURCHASE LINK PREDICTION by common-neighbor count: the top-20
+    // customer pairs sharing the most distinct purchased parts — the
+    // collaborative-filtering / who-matches-whom primitive. Wedge
+    // enumeration through each shared part, with the celebrity-part
+    // prune that makes the join bounded: parts bought by > 64 distinct
+    // customers are EXCLUDED from evidence (standard in co-occurrence
+    // mining — promiscuous items carry no signal and their deg² wedges
+    // melt the join; the cap is part of the semantics and mirrored in
+    // the oracle). Equi-join on the part key, never all-pairs.
+    "q103_common_neighbors" -> ((s, dir) => {
+      val edges = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("p"), col("o_custkey").as("c"))
+        .distinct()
+      val smallParts = edges.groupBy(col("p"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") <= 64).select(col("p"))
+      val pruned = edges.join(smallParts, Seq("p"), "left_semi")
+      pruned.as("a").join(pruned.as("b"),
+          col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+        .groupBy(col("a.c").as("c1"), col("b.c").as("c2"))
+        .agg(count(lit(1)).as("n_common"))
+        .orderBy(col("n_common").desc, col("c1"), col("c2"))
+        .limit(20)
     }),
 
     // Entity resolution end-to-end: dirty records (every 7th customer
@@ -2721,6 +2876,88 @@ object AnalyticsQueries {
       SELECT n_orders, t_pre, t_post, c_pre, c_post,
         CAST((t_post - t_pre) - (c_post - c_pre) AS BIGINT) AS did_cents
       FROM w""",
+
+    // Doubled-rank arithmetic is integer end-to-end, so the oracle is the
+    // definitional single-window form — the Spark side's PrefixSum
+    // decomposition must land on the same bits.
+    "q101_mann_whitney" -> """
+      WITH ev AS (
+        SELECT value, CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+          AS BIGINT) AS is_a
+        FROM events WHERE event_type IN ('click', 'purchase')
+      ), bv AS (
+        SELECT value, CAST(SUM(is_a) AS BIGINT) AS a,
+          CAST(SUM(1 - is_a) AS BIGINT) AS b,
+          CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ev GROUP BY value
+      ), cum AS (
+        SELECT a, b, cnt,
+          2 * (CAST(SUM(cnt) OVER (ORDER BY value
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            - cnt) + cnt + 1 AS two_r
+        FROM bv
+      ), tot AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+        FROM bv
+      )
+      SELECT na AS n_a, nb AS n_b,
+        CAST(SUM(a * two_r) - MAX(na) * (MAX(na) + 1) AS BIGINT) AS two_u_a,
+        CAST(SUM(b * two_r) - MAX(nb) * (MAX(nb) + 1) AS BIGINT) AS two_u_b,
+        CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term
+      FROM cum, tot GROUP BY na, nb""",
+
+    // HUGEINT keeps every sufficient statistic exact (the Spark side uses
+    // DECIMAL(38,0)); the single double is produced by the identical
+    // correctly-rounded chain: exact int → double, num / (sqrt · sqrt).
+    "q102_spearman" -> """
+      WITH cust AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS f,
+          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS m
+        FROM orders GROUP BY 1
+      ), rf AS (
+        SELECT v AS f, 2 * (cum - cnt) + cnt + 1 AS two_r_f FROM (
+          SELECT f AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
+            CAST(SUM(COUNT(*)) OVER (ORDER BY f
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum
+          FROM cust GROUP BY f)
+      ), rm AS (
+        SELECT v AS m, 2 * (cum - cnt) + cnt + 1 AS two_r_m FROM (
+          SELECT m AS v, CAST(COUNT(*) AS BIGINT) AS cnt,
+            CAST(SUM(COUNT(*)) OVER (ORDER BY m
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cum
+          FROM cust GROUP BY m)
+      ), ranked AS (
+        SELECT two_r_f AS x, two_r_m AS y
+        FROM cust JOIN rf USING (f) JOIN rm USING (m)
+      ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+          SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM ranked
+      )
+      SELECT CAST(n AS BIGINT) AS n_customers,
+        CAST(n * sxy - sx * sy AS DOUBLE) /
+          (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+           sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+      FROM s""",
+
+    "q103_common_neighbors" -> """
+      WITH edges AS (
+        SELECT DISTINCT l_partkey AS p, o_custkey AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      ), small AS (
+        SELECT p FROM edges GROUP BY p HAVING COUNT(*) <= 64
+      ), pruned AS (
+        SELECT e.p, e.c FROM edges e JOIN small USING (p)
+      ), pairs AS (
+        SELECT a.c AS c1, b.c AS c2, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM pruned a JOIN pruned b ON a.p = b.p AND a.c < b.c
+        GROUP BY 1, 2
+      )
+      SELECT c1, c2, n_common FROM pairs
+      ORDER BY n_common DESC, c1, c2 LIMIT 20""",
 
     "er1_entity_clusters" -> """
       WITH RECURSIVE cust AS (

@@ -86,6 +86,30 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // LENGTH-GROUPED BATCHING (padding-waste minimization): sort docs by
+    // length, cut into fixed-size batches, report each batch's padding
+    // overhead (batch pads to its max length) — the standard dataloader
+    // trick whose win this query QUANTIFIES. The global length rank runs
+    // as the PrefixSum two-phase decomposition (length-range buckets →
+    // partitioned window), so nothing is single-task over the corpus; the
+    // batch id is then a pure function of the rank.
+    "pk3_length_batching" -> ((s, dir) => {
+      val B = 32
+      val ranked = graft.pack.PrefixSum.globalRowNumber(
+        Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        expr("(-n_chars) div 64"),
+        Seq(col("n_chars").desc, col("doc_id")), "rank")
+      ranked.withColumn("batch", expr(s"(rank - 1) div $B"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("n_chars")).as("max_len"),
+          min(col("n_chars")).as("min_len"),
+          sum(col("n_chars")).as("sum_len"))
+        .withColumn("padding",
+          col("max_len") * col("n_docs") - col("sum_len"))
+        .orderBy(col("batch"))
+    }),
+
     // Deterministic stratified sampling for data mixing: per-language
     // keep rates applied via a salted 60-bit md5 hash of the doc id, so
     // the sample is reproducible, resample-stable (a doc's fate never
@@ -453,6 +477,21 @@ object CorpusQueries {
       SELECT doc_id, n_tokens, start_offset,
         start_offset // $PackBudget AS pack_id
       FROM run ORDER BY doc_id""",
+
+    "pk3_length_batching" -> """
+      WITH ranked AS (
+        SELECT doc_id, n_chars,
+          CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+            AS BIGINT) AS rank
+        FROM documents
+      )
+      SELECT (rank - 1) // 32 AS batch,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(MAX(n_chars) AS BIGINT) AS max_len,
+        CAST(MIN(n_chars) AS BIGINT) AS min_len,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_len,
+        CAST(MAX(n_chars) * COUNT(*) - SUM(n_chars) AS BIGINT) AS padding
+      FROM ranked GROUP BY 1 ORDER BY batch""",
 
     "cur3_stratified_sample" -> """
       SELECT doc_id, lang, bucket FROM (

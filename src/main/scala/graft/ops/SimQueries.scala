@@ -38,6 +38,7 @@ object SimQueries {
   private val PcaIters = 3
   private val MmrShortlist = 20
   private val MmrK = 8
+  private val RangeTau = 0.2
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -96,6 +97,15 @@ object SimQueries {
     "sm3_cosine_neardups" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(emb(s, dir), NearDupTau, NPlanes, Dim)
         .orderBy(col("id_a"), col("id_b"))),
+
+    // Radius search (fixed-threshold retrieval): the answer-set size is
+    // data-dependent, which top-k can't express. Scan-shaped plan — the
+    // query set broadcasts, the corpus never shuffles, no window at all.
+    "sm19_range_search" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.rangeSearch(e.filter(col("id") < NQueries), e, RangeTau)
+        .orderBy(col("query_id"), col("corpus_id"))
+    }),
 
     "sm4_topk_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -509,6 +519,18 @@ object SimQueries {
       )
       SELECT query_id, corpus_id, cos, rank FROM ranked
       WHERE rank <= $K ORDER BY query_id, rank""",
+
+    "sm19_range_search" -> s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id < $NQueries
+      ), scored AS (
+        SELECT query_id, c.vec_id AS corpus_id,
+          ${cosSql("qv", "c.embedding")} AS cos
+        FROM embeddings c, q WHERE c.vec_id != query_id
+      )
+      SELECT query_id, corpus_id, cos FROM scored
+      WHERE cos >= $RangeTau ORDER BY query_id, corpus_id""",
 
     "sm2_topk_lsh" -> s"""
       WITH b AS (

@@ -87,6 +87,32 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // BLOCKLIST SCREEN: per-source occurrence counts and flagged-doc
+    // totals for a fixed phrase blocklist — the policy-filter primitive
+    // every curation pipeline runs (spam/unsafe-term screens). Counting
+    // is the subtraction-of-replace identity (non-overlapping occurrence
+    // count, identical semantics in both engines), fully scan-side and
+    // codegen'd; the only exchange is the per-source hash agg. A
+    // thousand-term blocklist would move to one Aho-Corasick kernel
+    // Expression (single pass per doc, BpeApply-style reference-object
+    // automaton) — the per-term replace chain is the right shape only
+    // for a bounded in-plan list like this one.
+    "tx30_blocklist" -> ((s, dir) => {
+      def h(t: String) = expr(
+        s"(length(text) - length(replace(text, '$t', ''))) div ${t.length}")
+      Tables(s, dir, "documents")
+        .select(col("source"), h("slow").as("h1"),
+          h("merge batch").as("h2"), h("big vector").as("h3"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("h1")).as("hits_slow"),
+          sum(col("h2")).as("hits_merge_batch"),
+          sum(col("h3")).as("hits_big_vector"),
+          sum(((col("h1") + col("h2") + col("h3")) > 0).cast("long"))
+            .as("n_flagged"))
+        .orderBy(col("source"))
+    }),
+
     // SUFFIX-STRIPPING STEMMER (Porter-S1-flavor rules, longest suffix
     // first with stem-length guards) — the vocabulary-conflation
     // primitive under search/TF-IDF recall. The rule CASE is one shared
@@ -399,6 +425,24 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx30_blocklist" -> """
+      WITH h AS (
+        SELECT source,
+          (length(text) - length(replace(text, 'slow', ''))) // 4 AS h1,
+          (length(text) - length(replace(text, 'merge batch', ''))) // 11
+            AS h2,
+          (length(text) - length(replace(text, 'big vector', ''))) // 10
+            AS h3
+        FROM documents
+      )
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(h1) AS BIGINT) AS hits_slow,
+        CAST(SUM(h2) AS BIGINT) AS hits_merge_batch,
+        CAST(SUM(h3) AS BIGINT) AS hits_big_vector,
+        CAST(SUM(CASE WHEN h1 + h2 + h3 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_flagged
+      FROM h GROUP BY source ORDER BY source""",
+
     "tx29_readability" -> raw"""
       WITH per_doc AS (
         SELECT source, CAST($NT AS BIGINT) AS w,

@@ -63,6 +63,28 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 
+  /** RANGE (radius) search: every corpus vector with cosine ≥ `tau` to
+    * each query — the retrieval primitive top-k cannot express when the
+    * answer-set size is unknown up front (near-neighbor audits, dedup
+    * candidate pulls, recall studies). Scale shape: the query set
+    * broadcasts against ONE corpus scan and the threshold filters
+    * scan-side — no window, no shuffle of the corpus at all; the only
+    * data-dependent cost is the survivors themselves. Cosines are the
+    * module's sequential-fold kernels, bit-exact with the DuckDB mirror.
+    */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame,
+      tau: Double): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"),
+      norm(col("vec")).as("qn"))
+    val c = corpus.select(col("id").as("corpus_id"), col("vec").as("cv"),
+      norm(col("vec")).as("cn"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .filter(col("cos") >= tau)
+      .select(col("query_id"), col("corpus_id"), col("cos"))
+  }
+
   /** MMR (maximal-marginal-relevance) DIVERSIFIED top-k: greedily pick k
     * results trading off query relevance against redundancy with what is
     * already picked — score(d) = λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s).

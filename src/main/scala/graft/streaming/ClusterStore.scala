@@ -79,7 +79,7 @@ object ClusterStore {
     val rel = ManifestStore.dataRel(version)
     merged.coalesce(1).write.mode("errorifexists").parquet(s"$root/$rel/labels")
     ManifestStore.commit(spark, root, version,
-      (snap.entries - LabelsSlot - LastTxnSlot) ++
+      (snap.entries - LabelsSlot) ++
         Map(LabelsSlot -> s"$rel/labels") ++
         txnId.map(id => LastTxnSlot -> id.toString))
   }

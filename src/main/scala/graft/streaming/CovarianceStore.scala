@@ -50,25 +50,34 @@ object CovarianceStore {
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cellsSchema)
 
-  /** Reduce a raw (id, vec) batch to its additive cells: one posexplode,
-    * one id-keyed self-join for the pair products (fan-out dim per row,
-    * map-side combined into O(dim²) groups), one count.
+  /** Reduce a raw (id, vec) batch to its additive cells SCAN-SIDE: pair
+    * products come from a per-row double generator over the quantized
+    * vector (explode dim positions, then the d..dim-1 tail slice per
+    * position) — never an id-keyed self-join. The dim·(dim+1)/2 per-row
+    * fan-out exists either way (those are the products being summed), but
+    * here it is map-side combined into O(dim²) groups BEFORE any
+    * exchange; the join form shuffled the n·dim exploded table first
+    * (~2080 pair rows per 64-dim vector through the shuffle — the wrong
+    * cost class for the 100 TB streaming claim).
     */
   private def reduce(batch: DataFrame): DataFrame = {
-    val ex = batch
-      .select(col("id"),
-        posexplode(col("vec").cast("array<double>")).as(Seq("dd", "x")))
-      .select(col("id"), col("dd").cast("int").as("dd"),
-        floor(col("x") * Grid).cast("long").as("xq"))
+    // quantized vectors, materialized once (n rows of dim longs — read by
+    // the three passes below without recomputing the source batch)
+    val vq = batch
+      .select(transform(col("vec").cast("array<double>"),
+        x => floor(x * Grid).cast("long")).as("vq"))
       .localCheckpoint(true)
+    val ex = vq.select(posexplode(col("vq")).as(Seq("dd", "xq")), col("vq"))
     val firsts = ex.groupBy(col("dd"))
       .agg(sum(col("xq").cast(Dec)).cast(Dec).as("v"))
-      .select(col("dd").as("d"), lit(-1).as("e"), col("v"))
-    val pairs = ex.as("a").join(ex.as("b"),
-        col("a.id") === col("b.id") && col("a.dd") <= col("b.dd"))
-      .groupBy(col("a.dd").as("d"), col("b.dd").as("e"))
-      .agg(sum(col("a.xq").cast(Dec) * col("b.xq").cast(Dec)).cast(Dec).as("v"))
-    val nrow = batch.agg(count(lit(1)).cast(Dec).as("v"))
+      .select(col("dd").cast("int").as("d"), lit(-1).as("e"), col("v"))
+    val pairs = ex
+      .select(col("dd").cast("int").as("d"), col("xq"),
+        posexplode(slice(col("vq"), col("dd") + 1,
+          size(col("vq")) - col("dd"))).as(Seq("off", "xe")))
+      .groupBy(col("d"), (col("d") + col("off")).cast("int").as("e"))
+      .agg(sum(col("xq").cast(Dec) * col("xe").cast(Dec)).cast(Dec).as("v"))
+    val nrow = vq.agg(count(lit(1)).cast(Dec).as("v"))
       .select(lit(-1).as("d"), lit(-1).as("e"), col("v"))
     firsts.unionByName(pairs).unionByName(nrow)
   }
@@ -91,8 +100,11 @@ object CovarianceStore {
     val version = ManifestStore.nextVersion(spark, root)
     val rel = ManifestStore.dataRel(version)
     merged.coalesce(1).write.mode("errorifexists").parquet(s"$root/$rel/cells")
+    // replace only the cells slot; a txn-less merge keeps the previous
+    // `__lastTxn` (the replay guard must survive out-of-band merges), a
+    // txn-ful one overwrites it via the ++
     ManifestStore.commit(spark, root, version,
-      snap.map(_.entries).getOrElse(Map.empty) - CellsSlot - LastTxnSlot ++
+      snap.map(_.entries).getOrElse(Map.empty) - CellsSlot ++
         Map(CellsSlot -> s"$rel/cells") ++
         txnId.map(id => LastTxnSlot -> id.toString))
   }

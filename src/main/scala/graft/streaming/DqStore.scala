@@ -53,8 +53,14 @@ object DqStore {
     val rel = ManifestStore.dataRel(version)
     merged.coalesce(1).write.mode("errorifexists")
       .parquet(s"$root/$rel/cells")
+    // carry prior manifest entries forward, REPLACING only the cells slot:
+    // a txn-less merge (out-of-band correction) after txn-guarded ones
+    // must keep the old `__lastTxn`, or a later stream restart would
+    // re-apply replayed batches and double-count; a txn-ful merge
+    // overwrites it via the ++ below
     ManifestStore.commit(spark, root, version,
-      Map(CellsSlot -> s"$rel/cells") ++
+      snap.map(_.entries).getOrElse(Map.empty) - CellsSlot ++
+        Map(CellsSlot -> s"$rel/cells") ++
         txnId.map(id => LastTxnSlot -> id.toString))
   }
 

@@ -20,13 +20,22 @@ object FixtureLock {
 
   private val jvmLocks = new ConcurrentHashMap[String, Object]()
 
+  /** One monitor per FILESYSTEM location, not per path spelling: two
+    * callers naming the same fixture relatively vs absolutely must take
+    * the same monitor, or both reach `FileChannel.lock` on one file in
+    * one JVM and the second throws OverlappingFileLockException instead
+    * of waiting.
+    */
+  private def monitor(root: Path): Object =
+    jvmLocks.computeIfAbsent(root.toAbsolutePath.normalize.toString,
+      _ => new Object)
+
   /** Run `work` exclusively (threads + processes) for `root`, with no
     * marker management — for builders that stage their own markers or
     * run post-build cleanup that must also be serialized.
     */
   def exclusively(root: Path)(work: => Unit): Unit = {
-    val mon = jvmLocks.computeIfAbsent(root.toString, _ => new Object)
-    mon.synchronized {
+    monitor(root).synchronized {
       Files.createDirectories(root)
       val ch = FileChannel.open(root.resolve("_LOCK"),
         StandardOpenOption.CREATE, StandardOpenOption.WRITE)
@@ -41,8 +50,7 @@ object FixtureLock {
     * Exclusive across threads and processes for a given `root`.
     */
   def once(root: Path)(build: => Unit): Unit = {
-    val mon = jvmLocks.computeIfAbsent(root.toString, _ => new Object)
-    mon.synchronized {
+    monitor(root).synchronized {
       val done = root.resolve("_DONE")
       if (!Files.exists(done)) {
         Files.createDirectories(root)

@@ -91,7 +91,7 @@ object HistogramStore {
     val rel = ManifestStore.dataRel(version)
     merged.coalesce(1).write.mode("errorifexists").parquet(s"$root/$rel/cells")
     ManifestStore.commit(spark, root, version,
-      (snap.entries - CellsSlot - LastTxnSlot) ++
+      (snap.entries - CellsSlot) ++
         Map(CellsSlot -> s"$rel/cells") ++
         txnId.map(id => LastTxnSlot -> id.toString))
   }

@@ -56,8 +56,11 @@ object KmvStore {
     val version = ManifestStore.nextVersion(spark, root)
     val rel = ManifestStore.dataRel(version)
     merged.coalesce(1).write.mode("errorifexists").parquet(s"$root/$rel/sketch")
+    // carry prior entries (incl. `__lastTxn` when this merge is txn-less:
+    // the replay guard must survive out-of-band merges)
     ManifestStore.commit(spark, root, version,
-      Map(SketchSlot -> s"$rel/sketch") ++
+      snap.map(_.entries).getOrElse(Map.empty) - SketchSlot ++
+        Map(SketchSlot -> s"$rel/sketch") ++
         txnId.map(id => LastTxnSlot -> id.toString))
   }
 

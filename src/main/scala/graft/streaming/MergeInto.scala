@@ -52,11 +52,16 @@ object MergeInto {
     require(!updateCols.contains(keyCol),
       s"updateCols must not contain the merge key '$keyCol'")
     if (source.isEmpty) return
-    // MERGE is ambiguous if the source has two rows for one key: fail like
-    // a table format would, not last-row-wins silently. One cheap agg.
-    val Array(nRows, nKeys) = source
-      .agg(count(lit(1)), count_distinct(col(keyCol))).head.toSeq
-      .map(_.asInstanceOf[Long]).toArray
+    // MERGE is ambiguous if the source has two rows for one key, and a
+    // NULL key can never equi-match a target row (it would re-insert on
+    // every merge): fail both loudly, like a table format would, not
+    // last-row-wins / duplicate-accumulate silently. One cheap agg.
+    val Array(nRows, nNonNull, nKeys) = source
+      .agg(count(lit(1)), count(col(keyCol)), count_distinct(col(keyCol)))
+      .head.toSeq.map(_.asInstanceOf[Long]).toArray
+    require(nRows == nNonNull,
+      s"MERGE source has ${nRows - nNonNull} NULL '$keyCol' keys — a NULL " +
+        "merge key never matches and would duplicate on every merge")
     require(nRows == nKeys,
       s"MERGE source has $nRows rows for $nKeys distinct keys — " +
         s"multiple source rows match a single target key")
@@ -340,8 +345,13 @@ object MergeInto {
       (if (df.columns.contains(f.name)) col(f.name)
        else lit(null).cast(f.dataType)).as(f.name)
     }: _*)
-    val a = aligned(pre).as("a")
-    val b = aligned(post).as("b")
+    // presence markers, NOT key nullability: the join below is null-safe
+    // (a NULL pre-key must pair with a NULL post-key, so a deleted
+    // NULL-key row reports `delete`, never a fabricated all-NULL insert),
+    // which means a matched NULL-key pair has BOTH keys NULL — only a
+    // non-nullable literal on each side can witness which sides joined
+    val a = aligned(pre).withColumn("__pre", lit(true)).as("a")
+    val b = aligned(post).withColumn("__post", lit(true)).as("b")
     val aKey = col(s"a.$keyCol")
     val bKey = col(s"b.$keyCol")
     val same = all.map(_.name).filterNot(_ == keyCol)
@@ -351,12 +361,13 @@ object MergeInto {
     def tagged(row: org.apache.spark.sql.Column, t: String) =
       struct(row.as("r"), lit(t).as("t"))
     // explode skips the NULL (unchanged-key) branch — one pass, no re-join
-    val changes = when(aKey.isNull, array(tagged(side("b"), "insert")))
-      .when(bKey.isNull, array(tagged(side("a"), "delete")))
+    val changes = when(col("a.__pre").isNull,
+        array(tagged(side("b"), "insert")))
+      .when(col("b.__post").isNull, array(tagged(side("a"), "delete")))
       .when(!same, array(tagged(side("a"), "update_preimage"),
         tagged(side("b"), "update_postimage")))
       .otherwise(lit(null))
-    a.join(b, aKey === bKey, "full_outer")
+    a.join(b, aKey <=> bKey, "full_outer")
       .select(explode(changes).as("c"))
       .select(col("c.r.*") +: Seq(col("c.t").as("_change_type")): _*)
   }

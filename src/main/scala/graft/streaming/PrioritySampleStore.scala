@@ -69,8 +69,11 @@ object PrioritySampleStore {
     val version = ManifestStore.nextVersion(spark, root)
     val rel = ManifestStore.dataRel(version)
     merged.coalesce(1).write.mode("errorifexists").parquet(s"$root/$rel/sample")
+    // carry prior entries (incl. `__lastTxn` when this merge is txn-less:
+    // the replay guard must survive out-of-band merges)
     ManifestStore.commit(spark, root, version,
-      Map(SampleSlot -> s"$rel/sample") ++
+      snap.map(_.entries).getOrElse(Map.empty) - SampleSlot ++
+        Map(SampleSlot -> s"$rel/sample") ++
         txnId.map(id => LastTxnSlot -> id.toString))
   }
 

@@ -85,7 +85,7 @@ object RegressionStore {
     val rel = ManifestStore.dataRel(version)
     merged.coalesce(1).write.mode("errorifexists").parquet(s"$root/$rel/sums")
     ManifestStore.commit(spark, root, version,
-      snap.map(_.entries).getOrElse(Map.empty) - SumsSlot - LastTxnSlot ++
+      snap.map(_.entries).getOrElse(Map.empty) - SumsSlot ++
         Map(SumsSlot -> s"$rel/sums") ++
         txnId.map(id => LastTxnSlot -> id.toString))
   }

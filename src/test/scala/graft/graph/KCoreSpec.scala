@@ -38,4 +38,31 @@ class KCoreSpec extends SparkSpec {
     assert(core.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
       Seq((1L, 2L), (2L, 2L), (3L, 2L)))
   }
+
+  test("the peel early-exits at the fixpoint instead of burning the budget") {
+    // pre-early-exit this ran 10_000 checkpoint materializations (minutes);
+    // a generous budget must now cost peel-depth + 1 rounds
+    val core = KCore.kCore(g, k = 2, maxRounds = 10000)
+      .orderBy(col("id")).collect()
+    assert(core.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("reliable checkpointing under spark.graft.checkpointDir agrees " +
+    "and writes durable round state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    try {
+      spark.conf.set(GraphOps.CheckpointDirConf, dir.toString)
+      val core = KCore.kCore(g, k = 2, maxRounds = 5)
+        .orderBy(col("id")).collect()
+      assert(core.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+        Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+      // the rounds must actually have hit the durable path
+      val ckptRoot = spark.sparkContext.getCheckpointDir.get
+      val files = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(new java.net.URI(ckptRoot).getPath))
+        .toArray.length
+      assert(files > 1, s"no checkpoint state written under $ckptRoot")
+    } finally spark.conf.unset(GraphOps.CheckpointDirConf)
+  }
 }

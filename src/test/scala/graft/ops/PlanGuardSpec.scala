@@ -126,7 +126,18 @@ class PlanGuardSpec extends SparkSpec {
     "q77_ewma" -> Seq("int_ewma"),
     // weighted median: running-weight window is PARTITIONED by flag
     // (key-parallel), never a global sort of the compressed domain
-    "q75_weighted_median" -> Seq("windowspecdefinition(flag")
+    "q75_weighted_median" -> Seq("windowspecdefinition(flag"),
+    // equi-depth histogram: the NTILE-equivalent rank comes from the
+    // PrefixSum decomposition — the corpus-sized window must be
+    // PARTITIONED by the price-range bucket (the round-5 audit's one
+    // scale-killer was this query's global NTILE)
+    "q44_equidepth_hist" -> Seq("windowspecdefinition(__ps_bucket"),
+    // ABC classification: the cumulative-revenue window over the part
+    // dimension is partitioned by the revenue-range bucket
+    "q91_abc_class" -> Seq("windowspecdefinition(__ps_bucket"),
+    // skyline: the strictly-higher-price running min is partitioned by
+    // the price-range bucket (only the bucket table sees a global frame)
+    "q71_skyline" -> Seq("windowspecdefinition(__b")
   )
 
   /** query -> plan fragments that must NOT appear */
@@ -229,6 +240,37 @@ class PlanGuardSpec extends SparkSpec {
     (SparkEntry.queries.keySet -- rddRooted).toSeq.sorted.foreach { name =>
       assert(plan(name).contains("PushedFilters: ["),
         s"$name scan lost pushdown metadata")
+    }
+  }
+
+  test("no gate plans a partitionless Window over un-aggregated input") {
+    // The class of bug the sf0.1 bench cannot time: a window with no
+    // PARTITION BY serializes its whole input through ONE task. That is
+    // only acceptable when the input is already bounded — an aggregation
+    // (one row per group over a bounded domain: bucket totals, distinct
+    // values, sketch cells) or a limit (top-K shortlists). A partitionless
+    // window directly over table rows melts at 100 TB no matter how fast
+    // it looks here (round-5 audit: q44's global NTILE over orders).
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, GlobalLimit, LocalLimit, Window => LogicalWindow}
+    SparkEntry.queries.keySet.toSeq.sorted.foreach { name =>
+      val lp = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.optimizedPlan
+      (lp +: lp.subqueriesAll).foreach { plan =>
+        plan.foreach {
+          case w: LogicalWindow if w.partitionSpec.isEmpty =>
+            val bounded = w.child.exists {
+              case _: Aggregate => true
+              case _: GlobalLimit => true
+              case _: LocalLimit => true
+              case _ => false
+            }
+            assert(bounded, s"$name: partitionless Window whose input " +
+              "is not an aggregation/limit — a single-task sort of a " +
+              "full table at scale")
+          case _ => ()
+        }
+      }
     }
   }
 }

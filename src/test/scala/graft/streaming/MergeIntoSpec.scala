@@ -63,6 +63,37 @@ class MergeIntoSpec extends SparkSpec {
       (2L, "b", None, "update_preimage")), s"got $feed")
   }
 
+  test("changeFeed: a deleted NULL-key row reports delete, not a " +
+    "fabricated all-NULL insert (null-safe key join)") {
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    // mergeBatch rejects NULL keys, so stage the versions directly: v1
+    // holds a NULL-key row, v2 drops it and updates k=1
+    Seq((Option(1L), "a"), (Option.empty[Long], "x")).toDF("k", "s")
+      .coalesce(1).write.parquet(s"$root/data/v1/rows")
+    ManifestStore.commit(spark, root, 1L, Map("rows" -> "data/v1/rows"))
+    Seq((Option(1L), "A")).toDF("k", "s")
+      .coalesce(1).write.parquet(s"$root/data/v2/rows")
+    ManifestStore.commit(spark, root, 2L, Map("rows" -> "data/v2/rows"))
+    val feed = MergeInto.changeFeed(spark, root, "k", 1L, 2L)
+      .select("k", "s", "_change_type")
+      .as[(Option[Long], String, String)].collect()
+      .sortBy(r => (r._1.getOrElse(Long.MinValue), r._3)).toSeq
+    assert(feed == Seq(
+      (None, "x", "delete"),
+      (Some(1L), "A", "update_postimage"),
+      (Some(1L), "a", "update_preimage")), s"got $feed")
+  }
+
+  test("merge rejects a NULL-key source row loudly") {
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    val err = intercept[IllegalArgumentException] {
+      MergeInto.mergeBatch(spark,
+        Seq((Option(1L), "a"), (Option.empty[Long], "b")).toDF("k", "s"),
+        root, "k")
+    }
+    assert(err.getMessage.contains("NULL"))
+  }
+
   test("merge rejects an ambiguous multi-row-per-key source") {
     val root = java.nio.file.Files.createTempDirectory("merge").toString
     val err = intercept[IllegalArgumentException] {
