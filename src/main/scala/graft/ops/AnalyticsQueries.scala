@@ -96,7 +96,8 @@ object AnalyticsQueries {
         .agg(sum(col("p") * (col("cum") * 2 - col("cnt") + 1)).as("sum2r"),
           sum(col("p")).as("n_pos"), sum(col("cnt") - col("p")).as("n_neg"))
         .select(col("n_pos"), col("n_neg"),
-          expr("(sum2r - n_pos * (n_pos + 1)) * 1000000 div (2 * n_pos * n_neg)")
+          expr("CAST(sum2r - n_pos * (n_pos + 1) AS DECIMAL(38,0)) * 1000000 " +
+            "div (2 * n_pos * n_neg)")
             .as("auc_ppm"))
     }),
 
@@ -168,7 +169,8 @@ object AnalyticsQueries {
         .select(col("ant"), col("cons"), col("n_both"),
           expr("n_both * 1000000 div n_users").as("support_ppm"),
           expr("n_both * 1000000 div n_ant").as("confidence_ppm"),
-          expr("n_both * n_users * 1000000 div (n_ant * n_cons)")
+          expr("CAST(n_both AS DECIMAL(38,0)) * n_users * 1000000 " +
+            "div (CAST(n_ant AS DECIMAL(38,0)) * n_cons)")
             .as("lift_ppm"))
         .orderBy(col("ant"), col("cons"))
     }),
@@ -350,7 +352,8 @@ object AnalyticsQueries {
           max(col("nn")).as("nn"), max(col("pp")).as("pp"))
         .select(col("decile"), col("n"), col("n_pos"),
           expr("n_pos * 1000000 div n").as("rate_ppm"),
-          expr("n_pos * nn * 1000000 div (n * pp)").as("lift_ppm"))
+          expr("CAST(n_pos AS DECIMAL(38,0)) * nn * 1000000 " +
+            "div (CAST(n AS DECIMAL(38,0)) * pp)").as("lift_ppm"))
         .orderBy(col("decile"))
     }),
 
@@ -1212,7 +1215,8 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_parts"), sum(col("rev_cents")).as("rev"),
           max(col("tot")).as("tot"))
         .select(col("cls"), col("n_parts"), col("rev").as("rev_cents"),
-          expr("rev * 1000000 div tot").as("rev_share_ppm"))
+          expr("CAST(rev AS DECIMAL(38,0)) * 1000000 div tot")
+            .as("rev_share_ppm"))
         .orderBy(col("cls"))
     }),
 
@@ -1379,9 +1383,11 @@ object AnalyticsQueries {
         .join(prev, col("mk") - 12 === col("mk_p"), "left")
         .select(expr("mk div 12").as("year"),
           (col("mk") % 12 + 1).as("month"), col("rev_cents"),
-          expr("(rev_cents - rev_mom) * 1000000 div rev_mom")
+          expr("CAST(rev_cents - rev_mom AS DECIMAL(38,0)) * 1000000 " +
+            "div rev_mom")
             .as("mom_ppm"),
-          expr("(rev_cents - rev_yoy) * 1000000 div rev_yoy")
+          expr("CAST(rev_cents - rev_yoy AS DECIMAL(38,0)) * 1000000 " +
+            "div rev_yoy")
             .as("yoy_ppm"))
         .orderBy(col("year"), col("month"))
     }),

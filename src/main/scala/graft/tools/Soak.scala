@@ -39,7 +39,7 @@ object Soak {
     spark.sparkContext.setLogLevel("ERROR")
 
     val out = System.getProperty("java.io.tmpdir") +
-      s"/graft_soak_${factor}x_v2" // v2: events scaled too
+      s"/graft_soak_${factor}x_v3" // v3: orders + lineitem scaled too
     val marker = java.nio.file.Paths.get(out, "_READY")
     if (!java.nio.file.Files.exists(marker)) {
       val docs = graft.ops.Tables(spark, base, "documents")
@@ -74,9 +74,27 @@ object Soak {
       }.reduce(_ unionByName _)
       evN.write.mode("overwrite").parquet(s"$out/events.parquet")
 
-      // relational tables pass through 1× (soak targets the corpus ops)
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem").foreach { t =>
+      // orders + lineitem: factor stacked copies with matching orderkey
+      // offsets (joins stay consistent), prices nudged +i cents per copy
+      // so value domains GROW with the data — the regime the PrefixSum
+      // range-bucketed windows must keep partition-parallel. Dimension
+      // keys (cust/part/supp) stay 1×, so per-key fan-in grows ×factor —
+      // deliberately stressing degree-bounded joins and rank domains.
+      val ord = graft.ops.Tables(spark, base, "orders")
+      val ordStride = ord.agg(max("o_orderkey")).head.getLong(0) + 1
+      val ordN = (0 until factor).map { i =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * ordStride))
+          .withColumn("o_totalprice", col("o_totalprice") + lit(i * 0.01))
+      }.reduce(_ unionByName _)
+      ordN.write.mode("overwrite").parquet(s"$out/orders.parquet")
+      val li = graft.ops.Tables(spark, base, "lineitem")
+      val liN = (0 until factor).map { i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * ordStride))
+      }.reduce(_ unionByName _)
+      liN.write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+      // remaining relational tables pass through 1×
+      Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
         spark.read.format("parquet")
           .option("recursiveFileLookup", "true")
           .load(s"$base/$t.parquet")
