@@ -63,6 +63,34 @@ object CdcQueries {
     store
   }
 
+  /** Materialize the DELETION-VECTOR table once per sfDir: version 1
+    * commits the CREATE payloads, version 2 is a [[graft.streaming
+    * .MergeInto.deleteVector]] of every id%5==0 key (merge-on-read: only
+    * the tiny key sidecar is written — no bucket rewritten), version 3
+    * materializes the DV into the buckets (copy-on-write catch-up, DV
+    * slot cleared). The two gates read versions 2 and 3 against the SAME
+    * relational oracle: the logical table must not care which side of the
+    * materialization it is read from.
+    */
+  private def dvOrdersTableDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_merge_dv_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val log = changeLog(s, dir)
+        val b1 = log.filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        graft.streaming.MergeInto.mergeBatch(s, b1, store, "id")
+        graft.streaming.MergeInto.deleteVector(s, store, "id",
+          b1.filter(col("id") % 5 === 0).select(col("id")))
+        graft.streaming.MergeInto.materializeDeletes(s, store, "id")
+    }
+    store
+  }
+
   /** Materialize the SNAPSHOT-SYNC apply once per sfDir: the table starts
     * as the CREATE payloads, then a full export reconciles it —
     * `WHEN NOT MATCHED BY SOURCE THEN DELETE` semantics with
@@ -449,6 +477,28 @@ object CdcQueries {
       state(1L).unionByName(state(2L)).orderBy(col("catalog_version"))
     }),
 
+    // DELETION-VECTOR merge-on-read driver-gated: version 2 committed
+    // only a key sidecar (no bucket rewritten) — the read must subtract
+    // it, so the id%5==0 keys are gone while the physical buckets still
+    // hold them. Time-travel read of the DV-era version.
+    "cdc_merge_dv" -> ((s, dir) => {
+      graft.streaming.MergeInto
+        .readTableAt(s, dvOrdersTableDir(s, dir), version = 2L)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // DV MATERIALIZATION driver-gated: version 3 folded the DV into the
+    // buckets (only buckets holding DV keys rewritten; DV slot cleared).
+    // Same oracle as cdc_merge_dv — the logical table must not care
+    // which side of the materialization it is read from.
+    "cdc_merge_dv_compact" -> ((s, dir) => {
+      graft.streaming.MergeInto
+        .readTable(s, dvOrdersTableDir(s, dir))
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
     // VACUUM driver-gated: after a retention-1 vacuum physically deletes
     // version 1's orphaned files, the LATEST table still reads back
     // exactly equal to the relational recompute — live data is provably
@@ -706,6 +756,18 @@ object CdcQueries {
       ORDER BY id"""
 
   val oracleSql: Map[String, String] = Map(
+    // both DV gates: the CREATE payloads minus the DV'd keys — identical
+    // before and after materialization by construction
+    "cdc_merge_dv" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE' AND id % 5 != 0
+      ORDER BY id""",
+
+    "cdc_merge_dv_compact" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE' AND id % 5 != 0
+      ORDER BY id""",
+
     "cdc_decode_envelope" -> s"""$changesCte
       SELECT id, status, totalprice, operation_type, log_seq_num,
              source_timestamp

@@ -180,9 +180,17 @@ object ManifestStore {
     */
   def isMetaSlot(slot: String): Boolean = slot.startsWith("__")
 
-  /** Absolute paths of a snapshot's data directories (slot order). */
+  /** Slots prefixed `aux-` are AUXILIARY DATA (deletion vectors, index
+    * sidecars): real files — [[vacuum]] must treat them as live, unlike
+    * `__` metadata values — but not table rows, so like metadata they are
+    * excluded from row-path resolution; readers that understand the
+    * auxiliary structure resolve its slot explicitly.
+    */
+  def isAuxSlot(slot: String): Boolean = slot.startsWith("aux-")
+
+  /** Absolute paths of a snapshot's ROW data directories (slot order). */
   def resolvePaths(root: String, snap: Snapshot): Seq[String] =
-    snap.entries.toSeq.filterNot(e => isMetaSlot(e._1))
+    snap.entries.toSeq.filterNot(e => isMetaSlot(e._1) || isAuxSlot(e._1))
       .sortBy(_._1).map { case (_, rel) => s"$root/$rel" }
 
   /** Read the latest committed state; empty frame (with `schema`) when no

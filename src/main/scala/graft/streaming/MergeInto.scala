@@ -91,8 +91,10 @@ object MergeInto {
     val merged =
       if (touchedPaths.isEmpty) upserts
       else {
-        val target = spark.read
-          .option("mergeSchema", "true").parquet(touchedPaths: _*)
+        // DV-deleted rows must not survive a rewrite of their bucket: the
+        // merge-on-read view is the table, so the rewrite starts from it
+        val target = subtractDv(spark, root, snap.get, spark.read
+          .option("mergeSchema", "true").parquet(touchedPaths: _*))
         // kept = target rows whose key the source doesn't mention at all
         // (matched rows are replaced/updated by `upserts` or deleted)
         val kept = target.join(
@@ -146,10 +148,27 @@ object MergeInto {
         spark.read.parquet(s"$root/$rel")
           .select("__dir").distinct().collect().map(_.getInt(0)).toSet
       }
+    // rewritten buckets are now physically correct, so their keys leave
+    // the deletion vector; a DV shrunk to empty drops its slot entirely
+    val dvEntry: Map[String, String] =
+      snap.flatMap(_.entries.get(DvSlot)) match {
+        case None => Map.empty
+        case Some(dvRel) =>
+          val dv = spark.read.parquet(s"$root/$dvRel")
+          val k = dv.columns.head
+          val remaining = dv.filter(!pmod(hash(col(k)), lit(numBuckets))
+            .isInCollection(touched.toSeq))
+          if (remaining.isEmpty) Map.empty
+          else {
+            remaining.coalesce(1).write.mode("errorifexists")
+              .parquet(s"$root/$rel/dv")
+            Map(DvSlot -> s"$rel/dv")
+          }
+      }
     // a touched bucket that merged to zero rows leaves no output dir;
     // its entry must be REMOVED, not carried forward
     val entries = snap.map(_.entries).getOrElse(Map.empty[String, String]) --
-      touched.map(_.toString) ++
+      touched.map(_.toString) - DvSlot ++ dvEntry ++
       touched.filter(written).map(b => b.toString -> s"$rel/__dir=$b") +
       (NumBucketsSlot -> numBuckets.toString)
     ManifestStore.commit(spark, root, version, entries)
@@ -191,8 +210,9 @@ object MergeInto {
     val paths = ManifestStore.resolvePaths(root, snap)
     val target =
       if (paths.isEmpty) null
-      else spark.read.option("mergeSchema", "true").parquet(paths: _*)
-        .drop("__bucket", "__dir")
+      else subtractDv(spark, root, snap,
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+          .drop("__bucket", "__dir"))
     val merged =
       if (target == null || updateCols.isEmpty) snapshot // table := snapshot
       else {
@@ -247,15 +267,18 @@ object MergeInto {
       throw new IllegalStateException(s"no committed table under $root"))
     val paths = ManifestStore.resolvePaths(root, snap)
     if (paths.isEmpty) return 0L
-    val full = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    // merge-on-read view: DV'd rows are already deleted — they must not
+    // be counted again nor resurrected into the rewritten buckets
+    val full = subtractDv(spark, root, snap,
+      spark.read.option("mergeSchema", "true").parquet(paths: _*))
     // bounded driver metadata: ≤ numBuckets ints
     val touched = full.filter(cond).select(col("__bucket")).distinct()
       .collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return 0L
     val touchedPaths = touched
       .flatMap(b => snap.entries.get(b.toString)).map(rel => s"$root/$rel")
-    val target = spark.read.option("mergeSchema", "true")
-      .parquet(touchedPaths: _*)
+    val target = subtractDv(spark, root, snap,
+      spark.read.option("mergeSchema", "true").parquet(touchedPaths: _*))
     val deleted = target.filter(cond).count()
     val kept = target.filter(!coalesce(cond, lit(false)))
 
@@ -296,23 +319,109 @@ object MergeInto {
       case None => // bucket never written ⇒ key cannot exist
         MergeInto.readTable(spark, root).limit(0).filter(lit(false))
       case Some(rel) =>
-        spark.read.option("mergeSchema", "true").parquet(s"$root/$rel")
-          .filter(col(keyCol) === lit(key))
-          .drop("__bucket", "__dir")
+        subtractDv(spark, root, snap,
+          spark.read.option("mergeSchema", "true").parquet(s"$root/$rel")
+            .filter(col(keyCol) === lit(key))
+            .drop("__bucket", "__dir"))
     }
   }
 
-  /** Latest table state, schema-merged across evolutions, bookkeeping
-    * columns dropped.
+  /** Manifest slot holding the DELETION VECTOR (deleted keys awaiting
+    * physical removal) — an `aux-` slot: vacuum treats it as live data,
+    * row readers skip it, and every read path here subtracts it.
     */
-  def readTable(spark: SparkSession, root: String): DataFrame =
-    ManifestStore.read(spark, root, mergeSchema = true)
-      .drop("__bucket", "__dir")
+  val DvSlot = "aux-dv"
 
-  /** Time travel: the table as of `version`. */
-  def readTableAt(spark: SparkSession, root: String, version: Long): DataFrame =
-    ManifestStore.readAt(spark, root, version, mergeSchema = true)
-      .drop("__bucket", "__dir")
+  /** Anti-join `rows` against the snapshot's deletion vector, if any —
+    * the MERGE-ON-READ half of [[deleteVector]]. The DV's single column
+    * carries the key name, so no extra metadata is needed.
+    */
+  private def subtractDv(spark: SparkSession, root: String,
+      snap: ManifestStore.Snapshot, rows: DataFrame): DataFrame =
+    snap.entries.get(DvSlot) match {
+      case None => rows
+      case Some(rel) =>
+        val dv = spark.read.parquet(s"$root/$rel")
+        rows.join(dv, Seq(dv.columns.head), "left_anti")
+    }
+
+  /** Latest table state, schema-merged across evolutions, bookkeeping
+    * columns dropped, deletion vector applied.
+    */
+  def readTable(spark: SparkSession, root: String): DataFrame = {
+    val snap = ManifestStore.latest(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no committed manifest under $root — nothing to read"))
+    readTableAt(spark, root, snap.version)
+  }
+
+  /** Time travel: the table as of `version` — including that version's
+    * deletion-vector state (a version committed by [[deleteVector]] reads
+    * with its keys gone even though no bucket was rewritten yet).
+    */
+  def readTableAt(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val snap = ManifestStore.snapshotAt(spark, root, version).getOrElse(
+      throw new IllegalStateException(
+        s"no committed manifest v$version under $root (vacuumed or never " +
+          s"written); available: " +
+          ManifestStore.versions(spark, root).mkString(",")))
+    subtractDv(spark, root, snap,
+      ManifestStore.readAt(spark, root, version, mergeSchema = true)
+        .drop("__bucket", "__dir"))
+  }
+
+  /** MERGE-ON-READ DELETE via a deletion vector — the write-cheap half of
+    * the delete trade-off a table format offers: instead of rewriting
+    * every bucket a deleted key hashes into (copy-on-write,
+    * [[deleteWhere]]), commit only the KEY SET as a tiny `aux-dv` sidecar
+    * and let readers subtract it. A delete of k keys costs O(dv) I/O
+    * regardless of table size; reads pay one anti-join against the DV
+    * until [[materializeDeletes]] folds it into the buckets.
+    *
+    * The DV accumulates across calls (set union); a later [[mergeBatch]]
+    * that rewrites a key's bucket drops that key from the DV (the
+    * physical state caught up), and RE-INSERTING a DV'd key through
+    * `mergeBatch` resurrects it — exactly SQL DELETE-then-INSERT.
+    */
+  def deleteVector(spark: SparkSession, root: String, keyCol: String,
+                   keys: DataFrame): Unit = {
+    val snap = ManifestStore.latest(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no committed table under $root — nothing to delete from"))
+    val fresh = keys.select(col(keyCol)).filter(col(keyCol).isNotNull)
+      .distinct()
+    if (fresh.isEmpty) return
+    val merged = snap.entries.get(DvSlot)
+      .map(rel => spark.read.parquet(s"$root/$rel")
+        .select(col(keyCol)).unionByName(fresh).distinct())
+      .getOrElse(fresh)
+    val version = ManifestStore.nextVersion(spark, root)
+    val rel = ManifestStore.dataRel(version)
+    merged.coalesce(1).write.mode("errorifexists").parquet(s"$root/$rel/dv")
+    ManifestStore.commit(spark, root, version,
+      snap.entries - DvSlot + (DvSlot -> s"$rel/dv"))
+  }
+
+  /** Fold the deletion vector into the physical buckets (a table format's
+    * compaction of merge-on-read state): rewrites ONLY the buckets DV
+    * keys hash into — expressed as a [[mergeBatch]] whose source is the
+    * DV itself with every row flagged for deletion, which also clears the
+    * DV slot (the merge drops rewritten buckets' keys from it). After
+    * this, reads pay no anti-join and time travel to DV-era versions
+    * still sees the DV view.
+    */
+  def materializeDeletes(spark: SparkSession, root: String,
+                         keyCol: String): Unit = {
+    val snap = ManifestStore.latest(spark, root).getOrElse(return)
+    snap.entries.get(DvSlot).foreach { rel =>
+      val n = snap.entries.getOrElse(NumBucketsSlot,
+        throw new IllegalStateException(
+          s"table at $root has no $NumBucketsSlot metadata")).toInt
+      val dv = spark.read.parquet(s"$root/$rel")
+      mergeBatch(spark, dv.withColumn("__dv_del", lit(true)), root,
+        keyCol, n, deleteCol = Some("__dv_del"))
+    }
+  }
 
   /** CHANGE DATA FEED between two committed versions (a table format's
     * `table_changes(...)`): one row per inserted/deleted key and TWO rows

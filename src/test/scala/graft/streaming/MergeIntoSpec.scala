@@ -84,6 +84,59 @@ class MergeIntoSpec extends SparkSpec {
       (Some(1L), "a", "update_preimage")), s"got $feed")
   }
 
+  test("deletion vector: merge-on-read delete, time travel, lookup, " +
+    "materialization") {
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40))
+        .toDF("k", "s", "v"), root, "k", numBuckets = 4) // v1
+    MergeInto.deleteVector(spark, root, "k", Seq(2L, 4L).toDF("k")) // v2
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("k").as[Long].collect().sorted.toSeq
+    // merge-on-read: no bucket rewritten, keys gone
+    assert(keys(MergeInto.readTable(spark, root)) == Seq(1L, 3L))
+    // pre-DV version unaffected
+    assert(keys(MergeInto.readTableAt(spark, root, 1L)) ==
+      Seq(1L, 2L, 3L, 4L))
+    // point lookup subtracts the DV too
+    assert(MergeInto.lookupKey(spark, root, "k", 2L).isEmpty)
+    assert(keys(MergeInto.lookupKey(spark, root, "k", 1L)) == Seq(1L))
+    MergeInto.materializeDeletes(spark, root, "k") // v3
+    assert(keys(MergeInto.readTable(spark, root)) == Seq(1L, 3L))
+    // DV slot cleared after materialization; DV-era version still reads
+    // with its DV view
+    assert(!ManifestStore.latest(spark, root).get.entries
+      .contains(MergeInto.DvSlot))
+    assert(keys(MergeInto.readTableAt(spark, root, 2L)) == Seq(1L, 3L))
+  }
+
+  test("a merge over a DV'd key resurrects it (DELETE-then-INSERT) and " +
+    "never resurrects other DV'd keys sharing its bucket") {
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40))
+        .toDF("k", "s", "v"), root, "k", numBuckets = 2) // collisions likely
+    MergeInto.deleteVector(spark, root, "k", Seq(2L, 4L).toDF("k"))
+    MergeInto.mergeBatch(spark, Seq((2L, "B", 21)).toDF("k", "s", "v"),
+      root, "k", numBuckets = 2)
+    val got = MergeInto.readTable(spark, root).select("k", "s", "v")
+      .as[(Long, String, Int)].collect().sorted.toSeq
+    assert(got == Seq((1L, "a", 10), (2L, "B", 21), (3L, "c", 30)),
+      s"got $got")
+    assert(MergeInto.lookupKey(spark, root, "k", 4L).isEmpty)
+  }
+
+  test("vacuum retains the DV sidecar (aux slot is live data)") {
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "s", "v"),
+      root, "k", numBuckets = 2)
+    MergeInto.deleteVector(spark, root, "k", Seq(2L).toDF("k"))
+    ManifestStore.vacuum(spark, root, keepVersions = 1)
+    assert(MergeInto.readTable(spark, root).select("k").as[Long]
+      .collect().toSeq == Seq(1L))
+  }
+
   test("merge rejects a NULL-key source row loudly") {
     val root = java.nio.file.Files.createTempDirectory("merge").toString
     val err = intercept[IllegalArgumentException] {
