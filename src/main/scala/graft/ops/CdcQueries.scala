@@ -91,6 +91,74 @@ object CdcQueries {
     store
   }
 
+  /** Materialize the RESTORE (rollback) table once per sfDir: the two
+    * merge batches commit as v1/v2, then a `restore` to v1 commits v3
+    * referencing v1's files — latest must read as the CREATE payloads
+    * again, with zero data copied and the rolled-back v2 still
+    * time-travelable.
+    */
+  private def restoredOrdersTableDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_merge_restore_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        import org.apache.spark.sql.expressions.Window
+        val log = changeLog(s, dir)
+        val b1 = log.filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("log_seq_num").desc)
+        val b2 = log.filter(col("operation_type") =!= "CREATE")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("id"), col("status"), col("totalprice"),
+            (col("operation_type") === "DELETE").as("del"))
+        graft.streaming.MergeInto.mergeBatch(s, b1, store, "id")
+        graft.streaming.MergeInto.mergeBatch(s, b2, store, "id",
+          deleteCol = Some("del"))
+        graft.streaming.ManifestStore.restore(s, store, version = 1L)
+    }
+    store
+  }
+
+  /** Materialize the SHALLOW-CLONE pair once per sfDir: the source table
+    * is the standard two-batch merge apply; the clone's first manifest
+    * references the source's files (zero copy), then the clone DIVERGES
+    * with a deleteWhere of id%3==0 — rewriting only the touched buckets
+    * locally while untouched buckets keep reading the source's files.
+    * The source must remain bit-identical to cdc_merge_into's state.
+    */
+  private def clonedOrdersTableDirs(s: SparkSession,
+                                    dir: String): (String, String) = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_merge_clone_v1")
+    val src = root.resolve("source").toString
+    val dst = root.resolve("clone").toString
+    graft.streaming.FixtureLock.once(root) {
+        import org.apache.spark.sql.expressions.Window
+        val log = changeLog(s, dir)
+        val b1 = log.filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("log_seq_num").desc)
+        val b2 = log.filter(col("operation_type") =!= "CREATE")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("id"), col("status"), col("totalprice"),
+            (col("operation_type") === "DELETE").as("del"))
+        graft.streaming.MergeInto.mergeBatch(s, b1, src, "id")
+        graft.streaming.MergeInto.mergeBatch(s, b2, src, "id",
+          deleteCol = Some("del"))
+        graft.streaming.ManifestStore.shallowClone(s, src, dst)
+        graft.streaming.MergeInto.deleteWhere(s, dst, col("id") % 3 === 0)
+    }
+    (src, dst)
+  }
+
   /** Materialize the SNAPSHOT-SYNC apply once per sfDir: the table starts
     * as the CREATE payloads, then a full export reconciles it —
     * `WHEN NOT MATCHED BY SOURCE THEN DELETE` semantics with
@@ -499,6 +567,37 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // RESTORE (rollback) driver-gated: after merge v2, a restore to v1
+    // re-commits v1's files as v3 — the latest read must equal the
+    // CREATE payloads again (zero data copied, history intact).
+    "cdc_merge_restore" -> ((s, dir) => {
+      graft.streaming.MergeInto
+        .readTable(s, restoredOrdersTableDir(s, dir))
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // SHALLOW CLONE driver-gated (diverged clone side): the clone borrows
+    // the source's files at clone time, then deleteWhere id%3==0 rewrites
+    // only its touched buckets locally — the read unifies local rewrites
+    // with still-borrowed source buckets.
+    "cdc_merge_clone" -> ((s, dir) => {
+      val (_, dst) = clonedOrdersTableDirs(s, dir)
+      graft.streaming.MergeInto.readTable(s, dst)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // SHALLOW CLONE driver-gated (source isolation): after the clone
+    // diverged, the SOURCE must still read exactly the two-batch merge
+    // state — same oracle as cdc_merge_into.
+    "cdc_merge_clone_src" -> ((s, dir) => {
+      val (src, _) = clonedOrdersTableDirs(s, dir)
+      graft.streaming.MergeInto.readTable(s, src)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
     // VACUUM driver-gated: after a retention-1 vacuum physically deletes
     // version 1's orphaned files, the LATEST table still reads back
     // exactly equal to the relational recompute — live data is provably
@@ -731,10 +830,13 @@ object CdcQueries {
     })
   )
 
-  /** The two-batch merge apply's relational final state — shared by
-    * cdc_merge_into and cdc_merge_vacuum (vacuum must not change it).
+  /** The two-batch merge apply's relational final state, with an extra
+    * row predicate — shared by cdc_merge_into / cdc_merge_vacuum
+    * (predicate TRUE: vacuum must not change the answer) and
+    * cdc_merge_clone (the clone's divergence is a deleteWhere).
     */
-  private lazy val mergeFinalStateSql: String = s"""$changesCte, b2 AS (
+  private def mergeFinalStateSqlWhere(extra: String): String =
+    s"""$changesCte, b2 AS (
         SELECT id, status, totalprice, operation_type FROM (
           SELECT id, status, totalprice, operation_type,
             ROW_NUMBER() OVER (PARTITION BY id
@@ -752,10 +854,24 @@ object CdcQueries {
         FROM (SELECT id, status, totalprice FROM changes
               WHERE operation_type = 'CREATE') c
         LEFT JOIN b2 b USING (id)
-      ) WHERE bop IS NULL OR bop != 'DELETE'
+      ) WHERE (bop IS NULL OR bop != 'DELETE') AND ($extra)
       ORDER BY id"""
 
+  private lazy val mergeFinalStateSql: String =
+    mergeFinalStateSqlWhere("TRUE")
+
   val oracleSql: Map[String, String] = Map(
+    // restore to v1 = the CREATE payloads exactly
+    "cdc_merge_restore" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE' ORDER BY id""",
+
+    // diverged clone = merge final state minus the clone's deleteWhere
+    "cdc_merge_clone" -> mergeFinalStateSqlWhere("id % 3 != 0"),
+
+    // source isolation: unchanged by the clone's divergence
+    "cdc_merge_clone_src" -> mergeFinalStateSql,
+
     // both DV gates: the CREATE payloads minus the DV'd keys — identical
     // before and after materialization by construction
     "cdc_merge_dv" -> s"""$changesCte

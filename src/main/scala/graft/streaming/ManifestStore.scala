@@ -217,6 +217,52 @@ object ManifestStore {
     spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
   }
 
+  /** RESTORE (rollback): re-commit `version`'s entries as the NEW latest
+    * version — the table format's `RESTORE TABLE ... TO VERSION AS OF`.
+    * Nothing is copied: the new manifest references the old version's
+    * immutable files, history is preserved (the rolled-back versions stay
+    * time-travelable until vacuumed), and [[vacuum]] keeps the restored
+    * files live because liveness is computed from retained manifests'
+    * entries, wherever they point.
+    */
+  def restore(spark: SparkSession, root: String, version: Long): Unit = {
+    val snap = snapshotAt(spark, root, version).getOrElse(
+      throw new IllegalStateException(
+        s"cannot restore $root to v$version — no such committed manifest" +
+          s"; available: ${versions(spark, root).mkString(",")}"))
+    commit(spark, root, nextVersion(spark, root), snap.entries)
+  }
+
+  /** SHALLOW CLONE: a new table at `dstRoot` whose first manifest
+    * references the SOURCE's current data files — zero bytes copied (a
+    * table format's `CREATE TABLE ... SHALLOW CLONE`). Later commits on
+    * the clone stage under its own root and never touch the source; a
+    * merge rewriting a cloned bucket replaces the cross-root reference
+    * with a local one, so the clone pays copy-on-write only for what it
+    * changes. Metadata (`__`) slots copy verbatim; data and `aux-` slots
+    * are re-expressed relative to the clone root.
+    *
+    * Caveat (same as real shallow clones): the clone borrows the
+    * source's files, so a VACUUM on the SOURCE can reclaim files the
+    * clone still references — run source vacuums only when no clone
+    * depends on the reclaimed versions. Both roots must live on the same
+    * filesystem.
+    */
+  def shallowClone(spark: SparkSession, srcRoot: String,
+                   dstRoot: String): Unit = {
+    val snap = latest(spark, srcRoot).getOrElse(
+      throw new IllegalStateException(s"no committed table under $srcRoot"))
+    require(latest(spark, dstRoot).isEmpty,
+      s"clone target $dstRoot already holds a committed table")
+    val rel = java.nio.file.Paths.get(dstRoot).toAbsolutePath.normalize
+      .relativize(java.nio.file.Paths.get(srcRoot).toAbsolutePath.normalize)
+      .toString
+    val entries = snap.entries.map { case (slot, r) =>
+      slot -> (if (isMetaSlot(slot)) r else s"$rel/$r")
+    }
+    commit(spark, dstRoot, 1L, entries)
+  }
+
   /** Reclaim data directories no RETAINED manifest references and all
     * manifests older than the retention window. Explicit maintenance
     * (like a table format's VACUUM ... RETAIN) — never called from the

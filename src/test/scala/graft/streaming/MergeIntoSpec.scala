@@ -137,6 +137,64 @@ class MergeIntoSpec extends SparkSpec {
       .collect().toSeq == Seq(1L))
   }
 
+  test("restore rolls back to a prior version; history stays readable") {
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "s", "v"),
+      root, "k", numBuckets = 2) // v1
+    MergeInto.mergeBatch(spark, Seq((2L, "B", 21)).toDF("k", "s", "v"),
+      root, "k", numBuckets = 2) // v2
+    ManifestStore.restore(spark, root, 1L) // v3 = v1's files
+    val got = MergeInto.readTable(spark, root).select("k", "s", "v")
+      .as[(Long, String, Int)].collect().sorted.toSeq
+    assert(got == Seq((1L, "a", 10), (2L, "b", 20)))
+    // the rolled-back state is still time-travelable
+    assert(MergeInto.readTableAt(spark, root, 2L)
+      .filter($"k" === 2L).select("s").as[String].head() == "B")
+    // restore copied no data: v3 staged nothing under data/
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "data", f"v${3L}%020d")))
+  }
+
+  test("shallow clone borrows source files and diverges copy-on-write") {
+    val base = java.nio.file.Files.createTempDirectory("merge")
+    val src = base.resolve("src").toString
+    val dst = base.resolve("dst").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "s", "v"),
+      src, "k", numBuckets = 2)
+    ManifestStore.shallowClone(spark, src, dst)
+    // zero copy: the clone root holds no data files yet
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dst, "data")))
+    def keys(root: String) = MergeInto.readTable(spark, root)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(keys(dst) == Seq(1L, 2L, 3L))
+    // divergence rewrites only the clone
+    MergeInto.deleteWhere(spark, dst, $"k" === 2L)
+    assert(keys(dst) == Seq(1L, 3L))
+    assert(keys(src) == Seq(1L, 2L, 3L))
+    // and merging into the clone leaves the source untouched too
+    MergeInto.mergeBatch(spark, Seq((4L, "d", 40)).toDF("k", "s", "v"),
+      dst, "k", numBuckets = 2)
+    assert(keys(dst) == Seq(1L, 3L, 4L))
+    assert(keys(src) == Seq(1L, 2L, 3L))
+  }
+
+  test("clone refuses a target that already holds a table") {
+    val base = java.nio.file.Files.createTempDirectory("merge")
+    val src = base.resolve("src").toString
+    val dst = base.resolve("dst").toString
+    MergeInto.mergeBatch(spark, Seq((1L, "a", 10)).toDF("k", "s", "v"),
+      src, "k", numBuckets = 2)
+    MergeInto.mergeBatch(spark, Seq((9L, "z", 90)).toDF("k", "s", "v"),
+      dst, "k", numBuckets = 2)
+    val err = intercept[IllegalArgumentException] {
+      ManifestStore.shallowClone(spark, src, dst)
+    }
+    assert(err.getMessage.contains("already holds"))
+  }
+
   test("merge rejects a NULL-key source row loudly") {
     val root = java.nio.file.Files.createTempDirectory("merge").toString
     val err = intercept[IllegalArgumentException] {
