@@ -1476,6 +1476,79 @@ object AnalyticsQueries {
           (col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre")))
     }),
 
+    // PAGE–HINKLEY change detection over the daily order-count series —
+    // the sequential drift detector a monitoring pipeline runs on ingest
+    // volumes. Scale-free integer form: with S = Σx and N = #days,
+    // M_t = Σ_{i≤t}(N·x_i − S) (so the mean-centering needs no division)
+    // and PH_t = M_t − min_{i≤t} M_i; the maximal PH and its day are the
+    // strongest upward change-point, the mirrored series gives the
+    // downward one. Everything integer-exact; the windows run over the
+    // BOUNDED daily table (calendar days), the fact is touched once.
+    "q104_page_hinkley" -> ((s, dir) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val tot = daily.agg(sum(col("x")).as("s"),
+        count(lit(1)).as("n"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val m = daily.crossJoin(broadcast(tot))
+        .withColumn("m", sum(col("n") * col("x") - col("s")).over(w))
+        .withColumn("ph_up", col("m") - min(col("m")).over(w))
+        .withColumn("ph_down", max(col("m")).over(w) - col("m"))
+        .withColumn("di", datediff(col("day"), to_date(lit("1970-01-01"))))
+      m.agg(max(col("n")).as("n_days"),
+          max(struct(col("ph_up"), (-col("di")).as("nd"))).as("u"),
+          max(struct(col("ph_down"), (-col("di")).as("nd"))).as("d"))
+        .select(col("n_days"),
+          col("u.ph_up").as("up_ph"),
+          date_add(to_date(lit("1970-01-01")), (-col("u.nd")).cast("int"))
+            .cast("string").as("up_day"),
+          col("d.ph_down").as("down_ph"),
+          date_add(to_date(lit("1970-01-01")), (-col("d.nd")).cast("int"))
+            .cast("string").as("down_day"))
+    }),
+
+    // AUTOCORRELATION of the daily revenue series at the standard
+    // monitoring lags (1, 2, 7, 14, 28) — the seasonality/persistence
+    // instrument next to q90's cross-correlation. Pearson r per lag over
+    // the overlapping days from exact DECIMAL(38,0) sums (daily-cents
+    // products overflow BIGINT well before 100 TB-class SF), one
+    // correctly-rounded IEEE chain per lag at the end. Runs entirely on
+    // the bounded daily table × 5 lags.
+    "q105_acf" -> ((s, dir) => {
+      val Dec38 = DecimalType(38, 0)
+      val daily = Tables(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .cast(Dec38).as("rev"))
+      val lags = s.range(0, 29).select(col("id").cast("int").as("lag"))
+        .filter(col("lag").isin(1, 2, 7, 14, 28))
+      val a = daily.select(col("day"), col("rev").as("x"))
+      val b = daily.select(col("day").as("day_b"), col("rev").as("y"))
+      a.crossJoin(broadcast(lags))
+        .join(b, expr("date_add(day, lag) = day_b"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).cast(Dec38).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        // grid-floor the output: DuckDB's HUGEINT→DOUBLE image can land
+        // one ulp off Spark's decimal→double (two-step rounding), so the
+        // raw quotient is NOT cross-engine bit-stable — 2^-20 precision is
+        // plenty for a correlation and absorbs the ulp
+        .select(col("lag"), col("n").cast("long").as("n_days"),
+          (floor(((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+               .cast("double")))) * lit(1048576.0)) / lit(1048576.0))
+            .as("r"))
+        .orderBy(col("lag"))
+    }),
+
     // MANN–WHITNEY U (Wilcoxon rank-sum): the nonparametric two-sample
     // location test — does `value` differ between click and purchase
     // events without assuming normality. Average-tie ranks over the
@@ -1564,12 +1637,15 @@ object AnalyticsQueries {
           sum(col("x") * col("y")).as("sxy"),
           sum(col("x") * col("x")).as("sxx"),
           sum(col("y") * col("y")).as("syy"))
+        // grid-floored for the same HUGEINT→DOUBLE ulp reason as q105
         .select(col("n").cast("long").as("n_customers"),
-          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (floor(((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
             (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
               .cast("double")) *
              sqrt((col("n") * col("syy") - col("sy") * col("sy"))
-               .cast("double")))).as("rho"))
+               .cast("double")))) * lit(1048576.0)) / lit(1048576.0))
+            .as("rho"))
     }),
 
     // CO-PURCHASE LINK PREDICTION by common-neighbor count: the top-20
@@ -2883,6 +2959,63 @@ object AnalyticsQueries {
         CAST((t_post - t_pre) - (c_post - c_pre) AS BIGINT) AS did_cents
       FROM w""",
 
+    "q104_page_hinkley" -> """
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+      ), tot AS (
+        SELECT CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily
+      ), m AS (
+        SELECT day, n,
+          CAST(SUM(n * x - s) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS m
+        FROM daily, tot
+      ), ph AS (
+        SELECT day, n, m,
+          m - MIN(m) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph_up,
+          MAX(m) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - m
+            AS ph_down
+        FROM m
+      ), up AS (
+        SELECT ph_up, day FROM ph ORDER BY ph_up DESC, day LIMIT 1
+      ), down AS (
+        SELECT ph_down, day FROM ph ORDER BY ph_down DESC, day LIMIT 1
+      )
+      SELECT t.n AS n_days, up.ph_up AS up_ph,
+        CAST(up.day AS VARCHAR) AS up_day,
+        down.ph_down AS down_ph,
+        CAST(down.day AS VARCHAR) AS down_day
+      FROM tot t, up, down""",
+
+    "q105_acf" -> """
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT)
+            AS rev
+        FROM orders GROUP BY 1
+      ), lags AS (SELECT unnest([1, 2, 7, 14, 28]) AS lag),
+      p AS (
+        SELECT lag, a.rev AS x, b.rev AS y
+        FROM daily a CROSS JOIN lags
+        JOIN daily b ON b.day = a.day + lag
+      ), s AS (
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx,
+          SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+          SUM(y * y) AS syy
+        FROM p GROUP BY lag
+      )
+      SELECT lag, n AS n_days,
+        floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+          (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+           sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1048576.0)
+          / 1048576.0 AS r
+      FROM s ORDER BY lag""",
+
     // Doubled-rank arithmetic is integer end-to-end, so the oracle is the
     // definitional single-window form — the Spark side's PrefixSum
     // decomposition must land on the same bits.
@@ -2944,9 +3077,10 @@ object AnalyticsQueries {
         FROM ranked
       )
       SELECT CAST(n AS BIGINT) AS n_customers,
-        CAST(n * sxy - sx * sy AS DOUBLE) /
+        floor(CAST(n * sxy - sx * sy AS DOUBLE) /
           (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-           sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+           sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1048576.0)
+          / 1048576.0 AS rho
       FROM s""",
 
     "q103_common_neighbors" -> """
