@@ -771,6 +771,22 @@ object AdvancedQueries {
         .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
     }),
 
+    // LEFT OUTER stream-stream interval join, driver-gated: clicks that
+    // converted nothing MUST still appear (NULL purchase) — emitted only
+    // once the purchase-side watermark passes their window, flushed by
+    // the fixture's sentinel event. The appended store must equal the
+    // batch LEFT JOIN exactly; the oracle orders NULLS FIRST to match
+    // Spark's ASC default.
+    "ev12_stream_outer_join" -> ((s, dir) => {
+      val store =
+        graft.streaming.StreamJoin.materializedOuterAttributionDir(s, dir)
+      s.read.parquet(store)
+        .select(col("user_id"), col("click_id"),
+          col("click_ts").cast("timestamp_ntz").as("click_ts"),
+          col("purchase_id"), col("value"))
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    }),
+
     // Behavioral cohort retention: users grouped by their FIRST event type
     // (row_number argmin — the rn=1 filter directly above the window plans
     // a WindowGroupLimit, top-1 per user before the shuffle), crossed with
@@ -1925,6 +1941,17 @@ object AdvancedQueries {
         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
           AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // The streamed LEFT OUTER store must equal the batch left join —
+    // NULLS FIRST mirrors Spark's ASC null ordering.
+    "ev12_stream_outer_join" -> """
+      SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+        p.event_id AS purchase_id, p.value
+      FROM events c LEFT JOIN events p
+        ON c.user_id = p.user_id AND p.event_type = 'purchase'
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      WHERE c.event_type = 'click'
+      ORDER BY c.user_id, click_id, purchase_id NULLS FIRST""",
 
     // The streamed attribution store must equal the batch interval join.
     "ev2_stream_attribution" -> """
