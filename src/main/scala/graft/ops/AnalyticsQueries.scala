@@ -1476,6 +1476,29 @@ object AnalyticsQueries {
           (col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre")))
     }),
 
+    // TRAILING TIME-RANGE WINDOWS: per day, the trailing-7-day and
+    // trailing-28-day revenue and order counts — the moving-aggregate
+    // report every ops dashboard runs. RANGE frames over the day INDEX
+    // (value-based, so calendar gaps shorten the trail correctly —
+    // a ROWS frame would silently span gaps); the windows run over the
+    // bounded daily table, ordered by day with integer-exact sums.
+    "q106_trailing_window" -> ((s, dir) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+        .withColumn("di", datediff(col("day"), to_date(lit("1970-01-01"))))
+      def trail(days: Int) = Window.orderBy(col("di"))
+        .rangeBetween(-(days - 1), Window.currentRow)
+      daily.select(col("day").cast("string").as("day"),
+          col("n"), col("rev"),
+          sum(col("n")).over(trail(7)).as("n_7d"),
+          sum(col("rev")).over(trail(7)).as("rev_7d"),
+          sum(col("n")).over(trail(28)).as("n_28d"),
+          sum(col("rev")).over(trail(28)).as("rev_28d"))
+        .orderBy(col("day"))
+    }),
+
     // PAGE–HINKLEY change detection over the daily order-count series —
     // the sequential drift detector a monitoring pipeline runs on ingest
     // volumes. Scale-free integer form: with S = Σx and N = #days,
@@ -2958,6 +2981,30 @@ object AnalyticsQueries {
       SELECT n_orders, t_pre, t_post, c_pre, c_post,
         CAST((t_post - t_pre) - (c_post - c_pre) AS BIGINT) AS did_cents
       FROM w""",
+
+    "q106_trailing_window" -> """
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS rev
+        FROM orders GROUP BY 1
+      ), d AS (
+        SELECT day, n, rev,
+          date_diff('day', DATE '1970-01-01', day) AS di
+        FROM daily
+      )
+      SELECT CAST(day AS VARCHAR) AS day, n, rev,
+        CAST(SUM(n) OVER w7 AS BIGINT) AS n_7d,
+        CAST(SUM(rev) OVER w7 AS BIGINT) AS rev_7d,
+        CAST(SUM(n) OVER w28 AS BIGINT) AS n_28d,
+        CAST(SUM(rev) OVER w28 AS BIGINT) AS rev_28d
+      FROM d
+      WINDOW w7 AS (ORDER BY di
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+        w28 AS (ORDER BY di
+          RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
+      ORDER BY day""",
 
     "q104_page_hinkley" -> """
       WITH daily AS (

@@ -28,6 +28,16 @@ object TextQueries {
   private val CmsRowsSql = (0 until CmsDepth).mkString("[", ", ", "]")
   private val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** tx31's term list: vocab words, phrases, and nested substrings
+    * ("merge" inside "merge batch") — all border-free (enforced at
+    * automaton build).
+    */
+  private[ops] val AcBlocklist: Seq[String] = Seq(
+    "slow", "fast", "merge", "batch", "merge batch", "big vector",
+    "vector", "spark", "table", "scan", "join", "small", "filter",
+    "query", "column", "customer", "order", "group", "value part",
+    "row", "line", "data", "key", "agg")
+
   private def occSql(sub: String): String =
     s"(length(lower(text)) - length(replace(lower(text), '$sub', ''))) / ${sub.length}"
 
@@ -111,6 +121,28 @@ object TextQueries {
           sum(((col("h1") + col("h2") + col("h3")) > 0).cast("long"))
             .as("n_flagged"))
         .orderBy(col("source"))
+    }),
+
+    // AHO–CORASICK blocklist at the shape tx30 documents as its scale
+    // path: ONE automaton pass per document counts every term of a
+    // 24-term list (words AND phrases, nested substrings included) —
+    // O(doc_len) per doc regardless of list size, vs the per-term
+    // replace chain's O(terms · doc_len). Per (source, term) hit mass;
+    // the oracle recomputes each term's count with the replace identity
+    // (exactly equal because the automaton builder REJECTS bordered
+    // terms — see AcAutomaton).
+    "tx31_blocklist_ac" -> ((s, dir) => {
+      val terms = AcBlocklist
+      Tables(s, dir, "documents")
+        .select(col("source"),
+          graft.functions.AcCount(col("text"), terms).as("c"))
+        .select(col("source"), posexplode(col("c")).as(Seq("i", "hits")))
+        .select(col("source"),
+          element_at(typedlit(terms), col("i") + 1).as("term"),
+          col("hits"))
+        .groupBy(col("source"), col("term"))
+        .agg(sum(col("hits")).as("hits"))
+        .orderBy(col("source"), col("term"))
     }),
 
     // SUFFIX-STRIPPING STEMMER (Porter-S1-flavor rules, longest suffix
@@ -425,6 +457,18 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx31_blocklist_ac" -> s"""
+      WITH t(term) AS (VALUES ${AcBlocklist
+        .map(t => s"('$t')").mkString(", ")}),
+      h AS (
+        SELECT source, term,
+          (length(text) - length(replace(text, term, ''))) // length(term)
+            AS hits
+        FROM documents CROSS JOIN t
+      )
+      SELECT source, term, CAST(SUM(hits) AS BIGINT) AS hits
+      FROM h GROUP BY source, term ORDER BY source, term""",
+
     "tx30_blocklist" -> """
       WITH h AS (
         SELECT source,

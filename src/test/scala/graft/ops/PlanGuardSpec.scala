@@ -137,7 +137,10 @@ class PlanGuardSpec extends SparkSpec {
     "q91_abc_class" -> Seq("windowspecdefinition(__ps_bucket"),
     // skyline: the strictly-higher-price running min is partitioned by
     // the price-range bucket (only the bucket table sees a global frame)
-    "q71_skyline" -> Seq("windowspecdefinition(__b")
+    "q71_skyline" -> Seq("windowspecdefinition(__b"),
+    // blocklist automaton: the term counts come from the scan-side
+    // ac_count kernel — term mapping is a literal array lookup, no join
+    "tx31_blocklist_ac" -> Seq("ac_count")
   )
 
   /** query -> plan fragments that must NOT appear */
