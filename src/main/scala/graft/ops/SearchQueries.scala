@@ -48,6 +48,25 @@ object SearchQueries {
   private val T = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
   private val NT = raw"len($T)"
 
+  /** Materialize the trigram posting table once per sfDir (the standing
+    * index q107 queries; at lake scale this would be a bucketed
+    * manifest-committed table — here one parquet with ng pushdown).
+    */
+  private def trigramIndexDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/trigram_index_v1")
+    val out = root.resolve("postings").toString
+    graft.streaming.FixtureLock.once(root) {
+        graft.text.TrigramIndex
+          .build(Tables(s, dir, "documents"), "doc_id", "text")
+          .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   /** Decomposed vs pre-composed spellings of the same suffix — NFC maps the
     * former onto the latter, so even-doc rows change under normalization and
     * odd-doc rows are already-NFC fixpoints (both paths of the kernel).
@@ -83,6 +102,24 @@ object SearchQueries {
     // (the only libm call and each per-term addend are 2^-20
     // grid-quantized, so the ≤|Terms| addend sum is exact on both
     // engines).
+    // TRIGRAM-INDEX substring search: three `%pattern%` queries answered
+    // through the standing posting table (built once per sfDir) —
+    // posting lookups, doc-keyed intersection, contains-verify. The
+    // oracle is the naive LIKE scan: the index may only over-approximate
+    // candidates, never miss, so the verified result is exactly equal.
+    "q107_trigram_search" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val index = s.read.parquet(trigramIndexDir(s, dir))
+      Seq("merge batch", "big vector", "fast table")
+        .map { p =>
+          graft.text.TrigramIndex.search(index, docs, "doc_id", "text", p)
+            .withColumn("pattern", lit(p))
+        }
+        .reduce(_ unionByName _)
+        .select(col("pattern"), col("doc_id"))
+        .orderBy(col("pattern"), col("doc_id"))
+    }),
+
     "q52_bm25" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents").select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("dl"),
@@ -190,6 +227,19 @@ object SearchQueries {
       FROM aug ORDER BY doc_id""",
 
     "q52_bm25" -> Bm25Oracle,
+
+    // the index is pure acceleration: the answer IS the LIKE scan
+    "q107_trigram_search" -> """
+      SELECT pattern, doc_id FROM (
+        SELECT 'merge batch' AS pattern, doc_id FROM documents
+        WHERE text LIKE '%merge batch%'
+        UNION ALL
+        SELECT 'big vector' AS pattern, doc_id FROM documents
+        WHERE text LIKE '%big vector%'
+        UNION ALL
+        SELECT 'fast table' AS pattern, doc_id FROM documents
+        WHERE text LIKE '%fast table%'
+      ) ORDER BY pattern, doc_id""",
 
     // The standing index must equal the ad-hoc recompute — same oracle.
     "tx21_bm25_index" -> Bm25Oracle,
