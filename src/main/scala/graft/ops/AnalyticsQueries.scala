@@ -1686,13 +1686,22 @@ object AnalyticsQueries {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_partkey").as("p"), col("o_custkey").as("c"))
         .distinct()
-      val smallParts = edges.groupBy(col("p"))
-        .agg(count(lit(1)).as("deg"))
-        .filter(col("deg") <= 64).select(col("p"))
-      val pruned = edges.join(smallParts, Seq("p"), "left_semi")
-      pruned.as("a").join(pruned.as("b"),
-          col("a.p") === col("b.p") && col("a.c") < col("b.c"))
-        .groupBy(col("a.c").as("c1"), col("b.c").as("c2"))
+      // the deg≤64 cap that excludes celebrity parts also BOUNDS the
+      // per-part buyer list, so wedges enumerate from one grouped
+      // sorted array per part (≤64 elements — a bounded agg buffer)
+      // with a scan-side tail-slice generator: ONE shuffle into part
+      // groups + the pair-keyed agg, one exchange fewer than the
+      // edge-table self-join. Steady-state cost is the ~9M-wedge pair
+      // aggregation itself (~2.9 s at sf0.1) — genuine output volume,
+      // shared by both shapes
+      val grouped = edges.groupBy(col("p"))
+        .agg(sort_array(collect_list(col("c"))).as("cs"))
+        .filter(size(col("cs")) <= 64)
+      grouped
+        .select(posexplode(col("cs")).as(Seq("i", "c1")), col("cs"))
+        .select(col("c1"), explode(
+          slice(col("cs"), col("i") + 2, size(col("cs")))).as("c2"))
+        .groupBy(col("c1"), col("c2"))
         .agg(count(lit(1)).as("n_common"))
         .orderBy(col("n_common").desc, col("c1"), col("c2"))
         .limit(20)
