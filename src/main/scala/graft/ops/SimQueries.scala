@@ -152,6 +152,38 @@ object SimQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // MATRYOSHKA truncation eval: recall@5 of brute-force search over
+    // only the FIRST d dimensions vs the full 64 — the instrument behind
+    // the truncate-your-embeddings storage/latency trade (MRL-style
+    // models front-load information; this measures how much a given
+    // corpus actually loses). One corpus×queries broadcast scan per
+    // tier; cosines are the same sequential-fold kernels over sliced
+    // arrays, so the DuckDB mirror (first-n folds) lands on identical
+    // bits. d=64 rides along as the recall=1.0 sanity row.
+    "sm20_matryoshka" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val full = Similarity
+        .bruteForceTopK(e.filter(col("id") < NQueries), e, K)
+        .select(col("query_id"), col("corpus_id"))
+      def tier(d: Int): DataFrame = {
+        val t = e.select(col("id"),
+          slice(col("vec"), 1, d).as("vec"))
+        Similarity.bruteForceTopK(t.filter(col("id") < NQueries), t, K)
+          .select(lit(d).as("dim"), col("query_id"), col("corpus_id"))
+      }
+      // left-outer + flag, NOT semi+group: a tier with ZERO hits (d=8 at
+      // sf0.1) must still report its 0 row — every tier carries its full
+      // NQ·K candidate rows into the agg
+      Seq(8, 16, 32, 64).map(tier).reduce(_ unionByName _)
+        .join(full.withColumn("__hit", lit(1L)),
+          Seq("query_id", "corpus_id"), "left_outer")
+        .groupBy(col("dim"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+        .select(col("dim"), col("n_hits"),
+          expr(s"n_hits * 1000000 div (${NQueries * K})").as("recall_ppm"))
+        .orderBy(col("dim"))
+    }),
+
     // Per-label cluster cohesion: each label's centroid and the mean cosine
     // of its members to it — the standard embedding-space diagnostic for a
     // labeled corpus (tight labels → high avg_cos). One posexplode, one
@@ -519,6 +551,32 @@ object SimQueries {
       )
       SELECT query_id, corpus_id, cos, rank FROM ranked
       WHERE rank <= $K ORDER BY query_id, rank""",
+
+    "sm20_matryoshka" -> {
+      def tier(d: Int) = s"""
+      t$d AS (
+        SELECT query_id, corpus_id FROM (
+          SELECT query_id, c.vec_id AS corpus_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ${cosNSql("qv", "c.embedding", d)} DESC, c.vec_id)
+              AS rank
+          FROM embeddings c, q WHERE c.vec_id != query_id
+        ) WHERE rank <= $K
+      )"""
+      def row(d: Int) =
+        s"""SELECT $d AS dim, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM t$d x JOIN t64 f ON x.query_id = f.query_id
+          AND x.corpus_id = f.corpus_id"""
+      s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id < $NQueries
+      ),${Seq(8, 16, 32, 64).map(tier).mkString(",")}
+      SELECT dim, n_hits,
+        n_hits * 1000000 // ${NQueries * K} AS recall_ppm
+      FROM (${Seq(8, 16, 32, 64).map(row).mkString(" UNION ALL ")})
+      ORDER BY dim"""
+    },
 
     "sm19_range_search" -> s"""
       WITH q AS (
