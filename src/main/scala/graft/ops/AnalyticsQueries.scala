@@ -1688,15 +1688,20 @@ object AnalyticsQueries {
         .distinct()
       // the deg≤64 cap that excludes celebrity parts also BOUNDS the
       // per-part buyer list, so wedges enumerate from one grouped
-      // sorted array per part (≤64 elements — a bounded agg buffer)
-      // with a scan-side tail-slice generator: ONE shuffle into part
-      // groups + the pair-keyed agg, one exchange fewer than the
-      // edge-table self-join. Steady-state cost is the ~9M-wedge pair
-      // aggregation itself (~2.9 s at sf0.1) — genuine output volume,
-      // shared by both shapes
-      val grouped = edges.groupBy(col("p"))
+      // sorted array per part with a scan-side tail-slice generator —
+      // one exchange fewer than the edge-table self-join. ORDER
+      // MATTERS: the degree filter runs BEFORE the collect (hash-agg
+      // count + semi-join), so no agg buffer ever exceeds 64 elements;
+      // collecting first and filtering on size would build a celebrity
+      // part's full multi-million-buyer array before discarding it.
+      // Steady-state cost is the ~9M-wedge pair aggregation itself
+      // (~2.9 s at sf0.1) — genuine output volume, shared by any shape.
+      val small = edges.groupBy(col("p"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") <= 64).select(col("p"))
+      val grouped = edges.join(small, Seq("p"), "left_semi")
+        .groupBy(col("p"))
         .agg(sort_array(collect_list(col("c"))).as("cs"))
-        .filter(size(col("cs")) <= 64)
       grouped
         .select(posexplode(col("cs")).as(Seq("i", "c1")), col("cs"))
         .select(col("c1"), explode(

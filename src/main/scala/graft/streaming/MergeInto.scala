@@ -127,6 +127,14 @@ object MergeInto {
         kept.unionByName(incoming, allowMissingColumns = true)
       }
 
+    // CHECK constraints guard the write path: rows this statement CHANGES
+    // (post-merge, so a partial update that breaks a constraint is caught)
+    // must all satisfy every constraint, or nothing commits. Kept rows
+    // were validated when written — induction keeps the table clean.
+    snap.foreach(sn => enforceChecks(spark, sn,
+      merged.join(broadcast(bucketed.select(col(keyCol))),
+        Seq(keyCol), "left_semi")))
+
     val version = ManifestStore.nextVersion(spark, root)
     val rel = ManifestStore.dataRel(version)
     val written: Set[Int] =
@@ -176,6 +184,67 @@ object MergeInto {
 
   /** Metadata slot recording the table's immutable bucket count. */
   val NumBucketsSlot = "__numBuckets"
+
+  /** Metadata slot prefix for CHECK constraints: `__check:<name>` → SQL
+    * predicate. Enforced on every row a merge/sync CHANGES (NULL predicate
+    * = pass, like SQL CHECK); a violating statement fails LOUDLY and
+    * commits nothing.
+    */
+  val CheckPrefix = "__check:"
+
+  /** `ALTER TABLE ADD CONSTRAINT <name> CHECK (<sql>)`: validates the
+    * EXISTING table first (a constraint the data already violates must
+    * not be recorded), then commits the constraint as table metadata —
+    * every later merge/sync enforces it on the rows it changes.
+    */
+  def addCheckConstraint(spark: SparkSession, root: String, name: String,
+                         sql: String): Unit = {
+    require(!name.exists(c => c == '\t' || c == '\n' || c == '\r') &&
+      !sql.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "constraint names/predicates must not contain tabs or newlines " +
+        "(manifest line format)")
+    val snap = ManifestStore.latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed table under $root"))
+    require(!snap.entries.contains(CheckPrefix + name),
+      s"constraint '$name' already exists on $root")
+    val bad = readTable(spark, root)
+      .filter(!coalesce(expr(sql), lit(true))).count()
+    require(bad == 0,
+      s"cannot add CHECK '$name' ($sql): $bad existing rows violate it")
+    ManifestStore.commit(spark, root, ManifestStore.nextVersion(spark, root),
+      snap.entries + (CheckPrefix + name -> sql))
+  }
+
+  /** Drop a CHECK constraint (no-op validation — dropping is always safe). */
+  def dropCheckConstraint(spark: SparkSession, root: String,
+                          name: String): Unit = {
+    val snap = ManifestStore.latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed table under $root"))
+    require(snap.entries.contains(CheckPrefix + name),
+      s"no constraint '$name' on $root")
+    ManifestStore.commit(spark, root, ManifestStore.nextVersion(spark, root),
+      snap.entries - (CheckPrefix + name))
+  }
+
+  /** One agg evaluating every constraint's violation count over `rows`;
+    * any violation fails the statement before anything is staged.
+    */
+  private def enforceChecks(spark: SparkSession,
+      snap: ManifestStore.Snapshot, rows: DataFrame): Unit = {
+    val checks = snap.entries.toSeq
+      .filter(_._1.startsWith(CheckPrefix)).sortBy(_._1)
+    if (checks.isEmpty) return
+    val aggs = checks.map { case (slot, sql) =>
+      sum((!coalesce(expr(sql), lit(true))).cast("long")).as(slot)
+    }
+    val counts = rows.agg(aggs.head, aggs.tail: _*).head()
+    checks.zipWithIndex.foreach { case ((slot, sql), i) =>
+      val bad = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+      require(bad == 0, "MERGE violates CHECK constraint '" +
+        slot.stripPrefix(CheckPrefix) + s"' ($sql): $bad changed rows " +
+        "fail — nothing committed")
+    }
+  }
 
   /** FULL-SNAPSHOT SYNC — SQL MERGE's `WHEN NOT MATCHED BY SOURCE THEN
     * DELETE` mode: after the commit the table's KEY SET equals the
@@ -232,6 +301,8 @@ object MergeInto {
           target.select(col(keyCol)), Seq(keyCol), "left_anti")
         updated.unionByName(inserts, allowMissingColumns = true)
       }
+    // a sync redefines every row, so every row is a "changed" row
+    enforceChecks(spark, snap, merged)
     val bucketed = merged
       .withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
     val version = ManifestStore.nextVersion(spark, root)
@@ -247,7 +318,9 @@ object MergeInto {
           .select(col("__dir")).distinct().collect().map(_.getInt(0)).toSet
       }
     // the snapshot defines the whole table: every bucket entry is rebuilt
+    // (constraints survive the rebuild — they are table metadata)
     val entries = Map(NumBucketsSlot -> numBuckets.toString) ++
+      snap.entries.filter(_._1.startsWith(CheckPrefix)) ++
       written.map(b => b.toString -> s"$rel/__dir=$b")
     ManifestStore.commit(spark, root, version, entries)
   }

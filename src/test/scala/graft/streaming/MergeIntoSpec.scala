@@ -137,6 +137,60 @@ class MergeIntoSpec extends SparkSpec {
       .collect().toSeq == Seq(1L))
   }
 
+  test("CHECK constraints: violating statements fail atomically; valid " +
+    "ones pass; drop lifts the guard") {
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "s", "v"),
+      root, "k", numBuckets = 2)
+    MergeInto.addCheckConstraint(spark, root, "pos", "v >= 0")
+    val vBefore = ManifestStore.latest(spark, root).get.version
+    val err = intercept[IllegalArgumentException] {
+      MergeInto.mergeBatch(spark, Seq((9L, "z", -5)).toDF("k", "s", "v"),
+        root, "k", numBuckets = 2)
+    }
+    assert(err.getMessage.contains("CHECK constraint 'pos'"))
+    // nothing committed
+    assert(ManifestStore.latest(spark, root).get.version == vBefore)
+    assert(MergeInto.readTable(spark, root).count() == 2)
+    // valid rows pass; a partial update that breaks the constraint fails
+    MergeInto.mergeBatch(spark, Seq((9L, "z", 5)).toDF("k", "s", "v"),
+      root, "k", numBuckets = 2)
+    val err2 = intercept[IllegalArgumentException] {
+      MergeInto.mergeBatch(spark, Seq((9L, -1)).toDF("k", "v"),
+        root, "k", numBuckets = 2, updateCols = Seq("v"))
+    }
+    assert(err2.getMessage.contains("CHECK constraint 'pos'"))
+    // a constraint the existing data violates cannot be added
+    val err3 = intercept[IllegalArgumentException] {
+      MergeInto.addCheckConstraint(spark, root, "small", "v < 3")
+    }
+    assert(err3.getMessage.contains("existing rows violate"))
+    // dropping the constraint lifts the guard
+    MergeInto.dropCheckConstraint(spark, root, "pos")
+    MergeInto.mergeBatch(spark, Seq((7L, "n", -1)).toDF("k", "s", "v"),
+      root, "k", numBuckets = 2)
+    assert(MergeInto.readTable(spark, root).filter($"v" < 0).count() == 1)
+  }
+
+  test("CHECK constraints survive a snapshot sync and guard it") {
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a", 10)).toDF("k", "s", "v"), root, "k", numBuckets = 2)
+    MergeInto.addCheckConstraint(spark, root, "pos", "v >= 0")
+    val err = intercept[IllegalArgumentException] {
+      MergeInto.syncSnapshot(spark,
+        Seq((1L, "a", -10)).toDF("k", "s", "v"), root, "k", numBuckets = 2)
+    }
+    assert(err.getMessage.contains("CHECK constraint 'pos'"))
+    MergeInto.syncSnapshot(spark,
+      Seq((1L, "a", 11), (2L, "b", 22)).toDF("k", "s", "v"),
+      root, "k", numBuckets = 2)
+    // the rebuilt manifest still carries the constraint
+    assert(ManifestStore.latest(spark, root).get.entries
+      .contains(MergeInto.CheckPrefix + "pos"))
+  }
+
   test("restore rolls back to a prior version; history stays readable") {
     val root = java.nio.file.Files.createTempDirectory("merge").toString
     MergeInto.mergeBatch(spark,
