@@ -567,6 +567,26 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // SYMLINK-MANIFEST EXPORT driver-gated (ecosystem interop): the
+    // exported flat file list, read back by a PLAIN parquet reader with
+    // no knowledge of the manifest format, must equal the committed
+    // snapshot — same oracle as cdc_merge_into.
+    "cdc_merge_export" -> ((s, dir) => {
+      val store = mergedOrdersTableDir(s, dir)
+      val (_, manifest) =
+        graft.streaming.MergeInto.exportFileManifest(s, store)
+      val files = scala.io.Source.fromFile(
+        new java.net.URI(manifest).getPath match {
+          case "" | null => manifest
+          case p => p
+        })
+      val paths = try files.getLines().filter(_.nonEmpty).toSeq
+        finally files.close()
+      s.read.parquet(paths: _*)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
     // RESTORE (rollback) driver-gated: after merge v2, a restore to v1
     // re-commits v1's files as v3 — the latest read must equal the
     // CREATE payloads again (zero data copied, history intact).
@@ -861,6 +881,9 @@ object CdcQueries {
     mergeFinalStateSqlWhere("TRUE")
 
   val oracleSql: Map[String, String] = Map(
+    // the foreign-reader view of the export = the committed snapshot
+    "cdc_merge_export" -> mergeFinalStateSql,
+
     // restore to v1 = the CREATE payloads exactly
     "cdc_merge_restore" -> s"""$changesCte
       SELECT id, status, totalprice FROM changes

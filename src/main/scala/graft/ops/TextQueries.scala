@@ -145,6 +145,26 @@ object TextQueries {
         .orderBy(col("source"), col("term"))
     }),
 
+    // OOV RATE per source against a trained top-K vocabulary — the
+    // tokenizer-coverage instrument behind vocab sizing: corpus token
+    // frequencies → top-16 vocab (TakeOrdered, count-desc/token-asc
+    // total order) → broadcast anti-probe of the token stream → per-
+    // source out-of-vocabulary mass in exact ppm. One explode + two
+    // hash aggs + a broadcast join; nothing corpus-wide ever sorts.
+    "tx32_oov_rate" -> ((s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("t"))
+      val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(16)
+        .select(col("t"), lit(1L).as("__in"))
+      tok.join(broadcast(vocab), Seq("t"), "left_outer")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // SUFFIX-STRIPPING STEMMER (Porter-S1-flavor rules, longest suffix
     // first with stem-length guards) — the vocabulary-conflation
     // primitive under search/TF-IDF recall. The rule CASE is one shared
@@ -457,6 +477,23 @@ object TextQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "tx32_oov_rate" -> s"""
+      WITH tok AS (
+        SELECT source, unnest($T) AS t FROM documents
+      ), vocab AS (
+        SELECT t FROM (
+          SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+          ORDER BY c DESC, t LIMIT 16)
+      ), j AS (
+        SELECT source,
+          CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+        FROM tok LEFT JOIN vocab v USING (t)
+      )
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(oov) AS BIGINT) AS n_oov,
+        CAST(SUM(oov) AS BIGINT) * 1000000 // COUNT(*) AS oov_ppm
+      FROM j GROUP BY source ORDER BY source""",
+
     "tx31_blocklist_ac" -> s"""
       WITH t(term) AS (VALUES ${AcBlocklist
         .map(t => s"('$t')").mkString(", ")}),

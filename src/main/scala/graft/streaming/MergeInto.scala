@@ -185,6 +185,60 @@ object MergeInto {
   /** Metadata slot recording the table's immutable bucket count. */
   val NumBucketsSlot = "__numBuckets"
 
+  /** Export the CURRENT snapshot as a flat parquet-file list any engine
+    * can consume (a table format's symlink-manifest export — the
+    * ecosystem-interop half a bespoke format otherwise lacks): one text
+    * file `_exports/v<version>.manifest.txt` of absolute file paths,
+    * idempotent per version (re-export returns the existing file).
+    * Readers outside this library `read.parquet(files…)` and see exactly
+    * the committed snapshot — immutable files, so the export stays
+    * consistent until a vacuum reclaims that version.
+    *
+    * Refuses while a deletion vector is pending: a foreign reader cannot
+    * subtract it, so the file list would resurrect deleted keys —
+    * [[materializeDeletes]] first.
+    *
+    * @return (version, absolute path of the manifest file)
+    */
+  def exportFileManifest(spark: SparkSession, root: String): (Long, String) = {
+    val snap = ManifestStore.latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed table under $root"))
+    require(!snap.entries.contains(DvSlot),
+      s"table at $root has a pending deletion vector — foreign readers " +
+        "cannot subtract it; run materializeDeletes before exporting")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val out = new org.apache.hadoop.fs.Path(root,
+      f"_exports/v${snap.version}%020d.manifest.txt")
+    val fs = out.getFileSystem(conf)
+    if (!fs.exists(out)) {
+      val files = ManifestStore.resolvePaths(root, snap).flatMap { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet") ||
+              f.getPath.getName.startsWith("part-"))
+            buf += f.getPath.toString
+        }
+        buf
+      }.sorted
+      val tmp = new org.apache.hadoop.fs.Path(root,
+        s"_exports/.tmp-${java.util.UUID.randomUUID}")
+      fs.mkdirs(tmp.getParent)
+      val os = fs.create(tmp, false)
+      try os.write((files.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+      if (!fs.rename(tmp, out)) {
+        fs.delete(tmp, false)
+        require(fs.exists(out), s"export rename to $out lost a race " +
+          "and no manifest exists")
+      }
+    }
+    (snap.version, out.toString)
+  }
+
   /** Metadata slot prefix for CHECK constraints: `__check:<name>` → SQL
     * predicate. Enforced on every row a merge/sync CHANGES (NULL predicate
     * = pass, like SQL CHECK); a violating statement fails LOUDLY and
