@@ -711,6 +711,21 @@ object AdvancedQueries {
         .orderBy(col("hour_start"), col("event_type"))
     }),
 
+    // STREAM-STATIC join + APPEND-mode windowed agg driver-gated: the
+    // event stream enriched against the static customer dimension, daily
+    // windows per market segment emitted exactly once behind the
+    // watermark (sentinel-flushed) — the production streaming shape
+    // ev1's complete-mode gate defers. Must equal the batch join+agg.
+    "ev13_stream_static_join" -> ((s, dir) => {
+      val store = graft.streaming.EventWindowStream
+        .materializedSegmentDailyDir(s, dir)
+      s.read.parquet(store)
+        .select(col("window.start").cast("timestamp_ntz").as("day_start"),
+          col("segment"), col("n_events"),
+          col("sum_value_dec").cast("double").as("sum_value"))
+        .orderBy(col("day_start"), col("segment"))
+    }),
+
     // STANDING KMV sketch store, driver-gated: per-type distinct-user
     // sketches maintained across two manifest-committed merges (even
     // event_ids, then odd, exactly-once txn ids). Because bottom-k merge
@@ -1941,6 +1956,14 @@ object AdvancedQueries {
         CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
           AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "ev13_stream_static_join" -> """
+      SELECT date_trunc('day', ts) AS day_start,
+        c_mktsegment AS segment, COUNT(*) AS n_events,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+          AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // The streamed LEFT OUTER store must equal the batch left join —
     // NULLS FIRST mirrors Spark's ASC null ordering.

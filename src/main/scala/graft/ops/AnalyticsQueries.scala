@@ -1476,6 +1476,47 @@ object AnalyticsQueries {
           (col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre")))
     }),
 
+    // BOXPLOT (five-number + Tukey fences) per market segment — the
+    // distribution summary behind every quality dashboard: quartiles
+    // from the compressed per-segment value domain (windows PARTITIONED
+    // by segment — key-parallel), whiskers as the extreme values inside
+    // the 1.5·IQR fences, and the exact outlier mass beyond them. The
+    // ×2 trick keeps 1.5·IQR integral; everything is exact cents.
+    "q108_boxplot" -> ((s, dir) => {
+      val seg = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val byV = seg.groupBy(col("segment"), col("cents"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("segment")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = byV.groupBy(col("segment")).agg(sum(col("cnt")).as("n"))
+      val cum = byV.withColumn("cum", sum(col("cnt")).over(w))
+        .join(broadcast(tot), Seq("segment"))
+      def quart(p: Int) =
+        min(when(col("cum") * 4 >= col("n") * p, col("cents")))
+      val fences = cum.groupBy(col("segment"), col("n"))
+        .agg(quart(1).as("p25"), quart(2).as("p50"), quart(3).as("p75"))
+        .withColumn("iqr", col("p75") - col("p25"))
+        .withColumn("lo2", lit(2) * col("p25") - lit(3) * col("iqr"))
+        .withColumn("hi2", lit(2) * col("p75") + lit(3) * col("iqr"))
+      byV.join(broadcast(fences), Seq("segment"))
+        .groupBy(col("segment"))
+        .agg(max(col("n")).as("n"),
+          max(col("p25")).as("p25"), max(col("p50")).as("p50"),
+          max(col("p75")).as("p75"), max(col("iqr")).as("iqr"),
+          min(when(col("cents") * 2 >= col("lo2"), col("cents")))
+            .as("whisker_lo"),
+          max(when(col("cents") * 2 <= col("hi2"), col("cents")))
+            .as("whisker_hi"),
+          sum(when(col("cents") * 2 < col("lo2") ||
+            col("cents") * 2 > col("hi2"), col("cnt")).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("segment"))
+    }),
+
     // TRAILING TIME-RANGE WINDOWS: per day, the trailing-7-day and
     // trailing-28-day revenue and order counts — the moving-aggregate
     // report every ops dashboard runs. RANGE frames over the day INDEX
@@ -2995,6 +3036,42 @@ object AnalyticsQueries {
       SELECT n_orders, t_pre, t_post, c_pre, c_post,
         CAST((t_post - t_pre) - (c_post - c_pre) AS BIGINT) AS did_cents
       FROM w""",
+
+    "q108_boxplot" -> """
+      WITH seg AS (
+        SELECT c_mktsegment AS segment,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+      ), byv AS (
+        SELECT segment, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM seg GROUP BY 1, 2
+      ), cum AS (
+        SELECT segment, cents, cnt,
+          CAST(SUM(cnt) OVER (PARTITION BY segment ORDER BY cents
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum,
+          CAST(SUM(cnt) OVER (PARTITION BY segment) AS BIGINT) AS n
+        FROM byv
+      ), fences AS (
+        SELECT segment, n,
+          MIN(CASE WHEN cum * 4 >= n * 1 THEN cents END) AS p25,
+          MIN(CASE WHEN cum * 4 >= n * 2 THEN cents END) AS p50,
+          MIN(CASE WHEN cum * 4 >= n * 3 THEN cents END) AS p75
+        FROM cum GROUP BY segment, n
+      ), f AS (
+        SELECT segment, n, p25, p50, p75, p75 - p25 AS iqr,
+          2 * p25 - 3 * (p75 - p25) AS lo2,
+          2 * p75 + 3 * (p75 - p25) AS hi2
+        FROM fences
+      )
+      SELECT b.segment, MAX(n) AS n, MAX(p25) AS p25, MAX(p50) AS p50,
+        MAX(p75) AS p75, MAX(iqr) AS iqr,
+        MIN(CASE WHEN cents * 2 >= lo2 THEN cents END) AS whisker_lo,
+        MAX(CASE WHEN cents * 2 <= hi2 THEN cents END) AS whisker_hi,
+        CAST(SUM(CASE WHEN cents * 2 < lo2 OR cents * 2 > hi2
+          THEN cnt ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM byv b JOIN f USING (segment)
+      GROUP BY b.segment ORDER BY b.segment""",
 
     "q106_trailing_window" -> """
       WITH daily AS (
