@@ -67,4 +67,52 @@ object PageRank {
     }
     v.select(col("id"), col("pr"))
   }
+
+  /** PERSONALIZED PageRank: the restart mass concentrates on `seeds`
+    * instead of spreading uniformly — the relatedness-to-a-query-set
+    * primitive behind recommendation ("suppliers close to THESE
+    * customers") and seed-expansion labeling. Identical plan shape and
+    * grid-exact arithmetic as [[pageRank]]; only the teleport vector
+    * differs (1/|S| on seeds, 0 elsewhere), so ranks measure proximity
+    * to the seed set rather than global centrality.
+    *
+    * @param seeds one `id` column; ids absent from the graph contribute
+    *   nothing (their restart mass vanishes like dangling mass).
+    */
+  def personalized(edges: DataFrame, seeds: DataFrame, iters: Int,
+                   damping: Double = 0.85): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .graftCheckpoint()
+    val seedIds = seeds.select(col("id")).distinct()
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .select(col("src").as("id"), col("outdeg"))
+      .join(seedIds.withColumn("__seed", lit(1)), Seq("id"), "left_outer")
+      .graftCheckpoint()
+    // bounded driver scalars: node and seed counts
+    val nNodes = deg.count()
+    val nSeeds = deg.filter(col("__seed").isNotNull).count()
+    require(nSeeds > 0, "no seed id exists in the graph")
+    val reset = when(col("__seed").isNotNull,
+      lit(1.0 - damping) / lit(nSeeds.toDouble)).otherwise(lit(0.0))
+    var v = deg.select(col("id"),
+      when(col("__seed").isNotNull, lit(1.0) / lit(nSeeds.toDouble))
+        .otherwise(lit(0.0)).as("pr"),
+      col("outdeg"))
+    for (_ <- 1 to iters) {
+      val contrib = und
+        .join(GraphOps.nodeSide(
+          v.select(col("id").as("src"), col("pr"), col("outdeg")),
+          nNodes), "src")
+        .select(col("dst").as("id"),
+          (floor(col("pr") / col("outdeg") * Grid) / Grid).as("c"))
+      v = contrib.groupBy(col("id")).agg(sum(col("c")).as("s"))
+        .join(deg, "id")
+        .select(col("id"),
+          (floor((reset + lit(damping) * col("s")) * Grid) / Grid).as("pr"),
+          col("outdeg"))
+    }
+    v.select(col("id"), col("pr"))
+  }
 }

@@ -961,6 +961,27 @@ object AdvancedQueries {
         .orderBy(col("pr").desc, col("id")).limit(50)
     }),
 
+    // PERSONALIZED PageRank over the q43 purchase graph: restart mass
+    // pinned to the ~1% customer seed set (c_custkey % 97 == 0) — the
+    // top-30 is "nodes closest to THESE customers", not global
+    // centrality. Same per-round join+agg shape and 2^-20 grid-exact
+    // sums as q43; the oracle unrolls the same 3 rounds with the seeded
+    // teleport vector.
+    "q109_ppr" -> ((s, dir) => {
+      val edges = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      val seeds = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("id"))
+        .filter(col("id") % 97 === 0)
+      graft.graph.PageRank.personalized(edges, seeds, iters = 3)
+        .orderBy(col("pr").desc, col("id")).limit(30)
+    }),
+
     // Label-propagation communities over the same purchase graph as q43:
     // two synchronous rounds of most-frequent-neighbor-label (count desc,
     // label asc tie-break — a shuffle-free max(struct) argmax, no window).
@@ -1323,7 +1344,48 @@ object AdvancedQueries {
       SELECT id, pr FROM v3 ORDER BY pr DESC, id LIMIT 50"""
   }
 
+  private def pprSql: String = {
+    val G = 1048576L
+    val iters = (1 to 3).map { i =>
+      s"""c$i AS (
+        SELECT u.dst AS id, SUM(floor(v.pr / v.outdeg * $G) / $G) AS s
+        FROM und u JOIN v${i - 1} v ON u.src = v.id GROUP BY 1
+      ), v$i AS (
+        SELECT d.id,
+          floor((CASE WHEN d.seed
+              THEN (1.0::DOUBLE - 0.85::DOUBLE) / ns.ns
+              ELSE 0.0::DOUBLE END
+            + 0.85::DOUBLE * c.s) * $G) / $G AS pr, d.outdeg
+        FROM deg d JOIN c$i c USING (id), ns
+      )"""
+    }.mkString(", ")
+    s"""
+      WITH e0 AS (
+        SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      ), und AS (
+        SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+      ), seeds AS (
+        SELECT DISTINCT c_custkey AS id FROM customer
+        WHERE c_custkey % 97 = 0
+      ), deg AS (
+        SELECT d.id, d.outdeg, s.id IS NOT NULL AS seed FROM (
+          SELECT src AS id, COUNT(*) AS outdeg FROM und GROUP BY 1
+        ) d LEFT JOIN seeds s ON d.id = s.id
+      ), ns AS (
+        SELECT COUNT(*) AS ns FROM deg WHERE seed
+      ), v0 AS (
+        SELECT id,
+          CASE WHEN seed THEN 1.0::DOUBLE / ns.ns ELSE 0.0::DOUBLE END
+            AS pr, outdeg
+        FROM deg, ns
+      ), $iters
+      SELECT id, pr FROM v3 ORDER BY pr DESC, id LIMIT 30"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q109_ppr" -> pprSql,
+
     "q53_decay_counts" -> """
       WITH ev AS (
         SELECT event_type, epoch_us(ts) AS ep FROM events

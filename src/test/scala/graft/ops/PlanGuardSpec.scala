@@ -232,7 +232,8 @@ class PlanGuardSpec extends SparkSpec {
     // LogicalRDD scan with no file-scan metadata line to check;
     // q59_shortest_paths checkpoints its relaxation rounds the same way.
     val rddRooted =
-      Set("cdc_scd2_skew_fallback", "q43_pagerank", "q50_triangles",
+      Set("cdc_scd2_skew_fallback", "q43_pagerank", "q109_ppr",
+        "q50_triangles",
         "tx19_bpe_merges", "q54_hierarchy_rollup", "q57_label_propagation",
         "q59_shortest_paths",
         // q72's peel rounds localCheckpoint the shrinking edge list too
