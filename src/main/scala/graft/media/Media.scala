@@ -365,6 +365,51 @@ object Media {
     }
   }
 
+  /** Summary of one REAL nearest-neighbor resize: pixel count, packed-RGB
+    * mass, and the two probe pixels of the resized raster.
+    */
+  case class ResizedPixels(media_id: Long, n_px: Long, rgb_sum: Long,
+                           px00: Int, px_corner: Int)
+
+  /** REAL pixel resize (nearest-neighbor) of every image to
+    * `outDim`×`outDim`: the PNG bytes are genuinely decoded and the
+    * output raster's pixels are sampled at `(ox·w div outDim,
+    * oy·h div outDim)` — the exact arithmetic a NN-downsample kernel
+    * performs, summarized as integer mass + probe pixels so the oracle
+    * can predict every bit from the generator formula. mapPartitions
+    * keeps decoder init per partition; the binary payload never
+    * shuffles (output is a 5-column row per image).
+    */
+  def resizePixels(media: Dataset[MediaRow],
+                   outDim: Int): Dataset[ResizedPixels] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "image").mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.content))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var px00 = 0
+        var pxc = 0
+        var oy = 0
+        while (oy < outDim) {
+          val yi = oy * h / outDim
+          var ox = 0
+          while (ox < outDim) {
+            val xi = ox * w / outDim
+            val rgb = img.getRGB(xi, yi) & 0xFFFFFF
+            sum += rgb
+            if (ox == 0 && oy == 0) px00 = rgb
+            if (ox == outDim - 1 && oy == outDim - 1) pxc = rgb
+            ox += 1
+          }
+          oy += 1
+        }
+        ResizedPixels(r.media_id, outDim.toLong * outDim, sum, px00, pxc)
+      }
+    }
+  }
+
   /** One fixed-size analysis window of a decoded audio stream. */
   case class AudioWindow(media_id: Long, win_idx: Int, n_samples: Int,
                          rms: Double, zero_cross: Int)

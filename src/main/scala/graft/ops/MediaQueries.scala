@@ -55,6 +55,14 @@ object MediaQueries {
       Media.sampleFramePixels(Media.mediaTable(s, dir), step = 4)
         .toDF().orderBy(col("media_id"), col("frame_idx"))),
 
+    // REAL nearest-neighbor resize to 8×8 over the decoded PNG raster —
+    // the actual pixel work mm3's metadata stage fronts. The oracle
+    // re-derives every sampled pixel from the generator formula at the
+    // same (ox·w div 8, oy·h div 8) coordinates.
+    "mm9_resize_pixels" -> ((s, dir) =>
+      Media.resizePixels(Media.mediaTable(s, dir), outDim = 8)
+        .toDF().orderBy(col("media_id"))),
+
     // SCENE-CUT detection over the real multi-frame decode: every frame's
     // probe luminance (gray frames: packed RGB / 65793), LAG delta per
     // video, cut = |Δ| > 128 — the frame-segmentation pass a video
@@ -169,6 +177,30 @@ object MediaQueries {
 
     // gray(seed, f, x, y) = (seed + 7f + x + 2y) % 256 on the 256-gray
     // palette, packed to RGB by * 0x010101.
+    "mm9_resize_pixels" -> s"""
+      $featuresCte
+      , grid AS (
+        SELECT media_id, seed, width, height, unnest(range(0, 8)) AS oy
+        FROM f WHERE kind = 'image'
+      ), cells AS (
+        SELECT media_id, seed, width, height, oy,
+          unnest(range(0, 8)) AS ox
+        FROM grid
+      ), px AS (
+        SELECT media_id, ox, oy,
+          ((seed + (ox * width) // 8) % 256) * 65536
+          + ((seed + (oy * height) // 8) % 256) * 256
+          + ((seed + (ox * width) // 8 + (oy * height) // 8) % 256) AS rgb
+        FROM cells
+      )
+      SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+        CAST(SUM(rgb) AS BIGINT) AS rgb_sum,
+        CAST(MAX(CASE WHEN ox = 0 AND oy = 0 THEN rgb END) AS BIGINT)
+          AS px00,
+        CAST(MAX(CASE WHEN ox = 7 AND oy = 7 THEN rgb END) AS BIGINT)
+          AS px_corner
+      FROM px GROUP BY media_id ORDER BY media_id""",
+
     "mm5_frame_pixels" -> s"""
       $featuresCte
       SELECT media_id, frame_idx,
