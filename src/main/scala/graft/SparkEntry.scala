@@ -23,7 +23,7 @@ object SparkEntry {
       ops.AdvancedQueries.queries ++ ops.CorpusQueries.queries ++
       ops.DecontamQueries.queries ++ ops.SearchQueries.queries ++
       ops.LearnedQueries.queries ++ ops.AnalyticsQueries.queries ++
-      ops.QualityQueries.queries
+      ops.QualityQueries.queries ++ ops.InferenceQueries.queries
 
   def oracleSql: Map[String, String] =
     ops.CdcQueries.oracleSql ++ ops.RelationalQueries.oracleSql ++
@@ -32,5 +32,5 @@ object SparkEntry {
       ops.AdvancedQueries.oracleSql ++ ops.CorpusQueries.oracleSql ++
       ops.DecontamQueries.oracleSql ++ ops.SearchQueries.oracleSql ++
       ops.LearnedQueries.oracleSql ++ ops.AnalyticsQueries.oracleSql ++
-      ops.QualityQueries.oracleSql
+      ops.QualityQueries.oracleSql ++ ops.InferenceQueries.oracleSql
 }

@@ -1,0 +1,529 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical-inference and distribution-comparison operators — the
+  * measurement layer a training-data pipeline runs BETWEEN ingestion and
+  * training: is this week's data distributed like last week's (PSI, JSD),
+  * do two cohorts genuinely differ (Welch t), do two labeling rules agree
+  * beyond chance (Cohen's kappa), how concentrated is the corpus (Gini),
+  * which items predict each other (resource-allocation link prediction).
+  * The reference pipeline (josephmachado/change_data_capture README.md:86-125)
+  * lands CDC data and derives SCD2 state; these are the checks a 100 TB
+  * deployment of that lake would run on every landed partition.
+  *
+  * Exactness discipline (established q89/q101/q102): every sufficient
+  * statistic is an exact integer or DECIMAL(38,0); logarithms enter only
+  * as per-value grid-quantized integers `round(ln(x)·2^20)`; the final
+  * real-valued answer is either an exact integral division (ppm / grid
+  * units) or a single grid-floored double, so both engines land on
+  * identical bits.
+  */
+object InferenceQueries {
+
+  private val Dec38 = DecimalType(38, 0)
+
+  /** Grid-quantized natural log: `round(ln(x)·2^20)` as a long — exact
+    * integer arithmetic downstream, mirrored verbatim in the oracles
+    * (q89's discipline).
+    */
+  private def lng(c: Column): Column =
+    round(log(c.cast("double")) * 1048576L).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // RESOURCE-ALLOCATION link prediction (Zhou–Lü–Zhang, EPJ B 2009):
+    // q103's common-neighbor count weighted by 1/deg(shared part) — a
+    // promiscuous part contributes little evidence, a rare part a lot.
+    // The weight is kept EXACT as floor(1e12/deg) per part (rational, no
+    // libm), so scores are integers and the top-20 is deterministically
+    // ordered. Same celebrity prune (deg ≤ 64 parts only) and the same
+    // bounded per-part wedge enumeration as q103: the degree filter runs
+    // BEFORE the collect, so no agg buffer exceeds 64 buyers, and the
+    // wedge generator is a scan-side slice explode — never an all-pairs
+    // join.
+    "q110_resource_alloc" -> ((s, dir) => {
+      val edges = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("p"), col("o_custkey").as("c"))
+        .distinct()
+      val small = edges.groupBy(col("p"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") <= 64).select(col("p"))
+      val grouped = edges.join(small, Seq("p"), "left_semi")
+        .groupBy(col("p"))
+        .agg(sort_array(collect_list(col("c"))).as("cs"))
+        .withColumn("w", expr("1000000000000 div size(cs)"))
+      grouped
+        .select(posexplode(col("cs")).as(Seq("i", "c1")), col("cs"),
+          col("w"))
+        .select(col("c1"), explode(
+          slice(col("cs"), col("i") + 2, size(col("cs")))).as("c2"),
+          col("w"))
+        .groupBy(col("c1"), col("c2"))
+        .agg(count(lit(1)).as("n_common"), sum(col("w")).as("ra_score"))
+        .orderBy(col("ra_score").desc, col("c1"), col("c2"))
+        .limit(20)
+    }),
+
+    // GINI COEFFICIENT of customer revenue concentration — the one-number
+    // inequality summary (0 = uniform spend, →1 = one whale). Exact
+    // integer end-to-end: with per-customer cent totals x sorted
+    // ascending, G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx); the rank sums come
+    // from the compressed (value, count) table — a tie block of count c
+    // ending at inclusive cumulative count `cum` contributes
+    // x·(2·c·cum − c·(c−1)) to 2·Σ i·x_i (ties are order-invariant since
+    // the tied x are equal). The running count rides PrefixSum (cent
+    // totals are near-unique, their domain scales with the customer
+    // dimension), products ride DECIMAL(38,0), and the output is one
+    // exact ppm integral division — no doubles anywhere.
+    "q111_gini" -> ((s, dir) => {
+      val cust = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+      val byV = cust.groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+      val cum = graft.pack.PrefixSum.runningSum(byV,
+        expr("x div 100000"), Seq(col("x")), col("cnt"), "cum")
+      cum
+        .select(col("cnt"),
+          expr("CAST(x AS DECIMAL(38,0)) * cnt").as("xc"),
+          expr("CAST(x AS DECIMAL(38,0)) * (2*cnt*cum - cnt*(cnt-1))")
+            .as("two_ix"))
+        .agg(sum(col("cnt")).as("n"), sum(col("xc")).as("sx"),
+          sum(col("two_ix")).as("sixx"))
+        .select(col("n").as("n_customers"),
+          expr("CAST((1000000 * (sixx - (n+1)*sx)) div (n * sx) AS BIGINT)")
+            .as("gini_ppm"))
+    }),
+
+    // POPULATION STABILITY INDEX between the first and second half of the
+    // order-date range — the standard model-monitoring drift score
+    // (PSI < 0.1 stable, > 0.25 action). Bins are the EXPECTED period's
+    // equi-depth deciles, derived q86-style from the compressed distinct
+    // cent table (9 cut points via one bounded selection — never a
+    // fact-table NTILE); bin membership is computed once per DISTINCT
+    // cent value against the broadcast 9-row cut table and joined back,
+    // so the fact table never fans out. Laplace +1 smoothing keeps
+    // ln defined when a decile is empty in the actual period. PSI itself
+    // is exact-integer: Σ (na'·NB' − nb'·NA')·Δlng over bins in
+    // DECIMAL(38,0), divided integrally by NA'·NB' → grid units.
+    "q112_psi" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long").as("v"),
+          // parquet lands NTZ; the session is pinned UTC, so the cast is
+          // the identity and both engines see identical micros
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("us"))
+      val span = o.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+        .select(expr("(lo + hi) div 2").as("mid"))
+      val tagged = o.crossJoin(broadcast(span))
+        .select(col("v"), (col("us") < col("mid")).as("is_a"))
+      // expected-period decile cuts from the compressed distinct table
+      val byVa = tagged.filter(col("is_a")).groupBy(col("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = graft.pack.PrefixSum.runningSum(byVa,
+        expr("v div 100000"), Seq(col("v")), col("cnt"), "cum")
+      val na = byVa.agg(sum(col("cnt")).as("na"))
+      val cuts = cum.crossJoin(broadcast(na))
+        .select(col("v"), explode(sequence(lit(1), lit(9))).as("k"),
+          col("cum"), col("na"))
+        .filter(col("cum") * 10 >= col("k") * col("na"))
+        .groupBy(col("k")).agg(min(col("v")).as("cut"))
+      // bin per DISTINCT value (bin = #cuts <= v), then back to the facts
+      val binOf = tagged.select(col("v")).distinct()
+        .join(broadcast(cuts), col("cut") <= col("v"), "left_outer")
+        .groupBy(col("v"))
+        .agg(count(col("k")).cast("int").as("bin"))
+      val cells = tagged.join(binOf, Seq("v"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na_raw"),
+          sum(when(col("is_a"), 0L).otherwise(1L)).as("nb_raw"))
+      // all 10 bins present even when one period misses a bin entirely
+      val bins = cells.sparkSession.range(10)
+        .select(col("id").cast("int").as("bin"))
+      val sm = bins.join(cells, Seq("bin"), "left_outer")
+        .select(col("bin"),
+          (coalesce(col("na_raw"), lit(0L)) + 1).as("a"),
+          (coalesce(col("nb_raw"), lit(0L)) + 1).as("b"))
+      val tot = sm.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+      sm.crossJoin(broadcast(tot))
+        .select(col("ta"), col("tb"),
+          ((col("a") * col("tb") - col("b") * col("ta")).cast(Dec38) *
+            (lng(col("a")) - lng(col("ta")) - lng(col("b")) +
+              lng(col("tb"))).cast(Dec38)).as("term"))
+        .agg(max(col("ta")).as("ta"), max(col("tb")).as("tb"),
+          sum(col("term")).as("s"))
+        // +1-nat shift before the integral division: exact PSI is ≥ 0 but
+        // the grid-rounded logs can push s a hair negative, where Spark's
+        // trunc-div and DuckDB's floor-div disagree (q114's discipline)
+        .select((col("ta") - 10).as("n_expected"),
+          (col("tb") - 10).as("n_actual"),
+          expr("""CAST((s + 1048576 * CAST(ta AS DECIMAL(38,0)) * tb)
+            div (CAST(ta AS DECIMAL(38,0)) * tb) - 1048576 AS BIGINT)""")
+            .as("psi_grid"))
+        .withColumn("psi_nats",
+          col("psi_grid").cast("double") / lit(1048576.0))
+    }),
+
+    // WELCH'S t — the unequal-variance two-sample test (the default; the
+    // pooled Student t is wrong whenever cohort variances differ), here
+    // between BUILDING and MACHINERY customers' order values. Sufficient
+    // statistics (n, Σcents, Σcents²) are exact DECIMAL(38,0); t and the
+    // Welch–Satterthwaite df are each one short double chain from the
+    // exact integers, grid-floored to absorb the cross-engine
+    // HUGEINT→DOUBLE ulp (q102's landing discipline).
+    "q113_welch_t" -> ((s, dir) => {
+      val j = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select((col("c_mktsegment") === "BUILDING").as("is_a"),
+          round(col("o_totalprice") * 100).cast("long").cast(Dec38)
+            .as("cents"))
+      val st = j.groupBy(col("is_a"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"),
+          sum((col("cents") * col("cents")).cast(Dec38)).as("s2"))
+      val wide = st
+        .agg(max(when(col("is_a"), col("n"))).as("na"),
+          max(when(col("is_a"), col("s1"))).as("s1a"),
+          max(when(col("is_a"), col("s2"))).as("s2a"),
+          max(when(!col("is_a"), col("n"))).as("nb"),
+          max(when(!col("is_a"), col("s1"))).as("s1b"),
+          max(when(!col("is_a"), col("s2"))).as("s2b"))
+      def se(n: String, s1: String, s2: String): Column =
+        ((col(s2).cast("double") -
+          col(s1).cast("double") * col(s1).cast("double") /
+            col(n).cast("double")) /
+          (col(n).cast("double") - 1.0)) / col(n).cast("double")
+      wide
+        .withColumn("sea", se("na", "s1a", "s2a"))
+        .withColumn("seb", se("nb", "s1b", "s2b"))
+        .select(col("na").as("n_a"), col("nb").as("n_b"),
+          (floor((col("s1a").cast("double") / col("na").cast("double") -
+            col("s1b").cast("double") / col("nb").cast("double")) /
+            sqrt(col("sea") + col("seb")) * lit(1048576.0)) /
+            lit(1048576.0)).as("t_grid"),
+          (floor((col("sea") + col("seb")) * (col("sea") + col("seb")) /
+            (col("sea") * col("sea") / (col("na").cast("double") - 1.0) +
+             col("seb") * col("seb") / (col("nb").cast("double") - 1.0)) *
+            lit(1048576.0)) / lit(1048576.0)).as("df_grid"))
+    }),
+
+    // COHEN'S KAPPA — chance-corrected agreement between two labeling
+    // rules on the events table: rule A "value ≥ corpus median", rule B
+    // "event is a purchase". THE weak-supervision diagnostic: raw
+    // agreement overstates rule quality whenever marginals are skewed.
+    // The median is the exact lower median selected from the compressed
+    // distinct cent-value table; κ is exact-rational —
+    // (n·Σdiag − Σ row·col)/(n² − Σ row·col) — shifted by +1 before the
+    // ppm floor-division (κ ∈ [−1,1], so the shifted numerator is
+    // nonnegative and trunc-div ≡ floor-div in BOTH engines), then
+    // shifted back in exact integers.
+    "q114_kappa" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(round(col("value") * 100).cast("long").as("v"),
+          (col("event_type") === "purchase").as("b"))
+      val byV = ev.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      val cum = graft.pack.PrefixSum.runningSum(byV,
+        expr("v div 100000"), Seq(col("v")), col("cnt"), "cum")
+      val tot = byV.agg(sum(col("cnt")).as("n"))
+      val med = cum.crossJoin(broadcast(tot))
+        .filter(col("cum") * 2 >= col("n"))
+        .agg(min(col("v")).as("med"))
+      val cells = ev.crossJoin(broadcast(med))
+        .groupBy((col("v") >= col("med")).as("a"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      cells
+        .agg(sum(col("c")).as("n"),
+          sum(when(col("a") === col("b"), col("c")).otherwise(0L))
+            .as("d"),
+          sum(when(col("a"), col("c")).otherwise(0L)).as("ra"),
+          sum(when(col("b"), col("c")).otherwise(0L)).as("cb"))
+        // Σ row·col for the 2×2 table = ra·cb + (n−ra)·(n−cb)
+        .select(col("n").as("n_events"), col("d").as("n_agree"),
+          expr("""CAST((1000000 *
+              ((CAST(n AS DECIMAL(38,0)) * d - (CAST(ra AS DECIMAL(38,0)) * cb + CAST(n - ra AS DECIMAL(38,0)) * (n - cb)))
+               + (CAST(n AS DECIMAL(38,0)) * n - (CAST(ra AS DECIMAL(38,0)) * cb + CAST(n - ra AS DECIMAL(38,0)) * (n - cb)))))
+            div (CAST(n AS DECIMAL(38,0)) * n - (CAST(ra AS DECIMAL(38,0)) * cb + CAST(n - ra AS DECIMAL(38,0)) * (n - cb)))
+            - 1000000 AS BIGINT)""").as("kappa_ppm"))
+    }),
+
+    // JENSEN–SHANNON DIVERGENCE between the unigram word distributions of
+    // two document sources — the symmetric, bounded ([0, ln 2]) corpus-
+    // drift measure (KL is undefined the moment one side misses a word;
+    // JSD's mixture denominator never is, so no smoothing is needed:
+    // 0·ln 0 terms vanish exactly). With integer counts a_i (total A) and
+    // b_i (total B): 2AB·JSD = Σ a·B·[ln a − ln A − ln(aB+bA) + ln 2AB]
+    //                        + Σ b·A·[ln b − ln B − ln(aB+bA) + ln 2AB],
+    // every log grid-quantized, products in DECIMAL(38,0), one exact
+    // integral division at the end. Tokenization is the corpus convention
+    // (whitespace split of lower(trim(text))); the word-level full outer
+    // join is an equi-join on the token — vocabulary-sized, never O(n²).
+    "q115_jsd" -> ((s, dir) => {
+      def counts(src: String, out: String): DataFrame =
+        Tables(s, dir, "documents")
+          .filter(col("source") === src)
+          .select(explode(split(lower(trim(col("text"))), "\\s+"))
+            .as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as(out))
+      val joined = counts("src1", "a")
+        .join(counts("src2", "b"), Seq("w"), "full_outer")
+        .select(col("w"), coalesce(col("a"), lit(0L)).as("a"),
+          coalesce(col("b"), lit(0L)).as("b"))
+      val tot = joined.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+      joined.crossJoin(broadcast(tot))
+        .select(col("ta"), col("tb"),
+          (when(col("a") > 0,
+            (col("a") * col("tb")).cast(Dec38) *
+              (lng(col("a")) - lng(col("ta")) -
+               lng(col("a") * col("tb") + col("b") * col("ta")) +
+               lng(lit(2L) * col("ta") * col("tb"))).cast(Dec38))
+            .otherwise(lit(BigDecimal(0)).cast(Dec38)) +
+           when(col("b") > 0,
+            (col("b") * col("ta")).cast(Dec38) *
+              (lng(col("b")) - lng(col("tb")) -
+               lng(col("a") * col("tb") + col("b") * col("ta")) +
+               lng(lit(2L) * col("ta") * col("tb"))).cast(Dec38))
+            .otherwise(lit(BigDecimal(0)).cast(Dec38))).as("term"))
+        .agg(max(col("ta")).as("ta"), max(col("tb")).as("tb"),
+          count(lit(1)).as("vocab"), sum(col("term")).as("s"))
+        .select(col("ta").as("n_tokens_a"), col("tb").as("n_tokens_b"),
+          col("vocab"),
+          // same +1-nat shift as q112: exact JSD ∈ [0, ln 2] but grid
+          // rounding can push s epsilon-negative, where trunc ≠ floor
+          expr("""CAST((s + 2097152 * CAST(ta AS DECIMAL(38,0)) * tb)
+            div (2 * CAST(ta AS DECIMAL(38,0)) * tb) - 1048576
+            AS BIGINT)""").as("jsd_grid"))
+        .withColumn("jsd_nats",
+          col("jsd_grid").cast("double") / lit(1048576.0))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q110_resource_alloc" -> """
+      WITH edges AS (
+        SELECT DISTINCT l_partkey AS p, o_custkey AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      ), deg AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS deg FROM edges
+        GROUP BY p HAVING COUNT(*) <= 64
+      ), pruned AS (
+        SELECT e.p, e.c, d.deg FROM edges e JOIN deg d USING (p)
+      ), pairs AS (
+        SELECT a.c AS c1, b.c AS c2, CAST(COUNT(*) AS BIGINT) AS n_common,
+          CAST(SUM(1000000000000 // a.deg) AS BIGINT) AS ra_score
+        FROM pruned a JOIN pruned b ON a.p = b.p AND a.c < b.c
+        GROUP BY 1, 2
+      )
+      SELECT c1, c2, n_common, ra_score FROM pairs
+      ORDER BY ra_score DESC, c1, c2 LIMIT 20""",
+
+    // HUGEINT keeps the rank-sum products exact; the single division is
+    // integral, so no doubles exist on either side.
+    "q111_gini" -> """
+      WITH cust AS (
+        SELECT o_custkey,
+          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS x
+        FROM orders GROUP BY 1
+      ), bv AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM cust GROUP BY x
+      ), cum AS (
+        SELECT x, cnt, CAST(SUM(cnt) OVER (ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum
+        FROM bv
+      ), s AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+          SUM(CAST(x AS HUGEINT) * cnt) AS sx,
+          SUM(CAST(x AS HUGEINT) * (2*cnt*cum - cnt*(cnt-1))) AS sixx
+        FROM cum
+      )
+      SELECT n AS n_customers,
+        CAST((1000000 * (sixx - (n+1)*sx)) // (n * sx) AS BIGINT)
+          AS gini_ppm
+      FROM s""",
+
+    "q112_psi" -> """
+      WITH o AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+          epoch_us(o_orderdate) AS us
+        FROM orders
+      ), mid AS (
+        SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM o
+      ), tagged AS (
+        SELECT v, us < mid AS is_a FROM o, mid
+      ), bva AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM tagged
+        WHERE is_a GROUP BY v
+      ), cum AS (
+        SELECT v, CAST(SUM(cnt) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum
+        FROM bva
+      ), na AS (SELECT CAST(SUM(cnt) AS BIGINT) AS na FROM bva),
+      cuts AS (
+        SELECT k, MIN(v) AS cut
+        FROM cum, na, (SELECT UNNEST(range(1, 10)) AS k)
+        WHERE cum * 10 >= k * na GROUP BY k
+      ), binof AS (
+        SELECT t.v, CAST(COUNT(c.k) AS INT) AS bin
+        FROM (SELECT DISTINCT v FROM tagged) t
+        LEFT JOIN cuts c ON c.cut <= t.v
+        GROUP BY t.v
+      ), cells AS (
+        SELECT bin,
+          CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na_raw,
+          CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb_raw
+        FROM tagged JOIN binof USING (v) GROUP BY bin
+      ), sm AS (
+        SELECT CAST(r.b AS INT) AS bin,
+          COALESCE(na_raw, 0) + 1 AS a, COALESCE(nb_raw, 0) + 1 AS b
+        FROM (SELECT UNNEST(range(0, 10)) AS b) r
+        LEFT JOIN cells ON cells.bin = r.b
+      ), tot AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb
+        FROM sm
+      ), agg AS (
+        SELECT MAX(ta) AS ta, MAX(tb) AS tb,
+          SUM(CAST(a * tb - b * ta AS HUGEINT) *
+            (CAST(round(ln(a::DOUBLE) * 1048576) AS BIGINT)
+             - CAST(round(ln(ta::DOUBLE) * 1048576) AS BIGINT)
+             - CAST(round(ln(b::DOUBLE) * 1048576) AS BIGINT)
+             + CAST(round(ln(tb::DOUBLE) * 1048576) AS BIGINT))) AS s
+        FROM sm, tot
+      )
+      SELECT ta - 10 AS n_expected, tb - 10 AS n_actual,
+        CAST((s + 1048576 * CAST(ta AS HUGEINT) * tb)
+          // (CAST(ta AS HUGEINT) * tb) - 1048576 AS BIGINT) AS psi_grid,
+        CAST(CAST((s + 1048576 * CAST(ta AS HUGEINT) * tb)
+          // (CAST(ta AS HUGEINT) * tb) - 1048576 AS BIGINT) AS DOUBLE)
+          / 1048576.0 AS psi_nats
+      FROM agg""",
+
+    "q113_welch_t" -> """
+      WITH j AS (
+        SELECT c_mktsegment = 'BUILDING' AS is_a,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      ), st AS (
+        SELECT is_a, CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(CAST(cents AS HUGEINT)) AS s1,
+          SUM(CAST(cents AS HUGEINT) * cents) AS s2
+        FROM j GROUP BY is_a
+      ), wide AS (
+        SELECT MAX(CASE WHEN is_a THEN n END) AS na,
+          MAX(CASE WHEN is_a THEN s1 END) AS s1a,
+          MAX(CASE WHEN is_a THEN s2 END) AS s2a,
+          MAX(CASE WHEN NOT is_a THEN n END) AS nb,
+          MAX(CASE WHEN NOT is_a THEN s1 END) AS s1b,
+          MAX(CASE WHEN NOT is_a THEN s2 END) AS s2b
+        FROM st
+      ), se AS (
+        SELECT na, nb, s1a, s1b,
+          (CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE)
+            / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)
+            / CAST(na AS DOUBLE) AS sea,
+          (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE)
+            / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)
+            / CAST(nb AS DOUBLE) AS seb
+        FROM wide
+      )
+      SELECT na AS n_a, nb AS n_b,
+        floor((CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE)
+          - CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE))
+          / sqrt(sea + seb) * 1048576.0) / 1048576.0 AS t_grid,
+        floor((sea + seb) * (sea + seb)
+          / (sea * sea / (CAST(na AS DOUBLE) - 1.0)
+           + seb * seb / (CAST(nb AS DOUBLE) - 1.0))
+          * 1048576.0) / 1048576.0 AS df_grid
+      FROM se""",
+
+    // The +1-shift makes the ppm numerator nonnegative (κ ≥ −1), so
+    // DuckDB's floor-division and Spark's trunc-division agree; the shift
+    // is removed in exact integers after the division.
+    "q114_kappa" -> """
+      WITH ev AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS v,
+          event_type = 'purchase' AS b
+        FROM events
+      ), bv AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev GROUP BY v
+      ), cum AS (
+        SELECT v, CAST(SUM(cnt) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum
+        FROM bv
+      ), tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM bv),
+      med AS (
+        SELECT MIN(v) AS med FROM cum, tot WHERE cum * 2 >= n
+      ), cells AS (
+        SELECT v >= med AS a, b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM ev, med GROUP BY 1, 2
+      ), agg AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS d,
+          CAST(SUM(CASE WHEN a THEN c ELSE 0 END) AS BIGINT) AS ra,
+          CAST(SUM(CASE WHEN b THEN c ELSE 0 END) AS BIGINT) AS cb
+        FROM cells
+      )
+      SELECT n AS n_events, d AS n_agree,
+        CAST((1000000 *
+            ((CAST(n AS HUGEINT) * d - (CAST(ra AS HUGEINT) * cb + CAST(n - ra AS HUGEINT) * (n - cb)))
+             + (CAST(n AS HUGEINT) * n - (CAST(ra AS HUGEINT) * cb + CAST(n - ra AS HUGEINT) * (n - cb)))))
+          // (CAST(n AS HUGEINT) * n - (CAST(ra AS HUGEINT) * cb + CAST(n - ra AS HUGEINT) * (n - cb)))
+          - 1000000 AS BIGINT) AS kappa_ppm
+      FROM agg""",
+
+    "q115_jsd" -> """
+      WITH ca AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS a FROM (
+          SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\s+'))
+            AS w
+          FROM documents WHERE source = 'src1') GROUP BY w
+      ), cb AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS b FROM (
+          SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\s+'))
+            AS w
+          FROM documents WHERE source = 'src2') GROUP BY w
+      ), joined AS (
+        SELECT COALESCE(ca.w, cb.w) AS w, COALESCE(a, 0) AS a,
+          COALESCE(b, 0) AS b
+        FROM ca FULL OUTER JOIN cb ON ca.w = cb.w
+      ), tot AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb
+        FROM joined
+      ), agg AS (
+        SELECT MAX(ta) AS ta, MAX(tb) AS tb,
+          CAST(COUNT(*) AS BIGINT) AS vocab,
+          SUM(
+            CASE WHEN a > 0 THEN CAST(a * tb AS HUGEINT) *
+              (CAST(round(ln(a::DOUBLE) * 1048576) AS BIGINT)
+               - CAST(round(ln(ta::DOUBLE) * 1048576) AS BIGINT)
+               - CAST(round(ln((a * tb + b * ta)::DOUBLE) * 1048576)
+                   AS BIGINT)
+               + CAST(round(ln((2 * ta * tb)::DOUBLE) * 1048576)
+                   AS BIGINT))
+            ELSE 0 END +
+            CASE WHEN b > 0 THEN CAST(b * ta AS HUGEINT) *
+              (CAST(round(ln(b::DOUBLE) * 1048576) AS BIGINT)
+               - CAST(round(ln(tb::DOUBLE) * 1048576) AS BIGINT)
+               - CAST(round(ln((a * tb + b * ta)::DOUBLE) * 1048576)
+                   AS BIGINT)
+               + CAST(round(ln((2 * ta * tb)::DOUBLE) * 1048576)
+                   AS BIGINT))
+            ELSE 0 END) AS s
+        FROM joined, tot
+      )
+      SELECT ta AS n_tokens_a, tb AS n_tokens_b, vocab,
+        CAST((s + 2097152 * CAST(ta AS HUGEINT) * tb)
+          // (2 * CAST(ta AS HUGEINT) * tb) - 1048576 AS BIGINT)
+          AS jsd_grid,
+        CAST(CAST((s + 2097152 * CAST(ta AS HUGEINT) * tb)
+          // (2 * CAST(ta AS HUGEINT) * tb) - 1048576 AS BIGINT)
+          AS DOUBLE) / 1048576.0 AS jsd_nats
+      FROM agg""")
+}
