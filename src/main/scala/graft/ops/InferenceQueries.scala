@@ -250,6 +250,45 @@ object InferenceQueries {
             - 1000000 AS BIGINT)""").as("kappa_ppm"))
     }),
 
+    // JARO–WINKLER fuzzy-match verify: the record-linkage scorer (Winkler
+    // 1990) driven through the er1 pipeline shape — deterministic typo
+    // records, FastSS deletion-neighborhood blocking (candidates are an
+    // equi-join on shared variants, NEVER all-pairs), then the native
+    // `jaro_winkler` codegen kernel scores each candidate pair once and
+    // the top-50 matches surface. The kernel is BIT-identical to DuckDB's
+    // `jaro_winkler_similarity` (5000-pair fuzz pins the operation order;
+    // pure IEEE + − · / — no libm, no grid), so the oracle uses the
+    // builtin directly: a genuine two-implementations-one-answer gate.
+    "er2_jaro_verify" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("id"),
+        lower(col("c_name")).as("name"))
+      val typo = cust.filter(col("id") % 5 === 0)
+        .withColumn("pos",
+          (graft.functions.Hash60(concat(lit("er2:"), col("name")))
+            % length(col("name")).cast("long")).cast("int") + 1)
+        .selectExpr("id + 10000000 AS id",
+          "concat(substring(name, 1, pos - 1), " +
+            "substring(name, pos + 1, length(name))) AS name")
+      val records = cust.unionByName(typo)
+      val vars = records.select(col("id"),
+        explode(graft.text.DeletionVariants(col("name"))).as("v"))
+      val cand = vars.as("a").join(vars.as("b"),
+          col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      cand
+        .join(records.select(col("id").as("id_a"),
+          col("name").as("name_a")), "id_a")
+        .join(records.select(col("id").as("id_b"),
+          col("name").as("name_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          graft.functions.JaroWinkler(col("name_a"), col("name_b"))
+            .as("jw"))
+        .orderBy(col("jw").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    }),
+
     // JENSEN–SHANNON DIVERGENCE between the unigram word distributions of
     // two document sources — the symmetric, bounded ([0, ln 2]) corpus-
     // drift measure (KL is undefined the moment one side misses a word;
@@ -477,6 +516,40 @@ object InferenceQueries {
           // (CAST(n AS HUGEINT) * n - (CAST(ra AS HUGEINT) * cb + CAST(n - ra AS HUGEINT) * (n - cb)))
           - 1000000 AS BIGINT) AS kappa_ppm
       FROM agg""",
+
+    // The oracle scores candidates with DuckDB's OWN builtin — the two
+    // engines implement the algorithm independently and must agree on
+    // every double bit (no grid anywhere in this gate).
+    "er2_jaro_verify" -> """
+      WITH cust AS (
+        SELECT CAST(c_custkey AS BIGINT) AS id, lower(c_name) AS name
+        FROM customer
+      ), typo AS (
+        SELECT id + 10000000 AS id,
+          substr(name, 1, pos - 1) || substr(name, pos + 1, length(name))
+            AS name
+        FROM (SELECT id, name,
+          CAST(('0x' || substr(md5('er2:' || name), 1, 15))::BIGINT
+            % length(name) AS INT) + 1 AS pos
+          FROM cust WHERE id % 5 = 0)
+      ), records AS (
+        SELECT * FROM cust UNION ALL SELECT * FROM typo
+      ), vars AS (
+        SELECT id, unnest(list_append(list_transform(
+          generate_series(1, length(name)),
+          i -> substr(name, 1, i - 1) || substr(name, i + 1, length(name))),
+          name)) AS v
+        FROM records
+      ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id
+      )
+      SELECT id_a, id_b,
+        jaro_winkler_similarity(na.name, nb.name) AS jw
+      FROM cand
+      JOIN records na ON na.id = cand.id_a
+      JOIN records nb ON nb.id = cand.id_b
+      ORDER BY jw DESC, id_a, id_b LIMIT 50""",
 
     "q115_jsd" -> """
       WITH ca AS (
