@@ -118,8 +118,9 @@ object Bench {
       val ivfpq = r(pairs(Similarity.ivfPqTopK(q, emb, 5, 16, 16)))
       val sq8 = r(pairs(Similarity.sq8TopK(q, emb, 5)))
       val rp = r(pairs(Similarity.rpTopK(q, emb, 5)))
+      val bq = r(pairs(Similarity.bqTopK(q, emb, 5)))
       s"""{"ivf":$ivf,"lsh":$lsh,"kmeans":$km,"pq":$pq,"ivfpq":$ivfpq""" +
-        s""","sq8":$sq8,"rp":$rp}"""
+        s""","sq8":$sq8,"rp":$rp,"bq":$bq}"""
     } catch { case _: Throwable => "{}" }
 
     val budget = 1500

@@ -281,6 +281,19 @@ object SimQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // BINARY-quantization ANN — 1 bit per dimension (sign of x − per-dim
+    // corpus mean): 64 floats → one 64-bit signature, candidates ranked
+    // by integer Hamming distance (xor + bit_count), exact rerank of the
+    // shortlist. The mean is grid-exact bounded driver state (the SQ8
+    // discipline), so signatures — and the whole result — are bit-exact
+    // cross-engine.
+    "sm21_topk_bq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bqTopK(e.filter(col("id") < NQueries), e, K,
+          dim = Dim, rerank = PqRerank)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Top principal component by distributed power iteration (3 rounds
     // from the 1/√dim seed), then every embedding's projection onto it —
     // the dominant-variance analysis/whitening primitive. Engine-exact:
@@ -848,6 +861,52 @@ object SimQueries {
                                ORDER BY ${cosSql("qq.q", "cc.q")} DESC,
                                  cc.id) AS r
           FROM sq_codes cc, sq_codes qq
+          WHERE qq.id < $NQueries AND cc.id != qq.id
+        ) WHERE r <= $PqRerank
+      ), exact AS (
+        SELECT c.query_id, c.corpus_id,
+          ${cosSql("q.embedding", "e.embedding")} AS cos
+        FROM cand c
+        JOIN embeddings q ON q.vec_id = c.query_id
+        JOIN embeddings e ON e.vec_id = c.corpus_id
+      ), reranked AS (
+        SELECT query_id, corpus_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, corpus_id) AS rank
+        FROM exact
+      )
+      SELECT query_id, corpus_id, cos, rank FROM reranked
+      WHERE rank <= $K ORDER BY query_id, rank""",
+
+    // Per-dim means from grid-floored addends (exact sum, one IEEE
+    // division), sign-bit signatures in two 32-bit halves (no BIGINT
+    // sign-bit term), integer Hamming ranking, sm11's exact-rerank tail.
+    "sm21_topk_bq" -> s"""
+      WITH mean_stats AS (
+        SELECT d,
+          SUM(floor(e.embedding[d]::DOUBLE * $Grid) / $Grid) / COUNT(*)
+            AS m
+        FROM embeddings e, (SELECT unnest(generate_series(1, $Dim)) AS d)
+        GROUP BY 1
+      ), sig AS (
+        SELECT e.vec_id AS id,
+          CAST(SUM(CASE WHEN s.d <= ${Dim / 2}
+              AND e.embedding[s.d]::DOUBLE >= s.m
+            THEN CAST(1 AS BIGINT) << (s.d - 1) ELSE 0 END) AS BIGINT)
+            AS lo,
+          CAST(SUM(CASE WHEN s.d > ${Dim / 2}
+              AND e.embedding[s.d]::DOUBLE >= s.m
+            THEN CAST(1 AS BIGINT) << (s.d - ${Dim / 2 + 1}) ELSE 0 END)
+            AS BIGINT) AS hi
+        FROM embeddings e, mean_stats s
+        GROUP BY 1
+      ), cand AS (
+        SELECT query_id, corpus_id FROM (
+          SELECT qq.id AS query_id, cc.id AS corpus_id,
+            ROW_NUMBER() OVER (PARTITION BY qq.id
+              ORDER BY bit_count(xor(qq.lo, cc.lo))
+                + bit_count(xor(qq.hi, cc.hi)), cc.id) AS r
+          FROM sig cc, sig qq
           WHERE qq.id < $NQueries AND cc.id != qq.id
         ) WHERE r <= $PqRerank
       ), exact AS (

@@ -929,6 +929,66 @@ object Similarity {
     exactRerank(cand, queries, corpus, k)
   }
 
+  /** BINARY-quantization ANN — the extreme memory lever of the modern
+    * vector stores (1 bit per dimension: 64 floats → 8 bytes, a 32×
+    * compression): each dimension codes to the sign of (x − per-dim
+    * corpus mean), candidates rank by HAMMING distance between the
+    * 64-bit signatures (two xor + bit_count ops per pair — integer-only,
+    * the cheapest possible scan), and the top-`rerank` shortlist is
+    * re-scored with exact cosines.
+    *
+    * The per-dimension mean is the only trained state: `dim` doubles of
+    * driver metadata (the SQ8 discipline), computed from grid-floored
+    * addends so the parallel sum is exact and the one mean division is a
+    * single IEEE op — identical in both engines. Signatures are split
+    * into two 32-bit halves so no term touches the BIGINT sign bit.
+    *
+    * Deterministic cross-engine: signature bits compare exact doubles,
+    * Hamming is integer, and both rankings tie-break on corpus id.
+    * Scale shape: signatures are scan-side projections; the shortlist
+    * pass broadcasts only the query signatures; the corpus never
+    * shuffles. `rerank = -1` auto-sizes to max(64, n/8) cap 2048 —
+    * rpTopK's measured floor discipline (1-bit codes are coarse; a fixed
+    * tiny shortlist starves recall as the corpus grows).
+    */
+  def bqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int = 64, rerank: Int = -1): DataFrame = {
+    val grid = 1048576L
+    val rr =
+      if (rerank > 0) rerank
+      else math.min(2048L, math.max(64L, corpus.count() / 8L)).toInt
+    val means = corpus.select(posexplode(col("vec")))
+      .groupBy(col("pos"))
+      .agg((sum(floor(col("col").cast("double") * grid) / grid) /
+        count(lit(1))).as("m"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy(_._1).map(_._2)
+    val meanLit = typedlit(means.toSeq)
+    def sigHalf(vec: Column, from: Int): Column =
+      (from until from + dim / 2).map { d =>
+        when(element_at(vec, d + 1).cast("double") >=
+          element_at(meanLit, d + 1), lit(1L << (d - from)))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    def sigs(df: DataFrame, idOut: String): DataFrame =
+      df.select(col("id").as(idOut), col("vec"),
+        sigHalf(col("vec"), 0).as(s"${idOut}_lo"),
+        sigHalf(col("vec"), dim / 2).as(s"${idOut}_hi"))
+    val qq = sigs(queries, "query_id").drop("vec")
+    val cc = sigs(corpus, "corpus_id").drop("vec")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("corpus_id"))
+    val cand = cc.crossJoin(broadcast(qq))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("hamming",
+        expr("bit_count(query_id_lo ^ corpus_id_lo) + " +
+          "bit_count(query_id_hi ^ corpus_id_hi)"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= rr)
+      .select(col("query_id"), col("corpus_id"))
+    exactRerank(cand, queries, corpus, k)
+  }
+
   /** All corpus pairs with cosine >= tau, via LSH buckets (near-duplicate
     * detection on embeddings). Same-bucket equi-join, never n².
     */

@@ -143,6 +143,11 @@ class SimilaritySpec extends SparkSpec {
     val kmAuto =
       (pairs(Similarity.kmeansIvfTopK(q, emb, 5)) & bf).size.toDouble / bf.size
     assert(kmAuto >= 0.5, s"k-means IVF default recall regressed: $kmAuto")
+    // binary quantization with the auto-sized exact-rerank shortlist:
+    // 1-bit codes are the coarsest quantizer in the library, but the
+    // n/8 shortlist keeps recall honest even on unclustered data
+    val bqAuto = (pairs(Similarity.bqTopK(q, emb, 5)) & bf).size.toDouble / bf.size
+    assert(bqAuto >= 0.5, s"binary-quantization default recall regressed: $bqAuto")
   }
 
   test("k-means training refines the quantizer on clustered data") {
