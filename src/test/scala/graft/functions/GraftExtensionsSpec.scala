@@ -59,4 +59,33 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(hc.get("fs.s3a.path.style.access") == "true")
     assert(hc.get("fs.s3a.connection.ssl.enabled") == "false")
   }
+
+  test("jaro_winkler / deletion_variants / nfc_normalize / ac_count are " +
+       "SQL-callable") {
+    val r = spark.sql("""
+      SELECT jaro_winkler('martha', 'marhta') AS jw,
+             deletion_variants('abc') AS dv,
+             nfc_normalize('café') AS nfc,
+             ac_count('she sells seashells', array('she', 'sea')) AS ac
+    """).collect().head
+    assert(r.getDouble(0) == 0.9611111111111111)
+    assert(r.getSeq[String](1).toSet == Set("abc", "bc", "ac", "ab"))
+    assert(r.getString(2) == "café")
+    // per-term hit counts: 'she' at 0 and inside 'seashells'; 'sea' once
+    assert(r.getSeq[Long](3) == Seq(2L, 1L))
+  }
+
+  test("char_ngram_entropy / char_ngram_counts / int_ewma / bpe_apply are " +
+       "SQL-callable") {
+    val r = spark.sql("""
+      SELECT char_ngram_entropy('aaaa', 2) AS e,
+             char_ngram_counts('aab', 2) AS c,
+             int_ewma(array(CAST(4 AS BIGINT), 8, 12)) AS w,
+             bpe_apply('abab', array('ab'), array('Z')) AS b
+    """).collect().head
+    assert(r.getStruct(0).getDouble(2) == 0.0) // all grams identical
+    assert(r.getSeq[org.apache.spark.sql.Row](1).nonEmpty)
+    assert(r.getSeq[Long](2).head == 4L * 1048576L) // 2^20 grid units
+    assert(r.getString(3) == "ZZ")
+  }
 }
