@@ -337,6 +337,208 @@ object InferenceQueries {
             AS BIGINT)""").as("jsd_grid"))
         .withColumn("jsd_nats",
           col("jsd_grid").cast("double") / lit(1048576.0))
+    }),
+
+    // KRUSKAL–WALLIS H across the five order priorities — the rank-based
+    // k-group test (the nonparametric ANOVA): does order value DISTRIBUTION
+    // differ by priority, without assuming normality. Average ranks for
+    // ties come exactly from the compressed distinct-cent table: a tie
+    // block of count c with inclusive cumulative count cum has doubled
+    // average rank r2 = 2·cum − c + 1 (an integer), so each group's
+    // doubled rank-sum R2_g = Σ c_{g,v}·r2_v is an exact BIGINT. The
+    // running count rides PrefixSum (never a fact-table global window);
+    // per-(group, value) counts join the vocabulary-sized rank table on v.
+    // H and its tie-corrected form are each one fixed-association double
+    // chain from the five exact (n_g, R2_g) pairs — pivoted to columns so
+    // no nondeterministic-order double SUM exists — grid-floored once
+    // (q113's landing discipline).
+    "q116_kruskal_wallis" -> ((s, dir) => {
+      val ev = Tables(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long").as("v"),
+          substring(col("o_orderpriority"), 1, 1).as("g"))
+      val byV = ev.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      val cum = graft.pack.PrefixSum.runningSum(byV,
+        expr("v div 100000"), Seq(col("v")), col("cnt"), "cum")
+      val r2 = cum.select(col("v"),
+        (lit(2L) * col("cum") - col("cnt") + 1L).as("r2"))
+      val ties = byV.agg(
+        expr("""CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt)
+          AS BIGINT)""").as("t"))
+      val st = ev.groupBy(col("g"), col("v"))
+        .agg(count(lit(1)).as("c"))
+        .join(r2, Seq("v"))
+        .groupBy(col("g"))
+        .agg(sum(col("c")).as("n"),
+          expr("CAST(SUM(CAST(c AS DECIMAL(38,0)) * r2) AS BIGINT)")
+            .as("rs"))
+      def pick(k: Int, c: String): Column =
+        max(when(col("g") === k.toString, col(c)))
+      val wide = st.agg(
+        pick(1, "n").as("n1"), pick(1, "rs").as("r1"),
+        pick(2, "n").as("n2"), pick(2, "rs").as("r2"),
+        pick(3, "n").as("n3"), pick(3, "rs").as("r3"),
+        pick(4, "n").as("n4"), pick(4, "rs").as("r4"),
+        pick(5, "n").as("n5"), pick(5, "rs").as("r5"))
+        .crossJoin(broadcast(ties))
+      // H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1) with R_g = R2_g/2 → the 12/4
+      // folds to 3. Fixed left-to-right association in BOTH engines.
+      wide.selectExpr(
+        "n1 + n2 + n3 + n4 + n5 AS n_total",
+        """floor((3.0 * (CAST(r1 AS DOUBLE) * r1 / n1
+             + CAST(r2 AS DOUBLE) * r2 / n2
+             + CAST(r3 AS DOUBLE) * r3 / n3
+             + CAST(r4 AS DOUBLE) * r4 / n4
+             + CAST(r5 AS DOUBLE) * r5 / n5)
+            / (CAST(n1 + n2 + n3 + n4 + n5 AS DOUBLE)
+               * (n1 + n2 + n3 + n4 + n5 + 1))
+            - 3.0 * (n1 + n2 + n3 + n4 + n5 + 1)) * double(1048576)) / double(1048576)
+          AS h_grid""",
+        """floor((3.0 * (CAST(r1 AS DOUBLE) * r1 / n1
+             + CAST(r2 AS DOUBLE) * r2 / n2
+             + CAST(r3 AS DOUBLE) * r3 / n3
+             + CAST(r4 AS DOUBLE) * r4 / n4
+             + CAST(r5 AS DOUBLE) * r5 / n5)
+            / (CAST(n1 + n2 + n3 + n4 + n5 AS DOUBLE)
+               * (n1 + n2 + n3 + n4 + n5 + 1))
+            - 3.0 * (n1 + n2 + n3 + n4 + n5 + 1))
+           / (1.0 - CAST(t AS DOUBLE) /
+              (CAST(CAST(n1 + n2 + n3 + n4 + n5 AS DECIMAL(38,0))
+                 * (n1 + n2 + n3 + n4 + n5)
+                 * (n1 + n2 + n3 + n4 + n5)
+                 - (n1 + n2 + n3 + n4 + n5) AS DOUBLE)))
+           * double(1048576)) / double(1048576) AS h_tie_grid""")
+    }),
+
+    // ONE-WAY ANOVA F across the same five priorities — the parametric
+    // twin of q116 (equal-variance k-group mean test) plus η² effect size.
+    // Sufficient statistics per group are exact: n_g, S_g = Σ dollars,
+    // Q_g = Σ dollars² (DECIMAL(38,0) internally, cast to BIGINT — dollar
+    // units keep Q_g inside int64 where cents would overflow it). SSB and
+    // SSW are the classic decompositions Σ S_g²/n_g − S²/N and
+    // Q − Σ S_g²/n_g, evaluated as one fixed-association double chain from
+    // the pivoted exact integers, grid-floored once.
+    "q117_anova_f" -> ((s, dir) => {
+      val ev = Tables(s, dir, "orders")
+        .select(round(col("o_totalprice")).cast("long").as("d"),
+          substring(col("o_orderpriority"), 1, 1).as("g"))
+      val st = ev.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(SUM(CAST(d AS DECIMAL(38,0))) AS BIGINT)").as("s"),
+          expr("CAST(SUM(CAST(d AS DECIMAL(38,0)) * d) AS BIGINT)")
+            .as("q"))
+      def pick(k: Int, c: String): Column =
+        max(when(col("g") === k.toString, col(c)))
+      val wide = st.agg(
+        pick(1, "n").as("n1"), pick(1, "s").as("s1"), pick(1, "q").as("q1"),
+        pick(2, "n").as("n2"), pick(2, "s").as("s2"), pick(2, "q").as("q2"),
+        pick(3, "n").as("n3"), pick(3, "s").as("s3"), pick(3, "q").as("q3"),
+        pick(4, "n").as("n4"), pick(4, "s").as("s4"), pick(4, "q").as("q4"),
+        pick(5, "n").as("n5"), pick(5, "s").as("s5"), pick(5, "q").as("q5"))
+      wide
+        .withColumn("bg",
+          expr("""CAST(s1 AS DOUBLE) * s1 / n1 + CAST(s2 AS DOUBLE) * s2 / n2
+            + CAST(s3 AS DOUBLE) * s3 / n3 + CAST(s4 AS DOUBLE) * s4 / n4
+            + CAST(s5 AS DOUBLE) * s5 / n5"""))
+        .withColumn("nn", expr("n1 + n2 + n3 + n4 + n5"))
+        .withColumn("ssb", expr("""bg -
+          CAST(s1 + s2 + s3 + s4 + s5 AS DOUBLE) * (s1 + s2 + s3 + s4 + s5)
+            / nn"""))
+        .withColumn("ssw",
+          expr("CAST(q1 + q2 + q3 + q4 + q5 AS DOUBLE) - bg"))
+        .selectExpr("nn AS n_total",
+          """floor((ssb / 4.0) / (ssw / (nn - 5)) * double(1048576)) / double(1048576)
+            AS f_grid""",
+          "floor(ssb / (ssb + ssw) * double(1048576)) / double(1048576) AS eta2_grid")
+    }),
+
+    // DEGREE ASSORTATIVITY of the supplier co-purchase graph (Newman, PRL
+    // 2002): do well-connected suppliers co-sell with other hubs (r > 0)
+    // or with the periphery (r < 0)? Edges are q82's co-purchase pairs
+    // (≥ 3 shared customers on the 10% order sample — the bounded
+    // equi-join construction, never all-pairs); degrees are counted IN
+    // that pair graph. r is the Pearson correlation of endpoint degrees
+    // over both orientations of each edge: every sufficient statistic
+    // (M = 2|E|, Σdx, Σdx·dy, Σdx²) is an exact BIGINT because degrees
+    // are bounded by the co-purchase fan-out, and r is one
+    // fixed-association double chain, grid-floored.
+    "q118_assortativity" -> ((s, dir) => {
+      val e = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.cust") === col("b.cust") &&
+            col("a.supp") < col("b.supp"))
+        .groupBy(col("a.supp").as("sa"), col("b.supp").as("sb"))
+        .agg(count(lit(1)).as("nc"))
+        .filter(col("nc") >= 3)
+        .select(col("sa"), col("sb"))
+      val deg = pairs.select(col("sa").as("node"))
+        .unionAll(pairs.select(col("sb").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      pairs
+        .join(deg.select(col("node").as("sa"), col("deg").as("da")), "sa")
+        .join(deg.select(col("node").as("sb"), col("deg").as("db")), "sb")
+        .agg(count(lit(1)).as("ne"),
+          expr("CAST(SUM(da + db) AS BIGINT)").as("sx"),
+          expr("CAST(SUM(CAST(da AS DECIMAL(38,0)) * db) AS BIGINT)")
+            .as("sxy"),
+          expr("""CAST(SUM(CAST(da AS DECIMAL(38,0)) * da
+            + CAST(db AS DECIMAL(38,0)) * db) AS BIGINT)""").as("sxx"))
+        // zero degree variance (a degree-regular pair graph — the tiny-SF
+        // shape) leaves r undefined: NULL on both sides, never a 0/0
+        .withColumn("mu", expr("CAST(sx AS DOUBLE) / (2 * greatest(ne, 1))"))
+        .withColumn("num",
+          expr("CAST(2 * sxy AS DOUBLE) / (2 * greatest(ne, 1)) - mu * mu"))
+        .withColumn("den",
+          expr("CAST(sxx AS DOUBLE) / (2 * greatest(ne, 1)) - mu * mu"))
+        .selectExpr("ne AS n_edges",
+          """CASE WHEN ne = 0 OR den = double(0) THEN CAST(NULL AS DOUBLE)
+             ELSE floor(num / den * double(1048576)) / double(1048576)
+             END AS r_grid""")
+    }),
+
+    // SQL-SURFACE end-to-end: the er2 linkage pipeline expressed ENTIRELY
+    // as a spark.sql text — deletion-variant blocking, candidate
+    // equi-join, native jaro_winkler scoring — against a session that was
+    // built WITHOUT the graft extension (the driver's). Proves
+    // [[graft.functions.GraftExtensions.registerAll]] makes every native
+    // kernel available to plain-SQL users on any live session, and that
+    // the SQL-path plans are the same bounded equi-join shapes the
+    // DataFrame path produces. Different typo slice (id % 7) and salt
+    // than er2, so the two gates cover distinct fixtures.
+    "er3_sql_surface" -> ((s, dir) => {
+      graft.functions.GraftExtensions.registerAll(s)
+      Tables(s, dir, "customer").createOrReplaceTempView("er3_customer")
+      s.sql("""
+        WITH cust AS (
+          SELECT CAST(c_custkey AS BIGINT) AS id, lower(c_name) AS name
+          FROM er3_customer
+        ), typo AS (
+          SELECT id + 10000000 AS id,
+            concat(substring(name, 1, pos - 1),
+              substring(name, pos + 1, length(name))) AS name
+          FROM (SELECT id, name,
+            CAST(hash60(concat('er3:', name)) % CAST(length(name) AS BIGINT)
+              AS INT) + 1 AS pos
+            FROM cust WHERE id % 7 = 0)
+        ), records AS (
+          SELECT * FROM cust UNION ALL SELECT * FROM typo
+        ), vars AS (
+          SELECT id, explode(deletion_variants(name)) AS v FROM records
+        ), cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id
+        )
+        SELECT id_a, id_b, jaro_winkler(na.name, nb.name) AS jw
+        FROM cand
+        JOIN records na ON na.id = cand.id_a
+        JOIN records nb ON nb.id = cand.id_b
+        ORDER BY jw DESC, id_a, id_b LIMIT 50""")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -598,5 +800,189 @@ object InferenceQueries {
         CAST(CAST((s + 2097152 * CAST(ta AS HUGEINT) * tb)
           // (2 * CAST(ta AS HUGEINT) * tb) - 1048576 AS BIGINT)
           AS DOUBLE) / 1048576.0 AS jsd_nats
-      FROM agg""")
+      FROM agg""",
+
+    // Double chains textually mirror the Spark side: same fixed
+    // left-to-right association, same single floor-to-grid landing.
+    "q116_kruskal_wallis" -> """
+      WITH ev AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+          substr(o_orderpriority, 1, 1) AS g
+        FROM orders
+      ), bv AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM ev GROUP BY v
+      ), cum AS (
+        SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum
+        FROM bv
+      ), r2t AS (
+        SELECT v, 2 * cum - cnt + 1 AS r2 FROM cum
+      ), ties AS (
+        SELECT CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS BIGINT)
+          AS t
+        FROM bv
+      ), gv AS (
+        SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY 1, 2
+      ), st AS (
+        SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+          CAST(SUM(CAST(c AS HUGEINT) * r2) AS BIGINT) AS rs
+        FROM gv JOIN r2t USING (v) GROUP BY g
+      ), wide AS (
+        SELECT
+          MAX(CASE WHEN g = '1' THEN n END) AS n1,
+          MAX(CASE WHEN g = '1' THEN rs END) AS r1,
+          MAX(CASE WHEN g = '2' THEN n END) AS n2,
+          MAX(CASE WHEN g = '2' THEN rs END) AS r2,
+          MAX(CASE WHEN g = '3' THEN n END) AS n3,
+          MAX(CASE WHEN g = '3' THEN rs END) AS r3,
+          MAX(CASE WHEN g = '4' THEN n END) AS n4,
+          MAX(CASE WHEN g = '4' THEN rs END) AS r4,
+          MAX(CASE WHEN g = '5' THEN n END) AS n5,
+          MAX(CASE WHEN g = '5' THEN rs END) AS r5
+        FROM st
+      )
+      SELECT n1 + n2 + n3 + n4 + n5 AS n_total,
+        floor((3.0 * (CAST(r1 AS DOUBLE) * r1 / n1
+            + CAST(r2 AS DOUBLE) * r2 / n2
+            + CAST(r3 AS DOUBLE) * r3 / n3
+            + CAST(r4 AS DOUBLE) * r4 / n4
+            + CAST(r5 AS DOUBLE) * r5 / n5)
+           / (CAST(n1 + n2 + n3 + n4 + n5 AS DOUBLE)
+              * (n1 + n2 + n3 + n4 + n5 + 1))
+           - 3.0 * (n1 + n2 + n3 + n4 + n5 + 1)) * 1048576.0) / 1048576.0
+          AS h_grid,
+        floor((3.0 * (CAST(r1 AS DOUBLE) * r1 / n1
+            + CAST(r2 AS DOUBLE) * r2 / n2
+            + CAST(r3 AS DOUBLE) * r3 / n3
+            + CAST(r4 AS DOUBLE) * r4 / n4
+            + CAST(r5 AS DOUBLE) * r5 / n5)
+           / (CAST(n1 + n2 + n3 + n4 + n5 AS DOUBLE)
+              * (n1 + n2 + n3 + n4 + n5 + 1))
+           - 3.0 * (n1 + n2 + n3 + n4 + n5 + 1))
+          / (1.0 - CAST(t AS DOUBLE) /
+             (CAST(CAST(n1 + n2 + n3 + n4 + n5 AS HUGEINT)
+                * (n1 + n2 + n3 + n4 + n5)
+                * (n1 + n2 + n3 + n4 + n5)
+                - (n1 + n2 + n3 + n4 + n5) AS DOUBLE)))
+          * 1048576.0) / 1048576.0 AS h_tie_grid
+      FROM wide, ties""",
+
+    "q117_anova_f" -> """
+      WITH ev AS (
+        SELECT CAST(round(o_totalprice) AS BIGINT) AS d,
+          substr(o_orderpriority, 1, 1) AS g
+        FROM orders
+      ), st AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CAST(d AS HUGEINT)) AS BIGINT) AS s,
+          CAST(SUM(CAST(d AS HUGEINT) * d) AS BIGINT) AS q
+        FROM ev GROUP BY g
+      ), wide AS (
+        SELECT
+          MAX(CASE WHEN g = '1' THEN n END) AS n1,
+          MAX(CASE WHEN g = '1' THEN s END) AS s1,
+          MAX(CASE WHEN g = '1' THEN q END) AS q1,
+          MAX(CASE WHEN g = '2' THEN n END) AS n2,
+          MAX(CASE WHEN g = '2' THEN s END) AS s2,
+          MAX(CASE WHEN g = '2' THEN q END) AS q2,
+          MAX(CASE WHEN g = '3' THEN n END) AS n3,
+          MAX(CASE WHEN g = '3' THEN s END) AS s3,
+          MAX(CASE WHEN g = '3' THEN q END) AS q3,
+          MAX(CASE WHEN g = '4' THEN n END) AS n4,
+          MAX(CASE WHEN g = '4' THEN s END) AS s4,
+          MAX(CASE WHEN g = '4' THEN q END) AS q4,
+          MAX(CASE WHEN g = '5' THEN n END) AS n5,
+          MAX(CASE WHEN g = '5' THEN s END) AS s5,
+          MAX(CASE WHEN g = '5' THEN q END) AS q5
+        FROM st
+      ), d AS (
+        SELECT n1 + n2 + n3 + n4 + n5 AS nn,
+          CAST(s1 AS DOUBLE) * s1 / n1 + CAST(s2 AS DOUBLE) * s2 / n2
+            + CAST(s3 AS DOUBLE) * s3 / n3 + CAST(s4 AS DOUBLE) * s4 / n4
+            + CAST(s5 AS DOUBLE) * s5 / n5 AS bg,
+          s1 + s2 + s3 + s4 + s5 AS ss,
+          q1 + q2 + q3 + q4 + q5 AS qq
+        FROM wide
+      ), e AS (
+        SELECT nn, bg - CAST(ss AS DOUBLE) * ss / nn AS ssb,
+          CAST(qq AS DOUBLE) - bg AS ssw
+        FROM d
+      )
+      SELECT nn AS n_total,
+        floor((ssb / 4.0) / (ssw / (nn - 5)) * 1048576.0) / 1048576.0
+          AS f_grid,
+        floor(ssb / (ssb + ssw) * 1048576.0) / 1048576.0 AS eta2_grid
+      FROM e""",
+
+    "q118_assortativity" -> """
+      WITH e AS (
+        SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
+          CAST(l_suppkey AS BIGINT) AS supp
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey % 10 = 0
+      ), pairs AS (
+        SELECT a.supp AS sa, b.supp AS sb
+        FROM e a JOIN e b ON a.cust = b.cust AND a.supp < b.supp
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      ), deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+          SELECT sa AS node FROM pairs
+          UNION ALL SELECT sb AS node FROM pairs)
+        GROUP BY node
+      ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS ne,
+          CAST(SUM(da.deg + db.deg) AS BIGINT) AS sx,
+          CAST(SUM(CAST(da.deg AS HUGEINT) * db.deg) AS BIGINT) AS sxy,
+          CAST(SUM(CAST(da.deg AS HUGEINT) * da.deg
+            + CAST(db.deg AS HUGEINT) * db.deg) AS BIGINT) AS sxx
+        FROM pairs
+        JOIN deg da ON da.node = pairs.sa
+        JOIN deg db ON db.node = pairs.sb
+      ), fin AS (
+        SELECT ne, CAST(sx AS DOUBLE) / (2 * greatest(ne, 1)) AS mu,
+          CAST(2 * sxy AS DOUBLE) / (2 * greatest(ne, 1)) AS sxy2m,
+          CAST(sxx AS DOUBLE) / (2 * greatest(ne, 1)) AS sxxm
+        FROM agg
+      )
+      SELECT ne AS n_edges,
+        CASE WHEN ne = 0 OR sxxm - mu * mu = 0 THEN CAST(NULL AS DOUBLE)
+        ELSE floor((sxy2m - mu * mu) / (sxxm - mu * mu) * 1048576.0)
+          / 1048576.0
+        END AS r_grid
+      FROM fin""",
+
+    // Same two-independent-implementations shape as er2 (DuckDB's builtin
+    // jaro_winkler_similarity vs the graft kernel), on the % 7 typo slice
+    // with the 'er3:' salt.
+    "er3_sql_surface" -> """
+      WITH cust AS (
+        SELECT CAST(c_custkey AS BIGINT) AS id, lower(c_name) AS name
+        FROM customer
+      ), typo AS (
+        SELECT id + 10000000 AS id,
+          substr(name, 1, pos - 1) || substr(name, pos + 1, length(name))
+            AS name
+        FROM (SELECT id, name,
+          CAST(('0x' || substr(md5('er3:' || name), 1, 15))::BIGINT
+            % length(name) AS INT) + 1 AS pos
+          FROM cust WHERE id % 7 = 0)
+      ), records AS (
+        SELECT * FROM cust UNION ALL SELECT * FROM typo
+      ), vars AS (
+        SELECT id, unnest(list_append(list_transform(
+          generate_series(1, length(name)),
+          i -> substr(name, 1, i - 1) || substr(name, i + 1, length(name))),
+          name)) AS v
+        FROM records
+      ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id
+      )
+      SELECT id_a, id_b,
+        jaro_winkler_similarity(na.name, nb.name) AS jw
+      FROM cand
+      JOIN records na ON na.id = cand.id_a
+      JOIN records nb ON nb.id = cand.id_b
+      ORDER BY jw DESC, id_a, id_b LIMIT 50""")
 }
