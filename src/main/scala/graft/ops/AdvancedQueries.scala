@@ -741,6 +741,25 @@ object AdvancedQueries {
         .orderBy(col("event_type"))
     }),
 
+    // STANDING heavy-hitters, driver-gated: ONE Misra-Gries counter
+    // summary (≤ capacity rows) maintained across two manifest-committed
+    // merges (even doc_ids, then odd, exactly-once txn ids). MG summaries
+    // merge with the one-shot error bound, so the store provably contains
+    // every token with count > n/(capacity+1); the readout broadcast-joins
+    // the candidates back to the corpus for EXACT counts — deterministic,
+    // equal to the naive full GROUP BY the oracle runs, while the store
+    // itself stays O(capacity) at any corpus scale.
+    "ev14_stream_heavyhitters" -> ((s, dir) => {
+      val root = graft.streaming.HeavyHitterStore
+        .materializedDocsHittersDir(s, dir, capacity = 4096)
+      val corpus = Tables(s, dir, "documents")
+        .select(explode(graft.text.TextFunctions.tokens(col("text")))
+          .as("tok"))
+      graft.streaming.HeavyHitterStore
+        .verifiedHitters(s, root, corpus, capacity = 4096, threshold = 150)
+        .orderBy(col("tok"))
+    }),
+
     // STANDING weighted sample, driver-gated: the top-(K+1) priority-
     // sampling rows maintained across two manifest-committed merges (even
     // event_ids, then odd, exactly-once txn ids). Because top-k merge is
@@ -2011,6 +2030,16 @@ object AdvancedQueries {
              ELSE 15.0 * 1152921504606846976::DOUBLE / MAX(h)::DOUBLE
         END AS est_distinct
       FROM sk GROUP BY 1 ORDER BY event_type""",
+
+    // The exact one-shot recompute the store's verified readout equals.
+    "ev14_stream_heavyhitters" -> raw"""
+      WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        FROM documents
+      )
+      SELECT tok, COUNT(*) AS n_occurrences
+      FROM toks GROUP BY tok HAVING COUNT(*) >= 150
+      ORDER BY tok""",
 
     "ev1_stream_hourly" -> """
       SELECT date_trunc('hour', ts) AS hour_start, event_type,
