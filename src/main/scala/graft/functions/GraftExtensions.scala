@@ -137,6 +137,11 @@ object GraftExtensions {
       IntEwmaExpr(args.head)
     },
 
+    "int_holt" -> { args: Seq[Expression] =>
+      require(args.size == 1, "int_holt(array<bigint>) takes 1 argument")
+      IntHoltExpr(args.head)
+    },
+
     "bpe_apply" -> { args: Seq[Expression] =>
       require(args.size == 3,
         "bpe_apply(str, searches-literal, targets-literal) takes 3 " +

@@ -690,6 +690,40 @@ object AnalyticsQueries {
         .orderBy(col("day"))
     }),
 
+    // HOLT LINEAR-TREND smoothing of the daily order series — the
+    // level+trend upgrade of q77's EWMA (single smoothing lags any
+    // trending series by construction; Holt tracks the slope and its
+    // one-step forecast leads instead). Exact-integer coupled recurrence
+    // on the 2^-20 grid with FLOOR division (the trend goes negative on
+    // declines, where trunc-div and DuckDB's // disagree) — the oracle
+    // replays both state equations as one recursive CTE bit-for-bit.
+    // Same bounded-series shape as q77: one struct per distinct order
+    // day, folded by the native int_holt kernel.
+    "q119_holt_trend" -> ((s, dir) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      val packed = daily
+        .agg(array_sort(collect_list(struct(col("day"), col("n_orders"))))
+          .as("series"))
+        .select(col("series"),
+          graft.functions.IntHolt(
+            transform(col("series"), x => x.getField("n_orders")))
+            .as("lb"))
+      packed
+        .select(posexplode(col("series")).as(Seq("i", "x")), col("lb"))
+        .select(col("x.day").cast("timestamp_ntz").as("day"),
+          col("x.n_orders").as("n_orders"),
+          (element_at(col("lb"), col("i") * 2 + 1).cast("double") /
+            lit(graft.functions.IntHolt.Grid.toDouble)).as("level"),
+          (element_at(col("lb"), col("i") * 2 + 2).cast("double") /
+            lit(graft.functions.IntHolt.Grid.toDouble)).as("trend"),
+          ((element_at(col("lb"), col("i") * 2 + 1) +
+            element_at(col("lb"), col("i") * 2 + 2)).cast("double") /
+            lit(graft.functions.IntHolt.Grid.toDouble)).as("forecast"))
+        .orderBy(col("day"))
+    }),
+
     // Deterministic multinomial BOOTSTRAP confidence interval for the
     // mean order value: 16 replicas, each row's per-replica weight drawn
     // from an 8-slot table (3×0, 3×1, 1×2, 1×3 — mean 1, variance 1,
@@ -2378,6 +2412,32 @@ object AnalyticsQueries {
       SELECT CAST(n.day AS TIMESTAMP) AS day, n.n_orders,
         CAST(e.e AS DOUBLE) / 1048576.0 AS ewma
       FROM numbered n JOIN ewma e USING (k) ORDER BY day""",
+
+    // l' is needed twice in the step; the CTE repeats the expression
+    // (both are exact integers, so the repetition is safe).
+    "q119_holt_trend" -> """
+      WITH RECURSIVE daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+          CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+      ), numbered AS (
+        SELECT day, n_orders,
+          ROW_NUMBER() OVER (ORDER BY day) AS k
+        FROM daily
+      ), holt(k, l, b) AS (
+        SELECT k, n_orders * 1048576, CAST(0 AS BIGINT)
+        FROM numbered WHERE k = 1
+        UNION ALL
+        SELECT d.k,
+          (d.n_orders * 1048576 + (h.l + h.b)) // 2,
+          (((d.n_orders * 1048576 + (h.l + h.b)) // 2) - h.l + h.b) // 2
+        FROM holt h JOIN numbered d ON d.k = h.k + 1
+      )
+      SELECT CAST(n.day AS TIMESTAMP) AS day, n.n_orders,
+        CAST(h.l AS DOUBLE) / 1048576.0 AS level,
+        CAST(h.b AS DOUBLE) / 1048576.0 AS trend,
+        CAST(h.l + h.b AS DOUBLE) / 1048576.0 AS forecast
+      FROM numbered n JOIN holt h USING (k) ORDER BY day""",
 
     "q78_bootstrap" -> """
       WITH o AS (
