@@ -94,6 +94,36 @@ object MediaQueries {
       Media.audioWindowFeatures(Media.mediaTable(s, dir), win = 64)
         .toDF().orderBy(col("media_id"), col("win_idx"))),
 
+    // ENERGY-GATED VOICE-ACTIVITY segments over the REAL WAV decode: a
+    // window is "active" when its mm6 RMS (exact integer sum-of-squares,
+    // two correctly-rounded IEEE ops — bit-identical cross-engine, so the
+    // 17000.0 threshold comparison is deterministic) clears the gate;
+    // consecutive active windows merge into segments via the classic
+    // gaps-and-islands key (win_idx − ROW_NUMBER, both per-media bounded
+    // windows). The VAD shape every speech-corpus pipeline runs before
+    // transcription — emitted as (segment, start, end, counts), never the
+    // samples.
+    "mm10_vad_segments" -> ((s, dir) => {
+      val byMedia = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("media_id"))
+      val w = Media.audioWindowFeatures(Media.mediaTable(s, dir), win = 64)
+        .toDF()
+      w.filter(col("rms") > 17000.0d)
+        .withColumn("rn",
+          row_number().over(byMedia.orderBy(col("win_idx"))))
+        .withColumn("island", col("win_idx") - col("rn"))
+        .groupBy(col("media_id"), col("island"))
+        .agg(min(col("win_idx")).as("start_win"),
+          max(col("win_idx")).as("end_win"),
+          count(lit(1)).as("n_windows"),
+          sum(col("n_samples")).as("n_samples"))
+        .withColumn("seg_idx",
+          row_number().over(byMedia.orderBy(col("start_win"))))
+        .select(col("media_id"), col("seg_idx"), col("start_win"),
+          col("end_win"), col("n_windows"), col("n_samples"))
+        .orderBy(col("media_id"), col("seg_idx"))
+    }),
+
     // Perceptual average-hash over the REAL image decode: the near-dup
     // fingerprint byte-exact dedup (mm4) cannot give — integer-only bits,
     // oracled from the generator formula.
@@ -279,6 +309,36 @@ object MediaQueries {
             THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
       FROM lagged GROUP BY media_id, win_idx
       ORDER BY media_id, win_idx""",
+
+    "mm10_vad_segments" -> s"""
+      $featuresCte
+      , smp AS (
+        SELECT media_id, i, CAST(i // 64 AS INT) AS win_idx,
+          ((seed * 31 + i * 17) % 65536) - 32768 AS sv
+        FROM (
+          SELECT media_id, seed, unnest(range(0, n_frames)) AS i
+          FROM g WHERE kind = 'audio')
+      ), w AS (
+        SELECT media_id, win_idx, CAST(COUNT(*) AS BIGINT) AS n_samples,
+          sqrt(CAST(SUM(sv * sv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+            AS rms
+        FROM smp GROUP BY media_id, win_idx
+      ), voiced AS (
+        SELECT media_id, win_idx, n_samples,
+          win_idx - ROW_NUMBER() OVER (PARTITION BY media_id
+            ORDER BY win_idx) AS island
+        FROM w WHERE rms > 17000.0
+      ), seg AS (
+        SELECT media_id, MIN(win_idx) AS start_win, MAX(win_idx) AS end_win,
+          CAST(COUNT(*) AS BIGINT) AS n_windows,
+          CAST(SUM(n_samples) AS BIGINT) AS n_samples
+        FROM voiced GROUP BY media_id, island
+      )
+      SELECT media_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY start_win)
+          AS INT) AS seg_idx,
+        start_win, end_win, n_windows, n_samples
+      FROM seg ORDER BY media_id, seg_idx""",
 
     "mm3_resize_meta" -> s"""
       $featuresCte
