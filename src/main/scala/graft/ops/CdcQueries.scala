@@ -324,6 +324,37 @@ object CdcQueries {
     store
   }
 
+  /** Materialize the COLUMN-RENAME table once per sfDir: version 1 commits
+    * the CREATE payloads (physical column name `status`), version 2 is a
+    * METADATA-ONLY `renameColumn(status → order_status)` — no data file is
+    * written — and version 3 merges the UPDATE batch addressed by the NEW
+    * logical name (stored back under the physical name, so every file
+    * generation shares one on-disk schema). The gate reads the final
+    * table: pre-rename and post-rename file generations must surface one
+    * consistent `order_status` column.
+    */
+  private def renamedOrdersTableDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_merge_rename_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val log = changeLog(s, dir)
+        val b1 = log.filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        graft.streaming.MergeInto.mergeBatch(s, b1, store, "id")
+        graft.streaming.MergeInto.renameColumn(s, store,
+          "status", "order_status")
+        val b2 = log.filter(col("operation_type") === "UPDATE")
+          .select(col("id"), col("status").as("order_status"),
+            col("totalprice"))
+        graft.streaming.MergeInto.mergeBatch(s, b2, store, "id")
+    }
+    store
+  }
+
   /** DuckDB-side derivation of the identical change stream (tombstones never
     * materialize — they carry no lsn and are dropped by O7 on the Spark side).
     */
@@ -661,6 +692,17 @@ object CdcQueries {
       graft.streaming.MergeInto
         .readTable(s, evolvedOrdersTableDir(s, dir))
         .select(col("id"), col("status"), col("totalprice"), col("priority"))
+        .orderBy(col("id"))
+    }),
+
+    // COLUMN RENAME driver-gated: metadata-only rename between two file
+    // generations — the v1 buckets still store the column under its
+    // physical name `status`, the v3 merge wrote through the logical
+    // name, and one read surfaces both consistently as `order_status`.
+    "cdc_merge_rename" -> ((s, dir) => {
+      graft.streaming.MergeInto
+        .readTable(s, renamedOrdersTableDir(s, dir))
+        .select(col("id"), col("order_status"), col("totalprice"))
         .orderBy(col("id"))
     }),
 
@@ -1131,6 +1173,18 @@ object CdcQueries {
 
     // Evolved table: UPDATE keys carry the new column, everything else
     // reads NULL through the schema-merged scan.
+    "cdc_merge_rename" -> s"""$changesCte
+      SELECT c.id,
+        CASE WHEN u.id IS NOT NULL THEN u.status ELSE c.status END
+          AS order_status,
+        CASE WHEN u.id IS NOT NULL THEN u.totalprice ELSE c.totalprice END
+          AS totalprice
+      FROM (SELECT id, status, totalprice FROM changes
+            WHERE operation_type = 'CREATE') c
+      LEFT JOIN (SELECT id, status, totalprice FROM changes
+                 WHERE operation_type = 'UPDATE') u USING (id)
+      ORDER BY c.id""",
+
     "cdc_merge_evolve" -> s"""$changesCte
       SELECT c.id,
         CASE WHEN u.id IS NOT NULL THEN u.status ELSE c.status END

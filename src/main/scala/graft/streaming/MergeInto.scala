@@ -51,7 +51,13 @@ object MergeInto {
                  updateCols: Seq[String] = Nil): Unit = {
     require(!updateCols.contains(keyCol),
       s"updateCols must not contain the merge key '$keyCol'")
-    if (source.isEmpty) return
+    // column map: callers speak LOGICAL names; everything below (files,
+    // DV, bucket hash) stays physical
+    val snap0 = ManifestStore.latest(spark, root)
+    val srcP = snap0.map(toPhysical(source, _)).getOrElse(source)
+    val keyP = physicalName(snap0, keyCol)
+    val updP = updateCols.map(physicalName(snap0, _))
+    if (srcP.isEmpty) return
     // MERGE is ambiguous if the source has two rows for one key, and a
     // NULL key can never equi-match a target row (it would re-insert on
     // every merge): fail both loudly, like a table format would, not
@@ -66,7 +72,7 @@ object MergeInto {
       s"MERGE source has $nRows rows for $nKeys distinct keys — " +
         s"multiple source rows match a single target key")
 
-    val snap = ManifestStore.latest(spark, root)
+    val snap = snap0
     // the bucket count is part of the table's identity (it determines
     // which bucket a key hashes to): recorded as manifest metadata on the
     // first commit, enforced on every later merge — a mismatched merge
@@ -76,8 +82,8 @@ object MergeInto {
     require(n == numBuckets,
       s"table at $root was bucketed with $n buckets; merge requested " +
         s"$numBuckets — bucket count is immutable after the first commit")
-    val bucketed = source
-      .withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
+    val bucketed = srcP
+      .withColumn("__bucket", pmod(hash(col(keyP)), lit(numBuckets)))
     // driver-side metadata collect: ≤ numBuckets ints
     val touched = bucketed.select("__bucket").distinct()
       .collect().map(_.getInt(0)).sorted
@@ -86,7 +92,8 @@ object MergeInto {
         .map(rel => s"$root/$rel")
     }
 
-    val upserts = deleteCol.map(d => bucketed.filter(!coalesce(col(d),
+    val upserts = deleteCol.map(d => physicalName(snap0, d))
+      .map(d => bucketed.filter(!coalesce(col(d),
       lit(false))).drop(d)).getOrElse(bucketed)
     val merged =
       if (touchedPaths.isEmpty) upserts
@@ -98,27 +105,27 @@ object MergeInto {
         // kept = target rows whose key the source doesn't mention at all
         // (matched rows are replaced/updated by `upserts` or deleted)
         val kept = target.join(
-          broadcast(bucketed.select(col(keyCol))), Seq(keyCol), "left_anti")
+          broadcast(bucketed.select(col(keyP))), Seq(keyP), "left_anti")
         val incoming =
-          if (updateCols.isEmpty) upserts // whole-row replace + inserts
+          if (updP.isEmpty) upserts // whole-row replace + inserts
           else {
             // partial update: matched rows take updateCols from the
             // source, keep the rest; inserts stay whole source rows
-            val srcSel = upserts.select(col(keyCol) +:
-              updateCols.map(c => col(c).as(s"__src_$c")): _*)
+            val srcSel = upserts.select(col(keyP) +:
+              updP.map(c => col(c).as(s"__src_$c")): _*)
             val tCols = target.columns.toSeq
-            val updated = target.join(broadcast(srcSel), Seq(keyCol))
-              .select(col(keyCol) +: (
-                tCols.filterNot(_ == keyCol).map { c =>
-                  if (updateCols.contains(c)) col(s"__src_$c").as(c)
+            val updated = target.join(broadcast(srcSel), Seq(keyP))
+              .select(col(keyP) +: (
+                tCols.filterNot(_ == keyP).map { c =>
+                  if (updP.contains(c)) col(s"__src_$c").as(c)
                   else col(c)
-                } ++ updateCols.filterNot(tCols.contains)
+                } ++ updP.filterNot(tCols.contains)
                   .map(c => col(s"__src_$c").as(c))): _*)
             // no broadcast hint: the preserved (left) side is the small
             // batch, and the target-keys side scales with the touched
             // buckets — let AQE pick the strategy
             val inserts = upserts.join(
-              target.select(col(keyCol)), Seq(keyCol), "left_anti")
+              target.select(col(keyP)), Seq(keyP), "left_anti")
             updated.unionByName(inserts, allowMissingColumns = true)
           }
         // allowMissingColumns both ways = schema evolution: a source with
@@ -131,9 +138,11 @@ object MergeInto {
     // (post-merge, so a partial update that breaks a constraint is caught)
     // must all satisfy every constraint, or nothing commits. Kept rows
     // were validated when written — induction keeps the table clean.
-    snap.foreach(sn => enforceChecks(spark, sn,
-      merged.join(broadcast(bucketed.select(col(keyCol))),
-        Seq(keyCol), "left_semi")))
+    // checks are written against LOGICAL names (renames of referenced
+    // columns are refused, but the logical view is the contract)
+    snap.foreach(sn => enforceChecks(spark, sn, toLogical(
+      merged.join(broadcast(bucketed.select(col(keyP))),
+        Seq(keyP), "left_semi"), sn)))
 
     val version = ManifestStore.nextVersion(spark, root)
     val rel = ManifestStore.dataRel(version)
@@ -206,6 +215,9 @@ object MergeInto {
     require(!snap.entries.contains(DvSlot),
       s"table at $root has a pending deletion vector — foreign readers " +
         "cannot subtract it; run materializeDeletes before exporting")
+    require(!snap.entries.contains(ColMapSlot),
+      s"table at $root has an active column map — a foreign reader would " +
+        "see the stored PHYSICAL column names and misread renamed columns")
     val conf = spark.sparkContext.hadoopConfiguration
     val out = new org.apache.hadoop.fs.Path(root,
       f"_exports/v${snap.version}%020d.manifest.txt")
@@ -237,6 +249,87 @@ object MergeInto {
       }
     }
     (snap.version, out.toString)
+  }
+
+  /** Metadata slot holding the COLUMN MAP: `physical=logical` pairs,
+    * `;`-joined. Physical = the name stored inside the parquet files (the
+    * column's name when first written); logical = the user-visible name.
+    * A rename is one metadata commit — no file is rewritten, old and new
+    * file generations read consistently, and time travel to a pre-rename
+    * version shows the name as of that version (the map is part of the
+    * snapshot). Renaming a column BACK to its physical name drops its
+    * pair, so the slot only exists while a mapping is active.
+    */
+  val ColMapSlot = "__colMap"
+
+  private def physToLogical(snap: ManifestStore.Snapshot)
+      : Seq[(String, String)] =
+    snap.entries.get(ColMapSlot).toSeq.flatMap(_.split(';')).map { pair =>
+      val Array(p, l) = pair.split('=')
+      (p, l)
+    }
+
+  /** Rename mapped physical columns to their logical names (read side). */
+  private def toLogical(df: DataFrame,
+      snap: ManifestStore.Snapshot): DataFrame =
+    physToLogical(snap).foldLeft(df) { case (d, (p, l)) =>
+      if (d.columns.contains(p)) d.withColumnRenamed(p, l) else d
+    }
+
+  /** Rename logical source columns to physical (write side), refusing a
+    * source that addresses a renamed column by its PHYSICAL name — that
+    * would land values under a stored name whose meaning is the renamed
+    * column (silent corruption); writers speak logical names only.
+    */
+  private def toPhysical(df: DataFrame,
+      snap: ManifestStore.Snapshot): DataFrame =
+    physToLogical(snap).foldLeft(df) { case (d, (p, l)) =>
+      require(!d.columns.contains(p) || p == l,
+        s"source column '$p' is the PHYSICAL name of renamed column '$l' " +
+          s"— address it as '$l'")
+      if (d.columns.contains(l)) d.withColumnRenamed(l, p) else d
+    }
+
+  private def physicalName(snap: Option[ManifestStore.Snapshot],
+      logical: String): String =
+    snap.toSeq.flatMap(physToLogical).find(_._2 == logical)
+      .map(_._1).getOrElse(logical)
+
+  /** `ALTER TABLE RENAME COLUMN from TO to` — metadata-only (no data file
+    * is touched). Refuses: an unknown or bookkeeping column, a name
+    * collision, manifest-hostile characters, and any rename of a column a
+    * CHECK constraint references (the stored predicate text would silently
+    * stop matching — drop and re-add the constraint around the rename).
+    */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+                   to: String): Unit = {
+    val snap = ManifestStore.latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed table under $root"))
+    Seq(from, to).foreach { n =>
+      require(n.nonEmpty && !n.startsWith("__") &&
+        !n.exists(c => c == '=' || c == ';' || c == '\t' || c == '\n' ||
+          c == '\r'),
+        s"column name '$n' is bookkeeping-reserved or manifest-hostile")
+    }
+    val logical = readTable(spark, root).columns
+    require(logical.contains(from), s"no column '$from' on $root " +
+      s"(columns: ${logical.mkString(", ")})")
+    require(!logical.contains(to),
+      s"column '$to' already exists on $root")
+    val ident = ("""\b""" + java.util.regex.Pattern.quote(from) + """\b""").r
+    snap.entries.filter(_._1.startsWith(CheckPrefix)).foreach {
+      case (slot, sql) => require(ident.findFirstIn(sql).isEmpty,
+        s"CHECK '${slot.stripPrefix(CheckPrefix)}' references '$from' — " +
+          "drop it, rename, and re-add it against the new name")
+    }
+    val phys = physicalName(Some(snap), from)
+    val newMap = (physToLogical(snap).filterNot(_._1 == phys) ++
+      (if (phys == to) Nil else Seq((phys, to))))
+      .map { case (p, l) => s"$p=$l" }.mkString(";")
+    val entries = snap.entries - ColMapSlot ++
+      (if (newMap.isEmpty) Map.empty else Map(ColMapSlot -> newMap))
+    ManifestStore.commit(spark, root,
+      ManifestStore.nextVersion(spark, root), entries)
   }
 
   /** Metadata slot prefix for CHECK constraints: `__check:<name>` → SQL
@@ -319,12 +412,17 @@ object MergeInto {
                    updateCols: Seq[String] = Nil): Unit = {
     require(!updateCols.contains(keyCol),
       s"updateCols must not contain the merge key '$keyCol'")
-    val Array(nRows, nKeys) = snapshot
-      .agg(count(lit(1)), count_distinct(col(keyCol))).head.toSeq
+    // column-map translation, as in mergeBatch: callers speak logical
+    val snapM = ManifestStore.latest(spark, root)
+    val snapP = snapM.map(toPhysical(snapshot, _)).getOrElse(snapshot)
+    val keyP = physicalName(snapM, keyCol)
+    val updP = updateCols.map(physicalName(snapM, _))
+    val Array(nRows, nKeys) = snapP
+      .agg(count(lit(1)), count_distinct(col(keyP))).head.toSeq
       .map(_.asInstanceOf[Long]).toArray
     require(nRows == nKeys,
       s"snapshot has $nRows rows for $nKeys distinct keys — ambiguous sync")
-    val snap = ManifestStore.latest(spark, root).getOrElse(
+    val snap = snapM.getOrElse(
       throw new IllegalStateException(s"no committed table under $root"))
     val n = snap.entries.getOrElse(NumBucketsSlot, numBuckets.toString).toInt
     require(n == numBuckets,
@@ -337,28 +435,28 @@ object MergeInto {
         spark.read.option("mergeSchema", "true").parquet(paths: _*)
           .drop("__bucket", "__dir"))
     val merged =
-      if (target == null || updateCols.isEmpty) snapshot // table := snapshot
+      if (target == null || updP.isEmpty) snapP // table := snapshot
       else {
         // matched keys: updateCols from the snapshot, everything else
         // from the target; snapshot-only keys insert whole; target-only
         // keys simply never enter the result (NOT MATCHED BY SOURCE).
-        val srcSel = snapshot.select(col(keyCol) +:
-          updateCols.map(c => col(c).as(s"__src_$c")): _*)
+        val srcSel = snapP.select(col(keyP) +:
+          updP.map(c => col(c).as(s"__src_$c")): _*)
         val tCols = target.columns.toSeq
-        val updated = target.join(srcSel, Seq(keyCol))
-          .select(col(keyCol) +: (
-            tCols.filterNot(_ == keyCol).map { c =>
-              if (updateCols.contains(c)) col(s"__src_$c").as(c) else col(c)
-            } ++ updateCols.filterNot(tCols.contains)
+        val updated = target.join(srcSel, Seq(keyP))
+          .select(col(keyP) +: (
+            tCols.filterNot(_ == keyP).map { c =>
+              if (updP.contains(c)) col(s"__src_$c").as(c) else col(c)
+            } ++ updP.filterNot(tCols.contains)
               .map(c => col(s"__src_$c").as(c))): _*)
-        val inserts = snapshot.join(
-          target.select(col(keyCol)), Seq(keyCol), "left_anti")
+        val inserts = snapP.join(
+          target.select(col(keyP)), Seq(keyP), "left_anti")
         updated.unionByName(inserts, allowMissingColumns = true)
       }
     // a sync redefines every row, so every row is a "changed" row
-    enforceChecks(spark, snap, merged)
+    enforceChecks(spark, snap, toLogical(merged, snap))
     val bucketed = merged
-      .withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
+      .withColumn("__bucket", pmod(hash(col(keyP)), lit(numBuckets)))
     val version = ManifestStore.nextVersion(spark, root)
     val rel = ManifestStore.dataRel(version)
     val written: Set[Int] =
@@ -372,9 +470,10 @@ object MergeInto {
           .select(col("__dir")).distinct().collect().map(_.getInt(0)).toSet
       }
     // the snapshot defines the whole table: every bucket entry is rebuilt
-    // (constraints survive the rebuild — they are table metadata)
+    // (constraints and the column map survive the rebuild — table metadata)
     val entries = Map(NumBucketsSlot -> numBuckets.toString) ++
       snap.entries.filter(_._1.startsWith(CheckPrefix)) ++
+      snap.entries.get(ColMapSlot).map(ColMapSlot -> _) ++
       written.map(b => b.toString -> s"$rel/__dir=$b")
     ManifestStore.commit(spark, root, version, entries)
   }
@@ -395,19 +494,23 @@ object MergeInto {
     val paths = ManifestStore.resolvePaths(root, snap)
     if (paths.isEmpty) return 0L
     // merge-on-read view: DV'd rows are already deleted — they must not
-    // be counted again nor resurrected into the rewritten buckets
-    val full = subtractDv(spark, root, snap,
-      spark.read.option("mergeSchema", "true").parquet(paths: _*))
+    // be counted again nor resurrected into the rewritten buckets.
+    // `cond` is written against LOGICAL names: evaluate it on the logical
+    // view (bookkeeping columns are never mapped, so __bucket survives),
+    // and rename back to physical before the rewrite.
+    val full = toLogical(subtractDv(spark, root, snap,
+      spark.read.option("mergeSchema", "true").parquet(paths: _*)), snap)
     // bounded driver metadata: ≤ numBuckets ints
     val touched = full.filter(cond).select(col("__bucket")).distinct()
       .collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return 0L
     val touchedPaths = touched
       .flatMap(b => snap.entries.get(b.toString)).map(rel => s"$root/$rel")
-    val target = subtractDv(spark, root, snap,
-      spark.read.option("mergeSchema", "true").parquet(touchedPaths: _*))
+    val target = toLogical(subtractDv(spark, root, snap,
+      spark.read.option("mergeSchema", "true")
+        .parquet(touchedPaths: _*)), snap)
     val deleted = target.filter(cond).count()
-    val kept = target.filter(!coalesce(cond, lit(false)))
+    val kept = toPhysical(target.filter(!coalesce(cond, lit(false))), snap)
 
     val version = ManifestStore.nextVersion(spark, root)
     val rel = ManifestStore.dataRel(version)
@@ -433,10 +536,11 @@ object MergeInto {
     * same declarative `pmod(hash(key))` the writer used, so engine and
     * layout can never disagree.
     */
-  def lookupKey(spark: SparkSession, root: String, keyCol: String,
+  def lookupKey(spark: SparkSession, root: String, keyCol0: String,
                 key: Any): DataFrame = {
     val snap = ManifestStore.latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed table under $root"))
+    val keyCol = physicalName(Some(snap), keyCol0)
     val n = snap.entries.getOrElse(NumBucketsSlot,
       throw new IllegalStateException(
         s"table at $root has no $NumBucketsSlot metadata")).toInt
@@ -446,10 +550,10 @@ object MergeInto {
       case None => // bucket never written ⇒ key cannot exist
         MergeInto.readTable(spark, root).limit(0).filter(lit(false))
       case Some(rel) =>
-        subtractDv(spark, root, snap,
+        toLogical(subtractDv(spark, root, snap,
           spark.read.option("mergeSchema", "true").parquet(s"$root/$rel")
             .filter(col(keyCol) === lit(key))
-            .drop("__bucket", "__dir"))
+            .drop("__bucket", "__dir")), snap)
     }
   }
 
@@ -492,9 +596,11 @@ object MergeInto {
         s"no committed manifest v$version under $root (vacuumed or never " +
           s"written); available: " +
           ManifestStore.versions(spark, root).mkString(",")))
-    subtractDv(spark, root, snap,
+    // the column map AS OF that version applies — time travel to a
+    // pre-rename snapshot reads the old names exactly as committed
+    toLogical(subtractDv(spark, root, snap,
       ManifestStore.readAt(spark, root, version, mergeSchema = true)
-        .drop("__bucket", "__dir"))
+        .drop("__bucket", "__dir")), snap)
   }
 
   /** MERGE-ON-READ DELETE via a deletion vector — the write-cheap half of
@@ -510,13 +616,16 @@ object MergeInto {
     * physical state caught up), and RE-INSERTING a DV'd key through
     * `mergeBatch` resurrects it — exactly SQL DELETE-then-INSERT.
     */
-  def deleteVector(spark: SparkSession, root: String, keyCol: String,
+  def deleteVector(spark: SparkSession, root: String, keyCol0: String,
                    keys: DataFrame): Unit = {
     val snap = ManifestStore.latest(spark, root).getOrElse(
       throw new IllegalStateException(
         s"no committed table under $root — nothing to delete from"))
-    val fresh = keys.select(col(keyCol)).filter(col(keyCol).isNotNull)
-      .distinct()
+    // the DV is stored under the PHYSICAL key name: subtractDv joins it
+    // against raw bucket files before the logical rename applies
+    val keyCol = physicalName(Some(snap), keyCol0)
+    val fresh = keys.select(col(keyCol0).as(keyCol))
+      .filter(col(keyCol).isNotNull).distinct()
     if (fresh.isEmpty) return
     val merged = snap.entries.get(DvSlot)
       .map(rel => spark.read.parquet(s"$root/$rel")
@@ -544,7 +653,8 @@ object MergeInto {
       val n = snap.entries.getOrElse(NumBucketsSlot,
         throw new IllegalStateException(
           s"table at $root has no $NumBucketsSlot metadata")).toInt
-      val dv = spark.read.parquet(s"$root/$rel")
+      // the DV carries the PHYSICAL key name; mergeBatch speaks logical
+      val dv = toLogical(spark.read.parquet(s"$root/$rel"), snap)
       mergeBatch(spark, dv.withColumn("__dv_del", lit(true)), root,
         keyCol, n, deleteCol = Some("__dv_del"))
     }
