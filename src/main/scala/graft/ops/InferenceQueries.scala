@@ -502,6 +502,78 @@ object InferenceQueries {
              END AS r_grid""")
     }),
 
+    // TRIMMED + WINSORIZED MEAN of order value — the robust-location pair
+    // (trim discards the tail rows, winsorize clamps them to the cut
+    // values; both kill the whale-order distortion a plain mean has).
+    // Exact to the row via the compressed distinct-cent table: a value
+    // block occupying ranks (cum−cnt, cum] keeps
+    // max(0, min(cum,U) − max(cum−cnt, L)) rows inside the (L, U] window
+    // with L = floor(0.05·N), U = floor(0.95·N); the winsorized tails add
+    // L copies of the (L+1)-th value and N−U copies of the U-th. Rank
+    // arithmetic rides PrefixSum, sums ride DECIMAL(38,0), and both means
+    // land as exact ppm integral divisions — no doubles anywhere.
+    "q120_trimmed_mean" -> ((s, dir) => {
+      val byV = Tables(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      val cum = graft.pack.PrefixSum.runningSum(byV,
+        expr("v div 100000"), Seq(col("v")), col("cnt"), "cum")
+      val tot = byV.agg(sum(col("cnt")).as("n"))
+        .select(col("n"), expr("n div 20").as("l"),
+          expr("n - n div 20").as("u"))
+      val marked = cum.crossJoin(broadcast(tot))
+      val cuts = marked.agg(
+        min(when(col("cum") >= col("l") + 1, col("v"))).as("vl"),
+        min(when(col("cum") >= col("u"), col("v"))).as("vu"))
+      marked
+        .select(col("n"), col("l"), col("u"), col("v"),
+          greatest(lit(0L), least(col("cum"), col("u")) -
+            greatest(col("cum") - col("cnt"), col("l"))).as("kept"))
+        .groupBy(col("n"), col("l"), col("u"))
+        .agg(sum(col("kept")).as("nk"),
+          sum(expr("CAST(v AS DECIMAL(38,0)) * kept")).as("sk"))
+        .crossJoin(broadcast(cuts))
+        .select(col("n").as("n_total"),
+          expr("CAST((1000000 * sk) div nk AS BIGINT)")
+            .as("trimmed_mean_ppm_cents"),
+          expr("""CAST((1000000 * (sk + CAST(l AS DECIMAL(38,0)) * vl
+            + CAST(n - u AS DECIMAL(38,0)) * vu)) div n AS BIGINT)""")
+            .as("winsorized_mean_ppm_cents"))
+    }),
+
+    // MANN–KENDALL trend test on the daily order-count series — the
+    // standard nonparametric is-this-drifting monitor (no linearity or
+    // normality assumed; ties handled exactly). S = Σ_{i<j} sgn(x_j−x_i)
+    // over the TIME order and the tie-corrected variance
+    // 18·Var = n(n−1)(2n+5) − Σ t(t−1)(2t+5) are exact integers; the
+    // continuity-corrected z is one grid-floored double chain. The pair
+    // enumeration is a self-join of the DAILY table — bounded by the
+    // calendar span (~2.4k rows at every SF: TPC-H dates span 7 years),
+    // never the fact table, so the quadratic is a constant ~3M sign
+    // evaluations; the fact table contributes one hash agg.
+    "q121_mann_kendall" -> ((s, dir) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val st = daily.as("a").join(daily.as("b"),
+          col("a.day") < col("b.day"))
+        .agg(sum(signum(col("b.x") - col("a.x")).cast("long")).as("s"))
+      val ties = daily.groupBy(col("x")).agg(count(lit(1)).as("t"))
+        .agg(sum(expr("CAST(t AS DECIMAL(38,0)) * (t-1) * (2*t+5)"))
+          .as("tt"))
+      val n = daily.agg(count(lit(1)).as("n"))
+      st.crossJoin(broadcast(ties)).crossJoin(broadcast(n))
+        .select(col("n").as("n_days"), col("s").as("s_stat"),
+          expr("""CAST(CAST(n AS DECIMAL(38,0)) * (n-1) * (2*n+5) - tt
+            AS BIGINT)""").as("var18"))
+        .selectExpr("n_days", "s_stat",
+          """CASE WHEN s_stat = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE floor((CAST(s_stat AS DOUBLE)
+               - CAST(SIGN(s_stat) AS DOUBLE))
+               / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+               * double(1048576)) / double(1048576) END AS z_grid""")
+    }),
+
     // SQL-SURFACE end-to-end: the er2 linkage pipeline expressed ENTIRELY
     // as a spark.sql text — deletion-variant blocking, candidate
     // equi-join, native jaro_winkler scoring — against a session that was
@@ -951,6 +1023,62 @@ object InferenceQueries {
           / 1048576.0
         END AS r_grid
       FROM fin""",
+
+    "q120_trimmed_mean" -> """
+      WITH bv AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+          CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1
+      ), cum AS (
+        SELECT v, cnt, CAST(SUM(cnt) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum
+        FROM bv
+      ), tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+          CAST(SUM(cnt) AS BIGINT) // 20 AS l,
+          CAST(SUM(cnt) AS BIGINT) - CAST(SUM(cnt) AS BIGINT) // 20 AS u
+        FROM bv
+      ), cuts AS (
+        SELECT MIN(CASE WHEN cum >= l + 1 THEN v END) AS vl,
+          MIN(CASE WHEN cum >= u THEN v END) AS vu
+        FROM cum, tot
+      ), kept AS (
+        SELECT n, l, u, v,
+          greatest(0, least(cum, u) - greatest(cum - cnt, l)) AS kept
+        FROM cum, tot
+      ), agg AS (
+        SELECT n, l, u, CAST(SUM(kept) AS BIGINT) AS nk,
+          SUM(CAST(v AS HUGEINT) * kept) AS sk
+        FROM kept GROUP BY n, l, u
+      )
+      SELECT n AS n_total,
+        CAST((1000000 * sk) // nk AS BIGINT) AS trimmed_mean_ppm_cents,
+        CAST((1000000 * (sk + CAST(l AS HUGEINT) * vl
+          + CAST(n - u AS HUGEINT) * vu)) // n AS BIGINT)
+          AS winsorized_mean_ppm_cents
+      FROM agg, cuts""",
+
+    "q121_mann_kendall" -> """
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+          CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+      ), st AS (
+        SELECT CAST(SUM(SIGN(b.x - a.x)) AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b ON a.day < b.day
+      ), ties AS (
+        SELECT SUM(CAST(t AS HUGEINT) * (t-1) * (2*t+5)) AS tt FROM (
+          SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY x)
+      ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily)
+      SELECT n AS n_days, s_stat,
+        CASE WHEN s_stat = 0 THEN CAST(0.0 AS DOUBLE)
+        ELSE floor((CAST(s_stat AS DOUBLE)
+          - CAST(SIGN(s_stat) AS DOUBLE))
+          / sqrt(CAST(CAST(n AS HUGEINT) * (n-1) * (2*n+5) - tt AS DOUBLE)
+            / 18.0)
+          * 1048576.0) / 1048576.0 END AS z_grid
+      FROM st, ties, nn""",
 
     // Same two-independent-implementations shape as er2 (DuckDB's builtin
     // jaro_winkler_similarity vs the graft kernel), on the % 7 typo slice
