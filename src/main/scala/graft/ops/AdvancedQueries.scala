@@ -750,13 +750,13 @@ object AdvancedQueries {
     // equal to the naive full GROUP BY the oracle runs, while the store
     // itself stays O(capacity) at any corpus scale.
     "ev14_stream_heavyhitters" -> ((s, dir) => {
-      val root = graft.streaming.HeavyHitterStore
-        .materializedDocsHittersDir(s, dir, capacity = 4096)
+      val (root, capacity) = graft.streaming.HeavyHitterStore
+        .materializedDocsHittersDir(s, dir, threshold = 150)
       val corpus = Tables(s, dir, "documents")
         .select(explode(graft.text.TextFunctions.tokens(col("text")))
           .as("tok"))
       graft.streaming.HeavyHitterStore
-        .verifiedHitters(s, root, corpus, capacity = 4096, threshold = 150)
+        .verifiedHitters(s, root, corpus, capacity, threshold = 150)
         .orderBy(col("tok"))
     }),
 

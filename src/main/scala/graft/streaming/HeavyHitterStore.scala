@@ -142,27 +142,42 @@ object HeavyHitterStore {
       .filter(col("n_occurrences") >= threshold)
   }
 
+  /** The capacity that makes [[verifiedHitters]]' exactness guarantee hold
+    * at a given corpus size: n/(capacity+1) < threshold. Production sizes
+    * this from table stats; the fixture counts once at build time — the
+    * store stays O(n/threshold), tiny relative to any corpus.
+    */
+  def autoCapacity(n: Long, threshold: Long, floor: Int = 4096): Int =
+    math.max(floor.toLong, n / threshold + 1).toInt
+
   /** Materialize-once fixture: the documents table's whitespace tokens
     * folded as TWO merges (even doc_ids, then odd) with txn ids — the
-    * store the driver gate reads. A replayed second merge (same txn) must
-    * be a no-op; the spec asserts that, and the gate's oracle recomputes
-    * the exact one-shot equivalent.
+    * store the driver gate reads. Capacity is auto-sized from the corpus
+    * token count so the exactness guard holds at ANY scale (the 10× soak
+    * corpus tripped a fixed 4096). A replayed second merge (same txn)
+    * must be a no-op; the spec asserts that, and the gate's oracle
+    * recomputes the exact one-shot equivalent.
+    *
+    * @return (store root, capacity used) — readers pass the same capacity
+    *   to [[verifiedHitters]].
     */
   def materializedDocsHittersDir(spark: SparkSession, sfDir: String,
-                                 capacity: Int): String = {
+                                 threshold: Long): (String, Int) = {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    val root = java.nio.file.Paths.get(s"$base/$key/docs_hitters_v1")
+    val root = java.nio.file.Paths.get(s"$base/$key/docs_hitters_v2")
+    val docs = graft.ops.Tables(spark, sfDir, "documents")
+    def toks(parity: Int): DataFrame = docs
+      .filter(col("doc_id") % 2 === parity)
+      .select(explode(graft.text.TextFunctions.tokens(col("text")))
+        .as("tok"))
+    val n = toks(0).count() + toks(1).count()
+    val capacity = autoCapacity(n, threshold)
     FixtureLock.once(root) {
-      val docs = graft.ops.Tables(spark, sfDir, "documents")
-      def toks(parity: Int): DataFrame = docs
-        .filter(col("doc_id") % 2 === parity)
-        .select(explode(graft.text.TextFunctions.tokens(col("text")))
-          .as("tok"))
       merge(spark, root.toString, toks(0), capacity, txnId = Some(1L))
       merge(spark, root.toString, toks(1), capacity, txnId = Some(2L))
     }
-    root.toString
+    (root.toString, capacity)
   }
 }
