@@ -58,4 +58,53 @@ object AsOfJoin {
       .select(col("__left.*") +:
         payloadCols.map(c => col(s"__filled.$c").as(c)): _*)
   }
+
+  /** FORWARD as-of join with a match tolerance — for each left row, attach
+    * the payload of the EARLIEST right row of the same key with
+    * `rightTs >= leftTs` (ties inclusive) AND within `tolerance` of it, or
+    * nulls. The "what happened next, soon" primitive (click → next error,
+    * order → next shipment); the tolerance keeps a stale far-future match
+    * from masquerading as a consequence.
+    *
+    * Same single-exchange composition as [[asOf]], mirrored: the union is
+    * windowed DESCENDING by time, so `last(payload)` at a left row is the
+    * nearest following right row. The tolerance is applied AFTER the fill
+    * (the filled payload carries the matched timestamp), so it costs one
+    * scan-side predicate, not a second join.
+    *
+    * Precondition: right side unique per (key, rightTs), as in [[asOf]].
+    */
+  def asOfForward(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String, payloadCols: Seq[String],
+                  tolerance: (org.apache.spark.sql.Column,
+                    org.apache.spark.sql.Column) =>
+                    org.apache.spark.sql.Column): DataFrame = {
+    val payWithTs =
+      if (payloadCols.contains(rightTs)) payloadCols
+      else rightTs +: payloadCols
+    val paySchema = org.apache.spark.sql.types.StructType(
+      right.select(payWithTs.map(col): _*).schema.fields)
+    val leftSchema = org.apache.spark.sql.types.StructType(left.schema.fields)
+
+    val l = left.select(
+      col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__tag"),
+      struct(left.columns.map(col): _*).as("__left"),
+      lit(null).cast(paySchema).as("__pay"))
+    val r = right.select(
+      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__tag"),
+      lit(null).cast(leftSchema).as("__left"),
+      struct(payWithTs.map(col): _*).as("__pay"))
+
+    // DESC by time: "last seen" along the window is the NEXT right row
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").desc, col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val inTol = tolerance(col("__ts"), col(s"__filled.$rightTs"))
+    l.unionByName(r)
+      .withColumn("__filled", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(col("__left.*") +: payloadCols.map(c =>
+        when(inTol, col(s"__filled.$c")).as(c)): _*)
+  }
 }

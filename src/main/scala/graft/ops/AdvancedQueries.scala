@@ -28,6 +28,29 @@ object AdvancedQueries {
         .orderBy(col("event_id"))
     }),
 
+    // FORWARD as-of with tolerance: for each click, the user's NEXT error
+    // event — but only if it lands within 30 minutes (a correlated
+    // failure, not a stale coincidence). aj1's mirror image with a match
+    // window: same single-exchange union-window composition (see
+    // AsOfJoin.asOfForward), tolerance applied scan-side after the fill.
+    // The gap is exact integer microseconds (UTC session: the NTZ→
+    // timestamp cast is the identity in both engines).
+    "aj2_asof_next_error" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts")).distinct()
+        .withColumn("error_ts", col("ts"))
+      AsOfJoin.asOfForward(clicks, errors, "user_id", "ts", "ts",
+          Seq("error_ts"),
+          (lts, rts) => rts <= lts + expr("INTERVAL 30 MINUTES"))
+        .withColumn("gap_us",
+          expr("""unix_micros(CAST(error_ts AS TIMESTAMP))
+            - unix_micros(CAST(ts AS TIMESTAMP))"""))
+        .orderBy(col("event_id"))
+    }),
+
     // ROLLUP hierarchy totals (grouping-set aggregation).
     "q12_rollup_orders" -> ((s, dir) =>
       Tables(s, dir, "orders")
@@ -1430,6 +1453,26 @@ object AdvancedQueries {
       FROM clicks c ASOF LEFT JOIN purchases p
         ON c.user_id = p.user_id AND c.ts >= p.ts
       ORDER BY c.event_id""",
+
+    // Independent formulation: correlated-MIN next-event instead of the
+    // union-window fill, tolerance as a CASE over the matched timestamp.
+    "aj2_asof_next_error" -> """
+      WITH clicks AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+      ), errors AS (
+        SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'error'
+      ), nxt AS (
+        SELECT c.user_id, c.event_id, c.ts,
+          (SELECT MIN(e.ts) FROM errors e
+           WHERE e.user_id = c.user_id AND e.ts >= c.ts) AS n_ts
+        FROM clicks c
+      )
+      SELECT user_id, event_id, ts,
+        CASE WHEN n_ts <= ts + INTERVAL 30 MINUTE THEN n_ts END
+          AS error_ts,
+        CASE WHEN n_ts <= ts + INTERVAL 30 MINUTE
+          THEN epoch_us(n_ts) - epoch_us(ts) END AS gap_us
+      FROM nxt ORDER BY event_id""",
 
     "q12_rollup_orders" -> """
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -574,6 +575,166 @@ object InferenceQueries {
                * double(1048576)) / double(1048576) END AS z_grid""")
     }),
 
+    // CLASSICAL SEASONAL DECOMPOSITION (the STL shape, additive, MA
+    // trend) of the monthly revenue series: trend = centered 2×12 moving
+    // average (the standard even-period trend filter — a 13-term window
+    // with half-weight ends), seasonal = per-calendar-month lower median
+    // of the detrended values, remainder = what's left. Everything stays
+    // on the ×24 integer grid (the 2×12 MA's natural denominator):
+    // trend_c24 = Σ rows(−6..+5) + Σ rows(−5..+6) of monthly cents,
+    // detrended_c24 = 24·rev − trend_c24, and the medians are order
+    // statistics of integers — zero doubles, bit-exact cross-engine.
+    // Scale shape: the fact table is reduced by ONE hash agg to a
+    // calendar-bounded monthly table (~84 rows at every SF); all windows
+    // run over that aggregate (PlanGuard-benign), and the seasonal
+    // medians are 12 groups of ≤ span/12 rows.
+    "q122_stl_decompose" -> ((s, dir) => {
+      val monthly = Tables(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("rev_cents"))
+        .withColumn("mi",
+          year(col("month")) * 12 + month(col("month")))
+      // bounded global windows: input is one row per calendar month
+      val wA = Window.orderBy(col("mi")).rangeBetween(-6, 5)
+      val wB = Window.orderBy(col("mi")).rangeBetween(-5, 6)
+      val trended = monthly
+        .withColumn("trend_c24",
+          when(count(lit(1)).over(wA) === 12 &&
+            count(lit(1)).over(wB) === 12,
+            sum(col("rev_cents")).over(wA) +
+              sum(col("rev_cents")).over(wB)))
+        .withColumn("detr_c24",
+          col("rev_cents") * 24 - col("trend_c24"))
+        .withColumn("moy", (col("mi") % 12).cast("int"))
+      val interior = trended.filter(col("detr_c24").isNotNull)
+      val byMoy = Window.partitionBy(col("moy"))
+        .orderBy(col("detr_c24"), col("month"))
+      val seasonal = interior
+        .withColumn("rn", row_number().over(byMoy))
+        .withColumn("nm",
+          count(lit(1)).over(Window.partitionBy(col("moy"))))
+        .filter(col("rn") === expr("(nm + 1) div 2"))
+        .select(col("moy"), col("detr_c24").as("seasonal_c24"))
+      trended.join(broadcast(seasonal), Seq("moy"), "left")
+        .select(col("month").cast("timestamp_ntz").as("month"),
+          col("rev_cents"), col("trend_c24"), col("seasonal_c24"),
+          (col("detr_c24") - col("seasonal_c24")).as("remainder_c24"))
+        .orderBy(col("month"))
+    }),
+
+    // BINARY SEGMENTATION changepoint search over the daily order series
+    // — q74's single CUSUM peak, recursed one level: find the best split
+    // of the whole series, then the best split WITHIN each half (the
+    // standard multiple-changepoint construction; depth 2 → up to 3
+    // breaks). The statistic is the segment-scaled CUSUM
+    // |n_seg·cum_k − k·S_seg| — exact integers throughout, with the
+    // argmax tie broken to the earliest day. Endpoints are excluded
+    // (k = n_seg splits nothing). Scale shape: one fact-table hash agg
+    // to the calendar-bounded daily table; every window is partitioned
+    // by segment or runs over the bounded aggregate; the level-0 split
+    // joins back as a broadcast scalar.
+    "q123_binseg_changepoint" -> ((s, dir) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      // bounded global window: one row per distinct order day
+      val byDay = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = daily.agg(sum(col("x")).as("s0"),
+        count(lit(1)).as("n0"))
+      val scored0 = daily
+        .withColumn("k", count(lit(1)).over(byDay))
+        .withColumn("cum", sum(col("x")).over(byDay))
+        .crossJoin(broadcast(tot))
+        .withColumn("d", abs(col("n0") * col("cum") - col("k") * col("s0")))
+        .filter(col("k") < col("n0"))
+      val best0 = scored0.orderBy(col("d").desc, col("day")).limit(1)
+        .select(col("day").as("split0"), col("d").as("d0"),
+          col("n0"), col("s0"))
+      val tagged = daily.crossJoin(broadcast(best0))
+        .withColumn("seg", when(col("day") <= col("split0"), lit("L"))
+          .otherwise(lit("R")))
+      val bySegDay = Window.partitionBy(col("seg")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val segTot = tagged.groupBy(col("seg"))
+        .agg(sum(col("x")).as("ss"), count(lit(1)).as("ns"),
+          min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val scored1 = tagged
+        .withColumn("k", count(lit(1)).over(bySegDay))
+        .withColumn("cum", sum(col("x")).over(bySegDay))
+        .join(broadcast(segTot), "seg")
+        .withColumn("d", abs(col("ns") * col("cum") - col("k") * col("ss")))
+        .filter(col("k") < col("ns"))
+      val best1 = scored1
+        .withColumn("rk", row_number().over(Window.partitionBy(col("seg"))
+          .orderBy(col("d").desc, col("day"))))
+        .filter(col("rk") === 1)
+        .select(lit(1).as("level"), col("lo"), col("hi"),
+          col("day").as("split_day"), col("d").as("d_stat"),
+          col("ns").as("n_days"))
+      val lvl0 = best0.crossJoin(broadcast(
+          daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))))
+        .select(lit(0).as("level"), col("lo"), col("hi"),
+          col("split0").as("split_day"), col("d0").as("d_stat"),
+          col("n0").as("n_days"))
+      lvl0.unionAll(best1)
+        .select(col("level"), col("lo").cast("timestamp_ntz").as("seg_lo"),
+          col("hi").cast("timestamp_ntz").as("seg_hi"),
+          col("split_day").cast("timestamp_ntz").as("split_day"),
+          col("d_stat"), col("n_days"))
+        .orderBy(col("level"), col("seg_lo"))
+    }),
+
+    // THEIL–SEN robust slope of monthly revenue per region — the median
+    // of all pairwise slopes (breakdown point 29%, vs 0% for OLS: one
+    // whale month can't bend it). Slopes live on the ppm grid as
+    // (rev_b − rev_a)·1e6 div (mi_b − mi_a) with TRUNCATING integer
+    // division on both engines (Spark `div` ≡ DuckDB `//` on BIGINT,
+    // both toward zero — the q119-measured semantics); the median is the
+    // lower order statistic, a value pick that is tie-order invariant.
+    // Scale shape: facts reduce via one hash agg to region×month
+    // (~5×84 rows at every SF); the pair quadratic is a per-region
+    // slice-explode over a ≤span-month collected array — calendar-
+    // bounded, never a fact-table self-join.
+    "q124_theil_sen" -> ((s, dir) => {
+      val monthly = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(Tables(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .as("mi"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+      // bounded per-region collect: one struct per calendar month
+      val series = monthly
+        .groupBy(col("region"))
+        .agg(array_sort(collect_list(struct(col("mi"), col("rev"))))
+          .as("pts"))
+      val slopes = series
+        .select(col("region"), size(col("pts")).as("n_months"),
+          posexplode(col("pts")).as(Seq("i", "a")), col("pts"))
+        .select(col("region"), col("n_months"), col("a"),
+          explode(slice(col("pts"), col("i") + 2,
+            size(col("pts")))).as("b"))
+        .select(col("region"), col("n_months"),
+          expr("(b.rev - a.rev) * 1000000L div (b.mi - a.mi)")
+            .as("slope_ppm"))
+      val byRegion = Window.partitionBy(col("region"))
+        .orderBy(col("slope_ppm"))
+      slopes
+        .withColumn("rn", row_number().over(byRegion))
+        .withColumn("np",
+          count(lit(1)).over(Window.partitionBy(col("region"))))
+        .filter(col("rn") === expr("(np + 1) div 2"))
+        .select(col("region"), col("n_months"), col("np").as("n_pairs"),
+          col("slope_ppm").as("sen_slope_ppm_cents_per_month"))
+        .orderBy(col("region"))
+    }),
+
     // SQL-SURFACE end-to-end: the er2 linkage pipeline expressed ENTIRELY
     // as a spark.sql text — deletion-variant blocking, candidate
     // equi-join, native jaro_winkler scoring — against a session that was
@@ -1112,5 +1273,133 @@ object InferenceQueries {
       FROM cand
       JOIN records na ON na.id = cand.id_a
       JOIN records nb ON nb.id = cand.id_b
-      ORDER BY jw DESC, id_a, id_b LIMIT 50""")
+      ORDER BY jw DESC, id_a, id_b LIMIT 50""",
+
+    "q122_stl_decompose" -> """
+      WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS rev_cents
+        FROM orders GROUP BY 1
+      ), mi AS (
+        SELECT month, rev_cents,
+          CAST(date_part('year', month) * 12 + date_part('month', month)
+            AS INT) AS mi
+        FROM monthly
+      ), tr AS (
+        SELECT month, rev_cents, mi,
+          CAST(CASE WHEN COUNT(*) OVER wa = 12 AND COUNT(*) OVER wb = 12
+            THEN SUM(rev_cents) OVER wa + SUM(rev_cents) OVER wb
+            END AS BIGINT) AS trend_c24
+        FROM mi
+        WINDOW wa AS (ORDER BY mi RANGE BETWEEN 6 PRECEDING
+          AND 5 FOLLOWING),
+        wb AS (ORDER BY mi RANGE BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+      ), det AS (
+        SELECT month, rev_cents, trend_c24,
+          rev_cents * 24 - trend_c24 AS detr_c24, mi % 12 AS moy
+        FROM tr
+      ), seas AS (
+        SELECT moy, CAST(detr_c24 AS BIGINT) AS seasonal_c24 FROM (
+          SELECT moy, detr_c24,
+            row_number() OVER (PARTITION BY moy ORDER BY detr_c24, month)
+              AS rn,
+            COUNT(*) OVER (PARTITION BY moy) AS nm
+          FROM det WHERE detr_c24 IS NOT NULL)
+        WHERE rn = (nm + 1) // 2
+      )
+      SELECT d.month, d.rev_cents, d.trend_c24, s.seasonal_c24,
+        CAST(d.detr_c24 - s.seasonal_c24 AS BIGINT) AS remainder_c24
+      FROM det d LEFT JOIN seas s USING (moy)
+      ORDER BY d.month""",
+
+    "q123_binseg_changepoint" -> """
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+          CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+      ), tot AS (
+        SELECT CAST(SUM(x) AS BIGINT) AS s0, CAST(COUNT(*) AS BIGINT)
+          AS n0, MIN(day) AS lo0, MAX(day) AS hi0
+        FROM daily
+      ), scored0 AS (
+        SELECT day,
+          CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+          CAST(SUM(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM daily
+      ), d0 AS (
+        SELECT day, abs(n0 * cum - k * s0) AS d, n0, s0, lo0, hi0
+        FROM scored0, tot WHERE k < n0
+      ), best0 AS (
+        SELECT * FROM d0 ORDER BY d DESC, day LIMIT 1
+      ), tagged AS (
+        SELECT daily.day, daily.x,
+          CASE WHEN daily.day <= best0.day THEN 'L' ELSE 'R' END AS seg
+        FROM daily, best0
+      ), segtot AS (
+        SELECT seg, CAST(SUM(x) AS BIGINT) AS ss,
+          CAST(COUNT(*) AS BIGINT) AS ns, MIN(day) AS lo, MAX(day) AS hi
+        FROM tagged GROUP BY seg
+      ), scored1 AS (
+        SELECT seg, day,
+          CAST(row_number() OVER (PARTITION BY seg ORDER BY day)
+            AS BIGINT) AS k,
+          CAST(SUM(x) OVER (PARTITION BY seg ORDER BY day ROWS BETWEEN
+            UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM tagged
+      ), d1 AS (
+        SELECT s.seg, s.day, abs(t.ns * s.cum - s.k * t.ss) AS d,
+          t.ns, t.lo, t.hi
+        FROM scored1 s JOIN segtot t USING (seg) WHERE s.k < t.ns
+      ), best1 AS (
+        SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY seg
+          ORDER BY d DESC, day) AS rk FROM d1) WHERE rk = 1
+      )
+      SELECT * FROM (
+        SELECT CAST(0 AS INT) AS level, CAST(lo0 AS TIMESTAMP) AS seg_lo,
+          CAST(hi0 AS TIMESTAMP) AS seg_hi,
+          CAST(day AS TIMESTAMP) AS split_day, CAST(d AS BIGINT) AS d_stat,
+          n0 AS n_days
+        FROM best0
+        UNION ALL
+        SELECT CAST(1 AS INT), CAST(lo AS TIMESTAMP),
+          CAST(hi AS TIMESTAMP), CAST(day AS TIMESTAMP),
+          CAST(d AS BIGINT), ns
+        FROM best1)
+      ORDER BY level, seg_lo""",
+
+    "q124_theil_sen" -> """
+      WITH monthly AS (
+        SELECT r_name AS region,
+          CAST(date_part('year', o_orderdate) * 12
+            + date_part('month', o_orderdate) AS INT) AS mi,
+          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+      ), nm AS (
+        SELECT region, CAST(COUNT(*) AS INT) AS n_months
+        FROM monthly GROUP BY 1
+      ), slopes AS (
+        SELECT a.region,
+          (b.rev - a.rev) * 1000000 // CAST(b.mi - a.mi AS BIGINT)
+            AS slope_ppm
+        FROM monthly a JOIN monthly b
+          ON a.region = b.region AND a.mi < b.mi
+      ), ranked AS (
+        SELECT region, slope_ppm,
+          row_number() OVER (PARTITION BY region ORDER BY slope_ppm)
+            AS rn,
+          CAST(COUNT(*) OVER (PARTITION BY region) AS BIGINT) AS np
+        FROM slopes
+      )
+      SELECT r.region, n.n_months, r.np AS n_pairs,
+        CAST(r.slope_ppm AS BIGINT) AS sen_slope_ppm_cents_per_month
+      FROM ranked r JOIN nm n USING (region)
+      WHERE rn = (np + 1) // 2
+      ORDER BY region""")
 }

@@ -109,6 +109,41 @@ object QualityQueries {
             col("o_orderdate") + expr("INTERVAL 365 DAYS"))))
     }),
 
+    // K-ANONYMITY / L-DIVERSITY audit of the order records under the
+    // quasi-identifier (nation, market segment, $2000 account-balance
+    // band) with order priority as the sensitive attribute — the
+    // re-identification risk check a privacy-aware training-data release
+    // runs before shipping: k_min is the smallest equivalence class (an
+    // attacker knowing the QIs narrows a victim to k rows), l_min the
+    // least-diverse class's distinct sensitive values (l = 1 means the
+    // QIs REVEAL the sensitive value even without row identification).
+    // One join + two hash aggs, everything exact integers; the band uses
+    // truncating integer division identically on both engines.
+    "dq5_k_anonymity" -> ((s, dir) => {
+      val rec = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT) div 200000")
+            .as("band"),
+          col("o_orderpriority").as("sensitive"))
+      val classes = rec.groupBy(col("nat"), col("seg"), col("band"))
+        .agg(count(lit(1)).as("k"),
+          countDistinct(col("sensitive")).as("l"))
+      classes.agg(
+          sum(col("k")).as("n_records"),
+          count(lit(1)).as("n_classes"),
+          min(col("k")).as("k_min"),
+          min(col("l")).as("l_min"),
+          sum(when(col("k") < 10, 1L).otherwise(0L)).as("n_classes_small"),
+          sum(when(col("k") < 10, col("k")).otherwise(0L))
+            .as("n_records_at_risk"))
+        .select(col("n_records"), col("n_classes"), col("k_min"),
+          col("l_min"), col("n_classes_small"), col("n_records_at_risk"),
+          expr("n_records_at_risk * 1000000 div n_records")
+            .as("at_risk_ppm"))
+    }),
+
     // STREAMING data-quality counters driver-gated: the events audit
     // folded as two manifest-committed merges into a standing
     // O(|constraints|) counter table (additive merge = lossless), read
@@ -261,6 +296,32 @@ object QualityQueries {
         CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
           AS passed
       FROM audit ORDER BY constraint_name""",
+
+    "dq5_k_anonymity" -> """
+      WITH rec AS (
+        SELECT c_nationkey AS nat, c_mktsegment AS seg,
+          CAST(round(c_acctbal * 100) AS BIGINT) // 200000 AS band,
+          o_orderpriority AS sensitive
+        FROM orders JOIN customer ON o_custkey = c_custkey
+      ), classes AS (
+        SELECT nat, seg, band, CAST(COUNT(*) AS BIGINT) AS k,
+          CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l
+        FROM rec GROUP BY 1, 2, 3
+      ), agg AS (
+        SELECT CAST(SUM(k) AS BIGINT) AS n_records,
+          CAST(COUNT(*) AS BIGINT) AS n_classes,
+          CAST(MIN(k) AS BIGINT) AS k_min, CAST(MIN(l) AS BIGINT) AS l_min,
+          CAST(SUM(CASE WHEN k < 10 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_classes_small,
+          CAST(SUM(CASE WHEN k < 10 THEN k ELSE 0 END) AS BIGINT)
+            AS n_records_at_risk
+        FROM classes
+      )
+      SELECT n_records, n_classes, k_min, l_min, n_classes_small,
+        n_records_at_risk,
+        CAST(n_records_at_risk * 1000000 // n_records AS BIGINT)
+          AS at_risk_ppm
+      FROM agg""",
 
     "ev11_stream_dq_store" -> """
       WITH audit AS (

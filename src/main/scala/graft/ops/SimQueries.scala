@@ -39,6 +39,9 @@ object SimQueries {
   private val MmrShortlist = 20
   private val MmrK = 8
   private val RangeTau = 0.2
+  private val RrfShortlist = 20
+  private val RrfK = 10
+  private val RrfC = 60
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -92,6 +95,60 @@ object SimQueries {
       val e = emb(s, dir)
       Similarity.lshTopK(e.filter(col("id") < NQueries), e, K, NPlanes, Dim)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // HYBRID RETRIEVAL via Reciprocal-Rank Fusion (Cormack et al., SIGIR
+    // 2009): the production RAG/search shape — a LEXICAL ranked list
+    // (word-set Jaccard of the query document vs the corpus, exact ppm
+    // integers) fused with a SEMANTIC ranked list (sm1's brute cosine)
+    // by score Σ 1e6 div (60 + rank). RRF needs only the RANKS, so the
+    // fusion is exact integer arithmetic even though one list is
+    // float-scored; a doc missing from a list contributes 0. Scale
+    // shape: the lexical side is a token equi-join (qt is NQueries docs
+    // — broadcast), the vector side is the sm1 scan, the fusion joins
+    // two (NQueries × shortlist)-row lists — bounded. doc_id and vec_id
+    // share the id space (TESTDATA: parallel tables).
+    "sm22_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(
+          split(lower(trim(col("text"))), "\\s+"))).as("t"))
+        .filter(col("t") =!= "")
+      val sz = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val qt = toks.filter(col("doc_id") < NQueries)
+        .select(col("doc_id").as("query_id"), col("t"))
+      val inter = broadcast(qt)
+        .join(toks.select(col("doc_id").as("corpus_id"), col("t")), "t")
+        .filter(col("corpus_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("corpus_id"))
+        .agg(count(lit(1)).as("ov"))
+      val lex = inter
+        .join(sz.select(col("doc_id").as("query_id"), col("sz").as("qsz")),
+          "query_id")
+        .join(sz.select(col("doc_id").as("corpus_id"), col("sz").as("csz")),
+          "corpus_id")
+        .withColumn("j_ppm", expr("ov * 1000000 div (qsz + csz - ov)"))
+        .withColumn("lex_rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("j_ppm").desc, col("corpus_id"))).cast("long"))
+        .filter(col("lex_rank") <= RrfShortlist)
+        .select(col("query_id"), col("corpus_id"), col("lex_rank"))
+      val e = emb(s, dir)
+      val vec = Similarity
+        .bruteForceTopK(e.filter(col("id") < NQueries), e, RrfShortlist)
+        .select(col("query_id"), col("corpus_id"),
+          col("rank").cast("long").as("vec_rank"))
+      lex.join(vec, Seq("query_id", "corpus_id"), "full_outer")
+        .withColumn("rrf_ppm",
+          coalesce(expr(s"1000000 div ($RrfC + lex_rank)"), lit(0L)) +
+            coalesce(expr(s"1000000 div ($RrfC + vec_rank)"), lit(0L)))
+        .withColumn("fused_rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("rrf_ppm").desc, col("corpus_id"))).cast("long"))
+        .filter(col("fused_rank") <= RrfK)
+        .select(col("query_id"), col("corpus_id"), col("lex_rank"),
+          col("vec_rank"), col("rrf_ppm"), col("fused_rank"))
+        .orderBy(col("query_id"), col("fused_rank"))
     }),
 
     "sm3_cosine_neardups" -> ((s, dir) =>
@@ -624,6 +681,61 @@ object SimQueries {
       )
       SELECT query_id, corpus_id, cos, rank FROM ranked
       WHERE rank <= $K ORDER BY query_id, rank""",
+
+    "sm22_hybrid_rrf" -> s"""
+      WITH toks AS (
+        SELECT doc_id, t FROM (
+          SELECT doc_id, unnest(list_distinct(
+            regexp_split_to_array(trim(lower(text)), '\\s+'))) AS t
+          FROM documents)
+        WHERE t <> ''
+      ), sz AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks GROUP BY 1
+      ), inter AS (
+        SELECT a.doc_id AS query_id, b.doc_id AS corpus_id,
+          CAST(COUNT(*) AS BIGINT) AS ov
+        FROM toks a JOIN toks b ON a.t = b.t
+        WHERE a.doc_id < $NQueries AND b.doc_id <> a.doc_id
+        GROUP BY 1, 2
+      ), lex AS (
+        SELECT query_id, corpus_id, lex_rank FROM (
+          SELECT i.query_id, i.corpus_id,
+            CAST(row_number() OVER (PARTITION BY i.query_id
+              ORDER BY i.ov * 1000000 // (qs.sz + cs.sz - i.ov) DESC,
+                i.corpus_id) AS BIGINT) AS lex_rank
+          FROM inter i
+          JOIN sz qs ON qs.doc_id = i.query_id
+          JOIN sz cs ON cs.doc_id = i.corpus_id)
+        WHERE lex_rank <= $RrfShortlist
+      ), vq AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id < $NQueries
+      ), vec AS (
+        SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS vec_rank
+        FROM (
+          SELECT query_id, c.vec_id AS corpus_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ${cosSql("qv", "c.embedding")} DESC, c.vec_id)
+              AS rank
+          FROM embeddings c, vq WHERE c.vec_id != query_id)
+        WHERE rank <= $RrfShortlist
+      ), fused AS (
+        SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+          COALESCE(l.corpus_id, v.corpus_id) AS corpus_id,
+          l.lex_rank, v.vec_rank,
+          CAST(COALESCE(1000000 // ($RrfC + l.lex_rank), 0)
+            + COALESCE(1000000 // ($RrfC + v.vec_rank), 0) AS BIGINT)
+            AS rrf_ppm
+        FROM lex l FULL OUTER JOIN vec v
+          ON l.query_id = v.query_id AND l.corpus_id = v.corpus_id
+      )
+      SELECT query_id, corpus_id, lex_rank, vec_rank, rrf_ppm, fused_rank
+      FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY rrf_ppm DESC, corpus_id) AS BIGINT) AS fused_rank
+        FROM fused)
+      WHERE fused_rank <= $RrfK
+      ORDER BY query_id, fused_rank""",
 
     "sm3_cosine_neardups" -> s"""
       WITH b AS (

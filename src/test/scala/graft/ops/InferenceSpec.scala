@@ -60,4 +60,51 @@ class InferenceSpec extends SparkSpec {
     assert(j >= -1L && j <= math.ceil(math.log(2) * 1048576).toLong + 1)
     assert(r.getAs[Long]("vocab") > 0L)
   }
+
+  test("q122: decomposition identity 24*rev = trend + seasonal + remainder " +
+      "holds exactly on every interior month") {
+    val rows = InferenceQueries.queries("q122_stl_decompose")(spark, sfDir)
+      .collect()
+    assert(rows.length >= 24) // at least two full cycles in the fixture
+    val interior = rows.filter(r => !r.isNullAt(r.fieldIndex("trend_c24")))
+    assert(interior.nonEmpty)
+    interior.foreach { r =>
+      val rev = r.getAs[Long]("rev_cents")
+      assert(24L * rev == r.getAs[Long]("trend_c24") +
+        r.getAs[Long]("seasonal_c24") + r.getAs[Long]("remainder_c24"))
+    }
+    // seasonal is a full 12-month profile: defined on EVERY row (edges too)
+    assert(rows.forall(r => !r.isNullAt(r.fieldIndex("seasonal_c24"))))
+    // the 2x12 MA needs 6 before + 6 after: at least 11 edge months lack a
+    // trend (exactly 11 on a contiguous series; calendar gaps add more)
+    assert(rows.length - interior.length >= 11)
+  }
+
+  test("q123: segments tile the series and splits stay in bounds") {
+    val rows = InferenceQueries.queries("q123_binseg_changepoint")(
+      spark, sfDir).collect()
+    assert(rows.length == 3)
+    val lvl0 = rows.filter(_.getAs[Int]("level") == 0)
+    val lvl1 = rows.filter(_.getAs[Int]("level") == 1)
+    assert(lvl0.length == 1 && lvl1.length == 2)
+    assert(lvl0.head.getAs[Long]("n_days") ==
+      lvl1.map(_.getAs[Long]("n_days")).sum)
+    rows.foreach { r =>
+      val lo = r.getAs[java.time.LocalDateTime]("seg_lo")
+      val hi = r.getAs[java.time.LocalDateTime]("seg_hi")
+      val sp = r.getAs[java.time.LocalDateTime]("split_day")
+      assert(!sp.isBefore(lo) && sp.isBefore(hi)) // k < n: never the end
+      assert(r.getAs[Long]("d_stat") > 0L)
+    }
+  }
+
+  test("q124: one slope per region, pair count matches the series length") {
+    val rows = InferenceQueries.queries("q124_theil_sen")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5) // one per TPC-H region
+    rows.foreach { r =>
+      val m = r.getAs[Int]("n_months").toLong
+      assert(r.getAs[Long]("n_pairs") == m * (m - 1) / 2)
+    }
+  }
 }
