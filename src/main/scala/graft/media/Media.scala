@@ -453,6 +453,83 @@ object Media {
     }
   }
 
+  /** One spectral-analysis window: the dominant frequency bin of a
+    * `bins`-bin integer DFT bank and its power.
+    */
+  case class SpectralWindow(media_id: Long, win_idx: Int, n_samples: Int,
+                            dom_bin: Int, dom_power: Long, total_power: Long)
+
+  /** Grid-quantized DFT twiddles for a 64-phase cycle:
+    * `round(cos/sin(2πt/64)·2^20)`. Rendered verbatim into the SQL oracle
+    * (shared literals, so cross-engine agreement is by construction, not
+    * by libm luck).
+    */
+  val SpectralCycle = 64
+  val SpectralGrid = 1048576L
+  lazy val CosGrid: Array[Long] = Array.tabulate(SpectralCycle)(t =>
+    Math.round(math.cos(2 * math.Pi * t / SpectralCycle) * SpectralGrid))
+  lazy val SinGrid: Array[Long] = Array.tabulate(SpectralCycle)(t =>
+    Math.round(math.sin(2 * math.Pi * t / SpectralCycle) * SpectralGrid))
+
+  /** Windowed SPECTRAL features over the REAL WAV decode: per 64-sample
+    * window, an integer DFT bank at bins k = 1..`bins` cycles/window, and
+    * the dominant bin — the frequency-domain companion of
+    * [[audioWindowFeatures]] (RMS says HOW LOUD, this says WHERE the
+    * energy lives: tone vs hiss vs speech-band). Everything is exact
+    * integer: X_c(k) = Σ_j s_j·cos_grid[(k·j) mod 64] with the 2^-20-grid
+    * twiddle table above, powers are squares of the 2^20-truncated
+    * components, argmax ties break to the lowest bin. Same mapPartitions
+    * decode discipline as the other media passes — one codec init per
+    * partition, samples never shuffled, output one narrow row per window.
+    */
+  def audioSpectralBank(media: Dataset[MediaRow], win: Int,
+                        bins: Int): Dataset[SpectralWindow] = {
+    import media.sparkSession.implicits._
+    require(win == SpectralCycle,
+      s"twiddle table is $SpectralCycle-phase; got win=$win")
+    media.filter(col("kind") === "audio").mapPartitions { rows =>
+      val ct = CosGrid; val st = SinGrid
+      rows.flatMap { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(r.content))
+        try {
+          val pcm = in.readAllBytes()
+          val n = pcm.length / 2
+          def at(i: Int): Int = (pcm(i * 2 + 1) << 8) | (pcm(i * 2) & 0xFF)
+          (0 until n by win).map { w0 =>
+            val end = math.min(w0 + win, n)
+            val xc = new Array[Long](bins + 1)
+            val xs = new Array[Long](bins + 1)
+            var i = w0
+            while (i < end) {
+              val sv = at(i).toLong
+              val j = i - w0
+              var k = 1
+              while (k <= bins) {
+                val t = (k * j) % SpectralCycle
+                xc(k) += sv * ct(t)
+                xs(k) += sv * st(t)
+                k += 1
+              }
+              i += 1
+            }
+            var domBin = 1; var domPow = Long.MinValue; var tot = 0L
+            var k = 1
+            while (k <= bins) {
+              val c = xc(k) / SpectralGrid; val s = xs(k) / SpectralGrid
+              val p = c * c + s * s
+              tot += p
+              if (p > domPow) { domPow = p; domBin = k }
+              k += 1
+            }
+            SpectralWindow(r.media_id, w0 / win, end - w0, domBin, domPow,
+              tot)
+          }
+        } finally in.close()
+      }
+    }
+  }
+
   /** 64-bit perceptual hash of a decoded image, split into two signed
     * 32-bit halves so SQL engines never touch the sign bit of a LONG.
     */

@@ -735,6 +735,82 @@ object InferenceQueries {
         .orderBy(col("region"))
     }),
 
+    // KENDALL τ-b rank correlation between daily order COUNT and daily
+    // revenue — q102's Spearman asks "do the ranks line up", τ-b asks
+    // the sturdier pairwise question "if one went up, did the other"
+    // (bounded influence per pair, exact tie correction). S = Σ_{i<j}
+    // sgn(Δx)·sgn(Δy) and the tie terms n1 = Σ t(t−1)/2 are exact
+    // integers; τ-b itself is one grid-floored double over a product
+    // that stays under 2^53 (the day count is calendar-bounded, q121's
+    // argument — the pair quadratic runs over ~2.4k daily rows at every
+    // SF, never the fact table).
+    "q125_kendall_tau" -> ((s, dir) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("x"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+      val st = daily.as("a").join(daily.as("b"),
+          col("a.day") < col("b.day"))
+        .agg(sum((signum(col("b.x") - col("a.x")) *
+          signum(col("b.y") - col("a.y"))).cast("long")).as("s"))
+      val tx = daily.groupBy(col("x")).agg(count(lit(1)).as("t"))
+        .agg(sum(expr("t * (t - 1) div 2")).as("n1"))
+      val ty = daily.groupBy(col("y")).agg(count(lit(1)).as("t"))
+        .agg(sum(expr("t * (t - 1) div 2")).as("n2"))
+      val n = daily.agg(count(lit(1)).as("n"))
+      st.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+        .crossJoin(broadcast(n))
+        .select(col("n").as("n_days"), col("s").as("s_stat"),
+          col("n1").as("n1_ties"), col("n2").as("n2_ties"),
+          expr("n * (n - 1) div 2").as("n0"))
+        .selectExpr("n_days", "s_stat", "n1_ties", "n2_ties",
+          """CASE WHEN n0 = n1_ties OR n0 = n2_ties
+             THEN CAST(NULL AS DOUBLE)
+             ELSE floor(CAST(s_stat AS DOUBLE)
+               / sqrt(CAST((n0 - n1_ties) * (n0 - n2_ties) AS DOUBLE))
+               * double(1048576)) / double(1048576) END AS tau_b_grid""")
+    }),
+
+    // CRAMÉR–VON MISES two-sample drift between the first and second
+    // half of the order-date range — the whole-distribution companion
+    // of q51's KS (KS sees only the single worst ECDF gap; CvM
+    // integrates EVERY gap, catching broad small shifts KS misses).
+    // T = Σ_pooled (F_n − G_m)² · nm/N² is computed EXACTLY over the
+    // compressed distinct-cent table: per value block,
+    // (ca+cb)·(m·cumA − n·cumB)² in DECIMAL(38,0), with one final ppm
+    // integral division — zero doubles on either side. (38 digits cap
+    // exactness near n≈10⁹ per side — q76's documented bound; pre-scale
+    // or partition the audit beyond that.) The running counts ride
+    // PrefixSum; the fact table contributes one hash agg.
+    "q126_cvm_drift" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long").as("v"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("us"))
+      val mid = o.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val tagged = o.crossJoin(broadcast(mid))
+        .select(col("v"), (col("us") < col("mid")).as("is_a"))
+      val byV = tagged.groupBy(col("v"))
+        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+          sum(when(col("is_a"), 0L).otherwise(1L)).as("cb"))
+      val cum = graft.pack.PrefixSum.runningSum(
+        graft.pack.PrefixSum.runningSum(byV,
+          expr("v div 100000"), Seq(col("v")), col("ca"), "cuma"),
+        expr("v div 100000"), Seq(col("v")), col("cb"), "cumb")
+      val tot = byV.agg(sum(col("ca")).as("n"), sum(col("cb")).as("m"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("n"), col("m"),
+          expr("""CAST(ca + cb AS DECIMAL(38,0)) *
+            (CAST(m AS DECIMAL(38,0)) * cuma
+              - CAST(n AS DECIMAL(38,0)) * cumb) *
+            (CAST(m AS DECIMAL(38,0)) * cuma
+              - CAST(n AS DECIMAL(38,0)) * cumb)""").as("term"))
+        .groupBy(col("n"), col("m"))
+        .agg(sum(col("term")).as("tnum"))
+        .select(col("n").as("n_expected"), col("m").as("n_actual"),
+          expr("""CAST((1000000 * tnum) div (CAST(n AS DECIMAL(38,0))
+            * m * (n + m) * (n + m)) AS BIGINT)""").as("cvm_ppm"))
+    }),
+
     // SQL-SURFACE end-to-end: the er2 linkage pipeline expressed ENTIRELY
     // as a spark.sql text — deletion-variant blocking, candidate
     // equi-join, native jaro_winkler scoring — against a session that was
@@ -1401,5 +1477,67 @@ object InferenceQueries {
         CAST(r.slope_ppm AS BIGINT) AS sen_slope_ppm_cents_per_month
       FROM ranked r JOIN nm n USING (region)
       WHERE rn = (np + 1) // 2
-      ORDER BY region""")
+      ORDER BY region""",
+
+    "q125_kendall_tau" -> """
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+          CAST(COUNT(*) AS BIGINT) AS x,
+          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS y
+        FROM orders GROUP BY 1
+      ), st AS (
+        SELECT CAST(SUM(SIGN(b.x - a.x) * SIGN(b.y - a.y)) AS BIGINT)
+          AS s_stat
+        FROM daily a JOIN daily b ON a.day < b.day
+      ), tx AS (
+        SELECT CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n1 FROM (
+          SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY x)
+      ), ty AS (
+        SELECT CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n2 FROM (
+          SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY y)
+      ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS n0
+        FROM daily
+      )
+      SELECT n AS n_days, s_stat, n1 AS n1_ties, n2 AS n2_ties,
+        CASE WHEN n0 = n1 OR n0 = n2 THEN CAST(NULL AS DOUBLE)
+        ELSE floor(CAST(s_stat AS DOUBLE)
+          / sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE))
+          * 1048576.0) / 1048576.0 END AS tau_b_grid
+      FROM st, tx, ty, nn""",
+
+    "q126_cvm_drift" -> """
+      WITH o AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+          epoch_us(o_orderdate) AS us
+        FROM orders
+      ), mid AS (
+        SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM o
+      ), tagged AS (
+        SELECT v, us < mid AS is_a FROM o, mid
+      ), byv AS (
+        SELECT v,
+          CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        FROM tagged GROUP BY v
+      ), cum AS (
+        SELECT v, ca, cb,
+          CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+          CAST(SUM(cb) OVER w AS BIGINT) AS cumb
+        FROM byv
+        WINDOW w AS (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ), tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS n, CAST(SUM(cb) AS BIGINT) AS m
+        FROM byv
+      )
+      SELECT n AS n_expected, m AS n_actual,
+        CAST((1000000 * SUM((ca + cb)
+            * (CAST(m AS HUGEINT) * cuma - CAST(n AS HUGEINT) * cumb)
+            * (CAST(m AS HUGEINT) * cuma - CAST(n AS HUGEINT) * cumb)))
+          // (CAST(n AS HUGEINT) * m * (n + m) * (n + m)) AS BIGINT)
+          AS cvm_ppm
+      FROM cum, tot GROUP BY n, m""")
 }

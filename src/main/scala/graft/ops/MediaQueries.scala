@@ -124,6 +124,18 @@ object MediaQueries {
         .orderBy(col("media_id"), col("seg_idx"))
     }),
 
+    // SPECTRAL DFT bank over the REAL WAV decode: per 64-sample window,
+    // the dominant frequency bin among k = 1..8 cycles/window and its
+    // power — the frequency-domain feature mm6's RMS can't give (tone vs
+    // hiss vs speech band). Exact integers end-to-end: the 2^-20-grid
+    // twiddle table is ONE shared set of literals rendered into both the
+    // kernel and this oracle, the bank sums are 64-bit exact, and powers
+    // square the 2^20-truncated components (trunc-div matches both
+    // engines). See Media.audioSpectralBank.
+    "mm11_spectral_bank" -> ((s, dir) =>
+      Media.audioSpectralBank(Media.mediaTable(s, dir), win = 64, bins = 8)
+        .toDF().orderBy(col("media_id"), col("win_idx"))),
+
     // Perceptual average-hash over the REAL image decode: the near-dup
     // fingerprint byte-exact dedup (mm4) cannot give — integer-only bits,
     // oracled from the generator formula.
@@ -339,6 +351,45 @@ object MediaQueries {
           AS INT) AS seg_idx,
         start_win, end_win, n_windows, n_samples
       FROM seg ORDER BY media_id, seg_idx""",
+
+    "mm11_spectral_bank" -> s"""
+      $featuresCte
+      , smp AS (
+        SELECT media_id, CAST(i // 64 AS INT) AS win_idx,
+          CAST(i % 64 AS INT) AS j,
+          ((seed * 31 + i * 17) % 65536) - 32768 AS sv
+        FROM (
+          SELECT media_id, seed, unnest(range(0, n_frames)) AS i
+          FROM g WHERE kind = 'audio')
+      ), terms AS (
+        SELECT media_id, win_idx, k, sv,
+          CAST(sv AS BIGINT) * ct.tab[((k * j) % 64) + 1] AS c_term,
+          CAST(sv AS BIGINT) * st.tab[((k * j) % 64) + 1] AS s_term
+        FROM smp,
+          (SELECT UNNEST(range(1, 9)) AS k),
+          (SELECT ${graft.media.Media.CosGrid.mkString("[", ", ", "]")}
+             AS tab) ct,
+          (SELECT ${graft.media.Media.SinGrid.mkString("[", ", ", "]")}
+             AS tab) st
+      ), bank AS (
+        SELECT media_id, win_idx, CAST(k AS INT) AS k,
+          CAST(COUNT(*) AS INT) AS n_samples,
+          (CAST(SUM(c_term) AS BIGINT) // 1048576)
+            * (CAST(SUM(c_term) AS BIGINT) // 1048576)
+          + (CAST(SUM(s_term) AS BIGINT) // 1048576)
+            * (CAST(SUM(s_term) AS BIGINT) // 1048576) AS power
+        FROM terms GROUP BY 1, 2, 3
+      ), ranked AS (
+        SELECT *,
+          row_number() OVER (PARTITION BY media_id, win_idx
+            ORDER BY power DESC, k) AS rk,
+          CAST(SUM(power) OVER (PARTITION BY media_id, win_idx)
+            AS BIGINT) AS total_power
+        FROM bank
+      )
+      SELECT media_id, win_idx, n_samples, k AS dom_bin,
+        CAST(power AS BIGINT) AS dom_power, total_power
+      FROM ranked WHERE rk = 1 ORDER BY media_id, win_idx""",
 
     "mm3_resize_meta" -> s"""
       $featuresCte

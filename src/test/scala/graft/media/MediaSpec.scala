@@ -147,6 +147,57 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("audioSpectralBank: bank powers match a direct integer DFT of the " +
+      "generator formula, and a pure tone lands in its own bin") {
+    import spark.implicits._
+    val seed = 133
+    val n = Media.DeterministicWav.frames(seed)
+    val media = Seq(Media.MediaRow(7L, "audio", "audio/wav",
+      Media.DeterministicWav.encode(seed))).toDS()
+    val got = Media.audioSpectralBank(media, win = 64, bins = 8)
+      .collect().sortBy(_.win_idx)
+    assert(got.map(_.win_idx).toSeq == (0 until (n + 63) / 64).toSeq)
+    got.foreach { w =>
+      val lo = w.win_idx * 64
+      val hi = math.min(lo + 64, n)
+      val powers = (1 to 8).map { k =>
+        var xc = 0L; var xs = 0L
+        for (i <- lo until hi) {
+          val sv = Media.DeterministicWav.sample(seed, i).toLong
+          val t = (k * (i - lo)) % Media.SpectralCycle
+          xc += sv * Media.CosGrid(t); xs += sv * Media.SinGrid(t)
+        }
+        val c = xc / Media.SpectralGrid; val s = xs / Media.SpectralGrid
+        c * c + s * s
+      }
+      assert(w.n_samples == hi - lo)
+      assert(w.total_power == powers.sum)
+      assert(w.dom_power == powers.max)
+      assert(w.dom_bin == powers.indexOf(powers.max) + 1)
+      assert(w.dom_power <= w.total_power)
+    }
+    // synthetic pure tone at 3 cycles/window must dominate bin 3: encode a
+    // WAV whose PCM is 10000·cos_grid(3j)/2^20 over one full window
+    val pcm = new Array[Byte](128)
+    for (j <- 0 until 64) {
+      val v = (10000L * Media.CosGrid((3 * j) % 64) /
+        Media.SpectralGrid).toInt
+      pcm(2 * j) = (v & 0xFF).toByte
+      pcm(2 * j + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 64L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val tone = Seq(Media.MediaRow(9L, "audio", "audio/wav",
+      bos.toByteArray)).toDS()
+    val tw = Media.audioSpectralBank(tone, win = 64, bins = 8)
+      .collect().head
+    assert(tw.dom_bin == 3)
+  }
+
   test("WAV round-trip: every PCM sample survives the container") {
     for (seed <- Seq(0, 1, 2, 3, 77, 479, 511)) {
       val bytes = Media.DeterministicWav.encode(seed)

@@ -98,6 +98,23 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  test("q125: tau-b is in [-1, 1] and S is bounded by the pair count") {
+    val r = one("q125_kendall_tau")
+    val n0 = r.getAs[Long]("n_days") * (r.getAs[Long]("n_days") - 1) / 2
+    assert(math.abs(r.getAs[Long]("s_stat")) <= n0)
+    if (!r.isNullAt(r.fieldIndex("tau_b_grid"))) {
+      val t = r.getAs[Double]("tau_b_grid")
+      assert(t >= -1.0 && t <= 1.0)
+    }
+  }
+
+  test("q126: CvM statistic is non-negative and both halves are populated") {
+    val r = one("q126_cvm_drift")
+    assert(r.getAs[Long]("cvm_ppm") >= 0L)
+    assert(r.getAs[Long]("n_expected") > 0L)
+    assert(r.getAs[Long]("n_actual") > 0L)
+  }
+
   test("q124: one slope per region, pair count matches the series length") {
     val rows = InferenceQueries.queries("q124_theil_sen")(spark, sfDir)
       .collect()
