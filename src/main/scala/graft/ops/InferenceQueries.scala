@@ -771,6 +771,40 @@ object InferenceQueries {
                * double(1048576)) / double(1048576) END AS tau_b_grid""")
     }),
 
+    // HODGES–LEHMANN pseudo-median of the daily order count — the robust
+    // location estimate that beats both the mean (unbounded influence)
+    // and the raw median (low efficiency): the median of all Walsh
+    // averages (x_i + x_j)/2, i ≤ j. Reported ×2 so it stays integer.
+    // The pair quadratic runs over the COMPRESSED distinct-value table
+    // (a value pair (v_a ≤ v_b) carries weight c_a·c_b, the diagonal
+    // c(c+1)/2), so the Walsh histogram is |distinct|² rows — bounded by
+    // the value domain, not the day count, and the lower-median rank
+    // probe is one running sum over that bounded aggregate.
+    "q127_hodges_lehmann" -> ((s, dir) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val byV = daily.groupBy(col("x")).agg(count(lit(1)).as("c"))
+      val pairs = byV.as("a").join(broadcast(byV.as("b")),
+          col("a.x") <= col("b.x"))
+        .select((col("a.x") + col("b.x")).as("w2"),
+          when(col("a.x") === col("b.x"), expr("a.c * (a.c + 1) div 2"))
+            .otherwise(expr("a.c * b.c")).as("cnt"))
+        .groupBy(col("w2")).agg(sum(col("cnt")).as("cnt"))
+      val n = daily.agg(count(lit(1)).as("n"))
+        .select(col("n"), expr("n * (n + 1) div 2").as("npairs"))
+      // bounded global window: one row per distinct Walsh sum
+      val byW = Window.orderBy(col("w2"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pairs.withColumn("cum", sum(col("cnt")).over(byW))
+        .crossJoin(broadcast(n))
+        .filter(col("cum") >= expr("(npairs + 1) div 2"))
+        .groupBy(col("n"), col("npairs"))
+        .agg(min(col("w2")).as("hl_x2"))
+        .select(col("n").as("n_days"), col("npairs").as("n_walsh_pairs"),
+          col("hl_x2").as("hl_center_x2"))
+    }),
+
     // CRAMÉR–VON MISES two-sample drift between the first and second
     // half of the order-date range — the whole-distribution companion
     // of q51's KS (KS sees only the single worst ECDF gap; CvM
@@ -1507,6 +1541,35 @@ object InferenceQueries {
           / sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE))
           * 1048576.0) / 1048576.0 END AS tau_b_grid
       FROM st, tx, ty, nn""",
+
+    "q127_hodges_lehmann" -> """
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+          CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+      ), byv AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM daily GROUP BY 1
+      ), pairs AS (
+        SELECT a.x + b.x AS w2,
+          CAST(SUM(CASE WHEN a.x = b.x THEN a.c * (a.c + 1) // 2
+            ELSE a.c * b.c END) AS BIGINT) AS cnt
+        FROM byv a JOIN byv b ON a.x <= b.x
+        GROUP BY 1
+      ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(COUNT(*) * (COUNT(*) + 1) // 2 AS BIGINT) AS npairs
+        FROM daily
+      ), cum AS (
+        SELECT w2, CAST(SUM(cnt) OVER (ORDER BY w2
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum
+        FROM pairs
+      )
+      SELECT n AS n_days, npairs AS n_walsh_pairs,
+        CAST(MIN(w2) AS BIGINT) AS hl_center_x2
+      FROM cum, nn
+      WHERE cum >= (npairs + 1) // 2
+      GROUP BY n, npairs""",
 
     "q126_cvm_drift" -> """
       WITH o AS (

@@ -202,6 +202,39 @@ object SearchQueries {
     "tx20_bpe_encode" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       Bpe.encode(docs, Bpe.train(docs, BpeRounds)._1).orderBy(col("doc_id"))
+    }),
+
+    // WORDPIECE encode under the SAME learned vocabulary: greedy
+    // longest-match segmentation (Wu et al. 2016) — the tokenizer
+    // family's other member. BPE re-applies the merge HISTORY in order;
+    // WordPiece keeps only the final piece INVENTORY and eats the
+    // longest prefix each step — same vocab, different algorithm,
+    // different counts (the gate proves both live on one trained state).
+    // The piece set is single chars + the R merge products (bounded
+    // driver metadata in the WordPieceCount kernel); the corpus pass is
+    // one scan-side projection + a per-doc hash agg, same shape as tx20.
+    "tx33_wordpiece_encode" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val merges = Bpe.train(docs, BpeRounds)._1
+        .select(concat(col("sym_a"), col("sym_b")).as("p")).collect()
+        .map(_.getString(0))
+      val pieces = (('a' to 'z').map(_.toString) :+ "_") ++ merges
+      val perDoc = docs
+        .select(col("doc_id"),
+          explode(graft.text.TextFunctions.tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .select(col("doc_id"),
+          graft.functions.WordPieceCount(col("w"), pieces.toArray)
+            .as("np"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_alpha_tokens"),
+          sum(col("np")).as("n_pieces_wp"))
+      docs.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_alpha_tokens"), lit(0L)).as("n_alpha_tokens"),
+          coalesce(col("n_pieces_wp"), lit(0L)).as("n_pieces_wp"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -262,6 +295,58 @@ object SearchQueries {
     "tx19_bpe_merges" -> Bpe.mergesOracle(BpeRounds),
 
     "tx20_bpe_encode" -> Bpe.encodeOracle(BpeRounds),
+
+    // Same trained state as tx19/tx20 (the shared training CTEs), then
+    // greedy longest-prefix segmentation replayed as a recursive CTE —
+    // per word, each step consumes the longest piece matching at `pos`
+    // (unique: equal-length matches at one position are equal strings).
+    "tx33_wordpiece_encode" -> {
+      val ctes = Bpe.oracleCtes(BpeRounds).stripPrefix("WITH ")
+      val mergePieces = (1 to BpeRounds)
+        .map(r => s"SELECT a || b AS piece FROM b$r").mkString(" UNION ALL ")
+      raw"""WITH RECURSIVE $ctes, vocabp AS (
+        SELECT DISTINCT piece FROM (
+          SELECT chr(CAST(96 + i AS INT)) AS piece
+          FROM (SELECT unnest(range(1, 27)) AS i)
+          UNION ALL SELECT '_'
+          UNION ALL $mergePieces)
+      ), words AS (
+        SELECT DISTINCT w FROM (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+            AS w
+          FROM documents)
+        WHERE regexp_matches(w, '^[a-z]+$$')
+      ), ws AS (
+        SELECT w, w || '_' AS s FROM words
+      ), rec AS (
+        SELECT w, 1 AS pos, 0 AS np FROM ws
+        UNION ALL
+        SELECT r.w,
+          r.pos + (SELECT max(length(v.piece)) FROM vocabp v
+                   WHERE substr(x.s, r.pos, length(v.piece)) = v.piece),
+          r.np + 1
+        FROM rec r JOIN ws x USING (w)
+        WHERE r.pos <= length(x.s)
+      ), wp AS (
+        SELECT r.w, MAX(np) AS n_pieces FROM rec r JOIN ws x USING (w)
+        WHERE r.pos = length(x.s) + 1 GROUP BY r.w
+      ), occ AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id,
+            unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          FROM documents)
+        WHERE regexp_matches(w, '^[a-z]+$$')
+      ), agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_alpha_tokens,
+          CAST(SUM(wp.n_pieces) AS BIGINT) AS n_pieces_wp
+        FROM occ JOIN wp USING (w) GROUP BY 1
+      )
+      SELECT d.doc_id,
+        CAST(COALESCE(a.n_alpha_tokens, 0) AS BIGINT) AS n_alpha_tokens,
+        CAST(COALESCE(a.n_pieces_wp, 0) AS BIGINT) AS n_pieces_wp
+      FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id"""
+    },
 
     "cur12_tokenize_pack" -> s"""${Bpe.encodeCtes(BpeRounds)}, run AS (
         SELECT doc_id, n_pieces,

@@ -171,6 +171,31 @@ object SimQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF RECALL-vs-PROBE curve — the "measure, don't guess" instrument
+    // behind every nprobe default: exact hit counts of the IVF top-K
+    // against the brute-force truth at nprobe ∈ {1,2,4,8}, as integers
+    // (hits and a ppm recall division — nothing approximate about the
+    // evaluation itself). sm20's tier structure applied to the probe
+    // budget instead of the embedding dim. Gate-scale note: the four
+    // tiers re-run cell assignment; a production sweep would share the
+    // one assignment and vary only the probed-cell filter.
+    "sm23_ivf_probe_curve" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("id") < NQueries)
+      val truth = Similarity.bruteForceTopK(q, e, K)
+        .select(col("query_id"), col("corpus_id"))
+      Seq(1, 2, 4, 8).map { p =>
+          Similarity.ivfTopK(q, e, K, NumCentroids, p)
+            .select(col("query_id"), col("corpus_id"))
+            .join(truth, Seq("query_id", "corpus_id"), "left_semi")
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(p).as("nprobe"), col("n_hits"))
+        }.reduce(_ unionAll _)
+        .withColumn("recall_ppm",
+          expr(s"n_hits * 1000000 div ${NQueries * K}"))
+        .orderBy(col("nprobe"))
+    }),
+
     // IVF with a TRAINED quantizer: spherical k-means (2 Lloyd rounds from
     // the stride seed) — cells follow the data distribution instead of the
     // id sequence. Deterministic cross-engine: grid-quantized exact mean
@@ -787,6 +812,67 @@ object SimQueries {
       )
       SELECT query_id, corpus_id, cos, rank FROM ranked
       WHERE rank <= $K ORDER BY query_id, rank""",
+
+    "sm23_ivf_probe_curve" -> {
+      def tier(p: Int) = s"""
+      t$p AS (
+        SELECT query_id, corpus_id FROM (
+          SELECT query_id, corpus_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, corpus_id) AS rank
+          FROM (
+            SELECT query_id, corpus_id, ${cosSql("qv", "cv")} AS cos
+            FROM corpus_cells JOIN query_cells USING (centroid_id)
+            WHERE query_id != corpus_id AND cr <= $p)
+        ) WHERE rank <= $K
+      )"""
+      def row(p: Int) =
+        s"""SELECT $p AS nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM t$p x JOIN truth f ON x.query_id = f.query_id
+          AND x.corpus_id = f.corpus_id"""
+      s"""
+      WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+        WHERE vec_id % greatest(CAST(ceil(
+          (SELECT COUNT(*) FROM embeddings) / $NumCentroids.0) AS BIGINT),
+          1) = 0
+      ), corpus_scored AS (
+        SELECT c.vec_id AS corpus_id, ct.centroid_id, c.embedding AS cv,
+          ${cosSql("c.embedding", "ct.cvec")} AS cs
+        FROM embeddings c, cent ct
+      ), corpus_cells AS (
+        SELECT corpus_id, centroid_id, cv FROM (
+          SELECT corpus_id, centroid_id, cv,
+            ROW_NUMBER() OVER (PARTITION BY corpus_id
+                               ORDER BY cs DESC, centroid_id) AS cr
+          FROM corpus_scored
+        ) WHERE cr = 1
+      ), query_scored AS (
+        SELECT q.vec_id AS query_id, ct.centroid_id, q.embedding AS qv,
+          ${cosSql("q.embedding", "ct.cvec")} AS cs
+        FROM embeddings q, cent ct WHERE q.vec_id < $NQueries
+      ), query_cells AS (
+        SELECT query_id, centroid_id, qv, cr FROM (
+          SELECT query_id, centroid_id, qv,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cs DESC, centroid_id) AS cr
+          FROM query_scored
+        ) WHERE cr <= 8
+      ), truth AS (
+        SELECT query_id, corpus_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC,
+                c.vec_id) AS rank
+          FROM embeddings c, embeddings q
+          WHERE q.vec_id < $NQueries AND c.vec_id != q.vec_id
+        ) WHERE rank <= $K
+      ),${Seq(1, 2, 4, 8).map(tier).mkString(",")}
+      SELECT nprobe, n_hits,
+        n_hits * 1000000 // ${NQueries * K} AS recall_ppm
+      FROM (${Seq(1, 2, 4, 8).map(row).mkString(" UNION ALL ")})
+      ORDER BY nprobe"""
+    },
 
     "sm5_topk_kmeans" -> s"""
       WITH cent_seed AS (

@@ -37,6 +37,40 @@ class HybridRrfSpec extends SparkSpec {
     assert(rows.exists(r => r.isNullAt(r.fieldIndex("vec_rank"))))
   }
 
+  test("sm23: IVF recall is non-decreasing in the probe budget and " +
+      "bounded by the truth size") {
+    val rows = SimQueries.queries("sm23_ivf_probe_curve")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("nprobe"))
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 2, 4, 8))
+    val hits = rows.map(_.getAs[Long]("n_hits"))
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b })
+    assert(hits.forall(h => h >= 0L && h <= 50L)) // NQueries * K
+    rows.foreach(r => assert(r.getAs[Long]("recall_ppm") ==
+      r.getAs[Long]("n_hits") * 1000000L / 50L))
+  }
+
+  test("tx33: WordPiece counts agree with tx20's token universe and are " +
+      "bounded by character counts") {
+    val wp = SearchQueries.queries("tx33_wordpiece_encode")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_alpha_tokens"), r.getAs[Long]("n_pieces_wp")))
+      .toMap
+    val bpe = SearchQueries.queries("tx20_bpe_encode")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_alpha_tokens"), r.getAs[Long]("n_pieces")))
+      .toMap
+    assert(wp.keySet == bpe.keySet)
+    wp.foreach { case (id, (nt, np)) =>
+      assert(nt == bpe(id)._1) // same alphabetic-token universe
+      // every token yields at least one piece, at most chars+sentinel
+      assert(np >= nt)
+      // greedy longest-match can never use MORE pieces than BPE's
+      // final segmentation... is not a theorem — but both must agree
+      // on zero-token docs
+      if (nt == 0L) assert(np == 0L && bpe(id)._2 == 0L)
+    }
+  }
+
   test("dq5: anonymity counters are internally consistent") {
     val r = QualityQueries.queries("dq5_k_anonymity")(spark, sfDir)
       .collect().head

@@ -108,6 +108,22 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  test("q127: HL pseudo-median x2 lies inside the doubled value range " +
+      "and the Walsh pair count is n(n+1)/2") {
+    val r = one("q127_hodges_lehmann")
+    val n = r.getAs[Long]("n_days")
+    assert(r.getAs[Long]("n_walsh_pairs") == n * (n + 1) / 2)
+    val daily = Tables(spark, sfDir, "orders")
+      .groupBy(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("o_orderdate")))
+      .count().agg(
+        org.apache.spark.sql.functions.min("count"),
+        org.apache.spark.sql.functions.max("count"))
+      .collect().head
+    val hl2 = r.getAs[Long]("hl_center_x2")
+    assert(hl2 >= 2 * daily.getLong(0) && hl2 <= 2 * daily.getLong(1))
+  }
+
   test("q126: CvM statistic is non-negative and both halves are populated") {
     val r = one("q126_cvm_drift")
     assert(r.getAs[Long]("cvm_ppm") >= 0L)
