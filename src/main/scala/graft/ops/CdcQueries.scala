@@ -355,6 +355,34 @@ object CdcQueries {
     store
   }
 
+  /** Merge table with a GENERATED (virtual) column and a CHECK that
+    * references it: CREATE batch → add `price_band` (computed $1000 band
+    * of totalprice) → add CHECK over the generated value → UPDATE batch
+    * (enforced through the generated column).
+    */
+  private def generatedOrdersTableDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_merge_generated_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val log = changeLog(s, dir)
+        val b1 = log.filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        graft.streaming.MergeInto.mergeBatch(s, b1, store, "id")
+        graft.streaming.MergeInto.addGeneratedColumn(s, store, "price_band",
+          "CAST(round(totalprice * 100) AS BIGINT) div 100000")
+        graft.streaming.MergeInto.addCheckConstraint(s, store,
+          "band_in_range", "price_band >= 0 AND price_band < 1000")
+        val b2 = log.filter(col("operation_type") === "UPDATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        graft.streaming.MergeInto.mergeBatch(s, b2, store, "id")
+    }
+    store
+  }
+
   /** DuckDB-side derivation of the identical change stream (tombstones never
     * materialize — they carry no lsn and are dropped by O7 on the Spark side).
     */
@@ -703,6 +731,21 @@ object CdcQueries {
       graft.streaming.MergeInto
         .readTable(s, renamedOrdersTableDir(s, dir))
         .select(col("id"), col("order_status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // GENERATED (virtual) COLUMN driver-gated: the merge table reads back
+    // with `price_band` computed from metadata — added as a zero-rewrite
+    // commit between the two merge batches, CHECK-constrained, refused as
+    // a merge-source column. The oracle recomputes the band relationally
+    // over the reconstructed final state — byte-equal means the virtual
+    // column is exactly the expression, on every row, after the second
+    // merge rewrote half the buckets.
+    "cdc_merge_generated" -> ((s, dir) => {
+      graft.streaming.MergeInto
+        .readTable(s, generatedOrdersTableDir(s, dir))
+        .select(col("id"), col("status"), col("totalprice"),
+          col("price_band"))
         .orderBy(col("id"))
     }),
 
@@ -1184,6 +1227,24 @@ object CdcQueries {
       LEFT JOIN (SELECT id, status, totalprice FROM changes
                  WHERE operation_type = 'UPDATE') u USING (id)
       ORDER BY c.id""",
+
+    // Final state (CREATE overridden by UPDATE) with the generated band
+    // recomputed relationally — the virtual column must equal its
+    // defining expression on every row.
+    "cdc_merge_generated" -> s"""$changesCte, fin AS (
+        SELECT c.id,
+          CASE WHEN u.id IS NOT NULL THEN u.status ELSE c.status END
+            AS status,
+          CASE WHEN u.id IS NOT NULL THEN u.totalprice ELSE c.totalprice
+            END AS totalprice
+        FROM (SELECT id, status, totalprice FROM changes
+              WHERE operation_type = 'CREATE') c
+        LEFT JOIN (SELECT id, status, totalprice FROM changes
+                   WHERE operation_type = 'UPDATE') u USING (id)
+      )
+      SELECT id, status, totalprice,
+        CAST(round(totalprice * 100) AS BIGINT) // 100000 AS price_band
+      FROM fin ORDER BY id""",
 
     "cdc_merge_evolve" -> s"""$changesCte
       SELECT c.id,

@@ -54,6 +54,12 @@ object MergeInto {
     // column map: callers speak LOGICAL names; everything below (files,
     // DV, bucket hash) stays physical
     val snap0 = ManifestStore.latest(spark, root)
+    snap0.foreach { sn =>
+      val clash = source.columns.filter(generatedCols(sn).map(_._1).toSet)
+      require(clash.isEmpty, "MERGE source writes GENERATED column(s) " +
+        s"${clash.mkString(", ")} — generated columns are computed on " +
+        "read, never stored")
+    }
     val srcP = snap0.map(toPhysical(source, _)).getOrElse(source)
     val keyP = physicalName(snap0, keyCol)
     val updP = updateCols.map(physicalName(snap0, _))
@@ -218,6 +224,9 @@ object MergeInto {
     require(!snap.entries.contains(ColMapSlot),
       s"table at $root has an active column map — a foreign reader would " +
         "see the stored PHYSICAL column names and misread renamed columns")
+    require(!snap.entries.keys.exists(_.startsWith(GenPrefix)),
+      s"table at $root has GENERATED columns — a foreign reader of the " +
+        "raw files would silently miss them; drop them before exporting")
     val conf = spark.sparkContext.hadoopConfiguration
     val out = new org.apache.hadoop.fs.Path(root,
       f"_exports/v${snap.version}%020d.manifest.txt")
@@ -316,11 +325,19 @@ object MergeInto {
       s"(columns: ${logical.mkString(", ")})")
     require(!logical.contains(to),
       s"column '$to' already exists on $root")
+    require(!snap.entries.contains(GenPrefix + from),
+      s"'$from' is a GENERATED column — drop and re-add it under the new " +
+        "name (nothing is stored, so no rewrite is saved by renaming)")
     val ident = ("""\b""" + java.util.regex.Pattern.quote(from) + """\b""").r
     snap.entries.filter(_._1.startsWith(CheckPrefix)).foreach {
       case (slot, sql) => require(ident.findFirstIn(sql).isEmpty,
         s"CHECK '${slot.stripPrefix(CheckPrefix)}' references '$from' — " +
           "drop it, rename, and re-add it against the new name")
+    }
+    snap.entries.filter(_._1.startsWith(GenPrefix)).foreach {
+      case (slot, sql) => require(ident.findFirstIn(sql).isEmpty,
+        s"generated column '${slot.stripPrefix(GenPrefix)}' references " +
+          s"'$from' — drop it, rename, and re-add it against the new name")
     }
     val phys = physicalName(Some(snap), from)
     val newMap = (physToLogical(snap).filterNot(_._1 == phys) ++
@@ -330,6 +347,81 @@ object MergeInto {
       (if (newMap.isEmpty) Map.empty else Map(ColMapSlot -> newMap))
     ManifestStore.commit(spark, root,
       ManifestStore.nextVersion(spark, root), entries)
+  }
+
+  /** Metadata slot prefix for GENERATED (virtual) columns:
+    * `__gen:<name>` → SQL expression over STORED columns. SQL-standard
+    * virtual generated columns: computed at READ time from table
+    * metadata — adding one is a metadata-only commit (no file rewritten,
+    * always consistent with the stored data by construction), time travel
+    * shows the as-of definition, CHECK constraints may reference them,
+    * and merges that try to WRITE one are refused.
+    */
+  val GenPrefix = "__gen:"
+
+  private def generatedCols(
+      snap: ManifestStore.Snapshot): Seq[(String, String)] =
+    snap.entries.toSeq.filter(_._1.startsWith(GenPrefix))
+      .map { case (slot, sql) => (slot.stripPrefix(GenPrefix), sql) }
+      .sortBy(_._1)
+
+  /** `ALTER TABLE ADD COLUMN <name> GENERATED ALWAYS AS (<sql>) VIRTUAL`.
+    * Refuses: name collisions, bookkeeping/manifest-hostile names, an
+    * expression that doesn't resolve against the current table, and an
+    * expression referencing a RENAMED (column-mapped) or other generated
+    * column — referenced columns must keep logical ≡ physical so the
+    * expression evaluates identically on raw bucket rows (CHECK
+    * enforcement) and on the logical read view.
+    */
+  def addGeneratedColumn(spark: SparkSession, root: String, name: String,
+                         sql: String): Unit = {
+    require(name.nonEmpty && !name.startsWith("__") &&
+      !name.exists(c => c == '=' || c == ';' || c == '\t' || c == '\n' ||
+        c == '\r'),
+      s"generated-column name '$name' is bookkeeping-reserved or " +
+        "manifest-hostile")
+    require(!sql.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      "generated-column expressions must not contain tabs or newlines " +
+        "(manifest line format)")
+    val snap = ManifestStore.latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed table under $root"))
+    require(!snap.entries.contains(GenPrefix + name),
+      s"generated column '$name' already exists on $root")
+    val table = readTable(spark, root)
+    require(!table.columns.contains(name),
+      s"column '$name' already exists on $root")
+    val mappedOrGen = physToLogical(snap).filter(p => p._1 != p._2)
+      .map(_._2) ++ generatedCols(snap).map(_._1)
+    mappedOrGen.foreach { c =>
+      val ident = ("""\b""" + java.util.regex.Pattern.quote(c) + """\b""").r
+      require(ident.findFirstIn(sql).isEmpty,
+        s"generated column '$name' ($sql) references '$c', which is " +
+          "renamed or itself generated — reference stored, unmapped " +
+          "columns only")
+    }
+    // fail fast on an unresolvable expression (schema access analyzes)
+    table.select(expr(sql).as(name)).schema
+    ManifestStore.commit(spark, root, ManifestStore.nextVersion(spark, root),
+      snap.entries + (GenPrefix + name -> sql))
+  }
+
+  /** Drop a generated column. Refuses while a CHECK references it (the
+    * constraint would stop resolving — drop the CHECK first).
+    */
+  def dropGeneratedColumn(spark: SparkSession, root: String,
+                          name: String): Unit = {
+    val snap = ManifestStore.latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed table under $root"))
+    require(snap.entries.contains(GenPrefix + name),
+      s"no generated column '$name' on $root")
+    val ident = ("""\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
+    snap.entries.filter(_._1.startsWith(CheckPrefix)).foreach {
+      case (slot, sql) => require(ident.findFirstIn(sql).isEmpty,
+        s"CHECK '${slot.stripPrefix(CheckPrefix)}' references generated " +
+          s"column '$name' — drop the constraint first")
+    }
+    ManifestStore.commit(spark, root, ManifestStore.nextVersion(spark, root),
+      snap.entries - (GenPrefix + name))
   }
 
   /** Metadata slot prefix for CHECK constraints: `__check:<name>` → SQL
@@ -377,10 +469,16 @@ object MergeInto {
     * any violation fails the statement before anything is staged.
     */
   private def enforceChecks(spark: SparkSession,
-      snap: ManifestStore.Snapshot, rows: DataFrame): Unit = {
+      snap: ManifestStore.Snapshot, rows0: DataFrame): Unit = {
     val checks = snap.entries.toSeq
       .filter(_._1.startsWith(CheckPrefix)).sortBy(_._1)
     if (checks.isEmpty) return
+    // CHECKs may reference generated columns — attach any that aren't
+    // present (gen exprs only reference unmapped columns, see
+    // addGeneratedColumn, so they evaluate on physical rows too)
+    val rows = generatedCols(snap).foldLeft(rows0) { case (d, (name, sql)) =>
+      if (d.columns.contains(name)) d else d.withColumn(name, expr(sql))
+    }
     val aggs = checks.map { case (slot, sql) =>
       sum((!coalesce(expr(sql), lit(true))).cast("long")).as(slot)
     }
@@ -414,6 +512,12 @@ object MergeInto {
       s"updateCols must not contain the merge key '$keyCol'")
     // column-map translation, as in mergeBatch: callers speak logical
     val snapM = ManifestStore.latest(spark, root)
+    snapM.foreach { sn =>
+      val clash = snapshot.columns.filter(generatedCols(sn).map(_._1).toSet)
+      require(clash.isEmpty, "sync snapshot writes GENERATED column(s) " +
+        s"${clash.mkString(", ")} — generated columns are computed on " +
+        "read, never stored")
+    }
     val snapP = snapM.map(toPhysical(snapshot, _)).getOrElse(snapshot)
     val keyP = physicalName(snapM, keyCol)
     val updP = updateCols.map(physicalName(snapM, _))
@@ -598,9 +702,14 @@ object MergeInto {
           ManifestStore.versions(spark, root).mkString(",")))
     // the column map AS OF that version applies — time travel to a
     // pre-rename snapshot reads the old names exactly as committed
-    toLogical(subtractDv(spark, root, snap,
+    val base = toLogical(subtractDv(spark, root, snap,
       ManifestStore.readAt(spark, root, version, mergeSchema = true)
         .drop("__bucket", "__dir")), snap)
+    // generated columns AS OF that version attach on read (virtual — never
+    // stored; a pre-add snapshot reads without them)
+    generatedCols(snap).foldLeft(base) { case (d, (name, sql)) =>
+      d.withColumn(name, expr(sql))
+    }
   }
 
   /** MERGE-ON-READ DELETE via a deletion vector — the write-cheap half of

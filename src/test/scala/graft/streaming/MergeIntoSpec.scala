@@ -28,6 +28,49 @@ class MergeIntoSpec extends SparkSpec {
     assert(got == Seq((1L, "a", 10), (2L, "B", 21), (4L, "d", 40)))
   }
 
+  test("generated column: metadata-only add, computed on read and time " +
+      "travel, CHECK-visible, write-refused, drop order enforced") {
+    val root = java.nio.file.Files.createTempDirectory("gen").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, 10), (2L, 25), (3L, 31)).toDF("k", "v"),
+      root, "k", numBuckets = 4)
+    val vPre = ManifestStore.latest(spark, root).get.version
+    MergeInto.addGeneratedColumn(spark, root, "band", "v div 10")
+    // computed on read, exactly the expression
+    val got = table(root).select("k", "band").as[(Long, Long)]
+      .collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // time travel BEFORE the add reads without it
+    assert(!MergeInto.readTableAt(spark, root, vPre)
+      .columns.contains("band"))
+    // a CHECK over the generated value guards merges
+    MergeInto.addCheckConstraint(spark, root, "band_small", "band < 10")
+    intercept[IllegalArgumentException] {
+      MergeInto.mergeBatch(spark, Seq((4L, 999)).toDF("k", "v"), root, "k",
+        numBuckets = 4)
+    }
+    // writing the generated column is refused
+    intercept[IllegalArgumentException] {
+      MergeInto.mergeBatch(spark,
+        Seq((4L, 40, 4L)).toDF("k", "v", "band"), root, "k", numBuckets = 4)
+    }
+    // valid merge passes and the band updates with the stored value
+    MergeInto.mergeBatch(spark, Seq((2L, 47)).toDF("k", "v"), root, "k",
+      numBuckets = 4)
+    assert(table(root).filter(col("k") === 2L)
+      .select("band").as[Long].head() == 4L)
+    // rename of a referenced column refused; drop CHECK before gen col
+    intercept[IllegalArgumentException] {
+      MergeInto.renameColumn(spark, root, "v", "value")
+    }
+    intercept[IllegalArgumentException] {
+      MergeInto.dropGeneratedColumn(spark, root, "band")
+    }
+    MergeInto.dropCheckConstraint(spark, root, "band_small")
+    MergeInto.dropGeneratedColumn(spark, root, "band")
+    assert(!table(root).columns.contains("band"))
+  }
+
   test("changeFeed: insert/delete/update pairs; identical rewrites silent") {
     val root = java.nio.file.Files.createTempDirectory("merge").toString
     MergeInto.mergeBatch(spark,
