@@ -160,6 +160,13 @@ object GraftExtensions {
       require(args.size == 2,
         "ac_count(str, array-of-string-literals) takes 2 arguments")
       AcCountExpr(args.head, stringArrayLit(args(1), "ac_count terms"))
+    },
+
+    "wordpiece_count" -> { args: Seq[Expression] =>
+      require(args.size == 2,
+        "wordpiece_count(word, pieces-literal) takes 2 arguments")
+      WordPieceCountExpr(args.head,
+        stringArrayLit(args(1), "wordpiece_count pieces"))
     })
 
   /** A CONSTANT array<string> argument. At function-resolution time

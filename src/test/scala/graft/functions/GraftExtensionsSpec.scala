@@ -88,4 +88,12 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getSeq[Long](2).head == 4L * 1048576L) // 2^20 grid units
     assert(r.getString(3) == "ZZ")
   }
+
+  test("wordpiece_count is SQL-callable") {
+    val r = spark.sql("""
+      SELECT wordpiece_count('the',
+        array('t', 'h', 'e', '_', 'the')) AS np
+    """).collect().head
+    assert(r.getInt(0) == 2) // "the" + "_"
+  }
 }
