@@ -140,7 +140,21 @@ class PlanGuardSpec extends SparkSpec {
     "q71_skyline" -> Seq("windowspecdefinition(__b"),
     // blocklist automaton: the term counts come from the scan-side
     // ac_count kernel — term mapping is a literal array lookup, no join
-    "tx31_blocklist_ac" -> Seq("ac_count")
+    "tx31_blocklist_ac" -> Seq("ac_count"),
+    // hybrid RRF: the query-token set broadcasts against the corpus
+    // tokens; both per-query rank filters pre-limit below the exchange
+    "sm22_hybrid_rrf" -> Seq("WindowGroupLimit", "BroadcastHashJoin"),
+    // WordPiece: segmentation is the scan-side wordpiece_count kernel
+    // (vocab rides as a reference object, never a relation)
+    "tx33_wordpiece_encode" -> Seq("wordpiece_count", "HashAggregate"),
+    // CvM: the running ECDF counts ride the PrefixSum decomposition —
+    // the compressed-domain window is partitioned by the value bucket
+    "q126_cvm_drift" -> Seq("windowspecdefinition(__ps_bucket"),
+    // forward as-of: ONE exchange keyed on the join key; the fill window
+    // is partitioned (key-parallel), never global
+    "aj2_asof_next_error" -> Seq("windowspecdefinition(__k"),
+    // probe curve: every tier's shortlist pre-limits below the exchange
+    "sm23_ivf_probe_curve" -> Seq("WindowGroupLimit")
   )
 
   /** query -> plan fragments that must NOT appear */
@@ -175,7 +189,16 @@ class PlanGuardSpec extends SparkSpec {
     // BPE encode is scan-side: any join in this plan means the merge
     // artifact leaked back in as a relation
     "tx20_bpe_encode" ->
-      Seq("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin")
+      Seq("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin"),
+    // WordPiece: same contract — the piece inventory must never appear
+    // as a join relation
+    "tx33_wordpiece_encode" ->
+      Seq("BroadcastNestedLoopJoin", "CartesianProduct", "SortMergeJoin"),
+    // Theil–Sen pairs come from the bounded per-region slice-explode,
+    // never a pair join
+    "q124_theil_sen" -> Seq("CartesianProduct"),
+    // RRF fusion joins two bounded shortlists on (query, corpus) keys
+    "sm22_hybrid_rrf" -> Seq("CartesianProduct")
   )
 
   /** query -> a column of the scanned table that the query does not need;
