@@ -771,6 +771,77 @@ object InferenceQueries {
                * double(1048576)) / double(1048576) END AS tau_b_grid""")
     }),
 
+    // WALD–WOLFOWITZ RUNS TEST on the daily order series — the
+    // is-this-sequence-random monitor (trend AND oscillation both shrink
+    // or inflate the run count; the mean-level tests q74/q121 can miss
+    // pure alternation). Days are classified above/below the lower
+    // median of the compressed value table (ties at the median drop, the
+    // classical treatment); R = 1 + sign changes along the day order.
+    // Counts are exact integers; z is one grid-floored double. All
+    // windows run over the calendar-bounded daily aggregate.
+    "q128_runs_test" -> ((s, dir) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val byV = daily.groupBy(col("x")).agg(count(lit(1)).as("c"))
+      // bounded global window: one row per distinct daily count
+      val byX = Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val n = daily.agg(count(lit(1)).as("n"))
+      val med = byV.withColumn("cum", sum(col("c")).over(byX))
+        .crossJoin(broadcast(n))
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .agg(min(col("x")).as("med"))
+      val signed = daily.crossJoin(broadcast(med))
+        .filter(col("x") =!= col("med"))
+        .withColumn("s", when(col("x") > col("med"), 1).otherwise(-1))
+      // bounded global lag: the filtered daily aggregate
+      val byDay = Window.orderBy(col("day"))
+      signed
+        .withColumn("prev", lag(col("s"), 1).over(byDay))
+        .agg(sum(when(col("s") === 1, 1L).otherwise(0L)).as("n_above"),
+          sum(when(col("s") === -1, 1L).otherwise(0L)).as("n_below"),
+          (sum(when(col("prev").isNotNull && col("prev") =!= col("s"), 1L)
+            .otherwise(0L)) + 1L).as("n_runs"))
+        .selectExpr("n_above", "n_below", "n_runs",
+          """CASE WHEN n_above = 0 OR n_below = 0 THEN CAST(NULL AS DOUBLE)
+             ELSE floor((CAST(n_runs AS DOUBLE)
+               - (2.0 * n_above * n_below / (n_above + n_below) + 1.0))
+               / sqrt(2.0 * n_above * n_below
+                 * (2.0 * n_above * n_below - n_above - n_below)
+                 / (CAST(n_above + n_below AS DOUBLE)
+                   * (n_above + n_below)
+                   * (n_above + n_below - 1)))
+               * double(1048576)) / double(1048576) END AS z_grid""")
+    }),
+
+    // TURNING-POINTS randomness test — q128's high-frequency companion:
+    // counts strict local maxima/minima along the daily series (an
+    // oscillating series turns nearly every day, a trending one almost
+    // never; for an i.i.d. one E[T] = 2(n−2)/3, Var = (16n−29)/90).
+    // The lag/lead pair runs over the bounded daily aggregate; T is an
+    // exact integer and z one grid-floored double.
+    "q129_turning_points" -> ((s, dir) => {
+      val daily = Tables(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      // bounded global window: one row per distinct order day
+      val byDay = Window.orderBy(col("day"))
+      daily
+        .withColumn("p", lag(col("x"), 1).over(byDay))
+        .withColumn("f", lead(col("x"), 1).over(byDay))
+        .filter(col("p").isNotNull && col("f").isNotNull)
+        .agg(count(lit(1)).as("n_interior"),
+          sum(when((col("x") > col("p") && col("x") > col("f")) ||
+            (col("x") < col("p") && col("x") < col("f")), 1L)
+            .otherwise(0L)).as("n_turning"))
+        .selectExpr("n_interior", "n_turning",
+          """floor((CAST(n_turning AS DOUBLE)
+             - 2.0 * n_interior / 3.0)
+             / sqrt((16.0 * (n_interior + 2) - 29.0) / 90.0)
+             * double(1048576)) / double(1048576) AS z_grid""")
+    }),
+
     // HODGES–LEHMANN pseudo-median of the daily order count — the robust
     // location estimate that beats both the mean (unbounded influence)
     // and the raw median (low efficiency): the median of all Walsh
@@ -1541,6 +1612,69 @@ object InferenceQueries {
           / sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE))
           * 1048576.0) / 1048576.0 END AS tau_b_grid
       FROM st, tx, ty, nn""",
+
+    "q128_runs_test" -> """
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+          CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+      ), byv AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM daily GROUP BY 1
+      ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+      med AS (
+        SELECT MIN(x) AS med FROM (
+          SELECT x, CAST(SUM(c) OVER (ORDER BY x
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum
+          FROM byv), nn
+        WHERE cum >= (n + 1) // 2
+      ), signed AS (
+        SELECT day, CASE WHEN x > med THEN 1 ELSE -1 END AS s
+        FROM daily, med WHERE x <> med
+      ), lagged AS (
+        SELECT s, LAG(s) OVER (ORDER BY day) AS prev FROM signed
+      ), agg AS (
+        SELECT
+          CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_above,
+          CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_below,
+          CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> s THEN 1
+            ELSE 0 END) + 1 AS BIGINT) AS n_runs
+        FROM lagged
+      )
+      SELECT n_above, n_below, n_runs,
+        CASE WHEN n_above = 0 OR n_below = 0 THEN CAST(NULL AS DOUBLE)
+        ELSE floor((CAST(n_runs AS DOUBLE)
+          - (2.0 * n_above * n_below / (n_above + n_below) + 1.0))
+          / sqrt(2.0 * n_above * n_below
+            * (2.0 * n_above * n_below - n_above - n_below)
+            / (CAST(n_above + n_below AS DOUBLE)
+              * (n_above + n_below)
+              * (n_above + n_below - 1)))
+          * 1048576.0) / 1048576.0 END AS z_grid
+      FROM agg""",
+
+    "q129_turning_points" -> """
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+          CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+      ), lagged AS (
+        SELECT x, LAG(x) OVER (ORDER BY day) AS p,
+          LEAD(x) OVER (ORDER BY day) AS f
+        FROM daily
+      ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_interior,
+          CAST(SUM(CASE WHEN (x > p AND x > f) OR (x < p AND x < f)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+        FROM lagged WHERE p IS NOT NULL AND f IS NOT NULL
+      )
+      SELECT n_interior, n_turning,
+        floor((CAST(n_turning AS DOUBLE) - 2.0 * n_interior / 3.0)
+          / sqrt((16.0 * (n_interior + 2) - 29.0) / 90.0)
+          * 1048576.0) / 1048576.0 AS z_grid
+      FROM agg""",
 
     "q127_hodges_lehmann" -> """
       WITH daily AS (

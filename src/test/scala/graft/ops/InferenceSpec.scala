@@ -108,6 +108,25 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  test("q128: runs count is within [1, n1+n2] and sides partition the " +
+      "off-median days") {
+    val r = one("q128_runs_test")
+    val (na, nb) = (r.getAs[Long]("n_above"), r.getAs[Long]("n_below"))
+    val runs = r.getAs[Long]("n_runs")
+    assert(runs >= 1L && runs <= na + nb)
+    assert(na + nb > 0L)
+    // a side can be empty (tiny-SF median sits at the minimum) — then z
+    // must be the documented NULL, never a division blowup
+    if (na == 0L || nb == 0L) assert(r.isNullAt(r.fieldIndex("z_grid")))
+    else assert(!r.isNullAt(r.fieldIndex("z_grid")))
+  }
+
+  test("q129: turning points are at most the interior count") {
+    val r = one("q129_turning_points")
+    val t = r.getAs[Long]("n_turning")
+    assert(t >= 0L && t <= r.getAs[Long]("n_interior"))
+  }
+
   test("q127: HL pseudo-median x2 lies inside the doubled value range " +
       "and the Walsh pair count is n(n+1)/2") {
     val r = one("q127_hodges_lehmann")
