@@ -771,6 +771,54 @@ object InferenceQueries {
                * double(1048576)) / double(1048576) END AS tau_b_grid""")
     }),
 
+    // TUKEY MEDIAN POLISH of the region × calendar-month revenue grid —
+    // the robust two-way decomposition (row effect + column effect +
+    // residual, fitted by alternating MEDIAN removal instead of ANOVA's
+    // means, so one anomalous cell stays in ITS residual instead of
+    // leaking into every effect that touches it). Two full sweeps on a
+    // BOUNDED grid (|regions| × 12 cells — the fact table reduces via one
+    // hash agg); lower medians keep every quantity an exact integer, and
+    // the additive identity rev = row_eff + col_eff + residual holds by
+    // construction on every cell.
+    "q130_median_polish" -> ((s, dir) => {
+      def lowMed(in: DataFrame, value: String, part: String,
+                 out: String): DataFrame = {
+        val w = Window.partitionBy(col(part))
+          .orderBy(col(value), col("region"), col("moy"))
+        in.withColumn("__rn", row_number().over(w))
+          .withColumn("__nm",
+            count(lit(1)).over(Window.partitionBy(col(part))))
+          .withColumn(out, min(when(
+            col("__rn") === expr("(__nm + 1) div 2"), col(value)))
+            .over(Window.partitionBy(col(part))))
+          .drop("__rn", "__nm")
+      }
+      val cells = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(Tables(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"),
+          month(col("o_orderdate")).as("moy"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("rev"))
+      val s1 = lowMed(cells.withColumn("v", col("rev")), "v", "region", "a1")
+        .withColumn("v", col("v") - col("a1"))
+      val s2 = lowMed(s1, "v", "moy", "b1")
+        .withColumn("v", col("v") - col("b1"))
+      val s3 = lowMed(s2, "v", "region", "a2")
+        .withColumn("v", col("v") - col("a2"))
+      val s4 = lowMed(s3, "v", "moy", "b2")
+        .withColumn("v", col("v") - col("b2"))
+      s4.select(col("region"), col("moy"), col("rev"),
+          (col("a1") + col("a2")).as("row_eff"),
+          (col("b1") + col("b2")).as("col_eff"),
+          col("v").as("residual"))
+        .orderBy(col("region"), col("moy"))
+    }),
+
     // WALD–WOLFOWITZ RUNS TEST on the daily order series — the
     // is-this-sequence-random monitor (trend AND oscillation both shrink
     // or inflate the run count; the mean-level tests q74/q121 can miss
@@ -1612,6 +1660,64 @@ object InferenceQueries {
           / sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE))
           * 1048576.0) / 1048576.0 END AS tau_b_grid
       FROM st, tx, ty, nn""",
+
+    "q130_median_polish" -> """
+      WITH cells AS (
+        SELECT r_name AS region,
+          CAST(date_part('month', o_orderdate) AS INT) AS moy,
+          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+      ), c0 AS (
+        SELECT region, moy, rev, rev AS v FROM cells
+      ), m1 AS (
+        SELECT region, v AS e1 FROM (
+          SELECT region, v, row_number() OVER (PARTITION BY region
+            ORDER BY v, region, moy) AS rn,
+            COUNT(*) OVER (PARTITION BY region) AS nm
+          FROM c0)
+        WHERE rn = (nm + 1) // 2
+      ), c1 AS (
+        SELECT region, moy, rev, v - e1 AS v, e1
+        FROM c0 JOIN m1 USING (region)
+      ), m2 AS (
+        SELECT moy, v AS f1 FROM (
+          SELECT moy, v, row_number() OVER (PARTITION BY moy
+            ORDER BY v, region, moy) AS rn,
+            COUNT(*) OVER (PARTITION BY moy) AS nm
+          FROM c1)
+        WHERE rn = (nm + 1) // 2
+      ), c2 AS (
+        SELECT region, moy, rev, v - f1 AS v, e1, f1
+        FROM c1 JOIN m2 USING (moy)
+      ), m3 AS (
+        SELECT region, v AS e2 FROM (
+          SELECT region, v, row_number() OVER (PARTITION BY region
+            ORDER BY v, region, moy) AS rn,
+            COUNT(*) OVER (PARTITION BY region) AS nm
+          FROM c2)
+        WHERE rn = (nm + 1) // 2
+      ), c3 AS (
+        SELECT region, moy, rev, v - e2 AS v, e1, f1, e2
+        FROM c2 JOIN m3 USING (region)
+      ), m4 AS (
+        SELECT moy, v AS f2 FROM (
+          SELECT moy, v, row_number() OVER (PARTITION BY moy
+            ORDER BY v, region, moy) AS rn,
+            COUNT(*) OVER (PARTITION BY moy) AS nm
+          FROM c3)
+        WHERE rn = (nm + 1) // 2
+      ), c4 AS (
+        SELECT region, moy, rev, v - f2 AS v, e1, f1, e2, f2
+        FROM c3 JOIN m4 USING (moy)
+      )
+      SELECT region, moy, rev, CAST(e1 + e2 AS BIGINT) AS row_eff,
+        CAST(f1 + f2 AS BIGINT) AS col_eff, CAST(v AS BIGINT) AS residual
+      FROM c4 ORDER BY region, moy""",
 
     "q128_runs_test" -> """
       WITH daily AS (

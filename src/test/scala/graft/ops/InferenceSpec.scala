@@ -108,6 +108,23 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  test("q130: the additive identity rev = row + col + residual holds on " +
+      "every cell, and each polished row/column has lower-median zero") {
+    val rows = InferenceQueries.queries("q130_median_polish")(spark, sfDir)
+      .collect()
+    assert(rows.length == 60) // 5 regions x 12 months
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rev") == r.getAs[Long]("row_eff") +
+        r.getAs[Long]("col_eff") + r.getAs[Long]("residual"))
+    }
+    // after the final column sweep, every column's residual lower median
+    // is exactly zero (that's what the sweep just subtracted)
+    rows.groupBy(_.getAs[Int]("moy")).foreach { case (_, cs) =>
+      val res = cs.map(_.getAs[Long]("residual")).sorted
+      assert(res((res.length + 1) / 2 - 1) == 0L)
+    }
+  }
+
   test("q128: runs count is within [1, n1+n2] and sides partition the " +
       "off-median days") {
     val r = one("q128_runs_test")
