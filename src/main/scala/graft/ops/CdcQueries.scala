@@ -383,6 +383,35 @@ object CdcQueries {
     store
   }
 
+  /** Merge table that OUTGROWS its bucket spec: CREATE batch at 64
+    * buckets → merge-on-read DELETE of a key slice → [[MergeInto.rebucket]]
+    * to 16 (materializing the DV in the same rewrite) → UPDATE batch
+    * merged under the NEW count.
+    */
+  private def rebucketOrdersTableDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_merge_rebucket_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val log = changeLog(s, dir)
+        val b1 = log.filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        graft.streaming.MergeInto.mergeBatch(s, b1, store, "id")
+        graft.streaming.MergeInto.deleteVector(s, store, "id",
+          log.filter(col("operation_type") === "DELETE").select(col("id")))
+        graft.streaming.MergeInto.rebucket(s, store, "id",
+          newNumBuckets = 16)
+        val b2 = log.filter(col("operation_type") === "UPDATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        graft.streaming.MergeInto.mergeBatch(s, b2, store, "id",
+          numBuckets = 16)
+    }
+    store
+  }
+
   /** DuckDB-side derivation of the identical change stream (tombstones never
     * materialize — they carry no lsn and are dropped by O7 on the Spark side).
     */
@@ -731,6 +760,20 @@ object CdcQueries {
       graft.streaming.MergeInto
         .readTable(s, renamedOrdersTableDir(s, dir))
         .select(col("id"), col("order_status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // BUCKET-LAYOUT EVOLUTION driver-gated: the table was created at 64
+    // buckets, a key slice was DV-deleted, rebucket(16) rewrote every row
+    // under the new spec (materializing the DV), and a later merge spoke
+    // the new count. The oracle reconstructs the same final state
+    // relationally — byte-equality proves the rewrite lost nothing,
+    // dropped exactly the DV'd keys, and left the merge semantics intact
+    // across the layout change.
+    "cdc_merge_rebucket" -> ((s, dir) => {
+      graft.streaming.MergeInto
+        .readTable(s, rebucketOrdersTableDir(s, dir))
+        .select(col("id"), col("status"), col("totalprice"))
         .orderBy(col("id"))
     }),
 
@@ -1226,6 +1269,22 @@ object CdcQueries {
             WHERE operation_type = 'CREATE') c
       LEFT JOIN (SELECT id, status, totalprice FROM changes
                  WHERE operation_type = 'UPDATE') u USING (id)
+      ORDER BY c.id""",
+
+    // Final state: CREATE rows minus the DV-deleted slice, overridden by
+    // UPDATE (the two key slices are disjoint: last digit 7 vs 3).
+    "cdc_merge_rebucket" -> s"""$changesCte
+      SELECT c.id,
+        CASE WHEN u.id IS NOT NULL THEN u.status ELSE c.status END
+          AS status,
+        CASE WHEN u.id IS NOT NULL THEN u.totalprice ELSE c.totalprice END
+          AS totalprice
+      FROM (SELECT id, status, totalprice FROM changes
+            WHERE operation_type = 'CREATE') c
+      LEFT JOIN (SELECT id, status, totalprice FROM changes
+                 WHERE operation_type = 'UPDATE') u USING (id)
+      WHERE c.id NOT IN (SELECT id FROM changes
+                         WHERE operation_type = 'DELETE')
       ORDER BY c.id""",
 
     // Final state (CREATE overridden by UPDATE) with the generated band

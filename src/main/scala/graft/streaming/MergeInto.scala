@@ -197,8 +197,60 @@ object MergeInto {
     ManifestStore.commit(spark, root, version, entries)
   }
 
-  /** Metadata slot recording the table's immutable bucket count. */
+  /** Metadata slot recording the table's bucket count — immutable under
+    * merge/sync; changed only by the explicit [[rebucket]] rewrite.
+    */
   val NumBucketsSlot = "__numBuckets"
+
+  /** REBUCKET — layout evolution for the bucketed table: one atomic
+    * commit rewrites every row under a NEW bucket count (the operation a
+    * table runs when it outgrows its original spec — 64 buckets sized for
+    * 1 TB melt into hot files at 100 TB). The rewrite starts from the
+    * merge-on-read view, so a pending deletion vector is materialized for
+    * free and its slot dropped; column map, CHECK constraints, and
+    * generated columns carry forward untouched. Time travel still reads
+    * pre-rebucket versions under THEIR bucketing (per-snapshot entries),
+    * and later merges/lookups must speak the new count — the old count is
+    * refused loudly by the existing immutability guard.
+    */
+  def rebucket(spark: SparkSession, root: String, keyCol: String,
+               newNumBuckets: Int): Unit = {
+    require(newNumBuckets > 0, s"bucket count must be positive")
+    val snap = ManifestStore.latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed table under $root"))
+    val n = snap.entries.getOrElse(NumBucketsSlot,
+      throw new IllegalStateException(
+        s"table at $root has no $NumBucketsSlot metadata")).toInt
+    require(newNumBuckets != n,
+      s"table at $root already has $n buckets — nothing to do")
+    val keyP = physicalName(Some(snap), keyCol)
+    val rows = subtractDv(spark, root, snap,
+      ManifestStore.readAt(spark, root, snap.version, mergeSchema = true)
+        .drop("__bucket", "__dir"))
+    val version = ManifestStore.nextVersion(spark, root)
+    val rel = ManifestStore.dataRel(version)
+    val written: Set[Int] =
+      if (rows.isEmpty) Set.empty
+      else {
+        rows.withColumn("__bucket",
+            pmod(hash(col(keyP)), lit(newNumBuckets)))
+          .repartition(col("__bucket"))
+          .withColumn("__dir", col("__bucket"))
+          .write.mode("errorifexists").partitionBy("__dir")
+          .parquet(s"$root/$rel")
+        spark.read.parquet(s"$root/$rel")
+          .select("__dir").distinct().collect().map(_.getInt(0)).toSet
+      }
+    // numeric slots are bucket entries under the OLD spec: all replaced;
+    // metadata slots (colMap, checks, gens) carry forward; the DV was
+    // materialized by the rewrite
+    val entries =
+      snap.entries.filterNot { case (k, _) => k.forall(_.isDigit) } -
+        DvSlot ++
+        written.map(b => b.toString -> s"$rel/__dir=$b") +
+        (NumBucketsSlot -> newNumBuckets.toString)
+    ManifestStore.commit(spark, root, version, entries)
+  }
 
   /** Export the CURRENT snapshot as a flat parquet-file list any engine
     * can consume (a table format's symlink-manifest export — the

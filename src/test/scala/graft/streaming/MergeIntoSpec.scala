@@ -71,6 +71,40 @@ class MergeIntoSpec extends SparkSpec {
     assert(!table(root).columns.contains("band"))
   }
 
+  test("rebucket: rows survive the rewrite, the DV materializes, history " +
+      "reads under the old spec, and the old count is refused after") {
+    val root = java.nio.file.Files.createTempDirectory("rebucket").toString
+    MergeInto.mergeBatch(spark,
+      (1L to 40L).map(k => (k, s"v$k")).toDF("k", "s"),
+      root, "k", numBuckets = 4)
+    MergeInto.deleteVector(spark, root, "k", Seq(7L, 13L).toDF("k"))
+    val vOld = ManifestStore.latest(spark, root).get.version
+    MergeInto.addCheckConstraint(spark, root, "nonempty", "s IS NOT NULL")
+    MergeInto.rebucket(spark, root, "k", newNumBuckets = 8)
+    val snap = ManifestStore.latest(spark, root).get
+    assert(snap.entries(MergeInto.NumBucketsSlot) == "8")
+    // DV materialized: slot gone, keys gone, everything else intact
+    assert(!snap.entries.contains("aux-dv"))
+    assert(snap.entries.contains(MergeInto.CheckPrefix + "nonempty"))
+    val keys = table(root).select("k").as[Long].collect().toSet
+    assert(keys == (1L to 40L).toSet -- Set(7L, 13L))
+    // time travel to the pre-rebucket version: old bucketing, DV applied
+    assert(MergeInto.readTableAt(spark, root, vOld)
+      .select("k").as[Long].collect().toSet == keys)
+    // the old bucket count is refused; the new one merges fine
+    intercept[IllegalArgumentException] {
+      MergeInto.mergeBatch(spark, Seq((41L, "x")).toDF("k", "s"), root,
+        "k", numBuckets = 4)
+    }
+    MergeInto.mergeBatch(spark, Seq((41L, "x")).toDF("k", "s"), root, "k",
+      numBuckets = 8)
+    assert(table(root).count() == 39)
+    // a no-op rebucket is refused
+    intercept[IllegalArgumentException] {
+      MergeInto.rebucket(spark, root, "k", newNumBuckets = 8)
+    }
+  }
+
   test("changeFeed: insert/delete/update pairs; identical rewrites silent") {
     val root = java.nio.file.Files.createTempDirectory("merge").toString
     MergeInto.mergeBatch(spark,
