@@ -33,6 +33,41 @@ object InferenceQueries {
   private def lng(c: Column): Column =
     round(log(c.cast("double")) * 1048576L).cast("long")
 
+  /** Shared STL pipeline (q122/q131): monthly cents → centered 2×12 MA
+    * trend on the ×24 grid → per-calendar-month lower-median seasonal.
+    * Columns: month, rev_cents, mi, moy, trend_c24 (NULL at edges),
+    * detr_c24, seasonal_c24. All integer; windows run over the
+    * calendar-bounded monthly aggregate only.
+    */
+  private def stlComponents(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .as("rev_cents"))
+      .withColumn("mi", year(col("month")) * 12 + month(col("month")))
+    // bounded global windows: input is one row per calendar month
+    val wA = Window.orderBy(col("mi")).rangeBetween(-6, 5)
+    val wB = Window.orderBy(col("mi")).rangeBetween(-5, 6)
+    val trended = monthly
+      .withColumn("trend_c24",
+        when(count(lit(1)).over(wA) === 12 &&
+          count(lit(1)).over(wB) === 12,
+          sum(col("rev_cents")).over(wA) +
+            sum(col("rev_cents")).over(wB)))
+      .withColumn("detr_c24", col("rev_cents") * 24 - col("trend_c24"))
+      .withColumn("moy", (col("mi") % 12).cast("int"))
+    val interior = trended.filter(col("detr_c24").isNotNull)
+    val byMoy = Window.partitionBy(col("moy"))
+      .orderBy(col("detr_c24"), col("month"))
+    val seasonal = interior
+      .withColumn("rn", row_number().over(byMoy))
+      .withColumn("nm",
+        count(lit(1)).over(Window.partitionBy(col("moy"))))
+      .filter(col("rn") === expr("(nm + 1) div 2"))
+      .select(col("moy"), col("detr_c24").as("seasonal_c24"))
+    trended.join(broadcast(seasonal), Seq("moy"), "left")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // RESOURCE-ALLOCATION link prediction (Zhou–Lü–Zhang, EPJ B 2009):
@@ -588,39 +623,42 @@ object InferenceQueries {
     // calendar-bounded monthly table (~84 rows at every SF); all windows
     // run over that aggregate (PlanGuard-benign), and the seasonal
     // medians are 12 groups of ≤ span/12 rows.
-    "q122_stl_decompose" -> ((s, dir) => {
-      val monthly = Tables(s, dir, "orders")
-        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
-        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
-          .as("rev_cents"))
-        .withColumn("mi",
-          year(col("month")) * 12 + month(col("month")))
-      // bounded global windows: input is one row per calendar month
-      val wA = Window.orderBy(col("mi")).rangeBetween(-6, 5)
-      val wB = Window.orderBy(col("mi")).rangeBetween(-5, 6)
-      val trended = monthly
-        .withColumn("trend_c24",
-          when(count(lit(1)).over(wA) === 12 &&
-            count(lit(1)).over(wB) === 12,
-            sum(col("rev_cents")).over(wA) +
-              sum(col("rev_cents")).over(wB)))
-        .withColumn("detr_c24",
-          col("rev_cents") * 24 - col("trend_c24"))
-        .withColumn("moy", (col("mi") % 12).cast("int"))
-      val interior = trended.filter(col("detr_c24").isNotNull)
-      val byMoy = Window.partitionBy(col("moy"))
-        .orderBy(col("detr_c24"), col("month"))
-      val seasonal = interior
-        .withColumn("rn", row_number().over(byMoy))
-        .withColumn("nm",
-          count(lit(1)).over(Window.partitionBy(col("moy"))))
-        .filter(col("rn") === expr("(nm + 1) div 2"))
-        .select(col("moy"), col("detr_c24").as("seasonal_c24"))
-      trended.join(broadcast(seasonal), Seq("moy"), "left")
+    "q122_stl_decompose" -> ((s, dir) =>
+      stlComponents(s, dir)
         .select(col("month").cast("timestamp_ntz").as("month"),
           col("rev_cents"), col("trend_c24"), col("seasonal_c24"),
           (col("detr_c24") - col("seasonal_c24")).as("remainder_c24"))
-        .orderBy(col("month"))
+        .orderBy(col("month"))),
+
+    // STL STRENGTH measures (Hyndman's Fs/Ft): how much of the series'
+    // variation the seasonal and trend components actually explain —
+    // Fs = 1 − Var(remainder)/Var(seasonal + remainder), Ft likewise
+    // against (trend + remainder), each clamped at 0. Every variance
+    // rides the exact n·Σx² − (Σx)² form in DECIMAL(38,0) over the
+    // interior months, and the ratio is ONE ppm integral division (equal
+    // n's cancel) — zero doubles. One row, bounded input.
+    "q131_stl_strength" -> ((s, dir) => {
+      val comp = stlComponents(s, dir)
+        .filter(col("trend_c24").isNotNull)
+        .select((col("detr_c24") - col("seasonal_c24")).as("r"),
+          col("detr_c24").as("sr"), // seasonal + remainder
+          (col("rev_cents") * 24 - col("seasonal_c24")).as("tr"))
+      comp.agg(count(lit(1)).as("n"),
+          sum(col("r")).as("s_r"),
+          sum(expr("CAST(r AS DECIMAL(38,0)) * r")).as("ss_r"),
+          sum(col("sr")).as("s_sr"),
+          sum(expr("CAST(sr AS DECIMAL(38,0)) * sr")).as("ss_sr"),
+          sum(col("tr")).as("s_tr"),
+          sum(expr("CAST(tr AS DECIMAL(38,0)) * tr")).as("ss_tr"))
+        .select(col("n").as("n_interior"),
+          expr("""greatest(0L, 1000000 - CAST(
+            (1000000 * (n * ss_r - CAST(s_r AS DECIMAL(38,0)) * s_r))
+            div (n * ss_sr - CAST(s_sr AS DECIMAL(38,0)) * s_sr)
+            AS BIGINT))""").as("seasonal_strength_ppm"),
+          expr("""greatest(0L, 1000000 - CAST(
+            (1000000 * (n * ss_r - CAST(s_r AS DECIMAL(38,0)) * s_r))
+            div (n * ss_tr - CAST(s_tr AS DECIMAL(38,0)) * s_tr)
+            AS BIGINT))""").as("trend_strength_ppm"))
     }),
 
     // BINARY SEGMENTATION changepoint search over the daily order series
@@ -1002,6 +1040,43 @@ object InferenceQueries {
         JOIN records nb ON nb.id = cand.id_b
         ORDER BY jw DESC, id_a, id_b LIMIT 50""")
     }))
+
+  /** Shared DuckDB STL chain (q122/q131): monthly → mi → tr (2×12 MA) →
+    * det → seas — the SQL twin of [[stlComponents]].
+    */
+  private val StlCte: String = """
+      WITH monthly AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS rev_cents
+        FROM orders GROUP BY 1
+      ), mi AS (
+        SELECT month, rev_cents,
+          CAST(date_part('year', month) * 12 + date_part('month', month)
+            AS INT) AS mi
+        FROM monthly
+      ), tr AS (
+        SELECT month, rev_cents, mi,
+          CAST(CASE WHEN COUNT(*) OVER wa = 12 AND COUNT(*) OVER wb = 12
+            THEN SUM(rev_cents) OVER wa + SUM(rev_cents) OVER wb
+            END AS BIGINT) AS trend_c24
+        FROM mi
+        WINDOW wa AS (ORDER BY mi RANGE BETWEEN 6 PRECEDING
+          AND 5 FOLLOWING),
+        wb AS (ORDER BY mi RANGE BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+      ), det AS (
+        SELECT month, rev_cents, trend_c24,
+          rev_cents * 24 - trend_c24 AS detr_c24, mi % 12 AS moy
+        FROM tr
+      ), seas AS (
+        SELECT moy, CAST(detr_c24 AS BIGINT) AS seasonal_c24 FROM (
+          SELECT moy, detr_c24,
+            row_number() OVER (PARTITION BY moy ORDER BY detr_c24, month)
+              AS rn,
+            COUNT(*) OVER (PARTITION BY moy) AS nm
+          FROM det WHERE detr_c24 IS NOT NULL)
+        WHERE rn = (nm + 1) // 2
+      )"""
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1504,43 +1579,38 @@ object InferenceQueries {
       JOIN records nb ON nb.id = cand.id_b
       ORDER BY jw DESC, id_a, id_b LIMIT 50""",
 
-    "q122_stl_decompose" -> """
-      WITH monthly AS (
-        SELECT date_trunc('month', o_orderdate) AS month,
-          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-            AS rev_cents
-        FROM orders GROUP BY 1
-      ), mi AS (
-        SELECT month, rev_cents,
-          CAST(date_part('year', month) * 12 + date_part('month', month)
-            AS INT) AS mi
-        FROM monthly
-      ), tr AS (
-        SELECT month, rev_cents, mi,
-          CAST(CASE WHEN COUNT(*) OVER wa = 12 AND COUNT(*) OVER wb = 12
-            THEN SUM(rev_cents) OVER wa + SUM(rev_cents) OVER wb
-            END AS BIGINT) AS trend_c24
-        FROM mi
-        WINDOW wa AS (ORDER BY mi RANGE BETWEEN 6 PRECEDING
-          AND 5 FOLLOWING),
-        wb AS (ORDER BY mi RANGE BETWEEN 5 PRECEDING AND 6 FOLLOWING)
-      ), det AS (
-        SELECT month, rev_cents, trend_c24,
-          rev_cents * 24 - trend_c24 AS detr_c24, mi % 12 AS moy
-        FROM tr
-      ), seas AS (
-        SELECT moy, CAST(detr_c24 AS BIGINT) AS seasonal_c24 FROM (
-          SELECT moy, detr_c24,
-            row_number() OVER (PARTITION BY moy ORDER BY detr_c24, month)
-              AS rn,
-            COUNT(*) OVER (PARTITION BY moy) AS nm
-          FROM det WHERE detr_c24 IS NOT NULL)
-        WHERE rn = (nm + 1) // 2
-      )
+    "q122_stl_decompose" -> s"""$StlCte
       SELECT d.month, d.rev_cents, d.trend_c24, s.seasonal_c24,
         CAST(d.detr_c24 - s.seasonal_c24 AS BIGINT) AS remainder_c24
       FROM det d LEFT JOIN seas s USING (moy)
       ORDER BY d.month""",
+
+    "q131_stl_strength" -> s"""$StlCte, comp AS (
+        SELECT CAST(d.detr_c24 - s.seasonal_c24 AS BIGINT) AS r,
+          d.detr_c24 AS sr,
+          CAST(d.rev_cents * 24 - s.seasonal_c24 AS BIGINT) AS tr
+        FROM det d JOIN seas s USING (moy)
+        WHERE d.trend_c24 IS NOT NULL
+      ), agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(CAST(r AS HUGEINT)) AS s_r,
+          SUM(CAST(r AS HUGEINT) * r) AS ss_r,
+          SUM(CAST(sr AS HUGEINT)) AS s_sr,
+          SUM(CAST(sr AS HUGEINT) * sr) AS ss_sr,
+          SUM(CAST(tr AS HUGEINT)) AS s_tr,
+          SUM(CAST(tr AS HUGEINT) * tr) AS ss_tr
+        FROM comp
+      )
+      SELECT n AS n_interior,
+        CAST(greatest(0, 1000000 - CAST(
+          (1000000 * (n * ss_r - s_r * s_r))
+          // (n * ss_sr - s_sr * s_sr) AS BIGINT)) AS BIGINT)
+          AS seasonal_strength_ppm,
+        CAST(greatest(0, 1000000 - CAST(
+          (1000000 * (n * ss_r - s_r * s_r))
+          // (n * ss_tr - s_tr * s_tr) AS BIGINT)) AS BIGINT)
+          AS trend_strength_ppm
+      FROM agg""",
 
     "q123_binseg_changepoint" -> """
       WITH daily AS (

@@ -108,6 +108,15 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  test("q131: strengths are ppm fractions; the fixture's strong " +
+      "seasonality registers") {
+    val r = one("q131_stl_strength")
+    val fs = r.getAs[Long]("seasonal_strength_ppm")
+    val ft = r.getAs[Long]("trend_strength_ppm")
+    assert(fs >= 0L && fs <= 1000000L && ft >= 0L && ft <= 1000000L)
+    assert(r.getAs[Long]("n_interior") >= 12L)
+  }
+
   test("q130: the additive identity rev = row + col + residual holds on " +
       "every cell, and each polished row/column has lower-median zero") {
     val rows = InferenceQueries.queries("q130_median_polish")(spark, sfDir)
