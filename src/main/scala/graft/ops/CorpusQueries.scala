@@ -70,6 +70,52 @@ object CorpusQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // DATASET CARD — the one-row release summary every published training
+    // corpus ships (docs/tokens/languages/sources, exact-duplicate mass,
+    // median document length): the practical artifact that composes the
+    // corpus instruments into a signable statement. Everything is exact:
+    // counts, a ppm duplication ratio (dd1's normalized fingerprint), the
+    // lower-median length from the compressed length table, and the
+    // deterministic top language (count desc, name asc). Scale shape:
+    // two corpus hash aggs (stats + fingerprints) and bounded reductions
+    // — the card costs two scans regardless of corpus size.
+    "cur18_dataset_card" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+            .as("fp"))
+      val core = base.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars_total"),
+        sum(col("n_tokens")).as("n_tokens_total"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))
+      val topLang = base.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("lang")).limit(1)
+        .select(col("lang").as("top_lang"), col("c").as("top_lang_docs"))
+      val dup = base.groupBy(col("fp")).agg(count(lit(1)).as("sz"))
+        .agg(sum(when(col("sz") > 1, col("sz")).otherwise(0L))
+          .as("dup_docs"))
+      val byLen = base.select(col("n_chars").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      // bounded global window: one row per distinct document length
+      val byV = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val n = base.agg(count(lit(1)).as("n"))
+      val med = byLen.withColumn("cum", sum(col("c")).over(byV))
+        .crossJoin(broadcast(n))
+        .filter(col("cum") >= expr("(n + 1) div 2"))
+        .agg(min(col("v")).as("p50_chars"))
+      core.crossJoin(broadcast(topLang)).crossJoin(broadcast(dup))
+        .crossJoin(broadcast(med))
+        .select(col("n_docs"), col("n_chars_total"), col("n_tokens_total"),
+          col("n_langs"), col("n_sources"), col("top_lang"),
+          col("top_lang_docs"),
+          expr("dup_docs * 1000000 div n_docs").as("dup_ratio_ppm"),
+          col("p50_chars"))
+    }),
+
     // Sequence packing: each document's global token start offset and its
     // budget-sized pack — computed as a distributed prefix sum (bucket
     // totals + tiny cumsum + partitioned within-bucket window), never a
@@ -464,6 +510,43 @@ object CorpusQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "cur18_dataset_card" -> raw"""
+      WITH base AS (
+        SELECT doc_id, lang, source, n_chars,
+          CAST($NT AS BIGINT) AS n_tokens,
+          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents
+      ), core AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+          CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+          CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+          CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM base
+      ), top_lang AS (
+        SELECT lang AS top_lang, CAST(COUNT(*) AS BIGINT)
+          AS top_lang_docs
+        FROM base GROUP BY lang
+        ORDER BY COUNT(*) DESC, lang LIMIT 1
+      ), dup AS (
+        SELECT CAST(SUM(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT)
+          AS dup_docs
+        FROM (SELECT fp, COUNT(*) AS sz FROM base GROUP BY fp)
+      ), med AS (
+        SELECT CAST(MIN(v) AS BIGINT) AS p50_chars FROM (
+          SELECT v, CAST(SUM(c) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum
+          FROM (SELECT n_chars AS v, COUNT(*) AS c FROM base GROUP BY 1)),
+          core
+        WHERE cum >= (n_docs + 1) // 2
+      )
+      SELECT n_docs, n_chars_total, n_tokens_total, n_langs, n_sources,
+        top_lang, top_lang_docs,
+        CAST(dup_docs * 1000000 // n_docs AS BIGINT) AS dup_ratio_ppm,
+        p50_chars
+      FROM core, top_lang, dup, med""",
+
     "pk1_doc_packing" -> s"""
       WITH toks AS (
         SELECT doc_id, $NT AS n_tokens FROM documents

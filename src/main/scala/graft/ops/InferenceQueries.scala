@@ -809,6 +809,36 @@ object InferenceQueries {
                * double(1048576)) / double(1048576) END AS tau_b_grid""")
     }),
 
+    // McNEMAR'S TEST on paired customer activity — did the population's
+    // ordering behavior CHANGE between the two halves of the date range?
+    // The paired design uses only the DISCORDANT cells (active→inactive
+    // b vs inactive→active c): χ² = (b−c)²/(b+c), exact ppm integers —
+    // the concordant mass that drowns a naive two-proportion test drops
+    // out by construction. One join + one contingency agg; the customer
+    // dimension is the pairing universe.
+    "q132_mcnemar" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("us"))
+      val mid = o.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val act = o.crossJoin(broadcast(mid))
+        .groupBy(col("o_custkey"))
+        .agg(max(when(col("us") < col("mid"), 1L).otherwise(0L)).as("h1"),
+          max(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("h2"))
+      Tables(s, dir, "customer").select(col("c_custkey"))
+        .join(act, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("h1"), lit(0L)).as("h1"),
+          coalesce(col("h2"), lit(0L)).as("h2"))
+        .agg(sum(expr("h1 * h2")).as("n_both"),
+          sum(expr("h1 * (1 - h2)")).as("n_lost"),
+          sum(expr("(1 - h1) * h2")).as("n_gained"),
+          sum(expr("(1 - h1) * (1 - h2)")).as("n_neither"))
+        .selectExpr("n_both", "n_lost", "n_gained", "n_neither",
+          """CASE WHEN n_lost + n_gained = 0 THEN CAST(NULL AS BIGINT)
+             ELSE CAST(1000000 * (n_lost - n_gained) * (n_lost - n_gained)
+               div (n_lost + n_gained) AS BIGINT) END AS chi2_ppm""")
+    }),
+
     // TUKEY MEDIAN POLISH of the region × calendar-month revenue grid —
     // the robust two-way decomposition (row effect + column effect +
     // residual, fitted by alternating MEDIAN removal instead of ANOVA's
@@ -1730,6 +1760,32 @@ object InferenceQueries {
           / sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE))
           * 1048576.0) / 1048576.0 END AS tau_b_grid
       FROM st, tx, ty, nn""",
+
+    "q132_mcnemar" -> """
+      WITH o AS (
+        SELECT o_custkey, epoch_us(o_orderdate) AS us FROM orders
+      ), mid AS (
+        SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM o
+      ), act AS (
+        SELECT o_custkey,
+          CAST(MAX(CASE WHEN us < mid THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+          CAST(MAX(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS BIGINT) AS h2
+        FROM o, mid GROUP BY 1
+      ), paired AS (
+        SELECT COALESCE(a.h1, 0) AS h1, COALESCE(a.h2, 0) AS h2
+        FROM customer c LEFT JOIN act a ON c.c_custkey = a.o_custkey
+      ), agg AS (
+        SELECT CAST(SUM(h1 * h2) AS BIGINT) AS n_both,
+          CAST(SUM(h1 * (1 - h2)) AS BIGINT) AS n_lost,
+          CAST(SUM((1 - h1) * h2) AS BIGINT) AS n_gained,
+          CAST(SUM((1 - h1) * (1 - h2)) AS BIGINT) AS n_neither
+        FROM paired
+      )
+      SELECT n_both, n_lost, n_gained, n_neither,
+        CASE WHEN n_lost + n_gained = 0 THEN CAST(NULL AS BIGINT)
+        ELSE CAST(1000000 * (n_lost - n_gained) * (n_lost - n_gained)
+          // (n_lost + n_gained) AS BIGINT) END AS chi2_ppm
+      FROM agg""",
 
     "q130_median_polish" -> """
       WITH cells AS (

@@ -108,6 +108,27 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  test("q132: the four McNemar cells tile the customer universe") {
+    val r = one("q132_mcnemar")
+    val total = r.getAs[Long]("n_both") + r.getAs[Long]("n_lost") +
+      r.getAs[Long]("n_gained") + r.getAs[Long]("n_neither")
+    val nCust = Tables(spark, sfDir, "customer").count()
+    assert(total == nCust)
+    if (!r.isNullAt(r.fieldIndex("chi2_ppm")))
+      assert(r.getAs[Long]("chi2_ppm") >= 0L)
+  }
+
+  test("cur18: card counts are internally consistent") {
+    val r = CorpusQueries.queries("cur18_dataset_card")(spark, sfDir)
+      .collect().head
+    assert(r.getAs[Long]("n_docs") > 0L)
+    assert(r.getAs[Long]("top_lang_docs") <= r.getAs[Long]("n_docs"))
+    assert(r.getAs[Long]("n_langs") >= 1L)
+    val dup = r.getAs[Long]("dup_ratio_ppm")
+    assert(dup >= 0L && dup <= 1000000L)
+    assert(r.getAs[Long]("p50_chars") > 0L)
+  }
+
   test("q131: strengths are ppm fractions; the fixture's strong " +
       "seasonality registers") {
     val r = one("q131_stl_strength")
