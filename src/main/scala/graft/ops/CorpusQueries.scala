@@ -116,6 +116,17 @@ object CorpusQueries {
           col("p50_chars"))
     }),
 
+    // STREAMING dataset card driver-gated: cur18's additive fields
+    // maintained as a standing store (two manifest-committed merges over
+    // disjoint halves, exactly-once), read back as the card — which must
+    // equal the one-shot recompute the oracle runs over all documents.
+    // See streaming.CorpusCardStore.
+    "ev15_stream_corpus_card" -> ((s, dir) => {
+      val root = graft.streaming.CorpusCardStore
+        .materializedDocsCardDir(s, dir)
+      graft.streaming.CorpusCardStore.report(s, root)
+    }),
+
     // Sequence packing: each document's global token start offset and its
     // budget-sized pack — computed as a distributed prefix sum (bucket
     // totals + tiny cumsum + partitioned within-bucket window), never a
@@ -546,6 +557,26 @@ object CorpusQueries {
         CAST(dup_docs * 1000000 // n_docs AS BIGINT) AS dup_ratio_ppm,
         p50_chars
       FROM core, top_lang, dup, med""",
+
+    "ev15_stream_corpus_card" -> raw"""
+      WITH base AS (
+        SELECT lang, source, n_chars, CAST($NT AS BIGINT) AS t
+        FROM documents
+      )
+      SELECT dim, key, n FROM (
+        SELECT 'total' AS dim, 'docs' AS key,
+          CAST(COUNT(*) AS BIGINT) AS n FROM base
+        UNION ALL
+        SELECT 'total', 'chars', CAST(SUM(n_chars) AS BIGINT) FROM base
+        UNION ALL
+        SELECT 'total', 'tokens', CAST(SUM(t) AS BIGINT) FROM base
+        UNION ALL
+        SELECT 'lang', lang, CAST(COUNT(*) AS BIGINT) FROM base
+        GROUP BY lang
+        UNION ALL
+        SELECT 'source', source, CAST(COUNT(*) AS BIGINT) FROM base
+        GROUP BY source
+      ) ORDER BY dim, key""",
 
     "pk1_doc_packing" -> s"""
       WITH toks AS (
