@@ -167,6 +167,14 @@ object GraftExtensions {
         "wordpiece_count(word, pieces-literal) takes 2 arguments")
       WordPieceCountExpr(args.head,
         stringArrayLit(args(1), "wordpiece_count pieces"))
+    },
+
+    "cdc_boundaries" -> { args: Seq[Expression] =>
+      require(args.size == 3,
+        "cdc_boundaries(text, windowLiteral, divisorLiteral) takes 3 " +
+          "arguments")
+      CdcBoundariesExpr(args.head, intLit(args(1), "cdc_boundaries window"),
+        intLit(args(2), "cdc_boundaries divisor"))
     })
 
   /** A CONSTANT array<string> argument. At function-resolution time

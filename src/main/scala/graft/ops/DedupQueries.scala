@@ -173,6 +173,30 @@ object DedupQueries {
     // s·(m·r₀ + m(m−1)/2) to the Lorenz numerator in closed form, so
     // the window orders the bounded distinct-size rows only. All
     // integer; the two ppm terms floor-divide identically cross-engine.
+    // CONTENT-DEFINED CHUNKING profile — the dedup-stable segmentation
+    // primitive (FastCDC/LBFS lineage): a chunk boundary falls AFTER any
+    // position whose trailing 16-char window hashes to 0 mod 64, so an
+    // insertion early in a document moves only the boundaries inside its
+    // own chunk — byte-offset chunking (pk2) re-cuts everything after the
+    // edit, killing downstream chunk-level dedup. Boundaries use the
+    // rolling Horner polynomial (B = 131 mod 2^31−1) the CdcBoundaries
+    // kernel advances in O(1) per position — O(n) per document, scan-side
+    // whole-stage codegen, no per-position string hashing; expected chunk
+    // length is the divisor (64). Per doc: boundary count, chunk count,
+    // mean chunk length in ppm of a char. The oracle recomputes every
+    // window's polynomial directly (same value by algebra).
+    "dd14_cdc_chunks" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          graft.functions.CdcBoundaries(col("text"), 16, 64)
+            .cast("long").as("n_boundaries"))
+        .select(col("doc_id"), col("n_chars"), col("n_boundaries"),
+          (col("n_boundaries") + 1).as("n_chunks"),
+          expr("n_chars * 1000000 div (n_boundaries + 1)")
+            .as("mean_chunk_ppm_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dd13_dup_concentration" -> ((s, dir) => {
       val sizes = Tables(s, dir, "documents")
         .groupBy(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
@@ -428,6 +452,27 @@ object DedupQueries {
       )
       SELECT * FROM ($jaccardPairsSql)
       WHERE jaccard >= $JaccardTau ORDER BY id_a, id_b""",
+
+    // Direct per-window Horner recompute of the kernel's rolling hash:
+    // list_reduce's seed is the window's first code point, matching the
+    // kernel's h=0 Horner start.
+    "dd14_cdc_chunks" -> raw"""
+      WITH b AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(CASE WHEN length(text) < 16 THEN 0 ELSE
+            len(list_filter(list_transform(
+              range(16, length(text) + 1),
+              i -> list_reduce(list_transform(generate_series(i - 15, i),
+                j -> CAST(ord(substr(text, CAST(j AS INT), 1)) AS BIGINT)),
+                (a, c) -> (a * 131 + c) % 2147483647) % 64),
+              h -> h = 0)) END AS BIGINT) AS n_boundaries
+        FROM documents
+      )
+      SELECT doc_id, n_chars, n_boundaries,
+        CAST(n_boundaries + 1 AS BIGINT) AS n_chunks,
+        CAST(n_chars * 1000000 // (n_boundaries + 1) AS BIGINT)
+          AS mean_chunk_ppm_chars
+      FROM b ORDER BY doc_id""",
 
     "dd13_dup_concentration" -> raw"""
       WITH sizes AS (

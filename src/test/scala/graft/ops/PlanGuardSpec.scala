@@ -154,7 +154,9 @@ class PlanGuardSpec extends SparkSpec {
     // is partitioned (key-parallel), never global
     "aj2_asof_next_error" -> Seq("windowspecdefinition(__k"),
     // probe curve: every tier's shortlist pre-limits below the exchange
-    "sm23_ivf_probe_curve" -> Seq("WindowGroupLimit")
+    "sm23_ivf_probe_curve" -> Seq("WindowGroupLimit"),
+    // content-defined chunking: one scan-side rolling-hash kernel pass
+    "dd14_cdc_chunks" -> Seq("cdc_boundaries")
   )
 
   /** query -> plan fragments that must NOT appear */
