@@ -51,6 +51,47 @@ object AdvancedQueries {
         .orderBy(col("event_id"))
     }),
 
+    // NEAREST-in-time join — the bidirectional closure of aj1/aj2: each
+    // view event takes its temporally CLOSEST click by the same user,
+    // whichever side it falls on (ties prefer the earlier), with the
+    // signed gap. Composition of the two single-exchange as-of fills —
+    // still two keyed window passes, never a range join. The
+    // sensor-alignment primitive (match each reading to the closest
+    // calibration) that pure backward as-of gets wrong half the time.
+    "aj3_asof_nearest" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts")).distinct()
+        .withColumn("click_ts", col("ts"))
+      val back = AsOfJoin.asOf(views, clicks, "user_id", "ts", "ts",
+          Seq("click_ts"))
+        .withColumnRenamed("click_ts", "prev_ts")
+      val both = AsOfJoin.asOfForward(back, clicks, "user_id", "ts", "ts",
+          Seq("click_ts"), (_, _) => lit(true))
+        .withColumnRenamed("click_ts", "next_ts")
+      both
+        .withColumn("nearest_click_ts", expr("""CASE
+          WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+          WHEN next_ts IS NULL THEN prev_ts
+          WHEN prev_ts IS NULL THEN next_ts
+          WHEN unix_micros(CAST(ts AS TIMESTAMP))
+              - unix_micros(CAST(prev_ts AS TIMESTAMP))
+            <= unix_micros(CAST(next_ts AS TIMESTAMP))
+              - unix_micros(CAST(ts AS TIMESTAMP)) THEN prev_ts
+          ELSE next_ts END"""))
+        .withColumn("gap_us",
+          expr("""unix_micros(CAST(nearest_click_ts AS TIMESTAMP))
+            - unix_micros(CAST(ts AS TIMESTAMP))"""))
+        .withColumn("direction", expr("""CASE
+          WHEN nearest_click_ts IS NULL THEN NULL
+          WHEN nearest_click_ts <= ts THEN 'before' ELSE 'after' END"""))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("nearest_click_ts"), col("gap_us"), col("direction"))
+        .orderBy(col("event_id"))
+    }),
+
     // ROLLUP hierarchy totals (grouping-set aggregation).
     "q12_rollup_orders" -> ((s, dir) =>
       Tables(s, dir, "orders")
@@ -1473,6 +1514,35 @@ object AdvancedQueries {
         CASE WHEN n_ts <= ts + INTERVAL 30 MINUTE
           THEN epoch_us(n_ts) - epoch_us(ts) END AS gap_us
       FROM nxt ORDER BY event_id""",
+
+    "aj3_asof_nearest" -> """
+      WITH views AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+      ), clicks AS (
+        SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'click'
+      ), nn AS (
+        SELECT v.user_id, v.event_id, v.ts,
+          (SELECT MAX(c.ts) FROM clicks c
+           WHERE c.user_id = v.user_id AND c.ts <= v.ts) AS prev_ts,
+          (SELECT MIN(c.ts) FROM clicks c
+           WHERE c.user_id = v.user_id AND c.ts >= v.ts) AS next_ts
+        FROM views v
+      ), pick AS (
+        SELECT user_id, event_id, ts,
+          CASE WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+            WHEN next_ts IS NULL THEN prev_ts
+            WHEN prev_ts IS NULL THEN next_ts
+            WHEN epoch_us(ts) - epoch_us(prev_ts)
+              <= epoch_us(next_ts) - epoch_us(ts) THEN prev_ts
+            ELSE next_ts END AS nearest_click_ts
+        FROM nn
+      )
+      SELECT user_id, event_id, ts, nearest_click_ts,
+        epoch_us(nearest_click_ts) - epoch_us(ts) AS gap_us,
+        CASE WHEN nearest_click_ts IS NULL THEN NULL
+          WHEN nearest_click_ts <= ts THEN 'before' ELSE 'after' END
+          AS direction
+      FROM pick ORDER BY event_id""",
 
     "q12_rollup_orders" -> """
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,

@@ -809,6 +809,63 @@ object InferenceQueries {
                * double(1048576)) / double(1048576) END AS tau_b_grid""")
     }),
 
+    // LORENZ CURVE DECILES of customer revenue — the curve behind q111's
+    // one-number Gini: cumulative revenue share at each population decile
+    // (the "bottom 50% of customers hold X% of revenue" statement an
+    // equity/concentration audit actually quotes). Rank mass rides
+    // PrefixSum over the compressed cent table; each decile's share is
+    // one exact ppm division — a tie block straddling a decile edge
+    // contributes pro-rata mass (value × rows-inside), keeping the curve
+    // exact without per-row ranking.
+    "q133_lorenz_deciles" -> ((s, dir) => {
+      val cust = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+      val byV = cust.groupBy(col("x")).agg(count(lit(1)).as("cnt"))
+      val cum = graft.pack.PrefixSum.runningSum(byV,
+        expr("x div 100000"), Seq(col("x")), col("cnt"), "cum")
+      val tot = byV.agg(sum(col("cnt")).as("n"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * cnt")).as("sx"))
+      val deciles = s.range(1, 11).select(col("id").cast("int").as("d"))
+      cum.crossJoin(broadcast(tot)).crossJoin(broadcast(deciles))
+        // rows of this value block inside decile d's population prefix
+        .select(col("d"), col("n"), col("sx"),
+          expr("""CAST(x AS DECIMAL(38,0)) *
+            greatest(0L, least(cum, (d * n) div 10) - (cum - cnt))""")
+            .as("mass"))
+        .groupBy(col("d"), col("n"), col("sx"))
+        .agg(sum(col("mass")).as("cmass"))
+        .select(col("d").as("decile"),
+          expr("(d * n) div 10").as("n_customers"),
+          expr("CAST((1000000 * cmass) div sx AS BIGINT)")
+            .as("cum_revenue_ppm"))
+        .orderBy(col("decile"))
+    }),
+
+    // CHAPMAN CAPTURE–RECAPTURE estimate of the active customer
+    // population from the two date halves — the mark-recapture estimator
+    // ecology uses and data teams rediscover for "how many customers
+    // exist that we HAVEN'T seen": N̂ = (n1+1)(n2+1)/(m+1) − 1 from the
+    // half-1 captures, half-2 captures, and the overlap. Exact ppm
+    // integral division; the three counts come from one activity agg
+    // (q132's pairing, without the customer-dimension universe).
+    "q134_capture_recapture" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(col("o_custkey"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("us"))
+      val mid = o.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      o.crossJoin(broadcast(mid))
+        .groupBy(col("o_custkey"))
+        .agg(max(when(col("us") < col("mid"), 1L).otherwise(0L)).as("h1"),
+          max(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("h2"))
+        .agg(sum(col("h1")).as("n1"), sum(col("h2")).as("n2"),
+          sum(expr("h1 * h2")).as("m"),
+          count(lit(1)).as("n_observed"))
+        .selectExpr("n1", "n2", "m", "n_observed",
+          """CAST((CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1) * 1000000)
+             div (m + 1) - 1000000 AS BIGINT) AS n_hat_ppm""")
+    }),
+
     // McNEMAR'S TEST on paired customer activity — did the population's
     // ordering behavior CHANGE between the two halves of the date range?
     // The paired design uses only the DISCORDANT cells (active→inactive
@@ -1760,6 +1817,53 @@ object InferenceQueries {
           / sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE))
           * 1048576.0) / 1048576.0 END AS tau_b_grid
       FROM st, tx, ty, nn""",
+
+    "q133_lorenz_deciles" -> """
+      WITH cust AS (
+        SELECT o_custkey,
+          CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS x
+        FROM orders GROUP BY 1
+      ), bv AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM cust GROUP BY x
+      ), cum AS (
+        SELECT x, cnt, CAST(SUM(cnt) OVER (ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum
+        FROM bv
+      ), tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+          SUM(CAST(x AS HUGEINT) * cnt) AS sx
+        FROM bv
+      ), d AS (SELECT CAST(UNNEST(range(1, 11)) AS INT) AS d)
+      SELECT d AS decile, (d * n) // 10 AS n_customers,
+        CAST((1000000 * SUM(CAST(x AS HUGEINT) *
+          greatest(0, least(cum, (d * n) // 10) - (cum - cnt))))
+          // sx AS BIGINT) AS cum_revenue_ppm
+      FROM cum, tot, d
+      GROUP BY d, n, sx ORDER BY decile""",
+
+    "q134_capture_recapture" -> """
+      WITH o AS (
+        SELECT o_custkey, epoch_us(o_orderdate) AS us FROM orders
+      ), mid AS (
+        SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM o
+      ), act AS (
+        SELECT o_custkey,
+          CAST(MAX(CASE WHEN us < mid THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+          CAST(MAX(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS BIGINT) AS h2
+        FROM o, mid GROUP BY 1
+      ), agg AS (
+        SELECT CAST(SUM(h1) AS BIGINT) AS n1,
+          CAST(SUM(h2) AS BIGINT) AS n2,
+          CAST(SUM(h1 * h2) AS BIGINT) AS m,
+          CAST(COUNT(*) AS BIGINT) AS n_observed
+        FROM act
+      )
+      SELECT n1, n2, m, n_observed,
+        CAST((CAST(n1 + 1 AS HUGEINT) * (n2 + 1) * 1000000) // (m + 1)
+          - 1000000 AS BIGINT) AS n_hat_ppm
+      FROM agg""",
 
     "q132_mcnemar" -> """
       WITH o AS (

@@ -108,6 +108,45 @@ class InferenceSpec extends SparkSpec {
     }
   }
 
+  test("q133: the Lorenz curve is monotone, under the diagonal, and " +
+      "reaches exactly one") {
+    val rows = InferenceQueries.queries("q133_lorenz_deciles")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("decile"))
+    assert(rows.length == 10)
+    val shares = rows.map(_.getAs[Long]("cum_revenue_ppm"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    rows.foreach { r => // ascending-revenue prefix can't beat the diagonal
+      assert(r.getAs[Long]("cum_revenue_ppm") <=
+        r.getAs[Int]("decile") * 100000L)
+    }
+    assert(shares.last == 1000000L)
+  }
+
+  test("q134: Chapman estimate is at least the overlap and the captures " +
+      "cover it") {
+    val r = one("q134_capture_recapture")
+    val (n1, n2, m) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+      r.getAs[Long]("m"))
+    assert(m <= n1 && m <= n2)
+    assert(r.getAs[Long]("n_observed") == n1 + n2 - m)
+    assert(r.getAs[Long]("n_hat_ppm") >= m * 1000000L)
+  }
+
+  test("aj3: the nearest pick's direction always matches the gap sign") {
+    val rows = AdvancedQueries.queries("aj3_asof_nearest")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.filter(r => !r.isNullAt(r.fieldIndex("direction"))).foreach { r =>
+      val gap = r.getAs[Long]("gap_us")
+      if (r.getAs[String]("direction") == "before") assert(gap <= 0L)
+      else assert(gap > 0L)
+    }
+    // both directions genuinely occur on the fixture
+    val dirs = rows.filter(r => !r.isNullAt(r.fieldIndex("direction")))
+      .map(_.getAs[String]("direction")).toSet
+    assert(dirs == Set("before", "after"))
+  }
+
   test("q132: the four McNemar cells tile the customer universe") {
     val r = one("q132_mcnemar")
     val total = r.getAs[Long]("n_both") + r.getAs[Long]("n_lost") +
