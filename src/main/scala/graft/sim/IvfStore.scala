@@ -87,7 +87,7 @@ object IvfStore {
       throw new IllegalStateException(s"no index at $root — bootstrap first"))
     val applied = snap.entries.get(LastTxnSlot).map(_.toLong)
     if (txnId.exists(id => applied.exists(id <= _))) return // replayed batch
-    val version = ManifestStore.nextVersion(spark, root)
+    val version = ManifestStore.versionAfter(Some(snap))
     val rel = ManifestStore.dataRel(version)
     assign(batch, centroidsOf(spark, root, snap))
       .write.mode("errorifexists").partitionBy("__cell")

@@ -62,8 +62,10 @@ object BloomIndex {
       bloomSlot(slot) -> (if (bf == null) EmptyMarker
         else java.util.Base64.getEncoder.encodeToString(bf))
     }
-    val version = ManifestStore.nextVersion(spark, root)
-    ManifestStore.commit(spark, root, version,
+    // CAS: commit at read-snapshot + 1 — this is a read-modify-write of
+    // snap.entries, so a nextVersion computed at commit time would mask a
+    // concurrent committer's update (see ManifestStore.versionAfter).
+    ManifestStore.commit(spark, root, ManifestStore.versionAfter(Some(snap)),
       snap.entries ++ blooms + (BloomColSlot -> colName))
   }
 

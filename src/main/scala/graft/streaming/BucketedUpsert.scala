@@ -51,7 +51,7 @@ object BucketedUpsert {
         Window.partitionBy(col(keyCol))
           .orderBy(col(orderCol).desc, col("__p").desc)))
       .filter(col("__r") === 1).drop("__p", "__r")
-    val version = ManifestStore.nextVersion(spark, root)
+    val version = ManifestStore.versionAfter(snap)
     val rel = ManifestStore.dataRel(version)
     merged.withColumn("__dir", col("__bucket"))
       .write.mode("errorifexists").partitionBy("__dir")
@@ -83,7 +83,7 @@ object BucketedUpsert {
     val kept = spark.read.parquet(paths: _*)
       .filter(!coalesce(col(tombstoneCol), lit(false)) ||
         col(orderCol) >= horizon)
-    val version = ManifestStore.nextVersion(spark, root)
+    val version = ManifestStore.versionAfter(Some(snap))
     val rel = ManifestStore.dataRel(version)
     val written: Set[Int] =
       if (kept.isEmpty) Set.empty // the whole store purged to nothing

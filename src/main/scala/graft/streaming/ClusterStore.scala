@@ -75,7 +75,7 @@ object ClusterStore {
     val merged = graft.graph.ConnectedComponents
       .minLabel(batch.unionByName(star), "a", "b")
       .select(col("id"), col("component"))
-    val version = ManifestStore.nextVersion(spark, root)
+    val version = ManifestStore.versionAfter(Some(snap))
     val rel = ManifestStore.dataRel(version)
     merged.coalesce(1).write.mode("errorifexists").parquet(s"$root/$rel/labels")
     ManifestStore.commit(spark, root, version,

@@ -142,7 +142,7 @@ object ClusteredTable {
       throw new IllegalStateException(
         s"no clustered table under $root — use write first"))
     val cc = clusterColOf(spark, root)
-    val version = ManifestStore.nextVersion(spark, root)
+    val version = ManifestStore.versionAfter(Some(snap))
     val rel = ManifestStore.dataRel(version)
     df.repartitionByRange(segmentsPerBatch, col(cc))
       .sortWithinPartitions(col(cc))

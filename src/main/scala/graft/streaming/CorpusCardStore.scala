@@ -71,7 +71,7 @@ object CorpusCardStore {
       .unionByName(current)
       .groupBy(col("dim"), col("key"))
       .agg(sum(col("n")).as("n"))
-    val version = ManifestStore.nextVersion(spark, root)
+    val version = ManifestStore.versionAfter(snap)
     val rel = ManifestStore.dataRel(version)
     merged.coalesce(1).write.mode("errorifexists")
       .parquet(s"$root/$rel/cells")

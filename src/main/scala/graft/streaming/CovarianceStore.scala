@@ -97,7 +97,7 @@ object CovarianceStore {
     val merged = reduce(batch).unionByName(current)
       .groupBy(col("d"), col("e"))
       .agg(sum(col("v")).cast(Dec).as("v"))
-    val version = ManifestStore.nextVersion(spark, root)
+    val version = ManifestStore.versionAfter(snap)
     val rel = ManifestStore.dataRel(version)
     merged.coalesce(1).write.mode("errorifexists").parquet(s"$root/$rel/cells")
     // replace only the cells slot; a txn-less merge keeps the previous

@@ -49,7 +49,7 @@ object DqStore {
       .groupBy(col("constraint_name"))
       .agg(sum(col("n_checked")).as("n_checked"),
         sum(col("n_violations")).as("n_violations"))
-    val version = ManifestStore.nextVersion(spark, root)
+    val version = ManifestStore.versionAfter(snap)
     val rel = ManifestStore.dataRel(version)
     merged.coalesce(1).write.mode("errorifexists")
       .parquet(s"$root/$rel/cells")

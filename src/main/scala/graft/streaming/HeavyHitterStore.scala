@@ -93,7 +93,7 @@ object HeavyHitterStore {
         counts.iterator
       }.toDF("tok", "cnt")
     val merged = mgReduce(partials.unionByName(current), capacity)
-    val version = ManifestStore.nextVersion(spark, root)
+    val version = ManifestStore.versionAfter(snap)
     val rel = ManifestStore.dataRel(version)
     merged.coalesce(1).write.mode("errorifexists")
       .parquet(s"$root/$rel/counters")

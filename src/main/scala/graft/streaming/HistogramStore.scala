@@ -87,7 +87,7 @@ object HistogramStore {
     val merged = binned.unionByName(current)
       .groupBy(col("group"), col("bin"))
       .agg(sum(col("c_ref")).as("c_ref"), sum(col("c_cur")).as("c_cur"))
-    val version = ManifestStore.nextVersion(spark, root)
+    val version = ManifestStore.versionAfter(Some(snap))
     val rel = ManifestStore.dataRel(version)
     merged.coalesce(1).write.mode("errorifexists").parquet(s"$root/$rel/cells")
     ManifestStore.commit(spark, root, version,

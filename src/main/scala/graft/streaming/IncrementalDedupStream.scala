@@ -71,12 +71,11 @@ object IncrementalDedupStream {
     val survivors = dedupBatch(readStore(spark, storeDir, batch), batch,
       textCol, idCol, tau, shingleN, bands, rowsPerBand)
     if (survivors.isEmpty) return
-    val version = ManifestStore.nextVersion(spark, storeDir)
+    val snap = ManifestStore.latest(spark, storeDir)
+    val version = ManifestStore.versionAfter(snap)
     val rel = ManifestStore.dataRel(version)
     survivors.write.mode("errorifexists").parquet(s"$storeDir/$rel")
-    val entries =
-      ManifestStore.latest(spark, storeDir).map(_.entries)
-        .getOrElse(Map.empty[String, String]) +
+    val entries = snap.map(_.entries).getOrElse(Map.empty[String, String]) +
       (f"seg$version%020d" -> rel)
     ManifestStore.commit(spark, storeDir, version, entries)
   }
@@ -103,7 +102,7 @@ object IncrementalDedupStream {
       .filterNot(ManifestStore.isMetaSlot).toSeq
     if (dataSlots.size <= 1) return // nothing to merge
     val all = ManifestStore.read(spark, storeDir)
-    val version = ManifestStore.nextVersion(spark, storeDir)
+    val version = ManifestStore.versionAfter(Some(snap))
     val rel = ManifestStore.dataRel(version)
     all.write.mode("errorifexists").parquet(s"$storeDir/$rel")
     val entries = snap.entries -- dataSlots + (f"seg$version%020d" -> rel)

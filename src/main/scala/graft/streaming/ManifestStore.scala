@@ -54,8 +54,30 @@ object ManifestStore {
   private def manifestDir(root: String) = new Path(root, "_manifests")
   private def dataDir(root: String) = new Path(root, "data")
 
-  /** Relative data directory for a version's staged files. */
-  def dataRel(version: Long): String = f"data/v$version%020d"
+  /** Relative data directory for a version's staged files — WRITER-UNIQUE
+    * (version + random suffix): two racing writers that computed the same
+    * next version stage into DISJOINT directories, so the loser's files
+    * can never contaminate the winner's committed entries (the loser
+    * fails cleanly at commit and its orphan staging dir is reclaimed by
+    * vacuum, which resolves liveness purely through manifest paths).
+    * Nothing may ever re-derive a data path from a version number — the
+    * manifest entries are the only source of truth.
+    */
+  def dataRel(version: Long): String =
+    f"data/v$version%020d-" +
+      java.util.UUID.randomUUID.toString.substring(0, 8)
+
+  /** The ONLY version a read-modify-write writer may commit at: one past
+    * the snapshot it READ (compare-and-swap). Committing at
+    * `nextVersion`-computed-at-commit-time instead masks lost updates: a
+    * writer that read v4, raced a v5 committer, and then grabbed version
+    * 6 would publish entries that silently drop the v5 changes. With the
+    * base-bound version, [[commit]]'s monotonicity check rejects exactly
+    * the interleavings that would lose an update — the loser re-reads and
+    * retries.
+    */
+  def versionAfter(base: Option[Snapshot]): Long =
+    base.map(_.version + 1L).getOrElse(1L)
 
   private def parseManifest(f: FileSystem, p: Path, v: Long): Snapshot = {
     val in = f.open(p)
@@ -230,7 +252,7 @@ object ManifestStore {
       throw new IllegalStateException(
         s"cannot restore $root to v$version — no such committed manifest" +
           s"; available: ${versions(spark, root).mkString(",")}"))
-    commit(spark, root, nextVersion(spark, root), snap.entries)
+    commit(spark, root, versionAfter(latest(spark, root)), snap.entries)
   }
 
   /** SHALLOW CLONE: a new table at `dstRoot` whose first manifest

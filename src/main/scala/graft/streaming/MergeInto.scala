@@ -150,7 +150,8 @@ object MergeInto {
       merged.join(broadcast(bucketed.select(col(keyP))),
         Seq(keyP), "left_semi"), sn)))
 
-    val version = ManifestStore.nextVersion(spark, root)
+    // CAS: commit at read-snapshot + 1 (see ManifestStore.versionAfter)
+    val version = ManifestStore.versionAfter(snap)
     val rel = ManifestStore.dataRel(version)
     val written: Set[Int] =
       if (merged.isEmpty) Set.empty // every touched bucket merged to empty
@@ -227,7 +228,7 @@ object MergeInto {
     val rows = subtractDv(spark, root, snap,
       ManifestStore.readAt(spark, root, snap.version, mergeSchema = true)
         .drop("__bucket", "__dir"))
-    val version = ManifestStore.nextVersion(spark, root)
+    val version = ManifestStore.versionAfter(Some(snap))
     val rel = ManifestStore.dataRel(version)
     val written: Set[Int] =
       if (rows.isEmpty) Set.empty
@@ -398,7 +399,7 @@ object MergeInto {
     val entries = snap.entries - ColMapSlot ++
       (if (newMap.isEmpty) Map.empty else Map(ColMapSlot -> newMap))
     ManifestStore.commit(spark, root,
-      ManifestStore.nextVersion(spark, root), entries)
+      ManifestStore.versionAfter(Some(snap)), entries)
   }
 
   /** Metadata slot prefix for GENERATED (virtual) columns:
@@ -453,7 +454,8 @@ object MergeInto {
     }
     // fail fast on an unresolvable expression (schema access analyzes)
     table.select(expr(sql).as(name)).schema
-    ManifestStore.commit(spark, root, ManifestStore.nextVersion(spark, root),
+    ManifestStore.commit(spark, root,
+      ManifestStore.versionAfter(Some(snap)),
       snap.entries + (GenPrefix + name -> sql))
   }
 
@@ -472,7 +474,8 @@ object MergeInto {
         s"CHECK '${slot.stripPrefix(CheckPrefix)}' references generated " +
           s"column '$name' — drop the constraint first")
     }
-    ManifestStore.commit(spark, root, ManifestStore.nextVersion(spark, root),
+    ManifestStore.commit(spark, root,
+      ManifestStore.versionAfter(Some(snap)),
       snap.entries - (GenPrefix + name))
   }
 
@@ -502,7 +505,8 @@ object MergeInto {
       .filter(!coalesce(expr(sql), lit(true))).count()
     require(bad == 0,
       s"cannot add CHECK '$name' ($sql): $bad existing rows violate it")
-    ManifestStore.commit(spark, root, ManifestStore.nextVersion(spark, root),
+    ManifestStore.commit(spark, root,
+      ManifestStore.versionAfter(Some(snap)),
       snap.entries + (CheckPrefix + name -> sql))
   }
 
@@ -513,7 +517,8 @@ object MergeInto {
       throw new IllegalStateException(s"no committed table under $root"))
     require(snap.entries.contains(CheckPrefix + name),
       s"no constraint '$name' on $root")
-    ManifestStore.commit(spark, root, ManifestStore.nextVersion(spark, root),
+    ManifestStore.commit(spark, root,
+      ManifestStore.versionAfter(Some(snap)),
       snap.entries - (CheckPrefix + name))
   }
 
@@ -613,7 +618,7 @@ object MergeInto {
     enforceChecks(spark, snap, toLogical(merged, snap))
     val bucketed = merged
       .withColumn("__bucket", pmod(hash(col(keyP)), lit(numBuckets)))
-    val version = ManifestStore.nextVersion(spark, root)
+    val version = ManifestStore.versionAfter(Some(snap))
     val rel = ManifestStore.dataRel(version)
     val written: Set[Int] =
       if (bucketed.isEmpty) Set.empty
@@ -668,7 +673,7 @@ object MergeInto {
     val deleted = target.filter(cond).count()
     val kept = toPhysical(target.filter(!coalesce(cond, lit(false))), snap)
 
-    val version = ManifestStore.nextVersion(spark, root)
+    val version = ManifestStore.versionAfter(Some(snap))
     val rel = ManifestStore.dataRel(version)
     val written: Set[Int] =
       if (kept.isEmpty) Set.empty // touched buckets deleted to empty
@@ -792,7 +797,7 @@ object MergeInto {
       .map(rel => spark.read.parquet(s"$root/$rel")
         .select(col(keyCol)).unionByName(fresh).distinct())
       .getOrElse(fresh)
-    val version = ManifestStore.nextVersion(spark, root)
+    val version = ManifestStore.versionAfter(Some(snap))
     val rel = ManifestStore.dataRel(version)
     merged.coalesce(1).write.mode("errorifexists").parquet(s"$root/$rel/dv")
     ManifestStore.commit(spark, root, version,

@@ -66,7 +66,7 @@ object PrioritySampleStore {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k + 1)
       .drop("__rn")
-    val version = ManifestStore.nextVersion(spark, root)
+    val version = ManifestStore.versionAfter(snap)
     val rel = ManifestStore.dataRel(version)
     merged.coalesce(1).write.mode("errorifexists").parquet(s"$root/$rel/sample")
     // carry prior entries (incl. `__lastTxn` when this merge is txn-less:

@@ -81,7 +81,7 @@ object RegressionStore {
         sum(col("sxy")).cast(Dec).as("sxy"),
         sum(col("sx2")).cast(Dec).as("sx2"),
         sum(col("sy2")).cast(Dec).as("sy2"))
-    val version = ManifestStore.nextVersion(spark, root)
+    val version = ManifestStore.versionAfter(snap)
     val rel = ManifestStore.dataRel(version)
     merged.coalesce(1).write.mode("errorifexists").parquet(s"$root/$rel/sums")
     ManifestStore.commit(spark, root, version,

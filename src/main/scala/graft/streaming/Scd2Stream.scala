@@ -179,7 +179,7 @@ object Scd2Stream {
             col("lsn"))
           .orderBy(col("__p").desc)))
       .filter(col("__r") === 1).drop("__p", "__r")
-    val version = ManifestStore.nextVersion(spark, dimPath)
+    val version = ManifestStore.versionAfter(snap)
     val rel = ManifestStore.dataRel(version)
     merged.withColumn("__dir", col("__bucket"))
       .write.mode("errorifexists").partitionBy("__dir")

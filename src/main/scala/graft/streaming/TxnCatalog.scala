@@ -33,9 +33,9 @@ object TxnCatalog {
     */
   def commitTxn(spark: SparkSession, catalogRoot: String,
                 tableVersions: Map[String, Long]): Long = {
-    val prev = ManifestStore.latest(spark, catalogRoot)
-      .map(_.entries).getOrElse(Map.empty)
-    val version = ManifestStore.nextVersion(spark, catalogRoot)
+    val snap = ManifestStore.latest(spark, catalogRoot)
+    val prev = snap.map(_.entries).getOrElse(Map.empty[String, String])
+    val version = ManifestStore.versionAfter(snap)
     ManifestStore.commit(spark, catalogRoot, version,
       prev ++ tableVersions.map { case (t, v) => t -> v.toString })
     version

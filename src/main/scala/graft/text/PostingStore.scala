@@ -87,7 +87,7 @@ object PostingStore {
       throw new IllegalStateException(s"no index at $root — bootstrap first"))
     val applied = snap.entries.get(LastTxnSlot).map(_.toLong)
     if (txnId.exists(id => applied.exists(id <= _))) return // replayed batch
-    val version = ManifestStore.nextVersion(spark, root)
+    val version = ManifestStore.versionAfter(Some(snap))
     val slots = writeSegment(spark, docs, root, version,
       snap.entries(NumBucketsSlot).toInt)
     ManifestStore.commit(spark, root, version,
@@ -168,7 +168,7 @@ object PostingStore {
     val stats = statSlots.map(sl => spark.read.parquet(s"$root/${snap.entries(sl)}"))
       .reduce(_.unionByName(_))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-    val version = ManifestStore.nextVersion(spark, root)
+    val version = ManifestStore.versionAfter(Some(snap))
     val rel = ManifestStore.dataRel(version)
     all.write.mode("errorifexists").partitionBy("__bucket")
       .parquet(s"$root/$rel/seg")

@@ -37,21 +37,28 @@ class ManifestStoreSpec extends SparkSpec {
     // "Crash": stage a second batch (touches key 1 AND new key 3) but die
     // before the manifest commit.
     val staged = versionsOf(Seq(chg(1, "b", 2, 20), chg(3, "z", 1, 30)))
+    val liveDirs = ManifestStore.latest(spark, dim).get.entries.values
+      .map(_.split('/').take(2).mkString("/")).toSet
     val (stagedVersion, stagedEntries) =
       Scd2Stream.stageBatch(spark, staged.toDS(), dim, 64)
 
-    // The staged files exist on disk...
-    assert(Files.exists(
-      Paths.get(dim, "data", f"v$stagedVersion%020d")))
+    // The staged files exist on disk (under the staging's writer-unique
+    // data dir — the one entry dir that wasn't live before)...
+    def newDirs(entries: Map[String, String]) = entries.values
+      .map(_.split('/').take(2).mkString("/")).toSet -- liveDirs
+    val stagedDir = newDirs(stagedEntries).head
+    assert(Files.exists(Paths.get(dim, stagedDir)))
     // ...but every read still resolves the OLD manifest: identical rows, no
     // mix (key 1 not updated, key 3 absent).
     assert(Scd2Stream.readDimension(spark, dim).collect().toSet == before)
 
-    // Recovery path A — the writer retries the whole batch: the retry must
-    // stage under a FRESH version (no collision with the orphan)...
+    // Recovery path A — the writer retries the whole batch: same CAS
+    // version (nothing committed since), but a DISJOINT writer-unique
+    // staging dir — no collision with the orphan...
     val (retryVersion, retryEntries) =
       Scd2Stream.stageBatch(spark, staged.toDS(), dim, 64)
-    assert(retryVersion > stagedVersion)
+    assert(retryVersion >= stagedVersion)
+    assert(newDirs(retryEntries).head != stagedDir)
     ManifestStore.commit(spark, dim, retryVersion, retryEntries)
     val after = Scd2Stream.readDimension(spark, dim).collect()
     assert(after.map(_.id).toSet == Set(1L, 2L, 3L))
@@ -70,7 +77,7 @@ class ManifestStoreSpec extends SparkSpec {
     // Vacuum drops the orphaned staging dir and superseded data, keeps all
     // live entries readable.
     ManifestStore.vacuum(spark, dim)
-    assert(!Files.exists(Paths.get(dim, "data", f"v$stagedVersion%020d")))
+    assert(!Files.exists(Paths.get(dim, stagedDir)))
     assert(Scd2Stream.readDimension(spark, dim).collect().toSet ==
       after.toSet)
   }

@@ -105,6 +105,48 @@ class MergeIntoSpec extends SparkSpec {
     }
   }
 
+  test("optimistic concurrency: a stale writer is refused after a faster " +
+      "commit; racing merge writers all land via retry") {
+    val root = java.nio.file.Files.createTempDirectory("occ").toString
+    MergeInto.mergeBatch(spark, Seq((1L, "a")).toDF("k", "s"), root, "k",
+      numBuckets = 4)
+    // deterministic stale-writer: version computed BEFORE a faster commit
+    val stale = ManifestStore.nextVersion(spark, root)
+    MergeInto.mergeBatch(spark, Seq((2L, "b")).toDF("k", "s"), root, "k",
+      numBuckets = 4)
+    intercept[IllegalStateException] {
+      ManifestStore.commit(spark, root, stale, Map("0" -> "nowhere"))
+    }
+    // nothing corrupted: the fast writer's state is intact
+    assert(table(root).count() == 2)
+
+    // real race: four writers on disjoint keys, catch-and-retry — every
+    // batch must land exactly once, versions strictly increase
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        val rows = Seq((100L + t, s"w$t")).toDF("k", "s")
+        var done = false
+        var attempts = 0
+        while (!done && attempts < 20) {
+          attempts += 1
+          try {
+            MergeInto.mergeBatch(spark, rows, root, "k", numBuckets = 4)
+            done = true
+          } catch { case _: Exception => Thread.sleep(10L * attempts) }
+        }
+        assert(done, s"writer $t never landed")
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val got = table(root).select("k", "s").as[(Long, String)]
+      .collect().toMap
+    assert((0 until 4).forall(t => got(100L + t) == s"w$t"))
+    assert(got.size == 6)
+    val versions = ManifestStore.versions(spark, root)
+    assert(versions == versions.sorted && versions.distinct == versions)
+  }
+
   test("changeFeed: insert/delete/update pairs; identical rewrites silent") {
     val root = java.nio.file.Files.createTempDirectory("merge").toString
     MergeInto.mergeBatch(spark,
