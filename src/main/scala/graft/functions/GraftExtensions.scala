@@ -18,13 +18,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    // partitionless running windows plan distributed instead of
+    // single-task (see graft.plans.RunningWindow; kill switch:
+    // spark.graft.runningWindow.enabled=false)
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalRunningWindowStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -33,11 +38,13 @@ object GraftExtensions {
     * functions, session-scoped): the post-hoc twin of `withExtensions` for
     * sessions the library did not build. Idempotent.
     */
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    graft.plans.RunningWindow.install(spark)
+  }
 
   /** One row per SQL-callable native kernel: name → Expression builder.
     * Builders validate arity and evaluate literal-only arguments eagerly
