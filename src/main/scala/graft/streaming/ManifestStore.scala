@@ -103,13 +103,58 @@ object ManifestStore {
     }
   }
 
-  /** The highest committed snapshot, if any commit ever happened. */
+  /** Advisory latest-version pointer (`_manifests/_latest.hint`) — the
+    * `_last_checkpoint` trick: without it every [[latest]] call LISTS the
+    * whole manifest directory, which is O(commit history) — a standing
+    * store that has taken a million micro-batch commits pays a
+    * million-entry listing on every read. The hint is best-effort
+    * (overwritten after each commit, torn/stale/missing tolerated): a
+    * reader verifies the hinted manifest exists and probes FORWARD for
+    * newer ones, which is sound because committed versions are dense
+    * ([[commit]] enforces version == committed+1). A hint that cannot be
+    * verified falls back to the full listing.
+    */
+  private def hintPath(root: String) = new Path(manifestDir(root), "_latest.hint")
+
+  private def readHint(f: FileSystem, root: String): Option[Long] = {
+    val p = hintPath(root)
+    if (!f.exists(p)) None
+    else try {
+      val in = f.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
+    } catch { case _: java.io.IOException => None }
+  }
+
+  private def writeHint(f: FileSystem, root: String, version: Long): Unit =
+    try {
+      val out = f.create(hintPath(root), true) // advisory: plain overwrite
+      try out.write(version.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: java.io.IOException => () } // best-effort only
+
+  private def manifestPath(root: String, v: Long) =
+    new Path(manifestDir(root), f"v$v%020d.manifest")
+
+  /** The highest committed snapshot, if any commit ever happened.
+    * O(1 + commits-since-hint) via the hint; O(history) listing fallback.
+    */
   def latest(spark: SparkSession, root: String): Option[Snapshot] = {
-    val vs = manifestList(spark, root)
-    if (vs.isEmpty) None
-    else {
-      val (v, p) = vs.maxBy(_._1)
-      Some(parseManifest(fs(spark, root), p, v))
+    val f = fs(spark, root)
+    readHint(f, root) match {
+      case Some(h) if f.exists(manifestPath(root, h)) =>
+        var v = h
+        while (f.exists(manifestPath(root, v + 1))) v += 1
+        Some(parseManifest(f, manifestPath(root, v), v))
+      case _ =>
+        val vs = manifestList(spark, root)
+        if (vs.isEmpty) None
+        else {
+          val (v, p) = vs.maxBy(_._1)
+          Some(parseManifest(f, p, v))
+        }
     }
   }
 
@@ -169,12 +214,16 @@ object ManifestStore {
     f.mkdirs(dir)
     // Monotonicity: a stale writer waking up after newer commits must not
     // publish at all — its manifest would be invisible (lower version) yet
-    // look like a success. Conflict, not silent no-op.
+    // look like a success. Conflict, not silent no-op. DENSITY: the only
+    // committable version is committed+1 — this is what makes the
+    // latest-hint's forward probe sound (no committed version can hide
+    // above a gap) and what turns commit-at-snapshot+1 into a true CAS.
     val committed = latest(spark, root).map(_.version).getOrElse(0L)
-    if (version <= committed)
+    if (version != committed + 1)
       throw new IllegalStateException(
         s"commit of v$version conflicts with already-committed v$committed " +
-          s"under $root — stale or concurrent writer")
+          s"under $root (only v${committed + 1} is committable) — stale or " +
+          "concurrent writer")
     val target = new Path(dir, f"v$version%020d.manifest")
     if (f.exists(target))
       throw new IllegalStateException(
@@ -194,6 +243,7 @@ object ManifestStore {
       throw new IllegalStateException(
         s"manifest commit of $target lost a race — concurrent committer?")
     }
+    writeHint(f, root, version) // advisory; readers verify + probe forward
   }
 
   /** Slots prefixed `__` are table METADATA (e.g. the bucket count a

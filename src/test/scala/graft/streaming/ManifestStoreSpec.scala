@@ -130,4 +130,51 @@ class ManifestStoreSpec extends SparkSpec {
       ManifestStore.commit(spark, root, 1L, Map("s" -> "data/v1"))
     }
   }
+
+  test("versions are dense: a gapped commit is refused") {
+    val root = Files.createTempDirectory("graft-manifest-gap").toString + "/t"
+    ManifestStore.commit(spark, root, 1L, Map("a" -> "data/v1"))
+    // density is what makes the latest-hint forward probe sound — a
+    // committed version must never hide above a gap
+    intercept[IllegalStateException] {
+      ManifestStore.commit(spark, root, 3L, Map("a" -> "data/v3"))
+    }
+    ManifestStore.commit(spark, root, 2L, Map("a" -> "data/v2"))
+    assert(ManifestStore.latest(spark, root).get.version == 2L)
+  }
+
+  test("latest() survives a stale, corrupt, or missing hint") {
+    val root = Files.createTempDirectory("graft-manifest-hint").toString + "/t"
+    (1 to 5).foreach(v =>
+      ManifestStore.commit(spark, root, v.toLong, Map("a" -> s"data/v$v")))
+    val hint = Paths.get(root, "_manifests", "_latest.hint")
+    assert(Files.exists(hint)) // commit maintains it
+    assert(ManifestStore.latest(spark, root).get.version == 5L)
+
+    // stale (points behind): the forward probe walks to the newest
+    Files.writeString(hint, "2")
+    assert(ManifestStore.latest(spark, root).get.version == 5L)
+
+    // corrupt: ignored, full-listing fallback
+    Files.writeString(hint, "not-a-number")
+    assert(ManifestStore.latest(spark, root).get.version == 5L)
+
+    // ahead of reality (phantom version): unverifiable, fallback
+    Files.writeString(hint, "99")
+    assert(ManifestStore.latest(spark, root).get.version == 5L)
+
+    // missing: fallback
+    Files.delete(hint)
+    assert(ManifestStore.latest(spark, root).get.version == 5L)
+
+    // a fresh commit repairs it and the fast path resumes
+    ManifestStore.commit(spark, root, 6L, Map("a" -> "data/v6"))
+    assert(Files.readString(hint).trim == "6")
+    assert(ManifestStore.latest(spark, root).get.version == 6L)
+
+    // the hint never leaks into history or time travel
+    assert(ManifestStore.versions(spark, root) == (1L to 6L))
+    assert(ManifestStore.snapshotAt(spark, root, 3L).get
+      .entries("a") == "data/v3")
+  }
 }
