@@ -993,6 +993,36 @@ object AdvancedQueries {
         .orderBy(col("bin"))
     }),
 
+    // Optimizer-planned distributed running windows: the SAME
+    // partitionless-window SQL that melted in the round-5 q44 audit, left
+    // AS WRITTEN — `graft.plans.GlobalRunningWindowStrategy` (installed
+    // here the way er3 installs the SQL kernels) plans it as a range
+    // exchange + two-pass prefix-combine instead of the single-task
+    // WindowExec. Exercises every supported shape at once on the raw
+    // orders fact table: decimal running SUM over a total order (ROWS)
+    // and over a tied order (RANGE default, per-day ties), ROW_NUMBER,
+    // RANK/DENSE_RANK over ties, and the q44-shaped NTILE(10). Running
+    // decimal sums reassociate exactly; the final cast to double is
+    // exact (cents magnitudes < 2^53).
+    "q135_running_window" -> ((s, dir) => {
+      graft.plans.RunningWindow.install(s)
+      val total = Window.orderBy(col("o_orderdate"), col("o_orderkey"))
+      val totalRows = total
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byDay = Window.orderBy(col("o_orderdate"))
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+        .select(col("o_orderkey"),
+          sum(col("price")).over(totalRows).cast("double").as("run_rev"),
+          row_number().over(total).as("rn"),
+          rank().over(byDay).as("rk"),
+          dense_rank().over(byDay).as("dr"),
+          ntile(10).over(total).as("decile"),
+          sum(col("price")).over(byDay).cast("double").as("day_run_rev"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Priority sampling (Duffield–Lund–Thorup, JACM '07) — the one-pass
     // fixed-size WEIGHTED sample a 100 TB pipeline takes instead of
     // sorting the world: priority q_i = w_i/u_i with u_i ∈ (0,1] derived
@@ -2201,6 +2231,23 @@ object AdvancedQueries {
           NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
         FROM orders)
       GROUP BY bin ORDER BY bin""",
+
+    // The definitional partitionless windows, verbatim (DuckDB's default
+    // frame for an ORDER BY window is the same RANGE UNBOUNDED
+    // PRECEDING..CURRENT ROW as Spark's).
+    "q135_running_window" -> """
+      SELECT o_orderkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          OVER (ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS DOUBLE) AS run_rev,
+        ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS rn,
+        RANK() OVER (ORDER BY o_orderdate) AS rk,
+        DENSE_RANK() OVER (ORDER BY o_orderdate) AS dr,
+        NTILE(10) OVER (ORDER BY o_orderdate, o_orderkey) AS decile,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          OVER (ORDER BY o_orderdate) AS DOUBLE) AS day_run_rev
+      FROM orders ORDER BY o_orderkey""",
 
     // Same two-division priority arithmetic; o_totalprice is a raw parquet
     // DOUBLE, so both engines start from identical bits and every derived

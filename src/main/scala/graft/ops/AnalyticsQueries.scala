@@ -1787,6 +1787,44 @@ object AnalyticsQueries {
         .limit(20)
     }),
 
+    // ADAMIC–ADAR link prediction over the same co-purchase graph: common
+    // neighbors weighted by 1/ln(deg) — a part shared by few buyers is
+    // stronger evidence than a popular one (Adamic & Adar, "Friends and
+    // neighbors on the Web", Social Networks 25(3), 2003). Same bounded
+    // wedge enumeration as q103 (celebrity prune, grouped sorted buyer
+    // arrays, tail-slice generator); deg=1 parts are excluded on BOTH
+    // sides (no wedge exists and ln(1)=0 would divide by zero). Each
+    // addend 1/ln(deg) is a libm value, so it is floor-quantized to the
+    // 2^-20 grid BEFORE summing (the repo-wide cross-engine float
+    // discipline) — the pair score is then an exact integer sum divided
+    // by 2^20, bit-identical at any partitioning.
+    "q136_adamic_adar" -> ((s, dir) => {
+      val edges = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("p"), col("o_custkey").as("c"))
+        .distinct()
+      val degs = edges.groupBy(col("p"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2 && col("deg") <= 64)
+      val grouped = edges.join(degs, Seq("p"))
+        .groupBy(col("p"), col("deg"))
+        .agg(sort_array(collect_list(col("c"))).as("cs"))
+        .withColumn("w",
+          floor(lit(1048576.0) / log(col("deg").cast("double")))
+            .cast("long"))
+      grouped
+        .select(col("w"), posexplode(col("cs")).as(Seq("i", "c1")),
+          col("cs"))
+        .select(col("c1"), col("w"), explode(
+          slice(col("cs"), col("i") + 2, size(col("cs")))).as("c2"))
+        .groupBy(col("c1"), col("c2"))
+        .agg((sum(col("w")).cast("double") / lit(1048576.0)).as("aa_score"),
+          count(lit(1)).as("n_common"))
+        .orderBy(col("aa_score").desc, col("c1"), col("c2"))
+        .limit(20)
+    }),
+
     // Entity resolution end-to-end: dirty records (every 7th customer
     // gains two deterministic single-deletion typo variants), FastSS
     // deletion-neighborhood blocking + exact-address block key, Levenshtein
@@ -3296,6 +3334,26 @@ object AnalyticsQueries {
       )
       SELECT c1, c2, n_common FROM pairs
       ORDER BY n_common DESC, c1, c2 LIMIT 20""",
+
+    "q136_adamic_adar" -> """
+      WITH edges AS (
+        SELECT DISTINCT l_partkey AS p, o_custkey AS c
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      ), w AS (
+        SELECT p,
+          CAST(FLOOR(1048576.0 / ln(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)
+            AS w
+        FROM edges GROUP BY p HAVING COUNT(*) BETWEEN 2 AND 64
+      ), pairs AS (
+        SELECT a.c AS c1, b.c AS c2,
+          CAST(SUM(w.w) AS DOUBLE) / 1048576.0 AS aa_score,
+          CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM edges a JOIN edges b ON a.p = b.p AND a.c < b.c
+        JOIN w ON w.p = a.p
+        GROUP BY 1, 2
+      )
+      SELECT c1, c2, aa_score, n_common FROM pairs
+      ORDER BY aa_score DESC, c1, c2 LIMIT 20""",
 
     "er1_entity_clusters" -> """
       WITH RECURSIVE cust AS (

@@ -138,6 +138,9 @@ class PlanGuardSpec extends SparkSpec {
     // skyline: the strictly-higher-price running min is partitioned by
     // the price-range bucket (only the bucket table sees a global frame)
     "q71_skyline" -> Seq("windowspecdefinition(__b"),
+    // optimizer-planned running windows: the partitionless fact-table
+    // windows plan as the distributed two-pass exec, never WindowExec
+    "q135_running_window" -> Seq("GlobalRunningWindow"),
     // blocklist automaton: the term counts come from the scan-side
     // ac_count kernel — term mapping is a literal array lookup, no join
     "tx31_blocklist_ac" -> Seq("ac_count"),
@@ -163,6 +166,10 @@ class PlanGuardSpec extends SparkSpec {
   private val mustNot: Map[String, Seq[String]] = Map(
     // the whole point of the rank-based rewrite: no per-group value buffer
     "q18_percentiles" -> Seq("ObjectHashAggregate"),
+    // no single-partition physical window may survive the running-window
+    // rewrite (" Window [" is WindowExec's plan line; the distributed
+    // exec prints GlobalRunningWindow)
+    "q135_running_window" -> Seq(" Window ["),
     "q16_approx_distinct" -> Seq("ObjectHashAggregate"),
     // banded joins must stay equi — a nested-loop fallback means the band
     // keys broke and Spark is comparing all pairs
@@ -283,8 +290,14 @@ class PlanGuardSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.logical.{
       Aggregate, GlobalLimit, LocalLimit, Window => LogicalWindow}
     SparkEntry.queries.keySet.toSeq.sorted.foreach { name =>
-      val lp = SparkEntry.queries(name)(spark, sfDir)
-        .queryExecution.optimizedPlan
+      val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
+      val lp = qe.optimizedPlan
+      // a gate MAY carry an unbounded partitionless window IF it installed
+      // graft.plans.RunningWindow on its session (q135 does — per-gate
+      // install works on the driver's plain session too), proven by the
+      // distributed exec actually appearing in ITS physical plan
+      lazy val rewritten =
+        qe.executedPlan.toString.contains("GlobalRunningWindow")
       (lp +: lp.subqueriesAll).foreach { plan =>
         plan.foreach {
           case w: LogicalWindow if w.partitionSpec.isEmpty =>
@@ -294,9 +307,11 @@ class PlanGuardSpec extends SparkSpec {
               case _: LocalLimit => true
               case _ => false
             }
-            assert(bounded, s"$name: partitionless Window whose input " +
+            assert(bounded || rewritten,
+              s"$name: partitionless Window whose input " +
               "is not an aggregation/limit — a single-task sort of a " +
-              "full table at scale")
+              "full table at scale (either decompose via pack.PrefixSum " +
+              "or install graft.plans.RunningWindow in the gate)")
           case _ => ()
         }
       }
