@@ -410,6 +410,55 @@ object Media {
     }
   }
 
+  /** One augmented (center-cropped, flipped, resampled) image raster. */
+  case class AugmentedPixels(media_id: Long, crop: Int, n_px: Long,
+                             rgb_sum: Long, px00: Int, px_corner: Int)
+
+  /** Training-style image AUGMENTATION over the real PNG decode: center
+    * crop to the square min(w,h), horizontal flip, nearest-neighbor
+    * resample to `outDim`×`outDim` — the deterministic skeleton of the
+    * random-resized-crop + flip pipeline a vision-training data loader
+    * runs. Same execution shape as [[resizePixels]]: one JDK codec init
+    * per partition inside mapPartitions, bytes never shuffled, the output
+    * a narrow per-image summary row. All integer arithmetic (crop
+    * offsets and sample coordinates are truncating divisions), so the
+    * oracle re-derives every sampled pixel from the generator formula at
+    * the flipped coordinates.
+    */
+  def augmentPixels(media: Dataset[MediaRow],
+                    outDim: Int): Dataset[AugmentedPixels] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "image").mapPartitions { rows =>
+      ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.content))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val m = math.min(w, h)
+        val x0 = (w - m) / 2
+        val y0 = (h - m) / 2
+        var sum = 0L
+        var px00 = 0
+        var pxc = 0
+        var oy = 0
+        while (oy < outDim) {
+          val yi = y0 + oy * m / outDim
+          var ox = 0
+          while (ox < outDim) {
+            val xi = x0 + (m - 1) - ox * m / outDim // horizontal flip
+            val rgb = img.getRGB(xi, yi) & 0xFFFFFF
+            sum += rgb
+            if (ox == 0 && oy == 0) px00 = rgb
+            if (ox == outDim - 1 && oy == outDim - 1) pxc = rgb
+            ox += 1
+          }
+          oy += 1
+        }
+        AugmentedPixels(r.media_id, m, outDim.toLong * outDim, sum,
+          px00, pxc)
+      }
+    }
+  }
+
   /** One fixed-size analysis window of a decoded audio stream. */
   case class AudioWindow(media_id: Long, win_idx: Int, n_samples: Int,
                          rms: Double, zero_cross: Int)

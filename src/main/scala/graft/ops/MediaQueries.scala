@@ -63,6 +63,16 @@ object MediaQueries {
       Media.resizePixels(Media.mediaTable(s, dir), outDim = 8)
         .toDF().orderBy(col("media_id"))),
 
+    // AUGMENTATION over the real decode: center-crop to the square
+    // min(w,h), horizontal flip, 4×4 nearest-neighbor resample — the
+    // deterministic skeleton of a vision loader's random-resized-crop +
+    // flip. The oracle recomputes every sampled pixel at the FLIPPED
+    // coordinates (x0 + m-1 - ox·m div 4), so a wrong crop offset or an
+    // unflipped axis hash-mismatches.
+    "mm12_augment_pixels" -> ((s, dir) =>
+      Media.augmentPixels(Media.mediaTable(s, dir), outDim = 4)
+        .toDF().orderBy(col("media_id"))),
+
     // SCENE-CUT detection over the real multi-frame decode: every frame's
     // probe luminance (gray frames: packed RGB / 65793), LAG delta per
     // video, cut = |Δ| > 128 — the frame-segmentation pass a video
@@ -242,6 +252,39 @@ object MediaQueries {
         CAST(MAX(CASE WHEN ox = 7 AND oy = 7 THEN rgb END) AS BIGINT)
           AS px_corner
       FROM px GROUP BY media_id ORDER BY media_id""",
+
+    "mm12_augment_pixels" -> s"""
+      $featuresCte
+      , img AS (
+        SELECT media_id, seed, LEAST(width, height) AS m,
+          (width - LEAST(width, height)) // 2 AS x0,
+          (height - LEAST(width, height)) // 2 AS y0
+        FROM f WHERE kind = 'image'
+      ), grid AS (
+        SELECT media_id, seed, m, x0, y0, unnest(range(0, 4)) AS oy
+        FROM img
+      ), cells AS (
+        SELECT media_id, seed, m, x0, y0, oy, unnest(range(0, 4)) AS ox
+        FROM grid
+      ), px AS (
+        SELECT media_id, m, ox, oy,
+          x0 + (m - 1) - (ox * m) // 4 AS xi,
+          y0 + (oy * m) // 4 AS yi, seed
+        FROM cells
+      ), rgbs AS (
+        SELECT media_id, m, ox, oy,
+          ((seed + xi) % 256) * 65536 + ((seed + yi) % 256) * 256
+          + ((seed + xi + yi) % 256) AS rgb
+        FROM px
+      )
+      SELECT media_id, CAST(MAX(m) AS BIGINT) AS crop,
+        CAST(COUNT(*) AS BIGINT) AS n_px,
+        CAST(SUM(rgb) AS BIGINT) AS rgb_sum,
+        CAST(MAX(CASE WHEN ox = 0 AND oy = 0 THEN rgb END) AS BIGINT)
+          AS px00,
+        CAST(MAX(CASE WHEN ox = 3 AND oy = 3 THEN rgb END) AS BIGINT)
+          AS px_corner
+      FROM rgbs GROUP BY media_id ORDER BY media_id""",
 
     "mm5_frame_pixels" -> s"""
       $featuresCte

@@ -275,6 +275,43 @@ object TextQueries {
         .limit(100)
     }),
 
+    // G² KEYNESS (Dunning log-likelihood, "Accurate methods for the
+    // statistics of surprise and coincidence", CL 19(1) 1993): which
+    // words are over/under-represented in the English subcorpus vs the
+    // rest — the corpus-comparison primitive behind domain-signature
+    // analysis and contamination triage. The 2×2 G² expands into pure
+    // ln-of-integer terms, G² = 2·[a(ln a − ln c) + b(ln b − ln d) +
+    // (a+b)(ln N − ln(a+b))]; each ln is quantized to the 2^-20 grid
+    // (the tx26 discipline) so the score is EXACT integer arithmetic —
+    // emitted in grid units (BIGINT), no double ever formed, safe at any
+    // corpus size. 0·ln 0 = 0 by convention (the CASE guards).
+    "tx34_g2_keyness" -> ((s, dir) => {
+      val g = 1048576L
+      def lng(c: org.apache.spark.sql.Column) =
+        round(log(c.cast("double")) * g).cast("long")
+      val tok = Tables(s, dir, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      def inEn(one: Long, other: Long) =
+        when(col("lang") === "en", lit(one)).otherwise(lit(other))
+      val counts = tok.groupBy(col("w"))
+        .agg(sum(inEn(1L, 0L)).as("a"), sum(inEn(0L, 1L)).as("b"))
+        .filter(col("a") + col("b") >= 20)
+      val sizes = tok.agg(
+        sum(inEn(1L, 0L)).as("c"), sum(inEn(0L, 1L)).as("d"))
+      counts.crossJoin(broadcast(sizes))
+        .select(col("w"), col("a"), col("b"),
+          (lit(2L) * (
+            when(col("a") > 0,
+              col("a") * (lng(col("a")) - lng(col("c")))).otherwise(0L) +
+            when(col("b") > 0,
+              col("b") * (lng(col("b")) - lng(col("d")))).otherwise(0L) +
+            (col("a") + col("b")) *
+              (lng(col("c") + col("d")) - lng(col("a") + col("b")))))
+            .as("g2_grid"))
+        .orderBy(col("g2_grid").desc, col("w"))
+        .limit(50)
+    }),
+
     "tx1_token_stats" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
           col("doc_id"),
@@ -608,6 +645,42 @@ object TextQueries {
       JOIN uni ua ON ua.w = w1
       JOIN uni uc ON uc.w = w2, nu, nb
       ORDER BY pmi DESC, w1, w2 LIMIT 100""",
+
+    "tx34_g2_keyness" -> raw"""
+      WITH tok AS (
+        SELECT lang,
+          unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents
+      ), sizes AS (
+        SELECT
+          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+            AS c,
+          CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+            AS d
+        FROM tok
+      ), counts AS (
+        SELECT w,
+          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+            AS a,
+          CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+            AS b
+        FROM tok GROUP BY w HAVING COUNT(*) >= 20
+      )
+      SELECT w, a, b,
+        2 * (CASE WHEN a > 0 THEN
+               a * (CAST(round(ln(a::DOUBLE) * 1048576) AS BIGINT)
+                  - CAST(round(ln(c::DOUBLE) * 1048576) AS BIGINT))
+             ELSE 0 END
+           + CASE WHEN b > 0 THEN
+               b * (CAST(round(ln(b::DOUBLE) * 1048576) AS BIGINT)
+                  - CAST(round(ln(d::DOUBLE) * 1048576) AS BIGINT))
+             ELSE 0 END
+           + (a + b) *
+               (CAST(round(ln((c + d)::DOUBLE) * 1048576) AS BIGINT)
+              - CAST(round(ln((a + b)::DOUBLE) * 1048576) AS BIGINT)))
+          AS g2_grid
+      FROM counts, sizes
+      ORDER BY g2_grid DESC, w LIMIT 50""",
 
     "tx12_lang_confusion" -> s"""
       $scoresCte
