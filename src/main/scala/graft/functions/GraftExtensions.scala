@@ -182,6 +182,15 @@ object GraftExtensions {
           "arguments")
       CdcBoundariesExpr(args.head, intLit(args(1), "cdc_boundaries window"),
         intLit(args(2), "cdc_boundaries divisor"))
+    },
+
+    // AGGREGATE function (the analyzer wraps the bare AggregateFunction in
+    // an AggregateExpression, exactly as for Spark's built-in registry
+    // entries) — the bottom-k distinct sketch, see functions.KmvSketchAgg.
+    "kmv_sketch" -> { args: Seq[Expression] =>
+      require(args.size == 2,
+        "kmv_sketch(longExpr, kLiteral) takes 2 arguments")
+      KmvSketchAgg(args.head, intLit(args(1), "kmv_sketch k"))
     })
 
   /** A CONSTANT array<string> argument. At function-resolution time

@@ -993,6 +993,34 @@ object AdvancedQueries {
         .orderBy(col("bin"))
     }),
 
+    // KMV distinct-count via the native AGGREGATE (functions.KmvSketchAgg,
+    // the library's TypedImperativeAggregate): one hash-agg pass with an
+    // O(K) ordered buffer per group — no DISTINCT shuffle, no per-group
+    // WindowGroupLimit sort (the q45 construction this supersedes at
+    // scale). Bottom-k-distinct is a semilattice, so partial/merge order
+    // cannot change the result; the estimator is the q45 textbook one
+    // ((K-1)·2^60/θ when saturated), two correctly-rounded IEEE ops.
+    "q137_kmv_distinct" -> ((s, dir) => {
+      val K = 16
+      val Dom = 1L << 60
+      import org.apache.spark.sql.GraftBridge
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          graft.functions.Hash60(col("user_id").cast("string")).as("h"))
+      val sk = GraftBridge.column(
+        graft.functions.KmvSketchAgg(GraftBridge.expression(col("h")), K)
+          .toAggregateExpression())
+      ev.groupBy(col("event_type"))
+        .agg(sk.as("sk"), countDistinct(col("user_id")).as("exact_distinct"))
+        .select(col("event_type"),
+          size(col("sk")).cast("long").as("n_sketch"),
+          when(size(col("sk")) < K, size(col("sk")).cast("double"))
+            .otherwise(lit((K - 1).toDouble) * lit(Dom.toDouble) /
+              element_at(col("sk"), K).cast("double")).as("est_distinct"),
+          col("exact_distinct"))
+        .orderBy(col("event_type"))
+    }),
+
     // Optimizer-planned distributed running windows: the SAME
     // partitionless-window SQL that melted in the round-5 q44 audit, left
     // AS WRITTEN — `graft.plans.GlobalRunningWindowStrategy` (installed
@@ -2231,6 +2259,32 @@ object AdvancedQueries {
           NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
         FROM orders)
       GROUP BY bin ORDER BY bin""",
+
+    "q137_kmv_distinct" -> """
+      WITH h AS (
+        SELECT DISTINCT event_type,
+          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+            AS h
+        FROM events
+      ), sk AS (
+        SELECT event_type, h,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h
+      ), top AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+          MAX(CASE WHEN rn = 16 THEN h END) AS hk
+        FROM sk WHERE rn <= 16 GROUP BY 1
+      ), ex AS (
+        SELECT event_type,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY 1
+      )
+      SELECT t.event_type, n_sketch,
+        CASE WHEN n_sketch < 16 THEN n_sketch::DOUBLE
+             ELSE 15.0 * 1152921504606846976::DOUBLE / hk::DOUBLE
+        END AS est_distinct,
+        exact_distinct
+      FROM top t JOIN ex USING (event_type) ORDER BY t.event_type""",
 
     // The definitional partitionless windows, verbatim (DuckDB's default
     // frame for an ORDER BY window is the same RANGE UNBOUNDED

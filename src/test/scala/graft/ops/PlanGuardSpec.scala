@@ -141,6 +141,9 @@ class PlanGuardSpec extends SparkSpec {
     // optimizer-planned running windows: the partitionless fact-table
     // windows plan as the distributed two-pass exec, never WindowExec
     "q135_running_window" -> Seq("GlobalRunningWindow"),
+    // the KMV aggregate must keep map-side PARTIAL aggregation (the whole
+    // point over the distinct+window construction)
+    "q137_kmv_distinct" -> Seq("ObjectHashAggregate", "partial_kmv_sketch"),
     // blocklist automaton: the term counts come from the scan-side
     // ac_count kernel — term mapping is a literal array lookup, no join
     "tx31_blocklist_ac" -> Seq("ac_count"),
