@@ -445,6 +445,62 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // KNESER-NEY bigram scoring (Kneser & Ney, ICASSP '95; the smoothing
+    // inside KenLM, whose perplexity is THE standard pretraining-corpus
+    // quality filter — CCNet, Wenzek et al. 2020). Upgrades tx16's
+    // Jelinek-Mercer mix with absolute discounting + CONTINUATION
+    // counts: P(w|prev) = (c(prev,w) − D)/c(prev·) +
+    // D·N1+(prev·)/c(prev·) · N1+(·w)/|bigram types|, D = 0.75. Every
+    // count is an exact integer (self-scoring corpus ⇒ every scored
+    // bigram has c ≥ 1 > D, so the discount never clips and the log
+    // argument is positive); the log is grid-rounded per the LogGrid
+    // discipline so per-doc sums are exact in any order. Same join
+    // shape as tx16 — two hash-agg count tables plus two
+    // continuation-count aggs, no new scale surface.
+    "tx35_kneser_ney" -> ((s, dir) => {
+      val D = 0.75
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      val tok = docs
+        .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "w")),
+          col("t"))
+        .withColumn("prev",
+          when(col("pos") > 0, element_at(col("t"), col("pos"))))
+        .select(col("doc_id"), col("prev"), col("w"))
+      val c1 = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val n = c1.agg(sum(col("c")).as("n"))
+      val c2 = tok.filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c2"))
+      // n1p = N1+(prev ·): distinct continuations of prev
+      val cs = c2.groupBy(col("prev"))
+        .agg(sum(col("c2")).as("cs"), count(lit(1)).as("n1p"))
+      // cont = N1+(· w): distinct predecessors of w
+      val cont = c2.groupBy(col("w")).agg(count(lit(1)).as("cont"))
+      val btypes = c2.agg(count(lit(1)).as("btypes"))
+      val p1 = c1.crossJoin(broadcast(n))
+        .select(col("w"),
+          (round(log(col("c").cast("double") / col("n")) * LogGrid, 0) /
+            LogGrid).as("lp"))
+      val p2 = c2.join(cs, Seq("prev")).join(cont, Seq("w"))
+        .crossJoin(broadcast(btypes))
+        .select(col("prev"), col("w"),
+          (round(log(
+            (col("c2").cast("double") - lit(D)) / col("cs").cast("double") +
+            lit(D) * col("n1p").cast("double") / col("cs").cast("double") *
+              (col("cont").cast("double") / col("btypes").cast("double"))) *
+            LogGrid, 0) / LogGrid).as("lp"))
+      val scored = tok.filter(col("prev").isNull)
+          .join(p1, Seq("w")).select(col("doc_id"), col("lp"))
+        .unionAll(tok.filter(col("prev").isNotNull)
+          .join(p2, Seq("prev", "w"))
+          .select(col("doc_id"), col("lp")))
+      scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("s"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("s") / col("n_tokens")).as("avg_logprob"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Character-trigram Shannon entropy — the gibberish/template signal
     // quality filters cut on (low entropy = repeated boilerplate, high =
     // random noise; natural text sits in a band). Entropy is a
@@ -805,6 +861,51 @@ object CorpusQueries {
           round(ln(0.7 * (c2.c2::DOUBLE / cs.cs)
                  + 0.3 * (c1.c::DOUBLE / n.n)) * $LogGrid) / $LogGrid AS lp
         FROM c2 JOIN cs USING (prev) JOIN c1 ON c2.w = c1.w, n
+      ), scored AS (
+        SELECT doc_id, p1.lp FROM tok JOIN p1 ON tok.w = p1.w
+        WHERE tok.prev IS NULL
+        UNION ALL
+        SELECT doc_id, p2.lp FROM tok
+        JOIN p2 ON tok.prev = p2.prev AND tok.w = p2.w
+      )
+      SELECT doc_id, COUNT(*) AS n_tokens,
+        SUM(lp) / COUNT(*) AS avg_logprob
+      FROM scored GROUP BY 1 ORDER BY doc_id""",
+
+    "tx35_kneser_ney" -> raw"""
+      WITH docs AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents
+      ), pos AS (
+        SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t FROM docs
+      ), tok AS (
+        SELECT doc_id, t[i] AS w,
+          CASE WHEN i > 1 THEN t[i - 1] ELSE NULL END AS prev
+        FROM pos
+      ), c1 AS (
+        SELECT w, COUNT(*) AS c FROM tok GROUP BY 1
+      ), n AS (
+        SELECT SUM(c) AS n FROM c1
+      ), c2 AS (
+        SELECT prev, w, COUNT(*) AS c2 FROM tok
+        WHERE prev IS NOT NULL GROUP BY 1, 2
+      ), cs AS (
+        SELECT prev, SUM(c2) AS cs, COUNT(*) AS n1p FROM c2 GROUP BY 1
+      ), cont AS (
+        SELECT w, COUNT(*) AS cont FROM c2 GROUP BY 1
+      ), bt AS (
+        SELECT COUNT(*) AS btypes FROM c2
+      ), p1 AS (
+        SELECT w, round(ln(c::DOUBLE / n) * $LogGrid) / $LogGrid AS lp
+        FROM c1, n
+      ), p2 AS (
+        SELECT c2.prev, c2.w,
+          round(ln(
+            (c2.c2::DOUBLE - 0.75) / cs.cs::DOUBLE
+            + 0.75 * cs.n1p::DOUBLE / cs.cs::DOUBLE
+              * (cont.cont::DOUBLE / bt.btypes::DOUBLE)) * $LogGrid)
+            / $LogGrid AS lp
+        FROM c2 JOIN cs USING (prev) JOIN cont ON c2.w = cont.w, bt
       ), scored AS (
         SELECT doc_id, p1.lp FROM tok JOIN p1 ON tok.w = p1.w
         WHERE tok.prev IS NULL
