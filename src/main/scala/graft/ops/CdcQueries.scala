@@ -63,6 +63,38 @@ object CdcQueries {
     store
   }
 
+  /** Materialize the ANALYZEd merge table once per sfDir: the same
+    * two-batch merge apply, then [[graft.streaming.MergeInto.analyzeTable]]
+    * commits per-column statistics as `__stat:` metadata (version 3).
+    * Own root — ANALYZE adds a commit, and fixtures are shared.
+    */
+  private def analyzedOrdersTableDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_merge_analyze_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        import org.apache.spark.sql.expressions.Window
+        val log = changeLog(s, dir)
+        val b1 = log.filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("log_seq_num").desc)
+        val b2 = log.filter(col("operation_type") =!= "CREATE")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("id"), col("status"), col("totalprice"),
+            (col("operation_type") === "DELETE").as("del"))
+        graft.streaming.MergeInto.mergeBatch(s, b1, store, "id")
+        graft.streaming.MergeInto.mergeBatch(s, b2, store, "id",
+          deleteCol = Some("del"))
+        graft.streaming.MergeInto.analyzeTable(s, store,
+          numericCols = Seq("id", "totalprice"), stringCols = Seq("status"))
+    }
+    store
+  }
+
   /** Materialize the DELETION-VECTOR table once per sfDir: version 1
     * commits the CREATE payloads, version 2 is a [[graft.streaming
     * .MergeInto.deleteVector]] of every id%5==0 key (merge-on-read: only
@@ -720,6 +752,19 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // ANALYZE TABLE driver-gated: per-column min/max/null-count/NDV plus
+    // the KMV NDV estimate, computed in ONE aggregation pass, committed
+    // as versioned `__stat:` manifest metadata, and read back — which
+    // must equal the oracle's from-scratch relational recompute of every
+    // statistic (including replaying the bottom-64 sketch estimator on
+    // the same md5-prefix hashes). The CBO-stats surface of a real table
+    // format's ANALYZE.
+    "cdc_merge_analyze" -> ((s, dir) => {
+      graft.streaming.MergeInto
+        .readStats(s, analyzedOrdersTableDir(s, dir))
+        .orderBy(col("column"))
+    }),
+
     // TIME TRAVEL driver-gated: version 1 of the merge table (committed
     // BEFORE the update/delete batch) must still read exactly as the
     // CREATE payloads — the un-vacuumed snapshot survives later commits.
@@ -978,6 +1023,32 @@ object CdcQueries {
     })
   )
 
+  /** The two-batch merge apply's relational final state as a reusable
+    * CTE tail (`fin`): changes → latest non-CREATE per key → CREATE base
+    * with updates applied and deletes dropped.
+    */
+  private def mergeFinalCte(extra: String): String =
+    s"""$changesCte, b2x AS (
+        SELECT id, status, totalprice, operation_type FROM (
+          SELECT id, status, totalprice, operation_type,
+            ROW_NUMBER() OVER (PARTITION BY id
+                               ORDER BY log_seq_num DESC) AS rn
+          FROM changes WHERE operation_type != 'CREATE'
+        ) WHERE rn = 1
+      ), fin AS (
+        SELECT id, status, totalprice FROM (
+          SELECT c.id,
+            CASE WHEN b.id IS NOT NULL THEN b.status ELSE c.status END
+              AS status,
+            CASE WHEN b.id IS NOT NULL THEN b.totalprice
+                 ELSE c.totalprice END AS totalprice,
+            b.operation_type AS bop
+          FROM (SELECT id, status, totalprice FROM changes
+                WHERE operation_type = 'CREATE') c
+          LEFT JOIN b2x b USING (id)
+        ) WHERE (bop IS NULL OR bop != 'DELETE') AND ($extra)
+      )"""
+
   /** The two-batch merge apply's relational final state, with an extra
     * row predicate — shared by cdc_merge_into / cdc_merge_vacuum
     * (predicate TRUE: vacuum must not change the answer) and
@@ -1011,6 +1082,81 @@ object CdcQueries {
   val oracleSql: Map[String, String] = Map(
     // the foreign-reader view of the export = the committed snapshot
     "cdc_merge_export" -> mergeFinalStateSql,
+
+    // every committed statistic recomputed from scratch, including the
+    // KMV estimator replay (q137 conventions: md5-prefix hash, bottom-64,
+    // (K-1)·2^60/θ when saturated)
+    "cdc_merge_analyze" -> s"""${mergeFinalCte("TRUE")},
+      nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM fin),
+      h_id AS (
+        SELECT DISTINCT ('0x' || substr(md5(
+          CAST(CAST(id AS DECIMAL(18,2)) AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM fin WHERE id IS NOT NULL
+      ), sk_id AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+          MAX(CASE WHEN rn = 64 THEN h END) AS hk
+        FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM h_id)
+        WHERE rn <= 64
+      ),
+      h_tp AS (
+        SELECT DISTINCT ('0x' || substr(md5(
+          CAST(CAST(totalprice AS DECIMAL(18,2)) AS VARCHAR)), 1, 15))
+          ::BIGINT AS h
+        FROM fin WHERE totalprice IS NOT NULL
+      ), sk_tp AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+          MAX(CASE WHEN rn = 64 THEN h END) AS hk
+        FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM h_tp)
+        WHERE rn <= 64
+      ),
+      h_st AS (
+        SELECT DISTINCT
+          ('0x' || substr(md5(status), 1, 15))::BIGINT AS h
+        FROM fin WHERE status IS NOT NULL
+      ), sk_st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+          MAX(CASE WHEN rn = 64 THEN h END) AS hk
+        FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM h_st)
+        WHERE rn <= 64
+      )
+      SELECT 'id' AS "column", n_rows,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM fin WHERE id IS NULL)
+          AS n_nulls,
+        (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) FROM fin) AS ndv,
+        (SELECT CASE WHEN cnt < 64 THEN cnt::DOUBLE
+          ELSE 63.0 * 1152921504606846976::DOUBLE / hk::DOUBLE END
+          FROM sk_id) AS ndv_est,
+        (SELECT CAST(MIN(CAST(id AS DECIMAL(18,2))) AS DOUBLE) FROM fin)
+          AS min_num,
+        (SELECT CAST(MAX(CAST(id AS DECIMAL(18,2))) AS DOUBLE) FROM fin)
+          AS max_num,
+        CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+      FROM nr
+      UNION ALL
+      SELECT 'status', n_rows,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM fin WHERE status IS NULL),
+        (SELECT CAST(COUNT(DISTINCT status) AS BIGINT) FROM fin),
+        (SELECT CASE WHEN cnt < 64 THEN cnt::DOUBLE
+          ELSE 63.0 * 1152921504606846976::DOUBLE / hk::DOUBLE END
+          FROM sk_st),
+        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        (SELECT MIN(status) FROM fin), (SELECT MAX(status) FROM fin)
+      FROM nr
+      UNION ALL
+      SELECT 'totalprice', n_rows,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM fin
+         WHERE totalprice IS NULL),
+        (SELECT CAST(COUNT(DISTINCT totalprice) AS BIGINT) FROM fin),
+        (SELECT CASE WHEN cnt < 64 THEN cnt::DOUBLE
+          ELSE 63.0 * 1152921504606846976::DOUBLE / hk::DOUBLE END
+          FROM sk_tp),
+        (SELECT CAST(MIN(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         FROM fin),
+        (SELECT CAST(MAX(CAST(totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         FROM fin),
+        CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM nr
+      ORDER BY "column"""",
 
     // restore to v1 = the CREATE payloads exactly
     "cdc_merge_restore" -> s"""$changesCte

@@ -883,4 +883,99 @@ object MergeInto {
       .select(explode(changes).as("c"))
       .select(col("c.r.*") +: Seq(col("c.t").as("_change_type")): _*)
   }
+
+  /** Metadata slot prefix for ANALYZE statistics: `__stat:<col>` →
+    * `k=v;k=v;...` of that column's profile. Stats are committed like any
+    * other metadata (CAS at snapshot+1), so they are versioned with the
+    * table: time travel shows the stats AS OF, and a writer that lands
+    * between ANALYZE's read and commit conflicts loudly instead of
+    * publishing stats for a state nobody can see.
+    */
+  val StatPrefix = "__stat:"
+  private val StatRowsSlot = "__stat:__rows"
+
+  /** `ANALYZE TABLE`: per-column min/max/null-count/exact-NDV plus a
+    * KMV NDV estimate ([[graft.functions.KmvSketchAgg]], K=64 over the
+    * cross-engine Hash60 of the value rendered as a string — numerics
+    * through DECIMAL(18,2) so both engines hash identical text). One
+    * aggregation pass over the logical table; results are committed as
+    * `__stat:` metadata. The CBO-stats surface of a real table format's
+    * ANALYZE, driver-gated through [[readStats]].
+    */
+  def analyzeTable(spark: SparkSession, root: String,
+                   numericCols: Seq[String], stringCols: Seq[String],
+                   sketchK: Int = 64): Unit = {
+    import org.apache.spark.sql.GraftBridge
+    val snap = ManifestStore.latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed table under $root"))
+    val t = readTable(spark, root)
+    def hashed(c: org.apache.spark.sql.Column) =
+      graft.functions.Hash60(c)
+    def kmv(c: org.apache.spark.sql.Column) = GraftBridge.column(
+      graft.functions.KmvSketchAgg(GraftBridge.expression(c), sketchK)
+        .toAggregateExpression())
+    val dec = "decimal(18,2)"
+    val aggs = Seq(count(lit(1)).as("__n_rows")) ++
+      numericCols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__ndv"),
+          kmv(hashed(col(c).cast(dec).cast("string"))).as(s"${c}__sk"),
+          min(col(c).cast(dec)).cast("string").as(s"${c}__min"),
+          max(col(c).cast(dec)).cast("string").as(s"${c}__max"))
+      } ++
+      stringCols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__ndv"),
+          kmv(hashed(col(c))).as(s"${c}__sk"),
+          min(col(c)).as(s"${c}__min"),
+          max(col(c)).as(s"${c}__max"))
+      }
+    val row = t.agg(aggs.head, aggs.tail: _*).head
+    val nRows = row.getAs[Long]("__n_rows")
+    val dom = (1L << 60).toDouble
+    def estOf(sk: scala.collection.Seq[Long]): Double =
+      if (sk.size < sketchK) sk.size.toDouble
+      else (sketchK - 1).toDouble * dom / sk.last.toDouble
+    val slots = (numericCols ++ stringCols).map { c =>
+      val est = estOf(row.getSeq[Long](row.fieldIndex(s"${c}__sk")))
+      (StatPrefix + c) ->
+        (s"nulls=${row.getAs[Long](s"${c}__nulls")};" +
+          s"ndv=${row.getAs[Long](s"${c}__ndv")};" +
+          s"ndv_est=${est.toString};" +
+          s"min=${row.getAs[String](s"${c}__min")};" +
+          s"max=${row.getAs[String](s"${c}__max")};" +
+          s"num=${numericCols.contains(c)}")
+    }.toMap + (StatRowsSlot -> nRows.toString)
+    ManifestStore.commit(spark, root,
+      ManifestStore.versionAfter(Some(snap)),
+      snap.entries.filterNot(_._1.startsWith(StatPrefix)) ++ slots)
+  }
+
+  /** The committed ANALYZE statistics as one row per column. */
+  def readStats(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val snap = ManifestStore.latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed table under $root"))
+    val nRows = snap.entries.getOrElse(StatRowsSlot,
+      throw new IllegalStateException(
+        s"no ANALYZE stats committed under $root")).toLong
+    val rows = snap.entries.toSeq
+      .filter(e => e._1.startsWith(StatPrefix) && e._1 != StatRowsSlot)
+      .map { case (slot, enc) =>
+        val kv = enc.split(';').map { p =>
+          val Array(k, v) = p.split("=", 2); k -> v
+        }.toMap
+        val num = kv("num").toBoolean
+        (slot.stripPrefix(StatPrefix), nRows, kv("nulls").toLong,
+          kv("ndv").toLong, kv("ndv_est").toDouble,
+          if (num) Some(kv("min").toDouble) else None,
+          if (num) Some(kv("max").toDouble) else None,
+          if (num) None else Some(kv("min")),
+          if (num) None else Some(kv("max")))
+      }
+    rows.toDF("column", "n_rows", "n_nulls", "ndv", "ndv_est",
+      "min_num", "max_num", "min_str", "max_str")
+  }
 }

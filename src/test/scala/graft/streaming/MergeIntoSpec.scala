@@ -147,6 +147,34 @@ class MergeIntoSpec extends SparkSpec {
     assert(versions == versions.sorted && versions.distinct == versions)
   }
 
+  test("ANALYZE: stats committed as metadata, replaced on re-analyze, " +
+      "versioned with the table") {
+    val root = java.nio.file.Files.createTempDirectory("an").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, null, 30.0))
+        .toDF("k", "s", "v"), root, "k", numBuckets = 4)
+    MergeInto.analyzeTable(spark, root, Seq("k", "v"), Seq("s"), sketchK = 8)
+    val st = MergeInto.readStats(spark, root).orderBy("column")
+      .collect()
+    assert(st.map(_.getString(0)).toSeq == Seq("k", "s", "v"))
+    val sRow = st(1)
+    assert(sRow.getLong(1) == 3 && sRow.getLong(2) == 1 && // rows, nulls
+      sRow.getLong(3) == 2) // ndv excludes the null
+    assert(sRow.getString(7) == "a" && sRow.getString(8) == "b")
+    val kRow = st(0)
+    assert(kRow.getDouble(4) == 3.0) // undersized sketch: est == exact
+    assert(kRow.getDouble(5) == 1.0 && kRow.getDouble(6) == 3.0)
+    // re-analyze after a merge REPLACES the stats (no stale slots)...
+    MergeInto.mergeBatch(spark, Seq((4L, "c", 40.0)).toDF("k", "s", "v"),
+      root, "k", numBuckets = 4)
+    MergeInto.analyzeTable(spark, root, Seq("k", "v"), Seq("s"), sketchK = 8)
+    val st2 = MergeInto.readStats(spark, root).orderBy("column").collect()
+    assert(st2(0).getLong(1) == 4 && st2(0).getDouble(6) == 4.0)
+    // ...and time travel still sees the OLD stats on the old version
+    val oldSnap = ManifestStore.snapshotAt(spark, root, 2L).get
+    assert(oldSnap.entries(MergeInto.StatPrefix + "k").contains("ndv=3"))
+  }
+
   test("changeFeed: insert/delete/update pairs; identical rewrites silent") {
     val root = java.nio.file.Files.createTempDirectory("merge").toString
     MergeInto.mergeBatch(spark,
