@@ -1825,6 +1825,31 @@ object AnalyticsQueries {
         .limit(20)
     }),
 
+    // CUMULATIVE REACH — running COUNT(DISTINCT user) by day, the
+    // audience-growth curve. The naive form is a running set-union over
+    // the fact table (unbounded state, the one aggregation shape that has
+    // NO streaming/partitioned form); the exact decomposition is: distinct
+    // collapses to each user's FIRST day (one hash agg), then a cumulative
+    // sum over the per-day new-user counts — a partitionless window whose
+    // input is one row per DAY (aggregation-bounded, PlanGuard-exempt by
+    // construction). Date keys ride as strings (cross-engine DATE
+    // rendering differs, round-6 learning).
+    "q138_cumulative_reach" -> ((s, dir) => {
+      val firstSeen = Tables(s, dir, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+        .groupBy(col("user_id")).agg(min(col("hr")).as("first_hr"))
+      val perHour = firstSeen.groupBy(col("first_hr"))
+        .agg(count(lit(1)).as("new_users"))
+      perHour
+        .withColumn("cum_reach",
+          sum(col("new_users")).over(
+            Window.orderBy(col("first_hr"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("first_hr").cast("string").as("hr"),
+          col("new_users"), col("cum_reach"))
+        .orderBy(col("hr"))
+    }),
+
     // Entity resolution end-to-end: dirty records (every 7th customer
     // gains two deterministic single-deletion typo variants), FastSS
     // deletion-neighborhood blocking + exact-address block key, Levenshtein
@@ -3354,6 +3379,20 @@ object AnalyticsQueries {
       )
       SELECT c1, c2, aa_score, n_common FROM pairs
       ORDER BY aa_score DESC, c1, c2 LIMIT 20""",
+
+    "q138_cumulative_reach" -> """
+      WITH fd AS (
+        SELECT user_id, MIN(date_trunc('hour', ts)) AS first_hr
+        FROM events GROUP BY 1
+      ), pd AS (
+        SELECT first_hr, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM fd GROUP BY 1
+      )
+      SELECT CAST(first_hr AS VARCHAR) AS hr, new_users,
+        CAST(SUM(new_users) OVER (ORDER BY first_hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_reach
+      FROM pd ORDER BY hr""",
 
     "er1_entity_clusters" -> """
       WITH RECURSIVE cust AS (
