@@ -154,6 +154,18 @@ object QualityQueries {
     "ev11_stream_dq_store" -> ((s, dir) => {
       val root = graft.streaming.DqStore.materializedEventsDqDir(s, dir)
       graft.streaming.DqStore.report(s, root)
+    }),
+
+    // STREAMING column statistics driver-gated: per-column row/null
+    // counters, min/max, and the KMV NDV sketch folded as two
+    // manifest-committed merges — ANALYZE without rescans. Every
+    // statistic kept is MERGEABLE (counts add, min/max fold, bottom-k-
+    // distinct is a semilattice), so the standing report must equal the
+    // oracle's one-shot recompute over all events, including the
+    // estimator replay. See streaming.StatStore.
+    "ev16_stream_stats" -> ((s, dir) => {
+      val root = graft.streaming.StatStore.materializedEventsStatsDir(s, dir)
+      graft.streaming.StatStore.report(s, root)
     })
   )
 
@@ -351,6 +363,79 @@ object QualityQueries {
       SELECT constraint_name, n_checked, n_violations,
         CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
           AS passed
-      FROM audit ORDER BY constraint_name"""
+      FROM audit ORDER BY constraint_name""",
+
+    // every standing statistic recomputed one-shot over all events,
+    // including the bottom-64 KMV estimator replay (q137 conventions)
+    "ev16_stream_stats" -> """
+      WITH nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events),
+      h_uid AS (
+        SELECT DISTINCT ('0x' || substr(md5(
+          CAST(CAST(user_id AS DECIMAL(18,2)) AS VARCHAR)), 1, 15))
+          ::BIGINT AS h
+        FROM events WHERE user_id IS NOT NULL
+      ), sk_uid AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+          MAX(CASE WHEN rn = 64 THEN h END) AS hk
+        FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM h_uid)
+        WHERE rn <= 64
+      ),
+      h_val AS (
+        SELECT DISTINCT ('0x' || substr(md5(
+          CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)), 1, 15))
+          ::BIGINT AS h
+        FROM events WHERE value IS NOT NULL
+      ), sk_val AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+          MAX(CASE WHEN rn = 64 THEN h END) AS hk
+        FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM h_val)
+        WHERE rn <= 64
+      ),
+      h_et AS (
+        SELECT DISTINCT
+          ('0x' || substr(md5(event_type), 1, 15))::BIGINT AS h
+        FROM events WHERE event_type IS NOT NULL
+      ), sk_et AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+          MAX(CASE WHEN rn = 64 THEN h END) AS hk
+        FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM h_et)
+        WHERE rn <= 64
+      )
+      SELECT 'event_type' AS "column", n_rows,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+         WHERE event_type IS NULL) AS n_nulls,
+        (SELECT CASE WHEN cnt < 64 THEN cnt::DOUBLE
+          ELSE 63.0 * 1152921504606846976::DOUBLE / hk::DOUBLE END
+          FROM sk_et) AS ndv_est,
+        CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+        (SELECT MIN(event_type) FROM events) AS min_str,
+        (SELECT MAX(event_type) FROM events) AS max_str
+      FROM nr
+      UNION ALL
+      SELECT 'user_id', n_rows,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+         WHERE user_id IS NULL),
+        (SELECT CASE WHEN cnt < 64 THEN cnt::DOUBLE
+          ELSE 63.0 * 1152921504606846976::DOUBLE / hk::DOUBLE END
+          FROM sk_uid),
+        (SELECT CAST(MIN(CAST(user_id AS DECIMAL(18,2))) AS DOUBLE)
+         FROM events),
+        (SELECT CAST(MAX(CAST(user_id AS DECIMAL(18,2))) AS DOUBLE)
+         FROM events),
+        CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM nr
+      UNION ALL
+      SELECT 'value', n_rows,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE value IS NULL),
+        (SELECT CASE WHEN cnt < 64 THEN cnt::DOUBLE
+          ELSE 63.0 * 1152921504606846976::DOUBLE / hk::DOUBLE END
+          FROM sk_val),
+        (SELECT CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         FROM events),
+        (SELECT CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         FROM events),
+        CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      FROM nr
+      ORDER BY "column""""
   )
 }
