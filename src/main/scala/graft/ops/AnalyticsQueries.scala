@@ -1850,6 +1850,71 @@ object AnalyticsQueries {
         .orderBy(col("hr"))
     }),
 
+    // TWAP — TIME-WEIGHTED average value per event type: each
+    // observation holds until the next same-type event (step
+    // interpolation), so the day's average weights each value by its
+    // holding duration — the standard fix for irregular sampling (a
+    // plain AVG over-weights bursts). Weights are exact integer seconds
+    // from LEAD within (type, day); values fold through DECIMAL(18,2),
+    // so the weighted sum is exact and the final ratio is one IEEE
+    // division — bit-identical cross-engine, no grid. The window
+    // partitions on (type, day): bounded groups, fully parallel.
+    "q139_twap" -> ((s, dir) => {
+      val w = Window
+        .partitionBy(col("event_type"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        // NTZ → TIMESTAMP for the epoch-seconds cast (session is UTC —
+        // lossless; NTZ itself refuses CAST AS BIGINT)
+        .select(col("event_type"), col("ts").cast("timestamp").as("ts"),
+          col("event_id"), to_date(col("ts")).as("day"),
+          col("value").cast(DecimalType(18, 2)).as("v"))
+        .withColumn("dt",
+          (lead(col("ts"), 1).over(w).cast("long") -
+            col("ts").cast("long")))
+        .filter(col("dt").isNotNull && col("dt") > 0)
+        .groupBy(col("event_type"))
+        .agg(sum(col("v") * col("dt")).as("wsum"),
+          sum(col("dt")).as("tsum"),
+          count(lit(1)).as("n_intervals"))
+        .select(col("event_type"),
+          (col("wsum").cast("double") / col("tsum").cast("double"))
+            .as("twap"),
+          col("n_intervals"))
+        .orderBy(col("event_type"))
+    }),
+
+    // HERFINDAHL–HIRSCHMAN concentration of revenue by nation, per
+    // region: HHI = Σ share². The naive Σ(double share)² is a
+    // multi-addend double sum (cross-engine hash death) and the exact
+    // Σcents²/(Σcents)² numerator outgrows DECIMAL(38) around sf100 —
+    // so shares are DEFINED as truncated 1e-8 fixed-point
+    // (share8 = cents·10⁸ div region_cents, the ppm discipline), and
+    // HHI_x1e4 = Σ share8² div 10⁸ is pure BIGINT arithmetic at ANY
+    // scale: per-nation share8 ≤ 1e8, squares ≤ 1e16, a region's sum
+    // ≤ 25·1e16 — exact, deterministic, and mirrored verbatim in the
+    // oracle. The antitrust-style concentration screen.
+    "q141_hhi" -> ((s, dir) => {
+      val Dec = DecimalType(38, 0)
+      val rev = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey").as("region"), col("n_name"))
+        .agg(sum(round(col("o_totalprice") * 100).cast(Dec)).as("cents"))
+      val totals = rev.groupBy(col("region"))
+        .agg(sum(col("cents")).as("den"))
+      rev.join(broadcast(totals), Seq("region"))
+        .withColumn("share8", expr("(cents * 100000000) div den"))
+        .groupBy(col("region"))
+        .agg(sum(col("share8") * col("share8")).as("ssq"),
+          count(lit(1)).as("n_nations"))
+        .select(col("region"),
+          expr("ssq div 100000000").as("hhi_x1e4"), col("n_nations"))
+        .orderBy(col("region"))
+    }),
+
     // Entity resolution end-to-end: dirty records (every 7th customer
     // gains two deterministic single-deletion typo variants), FastSS
     // deletion-neighborhood blocking + exact-address block key, Levenshtein
@@ -3393,6 +3458,44 @@ object AnalyticsQueries {
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
           AS cum_reach
       FROM pd ORDER BY hr""",
+
+    "q139_twap" -> """
+      WITH e AS (
+        SELECT event_type, ts, event_id, CAST(ts AS DATE) AS day,
+          CAST(value AS DECIMAL(18,2)) AS v
+        FROM events
+      ), d AS (
+        SELECT event_type, v,
+          epoch_us(LEAD(ts) OVER (PARTITION BY event_type, day
+                                  ORDER BY ts, event_id)) // 1000000
+            - epoch_us(ts) // 1000000 AS dt
+        FROM e
+      )
+      SELECT event_type,
+        CAST(SUM(v * dt) AS DOUBLE) / CAST(SUM(dt) AS DOUBLE) AS twap,
+        CAST(COUNT(*) AS BIGINT) AS n_intervals
+      FROM d WHERE dt IS NOT NULL AND dt > 0
+      GROUP BY 1 ORDER BY event_type""",
+
+    "q141_hhi" -> """
+      WITH rev AS (
+        SELECT n_regionkey AS region, n_name,
+          CAST(SUM(CAST(round(o_totalprice * 100) AS HUGEINT)) AS HUGEINT)
+            AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+      ), tot AS (
+        SELECT region, SUM(cents) AS den FROM rev GROUP BY 1
+      ), sh AS (
+        SELECT rev.region, (cents * 100000000) // den AS share8
+        FROM rev JOIN tot ON rev.region = tot.region
+      )
+      SELECT region,
+        CAST(SUM(share8 * share8) // 100000000 AS BIGINT) AS hhi_x1e4,
+        CAST(COUNT(*) AS BIGINT) AS n_nations
+      FROM sh GROUP BY 1 ORDER BY region""",
 
     "er1_entity_clusters" -> """
       WITH RECURSIVE cust AS (

@@ -312,6 +312,28 @@ object TextQueries {
         .limit(50)
     }),
 
+    // GOOD-TURING smoothed counts (Good 1953; the frequency-of-
+    // frequencies estimator under Katz backoff): for each observed count
+    // r, N_r = how many word types occur exactly r times, and the
+    // smoothed count r* = (r+1)·N_{r+1}/N_r — the probability mass
+    // reassigned toward unseen events. Two hash aggregations (counts,
+    // then counts-of-counts) + a 1-row-per-r self-join on r+1; r* is ONE
+    // IEEE division of exact integers — bit-identical cross-engine with
+    // no grid. Rows with no N_{r+1} (the tail) report NULL r*, as the
+    // estimator is undefined there.
+    "tx36_good_turing" -> ((s, dir) => {
+      val counts = Tables(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("r"))
+      val nr = counts.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+      nr.join(nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1")),
+          Seq("r"), "left")
+        .select(col("r"), col("n_r"),
+          ((col("r") + 1).cast("double") * col("n_r1").cast("double") /
+            col("n_r").cast("double")).as("r_star"))
+        .orderBy(col("r"))
+    }),
+
     "tx1_token_stats" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
           col("doc_id"),
@@ -645,6 +667,20 @@ object TextQueries {
       JOIN uni ua ON ua.w = w1
       JOIN uni uc ON uc.w = w2, nu, nb
       ORDER BY pmi DESC, w1, w2 LIMIT 100""",
+
+    "tx36_good_turing" -> raw"""
+      WITH counts AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS r FROM (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+            AS w
+          FROM documents) GROUP BY w
+      ), nr AS (
+        SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM counts GROUP BY r
+      )
+      SELECT a.r, a.n_r,
+        (a.r + 1)::DOUBLE * b.n_r::DOUBLE / a.n_r::DOUBLE AS r_star
+      FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+      ORDER BY a.r""",
 
     "tx34_g2_keyness" -> raw"""
       WITH tok AS (
