@@ -1051,6 +1051,29 @@ object AdvancedQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Global OFFSET windows (LEAD/LAG with no PARTITION BY) planned
+    // distributed: q135's running shapes plus the offset class — inter-
+    // event gaps, first differences, and a deliberately partition-
+    // spanning 1000-row lookahead over the whole events table, ordered
+    // globally. The strategy ships each partition's O(offset) boundary
+    // heads/tails through the driver (the joins.RangeLead discipline,
+    // now planner-applied), so no single-task WindowExec appears.
+    "q140_global_offsets" -> ((s, dir) => {
+      graft.plans.RunningWindow.install(s)
+      val w = Window.orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("event_type"),
+          col("value").cast(DecimalType(18, 2)).as("v"))
+        .select(col("event_id"),
+          (lead(col("ts"), 1).over(w).cast("long") -
+            col("ts").cast("long")).as("gap_s"),
+          (col("v") - lag(col("v"), 1).over(w)).cast("double").as("dv"),
+          lead(col("event_type"), 3, "END").over(w).as("et_next3"),
+          lead(col("v"), 1000).over(w).cast("double").as("v_next_1000"))
+        .orderBy(col("event_id"))
+    }),
+
     // Priority sampling (Duffield–Lund–Thorup, JACM '07) — the one-pass
     // fixed-size WEIGHTED sample a 100 TB pipeline takes instead of
     // sorting the world: priority q_i = w_i/u_i with u_i ∈ (0,1] derived
@@ -2285,6 +2308,19 @@ object AdvancedQueries {
         END AS est_distinct,
         exact_distinct
       FROM top t JOIN ex USING (event_type) ORDER BY t.event_type""",
+
+    "q140_global_offsets" -> """
+      SELECT event_id,
+        epoch_us(LEAD(ts) OVER w) // 1000000
+          - epoch_us(ts) // 1000000 AS gap_s,
+        CAST(CAST(value AS DECIMAL(18,2))
+          - LAG(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS dv,
+        LEAD(event_type, 3, 'END') OVER w AS et_next3,
+        CAST(LEAD(CAST(value AS DECIMAL(18,2)), 1000) OVER w AS DOUBLE)
+          AS v_next_1000
+      FROM events
+      WINDOW w AS (ORDER BY ts, event_id)
+      ORDER BY event_id""",
 
     // The definitional partitionless windows, verbatim (DuckDB's default
     // frame for an ORDER BY window is the same RANGE UNBOUNDED

@@ -91,9 +91,21 @@ object RunningWindow {
     */
   case class Spec(kind: Int, value: Expression, resultType: DataType,
                   rowsFrame: Boolean, ntileBuckets: Int,
-                  out: Attribute) extends Serializable {
+                  out: Attribute, offset: Int = 0,
+                  default: Expression = Literal(null)) extends Serializable {
     def isAgg: Boolean = kind < 10
     def needsGroupTotal: Boolean = isAgg && !rowsFrame
+    def isOffset: Boolean = kind == 20 || kind == 21
+  }
+
+  /** Values read from reused UnsafeRows must be detached before they
+    * outlive the row (min/max carry them across rows; offset specs carry
+    * them across partitions to the driver).
+    */
+  def copyVal(v: Any): Any = v match {
+    case s: UTF8String => s.clone()
+    case b: Array[Byte] => b.clone()
+    case other => other
   }
 
   private def runningFrame(frame: Expression): Option[Boolean] =
@@ -152,6 +164,17 @@ object RunningWindow {
           Some(Spec(12, Literal(1), IntegerType, true, 0, a.toAttribute))
         case NTile(Literal(b: Int, IntegerType)) if b > 0 =>
           Some(Spec(13, Literal(1), IntegerType, true, b, a.toAttribute))
+        // offset functions: value is the expr at a FIXED global row
+        // offset — pass 1 ships each partition's boundary heads/tails
+        // (O(offset) values, the joins.RangeLead discipline) so pass 2
+        // never needs another partition's rows. RESPECT NULLS only;
+        // defaults must be foldable (evaluated once at the boundary).
+        case Lead(e, Literal(o: Int, IntegerType), d, false)
+            if o >= 0 && e.deterministic && d.foldable =>
+          Some(Spec(20, e, fn.dataType, true, 0, a.toAttribute, o, d))
+        case Lag(e, Literal(o: Int, IntegerType), d, false)
+            if o >= 0 && e.deterministic && d.foldable =>
+          Some(Spec(21, e, fn.dataType, true, 0, a.toAttribute, o, d))
         case _ => None
       }
     case _ => None
@@ -191,13 +214,7 @@ object RunningWindow {
       }
     }
 
-    // values read from reused UnsafeRows must be detached before outliving
-    // the row (min/max carry them across rows and to the driver)
-    private def copyVal(v: Any): Any = v match {
-      case s: UTF8String => s.clone()
-      case b: Array[Byte] => b.clone()
-      case other => other
-    }
+    private def copyVal(v: Any): Any = RunningWindow.copyVal(v)
 
     /** Pass-1 output / driver state: a small serializable snapshot. */
     def total: Any = kind match {
@@ -253,7 +270,14 @@ object GlobalRunningWindowStrategy extends SparkStrategy {
           org.apache.spark.sql.internal.SQLConf.get
             .getConfString(EnabledKey, "true") == "true" =>
       val specs = w.windowExpressions.map(toSpec)
-      if (specs.forall(_.isDefined))
+      // offset functions share an exec with the running shapes, but not
+      // with RANGE-frame aggregates (the buffered tie-group path and the
+      // lookahead queue would have to interleave) — that mix falls back
+      val plannable = specs.forall(_.isDefined) && {
+        val ss = specs.flatten
+        !(ss.exists(_.isOffset) && ss.exists(_.needsGroupTotal))
+      }
+      if (plannable)
         GlobalRunningWindowExec(specs.flatten.toSeq, w.orderSpec,
           planLater(w.child)) :: Nil
       else Nil
@@ -279,10 +303,17 @@ object GlobalRunningWindowStrategy extends SparkStrategy {
   * Per agg spec, `totals` holds `Array(total)` for a ROWS frame and
   * `Array(exclTail, tail, lead)` for a RANGE frame (aggregates of: all
   * groups but the last, the last group, the first group).
+  *
+  * Per OFFSET spec (LEAD/LAG), `heads`/`tails` hold the partition's first/
+  * last `offset` projected values — O(offset) scalars per partition, the
+  * `joins.RangeLead` boundary discipline — so pass 2 resolves every
+  * cross-partition offset from driver state, never another partition's
+  * rows.
   */
 private[plans] case class PartSummary(rows: Long, groups: Long,
     tailRows: Long, firstKey: UnsafeRow, lastKey: UnsafeRow,
-    totals: Array[Array[Any]])
+    totals: Array[Array[Any]], heads: Array[Array[Any]],
+    tails: Array[Array[Any]])
 
 /** Distributed running-window execution: range exchange (declared, the
   * planner inserts it unless a compatible one exists) → per-partition
@@ -321,6 +352,19 @@ case class GlobalRunningWindowExec(specs: Seq[RunningWindow.Spec],
     val anyRange = aggRangeFlags.exists(identity)
     // tie groups matter iff some value depends on them
     val needGroups = anyRange || rankPresent
+    // offset (LEAD/LAG) specs: boundary heads/tails + a lookahead queue
+    val offSpecs = specs.filter(_.isOffset).toArray
+    val anyOffset = offSpecs.nonEmpty
+    require(!(anyOffset && anyRange),
+      "offset specs cannot share an exec with RANGE-frame aggregates " +
+        "(the strategy never plans that mix)")
+    val boundOffVals: Array[Expression] = offSpecs
+      .map(s => BindReferences.bindReference(s.value, childOutput))
+    val offIsLead = offSpecs.map(_.kind == 20)
+    val offOffsets = offSpecs.map(_.offset)
+    val offDefaults: Array[Any] = offSpecs.map(_.default.eval(null))
+    val maxLead = offSpecs.filter(_.kind == 20).map(_.offset)
+      .foldLeft(0)(math.max)
     val boundOrder = orderSpec
       .map(so => so.copy(child =
         BindReferences.bindReference(so.child, childOutput)))
@@ -346,8 +390,28 @@ case class GlobalRunningWindowExec(specs: Seq[RunningWindow.Spec],
       var firstKey: UnsafeRow = null
       var lastKeyRow: InternalRow = null
       var prev: InternalRow = null
+      val headBufs = offSpecs.map(s =>
+        new scala.collection.mutable.ArrayBuffer[Any](s.offset))
+      val tailBufs = offSpecs.map(_ =>
+        new scala.collection.mutable.ArrayDeque[Any]())
       while (it.hasNext) {
         val row = it.next()
+        var o = 0
+        while (o < offSpecs.length) {
+          val lim = offOffsets(o)
+          if (lim > 0) {
+            // LEAD needs only the first `offset` values, LAG only the
+            // last `offset` — never both for one spec
+            if (offIsLead(o)) {
+              if (headBufs(o).size < lim)
+                headBufs(o) += copyVal(boundOffVals(o).eval(row))
+            } else {
+              tailBufs(o).append(copyVal(boundOffVals(o).eval(row)))
+              if (tailBufs(o).size > lim) tailBufs(o).removeHead()
+            }
+          }
+          o += 1
+        }
         if (needGroups &&
             (prev == null || ordering.compare(prev, row) != 0)) {
           if (prev != null) { // close the current group
@@ -381,7 +445,8 @@ case class GlobalRunningWindowExec(specs: Seq[RunningWindow.Spec],
         else Array(accAll(i).total)
       }
       Iterator.single((idx, PartSummary(rows, groups, rows - tailStartRow,
-        firstKey, lastKeyRow.asInstanceOf[UnsafeRow], totals)))
+        firstKey, lastKeyRow.asInstanceOf[UnsafeRow], totals,
+        headBufs.map(_.toArray), tailBufs.map(_.toArray))))
     }.collect().sortBy(_._1).map(_._2)
 
     // ---- driver boundary-merge --------------------------------------
@@ -458,6 +523,46 @@ case class GlobalRunningWindowExec(specs: Seq[RunningWindow.Spec],
       }
     }
     val totalRows = summaries.map(_.rows).sum
+
+    // per partition, per offset spec: the `offset` values immediately
+    // AFTER its last row (from later partitions' heads) and immediately
+    // BEFORE its first row (from earlier partitions' tails) — O(n·offset)
+    // driver scalars
+    val nextVals = Array.ofDim[Array[Any]](n, offSpecs.length)
+    val prevVals = Array.ofDim[Array[Any]](n, offSpecs.length)
+    if (anyOffset) {
+      var p = 0
+      while (p < n) {
+        var k = 0
+        while (k < offSpecs.length) {
+          val o = offOffsets(k)
+          if (offIsLead(k)) {
+            val buf = new scala.collection.mutable.ArrayBuffer[Any](o)
+            var j = p + 1
+            while (j < n && buf.size < o) {
+              val h = summaries(j).heads(k)
+              var i = 0
+              while (i < h.length && buf.size < o) { buf += h(i); i += 1 }
+              j += 1
+            }
+            nextVals(p)(k) = buf.toArray
+          } else {
+            // last o values before partition p, ascending
+            val buf = new scala.collection.mutable.ArrayBuffer[Any](o)
+            var j = p - 1
+            while (j >= 0 && buf.size < o) {
+              val t = summaries(j).tails(k)
+              var i = t.length - 1
+              while (i >= 0 && buf.size < o) { buf += t(i); i -= 1 }
+              j -= 1
+            }
+            prevVals(p)(k) = buf.reverse.toArray
+          }
+          k += 1
+        }
+        p += 1
+      }
+    }
 
     // RANGE-frame seeds: for each partition, B (all rows in groups closed
     // strictly before its lead key) ⊕ the OTHER partitions' portions of
@@ -578,6 +683,10 @@ case class GlobalRunningWindowExec(specs: Seq[RunningWindow.Spec],
       var j = -1
       allSpecs.map(s => if (s.isAgg) { j += 1; j } else -1)
     }
+    val offIndexOf: Array[Int] = { // position of each offset spec
+      var j = -1
+      allSpecs.map(s => if (s.isOffset) { j += 1; j } else -1)
+    }
     val nSpecs = allSpecs.length
     val outAttrs = specs.map(_.out)
     val outSchema = output
@@ -623,6 +732,9 @@ case class GlobalRunningWindowExec(specs: Seq[RunningWindow.Spec],
         firstLocalGroup = false
       }
 
+      // offset values for the row being emitted, filled by the queue path
+      val offsetOut = new Array[Any](offSpecs.length)
+
       def emit(row: InternalRow): UnsafeRow = {
         var s = 0
         while (s < nSpecs) {
@@ -631,6 +743,7 @@ case class GlobalRunningWindowExec(specs: Seq[RunningWindow.Spec],
             case 11 => extra.update(s, (groupStart + 1L).toInt)
             case 12 => extra.update(s, groupIdx.toInt)
             case 13 => extra.update(s, ntileOf(rowIdx, specNtile(s)))
+            case 20 | 21 => extra.update(s, offsetOut(offIndexOf(s)))
             case _ => extra.update(s, accs(aggIndexOf(s)).current)
           }
           s += 1
@@ -640,7 +753,7 @@ case class GlobalRunningWindowExec(specs: Seq[RunningWindow.Spec],
         out
       }
 
-      if (!anyRange) {
+      if (!anyRange && !anyOffset) {
         // streaming path: ROWS frames advance per row; rank/dense only
         // need the group START, known on first sight of a new key
         var prev: InternalRow = null
@@ -655,6 +768,75 @@ case class GlobalRunningWindowExec(specs: Seq[RunningWindow.Spec],
             accs(i).add(boundValues(i).eval(row)); i += 1
           }
           emit(row)
+        }
+      } else if (!anyRange) {
+        // LOOKAHEAD-QUEUE path (offset specs present): rows are emitted
+        // `maxLead` behind the read cursor so every LEAD resolves from
+        // buffered copies; the partition tail drains against the driver's
+        // nextVals, partition heads LAG against prevVals. All other
+        // bookkeeping (accs, rank family) runs at EMIT time, so it sees
+        // rows in order exactly as the streaming path does.
+        val pNext = nextVals(idx)
+        val pPrev = prevVals(idx)
+        new Iterator[UnsafeRow] {
+          private val buf = new scala.collection.mutable.ArrayDeque[InternalRow]
+          // per LAG spec: values of recently-emitted rows (≤ offset)
+          private val lagPast = offSpecs.map(s =>
+            new scala.collection.mutable.ArrayDeque[Any]())
+          private var emittedLocal = 0L // local index of next emit
+          private var prev: InternalRow = null
+
+          override def hasNext: Boolean = buf.nonEmpty || it.hasNext
+
+          override def next(): UnsafeRow = {
+            while (it.hasNext && buf.size <= maxLead)
+              buf.append(it.next().copy())
+            val head = buf.removeHead()
+            var k = 0
+            while (k < offSpecs.length) {
+              val o = offOffsets(k)
+              offsetOut(k) =
+                if (o == 0) boundOffVals(k).eval(head)
+                else if (offIsLead(k)) {
+                  if (o <= buf.size) boundOffVals(k).eval(buf(o - 1))
+                  else {
+                    val i2 = o - buf.size - 1
+                    if (i2 < pNext(k).length) pNext(k)(i2)
+                    else offDefaults(k)
+                  }
+                } else {
+                  val past = lagPast(k)
+                  if (past.size >= o) past(past.size - o)
+                  else {
+                    val pos = pPrev(k).length - (o - emittedLocal).toInt
+                    if (emittedLocal < o && pos >= 0) pPrev(k)(pos)
+                    else offDefaults(k)
+                  }
+                }
+              k += 1
+            }
+            if (needGroups &&
+                (prev == null || ordering.compare(prev, head) != 0)) {
+              onGroupChange()
+              prev = head // already a detached copy
+            }
+            var i = 0
+            while (i < accs.length) {
+              accs(i).add(boundValues(i).eval(head)); i += 1
+            }
+            val out = emit(head)
+            emittedLocal += 1L
+            var k2 = 0
+            while (k2 < offSpecs.length) {
+              if (!offIsLead(k2) && offOffsets(k2) > 0) {
+                lagPast(k2).append(copyVal(boundOffVals(k2).eval(head)))
+                if (lagPast(k2).size > offOffsets(k2))
+                  lagPast(k2).removeHead()
+              }
+              k2 += 1
+            }
+            out
+          }
         }
       } else {
         // RANGE frames: every row of a tie group reports the whole

@@ -141,6 +141,7 @@ class PlanGuardSpec extends SparkSpec {
     // optimizer-planned running windows: the partitionless fact-table
     // windows plan as the distributed two-pass exec, never WindowExec
     "q135_running_window" -> Seq("GlobalRunningWindow"),
+    "q140_global_offsets" -> Seq("GlobalRunningWindow"),
     // the KMV aggregate must keep map-side PARTIAL aggregation (the whole
     // point over the distinct+window construction)
     "q137_kmv_distinct" -> Seq("ObjectHashAggregate", "partial_kmv_sketch"),
@@ -173,6 +174,7 @@ class PlanGuardSpec extends SparkSpec {
     // rewrite (" Window [" is WindowExec's plan line; the distributed
     // exec prints GlobalRunningWindow)
     "q135_running_window" -> Seq(" Window ["),
+    "q140_global_offsets" -> Seq(" Window ["),
     "q16_approx_distinct" -> Seq("ObjectHashAggregate"),
     // banded joins must stay equi — a nested-loop fallback means the band
     // keys broke and Spark is comparing all pairs
@@ -275,7 +277,9 @@ class PlanGuardSpec extends SparkSpec {
         "q72_kcore",
         // cur13 checkpoints its feature frame (read 7×: 6 GD rounds +
         // inference); er1/q65 checkpoint variants/edge tables the same way
-        "cur13_lr_quality_model", "er1_entity_clusters", "q65_hits")
+        "cur13_lr_quality_model", "er1_entity_clusters", "q65_hits",
+        // reads committed __stat: manifest METADATA — no file scan exists
+        "cdc_merge_analyze")
     (SparkEntry.queries.keySet -- rddRooted).toSeq.sorted.foreach { name =>
       assert(plan(name).contains("PushedFilters: ["),
         s"$name scan lost pushdown metadata")

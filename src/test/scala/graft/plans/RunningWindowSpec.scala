@@ -200,6 +200,48 @@ class RunningWindowSpec extends SparkSpec {
       .unset("spark.sql.adaptive.coalescePartitions.enabled")
   }
 
+  test("LEAD/LAG across partition boundaries match, incl. defaults and " +
+      "mixed offsets in one node") {
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val w = Window.orderBy($"k", $"id")
+      def q = messy.select($"id", $"k", $"v",
+        lead($"v", 1).over(w).as("nv"),
+        lead($"v", 7).over(w).as("nv7"),
+        lead($"s", 2, "THE_END").over(w).as("ns2"),
+        lag($"v", 1).over(w).as("pv"),
+        lag($"v", 11).over(w).as("pv11"),
+        lag($"s", 3, "THE_START").over(w).as("ps3"),
+        lead($"v", 0).over(w).as("self"),
+        // mixed with running shapes in the SAME node
+        sum($"v").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("rsum"),
+        row_number().over(w).as("rn"),
+        rank().over(Window.orderBy($"k")).as("rk"))
+      val on = q
+      assert(hasRunningExec(on), physical(on).toString)
+      assert(!physical(on).toString.contains(" Window ["),
+        "single-partition WindowExec survived:\n" + physical(on))
+      assert(on.rdd.getNumPartitions > 1)
+      val got = on.orderBy($"id").collect().toSeq
+      spark.conf.set(RunningWindow.EnabledKey, "false")
+      val want =
+        try q.orderBy($"id").collect().toSeq
+        finally spark.conf.unset(RunningWindow.EnabledKey)
+      assert(got == want)
+    } finally spark.conf
+      .unset("spark.sql.adaptive.coalescePartitions.enabled")
+  }
+
+  test("offset + RANGE-frame aggregate in one node falls back to WindowExec") {
+    val w = Window.orderBy($"k")
+    val df = messy.select($"id",
+      sum($"v").over(w).as("range_sum"), // RANGE default frame
+      lead($"v", 1).over(w).as("nv"))
+    assert(!hasRunningExec(df), physical(df).toString)
+    assert(df.count() == 500) // still correct via the built-in plan
+  }
+
   test("SQL surface: registerAll installs the strategy on a foreign session") {
     val plain = spark.newSession()
     graft.functions.GraftExtensions.registerAll(plain)
