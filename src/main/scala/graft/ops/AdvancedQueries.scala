@@ -1047,6 +1047,8 @@ object AdvancedQueries {
           rank().over(byDay).as("rk"),
           dense_rank().over(byDay).as("dr"),
           ntile(10).over(total).as("decile"),
+          percent_rank().over(byDay).as("pr"),
+          cume_dist().over(byDay).as("cd"),
           sum(col("price")).over(byDay).cast("double").as("day_run_rev"))
         .orderBy(col("o_orderkey"))
     }),
@@ -2335,6 +2337,8 @@ object AdvancedQueries {
         RANK() OVER (ORDER BY o_orderdate) AS rk,
         DENSE_RANK() OVER (ORDER BY o_orderdate) AS dr,
         NTILE(10) OVER (ORDER BY o_orderdate, o_orderkey) AS decile,
+        PERCENT_RANK() OVER (ORDER BY o_orderdate) AS pr,
+        CUME_DIST() OVER (ORDER BY o_orderdate) AS cd,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
           OVER (ORDER BY o_orderdate) AS DOUBLE) AS day_run_rev
       FROM orders ORDER BY o_orderkey""",

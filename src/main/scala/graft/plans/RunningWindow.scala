@@ -94,7 +94,9 @@ object RunningWindow {
                   out: Attribute, offset: Int = 0,
                   default: Expression = Literal(null)) extends Serializable {
     def isAgg: Boolean = kind < 10
-    def needsGroupTotal: Boolean = isAgg && !rowsFrame
+    // cume_dist = (rows with key <= current)/N — the RANGE-frame count,
+    // so it rides the same tie-group machinery as RANGE aggregates
+    def needsGroupTotal: Boolean = (isAgg && !rowsFrame) || kind == 15
     def isOffset: Boolean = kind == 20 || kind == 21
   }
 
@@ -164,6 +166,13 @@ object RunningWindow {
           Some(Spec(12, Literal(1), IntegerType, true, 0, a.toAttribute))
         case NTile(Literal(b: Int, IntegerType)) if b > 0 =>
           Some(Spec(13, Literal(1), IntegerType, true, b, a.toAttribute))
+        // percent_rank = (rank-1)/(N-1), cume_dist = rangeCount/N: pure
+        // functions of exact global quantities (one IEEE division each,
+        // matching Spark's own Divide(Cast,Cast) form bit-for-bit)
+        case _: PercentRank =>
+          Some(Spec(14, Literal(1), DoubleType, true, 0, a.toAttribute))
+        case _: CumeDist =>
+          Some(Spec(15, Literal(1), DoubleType, false, 0, a.toAttribute))
         // offset functions: value is the expr at a FIXED global row
         // offset — pass 1 ships each partition's boundary heads/tails
         // (O(offset) values, the joins.RangeLead discipline) so pass 2
@@ -341,14 +350,22 @@ case class GlobalRunningWindowExec(specs: Seq[RunningWindow.Spec],
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val childRdd = child.execute()
-    val aggSpecs = specs.filter(_.isAgg).toArray
+    // cume_dist piggybacks on a HIDDEN RANGE-frame COUNT aggregate —
+    // the (rows with key <= current) numerator, boundary-chain-correct
+    // through the same machinery as any RANGE aggregate
+    val cumePresent = specs.exists(_.kind == 15)
+    val aggSpecs = (specs.filter(_.isAgg) ++ (if (cumePresent)
+      Seq(RunningWindow.Spec(1, Literal(1), LongType, rowsFrame = false, 0,
+        AttributeReference("__cume_count", LongType)())) else Nil)).toArray
+    val cumeCountIdx = aggSpecs.length - 1 // valid iff cumePresent
     val allSpecs = specs.toArray
     val boundValues: Array[Expression] = aggSpecs
       .map(s => BindReferences.bindReference(s.value, childOutput))
     val aggKinds = aggSpecs.map(_.kind)
     val aggTypes = aggSpecs.map(_.resultType)
     val aggRangeFlags: Array[Boolean] = aggSpecs.map(_.needsGroupTotal)
-    val rankPresent = allSpecs.exists(s => s.kind == 11 || s.kind == 12)
+    val rankPresent = allSpecs.exists(s =>
+      s.kind == 11 || s.kind == 12 || s.kind == 14)
     val anyRange = aggRangeFlags.exists(identity)
     // tie groups matter iff some value depends on them
     val needGroups = anyRange || rankPresent
@@ -743,6 +760,13 @@ case class GlobalRunningWindowExec(specs: Seq[RunningWindow.Spec],
             case 11 => extra.update(s, (groupStart + 1L).toInt)
             case 12 => extra.update(s, groupIdx.toInt)
             case 13 => extra.update(s, ntileOf(rowIdx, specNtile(s)))
+            case 14 => extra.update(s,
+              if (totalRows > 1L)
+                groupStart.toDouble / (totalRows - 1L).toDouble
+              else 0.0)
+            case 15 => extra.update(s,
+              accs(cumeCountIdx).current.asInstanceOf[Long].toDouble /
+                totalRows.toDouble)
             case 20 | 21 => extra.update(s, offsetOut(offIndexOf(s)))
             case _ => extra.update(s, accs(aggIndexOf(s)).current)
           }

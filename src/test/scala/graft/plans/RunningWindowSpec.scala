@@ -233,6 +233,40 @@ class RunningWindowSpec extends SparkSpec {
       .unset("spark.sql.adaptive.coalescePartitions.enabled")
   }
 
+  test("PERCENT_RANK / CUME_DIST match across partitions, ties included") {
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val wt = Window.orderBy($"k") // heavy ties
+      val w = Window.orderBy($"k", $"id")
+      def q = messy.select($"id", $"k",
+        percent_rank().over(wt).as("pr"),
+        cume_dist().over(wt).as("cd"),
+        percent_rank().over(w).as("pr_total"),
+        cume_dist().over(w).as("cd_total"),
+        // alongside a RANGE sum (shares the tie-group machinery)
+        sum($"v").over(wt).as("rsum"))
+      val on = q
+      assert(hasRunningExec(on), physical(on).toString)
+      assert(!physical(on).toString.contains(" Window ["))
+      val got = on.orderBy($"id").collect().toSeq
+      spark.conf.set(RunningWindow.EnabledKey, "false")
+      val want =
+        try q.orderBy($"id").collect().toSeq
+        finally spark.conf.unset(RunningWindow.EnabledKey)
+      assert(got == want)
+      // one-row edge: percent_rank of N==1 is 0.0 by definition
+      val dir = java.nio.file.Files.createTempDirectory("rw_one").toString
+      messy.limit(1).write.mode("overwrite").parquet(dir)
+      val one = spark.read.parquet(dir)
+        .select(percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+      assert(hasRunningExec(one))
+      assert(one.collect().toSeq.map(r => (r.getDouble(0), r.getDouble(1)))
+        == Seq((0.0, 1.0)))
+    } finally spark.conf
+      .unset("spark.sql.adaptive.coalescePartitions.enabled")
+  }
+
   test("offset + RANGE-frame aggregate in one node falls back to WindowExec") {
     val w = Window.orderBy($"k")
     val df = messy.select($"id",
