@@ -1076,6 +1076,25 @@ object AdvancedQueries {
         .orderBy(col("event_id"))
     }),
 
+    // The running-window family as PURE spark.sql on a foreign session
+    // (the er3 discipline): GraftExtensions.registerAll installs the
+    // planner strategy on the driver's own plain session, and the SQL —
+    // byte-for-byte the oracle's SQL — plans through
+    // GlobalRunningWindowExec with no DataFrame code in the path.
+    "q142_running_sql" -> ((s, dir) => {
+      graft.functions.GraftExtensions.registerAll(s)
+      Tables(s, dir, "orders").createOrReplaceTempView("orders_rw")
+      s.sql("""SELECT o_orderkey,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS run_rev,
+          LEAD(o_orderkey, 5) OVER
+            (ORDER BY o_orderdate, o_orderkey) AS k_next5,
+          CUME_DIST() OVER (ORDER BY o_orderdate) AS cd
+        FROM orders_rw ORDER BY o_orderkey""")
+    }),
+
     // Priority sampling (Duffield–Lund–Thorup, JACM '07) — the one-pass
     // fixed-size WEIGHTED sample a 100 TB pipeline takes instead of
     // sorting the world: priority q_i = w_i/u_i with u_i ∈ (0,1] derived
@@ -2323,6 +2342,18 @@ object AdvancedQueries {
       FROM events
       WINDOW w AS (ORDER BY ts, event_id)
       ORDER BY event_id""",
+
+    // byte-for-byte the Spark side's SQL (modulo the view name)
+    "q142_running_sql" -> """
+      SELECT o_orderkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          OVER (ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS DOUBLE) AS run_rev,
+        LEAD(o_orderkey, 5) OVER
+          (ORDER BY o_orderdate, o_orderkey) AS k_next5,
+        CUME_DIST() OVER (ORDER BY o_orderdate) AS cd
+      FROM orders ORDER BY o_orderkey""",
 
     // The definitional partitionless windows, verbatim (DuckDB's default
     // frame for an ORDER BY window is the same RANGE UNBOUNDED

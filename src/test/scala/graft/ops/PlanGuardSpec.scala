@@ -142,6 +142,7 @@ class PlanGuardSpec extends SparkSpec {
     // windows plan as the distributed two-pass exec, never WindowExec
     "q135_running_window" -> Seq("GlobalRunningWindow"),
     "q140_global_offsets" -> Seq("GlobalRunningWindow"),
+    "q142_running_sql" -> Seq("GlobalRunningWindow"),
     // the KMV aggregate must keep map-side PARTIAL aggregation (the whole
     // point over the distinct+window construction)
     "q137_kmv_distinct" -> Seq("ObjectHashAggregate", "partial_kmv_sketch"),
@@ -175,6 +176,7 @@ class PlanGuardSpec extends SparkSpec {
     // exec prints GlobalRunningWindow)
     "q135_running_window" -> Seq(" Window ["),
     "q140_global_offsets" -> Seq(" Window ["),
+    "q142_running_sql" -> Seq(" Window ["),
     "q16_approx_distinct" -> Seq("ObjectHashAggregate"),
     // banded joins must stay equi — a nested-loop fallback means the band
     // keys broke and Spark is comparing all pairs
