@@ -1915,6 +1915,49 @@ object AnalyticsQueries {
         .orderBy(col("region"))
     }),
 
+    // DECISION STUMP (one-level CART): the exact best threshold split of
+    // order totals predicting status='F', by minimum weighted Gini
+    // impurity — the base learner of every boosted-tree pipeline and the
+    // first split any tree trainer makes. Candidate thresholds are the
+    // COMPRESSED distinct cents values (one hash agg; the cumulative
+    // window runs over that aggregated domain, never the fact table),
+    // and impurity comparison is EXACT integer arithmetic: minimizing
+    // weighted Gini ⟺ maximizing (p_l²+q_l²)·n_r + (p_r²+q_r²)·n_l
+    // (DECIMAL(38,0) — fits through sf100-class N³·1e6), tie-broken to
+    // the smallest threshold; the reported impurity is ppm fixed-point
+    // via IntegralDivide, never a >2^53 integer forced through a double.
+    "q143_decision_stump" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long").as("c"),
+          (col("o_orderstatus") === "F").cast("long").as("y"))
+      val comp = o.groupBy(col("c"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+      val tot = comp.agg(sum(col("n")).as("nn"), sum(col("p")).as("pp"))
+      val w = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      comp
+        .withColumn("nl", sum(col("n")).over(w))
+        .withColumn("pl", sum(col("p")).over(w))
+        .crossJoin(broadcast(tot))
+        .filter(col("nl") < col("nn")) // right side must be nonempty
+        .withColumn("ql", col("nl") - col("pl"))
+        .withColumn("nr", col("nn") - col("nl"))
+        .withColumn("pr", col("pp") - col("pl"))
+        .withColumn("qr", col("nr") - col("pr"))
+        .withColumn("score", expr("""
+          (CAST(pl AS DECIMAL(38,0)) * pl + CAST(ql AS DECIMAL(38,0)) * ql)
+            * nr +
+          (CAST(pr AS DECIMAL(38,0)) * pr + CAST(qr AS DECIMAL(38,0)) * qr)
+            * nl"""))
+        .orderBy(col("score").desc, col("c"))
+        .limit(1)
+        .select(col("c").as("threshold_cents"),
+          col("nl").as("n_left"), col("nr").as("n_right"),
+          col("pl").as("pos_left"), col("pr").as("pos_right"),
+          expr("""(CAST(nn AS DECIMAL(38,0)) * nl * nr - score) * 1000000
+            div (CAST(nn AS DECIMAL(38,0)) * nl * nr)""").as("gini_ppm"))
+    }),
+
     // Entity resolution end-to-end: dirty records (every 7th customer
     // gains two deterministic single-deletion typo variants), FastSS
     // deletion-neighborhood blocking + exact-address block key, Levenshtein
@@ -3496,6 +3539,42 @@ object AnalyticsQueries {
         CAST(SUM(share8 * share8) // 100000000 AS BIGINT) AS hhi_x1e4,
         CAST(COUNT(*) AS BIGINT) AS n_nations
       FROM sh GROUP BY 1 ORDER BY region""",
+
+    "q143_decision_stump" -> """
+      WITH o AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+      ), comp AS (
+        SELECT c, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(y) AS BIGINT) AS p
+        FROM o GROUP BY c
+      ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(p) AS BIGINT) AS pp
+        FROM comp
+      ), cum AS (
+        SELECT c,
+          CAST(SUM(n) OVER (ORDER BY c
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS nl,
+          CAST(SUM(p) OVER (ORDER BY c
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS pl
+        FROM comp
+      ), scored AS (
+        SELECT c, nl, pl, nl - pl AS ql, nn - nl AS nr, pp - pl AS pr,
+          (nn - nl) - (pp - pl) AS qr, nn,
+          (pl::HUGEINT * pl + (nl - pl)::HUGEINT * (nl - pl)) * (nn - nl)
+            + ((pp - pl)::HUGEINT * (pp - pl)
+               + ((nn - nl) - (pp - pl))::HUGEINT
+                 * ((nn - nl) - (pp - pl))) * nl AS score
+        FROM cum, tot WHERE nl < nn
+      )
+      SELECT c AS threshold_cents, nl AS n_left, nr AS n_right,
+        pl AS pos_left, pr AS pos_right,
+        CAST((nn::HUGEINT * nl * nr - score) * 1000000
+          // (nn::HUGEINT * nl * nr) AS BIGINT) AS gini_ppm
+      FROM scored ORDER BY score DESC, c LIMIT 1""",
 
     "er1_entity_clusters" -> """
       WITH RECURSIVE cust AS (
