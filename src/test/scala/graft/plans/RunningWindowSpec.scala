@@ -267,6 +267,53 @@ class RunningWindowSpec extends SparkSpec {
       .unset("spark.sql.adaptive.coalescePartitions.enabled")
   }
 
+  test("WHOLE-PARTITION tie chains: a group spanning entire interior " +
+      "partitions merges correctly for every tie-dependent shape") {
+    // 2 distinct keys over 400 rows with 4 forced partitions: each tie
+    // group covers ~2 whole partitions, so the driver's chain walks must
+    // traverse single-group interior members (m==1) — the path the
+    // 6-key straddle test cannot reach
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val two = messy.limit(400).withColumn("k2", $"k" % 2)
+      val wt = Window.orderBy($"k2")
+      def q = two.select($"id", $"k2",
+        sum($"v").over(wt).as("range_sum"),
+        min($"v").over(wt).as("range_min"),
+        max($"v").over(wt).as("range_max"),
+        count($"v").over(wt).as("range_cnt"),
+        rank().over(wt).as("rk"),
+        dense_rank().over(wt).as("dr"),
+        percent_rank().over(wt).as("pr"),
+        cume_dist().over(wt).as("cd"))
+      val on = q
+      assert(hasRunningExec(on), physical(on).toString)
+      assert(on.rdd.getNumPartitions > 1)
+      val got = on.orderBy($"id").collect().toSeq
+      spark.conf.set(RunningWindow.EnabledKey, "false")
+      val want =
+        try q.orderBy($"id").collect().toSeq
+        finally spark.conf.unset(RunningWindow.EnabledKey)
+      assert(got == want)
+      // degenerate extreme: ONE key — a single global tie group across
+      // every partition (dense_rank 1 everywhere, cume_dist 1.0, the
+      // range sum equal on every row)
+      def q1 = two.withColumn("k1", lit(0))
+        .select($"id", sum($"v").over(Window.orderBy($"k1")).as("s"),
+          dense_rank().over(Window.orderBy($"k1")).as("dr"),
+          cume_dist().over(Window.orderBy($"k1")).as("cd"))
+      val on1 = q1
+      assert(hasRunningExec(on1))
+      val got1 = on1.orderBy($"id").collect().toSeq
+      spark.conf.set(RunningWindow.EnabledKey, "false")
+      val want1 =
+        try q1.orderBy($"id").collect().toSeq
+        finally spark.conf.unset(RunningWindow.EnabledKey)
+      assert(got1 == want1)
+    } finally spark.conf
+      .unset("spark.sql.adaptive.coalescePartitions.enabled")
+  }
+
   test("offset + RANGE-frame aggregate in one node falls back to WindowExec") {
     val w = Window.orderBy($"k")
     val df = messy.select($"id",
