@@ -334,6 +334,36 @@ object TextQueries {
         .orderBy(col("r"))
     }),
 
+    // WORD BURSTINESS (Church & Gale 1995): the variance-to-mean ratio of
+    // a word's per-document count — content words burst (VMR >> 1),
+    // function words scatter Poisson-like (VMR ≈ 1); the signal behind
+    // adaptive LM caching and topicality weighting. Absent docs count as
+    // zero, so with D docs, Σx and Σx² over PRESENT docs suffice:
+    // VMR = (D·Σx² − (Σx)²) / (D·Σx) — exact DECIMAL(38,0) integers,
+    // reported in ppm fixed-point via IntegralDivide (no double sums, no
+    // grid). Two hash aggregations; candidate set capped at Σx ≥ 100.
+    "tx37_burstiness" -> ((s, dir) => {
+      val Dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val docs = Tables(s, dir, "documents")
+      val perDoc = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w"), col("doc_id"))
+        .agg(count(lit(1)).as("x"))
+      val d = docs.agg(count(lit(1)).cast(Dec).as("d"))
+      perDoc.groupBy(col("w"))
+        .agg(sum(col("x").cast(Dec)).as("sx"),
+          sum((col("x") * col("x")).cast(Dec)).as("sxx"),
+          count(lit(1)).as("n_docs_present"))
+        .filter(col("sx") >= 100)
+        .crossJoin(broadcast(d))
+        .select(col("w"), col("sx").cast("long").as("total_count"),
+          col("n_docs_present"),
+          expr("(d * sxx - sx * sx) * 1000000 div (d * sx)")
+            .as("vmr_ppm"))
+        .orderBy(col("vmr_ppm").desc, col("w"))
+        .limit(50)
+    }),
+
     "tx1_token_stats" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
           col("doc_id"),
@@ -667,6 +697,25 @@ object TextQueries {
       JOIN uni ua ON ua.w = w1
       JOIN uni uc ON uc.w = w2, nu, nb
       ORDER BY pmi DESC, w1, w2 LIMIT 100""",
+
+    "tx37_burstiness" -> raw"""
+      WITH perdoc AS (
+        SELECT w, doc_id, CAST(COUNT(*) AS HUGEINT) AS x FROM (
+          SELECT doc_id,
+            unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          FROM documents) GROUP BY w, doc_id
+      ), d AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS d FROM documents
+      ), agg AS (
+        SELECT w, SUM(x) AS sx, SUM(x * x) AS sxx,
+          CAST(COUNT(*) AS BIGINT) AS n_docs_present
+        FROM perdoc GROUP BY w HAVING SUM(x) >= 100
+      )
+      SELECT w, CAST(sx AS BIGINT) AS total_count, n_docs_present,
+        CAST((d * sxx - sx * sx) * 1000000 // (d * sx) AS BIGINT)
+          AS vmr_ppm
+      FROM agg, d
+      ORDER BY vmr_ppm DESC, w LIMIT 50""",
 
     "tx36_good_turing" -> raw"""
       WITH counts AS (
