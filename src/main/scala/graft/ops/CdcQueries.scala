@@ -41,9 +41,11 @@ object CdcQueries {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    // _v3: one-file-per-bucket commit layout (v2 predates the write-side
-    // repartition and carries tasks×buckets tiny files per commit)
-    val root = Paths.get(s"$base/$key/orders_merge_table_v3")
+    // _v4 (and the matching bumps on every merge-fixture root below):
+    // manifest-recorded table schema — fixtures rebuilt so their
+    // manifests carry the __schema slot and reads skip the mergeSchema
+    // footer sweep. _v3 was the one-file-per-bucket commit layout.
+    val root = Paths.get(s"$base/$key/orders_merge_table_v4")
     val store = root.resolve("table").toString
     graft.streaming.FixtureLock.once(root) {
         import org.apache.spark.sql.expressions.Window
@@ -73,7 +75,7 @@ object CdcQueries {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    val root = Paths.get(s"$base/$key/orders_merge_analyze_v1")
+    val root = Paths.get(s"$base/$key/orders_merge_analyze_v2")
     val store = root.resolve("table").toString
     graft.streaming.FixtureLock.once(root) {
         import org.apache.spark.sql.expressions.Window
@@ -109,7 +111,7 @@ object CdcQueries {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    val root = Paths.get(s"$base/$key/orders_merge_dv_v1")
+    val root = Paths.get(s"$base/$key/orders_merge_dv_v2")
     val store = root.resolve("table").toString
     graft.streaming.FixtureLock.once(root) {
         val log = changeLog(s, dir)
@@ -134,7 +136,7 @@ object CdcQueries {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    val root = Paths.get(s"$base/$key/orders_merge_restore_v1")
+    val root = Paths.get(s"$base/$key/orders_merge_restore_v2")
     val store = root.resolve("table").toString
     graft.streaming.FixtureLock.once(root) {
         import org.apache.spark.sql.expressions.Window
@@ -168,7 +170,7 @@ object CdcQueries {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    val root = Paths.get(s"$base/$key/orders_merge_clone_v1")
+    val root = Paths.get(s"$base/$key/orders_merge_clone_v2")
     val src = root.resolve("source").toString
     val dst = root.resolve("clone").toString
     graft.streaming.FixtureLock.once(root) {
@@ -205,7 +207,7 @@ object CdcQueries {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    val root = Paths.get(s"$base/$key/orders_merge_sync_v1")
+    val root = Paths.get(s"$base/$key/orders_merge_sync_v2")
     val store = root.resolve("table").toString
     graft.streaming.FixtureLock.once(root) {
         val b1 = changeLog(s, dir)
@@ -244,7 +246,7 @@ object CdcQueries {
     // _v3: txn 2 additionally INSERTS a new order + its two lines in the
     // same transaction — the cross-table insert that makes a
     // mixed-version read an OBSERVABLE FK violation (dq3 proves it)
-    val root = Paths.get(s"$base/$key/orders_txn_catalog_v3")
+    val root = Paths.get(s"$base/$key/orders_txn_catalog_v4")
     val catalog = root.resolve("catalog").toString
     val tables = Map(
       "orders" -> root.resolve("orders").toString,
@@ -306,7 +308,7 @@ object CdcQueries {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    val root = Paths.get(s"$base/$key/orders_merge_vacuum_v1")
+    val root = Paths.get(s"$base/$key/orders_merge_vacuum_v2")
     val store = root.resolve("table").toString
     graft.streaming.FixtureLock.once(root) {
         import org.apache.spark.sql.expressions.Window
@@ -341,7 +343,7 @@ object CdcQueries {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    val root = Paths.get(s"$base/$key/orders_merge_evolve_v2")
+    val root = Paths.get(s"$base/$key/orders_merge_evolve_v3")
     val store = root.resolve("table").toString
     graft.streaming.FixtureLock.once(root) {
         val log = changeLog(s, dir)
@@ -370,7 +372,7 @@ object CdcQueries {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    val root = Paths.get(s"$base/$key/orders_merge_rename_v1")
+    val root = Paths.get(s"$base/$key/orders_merge_rename_v2")
     val store = root.resolve("table").toString
     graft.streaming.FixtureLock.once(root) {
         val log = changeLog(s, dir)
@@ -397,7 +399,7 @@ object CdcQueries {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    val root = Paths.get(s"$base/$key/orders_merge_generated_v1")
+    val root = Paths.get(s"$base/$key/orders_merge_generated_v2")
     val store = root.resolve("table").toString
     graft.streaming.FixtureLock.once(root) {
         val log = changeLog(s, dir)
@@ -425,7 +427,7 @@ object CdcQueries {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    val root = Paths.get(s"$base/$key/orders_merge_rebucket_v1")
+    val root = Paths.get(s"$base/$key/orders_merge_rebucket_v2")
     val store = root.resolve("table").toString
     graft.streaming.FixtureLock.once(root) {
         val log = changeLog(s, dir)
@@ -690,19 +692,30 @@ object CdcQueries {
     // SYMLINK-MANIFEST EXPORT driver-gated (ecosystem interop): the
     // exported flat file list, read back by a PLAIN parquet reader with
     // no knowledge of the manifest format, must equal the committed
-    // snapshot — same oracle as cdc_merge_into.
+    // snapshot — same oracle as cdc_merge_into. The reader consumes the
+    // schema sidecar exported beside the list (readExport), so planning
+    // opens zero footers across the 100+ exported paths; it also
+    // validates every listed file still exists (a stale export of a
+    // since-vacuumed version fails LOUDLY, spec-pinned in MergeIntoSpec).
     "cdc_merge_export" -> ((s, dir) => {
       val store = mergedOrdersTableDir(s, dir)
       val (_, manifest) =
         graft.streaming.MergeInto.exportFileManifest(s, store)
-      val files = scala.io.Source.fromFile(
-        new java.net.URI(manifest).getPath match {
-          case "" | null => manifest
-          case p => p
-        })
-      val paths = try files.getLines().filter(_.nonEmpty).toSeq
-        finally files.close()
-      s.read.parquet(paths: _*)
+      graft.streaming.MergeInto.readExport(s, manifest)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // EXPORT-AT-VERSION driver-gated (time-travel interop): exporting
+    // the PRE-update version 1 hands a foreign reader the CREATE
+    // payloads exactly as committed, while the table's latest state has
+    // since moved on — same oracle as cdc_merge_time_travel. Proves the
+    // export path resolves any un-vacuumed snapshot, not just HEAD.
+    "cdc_merge_export_v1" -> ((s, dir) => {
+      val store = mergedOrdersTableDir(s, dir)
+      val (_, manifest) =
+        graft.streaming.MergeInto.exportFileManifestAt(s, store, 1L)
+      graft.streaming.MergeInto.readExport(s, manifest)
         .select(col("id"), col("status"), col("totalprice"))
         .orderBy(col("id"))
     }),
@@ -1400,6 +1413,11 @@ object CdcQueries {
 
     // Version 1 = the CREATE batch exactly as committed.
     "cdc_merge_time_travel" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE' ORDER BY id""",
+
+    // Export-at-version of v1 = the CREATE batch exactly as committed.
+    "cdc_merge_export_v1" -> s"""$changesCte
       SELECT id, status, totalprice FROM changes
       WHERE operation_type = 'CREATE' ORDER BY id""",
 

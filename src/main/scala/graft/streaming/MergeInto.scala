@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, types}
 import org.apache.spark.sql.functions._
 
 /** Row-level MERGE INTO on a manifest-committed bucketed table — the
@@ -106,8 +106,8 @@ object MergeInto {
       else {
         // DV-deleted rows must not survive a rewrite of their bucket: the
         // merge-on-read view is the table, so the rewrite starts from it
-        val target = subtractDv(spark, root, snap.get, spark.read
-          .option("mergeSchema", "true").parquet(touchedPaths: _*))
+        val target = subtractDv(spark, root, snap.get,
+          readRows(spark, root, snap.get, touchedPaths))
         // kept = target rows whose key the source doesn't mention at all
         // (matched rows are replaced/updated by `upserts` or deleted)
         val kept = target.join(
@@ -194,7 +194,10 @@ object MergeInto {
     val entries = snap.map(_.entries).getOrElse(Map.empty[String, String]) --
       touched.map(_.toString) - DvSlot ++ dvEntry ++
       touched.filter(written).map(b => b.toString -> s"$rel/__dir=$b") +
-      (NumBucketsSlot -> numBuckets.toString)
+      (NumBucketsSlot -> numBuckets.toString) +
+      // `merged` is what the files hold (incl. __bucket; __dir lives in
+      // the path, never in a file): union it into the recorded schema
+      (SchemaSlot -> committedSchema(spark, root, snap, merged.schema).json)
     ManifestStore.commit(spark, root, version, entries)
   }
 
@@ -202,6 +205,80 @@ object MergeInto {
     * merge/sync; changed only by the explicit [[rebucket]] rewrite.
     */
   val NumBucketsSlot = "__numBuckets"
+
+  /** Metadata slot holding the table's current PHYSICAL (on-disk) schema
+    * as compact Spark JSON. A real table format owns the logical schema in
+    * its metadata (Delta's `metaData.schemaString`, Iceberg's schema id)
+    * precisely so readers never reconcile it from data files: without it a
+    * schema-evolved table read pays `mergeSchema=true`, which opens EVERY
+    * data file's footer at PLANNING time — O(files) driver-side I/O that
+    * was the slowest gate at sf0.1 (7.8 s vs 2.3 s for the same rows un-
+    * evolved) and a genuine driver bottleneck at 100× file counts. Every
+    * data-writing statement commits the (add-only) field union of the
+    * previous schema and what it wrote; readers pass it explicitly via
+    * `spark.read.schema(...)`, so pre-evolution buckets NULL-extend in the
+    * scan with zero footer reads. Versioned like all metadata: time travel
+    * reads each snapshot under its AS-OF schema. Tables committed before
+    * this slot existed fall back to the mergeSchema read.
+    */
+  val SchemaSlot = "__schema"
+
+  private def recordedSchema(
+      snap: ManifestStore.Snapshot): Option[types.StructType] =
+    snap.entries.get(SchemaSlot)
+      .map(j => types.DataType.fromJson(j).asInstanceOf[types.StructType])
+
+  /** Add-only field union (the only schema evolution MERGE performs).
+    * Everything is recorded nullable — evolution NULL-extends old buckets,
+    * so no column the slot describes can promise non-null. A same-name
+    * field changing its type is refused loudly: silently recording either
+    * side would make one file generation misread.
+    */
+  private def unionSchema(prev: types.StructType,
+      next: types.StructType): types.StructType = {
+    prev.fields.foreach { f =>
+      next.fields.find(_.name == f.name).foreach { g =>
+        require(g.dataType == f.dataType,
+          s"column '${f.name}' would change type ${f.dataType} → " +
+            s"${g.dataType} — type evolution is not supported")
+      }
+    }
+    val prevNames = prev.fieldNames.toSet
+    types.StructType(
+      (prev.fields ++ next.fields.filterNot(f => prevNames(f.name)))
+        .map(_.copy(nullable = true)))
+  }
+
+  /** The schema to commit after a statement that wrote `written` rows:
+    * previous recorded schema ∪ written schema. A pre-slot table with
+    * existing data backfills its previous schema ONCE here via a merged-
+    * footer read (a write-time cost such tables already paid on every
+    * read); from then on the slot carries it.
+    */
+  private def committedSchema(spark: SparkSession, root: String,
+      snap: Option[ManifestStore.Snapshot],
+      written: types.StructType): types.StructType = {
+    val prev = snap.flatMap(recordedSchema).orElse {
+      val paths = snap.toSeq.flatMap(ManifestStore.resolvePaths(root, _))
+      if (paths.isEmpty) None
+      else Some(
+        spark.read.option("mergeSchema", "true").parquet(paths: _*).schema)
+    }
+    unionSchema(prev.getOrElse(new types.StructType()), written)
+  }
+
+  /** Read a snapshot's row files. With a recorded schema the read passes
+    * it explicitly — planning opens NO file footer and old-generation
+    * files NULL-extend in the scan; without one (pre-slot table) it falls
+    * back to the parquet mergeSchema footer sweep.
+    */
+  private def readRows(spark: SparkSession, root: String,
+      snap: ManifestStore.Snapshot, paths: Seq[String]): DataFrame =
+    recordedSchema(snap) match {
+      case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
 
   /** REBUCKET — layout evolution for the bucketed table: one atomic
     * commit rewrites every row under a NEW bucket count (the operation a
@@ -225,16 +302,18 @@ object MergeInto {
     require(newNumBuckets != n,
       s"table at $root already has $n buckets — nothing to do")
     val keyP = physicalName(Some(snap), keyCol)
+    val paths = ManifestStore.resolvePaths(root, snap)
+    require(paths.nonEmpty, s"manifest v${snap.version} references no data")
     val rows = subtractDv(spark, root, snap,
-      ManifestStore.readAt(spark, root, snap.version, mergeSchema = true)
-        .drop("__bucket", "__dir"))
+      readRows(spark, root, snap, paths).drop("__bucket", "__dir"))
+    val rebucketed = rows.withColumn("__bucket",
+      pmod(hash(col(keyP)), lit(newNumBuckets)))
     val version = ManifestStore.versionAfter(Some(snap))
     val rel = ManifestStore.dataRel(version)
     val written: Set[Int] =
       if (rows.isEmpty) Set.empty
       else {
-        rows.withColumn("__bucket",
-            pmod(hash(col(keyP)), lit(newNumBuckets)))
+        rebucketed
           .repartition(col("__bucket"))
           .withColumn("__dir", col("__bucket"))
           .write.mode("errorifexists").partitionBy("__dir")
@@ -244,12 +323,15 @@ object MergeInto {
       }
     // numeric slots are bucket entries under the OLD spec: all replaced;
     // metadata slots (colMap, checks, gens) carry forward; the DV was
-    // materialized by the rewrite
+    // materialized by the rewrite. The rewrite touched EVERY row, so the
+    // recorded schema is exactly what it wrote (not a union with history).
     val entries =
       snap.entries.filterNot { case (k, _) => k.forall(_.isDigit) } -
         DvSlot ++
         written.map(b => b.toString -> s"$rel/__dir=$b") +
-        (NumBucketsSlot -> newNumBuckets.toString)
+        (NumBucketsSlot -> newNumBuckets.toString) +
+        (SchemaSlot ->
+          unionSchema(new types.StructType(), rebucketed.schema).json)
     ManifestStore.commit(spark, root, version, entries)
   }
 
@@ -271,6 +353,25 @@ object MergeInto {
   def exportFileManifest(spark: SparkSession, root: String): (Long, String) = {
     val snap = ManifestStore.latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed table under $root"))
+    exportSnapshot(spark, root, snap)
+  }
+
+  /** Export a SPECIFIC committed version's file list (time-travel
+    * interop): a foreign reader consumes any still-un-vacuumed snapshot
+    * exactly as committed, same contract as [[exportFileManifest]].
+    */
+  def exportFileManifestAt(spark: SparkSession, root: String,
+                           version: Long): (Long, String) = {
+    val snap = ManifestStore.snapshotAt(spark, root, version).getOrElse(
+      throw new IllegalStateException(
+        s"cannot export $root v$version — no such committed manifest " +
+          s"(vacuumed or never written); available: " +
+          ManifestStore.versions(spark, root).mkString(",")))
+    exportSnapshot(spark, root, snap)
+  }
+
+  private def exportSnapshot(spark: SparkSession, root: String,
+      snap: ManifestStore.Snapshot): (Long, String) = {
     require(!snap.entries.contains(DvSlot),
       s"table at $root has a pending deletion vector — foreign readers " +
         "cannot subtract it; run materializeDeletes before exporting")
@@ -283,7 +384,32 @@ object MergeInto {
     val conf = spark.sparkContext.hadoopConfiguration
     val out = new org.apache.hadoop.fs.Path(root,
       f"_exports/v${snap.version}%020d.manifest.txt")
+    val schemaOut = new org.apache.hadoop.fs.Path(root,
+      f"_exports/v${snap.version}%020d.schema.json")
     val fs = out.getFileSystem(conf)
+    // schema sidecar: exported beside the file list so a foreign reader
+    // passes it explicitly (spark.read.schema) instead of paying a
+    // per-file footer reconciliation over 100+ paths — the same
+    // planning-time O(files) hazard the manifest SchemaSlot removes for
+    // native reads. Recorded-schema tables export it verbatim; pre-slot
+    // tables export the footer-merged schema once.
+    if (!fs.exists(schemaOut)) {
+      val schemaJson = recordedSchema(snap).getOrElse(
+        spark.read.option("mergeSchema", "true")
+          .parquet(ManifestStore.resolvePaths(root, snap): _*).schema).json
+      val tmp = new org.apache.hadoop.fs.Path(root,
+        s"_exports/.tmp-${java.util.UUID.randomUUID}")
+      fs.mkdirs(tmp.getParent)
+      val os = fs.create(tmp, false)
+      try os.write((schemaJson + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+      if (!fs.rename(tmp, schemaOut)) {
+        fs.delete(tmp, false)
+        require(fs.exists(schemaOut), s"export rename to $schemaOut lost " +
+          "a race and no schema sidecar exists")
+      }
+    }
     if (!fs.exists(out)) {
       val files = ManifestStore.resolvePaths(root, snap).flatMap { dir =>
         val p = new org.apache.hadoop.fs.Path(dir)
@@ -311,6 +437,42 @@ object MergeInto {
       }
     }
     (snap.version, out.toString)
+  }
+
+  /** Consume an exported file list the way a well-behaved foreign engine
+    * would: explicit schema from the sidecar (zero footer reads), and a
+    * LOUD failure when the export references files a later VACUUM
+    * reclaimed — an export is a point-in-time view, and reading a stale
+    * one must error, never silently return partial/empty data (Spark
+    * would throw PATH_NOT_FOUND anyway; this names the actual cause).
+    */
+  def readExport(spark: SparkSession, manifestPath: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mp = new org.apache.hadoop.fs.Path(manifestPath)
+    val fs = mp.getFileSystem(conf)
+    val in = fs.open(mp)
+    val files =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toVector
+      finally in.close()
+    require(files.nonEmpty, s"export manifest $manifestPath lists no files")
+    val dead = files.filterNot(f =>
+      fs.exists(new org.apache.hadoop.fs.Path(f)))
+    require(dead.isEmpty,
+      s"export manifest $manifestPath references ${dead.size} file(s) " +
+        s"that no longer exist (vacuumed after export?) — e.g. " +
+        s"${dead.head}; re-export the current snapshot")
+    val sp = new org.apache.hadoop.fs.Path(
+      manifestPath.stripSuffix(".manifest.txt") + ".schema.json")
+    if (fs.exists(sp)) {
+      val sin = fs.open(sp)
+      val json =
+        try scala.io.Source.fromInputStream(sin, "UTF-8").mkString.trim
+        finally sin.close()
+      spark.read
+        .schema(types.DataType.fromJson(json).asInstanceOf[types.StructType])
+        .parquet(files: _*)
+    } else spark.read.parquet(files: _*)
   }
 
   /** Metadata slot holding the COLUMN MAP: `physical=logical` pairs,
@@ -593,8 +755,7 @@ object MergeInto {
     val target =
       if (paths.isEmpty) null
       else subtractDv(spark, root, snap,
-        spark.read.option("mergeSchema", "true").parquet(paths: _*)
-          .drop("__bucket", "__dir"))
+        readRows(spark, root, snap, paths).drop("__bucket", "__dir"))
     val merged =
       if (target == null || updP.isEmpty) snapP // table := snapshot
       else {
@@ -632,10 +793,13 @@ object MergeInto {
       }
     // the snapshot defines the whole table: every bucket entry is rebuilt
     // (constraints and the column map survive the rebuild — table metadata)
+    // and the recorded schema is exactly what the sync wrote
     val entries = Map(NumBucketsSlot -> numBuckets.toString) ++
       snap.entries.filter(_._1.startsWith(CheckPrefix)) ++
       snap.entries.get(ColMapSlot).map(ColMapSlot -> _) ++
-      written.map(b => b.toString -> s"$rel/__dir=$b")
+      written.map(b => b.toString -> s"$rel/__dir=$b") +
+      (SchemaSlot ->
+        unionSchema(new types.StructType(), bucketed.schema).json)
     ManifestStore.commit(spark, root, version, entries)
   }
 
@@ -660,7 +824,7 @@ object MergeInto {
     // view (bookkeeping columns are never mapped, so __bucket survives),
     // and rename back to physical before the rewrite.
     val full = toLogical(subtractDv(spark, root, snap,
-      spark.read.option("mergeSchema", "true").parquet(paths: _*)), snap)
+      readRows(spark, root, snap, paths)), snap)
     // bounded driver metadata: ≤ numBuckets ints
     val touched = full.filter(cond).select(col("__bucket")).distinct()
       .collect().map(_.getInt(0)).sorted
@@ -668,8 +832,7 @@ object MergeInto {
     val touchedPaths = touched
       .flatMap(b => snap.entries.get(b.toString)).map(rel => s"$root/$rel")
     val target = toLogical(subtractDv(spark, root, snap,
-      spark.read.option("mergeSchema", "true")
-        .parquet(touchedPaths: _*)), snap)
+      readRows(spark, root, snap, touchedPaths.toSeq)), snap)
     val deleted = target.filter(cond).count()
     val kept = toPhysical(target.filter(!coalesce(cond, lit(false))), snap)
 
@@ -712,7 +875,7 @@ object MergeInto {
         MergeInto.readTable(spark, root).limit(0).filter(lit(false))
       case Some(rel) =>
         toLogical(subtractDv(spark, root, snap,
-          spark.read.option("mergeSchema", "true").parquet(s"$root/$rel")
+          readRows(spark, root, snap, Seq(s"$root/$rel"))
             .filter(col(keyCol) === lit(key))
             .drop("__bucket", "__dir")), snap)
     }
@@ -758,9 +921,12 @@ object MergeInto {
           s"written); available: " +
           ManifestStore.versions(spark, root).mkString(",")))
     // the column map AS OF that version applies — time travel to a
-    // pre-rename snapshot reads the old names exactly as committed
+    // pre-rename snapshot reads the old names exactly as committed; so
+    // does the recorded schema (a pre-evolution version reads narrow)
+    val paths = ManifestStore.resolvePaths(root, snap)
+    require(paths.nonEmpty, s"manifest v$version references no data")
     val base = toLogical(subtractDv(spark, root, snap,
-      ManifestStore.readAt(spark, root, version, mergeSchema = true)
+      readRows(spark, root, snap, paths)
         .drop("__bucket", "__dir")), snap)
     // generated columns AS OF that version attach on read (virtual — never
     // stored; a pre-add snapshot reads without them)
@@ -894,6 +1060,35 @@ object MergeInto {
   val StatPrefix = "__stat:"
   private val StatRowsSlot = "__stat:__rows"
 
+  /** Percent-encode a raw data string for embedding in a stat payload.
+    * The manifest line format is tab/newline-delimited and the payload
+    * `;`/`=`-delimited — a min/max STRING drawn from the data itself
+    * (unlike constraint SQL, which is builder-authored and validated)
+    * could otherwise corrupt the manifest: one tab would make every
+    * subsequent `parseManifest` destructure throw, bricking the table.
+    * Only the six structural bytes plus '%' itself are escaped.
+    */
+  private def encStat(v: String): String =
+    if (v == null) "null"
+    else v.flatMap {
+      case c @ ('%' | ';' | '=' | '\t' | '\n' | '\r') => f"%%${c.toInt}%02X"
+      case c => c.toString
+    }
+
+  private def decStat(v: String): String = {
+    val sb = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      if (v.charAt(i) == '%') {
+        require(v.length - i >= 3,
+          s"truncated %-escape in stat value '$v'")
+        sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(v.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   /** `ANALYZE TABLE`: per-column min/max/null-count/exact-NDV plus a
     * KMV NDV estimate ([[graft.functions.KmvSketchAgg]], K=64 over the
     * cross-engine Hash60 of the value rendered as a string — numerics
@@ -944,8 +1139,8 @@ object MergeInto {
         (s"nulls=${row.getAs[Long](s"${c}__nulls")};" +
           s"ndv=${row.getAs[Long](s"${c}__ndv")};" +
           s"ndv_est=${est.toString};" +
-          s"min=${row.getAs[String](s"${c}__min")};" +
-          s"max=${row.getAs[String](s"${c}__max")};" +
+          s"min=${encStat(row.getAs[String](s"${c}__min"))};" +
+          s"max=${encStat(row.getAs[String](s"${c}__max"))};" +
           s"num=${numericCols.contains(c)}")
     }.toMap + (StatRowsSlot -> nRows.toString)
     ManifestStore.commit(spark, root,
@@ -964,16 +1159,23 @@ object MergeInto {
     val rows = snap.entries.toSeq
       .filter(e => e._1.startsWith(StatPrefix) && e._1 != StatRowsSlot)
       .map { case (slot, enc) =>
+        // defensive parse: a fragment without '=' names the slot loudly
+        // instead of throwing a bare MatchError
         val kv = enc.split(';').map { p =>
-          val Array(k, v) = p.split("=", 2); k -> v
+          p.split("=", 2) match {
+            case Array(k, v) => k -> v
+            case _ => throw new IllegalStateException(
+              s"malformed stat fragment '$p' in manifest slot '$slot'")
+          }
         }.toMap
         val num = kv("num").toBoolean
+        val (mn, mx) = (decStat(kv("min")), decStat(kv("max")))
         (slot.stripPrefix(StatPrefix), nRows, kv("nulls").toLong,
           kv("ndv").toLong, kv("ndv_est").toDouble,
-          if (num) Some(kv("min").toDouble) else None,
-          if (num) Some(kv("max").toDouble) else None,
-          if (num) None else Some(kv("min")),
-          if (num) None else Some(kv("max")))
+          if (num) Some(mn.toDouble) else None,
+          if (num) Some(mx.toDouble) else None,
+          if (num) None else Some(mn),
+          if (num) None else Some(mx))
       }
     rows.toDF("column", "n_rows", "n_nulls", "ndv", "ndv_est",
       "min_num", "max_num", "min_str", "max_str")

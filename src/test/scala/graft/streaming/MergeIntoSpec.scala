@@ -479,9 +479,9 @@ class MergeIntoSpec extends SparkSpec {
     MergeInto.mergeBatch(spark,
       Seq((1L, "", true)).toDF("k", "s", "del"), root, "k", numBuckets = 2,
       deleteCol = Some("del"))
-    // only the metadata slot survives — no data entry left
+    // only the metadata slots survive — no data entry left
     assert(ManifestStore.latest(spark, root).get.entries.keySet ==
-      Set(MergeInto.NumBucketsSlot))
+      Set(MergeInto.NumBucketsSlot, MergeInto.SchemaSlot))
   }
 
   test("partial-column update: matched rows keep unlisted columns") {
@@ -574,5 +574,116 @@ class MergeIntoSpec extends SparkSpec {
     // no-match delete: no new version, nothing changes
     assert(MergeInto.deleteWhere(spark, root, col("owner") === "nobody") == 0)
     assert(ManifestStore.latest(spark, root).get.version == after.version)
+  }
+
+  private def recordedFields(root: String): Seq[String] = {
+    val json = ManifestStore.latest(spark, root).get
+      .entries(MergeInto.SchemaSlot)
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+  }
+
+  test("recorded schema: the manifest slot — not file footers — drives " +
+      "an evolved read, and pre-evolution buckets NULL-extend through it") {
+    val root = java.nio.file.Files.createTempDirectory("schema").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root, "k", numBuckets = 2)
+    assert(recordedFields(root).sorted == Seq("__bucket", "k", "s"))
+    // evolve: `score` lands in k=1's bucket only; the slot unions it in
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "A", 0.9)).toDF("k", "s", "score"), root, "k", numBuckets = 2)
+    assert(recordedFields(root).sorted == Seq("__bucket", "k", "s", "score"))
+    // the pre-evolution bucket (k=2, never rewritten) NULL-extends under
+    // the explicit recorded schema — no footer reconciliation involved
+    val got = table(root).select(col("k"), col("score"))
+      .as[(Long, Option[Double])].collect().sorted.toSeq
+    assert(got == Seq((1L, Some(0.9)), (2L, None)))
+    // PROOF the read plans from the slot and not from footers: tamper the
+    // recorded schema (drop `score`) in a metadata-only commit — the
+    // files still contain the column, so a footer-driven read would keep
+    // showing it; the slot-driven read must not.
+    val snap = ManifestStore.latest(spark, root).get
+    val full = org.apache.spark.sql.types.DataType
+      .fromJson(snap.entries(MergeInto.SchemaSlot))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val narrowed = org.apache.spark.sql.types.StructType(
+      full.fields.filterNot(_.name == "score"))
+    ManifestStore.commit(spark, root, ManifestStore.versionAfter(Some(snap)),
+      snap.entries + (MergeInto.SchemaSlot -> narrowed.json))
+    assert(!table(root).columns.contains("score"),
+      "read consulted file footers instead of the recorded schema")
+    // time travel to the untampered snapshot still reads the full schema
+    assert(MergeInto.readTableAt(spark, root, snap.version)
+      .columns.contains("score"))
+  }
+
+  test("recorded schema: a same-name type change is refused loudly") {
+    val root = java.nio.file.Files.createTempDirectory("schema").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, 10)).toDF("k", "v"), root, "k", numBuckets = 2)
+    val e = intercept[IllegalArgumentException] {
+      MergeInto.mergeBatch(spark,
+        Seq((2L, "ten")).toDF("k", "v"), root, "k", numBuckets = 2)
+    }
+    assert(e.getMessage.contains("type evolution is not supported"))
+  }
+
+  test("pre-slot table: footer-merge fallback reads correctly and the " +
+      "next write backfills the slot") {
+    val root = java.nio.file.Files.createTempDirectory("preslot").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root, "k", numBuckets = 2)
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "A", 0.9)).toDF("k", "s", "score"), root, "k", numBuckets = 2)
+    // simulate a table committed before the slot existed
+    val snap = ManifestStore.latest(spark, root).get
+    ManifestStore.commit(spark, root, ManifestStore.versionAfter(Some(snap)),
+      snap.entries - MergeInto.SchemaSlot)
+    assert(!ManifestStore.latest(spark, root).get.entries
+      .contains(MergeInto.SchemaSlot))
+    // fallback read: schema-merged across generations, rows intact
+    val got = table(root).select(col("k"), col("score"))
+      .as[(Long, Option[Double])].collect().sorted.toSeq
+    assert(got == Seq((1L, Some(0.9)), (2L, None)))
+    // any data-writing statement backfills the union schema into the slot
+    MergeInto.mergeBatch(spark, Seq((3L, "c")).toDF("k", "s"),
+      root, "k", numBuckets = 2)
+    assert(recordedFields(root).sorted == Seq("__bucket", "k", "s", "score"))
+  }
+
+  test("export: at-version sidecar round-trip; a stale export of a " +
+      "vacuumed version fails loudly, never reads partial data") {
+    val root = java.nio.file.Files.createTempDirectory("export").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root, "k", numBuckets = 2)
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "A", 0.9), (3L, "c", 0.1)).toDF("k", "s", "score"),
+      root, "k", numBuckets = 2)
+    val (v1, m1) = MergeInto.exportFileManifestAt(spark, root, 1L)
+    assert(v1 == 1L)
+    // schema sidecar exported beside the list — the v1 export reads the
+    // NARROW as-of schema even though later files carry `score`
+    val r1 = MergeInto.readExport(spark, m1)
+    assert(r1.columns.sorted.toSeq == Seq("__bucket", "k", "s"))
+    assert(r1.select("k", "s").as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "a"), (2L, "b")))
+    // exporting a never-committed version names the available ones
+    assert(intercept[IllegalStateException] {
+      MergeInto.exportFileManifestAt(spark, root, 99L)
+    }.getMessage.contains("no such committed manifest"))
+    // full rewrite orphans v1's files, vacuum reclaims them → the stale
+    // v1 export must fail LOUDLY naming a missing file
+    MergeInto.syncSnapshot(spark,
+      Seq((1L, "Z", 1.0)).toDF("k", "s", "score"), root, "k",
+      numBuckets = 2)
+    ManifestStore.vacuum(spark, root)
+    val e = intercept[IllegalArgumentException] {
+      MergeInto.readExport(spark, m1)
+    }
+    assert(e.getMessage.contains("no longer exist"))
+    // and the CURRENT snapshot exports + reads back fine after vacuum
+    val (_, m3) = MergeInto.exportFileManifest(spark, root)
+    assert(MergeInto.readExport(spark, m3).select("k", "s", "score")
+      .as[(Long, String, Double)].collect().toSeq == Seq((1L, "Z", 1.0)))
   }
 }
