@@ -42,6 +42,27 @@ object Bench {
       catch { case _: Throwable => }
     }
 
+    // DRIFT CONTROL: a pinned 5-query set timed FIRST each run (after
+    // warm-up, before anything else competes for the JVM), spanning the
+    // engine's families — pure-relational window (q86), percentile kernel
+    // (q18), CDC envelope parse (cdc_decode_envelope), ANN brute force
+    // (sm1), exact dedup (dd1). These queries' code is expected to change
+    // rarely; a UNIFORM shift across them between rounds is machine/env
+    // drift, a shift in one is a regression in that family. Emitted as a
+    // `control` block in the stdout JSON so round-over-round comparisons
+    // can separate drift from regression mechanically instead of by
+    // in-session spot checks.
+    val controlSet = Seq("q86_rfm", "q18_percentiles", "cdc_decode_envelope",
+      "sm1_topk_bruteforce", "dd1_exact_groups")
+    val control = controlSet.flatMap { name =>
+      val times = (1 to 2).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { run(sfDir, name); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      if (times.isEmpty) None else Some(name -> times.min)
+    }
+
     // Best-of-2 per query: single-JVM local mode has multi-second GC/JIT
     // jitter; the min is the steady-state cost of the plan. A query that
     // throws must not be published as a (fast) time — it is recorded in
@@ -87,9 +108,11 @@ object Bench {
     // driver recorded `parsed: null`. So: 3-decimal seconds, slowest-first,
     // and stop adding per-query entries once the line would pass the
     // budget; the residue is summarized in "omitted".
+    val controlFull = control.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val profile = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{\"queries\":{", ",",
-        s"},\"total\":$total,\"errors\":$errsFull}")
+        s"},\"total\":$total,\"control\":$controlFull,\"errors\":$errsFull}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_profile.json"), profile)
 
@@ -125,7 +148,11 @@ object Bench {
 
     val budget = 1500
     val bySlow = results.sortBy(-_._2)
-    val head = s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","errors":$errs,"recall":$recall,"queries":{"""
+    val ctl = control.map { case (k, v) =>
+      // short keys: the control block must not eat the line budget
+      "\"" + k.takeWhile(_ != '_') + "\":" + sec(v)
+    }.mkString("{", ",", "}")
+    val head = s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","errors":$errs,"control":$ctl,"recall":$recall,"queries":{"""
     val fixedTail = 90 // "},"omitted":{"n":NN,"sec":NNN.NNN},"profile":"bench_profile.json"}"
     var used = head.length + fixedTail
     val kept = bySlow.takeWhile { case (k, v) =>

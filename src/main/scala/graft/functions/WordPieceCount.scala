@@ -21,8 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * one piece — mirroring the SQL oracle's NULL-drop only for inputs the
   * caller already filtered out).
   */
-case class WordPieceCountExpr(child: Expression, pieces: Array[String])
+case class WordPieceCountExpr(child: Expression, pieces: Seq[String])
     extends UnaryExpression {
+  // Seq, not Array: arrays compare by reference, which would defeat
+  // expression canonicalization (semanticEquals, subexpression
+  // elimination) — structurally equal calls must be equal expressions
 
   override def dataType: DataType = IntegerType
 
@@ -58,7 +61,7 @@ object WordPieceCount {
     * each. The word is segmented with the `_` end-of-word sentinel
     * appended, matching the BPE training alphabet.
     */
-  def apply(word: Column, pieces: Array[String]): Column =
+  def apply(word: Column, pieces: Seq[String]): Column =
     GraftBridge.column(WordPieceCountExpr(GraftBridge.expression(word),
       pieces))
 

@@ -1989,9 +1989,9 @@ object AnalyticsQueries {
       // native deletion-neighborhood kernel (vs the interpreted HOF: one
       // lambda frame per character per record), materialized ONCE so the
       // self-join's two sides don't each replay the explode DAG
-      val vars = records.select(col("id"), col("name"), col("addr"),
-          explode(graft.text.DeletionVariants(col("name"))).as("v"))
-        .localCheckpoint(true)
+      val vars = graft.graph.GraphOps.checkpoint(
+        records.select(col("id"), col("name"), col("addr"),
+          explode(graft.text.DeletionVariants(col("name"))).as("v")))
       // candidate ids only through the wide join (names rejoin AFTER the
       // distinct — the Levenshtein verify then runs once per candidate
       // PAIR, not per raw variant collision inside the join stage, and

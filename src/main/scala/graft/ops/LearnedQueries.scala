@@ -63,7 +63,7 @@ object LearnedQueries {
       // the feature frame is re-read once per GD iteration (6×) plus the
       // inference pass — materialize the narrow (id, x1..x3, y) projection
       // once instead of re-running the text kernels over the corpus 7×
-      val feats = featFrame(s, dir).localCheckpoint(true)
+      val feats = graft.graph.GraphOps.checkpoint(featFrame(s, dir))
       val w = LogReg.train(feats, XCols, "y", iters = LrIters)
       val p = LogReg.fastSigmoid(LogReg.margin(w, XCols))
       feats.select(col("doc_id"), p.as("p_quality"),

@@ -224,7 +224,7 @@ object SearchQueries {
           explode(graft.text.TextFunctions.tokens(col("text"))).as("w"))
         .filter(col("w").rlike("^[a-z]+$"))
         .select(col("doc_id"),
-          graft.functions.WordPieceCount(col("w"), pieces.toArray)
+          graft.functions.WordPieceCount(col("w"), pieces)
             .as("np"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_alpha_tokens"),

@@ -196,7 +196,8 @@ object RunningWindow {
     * running state), so the three stages cannot disagree on null/overflow
     * semantics.
     */
-  final class Acc(kind: Int, dt: DataType) extends Serializable {
+  final class Acc(kind: Int, dt: DataType, ansi: Boolean)
+      extends Serializable {
     private val ord: Ordering[Any] =
       if (kind == 2 || kind == 3) TypeUtils.getInterpretedOrdering(dt)
       else null
@@ -211,6 +212,10 @@ object RunningWindow {
       kind match {
         case 0 =>
           if (isDecimal) bd = bd.add(v.asInstanceOf[Decimal].toJavaBigDecimal)
+          // ANSI mode: overflow fails LOUDLY like WindowExec's Sum would
+          // (wrap-around here would silently break the bit-identical
+          // contract on any session left at Spark 4's ANSI default)
+          else if (ansi) l = Math.addExact(l, v.asInstanceOf[Long])
           else l += v.asInstanceOf[Long]
           hasVal = true
         case 1 => l += 1L
@@ -238,6 +243,7 @@ object RunningWindow {
       kind match {
         case 0 =>
           if (isDecimal) bd = bd.add(t.asInstanceOf[java.math.BigDecimal])
+          else if (ansi) l = Math.addExact(l, t.asInstanceOf[Long])
           else l += t.asInstanceOf[Long]
           hasVal = true
         case 1 => l += t.asInstanceOf[Long]
@@ -255,8 +261,14 @@ object RunningWindow {
         else if (isDecimal) {
           val d = dt.asInstanceOf[DecimalType]
           val out = Decimal(bd)
-          // non-ANSI overflow → null, matching aggregate.Sum
-          if (out.changePrecision(d.precision, d.scale)) out else null
+          // overflow: ANSI throws (like aggregate.Sum under ANSI),
+          // non-ANSI returns null (like aggregate.Sum without it)
+          if (out.changePrecision(d.precision, d.scale)) out
+          else if (ansi) throw new ArithmeticException(
+            s"running SUM overflowed ${d.simpleString} under ANSI mode " +
+              s"(value $bd); disable spark.sql.ansi.enabled for " +
+              "null-on-overflow semantics")
+          else null
         } else java.lang.Long.valueOf(l)
       case 1 => java.lang.Long.valueOf(l)
       case _ => if (hasVal) mm else null
@@ -287,8 +299,11 @@ object GlobalRunningWindowStrategy extends SparkStrategy {
         !(ss.exists(_.isOffset) && ss.exists(_.needsGroupTotal))
       }
       if (plannable)
+        // ANSI captured at PLANNING time: the exec's accumulators must
+        // overflow the way the WindowExec it replaces would have
         GlobalRunningWindowExec(specs.flatten.toSeq, w.orderSpec,
-          planLater(w.child)) :: Nil
+          planLater(w.child),
+          org.apache.spark.sql.internal.SQLConf.get.ansiEnabled) :: Nil
       else Nil
     case _ => Nil
   }
@@ -330,7 +345,8 @@ private[plans] case class PartSummary(rows: Long, groups: Long,
   * second pass. See [[RunningWindow]].
   */
 case class GlobalRunningWindowExec(specs: Seq[RunningWindow.Spec],
-    orderSpec: Seq[SortOrder], child: SparkPlan) extends UnaryExecNode {
+    orderSpec: Seq[SortOrder], child: SparkPlan,
+    ansi: Boolean) extends UnaryExecNode {
   import RunningWindow._
 
   override def output: Seq[Attribute] = child.output ++ specs.map(_.out)
@@ -387,7 +403,8 @@ case class GlobalRunningWindowExec(specs: Seq[RunningWindow.Spec],
         BindReferences.bindReference(so.child, childOutput)))
     val keyExprs: Seq[Expression] = boundOrder.map(_.child)
 
-    def newAccs() = aggSpecs.map(s => new Acc(s.kind, s.resultType))
+    val ansiMode = ansi
+    def newAccs() = aggSpecs.map(s => new Acc(s.kind, s.resultType, ansiMode))
 
     // ---- pass 1: one tiny summary per partition ---------------------
     val summaries = childRdd.mapPartitionsWithIndex { (idx, it) =>
@@ -588,7 +605,7 @@ case class GlobalRunningWindowExec(specs: Seq[RunningWindow.Spec],
       val nAgg = aggSpecs.length
       // whole-partition total of a RANGE agg = exclTail ⊕ tail
       def combinedTotal(k: Int, s: PartSummary): Any = {
-        val a = new Acc(aggKinds(k), aggTypes(k))
+        val a = new Acc(aggKinds(k), aggTypes(k), ansiMode)
         a.addTotal(s.totals(k)(0)); a.addTotal(s.totals(k)(1))
         a.total
       }
@@ -599,7 +616,7 @@ case class GlobalRunningWindowExec(specs: Seq[RunningWindow.Spec],
         var k = 0
         while (k < nAgg) {
           if (aggRangeFlags(k)) {
-            val a = new Acc(aggKinds(k), aggTypes(k))
+            val a = new Acc(aggKinds(k), aggTypes(k), ansiMode)
             prefixTotals(k)(0) = a.total
             var p = 0
             while (p < n) {

@@ -481,10 +481,10 @@ object Similarity {
           array_sort(collect_list(struct(col("pos"),
             (col("s") / col("cnt")).as("m")))),
           x => x.getField("m")).as("mvec"))
-      cent = cent.join(means, Seq("centroid_id"), "left")
-        .select(col("centroid_id"),
-          coalesce(col("mvec"), col("cvec")).as("cvec"))
-        .localCheckpoint(true)
+      cent = graft.graph.GraphOps.checkpoint(
+        cent.join(means, Seq("centroid_id"), "left")
+          .select(col("centroid_id"),
+            coalesce(col("mvec"), col("cvec")).as("cvec")))
     }
     cent
   }

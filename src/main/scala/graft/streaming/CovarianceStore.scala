@@ -63,10 +63,9 @@ object CovarianceStore {
   private def reduce(batch: DataFrame): DataFrame = {
     // quantized vectors, materialized once (n rows of dim longs — read by
     // the three passes below without recomputing the source batch)
-    val vq = batch
+    val vq = graft.graph.GraphOps.checkpoint(batch
       .select(transform(col("vec").cast("array<double>"),
-        x => floor(x * Grid).cast("long")).as("vq"))
-      .localCheckpoint(true)
+        x => floor(x * Grid).cast("long")).as("vq")))
     val ex = vq.select(posexplode(col("vq")).as(Seq("dd", "xq")), col("vq"))
     val firsts = ex.groupBy(col("dd"))
       .agg(sum(col("xq").cast(Dec)).cast(Dec).as("v"))

@@ -123,7 +123,12 @@ object ManifestStore {
       val in = f.open(p)
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
+      // Try guards the parse too: a torn/corrupt hint of 20+ digits
+      // passes the isDigit screen but overflows toLong — any unparsable
+      // hint must fall back to the listing, never fail latest()
+      if (s.nonEmpty && s.forall(_.isDigit))
+        scala.util.Try(s.toLong).toOption
+      else None
     } catch { case _: java.io.IOException => None }
   }
 

@@ -74,7 +74,7 @@ object Bpe {
     */
   def train(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
-    var v = vocab(docs).localCheckpoint()
+    var v = graft.graph.GraphOps.checkpoint(vocab(docs))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to rounds) {
       val b = pairCounts(v)
