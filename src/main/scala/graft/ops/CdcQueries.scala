@@ -706,6 +706,22 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // DELTA-PROTOCOL EXPORT driver-gated (ecosystem interop, the
+    // protocol the north star actually speaks): the committed snapshot
+    // published as a `_delta_log` transaction log (protocol/metaData/add
+    // actions per the open Delta spec), read back by the NATIVE minimal
+    // Delta reader — zero delta jars involved on either side — and
+    // compared to the same oracle as cdc_merge_into. Incremental diffs,
+    // time travel, and the protocol-feature refusals are spec-pinned in
+    // DeltaExportSpec.
+    "cdc_merge_export_delta" -> ((s, dir) => {
+      val store = mergedOrdersTableDir(s, dir)
+      graft.streaming.DeltaExport.export(s, store)
+      graft.streaming.DeltaExport.read(s, store)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
     // EXPORT-AT-VERSION driver-gated (time-travel interop): exporting
     // the PRE-update version 1 hands a foreign reader the CREATE
     // payloads exactly as committed, while the table's latest state has
@@ -1415,6 +1431,10 @@ object CdcQueries {
     "cdc_merge_time_travel" -> s"""$changesCte
       SELECT id, status, totalprice FROM changes
       WHERE operation_type = 'CREATE' ORDER BY id""",
+
+    // Delta-log export of the latest snapshot = the merged current state
+    // (same truth as cdc_merge_into).
+    "cdc_merge_export_delta" -> mergeFinalStateSql,
 
     // Export-at-version of v1 = the CREATE batch exactly as committed.
     "cdc_merge_export_v1" -> s"""$changesCte
