@@ -248,11 +248,22 @@ object DeltaExport {
     readAt(spark, root, -1L)
 
   /** Read the exported table AS OF a delta version (time-travel interop);
-    * -1 = latest. Files are validated to exist before planning: a stale
-    * log referencing vacuumed files fails LOUDLY naming one, never
-    * silently reads a partial table.
+    * -1 = latest.
+    *
+    * The scan is planned ENTIRELY from the log: file paths, sizes and
+    * modification times come from the replayed `add` actions (that is
+    * why the Delta protocol records them) and the schema from
+    * `metaData.schemaString`, handed to Spark through
+    * [[org.apache.spark.sql.GraftFiles]] — planning performs zero
+    * filesystem listings and zero footer reads, exactly like a real
+    * Delta engine. With `validate` (the default) every listed file is
+    * first checked to exist so a stale log referencing vacuumed files
+    * fails LOUDLY naming one, never silently reads a partial table;
+    * pass `validate = false` on trusted logs to skip those O(files)
+    * existence probes too (a missing file then surfaces at execution).
     */
-  def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
+  def readAt(spark: SparkSession, root: String, version: Long,
+             validate: Boolean = true): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = logPath(root).getFileSystem(conf)
     val st = replay(fs, root, if (version < 0) None else Some(version))
@@ -261,14 +272,16 @@ object DeltaExport {
       s"delta log at $root has no metaData action — not a valid table"))
     require(st.live.nonEmpty,
       s"delta version ${st.version} at $root lists no live files")
-    val abs = st.live.keys.toSeq.sorted.map(rel => s"$root/$rel")
-    val dead = abs.filterNot(p => fs.exists(new Path(p)))
-    require(dead.isEmpty,
-      s"delta log at $root references ${dead.size} missing file(s) — " +
-        s"e.g. ${dead.head}; vacuumed after export? Re-export the " +
-        "current snapshot")
-    spark.read
-      .schema(DataType.fromJson(schemaJson).asInstanceOf[StructType])
-      .parquet(abs: _*)
+    val files = st.live.toSeq.sortBy(_._1)
+      .map { case (rel, (size, mtime)) => (s"$root/$rel", size, mtime) }
+    if (validate) {
+      val dead = files.map(_._1).filterNot(p => fs.exists(new Path(p)))
+      require(dead.isEmpty,
+        s"delta log at $root references ${dead.size} missing file(s) — " +
+          s"e.g. ${dead.head}; vacuumed after export? Re-export the " +
+          "current snapshot")
+    }
+    org.apache.spark.sql.GraftFiles.parquet(spark, files,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType])
   }
 }

@@ -75,6 +75,29 @@ class DeltaExportSpec extends SparkSpec {
     assert(DeltaExport.read(spark, root).count() == 2)
   }
 
+  test("the delta scan plans from the log's recorded file statuses — " +
+      "manifest-fed index, exact stats, no listing") {
+    val root = java.nio.file.Files.createTempDirectory("delta").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"),
+      root, "k", numBuckets = 2)
+    DeltaExport.export(spark, root)
+    val df = DeltaExport.read(spark, root)
+    // the scan's location is the metadata-fed index, not a listed one
+    assert(df.queryExecution.executedPlan.toString
+      .contains("ManifestFileIndex"),
+      "delta read planned through a listing-based FileIndex")
+    // optimizer stats equal the log-recorded byte sum EXACTLY (the sizes
+    // Delta add actions carry exist precisely for this)
+    val onDisk = df.inputFiles.map(p =>
+      new java.io.File(new java.net.URI(p).getPath).length()).sum
+    assert(df.queryExecution.optimizedPlan.stats.sizeInBytes == onDisk)
+    // validate=false skips the existence sweep and still reads right
+    val trusted = DeltaExport.readAt(spark, root, -1L, validate = false)
+    assert(trusted.select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("export refuses a pending deletion vector") {
     val root = java.nio.file.Files.createTempDirectory("delta").toString
     MergeInto.mergeBatch(spark,
