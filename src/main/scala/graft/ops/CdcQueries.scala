@@ -41,11 +41,11 @@ object CdcQueries {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    // _v4 (and the matching bumps on every merge-fixture root below):
-    // manifest-recorded table schema — fixtures rebuilt so their
-    // manifests carry the __schema slot and reads skip the mergeSchema
-    // footer sweep. _v3 was the one-file-per-bucket commit layout.
-    val root = Paths.get(s"$base/$key/orders_merge_table_v4")
+    // _v5: manifest-recorded FILE STATUSES (__fs: slots, committed by
+    // ManifestStore.commit) — the flagship merge gates plan with zero
+    // filesystem listings on top of _v4's zero footer reads (__schema
+    // slot). _v3 was the one-file-per-bucket commit layout.
+    val root = Paths.get(s"$base/$key/orders_merge_table_v5")
     val store = root.resolve("table").toString
     graft.streaming.FixtureLock.once(root) {
         import org.apache.spark.sql.expressions.Window

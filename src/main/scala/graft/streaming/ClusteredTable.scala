@@ -122,7 +122,10 @@ object ClusteredTable {
         zminSlot(seg) -> encode(r.get(1)),
         zmaxSlot(seg) -> encode(r.get(2)),
         zrowsSlot(seg) -> r.getLong(3).toString)
-    }.toMap + (ClusterColSlot -> clusterCol)
+    }.toMap + (ClusterColSlot -> clusterCol) +
+      // recorded schema: pruned reads pass it explicitly (and with the
+      // commit-recorded __fs: statuses plan with zero filesystem I/O)
+      (MergeInto.SchemaSlot -> df.schema.json)
     ManifestStore.commit(spark, root, version, entries)
   }
 
@@ -246,12 +249,29 @@ object ClusteredTable {
       // nothing can match: an empty frame with the table schema
       ManifestStore.read(spark, root).drop("__seg").filter(lit(false))
     } else {
-      val paths = segs.map(s => s"$root/${snap.entries(s.toString)}")
-      val base = spark.read.parquet(paths: _*)
+      val base = segmentRead(spark, root, snap, segs)
       val residual = (lo.map(col(cc) >= lit(_)) ++ hi.map(col(cc) <= lit(_)))
         .reduceOption(_ && _).getOrElse(lit(true))
       base.filter(residual).drop("__seg")
     }
+  }
+
+  /** Read the chosen segments. With a recorded schema AND recorded file
+    * statuses (both manifest metadata), the scan is built with zero
+    * filesystem calls; otherwise falls back to the listed, footer-
+    * inferred read.
+    */
+  private def segmentRead(spark: SparkSession, root: String,
+      snap: ManifestStore.Snapshot, segs: Seq[Int]): DataFrame = {
+    val rels = segs.map(s => snap.entries(s.toString))
+    val fast = for {
+      sj <- snap.entries.get(MergeInto.SchemaSlot)
+      files <- ManifestStore.fileStats(root, snap, rels)
+      if files.nonEmpty
+    } yield org.apache.spark.sql.GraftFiles.parquet(spark, files,
+      DataType.fromJson(sj).asInstanceOf[StructType])
+    fast.getOrElse(
+      spark.read.parquet(rels.map(rel => s"$root/$rel"): _*))
   }
 
   /** Full table (every segment), bookkeeping column dropped. */
@@ -341,7 +361,8 @@ object ClusteredTable {
         zminSlot2(1, seg) -> encode(r.get(3)),
         zmaxSlot2(1, seg) -> encode(r.get(4)),
         zrowsSlot(seg) -> r.getLong(5).toString)
-    }.toMap + (ZColsSlot -> s"$colA,$colB")
+    }.toMap + (ZColsSlot -> s"$colA,$colB") +
+      (MergeInto.SchemaSlot -> df.schema.json)
     ManifestStore.commit(spark, root, version, entries)
   }
 
@@ -394,11 +415,10 @@ object ClusteredTable {
     if (segs.isEmpty) {
       ManifestStore.read(spark, root).drop("__seg").filter(lit(false))
     } else {
-      val paths = segs.map(s => s"$root/${snap.entries(s.toString)}")
       val residual = (loA.map(col(ca) >= lit(_)) ++ hiA.map(col(ca) <= lit(_)) ++
         loB.map(col(cb) >= lit(_)) ++ hiB.map(col(cb) <= lit(_)))
         .reduceOption(_ && _).getOrElse(lit(true))
-      spark.read.parquet(paths: _*).filter(residual).drop("__seg")
+      segmentRead(spark, root, snap, segs).filter(residual).drop("__seg")
     }
   }
 
@@ -418,7 +438,7 @@ object ClusteredTable {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    val root = java.nio.file.Paths.get(s"$base/$key/events_zorder_v1")
+    val root = java.nio.file.Paths.get(s"$base/$key/events_zorder_v2")
     FixtureLock.once(root) {
         writeZOrdered(spark, graft.ops.Tables(spark, sfDir, "events"),
           root.toString, "user_id", "value", numSegments = 16)
@@ -431,7 +451,7 @@ object ClusteredTable {
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
     // v4: + user_id bloom index (v3 sorted segments, v2 __zrows stats)
-    val root = java.nio.file.Paths.get(s"$base/$key/events_clustered_v4")
+    val root = java.nio.file.Paths.get(s"$base/$key/events_clustered_v5")
     FixtureLock.once(root) {
         write(spark, graft.ops.Tables(spark, sfDir, "events"),
           root.toString, "ts", numSegments = 16)

@@ -209,12 +209,108 @@ object ManifestStore {
     math.max(committed, staged) + 1
   }
 
+  /** Metadata slot prefix for per-directory FILE STATISTICS:
+    * `__fs:<rel>` → `name|size|mtime;...` for every data file under that
+    * entry's directory. Maintained by [[commit]] itself (writers never
+    * touch it): a newly-referenced data directory is listed ONCE at
+    * commit time — moments after its writer created it, when the listing
+    * is cheapest — and the recorded statuses let readers hand Spark a
+    * complete file list with sizes, so PLANNING a read performs zero
+    * filesystem listings (the other half of planning I/O next to the
+    * `__schema` slot's zero-footer reads; a Delta `add` action records
+    * size/modificationTime for exactly this reason). Stale slots (their
+    * directory no longer referenced) are dropped on the same commit.
+    * Stats are an optimization, never a correctness surface: any
+    * directory without a recorded slot simply falls back to the listed
+    * read.
+    */
+  val FileStatsPrefix = "__fs:"
+
+  /** List a data directory's files for the stats slot. None when the
+    * directory cannot be summarized safely (missing, or a file name
+    * containing a delimiter byte) — the reader then falls back.
+    */
+  private def statFiles(f: FileSystem, root: String,
+      rel: String): Option[String] = {
+    try {
+      val base = new Path(s"$root/$rel")
+      if (!f.exists(base)) return None
+      val baseUri = base.toUri.getPath.stripSuffix("/")
+      val it = f.listFiles(base, true)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (name.endsWith(".parquet") || name.startsWith("part-")) {
+          // an entry may reference a single FILE (e.g. a lake file
+          // index), in which case its relative name is empty and the
+          // decoder resolves it back to the entry path itself
+          val relName = st.getPath.toUri.getPath
+            .stripPrefix(baseUri).stripPrefix("/")
+          if (relName.exists(c => c == '|' || c == ';' || c == '\t' ||
+              c == '\n' || c == '\r'))
+            return None // never risk the manifest line format
+          parts += s"$relName|${st.getLen}|${st.getModificationTime}"
+        }
+      }
+      Some(parts.sorted.mkString(";"))
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Decode a snapshot's recorded file statuses for `rels` (relative data
+    * directories). Some(...) only when EVERY directory has a recorded
+    * slot — a partial answer would make the reader plan a partial table.
+    */
+  def fileStats(root: String, snap: Snapshot,
+      rels: Seq[String]): Option[Seq[(String, Long, Long)]] = {
+    val all = rels.map { rel =>
+      snap.entries.get(FileStatsPrefix + rel).map { enc =>
+        if (enc.isEmpty) Nil
+        else enc.split(';').toSeq.map { part =>
+          part.split('|') match {
+            case Array(n, s, m) =>
+              (if (n.isEmpty) s"$root/$rel" else s"$root/$rel/$n",
+                s.toLong, m.toLong)
+            case _ => return None // malformed: fall back, never misplan
+          }
+        }
+      }
+    }
+    if (all.forall(_.isDefined)) Some(all.flatMap(_.get)) else None
+  }
+
   /** Publish `entries` as manifest `version`. Fails (loudly) if that
-    * version is already committed — single-writer contract.
+    * version is already committed — single-writer contract. File-stats
+    * slots are reconciled here (see [[FileStatsPrefix]]): writers carry
+    * whatever metadata they know; commit drops stale `__fs:` slots and
+    * records missing ones for the data directories this version
+    * references.
     */
   def commit(spark: SparkSession, root: String, version: Long,
-             entries: Map[String, String]): Unit = {
+             entries0: Map[String, String]): Unit = {
     val f = fs(spark, root)
+    val dataRels = entries0.collect {
+      case (k, v) if !isMetaSlot(k) && !isAuxSlot(k) => v
+    }.toSet
+    // stats reconciliation: keep carried slots for still-referenced
+    // dirs, inherit the PREVIOUS snapshot's slots for unchanged dirs
+    // whose writer rebuilt the entry map from scratch (streaming stores
+    // do, every batch — an immutable committed dir's stats never
+    // change), and list only genuinely NEW dirs, once, at the moment
+    // their writer just created them.
+    val prevStats: Map[String, String] = latest(spark, root)
+      .map(_.entries.filter(_._1.startsWith(FileStatsPrefix)))
+      .getOrElse(Map.empty)
+    val entries = entries0.filter { case (k, _) =>
+      !k.startsWith(FileStatsPrefix) ||
+        dataRels.contains(k.stripPrefix(FileStatsPrefix))
+    } ++ dataRels
+      .filterNot(rel => entries0.contains(FileStatsPrefix + rel))
+      .flatMap { rel =>
+        prevStats.get(FileStatsPrefix + rel)
+          .orElse(statFiles(f, root, rel))
+          .map(enc => (FileStatsPrefix + rel) -> enc)
+      }
     val dir = manifestDir(root)
     f.mkdirs(dir)
     // Monotonicity: a stale writer waking up after newer commits must not
@@ -275,10 +371,23 @@ object ManifestStore {
     */
   def readOrEmpty(spark: SparkSession, root: String,
                   schema: StructType): DataFrame =
-    latest(spark, root).map(resolvePaths(root, _)).filter(_.nonEmpty)
-      .map(paths => spark.read.schema(schema).parquet(paths: _*))
-      .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    latest(spark, root).map { snap =>
+      val paths = resolvePaths(root, snap)
+      if (paths.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else {
+        // recorded file statuses (committed alongside the entries) plan
+        // the scan without any filesystem listing; a store committed
+        // before the stats slot existed falls back to the listed read
+        val rels = paths.map(_.stripPrefix(s"$root/"))
+        fileStats(root, snap, rels).filter(_.nonEmpty)
+          .map(files =>
+            org.apache.spark.sql.GraftFiles.parquet(spark, files, schema))
+          .getOrElse(spark.read.schema(schema).parquet(paths: _*))
+      }
+    }.getOrElse(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
 
   /** Read the latest committed state, inferring the schema from the data;
     * throws when nothing was ever committed. `mergeSchema` unifies bucket

@@ -269,13 +269,25 @@ object MergeInto {
 
   /** Read a snapshot's row files. With a recorded schema the read passes
     * it explicitly — planning opens NO file footer and old-generation
-    * files NULL-extend in the scan; without one (pre-slot table) it falls
-    * back to the parquet mergeSchema footer sweep.
+    * files NULL-extend in the scan; when the manifest also carries file
+    * statuses (`ManifestStore.FileStatsPrefix`, recorded at commit time)
+    * the scan is built over them directly and planning performs NO
+    * filesystem listing either — both halves of a table read's planning
+    * I/O answered from the manifest alone. Pre-slot tables fall back one
+    * step at a time: listed read with explicit schema, then the parquet
+    * mergeSchema footer sweep.
     */
   private def readRows(spark: SparkSession, root: String,
       snap: ManifestStore.Snapshot, paths: Seq[String]): DataFrame =
     recordedSchema(snap) match {
-      case Some(sc) => spark.read.schema(sc).parquet(paths: _*)
+      case Some(sc) =>
+        val prefix = s"$root/"
+        val rels = paths.map(_.stripPrefix(prefix))
+        ManifestStore.fileStats(root, snap, rels)
+          .filter(_.nonEmpty)
+          .map(files => org.apache.spark.sql.GraftFiles
+            .parquet(spark, files, sc))
+          .getOrElse(spark.read.schema(sc).parquet(paths: _*))
       case None =>
         spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }

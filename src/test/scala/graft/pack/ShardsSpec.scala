@@ -20,7 +20,9 @@ class ShardsSpec extends SparkSpec {
     Shards.write(spark, docs, root, "doc_id", nShards = 8)
 
     val snap = ManifestStore.latest(spark, root).get
-    val shardIds = snap.entries.keys.map(_.toInt).toSeq.sorted
+    val shardIds = snap.entries.keys
+      .filterNot(graft.streaming.ManifestStore.isMetaSlot)
+      .map(_.toInt).toSeq.sorted
     assert(shardIds == (0 until 8))
 
     val all = shardIds.flatMap(sd =>

@@ -336,4 +336,26 @@ class RunningWindowSpec extends SparkSpec {
     assert(plain.experimental.extraStrategies
       .count(_ == GlobalRunningWindowStrategy) == 1)
   }
+
+  test("ANSI overflow semantics: a running SUM that overflows LONG fails " +
+      "loudly under ANSI (like the WindowExec it replaces) and wraps " +
+      "identically to WindowExec with ANSI off") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("k")
+    def overflowing = Seq((1L, Long.MaxValue), (2L, 5L), (3L, 7L))
+      .toDF("k", "v")
+      .select(col("k"), sum(col("v")).over(w).as("rs"))
+    // the sessions here run Spark 4's ANSI default
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val on = overflowing
+    assert(hasRunningExec(on), "rewrite did not fire:\n" + physical(on))
+    val e = intercept[Throwable] { on.collect() }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.toLowerCase.contains("overflow"), s"not an overflow: $msgs")
+    // non-ANSI: silent wrap, bit-identical to WindowExec's wrap
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try differential(overflowing, Seq("k"))
+    finally spark.conf.set("spark.sql.ansi.enabled", "true")
+  }
 }

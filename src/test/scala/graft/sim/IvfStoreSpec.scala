@@ -55,9 +55,12 @@ class IvfStoreSpec extends SparkSpec {
     IvfStore.append(spark, vecs(32 until 48), root)
     val v2 = ManifestStore.latest(spark, root).get
     assert(v2.version == v1.version + 1)
-    // every v1 entry survives verbatim; exactly one new data slot appears
+    // every v1 entry survives verbatim; exactly one new DATA slot appears
+    // (__fs: stats slots mirror data entries — commit maintains them)
     v1.entries.foreach { case (k, v) => assert(v2.entries.get(k).contains(v)) }
-    assert((v2.entries.keySet -- v1.entries.keySet) == Set(s"seg-${v2.version}"))
+    assert((v2.entries.keySet -- v1.entries.keySet)
+      .filterNot(_.startsWith(ManifestStore.FileStatsPrefix))
+      == Set(s"seg-${v2.version}"))
   }
 
   test("bootstrap refuses a second call; append refuses a missing index") {

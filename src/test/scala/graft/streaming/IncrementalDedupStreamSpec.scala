@@ -64,14 +64,16 @@ class IncrementalDedupStreamSpec extends SparkSpec {
     }
     val before = ManifestStore.read(spark, storeDir)
       .select("doc_id").as[Long].collect().sorted.toSeq
-    val segsBefore = ManifestStore.latest(spark, storeDir).get.entries.size
-    assert(segsBefore == 3)
+    // count DATA segments only (__fs: stats slots mirror them 1:1)
+    def segs(): Int = ManifestStore.latest(spark, storeDir).get.entries
+      .keys.count(!ManifestStore.isMetaSlot(_))
+    assert(segs() == 3)
 
     IncrementalDedupStream.compactSegments(spark, storeDir)
     val after = ManifestStore.read(spark, storeDir)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(after == before)
-    assert(ManifestStore.latest(spark, storeDir).get.entries.size == 1)
+    assert(segs() == 1)
     // idempotent: a second compaction is a no-op (single segment already)
     val v = ManifestStore.latest(spark, storeDir).get.version
     IncrementalDedupStream.compactSegments(spark, storeDir)

@@ -177,4 +177,37 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.snapshotAt(spark, root, 3L).get
       .entries("a") == "data/v3")
   }
+
+  test("commit records __fs: file statuses for new data dirs, carries " +
+      "them forward, drops stale ones; fileStats round-trips") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("fstats").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      .coalesce(1).write.parquet(s"$root/data/v1/d0")
+    ManifestStore.commit(spark, root, 1L, Map("0" -> "data/v1/d0"))
+    val s1 = ManifestStore.latest(spark, root).get
+    val slot = ManifestStore.FileStatsPrefix + "data/v1/d0"
+    assert(s1.entries.contains(slot), s"missing $slot in ${s1.entries}")
+    val stats = ManifestStore.fileStats(root, s1, Seq("data/v1/d0")).get
+    assert(stats.nonEmpty)
+    stats.foreach { case (p, len, _) =>
+      val f = new java.io.File(new java.net.URI("file://" + p).getPath)
+      assert(f.exists() && f.length() == len, s"wrong stats for $p")
+    }
+    // carry the entry forward + replace it with a new dir: the stale
+    // slot is dropped, the new dir gains one (no writer involvement)
+    Seq((3L, "c")).toDF("k", "s")
+      .coalesce(1).write.parquet(s"$root/data/v2/d0")
+    ManifestStore.commit(spark, root, 2L,
+      s1.entries - "0" + ("0" -> "data/v2/d0"))
+    val s2 = ManifestStore.latest(spark, root).get
+    assert(!s2.entries.contains(slot))
+    assert(s2.entries.contains(ManifestStore.FileStatsPrefix + "data/v2/d0"))
+    // incomplete coverage -> None (never a partial plan)
+    assert(ManifestStore.fileStats(root, s2,
+      Seq("data/v2/d0", "data/v9/nope")).isEmpty)
+    // history keeps the as-of stats
+    assert(ManifestStore.snapshotAt(spark, root, 1L).get
+      .entries.contains(slot))
+  }
 }
