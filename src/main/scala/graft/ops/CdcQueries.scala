@@ -125,6 +125,119 @@ object CdcQueries {
     store
   }
 
+  /** Materialize the delta-CHECKPOINT table once per sfDir: the CREATE
+    * batch plus the non-CREATE changes applied as 12 disjoint id-hash
+    * slices, each merge followed by a [[graft.streaming.DeltaExport]]
+    * export (interval 10) — 13 delta versions, a classic checkpoint at
+    * v10, `_last_checkpoint` published. The fixture then DELETES the
+    * pre-checkpoint JSON versions (0..9), the shape of a real Delta
+    * table whose old log files were cleaned up: the only way the reader
+    * can answer is by replaying from the checkpoint.
+    */
+  private def deltaCheckpointTableDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_delta_checkpoint_v2")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        import org.apache.spark.sql.expressions.Window
+        val log = changeLog(s, dir)
+        val b1 = log.filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("log_seq_num").desc)
+        val b2 = log.filter(col("operation_type") =!= "CREATE")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("id"), col("status"), col("totalprice"),
+            (col("operation_type") === "DELETE").as("del"))
+        graft.streaming.MergeInto.mergeBatch(s, b1, store, "id")
+        graft.streaming.DeltaExport.export(s, store, checkpointInterval = 4)
+        // 12 slices, disjoint by id (hash-spread: the change-log ids are
+        // all odd, so a plain id%12 would leave the even residues empty
+        // and their exports idempotent) — application order is
+        // irrelevant to the final state, which equals applying b2 whole
+        (0 until 12).foreach { i =>
+          graft.streaming.MergeInto.mergeBatch(s,
+            b2.filter(pmod(hash(col("id")), lit(12)) === i), store, "id",
+            deleteCol = Some("del"))
+          graft.streaming.DeltaExport.export(s, store,
+            checkpointInterval = 4)
+        }
+        val logDir = new java.io.File(store, "_delta_log")
+        val cpV = logDir.listFiles()
+          .filter(_.getName.endsWith(".checkpoint.parquet"))
+          .map(_.getName.stripSuffix(".checkpoint.parquet").toLong)
+          .sorted.lastOption.getOrElse(throw new IllegalStateException(
+            "fixture expected at least one delta checkpoint"))
+        // clean every JSON version the checkpoint covers — the reader
+        // can only answer by replaying from the checkpoint
+        (0L until cpV).foreach { v =>
+          val f = new java.io.File(logDir, f"$v%020d.json")
+          require(f.delete(), s"could not clean $f")
+        }
+    }
+    store
+  }
+
+  /** Materialize the foreign PARTITIONED delta log once per sfDir: the
+    * CREATE payloads written Hive-style under `status=` dirs by a plain
+    * parquet writer, with a hand-authored protocol-1 `_delta_log` whose
+    * add actions carry `partitionValues` — exactly what a foreign Delta
+    * writer (delta-rs, Spark+delta) produces for a partitioned table.
+    * The data files do NOT store the partition column; the reader must
+    * reconstruct it from the log.
+    */
+  private def deltaPartitionedLogDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_delta_partitioned_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val creates = changeLog(s, dir)
+          .filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        creates.write.partitionBy("status").parquet(s"$store/data")
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+        lines +=
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+        val meta = m.createObjectNode()
+        val md = meta.putObject("metaData")
+        md.put("id", "graft-partitioned-fixture")
+        md.putObject("format").put("provider", "parquet")
+        md.put("schemaString", creates.schema.json)
+        md.putArray("partitionColumns").add("status")
+        lines += m.writeValueAsString(meta)
+        val dataDir = new java.io.File(store, "data")
+        for {
+          pd <- dataDir.listFiles().sortBy(_.getName)
+          if pd.isDirectory && pd.getName.startsWith("status=")
+          f <- pd.listFiles().sortBy(_.getName)
+          if f.getName.endsWith(".parquet")
+        } {
+          val n = m.createObjectNode()
+          val a = n.putObject("add")
+          a.put("path", s"data/${pd.getName}/${f.getName}")
+            .put("size", f.length())
+            .put("modificationTime", f.lastModified())
+            .put("dataChange", true)
+          a.putObject("partitionValues")
+            .put("status", pd.getName.stripPrefix("status="))
+          lines += m.writeValueAsString(n)
+        }
+        val logDir = new java.io.File(store, "_delta_log")
+        require(logDir.mkdirs(), s"could not create $logDir")
+        val w = new java.io.PrintWriter(
+          new java.io.File(logDir, "00000000000000000000.json"), "UTF-8")
+        try lines.foreach(w.println) finally w.close()
+    }
+    store
+  }
+
   /** Materialize the RESTORE (rollback) table once per sfDir: the two
     * merge batches commit as v1/v2, then a `restore` to v1 commits v3
     * referencing v1's files — latest must read as the CREATE payloads
@@ -718,6 +831,44 @@ object CdcQueries {
       val store = mergedOrdersTableDir(s, dir)
       graft.streaming.DeltaExport.export(s, store)
       graft.streaming.DeltaExport.read(s, store)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // DELTA CHECKPOINT REPLAY driver-gated: 13 exported delta versions,
+    // a classic checkpoint at v10, and the pre-checkpoint JSON versions
+    // DELETED (the shape of a real table whose old log was cleaned) —
+    // the reader must reconstruct the state from
+    // `_last_checkpoint` + checkpoint parquet + the two remaining JSON
+    // diffs. Final state = the full two-batch merge, same oracle as
+    // cdc_merge_into; replay cost is O(interval), not O(versions).
+    "cdc_delta_checkpoint" -> ((s, dir) => {
+      val store = deltaCheckpointTableDir(s, dir)
+      graft.streaming.DeltaExport.read(s, store)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // FOREIGN PARTITIONED DELTA TABLE driver-gated: a hand-authored
+    // protocol-1 log over Hive-layout parquet whose partition column
+    // exists ONLY in `add.partitionValues` — the native reader rebuilds
+    // it as a real typed column. Oracle = the CREATE payloads.
+    "cdc_delta_partitioned" -> ((s, dir) => {
+      val store = deltaPartitionedLogDir(s, dir)
+      graft.streaming.DeltaExport.read(s, store)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // METADATA PARTITION PRUNING driver-gated: the same foreign log read
+    // with a partition predicate — planning selects only the matching
+    // metadata partition groups (zero filesystem calls, spec-pinned
+    // numPartitions=1 in DeltaExportSpec); the answer must equal the
+    // relational filter.
+    "cdc_delta_part_prune" -> ((s, dir) => {
+      val store = deltaPartitionedLogDir(s, dir)
+      graft.streaming.DeltaExport.read(s, store)
+        .filter(col("status") === "F")
         .select(col("id"), col("status"), col("totalprice"))
         .orderBy(col("id"))
     }),
@@ -1435,6 +1586,20 @@ object CdcQueries {
     // Delta-log export of the latest snapshot = the merged current state
     // (same truth as cdc_merge_into).
     "cdc_merge_export_delta" -> mergeFinalStateSql,
+
+    // Checkpoint replay reconstructs the same final merged state the 13
+    // incremental exports described.
+    "cdc_delta_checkpoint" -> mergeFinalStateSql,
+
+    // The foreign partitioned table = the CREATE payloads.
+    "cdc_delta_partitioned" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE' ORDER BY id""",
+
+    // Metadata-pruned partition read = the relational filter.
+    "cdc_delta_part_prune" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE' AND status = 'F' ORDER BY id""",
 
     // Export-at-version of v1 = the CREATE batch exactly as committed.
     "cdc_merge_export_v1" -> s"""$changesCte

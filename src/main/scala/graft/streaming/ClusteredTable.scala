@@ -168,7 +168,17 @@ object ClusteredTable {
         zmaxSlot(slot) -> encode(r.get(2)),
         zrowsSlot(slot) -> r.getLong(3).toString)
     }.toMap
-    ManifestStore.commit(spark, root, version, snap.entries ++ added)
+    // The recorded schema must COVER the appended batch, not just the
+    // original write: carrying the old slot verbatim would make the
+    // explicit-schema fast path silently drop a column a later batch
+    // added. Union like MergeInto does (old segments NULL-extend; a
+    // same-name type change is refused loudly there).
+    val schemaSlot = snap.entries.get(MergeInto.SchemaSlot).map { prev =>
+      MergeInto.SchemaSlot -> MergeInto.unionSchema(
+        DataType.fromJson(prev).asInstanceOf[StructType], df.schema).json
+    }
+    ManifestStore.commit(spark, root, version,
+      snap.entries ++ added ++ schemaSlot)
   }
 
   /** Re-cluster the whole table into `numSegments` disjoint slices and
@@ -246,8 +256,10 @@ object ClusteredTable {
     val cc = clusterColOf(spark, root)
     val segs = resolveSegments(spark, root, lo, hi)
     if (segs.isEmpty) {
-      // nothing can match: an empty frame with the table schema
-      ManifestStore.read(spark, root).drop("__seg").filter(lit(false))
+      // nothing can match: an empty frame with the RECORDED table schema
+      // (segmentRead over every segment, never executed)
+      segmentRead(spark, root, snap, allSegments(snap))
+        .drop("__seg").filter(lit(false))
     } else {
       val base = segmentRead(spark, root, snap, segs)
       val residual = (lo.map(col(cc) >= lit(_)) ++ hi.map(col(cc) <= lit(_)))
@@ -274,9 +286,20 @@ object ClusteredTable {
       spark.read.parquet(rels.map(rel => s"$root/$rel"): _*))
   }
 
-  /** Full table (every segment), bookkeeping column dropped. */
-  def readTable(spark: SparkSession, root: String): DataFrame =
-    ManifestStore.read(spark, root).drop("__seg")
+  private def allSegments(snap: ManifestStore.Snapshot): Seq[Int] =
+    snap.entries.keys
+      .collect { case s if !ManifestStore.isMetaSlot(s) => s.toInt }
+      .toSeq.sorted
+
+  /** Full table (every segment), bookkeeping column dropped. Goes through
+    * [[segmentRead]] so the RECORDED schema governs — after an append
+    * widened the table, a single-footer read would miss the new column.
+    */
+  def readTable(spark: SparkSession, root: String): DataFrame = {
+    val snap = ManifestStore.latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no clustered table under $root"))
+    segmentRead(spark, root, snap, allSegments(snap)).drop("__seg")
+  }
 
   // ---------------------------------------------------------------------
   // Z-ORDER (multi-dimensional) clustering — the OPTIMIZE ZORDER BY (a, b)

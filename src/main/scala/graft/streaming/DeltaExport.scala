@@ -1,9 +1,13 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Delta-protocol interop for the manifest-committed table format.
   *
@@ -13,24 +17,33 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * `add`/`remove` actions as newline-delimited JSON) — so any engine that
   * speaks the Delta protocol (Spark+delta-jars, delta-rs, DuckDB's delta
   * extension, Trino) reads the exported snapshot AS a Delta table, files
-  * in place, nothing copied. This closes the gap the symlink-manifest
-  * export (`MergeInto.exportFileManifest`) leaves: that one needs a
-  * reader that understands a flat file list; this one targets the
-  * ecosystem's actual interchange protocol.
+  * in place, nothing copied. `add`/`remove` paths are percent-encoded on
+  * write and decoded on read, per the protocol's RFC 2396 rule — a path
+  * with a space or '%' round-trips through foreign engines. Every
+  * `checkpointInterval` versions the export also writes a
+  * `<v>.checkpoint.parquet` + `_last_checkpoint` (the protocol's classic
+  * single-part checkpoint), so log replay is O(interval) actions no
+  * matter how many versions the table has accumulated — without it, a
+  * table exported every batch for a year carries 10k+ versions and every
+  * export/read re-reads them all.
   *
   * [[read]]/[[readAt]] are the inverse: a minimal NATIVE Delta log reader
-  * (protocol 1, unpartitioned, no deletion vectors / column mapping —
-  * anything newer is refused LOUDLY by name, never misread), used both to
-  * self-verify exports and to consume plain foreign Delta tables without
-  * delta jars on the classpath.
+  * (protocol 1 — including `_last_checkpoint` replay and PARTITIONED
+  * tables, whose partition columns are reconstructed from
+  * `add.partitionValues` as real columns with metadata-only partition
+  * pruning; deletion vectors / column mapping / multi-part or v2
+  * checkpoints are refused LOUDLY by name, never misread), used both to
+  * self-verify exports and to consume foreign Delta tables without delta
+  * jars on the classpath.
   *
-  * Scale notes: the log replay is O(actions) driver-side JSON over data
-  * that is one line per file-level change — the same metadata volume every
-  * Delta reader processes; data reads pass the log's `schemaString`
-  * explicitly, so planning opens zero parquet footers (same discipline as
-  * `MergeInto.SchemaSlot`). Exports are incremental: version N+1 carries
-  * only the add/remove DIFF against the previously exported live set, not
-  * a re-listing of the table.
+  * Scale notes: log replay is O(actions since last checkpoint) driver-side
+  * JSON — the same metadata volume every Delta engine processes; data
+  * reads pass the log's `schemaString` explicitly and plan over the log's
+  * recorded file sizes ([[org.apache.spark.sql.GraftFiles]]), so planning
+  * opens zero parquet footers and performs zero filesystem listings.
+  * Exports are incremental: version N+1 carries only the add/remove DIFF
+  * against the previously exported live set, not a re-listing of the
+  * table.
   */
 object DeltaExport {
 
@@ -39,12 +52,39 @@ object DeltaExport {
 
   private def mapper = new ObjectMapper()
 
+  private case class FileEntry(size: Long, modTime: Long,
+      partValues: Map[String, Option[String]])
+
   private case class LogState(
       version: Long, // latest delta version present, -1 if none
       schemaJson: Option[String], // last metaData.schemaString
-      live: Map[String, (Long, Long)]) // rel path -> (size, modTime)
+      partitionCols: Seq[String], // last metaData.partitionColumns
+      live: Map[String, FileEntry]) // DECODED rel path -> entry
 
   private def logPath(root: String) = new Path(root, LogDir)
+
+  /** Percent-encode a table-relative path for an add/remove action per
+    * the protocol's RFC 2396 rule ('/' kept, space → %20, '%' → %25).
+    */
+  private[streaming] def encodePath(rel: String): String =
+    new java.net.URI(null, null, rel, null).toASCIIString
+
+  /** Decode an action path. Absolute URIs (scheme present — the spec
+    * allows them for files outside the table root, e.g. shallow clones)
+    * are refused loudly: resolving them is a different trust and
+    * filesystem story. A string that is not a valid URI reference (a
+    * sloppy writer's raw space) is taken verbatim — refusing it would
+    * reject tables other engines read fine.
+    */
+  private[streaming] def decodePath(raw: String): String =
+    try {
+      val u = new java.net.URI(raw)
+      require(u.getScheme == null,
+        s"delta add/remove path '$raw' is an absolute URI — external " +
+          "(shallow-cloned) file references are not supported by this " +
+          "reader")
+      u.getPath
+    } catch { case _: java.net.URISyntaxException => raw }
 
   private def listVersions(fs: FileSystem, root: String): Seq[(Long, Path)] = {
     val dir = logPath(root)
@@ -64,67 +104,241 @@ object DeltaExport {
     finally in.close()
   }
 
-  /** Replay the log strictly: versions must be dense from 0 (a gap means
-    * a reader would reconstruct the wrong table — fail, don't guess), and
-    * any protocol feature beyond reader version 1 is refused by name.
+  private def checkProtocol(root: String, minReader: Int,
+      readerFeatures: Option[String]): Unit =
+    require(minReader <= 1 && readerFeatures.isEmpty,
+      s"delta table at $root needs reader version $minReader" +
+        readerFeatures.fold("")(f => s" with features $f") +
+        " — this native reader implements protocol 1 only")
+
+  private def checkFormat(root: String, provider: String): Unit =
+    require(provider == "parquet",
+      s"delta table at $root stores '$provider' data files — only " +
+        "parquet is supported")
+
+  /** Mutable replay accumulator shared by the JSON and checkpoint paths. */
+  private final class Replayer(root: String) {
+    var schemaJson: Option[String] = None
+    var partitionCols: Seq[String] = Nil
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
+
+    def applyJsonLine(m: ObjectMapper, line: String): Unit = {
+      val node = m.readTree(line)
+      if (node.has("protocol")) {
+        val pr = node.get("protocol")
+        checkProtocol(root, pr.get("minReaderVersion").asInt(),
+          Option(pr.get("readerFeatures")).map(_.toString))
+      } else if (node.has("metaData")) {
+        val md = node.get("metaData")
+        checkFormat(root, md.get("format").get("provider").asText())
+        val parts = Option(md.get("partitionColumns"))
+        partitionCols = parts.toSeq.flatMap(_.elements().asScala)
+          .map(_.asText())
+        schemaJson = Some(md.get("schemaString").asText())
+      } else if (node.has("add")) {
+        val a = node.get("add")
+        require(!a.has("deletionVector") || a.get("deletionVector").isNull,
+          s"delta table at $root carries deletion vectors — protocol-3 " +
+            "feature this native reader refuses rather than misread")
+        val pv = Option(a.get("partitionValues")).map { n =>
+          n.properties().asScala.map { e =>
+            e.getKey -> (if (e.getValue.isNull) None
+                         else Some(e.getValue.asText()))
+          }.toMap
+        }.getOrElse(Map.empty[String, Option[String]])
+        live += decodePath(a.get("path").asText()) ->
+          FileEntry(a.get("size").asLong(),
+            a.get("modificationTime").asLong(), pv)
+      } else if (node.has("remove")) {
+        live -= decodePath(node.get("remove").get("path").asText())
+      } // commitInfo/txn/cdc actions carry no table state for us
+    }
+
+    def state(version: Long): LogState =
+      LogState(version, schemaJson, partitionCols, live.toMap)
+  }
+
+  // -------------------------------------------------------------------
+  // Checkpoints (classic single-part, protocol 1)
+  // -------------------------------------------------------------------
+
+  private def checkpointFile(root: String, v: Long): Path =
+    new Path(logPath(root), f"$v%020d.checkpoint.parquet")
+
+  private def lastCheckpointPath(root: String): Path =
+    new Path(logPath(root), "_last_checkpoint")
+
+  /** The `_last_checkpoint` hint, validated: multi-part and v2 (UUID-
+    * named / sidecar) checkpoints are newer protocol features — refused
+    * by name, never half-read.
     */
-  private def replay(fs: FileSystem, root: String,
+  private def lastCheckpointVersion(fs: FileSystem,
+      root: String): Option[Long] = {
+    val p = lastCheckpointPath(root)
+    if (!fs.exists(p)) return None
+    val node = mapper.readTree(readLines(fs, p).mkString("\n"))
+    val v = node.get("version").asLong()
+    val parts = Option(node.get("parts")).map(_.asInt()).getOrElse(1)
+    require(parts == 1,
+      s"delta table at $root has a multi-part checkpoint (parts=$parts) " +
+        "— only classic single-part checkpoints are supported")
+    require(fs.exists(checkpointFile(root, v)),
+      s"delta table at $root: _last_checkpoint names version $v but " +
+        s"${checkpointFile(root, v).getName} does not exist — v2/UUID-" +
+        "named checkpoints are not supported")
+    Some(v)
+  }
+
+  private def optField[T](row: Row, name: String): Option[T] =
+    if (row.schema == null) None
+    else row.schema.fieldNames.indexOf(name) match {
+      case -1 => None
+      case i if row.isNullAt(i) => None
+      case i => Some(row.get(i).asInstanceOf[T])
+    }
+
+  /** Replay a classic checkpoint parquet into the accumulator. Driver-
+    * side collect is bounded by the table's live-file count — the same
+    * metadata volume every Delta engine materializes for planning.
+    * Foreign checkpoints carry extra columns (`stats`, `tags`, `txn`) —
+    * fields are accessed by name and anything unknown is ignored, like
+    * any other protocol-1 reader.
+    */
+  private def loadCheckpoint(spark: SparkSession, root: String,
+      v: Long, r: Replayer): Unit = {
+    val rows = spark.read.parquet(checkpointFile(root, v).toString).collect()
+    rows.foreach { row =>
+      optField[Row](row, "protocol").foreach { pr =>
+        checkProtocol(root,
+          optField[Int](pr, "minReaderVersion").getOrElse(1),
+          optField[scala.collection.Seq[String]](pr, "readerFeatures")
+            .filter(_.nonEmpty).map(_.mkString("[", ",", "]")))
+      }
+      optField[Row](row, "metaData").foreach { md =>
+        optField[Row](md, "format").flatMap(optField[String](_, "provider"))
+          .foreach(checkFormat(root, _))
+        r.partitionCols =
+          optField[scala.collection.Seq[String]](md, "partitionColumns")
+            .map(_.toSeq).getOrElse(Nil)
+        r.schemaJson = optField[String](md, "schemaString")
+      }
+      optField[Row](row, "add").foreach { a =>
+        require(optField[Row](a, "deletionVector").isEmpty,
+          s"delta checkpoint at $root carries deletion vectors — " +
+            "protocol-3 feature this native reader refuses")
+        val pv = optField[scala.collection.Map[String, String]](
+          a, "partitionValues").map(_.toMap.map { case (k, x) =>
+            k -> Option(x) }).getOrElse(Map.empty[String, Option[String]])
+        r.live += decodePath(optField[String](a, "path").get) ->
+          FileEntry(optField[Long](a, "size").get,
+            optField[Long](a, "modificationTime").getOrElse(0L), pv)
+      }
+      // remove rows in a checkpoint are vacuum tombstones — no live state
+    }
+  }
+
+  /** Write the classic checkpoint for `state` (protocol + metaData + one
+    * row per live add) and republish `_last_checkpoint`. Single-part by
+    * construction; the parquet is staged by Spark and renamed into the
+    * protocol's `<v>.checkpoint.parquet` name.
+    */
+  private def writeCheckpoint(spark: SparkSession, fs: FileSystem,
+      root: String, state: LogState): Unit = {
+    val cpSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues",
+          MapType(StringType, StringType, valueContainsNull = true)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+    val rows: Seq[Row] =
+      Row(Row(1, 2), null, null) +:
+      Row(null, Row(tableId(root), Row("parquet"),
+        state.schemaJson.getOrElse(throw new IllegalStateException(
+          s"cannot checkpoint $root without a recorded schema")),
+        state.partitionCols, System.currentTimeMillis()), null) +:
+      state.live.toSeq.sortBy(_._1).map { case (rel, fe) =>
+        Row(null, null, Row(encodePath(rel),
+          fe.partValues.map { case (k, v) => k -> v.orNull },
+          fe.size, fe.modTime, true))
+      }
+    val tmpDir = new Path(logPath(root),
+      s".cptmp-${java.util.UUID.randomUUID}")
+    spark.createDataFrame(rows.asJava, cpSchema).coalesce(1)
+      .write.mode("overwrite").parquet(tmpDir.toString)
+    val part = fs.listStatus(tmpDir)
+      .map(_.getPath).find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(
+        s"checkpoint stage at $tmpDir produced no part file"))
+    val out = checkpointFile(root, state.version)
+    fs.delete(out, false) // re-checkpoint of same version: last wins
+    require(fs.rename(part, out),
+      s"could not publish checkpoint $out")
+    fs.delete(tmpDir, true)
+    val hint = mapper.createObjectNode()
+    hint.put("version", state.version).put("size", rows.size.toLong)
+    val os = fs.create(lastCheckpointPath(root), true)
+    try os.write((mapper.writeValueAsString(hint) + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+  }
+
+  // -------------------------------------------------------------------
+  // Replay
+  // -------------------------------------------------------------------
+
+  /** Replay the log strictly to `upTo` (None = latest). Starts from the
+    * newest checkpoint at-or-below the target when one exists; JSON
+    * versions after the start point must be DENSE (a gap means a reader
+    * would reconstruct the wrong table — fail, don't guess). Any
+    * protocol feature beyond reader version 1 is refused by name.
+    */
+  private def replay(spark: SparkSession, fs: FileSystem, root: String,
       upTo: Option[Long]): LogState = {
     val versions = listVersions(fs, root)
-    if (versions.isEmpty) return LogState(-1L, None, Map.empty)
-    require(versions.head._1 == 0L,
-      s"delta log at $root/$LogDir does not start at version 0 " +
-        s"(first=${versions.head._1}) — checkpoint-only logs are not " +
-        "supported by this reader")
-    versions.map(_._1).sliding(2).foreach {
-      case Seq(a, b) => require(b == a + 1,
-        s"delta log at $root/$LogDir has a version gap: $a -> $b")
-      case _ => ()
-    }
-    upTo.foreach { v =>
-      require(versions.exists(_._1 == v),
-        s"no delta version $v under $root/$LogDir " +
-          s"(have 0..${versions.last._1})")
-    }
+    val cp = lastCheckpointVersion(fs, root)
+    val latest = math.max(cp.getOrElse(-1L),
+      versions.lastOption.map(_._1).getOrElse(-1L))
+    if (latest < 0) return LogState(-1L, None, Nil, Map.empty)
+    val target = upTo.getOrElse(latest)
+    require(target <= latest,
+      s"no delta version $target under $root/$LogDir (latest=$latest)")
+
     val m = mapper
-    var schemaJson: Option[String] = None
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
-    versions.takeWhile(v => upTo.forall(v._1 <= _)).foreach { case (_, p) =>
-      readLines(fs, p).foreach { line =>
-        val node = m.readTree(line)
-        if (node.has("protocol")) {
-          val pr = node.get("protocol")
-          val mrv = pr.get("minReaderVersion").asInt()
-          require(mrv <= 1 && !pr.has("readerFeatures"),
-            s"delta table at $root needs reader version $mrv" +
-              (if (pr.has("readerFeatures"))
-                s" with features ${pr.get("readerFeatures")}" else "") +
-              " — this native reader implements protocol 1 only")
-        } else if (node.has("metaData")) {
-          val md = node.get("metaData")
-          val provider = md.get("format").get("provider").asText()
-          require(provider == "parquet",
-            s"delta table at $root stores '$provider' data files — only " +
-              "parquet is supported")
-          val parts = md.get("partitionColumns")
-          require(parts == null || parts.size() == 0,
-            s"delta table at $root is partitioned ($parts) — partition-" +
-              "value reconstruction is not implemented; read it with a " +
-              "full Delta engine")
-          schemaJson = Some(md.get("schemaString").asText())
-        } else if (node.has("add")) {
-          val a = node.get("add")
-          require(!a.has("deletionVector"),
-            s"delta table at $root carries deletion vectors — protocol-3 " +
-              "feature this native reader refuses rather than misread")
-          live += a.get("path").asText() ->
-            (a.get("size").asLong(), a.get("modificationTime").asLong())
-        } else if (node.has("remove")) {
-          live -= node.get("remove").get("path").asText()
-        } // commitInfo/txn/cdc actions carry no table state for us
-      }
+    val r = new Replayer(root)
+    val start = cp.filter(_ <= target) match {
+      case Some(cv) =>
+        loadCheckpoint(spark, root, cv, r)
+        cv
+      case None =>
+        require(versions.nonEmpty && versions.head._1 == 0L,
+          s"delta log at $root/$LogDir does not start at version 0 " +
+            s"(first=${versions.headOption.map(_._1).getOrElse(-1L)}) " +
+            "and no usable checkpoint covers the requested version — " +
+            "cleaned-up log versions cannot be replayed")
+        -1L
     }
-    LogState(upTo.getOrElse(versions.last._1), schemaJson, live.toMap)
+    val tail = versions.filter(v => v._1 > start && v._1 <= target)
+    val expect = ((start + 1) to target).toSeq
+    require(tail.map(_._1) == expect,
+      s"delta log at $root/$LogDir has a version gap: need versions " +
+        s"${start + 1}..$target after ${if (start < 0) "origin"
+        else s"checkpoint $start"}, have ${tail.map(_._1).mkString(",")}")
+    tail.foreach { case (_, p) =>
+      readLines(fs, p).foreach(r.applyJsonLine(m, _))
+    }
+    r.state(target)
   }
 
   /** The snapshot's data files as table-root-relative paths. Same listing
@@ -160,15 +374,24 @@ object DeltaExport {
       .getOrElse(spark.read.option("mergeSchema", "true")
         .parquet(ManifestStore.resolvePaths(root, snap): _*).schema)
 
+  /** Stable table id: re-exports of the same root keep their identity. */
+  private def tableId(root: String): String =
+    java.util.UUID.nameUUIDFromBytes(new Path(root).toUri.getPath
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+
   /** Publish the latest committed snapshot as the next delta version.
     * Idempotent: if the log's live state already equals the snapshot
     * (same files, same schema), nothing is written and the existing
     * version is returned. Refuses while a deletion vector is pending —
     * Delta readers cannot subtract our DV sidecar; materialize first.
+    * Every `checkpointInterval` versions the new state is also written
+    * as a classic checkpoint, keeping replay cost O(interval) forever.
     *
     * @return (deltaVersion, path of the version's log file)
     */
-  def export(spark: SparkSession, root: String): (Long, String) = {
+  def export(spark: SparkSession, root: String,
+      checkpointInterval: Int = 10): (Long, String) = {
+    require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
     val snap = ManifestStore.latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed table under $root"))
     require(!snap.entries.contains(MergeInto.DvSlot),
@@ -176,12 +399,17 @@ object DeltaExport {
         "cannot subtract it; run materializeDeletes before exporting")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = logPath(root).getFileSystem(conf)
-    val prev = replay(fs, root, None)
+    val prev = replay(spark, fs, root, None)
+    require(prev.partitionCols.isEmpty,
+      s"the delta log at $root describes a PARTITIONED table — this " +
+        "exporter publishes unpartitioned snapshots and will not extend " +
+        "a foreign partitioned log")
     val files = snapshotFiles(fs, root, snap)
     val schema = tableSchema(spark, root, snap)
     val schemaJson = schema.json
 
-    val current = files.map(f => f._1 -> (f._2, f._3)).toMap
+    val current = files.map(f =>
+      f._1 -> FileEntry(f._2, f._3, Map.empty)).toMap
     val version = prev.version + 1
     val existing = new Path(logPath(root), f"${prev.version}%020d.json")
     if (prev.version >= 0 && prev.live == current &&
@@ -199,10 +427,7 @@ object DeltaExport {
     if (version == 0L || !prev.schemaJson.contains(schemaJson)) {
       val meta = m.createObjectNode()
       val md = meta.putObject("metaData")
-      // stable table id: re-exports of the same root keep their identity
-      md.put("id", java.util.UUID.nameUUIDFromBytes(
-        new Path(root).toUri.getPath
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString)
+      md.put("id", tableId(root))
       md.putObject("format").put("provider", "parquet").putObject("options")
       md.put("schemaString", schemaJson)
       md.putArray("partitionColumns")
@@ -213,14 +438,15 @@ object DeltaExport {
     val now = System.currentTimeMillis()
     (prev.live.keySet -- current.keySet).toSeq.sorted.foreach { path =>
       val n = m.createObjectNode()
-      n.putObject("remove").put("path", path)
+      n.putObject("remove").put("path", encodePath(path))
         .put("deletionTimestamp", now).put("dataChange", true)
       lines += m.writeValueAsString(n)
     }
     files.foreach { case (path, size, mtime) =>
-      if (!prev.live.get(path).contains((size, mtime))) {
+      if (!prev.live.get(path).map(e => (e.size, e.modTime))
+          .contains((size, mtime))) {
         val n = m.createObjectNode()
-        n.putObject("add").put("path", path)
+        n.putObject("add").put("path", encodePath(path))
           .put("size", size).put("modificationTime", mtime)
           .put("dataChange", true).putObject("partitionValues")
         lines += m.writeValueAsString(n)
@@ -230,6 +456,13 @@ object DeltaExport {
     val out = new Path(logPath(root), f"$version%020d.json")
     val tmp = new Path(logPath(root), s".tmp-${java.util.UUID.randomUUID}")
     fs.mkdirs(logPath(root))
+    // rename-over-existing is fs-dependent (POSIX renameTo OVERWRITES) —
+    // the exists probe is the actual concurrent-exporter guard, the
+    // rename-result check only backstops filesystems that do fail it
+    if (fs.exists(out))
+      throw new IllegalStateException(
+        s"concurrent exporter already published $out — re-run export to " +
+          "diff against the new log head")
     val os = fs.create(tmp, false)
     try os.write((lines.mkString("\n") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -240,12 +473,24 @@ object DeltaExport {
         s"concurrent exporter already published $out — re-run export to " +
           "diff against the new log head")
     }
+    if (version > 0 && version % checkpointInterval == 0)
+      writeCheckpoint(spark, fs, root,
+        LogState(version, Some(schemaJson), Nil, current))
     (version, out.toString)
   }
 
   /** Read the exported table at its latest delta version. */
   def read(spark: SparkSession, root: String): DataFrame =
     readAt(spark, root, -1L)
+
+  /** Delta partition-value string → catalyst value, per the protocol's
+    * serialization rules (decimal strings for numbers, ISO dates,
+    * `yyyy-MM-dd HH:mm:ss[.SSSSSS]` timestamps) — all shapes Spark's
+    * string Cast accepts.
+    */
+  private def castPartValue(s: String, dt: DataType, zone: String): Any =
+    Cast(Literal(UTF8String.fromString(s), StringType), dt,
+      Some(zone)).eval()
 
   /** Read the exported table AS OF a delta version (time-travel interop);
     * -1 = latest.
@@ -256,7 +501,11 @@ object DeltaExport {
     * `metaData.schemaString`, handed to Spark through
     * [[org.apache.spark.sql.GraftFiles]] — planning performs zero
     * filesystem listings and zero footer reads, exactly like a real
-    * Delta engine. With `validate` (the default) every listed file is
+    * Delta engine. A PARTITIONED log's partition columns are
+    * reconstructed from `add.partitionValues` into real columns (the
+    * data files don't store them), grouped into metadata partitions that
+    * Spark's pushed partition filters prune without touching the
+    * filesystem. With `validate` (the default) every listed file is
     * first checked to exist so a stale log referencing vacuumed files
     * fails LOUDLY naming one, never silently reads a partial table;
     * pass `validate = false` on trusted logs to skip those O(files)
@@ -266,22 +515,53 @@ object DeltaExport {
              validate: Boolean = true): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = logPath(root).getFileSystem(conf)
-    val st = replay(fs, root, if (version < 0) None else Some(version))
+    val st = replay(spark, fs, root,
+      if (version < 0) None else Some(version))
     require(st.version >= 0, s"no delta log under $root/$LogDir")
     val schemaJson = st.schemaJson.getOrElse(throw new IllegalStateException(
       s"delta log at $root has no metaData action — not a valid table"))
     require(st.live.nonEmpty,
       s"delta version ${st.version} at $root lists no live files")
-    val files = st.live.toSeq.sortBy(_._1)
-      .map { case (rel, (size, mtime)) => (s"$root/$rel", size, mtime) }
     if (validate) {
-      val dead = files.map(_._1).filterNot(p => fs.exists(new Path(p)))
+      val dead = st.live.keysIterator.map(rel => s"$root/$rel")
+        .filterNot(p => fs.exists(new Path(p))).toSeq
       require(dead.isEmpty,
         s"delta log at $root references ${dead.size} missing file(s) — " +
           s"e.g. ${dead.head}; vacuumed after export? Re-export the " +
           "current snapshot")
     }
-    org.apache.spark.sql.GraftFiles.parquet(spark, files,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType])
+    val full = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    if (st.partitionCols.isEmpty) {
+      val files = st.live.toSeq.sortBy(_._1)
+        .map { case (rel, e) => (s"$root/$rel", e.size, e.modTime) }
+      org.apache.spark.sql.GraftFiles.parquet(spark, files, full)
+    } else {
+      st.partitionCols.foreach(c => require(full.fieldNames.contains(c),
+        s"delta log at $root partitions on '$c' which is not in the " +
+          "table schema — corrupt metaData"))
+      val partSchema = StructType(st.partitionCols.map(c =>
+        full(c).copy(nullable = true)))
+      val dataSchema = StructType(
+        full.filterNot(f => st.partitionCols.contains(f.name)))
+      val zone = spark.conf.get("spark.sql.session.timeZone")
+      val groups = st.live.toSeq.groupBy(_._2.partValues).toSeq
+        .sortBy(_._2.head._1).map { case (pv, entries) =>
+          val vals: Seq[Any] = st.partitionCols.map { c =>
+            pv.getOrElse(c, throw new IllegalStateException(
+              s"delta add action at $root misses a value for partition " +
+                s"column '$c'")) match {
+              case None => null
+              case Some(s) =>
+                castPartValue(s, partSchema(c).dataType, zone)
+            }
+          }
+          (vals, entries.sortBy(_._1).map { case (rel, e) =>
+            (s"$root/$rel", e.size, e.modTime) })
+        }
+      org.apache.spark.sql.GraftFiles
+        .parquetPartitioned(spark, groups, partSchema, dataSchema)
+        .select(full.fieldNames.map(org.apache.spark.sql.functions.col)
+          .toIndexedSeq: _*) // restore the schemaString's declared order
+    }
   }
 }

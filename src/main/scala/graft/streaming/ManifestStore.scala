@@ -223,6 +223,18 @@ object ManifestStore {
     * Stats are an optimization, never a correctness surface: any
     * directory without a recorded slot simply falls back to the listed
     * read.
+    *
+    * HARD INVARIANT — committed data directories are IMMUTABLE. The
+    * commit path inherits a previous snapshot's `__fs:` slot verbatim for
+    * any still-referenced directory, so a file added to (or rewritten in)
+    * a referenced directory OUT OF BAND — by anything other than this
+    * repo's writers, all of which stage into a fresh `dataRel(version)`
+    * dir and never touch a committed one — would leave the recorded
+    * statuses stale and the metadata-fed scan would silently plan a
+    * partial table. This is the same contract a Delta/Iceberg data file
+    * carries (never modified after its add action commits); tooling that
+    * must mutate files in place has to go through a new commit that drops
+    * the inherited slot (re-listing the dir) or rewrite into a new dir.
     */
   val FileStatsPrefix = "__fs:"
 

@@ -63,6 +63,10 @@ object MergeInto {
     val srcP = snap0.map(toPhysical(source, _)).getOrElse(source)
     val keyP = physicalName(snap0, keyCol)
     val updP = updateCols.map(physicalName(snap0, _))
+    // refuse a same-name TYPE change up front, by name — without this
+    // guard the old∪new row union fails first with an opaque ANSI cast
+    // error deep in the bucket rewrite
+    snap0.flatMap(recordedSchema).foreach(unionSchema(_, srcP.schema))
     if (srcP.isEmpty) return
     // MERGE is ambiguous if the source has two rows for one key, and a
     // NULL key can never equi-match a target row (it would re-insert on
@@ -232,13 +236,29 @@ object MergeInto {
     * Everything is recorded nullable — evolution NULL-extends old buckets,
     * so no column the slot describes can promise non-null. A same-name
     * field changing its type is refused loudly: silently recording either
-    * side would make one file generation misread.
+    * side would make one file generation misread. Type equality is
+    * checked with NESTED nullability normalized away (a struct/array/map
+    * whose inner containsNull/nullable flag differs is the same storage
+    * type to parquet — refusing it would be a false-positive write
+    * failure), consistent with everything being recorded nullable anyway.
     */
-  private def unionSchema(prev: types.StructType,
+  private[streaming] def deepNullable(dt: types.DataType): types.DataType =
+    dt match {
+      case s: types.StructType => types.StructType(s.fields.map(f =>
+        f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+      case a: types.ArrayType =>
+        types.ArrayType(deepNullable(a.elementType), containsNull = true)
+      case m: types.MapType => types.MapType(
+        deepNullable(m.keyType), deepNullable(m.valueType),
+        valueContainsNull = true)
+      case other => other
+    }
+
+  private[streaming] def unionSchema(prev: types.StructType,
       next: types.StructType): types.StructType = {
     prev.fields.foreach { f =>
       next.fields.find(_.name == f.name).foreach { g =>
-        require(g.dataType == f.dataType,
+        require(deepNullable(g.dataType) == deepNullable(f.dataType),
           s"column '${f.name}' would change type ${f.dataType} → " +
             s"${g.dataType} — type evolution is not supported")
       }
@@ -246,7 +266,8 @@ object MergeInto {
     val prevNames = prev.fieldNames.toSet
     types.StructType(
       (prev.fields ++ next.fields.filterNot(f => prevNames(f.name)))
-        .map(_.copy(nullable = true)))
+        .map(f => f.copy(dataType = deepNullable(f.dataType),
+          nullable = true)))
   }
 
   /** The schema to commit after a statement that wrote `written` rows:

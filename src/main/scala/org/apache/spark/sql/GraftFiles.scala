@@ -2,7 +2,8 @@ package org.apache.spark.sql
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
+  BoundReference, Expression, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation,
   LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -18,24 +19,58 @@ import org.apache.spark.sql.types.StructType
   * directly: planning performs ZERO filesystem calls, and `sizeInBytes`
   * (the optimizer's broadcast-decision input) is the exact recorded sum
   * rather than a listing-derived estimate.
+  *
+  * `groups` carries one entry per PARTITION: its partition-column values
+  * as an [[InternalRow]] (empty for an unpartitioned table) plus the
+  * partition's file statuses. [[listFiles]] evaluates Spark's pushed
+  * partition filters against those rows — metadata-only partition
+  * pruning, the same mechanism `PartitioningAwareFileIndex` uses, except
+  * the (value → files) map comes from recorded metadata (e.g. Delta
+  * `add.partitionValues`) instead of directory-name parsing.
   */
-final class ManifestFileIndex(files: Seq[FileStatus]) extends FileIndex {
+final class ManifestFileIndex(parts: StructType,
+    groups: Seq[(InternalRow, Array[FileStatus])]) extends FileIndex {
+
+  def this(files: Seq[FileStatus]) =
+    this(StructType(Nil), Seq((InternalRow.empty, files.toArray)))
 
   override def rootPaths: Seq[Path] =
-    files.map(_.getPath.getParent).distinct
+    groups.flatMap(_._2).map(_.getPath.getParent).distinct
 
   override def listFiles(partitionFilters: Seq[Expression],
-      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
-    Seq(PartitionDirectory(InternalRow.empty, files.toArray))
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val selected =
+      if (partitionFilters.isEmpty || parts.isEmpty) groups
+      else {
+        // bind by name against the partition schema, exactly like
+        // PartitioningAwareFileIndex.prunePartitions; an unresolvable
+        // attribute (shouldn't happen — Spark only pushes partition-
+        // column predicates here) falls back to no pruning, never to a
+        // wrong answer
+        val predicate = partitionFilters.reduce(And)
+        val resolvable = predicate.references.forall(a =>
+          parts.fieldNames.contains(a.name))
+        if (!resolvable) groups
+        else {
+          val bound = Predicate.createInterpreted(predicate.transform {
+            case a: AttributeReference =>
+              val idx = parts.fieldIndex(a.name)
+              BoundReference(idx, parts(idx).dataType, nullable = true)
+          })
+          groups.filter { case (row, _) => bound.eval(row) }
+        }
+      }
+    selected.map { case (row, files) => PartitionDirectory(row, files) }
+  }
 
   override def inputFiles: Array[String] =
-    files.map(_.getPath.toString).toArray
+    groups.flatMap(_._2).map(_.getPath.toString).toArray
 
   override def refresh(): Unit = ()
 
-  override def sizeInBytes: Long = files.map(_.getLen).sum
+  override def sizeInBytes: Long = groups.flatMap(_._2).map(_.getLen).sum
 
-  override def partitionSchema: StructType = StructType(Nil)
+  override def partitionSchema: StructType = parts
 }
 
 /** Bridge into `private[sql]` scan construction (same pattern as
@@ -45,20 +80,47 @@ final class ManifestFileIndex(files: Seq[FileStatus]) extends FileIndex {
   */
 object GraftFiles {
 
+  private def status(f: (String, Long, Long)): FileStatus =
+    new FileStatus(f._2, false, 1, 128L * 1024 * 1024, f._3, new Path(f._1))
+
   def parquet(spark: SparkSession, files: Seq[(String, Long, Long)],
       schema: StructType): DataFrame = {
     require(files.nonEmpty, "empty file list — nothing to scan")
-    val statuses = files.map { case (p, len, mtime) =>
-      new FileStatus(len, false, 1, 128L * 1024 * 1024, mtime, new Path(p))
+    relation(spark, new ManifestFileIndex(files.map(status)),
+      StructType(Nil), schema)
+  }
+
+  /** Partitioned variant: `groups` is (partition values in
+    * `partitionSchema` field order, as CATALYST values — `UTF8String`
+    * for strings, days-int for dates — plus that partition's files).
+    * The scan fills the partition columns from the metadata rows (the
+    * data files do not store them) and prunes partitions against pushed
+    * filters without touching the filesystem.
+    */
+  def parquetPartitioned(spark: SparkSession,
+      groups: Seq[(Seq[Any], Seq[(String, Long, Long)])],
+      partitionSchema: StructType, dataSchema: StructType): DataFrame = {
+    require(groups.nonEmpty, "empty partition list — nothing to scan")
+    val built = groups.map { case (vals, files) =>
+      require(vals.length == partitionSchema.length,
+        s"partition row arity ${vals.length} != schema " +
+          s"${partitionSchema.length}")
+      (InternalRow.fromSeq(vals), files.map(status).toArray)
     }
+    relation(spark, new ManifestFileIndex(partitionSchema, built),
+      partitionSchema, dataSchema)
+  }
+
+  private def relation(spark: SparkSession, index: FileIndex,
+      partitionSchema: StructType, dataSchema: StructType): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
-    val relation = HadoopFsRelation(
-      new ManifestFileIndex(statuses),
-      partitionSchema = StructType(Nil),
-      dataSchema = schema,
+    val rel = HadoopFsRelation(
+      index,
+      partitionSchema = partitionSchema,
+      dataSchema = dataSchema,
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(cs)
-    classic.Dataset.ofRows(cs, LogicalRelation(relation))
+    classic.Dataset.ofRows(cs, LogicalRelation(rel))
   }
 }

@@ -159,6 +159,33 @@ class ClusteredTableSpec extends SparkSpec {
     assert(ClusteredTable.readTable(spark, root).count() == 8000)
   }
 
+  test("append widens the recorded schema: a batch's new column survives " +
+       "the explicit-schema fast path; old segments NULL-extend") {
+    val root = freshRoot()
+    ClusteredTable.write(spark,
+      spark.range(0, 100).toDF("k"), root, "k", numSegments = 2)
+    ClusteredTable.append(spark,
+      spark.range(100, 200).toDF("k").withColumn("tag", lit("new")),
+      root, segmentsPerBatch = 2)
+    val all = ClusteredTable.readTable(spark, root)
+    assert(all.columns.sorted.toSeq == Seq("k", "tag"))
+    // the PRUNED read (the fast path the stale slot used to starve)
+    // also sees the widened schema, on both old and new segments
+    val lo = ClusteredTable.rangeScan(spark, root, Some(0L), Some(10L))
+    assert(lo.columns.contains("tag"))
+    assert(lo.select("tag").as[Option[String]].collect()
+      .forall(_.isEmpty), "pre-evolution rows must NULL-extend")
+    val hi = ClusteredTable.rangeScan(spark, root, Some(150L), Some(160L))
+    assert(hi.select("tag").as[String].collect().forall(_ == "new"))
+    // a same-name type CHANGE is refused loudly, not recorded
+    val e = intercept[IllegalArgumentException] {
+      ClusteredTable.append(spark,
+        spark.range(0, 5).toDF("k").withColumn("tag", lit(1)),
+        root, segmentsPerBatch = 1)
+    }
+    assert(e.getMessage.contains("type evolution"))
+  }
+
   test("fastCount answers COUNT(*) from the manifest alone") {
     val root = freshRoot()
     ClusteredTable.write(spark,

@@ -115,8 +115,8 @@ class DeltaExportSpec extends SparkSpec {
       .collect().toSeq == Seq(2L))
   }
 
-  test("the native reader refuses protocols, partitioning, and DVs it " +
-      "does not implement — by name, never misreading") {
+  test("the native reader refuses protocols, checkpoints shapes, and DVs " +
+      "it does not implement — by name, never misreading") {
     def freshLog(lines: Seq[String]): String = {
       val root = java.nio.file.Files.createTempDirectory("delta").toString
       val dir = new java.io.File(root, "_delta_log")
@@ -137,15 +137,6 @@ class DeltaExportSpec extends SparkSpec {
       DeltaExport.read(spark, p3)
     }
     assert(e1.getMessage.contains("protocol 1 only"))
-
-    val part = freshLog(Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-      meta.replace(""""partitionColumns":[]""",
-        """"partitionColumns":["dt"]""")))
-    val e2 = intercept[IllegalArgumentException] {
-      DeltaExport.read(spark, part)
-    }
-    assert(e2.getMessage.contains("partitioned"))
 
     val dv = freshLog(Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta,
@@ -168,5 +159,148 @@ class DeltaExportSpec extends SparkSpec {
       DeltaExport.read(spark, gap)
     }
     assert(e4.getMessage.contains("version gap"))
+
+    // a multi-part checkpoint hint is refused by name
+    val mp = freshLog(Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta))
+    val w2 = new java.io.PrintWriter(new java.io.File(
+      new java.io.File(mp, "_delta_log"), "_last_checkpoint"), "UTF-8")
+    try w2.println("""{"version":0,"size":3,"parts":2}""")
+    finally w2.close()
+    val e5 = intercept[IllegalArgumentException] {
+      DeltaExport.read(spark, mp)
+    }
+    assert(e5.getMessage.contains("multi-part"))
+
+    // a hint naming a checkpoint file that isn't there (v2/UUID naming)
+    val v2 = freshLog(Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta))
+    val w3 = new java.io.PrintWriter(new java.io.File(
+      new java.io.File(v2, "_delta_log"), "_last_checkpoint"), "UTF-8")
+    try w3.println("""{"version":0,"size":3}""") finally w3.close()
+    val e6 = intercept[IllegalArgumentException] {
+      DeltaExport.read(spark, v2)
+    }
+    assert(e6.getMessage.contains("v2/UUID"))
+
+    // an absolute-URI add path (external/shallow-cloned file) is refused
+    val ext = freshLog(Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta,
+      """{"add":{"path":"file:///elsewhere/f.parquet","size":1,""" +
+        """"modificationTime":1,"dataChange":true,"partitionValues":{}}}"""))
+    val e7 = intercept[IllegalArgumentException] {
+      DeltaExport.read(spark, ext)
+    }
+    assert(e7.getMessage.contains("absolute URI"))
+  }
+
+  test("action paths are percent-encoded per RFC 2396 and decoded on " +
+      "read; sloppy unencoded paths fall back verbatim") {
+    assert(DeltaExport.encodePath("a b/c%d e.parquet") ==
+      "a%20b/c%25d%20e.parquet")
+    assert(DeltaExport.decodePath("a%20b/c%25d%20e.parquet") ==
+      "a b/c%d e.parquet")
+    assert(DeltaExport.decodePath("data/part-0.parquet") ==
+      "data/part-0.parquet")
+    // a raw space is not a valid URI reference — taken verbatim
+    assert(DeltaExport.decodePath("a b.parquet") == "a b.parquet")
+    // round-trip for every path shape our writers produce
+    val rel = "data_v3/__seg=2/part-00000-abc.snappy.parquet"
+    assert(DeltaExport.decodePath(DeltaExport.encodePath(rel)) == rel)
+  }
+
+  test("reads a foreign PARTITIONED delta log: partition columns " +
+      "reconstructed from partitionValues, typed, pruned from metadata") {
+    val root = java.nio.file.Files.createTempDirectory("delta").toString
+    val df = Seq((1L, "x", "a", 7), (2L, "y", "a", 7), (3L, "z", "b", 8))
+      .toDF("k", "s", "dt", "p")
+    // a foreign writer's layout: files under dt=/p= dirs, data files
+    // do NOT store the partition columns
+    df.write.partitionBy("dt", "p").parquet(s"$root/data")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    val meta = m.createObjectNode()
+    val md = meta.putObject("metaData")
+    md.put("id", "t").putObject("format").put("provider", "parquet")
+    md.put("schemaString", df.schema.json)
+    md.putArray("partitionColumns").add("dt").add("p")
+    lines += m.writeValueAsString(meta)
+    for {
+      (dt, p) <- Seq(("a", 7), ("b", 8))
+      f <- new java.io.File(s"$root/data/dt=$dt/p=$p").listFiles()
+      if f.getName.endsWith(".parquet")
+    } {
+      val n = m.createObjectNode()
+      val a = n.putObject("add")
+      a.put("path", s"data/dt=$dt/p=$p/${f.getName}")
+        .put("size", f.length()).put("modificationTime", f.lastModified())
+        .put("dataChange", true)
+      a.putObject("partitionValues").put("dt", dt).put("p", p.toString)
+      lines += m.writeValueAsString(n)
+    }
+    val dir = new java.io.File(root, "_delta_log"); dir.mkdirs()
+    val w = new java.io.PrintWriter(
+      new java.io.File(dir, "00000000000000000000.json"), "UTF-8")
+    try lines.foreach(w.println) finally w.close()
+
+    val got = DeltaExport.read(spark, root)
+    // declared column order restored, partition columns typed
+    assert(got.columns.toSeq == Seq("k", "s", "dt", "p"))
+    assert(got.schema("p").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(got.as[(Long, String, String, Int)].collect().sorted.toSeq ==
+      Seq((1L, "x", "a", 7), (2L, "y", "a", 7), (3L, "z", "b", 8)))
+    // metadata partition pruning: the filtered scan opens only dt=a files
+    val filtered = got.filter(col("dt") === "a")
+    filtered.collect()
+    val exec = filtered.queryExecution.executedPlan
+    val finalPlan = exec.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+    }.getOrElse(exec)
+    val scan = (finalPlan.collectLeaves() :+ finalPlan).collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.metrics("numPartitions").value == 1,
+      "expected the dt=b metadata partition pruned, scanned " +
+        s"${scan.metrics("numPartitions").value} of 2")
+  }
+
+  test("export writes a classic checkpoint every interval; replay starts " +
+      "from it, so cleaned pre-checkpoint versions still read") {
+    val root = java.nio.file.Files.createTempDirectory("delta").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "v0"), (2L, "w")).toDF("k", "s"), root, "k", numBuckets = 2)
+    DeltaExport.export(spark, root, checkpointInterval = 4)
+    for (i <- 1 to 9) {
+      MergeInto.mergeBatch(spark, Seq((1L, s"v$i")).toDF("k", "s"),
+        root, "k", numBuckets = 2)
+      DeltaExport.export(spark, root, checkpointInterval = 4)
+    }
+    val dir = new java.io.File(root, "_delta_log")
+    assert(new java.io.File(dir,
+      "00000000000000000008.checkpoint.parquet").exists())
+    assert(new java.io.File(dir, "_last_checkpoint").exists())
+    // clean every JSON version the checkpoint already covers
+    (0 to 7).foreach { v =>
+      assert(new java.io.File(dir, f"$v%020d.json").delete())
+    }
+    val got = DeltaExport.read(spark, root).select("k", "s")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, "v9"), (2L, "w")))
+    // time travel to the checkpoint version itself needs zero JSON replay
+    assert(DeltaExport.readAt(spark, root, 8L).select("s")
+      .as[String].collect().sorted.toSeq == Seq("v8", "w"))
+    // …but a version BELOW the checkpoint whose JSON was cleaned is an
+    // honest refusal, not a wrong answer
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.readAt(spark, root, 3L)
+    }
+    assert(e.getMessage.contains("no usable checkpoint"))
+    // idempotent export still recognises the unchanged state via the
+    // checkpointed replay
+    val (v, _) = DeltaExport.export(spark, root, checkpointInterval = 4)
+    assert(v == 9L)
   }
 }

@@ -450,6 +450,29 @@ class MergeIntoSpec extends SparkSpec {
     assert(got == Seq((1L, "A", Some(0.9)), (2L, "b", None)))
   }
 
+  test("schema evolution tolerates NESTED nullability drift: the same " +
+       "array column with differing containsNull is not a type change") {
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    // Seq[Int] encodes as array<int> containsNull=false…
+    MergeInto.mergeBatch(spark,
+      Seq((1L, Seq(1, 2))).toDF("k", "xs"), root, "k", numBuckets = 2)
+    // …Seq[Option[Int]] as containsNull=true — same parquet storage type;
+    // refusing it would be a false-positive write failure
+    MergeInto.mergeBatch(spark,
+      Seq((2L, Seq(Option.empty[Int], Some(3)))).toDF("k", "xs"),
+      root, "k", numBuckets = 2)
+    val got = table(root).select(col("k"), col("xs"))
+      .as[(Long, Seq[Option[Int]])].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, Seq(Some(1), Some(2))),
+      (2L, Seq(None, Some(3)))))
+    // a genuine element-type change is still refused loudly
+    val e = intercept[IllegalArgumentException] {
+      MergeInto.mergeBatch(spark,
+        Seq((3L, Seq("x"))).toDF("k", "xs"), root, "k", numBuckets = 2)
+    }
+    assert(e.getMessage.contains("type evolution"))
+  }
+
   test("time travel: every version reads exactly as committed") {
     val root = java.nio.file.Files.createTempDirectory("merge").toString
     MergeInto.mergeBatch(spark, Seq((1L, "a")).toDF("k", "s"), root, "k")
