@@ -198,11 +198,15 @@ object Similarity {
   private[sim] def autoCentroids(n: Long, cap: Int): Int =
     math.max(16, math.min(cap, math.ceil(math.sqrt(n.toDouble)).toInt))
 
-  /** Probe ~1/8 of the cells, floor 8 — the measured ≥0.5-recall point on
-    * unclustered embeddings (8/45 cells at n=2k → 0.56).
+  /** Probe ~1/4 of the cells, floor 16 — the measured ≥0.7-recall point
+    * on unclustered embeddings (round-8 RecallTune sweep at sf0.1:
+    * 16/45 cells → 0.72 vs 8/45 → 0.56, at EQUAL wall time — candidate
+    * generation is bucketed either way and the extra candidates ride the
+    * same scan). The fraction, not the count, is what recall tracks, so
+    * the default stays O(√n · 1/4) candidates — sublinear at any scale.
     */
   private[sim] def autoProbes(numCentroids: Int): Int =
-    math.max(8, numCentroids / 8)
+    math.max(16, numCentroids / 4)
 
   /** Bucket count sized for ~256 vectors per bucket: planes =
     * log2(n/256), clamped to [3, 20]. Fewer, fuller buckets + 1-bit
@@ -605,8 +609,12 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 8, codebookSize: Int = 32, iters: Int = 2, dim: Int = 64,
       numCentroids: Int = -1, nProbe: Int = -1,
-      rerank: Int = 64): DataFrame = {
-    // -1 = auto, same dial as ivfTopK: sqrt(n) cells, ~1/8 probed
+      // 128, not pqTopK's 64: the cell restriction already discards most
+      // of the corpus, so the extra exact re-scores are nearly free and
+      // absorb the ADC ordering noise (r8 sweep: 0.68 → 0.72 recall at
+      // EQUAL time; the shortlist is O(rerank) rows per query either way)
+      rerank: Int = 128): DataFrame = {
+    // -1 = auto, same dial as ivfTopK: sqrt(n) cells, ~1/4 probed
     val c = if (numCentroids > 0) numCentroids
       else autoCentroids(corpus.count(), cap = 65536)
     val p = if (nProbe > 0) nProbe else autoProbes(c)

@@ -49,6 +49,9 @@ object RecallTune {
     for (cb <- Seq(16, 32))
       m(s"pq m=16 cb=$cb norerank")(
         Similarity.pqTopK(q, emb, 5, 16, cb, 2, rerank = 0))
+    for (np <- Seq(16, 20, 24); rr <- Seq(64, 128))
+      m(s"ivfpq probe=$np rerank=$rr")(
+        Similarity.ivfPqTopK(q, emb, 5, 16, 16, nProbe = np, rerank = rr))
     spark.stop()
   }
 }

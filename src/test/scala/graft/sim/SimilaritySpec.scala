@@ -131,18 +131,18 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfRecall >= 0.3, s"IVF recall regressed: $ivfRecall")
     assert(lshRecall >= 0.3, s"multi-probe LSH recall regressed: $lshRecall")
 
-    // The library DEFAULTS (auto-sized cells/probes, round-4 fix for the
-    // mis-sized fixed 256/2) must clear 0.5 even on this worst-case
-    // unclustered data — measured 0.66 (ivf) / 0.54 (lsh) at sf0.001 and
-    // 0.56 / 0.68 at sf0.1, deterministic per SF.
+    // The library DEFAULTS (auto-sized cells/probes; round-8 raised
+    // autoProbes to ~1/4 of cells, floor 16) must clear 0.6 even on this
+    // worst-case unclustered data — measured 0.72 (ivf) / 0.68 (lsh) at
+    // sf0.1 after the round-8 retune, deterministic per SF.
     val ivfAuto = (pairs(Similarity.ivfTopK(q, emb, 5)) & bf).size.toDouble / bf.size
     val lshAuto = (pairs(Similarity.lshTopK(q, emb, 5)) & bf).size.toDouble / bf.size
-    assert(ivfAuto >= 0.5, s"IVF default recall regressed: $ivfAuto")
+    assert(ivfAuto >= 0.6, s"IVF default recall regressed: $ivfAuto")
     assert(lshAuto >= 0.5, s"LSH default recall regressed: $lshAuto")
-    // trained-quantizer defaults (measured 0.80 at sf0.001, 0.60 at sf0.1)
+    // trained-quantizer defaults (measured 0.82 at sf0.1 post-retune)
     val kmAuto =
       (pairs(Similarity.kmeansIvfTopK(q, emb, 5)) & bf).size.toDouble / bf.size
-    assert(kmAuto >= 0.5, s"k-means IVF default recall regressed: $kmAuto")
+    assert(kmAuto >= 0.6, s"k-means IVF default recall regressed: $kmAuto")
     // binary quantization with the auto-sized exact-rerank shortlist:
     // 1-bit codes are the coarsest quantizer in the library, but the
     // n/8 shortlist keeps recall honest even on unclustered data
