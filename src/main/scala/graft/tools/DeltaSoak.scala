@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: Delta-export soak (verdict #4's done-criterion).
+  *
+  * `runMain graft.tools.DeltaSoak [cycles] [checkpointInterval]`
+  *
+  * Builds a merge table and runs `cycles` (default 60) rounds of
+  * (small MERGE → [[graft.streaming.DeltaExport.export]]), timing each
+  * export. Without checkpoint compaction every export replays the whole
+  * log — O(total versions), a straight line UP; with the classic
+  * checkpoint every N versions, replay is bounded by the checkpoint load
+  * + at most N JSON diffs, so per-export time must go FLAT. The tool
+  * prints the per-decade averages and a FLAT/GROWING verdict, then
+  * re-reads the final table through both the delta log and the native
+  * manifest read and fails loudly on any mismatch (including a read at
+  * the mid-run checkpoint version).
+  */
+object DeltaSoak {
+  def main(args: Array[String]): Unit = {
+    val cycles = if (args.nonEmpty) args(0).toInt else 60
+    val interval = if (args.length > 1) args(1).toInt else 10
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("delta-soak")
+      .toString + "/t"
+    graft.streaming.MergeInto.mergeBatch(spark,
+      (0L until 200L).map(i => (i, s"v0-$i", i * 1.0)).toDF("k", "s", "x"),
+      root, "k", numBuckets = 8)
+    graft.streaming.DeltaExport.export(spark, root, interval)
+
+    val times = (1 to cycles).map { i =>
+      graft.streaming.MergeInto.mergeBatch(spark,
+        Seq((i % 200L, s"v$i", i * 1.0)).toDF("k", "s", "x"),
+        root, "k", numBuckets = 8)
+      val t0 = System.nanoTime()
+      val (v, _) = graft.streaming.DeltaExport.export(spark, root, interval)
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(v == i, s"expected delta version $i, got $v")
+      sec
+    }
+    def avg(r: Range) = r.map(times(_)).sum / r.size
+    val decades = (0 until cycles / 10).map(d =>
+      d -> avg(d * 10 until math.min((d + 1) * 10, cycles)))
+    decades.foreach { case (d, a) =>
+      println(f"[deltasoak] exports ${d * 10}%2d..${d * 10 + 9}: " +
+        f"avg ${a}%.3f s")
+    }
+    val early = decades(1)._2 // decade 10..19 (first post-checkpoint)
+    val late = decades.last._2
+    val curve = late / early
+    println(f"[deltasoak] late/early export-time curve: $curve%.2f " +
+      f"(${if (curve < 2.0) "FLAT — replay is O(interval)" else
+        "GROWING — replay is O(versions), checkpointing broken"})")
+    require(curve < 2.0, f"replay cost grew $curve%.2fx from decade 1 " +
+      "to the last decade — checkpoint compaction is not bounding it")
+
+    // correctness: delta view == native view at HEAD, and at the last
+    // checkpoint version both views of history agree
+    val viaDelta = graft.streaming.DeltaExport.read(spark, root)
+      .select("k", "s", "x").as[(Long, String, Double)].collect().sorted
+    val viaManifest = graft.streaming.MergeInto.readTable(spark, root)
+      .select("k", "s", "x").as[(Long, String, Double)].collect().sorted
+    require(viaDelta.toSeq == viaManifest.toSeq,
+      "delta read diverged from the native manifest read at HEAD")
+    val lastCp = (cycles / interval) * interval
+    val atCp = graft.streaming.DeltaExport
+      .readAt(spark, root, lastCp.toLong).count()
+    require(atCp == 200L, s"read at checkpoint version $lastCp: $atCp rows")
+    println(s"[deltasoak] HEAD equivalence + checkpoint-version read OK " +
+      s"($cycles versions, interval $interval)")
+    spark.stop()
+  }
+}
