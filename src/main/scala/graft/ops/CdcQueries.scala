@@ -165,18 +165,12 @@ object CdcQueries {
           graft.streaming.DeltaExport.export(s, store,
             checkpointInterval = 4)
         }
-        val logDir = new java.io.File(store, "_delta_log")
-        val cpV = logDir.listFiles()
-          .filter(_.getName.endsWith(".checkpoint.parquet"))
-          .map(_.getName.stripSuffix(".checkpoint.parquet").toLong)
-          .sorted.lastOption.getOrElse(throw new IllegalStateException(
-            "fixture expected at least one delta checkpoint"))
-        // clean every JSON version the checkpoint covers — the reader
-        // can only answer by replaying from the checkpoint
-        (0L until cpV).foreach { v =>
-          val f = new java.io.File(logDir, f"$v%020d.json")
-          require(f.delete(), s"could not clean $f")
-        }
+        // expire every version the checkpoint covers (the library's own
+        // metadata cleanup) — the reader can only answer by replaying
+        // from the checkpoint
+        val removed = graft.streaming.DeltaExport.cleanLog(s, store)
+        require(removed > 0,
+          "fixture expected cleanLog to expire pre-checkpoint versions")
     }
     store
   }

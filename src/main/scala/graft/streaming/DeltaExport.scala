@@ -436,6 +436,14 @@ object DeltaExport {
       lines += m.writeValueAsString(meta)
     }
     val now = System.currentTimeMillis()
+    // commitInfo is informational per the spec (readers must ignore what
+    // they don't know) but every real engine writes one — it is what
+    // DESCRIBE HISTORY and timestamp-based time travel read
+    val ci = m.createObjectNode()
+    ci.putObject("commitInfo").put("timestamp", now)
+      .put("operation", if (version == 0L) "WRITE" else "MERGE")
+      .put("engineInfo", "graft-delta-export/1")
+    lines += m.writeValueAsString(ci)
     (prev.live.keySet -- current.keySet).toSeq.sorted.foreach { path =>
       val n = m.createObjectNode()
       n.putObject("remove").put("path", encodePath(path))
@@ -562,6 +570,90 @@ object DeltaExport {
         .parquetPartitioned(spark, groups, partSchema, dataSchema)
         .select(full.fieldNames.map(org.apache.spark.sql.functions.col)
           .toIndexedSeq: _*) // restore the schemaString's declared order
+    }
+  }
+
+  /** One retained log version's summary (DESCRIBE HISTORY interop). */
+  case class Commit(version: Long, timestamp: Long, operation: String,
+      numAdds: Int, numRemoves: Int)
+
+  /** Per-version commit timestamp: `commitInfo.timestamp` when the
+    * writer recorded one, else the log file's modification time — the
+    * spec's own fallback for timestamp resolution.
+    */
+  private def commitTimestamp(fs: FileSystem, p: Path,
+      lines: Seq[String]): (Long, String) = {
+    val m = mapper
+    lines.iterator.map(m.readTree).find(_.has("commitInfo")).map { n =>
+      val ci = n.get("commitInfo")
+      (Option(ci.get("timestamp")).map(_.asLong())
+         .getOrElse(fs.getFileStatus(p).getModificationTime),
+       Option(ci.get("operation")).map(_.asText()).getOrElse(""))
+    }.getOrElse((fs.getFileStatus(p).getModificationTime, ""))
+  }
+
+  /** The RETAINED history, newest first — only versions whose JSON still
+    * exists (cleaned-up versions are gone from history here exactly as
+    * in a real Delta engine). Cost: one pass over the retained log.
+    */
+  def history(spark: SparkSession, root: String): Seq[Commit] = {
+    val fs = logPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listVersions(fs, root).map { case (v, p) =>
+      val lines = readLines(fs, p)
+      val (ts, op) = commitTimestamp(fs, p, lines)
+      Commit(v, ts, op,
+        lines.count(_.contains("\"add\"")),
+        lines.count(_.contains("\"remove\"")))
+    }.reverse
+  }
+
+  /** Time travel BY TIMESTAMP: read the latest version whose commit
+    * timestamp is <= `ts` (the `TIMESTAMP AS OF` contract). Refuses a
+    * timestamp before the earliest RETAINED version — resolving it
+    * against cleaned history would silently pick the wrong snapshot.
+    */
+  def readAtTimestamp(spark: SparkSession, root: String,
+      ts: Long): DataFrame = {
+    val fs = logPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = listVersions(fs, root).map { case (v, p) =>
+      (v, commitTimestamp(fs, p, readLines(fs, p))._1)
+    }
+    require(commits.nonEmpty, s"no delta log under $root/$LogDir")
+    val at = commits.filter(_._2 <= ts).map(_._1).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"timestamp $ts predates the earliest retained delta version " +
+          s"(${commits.head._1} @ ${commits.head._2}) at $root — older " +
+          "history was cleaned up"))
+    readAt(spark, root, at)
+  }
+
+  /** Metadata cleanup (the protocol's log-expiration story): delete every
+    * version JSON and every older checkpoint strictly BELOW the last
+    * checkpoint version. Replay stays complete because the checkpoint
+    * carries the cleaned prefix's state; version-travel below the
+    * checkpoint afterwards refuses loudly by design. Returns the number
+    * of files removed. A table with no checkpoint cleans nothing —
+    * deleting un-checkpointed history would break the table.
+    */
+  def cleanLog(spark: SparkSession, root: String): Int = {
+    val fs = logPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    lastCheckpointVersion(fs, root) match {
+      case None => 0
+      case Some(cv) =>
+        val oldJson = listVersions(fs, root).filter(_._1 < cv).map(_._2)
+        val CpFile = """^(\d{20})\.checkpoint\.parquet$""".r
+        val oldCp = fs.listStatus(logPath(root)).toSeq.map(_.getPath)
+          .filter(p => p.getName match {
+            case CpFile(v) => v.toLong < cv
+            case _ => false
+          })
+        (oldJson ++ oldCp).map { p =>
+          require(fs.delete(p, false), s"could not delete $p")
+          1
+        }.sum
     }
   }
 }

@@ -303,4 +303,51 @@ class DeltaExportSpec extends SparkSpec {
     val (v, _) = DeltaExport.export(spark, root, checkpointInterval = 4)
     assert(v == 9L)
   }
+
+  test("history, timestamp time travel, and cleanLog round out the " +
+      "consumer surface") {
+    val root = java.nio.file.Files.createTempDirectory("delta").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root, "k", numBuckets = 2)
+    DeltaExport.export(spark, root, checkpointInterval = 3)
+    for (i <- 1 to 5) {
+      MergeInto.mergeBatch(spark, Seq((1L, s"v$i")).toDF("k", "s"),
+        root, "k", numBuckets = 2)
+      DeltaExport.export(spark, root, checkpointInterval = 3)
+    }
+    // history: newest first; every version has a timestamp and counts
+    val h = DeltaExport.history(spark, root)
+    assert(h.map(_.version) == (5L to 0L by -1L))
+    assert(h.forall(_.timestamp > 0L))
+    assert(h.last.operation == "WRITE" && h.head.operation == "MERGE")
+    assert(h.last.numRemoves == 0 && h.head.numAdds >= 1)
+    assert(h.map(_.timestamp).reverse == h.map(_.timestamp).reverse.sorted)
+
+    // timestamp travel: the commit time of v2 resolves to exactly v2
+    val t2 = h.find(_.version == 2L).get.timestamp
+    assert(DeltaExport.readAtTimestamp(spark, root, t2).select("s")
+      .as[String].collect().sorted.toSeq ==
+      DeltaExport.readAt(spark, root, 2L).select("s")
+        .as[String].collect().sorted.toSeq)
+    // …and a timestamp before v0 refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.readAtTimestamp(spark, root, h.last.timestamp - 1)
+    }
+    assert(e.getMessage.contains("predates"))
+
+    // cleanLog: drops everything below the last checkpoint (v3), keeps
+    // the table readable at HEAD and at the checkpoint, refuses below
+    val removed = DeltaExport.cleanLog(spark, root)
+    assert(removed == 3, s"expected JSONs 0..2 removed, got $removed")
+    assert(DeltaExport.read(spark, root).count() == 2)
+    assert(DeltaExport.readAt(spark, root, 3L).count() == 2)
+    intercept[IllegalArgumentException] {
+      DeltaExport.readAt(spark, root, 1L)
+    }
+    // history now reports only the retained tail
+    assert(DeltaExport.history(spark, root).map(_.version) ==
+      (5L to 3L by -1L))
+    // a second clean is a no-op
+    assert(DeltaExport.cleanLog(spark, root) == 0)
+  }
 }
