@@ -232,6 +232,71 @@ object CdcQueries {
     store
   }
 
+  /** Materialize the DELTA-SINK table once per sfDir: the change log
+    * applied as three at-least-once foreachBatch deliveries through
+    * [[graft.streaming.DeltaSink.upsertBatch]] — batch 1 is delivered
+    * TWICE (the crash-between-merge-and-checkpoint replay) and must
+    * change nothing; every committed batch is one delta version carrying
+    * its txn action.
+    */
+  private def deltaSinkTableDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_delta_sink_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        import org.apache.spark.sql.expressions.Window
+        val log = changeLog(s, dir)
+        val b1 = log.filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+          .withColumn("del", lit(false))
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("log_seq_num").desc)
+        val b2 = log.filter(col("operation_type") =!= "CREATE")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("id"), col("status"), col("totalprice"),
+            (col("operation_type") === "DELETE").as("del"))
+        val b2a = b2.filter(pmod(hash(col("id")), lit(2)) === 0)
+        val b2b = b2.filter(pmod(hash(col("id")), lit(2)) === 1)
+        def apply(df: DataFrame, batchId: Long): Long =
+          graft.streaming.DeltaSink.upsertBatch(s, df, store, "id",
+            batchId, deleteCol = Some("del"))
+        apply(b1, 0L)
+        val v1 = apply(b2a, 1L)
+        require(apply(b2a, 1L) == v1, "replayed batch must be a no-op")
+        apply(b2b, 2L)
+        require(graft.streaming.DeltaExport.lastTxn(s, store)
+          .contains(2L), "delta log must carry the txn high-water mark")
+    }
+    store
+  }
+
+  /** Materialize OUR partitioned-delta PUBLISH once per sfDir: the CREATE
+    * payloads published via [[graft.streaming.DeltaExport.exportPartitioned]]
+    * (Spark partitionBy layout + v0 log with partitionValues parsed back
+    * from the directory names) — the writer half of the partitioned
+    * interop whose reader half `cdc_delta_partitioned` proves against a
+    * hand-authored foreign log.
+    */
+  private def deltaPublishedPartDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_delta_published_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val creates = changeLog(s, dir)
+          .filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        graft.streaming.DeltaExport.exportPartitioned(
+          s, creates, store, Seq("status"))
+    }
+    store
+  }
+
   /** Materialize the RESTORE (rollback) table once per sfDir: the two
     * merge batches commit as v1/v2, then a `restore` to v1 commits v3
     * referencing v1's files — latest must read as the CREATE payloads
@@ -863,6 +928,30 @@ object CdcQueries {
       val store = deltaPartitionedLogDir(s, dir)
       graft.streaming.DeltaExport.read(s, store)
         .filter(col("status") === "F")
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // STREAMING DELTA SINK driver-gated (exactly-once end of the CDC
+    // pipeline): three at-least-once batch deliveries — one REPLAYED —
+    // through MERGE-with-txnId + per-batch delta export; the foreign-
+    // readable delta view must equal the clean two-batch merge state
+    // (same oracle as cdc_merge_into), proving the replay changed
+    // nothing and the log carries the txn high-water mark.
+    "cdc_stream_delta_sink" -> ((s, dir) => {
+      val store = deltaSinkTableDir(s, dir)
+      graft.streaming.DeltaExport.read(s, store)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // PARTITIONED DELTA PUBLISH driver-gated (the WRITER half): our
+    // exportPartitioned publishes the CREATE payloads Hive-layout with a
+    // v0 log whose adds carry partitionValues; the native reader round-
+    // trips them as typed columns. Same oracle as the foreign-log gate.
+    "cdc_delta_export_part" -> ((s, dir) => {
+      val store = deltaPublishedPartDir(s, dir)
+      graft.streaming.DeltaExport.read(s, store)
         .select(col("id"), col("status"), col("totalprice"))
         .orderBy(col("id"))
     }),
@@ -1594,6 +1683,14 @@ object CdcQueries {
     "cdc_delta_part_prune" -> s"""$changesCte
       SELECT id, status, totalprice FROM changes
       WHERE operation_type = 'CREATE' AND status = 'F' ORDER BY id""",
+
+    // Our partitioned publish read back = the CREATE payloads.
+    "cdc_delta_export_part" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE' ORDER BY id""",
+
+    // The replay-proof sink's delta view = the clean merged state.
+    "cdc_stream_delta_sink" -> mergeFinalStateSql,
 
     // Export-at-version of v1 = the CREATE batch exactly as committed.
     "cdc_merge_export_v1" -> s"""$changesCte

@@ -59,7 +59,8 @@ object DeltaExport {
       version: Long, // latest delta version present, -1 if none
       schemaJson: Option[String], // last metaData.schemaString
       partitionCols: Seq[String], // last metaData.partitionColumns
-      live: Map[String, FileEntry]) // DECODED rel path -> entry
+      live: Map[String, FileEntry], // DECODED rel path -> entry
+      txns: Map[String, Long]) // txn action appId -> latest version
 
   private def logPath(root: String) = new Path(root, LogDir)
 
@@ -121,6 +122,7 @@ object DeltaExport {
     var schemaJson: Option[String] = None
     var partitionCols: Seq[String] = Nil
     val live = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
+    val txns = scala.collection.mutable.Map.empty[String, Long]
 
     def applyJsonLine(m: ObjectMapper, line: String): Unit = {
       val node = m.readTree(line)
@@ -151,11 +153,14 @@ object DeltaExport {
             a.get("modificationTime").asLong(), pv)
       } else if (node.has("remove")) {
         live -= decodePath(node.get("remove").get("path").asText())
-      } // commitInfo/txn/cdc actions carry no table state for us
+      } else if (node.has("txn")) {
+        val t = node.get("txn")
+        txns += t.get("appId").asText() -> t.get("version").asLong()
+      } // commitInfo/cdc actions carry no table state for us
     }
 
     def state(version: Long): LogState =
-      LogState(version, schemaJson, partitionCols, live.toMap)
+      LogState(version, schemaJson, partitionCols, live.toMap, txns.toMap)
   }
 
   // -------------------------------------------------------------------
@@ -233,6 +238,10 @@ object DeltaExport {
           FileEntry(optField[Long](a, "size").get,
             optField[Long](a, "modificationTime").getOrElse(0L), pv)
       }
+      optField[Row](row, "txn").foreach { t =>
+        for (app <- optField[String](t, "appId");
+             v <- optField[Long](t, "version")) r.txns += app -> v
+      }
       // remove rows in a checkpoint are vacuum tombstones — no live state
     }
   }
@@ -261,17 +270,25 @@ object DeltaExport {
           MapType(StringType, StringType, valueContainsNull = true)),
         StructField("size", LongType),
         StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType))))))
+        StructField("dataChange", BooleanType)))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType))))))
     val rows: Seq[Row] =
-      Row(Row(1, 2), null, null) +:
-      Row(null, Row(tableId(root), Row("parquet"),
-        state.schemaJson.getOrElse(throw new IllegalStateException(
-          s"cannot checkpoint $root without a recorded schema")),
-        state.partitionCols, System.currentTimeMillis()), null) +:
+      Seq(Row(Row(1, 2), null, null, null),
+        Row(null, Row(tableId(root), Row("parquet"),
+          state.schemaJson.getOrElse(throw new IllegalStateException(
+            s"cannot checkpoint $root without a recorded schema")),
+          state.partitionCols, System.currentTimeMillis()), null, null)) ++
+      // latest txn per appId survives log expiration via the checkpoint,
+      // exactly as the protocol specifies for transaction identifiers
+      state.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+        Row(null, null, null, Row(app, v))
+      } ++
       state.live.toSeq.sortBy(_._1).map { case (rel, fe) =>
         Row(null, null, Row(encodePath(rel),
           fe.partValues.map { case (k, v) => k -> v.orNull },
-          fe.size, fe.modTime, true))
+          fe.size, fe.modTime, true), null)
       }
     val tmpDir = new Path(logPath(root),
       s".cptmp-${java.util.UUID.randomUUID}")
@@ -310,7 +327,7 @@ object DeltaExport {
     val cp = lastCheckpointVersion(fs, root)
     val latest = math.max(cp.getOrElse(-1L),
       versions.lastOption.map(_._1).getOrElse(-1L))
-    if (latest < 0) return LogState(-1L, None, Nil, Map.empty)
+    if (latest < 0) return LogState(-1L, None, Nil, Map.empty, Map.empty)
     val target = upTo.getOrElse(latest)
     require(target <= latest,
       s"no delta version $target under $root/$LogDir (latest=$latest)")
@@ -373,6 +390,21 @@ object DeltaExport {
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
       .getOrElse(spark.read.option("mergeSchema", "true")
         .parquet(ManifestStore.resolvePaths(root, snap): _*).schema)
+
+  /** The txn appId this exporter writes streaming progress under. */
+  def txnAppId(root: String): String = s"graft-merge-${tableId(root)}"
+
+  /** The last streaming-writer version recorded for `appId` (default:
+    * this exporter's own), resolved from the DELTA log — the restart
+    * query the protocol's txn action exists for.
+    */
+  def lastTxn(spark: SparkSession, root: String,
+      appId: String = null): Option[Long] = {
+    val fs = logPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    replay(spark, fs, root, None)
+      .txns.get(Option(appId).getOrElse(txnAppId(root)))
+  }
 
   /** Stable table id: re-exports of the same root keep their identity. */
   private def tableId(root: String): String =
@@ -444,6 +476,18 @@ object DeltaExport {
       .put("operation", if (version == 0L) "WRITE" else "MERGE")
       .put("engineInfo", "graft-delta-export/1")
     lines += m.writeValueAsString(ci)
+    // streaming-writer progress (Delta's txn action): when the manifest
+    // carries a __lastTxn high-water mark, record it in the log too so a
+    // restarted stream can recover its position from the DELTA side
+    // ([[lastTxn]]), exactly like txn/appId in a real Delta table
+    val sinkTxn = snap.entries.get(MergeInto.LastTxnSlot).map(_.toLong)
+      .filterNot(v => prev.txns.get(txnAppId(root)).contains(v))
+    sinkTxn.foreach { v =>
+      val t = m.createObjectNode()
+      t.putObject("txn").put("appId", txnAppId(root))
+        .put("version", v).put("lastUpdated", now)
+      lines += m.writeValueAsString(t)
+    }
     (prev.live.keySet -- current.keySet).toSeq.sorted.foreach { path =>
       val n = m.createObjectNode()
       n.putObject("remove").put("path", encodePath(path))
@@ -483,8 +527,115 @@ object DeltaExport {
     }
     if (version > 0 && version % checkpointInterval == 0)
       writeCheckpoint(spark, fs, root,
-        LogState(version, Some(schemaJson), Nil, current))
+        LogState(version, Some(schemaJson), Nil, current,
+          prev.txns ++ snap.entries.get(MergeInto.LastTxnSlot)
+            .map(v => txnAppId(root) -> v.toLong)))
     (version, out.toString)
+  }
+
+  /** Hive-style partition-directory unescape (Spark's writer percent-
+    * escapes `=`, `/`, control bytes in partition VALUES when naming the
+    * directory): `%XX` → byte. The inverse of what partitionBy wrote, so
+    * the recorded partitionValues are the true values.
+    */
+  private def unescapeHive(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Publish `df` as a NEW PARTITIONED Delta table at `root` — the
+    * writer half of the partitioned-reader story: the data lands in
+    * Hive-layout `col=value` directories via Spark's parquet writer
+    * (partition columns NOT stored in the files, per the protocol), and
+    * the v0 log records each file's `partitionValues` parsed back from
+    * its directory path. Any Delta engine — including [[read]] — gets
+    * partition pruning from the log alone.
+    *
+    * This is a dataset-PUBLISHING surface (one-shot v0), not the
+    * incremental table export: an existing log at `root` is refused
+    * loudly rather than extended with a possibly-different layout.
+    */
+  def exportPartitioned(spark: SparkSession, df: DataFrame, root: String,
+      partCols: Seq[String]): (Long, String) = {
+    require(partCols.nonEmpty, "use export for unpartitioned tables")
+    partCols.foreach(c => require(df.columns.contains(c),
+      s"partition column '$c' not in ${df.columns.mkString(", ")}"))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = logPath(root).getFileSystem(conf)
+    require(!fs.exists(logPath(root)),
+      s"a delta log already exists at $root — exportPartitioned " +
+        "publishes a NEW table only")
+    df.write.partitionBy(partCols: _*).parquet(s"$root/data")
+
+    // walk the partition tree: every data file's partitionValues are its
+    // directory path's col=value segments, Hive-unescaped
+    val m = mapper
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val protocol = m.createObjectNode()
+    protocol.putObject("protocol")
+      .put("minReaderVersion", 1).put("minWriterVersion", 2)
+    lines += m.writeValueAsString(protocol)
+    val meta = m.createObjectNode()
+    val md = meta.putObject("metaData")
+    md.put("id", tableId(root))
+    md.putObject("format").put("provider", "parquet").putObject("options")
+    md.put("schemaString", df.schema.json)
+    val pa = md.putArray("partitionColumns")
+    partCols.foreach(pa.add)
+    md.putObject("configuration")
+    md.put("createdTime", System.currentTimeMillis())
+    lines += m.writeValueAsString(meta)
+    val ci = m.createObjectNode()
+    ci.putObject("commitInfo").put("timestamp", System.currentTimeMillis())
+      .put("operation", "WRITE").put("engineInfo", "graft-delta-export/1")
+    lines += m.writeValueAsString(ci)
+
+    val rootUri = new Path(root).toUri.getPath.stripSuffix("/")
+    val it = fs.listFiles(new Path(s"$root/data"), true)
+    val adds = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val rel = f.getPath.toUri.getPath.stripPrefix(rootUri + "/")
+        val segs = rel.split('/').dropRight(1).filter(_.contains('='))
+        val pv = segs.map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          unescapeHive(k) -> unescapeHive(v)
+        }.toMap
+        partCols.foreach(c => require(pv.contains(c),
+          s"data file $rel lies outside a '$c=' partition directory"))
+        val n = m.createObjectNode()
+        val a = n.putObject("add")
+        a.put("path", encodePath(rel)).put("size", f.getLen)
+          .put("modificationTime", f.getModificationTime)
+          .put("dataChange", true)
+        val pvn = a.putObject("partitionValues")
+        partCols.foreach { c =>
+          if (pv(c) == "__HIVE_DEFAULT_PARTITION__") pvn.putNull(c)
+          else pvn.put(c, pv(c))
+        }
+        adds += m.writeValueAsString(n)
+      }
+    }
+    lines ++= adds.sorted
+
+    val out = new Path(logPath(root), f"${0L}%020d.json")
+    fs.mkdirs(logPath(root))
+    val os = fs.create(out, false)
+    try os.write((lines.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    (0L, out.toString)
   }
 
   /** Read the exported table at its latest delta version. */

@@ -48,12 +48,22 @@ object MergeInto {
   def mergeBatch(spark: SparkSession, source: DataFrame, root: String,
                  keyCol: String, numBuckets: Int = 64,
                  deleteCol: Option[String] = None,
-                 updateCols: Seq[String] = Nil): Unit = {
+                 updateCols: Seq[String] = Nil,
+                 txnId: Option[Long] = None): Unit = {
     require(!updateCols.contains(keyCol),
       s"updateCols must not contain the merge key '$keyCol'")
     // column map: callers speak LOGICAL names; everything below (files,
     // DV, bucket hash) stays physical
     val snap0 = ManifestStore.latest(spark, root)
+    // idempotent-replay guard (the stores' __lastTxn pattern, and Delta's
+    // txn/appId action): an at-least-once caller (foreachBatch) passes
+    // its batchId; a batch at-or-below the recorded high-water mark was
+    // already applied — skip BEFORE any read or write, so the replay
+    // costs one manifest probe
+    txnId.foreach { id =>
+      if (snap0.flatMap(_.entries.get(LastTxnSlot)).exists(_.toLong >= id))
+        return
+    }
     snap0.foreach { sn =>
       val clash = source.columns.filter(generatedCols(sn).map(_._1).toSet)
       require(clash.isEmpty, "MERGE source writes GENERATED column(s) " +
@@ -201,7 +211,8 @@ object MergeInto {
       (NumBucketsSlot -> numBuckets.toString) +
       // `merged` is what the files hold (incl. __bucket; __dir lives in
       // the path, never in a file): union it into the recorded schema
-      (SchemaSlot -> committedSchema(spark, root, snap, merged.schema).json)
+      (SchemaSlot -> committedSchema(spark, root, snap, merged.schema).json) ++
+      txnId.map(id => LastTxnSlot -> id.toString)
     ManifestStore.commit(spark, root, version, entries)
   }
 
@@ -209,6 +220,13 @@ object MergeInto {
     * merge/sync; changed only by the explicit [[rebucket]] rewrite.
     */
   val NumBucketsSlot = "__numBuckets"
+
+  /** Streaming-writer high-water mark (the manifest twin of Delta's
+    * `txn` action): the last `txnId` a [[mergeBatch]] caller committed.
+    * Carried forward verbatim by txn-less merges (prior entries are the
+    * commit's base map), overwritten only by a higher txn.
+    */
+  val LastTxnSlot = "__lastTxn"
 
   /** Metadata slot holding the table's current PHYSICAL (on-disk) schema
     * as compact Spark JSON. A real table format owns the logical schema in

@@ -304,6 +304,37 @@ class DeltaExportSpec extends SparkSpec {
     assert(v == 9L)
   }
 
+  test("exportPartitioned publishes a PARTITIONED delta table the native " +
+      "reader (and pruning) round-trips — incl. escaped and null values") {
+    val root = java.nio.file.Files.createTempDirectory("delta").toString + "/t"
+    val df = Seq(
+      (1L, "x", Some("a")), (2L, "y", Some("a")),
+      (3L, "z", Some("b=c")), // '=' must Hive-escape in the dir name
+      (4L, "w", None)         // null partition value
+    ).toDF("k", "s", "dt")
+    val (v, _) = DeltaExport.exportPartitioned(spark, df, root, Seq("dt"))
+    assert(v == 0L)
+    val got = DeltaExport.read(spark, root)
+    assert(got.columns.toSeq == Seq("k", "s", "dt"))
+    assert(got.as[(Long, String, Option[String])].collect().sorted.toSeq ==
+      Seq((1L, "x", Some("a")), (2L, "y", Some("a")),
+        (3L, "z", Some("b=c")), (4L, "w", None)))
+    // the log's add actions carry partitionValues (incl. a JSON null)
+    val lines = scala.io.Source.fromFile(new java.io.File(
+      new java.io.File(root, "_delta_log"),
+      "00000000000000000000.json")).getLines().toSeq
+    assert(lines.exists(_.contains(""""partitionValues":{"dt":"b=c"}""")))
+    assert(lines.exists(_.contains(""""partitionValues":{"dt":null}""")))
+    // pruning on the escaped value returns exactly its row
+    assert(DeltaExport.read(spark, root).filter(col("dt") === "b=c")
+      .select("k").as[Long].collect().toSeq == Seq(3L))
+    // a second publish at the same root refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.exportPartitioned(spark, df, root, Seq("dt"))
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
   test("history, timestamp time travel, and cleanLog round out the " +
       "consumer surface") {
     val root = java.nio.file.Files.createTempDirectory("delta").toString
