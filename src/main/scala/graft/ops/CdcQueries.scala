@@ -41,11 +41,13 @@ object CdcQueries {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    // _v5: manifest-recorded FILE STATUSES (__fs: slots, committed by
-    // ManifestStore.commit) — the flagship merge gates plan with zero
-    // filesystem listings on top of _v4's zero footer reads (__schema
-    // slot). _v3 was the one-file-per-bucket commit layout.
-    val root = Paths.get(s"$base/$key/orders_merge_table_v5")
+    // _v6: bucket-id-STAMPED file names (`_NNNNN`, Spark's bucketed-scan
+    // contract) + the __bucketKey slot — reads now declare
+    // HashPartitioning(id, 64), so key joins/aggs over this table run
+    // with zero shuffle. _v5 added manifest-recorded file statuses
+    // (zero listings); _v4 the schema slot (zero footer reads); _v3 the
+    // one-file-per-bucket commit layout.
+    val root = Paths.get(s"$base/$key/orders_merge_table_v6")
     val store = root.resolve("table").toString
     graft.streaming.FixtureLock.once(root) {
         import org.apache.spark.sql.expressions.Window
@@ -293,6 +295,109 @@ object CdcQueries {
           .select(col("id"), col("status"), col("totalprice"))
         graft.streaming.DeltaExport.exportPartitioned(
           s, creates, store, Seq("status"))
+    }
+    store
+  }
+
+  /** Materialize the BUCKET-JOIN fixture once per sfDir: two tables under
+    * one root, both merged on `id` with the SAME bucket count — their
+    * key join plans with ZERO shuffle (each scan declares
+    * `HashPartitioning(id, 64)` from the manifest's bucket metadata +
+    * stamped file names; spec-pinned in `BucketedJoinSpec`).
+    */
+  private def bucketJoinTableDirs(s: SparkSession,
+      dir: String): (String, String) = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_bucket_join_v1")
+    val (a, b) = (root.resolve("state").toString,
+      root.resolve("prices").toString)
+    graft.streaming.FixtureLock.once(root) {
+        import org.apache.spark.sql.expressions.Window
+        val log = changeLog(s, dir)
+        val b1 = log.filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("log_seq_num").desc)
+        val b2 = log.filter(col("operation_type") =!= "CREATE")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("id"), col("status"), col("totalprice"),
+            (col("operation_type") === "DELETE").as("del"))
+        graft.streaming.MergeInto.mergeBatch(s, b1, a, "id")
+        graft.streaming.MergeInto.mergeBatch(s, b2, a, "id",
+          deleteCol = Some("del"))
+        graft.streaming.MergeInto.mergeBatch(s,
+          b1.select(col("id"),
+            (col("totalprice") * 2).as("double_price")), b, "id")
+    }
+    (a, b)
+  }
+
+  /** Materialize the COLUMN-MAPPED foreign delta log once per sfDir: the
+    * CREATE payloads stored under PHYSICAL column names (`col-...`, the
+    * rename-is-metadata trick of protocol 2), logical names only in the
+    * schemaString's field metadata, partitionValues keyed physically —
+    * what any modern Delta writer with columnMapping=name produces.
+    */
+  private def deltaColMapLogDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    import org.apache.spark.sql.types._
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_delta_colmap_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val creates = changeLog(s, dir)
+          .filter(col("operation_type") === "CREATE")
+          .select(col("id").as("col-a1"), col("totalprice").as("col-a3"),
+            col("status").as("col-a2"))
+        creates.write.partitionBy("col-a2").parquet(s"$store/data")
+        def mapped(name: String, phys: String, dt: DataType): StructField =
+          StructField(name, dt, nullable = true, new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", phys).build())
+        val tp = creates.schema("col-a3").dataType
+        val logical = StructType(Seq(
+          mapped("id", "col-a1", LongType),
+          mapped("status", "col-a2", StringType),
+          mapped("totalprice", "col-a3", tp)))
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+        lines +=
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+        val meta = m.createObjectNode()
+        val md = meta.putObject("metaData")
+        md.put("id", "graft-colmap-fixture")
+        md.putObject("format").put("provider", "parquet")
+        md.put("schemaString", logical.json)
+        md.putArray("partitionColumns").add("status")
+        md.putObject("configuration")
+          .put("delta.columnMapping.mode", "name")
+        lines += m.writeValueAsString(meta)
+        val dataDir = new java.io.File(store, "data")
+        for {
+          pd <- dataDir.listFiles().sortBy(_.getName)
+          if pd.isDirectory && pd.getName.startsWith("col-a2=")
+          f <- pd.listFiles().sortBy(_.getName)
+          if f.getName.endsWith(".parquet")
+        } {
+          val n = m.createObjectNode()
+          val a = n.putObject("add")
+          a.put("path", s"data/${pd.getName}/${f.getName}")
+            .put("size", f.length())
+            .put("modificationTime", f.lastModified())
+            .put("dataChange", true)
+          a.putObject("partitionValues")
+            .put("col-a2", pd.getName.stripPrefix("col-a2="))
+          lines += m.writeValueAsString(n)
+        }
+        val logDir = new java.io.File(store, "_delta_log")
+        require(logDir.mkdirs(), s"could not create $logDir")
+        val w = new java.io.PrintWriter(
+          new java.io.File(logDir, "00000000000000000000.json"), "UTF-8")
+        try lines.foreach(w.println) finally w.close()
     }
     store
   }
@@ -928,6 +1033,33 @@ object CdcQueries {
       val store = deltaPartitionedLogDir(s, dir)
       graft.streaming.DeltaExport.read(s, store)
         .filter(col("status") === "F")
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // CO-LOCATED BUCKET JOIN driver-gated: two tables merged on id with
+    // the same bucket count join WITHOUT a shuffle — each scan declares
+    // HashPartitioning(id, 64) straight from the manifest (bucket count
+    // + key slots, bucket-id-stamped file names). The zero-exchange plan
+    // is spec-pinned in BucketedJoinSpec; this gate proves the
+    // co-located answer against the relational oracle.
+    "cdc_merge_bucket_join" -> ((s, dir) => {
+      val (a, b) = bucketJoinTableDirs(s, dir)
+      graft.streaming.MergeInto.readTable(s, a)
+        .join(graft.streaming.MergeInto.readTable(s, b)
+          .select(col("id"), col("double_price")), Seq("id"))
+        .select(col("id"), col("status"), col("totalprice"),
+          col("double_price"))
+        .orderBy(col("id"))
+    }),
+
+    // COLUMN-MAPPED DELTA TABLE driver-gated (protocol 2, name mode):
+    // physical `col-*` file columns and physically-keyed partitionValues
+    // resolved to the logical schema entirely from the log's field
+    // metadata. Oracle = the CREATE payloads under their logical names.
+    "cdc_delta_colmap" -> ((s, dir) => {
+      val store = deltaColMapLogDir(s, dir)
+      graft.streaming.DeltaExport.read(s, store)
         .select(col("id"), col("status"), col("totalprice"))
         .orderBy(col("id"))
     }),
@@ -1691,6 +1823,20 @@ object CdcQueries {
 
     // The replay-proof sink's delta view = the clean merged state.
     "cdc_stream_delta_sink" -> mergeFinalStateSql,
+
+    // The column-mapped table under logical names = the CREATE payloads.
+    "cdc_delta_colmap" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE' ORDER BY id""",
+
+    // The co-located join = merged final state × doubled CREATE prices.
+    "cdc_merge_bucket_join" -> s"""${mergeFinalCte("TRUE")},
+      prices AS (
+        SELECT id, totalprice * 2 AS double_price FROM changes
+        WHERE operation_type = 'CREATE'
+      )
+      SELECT f.id, f.status, f.totalprice, p.double_price
+      FROM fin f JOIN prices p USING (id) ORDER BY f.id""",
 
     // Export-at-version of v1 = the CREATE batch exactly as committed.
     "cdc_merge_export_v1" -> s"""$changesCte

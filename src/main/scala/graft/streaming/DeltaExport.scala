@@ -59,6 +59,7 @@ object DeltaExport {
       version: Long, // latest delta version present, -1 if none
       schemaJson: Option[String], // last metaData.schemaString
       partitionCols: Seq[String], // last metaData.partitionColumns
+      mappingMode: String, // delta.columnMapping.mode (none|name|id)
       live: Map[String, FileEntry], // DECODED rel path -> entry
       txns: Map[String, Long]) // txn action appId -> latest version
 
@@ -105,12 +106,23 @@ object DeltaExport {
     finally in.close()
   }
 
+  /** Reader capability: protocol 1 (plain), protocol 2 (column mapping —
+    * implemented in 'name' mode), and protocol 3 ONLY when every listed
+    * readerFeature is one we implement. Anything else is refused by
+    * name, never misread.
+    */
+  private val SupportedReaderFeatures = Set("columnMapping")
+
   private def checkProtocol(root: String, minReader: Int,
-      readerFeatures: Option[String]): Unit =
-    require(minReader <= 1 && readerFeatures.isEmpty,
+      readerFeatures: Seq[String]): Unit = {
+    val unsupported = readerFeatures.filterNot(SupportedReaderFeatures)
+    require(minReader <= 2 || (minReader == 3 && unsupported.isEmpty),
       s"delta table at $root needs reader version $minReader" +
-        readerFeatures.fold("")(f => s" with features $f") +
-        " — this native reader implements protocol 1 only")
+        (if (unsupported.nonEmpty)
+          s" with features ${unsupported.mkString(", ")}" else "") +
+        " — this native reader implements protocols 1-2 plus the " +
+        s"${SupportedReaderFeatures.mkString("/")} feature(s) only")
+  }
 
   private def checkFormat(root: String, provider: String): Unit =
     require(provider == "parquet",
@@ -121,6 +133,7 @@ object DeltaExport {
   private final class Replayer(root: String) {
     var schemaJson: Option[String] = None
     var partitionCols: Seq[String] = Nil
+    var mappingMode: String = "none"
     val live = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
     val txns = scala.collection.mutable.Map.empty[String, Long]
 
@@ -129,13 +142,17 @@ object DeltaExport {
       if (node.has("protocol")) {
         val pr = node.get("protocol")
         checkProtocol(root, pr.get("minReaderVersion").asInt(),
-          Option(pr.get("readerFeatures")).map(_.toString))
+          Option(pr.get("readerFeatures")).toSeq
+            .flatMap(_.elements().asScala).map(_.asText()))
       } else if (node.has("metaData")) {
         val md = node.get("metaData")
         checkFormat(root, md.get("format").get("provider").asText())
         val parts = Option(md.get("partitionColumns"))
         partitionCols = parts.toSeq.flatMap(_.elements().asScala)
           .map(_.asText())
+        mappingMode = Option(md.get("configuration"))
+          .flatMap(c => Option(c.get("delta.columnMapping.mode")))
+          .map(_.asText()).getOrElse("none")
         schemaJson = Some(md.get("schemaString").asText())
       } else if (node.has("add")) {
         val a = node.get("add")
@@ -160,7 +177,8 @@ object DeltaExport {
     }
 
     def state(version: Long): LogState =
-      LogState(version, schemaJson, partitionCols, live.toMap, txns.toMap)
+      LogState(version, schemaJson, partitionCols, mappingMode,
+        live.toMap, txns.toMap)
   }
 
   // -------------------------------------------------------------------
@@ -217,7 +235,7 @@ object DeltaExport {
         checkProtocol(root,
           optField[Int](pr, "minReaderVersion").getOrElse(1),
           optField[scala.collection.Seq[String]](pr, "readerFeatures")
-            .filter(_.nonEmpty).map(_.mkString("[", ",", "]")))
+            .map(_.toSeq).getOrElse(Nil))
       }
       optField[Row](row, "metaData").foreach { md =>
         optField[Row](md, "format").flatMap(optField[String](_, "provider"))
@@ -225,6 +243,9 @@ object DeltaExport {
         r.partitionCols =
           optField[scala.collection.Seq[String]](md, "partitionColumns")
             .map(_.toSeq).getOrElse(Nil)
+        r.mappingMode =
+          optField[scala.collection.Map[String, String]](md, "configuration")
+            .flatMap(_.get("delta.columnMapping.mode")).getOrElse("none")
         r.schemaJson = optField[String](md, "schemaString")
       }
       optField[Row](row, "add").foreach { a =>
@@ -327,7 +348,8 @@ object DeltaExport {
     val cp = lastCheckpointVersion(fs, root)
     val latest = math.max(cp.getOrElse(-1L),
       versions.lastOption.map(_._1).getOrElse(-1L))
-    if (latest < 0) return LogState(-1L, None, Nil, Map.empty, Map.empty)
+    if (latest < 0)
+      return LogState(-1L, None, Nil, "none", Map.empty, Map.empty)
     val target = upTo.getOrElse(latest)
     require(target <= latest,
       s"no delta version $target under $root/$LogDir (latest=$latest)")
@@ -527,7 +549,7 @@ object DeltaExport {
     }
     if (version > 0 && version % checkpointInterval == 0)
       writeCheckpoint(spark, fs, root,
-        LogState(version, Some(schemaJson), Nil, current,
+        LogState(version, Some(schemaJson), Nil, "none", current,
           prev.txns ++ snap.entries.get(MergeInto.LastTxnSlot)
             .map(v => txnAppId(root) -> v.toLong)))
     (version, out.toString)
@@ -681,6 +703,43 @@ object DeltaExport {
       s"delta log at $root has no metaData action — not a valid table"))
     require(st.live.nonEmpty,
       s"delta version ${st.version} at $root lists no live files")
+    val full = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+    // COLUMN MAPPING ('name' mode, protocol 2 / the columnMapping reader
+    // feature): the data files store PHYSICAL column names (so renames
+    // are metadata-only); the logical names live in the schemaString's
+    // field metadata, and add.partitionValues are keyed by the physical
+    // name. The scan therefore runs under physical names and the result
+    // is aliased back to logical. 'id' mode (parquet field-id matching)
+    // is refused by name, as is mapping on nested columns (a nested
+    // physical-name rewrite needs a full Delta engine).
+    val mode = st.mappingMode
+    require(mode == "none" || mode == "name",
+      s"delta table at $root uses column mapping mode '$mode' — only " +
+        "'name' (and unmapped) tables are supported by this reader")
+    val PhysKey = "delta.columnMapping.physicalName"
+    def physName(f: org.apache.spark.sql.types.StructField): String =
+      if (mode == "name" && f.metadata.contains(PhysKey))
+        f.metadata.getString(PhysKey)
+      else f.name
+    if (mode == "name") {
+      def nested(dt: DataType): Boolean = dt match {
+        case _: StructType => true
+        case a: org.apache.spark.sql.types.ArrayType => nested(a.elementType)
+        case m: org.apache.spark.sql.types.MapType =>
+          nested(m.keyType) || nested(m.valueType)
+        case _ => false
+      }
+      full.fields.find(f => nested(f.dataType)).foreach(f =>
+        throw new IllegalArgumentException(
+          s"delta table at $root column-maps the NESTED column " +
+            s"'${f.name}' — nested physical-name rewrite is not " +
+            "implemented; read it with a full Delta engine"))
+    }
+    val physOf = full.fields.map(f => f.name -> physName(f)).toMap
+
+    // existence sweep AFTER the metadata-level refusals: a table this
+    // reader cannot interpret should say so by name, not "missing file"
     if (validate) {
       val dead = st.live.keysIterator.map(rel => s"$root/$rel")
         .filterNot(p => fs.exists(new Path(p))).toSeq
@@ -689,39 +748,44 @@ object DeltaExport {
           s"e.g. ${dead.head}; vacuumed after export? Re-export the " +
           "current snapshot")
     }
-    val full = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    if (st.partitionCols.isEmpty) {
-      val files = st.live.toSeq.sortBy(_._1)
-        .map { case (rel, e) => (s"$root/$rel", e.size, e.modTime) }
-      org.apache.spark.sql.GraftFiles.parquet(spark, files, full)
-    } else {
-      st.partitionCols.foreach(c => require(full.fieldNames.contains(c),
-        s"delta log at $root partitions on '$c' which is not in the " +
-          "table schema — corrupt metaData"))
-      val partSchema = StructType(st.partitionCols.map(c =>
-        full(c).copy(nullable = true)))
-      val dataSchema = StructType(
-        full.filterNot(f => st.partitionCols.contains(f.name)))
-      val zone = spark.conf.get("spark.sql.session.timeZone")
-      val groups = st.live.toSeq.groupBy(_._2.partValues).toSeq
-        .sortBy(_._2.head._1).map { case (pv, entries) =>
-          val vals: Seq[Any] = st.partitionCols.map { c =>
-            pv.getOrElse(c, throw new IllegalStateException(
-              s"delta add action at $root misses a value for partition " +
-                s"column '$c'")) match {
-              case None => null
-              case Some(s) =>
-                castPartValue(s, partSchema(c).dataType, zone)
+
+    val scanned =
+      if (st.partitionCols.isEmpty) {
+        val files = st.live.toSeq.sortBy(_._1)
+          .map { case (rel, e) => (s"$root/$rel", e.size, e.modTime) }
+        val physSchema = StructType(full.fields.map(f =>
+          StructField(physOf(f.name), f.dataType, f.nullable)))
+        org.apache.spark.sql.GraftFiles.parquet(spark, files, physSchema)
+      } else {
+        st.partitionCols.foreach(c => require(full.fieldNames.contains(c),
+          s"delta log at $root partitions on '$c' which is not in the " +
+            "table schema — corrupt metaData"))
+        val partSchema = StructType(st.partitionCols.map(c =>
+          StructField(physOf(c), full(c).dataType, nullable = true)))
+        val dataSchema = StructType(
+          full.filterNot(f => st.partitionCols.contains(f.name))
+            .map(f => StructField(physOf(f.name), f.dataType, f.nullable)))
+        val zone = spark.conf.get("spark.sql.session.timeZone")
+        val groups = st.live.toSeq.groupBy(_._2.partValues).toSeq
+          .sortBy(_._2.head._1).map { case (pv, entries) =>
+            val vals: Seq[Any] = st.partitionCols.map { c =>
+              pv.getOrElse(physOf(c), throw new IllegalStateException(
+                s"delta add action at $root misses a value for partition " +
+                  s"column '$c' (physical '${physOf(c)}')")) match {
+                case None => null
+                case Some(s) =>
+                  castPartValue(s, full(c).dataType, zone)
+              }
             }
+            (vals, entries.sortBy(_._1).map { case (rel, e) =>
+              (s"$root/$rel", e.size, e.modTime) })
           }
-          (vals, entries.sortBy(_._1).map { case (rel, e) =>
-            (s"$root/$rel", e.size, e.modTime) })
-        }
-      org.apache.spark.sql.GraftFiles
-        .parquetPartitioned(spark, groups, partSchema, dataSchema)
-        .select(full.fieldNames.map(org.apache.spark.sql.functions.col)
-          .toIndexedSeq: _*) // restore the schemaString's declared order
-    }
+        org.apache.spark.sql.GraftFiles
+          .parquetPartitioned(spark, groups, partSchema, dataSchema)
+      }
+    // logical names + the schemaString's declared order
+    scanned.select(full.fieldNames.toIndexedSeq.map(n =>
+      org.apache.spark.sql.functions.col(physOf(n)).as(n)): _*)
   }
 
   /** One retained log version's summary (DESCRIBE HISTORY interop). */

@@ -167,25 +167,15 @@ object MergeInto {
     // CAS: commit at read-snapshot + 1 (see ManifestStore.versionAfter)
     val version = ManifestStore.versionAfter(snap)
     val rel = ManifestStore.dataRel(version)
-    val written: Set[Int] =
-      if (merged.isEmpty) Set.empty // every touched bucket merged to empty
-      else {
-        // One exchange on the bucket id so each bucket's rows land in
-        // exactly ONE task: without it every shuffle task holding rows for
-        // a bucket writes its own part-file into that bucket dir — up to
-        // tasks×buckets tiny files PER COMMIT (measured: 2.9k files for a
-        // 15k-row table after two commits), and the schema-merged read
-        // pays a footer open per file. Post-fix a commit writes ≤ one file
-        // per touched bucket; the exchange itself is proportional to the
-        // touched data, which any table format pays on write.
-        merged.repartition(col("__bucket"))
-          .withColumn("__dir", col("__bucket"))
-          .write.mode("errorifexists").partitionBy("__dir")
-          .parquet(s"$root/$rel")
-        // partition-column-only read: which bucket dirs actually exist
-        spark.read.parquet(s"$root/$rel")
-          .select("__dir").distinct().collect().map(_.getInt(0)).toSet
-      }
+    // One exchange on the bucket id so each bucket's rows land in
+    // exactly ONE task: without it every shuffle task holding rows for
+    // a bucket writes its own part-file into that bucket dir — up to
+    // tasks×buckets tiny files PER COMMIT (measured: 2.9k files for a
+    // 15k-row table after two commits), and the schema-merged read
+    // pays a footer open per file. Post-fix a commit writes ≤ one file
+    // per touched bucket; the exchange itself is proportional to the
+    // touched data, which any table format pays on write.
+    val written: Set[Int] = stageBuckets(spark, merged, root, rel)
     // rewritten buckets are now physically correct, so their keys leave
     // the deletion vector; a DV shrunk to empty drops its slot entirely
     val dvEntry: Map[String, String] =
@@ -209,6 +199,7 @@ object MergeInto {
       touched.map(_.toString) - DvSlot ++ dvEntry ++
       touched.filter(written).map(b => b.toString -> s"$rel/__dir=$b") +
       (NumBucketsSlot -> numBuckets.toString) +
+      (BucketKeySlot -> keyP) +
       // `merged` is what the files hold (incl. __bucket; __dir lives in
       // the path, never in a file): union it into the recorded schema
       (SchemaSlot -> committedSchema(spark, root, snap, merged.schema).json) ++
@@ -227,6 +218,54 @@ object MergeInto {
     * commit's base map), overwritten only by a higher txn.
     */
   val LastTxnSlot = "__lastTxn"
+
+  /** The PHYSICAL column the table's buckets hash on — with
+    * [[NumBucketsSlot]], everything a reader needs to declare the scan's
+    * output partitioning (`HashPartitioning(key, n)`) and run key-equi
+    * joins and aggregations WITHOUT a shuffle. Recorded by every
+    * bucket-writing statement.
+    */
+  val BucketKeySlot = "__bucketKey"
+
+  /** Stage `df` (which carries `__bucket`) under `$root/$rel` as one
+    * Hive directory per bucket, STAMP every file name with Spark's
+    * `_NNNNN` bucket suffix (the bucketed-scan file-name contract
+    * [[readRows]] exploits), and return the bucket ids actually written.
+    * The written set comes from ONE filesystem listing of the fresh
+    * staging dir — replacing the extra Spark job per commit the old
+    * `.select("__dir").distinct()` probe paid. Rows landed in a bucket
+    * dir by `pmod(hash(key), n)`, which is EXACTLY Spark's
+    * `HashPartitioning.partitionIdExpression` (same Murmur3, same seed),
+    * so the stamped claim is the truth the bucketed scan relies on.
+    */
+  private def stageBuckets(spark: SparkSession, df: DataFrame,
+      root: String, rel: String, repartition: Boolean = true): Set[Int] = {
+    if (df.isEmpty) return Set.empty
+    (if (repartition) df.repartition(col("__bucket")) else df)
+      .withColumn("__dir", col("__bucket"))
+      .write.mode("errorifexists").partitionBy("__dir")
+      .parquet(s"$root/$rel")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$rel")).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__dir="))
+      .map { d =>
+        val b = d.getPath.getName.stripPrefix("__dir=").toInt
+        val suffix = org.apache.spark.sql.GraftFiles.bucketSuffix(b)
+        fs.listStatus(d.getPath)
+          .filter(_.getPath.getName.startsWith("part-")).foreach { f =>
+            val name = f.getPath.getName
+            val dot = name.indexOf('.')
+            val renamed =
+              if (dot < 0) name + suffix
+              else name.substring(0, dot) + suffix + name.substring(dot)
+            require(fs.rename(f.getPath,
+              new org.apache.hadoop.fs.Path(d.getPath, renamed)),
+              s"could not stamp bucket id on ${f.getPath}")
+          }
+        b
+      }.toSet
+  }
 
   /** Metadata slot holding the table's current PHYSICAL (on-disk) schema
     * as compact Spark JSON. A real table format owns the logical schema in
@@ -324,8 +363,29 @@ object MergeInto {
         val rels = paths.map(_.stripPrefix(prefix))
         ManifestStore.fileStats(root, snap, rels)
           .filter(_.nonEmpty)
-          .map(files => org.apache.spark.sql.GraftFiles
-            .parquet(spark, files, sc))
+          .map { files =>
+            // BUCKETED scan when the manifest records the bucket key and
+            // every file name carries its stamped `_NNNNN` bucket id
+            // (tables written before the stamp, or foreign/cloned files,
+            // fall back to the plain scan — never a wrong partitioning):
+            // the scan then DECLARES HashPartitioning(key, n), so key-
+            // equi joins and aggregations run with ZERO shuffle — the
+            // co-located-join payoff bucketing exists for. Tradeoff at
+            // scale: one task per bucket minimum (files don't split);
+            // that is what [[rebucket]] is for.
+            val bucketed = for {
+              n <- snap.entries.get(NumBucketsSlot).map(_.toInt)
+              key <- snap.entries.get(BucketKeySlot)
+              if sc.fieldNames.contains(key)
+              if files.forall { case (p, _, _) =>
+                org.apache.spark.sql.GraftFiles.bucketIdOf(
+                  new org.apache.hadoop.fs.Path(p).getName).isDefined
+              }
+            } yield org.apache.spark.sql.GraftFiles
+              .parquetBucketed(spark, files, sc, n, key)
+            bucketed.getOrElse(
+              org.apache.spark.sql.GraftFiles.parquet(spark, files, sc))
+          }
           .getOrElse(spark.read.schema(sc).parquet(paths: _*))
       case None =>
         spark.read.option("mergeSchema", "true").parquet(paths: _*)
@@ -361,17 +421,7 @@ object MergeInto {
       pmod(hash(col(keyP)), lit(newNumBuckets)))
     val version = ManifestStore.versionAfter(Some(snap))
     val rel = ManifestStore.dataRel(version)
-    val written: Set[Int] =
-      if (rows.isEmpty) Set.empty
-      else {
-        rebucketed
-          .repartition(col("__bucket"))
-          .withColumn("__dir", col("__bucket"))
-          .write.mode("errorifexists").partitionBy("__dir")
-          .parquet(s"$root/$rel")
-        spark.read.parquet(s"$root/$rel")
-          .select("__dir").distinct().collect().map(_.getInt(0)).toSet
-      }
+    val written: Set[Int] = stageBuckets(spark, rebucketed, root, rel)
     // numeric slots are bucket entries under the OLD spec: all replaced;
     // metadata slots (colMap, checks, gens) carry forward; the DV was
     // materialized by the rewrite. The rewrite touched EVERY row, so the
@@ -381,6 +431,7 @@ object MergeInto {
         DvSlot ++
         written.map(b => b.toString -> s"$rel/__dir=$b") +
         (NumBucketsSlot -> newNumBuckets.toString) +
+        (BucketKeySlot -> keyP) +
         (SchemaSlot ->
           unionSchema(new types.StructType(), rebucketed.schema).json)
     ManifestStore.commit(spark, root, version, entries)
@@ -832,20 +883,12 @@ object MergeInto {
       .withColumn("__bucket", pmod(hash(col(keyP)), lit(numBuckets)))
     val version = ManifestStore.versionAfter(Some(snap))
     val rel = ManifestStore.dataRel(version)
-    val written: Set[Int] =
-      if (bucketed.isEmpty) Set.empty
-      else {
-        bucketed.repartition(col("__bucket"))
-          .withColumn("__dir", col("__bucket"))
-          .write.mode("errorifexists").partitionBy("__dir")
-          .parquet(s"$root/$rel")
-        spark.read.parquet(s"$root/$rel")
-          .select(col("__dir")).distinct().collect().map(_.getInt(0)).toSet
-      }
+    val written: Set[Int] = stageBuckets(spark, bucketed, root, rel)
     // the snapshot defines the whole table: every bucket entry is rebuilt
     // (constraints and the column map survive the rebuild — table metadata)
     // and the recorded schema is exactly what the sync wrote
-    val entries = Map(NumBucketsSlot -> numBuckets.toString) ++
+    val entries = Map(NumBucketsSlot -> numBuckets.toString,
+      BucketKeySlot -> keyP) ++
       snap.entries.filter(_._1.startsWith(CheckPrefix)) ++
       snap.entries.get(ColMapSlot).map(ColMapSlot -> _) ++
       written.map(b => b.toString -> s"$rel/__dir=$b") +
@@ -889,15 +932,10 @@ object MergeInto {
 
     val version = ManifestStore.versionAfter(Some(snap))
     val rel = ManifestStore.dataRel(version)
+    // touched buckets deleted to empty leave no dir; kept is already
+    // bucket-pruned so no repartition exchange is needed
     val written: Set[Int] =
-      if (kept.isEmpty) Set.empty // touched buckets deleted to empty
-      else {
-        kept.withColumn("__dir", col("__bucket"))
-          .write.mode("errorifexists").partitionBy("__dir")
-          .parquet(s"$root/$rel")
-        spark.read.parquet(s"$root/$rel")
-          .select(col("__dir")).distinct().collect().map(_.getInt(0)).toSet
-      }
+      stageBuckets(spark, kept, root, rel, repartition = false)
     val entries = snap.entries -- touched.map(_.toString) ++
       touched.filter(written).map(b => b.toString -> s"$rel/__dir=$b")
     ManifestStore.commit(spark, root, version, entries)

@@ -2,10 +2,11 @@ package org.apache.spark.sql
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.BucketSpec
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
   BoundReference, Expression, Predicate}
-import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation,
-  LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.{BucketingUtils, FileIndex,
+  HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
 
@@ -90,6 +91,41 @@ object GraftFiles {
       StructType(Nil), schema)
   }
 
+  /** Bridge to Spark's bucket-id file-name parser (`_NNNNN` before the
+    * extension) — the contract [[parquetBucketed]] file names must meet.
+    */
+  def bucketIdOf(fileName: String): Option[Int] =
+    BucketingUtils.getBucketId(fileName)
+
+  /** The `_NNNNN` suffix to stamp into a bucket's file names. */
+  def bucketSuffix(bucketId: Int): String =
+    BucketingUtils.bucketIdToString(bucketId)
+
+  /** BUCKETED variant: the scan declares
+    * `HashPartitioning(bucketCol, numBuckets)` as its output
+    * partitioning, so an equi-join or aggregation on the bucket column
+    * needs NO shuffle — the co-located-join story a bucketed table
+    * format exists for. Every file name MUST carry its bucket id
+    * (`_NNNNN`, see [[bucketSuffix]]) and every row in it MUST hash to
+    * that bucket under `pmod(hash(col), n)` (Spark's own bucket hash);
+    * callers enforce both at WRITE time — a violated claim silently
+    * co-partitions wrong, which is why the reader also re-verifies the
+    * names before choosing this path.
+    */
+  def parquetBucketed(spark: SparkSession, files: Seq[(String, Long, Long)],
+      schema: StructType, numBuckets: Int, bucketCol: String): DataFrame = {
+    require(files.nonEmpty, "empty file list — nothing to scan")
+    require(schema.fieldNames.contains(bucketCol),
+      s"bucket column '$bucketCol' not in ${schema.fieldNames.mkString(",")}")
+    files.foreach { case (p, _, _) =>
+      require(bucketIdOf(new Path(p).getName).isDefined,
+        s"file $p carries no bucket id in its name — cannot scan bucketed")
+    }
+    relation(spark, new ManifestFileIndex(files.map(status)),
+      StructType(Nil), schema,
+      Some(BucketSpec(numBuckets, Seq(bucketCol), Nil)))
+  }
+
   /** Partitioned variant: `groups` is (partition values in
     * `partitionSchema` field order, as CATALYST values — `UTF8String`
     * for strings, days-int for dates — plus that partition's files).
@@ -112,13 +148,14 @@ object GraftFiles {
   }
 
   private def relation(spark: SparkSession, index: FileIndex,
-      partitionSchema: StructType, dataSchema: StructType): DataFrame = {
+      partitionSchema: StructType, dataSchema: StructType,
+      bucketSpec: Option[BucketSpec] = None): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
     val rel = HadoopFsRelation(
       index,
       partitionSchema = partitionSchema,
       dataSchema = dataSchema,
-      bucketSpec = None,
+      bucketSpec = bucketSpec,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(cs)
     classic.Dataset.ofRows(cs, LogicalRelation(rel))

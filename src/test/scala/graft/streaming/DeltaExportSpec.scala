@@ -136,7 +136,7 @@ class DeltaExportSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException] {
       DeltaExport.read(spark, p3)
     }
-    assert(e1.getMessage.contains("protocol 1 only"))
+    assert(e1.getMessage.contains("deletionVectors"))
 
     val dv = freshLog(Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta,
@@ -333,6 +333,110 @@ class DeltaExportSpec extends SparkSpec {
       DeltaExport.exportPartitioned(spark, df, root, Seq("dt"))
     }
     assert(e.getMessage.contains("already exists"))
+  }
+
+  test("reads a COLUMN-MAPPED (name mode, protocol 2) table: physical " +
+      "file/partition names resolved to logical columns; id/nested refused") {
+    import org.apache.spark.sql.types._
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    def mapped(name: String, phys: String, dt: String): StructField =
+      StructField(name, DataType.fromDDL(dt).asInstanceOf[DataType],
+        nullable = true, new MetadataBuilder()
+          .putLong("delta.columnMapping.id", 1L)
+          .putString("delta.columnMapping.physicalName", phys).build())
+
+    // physical layout: files under phys-dt= dirs storing (col-aaa, col-bbb)
+    val root = java.nio.file.Files.createTempDirectory("delta").toString
+    val physDf = Seq((1L, "x", "a"), (2L, "y", "b"))
+      .toDF("col-aaa", "col-bbb", "phys-dt")
+    physDf.write.partitionBy("phys-dt").parquet(s"$root/data")
+    val logical = StructType(Seq(
+      mapped("k", "col-aaa", "BIGINT"), mapped("s", "col-bbb", "STRING"),
+      mapped("dt", "phys-dt", "STRING")))
+
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    val meta = m.createObjectNode()
+    val md = meta.putObject("metaData")
+    md.put("id", "t").putObject("format").put("provider", "parquet")
+    md.put("schemaString", logical.json)
+    md.putArray("partitionColumns").add("dt")
+    md.putObject("configuration").put("delta.columnMapping.mode", "name")
+    lines += m.writeValueAsString(meta)
+    for {
+      dt <- Seq("a", "b")
+      f <- new java.io.File(s"$root/data/phys-dt=$dt").listFiles()
+      if f.getName.endsWith(".parquet")
+    } {
+      val n = m.createObjectNode()
+      val a = n.putObject("add")
+      a.put("path", s"data/phys-dt=$dt/${f.getName}")
+        .put("size", f.length()).put("modificationTime", f.lastModified())
+        .put("dataChange", true)
+      // partitionValues keyed by the PHYSICAL name, per the spec
+      a.putObject("partitionValues").put("phys-dt", dt)
+      lines += m.writeValueAsString(n)
+    }
+    val dir = new java.io.File(root, "_delta_log"); dir.mkdirs()
+    val w = new java.io.PrintWriter(
+      new java.io.File(dir, "00000000000000000000.json"), "UTF-8")
+    try lines.foreach(w.println) finally w.close()
+
+    val got = DeltaExport.read(spark, root)
+    assert(got.columns.toSeq == Seq("k", "s", "dt"))
+    assert(got.as[(Long, String, String)].collect().sorted.toSeq ==
+      Seq((1L, "x", "a"), (2L, "y", "b")))
+    // a LOGICAL-name filter still prunes the physical metadata partition
+    assert(got.filter(col("dt") === "b").select("k")
+      .as[Long].collect().toSeq == Seq(2L))
+
+    // 'id' mode is refused by name
+    val idRoot = java.nio.file.Files.createTempDirectory("delta").toString
+    val idDir = new java.io.File(idRoot, "_delta_log"); idDir.mkdirs()
+    val w2 = new java.io.PrintWriter(
+      new java.io.File(idDir, "00000000000000000000.json"), "UTF-8")
+    try {
+      w2.println(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
+      val meta2 = m.createObjectNode()
+      val md2 = meta2.putObject("metaData")
+      md2.put("id", "t").putObject("format").put("provider", "parquet")
+      md2.put("schemaString", logical.json)
+      md2.putArray("partitionColumns")
+      md2.putObject("configuration").put("delta.columnMapping.mode", "id")
+      w2.println(m.writeValueAsString(meta2))
+      w2.println("""{"add":{"path":"f.parquet","size":1,""" +
+        """"modificationTime":1,"dataChange":true,"partitionValues":{}}}""")
+    } finally w2.close()
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaExport.read(spark, idRoot)
+    }
+    assert(e1.getMessage.contains("'id'"))
+
+    // a mapped NESTED column is refused by name
+    val nestRoot = java.nio.file.Files.createTempDirectory("delta").toString
+    val nested = StructType(Seq(mapped("k", "col-aaa", "BIGINT"),
+      mapped("o", "col-obj", "STRUCT<x: INT>")))
+    val nDir = new java.io.File(nestRoot, "_delta_log"); nDir.mkdirs()
+    val w3 = new java.io.PrintWriter(
+      new java.io.File(nDir, "00000000000000000000.json"), "UTF-8")
+    try {
+      w3.println(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
+      val meta3 = m.createObjectNode()
+      val md3 = meta3.putObject("metaData")
+      md3.put("id", "t").putObject("format").put("provider", "parquet")
+      md3.put("schemaString", nested.json)
+      md3.putArray("partitionColumns")
+      md3.putObject("configuration").put("delta.columnMapping.mode", "name")
+      w3.println(m.writeValueAsString(meta3))
+      w3.println("""{"add":{"path":"f.parquet","size":1,""" +
+        """"modificationTime":1,"dataChange":true,"partitionValues":{}}}""")
+    } finally w3.close()
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaExport.read(spark, nestRoot)
+    }
+    assert(e2.getMessage.contains("NESTED"))
   }
 
   test("history, timestamp time travel, and cleanLog round out the " +

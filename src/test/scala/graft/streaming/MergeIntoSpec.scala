@@ -510,7 +510,8 @@ class MergeIntoSpec extends SparkSpec {
       deleteCol = Some("del"))
     // only the metadata slots survive — no data entry left
     assert(ManifestStore.latest(spark, root).get.entries.keySet ==
-      Set(MergeInto.NumBucketsSlot, MergeInto.SchemaSlot))
+      Set(MergeInto.NumBucketsSlot, MergeInto.SchemaSlot,
+        MergeInto.BucketKeySlot))
   }
 
   test("partial-column update: matched rows keep unlisted columns") {
