@@ -246,7 +246,9 @@ object CdcQueries {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    val root = Paths.get(s"$base/$key/orders_delta_sink_v1")
+    // _v2: batches export with changeData — each delta version carries
+    // the protocol cdc action + _change_data file for its row-level diff
+    val root = Paths.get(s"$base/$key/orders_delta_sink_v2")
     val store = root.resolve("table").toString
     graft.streaming.FixtureLock.once(root) {
         import org.apache.spark.sql.expressions.Window
@@ -264,7 +266,7 @@ object CdcQueries {
         val b2b = b2.filter(pmod(hash(col("id")), lit(2)) === 1)
         def apply(df: DataFrame, batchId: Long): Long =
           graft.streaming.DeltaSink.upsertBatch(s, df, store, "id",
-            batchId, deleteCol = Some("del"))
+            batchId, deleteCol = Some("del"), changeData = true)
         apply(b1, 0L)
         val v1 = apply(b2a, 1L)
         require(apply(b2a, 1L) == v1, "replayed batch must be a no-op")
@@ -1053,6 +1055,20 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // DELTA CHANGE DATA FEED driver-gated (the protocol's cdc action):
+    // table_changes(1, 2) over the sink table — each exported batch's
+    // row-level diff read back from its _change_data files. The two
+    // batches partition the changed keys (id-hash-disjoint slices), so
+    // their concatenated feeds equal the clean one-batch feed, which is
+    // exactly what the oracle derives relationally.
+    "cdc_delta_cdf" -> ((s, dir) => {
+      val store = deltaSinkTableDir(s, dir)
+      graft.streaming.DeltaExport.readChanges(s, store, 1L, 2L)
+        .select(col("id"), col("status"), col("totalprice"),
+          col("_change_type"))
+        .orderBy(col("id"), col("_change_type"))
+    }),
+
     // COLUMN-MAPPED DELTA TABLE driver-gated (protocol 2, name mode):
     // physical `col-*` file columns and physically-keyed partitionValues
     // resolved to the logical schema entirely from the log's field
@@ -1474,6 +1490,39 @@ object CdcQueries {
   private lazy val mergeFinalStateSql: String =
     mergeFinalStateSqlWhere("TRUE")
 
+  private lazy val changeFeedOracleSql: String = s"""$changesCte, b2 AS (
+        SELECT id, status, totalprice, operation_type FROM (
+          SELECT id, status, totalprice, operation_type,
+            ROW_NUMBER() OVER (PARTITION BY id
+                               ORDER BY log_seq_num DESC) AS rn
+          FROM changes WHERE operation_type != 'CREATE'
+        ) WHERE rn = 1
+      ), v1 AS (
+        SELECT id, status, totalprice FROM changes
+        WHERE operation_type = 'CREATE'
+      ), diff AS (
+        SELECT v1.id, v1.status AS s_pre, v1.totalprice AS p_pre,
+               b2.status AS s_post, b2.totalprice AS p_post,
+               b2.operation_type AS op
+        FROM v1 JOIN b2 USING (id)
+      )
+      SELECT id, status, totalprice, _change_type FROM (
+        SELECT id, s_pre AS status, p_pre AS totalprice,
+               'delete' AS _change_type
+        FROM diff WHERE op = 'DELETE'
+        UNION ALL
+        SELECT id, s_pre, p_pre, 'update_preimage'
+        FROM diff WHERE op != 'DELETE'
+          AND (s_post IS DISTINCT FROM s_pre
+               OR p_post IS DISTINCT FROM p_pre)
+        UNION ALL
+        SELECT id, s_post, p_post, 'update_postimage'
+        FROM diff WHERE op != 'DELETE'
+          AND (s_post IS DISTINCT FROM s_pre
+               OR p_post IS DISTINCT FROM p_pre)
+      )
+      ORDER BY id, _change_type"""
+
   val oracleSql: Map[String, String] = Map(
     // the foreign-reader view of the export = the committed snapshot
     "cdc_merge_export" -> mergeFinalStateSql,
@@ -1760,38 +1809,12 @@ object CdcQueries {
     // Key-level value diff of v2 against v1: v1 is the CREATE batch, v2
     // applies each key's LATEST non-create event — deletes emit one row,
     // value-changing rewrites a pre/post pair, identical rewrites nothing.
-    "cdc_change_feed" -> s"""$changesCte, b2 AS (
-        SELECT id, status, totalprice, operation_type FROM (
-          SELECT id, status, totalprice, operation_type,
-            ROW_NUMBER() OVER (PARTITION BY id
-                               ORDER BY log_seq_num DESC) AS rn
-          FROM changes WHERE operation_type != 'CREATE'
-        ) WHERE rn = 1
-      ), v1 AS (
-        SELECT id, status, totalprice FROM changes
-        WHERE operation_type = 'CREATE'
-      ), diff AS (
-        SELECT v1.id, v1.status AS s_pre, v1.totalprice AS p_pre,
-               b2.status AS s_post, b2.totalprice AS p_post,
-               b2.operation_type AS op
-        FROM v1 JOIN b2 USING (id)
-      )
-      SELECT id, status, totalprice, _change_type FROM (
-        SELECT id, s_pre AS status, p_pre AS totalprice,
-               'delete' AS _change_type
-        FROM diff WHERE op = 'DELETE'
-        UNION ALL
-        SELECT id, s_pre, p_pre, 'update_preimage'
-        FROM diff WHERE op != 'DELETE'
-          AND (s_post IS DISTINCT FROM s_pre
-               OR p_post IS DISTINCT FROM p_pre)
-        UNION ALL
-        SELECT id, s_post, p_post, 'update_postimage'
-        FROM diff WHERE op != 'DELETE'
-          AND (s_post IS DISTINCT FROM s_pre
-               OR p_post IS DISTINCT FROM p_pre)
-      )
-      ORDER BY id, _change_type""",
+    "cdc_change_feed" -> changeFeedOracleSql,
+
+    // The delta change feed over versions 1..2 of the sink table is the
+    // SAME key-level diff (the two slices are id-disjoint, so their
+    // concatenated feeds equal the one-batch feed).
+    "cdc_delta_cdf" -> changeFeedOracleSql,
 
     // Version 1 = the CREATE batch exactly as committed.
     "cdc_merge_time_travel" -> s"""$changesCte

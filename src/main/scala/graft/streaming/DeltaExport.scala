@@ -416,6 +416,13 @@ object DeltaExport {
   /** The txn appId this exporter writes streaming progress under. */
   def txnAppId(root: String): String = s"graft-merge-${tableId(root)}"
 
+  /** The txn appId under which every export records the MANIFEST version
+    * it published — the anchor the change-data export diffs from (and a
+    * precise delta-version → manifest-version map for free).
+    */
+  def manifestAppId(root: String): String =
+    s"graft-snapshot-${tableId(root)}"
+
   /** The last streaming-writer version recorded for `appId` (default:
     * this exporter's own), resolved from the DELTA log — the restart
     * query the protocol's txn action exists for.
@@ -444,7 +451,8 @@ object DeltaExport {
     * @return (deltaVersion, path of the version's log file)
     */
   def export(spark: SparkSession, root: String,
-      checkpointInterval: Int = 10): (Long, String) = {
+      checkpointInterval: Int = 10,
+      changeDataKey: Option[String] = None): (Long, String) = {
     require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
     val snap = ManifestStore.latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed table under $root"))
@@ -510,6 +518,46 @@ object DeltaExport {
         .put("version", v).put("lastUpdated", now)
       lines += m.writeValueAsString(t)
     }
+    // every export anchors its MANIFEST version as a txn action: the
+    // next export's change-data diff starts from it, and any reader gets
+    // a delta→manifest version map
+    val prevManifest = prev.txns.get(manifestAppId(root))
+    if (!prevManifest.contains(snap.version)) {
+      val t = m.createObjectNode()
+      t.putObject("txn").put("appId", manifestAppId(root))
+        .put("version", snap.version).put("lastUpdated", now)
+      lines += m.writeValueAsString(t)
+    }
+    // CHANGE DATA FEED (the protocol's cdc action): the row-level diff
+    // between the previously exported manifest version and this one,
+    // written under _change_data/ and referenced with dataChange=false —
+    // a CDF reader consumes these; a snapshot reader ignores them.
+    for (key <- changeDataKey; from <- prevManifest
+         if from < snap.version) {
+      val changes = MergeInto
+        .changeFeed(spark, root, key, from, snap.version)
+        .drop("__bucket")
+      if (!changes.isEmpty) {
+        val cdcDir = new Path(root, "_change_data")
+        val tmp = new Path(cdcDir, s".cdctmp-${java.util.UUID.randomUUID}")
+        changes.coalesce(1).write.parquet(tmp.toString)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.startsWith("part-")).getOrElse(
+            throw new IllegalStateException(
+              s"change-data stage at $tmp produced no part file"))
+        val out = new Path(cdcDir,
+          f"cdc-$version%020d-${java.util.UUID.randomUUID}.parquet")
+        val size = fs.getFileStatus(part).getLen
+        require(fs.rename(part, out), s"could not publish $out")
+        fs.delete(tmp, true)
+        val n = m.createObjectNode()
+        n.putObject("cdc")
+          .put("path", encodePath(s"_change_data/${out.getName}"))
+          .put("size", size).put("dataChange", false)
+          .putObject("partitionValues")
+        lines += m.writeValueAsString(n)
+      }
+    }
     (prev.live.keySet -- current.keySet).toSeq.sorted.foreach { path =>
       val n = m.createObjectNode()
       n.putObject("remove").put("path", encodePath(path))
@@ -551,7 +599,8 @@ object DeltaExport {
       writeCheckpoint(spark, fs, root,
         LogState(version, Some(schemaJson), Nil, "none", current,
           prev.txns ++ snap.entries.get(MergeInto.LastTxnSlot)
-            .map(v => txnAppId(root) -> v.toLong)))
+            .map(v => txnAppId(root) -> v.toLong) +
+          (manifestAppId(root) -> snap.version)))
     (version, out.toString)
   }
 
@@ -786,6 +835,53 @@ object DeltaExport {
     // logical names + the schemaString's declared order
     scanned.select(full.fieldNames.toIndexedSeq.map(n =>
       org.apache.spark.sql.functions.col(physOf(n)).as(n)): _*)
+  }
+
+  /** CHANGE DATA FEED read (`table_changes(from, to)`): the row-level
+    * changes of delta versions `fromVersion..toVersion` (-1 = latest),
+    * reconstructed from each version's `cdc` actions, with the reader-
+    * generated `_commit_version` column. Version 0 without cdc files is
+    * the initial WRITE — its adds ARE the inserts (the spec's add/remove
+    * fallback is only sound there); any later version without change
+    * data is refused loudly (a bucket-rewriting commit's adds are NOT
+    * its row-level changes), as is a version whose JSON was expired.
+    */
+  def readChanges(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long = -1L): DataFrame = {
+    val fs = logPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = listVersions(fs, root).toMap
+    require(versions.nonEmpty, s"no retained delta log under $root")
+    val hi = if (toVersion < 0) versions.keys.max else toVersion
+    require(fromVersion >= 0 && fromVersion <= hi,
+      s"bad change range $fromVersion..$hi")
+    val m = mapper
+    import org.apache.spark.sql.functions.lit
+    val frames = (fromVersion to hi).map { v =>
+      val p = versions.getOrElse(v, throw new IllegalArgumentException(
+        s"delta version $v at $root is not retained (log expired) — " +
+          "its change feed is gone with it"))
+      val lines = readLines(fs, p)
+      val nodes = lines.map(m.readTree)
+      val cdc = nodes.filter(_.has("cdc"))
+        .map(n => decodePath(n.get("cdc").get("path").asText()))
+      if (cdc.nonEmpty)
+        spark.read.parquet(cdc.map(rel => s"$root/$rel"): _*)
+          .withColumn("_commit_version", lit(v))
+      else if (v == 0L) {
+        val adds = nodes.filter(_.has("add"))
+          .map(n => decodePath(n.get("add").get("path").asText()))
+        require(adds.nonEmpty, s"delta v0 at $root has no add actions")
+        spark.read.parquet(adds.map(rel => s"$root/$rel"): _*)
+          .drop("__bucket")
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(0L))
+      } else throw new IllegalArgumentException(
+        s"delta version $v at $root carries no change-data files — it " +
+          "was exported without changeDataKey; recompute the diff from " +
+          "the snapshots instead")
+    }
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** One retained log version's summary (DESCRIBE HISTORY interop). */

@@ -35,25 +35,30 @@ object DeltaSink {
   def upsertBatch(spark: SparkSession, batch: DataFrame, root: String,
       keyCol: String, batchId: Long, numBuckets: Int = 64,
       deleteCol: Option[String] = None,
-      checkpointInterval: Int = 10): Long = {
+      checkpointInterval: Int = 10,
+      changeData: Boolean = false): Long = {
     MergeInto.mergeBatch(spark, batch, root, keyCol, numBuckets,
       deleteCol, txnId = Some(batchId))
-    DeltaExport.export(spark, root, checkpointInterval)._1
+    DeltaExport.export(spark, root, checkpointInterval,
+      changeDataKey = if (changeData) Some(keyCol) else None)._1
   }
 
   /** Wire a streaming DataFrame of upserts into the sink. `keyCol` must
-    * be unique per batch (MERGE refuses ambiguous sources loudly).
+    * be unique per batch (MERGE refuses ambiguous sources loudly). With
+    * `changeData` each batch also publishes its row-level diff as the
+    * protocol's change data feed ([[DeltaExport.readChanges]]).
     */
   def start(changes: DataFrame, root: String, keyCol: String,
       checkpointLocation: String, numBuckets: Int = 64,
       deleteCol: Option[String] = None,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      changeData: Boolean = false): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointLocation)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         upsertBatch(batch.sparkSession, batch, root, keyCol, batchId,
-          numBuckets, deleteCol)
+          numBuckets, deleteCol, changeData = changeData)
         ()
       }
       .start()

@@ -52,6 +52,45 @@ class DeltaSinkSpec extends SparkSpec {
     assert(DeltaExport.read(spark, root).count() == 3)
   }
 
+  test("change data feed: each batch's row-level diff is published as a " +
+      "cdc action; table_changes reconstructs inserts/updates/deletes") {
+    val root = java.nio.file.Files.createTempDirectory("dsink").toString + "/t"
+    DeltaSink.upsertBatch(spark,
+      Seq((1L, "a", false), (2L, "b", false)).toDF("k", "s", "del"),
+      root, "k", 0L, 4, deleteCol = Some("del"), changeData = true)
+    DeltaSink.upsertBatch(spark,
+      Seq((1L, "A", false), (3L, "c", false), (2L, "", true))
+        .toDF("k", "s", "del"),
+      root, "k", 1L, 4, deleteCol = Some("del"), changeData = true)
+
+    // v0 = initial write: adds ARE the inserts (no cdc file needed)
+    val all = DeltaExport.readChanges(spark, root, 0L)
+      .select("k", "s", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().sorted.toSeq
+    assert(all == Seq(
+      (1L, "A", "update_postimage", 1L),
+      (1L, "a", "insert", 0L),
+      (1L, "a", "update_preimage", 1L),
+      (2L, "b", "delete", 1L),
+      (2L, "b", "insert", 0L),
+      (3L, "c", "insert", 1L)))
+    // the log carries a protocol cdc action pointing under _change_data
+    val l1 = scala.io.Source.fromFile(new java.io.File(
+      new java.io.File(root, "_delta_log"),
+      "00000000000000000001.json")).getLines().mkString("\n")
+    assert(l1.contains("\"cdc\"") && l1.contains("_change_data/"))
+    // the cdc file is NOT part of the snapshot (dataChange=false)
+    assert(DeltaExport.read(spark, root).count() == 2)
+    // a version exported without change data refuses the CDF read by name
+    MergeInto.mergeBatch(spark, Seq((5L, "e")).toDF("k", "s"), root, "k",
+      numBuckets = 4)
+    DeltaExport.export(spark, root)
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.readChanges(spark, root, 2L, 2L).collect()
+    }
+    assert(e.getMessage.contains("no change-data files"))
+  }
+
   test("a real AvailableNow stream lands every file batch exactly once " +
       "and the delta view equals the source's last-write-wins state") {
     val dir = java.nio.file.Files.createTempDirectory("dsink-src")
