@@ -52,8 +52,18 @@ object DeltaExport {
 
   private def mapper = new ObjectMapper()
 
+  /** The protocol's deletion-vector descriptor (add.deletionVector):
+    * `storageType` u = UUID-named sidecar relative to the table root,
+    * i = inline base85 payload, p = absolute path (refused — external
+    * file references are a different trust story, like shallow clones).
+    */
+  private[streaming] case class DvDescriptor(storageType: String,
+      pathOrInlineDv: String, offset: Option[Long], sizeInBytes: Int,
+      cardinality: Long)
+
   private case class FileEntry(size: Long, modTime: Long,
-      partValues: Map[String, Option[String]])
+      partValues: Map[String, Option[String]],
+      dv: Option[DvDescriptor] = None)
 
   private case class LogState(
       version: Long, // latest delta version present, -1 if none
@@ -61,7 +71,12 @@ object DeltaExport {
       partitionCols: Seq[String], // last metaData.partitionColumns
       mappingMode: String, // delta.columnMapping.mode (none|name|id)
       live: Map[String, FileEntry], // DECODED rel path -> entry
-      txns: Map[String, Long]) // txn action appId -> latest version
+      txns: Map[String, Long], // txn action appId -> latest version
+      writerVersion: Int = 2, // last protocol.minWriterVersion
+      configuration: Map[String, String] = Map.empty, // metaData.configuration
+      readerVersion: Int = 1, // last protocol.minReaderVersion
+      readerFeatures: Set[String] = Set.empty,
+      writerFeatures: Set[String] = Set.empty)
 
   private def logPath(root: String) = new Path(root, LogDir)
 
@@ -111,7 +126,8 @@ object DeltaExport {
     * readerFeature is one we implement. Anything else is refused by
     * name, never misread.
     */
-  private val SupportedReaderFeatures = Set("columnMapping")
+  private val SupportedReaderFeatures = Set("columnMapping",
+    "deletionVectors")
 
   private def checkProtocol(root: String, minReader: Int,
       readerFeatures: Seq[String]): Unit = {
@@ -134,6 +150,11 @@ object DeltaExport {
     var schemaJson: Option[String] = None
     var partitionCols: Seq[String] = Nil
     var mappingMode: String = "none"
+    var writerVersion: Int = 2
+    var readerVersion: Int = 1
+    var readerFeatures: Set[String] = Set.empty
+    var writerFeatures: Set[String] = Set.empty
+    var configuration: Map[String, String] = Map.empty
     val live = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
     val txns = scala.collection.mutable.Map.empty[String, Long]
 
@@ -141,24 +162,38 @@ object DeltaExport {
       val node = m.readTree(line)
       if (node.has("protocol")) {
         val pr = node.get("protocol")
-        checkProtocol(root, pr.get("minReaderVersion").asInt(),
-          Option(pr.get("readerFeatures")).toSeq
-            .flatMap(_.elements().asScala).map(_.asText()))
+        val rf = Option(pr.get("readerFeatures")).toSeq
+          .flatMap(_.elements().asScala).map(_.asText())
+        checkProtocol(root, pr.get("minReaderVersion").asInt(), rf)
+        readerVersion = pr.get("minReaderVersion").asInt()
+        readerFeatures = rf.toSet
+        writerFeatures = Option(pr.get("writerFeatures")).toSeq
+          .flatMap(_.elements().asScala).map(_.asText()).toSet
+        writerVersion = Option(pr.get("minWriterVersion"))
+          .map(_.asInt()).getOrElse(writerVersion)
       } else if (node.has("metaData")) {
         val md = node.get("metaData")
         checkFormat(root, md.get("format").get("provider").asText())
         val parts = Option(md.get("partitionColumns"))
         partitionCols = parts.toSeq.flatMap(_.elements().asScala)
           .map(_.asText())
-        mappingMode = Option(md.get("configuration"))
-          .flatMap(c => Option(c.get("delta.columnMapping.mode")))
-          .map(_.asText()).getOrElse("none")
+        configuration = Option(md.get("configuration")).map { c =>
+          c.properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap
+        }.getOrElse(Map.empty)
+        mappingMode =
+          configuration.getOrElse("delta.columnMapping.mode", "none")
         schemaJson = Some(md.get("schemaString").asText())
       } else if (node.has("add")) {
         val a = node.get("add")
-        require(!a.has("deletionVector") || a.get("deletionVector").isNull,
-          s"delta table at $root carries deletion vectors — protocol-3 " +
-            "feature this native reader refuses rather than misread")
+        val dv = Option(a.get("deletionVector")).filterNot(_.isNull)
+          .map { d =>
+            DvDescriptor(d.get("storageType").asText(),
+              d.get("pathOrInlineDv").asText(),
+              Option(d.get("offset")).filterNot(_.isNull).map(_.asLong()),
+              d.get("sizeInBytes").asInt(),
+              d.get("cardinality").asLong())
+          }
         val pv = Option(a.get("partitionValues")).map { n =>
           n.properties().asScala.map { e =>
             e.getKey -> (if (e.getValue.isNull) None
@@ -167,7 +202,7 @@ object DeltaExport {
         }.getOrElse(Map.empty[String, Option[String]])
         live += decodePath(a.get("path").asText()) ->
           FileEntry(a.get("size").asLong(),
-            a.get("modificationTime").asLong(), pv)
+            a.get("modificationTime").asLong(), pv, dv)
       } else if (node.has("remove")) {
         live -= decodePath(node.get("remove").get("path").asText())
       } else if (node.has("txn")) {
@@ -178,7 +213,8 @@ object DeltaExport {
 
     def state(version: Long): LogState =
       LogState(version, schemaJson, partitionCols, mappingMode,
-        live.toMap, txns.toMap)
+        live.toMap, txns.toMap, writerVersion, configuration,
+        readerVersion, readerFeatures, writerFeatures)
   }
 
   // -------------------------------------------------------------------
@@ -191,25 +227,127 @@ object DeltaExport {
   private def lastCheckpointPath(root: String): Path =
     new Path(logPath(root), "_last_checkpoint")
 
-  /** The `_last_checkpoint` hint, validated: multi-part and v2 (UUID-
-    * named / sidecar) checkpoints are newer protocol features — refused
-    * by name, never half-read.
+  private val CpFile = """^(\d{20})\.checkpoint\.parquet$""".r
+
+  /** Classic single-part checkpoint versions actually PRESENT in the
+    * log directory, ascending. This listing — not `_last_checkpoint` —
+    * is the source of truth for replay starting points: the spec makes
+    * the hint file optional and advisory, and after log expiration a
+    * version between an older retained checkpoint and the newest one is
+    * still answerable from the older file even though the hint names
+    * the newest. Multi-part (`.checkpoint.NNN.MMM.parquet`) and v2
+    * UUID-named checkpoints never match this pattern, so they are
+    * simply invisible here — the hint is then consulted to refuse them
+    * BY NAME when nothing else can answer.
     */
-  private def lastCheckpointVersion(fs: FileSystem,
-      root: String): Option[Long] = {
+  private def listCheckpoints(fs: FileSystem, root: String): Seq[Long] = {
+    val dir = logPath(root)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.flatMap(st => st.getPath.getName match {
+      case CpFile(v) => Some(v.toLong)
+      case _ => None
+    }).sorted
+  }
+
+  /** The `_last_checkpoint` hint, parsed but NOT validated — (version,
+    * parts). Used only to extend latest-version knowledge and to name
+    * the reason when a table is readable ONLY through a checkpoint form
+    * this reader lacks.
+    */
+  private def lastCheckpointHint(fs: FileSystem,
+      root: String): Option[(Long, Int)] = {
     val p = lastCheckpointPath(root)
     if (!fs.exists(p)) return None
     val node = mapper.readTree(readLines(fs, p).mkString("\n"))
-    val v = node.get("version").asLong()
-    val parts = Option(node.get("parts")).map(_.asInt()).getOrElse(1)
-    require(parts == 1,
-      s"delta table at $root has a multi-part checkpoint (parts=$parts) " +
-        "— only classic single-part checkpoints are supported")
-    require(fs.exists(checkpointFile(root, v)),
-      s"delta table at $root: _last_checkpoint names version $v but " +
-        s"${checkpointFile(root, v).getName} does not exist — v2/UUID-" +
-        "named checkpoints are not supported")
-    Some(v)
+    Some((node.get("version").asLong(),
+      Option(node.get("parts")).map(_.asInt()).getOrElse(1)))
+  }
+
+  // -------------------------------------------------------------------
+  // Deletion vectors (the protocol's merge-on-read row-level deletes)
+  // -------------------------------------------------------------------
+
+  private def dvFileName(u: java.util.UUID): String =
+    s"deletion_vector_$u.bin"
+
+  /** Resolve a `u`-storage descriptor to its sidecar path: the last 20
+    * chars of pathOrInlineDv are the base85 UUID, anything before them
+    * is the optional random directory prefix (the protocol's naming
+    * scheme for DV files).
+    */
+  private def dvPath(root: String, d: DvDescriptor): Path = {
+    val prefix = d.pathOrInlineDv.dropRight(20)
+    val uuid = Base85.decodeUuid(d.pathOrInlineDv.takeRight(20))
+    if (prefix.isEmpty) new Path(root, dvFileName(uuid))
+    else new Path(new Path(root, prefix), dvFileName(uuid))
+  }
+
+  private def readFully(fs: FileSystem, p: Path): Array[Byte] = {
+    val len = fs.getFileStatus(p).getLen
+    require(len <= Int.MaxValue, s"$p is absurdly large for a DV sidecar")
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    buf
+  }
+
+  /** Decode every live deletion vector into SORTED deleted-row-index
+    * arrays keyed by table-relative data-file path. Each sidecar file is
+    * read once; each blob is length- and CRC-verified per the protocol's
+    * DV file format (1-byte version, then per blob: 4-byte big-endian
+    * size, bitmap bytes, 4-byte big-endian CRC-32). Driver-side volume
+    * is bounded by the table's deleted-row count — the same metadata
+    * every merge-on-read Delta reader materializes to plan a scan.
+    */
+  private def loadDvSets(fs: FileSystem, root: String,
+      live: Map[String, FileEntry]): Map[String, Array[Long]] = {
+    val dvd = live.toSeq.collect {
+      case (rel, fe) if fe.dv.nonEmpty => rel -> fe.dv.get
+    }
+    if (dvd.isEmpty) return Map.empty
+    val sidecars = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    dvd.map { case (rel, d) =>
+      val data: Array[Byte] = d.storageType match {
+        case "i" =>
+          val raw = Base85.decode(d.pathOrInlineDv)
+          require(raw.length >= d.sizeInBytes,
+            s"inline DV for $rel decodes to ${raw.length} bytes, " +
+              s"descriptor says ${d.sizeInBytes}")
+          raw.take(d.sizeInBytes)
+        case "u" =>
+          val p = dvPath(root, d)
+          val all = sidecars.getOrElseUpdate(p.toString, readFully(fs, p))
+          require(all.nonEmpty && all(0) == 1,
+            s"DV sidecar $p has format version ${if (all.isEmpty) "?"
+              else all(0)} — only version 1 is defined by the protocol")
+          val off = d.offset.getOrElse(throw new IllegalArgumentException(
+            s"DV descriptor for $rel names a sidecar but no offset"))
+          val bb = java.nio.ByteBuffer.wrap(all) // big-endian by default
+          bb.position(off.toInt)
+          val len = bb.getInt
+          require(len == d.sizeInBytes,
+            s"DV blob at $p:$off declares $len bytes, descriptor says " +
+              s"${d.sizeInBytes}")
+          val out = new Array[Byte](len)
+          bb.get(out)
+          val stored = bb.getInt
+          val crc = new java.util.zip.CRC32()
+          crc.update(out)
+          require(crc.getValue == Integer.toUnsignedLong(stored),
+            s"DV blob at $p:$off fails its CRC-32 — corrupt sidecar")
+          out
+        case "p" => throw new IllegalArgumentException(
+          s"DV for $rel uses absolute-path storage ('p') — external " +
+            "file references are not supported by this reader")
+        case other => throw new IllegalArgumentException(
+          s"DV for $rel uses unknown storage type '$other'")
+      }
+      val bm = RoaringBitmap64.deserialize(data)
+      require(bm.cardinality == d.cardinality,
+        s"DV for $rel decodes ${bm.cardinality} rows, descriptor says " +
+          s"${d.cardinality} — corrupt descriptor")
+      rel -> bm.values.toArray
+    }.toMap
   }
 
   private def optField[T](row: Row, name: String): Option[T] =
@@ -232,10 +370,17 @@ object DeltaExport {
     val rows = spark.read.parquet(checkpointFile(root, v).toString).collect()
     rows.foreach { row =>
       optField[Row](row, "protocol").foreach { pr =>
+        val rf = optField[scala.collection.Seq[String]](pr, "readerFeatures")
+          .map(_.toSeq).getOrElse(Nil)
         checkProtocol(root,
-          optField[Int](pr, "minReaderVersion").getOrElse(1),
-          optField[scala.collection.Seq[String]](pr, "readerFeatures")
-            .map(_.toSeq).getOrElse(Nil))
+          optField[Int](pr, "minReaderVersion").getOrElse(1), rf)
+        r.readerVersion = optField[Int](pr, "minReaderVersion").getOrElse(1)
+        r.readerFeatures = rf.toSet
+        r.writerFeatures =
+          optField[scala.collection.Seq[String]](pr, "writerFeatures")
+            .map(_.toSet).getOrElse(Set.empty)
+        r.writerVersion =
+          optField[Int](pr, "minWriterVersion").getOrElse(r.writerVersion)
       }
       optField[Row](row, "metaData").foreach { md =>
         optField[Row](md, "format").flatMap(optField[String](_, "provider"))
@@ -243,21 +388,27 @@ object DeltaExport {
         r.partitionCols =
           optField[scala.collection.Seq[String]](md, "partitionColumns")
             .map(_.toSeq).getOrElse(Nil)
-        r.mappingMode =
+        r.configuration =
           optField[scala.collection.Map[String, String]](md, "configuration")
-            .flatMap(_.get("delta.columnMapping.mode")).getOrElse("none")
+            .map(_.toMap).getOrElse(Map.empty)
+        r.mappingMode =
+          r.configuration.getOrElse("delta.columnMapping.mode", "none")
         r.schemaJson = optField[String](md, "schemaString")
       }
       optField[Row](row, "add").foreach { a =>
-        require(optField[Row](a, "deletionVector").isEmpty,
-          s"delta checkpoint at $root carries deletion vectors — " +
-            "protocol-3 feature this native reader refuses")
+        val dv = optField[Row](a, "deletionVector").map { d =>
+          DvDescriptor(optField[String](d, "storageType").get,
+            optField[String](d, "pathOrInlineDv").get,
+            optField[Long](d, "offset"),
+            optField[Int](d, "sizeInBytes").get,
+            optField[Long](d, "cardinality").get)
+        }
         val pv = optField[scala.collection.Map[String, String]](
           a, "partitionValues").map(_.toMap.map { case (k, x) =>
             k -> Option(x) }).getOrElse(Map.empty[String, Option[String]])
         r.live += decodePath(optField[String](a, "path").get) ->
           FileEntry(optField[Long](a, "size").get,
-            optField[Long](a, "modificationTime").getOrElse(0L), pv)
+            optField[Long](a, "modificationTime").getOrElse(0L), pv, dv)
       }
       optField[Row](row, "txn").foreach { t =>
         for (app <- optField[String](t, "appId");
@@ -277,13 +428,17 @@ object DeltaExport {
     val cpSchema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("format", StructType(Seq(
           StructField("provider", StringType)))),
         StructField("schemaString", StringType),
         StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration",
+          MapType(StringType, StringType, valueContainsNull = true)),
         StructField("createdTime", LongType)))),
       StructField("add", StructType(Seq(
         StructField("path", StringType),
@@ -291,16 +446,27 @@ object DeltaExport {
           MapType(StringType, StringType, valueContainsNull = true)),
         StructField("size", LongType),
         StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType)))),
+        StructField("dataChange", BooleanType),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", LongType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType))))))),
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
         StructField("version", LongType))))))
     val rows: Seq[Row] =
-      Seq(Row(Row(1, 2), null, null, null),
+      Seq(Row(Row(state.readerVersion, state.writerVersion,
+          if (state.readerFeatures.isEmpty) null
+          else state.readerFeatures.toSeq.sorted,
+          if (state.writerFeatures.isEmpty) null
+          else state.writerFeatures.toSeq.sorted), null, null, null),
         Row(null, Row(tableId(root), Row("parquet"),
           state.schemaJson.getOrElse(throw new IllegalStateException(
             s"cannot checkpoint $root without a recorded schema")),
-          state.partitionCols, System.currentTimeMillis()), null, null)) ++
+          state.partitionCols, state.configuration,
+          System.currentTimeMillis()), null, null)) ++
       // latest txn per appId survives log expiration via the checkpoint,
       // exactly as the protocol specifies for transaction identifiers
       state.txns.toSeq.sortBy(_._1).map { case (app, v) =>
@@ -309,7 +475,10 @@ object DeltaExport {
       state.live.toSeq.sortBy(_._1).map { case (rel, fe) =>
         Row(null, null, Row(encodePath(rel),
           fe.partValues.map { case (k, v) => k -> v.orNull },
-          fe.size, fe.modTime, true), null)
+          fe.size, fe.modTime, true,
+          fe.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+            d.offset.map(Long.box).orNull, d.sizeInBytes,
+            d.cardinality)).orNull), null)
       }
     val tmpDir = new Path(logPath(root),
       s".cptmp-${java.util.UUID.randomUUID}")
@@ -345,9 +514,11 @@ object DeltaExport {
   private def replay(spark: SparkSession, fs: FileSystem, root: String,
       upTo: Option[Long]): LogState = {
     val versions = listVersions(fs, root)
-    val cp = lastCheckpointVersion(fs, root)
-    val latest = math.max(cp.getOrElse(-1L),
-      versions.lastOption.map(_._1).getOrElse(-1L))
+    val cps = listCheckpoints(fs, root)
+    val hint = lastCheckpointHint(fs, root)
+    val latest = Seq(cps.lastOption.getOrElse(-1L),
+      hint.map(_._1).getOrElse(-1L),
+      versions.lastOption.map(_._1).getOrElse(-1L)).max
     if (latest < 0)
       return LogState(-1L, None, Nil, "none", Map.empty, Map.empty)
     val target = upTo.getOrElse(latest)
@@ -356,16 +527,32 @@ object DeltaExport {
 
     val m = mapper
     val r = new Replayer(root)
-    val start = cp.filter(_ <= target) match {
+    // newest LISTED classic checkpoint at-or-below the target; when none
+    // and JSON is not dense from 0, refuse — naming the unsupported
+    // checkpoint form if the hint shows one would have answered
+    val start = cps.filter(_ <= target).lastOption match {
       case Some(cv) =>
         loadCheckpoint(spark, root, cv, r)
         cv
       case None =>
-        require(versions.nonEmpty && versions.head._1 == 0L,
-          s"delta log at $root/$LogDir does not start at version 0 " +
-            s"(first=${versions.headOption.map(_._1).getOrElse(-1L)}) " +
-            "and no usable checkpoint covers the requested version — " +
-            "cleaned-up log versions cannot be replayed")
+        if (!(versions.nonEmpty && versions.head._1 == 0L)) hint match {
+          case Some((v, parts)) if parts > 1 =>
+            throw new IllegalArgumentException(
+              s"delta table at $root has a multi-part checkpoint " +
+                s"(version $v, parts=$parts) — only classic single-part " +
+                "checkpoints are supported")
+          case Some((v, _)) if !fs.exists(checkpointFile(root, v)) =>
+            throw new IllegalArgumentException(
+              s"delta table at $root: _last_checkpoint names version $v " +
+                s"but ${checkpointFile(root, v).getName} does not exist " +
+                "— v2/UUID-named checkpoints are not supported")
+          case _ =>
+            throw new IllegalArgumentException(
+              s"delta log at $root/$LogDir does not start at version 0 " +
+                s"(first=${versions.headOption.map(_._1).getOrElse(-1L)})" +
+                " and no usable checkpoint covers the requested version" +
+                " — cleaned-up log versions cannot be replayed")
+        }
         -1L
     }
     val tail = versions.filter(v => v._1 > start && v._1 <= target)
@@ -442,9 +629,18 @@ object DeltaExport {
 
   /** Publish the latest committed snapshot as the next delta version.
     * Idempotent: if the log's live state already equals the snapshot
-    * (same files, same schema), nothing is written and the existing
-    * version is returned. Refuses while a deletion vector is pending —
-    * Delta readers cannot subtract our DV sidecar; materialize first.
+    * (same files, same schema, same deleted-row sets), nothing is
+    * written and the existing version is returned.
+    *
+    * A pending deletion vector (merge-on-read deletes not yet
+    * materialized) is refused by default — foreign readers cannot
+    * subtract the raw key sidecar. With `deleteVectors = true` it is
+    * instead PUBLISHED as protocol deletion vectors: per-file roaring
+    * bitmaps of deleted row positions in a `deletion_vector_<uuid>.bin`
+    * sidecar, referenced from `add.deletionVector` descriptors, with the
+    * protocol upgraded to reader 3 / writer 7 + the `deletionVectors`
+    * feature — exactly what delta-spark ≥2.3 writes on a DELETE.
+    *
     * Every `checkpointInterval` versions the new state is also written
     * as a classic checkpoint, keeping replay cost O(interval) forever.
     *
@@ -452,13 +648,17 @@ object DeltaExport {
     */
   def export(spark: SparkSession, root: String,
       checkpointInterval: Int = 10,
-      changeDataKey: Option[String] = None): (Long, String) = {
+      changeDataKey: Option[String] = None,
+      deleteVectors: Boolean = false): (Long, String) = {
     require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
     val snap = ManifestStore.latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed table under $root"))
-    require(!snap.entries.contains(MergeInto.DvSlot),
+    val dvRel = snap.entries.get(MergeInto.DvSlot)
+    require(dvRel.isEmpty || deleteVectors,
       s"table at $root has a pending deletion vector — Delta readers " +
-        "cannot subtract it; run materializeDeletes before exporting")
+        "cannot subtract the raw key sidecar; run materializeDeletes " +
+        "before exporting, or pass deleteVectors=true to publish it as " +
+        "protocol deletion vectors")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = logPath(root).getFileSystem(conf)
     val prev = replay(spark, fs, root, None)
@@ -470,30 +670,118 @@ object DeltaExport {
     val schema = tableSchema(spark, root, snap)
     val schemaJson = schema.json
 
-    val current = files.map(f =>
-      f._1 -> FileEntry(f._2, f._3, Map.empty)).toMap
+    // pending deleted KEYS -> per-file deleted ROW POSITIONS: one scan
+    // of the snapshot's files joined against the (broadcast) key
+    // sidecar. The driver collect is bounded by the deleted-row count —
+    // the same volume as the DV bitmaps being built from it.
+    val newDvSets: Map[String, Array[Long]] = dvRel match {
+      case Some(rel) if files.nonEmpty =>
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val keys = spark.read.parquet(s"$root/$rel")
+        val keyCol = keys.schema.fieldNames.head
+        val relByName = files.map(f => new Path(f._1).getName -> f._1).toMap
+        require(relByName.size == files.size,
+          s"duplicate data-file names under $root — cannot key deletion " +
+            "vectors by file name")
+        spark.read.parquet(files.map(f => s"$root/${f._1}"): _*)
+          .select(col(keyCol), col("_metadata.file_name").as("__f"),
+            col("_metadata.row_index").as("__i"))
+          .join(broadcast(keys.select(col(keyCol))), Seq(keyCol))
+          .select("__f", "__i").collect()
+          .groupBy(r => relByName(r.getString(0)))
+          .map { case (r2, rows) => r2 -> rows.map(_.getLong(1)).sorted }
+      case _ => Map.empty
+    }
+
     val version = prev.version + 1
     val existing = new Path(logPath(root), f"${prev.version}%020d.json")
-    if (prev.version >= 0 && prev.live == current &&
-        prev.schemaJson.contains(schemaJson))
+    // idempotence is SEMANTIC for DVs: descriptors carry fresh UUIDs on
+    // every publish, so equality compares the DECODED deleted-row sets
+    val prevDvSets =
+      if (prev.live.valuesIterator.exists(_.dv.nonEmpty))
+        loadDvSets(fs, root, prev.live)
+      else Map.empty[String, Array[Long]]
+    def dvSame(p: String): Boolean =
+      (newDvSets.get(p), prevDvSets.get(p)) match {
+        case (None, None) => true
+        case (Some(a), Some(b)) => java.util.Arrays.equals(a, b)
+        case _ => false
+      }
+    val sameFiles = prev.version >= 0 &&
+      prev.live.keySet == files.map(_._1).toSet &&
+      files.forall { case (p, s, mt) =>
+        prev.live.get(p).exists(e => e.size == s && e.modTime == mt) } &&
+      prev.schemaJson.contains(schemaJson)
+    if (sameFiles && (newDvSets.keySet ++ prevDvSets.keySet).forall(dvSame))
       return (prev.version, existing.toString)
 
     val m = mapper
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (version == 0L) {
+    // PROTOCOL — monotone upgrades, feature-gated per the spec: cdc
+    // actions need writer 4 (or the changeDataFeed feature) + the
+    // enableChangeDataFeed table property, or foreign table_changes()
+    // refuses/ignores the feed; deletion vectors need reader 3 / writer
+    // 7 with the deletionVectors feature on BOTH lists. Upgrading to
+    // the features protocol also lists the legacy features the previous
+    // version implied (appendOnly/invariants from writer 2, CDF from 4,
+    // columnMapping from reader 2).
+    val wantCdf = changeDataKey.isDefined
+    val wantDvNow = newDvSets.nonEmpty
+    val desiredReader =
+      math.max(prev.readerVersion, if (wantDvNow) 3 else 1)
+    val desiredWriter = Seq(prev.writerVersion, 2,
+      if (wantCdf) 4 else 0, if (wantDvNow) 7 else 0).max
+    val legacyColmap =
+      if (prev.readerVersion == 2 || prev.mappingMode != "none")
+        Set("columnMapping") else Set.empty[String]
+    val desiredReaderFeatures =
+      if (desiredReader >= 3)
+        prev.readerFeatures ++ legacyColmap ++
+          (if (wantDvNow) Set("deletionVectors") else Set.empty[String])
+      else prev.readerFeatures
+    val desiredWriterFeatures =
+      if (desiredWriter >= 7)
+        prev.writerFeatures ++ Set("appendOnly", "invariants") ++
+          legacyColmap ++
+          (if (wantDvNow) Set("deletionVectors") else Set.empty[String]) ++
+          (if (wantCdf || prev.writerVersion >= 4 ||
+              prev.configuration.get("delta.enableChangeDataFeed")
+                .contains("true"))
+            Set("changeDataFeed") else Set.empty[String])
+      else prev.writerFeatures
+    val newConfig = prev.configuration ++
+      (if (wantCdf) Map("delta.enableChangeDataFeed" -> "true")
+       else Map.empty) ++
+      (if (wantDvNow) Map("delta.enableDeletionVectors" -> "true")
+       else Map.empty)
+    if (version == 0L || desiredWriter != prev.writerVersion ||
+        desiredReader != prev.readerVersion ||
+        desiredReaderFeatures != prev.readerFeatures ||
+        desiredWriterFeatures != prev.writerFeatures) {
       val protocol = m.createObjectNode()
-      protocol.putObject("protocol")
-        .put("minReaderVersion", 1).put("minWriterVersion", 2)
+      val pn = protocol.putObject("protocol")
+      pn.put("minReaderVersion", desiredReader)
+        .put("minWriterVersion", math.max(desiredWriter, 2))
+      if (desiredReader >= 3) {
+        val ra = pn.putArray("readerFeatures")
+        desiredReaderFeatures.toSeq.sorted.foreach(ra.add)
+      }
+      if (desiredWriter >= 7) {
+        val wa = pn.putArray("writerFeatures")
+        desiredWriterFeatures.toSeq.sorted.foreach(wa.add)
+      }
       lines += m.writeValueAsString(protocol)
     }
-    if (version == 0L || !prev.schemaJson.contains(schemaJson)) {
+    if (version == 0L || !prev.schemaJson.contains(schemaJson) ||
+        newConfig != prev.configuration) {
       val meta = m.createObjectNode()
       val md = meta.putObject("metaData")
       md.put("id", tableId(root))
       md.putObject("format").put("provider", "parquet").putObject("options")
       md.put("schemaString", schemaJson)
       md.putArray("partitionColumns")
-      md.putObject("configuration")
+      val cfg = md.putObject("configuration")
+      newConfig.toSeq.sortBy(_._1).foreach { case (k, v) => cfg.put(k, v) }
       md.put("createdTime", System.currentTimeMillis())
       lines += m.writeValueAsString(meta)
     }
@@ -528,10 +816,53 @@ object DeltaExport {
         .put("version", snap.version).put("lastUpdated", now)
       lines += m.writeValueAsString(t)
     }
+    // the concurrent-exporter probe runs BEFORE sidecar staging: losing
+    // the race after publishing a cdc/DV file would orphan it forever
+    // (nothing references or sweeps it)
+    val out = new Path(logPath(root), f"$version%020d.json")
+    fs.mkdirs(logPath(root))
+    if (fs.exists(out))
+      throw new IllegalStateException(
+        s"concurrent exporter already published $out — re-run export to " +
+          "diff against the new log head")
+    // DELETION VECTOR sidecar: one bin file per export holding every
+    // file's bitmap blob per the protocol's DV file format (version
+    // byte, then per blob: big-endian size, bitmap, big-endian CRC-32)
+    var publishedDv: Option[Path] = None
+    val descriptors: Map[String, DvDescriptor] =
+      if (newDvSets.isEmpty) Map.empty
+      else {
+        val uuid = java.util.UUID.randomUUID()
+        val sidecar = new Path(root, dvFileName(uuid))
+        val enc = Base85.encodeUuid(uuid)
+        val os0 = fs.create(sidecar, false)
+        val built =
+          try {
+            os0.write(1) // DV file format version
+            var pos = 1L
+            newDvSets.toSeq.sortBy(_._1).map { case (rel, idxs) =>
+              val data = RoaringBitmap64(idxs.toSeq).serialize()
+              val crc = new java.util.zip.CRC32()
+              crc.update(data)
+              os0.write(java.nio.ByteBuffer.allocate(4)
+                .putInt(data.length).array())
+              os0.write(data)
+              os0.write(java.nio.ByteBuffer.allocate(4)
+                .putInt(crc.getValue.toInt).array())
+              val d = rel -> DvDescriptor("u", enc, Some(pos),
+                data.length, idxs.length.toLong)
+              pos += 4L + data.length + 4L
+              d
+            }.toMap
+          } finally os0.close()
+        publishedDv = Some(sidecar)
+        built
+      }
     // CHANGE DATA FEED (the protocol's cdc action): the row-level diff
     // between the previously exported manifest version and this one,
     // written under _change_data/ and referenced with dataChange=false —
     // a CDF reader consumes these; a snapshot reader ignores them.
+    var publishedCdc: Option[Path] = None
     for (key <- changeDataKey; from <- prevManifest
          if from < snap.version) {
       val changes = MergeInto
@@ -550,6 +881,7 @@ object DeltaExport {
         val size = fs.getFileStatus(part).getLen
         require(fs.rename(part, out), s"could not publish $out")
         fs.delete(tmp, true)
+        publishedCdc = Some(out)
         val n = m.createObjectNode()
         n.putObject("cdc")
           .put("path", encodePath(s"_change_data/${out.getName}"))
@@ -558,6 +890,8 @@ object DeltaExport {
         lines += m.writeValueAsString(n)
       }
     }
+    val current = files.map(f =>
+      f._1 -> FileEntry(f._2, f._3, Map.empty, descriptors.get(f._1))).toMap
     (prev.live.keySet -- current.keySet).toSeq.sorted.foreach { path =>
       val n = m.createObjectNode()
       n.putObject("remove").put("path", encodePath(path))
@@ -565,32 +899,48 @@ object DeltaExport {
       lines += m.writeValueAsString(n)
     }
     files.foreach { case (path, size, mtime) =>
-      if (!prev.live.get(path).map(e => (e.size, e.modTime))
-          .contains((size, mtime))) {
+      val unchanged = prev.live.get(path)
+        .exists(e => e.size == size && e.modTime == mtime) && dvSame(path)
+      if (!unchanged) {
+        // a changed DV re-adds the path; add replaces add per the
+        // protocol's per-path reconciliation, no remove needed
         val n = m.createObjectNode()
-        n.putObject("add").put("path", encodePath(path))
+        val an = n.putObject("add")
+        an.put("path", encodePath(path))
           .put("size", size).put("modificationTime", mtime)
           .put("dataChange", true).putObject("partitionValues")
+        descriptors.get(path).foreach { d =>
+          val dn = an.putObject("deletionVector")
+          dn.put("storageType", d.storageType)
+            .put("pathOrInlineDv", d.pathOrInlineDv)
+          d.offset.foreach(o => dn.put("offset", o))
+          dn.put("sizeInBytes", d.sizeInBytes)
+            .put("cardinality", d.cardinality)
+        }
         lines += m.writeValueAsString(n)
       }
     }
 
-    val out = new Path(logPath(root), f"$version%020d.json")
     val tmp = new Path(logPath(root), s".tmp-${java.util.UUID.randomUUID}")
-    fs.mkdirs(logPath(root))
     // rename-over-existing is fs-dependent (POSIX renameTo OVERWRITES) —
-    // the exists probe is the actual concurrent-exporter guard, the
-    // rename-result check only backstops filesystems that do fail it
-    if (fs.exists(out))
+    // the exists probe above is the actual concurrent-exporter guard,
+    // the rename-result check only backstops filesystems that fail it;
+    // a lost race after cdc publication must take the change file back
+    if (fs.exists(out)) {
+      publishedCdc.foreach(fs.delete(_, false))
+      publishedDv.foreach(fs.delete(_, false))
       throw new IllegalStateException(
         s"concurrent exporter already published $out — re-run export to " +
           "diff against the new log head")
+    }
     val os = fs.create(tmp, false)
     try os.write((lines.mkString("\n") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally os.close()
     if (!fs.rename(tmp, out)) {
       fs.delete(tmp, false)
+      publishedCdc.foreach(fs.delete(_, false))
+      publishedDv.foreach(fs.delete(_, false))
       throw new IllegalStateException(
         s"concurrent exporter already published $out — re-run export to " +
           "diff against the new log head")
@@ -600,7 +950,9 @@ object DeltaExport {
         LogState(version, Some(schemaJson), Nil, "none", current,
           prev.txns ++ snap.entries.get(MergeInto.LastTxnSlot)
             .map(v => txnAppId(root) -> v.toLong) +
-          (manifestAppId(root) -> snap.version)))
+          (manifestAppId(root) -> snap.version),
+          math.max(desiredWriter, 2), newConfig, desiredReader,
+          desiredReaderFeatures, desiredWriterFeatures))
     (version, out.toString)
   }
 
@@ -787,6 +1139,11 @@ object DeltaExport {
     }
     val physOf = full.fields.map(f => f.name -> physName(f)).toMap
 
+    // DELETION VECTORS decode before the existence sweep — an
+    // uninterpretable DV (absolute-path storage, unknown type, bad CRC)
+    // should refuse by name, not as a missing data file
+    val dvSets = loadDvSets(fs, root, st.live)
+
     // existence sweep AFTER the metadata-level refusals: a table this
     // reader cannot interpret should say so by name, not "missing file"
     if (validate) {
@@ -832,8 +1189,30 @@ object DeltaExport {
         org.apache.spark.sql.GraftFiles
           .parquetPartitioned(spark, groups, partSchema, dataSchema)
       }
+    // DELETION VECTORS (merge-on-read): subtract each file's deleted
+    // row indices via a codegen anti-filter on the scan's metadata
+    // columns — a per-row O(1)+binary-search probe, NO join, NO shuffle.
+    // Keyed by file NAME (unique-checked): _metadata.file_path renders
+    // scheme-qualified URIs, and per-row URI canonicalization would put
+    // string work on the 100 TB hot path for nothing.
+    val deleted =
+      if (dvSets.isEmpty) scanned
+      else {
+        val names = st.live.keysIterator
+          .map(rel => new Path(rel).getName).toSeq
+        require(names.distinct.size == names.size,
+          s"delta table at $root has duplicate data-file NAMES across " +
+            "directories while carrying deletion vectors — the name-" +
+            "keyed DV probe would be ambiguous; read with a full engine")
+        val byName = dvSets.map { case (rel, arr) =>
+          UTF8String.fromString(new Path(rel).getName) -> arr
+        }
+        import org.apache.spark.sql.functions.col
+        scanned.filter(graft.functions.DvFilter(
+          col("_metadata.file_name"), col("_metadata.row_index"), byName))
+      }
     // logical names + the schemaString's declared order
-    scanned.select(full.fieldNames.toIndexedSeq.map(n =>
+    deleted.select(full.fieldNames.toIndexedSeq.map(n =>
       org.apache.spark.sql.functions.col(physOf(n)).as(n)): _*)
   }
 
@@ -910,12 +1289,16 @@ object DeltaExport {
   def history(spark: SparkSession, root: String): Seq[Commit] = {
     val fs = logPath(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = mapper
     listVersions(fs, root).map { case (v, p) =>
       val lines = readLines(fs, p)
       val (ts, op) = commitTimestamp(fs, p, lines)
+      // parsed action counts, not substring matches — a foreign
+      // commitInfo carrying an "add" key in operationParameters (or a
+      // cdc/metaData line with those literals) must not miscount
+      val nodes = lines.map(m.readTree)
       Commit(v, ts, op,
-        lines.count(_.contains("\"add\"")),
-        lines.count(_.contains("\"remove\"")))
+        nodes.count(_.has("add")), nodes.count(_.has("remove")))
     }.reverse
   }
 
@@ -951,11 +1334,10 @@ object DeltaExport {
   def cleanLog(spark: SparkSession, root: String): Int = {
     val fs = logPath(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    lastCheckpointVersion(fs, root) match {
+    listCheckpoints(fs, root).lastOption match {
       case None => 0
       case Some(cv) =>
         val oldJson = listVersions(fs, root).filter(_._1 < cv).map(_._2)
-        val CpFile = """^(\d{20})\.checkpoint\.parquet$""".r
         val oldCp = fs.listStatus(logPath(root)).toSeq.map(_.getPath)
           .filter(p => p.getName match {
             case CpFile(v) => v.toLong < cv

@@ -102,6 +102,17 @@ object MergeInto {
     require(n == numBuckets,
       s"table at $root was bucketed with $n buckets; merge requested " +
         s"$numBuckets — bucket count is immutable after the first commit")
+    // the bucket KEY is equally part of the table's identity: a merge with
+    // a different key would only rewrite the buckets its source touches,
+    // leaving the rest hashed by the old key — then readers would declare
+    // HashPartitioning(newKey, n) over wrongly-distributed rows and
+    // zero-shuffle joins would silently return wrong results. syncSnapshot
+    // and rebucket rewrite every bucket, so they may legitimately re-key.
+    val priorKey = snap.flatMap(_.entries.get(BucketKeySlot))
+    require(priorKey.forall(_ == keyP),
+      s"table at $root is bucketed by '${priorKey.get}'; merge requested " +
+        s"'$keyP' — the bucket key is immutable after the first commit " +
+        "(use syncSnapshot/rebucket to re-key, they rewrite every bucket)")
     val bucketed = srcP
       .withColumn("__bucket", pmod(hash(col(keyP)), lit(numBuckets)))
     // driver-side metadata collect: ≤ numBuckets ints

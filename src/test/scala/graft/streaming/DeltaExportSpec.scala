@@ -98,6 +98,65 @@ class DeltaExportSpec extends SparkSpec {
       Seq(1L, 2L, 3L))
   }
 
+  test("deletion vectors: a pending key-DV exports as protocol deletion " +
+      "vectors (reader 3 / writer 7 + feature); the native reader " +
+      "subtracts them; checkpoints and time travel keep working") {
+    val root = java.nio.file.Files.createTempDirectory("delta").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "s"),
+      root, "k", numBuckets = 2)
+    DeltaExport.export(spark, root) // v0, plain
+    MergeInto.deleteVector(spark, root, "k", Seq(2L, 4L).toDF("k"))
+    // default export still refuses the pending DV
+    val e0 = intercept[IllegalArgumentException] {
+      DeltaExport.export(spark, root)
+    }
+    assert(e0.getMessage.contains("deleteVectors=true"))
+    val (v1, logFile) = DeltaExport.export(spark, root, deleteVectors = true)
+    assert(v1 == 1L)
+    // the reader subtracts the deleted rows
+    assert(DeltaExport.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L))
+    // re-export is idempotent on the DECODED deleted sets (descriptor
+    // UUIDs are fresh per publish, so identity can't be the comparison)
+    assert(DeltaExport.export(spark, root, deleteVectors = true)._1 == v1)
+    // protocol + descriptor shape on disk: features on both lists, the
+    // table property set, a u-storage descriptor, and the sidecar file
+    val l1 = scala.io.Source.fromFile(logFile).getLines().mkString("\n")
+    assert(l1.contains("\"minReaderVersion\":3"))
+    assert(l1.contains("\"minWriterVersion\":7"))
+    assert(l1.contains("\"readerFeatures\":[\"deletionVectors\"]"))
+    assert(l1.contains("\"writerFeatures\":") &&
+      l1.contains("\"deletionVectors\""))
+    assert(l1.contains("\"delta.enableDeletionVectors\":\"true\""))
+    assert(l1.contains("\"storageType\":\"u\""))
+    assert(new java.io.File(root).listFiles()
+      .exists(_.getName.matches("deletion_vector_.*\\.bin")))
+    // time travel BEFORE the DV version sees every row
+    assert(DeltaExport.readAt(spark, root, 0L).count() == 4)
+    // more deletes accumulate into a new version + checkpoint; replay
+    // from the checkpoint carries the descriptors
+    MergeInto.deleteVector(spark, root, "k", Seq(1L).toDF("k"))
+    val (v2, _) = DeltaExport.export(spark, root, deleteVectors = true,
+      checkpointInterval = 2)
+    assert(v2 == 2L)
+    val dir = new java.io.File(root, "_delta_log")
+    assert(new java.io.File(dir,
+      "00000000000000000002.checkpoint.parquet").exists())
+    (0 to 1).foreach { v =>
+      assert(new java.io.File(dir, f"$v%020d.json").delete())
+    }
+    assert(DeltaExport.read(spark, root).select("k").as[Long]
+      .collect().toSeq == Seq(3L))
+    // materializing folds the deletes into the files; the next export
+    // publishes plain adds and the view is unchanged
+    MergeInto.materializeDeletes(spark, root, "k")
+    val (v3, _) = DeltaExport.export(spark, root)
+    assert(v3 == 3L)
+    assert(DeltaExport.read(spark, root).select("k").as[Long]
+      .collect().toSeq == Seq(3L))
+  }
+
   test("export refuses a pending deletion vector") {
     val root = java.nio.file.Files.createTempDirectory("delta").toString
     MergeInto.mergeBatch(spark,
@@ -132,21 +191,26 @@ class DeltaExportSpec extends SparkSpec {
 
     val p3 = freshLog(Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"]}}""", meta))
+        """"readerFeatures":["v2Checkpoint"]}}""", meta))
     val e1 = intercept[IllegalArgumentException] {
       DeltaExport.read(spark, p3)
     }
-    assert(e1.getMessage.contains("deletionVectors"))
+    assert(e1.getMessage.contains("v2Checkpoint"))
 
+    // an ABSOLUTE-path deletion vector (storageType p) is an external
+    // file reference — refused like shallow-cloned adds
     val dv = freshLog(Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta,
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}""", meta,
       """{"add":{"path":"f.parquet","size":1,"modificationTime":1,""" +
         """"dataChange":true,"partitionValues":{},""" +
-        """"deletionVector":{"storageType":"u"}}}"""))
+        """"deletionVector":{"storageType":"p","pathOrInlineDv":""" +
+        """"s3://elsewhere/dv.bin","sizeInBytes":40,"cardinality":6}}}"""))
     val e3 = intercept[IllegalArgumentException] {
       DeltaExport.read(spark, dv)
     }
-    assert(e3.getMessage.contains("deletion vectors"))
+    assert(e3.getMessage.contains("absolute-path storage"))
 
     // a version gap is refused, not silently skipped
     val gap = freshLog(Seq(
@@ -160,9 +224,12 @@ class DeltaExportSpec extends SparkSpec {
     }
     assert(e4.getMessage.contains("version gap"))
 
-    // a multi-part checkpoint hint is refused by name
+    // a multi-part checkpoint is refused by name — when it is the ONLY
+    // way to answer (JSON cleaned below it); the hint names the reason
     val mp = freshLog(Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta))
+    assert(new java.io.File(new java.io.File(mp, "_delta_log"),
+      "00000000000000000000.json").delete())
     val w2 = new java.io.PrintWriter(new java.io.File(
       new java.io.File(mp, "_delta_log"), "_last_checkpoint"), "UTF-8")
     try w2.println("""{"version":0,"size":3,"parts":2}""")
@@ -172,9 +239,12 @@ class DeltaExportSpec extends SparkSpec {
     }
     assert(e5.getMessage.contains("multi-part"))
 
-    // a hint naming a checkpoint file that isn't there (v2/UUID naming)
+    // a hint naming a checkpoint file that isn't there (v2/UUID naming),
+    // again only refusable when JSON cannot answer on its own
     val v2 = freshLog(Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta))
+    assert(new java.io.File(new java.io.File(v2, "_delta_log"),
+      "00000000000000000000.json").delete())
     val w3 = new java.io.PrintWriter(new java.io.File(
       new java.io.File(v2, "_delta_log"), "_last_checkpoint"), "UTF-8")
     try w3.println("""{"version":0,"size":3}""") finally w3.close()
@@ -182,6 +252,21 @@ class DeltaExportSpec extends SparkSpec {
       DeltaExport.read(spark, v2)
     }
     assert(e6.getMessage.contains("v2/UUID"))
+
+    // …but when the JSON IS dense from 0, a foreign hint pointing at a
+    // checkpoint form we lack is ADVISORY (the spec's own contract):
+    // replay answers from JSON instead of refusing
+    val adv = freshLog(Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta))
+    val w4 = new java.io.PrintWriter(new java.io.File(
+      new java.io.File(adv, "_delta_log"), "_last_checkpoint"), "UTF-8")
+    try w4.println("""{"version":0,"size":3,"parts":2}""")
+    finally w4.close()
+    val e6b = intercept[IllegalArgumentException] {
+      DeltaExport.read(spark, adv)
+    }
+    // reaches the empty-table check — the hint did not block the replay
+    assert(e6b.getMessage.contains("no live files"))
 
     // an absolute-URI add path (external/shallow-cloned file) is refused
     val ext = freshLog(Seq(
@@ -282,8 +367,24 @@ class DeltaExportSpec extends SparkSpec {
     assert(new java.io.File(dir,
       "00000000000000000008.checkpoint.parquet").exists())
     assert(new java.io.File(dir, "_last_checkpoint").exists())
-    // clean every JSON version the checkpoint already covers
-    (0 to 7).foreach { v =>
+    // a version BETWEEN two retained checkpoints answers from the OLDER
+    // one even though _last_checkpoint names the newer (the hint is
+    // advisory; the listed checkpoint files are the source of truth)
+    (0 to 3).foreach { v =>
+      assert(new java.io.File(dir, f"$v%020d.json").delete())
+    }
+    assert(DeltaExport.readAt(spark, root, 5L).select("s")
+      .as[String].collect().sorted.toSeq == Seq("v5", "w"))
+    // …and a cleaned log with NO hint file at all still reads (the spec
+    // makes _last_checkpoint optional)
+    val hintFile = new java.io.File(dir, "_last_checkpoint")
+    val hintBytes = java.nio.file.Files.readAllBytes(hintFile.toPath)
+    assert(hintFile.delete())
+    assert(DeltaExport.readAt(spark, root, 5L).select("s")
+      .as[String].collect().sorted.toSeq == Seq("v5", "w"))
+    java.nio.file.Files.write(hintFile.toPath, hintBytes)
+    // clean every remaining JSON version the newest checkpoint covers
+    (4 to 7).foreach { v =>
       assert(new java.io.File(dir, f"$v%020d.json").delete())
     }
     val got = DeltaExport.read(spark, root).select("k", "s")

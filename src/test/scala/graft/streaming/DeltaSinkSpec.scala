@@ -79,6 +79,14 @@ class DeltaSinkSpec extends SparkSpec {
       new java.io.File(root, "_delta_log"),
       "00000000000000000001.json")).getLines().mkString("\n")
     assert(l1.contains("\"cdc\"") && l1.contains("_change_data/"))
+    // spec conformance: a CDF-writing table must declare writer v4 and
+    // delta.enableChangeDataFeed=true, or foreign engines' table_changes
+    // will refuse/ignore the feed (Delta protocol, writer features)
+    val l0 = scala.io.Source.fromFile(new java.io.File(
+      new java.io.File(root, "_delta_log"),
+      "00000000000000000000.json")).getLines().mkString("\n")
+    assert(l0.contains("\"minWriterVersion\":4"))
+    assert(l0.contains("\"delta.enableChangeDataFeed\":\"true\""))
     // the cdc file is NOT part of the snapshot (dataChange=false)
     assert(DeltaExport.read(spark, root).count() == 2)
     // a version exported without change data refuses the CDF read by name

@@ -406,6 +406,28 @@ class MergeIntoSpec extends SparkSpec {
     assert(err.getMessage.contains("NULL"))
   }
 
+  test("merge rejects a DIFFERENT bucket key after the first commit — a " +
+      "partial re-key would leave untouched buckets hashed by the old " +
+      "key under a declared HashPartitioning(newKey)") {
+    val root = java.nio.file.Files.createTempDirectory("merge").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "k2", "s"), root, "k")
+    val err = intercept[IllegalArgumentException] {
+      MergeInto.mergeBatch(spark,
+        Seq((3L, 30L, "c")).toDF("k", "k2", "s"), root, "k2")
+    }
+    assert(err.getMessage.contains("bucket key is immutable"))
+    // syncSnapshot rewrites every bucket, so it MAY legitimately re-key
+    MergeInto.syncSnapshot(spark,
+      Seq((1L, 10L, "a"), (3L, 30L, "c")).toDF("k", "k2", "s"), root, "k2")
+    assert(MergeInto.readTable(spark, root).select("k2")
+      .as[Long].collect().sorted.toSeq == Seq(10L, 30L))
+    // …and merges keyed by the NEW key proceed
+    MergeInto.mergeBatch(spark,
+      Seq((4L, 40L, "d")).toDF("k", "k2", "s"), root, "k2")
+    assert(MergeInto.readTable(spark, root).count() == 3)
+  }
+
   test("merge rejects an ambiguous multi-row-per-key source") {
     val root = java.nio.file.Files.createTempDirectory("merge").toString
     val err = intercept[IllegalArgumentException] {
