@@ -127,6 +127,38 @@ object CdcQueries {
     store
   }
 
+  /** Materialize the PROTOCOL-DV delta table once per sfDir: version 0
+    * exports the CREATE payloads plain; a [[graft.streaming.MergeInto
+    * .deleteVector]] of every id%7==0 key then exports with
+    * `deleteVectors = true` — version 1 re-adds every file carrying its
+    * deleted ROW POSITIONS as a protocol deletion vector (roaring-bitmap
+    * sidecar + add.deletionVector descriptor, reader 3 / writer 7), the
+    * exact merge-on-read shape delta-spark ≥2.3 writes on a DELETE. The
+    * physical parquet still holds the deleted rows; only the DV read
+    * path can answer correctly.
+    */
+  private def deltaDvTableDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_delta_dv_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val log = changeLog(s, dir)
+        val b1 = log.filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        graft.streaming.MergeInto.mergeBatch(s, b1, store, "id")
+        graft.streaming.DeltaExport.export(s, store)
+        graft.streaming.MergeInto.deleteVector(s, store, "id",
+          b1.filter(col("id") % 7 === 0).select(col("id")))
+        val (v, _) = graft.streaming.DeltaExport.export(s, store,
+          deleteVectors = true)
+        require(v == 1L, s"DV fixture expected delta version 1, got $v")
+    }
+    store
+  }
+
   /** Materialize the delta-CHECKPOINT table once per sfDir: the CREATE
     * batch plus the non-CREATE changes applied as 12 disjoint id-hash
     * slices, each merge followed by a [[graft.streaming.DeltaExport]]
@@ -1069,6 +1101,20 @@ object CdcQueries {
         .orderBy(col("id"), col("_change_type"))
     }),
 
+    // PROTOCOL DELETION VECTORS driver-gated (reader 3 / writer 7 +
+    // deletionVectors feature): the table's parquet files still CONTAIN
+    // the id%7==0 rows; the log's add.deletionVector descriptors point
+    // at roaring-bitmap sidecars of their row positions, and the native
+    // reader subtracts them scan-side (codegen anti-filter on
+    // _metadata.row_index — no join, no shuffle). Oracle = the CREATE
+    // payloads minus the DV'd keys.
+    "cdc_delta_dv" -> ((s, dir) => {
+      val store = deltaDvTableDir(s, dir)
+      graft.streaming.DeltaExport.read(s, store)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
     // COLUMN-MAPPED DELTA TABLE driver-gated (protocol 2, name mode):
     // physical `col-*` file columns and physically-keyed partitionValues
     // resolved to the logical schema entirely from the log's field
@@ -1851,6 +1897,13 @@ object CdcQueries {
     "cdc_delta_colmap" -> s"""$changesCte
       SELECT id, status, totalprice FROM changes
       WHERE operation_type = 'CREATE' ORDER BY id""",
+
+    // Protocol deletion vectors: the CREATE payloads minus the DV'd
+    // keys — the files still hold them, only the bitmap says otherwise.
+    "cdc_delta_dv" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE' AND id % 7 != 0
+      ORDER BY id""",
 
     // The co-located join = merged final state × doubled CREATE prices.
     "cdc_merge_bucket_join" -> s"""${mergeFinalCte("TRUE")},
