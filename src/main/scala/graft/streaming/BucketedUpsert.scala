@@ -30,6 +30,18 @@ object BucketedUpsert {
                   numBuckets: Int = 64): Unit = {
     if (batch.isEmpty) return
     val snap = ManifestStore.latest(spark, root)
+    // bucket count and key are the store's identity — same guards as the
+    // merge table (a mismatch would put keys in wrong buckets / declare
+    // a wrong HashPartitioning)
+    val n = snap.flatMap(_.entries.get(MergeInto.NumBucketsSlot))
+      .map(_.toInt).getOrElse(numBuckets)
+    require(n == numBuckets,
+      s"store at $root was bucketed with $n buckets; upsert requested " +
+        s"$numBuckets — bucket count is immutable after the first commit")
+    val priorKey = snap.flatMap(_.entries.get(MergeInto.BucketKeySlot))
+    require(priorKey.forall(_ == keyCol),
+      s"store at $root is bucketed by '${priorKey.getOrElse("")}'; " +
+        s"upsert requested '$keyCol' — the bucket key is immutable")
     val incoming = batch
       .withColumn("__bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
       .withColumn("__p", lit(1))
@@ -43,7 +55,7 @@ object BucketedUpsert {
     }
     val base =
       if (touchedPaths.nonEmpty)
-        spark.read.parquet(touchedPaths: _*)
+        MergeInto.readRows(spark, root, snap.get, touchedPaths)
           .withColumn("__p", lit(0)).unionByName(incoming)
       else incoming
     val merged = base
@@ -53,11 +65,16 @@ object BucketedUpsert {
       .filter(col("__r") === 1).drop("__p", "__r")
     val version = ManifestStore.versionAfter(snap)
     val rel = ManifestStore.dataRel(version)
-    merged.withColumn("__dir", col("__bucket"))
-      .write.mode("errorifexists").partitionBy("__dir")
-      .parquet(s"$root/$rel")
+    // bucket-id-stamped file names: readers (and downstream key joins)
+    // get a HashPartitioning-declaring scan — zero-shuffle co-location,
+    // same contract as the merge table
+    val written = MergeInto.stageBuckets(spark, merged, root, rel)
     val entries = snap.map(_.entries).getOrElse(Map.empty[String, String]) ++
-      touched.map(b => b.toString -> s"$rel/__dir=$b")
+      written.map(b => b.toString -> s"$rel/__dir=$b") +
+      (MergeInto.NumBucketsSlot -> numBuckets.toString) +
+      (MergeInto.BucketKeySlot -> keyCol) +
+      (MergeInto.SchemaSlot -> MergeInto.committedSchema(spark, root, snap,
+        merged.schema).json)
     ManifestStore.commit(spark, root, version, entries)
   }
 
@@ -80,20 +97,12 @@ object BucketedUpsert {
     val snap = ManifestStore.latest(spark, root).getOrElse(return)
     val paths = ManifestStore.resolvePaths(root, snap)
     if (paths.isEmpty) return
-    val kept = spark.read.parquet(paths: _*)
+    val kept = MergeInto.readRows(spark, root, snap, paths)
       .filter(!coalesce(col(tombstoneCol), lit(false)) ||
         col(orderCol) >= horizon)
     val version = ManifestStore.versionAfter(Some(snap))
     val rel = ManifestStore.dataRel(version)
-    val written: Set[Int] =
-      if (kept.isEmpty) Set.empty // the whole store purged to nothing
-      else {
-        kept.withColumn("__dir", col("__bucket"))
-          .write.mode("errorifexists").partitionBy("__dir")
-          .parquet(s"$root/$rel")
-        spark.read.parquet(s"$root/$rel")
-          .select("__dir").distinct().collect().map(_.getInt(0)).toSet
-      }
+    val written: Set[Int] = MergeInto.stageBuckets(spark, kept, root, rel)
     val dataSlots = snap.entries.keys
       .filterNot(ManifestStore.isMetaSlot).toSeq
     val entries = snap.entries -- dataSlots ++

@@ -412,7 +412,14 @@ object ManifestStore {
       s"no committed manifest under $root — nothing to read"))
     val paths = resolvePaths(root, snap)
     require(paths.nonEmpty, s"manifest v${snap.version} references no data")
-    spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
+    // stores that record their schema (and bucket metadata) get the
+    // metadata-planned scan: zero footer reads, zero listings, and a
+    // declared HashPartitioning when the file names carry bucket stamps
+    // — mergeSchema callers explicitly want the footer sweep instead
+    if (!mergeSchema && snap.entries.contains(MergeInto.SchemaSlot))
+      MergeInto.readRows(spark, root, snap, paths)
+    else
+      spark.read.option("mergeSchema", mergeSchema.toString).parquet(paths: _*)
   }
 
   /** RESTORE (rollback): re-commit `version`'s entries as the NEW latest

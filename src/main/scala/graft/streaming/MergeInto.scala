@@ -249,7 +249,7 @@ object MergeInto {
     * `HashPartitioning.partitionIdExpression` (same Murmur3, same seed),
     * so the stamped claim is the truth the bucketed scan relies on.
     */
-  private def stageBuckets(spark: SparkSession, df: DataFrame,
+  private[streaming] def stageBuckets(spark: SparkSession, df: DataFrame,
       root: String, rel: String, repartition: Boolean = true): Set[Int] = {
     if (df.isEmpty) return Set.empty
     (if (repartition) df.repartition(col("__bucket")) else df)
@@ -344,7 +344,7 @@ object MergeInto {
     * footer read (a write-time cost such tables already paid on every
     * read); from then on the slot carries it.
     */
-  private def committedSchema(spark: SparkSession, root: String,
+  private[streaming] def committedSchema(spark: SparkSession, root: String,
       snap: Option[ManifestStore.Snapshot],
       written: types.StructType): types.StructType = {
     val prev = snap.flatMap(recordedSchema).orElse {
@@ -366,7 +366,7 @@ object MergeInto {
     * step at a time: listed read with explicit schema, then the parquet
     * mergeSchema footer sweep.
     */
-  private def readRows(spark: SparkSession, root: String,
+  private[streaming] def readRows(spark: SparkSession, root: String,
       snap: ManifestStore.Snapshot, paths: Seq[String]): DataFrame =
     recordedSchema(snap) match {
       case Some(sc) =>

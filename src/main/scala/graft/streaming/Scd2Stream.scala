@@ -155,6 +155,11 @@ object Scd2Stream {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val snap = ManifestStore.latest(spark, dimPath)
+    val n = snap.flatMap(_.entries.get(MergeInto.NumBucketsSlot))
+      .map(_.toInt).getOrElse(numBuckets)
+    require(n == numBuckets,
+      s"dimension at $dimPath was bucketed with $n buckets; batch " +
+        s"requested $numBuckets — bucket count is immutable")
     val incoming = batch.toDF()
       .withColumn("__bucket", pmod(hash(col("id")), lit(numBuckets)))
       .withColumn("__p", lit(1))
@@ -169,7 +174,7 @@ object Scd2Stream {
       touched.flatMap(b => s.entries.get(b.toString)).map(rel => s"$dimPath/$rel")
     }
     val base = if (touchedPaths.nonEmpty)
-        spark.read.parquet(touchedPaths: _*)
+        MergeInto.readRows(spark, dimPath, snap.get, touchedPaths)
           .withColumn("__p", lit(0))
           .unionByName(incoming)
       else incoming
@@ -181,11 +186,17 @@ object Scd2Stream {
       .filter(col("__r") === 1).drop("__p", "__r")
     val version = ManifestStore.versionAfter(snap)
     val rel = ManifestStore.dataRel(version)
-    merged.withColumn("__dir", col("__bucket"))
-      .write.mode("errorifexists").partitionBy("__dir")
-      .parquet(s"$dimPath/$rel")
+    // bucket-id-stamped files + bucket metadata: dimension reads declare
+    // HashPartitioning(id, n), so a key join against a same-bucketed
+    // fact/merge table is zero-shuffle (the co-located-join contract the
+    // merge table already carries)
+    val written = MergeInto.stageBuckets(spark, merged, dimPath, rel)
     val entries = snap.map(_.entries).getOrElse(Map.empty[String, String]) ++
-      touched.map(b => b.toString -> s"$rel/__dir=$b")
+      written.map(b => b.toString -> s"$rel/__dir=$b") +
+      (MergeInto.NumBucketsSlot -> numBuckets.toString) +
+      (MergeInto.BucketKeySlot -> "id") +
+      (MergeInto.SchemaSlot -> MergeInto.committedSchema(spark, dimPath,
+        snap, merged.schema).json)
     (version, entries)
   }
 

@@ -118,6 +118,49 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("the STREAMING stores join co-located too: a BucketedUpsert " +
+      "current-state store and an Scd2Stream dimension each join a " +
+      "same-bucketed merge table with ZERO shuffle") {
+    val fact = java.nio.file.Files.createTempDirectory("bj").toString + "/f"
+    MergeInto.mergeBatch(spark,
+      (0L until 500L).map(i => (i, i * 10)).toDF("id", "v"),
+      fact, "id", numBuckets = 8)
+
+    // key-latest upsert store (two batches, second overwrites)
+    val cur = java.nio.file.Files.createTempDirectory("bj").toString + "/c"
+    BucketedUpsert.upsertBatch(spark,
+      (0L until 500L).map(i => (i, s"old$i", i)).toDF("id", "s", "lsn"),
+      cur, "id", "lsn", numBuckets = 8)
+    BucketedUpsert.upsertBatch(spark,
+      (0L until 500L by 5L).map(i => (i, s"new$i", i + 1000))
+        .toDF("id", "s", "lsn"),
+      cur, "id", "lsn", numBuckets = 8)
+
+    // SCD2 dimension store (one upserted batch of open versions)
+    val dim = java.nio.file.Files.createTempDirectory("bj").toString + "/d"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Scd2Stream.upsertBatch(spark,
+      spark.createDataset((0L until 500L).map(i =>
+        Scd2Stream.Version(i, Some(s"st$i"), Some(i * 1.0), t0,
+          Scd2Stream.sentinel, closed = false, lsn = i))),
+      dim, numBuckets = 8)
+
+    noBroadcast {
+      val j1 = ManifestStore.read(spark, cur).drop("__bucket")
+        .join(MergeInto.readTable(spark, fact).drop("__bucket"), Seq("id"))
+      assert(exchanges(j1) == 0,
+        "upsert-store × merge-table key join must not shuffle")
+      assert(j1.count() == 500L)
+      assert(j1.filter(col("s").startsWith("new")).count() == 100L)
+
+      val j2 = Scd2Stream.readDimension(spark, dim).toDF()
+        .join(MergeInto.readTable(spark, fact).drop("__bucket"), Seq("id"))
+      assert(exchanges(j2) == 0,
+        "dimension × merge-table key join must not shuffle")
+      assert(j2.count() == 500L)
+    }
+  }
+
   test("the point lookup and merge paths still work on stamped tables " +
       "(names changed, contract didn't)") {
     val a = java.nio.file.Files.createTempDirectory("bj").toString + "/a"
