@@ -28,6 +28,24 @@ object Bench {
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
 
+    // Reference per-gate times from the COMMITTED previous-round profile,
+    // loaded BEFORE this run overwrites the file: the drift block below
+    // flags gates mechanically, so a round-over-round regression is named
+    // in the bench JSON itself instead of by judge-side diffing.
+    val refTimes: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("bench_profile.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(p))
+        Option(node.get("queries")).map { q =>
+          import scala.jdk.CollectionConverters._
+          q.properties().asScala
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap
+        }.getOrElse(Map.empty)
+      }
+    } catch { case _: Throwable => Map.empty }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
       try run(warmDir, n)
@@ -108,11 +126,26 @@ object Bench {
     // driver recorded `parsed: null`. So: 3-decimal seconds, slowest-first,
     // and stop adding per-query entries once the line would pass the
     // budget; the residue is summarized in "omitted".
+    // Drift flags: best-of-2 beyond max(1.5× reference, reference+0.5 s)
+    // — the +0.5 s floor keeps sub-second gates' jitter out. Values are
+    // the ratio vs the committed reference. The CONTROL block tells drift
+    // from regression: control shifted too → machine/env; control flat →
+    // the named gates regressed.
+    val drifted = results.flatMap { case (k, v) =>
+      refTimes.get(k).collect {
+        case ref if ref > 0 && v > math.max(ref * 1.5, ref + 0.5) =>
+          k -> BigDecimal(v / ref).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      }
+    }.sortBy(-_._2)
+    val driftFull = drifted.map { case (k, r) => "\"" + k + "\":" + r }
+      .mkString("{", ",", "}")
+
     val controlFull = control.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val profile = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{\"queries\":{", ",",
-        s"},\"total\":$total,\"control\":$controlFull,\"errors\":$errsFull}")
+        s"},\"total\":$total,\"control\":$controlFull," +
+          s""""drift":$driftFull,"errors":$errsFull}""")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_profile.json"), profile)
 
@@ -152,7 +185,10 @@ object Bench {
       // short keys: the control block must not eat the line budget
       "\"" + k.takeWhile(_ != '_') + "\":" + sec(v)
     }.mkString("{", ",", "}")
-    val head = s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","errors":$errs,"control":$ctl,"recall":$recall,"queries":{"""
+    // stdout carries the top-5 drifted gates (full list in the profile)
+    val driftTop = drifted.take(5)
+      .map { case (k, r) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
+    val head = s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","errors":$errs,"control":$ctl,"drift":$driftTop,"recall":$recall,"queries":{"""
     val fixedTail = 90 // "},"omitted":{"n":NN,"sec":NNN.NNN},"profile":"bench_profile.json"}"
     var used = head.length + fixedTail
     val kept = bySlow.takeWhile { case (k, v) =>
