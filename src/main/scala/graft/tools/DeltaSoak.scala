@@ -35,12 +35,15 @@ object DeltaSoak {
       root, "k", numBuckets = 8)
     graft.streaming.DeltaExport.export(spark, root, interval)
 
+    // every export also publishes its CHANGE DATA FEED (cdc actions) so
+    // the soak exercises the checkpoint × CDF interplay end to end
     val times = (1 to cycles).map { i =>
       graft.streaming.MergeInto.mergeBatch(spark,
         Seq((i % 200L, s"v$i", i * 1.0)).toDF("k", "s", "x"),
         root, "k", numBuckets = 8)
       val t0 = System.nanoTime()
-      val (v, _) = graft.streaming.DeltaExport.export(spark, root, interval)
+      val (v, _) = graft.streaming.DeltaExport.export(spark, root, interval,
+        changeDataKey = Some("k"))
       val sec = (System.nanoTime() - t0) / 1e9
       require(v == i, s"expected delta version $i, got $v")
       sec
@@ -75,6 +78,50 @@ object DeltaSoak {
     require(atCp == 200L, s"read at checkpoint version $lastCp: $atCp rows")
     println(s"[deltasoak] HEAD equivalence + checkpoint-version read OK " +
       s"($cycles versions, interval $interval)")
+
+    // CDF × checkpoint interplay: every merge from v1 on rewrites ONE
+    // existing key, so each version's feed is exactly one pre/post pair.
+    // A table_changes window STRADDLING each checkpoint boundary must
+    // reconstruct 2 rows per version with dense _commit_versions — and
+    // the window cost must stay flat as the log grows (each version's
+    // cdc file is addressed directly; no replay).
+    val cdfTimes = (interval to lastCp by interval).flatMap { cp =>
+      if (cp - 3 >= 1 && cp + 3 <= cycles) {
+        val t0 = System.nanoTime()
+        val w = graft.streaming.DeltaExport
+          .readChanges(spark, root, cp - 3L, cp + 3L)
+        val got = w.select("_commit_version").as[Long].collect().sorted
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(got.toSeq == (cp - 3L to cp + 3L).flatMap(v => Seq(v, v)),
+          s"cdf window ${cp - 3}..${cp + 3}: got ${got.mkString(",")}")
+        println(f"[deltasoak] cdf window straddling checkpoint $cp%3d: " +
+          f"14 rows in $sec%.3f s")
+        Some(sec)
+      } else None
+    }
+    require(cdfTimes.last / cdfTimes.head < 3.0,
+      f"fixed-width CDF window cost grew ${cdfTimes.last / cdfTimes.head}%.2fx" +
+        " across the log — table_changes is replaying instead of addressing")
+
+    // LOG-EXPIRATION horizon: after cleanLog, a window fully at-or-above
+    // the horizon answers; one touching the expired prefix refuses BY
+    // NAME (never a silently partial feed)
+    val removed = graft.streaming.DeltaExport.cleanLog(spark, root)
+    require(removed > 0, "cleanLog expired nothing — soak misconfigured")
+    val above = graft.streaming.DeltaExport
+      .readChanges(spark, root, lastCp.toLong, cycles.toLong).count()
+    require(above == 2L * (cycles - lastCp + 1),
+      s"post-clean window $lastCp..$cycles: $above rows")
+    val refused =
+      try { graft.streaming.DeltaExport
+        .readChanges(spark, root, lastCp - 5L, lastCp.toLong).count(); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("not retained") }
+    require(refused,
+      "a CDF window into the expired prefix must refuse loudly")
+    println(s"[deltasoak] CDF horizon OK: window at/above checkpoint " +
+      s"$lastCp answers after cleanLog ($removed files expired); " +
+      "windows below refuse by name")
     spark.stop()
   }
 }

@@ -52,6 +52,17 @@ object RecallTune {
     for (np <- Seq(16, 20, 24); rr <- Seq(64, 128))
       m(s"ivfpq probe=$np rerank=$rr")(
         Similarity.ivfPqTopK(q, emb, 5, 16, 16, nProbe = np, rerank = rr))
+    m("rp DEFAULTS")(Similarity.rpTopK(q, emb, 5))
+    for (rd <- Seq(16, 24, 32); div <- Seq(8, 6, 4))
+      m(s"rp rpDims=$rd rerank=n/$div")(
+        Similarity.rpTopK(q, emb, 5, rpDims = rd,
+          rerank = (2000 / div).max(64)))
+    m("bq DEFAULTS")(Similarity.bqTopK(q, emb, 5))
+    for (div <- Seq(8, 6, 4))
+      m(s"bq rerank=n/$div")(
+        Similarity.bqTopK(q, emb, 5, rerank = (2000 / div).max(64)))
+    for (p <- Seq(2, 3, 4))
+      m(s"lsh planes=$p multi=true")(Similarity.lshTopK(q, emb, 5, p))
     spark.stop()
   }
 }
