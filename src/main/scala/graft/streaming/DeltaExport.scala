@@ -1343,10 +1343,69 @@ object DeltaExport {
             case CpFile(v) => v.toLong < cv
             case _ => false
           })
-        (oldJson ++ oldCp).map { p =>
+        val n = (oldJson ++ oldCp).map { p =>
           require(fs.delete(p, false), s"could not delete $p")
           1
         }.sum
+        n + sweepSidecars(spark, fs, root)
     }
+  }
+
+  /** The VACUUM half of log expiration: change-data parquets and
+    * deletion-vector bins referenced ONLY by just-expired versions are
+    * unreachable forever (readChanges refuses expired windows; readAt
+    * refuses versions below the checkpoint) — without a sweep each
+    * expiration cycle leaks them. Liveness is log-derived: every cdc
+    * path in a RETAINED version JSON and every DV sidecar named by any
+    * RETAINED state's descriptors (checkpoint adds replay the expired
+    * prefix's live set, so still-referenced sidecars survive). Only
+    * files matching this writer's naming patterns are candidates —
+    * foreign layouts are never guessed at.
+    */
+  private def sweepSidecars(spark: SparkSession, fs: FileSystem,
+      root: String): Int = {
+    val m = mapper
+    // live cdc paths: union over retained JSON versions
+    val liveCdc = listVersions(fs, root).flatMap { case (_, p) =>
+      readLines(fs, p).map(m.readTree).filter(_.has("cdc"))
+        .map(n => decodePath(n.get("cdc").get("path").asText()))
+    }.toSet
+    // live DV sidecars: descriptors visible from ANY retained version =
+    // checkpoint adds + every retained JSON's adds (an expired version's
+    // still-live files ride the checkpoint with their descriptors)
+    val r = new Replayer(root)
+    listCheckpoints(fs, root).lastOption
+      .foreach(cp => loadCheckpoint(spark, root, cp, r))
+    val jsonDvs = listVersions(fs, root).flatMap { case (_, p) =>
+      readLines(fs, p).map(m.readTree).filter(_.has("add"))
+        .flatMap(n => Option(n.get("add").get("deletionVector"))
+          .filterNot(_.isNull)
+          .filter(d => d.get("storageType").asText() == "u")
+          .map(d => d.get("pathOrInlineDv").asText()))
+    }
+    val liveDvNames = (r.live.values.flatMap(_.dv)
+      .filter(_.storageType == "u").map(_.pathOrInlineDv) ++ jsonDvs)
+      .filter(_.length >= 20)
+      .map(enc => dvFileName(Base85.decodeUuid(enc.takeRight(20)))).toSet
+
+    var removed = 0
+    val cdcDir = new Path(root, "_change_data")
+    if (fs.exists(cdcDir)) fs.listStatus(cdcDir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("cdc-") && name.endsWith(".parquet") &&
+          !liveCdc.contains(s"_change_data/$name")) {
+        require(fs.delete(st.getPath, false), s"could not delete $st")
+        removed += 1
+      }
+    }
+    fs.listStatus(new Path(root)).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("deletion_vector_") && name.endsWith(".bin") &&
+          !liveDvNames.contains(name)) {
+        require(fs.delete(st.getPath, false), s"could not delete $st")
+        removed += 1
+      }
+    }
+    removed
   }
 }

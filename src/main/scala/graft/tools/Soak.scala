@@ -26,7 +26,14 @@ object Soak {
   def main(args: Array[String]): Unit = {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
-    val names = if (args.length > 2) args.drop(2).toSeq
+    // "ALL" = the full-catalog scale rung: every gate timed 1× and N×,
+    // curvature only (the double-checksum determinism pass is skipped —
+    // it quadruples the N× executions and is covered by the targeted
+    // soak); anything else = the targeted deep soak with determinism.
+    val full = args.length > 2 && args(2) == "ALL"
+    val names =
+      if (full) graft.SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 2) args.drop(2).toSeq
       else Seq("dd2_minhash_neardups", "dd5_dup_clusters", "dd6_passage_dups",
         "sm5_topk_kmeans", "cur4_pipeline", "pk1_doc_packing",
         "q18_percentiles", "cur2_dedup_corpus")
@@ -119,15 +126,24 @@ object Soak {
 
     names.foreach { n =>
       try {
-        val t1 = time(base, n)
-        val tN1 = time(out, n)
-        val tN2 = time(out, n)
-        val c1 = checksum(out, n)
-        val c2 = checksum(out, n)
-        val det = if (c1 == c2) "DETERMINISTIC" else s"NONDET $c1 vs $c2"
-        val curve = (tN1 min tN2) / t1
-        println(f"[soak] $n%-22s 1x=${t1}%6.2fs ${factor}x=${tN1 min tN2}%7.2fs" +
-          f" curve=${curve}%5.2f rows=${c1._2}%9d $det")
+        if (full) {
+          val t1 = time(base, n)
+          val tN1 = time(out, n)
+          val tN2 = time(out, n)
+          val curve = (tN1 min tN2) / t1
+          println(f"[soak] $n%-26s 1x=${t1}%6.2fs " +
+            f"${factor}x=${tN1 min tN2}%7.2fs curve=${curve}%5.2f")
+        } else {
+          val t1 = time(base, n)
+          val tN1 = time(out, n)
+          val tN2 = time(out, n)
+          val c1 = checksum(out, n)
+          val c2 = checksum(out, n)
+          val det = if (c1 == c2) "DETERMINISTIC" else s"NONDET $c1 vs $c2"
+          val curve = (tN1 min tN2) / t1
+          println(f"[soak] $n%-22s 1x=${t1}%6.2fs ${factor}x=${tN1 min tN2}%7.2fs" +
+            f" curve=${curve}%5.2f rows=${c1._2}%9d $det")
+        }
       } catch { case e: Throwable =>
         println(s"[soak] $n ERROR ${e.getClass.getSimpleName}: " +
           Option(e.getMessage).getOrElse("").take(200))

@@ -148,6 +148,18 @@ class DeltaExportSpec extends SparkSpec {
     }
     assert(DeltaExport.read(spark, root).select("k").as[Long]
       .collect().toSeq == Seq(3L))
+    // log expiration sweeps the sidecars expired versions referenced:
+    // v1's sidecar is orphaned (v2 re-added every DV'd path with a new
+    // one), the JSON below the v2 checkpoint is gone — but v2's sidecar
+    // survives (its descriptors ride the checkpoint) and reads agree
+    def sidecars() = new java.io.File(root).listFiles()
+      .filter(_.getName.matches("deletion_vector_.*\\.bin")).map(_.getName)
+    assert(sidecars().length == 2)
+    val swept = DeltaExport.cleanLog(spark, root)
+    assert(swept == 1, s"expected exactly the orphaned sidecar, got $swept")
+    assert(sidecars().length == 1)
+    assert(DeltaExport.read(spark, root).select("k").as[Long]
+      .collect().toSeq == Seq(3L))
     // materializing folds the deletes into the files; the next export
     // publishes plain adds and the view is unchanged
     MergeInto.materializeDeletes(spark, root, "k")
