@@ -228,25 +228,48 @@ object DeltaExport {
     new Path(logPath(root), "_last_checkpoint")
 
   private val CpFile = """^(\d{20})\.checkpoint\.parquet$""".r
+  private val CpPartFile =
+    """^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$""".r
 
-  /** Classic single-part checkpoint versions actually PRESENT in the
-    * log directory, ascending. This listing — not `_last_checkpoint` —
-    * is the source of truth for replay starting points: the spec makes
-    * the hint file optional and advisory, and after log expiration a
-    * version between an older retained checkpoint and the newest one is
-    * still answerable from the older file even though the hint names
-    * the newest. Multi-part (`.checkpoint.NNN.MMM.parquet`) and v2
-    * UUID-named checkpoints never match this pattern, so they are
-    * simply invisible here — the hint is then consulted to refuse them
-    * BY NAME when nothing else can answer.
+  /** Classic checkpoint versions actually PRESENT in the log directory
+    * (ascending), each with its part file(s). This listing — not
+    * `_last_checkpoint` — is the source of truth for replay starting
+    * points: the spec makes the hint file optional and advisory, and
+    * after log expiration a version between an older retained
+    * checkpoint and the newest one is still answerable from the older
+    * file even though the hint names the newest.
+    *
+    * Both classic shapes are readable: single-part
+    * (`<v>.checkpoint.parquet`) and multi-part
+    * (`<v>.checkpoint.<i>.<n>.parquet`, i = 1..n) — a multi-part
+    * version counts only when EVERY part is present and agrees on `n`
+    * (a half-written checkpoint must not plan a partial table). v2
+    * UUID-named checkpoints never match either pattern, so they are
+    * invisible here — the hint is then consulted to refuse them BY NAME
+    * when nothing else can answer.
     */
-  private def listCheckpoints(fs: FileSystem, root: String): Seq[Long] = {
+  private def listCheckpoints(fs: FileSystem,
+      root: String): Seq[(Long, Seq[Path])] = {
     val dir = logPath(root)
-    if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).toSeq.flatMap(st => st.getPath.getName match {
-      case CpFile(v) => Some(v.toLong)
+    if (!fs.exists(dir)) return Nil
+    val names = fs.listStatus(dir).toSeq.map(_.getPath)
+    val single = names.flatMap(p => p.getName match {
+      case CpFile(v) => Some(v.toLong -> p)
       case _ => None
-    }).sorted
+    })
+    val parts = names.flatMap(p => p.getName match {
+      case CpPartFile(v, i, n) => Some((v.toLong, i.toInt, n.toInt, p))
+      case _ => None
+    }).groupBy(_._1).flatMap { case (v, ps) =>
+      val ns = ps.map(_._3).distinct
+      if (ns.size == 1 &&
+          ps.map(_._2).sorted == (1 to ns.head)) // complete, 1..n
+        Some(v -> ps.sortBy(_._2).map(_._4))
+      else None // incomplete or conflicting multi-part set: not usable
+    }
+    (single.map { case (v, p) => v -> Seq(p) } ++ parts)
+      .groupBy(_._1).map { case (v, alts) => v -> alts.head._2 }
+      .toSeq.sortBy(_._1)
   }
 
   /** The `_last_checkpoint` hint, parsed but NOT validated — (version,
@@ -366,8 +389,8 @@ object DeltaExport {
     * any other protocol-1 reader.
     */
   private def loadCheckpoint(spark: SparkSession, root: String,
-      v: Long, r: Replayer): Unit = {
-    val rows = spark.read.parquet(checkpointFile(root, v).toString).collect()
+      parts: Seq[Path], r: Replayer): Unit = {
+    val rows = spark.read.parquet(parts.map(_.toString): _*).collect()
     rows.foreach { row =>
       optField[Row](row, "protocol").foreach { pr =>
         val rf = optField[scala.collection.Seq[String]](pr, "readerFeatures")
@@ -516,7 +539,7 @@ object DeltaExport {
     val versions = listVersions(fs, root)
     val cps = listCheckpoints(fs, root)
     val hint = lastCheckpointHint(fs, root)
-    val latest = Seq(cps.lastOption.getOrElse(-1L),
+    val latest = Seq(cps.lastOption.map(_._1).getOrElse(-1L),
       hint.map(_._1).getOrElse(-1L),
       versions.lastOption.map(_._1).getOrElse(-1L)).max
     if (latest < 0)
@@ -527,20 +550,21 @@ object DeltaExport {
 
     val m = mapper
     val r = new Replayer(root)
-    // newest LISTED classic checkpoint at-or-below the target; when none
-    // and JSON is not dense from 0, refuse — naming the unsupported
-    // checkpoint form if the hint shows one would have answered
-    val start = cps.filter(_ <= target).lastOption match {
-      case Some(cv) =>
-        loadCheckpoint(spark, root, cv, r)
+    // newest LISTED classic checkpoint (single- or complete multi-part)
+    // at-or-below the target; when none and JSON is not dense from 0,
+    // refuse — naming the unsupported checkpoint form if the hint shows
+    // one would have answered
+    val start = cps.filter(_._1 <= target).lastOption match {
+      case Some((cv, parts)) =>
+        loadCheckpoint(spark, root, parts, r)
         cv
       case None =>
         if (!(versions.nonEmpty && versions.head._1 == 0L)) hint match {
           case Some((v, parts)) if parts > 1 =>
             throw new IllegalArgumentException(
-              s"delta table at $root has a multi-part checkpoint " +
-                s"(version $v, parts=$parts) — only classic single-part " +
-                "checkpoints are supported")
+              s"delta table at $root: _last_checkpoint names a multi-part " +
+                s"checkpoint (version $v, parts=$parts) but its part files " +
+                "are missing or incomplete — cannot replay")
           case Some((v, _)) if !fs.exists(checkpointFile(root, v)) =>
             throw new IllegalArgumentException(
               s"delta table at $root: _last_checkpoint names version $v " +
@@ -1336,11 +1360,12 @@ object DeltaExport {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     listCheckpoints(fs, root).lastOption match {
       case None => 0
-      case Some(cv) =>
+      case Some((cv, _)) =>
         val oldJson = listVersions(fs, root).filter(_._1 < cv).map(_._2)
         val oldCp = fs.listStatus(logPath(root)).toSeq.map(_.getPath)
           .filter(p => p.getName match {
             case CpFile(v) => v.toLong < cv
+            case CpPartFile(v, _, _) => v.toLong < cv
             case _ => false
           })
         val n = (oldJson ++ oldCp).map { p =>
@@ -1375,7 +1400,7 @@ object DeltaExport {
     // still-live files ride the checkpoint with their descriptors)
     val r = new Replayer(root)
     listCheckpoints(fs, root).lastOption
-      .foreach(cp => loadCheckpoint(spark, root, cp, r))
+      .foreach { case (_, parts) => loadCheckpoint(spark, root, parts, r) }
     val jsonDvs = listVersions(fs, root).flatMap { case (_, p) =>
       readLines(fs, p).map(m.readTree).filter(_.has("add"))
         .flatMap(n => Option(n.get("add").get("deletionVector"))

@@ -417,6 +417,66 @@ class DeltaExportSpec extends SparkSpec {
     assert(v == 9L)
   }
 
+  test("reads a MULTI-PART classic checkpoint (foreign writers split " +
+      "large checkpoints); an incomplete part set refuses by name") {
+    val root = java.nio.file.Files.createTempDirectory("delta").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"),
+      root, "k", numBuckets = 2)
+    DeltaExport.export(spark, root, checkpointInterval = 100)
+    MergeInto.mergeBatch(spark, Seq((1L, "A")).toDF("k", "s"),
+      root, "k", numBuckets = 2)
+    DeltaExport.export(spark, root, checkpointInterval = 100)
+    MergeInto.mergeBatch(spark, Seq((4L, "d")).toDF("k", "s"),
+      root, "k", numBuckets = 2)
+    val (v2, _) = DeltaExport.export(spark, root, checkpointInterval = 2)
+    assert(v2 == 2L) // interval 2 wrote a single-part checkpoint at v2
+    val dir = new java.io.File(root, "_delta_log")
+    val single = new java.io.File(dir,
+      "00000000000000000002.checkpoint.parquet")
+    assert(single.exists())
+    // split it into a 2-part checkpoint exactly as a foreign writer
+    // names them: <v>.checkpoint.<i>.<n>.parquet, i = 1..n
+    val cp = spark.read.parquet(single.toString)
+    val rows = cp.collect().toSeq
+    val schema = cp.schema
+    Seq(rows.take(2), rows.drop(2)).zipWithIndex.foreach { case (part, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("cppart").toString
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(part).asJava), schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val pf = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val name = f"00000000000000000002.checkpoint.${i + 1}%010d.${2}%010d.parquet"
+      java.nio.file.Files.move(pf.toPath,
+        new java.io.File(dir, name).toPath)
+    }
+    assert(single.delete())
+    (0 to 1).foreach { v =>
+      assert(new java.io.File(dir, f"$v%020d.json").delete())
+    }
+    // the original hint was written through Hadoop's checksummed local
+    // fs — drop the stale .crc sidecar before rewriting it directly
+    new java.io.File(dir, "._last_checkpoint.crc").delete()
+    val hint = new java.io.PrintWriter(
+      new java.io.File(dir, "_last_checkpoint"), "UTF-8")
+    try hint.println("""{"version":2,"parts":2}""") finally hint.close()
+    // replay starts from the 2-part checkpoint: full state reconstructs
+    assert(DeltaExport.read(spark, root).select("k", "s")
+      .as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "A"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(DeltaExport.readAt(spark, root, 2L).count() == 4)
+    // an INCOMPLETE part set must not plan a partial table: with part 2
+    // of 2 gone and the pre-checkpoint JSON expired, refuse by name
+    assert(new java.io.File(dir,
+      f"00000000000000000002.checkpoint.${2}%010d.${2}%010d.parquet").delete())
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.read(spark, root)
+    }
+    assert(e.getMessage.contains("missing or incomplete"))
+  }
+
   test("exportPartitioned publishes a PARTITIONED delta table the native " +
       "reader (and pruning) round-trips — incl. escaped and null values") {
     val root = java.nio.file.Files.createTempDirectory("delta").toString + "/t"
