@@ -159,6 +159,73 @@ object CdcQueries {
     store
   }
 
+  /** Materialize the STATS-bearing foreign delta log once per sfDir: the
+    * CREATE payloads split into 4 id-ordered range files (NTILE), each
+    * add action carrying true per-file `stats` (numRecords, min/max id
+    * and totalprice, nullCount) exactly as a foreign Delta writer
+    * records them — the reader's zone-map data skipping plans only the
+    * files a pushed id predicate can match (numFiles pinned in
+    * DeltaExportSpec; this gate proves the skipping read ANSWERS right).
+    */
+  private def deltaStatsLogDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_delta_stats_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        import org.apache.spark.sql.expressions.Window
+        val creates = changeLog(s, dir)
+          .filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+          .withColumn("__q", ntile(4).over(Window.orderBy(col("id"))))
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+        lines +=
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+        val meta = m.createObjectNode()
+        val md = meta.putObject("metaData")
+        md.put("id", "graft-stats-fixture")
+        md.putObject("format").put("provider", "parquet")
+        md.put("schemaString", creates.drop("__q").schema.json)
+        md.putArray("partitionColumns")
+        md.putObject("configuration")
+        lines += m.writeValueAsString(meta)
+        (1 to 4).foreach { q =>
+          val part = creates.filter(col("__q") === q).drop("__q")
+          val st = part.agg(count(lit(1)), min("id"), max("id"),
+            min("totalprice"), max("totalprice")).head
+          val stage = s"$store/stage$q"
+          part.coalesce(1).write.parquet(stage)
+          val f = new java.io.File(stage).listFiles()
+            .find(_.getName.startsWith("part-")).get
+          val dst = new java.io.File(store, s"range$q.parquet")
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          val stats = m.createObjectNode()
+          stats.put("numRecords", st.getLong(0))
+          stats.putObject("minValues").put("id", st.getLong(1))
+            .put("totalprice", st.getDouble(3))
+          stats.putObject("maxValues").put("id", st.getLong(2))
+            .put("totalprice", st.getDouble(4))
+          stats.putObject("nullCount").put("id", 0L).put("totalprice", 0L)
+          val n = m.createObjectNode()
+          n.putObject("add").put("path", dst.getName)
+            .put("size", dst.length()).put("modificationTime", 1L)
+            .put("dataChange", true)
+            .put("stats", m.writeValueAsString(stats))
+            .putObject("partitionValues")
+          lines += m.writeValueAsString(n)
+        }
+        val logDir = new java.io.File(store, "_delta_log")
+        require(logDir.mkdirs(), s"could not create $logDir")
+        val w = new java.io.PrintWriter(
+          new java.io.File(logDir, "00000000000000000000.json"), "UTF-8")
+        try lines.foreach(w.println) finally w.close()
+    }
+    store
+  }
+
   /** Materialize the delta-CHECKPOINT table once per sfDir: the CREATE
     * batch plus the non-CREATE changes applied as 12 disjoint id-hash
     * slices, each merge followed by a [[graft.streaming.DeltaExport]]
@@ -1101,6 +1168,23 @@ object CdcQueries {
         .orderBy(col("id"), col("_change_type"))
     }),
 
+    // DATA SKIPPING driver-gated (add.stats zone maps): an id predicate
+    // at the first-quartile boundary plans only the files whose recorded
+    // [min,max] can match (DeltaExportSpec pins numFiles); the answer
+    // must equal the relational filter. Threshold derived EXACTLY in
+    // both engines: min(id) + (max(id)-min(id)) div 4 over the CREATEs.
+    "cdc_delta_stats_prune" -> ((s, dir) => {
+      val store = deltaStatsLogDir(s, dir)
+      val mm = changeLog(s, dir)
+        .filter(col("operation_type") === "CREATE")
+        .agg(min(col("id")), max(col("id"))).head
+      val thr = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 4
+      graft.streaming.DeltaExport.read(s, store)
+        .filter(col("id") <= thr)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
     // PROTOCOL DELETION VECTORS driver-gated (reader 3 / writer 7 +
     // deletionVectors feature): the table's parquet files still CONTAIN
     // the id%7==0 rows; the log's add.deletionVector descriptors point
@@ -1897,6 +1981,15 @@ object CdcQueries {
     "cdc_delta_colmap" -> s"""$changesCte
       SELECT id, status, totalprice FROM changes
       WHERE operation_type = 'CREATE' ORDER BY id""",
+
+    // Stats-pruned read = the relational filter at the same exact
+    // threshold (integer floor division on BIGINT in both engines).
+    "cdc_delta_stats_prune" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE'
+        AND id <= (SELECT MIN(id) + (MAX(id) - MIN(id)) // 4
+                   FROM changes WHERE operation_type = 'CREATE')
+      ORDER BY id""",
 
     // Protocol deletion vectors: the CREATE payloads minus the DV'd
     // keys — the files still hold them, only the bitmap says otherwise.

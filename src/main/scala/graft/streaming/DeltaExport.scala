@@ -63,7 +63,8 @@ object DeltaExport {
 
   private case class FileEntry(size: Long, modTime: Long,
       partValues: Map[String, Option[String]],
-      dv: Option[DvDescriptor] = None)
+      dv: Option[DvDescriptor] = None,
+      stats: Option[String] = None) // add.stats JSON, verbatim
 
   private case class LogState(
       version: Long, // latest delta version present, -1 if none
@@ -200,9 +201,11 @@ object DeltaExport {
                          else Some(e.getValue.asText()))
           }.toMap
         }.getOrElse(Map.empty[String, Option[String]])
+        val stats = Option(a.get("stats")).filterNot(_.isNull)
+          .map(_.asText()).filter(_.nonEmpty)
         live += decodePath(a.get("path").asText()) ->
           FileEntry(a.get("size").asLong(),
-            a.get("modificationTime").asLong(), pv, dv)
+            a.get("modificationTime").asLong(), pv, dv, stats)
       } else if (node.has("remove")) {
         live -= decodePath(node.get("remove").get("path").asText())
       } else if (node.has("txn")) {
@@ -373,6 +376,55 @@ object DeltaExport {
     }.toMap
   }
 
+  /** Decode `add.stats` JSON into [[org.apache.spark.sql.FileZone]]s for
+    * DATA SKIPPING, keyed by absolute file path. Only types with
+    * unambiguous JSON→Catalyst mappings participate (integers, floats,
+    * decimals, booleans, dates) — strings are deliberately out (foreign
+    * writers TRUNCATE long string bounds, and a truncated max prunes
+    * wrong), as are timestamps (zone-dependent rendering). Malformed
+    * stats never prune — absence is safe.
+    */
+  private def statsZones(root: String, live: Map[String, FileEntry],
+      types: Map[String, DataType])
+      : Map[String, org.apache.spark.sql.FileZone] = {
+    val m = mapper
+    live.toSeq.flatMap { case (rel, fe) =>
+      fe.stats.flatMap { js =>
+        try {
+          val n = m.readTree(js)
+          def num(field: String): Map[String, Long] =
+            Option(n.get(field)).map(_.properties().asScala.collect {
+              case e if e.getValue.isNumber => e.getKey -> e.getValue.asLong()
+            }.toMap).getOrElse(Map.empty)
+          def vals(field: String): Map[String, Any] =
+            Option(n.get(field)).map(_.properties().asScala.flatMap { e =>
+              types.get(e.getKey).flatMap(dt => castStat(e.getValue, dt))
+                .map(v => e.getKey -> v)
+            }.toMap).getOrElse(Map.empty)
+          Some(s"$root/$rel" -> org.apache.spark.sql.FileZone(
+            Option(n.get("numRecords")).filter(_.isNumber).map(_.asLong()),
+            vals("minValues"), vals("maxValues"), num("nullCount")))
+        } catch { case _: Exception => None }
+      }
+    }.toMap
+  }
+
+  private def castStat(v: JsonNode, dt: DataType): Option[Any] =
+    try dt match {
+      case IntegerType if v.isNumber => Some(v.asInt())
+      case LongType if v.isNumber => Some(v.asLong())
+      case ShortType if v.isNumber => Some(v.asInt().toShort)
+      case ByteType if v.isNumber => Some(v.asInt().toByte)
+      case DoubleType if v.isNumber => Some(v.asDouble())
+      case FloatType if v.isNumber => Some(v.asDouble().toFloat)
+      case BooleanType if v.isBoolean => Some(v.asBoolean())
+      case _: DecimalType if v.isNumber || v.isTextual =>
+        Some(Decimal(new java.math.BigDecimal(v.asText())))
+      case DateType if v.isTextual =>
+        Some(java.time.LocalDate.parse(v.asText()).toEpochDay.toInt)
+      case _ => None
+    } catch { case _: Exception => None }
+
   private def optField[T](row: Row, name: String): Option[T] =
     if (row.schema == null) None
     else row.schema.fieldNames.indexOf(name) match {
@@ -431,7 +483,8 @@ object DeltaExport {
             k -> Option(x) }).getOrElse(Map.empty[String, Option[String]])
         r.live += decodePath(optField[String](a, "path").get) ->
           FileEntry(optField[Long](a, "size").get,
-            optField[Long](a, "modificationTime").getOrElse(0L), pv, dv)
+            optField[Long](a, "modificationTime").getOrElse(0L), pv, dv,
+            optField[String](a, "stats").filter(_.nonEmpty))
       }
       optField[Row](row, "txn").foreach { t =>
         for (app <- optField[String](t, "appId");
@@ -475,7 +528,8 @@ object DeltaExport {
           StructField("pathOrInlineDv", StringType),
           StructField("offset", LongType),
           StructField("sizeInBytes", IntegerType),
-          StructField("cardinality", LongType))))))),
+          StructField("cardinality", LongType)))),
+        StructField("stats", StringType)))),
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
         StructField("version", LongType))))))
@@ -501,7 +555,7 @@ object DeltaExport {
           fe.size, fe.modTime, true,
           fe.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
             d.offset.map(Long.box).orNull, d.sizeInBytes,
-            d.cardinality)).orNull), null)
+            d.cardinality)).orNull, fe.stats.orNull), null)
       }
     val tmpDir = new Path(logPath(root),
       s".cptmp-${java.util.UUID.randomUUID}")
@@ -1185,7 +1239,9 @@ object DeltaExport {
           .map { case (rel, e) => (s"$root/$rel", e.size, e.modTime) }
         val physSchema = StructType(full.fields.map(f =>
           StructField(physOf(f.name), f.dataType, f.nullable)))
-        org.apache.spark.sql.GraftFiles.parquet(spark, files, physSchema)
+        org.apache.spark.sql.GraftFiles.parquet(spark, files, physSchema,
+          statsZones(root, st.live,
+            physSchema.fields.map(f => f.name -> f.dataType).toMap))
       } else {
         st.partitionCols.foreach(c => require(full.fieldNames.contains(c),
           s"delta log at $root partitions on '$c' which is not in the " +
@@ -1211,7 +1267,9 @@ object DeltaExport {
               (s"$root/$rel", e.size, e.modTime) })
           }
         org.apache.spark.sql.GraftFiles
-          .parquetPartitioned(spark, groups, partSchema, dataSchema)
+          .parquetPartitioned(spark, groups, partSchema, dataSchema,
+            statsZones(root, st.live,
+              dataSchema.fields.map(f => f.name -> f.dataType).toMap))
       }
     // DELETION VECTORS (merge-on-read): subtract each file's deleted
     // row indices via a codegen anti-filter on the scan's metadata

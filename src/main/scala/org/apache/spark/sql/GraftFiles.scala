@@ -4,11 +4,24 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.BucketSpec
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
-  BoundReference, Expression, Predicate}
+  BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In,
+  IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or, Predicate}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.datasources.{BucketingUtils, FileIndex,
   HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Per-file column statistics for DATA SKIPPING (the zone-map trick every
+  * table format plays: Delta `add.stats`, Iceberg manifests' bounds):
+  * min/max/nullCount per column plus the file's row count, with values
+  * already in Catalyst runtime form (Int/Long/Double/Decimal/days-int…).
+  * A column absent from the maps simply cannot prune — absence is always
+  * safe, never wrong.
+  */
+final case class FileZone(numRecords: Option[Long],
+    mins: Map[String, Any], maxs: Map[String, Any],
+    nullCounts: Map[String, Long])
 
 /** A [[FileIndex]] fed from table-format metadata instead of filesystem
   * listings. Spark's path-based `spark.read.parquet(paths)` pays one
@@ -30,7 +43,8 @@ import org.apache.spark.sql.types.StructType
   * `add.partitionValues`) instead of directory-name parsing.
   */
 final class ManifestFileIndex(parts: StructType,
-    groups: Seq[(InternalRow, Array[FileStatus])]) extends FileIndex {
+    groups: Seq[(InternalRow, Array[FileStatus])],
+    zones: Map[String, FileZone] = Map.empty) extends FileIndex {
 
   def this(files: Seq[FileStatus]) =
     this(StructType(Nil), Seq((InternalRow.empty, files.toArray)))
@@ -61,7 +75,21 @@ final class ManifestFileIndex(parts: StructType,
           groups.filter { case (row, _) => bound.eval(row) }
         }
       }
-    selected.map { case (row, files) => PartitionDirectory(row, files) }
+    // DATA SKIPPING over recorded per-file column ranges: drop a file
+    // only when a pushed predicate PROVES no row can match (zone-map
+    // semantics); any construct the prover doesn't model keeps the file.
+    // Keyed by the same path strings the statuses were built from.
+    val skipped =
+      if (zones.isEmpty || dataFilters.isEmpty) selected
+      else selected.map { case (row, files) =>
+        (row, files.filter { f =>
+          zones.get(f.getPath.toString) match {
+            case None => true
+            case Some(z) => !dataFilters.exists(ZonePrune.excludes(_, z))
+          }
+        })
+      }.filter(_._2.nonEmpty)
+    skipped.map { case (row, files) => PartitionDirectory(row, files) }
   }
 
   override def inputFiles: Array[String] =
@@ -72,6 +100,69 @@ final class ManifestFileIndex(parts: StructType,
   override def sizeInBytes: Long = groups.flatMap(_._2).map(_.getLen).sum
 
   override def partitionSchema: StructType = parts
+}
+
+/** The zone-map exclusion prover: can this pushed predicate be shown to
+  * match NO row of a file, given the file's per-column [min, max] and
+  * null counts? Sound by construction — only shapes it models can
+  * exclude; everything else answers "keep". Comparisons use Catalyst's
+  * interpreted ordering for the literal's type and fire only when the
+  * attribute's type equals it (stats values are stored in that same
+  * runtime form), so a mistyped foreign stat can never wrong-prune.
+  */
+private[sql] object ZonePrune {
+
+  private def ord(dt: DataType): Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(dt)
+
+  def excludes(e: Expression, z: FileZone): Boolean = e match {
+    case And(l, r) => excludes(l, z) || excludes(r, z)
+    case Or(l, r) => excludes(l, z) && excludes(r, z)
+    case EqualTo(a: AttributeReference, Literal(v, dt)) =>
+      outside(a, v, dt, z)
+    case EqualTo(Literal(v, dt), a: AttributeReference) =>
+      outside(a, v, dt, z)
+    case GreaterThan(a: AttributeReference, Literal(v, dt))
+        if a.dataType == dt && v != null => // need max > v
+      z.maxs.get(a.name).exists(mx => ord(dt).lteq(mx, v))
+    case GreaterThan(Literal(v, dt), a: AttributeReference)
+        if a.dataType == dt && v != null => // need min < v
+      z.mins.get(a.name).exists(mn => ord(dt).gteq(mn, v))
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt))
+        if a.dataType == dt && v != null =>
+      z.maxs.get(a.name).exists(mx => ord(dt).lt(mx, v))
+    case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference)
+        if a.dataType == dt && v != null =>
+      z.mins.get(a.name).exists(mn => ord(dt).gt(mn, v))
+    case LessThan(a: AttributeReference, Literal(v, dt))
+        if a.dataType == dt && v != null =>
+      z.mins.get(a.name).exists(mn => ord(dt).gteq(mn, v))
+    case LessThan(Literal(v, dt), a: AttributeReference)
+        if a.dataType == dt && v != null =>
+      z.maxs.get(a.name).exists(mx => ord(dt).lteq(mx, v))
+    case LessThanOrEqual(a: AttributeReference, Literal(v, dt))
+        if a.dataType == dt && v != null =>
+      z.mins.get(a.name).exists(mn => ord(dt).gt(mn, v))
+    case LessThanOrEqual(Literal(v, dt), a: AttributeReference)
+        if a.dataType == dt && v != null =>
+      z.maxs.get(a.name).exists(mx => ord(dt).lt(mx, v))
+    case In(a: AttributeReference, vs)
+        if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      vs.forall { case Literal(v, dt) => outside(a, v, dt, z) }
+    case IsNull(a: AttributeReference) =>
+      z.nullCounts.get(a.name).contains(0L)
+    case IsNotNull(a: AttributeReference) =>
+      (for (nr <- z.numRecords; nc <- z.nullCounts.get(a.name))
+        yield nc == nr).getOrElse(false)
+    case _ => false
+  }
+
+  /** v provably outside [min, max] of a.name. */
+  private def outside(a: AttributeReference, v: Any, dt: DataType,
+      z: FileZone): Boolean =
+    a.dataType == dt && v != null && (
+      z.mins.get(a.name).exists(mn => ord(dt).gt(mn, v)) ||
+      z.maxs.get(a.name).exists(mx => ord(dt).lt(mx, v)))
 }
 
 /** Bridge into `private[sql]` scan construction (same pattern as
@@ -85,9 +176,14 @@ object GraftFiles {
     new FileStatus(f._2, false, 1, 128L * 1024 * 1024, f._3, new Path(f._1))
 
   def parquet(spark: SparkSession, files: Seq[(String, Long, Long)],
-      schema: StructType): DataFrame = {
+      schema: StructType,
+      zones: Map[String, FileZone] = Map.empty): DataFrame = {
     require(files.nonEmpty, "empty file list — nothing to scan")
-    relation(spark, new ManifestFileIndex(files.map(status)),
+    // zone keys must resolve to the statuses' rendered paths
+    val z = zones.map { case (p, fz) => new Path(p).toString -> fz }
+    relation(spark,
+      new ManifestFileIndex(StructType(Nil),
+        Seq((InternalRow.empty, files.map(status).toArray)), z),
       StructType(Nil), schema)
   }
 
@@ -135,7 +231,8 @@ object GraftFiles {
     */
   def parquetPartitioned(spark: SparkSession,
       groups: Seq[(Seq[Any], Seq[(String, Long, Long)])],
-      partitionSchema: StructType, dataSchema: StructType): DataFrame = {
+      partitionSchema: StructType, dataSchema: StructType,
+      zones: Map[String, FileZone] = Map.empty): DataFrame = {
     require(groups.nonEmpty, "empty partition list — nothing to scan")
     val built = groups.map { case (vals, files) =>
       require(vals.length == partitionSchema.length,
@@ -143,7 +240,8 @@ object GraftFiles {
           s"${partitionSchema.length}")
       (InternalRow.fromSeq(vals), files.map(status).toArray)
     }
-    relation(spark, new ManifestFileIndex(partitionSchema, built),
+    val z = zones.map { case (p, fz) => new Path(p).toString -> fz }
+    relation(spark, new ManifestFileIndex(partitionSchema, built, z),
       partitionSchema, dataSchema)
   }
 

@@ -417,6 +417,84 @@ class DeltaExportSpec extends SparkSpec {
     assert(v == 9L)
   }
 
+  test("DATA SKIPPING from add.stats: numeric min/max prune files at " +
+      "planning; string bounds (truncatable) never prune") {
+    val root = java.nio.file.Files.createTempDirectory("delta").toString
+    def writeFile(lo: Long): (String, Long) = {
+      val stage = s"$root/stage$lo"
+      (lo until lo + 10).map(k => (k, s"s$k")).toDF("k", "s")
+        .coalesce(1).write.parquet(stage)
+      val f = new java.io.File(stage).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val dst = new java.io.File(root, s"f$lo.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      (dst.getName, dst.length())
+    }
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val meta = m.createObjectNode()
+    val md = meta.putObject("metaData")
+    md.put("id", "stats-fixture")
+    md.putObject("format").put("provider", "parquet")
+    md.put("schemaString", schema.json)
+    md.putArray("partitionColumns")
+    md.putObject("configuration")
+    lines += m.writeValueAsString(meta)
+    Seq(0L, 10L, 20L).foreach { lo =>
+      val (name, size) = writeFile(lo)
+      val stats = m.createObjectNode()
+      stats.put("numRecords", 10L)
+      stats.putObject("minValues").put("k", lo).put("s", s"s$lo")
+      stats.putObject("maxValues").put("k", lo + 9).put("s", s"s${lo + 9}")
+      stats.putObject("nullCount").put("k", 0L).put("s", 0L)
+      val n = m.createObjectNode()
+      n.putObject("add").put("path", name).put("size", size)
+        .put("modificationTime", 1L).put("dataChange", true)
+        .put("stats", m.writeValueAsString(stats))
+        .putObject("partitionValues")
+      lines += m.writeValueAsString(n)
+    }
+    val dir = new java.io.File(root, "_delta_log")
+    require(dir.mkdirs())
+    val w = new java.io.PrintWriter(
+      new java.io.File(dir, "00000000000000000000.json"), "UTF-8")
+    try lines.foreach(w.println) finally w.close()
+
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val exec = df.queryExecution.executedPlan
+      val finalPlan = exec.collectFirst {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+      }.getOrElse(exec)
+      (finalPlan.collectLeaves() :+ finalPlan).collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numFiles").value
+      }.getOrElse(-1L)
+    }
+
+    // point predicate inside file 3's [20, 29] range: ONE file planned
+    val hit = DeltaExport.read(spark, root).filter(col("k") === 25L)
+    assert(hit.select("k", "s").as[(Long, String)].collect().toSeq ==
+      Seq((25L, "s25")))
+    assert(scannedFiles(hit) == 1L, "k=25 must plan exactly one file")
+    // range predicate spanning two files
+    val range = DeltaExport.read(spark, root).filter(col("k") >= 15L)
+    assert(range.count() == 15L)
+    assert(scannedFiles(range) == 2L, "k>=15 must plan two files")
+    // a string predicate must NOT prune (foreign writers truncate long
+    // string bounds — pruning on them can be wrong, so we never do)
+    val str = DeltaExport.read(spark, root).filter(col("s") === "zzz")
+    assert(str.count() == 0L)
+    assert(scannedFiles(str) == 3L, "string stats must not prune")
+  }
+
   test("reads a MULTI-PART classic checkpoint (foreign writers split " +
       "large checkpoints); an incomplete part set refuses by name") {
     val root = java.nio.file.Files.createTempDirectory("delta").toString
