@@ -425,6 +425,73 @@ object DeltaExport {
       case _ => None
     } catch { case _: Exception => None }
 
+  /** Compute `add.stats` for freshly published files — numRecords plus
+    * min/max/nullCount for every numeric/boolean/date column (the same
+    * type set the read side prunes on; exact string bounds are omitted,
+    * matching the reader's refusal to trust truncatable string stats).
+    * One aggregation over the NEW files only — the per-commit cost every
+    * stats-recording Delta writer pays — grouped by file, collected as
+    * one row per file. `tightBounds=false` marks DV'd files per the
+    * spec (their physical bounds are valid but not tight).
+    */
+  private def computeAddStats(spark: SparkSession, root: String,
+      rels: Seq[String], schema: StructType,
+      dvd: Set[String]): Map[String, String] = {
+    import org.apache.spark.sql.functions._
+    val statCols = schema.fields.filter(f => f.dataType match {
+      case IntegerType | LongType | ShortType | ByteType | DoubleType |
+           FloatType | BooleanType | DateType => true
+      case _: DecimalType => true
+      case _ => false
+    }).toSeq
+    if (rels.isEmpty) return Map.empty
+    val nameToRel = rels.map(r => new Path(r).getName -> r).toMap
+    if (nameToRel.size != rels.size) return Map.empty // ambiguous names
+    val aggs = Seq(count(lit(1)).as("__nr")) ++ statCols.flatMap(f => Seq(
+      min(col(f.name)).as(s"__mn:${f.name}"),
+      max(col(f.name)).as(s"__mx:${f.name}"),
+      sum(col(f.name).isNull.cast("long")).as(s"__nc:${f.name}")))
+    // explicit schema: evolved tables' older files NULL-extend instead
+    // of failing the column lookup
+    val rows = spark.read.schema(schema)
+      .parquet(rels.map(r => s"$root/$r"): _*)
+      .groupBy(col("_metadata.file_name").as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per NEW file
+    val m = mapper
+    rows.flatMap { r =>
+      nameToRel.get(r.getString(0)).map { rel =>
+        val n = m.createObjectNode()
+        n.put("numRecords", r.getLong(1))
+        val mins = n.putObject("minValues")
+        val maxs = n.putObject("maxValues")
+        val ncs = n.putObject("nullCount")
+        statCols.foreach { f =>
+          def putVal(o: com.fasterxml.jackson.databind.node.ObjectNode,
+              v: Any): Unit = v match {
+            case null =>
+            case x: Int => o.put(f.name, x)
+            case x: Long => o.put(f.name, x)
+            case x: Short => o.put(f.name, x.toInt)
+            case x: Byte => o.put(f.name, x.toInt)
+            case x: Double => o.put(f.name, x)
+            case x: Float => o.put(f.name, x.toDouble)
+            case x: Boolean => o.put(f.name, x)
+            case x: java.math.BigDecimal => o.put(f.name, x)
+            case x: java.sql.Date => o.put(f.name, x.toString)
+            case x: java.time.LocalDate => o.put(f.name, x.toString)
+            case _ =>
+          }
+          putVal(mins, r.get(r.fieldIndex(s"__mn:${f.name}")))
+          putVal(maxs, r.get(r.fieldIndex(s"__mx:${f.name}")))
+          ncs.put(f.name, r.getLong(r.fieldIndex(s"__nc:${f.name}")))
+        }
+        n.put("tightBounds", !dvd.contains(rel))
+        rel -> m.writeValueAsString(n)
+      }
+    }.toMap
+  }
+
   private def optField[T](row: Row, name: String): Option[T] =
     if (row.schema == null) None
     else row.schema.fieldNames.indexOf(name) match {
@@ -968,8 +1035,18 @@ object DeltaExport {
         lines += m.writeValueAsString(n)
       }
     }
+    // fresh adds carry per-file stats (consumed back by this reader's
+    // data skipping and by foreign engines); unchanged files keep the
+    // stats their original add recorded
+    def changed(path: String, size: Long, mtime: Long): Boolean =
+      !(prev.live.get(path)
+        .exists(e => e.size == size && e.modTime == mtime) && dvSame(path))
+    val statsFor = computeAddStats(spark, root,
+      files.collect { case (p, sz, mt) if changed(p, sz, mt) => p },
+      schema, descriptors.keySet)
     val current = files.map(f =>
-      f._1 -> FileEntry(f._2, f._3, Map.empty, descriptors.get(f._1))).toMap
+      f._1 -> FileEntry(f._2, f._3, Map.empty, descriptors.get(f._1),
+        statsFor.get(f._1).orElse(prev.live.get(f._1).flatMap(_.stats)))).toMap
     (prev.live.keySet -- current.keySet).toSeq.sorted.foreach { path =>
       val n = m.createObjectNode()
       n.putObject("remove").put("path", encodePath(path))
@@ -977,9 +1054,7 @@ object DeltaExport {
       lines += m.writeValueAsString(n)
     }
     files.foreach { case (path, size, mtime) =>
-      val unchanged = prev.live.get(path)
-        .exists(e => e.size == size && e.modTime == mtime) && dvSame(path)
-      if (!unchanged) {
+      if (changed(path, size, mtime)) {
         // a changed DV re-adds the path; add replaces add per the
         // protocol's per-path reconciliation, no remove needed
         val n = m.createObjectNode()
@@ -987,6 +1062,7 @@ object DeltaExport {
         an.put("path", encodePath(path))
           .put("size", size).put("modificationTime", mtime)
           .put("dataChange", true).putObject("partitionValues")
+        statsFor.get(path).foreach(an.put("stats", _))
         descriptors.get(path).foreach { d =>
           val dn = an.putObject("deletionVector")
           dn.put("storageType", d.storageType)

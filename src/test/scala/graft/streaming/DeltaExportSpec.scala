@@ -130,6 +130,10 @@ class DeltaExportSpec extends SparkSpec {
       l1.contains("\"deletionVectors\""))
     assert(l1.contains("\"delta.enableDeletionVectors\":\"true\""))
     assert(l1.contains("\"storageType\":\"u\""))
+    // exported adds carry per-file stats (a JSON string per the spec);
+    // DV'd files are tightBounds=false
+    assert(l1.contains("\\\"numRecords\\\"") &&
+      l1.contains("\\\"tightBounds\\\":false"))
     assert(new java.io.File(root).listFiles()
       .exists(_.getName.matches("deletion_vector_.*\\.bin")))
     // time travel BEFORE the DV version sees every row
