@@ -34,10 +34,10 @@ import org.apache.spark.sql.functions._
 object HeavyHitters {
 
   def frequentTokens(docs: DataFrame, textCol: String, threshold: Long,
-                     capacity: Int = 4096): DataFrame = {
+                     capacity: Int = -1): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    require(threshold >= 1 && capacity >= 1)
+    require(threshold >= 1 && (capacity >= 1 || capacity == -1))
 
     val toks = docs.select(
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
@@ -45,9 +45,17 @@ object HeavyHitters {
     // one cheap scalar pass for the exactness guard (production would use
     // table stats instead of counting)
     val n = toks.count()
-    require(threshold > n / capacity,
-      s"threshold $threshold is not > n/capacity = $n/$capacity = " +
-        s"${n / capacity}: Misra-Gries candidates could miss a qualifying " +
+    // -1 = AUTO: the smallest power-of-two-ish size the guarantee needs,
+    // floor 4096 — the summary is O(cap) per task, and n/threshold is
+    // exactly the point below which a qualifying token could be missed.
+    // A fixed default here is a scale bug: it silently stops satisfying
+    // the guard as the corpus grows (measured at the 10× soak rung).
+    val cap =
+      if (capacity > 0) capacity
+      else math.max(4096L, n / threshold + 1).min(Int.MaxValue).toInt
+    require(threshold > n / cap,
+      s"threshold $threshold is not > n/capacity = $n/$cap = " +
+        s"${n / cap}: Misra-Gries candidates could miss a qualifying " +
         s"token — raise capacity to at least ${n / threshold + 1}")
 
     val candidates = toks.as[String].mapPartitions { it =>
@@ -55,7 +63,7 @@ object HeavyHitters {
       it.foreach { t =>
         counts.get(t) match {
           case Some(c) => counts(t) = c + 1
-          case None if counts.size < capacity => counts(t) = 1L
+          case None if counts.size < cap => counts(t) = 1L
           case None => // decrement-all; drop counters that reach zero
             counts.keysIterator.toList.foreach { k =>
               val v = counts(k) - 1
