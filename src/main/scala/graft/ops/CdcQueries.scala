@@ -1199,6 +1199,21 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // STREAMING CDF driver-gated: the change feed consumed as a
+    // Structured Streaming source (file admission over _change_data,
+    // _commit_version from the protocol file names, AvailableNow run
+    // materialized once) must equal the BATCH table_changes(1,2) read —
+    // same oracle as cdc_delta_cdf; only the transport differs.
+    "cdc_stream_cdf" -> ((s, dir) => {
+      val store = deltaSinkTableDir(s, dir)
+      val out = graft.streaming.DeltaCdfStream
+        .materializedChangesDir(s, store)
+      s.read.parquet(out)
+        .select(col("id"), col("status"), col("totalprice"),
+          col("_change_type"))
+        .orderBy(col("id"), col("_change_type"))
+    }),
+
     // COLUMN-MAPPED DELTA TABLE driver-gated (protocol 2, name mode):
     // physical `col-*` file columns and physically-keyed partitionValues
     // resolved to the logical schema entirely from the log's field
@@ -1945,6 +1960,10 @@ object CdcQueries {
     // SAME key-level diff (the two slices are id-disjoint, so their
     // concatenated feeds equal the one-batch feed).
     "cdc_delta_cdf" -> changeFeedOracleSql,
+
+    // The STREAMED feed carries exactly the same change rows as the
+    // batch table_changes read — transport must not alter the set.
+    "cdc_stream_cdf" -> changeFeedOracleSql,
 
     // Version 1 = the CREATE batch exactly as committed.
     "cdc_merge_time_travel" -> s"""$changesCte

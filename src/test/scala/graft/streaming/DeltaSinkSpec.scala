@@ -99,6 +99,54 @@ class DeltaSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("no change-data files"))
   }
 
+  test("the change feed streams: each cdc file admitted exactly once " +
+      "across restarts, _commit_version from the protocol file names, " +
+      "and the streamed set equals the batch table_changes read") {
+    val root = java.nio.file.Files.createTempDirectory("dsink").toString + "/t"
+    DeltaSink.upsertBatch(spark,
+      Seq((1L, "a", false), (2L, "b", false)).toDF("k", "s", "del"),
+      root, "k", 0L, 4, deleteCol = Some("del"), changeData = true)
+    DeltaSink.upsertBatch(spark,
+      Seq((1L, "A", false), (2L, "", true)).toDF("k", "s", "del"),
+      root, "k", 1L, 4, deleteCol = Some("del"), changeData = true)
+
+    val out = java.nio.file.Files.createTempDirectory("cdfout").toString
+    def runOnce(): Unit = {
+      val q = DeltaCdfStream.changes(spark, root)
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val first = spark.read.parquet(s"$out/data")
+      .select("k", "s", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().sorted.toSeq
+    assert(first == Seq(
+      (1L, "A", "update_postimage", 1L),
+      (1L, "a", "update_preimage", 1L),
+      (2L, "b", "delete", 1L)))
+    // a LATER commit streams incrementally on restart — and the already-
+    // admitted v1 file is NOT re-delivered (checkpoint-tracked)
+    DeltaSink.upsertBatch(spark,
+      Seq((3L, "c", false)).toDF("k", "s", "del"),
+      root, "k", 2L, 4, deleteCol = Some("del"), changeData = true)
+    runOnce()
+    val second = spark.read.parquet(s"$out/data")
+      .select("k", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(second == Seq(
+      (1L, "update_postimage", 1L), (1L, "update_preimage", 1L),
+      (2L, "delete", 1L), (3L, "insert", 2L)))
+    // same row set as the batch reader over the same window
+    val batch = DeltaExport.readChanges(spark, root, 1L)
+      .select("k", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(second == batch)
+  }
+
   test("a real AvailableNow stream lands every file batch exactly once " +
       "and the delta view equals the source's last-write-wins state") {
     val dir = java.nio.file.Files.createTempDirectory("dsink-src")
