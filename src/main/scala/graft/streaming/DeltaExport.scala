@@ -970,38 +970,57 @@ object DeltaExport {
       throw new IllegalStateException(
         s"concurrent exporter already published $out — re-run export to " +
           "diff against the new log head")
-    // DELETION VECTOR sidecar: one bin file per export holding every
-    // file's bitmap blob per the protocol's DV file format (version
-    // byte, then per blob: big-endian size, bitmap, big-endian CRC-32)
+    // DELETION VECTORS: tiny bitmaps inline into the descriptor itself
+    // (base85 `i` storage — no sidecar I/O to read one small DV, the
+    // protocol's own preference for small payloads); the rest share one
+    // sidecar bin file per export (version byte, then per blob:
+    // big-endian size, bitmap, big-endian CRC-32).
     var publishedDv: Option[Path] = None
     val descriptors: Map[String, DvDescriptor] =
       if (newDvSets.isEmpty) Map.empty
       else {
-        val uuid = java.util.UUID.randomUUID()
-        val sidecar = new Path(root, dvFileName(uuid))
-        val enc = Base85.encodeUuid(uuid)
-        val os0 = fs.create(sidecar, false)
-        val built =
-          try {
-            os0.write(1) // DV file format version
-            var pos = 1L
-            newDvSets.toSeq.sortBy(_._1).map { case (rel, idxs) =>
-              val data = RoaringBitmap64(idxs.toSeq).serialize()
-              val crc = new java.util.zip.CRC32()
-              crc.update(data)
-              os0.write(java.nio.ByteBuffer.allocate(4)
-                .putInt(data.length).array())
-              os0.write(data)
-              os0.write(java.nio.ByteBuffer.allocate(4)
-                .putInt(crc.getValue.toInt).array())
-              val d = rel -> DvDescriptor("u", enc, Some(pos),
-                data.length, idxs.length.toLong)
-              pos += 4L + data.length + 4L
-              d
-            }.toMap
-          } finally os0.close()
-        publishedDv = Some(sidecar)
-        built
+        val serialized = newDvSets.toSeq.sortBy(_._1).map {
+          case (rel, idxs) =>
+            (rel, RoaringBitmap64(idxs.toSeq).serialize(), idxs.length)
+        }
+        val (small, big) = serialized.partition(_._2.length <= 128)
+        val inline = small.map { case (rel, data, card) =>
+          val padded =
+            if (data.length % 4 == 0) data
+            else java.util.Arrays.copyOf(data,
+              data.length + (4 - data.length % 4))
+          rel -> DvDescriptor("i", Base85.encode(padded), None,
+            data.length, card.toLong)
+        }.toMap
+        val sidecarred =
+          if (big.isEmpty) Map.empty[String, DvDescriptor]
+          else {
+            val uuid = java.util.UUID.randomUUID()
+            val sidecar = new Path(root, dvFileName(uuid))
+            val enc = Base85.encodeUuid(uuid)
+            val os0 = fs.create(sidecar, false)
+            val built =
+              try {
+                os0.write(1) // DV file format version
+                var pos = 1L
+                big.map { case (rel, data, card) =>
+                  val crc = new java.util.zip.CRC32()
+                  crc.update(data)
+                  os0.write(java.nio.ByteBuffer.allocate(4)
+                    .putInt(data.length).array())
+                  os0.write(data)
+                  os0.write(java.nio.ByteBuffer.allocate(4)
+                    .putInt(crc.getValue.toInt).array())
+                  val d = rel -> DvDescriptor("u", enc, Some(pos),
+                    data.length, card.toLong)
+                  pos += 4L + data.length + 4L
+                  d
+                }.toMap
+              } finally os0.close()
+            publishedDv = Some(sidecar)
+            built
+          }
+        inline ++ sidecarred
       }
     // CHANGE DATA FEED (the protocol's cdc action): the row-level diff
     // between the previously exported manifest version and this one,

@@ -102,11 +102,14 @@ class DeltaExportSpec extends SparkSpec {
       "vectors (reader 3 / writer 7 + feature); the native reader " +
       "subtracts them; checkpoints and time travel keep working") {
     val root = java.nio.file.Files.createTempDirectory("delta").toString
+    // 400 keys so the per-file bitmaps exceed the inline limit — this
+    // test pins the SIDECAR (u) path; the inline (i) path has its own
     MergeInto.mergeBatch(spark,
-      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "s"),
+      (0L until 400L).map(k => (k, s"v$k")).toDF("k", "s"),
       root, "k", numBuckets = 2)
     DeltaExport.export(spark, root) // v0, plain
-    MergeInto.deleteVector(spark, root, "k", Seq(2L, 4L).toDF("k"))
+    MergeInto.deleteVector(spark, root, "k",
+      (0L until 400L by 3L).toDF("k"))
     // default export still refuses the pending DV
     val e0 = intercept[IllegalArgumentException] {
       DeltaExport.export(spark, root)
@@ -115,8 +118,9 @@ class DeltaExportSpec extends SparkSpec {
     val (v1, logFile) = DeltaExport.export(spark, root, deleteVectors = true)
     assert(v1 == 1L)
     // the reader subtracts the deleted rows
+    val want1 = (0L until 400L).filter(_ % 3 != 0)
     assert(DeltaExport.read(spark, root).select("k").as[Long]
-      .collect().sorted.toSeq == Seq(1L, 3L))
+      .collect().sorted.toSeq == want1)
     // re-export is idempotent on the DECODED deleted sets (descriptor
     // UUIDs are fresh per publish, so identity can't be the comparison)
     assert(DeltaExport.export(spark, root, deleteVectors = true)._1 == v1)
@@ -137,13 +141,15 @@ class DeltaExportSpec extends SparkSpec {
     assert(new java.io.File(root).listFiles()
       .exists(_.getName.matches("deletion_vector_.*\\.bin")))
     // time travel BEFORE the DV version sees every row
-    assert(DeltaExport.readAt(spark, root, 0L).count() == 4)
+    assert(DeltaExport.readAt(spark, root, 0L).count() == 400)
     // more deletes accumulate into a new version + checkpoint; replay
     // from the checkpoint carries the descriptors
-    MergeInto.deleteVector(spark, root, "k", Seq(1L).toDF("k"))
+    MergeInto.deleteVector(spark, root, "k",
+      (0L until 400L by 5L).toDF("k"))
     val (v2, _) = DeltaExport.export(spark, root, deleteVectors = true,
       checkpointInterval = 2)
     assert(v2 == 2L)
+    val want2 = (0L until 400L).filter(k => k % 3 != 0 && k % 5 != 0)
     val dir = new java.io.File(root, "_delta_log")
     assert(new java.io.File(dir,
       "00000000000000000002.checkpoint.parquet").exists())
@@ -151,7 +157,7 @@ class DeltaExportSpec extends SparkSpec {
       assert(new java.io.File(dir, f"$v%020d.json").delete())
     }
     assert(DeltaExport.read(spark, root).select("k").as[Long]
-      .collect().toSeq == Seq(3L))
+      .collect().sorted.toSeq == want2)
     // log expiration sweeps the sidecars expired versions referenced:
     // v1's sidecar is orphaned (v2 re-added every DV'd path with a new
     // one), the JSON below the v2 checkpoint is gone — but v2's sidecar
@@ -163,14 +169,42 @@ class DeltaExportSpec extends SparkSpec {
     assert(swept == 1, s"expected exactly the orphaned sidecar, got $swept")
     assert(sidecars().length == 1)
     assert(DeltaExport.read(spark, root).select("k").as[Long]
-      .collect().toSeq == Seq(3L))
+      .collect().sorted.toSeq == want2)
     // materializing folds the deletes into the files; the next export
     // publishes plain adds and the view is unchanged
     MergeInto.materializeDeletes(spark, root, "k")
     val (v3, _) = DeltaExport.export(spark, root)
     assert(v3 == 3L)
     assert(DeltaExport.read(spark, root).select("k").as[Long]
-      .collect().toSeq == Seq(3L))
+      .collect().sorted.toSeq == want2)
+  }
+
+  test("a SMALL deletion vector inlines into its descriptor (i storage, " +
+      "base85) — no sidecar file, same subtraction, checkpoint-safe") {
+    val root = java.nio.file.Files.createTempDirectory("delta").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "s"),
+      root, "k", numBuckets = 2)
+    DeltaExport.export(spark, root)
+    MergeInto.deleteVector(spark, root, "k", Seq(2L, 4L).toDF("k"))
+    val (v1, logFile) = DeltaExport.export(spark, root,
+      deleteVectors = true, checkpointInterval = 1)
+    assert(v1 == 1L)
+    val l1 = scala.io.Source.fromFile(logFile).getLines().mkString("\n")
+    assert(l1.contains("\"storageType\":\"i\""))
+    assert(!new java.io.File(root).listFiles()
+      .exists(_.getName.matches("deletion_vector_.*\\.bin")))
+    assert(DeltaExport.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L))
+    // idempotent re-export decodes the INLINE payload for comparison
+    assert(DeltaExport.export(spark, root, deleteVectors = true)._1 == v1)
+    // the inline descriptor rides the v1 checkpoint: replay without the
+    // JSON still subtracts
+    val dir = new java.io.File(root, "_delta_log")
+    assert(new java.io.File(dir, "00000000000000000001.json").delete())
+    assert(new java.io.File(dir, "00000000000000000000.json").delete())
+    assert(DeltaExport.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L))
   }
 
   test("export refuses a pending deletion vector") {
