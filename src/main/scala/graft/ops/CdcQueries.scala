@@ -276,6 +276,58 @@ object CdcQueries {
     store
   }
 
+  /** Materialize the delta V2-CHECKPOINT table once per sfDir: the same
+    * 13-version merge/export cadence as [[deltaCheckpointTableDir]], but
+    * exported with `v2Checkpoints = true` — UUID-named checkpoint tops
+    * whose adds live in `_delta_log/_sidecars/` parquets referenced by
+    * `sidecar` actions, protocol upgraded to the `v2Checkpoint` table
+    * feature. The pre-checkpoint JSON is then expired, so the reader can
+    * only answer by resolving the v2 top + sidecar.
+    */
+  private def deltaV2CheckpointTableDir(s: SparkSession,
+      dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_delta_v2cp_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        import org.apache.spark.sql.expressions.Window
+        val log = changeLog(s, dir)
+        val b1 = log.filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("log_seq_num").desc)
+        val b2 = log.filter(col("operation_type") =!= "CREATE")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("id"), col("status"), col("totalprice"),
+            (col("operation_type") === "DELETE").as("del"))
+        graft.streaming.MergeInto.mergeBatch(s, b1, store, "id")
+        graft.streaming.DeltaExport.export(s, store,
+          checkpointInterval = 4, v2Checkpoints = true)
+        (0 until 12).foreach { i =>
+          graft.streaming.MergeInto.mergeBatch(s,
+            b2.filter(pmod(hash(col("id")), lit(12)) === i), store, "id",
+            deleteCol = Some("del"))
+          graft.streaming.DeltaExport.export(s, store,
+            checkpointInterval = 4, v2Checkpoints = true)
+        }
+        val removed = graft.streaming.DeltaExport.cleanLog(s, store)
+        require(removed > 0,
+          "fixture expected cleanLog to expire pre-checkpoint versions")
+        // the fixture really is v2-shaped: no classic checkpoint exists
+        val logDir = new java.io.File(store, "_delta_log")
+        require(!logDir.listFiles().exists(
+          _.getName.matches("""\d{20}\.checkpoint\.parquet""")),
+          "fixture expected no classic checkpoint")
+        require(new java.io.File(logDir, "_sidecars").listFiles()
+          .exists(_.getName.endsWith(".parquet")),
+          "fixture expected a v2 sidecar parquet")
+    }
+    store
+  }
+
   /** Materialize the foreign PARTITIONED delta log once per sfDir: the
     * CREATE payloads written Hive-style under `status=` dirs by a plain
     * parquet writer, with a hand-authored protocol-1 `_delta_log` whose
@@ -492,6 +544,78 @@ object CdcQueries {
             .put("dataChange", true)
           a.putObject("partitionValues")
             .put("col-a2", pd.getName.stripPrefix("col-a2="))
+          lines += m.writeValueAsString(n)
+        }
+        val logDir = new java.io.File(store, "_delta_log")
+        require(logDir.mkdirs(), s"could not create $logDir")
+        val w = new java.io.PrintWriter(
+          new java.io.File(logDir, "00000000000000000000.json"), "UTF-8")
+        try lines.foreach(w.println) finally w.close()
+    }
+    store
+  }
+
+  /** Materialize the ID-MODE column-mapped foreign delta log once per
+    * sfDir: the data files store the CREATE payloads under column names
+    * that match NOTHING in the logical or physical schema, carrying
+    * parquet FIELD IDS instead (the exact shape of an id-mode table
+    * after a foreign rename); the log's schemaString records
+    * `delta.columnMapping.id` per field and declares mode `id`. Only
+    * field-id matching can read this table correctly.
+    */
+  private def deltaIdMapLogDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    import org.apache.spark.sql.types._
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_delta_idmap_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        def fid(id: Long) = new MetadataBuilder()
+          .putLong("parquet.field.id", id).build()
+        val creates = changeLog(s, dir)
+          .filter(col("operation_type") === "CREATE")
+          .select(col("id").as("renamed-away-1", fid(11L)),
+            col("status").as("renamed-away-2", fid(12L)),
+            col("totalprice").as("renamed-away-3", fid(13L)))
+        creates.write.parquet(s"$store/data")
+        def mapped(name: String, phys: String, id: Long,
+            dt: DataType): StructField =
+          StructField(name, dt, nullable = true, new MetadataBuilder()
+            .putLong("delta.columnMapping.id", id)
+            .putString("delta.columnMapping.physicalName", phys).build())
+        val tp = creates.schema("renamed-away-3").dataType
+        val logical = StructType(Seq(
+          mapped("id", "col-i1", 11L, LongType),
+          mapped("status", "col-i2", 12L, StringType),
+          mapped("totalprice", "col-i3", 13L, tp)))
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+        lines +=
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+        val meta = m.createObjectNode()
+        val md = meta.putObject("metaData")
+        md.put("id", "graft-idmap-fixture")
+        md.putObject("format").put("provider", "parquet")
+        md.put("schemaString", logical.json)
+        md.putArray("partitionColumns")
+        md.putObject("configuration")
+          .put("delta.columnMapping.mode", "id")
+        lines += m.writeValueAsString(meta)
+        val dataDir = new java.io.File(store, "data")
+        for {
+          f <- dataDir.listFiles().sortBy(_.getName)
+          if f.getName.endsWith(".parquet")
+        } {
+          val n = m.createObjectNode()
+          val a = n.putObject("add")
+          a.put("path", s"data/${f.getName}")
+            .put("size", f.length())
+            .put("modificationTime", f.lastModified())
+            .put("dataChange", true)
+          a.putObject("partitionValues")
           lines += m.writeValueAsString(n)
         }
         val logDir = new java.io.File(store, "_delta_log")
@@ -1220,6 +1344,29 @@ object CdcQueries {
     // metadata. Oracle = the CREATE payloads under their logical names.
     "cdc_delta_colmap" -> ((s, dir) => {
       val store = deltaColMapLogDir(s, dir)
+      graft.streaming.DeltaExport.read(s, store)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // ID-MODE COLUMN MAPPING driver-gated: the data files' column names
+    // match NOTHING in the schema — only the parquet field ids recorded
+    // as delta.columnMapping.id can resolve them. Oracle = the CREATE
+    // payloads under their logical names.
+    "cdc_delta_colmap_id" -> ((s, dir) => {
+      val store = deltaIdMapLogDir(s, dir)
+      graft.streaming.DeltaExport.read(s, store)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // V2 CHECKPOINT REPLAY driver-gated: 13 exported delta versions with
+    // UUID-named v2 checkpoint tops + `_sidecars/` add parquets, the
+    // pre-checkpoint JSON expired — the reader reconstructs the state
+    // from checkpointMetadata + sidecar actions alone. Same oracle as
+    // cdc_merge_into.
+    "cdc_delta_v2_checkpoint" -> ((s, dir) => {
+      val store = deltaV2CheckpointTableDir(s, dir)
       graft.streaming.DeltaExport.read(s, store)
         .select(col("id"), col("status"), col("totalprice"))
         .orderBy(col("id"))
@@ -2000,6 +2147,14 @@ object CdcQueries {
     "cdc_delta_colmap" -> s"""$changesCte
       SELECT id, status, totalprice FROM changes
       WHERE operation_type = 'CREATE' ORDER BY id""",
+
+    // The id-mapped table (field-id matching) = the CREATE payloads.
+    "cdc_delta_colmap_id" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE' ORDER BY id""",
+
+    // V2 checkpoint replay reconstructs the same final merged state.
+    "cdc_delta_v2_checkpoint" -> mergeFinalStateSql,
 
     // Stats-pruned read = the relational filter at the same exact
     // threshold (integer floor division on BIGINT in both engines).

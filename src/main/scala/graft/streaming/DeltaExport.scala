@@ -27,14 +27,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * table exported every batch for a year carries 10k+ versions and every
   * export/read re-reads them all.
   *
-  * [[read]]/[[readAt]] are the inverse: a minimal NATIVE Delta log reader
-  * (protocol 1 — including `_last_checkpoint` replay and PARTITIONED
-  * tables, whose partition columns are reconstructed from
-  * `add.partitionValues` as real columns with metadata-only partition
-  * pruning; deletion vectors / column mapping / multi-part or v2
-  * checkpoints are refused LOUDLY by name, never misread), used both to
-  * self-verify exports and to consume foreign Delta tables without delta
-  * jars on the classpath.
+  * [[read]]/[[readAt]] are the inverse: a NATIVE Delta log reader —
+  * `_last_checkpoint` replay over classic single/multi-part AND v2
+  * UUID-named checkpoints (sidecar actions resolved from
+  * `_delta_log/_sidecars/`), PARTITIONED tables whose partition columns
+  * are reconstructed from `add.partitionValues` as real columns with
+  * metadata-only partition pruning, deletion vectors, and name-mode
+  * column mapping; anything beyond (id-mode/nested mapping, unknown
+  * reader features) is refused LOUDLY by name, never misread — used both
+  * to self-verify exports and to consume foreign Delta tables without
+  * delta jars on the classpath.
   *
   * Scale notes: log replay is O(actions since last checkpoint) driver-side
   * JSON — the same metadata volume every Delta engine processes; data
@@ -128,7 +130,7 @@ object DeltaExport {
     * name, never misread.
     */
   private val SupportedReaderFeatures = Set("columnMapping",
-    "deletionVectors")
+    "deletionVectors", "v2Checkpoint")
 
   private def checkProtocol(root: String, minReader: Int,
       readerFeatures: Seq[String]): Unit = {
@@ -233,6 +235,14 @@ object DeltaExport {
   private val CpFile = """^(\d{20})\.checkpoint\.parquet$""".r
   private val CpPartFile =
     """^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$""".r
+  // v2 (UUID-named) checkpoints: <v>.checkpoint.<unique>.{parquet|json}.
+  // The unique segment contains no dots, so a classic multi-part name
+  // (two numeric middle segments) can never match this pattern.
+  private val CpV2File =
+    """^(\d{20})\.checkpoint\.([A-Za-z0-9_-]+)\.(parquet|json)$""".r
+
+  private def sidecarDir(root: String): Path =
+    new Path(logPath(root), "_sidecars")
 
   /** Classic checkpoint versions actually PRESENT in the log directory
     * (ascending), each with its part file(s). This listing — not
@@ -246,10 +256,13 @@ object DeltaExport {
     * (`<v>.checkpoint.parquet`) and multi-part
     * (`<v>.checkpoint.<i>.<n>.parquet`, i = 1..n) — a multi-part
     * version counts only when EVERY part is present and agrees on `n`
-    * (a half-written checkpoint must not plan a partial table). v2
-    * UUID-named checkpoints never match either pattern, so they are
-    * invisible here — the hint is then consulted to refuse them BY NAME
-    * when nothing else can answer.
+    * (a half-written checkpoint must not plan a partial table) — plus v2
+    * UUID-named tops (`<v>.checkpoint.<unique>.{parquet|json}`, the
+    * `v2Checkpoint` table feature), whose sidecar actions are resolved
+    * at load time. When one version carries both forms, the classic one
+    * is preferred (no sidecar I/O); among several v2 tops for the same
+    * version any one is complete by construction (name-ordered for
+    * determinism).
     */
   private def listCheckpoints(fs: FileSystem,
       root: String): Seq[(Long, Seq[Path])] = {
@@ -270,9 +283,22 @@ object DeltaExport {
         Some(v -> ps.sortBy(_._2).map(_._4))
       else None // incomplete or conflicting multi-part set: not usable
     }
-    (single.map { case (v, p) => v -> Seq(p) } ++ parts)
+    val v2 = names.flatMap(p => p.getName match {
+      case CpV2File(v, _, _) => Some(v.toLong -> p)
+      case _ => None
+    }).groupBy(_._1).map { case (v, ps) =>
+      v -> Seq(ps.map(_._2).minBy(_.getName))
+    }
+    // classic preferred over v2 at the same version: groupBy keeps the
+    // FIRST alternative and classics are listed first
+    (single.map { case (v, p) => v -> Seq(p) } ++ parts ++ v2)
       .groupBy(_._1).map { case (v, alts) => v -> alts.head._2 }
       .toSeq.sortBy(_._1)
+  }
+
+  private def isV2Top(p: Path): Boolean = p.getName match {
+    case CpV2File(_, _, _) => true
+    case _ => false
   }
 
   /** The `_last_checkpoint` hint, parsed but NOT validated — (version,
@@ -500,17 +526,32 @@ object DeltaExport {
       case i => Some(row.get(i).asInstanceOf[T])
     }
 
-  /** Replay a classic checkpoint parquet into the accumulator. Driver-
-    * side collect is bounded by the table's live-file count — the same
-    * metadata volume every Delta engine materializes for planning.
-    * Foreign checkpoints carry extra columns (`stats`, `tags`, `txn`) —
-    * fields are accessed by name and anything unknown is ignored, like
-    * any other protocol-1 reader.
+  /** Replay a checkpoint into the accumulator — classic single/multi-
+    * part parquet, or a v2 UUID-named top (parquet or json) whose leaf
+    * add/remove actions may live in `_delta_log/_sidecars/` parquets
+    * referenced by `sidecar` actions. Driver-side collect is bounded by
+    * the table's live-file count — the same metadata volume every Delta
+    * engine materializes for planning. Foreign checkpoints carry extra
+    * columns (`stats`, `tags`, `txn`) — fields are accessed by name and
+    * anything unknown is ignored, like any other reader.
     */
-  private def loadCheckpoint(spark: SparkSession, root: String,
-      parts: Seq[Path], r: Replayer): Unit = {
+  private def loadCheckpoint(spark: SparkSession, fs: FileSystem,
+      root: String, parts: Seq[Path], r: Replayer): Unit = {
+    if (parts.size == 1 && isV2Top(parts.head)) {
+      loadV2Checkpoint(spark, fs, root, parts.head, r)
+      return
+    }
     val rows = spark.read.parquet(parts.map(_.toString): _*).collect()
-    rows.foreach { row =>
+    rows.foreach(applyCheckpointRow(root, r, _))
+  }
+
+  /** Apply one checkpoint ROW (classic part, v2 top, or v2 sidecar) to
+    * the accumulator. `checkpointMetadata`/`sidecar` columns are handled
+    * by the v2 loader, `remove` rows are vacuum tombstones — neither
+    * carries live state here.
+    */
+  private def applyCheckpointRow(root: String, r: Replayer,
+      row: Row): Unit = {
       optField[Row](row, "protocol").foreach { pr =>
         val rf = optField[scala.collection.Seq[String]](pr, "readerFeatures")
           .map(_.toSeq).getOrElse(Nil)
@@ -558,7 +599,150 @@ object DeltaExport {
              v <- optField[Long](t, "version")) r.txns += app -> v
       }
       // remove rows in a checkpoint are vacuum tombstones — no live state
+  }
+
+  /** Replay a v2 checkpoint: validate the REQUIRED `checkpointMetadata`
+    * action against the file-name version, apply the top file's own
+    * actions (protocol/metaData/txn, plus any inline adds — the spec
+    * allows leaf actions in the top), then every referenced sidecar
+    * parquet from `_delta_log/_sidecars/`. A missing sidecar fails by
+    * name — a half-vacuumed v2 checkpoint must not plan a partial table.
+    */
+  private def loadV2Checkpoint(spark: SparkSession, fs: FileSystem,
+      root: String, top: Path, r: Replayer): Unit = {
+    val CpV2File(vStr, _, fmt) = top.getName
+    val declared = vStr.toLong
+    var cpMetaVersion: Option[Long] = None
+    val sidecarRel = scala.collection.mutable.ArrayBuffer.empty[String]
+    fmt match {
+      case "parquet" =>
+        spark.read.parquet(top.toString).collect().foreach { row =>
+          optField[Row](row, "checkpointMetadata").foreach { cm =>
+            cpMetaVersion = optField[Long](cm, "version")
+          }
+          optField[Row](row, "sidecar").foreach { sc =>
+            sidecarRel += optField[String](sc, "path").getOrElse(
+              throw new IllegalArgumentException(
+                s"v2 checkpoint $top has a sidecar action without a path"))
+          }
+          applyCheckpointRow(root, r, row)
+        }
+      case "json" =>
+        val m = mapper
+        readLines(fs, top).foreach { line =>
+          val node = m.readTree(line)
+          if (node.has("checkpointMetadata"))
+            cpMetaVersion =
+              Some(node.get("checkpointMetadata").get("version").asLong())
+          else if (node.has("sidecar"))
+            sidecarRel += node.get("sidecar").get("path").asText()
+          else r.applyJsonLine(m, line)
+        }
     }
+    require(cpMetaVersion.contains(declared),
+      s"v2 checkpoint $top " + (cpMetaVersion match {
+        case None => "has no checkpointMetadata action — not a valid " +
+          "v2 checkpoint"
+        case Some(v) => s"declares version $v inside but $declared in " +
+          "its file name — corrupt checkpoint"
+      }))
+    sidecarRel.foreach { rel =>
+      // the spec keeps sidecars in the table's own _delta_log/_sidecars
+      // directory; the recorded path is URI-encoded and relative to it
+      val p = new Path(sidecarDir(root), decodePath(rel))
+      require(fs.exists(p),
+        s"v2 checkpoint $top references sidecar $rel but " +
+          s"$p does not exist — incomplete checkpoint")
+      spark.read.parquet(p.toString).collect()
+        .foreach(applyCheckpointRow(root, r, _))
+    }
+  }
+
+  // Checkpoint action STRUCT types, shared by the classic single-file
+  // writer and the v2 top/sidecar writer (same codec either way).
+  private val CpProtocolType = StructType(Seq(
+    StructField("minReaderVersion", IntegerType),
+    StructField("minWriterVersion", IntegerType),
+    StructField("readerFeatures", ArrayType(StringType)),
+    StructField("writerFeatures", ArrayType(StringType))))
+  private val CpMetaDataType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("format", StructType(Seq(
+      StructField("provider", StringType)))),
+    StructField("schemaString", StringType),
+    StructField("partitionColumns", ArrayType(StringType)),
+    StructField("configuration",
+      MapType(StringType, StringType, valueContainsNull = true)),
+    StructField("createdTime", LongType)))
+  private val CpAddType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("partitionValues",
+      MapType(StringType, StringType, valueContainsNull = true)),
+    StructField("size", LongType),
+    StructField("modificationTime", LongType),
+    StructField("dataChange", BooleanType),
+    StructField("deletionVector", StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", LongType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))),
+    StructField("stats", StringType)))
+  private val CpTxnType = StructType(Seq(
+    StructField("appId", StringType),
+    StructField("version", LongType)))
+
+  private def protocolVal(state: LogState): Row =
+    Row(state.readerVersion, state.writerVersion,
+      if (state.readerFeatures.isEmpty) null
+      else state.readerFeatures.toSeq.sorted,
+      if (state.writerFeatures.isEmpty) null
+      else state.writerFeatures.toSeq.sorted)
+
+  private def metaDataVal(root: String, state: LogState): Row =
+    Row(tableId(root), Row("parquet"),
+      state.schemaJson.getOrElse(throw new IllegalStateException(
+        s"cannot checkpoint $root without a recorded schema")),
+      state.partitionCols, state.configuration,
+      System.currentTimeMillis())
+
+  private def addVal(rel: String, fe: FileEntry): Row =
+    Row(encodePath(rel),
+      fe.partValues.map { case (k, v) => k -> v.orNull },
+      fe.size, fe.modTime, true,
+      fe.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+        d.offset.map(Long.box).orNull, d.sizeInBytes,
+        d.cardinality)).orNull, fe.stats.orNull)
+
+  /** Stage `rows` as ONE parquet file via Spark and rename it into
+    * `out` (atomic publish; `out`'s parent must exist). Returns the
+    * published file's length.
+    */
+  private def stageSingleParquet(spark: SparkSession, fs: FileSystem,
+      root: String, rows: Seq[Row], schema: StructType, out: Path): Long = {
+    val tmpDir = new Path(logPath(root),
+      s".cptmp-${java.util.UUID.randomUUID}")
+    spark.createDataFrame(rows.asJava, schema).coalesce(1)
+      .write.mode("overwrite").parquet(tmpDir.toString)
+    val part = fs.listStatus(tmpDir)
+      .map(_.getPath).find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(
+        s"checkpoint stage at $tmpDir produced no part file"))
+    fs.delete(out, false) // re-checkpoint of same version: last wins
+    require(fs.rename(part, out),
+      s"could not publish checkpoint $out")
+    fs.delete(tmpDir, true)
+    fs.getFileStatus(out).getLen
+  }
+
+  private def publishLastCheckpointHint(fs: FileSystem, root: String,
+      version: Long, size: Long): Unit = {
+    val hint = mapper.createObjectNode()
+    hint.put("version", version).put("size", size)
+    val os = fs.create(lastCheckpointPath(root), true)
+    try os.write((mapper.writeValueAsString(hint) + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
   }
 
   /** Write the classic checkpoint for `state` (protocol + metaData + one
@@ -569,80 +753,75 @@ object DeltaExport {
   private def writeCheckpoint(spark: SparkSession, fs: FileSystem,
       root: String, state: LogState): Unit = {
     val cpSchema = StructType(Seq(
-      StructField("protocol", StructType(Seq(
-        StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType),
-        StructField("readerFeatures", ArrayType(StringType)),
-        StructField("writerFeatures", ArrayType(StringType))))),
-      StructField("metaData", StructType(Seq(
-        StructField("id", StringType),
-        StructField("format", StructType(Seq(
-          StructField("provider", StringType)))),
-        StructField("schemaString", StringType),
-        StructField("partitionColumns", ArrayType(StringType)),
-        StructField("configuration",
-          MapType(StringType, StringType, valueContainsNull = true)),
-        StructField("createdTime", LongType)))),
-      StructField("add", StructType(Seq(
-        StructField("path", StringType),
-        StructField("partitionValues",
-          MapType(StringType, StringType, valueContainsNull = true)),
-        StructField("size", LongType),
-        StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType),
-        StructField("deletionVector", StructType(Seq(
-          StructField("storageType", StringType),
-          StructField("pathOrInlineDv", StringType),
-          StructField("offset", LongType),
-          StructField("sizeInBytes", IntegerType),
-          StructField("cardinality", LongType)))),
-        StructField("stats", StringType)))),
-      StructField("txn", StructType(Seq(
-        StructField("appId", StringType),
-        StructField("version", LongType))))))
+      StructField("protocol", CpProtocolType),
+      StructField("metaData", CpMetaDataType),
+      StructField("add", CpAddType),
+      StructField("txn", CpTxnType)))
     val rows: Seq[Row] =
-      Seq(Row(Row(state.readerVersion, state.writerVersion,
-          if (state.readerFeatures.isEmpty) null
-          else state.readerFeatures.toSeq.sorted,
-          if (state.writerFeatures.isEmpty) null
-          else state.writerFeatures.toSeq.sorted), null, null, null),
-        Row(null, Row(tableId(root), Row("parquet"),
-          state.schemaJson.getOrElse(throw new IllegalStateException(
-            s"cannot checkpoint $root without a recorded schema")),
-          state.partitionCols, state.configuration,
-          System.currentTimeMillis()), null, null)) ++
+      Seq(Row(protocolVal(state), null, null, null),
+        Row(null, metaDataVal(root, state), null, null)) ++
       // latest txn per appId survives log expiration via the checkpoint,
       // exactly as the protocol specifies for transaction identifiers
       state.txns.toSeq.sortBy(_._1).map { case (app, v) =>
         Row(null, null, null, Row(app, v))
       } ++
       state.live.toSeq.sortBy(_._1).map { case (rel, fe) =>
-        Row(null, null, Row(encodePath(rel),
-          fe.partValues.map { case (k, v) => k -> v.orNull },
-          fe.size, fe.modTime, true,
-          fe.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
-            d.offset.map(Long.box).orNull, d.sizeInBytes,
-            d.cardinality)).orNull, fe.stats.orNull), null)
+        Row(null, null, addVal(rel, fe), null)
       }
-    val tmpDir = new Path(logPath(root),
-      s".cptmp-${java.util.UUID.randomUUID}")
-    spark.createDataFrame(rows.asJava, cpSchema).coalesce(1)
-      .write.mode("overwrite").parquet(tmpDir.toString)
-    val part = fs.listStatus(tmpDir)
-      .map(_.getPath).find(_.getName.startsWith("part-"))
-      .getOrElse(throw new IllegalStateException(
-        s"checkpoint stage at $tmpDir produced no part file"))
-    val out = checkpointFile(root, state.version)
-    fs.delete(out, false) // re-checkpoint of same version: last wins
-    require(fs.rename(part, out),
-      s"could not publish checkpoint $out")
-    fs.delete(tmpDir, true)
-    val hint = mapper.createObjectNode()
-    hint.put("version", state.version).put("size", rows.size.toLong)
-    val os = fs.create(lastCheckpointPath(root), true)
-    try os.write((mapper.writeValueAsString(hint) + "\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally os.close()
+    stageSingleParquet(spark, fs, root, rows, cpSchema,
+      checkpointFile(root, state.version))
+    publishLastCheckpointHint(fs, root, state.version, rows.size.toLong)
+  }
+
+  /** Write a V2 (UUID-named) checkpoint for `state`: the live adds go to
+    * ONE sidecar parquet under `_delta_log/_sidecars/<uuid>.parquet`,
+    * the top file `<v>.checkpoint.<uuid>.parquet` carries the REQUIRED
+    * `checkpointMetadata` action plus protocol/metaData/txn and the
+    * `sidecar` reference — the exact layout the v2Checkpoint table
+    * feature specifies, readable by any feature-complete Delta engine.
+    * The sidecar publishes before the top (a top must never reference a
+    * missing sidecar); `_last_checkpoint` is republished afterwards.
+    */
+  private def writeCheckpointV2(spark: SparkSession, fs: FileSystem,
+      root: String, state: LogState): Unit = {
+    val uuid = java.util.UUID.randomUUID
+    val scDir = sidecarDir(root)
+    if (!fs.exists(scDir)) fs.mkdirs(scDir)
+    val sidecarSchema = StructType(Seq(
+      StructField("add", CpAddType),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType))))))
+    val addRows: Seq[Row] = state.live.toSeq.sortBy(_._1)
+      .map { case (rel, fe) => Row(addVal(rel, fe), null) }
+    val scName = s"$uuid.parquet"
+    val scLen = stageSingleParquet(spark, fs, root, addRows,
+      sidecarSchema, new Path(scDir, scName))
+    val topSchema = StructType(Seq(
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))),
+      StructField("protocol", CpProtocolType),
+      StructField("metaData", CpMetaDataType),
+      StructField("txn", CpTxnType),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType))))))
+    val scMod = fs.getFileStatus(new Path(scDir, scName))
+      .getModificationTime
+    val topRows: Seq[Row] =
+      Seq(Row(Row(state.version), null, null, null, null),
+        Row(null, protocolVal(state), null, null, null),
+        Row(null, null, metaDataVal(root, state), null, null)) ++
+      state.txns.toSeq.sortBy(_._1).map { case (app, v) =>
+        Row(null, null, null, Row(app, v), null)
+      } :+
+      Row(null, null, null, null, Row(scName, scLen, scMod))
+    val out = new Path(logPath(root),
+      f"${state.version}%020d.checkpoint.$uuid.parquet")
+    stageSingleParquet(spark, fs, root, topRows, topSchema, out)
+    publishLastCheckpointHint(fs, root, state.version,
+      (topRows.size + addRows.size).toLong)
   }
 
   // -------------------------------------------------------------------
@@ -677,7 +856,7 @@ object DeltaExport {
     // one would have answered
     val start = cps.filter(_._1 <= target).lastOption match {
       case Some((cv, parts)) =>
-        loadCheckpoint(spark, root, parts, r)
+        loadCheckpoint(spark, fs, root, parts, r)
         cv
       case None =>
         if (!(versions.nonEmpty && versions.head._1 == 0L)) hint match {
@@ -689,8 +868,8 @@ object DeltaExport {
           case Some((v, _)) if !fs.exists(checkpointFile(root, v)) =>
             throw new IllegalArgumentException(
               s"delta table at $root: _last_checkpoint names version $v " +
-                s"but ${checkpointFile(root, v).getName} does not exist " +
-                "— v2/UUID-named checkpoints are not supported")
+                "but no classic or v2 checkpoint file for it exists in " +
+                "the log directory — cannot replay")
           case _ =>
             throw new IllegalArgumentException(
               s"delta log at $root/$LogDir does not start at version 0 " +
@@ -794,7 +973,8 @@ object DeltaExport {
   def export(spark: SparkSession, root: String,
       checkpointInterval: Int = 10,
       changeDataKey: Option[String] = None,
-      deleteVectors: Boolean = false): (Long, String) = {
+      deleteVectors: Boolean = false,
+      v2Checkpoints: Boolean = false): (Long, String) = {
     require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
     val snap = ManifestStore.latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed table under $root"))
@@ -872,22 +1052,27 @@ object DeltaExport {
     // columnMapping from reader 2).
     val wantCdf = changeDataKey.isDefined
     val wantDvNow = newDvSets.nonEmpty
-    val desiredReader =
-      math.max(prev.readerVersion, if (wantDvNow) 3 else 1)
+    // v2Checkpoint is a reader-writer table feature: declare it BEFORE
+    // the first v2 checkpoint could be written, per the spec
+    val desiredReader = Seq(prev.readerVersion,
+      if (wantDvNow) 3 else 1, if (v2Checkpoints) 3 else 1).max
     val desiredWriter = Seq(prev.writerVersion, 2,
-      if (wantCdf) 4 else 0, if (wantDvNow) 7 else 0).max
+      if (wantCdf) 4 else 0, if (wantDvNow) 7 else 0,
+      if (v2Checkpoints) 7 else 0).max
     val legacyColmap =
       if (prev.readerVersion == 2 || prev.mappingMode != "none")
         Set("columnMapping") else Set.empty[String]
+    val v2Feature =
+      if (v2Checkpoints) Set("v2Checkpoint") else Set.empty[String]
     val desiredReaderFeatures =
       if (desiredReader >= 3)
-        prev.readerFeatures ++ legacyColmap ++
+        prev.readerFeatures ++ legacyColmap ++ v2Feature ++
           (if (wantDvNow) Set("deletionVectors") else Set.empty[String])
       else prev.readerFeatures
     val desiredWriterFeatures =
       if (desiredWriter >= 7)
         prev.writerFeatures ++ Set("appendOnly", "invariants") ++
-          legacyColmap ++
+          legacyColmap ++ v2Feature ++
           (if (wantDvNow) Set("deletionVectors") else Set.empty[String]) ++
           (if (wantCdf || prev.writerVersion >= 4 ||
               prev.configuration.get("delta.enableChangeDataFeed")
@@ -1118,14 +1303,17 @@ object DeltaExport {
         s"concurrent exporter already published $out — re-run export to " +
           "diff against the new log head")
     }
-    if (version > 0 && version % checkpointInterval == 0)
-      writeCheckpoint(spark, fs, root,
+    if (version > 0 && version % checkpointInterval == 0) {
+      val cpState =
         LogState(version, Some(schemaJson), Nil, "none", current,
           prev.txns ++ snap.entries.get(MergeInto.LastTxnSlot)
             .map(v => txnAppId(root) -> v.toLong) +
           (manifestAppId(root) -> snap.version),
           math.max(desiredWriter, 2), newConfig, desiredReader,
-          desiredReaderFeatures, desiredWriterFeatures))
+          desiredReaderFeatures, desiredWriterFeatures)
+      if (v2Checkpoints) writeCheckpointV2(spark, fs, root, cpState)
+      else writeCheckpoint(spark, fs, root, cpState)
+    }
     (version, out.toString)
   }
 
@@ -1279,38 +1467,80 @@ object DeltaExport {
       s"delta version ${st.version} at $root lists no live files")
     val full = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 
-    // COLUMN MAPPING ('name' mode, protocol 2 / the columnMapping reader
-    // feature): the data files store PHYSICAL column names (so renames
-    // are metadata-only); the logical names live in the schemaString's
-    // field metadata, and add.partitionValues are keyed by the physical
-    // name. The scan therefore runs under physical names and the result
-    // is aliased back to logical. 'id' mode (parquet field-id matching)
-    // is refused by name, as is mapping on nested columns (a nested
-    // physical-name rewrite needs a full Delta engine).
+    // COLUMN MAPPING (protocol 2 / the columnMapping reader feature):
+    // the data files store PHYSICAL column names (so renames are
+    // metadata-only); the logical names live in the schemaString's field
+    // metadata, and add.partitionValues are keyed by the physical name.
+    // The scan runs under physical names — rewritten RECURSIVELY, nested
+    // struct fields included — and the result is renamed back to logical
+    // by a positional struct cast. 'id' mode additionally matches
+    // columns by PARQUET FIELD ID: each scan-schema field carries the
+    // schemaString's `delta.columnMapping.id` as `parquet.field.id`
+    // metadata and Spark's parquet reader resolves by id (the exact
+    // mechanism delta-spark uses); a field without a recorded id is
+    // refused by name, never matched by guess.
     val mode = st.mappingMode
-    require(mode == "none" || mode == "name",
+    require(mode == "none" || mode == "name" || mode == "id",
       s"delta table at $root uses column mapping mode '$mode' — only " +
-        "'name' (and unmapped) tables are supported by this reader")
+        "'name', 'id' (and unmapped) tables are supported by this reader")
     val PhysKey = "delta.columnMapping.physicalName"
+    val IdKey = "delta.columnMapping.id"
+    val FieldIdKey = "parquet.field.id"
     def physName(f: org.apache.spark.sql.types.StructField): String =
-      if (mode == "name" && f.metadata.contains(PhysKey))
+      if (mode != "none" && f.metadata.contains(PhysKey))
         f.metadata.getString(PhysKey)
       else f.name
-    if (mode == "name") {
-      def nested(dt: DataType): Boolean = dt match {
-        case _: StructType => true
-        case a: org.apache.spark.sql.types.ArrayType => nested(a.elementType)
-        case m: org.apache.spark.sql.types.MapType =>
-          nested(m.keyType) || nested(m.valueType)
-        case _ => false
+    def physMeta(f: org.apache.spark.sql.types.StructField,
+        at: String): Metadata =
+      if (mode != "id") Metadata.empty
+      else {
+        require(f.metadata.contains(IdKey),
+          s"delta table at $root maps columns by id but field '$at' " +
+            s"has no $IdKey in its schemaString metadata — cannot " +
+            "match it against the parquet field ids")
+        new MetadataBuilder()
+          .putLong(FieldIdKey, f.metadata.getLong(IdKey)).build()
       }
-      full.fields.find(f => nested(f.dataType)).foreach(f =>
-        throw new IllegalArgumentException(
-          s"delta table at $root column-maps the NESTED column " +
-            s"'${f.name}' — nested physical-name rewrite is not " +
-            "implemented; read it with a full Delta engine"))
+    def physDataType(dt: DataType, at: String): DataType =
+      if (mode == "none") dt
+      else dt match {
+        case s: StructType => StructType(s.fields.map(f =>
+          StructField(physName(f), physDataType(f.dataType, s"$at.${f.name}"),
+            f.nullable, physMeta(f, s"$at.${f.name}"))))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          a.copy(elementType = physDataType(a.elementType, at))
+        case m: org.apache.spark.sql.types.MapType =>
+          m.copy(keyType = physDataType(m.keyType, at),
+            valueType = physDataType(m.valueType, at))
+        case other => other
+      }
+    def physField(f: org.apache.spark.sql.types.StructField): StructField =
+      StructField(physName(f), physDataType(f.dataType, f.name),
+        f.nullable, physMeta(f, f.name))
+    if (mode == "id") {
+      // session-scoped, metadata-gated: only schemas that CARRY
+      // parquet.field.id metadata are affected, so leaving it on is
+      // harmless to every other scan
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      // eager metadata validation BEFORE the existence sweep: a table
+      // this reader cannot match by id must say so by name, not
+      // "missing file"
+      full.fields.foreach(physField)
     }
     val physOf = full.fields.map(f => f.name -> physName(f)).toMap
+    // nullable-relaxed logical type per top-level field, the positional
+    // struct-cast target that renames nested physical fields back
+    def toNullable(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, toNullable(f.dataType), nullable = true)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = toNullable(a.elementType),
+          containsNull = true)
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = toNullable(m.keyType),
+          valueType = toNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
 
     // DELETION VECTORS decode before the existence sweep — an
     // uninterpretable DV (absolute-path storage, unknown type, bad CRC)
@@ -1332,8 +1562,7 @@ object DeltaExport {
       if (st.partitionCols.isEmpty) {
         val files = st.live.toSeq.sortBy(_._1)
           .map { case (rel, e) => (s"$root/$rel", e.size, e.modTime) }
-        val physSchema = StructType(full.fields.map(f =>
-          StructField(physOf(f.name), f.dataType, f.nullable)))
+        val physSchema = StructType(full.fields.map(physField))
         org.apache.spark.sql.GraftFiles.parquet(spark, files, physSchema,
           statsZones(root, st.live,
             physSchema.fields.map(f => f.name -> f.dataType).toMap))
@@ -1345,7 +1574,7 @@ object DeltaExport {
           StructField(physOf(c), full(c).dataType, nullable = true)))
         val dataSchema = StructType(
           full.filterNot(f => st.partitionCols.contains(f.name))
-            .map(f => StructField(physOf(f.name), f.dataType, f.nullable)))
+            .map(physField))
         val zone = spark.conf.get("spark.sql.session.timeZone")
         val groups = st.live.toSeq.groupBy(_._2.partValues).toSeq
           .sortBy(_._2.head._1).map { case (pv, entries) =>
@@ -1388,9 +1617,16 @@ object DeltaExport {
         scanned.filter(graft.functions.DvFilter(
           col("_metadata.file_name"), col("_metadata.row_index"), byName))
       }
-    // logical names + the schemaString's declared order
-    deleted.select(full.fieldNames.toIndexedSeq.map(n =>
-      org.apache.spark.sql.functions.col(physOf(n)).as(n)): _*)
+    // logical names + the schemaString's declared order; a nested
+    // mapped type is renamed back by a positional struct cast (same
+    // leaf types — rename-only, no value conversion)
+    deleted.select(full.fields.toIndexedSeq.map { f =>
+      val c = org.apache.spark.sql.functions.col(physOf(f.name))
+      val renamed =
+        if (physDataType(f.dataType, f.name) == f.dataType) c
+        else c.cast(toNullable(f.dataType))
+      renamed.as(f.name)
+    }: _*)
   }
 
   /** CHANGE DATA FEED read (`table_changes(from, to)`): the row-level
@@ -1519,14 +1755,55 @@ object DeltaExport {
           .filter(p => p.getName match {
             case CpFile(v) => v.toLong < cv
             case CpPartFile(v, _, _) => v.toLong < cv
+            case CpV2File(v, _, _) => v.toLong < cv
             case _ => false
           })
         val n = (oldJson ++ oldCp).map { p =>
           require(fs.delete(p, false), s"could not delete $p")
           1
         }.sum
-        n + sweepSidecars(spark, fs, root)
+        n + sweepV2Sidecars(spark, fs, root) +
+          sweepSidecars(spark, fs, root)
     }
+  }
+
+  /** The sidecar refs (`_sidecars`-relative names) a v2 checkpoint TOP
+    * file carries — parquet or json form.
+    */
+  private def v2SidecarRefs(spark: SparkSession, fs: FileSystem,
+      top: Path): Set[String] = top.getName match {
+    case CpV2File(_, _, "json") =>
+      readLines(fs, top).map(mapper.readTree)
+        .filter(_.has("sidecar"))
+        .map(n => decodePath(n.get("sidecar").get("path").asText())).toSet
+    case _ =>
+      spark.read.parquet(top.toString).collect()
+        .flatMap(optField[Row](_, "sidecar"))
+        .flatMap(optField[String](_, "path")).map(decodePath).toSet
+  }
+
+  /** Delete `_delta_log/_sidecars` parquets no RETAINED v2 checkpoint
+    * top references — each expiration cycle would otherwise leak the
+    * expired checkpoints' sidecar files forever. Foreign layouts are
+    * safe: only files inside the spec's own `_sidecars` directory are
+    * candidates, and liveness is read from every remaining top.
+    */
+  private def sweepV2Sidecars(spark: SparkSession, fs: FileSystem,
+      root: String): Int = {
+    val scDir = sidecarDir(root)
+    if (!fs.exists(scDir)) return 0
+    val tops = fs.listStatus(logPath(root)).toSeq.map(_.getPath)
+      .filter(isV2Top)
+    val live = tops.flatMap(v2SidecarRefs(spark, fs, _)).toSet
+    var removed = 0
+    fs.listStatus(scDir).foreach { st =>
+      if (!live.contains(st.getPath.getName)) {
+        require(fs.delete(st.getPath, false),
+          s"could not delete ${st.getPath}")
+        removed += 1
+      }
+    }
+    removed
   }
 
   /** The VACUUM half of log expiration: change-data parquets and
@@ -1553,7 +1830,8 @@ object DeltaExport {
     // still-live files ride the checkpoint with their descriptors)
     val r = new Replayer(root)
     listCheckpoints(fs, root).lastOption
-      .foreach { case (_, parts) => loadCheckpoint(spark, root, parts, r) }
+      .foreach { case (_, parts) =>
+        loadCheckpoint(spark, fs, root, parts, r) }
     val jsonDvs = listVersions(fs, root).flatMap { case (_, p) =>
       readLines(fs, p).map(m.readTree).filter(_.has("add"))
         .flatMap(n => Option(n.get("add").get("deletionVector"))

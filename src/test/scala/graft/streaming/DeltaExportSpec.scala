@@ -241,11 +241,11 @@ class DeltaExportSpec extends SparkSpec {
 
     val p3 = freshLog(Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["v2Checkpoint"]}}""", meta))
+        """"readerFeatures":["typeWidening"]}}""", meta))
     val e1 = intercept[IllegalArgumentException] {
       DeltaExport.read(spark, p3)
     }
-    assert(e1.getMessage.contains("v2Checkpoint"))
+    assert(e1.getMessage.contains("typeWidening"))
 
     // an ABSOLUTE-path deletion vector (storageType p) is an external
     // file reference — refused like shallow-cloned adds
@@ -289,8 +289,8 @@ class DeltaExportSpec extends SparkSpec {
     }
     assert(e5.getMessage.contains("multi-part"))
 
-    // a hint naming a checkpoint file that isn't there (v2/UUID naming),
-    // again only refusable when JSON cannot answer on its own
+    // a hint naming a checkpoint version with NO checkpoint file of any
+    // supported form, again only refusable when JSON cannot answer
     val v2 = freshLog(Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta))
     assert(new java.io.File(new java.io.File(v2, "_delta_log"),
@@ -301,7 +301,7 @@ class DeltaExportSpec extends SparkSpec {
     val e6 = intercept[IllegalArgumentException] {
       DeltaExport.read(spark, v2)
     }
-    assert(e6.getMessage.contains("v2/UUID"))
+    assert(e6.getMessage.contains("no classic or v2 checkpoint file"))
 
     // …but when the JSON IS dense from 0, a foreign hint pointing at a
     // checkpoint form we lack is ADVISORY (the spec's own contract):
@@ -679,7 +679,7 @@ class DeltaExportSpec extends SparkSpec {
     assert(got.filter(col("dt") === "b").select("k")
       .as[Long].collect().toSeq == Seq(2L))
 
-    // 'id' mode is refused by name
+    // an UNKNOWN mapping mode is refused by name
     val idRoot = java.nio.file.Files.createTempDirectory("delta").toString
     val idDir = new java.io.File(idRoot, "_delta_log"); idDir.mkdirs()
     val w2 = new java.io.PrintWriter(
@@ -692,7 +692,8 @@ class DeltaExportSpec extends SparkSpec {
       md2.put("id", "t").putObject("format").put("provider", "parquet")
       md2.put("schemaString", logical.json)
       md2.putArray("partitionColumns")
-      md2.putObject("configuration").put("delta.columnMapping.mode", "id")
+      md2.putObject("configuration")
+        .put("delta.columnMapping.mode", "fancy")
       w2.println(m.writeValueAsString(meta2))
       w2.println("""{"add":{"path":"f.parquet","size":1,""" +
         """"modificationTime":1,"dataChange":true,"partitionValues":{}}}""")
@@ -700,32 +701,145 @@ class DeltaExportSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException] {
       DeltaExport.read(spark, idRoot)
     }
-    assert(e1.getMessage.contains("'id'"))
+    assert(e1.getMessage.contains("'fancy'"))
 
-    // a mapped NESTED column is refused by name
-    val nestRoot = java.nio.file.Files.createTempDirectory("delta").toString
-    val nested = StructType(Seq(mapped("k", "col-aaa", "BIGINT"),
-      mapped("o", "col-obj", "STRUCT<x: INT>")))
-    val nDir = new java.io.File(nestRoot, "_delta_log"); nDir.mkdirs()
+    // an id-mode field WITHOUT a recorded columnMapping.id is refused
+    // by name, never matched by guess
+    val noId = StructType(Seq(
+      StructField("k", LongType, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", "col-k").build())))
+    val niRoot = java.nio.file.Files.createTempDirectory("delta").toString
+    val niDir = new java.io.File(niRoot, "_delta_log"); niDir.mkdirs()
     val w3 = new java.io.PrintWriter(
-      new java.io.File(nDir, "00000000000000000000.json"), "UTF-8")
+      new java.io.File(niDir, "00000000000000000000.json"), "UTF-8")
     try {
       w3.println(
         """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
       val meta3 = m.createObjectNode()
       val md3 = meta3.putObject("metaData")
       md3.put("id", "t").putObject("format").put("provider", "parquet")
-      md3.put("schemaString", nested.json)
+      md3.put("schemaString", noId.json)
       md3.putArray("partitionColumns")
-      md3.putObject("configuration").put("delta.columnMapping.mode", "name")
+      md3.putObject("configuration").put("delta.columnMapping.mode", "id")
       w3.println(m.writeValueAsString(meta3))
       w3.println("""{"add":{"path":"f.parquet","size":1,""" +
         """"modificationTime":1,"dataChange":true,"partitionValues":{}}}""")
     } finally w3.close()
     val e2 = intercept[IllegalArgumentException] {
-      DeltaExport.read(spark, nestRoot)
+      DeltaExport.read(spark, niRoot)
     }
-    assert(e2.getMessage.contains("NESTED"))
+    assert(e2.getMessage.contains("delta.columnMapping.id"))
+  }
+
+  test("reads a NESTED column-mapped table (name mode): physical names " +
+      "rewritten recursively, renamed back to logical") {
+    import org.apache.spark.sql.types._
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    // physical layout: col-aaa BIGINT, col-obj STRUCT<col-xxx INT,
+    // col-yyy STRING>
+    val root = java.nio.file.Files.createTempDirectory("delta").toString
+    spark.sql("SELECT * FROM VALUES " +
+        "(1L, named_struct('col-xxx', 10, 'col-yyy', 'p'))," +
+        "(2L, named_struct('col-xxx', 20, 'col-yyy', 'q')) " +
+        "AS t(`col-aaa`, `col-obj`)")
+      .write.parquet(s"$root/data")
+    def metaOf(phys: String) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys).build()
+    val logical = StructType(Seq(
+      StructField("k", LongType, nullable = true, metaOf("col-aaa")),
+      StructField("o", StructType(Seq(
+        StructField("x", IntegerType, nullable = true, metaOf("col-xxx")),
+        StructField("y", StringType, nullable = true, metaOf("col-yyy")))),
+        nullable = true, metaOf("col-obj"))))
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    val meta = m.createObjectNode()
+    val md = meta.putObject("metaData")
+    md.put("id", "t").putObject("format").put("provider", "parquet")
+    md.put("schemaString", logical.json)
+    md.putArray("partitionColumns")
+    md.putObject("configuration").put("delta.columnMapping.mode", "name")
+    lines += m.writeValueAsString(meta)
+    for {
+      f <- new java.io.File(s"$root/data").listFiles().sortBy(_.getName)
+      if f.getName.endsWith(".parquet")
+    } {
+      val n = m.createObjectNode()
+      val a = n.putObject("add")
+      a.put("path", s"data/${f.getName}")
+        .put("size", f.length()).put("modificationTime", f.lastModified())
+        .put("dataChange", true)
+      a.putObject("partitionValues")
+      lines += m.writeValueAsString(n)
+    }
+    val dir = new java.io.File(root, "_delta_log"); dir.mkdirs()
+    val w = new java.io.PrintWriter(
+      new java.io.File(dir, "00000000000000000000.json"), "UTF-8")
+    try lines.foreach(w.println) finally w.close()
+
+    val got = DeltaExport.read(spark, root)
+    assert(got.columns.toSeq == Seq("k", "o"))
+    assert(got.schema("o").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("x", "y"))
+    assert(got.select(col("k"), col("o.x"), col("o.y"))
+      .as[(Long, Int, String)].collect().sorted.toSeq ==
+      Seq((1L, 10, "p"), (2L, 20, "q")))
+  }
+
+  test("reads an ID-mode column-mapped table: columns matched by " +
+      "parquet field id, not by name") {
+    import org.apache.spark.sql.types._
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = java.nio.file.Files.createTempDirectory("delta").toString
+    // the FILE stores ids 7 (long) and 3 (string) under names that match
+    // NOTHING in the logical/physical schema — only the ids can resolve
+    // them (the exact situation after a foreign id-mode rename)
+    val fileSchema = StructType(Seq(
+      StructField("old-name-1", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 7L).build()),
+      StructField("old-name-2", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 3L).build())))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(1L, "x"),
+        org.apache.spark.sql.Row(2L, "y")), fileSchema)
+      .repartition(1).write.parquet(s"$root/data")
+    def idMeta(phys: String, id: Long) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id).build()
+    val logical = StructType(Seq(
+      StructField("k", LongType, nullable = true, idMeta("col-k", 7L)),
+      StructField("s", StringType, nullable = true, idMeta("col-s", 3L))))
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    lines += """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    val meta = m.createObjectNode()
+    val md = meta.putObject("metaData")
+    md.put("id", "t").putObject("format").put("provider", "parquet")
+    md.put("schemaString", logical.json)
+    md.putArray("partitionColumns")
+    md.putObject("configuration").put("delta.columnMapping.mode", "id")
+    lines += m.writeValueAsString(meta)
+    for {
+      f <- new java.io.File(s"$root/data").listFiles().sortBy(_.getName)
+      if f.getName.endsWith(".parquet")
+    } {
+      val n = m.createObjectNode()
+      val a = n.putObject("add")
+      a.put("path", s"data/${f.getName}")
+        .put("size", f.length()).put("modificationTime", f.lastModified())
+        .put("dataChange", true)
+      a.putObject("partitionValues")
+      lines += m.writeValueAsString(n)
+    }
+    val dir = new java.io.File(root, "_delta_log"); dir.mkdirs()
+    val w = new java.io.PrintWriter(
+      new java.io.File(dir, "00000000000000000000.json"), "UTF-8")
+    try lines.foreach(w.println) finally w.close()
+
+    val got = DeltaExport.read(spark, root)
+    assert(got.columns.toSeq == Seq("k", "s"))
+    assert(got.as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "x"), (2L, "y")))
   }
 
   test("history, timestamp time travel, and cleanLog round out the " +
@@ -773,5 +887,143 @@ class DeltaExportSpec extends SparkSpec {
       (5L to 3L by -1L))
     // a second clean is a no-op
     assert(DeltaExport.cleanLog(spark, root) == 0)
+  }
+
+  test("v2 checkpoints round-trip: UUID-named top + sidecar actions, " +
+      "protocol feature declared, replay from the v2 checkpoint after " +
+      "cleanLog, expired sidecars swept") {
+    val root = java.nio.file.Files.createTempDirectory("delta").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"),
+      root, "k", numBuckets = 2)
+    DeltaExport.export(spark, root, checkpointInterval = 2,
+      v2Checkpoints = true)
+    for (i <- 1 to 5) {
+      MergeInto.mergeBatch(spark, Seq((1L, s"v$i")).toDF("k", "s"),
+        root, "k", numBuckets = 2)
+      DeltaExport.export(spark, root, checkpointInterval = 2,
+        v2Checkpoints = true)
+    }
+    val dir = new java.io.File(root, "_delta_log")
+    // UUID-named tops at the interval versions, NO classic file
+    val tops = dir.listFiles().map(_.getName)
+      .filter(_.matches("""\d{20}\.checkpoint\.[0-9a-f-]{36}\.parquet"""))
+      .sorted.toSeq
+    assert(tops.map(_.take(20).toLong) == Seq(2L, 4L))
+    assert(!dir.listFiles().map(_.getName)
+      .exists(_.matches("""\d{20}\.checkpoint\.parquet""")))
+    // one sidecar parquet per checkpoint, under _delta_log/_sidecars
+    val scDir = new java.io.File(dir, "_sidecars")
+    assert(scDir.listFiles().count(_.getName.endsWith(".parquet")) == 2)
+    // the protocol declares the v2Checkpoint feature on BOTH lists
+    val v0 = scala.io.Source.fromFile(
+      new java.io.File(dir, "00000000000000000000.json"))
+      .getLines().mkString("\n")
+    assert(v0.contains("\"minReaderVersion\":3"))
+    assert(v0.contains("\"v2Checkpoint\""))
+    // full state reads back at HEAD and at the checkpoint version
+    assert(DeltaExport.read(spark, root).select("s").as[String]
+      .collect().sorted.toSeq == Seq("b", "c", "v5"))
+    assert(DeltaExport.readAt(spark, root, 4L).select("s").as[String]
+      .collect().sorted.toSeq == Seq("b", "c", "v4"))
+    // expire the prefix: replay must come from the v2 checkpoint alone
+    val removed = DeltaExport.cleanLog(spark, root)
+    assert(removed >= 4) // JSONs 0..3 + the expired v2 top + its sidecar
+    assert(!new java.io.File(dir, "00000000000000000000.json").exists())
+    assert(dir.listFiles().map(_.getName)
+      .count(_.matches("""\d{20}\.checkpoint\.[0-9a-f-]{36}\.parquet"""))
+      == 1)
+    // the expired checkpoint's sidecar was swept, the live one kept
+    assert(scDir.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    assert(DeltaExport.read(spark, root).select("s").as[String]
+      .collect().sorted.toSeq == Seq("b", "c", "v5"))
+    assert(DeltaExport.readAt(spark, root, 4L).count() == 3)
+    intercept[IllegalArgumentException] {
+      DeltaExport.readAt(spark, root, 1L)
+    }
+    // the txn high-water mark survives log expiration via the checkpoint
+    assert(DeltaExport.lastTxn(spark, root,
+      DeltaExport.manifestAppId(root)).nonEmpty)
+  }
+
+  test("foreign v2 checkpoint corners: JSON-format top with inline adds " +
+      "reads; a missing sidecar and a version-mismatched top refuse") {
+    import org.apache.spark.sql.types._
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    def freshTable(): (String, java.io.File, String) = {
+      val root = java.nio.file.Files.createTempDirectory("delta").toString
+      Seq((1L, "x"), (2L, "y")).toDF("k", "s")
+        .repartition(1).write.parquet(s"$root/data")
+      val dir = new java.io.File(root, "_delta_log"); dir.mkdirs()
+      val dataFile = new java.io.File(s"$root/data").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      (root, dir, s"data/${dataFile.getName}")
+    }
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType)))
+    def cpLines(root: String, rel: String,
+        withAdd: Boolean): Seq[String] = {
+      val f = new java.io.File(root, rel)
+      val proto = """{"protocol":{"minReaderVersion":3,""" +
+        """"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],""" +
+        """"writerFeatures":["v2Checkpoint"]}}"""
+      val meta = m.createObjectNode()
+      val md = meta.putObject("metaData")
+      md.put("id", "t").putObject("format").put("provider", "parquet")
+      md.put("schemaString", schema.json)
+      md.putArray("partitionColumns")
+      md.putObject("configuration")
+      val add = m.createObjectNode()
+      val a = add.putObject("add")
+      a.put("path", rel).put("size", f.length())
+        .put("modificationTime", f.lastModified()).put("dataChange", true)
+      a.putObject("partitionValues")
+      Seq("""{"checkpointMetadata":{"version":0}}""", proto,
+        m.writeValueAsString(meta)) ++
+        (if (withAdd) Seq(m.writeValueAsString(add)) else Nil)
+    }
+    def write(f: java.io.File, lines: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try lines.foreach(w.println) finally w.close()
+    }
+
+    // JSON-format v2 top carrying its adds INLINE (no sidecar), with
+    // only the hint pointing at it — the un-listed-JSON replay shape
+    val (r1, d1, rel1) = freshTable()
+    write(new java.io.File(d1,
+      "00000000000000000000.checkpoint.11111111-2222-3333-4444-555555555555.json"),
+      cpLines(r1, rel1, withAdd = true))
+    write(new java.io.File(d1, "_last_checkpoint"),
+      Seq("""{"version":0,"size":4}"""))
+    assert(DeltaExport.read(spark, r1).as[(Long, String)]
+      .collect().sorted.toSeq == Seq((1L, "x"), (2L, "y")))
+
+    // a sidecar action naming a file that is not there refuses by name
+    val (r2, d2, rel2) = freshTable()
+    write(new java.io.File(d2,
+      "00000000000000000000.checkpoint.11111111-2222-3333-4444-555555555555.json"),
+      cpLines(r2, rel2, withAdd = false) :+
+        """{"sidecar":{"path":"gone.parquet","sizeInBytes":10}}""")
+    write(new java.io.File(d2, "_last_checkpoint"),
+      Seq("""{"version":0,"size":4}"""))
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaExport.read(spark, r2)
+    }
+    assert(e1.getMessage.contains("gone.parquet"))
+
+    // a top whose checkpointMetadata.version disagrees with its file
+    // name refuses as corrupt
+    val (r3, d3, rel3) = freshTable()
+    write(new java.io.File(d3,
+      "00000000000000000001.checkpoint.11111111-2222-3333-4444-555555555555.json"),
+      cpLines(r3, rel3, withAdd = true)) // declares version 0, named 1
+    write(new java.io.File(d3, "00000000000000000001.json"),
+      Seq("""{"commitInfo":{}}"""))
+    write(new java.io.File(d3, "_last_checkpoint"),
+      Seq("""{"version":1,"size":4}"""))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaExport.read(spark, r3)
+    }
+    assert(e2.getMessage.contains("corrupt checkpoint"))
   }
 }
