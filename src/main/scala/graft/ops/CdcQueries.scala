@@ -276,6 +276,41 @@ object CdcQueries {
     store
   }
 
+  /** Materialize the ICEBERG-exported orders table once per sfDir: the
+    * two-batch merge with an [[graft.streaming.IcebergExport]] publish
+    * after each batch — snapshot 1 is the CREATE payloads, snapshot 2
+    * the final merged state, both consumable by any Iceberg engine
+    * (spec-v2 metadata.json + Avro manifests, files in place).
+    */
+  private def icebergOrdersTableDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_iceberg_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        import org.apache.spark.sql.expressions.Window
+        val log = changeLog(s, dir)
+        val b1 = log.filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("log_seq_num").desc)
+        val b2 = log.filter(col("operation_type") =!= "CREATE")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("id"), col("status"), col("totalprice"),
+            (col("operation_type") === "DELETE").as("del"))
+        graft.streaming.MergeInto.mergeBatch(s, b1, store, "id")
+        val (s1, _) = graft.streaming.IcebergExport.export(s, store)
+        require(s1 == 1L, s"expected iceberg snapshot 1, got $s1")
+        graft.streaming.MergeInto.mergeBatch(s, b2, store, "id",
+          deleteCol = Some("del"))
+        val (s2, _) = graft.streaming.IcebergExport.export(s, store)
+        require(s2 == 2L, s"expected iceberg snapshot 2, got $s2")
+    }
+    store
+  }
+
   /** Materialize the delta V2-CHECKPOINT table once per sfDir: the same
     * 13-version merge/export cadence as [[deltaCheckpointTableDir]], but
     * exported with `v2Checkpoints = true` — UUID-named checkpoint tops
@@ -1360,6 +1395,28 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // ICEBERG EXPORT driver-gated (the Iceberg twin of the delta-export
+    // gates): the merged orders table published as a spec-v2 Iceberg
+    // table (metadata.json + Avro manifest list/manifests with field
+    // ids) and read back by the native Iceberg reader. Oracle = the
+    // clean two-batch merge state, same as cdc_merge_into.
+    "cdc_iceberg_export" -> ((s, dir) => {
+      val store = icebergOrdersTableDir(s, dir)
+      graft.streaming.IcebergExport.read(s, store)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // ICEBERG TIME TRAVEL driver-gated: snapshot 1 (pre-update) read by
+    // id while the table has moved on — the CREATE payloads exactly as
+    // committed, from the snapshot's own manifest list.
+    "cdc_iceberg_time_travel" -> ((s, dir) => {
+      val store = icebergOrdersTableDir(s, dir)
+      graft.streaming.IcebergExport.readAt(s, store, 1L)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
     // V2 CHECKPOINT REPLAY driver-gated: 13 exported delta versions with
     // UUID-named v2 checkpoint tops + `_sidecars/` add parquets, the
     // pre-checkpoint JSON expired — the reader reconstructs the state
@@ -2155,6 +2212,14 @@ object CdcQueries {
 
     // V2 checkpoint replay reconstructs the same final merged state.
     "cdc_delta_v2_checkpoint" -> mergeFinalStateSql,
+
+    // The iceberg-published table = the clean merged state.
+    "cdc_iceberg_export" -> mergeFinalStateSql,
+
+    // Iceberg snapshot 1 = the CREATE batch exactly as committed.
+    "cdc_iceberg_time_travel" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE' ORDER BY id""",
 
     // Stats-pruned read = the relational filter at the same exact
     // threshold (integer floor division on BIGINT in both engines).

@@ -895,7 +895,7 @@ object DeltaExport {
     * the symlink export uses; relative because Delta `add.path` is
     * resolved against the table root.
     */
-  private def snapshotFiles(fs: FileSystem, root: String,
+  private[streaming] def snapshotFiles(fs: FileSystem, root: String,
       snap: ManifestStore.Snapshot): Seq[(String, Long, Long)] = {
     val rootUri = new Path(root).toUri.getPath.stripSuffix("/")
     ManifestStore.resolvePaths(root, snap).flatMap { dir =>
@@ -917,7 +917,7 @@ object DeltaExport {
     }.sortBy(_._1)
   }
 
-  private def tableSchema(spark: SparkSession, root: String,
+  private[streaming] def tableSchema(spark: SparkSession, root: String,
       snap: ManifestStore.Snapshot): StructType =
     snap.entries.get(MergeInto.SchemaSlot)
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])

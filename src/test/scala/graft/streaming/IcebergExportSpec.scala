@@ -1,0 +1,155 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class IcebergExportSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def metaFiles(root: String): Seq[String] = {
+    val d = new java.io.File(root, "metadata")
+    if (!d.exists()) Nil else d.listFiles().map(_.getName).sorted.toSeq
+  }
+
+  test("export publishes a spec-shaped v2 iceberg table; read() equals " +
+      "the table; re-export is idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("iceberg").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "s", "v"),
+      root, "k", numBuckets = 2)
+    val (sid, mdPath) = IcebergExport.export(spark, root)
+    assert(sid == 1L && mdPath.endsWith("v1.metadata.json"))
+    val names = metaFiles(root)
+    assert(names.contains("v1.metadata.json"))
+    assert(names.contains("version-hint.text"))
+    assert(names.exists(_.matches("snap-1-1-.*\\.avro")))
+    assert(names.exists(_.endsWith("-m0.avro")))
+    // the metadata carries the spec's required v2 surface
+    val md = scala.io.Source.fromFile(
+      new java.io.File(new java.io.File(root, "metadata"),
+        "v1.metadata.json")).mkString
+    assert(md.contains("\"format-version\" : 2"))
+    assert(md.contains("\"schema.name-mapping.default\""))
+    assert(md.contains("\"current-snapshot-id\" : 1"))
+    assert(md.contains("\"last-sequence-number\" : 1"))
+    // the manifest avro embeds spec field-ids in its schema
+    val manifest = new java.io.File(new java.io.File(root, "metadata"),
+      names.find(_.endsWith("-m0.avro")).get)
+    val raw = java.nio.file.Files.readAllBytes(manifest.toPath)
+    val head = new String(raw.take(4096), "ISO-8859-1")
+    assert(head.contains("\"field-id\":100") &&
+      head.contains("\"field-id\":103"))
+    // read back equals the table
+    val got = IcebergExport.read(spark, root).select("k", "s", "v")
+      .as[(Long, String, Int)].collect().sorted.toSeq
+    assert(got == Seq((1L, "a", 10), (2L, "b", 20)))
+    // idempotent: same manifest version exports nothing new
+    val (sid2, _) = IcebergExport.export(spark, root)
+    assert(sid2 == 1L)
+    assert(metaFiles(root).count(_.endsWith(".metadata.json")) == 1)
+  }
+
+  test("incremental snapshots: time travel by snapshot id, stable " +
+      "field ids across schema evolution, snapshot history") {
+    val root = java.nio.file.Files.createTempDirectory("iceberg").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root, "k", numBuckets = 2)
+    IcebergExport.export(spark, root)
+    // second merge widens the schema (adds `score`)
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "A", 0.9)).toDF("k", "s", "score"), root, "k",
+      numBuckets = 2)
+    val (sid2, mdPath2) = IcebergExport.export(spark, root)
+    assert(sid2 == 2L && mdPath2.endsWith("v2.metadata.json"))
+    val now = IcebergExport.read(spark, root).select("k", "s", "score")
+      .as[(Long, String, Option[Double])].collect().sorted.toSeq
+    assert(now == Seq((1L, "A", Some(0.9)), (2L, "b", None)))
+    // snapshot 1 still reads the pre-evolution state under its schema
+    val asOf1 = IcebergExport.readAt(spark, root, 1L)
+    assert(asOf1.columns.sorted.toSeq == Seq("__bucket", "k", "s"))
+    assert(asOf1.select("k", "s").as[(Long, String)].collect()
+      .sorted.toSeq == Seq((1L, "a"), (2L, "b")))
+    // history: two snapshots, both overwrite, ascending
+    val snaps = IcebergExport.snapshots(spark, root)
+    assert(snaps.map(_.snapshotId) == Seq(1L, 2L))
+    assert(snaps.forall(_.operation == "overwrite"))
+    // field-id stability: column k keeps its id across the two schemas
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = m.readTree(scala.io.Source.fromFile(
+      new java.io.File(new java.io.File(root, "metadata"),
+        "v2.metadata.json")).mkString)
+    import scala.jdk.CollectionConverters._
+    val schemas = md.get("schemas").elements().asScala.toSeq
+    assert(schemas.size == 2)
+    def idOf(s: com.fasterxml.jackson.databind.JsonNode,
+        name: String): Int =
+      s.get("fields").elements().asScala
+        .find(_.get("name").asText() == name).get.get("id").asInt()
+    assert(idOf(schemas(0), "k") == idOf(schemas(1), "k"))
+    assert(idOf(schemas(0), "s") == idOf(schemas(1), "s"))
+    // the new column got a FRESH id above the previous last-column-id
+    val kId = idOf(schemas(1), "k")
+    val sId = idOf(schemas(1), "s")
+    assert(idOf(schemas(1), "score") > math.max(kId, sId))
+    assert(md.get("last-column-id").asInt() >= idOf(schemas(1), "score"))
+    // both metadata versions retained; the log links them
+    assert(md.get("metadata-log").size() == 1)
+    assert(md.get("snapshot-log").size() == 2)
+  }
+
+  test("refusals are loud and by name; a missing version hint falls " +
+      "back to the newest metadata file") {
+    val root = java.nio.file.Files.createTempDirectory("iceberg").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root, "k", numBuckets = 2)
+    IcebergExport.export(spark, root)
+
+    // hint deleted -> newest v*.metadata.json still answers
+    val hint = new java.io.File(new java.io.File(root, "metadata"),
+      "version-hint.text")
+    assert(hint.delete())
+    assert(IcebergExport.read(spark, root).count() == 2)
+
+    // a pending deletion vector refuses the export by name
+    MergeInto.deleteVector(spark, root, "k", Seq(1L).toDF("k"))
+    val e0 = intercept[IllegalArgumentException] {
+      IcebergExport.export(spark, root)
+    }
+    assert(e0.getMessage.contains("materializeDeletes"))
+    MergeInto.materializeDeletes(spark, root, "k")
+    IcebergExport.export(spark, root)
+    assert(IcebergExport.read(spark, root).select("k").as[Long]
+      .collect().toSeq == Seq(2L))
+
+    // format-version 3 refuses
+    val mdDir = new java.io.File(root, "metadata")
+    val newest = mdDir.listFiles().map(_.getName)
+      .filter(_.matches("v\\d+\\.metadata\\.json")).sorted.last
+    val txt = scala.io.Source.fromFile(
+      new java.io.File(mdDir, newest)).mkString
+    val v3 = txt.replace("\"format-version\" : 2",
+      "\"format-version\" : 3")
+    val vNum = newest.stripPrefix("v")
+      .stripSuffix(".metadata.json").toInt
+    val bump = s"v${vNum + 1}.metadata.json"
+    val w = new java.io.PrintWriter(new java.io.File(mdDir, bump), "UTF-8")
+    try w.print(v3) finally w.close()
+    // the export above re-published the hint; point it at the forgery
+    val hw = new java.io.PrintWriter(
+      new java.io.File(mdDir, "version-hint.text"), "UTF-8")
+    try hw.print((vNum + 1).toString) finally hw.close()
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergExport.read(spark, root)
+    }
+    assert(e1.getMessage.contains("format-version 3"))
+    assert(new java.io.File(mdDir, bump).delete())
+
+    // a snapshot id that never existed refuses
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergExport.readAt(spark, root, 99L)
+    }
+    assert(e2.getMessage.contains("no snapshot 99"))
+  }
+}
