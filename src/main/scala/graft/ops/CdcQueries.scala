@@ -311,6 +311,34 @@ object CdcQueries {
     store
   }
 
+  /** Materialize the ICEBERG position-delete table once per sfDir: the
+    * CREATE payloads exported as snapshot 1, then the id%7 keys deleted
+    * merge-on-read and exported with `deleteFiles = true` — snapshot 2
+    * subtracts them through a spec position-delete parquet referenced
+    * by a DELETE manifest, no data file rewritten.
+    */
+  private def icebergDvTableDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_iceberg_dv_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val log = changeLog(s, dir)
+        val b1 = log.filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        graft.streaming.MergeInto.mergeBatch(s, b1, store, "id")
+        graft.streaming.IcebergExport.export(s, store)
+        graft.streaming.MergeInto.deleteVector(s, store, "id",
+          b1.filter(col("id") % 7 === 0).select(col("id")))
+        val (v, _) = graft.streaming.IcebergExport.export(s, store,
+          deleteFiles = true)
+        require(v == 2L, s"fixture expected iceberg snapshot 2, got $v")
+    }
+    store
+  }
+
   /** Materialize the delta V2-CHECKPOINT table once per sfDir: the same
     * 13-version merge/export cadence as [[deltaCheckpointTableDir]], but
     * exported with `v2Checkpoints = true` — UUID-named checkpoint tops
@@ -1417,6 +1445,18 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // ICEBERG POSITION DELETES driver-gated (the Iceberg twin of
+    // cdc_delta_dv): merge-on-read deletes published as a position-
+    // delete parquet + DELETE manifest; the native reader subtracts
+    // them by (file, row) without rewriting any data file. Oracle = the
+    // CREATE payloads minus the deleted keys.
+    "cdc_iceberg_pos_delete" -> ((s, dir) => {
+      val store = icebergDvTableDir(s, dir)
+      graft.streaming.IcebergExport.read(s, store)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
     // V2 CHECKPOINT REPLAY driver-gated: 13 exported delta versions with
     // UUID-named v2 checkpoint tops + `_sidecars/` add parquets, the
     // pre-checkpoint JSON expired — the reader reconstructs the state
@@ -2220,6 +2260,13 @@ object CdcQueries {
     "cdc_iceberg_time_travel" -> s"""$changesCte
       SELECT id, status, totalprice FROM changes
       WHERE operation_type = 'CREATE' ORDER BY id""",
+
+    // Position deletes: the CREATE payloads minus the deleted keys —
+    // the files still hold them, only the delete parquet says otherwise.
+    "cdc_iceberg_pos_delete" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE' AND id % 7 != 0
+      ORDER BY id""",
 
     // Stats-pruned read = the relational filter at the same exact
     // threshold (integer floor division on BIGINT in both engines).

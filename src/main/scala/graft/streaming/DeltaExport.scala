@@ -924,6 +924,35 @@ object DeltaExport {
       .getOrElse(spark.read.option("mergeSchema", "true")
         .parquet(ManifestStore.resolvePaths(root, snap): _*).schema)
 
+  /** Pending deleted KEYS -> per-file deleted ROW POSITIONS: one scan
+    * of the snapshot's files joined against the (broadcast) key
+    * sidecar. The driver collect is bounded by the deleted-row count —
+    * the same volume as the row-level delete metadata being built from
+    * it (Delta DV bitmaps here, Iceberg position-delete rows in
+    * [[IcebergExport]]). Keys are table-root-relative file paths.
+    */
+  private[streaming] def pendingDeletePositions(spark: SparkSession,
+      root: String, dvRel: Option[String],
+      files: Seq[(String, Long, Long)]): Map[String, Array[Long]] =
+    dvRel match {
+      case Some(rel) if files.nonEmpty =>
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val keys = spark.read.parquet(s"$root/$rel")
+        val keyCol = keys.schema.fieldNames.head
+        val relByName = files.map(f => new Path(f._1).getName -> f._1).toMap
+        require(relByName.size == files.size,
+          s"duplicate data-file names under $root — cannot key deletion " +
+            "vectors by file name")
+        spark.read.parquet(files.map(f => s"$root/${f._1}"): _*)
+          .select(col(keyCol), col("_metadata.file_name").as("__f"),
+            col("_metadata.row_index").as("__i"))
+          .join(broadcast(keys.select(col(keyCol))), Seq(keyCol))
+          .select("__f", "__i").collect()
+          .groupBy(r => relByName(r.getString(0)))
+          .map { case (r2, rows) => r2 -> rows.map(_.getLong(1)).sorted }
+      case _ => Map.empty
+    }
+
   /** The txn appId this exporter writes streaming progress under. */
   def txnAppId(root: String): String = s"graft-merge-${tableId(root)}"
 
@@ -995,28 +1024,7 @@ object DeltaExport {
     val schema = tableSchema(spark, root, snap)
     val schemaJson = schema.json
 
-    // pending deleted KEYS -> per-file deleted ROW POSITIONS: one scan
-    // of the snapshot's files joined against the (broadcast) key
-    // sidecar. The driver collect is bounded by the deleted-row count —
-    // the same volume as the DV bitmaps being built from it.
-    val newDvSets: Map[String, Array[Long]] = dvRel match {
-      case Some(rel) if files.nonEmpty =>
-        import org.apache.spark.sql.functions.{broadcast, col}
-        val keys = spark.read.parquet(s"$root/$rel")
-        val keyCol = keys.schema.fieldNames.head
-        val relByName = files.map(f => new Path(f._1).getName -> f._1).toMap
-        require(relByName.size == files.size,
-          s"duplicate data-file names under $root — cannot key deletion " +
-            "vectors by file name")
-        spark.read.parquet(files.map(f => s"$root/${f._1}"): _*)
-          .select(col(keyCol), col("_metadata.file_name").as("__f"),
-            col("_metadata.row_index").as("__i"))
-          .join(broadcast(keys.select(col(keyCol))), Seq(keyCol))
-          .select("__f", "__i").collect()
-          .groupBy(r => relByName(r.getString(0)))
-          .map { case (r2, rows) => r2 -> rows.map(_.getLong(1)).sorted }
-      case _ => Map.empty
-    }
+    val newDvSets = pendingDeletePositions(spark, root, dvRel, files)
 
     val version = prev.version + 1
     val existing = new Path(logPath(root), f"${prev.version}%020d.json")

@@ -359,24 +359,45 @@ object IcebergExport {
       })
     }.toMap
 
+  /** The spec's reserved field ids for position-delete file columns. */
+  private val PosDeletePathFieldId = 2147483546L
+  private val PosDeletePosFieldId = 2147483545L
+
   /** Publish the latest committed snapshot as the next Iceberg
     * snapshot. Idempotent: when the previous Iceberg snapshot already
     * describes this manifest version with this schema, nothing is
     * written. Returns (snapshotId, metadata.json path).
+    *
+    * A pending deletion vector (merge-on-read deletes not yet
+    * materialized) is refused by default — foreign Iceberg engines
+    * cannot subtract the raw key sidecar. With `deleteFiles = true` it
+    * is instead PUBLISHED as the spec's POSITION DELETE FILES: a sorted
+    * (file_path, pos) parquet with the reserved field ids, referenced
+    * from a DELETE manifest (`content=1`) in the snapshot's manifest
+    * list — exactly what an Iceberg v2 merge-on-read writer produces
+    * for row-level deletes.
     */
-  def export(spark: SparkSession, root: String): (Long, String) = {
+  def export(spark: SparkSession, root: String,
+      deleteFiles: Boolean = false): (Long, String) = {
     val snap = ManifestStore.latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed table under $root"))
-    require(snap.entries.get(MergeInto.DvSlot).isEmpty,
-      s"table at $root has a pending deletion vector — the Iceberg " +
-        "spec expresses row-level deletes as delete files this " +
-        "exporter does not write; run materializeDeletes first")
+    val dvRel = snap.entries.get(MergeInto.DvSlot)
+    require(dvRel.isEmpty || deleteFiles,
+      s"table at $root has a pending deletion vector — foreign Iceberg " +
+        "readers cannot subtract the raw key sidecar; run " +
+        "materializeDeletes before exporting, or pass deleteFiles=true " +
+        "to publish it as position delete files")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = metaDir(root).getFileSystem(conf)
     val rootAbs = fs.makeQualified(new Path(root)).toUri.getPath
-    val files = DeltaExport.snapshotFiles(fs, root, snap)
+    val filesRel = DeltaExport.snapshotFiles(fs, root, snap)
+    val files = filesRel
       .map { case (rel, size, _) => (s"$rootAbs/$rel", size) }
     val schema = DeltaExport.tableSchema(spark, root, snap)
+    // pending deleted keys -> per-file row positions, absolute paths
+    val deleteSets: Map[String, Array[Long]] = DeltaExport
+      .pendingDeletePositions(spark, root, dvRel, filesRel)
+      .map { case (rel, a) => s"$rootAbs/$rel" -> a }
 
     // previous state (ids, uuid, snapshots, sequence), if any
     val priorVersion = currentMetadataVersion(fs, root)
@@ -480,6 +501,77 @@ object IcebergExport {
         "partition-spec" -> "[]", "partition-spec-id" -> "0",
         "format-version" -> "2", "content" -> "data"), entries)
 
+    // POSITION DELETE FILE + DELETE MANIFEST (only when deletes pend):
+    // one sorted (file_path, pos) parquet carrying the spec's reserved
+    // field ids, one manifest with a content=1 data_file entry
+    val deleteManifest: Option[(GenericRecord, Long)] =
+      if (deleteSets.isEmpty) None
+      else {
+        import org.apache.spark.sql.Row
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        val delSchema = StructType(Seq(
+          StructField("file_path", StringType, nullable = false,
+            new MetadataBuilder()
+              .putLong("parquet.field.id", PosDeletePathFieldId).build()),
+          StructField("pos", LongType, nullable = false,
+            new MetadataBuilder()
+              .putLong("parquet.field.id", PosDeletePosFieldId).build())))
+        val rows: Seq[Row] = deleteSets.toSeq.sortBy(_._1).flatMap {
+          case (p, poss) => poss.map(Row(p, _)).toSeq
+        }
+        val delPath = new Path(metaDir(root),
+          s"${java.util.UUID.randomUUID}-deletes.parquet")
+        val tmpDir = new Path(metaDir(root),
+          s".deltmp-${java.util.UUID.randomUUID}")
+        spark.createDataFrame(rows.asJava, delSchema).coalesce(1)
+          .write.mode("overwrite").parquet(tmpDir.toString)
+        val part = fs.listStatus(tmpDir).map(_.getPath)
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(
+            s"position-delete stage at $tmpDir produced no part file"))
+        require(fs.rename(part, delPath),
+          s"could not publish position deletes $delPath")
+        fs.delete(tmpDir, true)
+        val delLen = fs.getFileStatus(delPath).getLen
+        val df = new GenericData.Record(
+          ManifestEntrySchema.getField("data_file").schema())
+        df.put("content", 1) // POSITION_DELETES
+        df.put("file_path", delPath.toString)
+        df.put("file_format", "PARQUET")
+        df.put("partition", new GenericData.Record(
+          df.getSchema.getField("partition").schema()))
+        df.put("record_count", rows.size.toLong)
+        df.put("file_size_in_bytes", delLen)
+        val e = new GenericData.Record(ManifestEntrySchema)
+        e.put("status", 1)
+        e.put("snapshot_id", snapshotId)
+        e.put("sequence_number", seq)
+        e.put("file_sequence_number", seq)
+        e.put("data_file", df)
+        val dmPath = new Path(metaDir(root),
+          s"${java.util.UUID.randomUUID}-m1.avro")
+        val dmLen = writeAvro(fs, dmPath, ManifestEntrySchema,
+          Map("schema" -> mapper.writeValueAsString(schemaJson),
+            "schema-id" -> schemaId.toString,
+            "partition-spec" -> "[]", "partition-spec-id" -> "0",
+            "format-version" -> "2", "content" -> "deletes"), Seq(e))
+        val mf = new GenericData.Record(ManifestFileSchema)
+        mf.put("manifest_path", dmPath.toString)
+        mf.put("manifest_length", dmLen)
+        mf.put("partition_spec_id", 0)
+        mf.put("content", 1) // deletes manifest
+        mf.put("sequence_number", seq)
+        mf.put("min_sequence_number", seq)
+        mf.put("added_snapshot_id", snapshotId)
+        mf.put("added_files_count", 1)
+        mf.put("existing_files_count", 0)
+        mf.put("deleted_files_count", 0)
+        mf.put("added_rows_count", rows.size.toLong)
+        mf.put("existing_rows_count", 0L)
+        mf.put("deleted_rows_count", 0L)
+        Some((mf, rows.size.toLong))
+      }
+
     // MANIFEST LIST
     val mf = new GenericData.Record(ManifestFileSchema)
     mf.put("manifest_path", manifestPath.toString)
@@ -503,7 +595,8 @@ object IcebergExport {
         "parent-snapshot-id" -> prior.flatMap(p =>
           Option(p.get("current-snapshot-id")).filterNot(_.isNull)
             .map(_.asLong().toString)).getOrElse("null"),
-        "format-version" -> "2"), Seq(mf))
+        "format-version" -> "2"),
+      Seq(mf) ++ deleteManifest.map(_._1))
 
     // METADATA JSON
     val md = mapper.createObjectNode()
@@ -535,10 +628,13 @@ object IcebergExport {
     sn.put("timestamp-ms", now)
     sn.put("manifest-list", listPath.toString)
     sn.put("schema-id", schemaId)
-    sn.putObject("summary").put("operation", "overwrite")
+    val summary = sn.putObject("summary")
+    summary.put("operation", "overwrite")
       .put("added-data-files", files.size.toString)
       .put("total-records", counts.values.sum.toString)
       .put("graft.manifest-version", snap.version.toString)
+    deleteManifest.foreach { case (_, n) =>
+      summary.put("added-position-deletes", n.toString) }
     val slog = md.putArray("snapshot-log")
     prior.foreach(_.get("snapshot-log").elements().asScala
       .foreach(slog.add))
@@ -659,37 +755,95 @@ object IcebergExport {
 
     val manifests = readAvro(fs,
       new Path(sn.get("manifest-list").asText()))
-    val files = manifests.flatMap { mf =>
-      require(optInt(mf, "content", 0) == 0,
-        s"iceberg snapshot $targetId at $root carries a DELETE " +
-          "manifest — row-level deletes are not supported by this " +
-          "reader; compact the table first")
+    val (dataManifests, deleteManifests) =
+      manifests.partition(mf => optInt(mf, "content", 0) == 0)
+    def liveEntries(mf: GenericRecord)
+        : Seq[(GenericRecord, Long)] = {
+      // v2 sequence-number inheritance: a null entry sequence number
+      // inherits the manifest's (the spec's ADDED-in-this-commit rule)
+      val mfSeq = optLong(mf, "sequence_number").getOrElse(0L)
       readAvro(fs, new Path(mf.get("manifest_path").toString))
         .filter(e => e.get("status").asInstanceOf[Int] != 2) // DELETED
-        .map { e =>
-          val df = e.get("data_file").asInstanceOf[GenericRecord]
-          require(optInt(df, "content", 0) == 0,
-            s"iceberg table at $root lists a delete FILE — not " +
-              "supported by this reader")
-          val fmt = df.get("file_format").toString
-          require(fmt.equalsIgnoreCase("parquet"),
-            s"iceberg table at $root stores '$fmt' data files — only " +
-              "parquet is supported")
-          (df.get("file_path").toString,
-            df.get("file_size_in_bytes").asInstanceOf[Long],
-            df.get("record_count").asInstanceOf[Long])
-        }
+        .map(e => (e, optLong(e, "sequence_number").getOrElse(mfSeq)))
+    }
+    val files = dataManifests.flatMap(liveEntries).map { case (e, seq) =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      require(optInt(df, "content", 0) == 0,
+        s"iceberg table at $root lists a non-data file in a DATA " +
+          "manifest — corrupt metadata")
+      val fmt = df.get("file_format").toString
+      require(fmt.equalsIgnoreCase("parquet"),
+        s"iceberg table at $root stores '$fmt' data files — only " +
+          "parquet is supported")
+      (df.get("file_path").toString,
+        df.get("file_size_in_bytes").asInstanceOf[Long],
+        df.get("record_count").asInstanceOf[Long], seq)
     }
     require(files.nonEmpty,
       s"iceberg snapshot $targetId at $root lists no live files")
-    val zones = files.map { case (p, _, rc) =>
+
+    // POSITION DELETES: (file_path, pos) parquets from DELETE
+    // manifests, applied per the spec's sequence rule — a delete file
+    // covers data files whose data sequence number is <= its own.
+    // Driver-side volume is bounded by the deleted-row count, the same
+    // metadata every merge-on-read Iceberg reader materializes.
+    val deleteGroups: Seq[(Long, Map[String, Array[Long]])] =
+      deleteManifests.flatMap(liveEntries).map { case (e, delSeq) =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val content = optInt(df, "content", 0)
+        require(content == 1,
+          s"iceberg table at $root lists a delete file with content=" +
+            s"$content — only position deletes (1) are supported by " +
+            "this reader; equality deletes need a full engine")
+        val fmt = df.get("file_format").toString
+        require(fmt.equalsIgnoreCase("parquet"),
+          s"iceberg table at $root stores '$fmt' delete files — only " +
+            "parquet is supported")
+        val rows = spark.read.parquet(df.get("file_path").toString)
+          .select("file_path", "pos").collect()
+        (delSeq, rows.groupBy(_.getString(0))
+          .map { case (p, rs) => p -> rs.map(_.getLong(1)).sorted })
+      }
+
+    val zones = files.map { case (p, _, rc, _) =>
       p -> org.apache.spark.sql.FileZone(Some(rc), Map.empty, Map.empty,
         Map.empty)
     }.toMap
-    org.apache.spark.sql.GraftFiles.parquet(spark,
-      files.map { case (p, size, _) => (p, size, 0L) }.sortBy(_._1),
+    val scanned = org.apache.spark.sql.GraftFiles.parquet(spark,
+      files.map { case (p, size, _, _) => (p, size, 0L) }.sortBy(_._1),
       schema, zones)
-      .select(schema.fieldNames.toIndexedSeq.map(
-        org.apache.spark.sql.functions.col): _*)
+    val deleted =
+      if (deleteGroups.isEmpty) scanned
+      else {
+        val dvSets: Map[String, Array[Long]] = files.flatMap {
+          case (p, _, _, dataSeq) =>
+            val merged = deleteGroups
+              .filter(_._1 >= dataSeq).flatMap(_._2.get(p))
+            if (merged.isEmpty) None
+            else Some(p -> merged.flatten.distinct.sorted.toArray)
+        }.toMap
+        if (dvSets.isEmpty) scanned
+        else {
+          // keyed by file NAME like the Delta DV probe (the scan's
+          // _metadata.file_path renders scheme-qualified URIs);
+          // uniqueness-checked so the probe can never be ambiguous
+          val names = files.map(f => new Path(f._1).getName)
+          require(names.distinct.size == names.size,
+            s"iceberg table at $root has duplicate data-file NAMES " +
+              "across directories while carrying position deletes — " +
+              "the name-keyed probe would be ambiguous; read with a " +
+              "full engine")
+          val byName = dvSets.map { case (p, arr) =>
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(new Path(p).getName) -> arr
+          }
+          import org.apache.spark.sql.functions.col
+          scanned.filter(graft.functions.DvFilter(
+            col("_metadata.file_name"), col("_metadata.row_index"),
+            byName))
+        }
+      }
+    deleted.select(schema.fieldNames.toIndexedSeq.map(
+      org.apache.spark.sql.functions.col): _*)
   }
 }

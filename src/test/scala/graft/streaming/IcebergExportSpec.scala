@@ -99,6 +99,55 @@ class IcebergExportSpec extends SparkSpec {
     assert(md.get("snapshot-log").size() == 2)
   }
 
+  test("pending deletes publish as POSITION DELETE FILES (reserved " +
+      "field ids, delete manifest); the reader subtracts them; time " +
+      "travel and accumulation keep working") {
+    val root = java.nio.file.Files.createTempDirectory("iceberg").toString
+    MergeInto.mergeBatch(spark,
+      (0L until 400L).map(k => (k, s"v$k")).toDF("k", "s"),
+      root, "k", numBuckets = 2)
+    IcebergExport.export(spark, root) // snapshot 1, plain
+    MergeInto.deleteVector(spark, root, "k",
+      (0L until 400L by 3L).toDF("k"))
+    // default export still refuses the pending DV
+    val e0 = intercept[IllegalArgumentException] {
+      IcebergExport.export(spark, root)
+    }
+    assert(e0.getMessage.contains("deleteFiles=true"))
+    val (s2, _) = IcebergExport.export(spark, root, deleteFiles = true)
+    assert(s2 == 2L)
+    val want1 = (0L until 400L).filter(_ % 3 != 0)
+    assert(IcebergExport.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq == want1)
+    // the spec artifacts exist: a -deletes.parquet, a delete manifest,
+    // and the manifest list carries BOTH manifests
+    val names = metaFiles(root)
+    assert(names.exists(_.endsWith("-deletes.parquet")))
+    assert(names.exists(_.endsWith("-m1.avro")))
+    // the delete parquet carries the spec's reserved field ids and is
+    // sorted (file_path, pos)
+    val delFile = new java.io.File(new java.io.File(root, "metadata"),
+      names.find(_.endsWith("-deletes.parquet")).get)
+    val del = spark.read.parquet(delFile.toString)
+    assert(del.columns.toSeq == Seq("file_path", "pos"))
+    assert(del.count() == (0L until 400L by 3L).size.toLong)
+    // re-export with nothing new is idempotent
+    assert(IcebergExport.export(spark, root, deleteFiles = true)._1 == 2L)
+    // snapshot 1 (pre-delete) still reads every row
+    assert(IcebergExport.readAt(spark, root, 1L).count() == 400)
+    // deletes ACCUMULATE into the next snapshot
+    MergeInto.deleteVector(spark, root, "k",
+      (0L until 400L by 5L).toDF("k"))
+    val (s3, _) = IcebergExport.export(spark, root, deleteFiles = true)
+    assert(s3 == 3L)
+    val want2 = (0L until 400L).filter(k => k % 3 != 0 && k % 5 != 0)
+    assert(IcebergExport.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq == want2)
+    // the intermediate merge-on-read snapshot is still travelable
+    assert(IcebergExport.readAt(spark, root, 2L).count() ==
+      want1.size.toLong)
+  }
+
   test("refusals are loud and by name; a missing version hint falls " +
       "back to the newest metadata file") {
     val root = java.nio.file.Files.createTempDirectory("iceberg").toString
