@@ -311,6 +311,30 @@ object CdcQueries {
     store
   }
 
+  /** Materialize OUR partitioned-ICEBERG publish once per sfDir: the
+    * CREATE payloads published via
+    * [[graft.streaming.IcebergExport.exportPartitioned]] — identity
+    * spec on `status`, partition columns kept in the files (the
+    * Iceberg contract), typed partition tuples in the manifest.
+    */
+  private def icebergPublishedPartDir(s: SparkSession,
+      dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_iceberg_part_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val creates = changeLog(s, dir)
+          .filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        graft.streaming.IcebergExport.exportPartitioned(
+          s, creates, store, Seq("status"))
+    }
+    store
+  }
+
   /** Materialize the ICEBERG position-delete table once per sfDir: the
     * CREATE payloads exported as snapshot 1, then the id%7 keys deleted
     * merge-on-read and exported with `deleteFiles = true` — snapshot 2
@@ -1445,6 +1469,29 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // PARTITIONED ICEBERG PUBLISH driver-gated (the writer half): our
+    // exportPartitioned publishes the CREATE payloads with an identity
+    // spec whose typed partition tuples live in the manifest; the
+    // native reader round-trips them. Same oracle as the delta twin.
+    "cdc_iceberg_export_part" -> ((s, dir) => {
+      val store = icebergPublishedPartDir(s, dir)
+      graft.streaming.IcebergExport.read(s, store)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // ICEBERG MANIFEST PRUNING driver-gated: the same table read with a
+    // partition predicate — planning keeps only the matching partition's
+    // files from the manifest values alone (file-prune pinned in
+    // IcebergExportSpec); the answer must equal the relational filter.
+    "cdc_iceberg_part_prune" -> ((s, dir) => {
+      val store = icebergPublishedPartDir(s, dir)
+      graft.streaming.IcebergExport.read(s, store)
+        .filter(col("status") === "F")
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
     // ICEBERG POSITION DELETES driver-gated (the Iceberg twin of
     // cdc_delta_dv): merge-on-read deletes published as a position-
     // delete parquet + DELETE manifest; the native reader subtracts
@@ -2267,6 +2314,16 @@ object CdcQueries {
       SELECT id, status, totalprice FROM changes
       WHERE operation_type = 'CREATE' AND id % 7 != 0
       ORDER BY id""",
+
+    // Our partitioned iceberg publish read back = the CREATE payloads.
+    "cdc_iceberg_export_part" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE' ORDER BY id""",
+
+    // Manifest-pruned partition read = the relational filter.
+    "cdc_iceberg_part_prune" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE' AND status = 'F' ORDER BY id""",
 
     // Stats-pruned read = the relational filter at the same exact
     // threshold (integer floor division on BIGINT in both engines).

@@ -1330,7 +1330,7 @@ object DeltaExport {
     * directory): `%XX` → byte. The inverse of what partitionBy wrote, so
     * the recorded partitionValues are the true values.
     */
-  private def unescapeHive(s: String): String = {
+  private[streaming] def unescapeHive(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {

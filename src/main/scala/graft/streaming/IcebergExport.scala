@@ -272,25 +272,38 @@ object IcebergExport {
   // Avro manifest + manifest-list codecs (spec field-ids in the schema)
   // -------------------------------------------------------------------
 
-  private val ManifestEntrySchema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int","field-id":0},
-      |{"name":"snapshot_id","type":["null","long"],"default":null,
-      | "field-id":1},
-      |{"name":"sequence_number","type":["null","long"],"default":null,
-      | "field-id":3},
-      |{"name":"file_sequence_number","type":["null","long"],
-      | "default":null,"field-id":4},
-      |{"name":"data_file","field-id":2,"type":
-      | {"type":"record","name":"r2","fields":[
-      |  {"name":"content","type":"int","field-id":134},
-      |  {"name":"file_path","type":"string","field-id":100},
-      |  {"name":"file_format","type":"string","field-id":101},
-      |  {"name":"partition","field-id":102,"type":
-      |   {"type":"record","name":"r102","fields":[]}},
-      |  {"name":"record_count","type":"long","field-id":103},
-      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
-      |]}}]}""".stripMargin)
+  /** The manifest_entry Avro schema, parameterized by the partition
+    * spec's typed fields (empty record r102 for unpartitioned — the
+    * spec's shape either way). `partFields` = (name, avro type JSON,
+    * partition field id).
+    */
+  private def manifestEntrySchema(
+      partFields: Seq[(String, String, Int)]): Schema = {
+    val pf = partFields.map { case (n, t, id) =>
+      s"""{"name":"$n","type":["null",$t],"default":null,"field-id":$id}"""
+    }.mkString(",")
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int","field-id":0},
+         |{"name":"snapshot_id","type":["null","long"],"default":null,
+         | "field-id":1},
+         |{"name":"sequence_number","type":["null","long"],"default":null,
+         | "field-id":3},
+         |{"name":"file_sequence_number","type":["null","long"],
+         | "default":null,"field-id":4},
+         |{"name":"data_file","field-id":2,"type":
+         | {"type":"record","name":"r2","fields":[
+         |  {"name":"content","type":"int","field-id":134},
+         |  {"name":"file_path","type":"string","field-id":100},
+         |  {"name":"file_format","type":"string","field-id":101},
+         |  {"name":"partition","field-id":102,"type":
+         |   {"type":"record","name":"r102","fields":[$pf]}},
+         |  {"name":"record_count","type":"long","field-id":103},
+         |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+         |]}}]}""".stripMargin)
+  }
+
+  private val ManifestEntrySchema = manifestEntrySchema(Nil)
 
   private val ManifestFileSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -661,6 +674,203 @@ object IcebergExport {
     (snapshotId, out.toString)
   }
 
+  /** Publish `df` as a NEW IDENTITY-PARTITIONED Iceberg table at
+    * `root` — one-shot snapshot 1, the Iceberg twin of
+    * [[DeltaExport.exportPartitioned]] with the spec's key difference:
+    * Iceberg data files ALWAYS store every table column (partition
+    * values are derived, not dropped), so the data lands via a
+    * duplicated partition column and each manifest entry records the
+    * file's typed partition tuple in the r102 struct. The partition
+    * spec declares identity transforms with real source-ids; readers
+    * (ours included) prune from the manifest partition values alone.
+    * An existing table at `root` is refused loudly rather than
+    * extended.
+    */
+  def exportPartitioned(spark: SparkSession, df: DataFrame, root: String,
+      partCols: Seq[String]): (Long, String) = {
+    require(partCols.nonEmpty, "no partition columns given")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = metaDir(root).getFileSystem(conf)
+    require(!fs.exists(metaDir(root)),
+      s"iceberg metadata already exists under ${metaDir(root)} — this " +
+        "publisher writes one-shot tables and will not extend one")
+    val rootAbs = fs.makeQualified(new Path(root)).toUri.getPath
+    partCols.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"partition column '$c' is not in the dataframe"))
+    partCols.foreach { c =>
+      df.schema(c).dataType match {
+        case IntegerType | LongType | StringType | BooleanType |
+             DateType =>
+        case other => throw new IllegalArgumentException(
+          s"partition column '$c' has type ${other.simpleString} — " +
+            "this publisher supports int/long/string/boolean/date " +
+            "identity partitions")
+      }
+    }
+
+    // data: Hive-layout via DUPLICATED columns, so the files keep every
+    // table column (the Iceberg contract) while the directories encode
+    // the partition values for this publisher to parse back
+    val dupe = partCols.zipWithIndex.map { case (c, i) => s"__ip_$i" -> c }
+    val staged = dupe.foldLeft(df) { case (d, (tmp, c)) =>
+      d.withColumn(tmp, org.apache.spark.sql.functions.col(c)) }
+    staged.write.partitionBy(dupe.map(_._1): _*)
+      .parquet(s"$rootAbs/data")
+
+    def parseVal(c: String, raw: String): Any = {
+      if (raw == "__HIVE_DEFAULT_PARTITION__") return null
+      val s = DeltaExport.unescapeHive(raw)
+      df.schema(c).dataType match {
+        case IntegerType => s.toInt
+        case LongType => s.toLong
+        case StringType => s
+        case BooleanType => s.toBoolean
+        case DateType =>
+          java.time.LocalDate.parse(s).toEpochDay.toInt
+      }
+    }
+    val it = fs.listFiles(new Path(s"$rootAbs/data"), true)
+    val found = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Seq[Any])]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val comps = f.getPath.toUri.getPath.split('/')
+        val vals = dupe.zipWithIndex.map { case ((tmp, c), _) =>
+          comps.find(_.startsWith(s"$tmp="))
+            .map(x => parseVal(c, x.stripPrefix(s"$tmp=")))
+            .getOrElse(throw new IllegalStateException(
+              s"data file ${f.getPath} lacks a $tmp= path component"))
+        }
+        found += ((f.getPath.toUri.getPath, f.getLen, vals))
+      }
+    }
+    require(found.nonEmpty, s"nothing written under $rootAbs/data")
+    val files = found.sortBy(_._1).toSeq
+
+    val ids = new IdAlloc(Map.empty, 0)
+    val schemaJson = icebergSchema(df.schema, 0, ids)
+    val topIds = harvestIds(schemaJson) // ".<name>" -> id
+    val avroPartType: Map[String, String] = partCols.map { c =>
+      c -> (df.schema(c).dataType match {
+        case IntegerType => "\"int\""
+        case LongType => "\"long\""
+        case StringType => "\"string\""
+        case BooleanType => "\"boolean\""
+        case DateType => """{"type":"int","logicalType":"date"}"""
+      })
+    }.toMap
+    val partFields = partCols.zipWithIndex.map { case (c, i) =>
+      (c, avroPartType(c), 1000 + i) }
+    val entrySchema = manifestEntrySchema(partFields)
+    val specFieldsJson = mapper.createArrayNode()
+    partCols.zipWithIndex.foreach { case (c, i) =>
+      specFieldsJson.addObject().put("name", c)
+        .put("transform", "identity")
+        .put("source-id", topIds(s".$c")).put("field-id", 1000 + i)
+    }
+
+    val counts = recordCounts(fs, files.map(f => (f._1, f._2)),
+      Map.empty, conf)
+    val seq = 1L
+    val snapshotId = 1L
+    val entries = files.map { case (p, size, vals) =>
+      val dfr = new GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      dfr.put("content", 0)
+      dfr.put("file_path", p)
+      dfr.put("file_format", "PARQUET")
+      val pr = new GenericData.Record(
+        dfr.getSchema.getField("partition").schema())
+      partCols.zip(vals).foreach { case (c, v) => pr.put(c, v) }
+      dfr.put("partition", pr)
+      dfr.put("record_count", counts(p))
+      dfr.put("file_size_in_bytes", size)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", seq)
+      e.put("file_sequence_number", seq)
+      e.put("data_file", dfr)
+      e
+    }
+    fs.mkdirs(metaDir(root))
+    val manifestPath = new Path(metaDir(root),
+      s"${java.util.UUID.randomUUID}-m0.avro")
+    val manifestLen = writeAvro(fs, manifestPath, entrySchema,
+      Map("schema" -> mapper.writeValueAsString(schemaJson),
+        "schema-id" -> "0",
+        "partition-spec" -> mapper.writeValueAsString(specFieldsJson),
+        "partition-spec-id" -> "0",
+        "format-version" -> "2", "content" -> "data"), entries)
+    val mf = new GenericData.Record(ManifestFileSchema)
+    mf.put("manifest_path", manifestPath.toString)
+    mf.put("manifest_length", manifestLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 0)
+    mf.put("sequence_number", seq)
+    mf.put("min_sequence_number", seq)
+    mf.put("added_snapshot_id", snapshotId)
+    mf.put("added_files_count", files.size)
+    mf.put("existing_files_count", 0)
+    mf.put("deleted_files_count", 0)
+    mf.put("added_rows_count", counts.values.sum)
+    mf.put("existing_rows_count", 0L)
+    mf.put("deleted_rows_count", 0L)
+    val listPath = new Path(metaDir(root),
+      s"snap-$snapshotId-1-${java.util.UUID.randomUUID}.avro")
+    writeAvro(fs, listPath, ManifestFileSchema,
+      Map("snapshot-id" -> snapshotId.toString,
+        "sequence-number" -> seq.toString,
+        "parent-snapshot-id" -> "null",
+        "format-version" -> "2"), Seq(mf))
+
+    val now = System.currentTimeMillis()
+    val md = mapper.createObjectNode()
+    md.put("format-version", 2)
+    md.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
+      s"iceberg:$rootAbs".getBytes("UTF-8")).toString)
+    md.put("location", rootAbs)
+    md.put("last-sequence-number", seq)
+    md.put("last-updated-ms", now)
+    md.put("last-column-id", ids.last)
+    md.put("current-schema-id", 0)
+    md.putArray("schemas").add(schemaJson)
+    md.put("default-spec-id", 0)
+    val specs = md.putArray("partition-specs")
+    val spec0 = specs.addObject()
+    spec0.put("spec-id", 0)
+    spec0.set[JsonNode]("fields", specFieldsJson)
+    md.put("last-partition-id", 1000 + partCols.size - 1)
+    md.put("default-sort-order-id", 0)
+    md.putArray("sort-orders").addObject()
+      .put("order-id", 0).putArray("fields")
+    md.putObject("properties")
+      .put("schema.name-mapping.default", nameMapping(schemaJson))
+      .put("format.default", "parquet")
+    md.put("current-snapshot-id", snapshotId)
+    val sn = md.putArray("snapshots").addObject()
+    sn.put("snapshot-id", snapshotId)
+    sn.put("sequence-number", seq)
+    sn.put("timestamp-ms", now)
+    sn.put("manifest-list", listPath.toString)
+    sn.put("schema-id", 0)
+    sn.putObject("summary").put("operation", "append")
+      .put("added-data-files", files.size.toString)
+      .put("total-records", counts.values.sum.toString)
+    md.putArray("snapshot-log").addObject()
+      .put("timestamp-ms", now).put("snapshot-id", snapshotId)
+    md.putArray("metadata-log")
+    val out = metadataFile(root, 1)
+    val os = fs.create(out, false)
+    try os.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(md).getBytes("UTF-8"))
+    finally os.close()
+    val hs = fs.create(hintPath(root), true)
+    try hs.write("1".getBytes("UTF-8")) finally hs.close()
+    (snapshotId, out.toString)
+  }
+
   // -------------------------------------------------------------------
   // Read
   // -------------------------------------------------------------------
@@ -753,31 +963,86 @@ object IcebergExport {
           "carry it"))
     val schema = sparkType(schemaJson, "").asInstanceOf[StructType]
 
+    // partition specs (for IDENTITY-transform pruning) + top-level
+    // field id -> (name, type) from the snapshot's schema
+    val specsById: Map[Int, Seq[(String, String, Int)]] =
+      Option(md.get("partition-specs")).toSeq
+        .flatMap(_.elements().asScala).map { s =>
+          s.get("spec-id").asInt() ->
+            s.get("fields").elements().asScala.map(f =>
+              (f.get("name").asText(), f.get("transform").asText(),
+                f.get("source-id").asInt())).toSeq
+        }.toMap
+    val topById: Map[Int, (String, DataType)] =
+      schemaJson.get("fields").elements().asScala.map(f =>
+        f.get("id").asInt() ->
+          (f.get("name").asText(),
+            sparkType(f.get("type"), f.get("name").asText()))).toMap
+
     val manifests = readAvro(fs,
       new Path(sn.get("manifest-list").asText()))
     val (dataManifests, deleteManifests) =
       manifests.partition(mf => optInt(mf, "content", 0) == 0)
     def liveEntries(mf: GenericRecord)
-        : Seq[(GenericRecord, Long)] = {
+        : Seq[(GenericRecord, Long, Int)] = {
       // v2 sequence-number inheritance: a null entry sequence number
       // inherits the manifest's (the spec's ADDED-in-this-commit rule)
       val mfSeq = optLong(mf, "sequence_number").getOrElse(0L)
+      val specId = optInt(mf, "partition_spec_id", 0)
       readAvro(fs, new Path(mf.get("manifest_path").toString))
         .filter(e => e.get("status").asInstanceOf[Int] != 2) // DELETED
-        .map(e => (e, optLong(e, "sequence_number").getOrElse(mfSeq)))
+        .map(e => (e, optLong(e, "sequence_number").getOrElse(mfSeq),
+          specId))
     }
-    val files = dataManifests.flatMap(liveEntries).map { case (e, seq) =>
-      val df = e.get("data_file").asInstanceOf[GenericRecord]
-      require(optInt(df, "content", 0) == 0,
-        s"iceberg table at $root lists a non-data file in a DATA " +
-          "manifest — corrupt metadata")
-      val fmt = df.get("file_format").toString
-      require(fmt.equalsIgnoreCase("parquet"),
-        s"iceberg table at $root stores '$fmt' data files — only " +
-          "parquet is supported")
-      (df.get("file_path").toString,
-        df.get("file_size_in_bytes").asInstanceOf[Long],
-        df.get("record_count").asInstanceOf[Long], seq)
+    /** identity-partition values -> zone bounds (min = max = value; a
+      * null partition value means every row is null). Catalyst runtime
+      * forms, matching the prover's interpreted orderings.
+      */
+    def partZone(df: GenericRecord, specId: Int, rc: Long)
+        : (Map[String, Any], Map[String, Long]) = {
+      val part = Option(df.get("partition"))
+        .collect { case r: GenericRecord => r }
+      val bounds = scala.collection.mutable.Map.empty[String, Any]
+      val nulls = scala.collection.mutable.Map.empty[String, Long]
+      for {
+        p <- part.toSeq
+        (fname, transform, srcId) <- specsById.getOrElse(specId, Nil)
+        if transform == "identity" // other transforms: files still
+        // store the source column; we simply cannot prune on them
+        if p.getSchema.getField(fname) != null
+        (colName, dt) <- topById.get(srcId)
+      } Option(p.get(fname)) match {
+        case None => nulls += colName -> rc // all rows null
+        case Some(v) =>
+          nulls += colName -> 0L
+          val conv: Option[Any] = dt match {
+            case IntegerType | DateType =>
+              Some(v.asInstanceOf[Number].intValue())
+            case LongType => Some(v.asInstanceOf[Number].longValue())
+            case BooleanType => Some(v.asInstanceOf[Boolean])
+            case StringType => Some(org.apache.spark.unsafe.types
+              .UTF8String.fromString(v.toString))
+            case _ => None // unmodeled type: never prune on it
+          }
+          conv.foreach(bounds += colName -> _)
+      }
+      (bounds.toMap, nulls.toMap)
+    }
+    val files = dataManifests.flatMap(liveEntries).map {
+      case (e, seq, specId) =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        require(optInt(df, "content", 0) == 0,
+          s"iceberg table at $root lists a non-data file in a DATA " +
+            "manifest — corrupt metadata")
+        val fmt = df.get("file_format").toString
+        require(fmt.equalsIgnoreCase("parquet"),
+          s"iceberg table at $root stores '$fmt' data files — only " +
+            "parquet is supported")
+        val rc = df.get("record_count").asInstanceOf[Long]
+        val (bounds, nulls) = partZone(df, specId, rc)
+        (df.get("file_path").toString,
+          df.get("file_size_in_bytes").asInstanceOf[Long],
+          rc, seq, bounds, nulls)
     }
     require(files.nonEmpty,
       s"iceberg snapshot $targetId at $root lists no live files")
@@ -788,7 +1053,7 @@ object IcebergExport {
     // Driver-side volume is bounded by the deleted-row count, the same
     // metadata every merge-on-read Iceberg reader materializes.
     val deleteGroups: Seq[(Long, Map[String, Array[Long]])] =
-      deleteManifests.flatMap(liveEntries).map { case (e, delSeq) =>
+      deleteManifests.flatMap(liveEntries).map { case (e, delSeq, _) =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
         val content = optInt(df, "content", 0)
         require(content == 1,
@@ -805,18 +1070,18 @@ object IcebergExport {
           .map { case (p, rs) => p -> rs.map(_.getLong(1)).sorted })
       }
 
-    val zones = files.map { case (p, _, rc, _) =>
-      p -> org.apache.spark.sql.FileZone(Some(rc), Map.empty, Map.empty,
-        Map.empty)
+    val zones = files.map { case (p, _, rc, _, bounds, nulls) =>
+      p -> org.apache.spark.sql.FileZone(Some(rc), bounds, bounds, nulls)
     }.toMap
     val scanned = org.apache.spark.sql.GraftFiles.parquet(spark,
-      files.map { case (p, size, _, _) => (p, size, 0L) }.sortBy(_._1),
+      files.map { case (p, size, _, _, _, _) => (p, size, 0L) }
+        .sortBy(_._1),
       schema, zones)
     val deleted =
       if (deleteGroups.isEmpty) scanned
       else {
         val dvSets: Map[String, Array[Long]] = files.flatMap {
-          case (p, _, _, dataSeq) =>
+          case (p, _, _, dataSeq, _, _) =>
             val merged = deleteGroups
               .filter(_._1 >= dataSeq).flatMap(_._2.get(p))
             if (merged.isEmpty) None

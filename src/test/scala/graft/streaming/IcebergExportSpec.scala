@@ -148,6 +148,59 @@ class IcebergExportSpec extends SparkSpec {
       want1.size.toLong)
   }
 
+  test("exportPartitioned publishes an identity-partitioned table: " +
+      "columns kept in the files, typed partition tuples in the " +
+      "manifest, pruning from manifest values alone") {
+    val root = java.nio.file.Files.createTempDirectory("iceberg").toString
+    val df = Seq((1L, "x", "a", 7), (2L, "y", "a", 7), (3L, "z", "b", 8))
+      .toDF("k", "s", "dt", "p")
+    val (sid, _) = IcebergExport.exportPartitioned(
+      spark, df, root, Seq("dt", "p"))
+    assert(sid == 1L)
+    // the metadata declares a real identity spec with source ids
+    val md = scala.io.Source.fromFile(
+      new java.io.File(new java.io.File(root, "metadata"),
+        "v1.metadata.json")).mkString
+    assert(md.contains("\"transform\" : \"identity\""))
+    assert(md.contains("\"last-partition-id\" : 1001"))
+    // read back: every column is real (stored in the files), values right
+    val got = IcebergExport.read(spark, root)
+    assert(got.columns.toSeq == Seq("k", "s", "dt", "p"))
+    assert(got.as[(Long, String, String, Int)].collect().sorted.toSeq ==
+      Seq((1L, "x", "a", 7), (2L, "y", "a", 7), (3L, "z", "b", 8)))
+    // manifest-value pruning: the dt='b' filter scans only that
+    // partition's file(s) — planned from the manifests, no listing
+    val filtered = got.filter(col("dt") === "b")
+    filtered.collect()
+    def scanOf(df: org.apache.spark.sql.DataFrame) = {
+      val exec = df.queryExecution.executedPlan
+      val finalPlan = exec.collectFirst {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+      }.getOrElse(exec)
+      (finalPlan.collectLeaves() :+ finalPlan).collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+    }
+    val totalFiles = got.inputFiles.length
+    assert(totalFiles >= 2, "fixture should span >= 2 files")
+    val scanned = scanOf(filtered).metrics("numFiles").value
+    assert(scanned < totalFiles,
+      s"expected the dt=a files pruned from manifest values, scanned " +
+        s"$scanned of $totalFiles")
+    assert(filtered.as[(Long, String, String, Int)].collect().toSeq ==
+      Seq((3L, "z", "b", 8)))
+    // an integer partition predicate prunes too
+    val fp = IcebergExport.read(spark, root).filter(col("p") === 8)
+    fp.collect()
+    assert(scanOf(fp).metrics("numFiles").value < totalFiles)
+    // a second publish at the same root refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      IcebergExport.exportPartitioned(spark, df, root, Seq("dt"))
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
   test("refusals are loud and by name; a missing version hint falls " +
       "back to the newest metadata file") {
     val root = java.nio.file.Files.createTempDirectory("iceberg").toString
