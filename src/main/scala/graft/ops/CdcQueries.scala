@@ -335,6 +335,30 @@ object CdcQueries {
     store
   }
 
+  /** Materialize the STATS-bearing Iceberg publish once per sfDir: the
+    * CREATE payloads range-split into 4 id-ordered files via
+    * [[graft.streaming.IcebergExport.publish]], whose manifest records
+    * per-file `lower_bounds`/`upper_bounds`/`null_value_counts` in the
+    * spec's single-value binary form — an id predicate plans only the
+    * matching range files from the manifest alone.
+    */
+  private def icebergStatsTableDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_iceberg_stats_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val creates = changeLog(s, dir)
+          .filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        graft.streaming.IcebergExport.publish(
+          s, creates.repartitionByRange(4, col("id")), store)
+    }
+    store
+  }
+
   /** Materialize the ICEBERG position-delete table once per sfDir: the
     * CREATE payloads exported as snapshot 1, then the id%7 keys deleted
     * merge-on-read and exported with `deleteFiles = true` — snapshot 2
@@ -1492,6 +1516,22 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // ICEBERG DATA SKIPPING driver-gated (the Iceberg twin of
+    // cdc_delta_stats_prune): manifest lower/upper bounds decoded from
+    // the spec's single-value binary form prune range files at
+    // planning; the answer must equal the relational filter.
+    "cdc_iceberg_stats_prune" -> ((s, dir) => {
+      val store = icebergStatsTableDir(s, dir)
+      val mm = changeLog(s, dir)
+        .filter(col("operation_type") === "CREATE")
+        .agg(min(col("id")), max(col("id"))).head
+      val thr = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 4
+      graft.streaming.IcebergExport.read(s, store)
+        .filter(col("id") <= thr)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
     // ICEBERG POSITION DELETES driver-gated (the Iceberg twin of
     // cdc_delta_dv): merge-on-read deletes published as a position-
     // delete parquet + DELETE manifest; the native reader subtracts
@@ -2324,6 +2364,15 @@ object CdcQueries {
     "cdc_iceberg_part_prune" -> s"""$changesCte
       SELECT id, status, totalprice FROM changes
       WHERE operation_type = 'CREATE' AND status = 'F' ORDER BY id""",
+
+    // Bounds-pruned read = the relational filter at the same exact
+    // threshold (integer floor division on BIGINT in both engines).
+    "cdc_iceberg_stats_prune" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE'
+        AND id <= (SELECT MIN(id) + (MAX(id) - MIN(id)) // 4
+                   FROM changes WHERE operation_type = 'CREATE')
+      ORDER BY id""",
 
     // Stats-pruned read = the relational filter at the same exact
     // threshold (integer floor division on BIGINT in both engines).

@@ -282,6 +282,9 @@ object IcebergExport {
     val pf = partFields.map { case (n, t, id) =>
       s"""{"name":"$n","type":["null",$t],"default":null,"field-id":$id}"""
     }.mkString(",")
+    // the three stats maps use the spec's Avro rendering of
+    // map<int, …>: array of key/value records with logicalType map and
+    // the reserved field ids
     new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int","field-id":0},
@@ -299,11 +302,158 @@ object IcebergExport {
          |  {"name":"partition","field-id":102,"type":
          |   {"type":"record","name":"r102","fields":[$pf]}},
          |  {"name":"record_count","type":"long","field-id":103},
-         |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+         |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+         |  {"name":"null_value_counts","default":null,"field-id":110,
+         |   "type":["null",{"type":"array","logicalType":"map","items":
+         |    {"type":"record","name":"k121_v122","fields":[
+         |     {"name":"key","type":"int","field-id":121},
+         |     {"name":"value","type":"long","field-id":122}]}}]},
+         |  {"name":"lower_bounds","default":null,"field-id":125,
+         |   "type":["null",{"type":"array","logicalType":"map","items":
+         |    {"type":"record","name":"k126_v127","fields":[
+         |     {"name":"key","type":"int","field-id":126},
+         |     {"name":"value","type":"bytes","field-id":127}]}}]},
+         |  {"name":"upper_bounds","default":null,"field-id":128,
+         |   "type":["null",{"type":"array","logicalType":"map","items":
+         |    {"type":"record","name":"k129_v130","fields":[
+         |     {"name":"key","type":"int","field-id":129},
+         |     {"name":"value","type":"bytes","field-id":130}]}}]}
          |]}}]}""".stripMargin)
   }
 
   private val ManifestEntrySchema = manifestEntrySchema(Nil)
+
+  // -------------------------------------------------------------------
+  // Column statistics: the spec's single-value binary serialization
+  // (Appendix D) for bounds, computed once per NEW file and carried
+  // from the previous manifest afterwards
+  // -------------------------------------------------------------------
+
+  /** Columns whose bounds this writer records. float/double are
+    * deliberately OUT: a naive min/max over NaN-bearing data writes
+    * bounds a foreign engine could wrong-prune on (the spec pairs them
+    * with nan_value_counts this writer does not compute). Strings are
+    * written exact (never truncated).
+    */
+  private def statField(f: StructField): Boolean = f.dataType match {
+    case IntegerType | LongType | ShortType | ByteType | BooleanType |
+         DateType | StringType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  private def le(n: Int, v: Long): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (n == 4) b.putInt(v.toInt) else b.putLong(v)
+    b.array()
+  }
+
+  /** Spec Appendix-D bytes for a bound value (Row-land runtime types). */
+  private def boundBytes(v: Any, dt: DataType): Option[Array[Byte]] =
+    (v, dt) match {
+      case (null, _) => None
+      case (x: Int, IntegerType) => Some(le(4, x.toLong))
+      case (x: Short, ShortType) => Some(le(4, x.toLong))
+      case (x: Byte, ByteType) => Some(le(4, x.toLong))
+      case (x: Long, LongType) => Some(le(8, x))
+      case (x: Boolean, BooleanType) =>
+        Some(Array[Byte](if (x) 1 else 0))
+      case (x: java.sql.Date, DateType) =>
+        Some(le(4, x.toLocalDate.toEpochDay))
+      case (x: java.time.LocalDate, DateType) =>
+        Some(le(4, x.toEpochDay))
+      case (x: String, StringType) =>
+        Some(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case (x: java.math.BigDecimal, _: DecimalType) =>
+        Some(x.unscaledValue().toByteArray) // minimal big-endian
+      case _ => None
+    }
+
+  /** Decode a bound back to Catalyst runtime form for zone pruning.
+    * Strings are out on READ (a foreign writer may have truncated
+    * them; a truncated max prunes wrong), float/double never encode.
+    */
+  private def boundValue(b: Array[Byte], dt: DataType): Option[Any] = {
+    def buf = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType | DateType if b.length == 4 => Some(buf.getInt)
+      case LongType if b.length == 8 => Some(buf.getLong)
+      case BooleanType if b.length == 1 => Some(b(0) != 0)
+      case d: DecimalType => Some(org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(new java.math.BigInteger(b), d.scale)))
+      case _ => None
+    }
+  }
+
+  /** (numRecords, per-column (min, max, nullCount)) per data-file NAME —
+    * one aggregation job over `paths` (empty result if names collide;
+    * absence only disables skipping, never wrongs it).
+    */
+  private def fileStats(spark: SparkSession, paths: Seq[String],
+      schema: StructType)
+      : Map[String, (Long, Map[String, (Any, Any, Long)])] = {
+    import org.apache.spark.sql.functions._
+    if (paths.isEmpty) return Map.empty
+    val names = paths.map(p => new Path(p).getName)
+    if (names.distinct.size != names.size) return Map.empty
+    val statCols = schema.fields.filter(statField).toSeq
+    val aggs = Seq(count(lit(1)).as("__nr")) ++ statCols.flatMap(f => Seq(
+      min(col(f.name)).as(s"__mn:${f.name}"),
+      max(col(f.name)).as(s"__mx:${f.name}"),
+      sum(col(f.name).isNull.cast("long")).as(s"__nc:${f.name}")))
+    spark.read.schema(schema).parquet(paths: _*)
+      .groupBy(col("_metadata.file_name").as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect().map { r =>
+        r.getString(0) -> ((r.getLong(1), statCols.map { f =>
+          f.name -> ((r.get(r.fieldIndex(s"__mn:${f.name}")),
+            r.get(r.fieldIndex(s"__mx:${f.name}")),
+            r.getLong(r.fieldIndex(s"__nc:${f.name}"))))
+        }.toMap))
+      }.toMap
+  }
+
+  /** Build the three optional stats maps for a data_file record. */
+  private def putStats(df: GenericRecord,
+      stats: Option[Map[String, (Any, Any, Long)]],
+      schema: StructType, idOf: Map[String, Int]): Unit = stats match {
+    case None =>
+    case Some(byCol) =>
+      val dfSchema = df.getSchema
+      def arrOf(field: String): Schema =
+        dfSchema.getField(field).schema().getTypes.get(1)
+      val nulls = new GenericData.Array[GenericRecord](
+        byCol.size, arrOf("null_value_counts"))
+      val lows = new GenericData.Array[GenericRecord](
+        byCol.size, arrOf("lower_bounds"))
+      val ups = new GenericData.Array[GenericRecord](
+        byCol.size, arrOf("upper_bounds"))
+      byCol.toSeq.sortBy(_._1).foreach { case (colName, (mn, mx, nc)) =>
+        for (id <- idOf.get(colName)) {
+          val dt = schema(colName).dataType
+          val nr = new GenericData.Record(
+            arrOf("null_value_counts").getElementType)
+          nr.put("key", id); nr.put("value", nc)
+          nulls.add(nr)
+          boundBytes(mn, dt).foreach { b =>
+            val r = new GenericData.Record(
+              arrOf("lower_bounds").getElementType)
+            r.put("key", id); r.put("value", java.nio.ByteBuffer.wrap(b))
+            lows.add(r)
+          }
+          boundBytes(mx, dt).foreach { b =>
+            val r = new GenericData.Record(
+              arrOf("upper_bounds").getElementType)
+            r.put("key", id); r.put("value", java.nio.ByteBuffer.wrap(b))
+            ups.add(r)
+          }
+        }
+      }
+      if (!nulls.isEmpty) df.put("null_value_counts", nulls)
+      if (!lows.isEmpty) df.put("lower_bounds", lows)
+      if (!ups.isEmpty) df.put("upper_bounds", ups)
+  }
 
   private val ManifestFileSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -473,19 +623,28 @@ object IcebergExport {
     val now = System.currentTimeMillis()
     if (!fs.exists(metaDir(root))) fs.mkdirs(metaDir(root))
 
-    // row counts: previous manifest's entries are free, new files cost
-    // one footer read each
-    val priorCounts: Map[String, Long] = (for {
+    // previous manifest's entries: row counts AND column stats ride
+    // along for carried-over files; only NEW files cost a footer read
+    // (counts) + one slice of the stats aggregation
+    val priorFiles: Map[String, GenericRecord] = (for {
       p <- prior.toSeq
       cs <- Option(p.get("current-snapshot-id")).filterNot(_.isNull).toSeq
       sn <- p.get("snapshots").elements().asScala
         .find(_.get("snapshot-id").asLong() == cs.asLong()).toSeq
       mf <- readAvro(fs, new Path(sn.get("manifest-list").asText()))
+      if optInt(mf, "content", 0) == 0
       e <- readAvro(fs, new Path(mf.get("manifest_path").toString))
       df = e.get("data_file").asInstanceOf[GenericRecord]
-    } yield df.get("file_path").toString ->
-        df.get("record_count").asInstanceOf[Long]).toMap
+    } yield df.get("file_path").toString -> df).toMap
+    val priorCounts = priorFiles.map { case (p, df) =>
+      p -> df.get("record_count").asInstanceOf[Long] }
     val counts = recordCounts(fs, files, priorCounts, conf)
+    val newPaths = files.map(_._1).filterNot(priorFiles.contains)
+    val freshStats = fileStats(spark, newPaths, schema) // by file NAME
+    val idOf: Map[String, Int] = harvestIds(schemaJson).collect {
+      case (path, id) if path.count(_ == '.') == 1 =>
+        path.stripPrefix(".") -> id
+    }
 
     // MANIFEST: every live file, status ADDED, this snapshot's sequence
     val entries = files.sortBy(_._1).map { case (p, size) =>
@@ -498,6 +657,19 @@ object IcebergExport {
         df.getSchema.getField("partition").schema()))
       df.put("record_count", counts(p))
       df.put("file_size_in_bytes", size)
+      priorFiles.get(p) match {
+        case Some(old) => // carry the previous stats verbatim (layouts
+          // match by name/position; pre-stats manifests simply lack
+          // the fields and the entry stays stat-less — absence is safe)
+          Seq("null_value_counts", "lower_bounds", "upper_bounds")
+            .foreach { f =>
+              if (old.getSchema.getField(f) != null &&
+                  old.get(f) != null) df.put(f, old.get(f))
+            }
+        case None =>
+          putStats(df, freshStats.get(new Path(p).getName).map(_._2),
+            schema, idOf)
+      }
       val e = new GenericData.Record(ManifestEntrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)
@@ -688,7 +860,8 @@ object IcebergExport {
     */
   def exportPartitioned(spark: SparkSession, df: DataFrame, root: String,
       partCols: Seq[String]): (Long, String) = {
-    require(partCols.nonEmpty, "no partition columns given")
+    // empty partCols = plain unpartitioned publish (the [[publish]]
+    // surface): same metadata, empty spec
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = metaDir(root).getFileSystem(conf)
     require(!fs.exists(metaDir(root)),
@@ -714,7 +887,8 @@ object IcebergExport {
     val dupe = partCols.zipWithIndex.map { case (c, i) => s"__ip_$i" -> c }
     val staged = dupe.foldLeft(df) { case (d, (tmp, c)) =>
       d.withColumn(tmp, org.apache.spark.sql.functions.col(c)) }
-    staged.write.partitionBy(dupe.map(_._1): _*)
+    if (dupe.isEmpty) staged.write.parquet(s"$rootAbs/data")
+    else staged.write.partitionBy(dupe.map(_._1): _*)
       .parquet(s"$rootAbs/data")
 
     def parseVal(c: String, raw: String): Any = {
@@ -772,6 +946,11 @@ object IcebergExport {
 
     val counts = recordCounts(fs, files.map(f => (f._1, f._2)),
       Map.empty, conf)
+    val stats = fileStats(spark, files.map(_._1), df.schema)
+    val idOf: Map[String, Int] = topIds.collect {
+      case (path, id) if path.count(_ == '.') == 1 =>
+        path.stripPrefix(".") -> id
+    }
     val seq = 1L
     val snapshotId = 1L
     val entries = files.map { case (p, size, vals) =>
@@ -786,6 +965,8 @@ object IcebergExport {
       dfr.put("partition", pr)
       dfr.put("record_count", counts(p))
       dfr.put("file_size_in_bytes", size)
+      putStats(dfr, stats.get(new Path(p).getName).map(_._2),
+        df.schema, idOf)
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1)
       e.put("snapshot_id", snapshotId)
@@ -841,7 +1022,8 @@ object IcebergExport {
     val spec0 = specs.addObject()
     spec0.put("spec-id", 0)
     spec0.set[JsonNode]("fields", specFieldsJson)
-    md.put("last-partition-id", 1000 + partCols.size - 1)
+    md.put("last-partition-id", // the spec floor when no field exists
+      if (partCols.isEmpty) 999 else 1000 + partCols.size - 1)
     md.put("default-sort-order-id", 0)
     md.putArray("sort-orders").addObject()
       .put("order-id", 0).putArray("fields")
@@ -870,6 +1052,16 @@ object IcebergExport {
     try hs.write("1".getBytes("UTF-8")) finally hs.close()
     (snapshotId, out.toString)
   }
+
+  /** Publish `df` as a NEW UNPARTITIONED Iceberg table at `root` — the
+    * one-shot dataset-publishing surface (an `add_files`-style import
+    * of freshly written files, with column bounds recorded per file for
+    * data skipping). Same layout/refusal contract as
+    * [[exportPartitioned]], empty spec.
+    */
+  def publish(spark: SparkSession, df: DataFrame,
+      root: String): (Long, String) =
+    exportPartitioned(spark, df, root, Nil)
 
   // -------------------------------------------------------------------
   // Read
@@ -1028,6 +1220,33 @@ object IcebergExport {
       }
       (bounds.toMap, nulls.toMap)
     }
+    /** manifest column stats -> zone bounds, decoded per the schema's
+      * field ids (strings/floats deliberately not consumed — see
+      * boundValue).
+      */
+    def statsZone(df: GenericRecord)
+        : (Map[String, Any], Map[String, Any], Map[String, Long]) = {
+      def entriesOf(field: String): Seq[GenericRecord] =
+        if (df.getSchema.getField(field) == null) Nil
+        else Option(df.get(field)).toSeq.flatMap(
+          _.asInstanceOf[java.util.Collection[GenericRecord]]
+            .asScala.toSeq)
+      def decoded(field: String): Map[String, Any] =
+        entriesOf(field).flatMap { r =>
+          val id = r.get("key").asInstanceOf[Int]
+          topById.get(id).flatMap { case (name, dt) =>
+            val bb = r.get("value").asInstanceOf[java.nio.ByteBuffer]
+            val bytes = new Array[Byte](bb.remaining())
+            bb.duplicate().get(bytes)
+            boundValue(bytes, dt).map(name -> _)
+          }
+        }.toMap
+      val nulls = entriesOf("null_value_counts").flatMap { r =>
+        topById.get(r.get("key").asInstanceOf[Int]).map { case (n, _) =>
+          n -> r.get("value").asInstanceOf[Long] }
+      }.toMap
+      (decoded("lower_bounds"), decoded("upper_bounds"), nulls)
+    }
     val files = dataManifests.flatMap(liveEntries).map {
       case (e, seq, specId) =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
@@ -1039,10 +1258,12 @@ object IcebergExport {
           s"iceberg table at $root stores '$fmt' data files — only " +
             "parquet is supported")
         val rc = df.get("record_count").asInstanceOf[Long]
-        val (bounds, nulls) = partZone(df, specId, rc)
+        val (pBounds, pNulls) = partZone(df, specId, rc)
+        val (mins, maxs, sNulls) = statsZone(df)
         (df.get("file_path").toString,
           df.get("file_size_in_bytes").asInstanceOf[Long],
-          rc, seq, bounds, nulls)
+          rc, seq, (pBounds ++ mins, pBounds ++ maxs),
+          pNulls ++ sNulls)
     }
     require(files.nonEmpty,
       s"iceberg snapshot $targetId at $root lists no live files")
@@ -1070,8 +1291,8 @@ object IcebergExport {
           .map { case (p, rs) => p -> rs.map(_.getLong(1)).sorted })
       }
 
-    val zones = files.map { case (p, _, rc, _, bounds, nulls) =>
-      p -> org.apache.spark.sql.FileZone(Some(rc), bounds, bounds, nulls)
+    val zones = files.map { case (p, _, rc, _, (mins, maxs), nulls) =>
+      p -> org.apache.spark.sql.FileZone(Some(rc), mins, maxs, nulls)
     }.toMap
     val scanned = org.apache.spark.sql.GraftFiles.parquet(spark,
       files.map { case (p, size, _, _, _, _) => (p, size, 0L) }

@@ -201,6 +201,85 @@ class IcebergExportSpec extends SparkSpec {
     assert(e.getMessage.contains("already exists"))
   }
 
+  test("publish records manifest column bounds (spec binary form); the " +
+      "reader data-skips from them; carried files keep stats across " +
+      "incremental exports") {
+    val root = java.nio.file.Files.createTempDirectory("iceberg").toString
+    // 4 id-range files via publish
+    val df = (0L until 400L).map(k => (k, s"s$k")).toDF("id", "s")
+    IcebergExport.publish(spark, df.repartitionByRange(4, col("id")), root)
+    val got = IcebergExport.read(spark, root)
+    assert(got.count() == 400)
+    val totalFiles = got.inputFiles.length
+    assert(totalFiles == 4)
+    // an id range predicate prunes to the matching file(s)
+    val f = IcebergExport.read(spark, root).filter(col("id") < 50L)
+    f.collect()
+    val exec = f.queryExecution.executedPlan
+    val finalPlan = exec.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+    }.getOrElse(exec)
+    val scan = (finalPlan.collectLeaves() :+ finalPlan).collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.metrics("numFiles").value == 1,
+      s"expected 1 of 4 range files from manifest bounds, scanned " +
+        s"${scan.metrics("numFiles").value}")
+    assert(f.select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 50L))
+
+    // incremental export CARRIES stats for untouched files: merge table
+    // route, two exports, second manifest still has bounds for files
+    // that did not change
+    val root2 = java.nio.file.Files.createTempDirectory("iceberg").toString
+    MergeInto.mergeBatch(spark,
+      (0L until 100L).map(k => (k, s"v$k")).toDF("k", "s"),
+      root2, "k", numBuckets = 4)
+    IcebergExport.export(spark, root2)
+    MergeInto.mergeBatch(spark, Seq((1L, "X")).toDF("k", "s"),
+      root2, "k", numBuckets = 4) // rewrites ONE bucket
+    IcebergExport.export(spark, root2)
+    val mdDir = new java.io.File(root2, "metadata")
+    import scala.jdk.CollectionConverters._
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = m.readTree(scala.io.Source.fromFile(
+      new java.io.File(mdDir, "v2.metadata.json")).mkString)
+    val sn2 = md.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == 2L).get
+    val in = new java.io.FileInputStream(
+      sn2.get("manifest-list").asText())
+    val lst = new org.apache.avro.file.DataFileStream(in,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val mPath = lst.iterator().asScala.toSeq.head
+      .get("manifest_path").toString
+    lst.close(); in.close()
+    val in2 = new java.io.FileInputStream(mPath)
+    val ms = new org.apache.avro.file.DataFileStream(in2,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val dfs = ms.iterator().asScala.toSeq.map(
+      _.get("data_file").asInstanceOf[
+        org.apache.avro.generic.GenericRecord])
+    ms.close(); in2.close()
+    assert(dfs.size == 4)
+    assert(dfs.forall(_.get("lower_bounds") != null),
+      "every entry (carried AND fresh) must keep its bounds")
+    // and the bounds actually skip: k > 99 matches nothing, zero files
+    val none = IcebergExport.read(spark, root2).filter(col("k") > 99L)
+    assert(none.count() == 0)
+    val exec2 = none.queryExecution.executedPlan
+    val fp2 = exec2.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+    }.getOrElse(exec2)
+    val scan2 = (fp2.collectLeaves() :+ fp2).collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan2.metrics("numFiles").value == 0)
+  }
+
   test("refusals are loud and by name; a missing version hint falls " +
       "back to the newest metadata file") {
     val root = java.nio.file.Files.createTempDirectory("iceberg").toString
