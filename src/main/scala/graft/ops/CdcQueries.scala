@@ -335,6 +335,43 @@ object CdcQueries {
     store
   }
 
+  /** Materialize the EXPIRED-snapshots Iceberg table once per sfDir:
+    * the two-batch merge exported after each batch, then
+    * `expireSnapshots(keepLast = 1)` — snapshot 1's manifest list and
+    * manifest deleted, snapshot 2 still fully readable from the
+    * rewritten metadata.
+    */
+  private def icebergExpiredTableDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_iceberg_expire_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        import org.apache.spark.sql.expressions.Window
+        val log = changeLog(s, dir)
+        val b1 = log.filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("log_seq_num").desc)
+        val b2 = log.filter(col("operation_type") =!= "CREATE")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("id"), col("status"), col("totalprice"),
+            (col("operation_type") === "DELETE").as("del"))
+        graft.streaming.MergeInto.mergeBatch(s, b1, store, "id")
+        graft.streaming.IcebergExport.export(s, store)
+        graft.streaming.MergeInto.mergeBatch(s, b2, store, "id",
+          deleteCol = Some("del"))
+        graft.streaming.IcebergExport.export(s, store)
+        val removed = graft.streaming.IcebergExport
+          .expireSnapshots(s, store, keepLast = 1)
+        require(removed >= 2,
+          s"fixture expected expired metadata files, removed $removed")
+    }
+    store
+  }
+
   /** Materialize the STATS-bearing Iceberg publish once per sfDir: the
     * CREATE payloads range-split into 4 id-ordered files via
     * [[graft.streaming.IcebergExport.publish]], whose manifest records
@@ -1516,6 +1553,17 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // ICEBERG SNAPSHOT EXPIRATION driver-gated: after
+    // expire_snapshots(keepLast=1) — expired manifest lists/manifests
+    // deleted, metadata rewritten — the current snapshot still answers
+    // in full. Same oracle as cdc_merge_into.
+    "cdc_iceberg_expire" -> ((s, dir) => {
+      val store = icebergExpiredTableDir(s, dir)
+      graft.streaming.IcebergExport.read(s, store)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
     // ICEBERG DATA SKIPPING driver-gated (the Iceberg twin of
     // cdc_delta_stats_prune): manifest lower/upper bounds decoded from
     // the spec's single-value binary form prune range files at
@@ -2342,6 +2390,9 @@ object CdcQueries {
 
     // The iceberg-published table = the clean merged state.
     "cdc_iceberg_export" -> mergeFinalStateSql,
+
+    // After snapshot expiration the current snapshot = the same state.
+    "cdc_iceberg_expire" -> mergeFinalStateSql,
 
     // Iceberg snapshot 1 = the CREATE batch exactly as committed.
     "cdc_iceberg_time_travel" -> s"""$changesCte

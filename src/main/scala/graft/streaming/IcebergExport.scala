@@ -1121,6 +1121,101 @@ object IcebergExport {
   def read(spark: SparkSession, root: String): DataFrame =
     readAt(spark, root, -1L)
 
+  /** Read the snapshot CURRENT AS OF `tsMs` — the newest snapshot whose
+    * commit timestamp is <= the asked instant, resolved from the
+    * snapshot log (the spec's own timestamp-travel contract). A
+    * timestamp before the first snapshot refuses loudly.
+    */
+  def readAtTimestamp(spark: SparkSession, root: String,
+      tsMs: Long): DataFrame = {
+    val snaps = snapshots(spark, root)
+    val at = snaps.filter(_.timestampMs <= tsMs).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"timestamp $tsMs predates the first iceberg snapshot of $root " +
+          s"(earliest ${snaps.headOption.map(_.timestampMs).getOrElse(-1L)})"))
+    readAt(spark, root, at.snapshotId)
+  }
+
+  /** EXPIRE old snapshots — the spec's `expire_snapshots` maintenance:
+    * rewrite the metadata keeping only the newest `keepLast` snapshots
+    * and delete every manifest list, manifest, and position-delete file
+    * referenced ONLY by the expired ones. Data files are NOT touched
+    * (they belong to the manifest-store table; `ManifestStore.vacuum`
+    * owns their lifecycle). Expired snapshot ids refuse loudly on
+    * [[readAt]] afterwards, by design. Returns the number of metadata
+    * files deleted.
+    */
+  def expireSnapshots(spark: SparkSession, root: String,
+      keepLast: Int = 1): Int = {
+    require(keepLast >= 1, "must retain at least the current snapshot")
+    val fs = metaDir(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val v = currentMetadataVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no iceberg metadata under ${metaDir(root)}"))
+    val md = mapper.readTree(readFully(fs, metadataFile(root, v)))
+      .deepCopy[ObjectNode]()
+    val all = md.get("snapshots").elements().asScala.toVector
+      .sortBy(_.get("snapshot-id").asLong())
+    if (all.size <= keepLast) return 0
+    val (expired, kept) = all.splitAt(all.size - keepLast)
+    val keptIds = kept.map(_.get("snapshot-id").asLong()).toSet
+
+    // liveness walk: manifest lists of KEPT snapshots -> their
+    // manifests -> their delete files (data files excluded by layout:
+    // everything this export writes lives under metadata/)
+    def refs(listPath: String): (Set[String], Set[String]) = {
+      val mfs = readAvro(fs, new Path(listPath))
+      val manifests = mfs.map(_.get("manifest_path").toString).toSet
+      val deletes = mfs.filter(mf => optInt(mf, "content", 0) == 1)
+        .flatMap(mf => readAvro(fs, new Path(mf.get("manifest_path")
+          .toString)))
+        .map(_.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString).toSet
+      (manifests, deletes)
+    }
+    val keptRefs = kept.map(s => refs(s.get("manifest-list").asText()))
+    val liveManifests = keptRefs.flatMap(_._1).toSet
+    val liveDeletes = keptRefs.flatMap(_._2).toSet
+    var removed = 0
+    expired.foreach { s =>
+      val listPath = s.get("manifest-list").asText()
+      val (ms, ds) = refs(listPath)
+      (ms -- liveManifests).foreach { p =>
+        if (fs.delete(new Path(p), false)) removed += 1 }
+      (ds -- liveDeletes).foreach { p =>
+        if (fs.delete(new Path(p), false)) removed += 1 }
+      if (fs.delete(new Path(listPath), false)) removed += 1
+    }
+
+    // new metadata version: retained snapshots only, logs trimmed
+    val snapsArr = md.putArray("snapshots")
+    kept.foreach(snapsArr.add)
+    val keptLog = mapper.createArrayNode()
+    Option(md.get("snapshot-log")).toSeq
+      .flatMap(_.elements().asScala)
+      .filter(e => keptIds.contains(e.get("snapshot-id").asLong()))
+      .foreach(keptLog.add)
+    md.set[JsonNode]("snapshot-log", keptLog)
+    val mlog = Option(md.get("metadata-log"))
+      .map(_.deepCopy[ArrayNode]()).getOrElse(mapper.createArrayNode())
+    mlog.addObject()
+      .put("timestamp-ms", md.get("last-updated-ms").asLong())
+      .put("metadata-file", metadataFile(root, v).toString)
+    md.set[JsonNode]("metadata-log", mlog)
+    md.put("last-updated-ms", System.currentTimeMillis())
+    val out = metadataFile(root, v + 1)
+    require(!fs.exists(out),
+      s"concurrent writer already published $out")
+    val os = fs.create(out, false)
+    try os.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(md).getBytes("UTF-8"))
+    finally os.close()
+    val hs = fs.create(hintPath(root), true)
+    try hs.write((v + 1).toString.getBytes("UTF-8")) finally hs.close()
+    removed
+  }
+
   /** Read snapshot `snapshotId` (-1 = current). Refuses loudly: format
     * versions above 2, delete manifests/files, non-parquet files,
     * unsupported types — never a misread.

@@ -280,6 +280,56 @@ class IcebergExportSpec extends SparkSpec {
     assert(scan2.metrics("numFiles").value == 0)
   }
 
+  test("snapshot expiration keeps the tail readable, refuses expired " +
+      "ids, deletes only orphaned metadata files; timestamp travel " +
+      "resolves from the snapshot log") {
+    val root = java.nio.file.Files.createTempDirectory("iceberg").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "v0"), (2L, "w")).toDF("k", "s"), root, "k", numBuckets = 2)
+    IcebergExport.export(spark, root)
+    for (i <- 1 to 4) {
+      MergeInto.mergeBatch(spark, Seq((1L, s"v$i")).toDF("k", "s"),
+        root, "k", numBuckets = 2)
+      IcebergExport.export(spark, root)
+    }
+    assert(IcebergExport.snapshots(spark, root).map(_.snapshotId) ==
+      (1L to 5L))
+    // timestamp travel: snapshot 2's commit time resolves to exactly 2
+    val t2 = IcebergExport.snapshots(spark, root)
+      .find(_.snapshotId == 2L).get.timestampMs
+    assert(IcebergExport.readAtTimestamp(spark, root, t2).select("s")
+      .as[String].collect().sorted.toSeq ==
+      IcebergExport.readAt(spark, root, 2L).select("s")
+        .as[String].collect().sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      IcebergExport.readAtTimestamp(spark, root,
+        IcebergExport.snapshots(spark, root).head.timestampMs - 1)
+    }
+    // expire all but the last two
+    val removed = IcebergExport.expireSnapshots(spark, root, keepLast = 2)
+    assert(removed >= 3, s"expected >=3 metadata files deleted, got " +
+      s"$removed") // 3 manifest lists at minimum
+    assert(IcebergExport.snapshots(spark, root).map(_.snapshotId) ==
+      Seq(4L, 5L))
+    assert(IcebergExport.read(spark, root).select("s").as[String]
+      .collect().sorted.toSeq == Seq("v4", "w"))
+    assert(IcebergExport.readAt(spark, root, 4L).count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      IcebergExport.readAt(spark, root, 1L)
+    }
+    assert(e.getMessage.contains("expired"))
+    // a fresh export continues the sequence after expiration
+    MergeInto.mergeBatch(spark, Seq((1L, "v5")).toDF("k", "s"),
+      root, "k", numBuckets = 2)
+    val (s6, _) = IcebergExport.export(spark, root)
+    assert(s6 == 6L)
+    assert(IcebergExport.read(spark, root).select("s").as[String]
+      .collect().sorted.toSeq == Seq("v5", "w"))
+    // expiring with nothing to expire is a no-op
+    assert(IcebergExport.expireSnapshots(spark, root,
+      keepLast = 10) == 0)
+  }
+
   test("refusals are loud and by name; a missing version hint falls " +
       "back to the newest metadata file") {
     val root = java.nio.file.Files.createTempDirectory("iceberg").toString
