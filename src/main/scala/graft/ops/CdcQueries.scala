@@ -372,6 +372,36 @@ object CdcQueries {
     store
   }
 
+  /** Materialize the EQUALITY-delete Iceberg table once per sfDir: the
+    * CREATE payloads exported (snapshot 1, position mode seeds the
+    * carried files), then the id%7 keys deleted merge-on-read and
+    * exported with `equalityDeletes = true` — snapshot 2's delete file
+    * IS the key list (content=2, equality_ids), applied by the reader
+    * as a null-safe anti-join under the strictly-older-sequence rule.
+    */
+  private def icebergEqDeleteTableDir(s: SparkSession,
+      dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_iceberg_eqdel_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val log = changeLog(s, dir)
+        val b1 = log.filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        graft.streaming.MergeInto.mergeBatch(s, b1, store, "id")
+        graft.streaming.IcebergExport.export(s, store)
+        graft.streaming.MergeInto.deleteVector(s, store, "id",
+          b1.filter(col("id") % 7 === 0).select(col("id")))
+        val (v, _) = graft.streaming.IcebergExport.export(s, store,
+          deleteFiles = true, equalityDeletes = true)
+        require(v == 2L, s"fixture expected iceberg snapshot 2, got $v")
+    }
+    store
+  }
+
   /** Materialize the STATS-bearing Iceberg publish once per sfDir: the
     * CREATE payloads range-split into 4 id-ordered files via
     * [[graft.streaming.IcebergExport.publish]], whose manifest records
@@ -1564,6 +1594,18 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // ICEBERG EQUALITY DELETES driver-gated (the Flink-CDC shape):
+    // the pending key set published VERBATIM as a content=2 delete
+    // file with equality_ids; the reader subtracts it as a distributed
+    // null-safe anti-join under the strictly-older-sequence rule.
+    // Oracle = the CREATE payloads minus the deleted keys.
+    "cdc_iceberg_eq_delete" -> ((s, dir) => {
+      val store = icebergEqDeleteTableDir(s, dir)
+      graft.streaming.IcebergExport.read(s, store)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
     // ICEBERG DATA SKIPPING driver-gated (the Iceberg twin of
     // cdc_delta_stats_prune): manifest lower/upper bounds decoded from
     // the spec's single-value binary form prune range files at
@@ -2402,6 +2444,12 @@ object CdcQueries {
     // Position deletes: the CREATE payloads minus the deleted keys —
     // the files still hold them, only the delete parquet says otherwise.
     "cdc_iceberg_pos_delete" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE' AND id % 7 != 0
+      ORDER BY id""",
+
+    // Equality deletes: same answer, reached by key anti-join.
+    "cdc_iceberg_eq_delete" -> s"""$changesCte
       SELECT id, status, totalprice FROM changes
       WHERE operation_type = 'CREATE' AND id % 7 != 0
       ORDER BY id""",

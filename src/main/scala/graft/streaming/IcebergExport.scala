@@ -317,7 +317,10 @@ object IcebergExport {
          |   "type":["null",{"type":"array","logicalType":"map","items":
          |    {"type":"record","name":"k129_v130","fields":[
          |     {"name":"key","type":"int","field-id":129},
-         |     {"name":"value","type":"bytes","field-id":130}]}}]}
+         |     {"name":"value","type":"bytes","field-id":130}]}}]},
+         |  {"name":"equality_ids","default":null,"field-id":135,
+         |   "type":["null",{"type":"array","items":"int",
+         |    "element-id":136}]}
          |]}}]}""".stripMargin)
   }
 
@@ -539,9 +542,20 @@ object IcebergExport {
     * from a DELETE manifest (`content=1`) in the snapshot's manifest
     * list — exactly what an Iceberg v2 merge-on-read writer produces
     * for row-level deletes.
+    *
+    * With `equalityDeletes = true` as well, the pending keys publish as
+    * an EQUALITY delete file instead (content=2, `equality_ids` naming
+    * the key column's field id) — the Flink-CDC shape: no row positions
+    * computed, no table scan, the delete file IS the key list. Equality
+    * deletes apply to data files with a STRICTLY OLDER data sequence
+    * number, so this mode requires every current data file to be
+    * carried from a previous snapshot (new-in-this-snapshot files would
+    * escape the delete); a rewritten-bucket snapshot refuses loudly —
+    * fall back to position deletes there.
     */
   def export(spark: SparkSession, root: String,
-      deleteFiles: Boolean = false): (Long, String) = {
+      deleteFiles: Boolean = false,
+      equalityDeletes: Boolean = false): (Long, String) = {
     val snap = ManifestStore.latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed table under $root"))
     val dvRel = snap.entries.get(MergeInto.DvSlot)
@@ -558,9 +572,12 @@ object IcebergExport {
       .map { case (rel, size, _) => (s"$rootAbs/$rel", size) }
     val schema = DeltaExport.tableSchema(spark, root, snap)
     // pending deleted keys -> per-file row positions, absolute paths
-    val deleteSets: Map[String, Array[Long]] = DeltaExport
-      .pendingDeletePositions(spark, root, dvRel, filesRel)
-      .map { case (rel, a) => s"$rootAbs/$rel" -> a }
+    // (position mode only — equality mode ships the raw keys and never
+    // scans the table)
+    val deleteSets: Map[String, Array[Long]] =
+      if (equalityDeletes) Map.empty
+      else DeltaExport.pendingDeletePositions(spark, root, dvRel, filesRel)
+        .map { case (rel, a) => s"$rootAbs/$rel" -> a }
 
     // previous state (ids, uuid, snapshots, sequence), if any
     val priorVersion = currentMetadataVersion(fs, root)
@@ -626,17 +643,24 @@ object IcebergExport {
     // previous manifest's entries: row counts AND column stats ride
     // along for carried-over files; only NEW files cost a footer read
     // (counts) + one slice of the stats aggregation
-    val priorFiles: Map[String, GenericRecord] = (for {
+    // (original data sequence number, data_file record) per carried
+    // path — carried entries keep the sequence they were FIRST added
+    // at (written back as status=EXISTING), which is what makes
+    // equality deletes (strictly-newer-sequence semantics) applicable
+    // to them
+    val priorFiles: Map[String, (Long, GenericRecord)] = (for {
       p <- prior.toSeq
       cs <- Option(p.get("current-snapshot-id")).filterNot(_.isNull).toSeq
       sn <- p.get("snapshots").elements().asScala
         .find(_.get("snapshot-id").asLong() == cs.asLong()).toSeq
       mf <- readAvro(fs, new Path(sn.get("manifest-list").asText()))
       if optInt(mf, "content", 0) == 0
+      mfSeq = optLong(mf, "sequence_number").getOrElse(0L)
       e <- readAvro(fs, new Path(mf.get("manifest_path").toString))
       df = e.get("data_file").asInstanceOf[GenericRecord]
-    } yield df.get("file_path").toString -> df).toMap
-    val priorCounts = priorFiles.map { case (p, df) =>
+    } yield df.get("file_path").toString ->
+        ((optLong(e, "sequence_number").getOrElse(mfSeq), df))).toMap
+    val priorCounts = priorFiles.map { case (p, (_, df)) =>
       p -> df.get("record_count").asInstanceOf[Long] }
     val counts = recordCounts(fs, files, priorCounts, conf)
     val newPaths = files.map(_._1).filterNot(priorFiles.contains)
@@ -646,7 +670,10 @@ object IcebergExport {
         path.stripPrefix(".") -> id
     }
 
-    // MANIFEST: every live file, status ADDED, this snapshot's sequence
+    // MANIFEST: new files as ADDED at this snapshot's sequence,
+    // carried files as EXISTING at their ORIGINAL sequence (the spec's
+    // rewritten-manifest shape — what keeps strictly-newer equality
+    // deletes applicable to them)
     val entries = files.sortBy(_._1).map { case (p, size) =>
       val df = new GenericData.Record(
         ManifestEntrySchema.getField("data_file").schema())
@@ -657,27 +684,30 @@ object IcebergExport {
         df.getSchema.getField("partition").schema()))
       df.put("record_count", counts(p))
       df.put("file_size_in_bytes", size)
-      priorFiles.get(p) match {
-        case Some(old) => // carry the previous stats verbatim (layouts
-          // match by name/position; pre-stats manifests simply lack
-          // the fields and the entry stays stat-less — absence is safe)
-          Seq("null_value_counts", "lower_bounds", "upper_bounds")
-            .foreach { f =>
-              if (old.getSchema.getField(f) != null &&
-                  old.get(f) != null) df.put(f, old.get(f))
-            }
-        case None =>
-          putStats(df, freshStats.get(new Path(p).getName).map(_._2),
-            schema, idOf)
+      priorFiles.get(p).foreach { case (_, old) =>
+        // carry the previous stats verbatim (layouts match by
+        // name/position; pre-stats manifests simply lack the fields
+        // and the entry stays stat-less — absence is safe)
+        Seq("null_value_counts", "lower_bounds", "upper_bounds")
+          .foreach { f =>
+            if (old.getSchema.getField(f) != null &&
+                old.get(f) != null) df.put(f, old.get(f))
+          }
       }
+      if (!priorFiles.contains(p))
+        putStats(df, freshStats.get(new Path(p).getName).map(_._2),
+          schema, idOf)
       val e = new GenericData.Record(ManifestEntrySchema)
-      e.put("status", 1) // ADDED
+      val fileSeq = priorFiles.get(p).map(_._1).getOrElse(seq)
+      e.put("status", if (priorFiles.contains(p)) 0 else 1)
       e.put("snapshot_id", snapshotId)
-      e.put("sequence_number", seq)
-      e.put("file_sequence_number", seq)
+      e.put("sequence_number", fileSeq)
+      e.put("file_sequence_number", fileSeq)
       e.put("data_file", df)
       e
     }
+    val minSeq = (Seq(seq) ++ files.flatMap(f =>
+      priorFiles.get(f._1).map(_._1))).min
     val manifestPath = new Path(metaDir(root),
       s"${java.util.UUID.randomUUID}-m0.avro")
     val manifestLen = writeAvro(fs, manifestPath, ManifestEntrySchema,
@@ -686,11 +716,52 @@ object IcebergExport {
         "partition-spec" -> "[]", "partition-spec-id" -> "0",
         "format-version" -> "2", "content" -> "data"), entries)
 
-    // POSITION DELETE FILE + DELETE MANIFEST (only when deletes pend):
-    // one sorted (file_path, pos) parquet carrying the spec's reserved
-    // field ids, one manifest with a content=1 data_file entry
-    val deleteManifest: Option[(GenericRecord, Long)] =
-      if (deleteSets.isEmpty) None
+    // DELETE FILE + DELETE MANIFEST (only when deletes pend): position
+    // mode writes the sorted (file_path, pos) parquet with the spec's
+    // reserved field ids; equality mode ships the pending KEYS
+    // themselves (content=2 + equality_ids) — the Flink-CDC shape, no
+    // table scan. Either way, one manifest with content=1 in the list.
+    def stageDelete(df: DataFrame): (Path, Long) = {
+      val delPath = new Path(metaDir(root),
+        s"${java.util.UUID.randomUUID}-deletes.parquet")
+      val tmpDir = new Path(metaDir(root),
+        s".deltmp-${java.util.UUID.randomUUID}")
+      df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+      val part = fs.listStatus(tmpDir).map(_.getPath)
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(
+          s"delete-file stage at $tmpDir produced no part file"))
+      require(fs.rename(part, delPath),
+        s"could not publish delete file $delPath")
+      fs.delete(tmpDir, true)
+      (delPath, fs.getFileStatus(delPath).getLen)
+    }
+    val publishedDelete: Option[(Path, Long, Long, Int, Option[Int])] =
+      if (equalityDeletes && dvRel.isDefined) {
+        val fresh = files.map(_._1).filterNot(priorFiles.contains)
+        require(fresh.isEmpty,
+          s"equality-delete export at $root: ${fresh.size} data " +
+            "file(s) are new in this snapshot (bucket rewritten since " +
+            "the last export) — equality deletes only reach STRICTLY " +
+            "OLDER files; export with position deletes instead")
+        import org.apache.spark.sql.functions.col
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        val keys = spark.read.parquet(s"$rootAbs/${dvRel.get}")
+        val keyCol = keys.schema.fieldNames.head
+        val keyId = idOf.getOrElse(keyCol,
+          throw new IllegalStateException(
+            s"deleted key column '$keyCol' is not in the exported " +
+              "schema — cannot express it as an equality delete"))
+        val keyMeta = new MetadataBuilder()
+          .putLong("parquet.field.id", keyId.toLong).build()
+        val outDf = keys
+          .select(col(keyCol).cast(schema(keyCol).dataType)
+            .as(keyCol, keyMeta))
+          .distinct().orderBy(col(keyCol))
+        val n = outDf.count()
+        val (delPath, delLen) = stageDelete(outDf)
+        Some((delPath, delLen, n, 2, Some(keyId)))
+      } else if (deleteSets.isEmpty) None
       else {
         import org.apache.spark.sql.Row
         spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
@@ -704,29 +775,28 @@ object IcebergExport {
         val rows: Seq[Row] = deleteSets.toSeq.sortBy(_._1).flatMap {
           case (p, poss) => poss.map(Row(p, _)).toSeq
         }
-        val delPath = new Path(metaDir(root),
-          s"${java.util.UUID.randomUUID}-deletes.parquet")
-        val tmpDir = new Path(metaDir(root),
-          s".deltmp-${java.util.UUID.randomUUID}")
-        spark.createDataFrame(rows.asJava, delSchema).coalesce(1)
-          .write.mode("overwrite").parquet(tmpDir.toString)
-        val part = fs.listStatus(tmpDir).map(_.getPath)
-          .find(_.getName.startsWith("part-"))
-          .getOrElse(throw new IllegalStateException(
-            s"position-delete stage at $tmpDir produced no part file"))
-        require(fs.rename(part, delPath),
-          s"could not publish position deletes $delPath")
-        fs.delete(tmpDir, true)
-        val delLen = fs.getFileStatus(delPath).getLen
+        val (delPath, delLen) =
+          stageDelete(spark.createDataFrame(rows.asJava, delSchema))
+        Some((delPath, delLen, rows.size.toLong, 1, None))
+      }
+    val deleteManifest: Option[(GenericRecord, Long)] =
+      publishedDelete.map { case (delPath, delLen, n, content, eqId) =>
         val df = new GenericData.Record(
           ManifestEntrySchema.getField("data_file").schema())
-        df.put("content", 1) // POSITION_DELETES
+        df.put("content", content) // 1=position, 2=equality deletes
         df.put("file_path", delPath.toString)
         df.put("file_format", "PARQUET")
         df.put("partition", new GenericData.Record(
           df.getSchema.getField("partition").schema()))
-        df.put("record_count", rows.size.toLong)
+        df.put("record_count", n)
         df.put("file_size_in_bytes", delLen)
+        eqId.foreach { id =>
+          val arrSchema = df.getSchema.getField("equality_ids")
+            .schema().getTypes.get(1)
+          val ids = new GenericData.Array[Integer](1, arrSchema)
+          ids.add(id)
+          df.put("equality_ids", ids)
+        }
         val e = new GenericData.Record(ManifestEntrySchema)
         e.put("status", 1)
         e.put("snapshot_id", snapshotId)
@@ -751,26 +821,28 @@ object IcebergExport {
         mf.put("added_files_count", 1)
         mf.put("existing_files_count", 0)
         mf.put("deleted_files_count", 0)
-        mf.put("added_rows_count", rows.size.toLong)
+        mf.put("added_rows_count", n)
         mf.put("existing_rows_count", 0L)
         mf.put("deleted_rows_count", 0L)
-        Some((mf, rows.size.toLong))
+        (mf, n)
       }
 
     // MANIFEST LIST
+    val (carried, freshFiles) = files.partition(f =>
+      priorFiles.contains(f._1))
     val mf = new GenericData.Record(ManifestFileSchema)
     mf.put("manifest_path", manifestPath.toString)
     mf.put("manifest_length", manifestLen)
     mf.put("partition_spec_id", 0)
     mf.put("content", 0)
     mf.put("sequence_number", seq)
-    mf.put("min_sequence_number", seq)
+    mf.put("min_sequence_number", minSeq)
     mf.put("added_snapshot_id", snapshotId)
-    mf.put("added_files_count", files.size)
-    mf.put("existing_files_count", 0)
+    mf.put("added_files_count", freshFiles.size)
+    mf.put("existing_files_count", carried.size)
     mf.put("deleted_files_count", 0)
-    mf.put("added_rows_count", counts.values.sum)
-    mf.put("existing_rows_count", 0L)
+    mf.put("added_rows_count", freshFiles.map(f => counts(f._1)).sum)
+    mf.put("existing_rows_count", carried.map(f => counts(f._1)).sum)
     mf.put("deleted_rows_count", 0L)
     val listPath = new Path(metaDir(root),
       s"snap-$snapshotId-1-${java.util.UUID.randomUUID}.avro")
@@ -818,8 +890,9 @@ object IcebergExport {
       .put("added-data-files", files.size.toString)
       .put("total-records", counts.values.sum.toString)
       .put("graft.manifest-version", snap.version.toString)
-    deleteManifest.foreach { case (_, n) =>
-      summary.put("added-position-deletes", n.toString) }
+    publishedDelete.foreach { case (_, _, n, content, _) =>
+      summary.put(if (content == 2) "added-equality-deletes"
+        else "added-position-deletes", n.toString) }
     val slog = md.putArray("snapshot-log")
     prior.foreach(_.get("snapshot-log").elements().asScala
       .foreach(slog.add))
@@ -1363,27 +1436,52 @@ object IcebergExport {
     require(files.nonEmpty,
       s"iceberg snapshot $targetId at $root lists no live files")
 
-    // POSITION DELETES: (file_path, pos) parquets from DELETE
-    // manifests, applied per the spec's sequence rule — a delete file
-    // covers data files whose data sequence number is <= its own.
-    // Driver-side volume is bounded by the deleted-row count, the same
+    // DELETE FILES, split by kind. POSITION deletes ((file_path, pos)
+    // parquets) apply to data files with sequence <= their own;
+    // driver-side volume is bounded by the deleted-row count, the same
     // metadata every merge-on-read Iceberg reader materializes.
-    val deleteGroups: Seq[(Long, Map[String, Array[Long]])] =
-      deleteManifests.flatMap(liveEntries).map { case (e, delSeq, _) =>
+    // EQUALITY deletes (content=2) stay DISTRIBUTED: each becomes a
+    // null-safe left-anti join on its equality columns (resolved by
+    // FIELD ID), applied per the spec's strictly-older-sequence rule.
+    val deleteEntries = deleteManifests.flatMap(liveEntries).map {
+      case (e, delSeq, _) =>
         val df = e.get("data_file").asInstanceOf[GenericRecord]
         val content = optInt(df, "content", 0)
-        require(content == 1,
+        require(content == 1 || content == 2,
           s"iceberg table at $root lists a delete file with content=" +
-            s"$content — only position deletes (1) are supported by " +
-            "this reader; equality deletes need a full engine")
+            s"$content — only position (1) and equality (2) deletes " +
+            "are defined by the spec")
         val fmt = df.get("file_format").toString
         require(fmt.equalsIgnoreCase("parquet"),
           s"iceberg table at $root stores '$fmt' delete files — only " +
             "parquet is supported")
+        (df, delSeq, content)
+    }
+    val deleteGroups: Seq[(Long, Map[String, Array[Long]])] =
+      deleteEntries.collect { case (df, delSeq, 1) =>
         val rows = spark.read.parquet(df.get("file_path").toString)
           .select("file_path", "pos").collect()
         (delSeq, rows.groupBy(_.getString(0))
           .map { case (p, rs) => p -> rs.map(_.getLong(1)).sorted })
+      }
+    val eqDeletes: Seq[(Long, Seq[(String, DataType, Int)], String)] =
+      deleteEntries.collect { case (df, delSeq, 2) =>
+        val idsField = df.getSchema.getField("equality_ids")
+        val ids: Seq[Int] =
+          if (idsField == null) Nil
+          else Option(df.get("equality_ids")).toSeq.flatMap(
+            _.asInstanceOf[java.util.Collection[_]].asScala.toSeq
+              .map(_.asInstanceOf[Number].intValue()))
+        require(ids.nonEmpty,
+          s"iceberg table at $root lists an equality delete without " +
+            "equality_ids — corrupt metadata")
+        val cols = ids.map(id => topById.getOrElse(id,
+          throw new IllegalArgumentException(
+            s"iceberg table at $root: equality delete references " +
+              s"field id $id which is not a top-level column of the " +
+              "snapshot's schema — read with a full engine")))
+          .zip(ids).map { case ((n, dt), id) => (n, dt, id) }
+        (delSeq, cols, df.get("file_path").toString)
       }
 
     val zones = files.map { case (p, _, rc, _, (mins, maxs), nulls) =>
@@ -1424,7 +1522,35 @@ object IcebergExport {
             byName))
         }
       }
-    deleted.select(schema.fieldNames.toIndexedSeq.map(
+    // EQUALITY DELETES: distributed null-safe anti-joins. The spec
+    // scopes each delete to data files with a STRICTLY OLDER data
+    // sequence number; this reader implements the uniform case (every
+    // data file predates every equality delete — the shape both our
+    // exporter and steady-state CDC writers produce) and refuses the
+    // mixed case by name rather than under- or over-deleting.
+    val eqApplied =
+      if (eqDeletes.isEmpty) deleted
+      else {
+        val minDel = eqDeletes.map(_._1).min
+        val maxData = files.map(_._4).max
+        require(maxData < minDel,
+          s"iceberg table at $root has data files at sequence " +
+            s"$maxData not older than an equality delete at sequence " +
+            s"$minDel — per-file equality-delete scoping is not " +
+            "implemented; read with a full engine")
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        eqDeletes.foldLeft(deleted) { case (acc, (_, cols, path)) =>
+          val delSchema = StructType(cols.map { case (n, dt, id) =>
+            StructField(n, dt, nullable = true, new MetadataBuilder()
+              .putLong("parquet.field.id", id.toLong).build())
+          })
+          val delDf = spark.read.schema(delSchema).parquet(path)
+          val cond = cols.map { case (n, _, _) =>
+            acc(n) <=> delDf(n) }.reduce(_ && _)
+          acc.join(delDf, cond, "left_anti")
+        }
+      }
+    eqApplied.select(schema.fieldNames.toIndexedSeq.map(
       org.apache.spark.sql.functions.col): _*)
   }
 }

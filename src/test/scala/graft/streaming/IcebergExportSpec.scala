@@ -330,6 +330,59 @@ class IcebergExportSpec extends SparkSpec {
       keepLast = 10) == 0)
   }
 
+  test("pending deletes publish as EQUALITY delete files (the Flink-CDC " +
+      "shape): keys only, no table scan, strictly-older-sequence " +
+      "application; new-file snapshots refuse the mode") {
+    val root = java.nio.file.Files.createTempDirectory("iceberg").toString
+    MergeInto.mergeBatch(spark,
+      (0L until 100L).map(k => (k, s"v$k")).toDF("k", "s"),
+      root, "k", numBuckets = 2)
+    // equality mode on the FIRST export refuses: every file is new in
+    // this snapshot, and the strictly-older rule would miss them all
+    MergeInto.deleteVector(spark, root, "k", Seq(0L).toDF("k"))
+    val e0 = intercept[IllegalArgumentException] {
+      IcebergExport.export(spark, root, deleteFiles = true,
+        equalityDeletes = true)
+    }
+    assert(e0.getMessage.contains("position deletes instead"))
+    // position-mode export unblocks (v1 carries the delete immediately)
+    IcebergExport.export(spark, root, deleteFiles = true)
+    assert(IcebergExport.read(spark, root).count() == 99)
+    // now the files are carried: further deletes ship as equality files
+    MergeInto.deleteVector(spark, root, "k",
+      (0L until 100L by 3L).toDF("k"))
+    val (s2, _) = IcebergExport.export(spark, root, deleteFiles = true,
+      equalityDeletes = true)
+    assert(s2 == 2L)
+    val want = (0L until 100L).filter(k => k != 0 && k % 3 != 0)
+    assert(IcebergExport.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq == want)
+    // time travel to the position-delete snapshot is unaffected
+    assert(IcebergExport.readAt(spark, root, 1L).count() == 99)
+    // the delete file is the KEY LIST itself (one column, the key)
+    val names = metaFiles(root)
+    val delFiles = names.filter(_.endsWith("-deletes.parquet"))
+    val eqFile = delFiles.map(n => new java.io.File(
+      new java.io.File(root, "metadata"), n))
+      .map(f => spark.read.parquet(f.toString))
+      .find(_.columns.toSeq == Seq("k")).get
+    assert(eqFile.as[Long].collect().sorted.toSeq ==
+      (0L until 100L by 3L))
+    // the summary names the mode
+    val md = scala.io.Source.fromFile(new java.io.File(
+      new java.io.File(root, "metadata"), "v2.metadata.json")).mkString
+    assert(md.contains("added-equality-deletes"))
+    // deletes accumulate across further equality exports
+    MergeInto.deleteVector(spark, root, "k",
+      (0L until 100L by 5L).toDF("k"))
+    IcebergExport.export(spark, root, deleteFiles = true,
+      equalityDeletes = true)
+    val want2 = (0L until 100L)
+      .filter(k => k != 0 && k % 3 != 0 && k % 5 != 0)
+    assert(IcebergExport.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq == want2)
+  }
+
   test("refusals are loud and by name; a missing version hint falls " +
       "back to the newest metadata file") {
     val root = java.nio.file.Files.createTempDirectory("iceberg").toString
