@@ -1286,7 +1286,19 @@ object IcebergExport {
     finally os.close()
     val hs = fs.create(hintPath(root), true)
     try hs.write((v + 1).toString.getBytes("UTF-8")) finally hs.close()
-    removed
+    // metadata-json retention (the spec's write.metadata.delete-after-
+    // commit behavior): keep the last 10 versions — older ones are
+    // unreachable anyway (snapshot reads resolve through the CURRENT
+    // metadata only) and would otherwise grow one file per commit
+    var trimmed = 0
+    fs.listStatus(metaDir(root)).map(_.getPath).foreach { p =>
+      p.getName match {
+        case MetadataFileName(mv) if mv.toInt <= v + 1 - 10 =>
+          if (fs.delete(p, false)) trimmed += 1
+        case _ =>
+      }
+    }
+    removed + trimmed
   }
 
   /** Read snapshot `snapshotId` (-1 = current). Refuses loudly: format

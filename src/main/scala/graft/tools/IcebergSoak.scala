@@ -1,0 +1,121 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: Iceberg-export long-horizon soak — the [[DeltaSoak]] twin
+  * for the second table format.
+  *
+  * `runMain graft.tools.IcebergSoak [cycles] [expireEvery]`
+  *
+  * Builds a merge table and runs `cycles` (default 60) rounds of
+  * (small MERGE → [[graft.streaming.IcebergExport.export]]), timing each
+  * export, with `expireSnapshots(keepLast = 5)` every `expireEvery`
+  * (default 20) cycles — the maintenance cadence a real table runs.
+  * Export cost must stay FLAT: each export reads ONE previous manifest
+  * (carried counts/stats/sequences), writes one manifest + one list +
+  * one metadata json — O(live files), never O(snapshots). The tool
+  * prints per-decade averages and a FLAT/GROWING verdict, checks the
+  * metadata directory's file count stays bounded under expiration,
+  * re-reads the final table through both the Iceberg metadata and the
+  * native manifest read, time-travels to a retained snapshot, and
+  * fails loudly on any mismatch. Every 7th cycle also routes a
+  * merge-on-read DELETE through `deleteFiles = true` (position mode)
+  * so the soak covers the delete-manifest path long-horizon.
+  */
+object IcebergSoak {
+  def main(args: Array[String]): Unit = {
+    val cycles = if (args.nonEmpty) args(0).toInt else 60
+    val expireEvery = if (args.length > 1) args(1).toInt else 20
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("iceberg-soak")
+      .toString + "/t"
+    graft.streaming.MergeInto.mergeBatch(spark,
+      (0L until 200L).map(i => (i, s"v0-$i", i * 1.0)).toDF("k", "s", "x"),
+      root, "k", numBuckets = 8)
+    graft.streaming.IcebergExport.export(spark, root)
+
+    val deleted = scala.collection.mutable.Set.empty[Long]
+    val times = (1 to cycles).map { i =>
+      val del = i % 7 == 0
+      if (del) {
+        // a fresh merge-on-read delete (key 100+i/7 — never remerged)
+        val k = 100L + i / 7
+        graft.streaming.MergeInto.deleteVector(spark, root, "k",
+          Seq(k).toDF("k"))
+        deleted += k
+      } else {
+        graft.streaming.MergeInto.mergeBatch(spark,
+          Seq((i % 100L, s"v$i", i * 1.0)).toDF("k", "s", "x"),
+          root, "k", numBuckets = 8)
+      }
+      val t0 = System.nanoTime()
+      val (sid, _) = graft.streaming.IcebergExport.export(spark, root,
+        deleteFiles = true)
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(sid == i + 1, s"expected iceberg snapshot ${i + 1}, got $sid")
+      if (i % expireEvery == 0) {
+        val removed = graft.streaming.IcebergExport
+          .expireSnapshots(spark, root, keepLast = 5)
+        println(f"[icebergsoak] cycle $i%2d: expired, removed $removed " +
+          "metadata files")
+      }
+      sec
+    }
+    def avg(r: Range) = r.map(times(_)).sum / r.size
+    val decades = (0 until cycles / 10).map(d =>
+      d -> avg(d * 10 until math.min((d + 1) * 10, cycles)))
+    decades.foreach { case (d, a) =>
+      println(f"[icebergsoak] exports ${d * 10}%2d..${d * 10 + 9}: " +
+        f"avg ${a}%.3f s")
+    }
+    val early = decades(1)._2
+    val late = decades.last._2
+    val curve = late / early
+    println(f"[icebergsoak] curve late/early = $curve%.2f " +
+      (if (curve < 2.0) "FLAT" else "GROWING — replay cost leak"))
+    require(curve < 2.0,
+      f"per-export cost grew $curve%.2fx across the soak")
+
+    // metadata volume bounded under the expire cadence: snapshots
+    // retained <= 5 + expireEvery, and the avro/delete file count
+    // tracks the retained snapshots, not the full history
+    val snaps = graft.streaming.IcebergExport.snapshots(spark, root)
+    require(snaps.size <= 5 + expireEvery,
+      s"retained ${snaps.size} snapshots — expiration not bounding")
+    val metaFiles = new java.io.File(root, "metadata").listFiles()
+      .map(_.getName)
+    val avros = metaFiles.count(_.endsWith(".avro"))
+    require(avros <= 3 * (5 + expireEvery),
+      s"$avros avro files in metadata/ — expiration leaking manifests")
+    val jsons = metaFiles.count(_.endsWith(".metadata.json"))
+    require(jsons <= 12,
+      s"$jsons metadata jsons retained — trim-after-commit leaking")
+    println(s"[icebergsoak] retained snapshots=${snaps.size}, " +
+      s"avro files=$avros, metadata jsons=$jsons")
+
+    // final correctness: iceberg head == native manifest read, and a
+    // retained old snapshot still answers
+    val ice = graft.streaming.IcebergExport.read(spark, root)
+      .select("k", "s").as[(Long, String)].collect().sorted.toSeq
+    val native = graft.streaming.MergeInto.readTable(spark, root)
+      .select("k", "s").as[(Long, String)].collect().sorted.toSeq
+    require(ice == native,
+      s"iceberg head diverged from the native read: ${ice.size} vs " +
+        s"${native.size} rows")
+    require(deleted.forall(k => !ice.exists(_._1 == k)),
+      "a merge-on-read deleted key survived in the iceberg read")
+    val old = snaps.head
+    val oldRows = graft.streaming.IcebergExport
+      .readAt(spark, root, old.snapshotId).count()
+    require(oldRows > 0, s"retained snapshot ${old.snapshotId} is empty")
+    println(s"[icebergsoak] head rows=${ice.size} (== native), " +
+      s"snapshot ${old.snapshotId} rows=$oldRows — OK")
+    spark.stop()
+  }
+}

@@ -383,6 +383,36 @@ class IcebergExportSpec extends SparkSpec {
       .collect().sorted.toSeq == want2)
   }
 
+  test("UniForm shape: one committed table exports BOTH Delta and " +
+      "Iceberg from the same snapshots; the two native readers agree " +
+      "at head and across time travel") {
+    val root = java.nio.file.Files.createTempDirectory("uniform").toString
+    def both(): Unit = {
+      DeltaExport.export(spark, root)
+      IcebergExport.export(spark, root)
+    }
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "s", "v"),
+      root, "k", numBuckets = 2)
+    both() // delta v0 == iceberg snapshot 1
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "A", 11), (3L, "c", 30)).toDF("k", "s", "v"),
+      root, "k", numBuckets = 2)
+    both() // delta v1 == iceberg snapshot 2
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Int)] =
+      df.select("k", "s", "v").as[(Long, String, Int)]
+        .collect().sorted.toSeq
+    assert(rows(DeltaExport.read(spark, root)) ==
+      rows(IcebergExport.read(spark, root)))
+    assert(rows(DeltaExport.readAt(spark, root, 0L)) ==
+      rows(IcebergExport.readAt(spark, root, 1L)))
+    assert(rows(IcebergExport.read(spark, root)) ==
+      Seq((1L, "A", 11), (2L, "b", 20), (3L, "c", 30)))
+    // the two logs live side by side under the table root
+    assert(new java.io.File(root, "_delta_log").exists())
+    assert(new java.io.File(root, "metadata").exists())
+  }
+
   test("refusals are loud and by name; a missing version hint falls " +
       "back to the newest metadata file") {
     val root = java.nio.file.Files.createTempDirectory("iceberg").toString
