@@ -1087,7 +1087,16 @@ object DeltaExport {
                 .contains("true"))
             Set("changeDataFeed") else Set.empty[String])
       else prev.writerFeatures
-    val newConfig = prev.configuration ++
+    // bucket layout rides along as NAMESPACED table properties (foreign
+    // engines ignore unknown keys, per the spec): the read side turns
+    // them back into a BucketSpec'd scan, so key joins through the
+    // DELTA path are zero-shuffle exactly like the native manifest read
+    val bucketProps = (for {
+      n <- snap.entries.get(MergeInto.NumBucketsSlot)
+      key <- snap.entries.get(MergeInto.BucketKeySlot)
+    } yield Map("graft.numBuckets" -> n, "graft.bucketKey" -> key))
+      .getOrElse(Map.empty[String, String])
+    val newConfig = prev.configuration ++ bucketProps ++
       (if (wantCdf) Map("delta.enableChangeDataFeed" -> "true")
        else Map.empty) ++
       (if (wantDvNow) Map("delta.enableDeletionVectors" -> "true")
@@ -1571,9 +1580,29 @@ object DeltaExport {
         val files = st.live.toSeq.sortBy(_._1)
           .map { case (rel, e) => (s"$root/$rel", e.size, e.modTime) }
         val physSchema = StructType(full.fields.map(physField))
-        org.apache.spark.sql.GraftFiles.parquet(spark, files, physSchema,
-          statsZones(root, st.live,
-            physSchema.fields.map(f => f.name -> f.dataType).toMap))
+        val zones = statsZones(root, st.live,
+          physSchema.fields.map(f => f.name -> f.dataType).toMap)
+        // BUCKETED scan when the log's table properties record the
+        // layout and EVERY file name carries its stamped `_NNNNN`
+        // bucket id (unmapped tables only — a column-mapped bucket key
+        // would hash under the wrong name): the scan then declares
+        // HashPartitioning(key, n) and key joins through the delta
+        // path run with zero shuffle, same as the native manifest
+        // read. Any unstamped file falls back to the plain scan — a
+        // wrong partitioning is never declared.
+        val bucketed = for {
+          n <- st.configuration.get("graft.numBuckets").map(_.toInt)
+          key <- st.configuration.get("graft.bucketKey")
+          if mode == "none" && full.fieldNames.contains(key)
+          if files.forall { case (p, _, _) =>
+            org.apache.spark.sql.GraftFiles.bucketIdOf(
+              new Path(p).getName).isDefined
+          }
+        } yield org.apache.spark.sql.GraftFiles
+          .parquetBucketed(spark, files, physSchema, n, key, zones)
+        bucketed.getOrElse(
+          org.apache.spark.sql.GraftFiles.parquet(spark, files,
+            physSchema, zones))
       } else {
         st.partitionCols.foreach(c => require(full.fieldNames.contains(c),
           s"delta log at $root partitions on '$c' which is not in the " +

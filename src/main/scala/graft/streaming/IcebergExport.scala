@@ -872,9 +872,16 @@ object IcebergExport {
     md.put("default-sort-order-id", 0)
     val orders = md.putArray("sort-orders")
     orders.addObject().put("order-id", 0).putArray("fields")
-    md.putObject("properties")
-      .put("schema.name-mapping.default", nameMapping(schemaJson))
+    val props = md.putObject("properties")
+    props.put("schema.name-mapping.default", nameMapping(schemaJson))
       .put("format.default", "parquet")
+    // bucket layout as namespaced table properties (ignored by foreign
+    // engines): the read side turns them back into a BucketSpec'd scan
+    for (n <- snap.entries.get(MergeInto.NumBucketsSlot);
+         key <- snap.entries.get(MergeInto.BucketKeySlot)) {
+      props.put("graft.numBuckets", n)
+      props.put("graft.bucketKey", key)
+    }
     md.put("current-snapshot-id", snapshotId)
     val snapsArr = md.putArray("snapshots")
     prior.foreach(_.get("snapshots").elements().asScala
@@ -1499,10 +1506,29 @@ object IcebergExport {
     val zones = files.map { case (p, _, rc, _, (mins, maxs), nulls) =>
       p -> org.apache.spark.sql.FileZone(Some(rc), mins, maxs, nulls)
     }.toMap
-    val scanned = org.apache.spark.sql.GraftFiles.parquet(spark,
-      files.map { case (p, size, _, _, _, _) => (p, size, 0L) }
-        .sortBy(_._1),
-      schema, zones)
+    val scanFiles = files
+      .map { case (p, size, _, _, _, _) => (p, size, 0L) }.sortBy(_._1)
+    // BUCKETED scan when the table properties record the layout and
+    // every file name carries its stamped `_NNNNN` bucket id — key
+    // joins through the iceberg path run with zero shuffle, same as
+    // the native manifest read; any unstamped file falls back
+    val tableProps: Map[String, String] =
+      Option(md.get("properties")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty)
+    val bucketed = for {
+      n <- tableProps.get("graft.numBuckets").map(_.toInt)
+      key <- tableProps.get("graft.bucketKey")
+      if schema.fieldNames.contains(key)
+      if scanFiles.forall { case (p, _, _) =>
+        org.apache.spark.sql.GraftFiles.bucketIdOf(
+          new Path(p).getName).isDefined
+      }
+    } yield org.apache.spark.sql.GraftFiles
+      .parquetBucketed(spark, scanFiles, schema, n, key, zones)
+    val scanned = bucketed.getOrElse(
+      org.apache.spark.sql.GraftFiles.parquet(spark, scanFiles, schema,
+        zones))
     val deleted =
       if (deleteGroups.isEmpty) scanned
       else {

@@ -209,7 +209,8 @@ object GraftFiles {
     * names before choosing this path.
     */
   def parquetBucketed(spark: SparkSession, files: Seq[(String, Long, Long)],
-      schema: StructType, numBuckets: Int, bucketCol: String): DataFrame = {
+      schema: StructType, numBuckets: Int, bucketCol: String,
+      zones: Map[String, FileZone] = Map.empty): DataFrame = {
     require(files.nonEmpty, "empty file list — nothing to scan")
     require(schema.fieldNames.contains(bucketCol),
       s"bucket column '$bucketCol' not in ${schema.fieldNames.mkString(",")}")
@@ -217,7 +218,10 @@ object GraftFiles {
       require(bucketIdOf(new Path(p).getName).isDefined,
         s"file $p carries no bucket id in its name — cannot scan bucketed")
     }
-    relation(spark, new ManifestFileIndex(files.map(status)),
+    val z = zones.map { case (p, fz) => new Path(p).toString -> fz }
+    relation(spark,
+      new ManifestFileIndex(StructType(Nil),
+        Seq((InternalRow.empty, files.map(status).toArray)), z),
       StructType(Nil), schema,
       Some(BucketSpec(numBuckets, Seq(bucketCol), Nil)))
   }

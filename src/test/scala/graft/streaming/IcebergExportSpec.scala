@@ -413,6 +413,83 @@ class IcebergExportSpec extends SparkSpec {
     assert(new java.io.File(root, "metadata").exists())
   }
 
+  test("bucket layout survives the interop round trip: same-bucketed " +
+      "tables read through the DELTA and ICEBERG paths join with ZERO " +
+      "shuffle; a stripped stamp falls back, never a wrong partitioning") {
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      "ShuffleQueryStage".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    }
+    val a = java.nio.file.Files.createTempDirectory("ib").toString + "/a"
+    val b = java.nio.file.Files.createTempDirectory("ib").toString + "/b"
+    MergeInto.mergeBatch(spark,
+      (0L until 1000L).map(i => (i, s"s$i")).toDF("k", "s"),
+      a, "k", numBuckets = 8)
+    MergeInto.mergeBatch(spark,
+      (0L until 1000L by 3L).map(i => (i, i * 2)).toDF("k", "v"),
+      b, "k", numBuckets = 8)
+    DeltaExport.export(spark, a); DeltaExport.export(spark, b)
+    IcebergExport.export(spark, a); IcebergExport.export(spark, b)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val viaDelta = DeltaExport.read(spark, a)
+        .join(DeltaExport.read(spark, b).drop("__bucket"), Seq("k"))
+        .select(col("k"), col("s"), col("v"))
+      assert(exchanges(viaDelta) == 0,
+        "same-bucketed key join through the DELTA path must not shuffle")
+      val viaIce = IcebergExport.read(spark, a)
+        .join(IcebergExport.read(spark, b).drop("__bucket"), Seq("k"))
+        .select(col("k"), col("s"), col("v"))
+      assert(exchanges(viaIce) == 0,
+        "same-bucketed key join through the ICEBERG path must not shuffle")
+      assert(viaDelta.count() == 334 && viaIce.count() == 334)
+      // tamper: strip ONE file's bucket stamp (rename on disk + in both
+      // logs would be the honest test, but the cheap sound property is
+      // the fallback itself: a table property WITHOUT stamps must scan
+      // plain) — simulate via a fresh unstamped table carrying the props
+      val c = java.nio.file.Files.createTempDirectory("ib").toString + "/c"
+      Seq((1L, "x")).toDF("k", "s").write.parquet(s"$c/data")
+      val dataFile = new java.io.File(s"$c/data").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      val meta = m.createObjectNode()
+      val md = meta.putObject("metaData")
+      md.put("id", "t").putObject("format").put("provider", "parquet")
+      md.put("schemaString", org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType))).json)
+      md.putArray("partitionColumns")
+      md.putObject("configuration")
+        .put("graft.numBuckets", "8").put("graft.bucketKey", "k")
+      lines += m.writeValueAsString(meta)
+      val add = m.createObjectNode()
+      val an = add.putObject("add")
+      an.put("path", s"data/${dataFile.getName}")
+        .put("size", dataFile.length())
+        .put("modificationTime", dataFile.lastModified())
+        .put("dataChange", true)
+      an.putObject("partitionValues")
+      lines += m.writeValueAsString(add)
+      val dir = new java.io.File(c, "_delta_log"); dir.mkdirs()
+      val w = new java.io.PrintWriter(
+        new java.io.File(dir, "00000000000000000000.json"), "UTF-8")
+      try lines.foreach(w.println) finally w.close()
+      val plain = DeltaExport.read(spark, c)
+      plain.collect()
+      assert(!plain.queryExecution.executedPlan.toString
+        .contains("Bucketed: true"),
+        "unstamped files must not declare a bucketed scan")
+      assert(plain.count() == 1)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("refusals are loud and by name; a missing version hint falls " +
       "back to the newest metadata file") {
     val root = java.nio.file.Files.createTempDirectory("iceberg").toString
