@@ -606,6 +606,49 @@ object CdcQueries {
     store
   }
 
+  /** Materialize the ICEBERG-SINK table once per sfDir: three
+    * at-least-once batch deliveries — one REPLAYED — through
+    * [[graft.streaming.IcebergSink.upsertBatch]] (MERGE-with-txnId +
+    * per-batch Iceberg export); the replay must mint NO duplicate
+    * snapshot and the final Iceberg view must equal the clean two-batch
+    * merge state.
+    */
+  private def icebergSinkTableDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_iceberg_sink_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        import org.apache.spark.sql.expressions.Window
+        val log = changeLog(s, dir)
+        val b1 = log.filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+          .withColumn("del", lit(false))
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("log_seq_num").desc)
+        val b2 = log.filter(col("operation_type") =!= "CREATE")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("id"), col("status"), col("totalprice"),
+            (col("operation_type") === "DELETE").as("del"))
+        val b2a = b2.filter(pmod(hash(col("id")), lit(2)) === 0)
+        val b2b = b2.filter(pmod(hash(col("id")), lit(2)) === 1)
+        def apply(df: DataFrame, batchId: Long): Long =
+          graft.streaming.IcebergSink.upsertBatch(s, df, store, "id",
+            batchId, deleteCol = Some("del"))
+        apply(b1, 0L)
+        val s1 = apply(b2a, 1L)
+        require(apply(b2a, 1L) == s1,
+          "replayed batch must not mint a new iceberg snapshot")
+        apply(b2b, 2L)
+        val snaps = graft.streaming.IcebergExport.snapshots(s, store)
+        require(snaps.size == 3,
+          s"expected exactly 3 iceberg snapshots, got ${snaps.size}")
+    }
+    store
+  }
+
   /** Materialize OUR partitioned-delta PUBLISH once per sfDir: the CREATE
     * payloads published via [[graft.streaming.DeltaExport.exportPartitioned]]
     * (Spark partitionBy layout + v0 log with partitionValues parsed back
@@ -1583,6 +1626,17 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // EXACTLY-ONCE STREAMING ICEBERG SINK driver-gated (the iceberg
+    // twin of cdc_stream_delta_sink): three at-least-once deliveries,
+    // one replayed — the replay mints no snapshot, and the foreign-
+    // readable iceberg view equals the clean two-batch merge state.
+    "cdc_stream_iceberg_sink" -> ((s, dir) => {
+      val store = icebergSinkTableDir(s, dir)
+      graft.streaming.IcebergExport.read(s, store)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
     // ICEBERG SNAPSHOT EXPIRATION driver-gated: after
     // expire_snapshots(keepLast=1) — expired manifest lists/manifests
     // deleted, metadata rewritten — the current snapshot still answers
@@ -2435,6 +2489,9 @@ object CdcQueries {
 
     // After snapshot expiration the current snapshot = the same state.
     "cdc_iceberg_expire" -> mergeFinalStateSql,
+
+    // The replay-proof iceberg sink's view = the clean merged state.
+    "cdc_stream_iceberg_sink" -> mergeFinalStateSql,
 
     // Iceberg snapshot 1 = the CREATE batch exactly as committed.
     "cdc_iceberg_time_travel" -> s"""$changesCte
