@@ -1112,6 +1112,21 @@ object CdcQueries {
     store
   }
 
+  /** Shared oracle: the renamed table's final state (CREATE overridden
+    * by UPDATE, surfaced under the post-rename logical column name).
+    */
+  private lazy val renameFinalSql: String = s"""$changesCte
+      SELECT c.id,
+        CASE WHEN u.id IS NOT NULL THEN u.status ELSE c.status END
+          AS order_status,
+        CASE WHEN u.id IS NOT NULL THEN u.totalprice ELSE c.totalprice END
+          AS totalprice
+      FROM (SELECT id, status, totalprice FROM changes
+            WHERE operation_type = 'CREATE') c
+      LEFT JOIN (SELECT id, status, totalprice FROM changes
+                 WHERE operation_type = 'UPDATE') u USING (id)
+      ORDER BY c.id"""
+
   /** Merge table with a GENERATED (virtual) column and a CHECK that
     * references it: CREATE batch → add `price_band` (computed $1000 band
     * of totalprice) → add CHECK over the generated value → UPDATE batch
@@ -1839,6 +1854,19 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // RENAMED-TABLE DELTA EXPORT driver-gated: the same renamed table
+    // published as a protocol NAME-MODE column-mapped delta log
+    // (logical schemaString, physical files untouched) and read back by
+    // the mapping-aware native reader — the rename survives the foreign
+    // round trip. Same oracle as cdc_merge_rename.
+    "cdc_delta_export_colmap" -> ((s, dir) => {
+      val store = renamedOrdersTableDir(s, dir)
+      graft.streaming.DeltaExport.export(s, store)
+      graft.streaming.DeltaExport.read(s, store)
+        .select(col("id"), col("order_status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
     // BUCKET-LAYOUT EVOLUTION driver-gated: the table was created at 64
     // buckets, a key slice was DV-deleted, rebucket(16) rewrote every row
     // under the new spec (materializing the DV), and a later merge spoke
@@ -2562,17 +2590,9 @@ object CdcQueries {
 
     // Evolved table: UPDATE keys carry the new column, everything else
     // reads NULL through the schema-merged scan.
-    "cdc_merge_rename" -> s"""$changesCte
-      SELECT c.id,
-        CASE WHEN u.id IS NOT NULL THEN u.status ELSE c.status END
-          AS order_status,
-        CASE WHEN u.id IS NOT NULL THEN u.totalprice ELSE c.totalprice END
-          AS totalprice
-      FROM (SELECT id, status, totalprice FROM changes
-            WHERE operation_type = 'CREATE') c
-      LEFT JOIN (SELECT id, status, totalprice FROM changes
-                 WHERE operation_type = 'UPDATE') u USING (id)
-      ORDER BY c.id""",
+    "cdc_merge_rename" -> renameFinalSql,
+    // The column-mapped delta round trip = the same renamed state.
+    "cdc_delta_export_colmap" -> renameFinalSql,
 
     // Final state: CREATE rows minus the DV-deleted slice, overridden by
     // UPDATE (the two key slices are disjoint: last digit 7 vs 3).

@@ -1021,7 +1021,37 @@ object DeltaExport {
         "exporter publishes unpartitioned snapshots and will not extend " +
         "a foreign partitioned log")
     val files = snapshotFiles(fs, root, snap)
-    val schema = tableSchema(spark, root, snap)
+    // RENAMED (column-mapped) tables export as protocol name-mode
+    // column mapping — the spec's own rename-is-metadata mechanism:
+    // schemaString carries the LOGICAL names with
+    // delta.columnMapping.physicalName/id field metadata, the files
+    // keep their physical columns untouched, and any mapping-aware
+    // engine (this repo's reader included) resolves them. Exporting
+    // the stored physical names instead would show every foreign
+    // reader the pre-rename column names — wrong surface, silently.
+    val colMap: Map[String, String] =
+      snap.entries.get(MergeInto.ColMapSlot).toSeq
+        .flatMap(_.split(';')).map { pair =>
+          val Array(p, l) = pair.split('=')
+          p -> l
+        }.toMap
+    require(!snap.entries.keys.exists(_.startsWith(MergeInto.GenPrefix)),
+      s"table at $root has GENERATED (virtual) columns — nothing is " +
+        "stored for them, so a foreign Delta reader would silently " +
+        "miss them; drop them before exporting")
+    require(colMap.isEmpty || changeDataKey.isEmpty,
+      s"table at $root is column-mapped AND asked for a change data " +
+        "feed — the mapped-CDF combination is not implemented; " +
+        "materialize the rename (rewrite) before exporting with CDF")
+    val physSchema = tableSchema(spark, root, snap)
+    val schema =
+      if (colMap.isEmpty) physSchema
+      else StructType(physSchema.fields.zipWithIndex.map { case (f, i) =>
+        StructField(colMap.getOrElse(f.name, f.name), f.dataType,
+          f.nullable, new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", f.name)
+            .putLong("delta.columnMapping.id", (i + 1).toLong).build())
+      })
     val schemaJson = schema.json
 
     val newDvSets = pendingDeletePositions(spark, root, dvRel, files)
@@ -1060,15 +1090,19 @@ object DeltaExport {
     // columnMapping from reader 2).
     val wantCdf = changeDataKey.isDefined
     val wantDvNow = newDvSets.nonEmpty
+    val wantColmap = colMap.nonEmpty
     // v2Checkpoint is a reader-writer table feature: declare it BEFORE
-    // the first v2 checkpoint could be written, per the spec
+    // the first v2 checkpoint could be written, per the spec; name-mode
+    // column mapping needs legacy reader 2 / writer 5 (or the feature)
     val desiredReader = Seq(prev.readerVersion,
-      if (wantDvNow) 3 else 1, if (v2Checkpoints) 3 else 1).max
+      if (wantDvNow) 3 else 1, if (v2Checkpoints) 3 else 1,
+      if (wantColmap) 2 else 1).max
     val desiredWriter = Seq(prev.writerVersion, 2,
       if (wantCdf) 4 else 0, if (wantDvNow) 7 else 0,
-      if (v2Checkpoints) 7 else 0).max
+      if (v2Checkpoints) 7 else 0, if (wantColmap) 5 else 0).max
     val legacyColmap =
-      if (prev.readerVersion == 2 || prev.mappingMode != "none")
+      if (prev.readerVersion == 2 || prev.mappingMode != "none" ||
+          wantColmap)
         Set("columnMapping") else Set.empty[String]
     val v2Feature =
       if (v2Checkpoints) Set("v2Checkpoint") else Set.empty[String]
@@ -1100,6 +1134,10 @@ object DeltaExport {
       (if (wantCdf) Map("delta.enableChangeDataFeed" -> "true")
        else Map.empty) ++
       (if (wantDvNow) Map("delta.enableDeletionVectors" -> "true")
+       else Map.empty) ++
+      (if (wantColmap) Map(
+        "delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> schema.fields.length.toString)
        else Map.empty)
     if (version == 0L || desiredWriter != prev.writerVersion ||
         desiredReader != prev.readerVersion ||
@@ -1262,9 +1300,12 @@ object DeltaExport {
     def changed(path: String, size: Long, mtime: Long): Boolean =
       !(prev.live.get(path)
         .exists(e => e.size == size && e.modTime == mtime) && dvSame(path))
+    // stats are computed AND keyed under PHYSICAL column names (the
+    // files' real columns; colmap tables' stats are physically keyed
+    // per the spec — matching the read side's physical-schema zones)
     val statsFor = computeAddStats(spark, root,
       files.collect { case (p, sz, mt) if changed(p, sz, mt) => p },
-      schema, descriptors.keySet)
+      physSchema, descriptors.keySet)
     val current = files.map(f =>
       f._1 -> FileEntry(f._2, f._3, Map.empty, descriptors.get(f._1),
         statsFor.get(f._1).orElse(prev.live.get(f._1).flatMap(_.stats)))).toMap

@@ -564,6 +564,21 @@ object IcebergExport {
         "readers cannot subtract the raw key sidecar; run " +
         "materializeDeletes before exporting, or pass deleteFiles=true " +
         "to publish it as position delete files")
+    // a RENAMED (column-mapped) table's files store the PHYSICAL
+    // column names; publishing the logical schema over them would make
+    // every name-resolving Iceberg reader return nulls for the renamed
+    // columns — silently. Refuse by name (the Delta exporter handles
+    // renames via the protocol's own column mapping; Iceberg-side
+    // mapped export would need field-id-bearing files).
+    require(!snap.entries.contains(MergeInto.ColMapSlot),
+      s"table at $root has an active column map (renamed columns) — " +
+        "the Iceberg exporter publishes name-resolved schemas; " +
+        "materialize the rename (rewrite) before exporting, or use " +
+        "DeltaExport (protocol column mapping)")
+    require(!snap.entries.keys.exists(_.startsWith(MergeInto.GenPrefix)),
+      s"table at $root has GENERATED (virtual) columns — nothing is " +
+        "stored for them, so a foreign Iceberg reader would silently " +
+        "miss them; drop them before exporting")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = metaDir(root).getFileSystem(conf)
     val rootAbs = fs.makeQualified(new Path(root)).toUri.getPath

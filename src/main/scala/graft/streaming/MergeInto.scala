@@ -599,7 +599,7 @@ object MergeInto {
     */
   val ColMapSlot = "__colMap"
 
-  private def physToLogical(snap: ManifestStore.Snapshot)
+  private[streaming] def physToLogical(snap: ManifestStore.Snapshot)
       : Seq[(String, String)] =
     snap.entries.get(ColMapSlot).toSeq.flatMap(_.split(';')).map { pair =>
       val Array(p, l) = pair.split('=')

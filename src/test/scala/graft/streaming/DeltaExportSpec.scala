@@ -889,6 +889,50 @@ class DeltaExportSpec extends SparkSpec {
     assert(DeltaExport.cleanLog(spark, root) == 0)
   }
 
+  test("a RENAMED table exports as a NAME-MODE COLUMN-MAPPED delta log " +
+      "(logical schemaString over untouched physical files); generated " +
+      "columns and the colmap+CDF combination refuse") {
+    val root = java.nio.file.Files.createTempDirectory("delta").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a", 10), (2L, "b", 20)).toDF("k", "s", "v"),
+      root, "k", numBuckets = 2)
+    MergeInto.renameColumn(spark, root, "s", "label")
+    val (v0, logFile) = DeltaExport.export(spark, root)
+    assert(v0 == 0L)
+    val l0 = scala.io.Source.fromFile(logFile).getLines().mkString("\n")
+    assert(l0.contains("\"delta.columnMapping.mode\":\"name\""))
+    assert(l0.contains("\"minReaderVersion\":2"))
+    assert(l0.contains(
+      "\\\"delta.columnMapping.physicalName\\\":\\\"s\\\""))
+    // the native reader resolves the LOGICAL names over physical files
+    val got = DeltaExport.read(spark, root)
+    assert(got.columns.contains("label") && !got.columns.contains("s"))
+    assert(got.select("k", "label", "v").as[(Long, String, Int)]
+      .collect().sorted.toSeq == Seq((1L, "a", 10), (2L, "b", 20)))
+    // re-export is idempotent (deterministic mapped schema)
+    assert(DeltaExport.export(spark, root)._1 == 0L)
+    // a further rename re-publishes metaData only
+    MergeInto.renameColumn(spark, root, "v", "value")
+    val (v1, _) = DeltaExport.export(spark, root)
+    assert(v1 == 1L)
+    assert(DeltaExport.read(spark, root).columns.toSet
+      .intersect(Set("label", "value")) == Set("label", "value"))
+    // colmap + change data feed refuses by name
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaExport.export(spark, root, changeDataKey = Some("k"))
+    }
+    assert(e1.getMessage.contains("column-mapped AND"))
+    // a GENERATED column refuses the export by name
+    val root2 = java.nio.file.Files.createTempDirectory("delta").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, 10)).toDF("k", "v"), root2, "k", numBuckets = 2)
+    MergeInto.addGeneratedColumn(spark, root2, "v2", "v * 2")
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaExport.export(spark, root2)
+    }
+    assert(e2.getMessage.contains("GENERATED"))
+  }
+
   test("v2 checkpoints round-trip: UUID-named top + sidecar actions, " +
       "protocol feature declared, replay from the v2 checkpoint after " +
       "cleanLog, expired sidecars swept") {

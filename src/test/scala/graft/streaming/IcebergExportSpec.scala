@@ -490,6 +490,26 @@ class IcebergExportSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("a RENAMED (column-mapped) table and GENERATED columns refuse " +
+      "the iceberg export by name — never a silently null column") {
+    val root = java.nio.file.Files.createTempDirectory("iceberg").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a")).toDF("k", "s"), root, "k", numBuckets = 2)
+    MergeInto.renameColumn(spark, root, "s", "label")
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergExport.export(spark, root)
+    }
+    assert(e1.getMessage.contains("column map"))
+    val root2 = java.nio.file.Files.createTempDirectory("iceberg").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, 10)).toDF("k", "v"), root2, "k", numBuckets = 2)
+    MergeInto.addGeneratedColumn(spark, root2, "v2", "v * 2")
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergExport.export(spark, root2)
+    }
+    assert(e2.getMessage.contains("GENERATED"))
+  }
+
   test("refusals are loud and by name; a missing version hint falls " +
       "back to the newest metadata file") {
     val root = java.nio.file.Files.createTempDirectory("iceberg").toString
