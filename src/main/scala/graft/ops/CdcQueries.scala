@@ -402,6 +402,82 @@ object CdcQueries {
     store
   }
 
+  /** Materialize the MIXED-SEQUENCE equality-delete table once per
+    * sfDir — the Flink-CDC steady-state shape: snapshot 1 exports the
+    * CREATE payloads, snapshot 2 publishes an id%7==0 equality delete
+    * (files all carried at sequence 1), then the UPDATE batch merges —
+    * rewriting its buckets, including ids the delete named (RE-INSERTS)
+    * — and snapshot 3 exports the remaining pending keys as a second
+    * equality delete while carrying the first. Data files now sit at
+    * sequences 1 AND 3 with deletes at 2 and 3: each delete reaches
+    * only STRICTLY OLDER files, so an updated id%7==0 key must survive
+    * (its post-delete file escapes the delete) while untouched deleted
+    * keys drop from their carried files.
+    */
+  private def icebergEqMixedTableDir(s: SparkSession,
+      dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_iceberg_eqmix_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val log = changeLog(s, dir)
+        val b1 = log.filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        graft.streaming.MergeInto.mergeBatch(s, b1, store, "id")
+        graft.streaming.IcebergExport.export(s, store)
+        graft.streaming.MergeInto.deleteVector(s, store, "id",
+          b1.filter(col("id") % 7 === 0).select(col("id")))
+        val (v2, _) = graft.streaming.IcebergExport.export(s, store,
+          deleteFiles = true, equalityDeletes = true)
+        require(v2 == 2L, s"fixture expected iceberg snapshot 2, got $v2")
+        val b2 = log.filter(col("operation_type") === "UPDATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        graft.streaming.MergeInto.mergeBatch(s, b2, store, "id")
+        val (v3, _) = graft.streaming.IcebergExport.export(s, store,
+          deleteFiles = true, equalityDeletes = true)
+        require(v3 == 3L, s"fixture expected iceberg snapshot 3, got $v3")
+    }
+    store
+  }
+
+  /** Materialize the COLUMN-MAPPED CDF delta table once per sfDir:
+    * version 0 exports the CREATE payloads with a change feed, a
+    * METADATA-ONLY rename (status → order_status) follows, and version
+    * 1 exports the UPDATE merge — its cdc files store PHYSICAL column
+    * names exactly like the data files of a mapped log (the protocol's
+    * column-mapping rule applies to every file the log references), and
+    * `table_changes` maps them back to the post-rename logical schema.
+    */
+  private def deltaColMapCdfDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_delta_cdfmap_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val log = changeLog(s, dir)
+        val b1 = log.filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        graft.streaming.MergeInto.mergeBatch(s, b1, store, "id")
+        graft.streaming.DeltaExport.export(s, store,
+          changeDataKey = Some("id"))
+        graft.streaming.MergeInto.renameColumn(s, store,
+          "status", "order_status")
+        val b2 = log.filter(col("operation_type") === "UPDATE")
+          .select(col("id"), col("status").as("order_status"),
+            col("totalprice"))
+        graft.streaming.MergeInto.mergeBatch(s, b2, store, "id")
+        val (v, _) = graft.streaming.DeltaExport.export(s, store,
+          changeDataKey = Some("id"))
+        require(v == 1L, s"fixture expected delta version 1, got $v")
+    }
+    store
+  }
+
   /** Materialize the STATS-bearing Iceberg publish once per sfDir: the
     * CREATE payloads range-split into 4 id-ordered files via
     * [[graft.streaming.IcebergExport.publish]], whose manifest records
@@ -1675,6 +1751,35 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // MIXED-SEQUENCE EQUALITY DELETES driver-gated (the Flink-CDC
+    // steady state): data files at sequences 1 and 3, equality deletes
+    // at 2 and 3 — the reader scopes each delete to STRICTLY OLDER
+    // files (per-group scans unioned), so a deleted-then-updated key
+    // survives via its re-inserted file while untouched deleted keys
+    // drop from their carried files. Oracle = CREATEs with updates
+    // applied, minus the id%7==0 keys that were never updated.
+    "cdc_iceberg_eq_mixed" -> ((s, dir) => {
+      val store = icebergEqMixedTableDir(s, dir)
+      graft.streaming.IcebergExport.read(s, store)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // RENAMED-TABLE ICEBERG EXPORT driver-gated (the Iceberg twin of
+    // cdc_delta_export_colmap): rename is METADATA-ONLY under Iceberg's
+    // stable field ids — the metadata publishes the post-rename logical
+    // names on the original ids, and schema.name-mapping.default
+    // resolves the files' physical `status` column to `order_status`'s
+    // field id; no data file is touched, no column-mapping machinery
+    // needed. Same oracle as cdc_merge_rename.
+    "cdc_iceberg_rename" -> ((s, dir) => {
+      val store = renamedOrdersTableDir(s, dir)
+      graft.streaming.IcebergExport.export(s, store)
+      graft.streaming.IcebergExport.read(s, store)
+        .select(col("id"), col("order_status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
     // ICEBERG DATA SKIPPING driver-gated (the Iceberg twin of
     // cdc_delta_stats_prune): manifest lower/upper bounds decoded from
     // the spec's single-value binary form prune range files at
@@ -1865,6 +1970,20 @@ object CdcQueries {
       graft.streaming.DeltaExport.read(s, store)
         .select(col("id"), col("order_status"), col("totalprice"))
         .orderBy(col("id"))
+    }),
+
+    // COLUMN-MAPPED CHANGE DATA FEED driver-gated (rename + CDF — both
+    // common on real tables, and spec-legal together): version 1's cdc
+    // files store PHYSICAL column names like every other file of a
+    // mapped log, and table_changes(1,1) maps them back to the
+    // post-rename logical schema. Oracle = the relational UPDATE diff
+    // under the new name.
+    "cdc_delta_cdf_colmap" -> ((s, dir) => {
+      val store = deltaColMapCdfDir(s, dir)
+      graft.streaming.DeltaExport.readChanges(s, store, 1L, 1L)
+        .select(col("id"), col("order_status"), col("totalprice"),
+          col("_change_type"))
+        .orderBy(col("id"), col("_change_type"))
     }),
 
     // BUCKET-LAYOUT EVOLUTION driver-gated: the table was created at 64
@@ -2593,6 +2712,51 @@ object CdcQueries {
     "cdc_merge_rename" -> renameFinalSql,
     // The column-mapped delta round trip = the same renamed state.
     "cdc_delta_export_colmap" -> renameFinalSql,
+
+    "cdc_iceberg_rename" -> renameFinalSql,
+
+    // CREATEs with the UPDATE batch applied; id%7==0 keys survive ONLY
+    // when updated (re-inserted after their equality delete)
+    "cdc_iceberg_eq_mixed" -> s"""$changesCte, u AS (
+        SELECT id, status, totalprice FROM changes
+        WHERE operation_type = 'UPDATE')
+      SELECT id, status, totalprice FROM (
+        SELECT c.id,
+          CASE WHEN u.id IS NOT NULL THEN u.status ELSE c.status END
+            AS status,
+          CASE WHEN u.id IS NOT NULL THEN u.totalprice
+               ELSE c.totalprice END AS totalprice,
+          u.id AS uid
+        FROM (SELECT id, status, totalprice FROM changes
+              WHERE operation_type = 'CREATE') c
+        LEFT JOIN u ON c.id = u.id
+      ) WHERE uid IS NOT NULL OR id % 7 <> 0
+      ORDER BY id""",
+
+    // the UPDATE diff as update_preimage/update_postimage pairs under
+    // the POST-RENAME logical column name
+    "cdc_delta_cdf_colmap" -> s"""$changesCte, u AS (
+        SELECT id, status, totalprice FROM changes
+        WHERE operation_type = 'UPDATE'
+      ), c AS (
+        SELECT id, status, totalprice FROM changes
+        WHERE operation_type = 'CREATE'
+      ), diff AS (
+        SELECT c.id, c.status AS s_pre, c.totalprice AS p_pre,
+               u.status AS s_post, u.totalprice AS p_post
+        FROM c JOIN u USING (id)
+      )
+      SELECT id, order_status, totalprice, _change_type FROM (
+        SELECT id, s_pre AS order_status, p_pre AS totalprice,
+               'update_preimage' AS _change_type
+        FROM diff WHERE s_post IS DISTINCT FROM s_pre
+                     OR p_post IS DISTINCT FROM p_pre
+        UNION ALL
+        SELECT id, s_post, p_post, 'update_postimage'
+        FROM diff WHERE s_post IS DISTINCT FROM s_pre
+                     OR p_post IS DISTINCT FROM p_pre
+      )
+      ORDER BY id, _change_type""",
 
     // Final state: CREATE rows minus the DV-deleted slice, overridden by
     // UPDATE (the two key slices are disjoint: last digit 7 vs 3).

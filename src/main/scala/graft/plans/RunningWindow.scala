@@ -61,7 +61,9 @@ object RunningWindow {
   /** Idempotently attach the strategy to a live session the library did
     * not build (`spark.experimental.extraStrategies` is session state).
     */
-  def install(spark: SparkSession): Unit = {
+  def install(spark: SparkSession): Unit = synchronized {
+    // synchronized: Verify runs gates concurrently; an unguarded
+    // check-then-act here could register the strategy twice
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(GlobalRunningWindowStrategy))
       spark.experimental.extraStrategies = cur :+ GlobalRunningWindowStrategy

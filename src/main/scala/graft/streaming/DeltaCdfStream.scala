@@ -44,13 +44,26 @@ object DeltaCdfStream {
     */
   def changes(spark: SparkSession, root: String,
               schema: StructType = null): DataFrame = {
-    val sc = Option(schema).getOrElse(changeSchema(spark, root))
-    spark.readStream.schema(sc)
+    val logical = Option(schema).getOrElse(changeSchema(spark, root))
+    // COLUMN-MAPPED tables: cdc files store PHYSICAL names like data
+    // files — declare the file schema physically and alias back, or a
+    // logical-named readStream schema would return silent NULLs. An
+    // explicit caller schema is trusted as the FILE schema verbatim.
+    val physOf: Map[String, String] =
+      if (schema != null) Map.empty
+      else DeltaExport.columnMapping(spark, root).map(_.swap)
+    val fileSchema = StructType(logical.fields.map(f =>
+      f.copy(name = physOf.getOrElse(f.name, f.name))))
+    val raw = spark.readStream.schema(fileSchema)
       .option("pathGlobFilter", "cdc-*.parquet")
       .parquet(s"$root/_change_data")
       .withColumn("_commit_version",
         regexp_extract(col("_metadata.file_name"),
           "^cdc-(\\d{20})-", 1).cast(LongType))
+    if (physOf.isEmpty) raw
+    else raw.select((logical.fields.map(f =>
+      raw(physOf.getOrElse(f.name, f.name)).as(f.name)) :+
+      raw("_commit_version")).toIndexedSeq: _*)
   }
 
   /** Materialize the streamed feed of the delta-sink fixture table once

@@ -1039,19 +1039,41 @@ object DeltaExport {
       s"table at $root has GENERATED (virtual) columns — nothing is " +
         "stored for them, so a foreign Delta reader would silently " +
         "miss them; drop them before exporting")
-    require(colMap.isEmpty || changeDataKey.isEmpty,
-      s"table at $root is column-mapped AND asked for a change data " +
-        "feed — the mapped-CDF combination is not implemented; " +
-        "materialize the rename (rewrite) before exporting with CDF")
     val physSchema = tableSchema(spark, root, snap)
+    // column-mapping ids are UNIQUE AND IMMUTABLE per the protocol:
+    // reuse the id each physical column carried in the previous log's
+    // schemaString, allocate fresh ids above maxColumnId for new
+    // columns — recomputing positionally would silently reassign ids
+    // when a column is dropped or reordered, and id-tracking foreign
+    // readers would mismatch columns
+    val prevIdByPhys: Map[String, Long] = prev.schemaJson.toSeq
+      .flatMap { j =>
+        DataType.fromJson(j).asInstanceOf[StructType].fields.flatMap { f =>
+          if (!f.metadata.contains("delta.columnMapping.id")) None
+          else {
+            val phys =
+              if (f.metadata.contains("delta.columnMapping.physicalName"))
+                f.metadata.getString("delta.columnMapping.physicalName")
+              else f.name
+            Some(phys -> f.metadata.getLong("delta.columnMapping.id"))
+          }
+        }
+      }.toMap
     val schema =
       if (colMap.isEmpty) physSchema
-      else StructType(physSchema.fields.zipWithIndex.map { case (f, i) =>
-        StructField(colMap.getOrElse(f.name, f.name), f.dataType,
-          f.nullable, new MetadataBuilder()
-            .putString("delta.columnMapping.physicalName", f.name)
-            .putLong("delta.columnMapping.id", (i + 1).toLong).build())
-      })
+      else {
+        var nextId = math.max(
+          prev.configuration.get("delta.columnMapping.maxColumnId")
+            .map(_.toLong).getOrElse(0L),
+          prevIdByPhys.values.maxOption.getOrElse(0L))
+        StructType(physSchema.fields.map { f =>
+          val id = prevIdByPhys.getOrElse(f.name, { nextId += 1; nextId })
+          StructField(colMap.getOrElse(f.name, f.name), f.dataType,
+            f.nullable, new MetadataBuilder()
+              .putString("delta.columnMapping.physicalName", f.name)
+              .putLong("delta.columnMapping.id", id).build())
+        })
+      }
     val schemaJson = schema.json
 
     val newDvSets = pendingDeletePositions(spark, root, dvRel, files)
@@ -1137,7 +1159,8 @@ object DeltaExport {
        else Map.empty) ++
       (if (wantColmap) Map(
         "delta.columnMapping.mode" -> "name",
-        "delta.columnMapping.maxColumnId" -> schema.fields.length.toString)
+        "delta.columnMapping.maxColumnId" -> schema.fields
+          .map(_.metadata.getLong("delta.columnMapping.id")).max.toString)
        else Map.empty)
     if (version == 0L || desiredWriter != prev.writerVersion ||
         desiredReader != prev.readerVersion ||
@@ -1269,9 +1292,17 @@ object DeltaExport {
     var publishedCdc: Option[Path] = None
     for (key <- changeDataKey; from <- prevManifest
          if from < snap.version) {
-      val changes = MergeInto
+      val feed = MergeInto
         .changeFeed(spark, root, key, from, snap.version)
         .drop("__bucket")
+      // cdc files store PHYSICAL column names exactly like data files
+      // (the spec's column-mapping rule applies to every file the log
+      // references); readChanges maps them back to the logical schema
+      val logicalToPhys = colMap.map(_.swap)
+      val changes =
+        if (colMap.isEmpty) feed
+        else feed.select(feed.columns.toIndexedSeq.map(c =>
+          feed(c).as(logicalToPhys.getOrElse(c, c))): _*)
       if (!changes.isEmpty) {
         val cdcDir = new Path(root, "_change_data")
         val tmp = new Path(cdcDir, s".cdctmp-${java.util.UUID.randomUUID}")
@@ -1707,6 +1738,27 @@ object DeltaExport {
     }: _*)
   }
 
+  /** PHYSICAL -> logical column mapping of the CURRENT schemaString
+    * (empty for unmapped tables) — the names cdc and data files are
+    * stored under. One log replay; physical names are immutable under
+    * the protocol, so the mapping is stable across renames.
+    */
+  def columnMapping(spark: SparkSession, root: String)
+      : Map[String, String] = {
+    val fs = logPath(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = replay(spark, fs, root, None)
+    if (st.mappingMode == "none") Map.empty
+    else st.schemaJson.toSeq.flatMap { j =>
+      DataType.fromJson(j).asInstanceOf[StructType].fields.flatMap { f =>
+        if (!f.metadata.contains("delta.columnMapping.physicalName"))
+          None
+        else Some(f.metadata
+          .getString("delta.columnMapping.physicalName") -> f.name)
+      }
+    }.toMap
+  }
+
   /** CHANGE DATA FEED read (`table_changes(from, to)`): the row-level
     * changes of delta versions `fromVersion..toVersion` (-1 = latest),
     * reconstructed from each version's `cdc` actions, with the reader-
@@ -1725,6 +1777,16 @@ object DeltaExport {
     val hi = if (toVersion < 0) versions.keys.max else toVersion
     require(fromVersion >= 0 && fromVersion <= hi,
       s"bad change range $fromVersion..$hi")
+    // COLUMN MAPPING: cdc files store PHYSICAL column names exactly
+    // like data files; the latest metaData's schemaString maps them
+    // back to the logical surface. Physical names are immutable under
+    // the protocol, so one mapping covers every version in the window
+    // even across renames.
+    val physToLogical = columnMapping(spark, root)
+    def toLogical(df: DataFrame): DataFrame =
+      if (physToLogical.isEmpty) df
+      else df.select(df.columns.toIndexedSeq.map(c =>
+        df(c).as(physToLogical.getOrElse(c, c))): _*)
     val m = mapper
     import org.apache.spark.sql.functions.lit
     val frames = (fromVersion to hi).map { v =>
@@ -1736,14 +1798,15 @@ object DeltaExport {
       val cdc = nodes.filter(_.has("cdc"))
         .map(n => decodePath(n.get("cdc").get("path").asText()))
       if (cdc.nonEmpty)
-        spark.read.parquet(cdc.map(rel => s"$root/$rel"): _*)
+        toLogical(spark.read.parquet(cdc.map(rel => s"$root/$rel"): _*))
           .withColumn("_commit_version", lit(v))
       else if (v == 0L) {
         val adds = nodes.filter(_.has("add"))
           .map(n => decodePath(n.get("add").get("path").asText()))
         require(adds.nonEmpty, s"delta v0 at $root has no add actions")
-        spark.read.parquet(adds.map(rel => s"$root/$rel"): _*)
-          .drop("__bucket")
+        toLogical(spark.read
+          .parquet(adds.map(rel => s"$root/$rel"): _*)
+          .drop("__bucket"))
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(0L))
       } else throw new IllegalArgumentException(

@@ -87,6 +87,12 @@ object IcebergExport {
 
   private val MetadataFileName = """^v(\d+)\.metadata\.json$""".r
 
+  /** metadata-log entries retained per metadata.json — one less than
+    * the 10 metadata FILES expireSnapshots keeps, so every listed entry
+    * points at a file that still exists.
+    */
+  private val MetadataLogMax = 9
+
   // -------------------------------------------------------------------
   // Schema: Catalyst <-> Iceberg JSON, with stable field ids
   // -------------------------------------------------------------------
@@ -233,25 +239,35 @@ object IcebergExport {
 
   /** The spec's `schema.name-mapping.default` JSON: field-id -> names,
     * nested — the mapping foreign engines use to resolve data files
-    * that carry no embedded field ids (ours).
+    * that carry no embedded field ids (ours). `physOf` (logical ->
+    * physical, top-level) lists the files' PHYSICAL column name FIRST
+    * for renamed columns, with the logical name as an alias — so
+    * name-resolving readers find the files' real columns and id-keyed
+    * continuity survives further renames.
     */
-  private def nameMapping(schema: JsonNode): String = {
-    def fieldsOf(t: JsonNode): ArrayNode = {
+  private def nameMapping(schema: JsonNode,
+      physOf: Map[String, String] = Map.empty): String = {
+    def fieldsOf(t: JsonNode, top: Boolean): ArrayNode = {
       val arr = mapper.createArrayNode()
       t.get("type").asText() match {
         case "struct" => t.get("fields").elements().asScala.foreach { f =>
           val m = arr.addObject()
           m.put("field-id", f.get("id").asInt())
-          m.putArray("names").add(f.get("name").asText())
+          val logical = f.get("name").asText()
+          val phys =
+            if (top) physOf.getOrElse(logical, logical) else logical
+          val names = m.putArray("names")
+          names.add(phys)
+          if (phys != logical) names.add(logical)
           if (f.get("type").isObject)
-            m.set[JsonNode]("fields", fieldsOf(f.get("type")))
+            m.set[JsonNode]("fields", fieldsOf(f.get("type"), top = false))
         }
         case "list" =>
           val m = arr.addObject()
           m.put("field-id", t.get("element-id").asInt())
           m.putArray("names").add("element")
           if (t.get("element").isObject)
-            m.set[JsonNode]("fields", fieldsOf(t.get("element")))
+            m.set[JsonNode]("fields", fieldsOf(t.get("element"), top = false))
         case "map" =>
           val k = arr.addObject()
           k.put("field-id", t.get("key-id").asInt())
@@ -260,12 +276,12 @@ object IcebergExport {
           v.put("field-id", t.get("value-id").asInt())
           v.putArray("names").add("value")
           if (t.get("value").isObject)
-            v.set[JsonNode]("fields", fieldsOf(t.get("value")))
+            v.set[JsonNode]("fields", fieldsOf(t.get("value"), top = false))
         case _ =>
       }
       arr
     }
-    mapper.writeValueAsString(fieldsOf(schema))
+    mapper.writeValueAsString(fieldsOf(schema, top = true))
   }
 
   // -------------------------------------------------------------------
@@ -497,6 +513,21 @@ object IcebergExport {
     } finally in.close()
   }
 
+  /** Run `body` with a session conf pinned, restoring the prior value
+    * (or unsetting) afterwards — export-side writes materialize EAGERLY
+    * inside `body`, so the conf never leaks into unrelated scans or
+    * writes in the same session.
+    */
+  private def withSessionConf[T](spark: SparkSession, key: String,
+      value: String)(body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private def optLong(r: GenericRecord, name: String): Option[Long] =
     if (r.getSchema.getField(name) == null) None
     else Option(r.get(name)).map(_.asInstanceOf[Long])
@@ -564,17 +595,6 @@ object IcebergExport {
         "readers cannot subtract the raw key sidecar; run " +
         "materializeDeletes before exporting, or pass deleteFiles=true " +
         "to publish it as position delete files")
-    // a RENAMED (column-mapped) table's files store the PHYSICAL
-    // column names; publishing the logical schema over them would make
-    // every name-resolving Iceberg reader return nulls for the renamed
-    // columns — silently. Refuse by name (the Delta exporter handles
-    // renames via the protocol's own column mapping; Iceberg-side
-    // mapped export would need field-id-bearing files).
-    require(!snap.entries.contains(MergeInto.ColMapSlot),
-      s"table at $root has an active column map (renamed columns) — " +
-        "the Iceberg exporter publishes name-resolved schemas; " +
-        "materialize the rename (rewrite) before exporting, or use " +
-        "DeltaExport (protocol column mapping)")
     require(!snap.entries.keys.exists(_.startsWith(MergeInto.GenPrefix)),
       s"table at $root has GENERATED (virtual) columns — nothing is " +
         "stored for them, so a foreign Iceberg reader would silently " +
@@ -585,7 +605,27 @@ object IcebergExport {
     val filesRel = DeltaExport.snapshotFiles(fs, root, snap)
     val files = filesRel
       .map { case (rel, size, _) => (s"$rootAbs/$rel", size) }
-    val schema = DeltaExport.tableSchema(spark, root, snap)
+    // A RENAMED table exports through the spec's OWN rename mechanism:
+    // rename is a metadata-only schema change under Iceberg because
+    // columns resolve by STABLE FIELD ID, not name. The metadata.json
+    // publishes the LOGICAL (post-rename) names on the original field
+    // ids, while `schema.name-mapping.default` maps the files' PHYSICAL
+    // column names to those same ids — exactly how Iceberg reads
+    // id-less imported files after a rename. No column-mapping
+    // machinery (the Delta solution) is needed, and no data file is
+    // touched.
+    val physSchema = DeltaExport.tableSchema(spark, root, snap)
+    val colMap: Map[String, String] =
+      snap.entries.get(MergeInto.ColMapSlot).toSeq
+        .flatMap(_.split(';')).map { pair =>
+          val Array(p, l) = pair.split('=')
+          p -> l
+        }.toMap
+    val schema = StructType(physSchema.fields.map(f =>
+      f.copy(name = colMap.getOrElse(f.name, f.name))))
+    // logical -> physical (identity when never renamed)
+    val physOf: Map[String, String] =
+      schema.fieldNames.zip(physSchema.fieldNames).toMap
     // pending deleted keys -> per-file row positions, absolute paths
     // (position mode only — equality mode ships the raw keys and never
     // scans the table)
@@ -622,8 +662,29 @@ object IcebergExport {
       mv <- Option(sn.get("summary").get("graft.manifest-version"))
     } yield mv.asText()
 
+    // Field-id continuity across RENAMES: the prior schema's ids are
+    // keyed by the names it was published under, which a rename just
+    // changed. The prior `schema.name-mapping.default` still keys those
+    // ids by the files' PHYSICAL names (and lists prior logical names
+    // as aliases), so a current logical column reclaims its id through
+    // its physical name — the spec's rename-keeps-the-id contract.
+    // Physical-name entries OVERRIDE same-name harvest hits (a↔b swap
+    // renames would otherwise cross the ids).
+    val priorNameToId: Map[String, Int] = (for {
+      p <- prior.toSeq
+      props <- Option(p.get("properties")).toSeq
+      nm <- Option(props.get("schema.name-mapping.default")).toSeq
+      entry <- mapper.readTree(nm.asText()).elements().asScala
+      name <- entry.get("names").elements().asScala
+    } yield name.asText() -> entry.get("field-id").asInt()).toMap
+    val renamedIds: Map[String, Int] = (for {
+      l <- schema.fieldNames.toSeq
+      p = physOf(l)
+      if p != l
+      id <- priorNameToId.get(p)
+    } yield s".$l" -> id).toMap
     val ids = new IdAlloc(
-      priorSchemaJson.map(harvestIds).getOrElse(Map.empty),
+      priorSchemaJson.map(harvestIds).getOrElse(Map.empty) ++ renamedIds,
       prior.map(_.get("last-column-id").asInt()).getOrElse(0))
     val priorSchemaIds = prior.toSeq.flatMap(
       _.get("schemas").elements().asScala.map(_.get("schema-id").asInt()))
@@ -644,6 +705,16 @@ object IcebergExport {
           .getOrElse(mapper.createArrayNode())
         arr.add(schemaJson)
         (candidateSchemaId, arr)
+    }
+    // the schema embedded in manifest Avro metadata must carry the
+    // RESOLVED schema id: when the prior schema is reused (sameButId),
+    // serializing the candidate-id copy would publish an unregistered
+    // schema-id disagreeing with the adjacent 'schema-id' key and with
+    // metadata.json
+    val resolvedSchemaJson: ObjectNode = {
+      val c = schemaJson.deepCopy[ObjectNode]()
+      c.put("schema-id", schemaId)
+      c
     }
     if (priorManifestV.contains(snap.version.toString) &&
         priorSchemaJson.exists(sameButId))
@@ -675,11 +746,38 @@ object IcebergExport {
       df = e.get("data_file").asInstanceOf[GenericRecord]
     } yield df.get("file_path").toString ->
         ((optLong(e, "sequence_number").getOrElse(mfSeq), df))).toMap
+    // the prior snapshot's DELETE manifests stay in force: their files
+    // keep applying to strictly-older (position: older-or-equal) data
+    // sequences, which carried EXISTING entries still have. Carried
+    // verbatim — original sequence numbers preserved — so interleaved
+    // append/delete cycles stay correct under the reader's per-file
+    // sequence scoping.
+    val priorDeleteManifests: Seq[GenericRecord] = (for {
+      p <- prior.toSeq
+      cs <- Option(p.get("current-snapshot-id")).filterNot(_.isNull).toSeq
+      sn <- p.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == cs.asLong()).toSeq
+      mf <- readAvro(fs, new Path(sn.get("manifest-list").asText()))
+      if optInt(mf, "content", 0) == 1
+    } yield {
+      val c = new GenericData.Record(ManifestFileSchema)
+      ManifestFileSchema.getFields.asScala.foreach { f =>
+        if (mf.getSchema.getField(f.name()) != null)
+          c.put(f.name(), mf.get(f.name()))
+      }
+      c
+    }).toVector
     val priorCounts = priorFiles.map { case (p, (_, df)) =>
       p -> df.get("record_count").asInstanceOf[Long] }
     val counts = recordCounts(fs, files, priorCounts, conf)
     val newPaths = files.map(_._1).filterNot(priorFiles.contains)
-    val freshStats = fileStats(spark, newPaths, schema) // by file NAME
+    // stats are computed against the files' PHYSICAL columns, then
+    // re-keyed to the logical names putStats/idOf speak (identity when
+    // the table was never renamed)
+    val freshStats = fileStats(spark, newPaths, physSchema) // by file NAME
+      .map { case (f, (nr, byCol)) => f -> ((nr, byCol.map {
+        case (c, v) => colMap.getOrElse(c, c) -> v }))
+      }
     val idOf: Map[String, Int] = harvestIds(schemaJson).collect {
       case (path, id) if path.count(_ == '.') == 1 =>
         path.stripPrefix(".") -> id
@@ -715,7 +813,12 @@ object IcebergExport {
       val e = new GenericData.Record(ManifestEntrySchema)
       val fileSeq = priorFiles.get(p).map(_._1).getOrElse(seq)
       e.put("status", if (priorFiles.contains(p)) 0 else 1)
-      e.put("snapshot_id", snapshotId)
+      // EXISTING entries keep the snapshot id the file was ORIGINALLY
+      // added at (spec rule for rewritten manifests); snapshot ids
+      // equal sequence numbers in this writer, so that is fileSeq —
+      // stamping the current id would misattribute provenance to
+      // entries/metadata consumers
+      e.put("snapshot_id", fileSeq)
       e.put("sequence_number", fileSeq)
       e.put("file_sequence_number", fileSeq)
       e.put("data_file", df)
@@ -726,7 +829,7 @@ object IcebergExport {
     val manifestPath = new Path(metaDir(root),
       s"${java.util.UUID.randomUUID}-m0.avro")
     val manifestLen = writeAvro(fs, manifestPath, ManifestEntrySchema,
-      Map("schema" -> mapper.writeValueAsString(schemaJson),
+      Map("schema" -> mapper.writeValueAsString(resolvedSchemaJson),
         "schema-id" -> schemaId.toString,
         "partition-spec" -> "[]", "partition-spec-id" -> "0",
         "format-version" -> "2", "content" -> "data"), entries)
@@ -753,33 +856,66 @@ object IcebergExport {
     }
     val publishedDelete: Option[(Path, Long, Long, Int, Option[Int])] =
       if (equalityDeletes && dvRel.isDefined) {
-        val fresh = files.map(_._1).filterNot(priorFiles.contains)
-        require(fresh.isEmpty,
-          s"equality-delete export at $root: ${fresh.size} data " +
-            "file(s) are new in this snapshot (bucket rewritten since " +
-            "the last export) — equality deletes only reach STRICTLY " +
-            "OLDER files; export with position deletes instead")
-        import org.apache.spark.sql.functions.col
-        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-        val keys = spark.read.parquet(s"$rootAbs/${dvRel.get}")
-        val keyCol = keys.schema.fieldNames.head
-        val keyId = idOf.getOrElse(keyCol,
-          throw new IllegalStateException(
-            s"deleted key column '$keyCol' is not in the exported " +
-              "schema — cannot express it as an equality delete"))
-        val keyMeta = new MetadataBuilder()
-          .putLong("parquet.field.id", keyId.toLong).build()
-        val outDf = keys
-          .select(col(keyCol).cast(schema(keyCol).dataType)
-            .as(keyCol, keyMeta))
-          .distinct().orderBy(col(keyCol))
-        val n = outDf.count()
-        val (delPath, delLen) = stageDelete(outDf)
-        Some((delPath, delLen, n, 2, Some(keyId)))
+        // Fresh (new-in-this-snapshot) data files carry the snapshot's
+        // own sequence number, so the new equality delete — strictly-
+        // older scoping — never reaches them. That is CORRECT exactly
+        // when no pending deleted key can occur in a fresh file. Two
+        // cases: a bucket REWRITTEN after deleteVector is physically
+        // correct and its keys left the DV (MergeInto invariant), so
+        // its fresh file is safe; a fresh file that PREDATES the DV
+        // (first export, or an unexported rewrite) still contains the
+        // keys and would escape the delete. The guard is per-BUCKET:
+        // pending keys hash to buckets that were NOT rewritten since
+        // the deleteVector (a rewrite would have cleared them), so a
+        // fresh file is unsafe iff its bucket stamp intersects the
+        // pending keys' buckets — those snapshots refuse the mode.
+        import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+        withSessionConf(spark,
+            "spark.sql.parquet.fieldId.write.enabled", "true") {
+          val keys = spark.read.parquet(s"$rootAbs/${dvRel.get}")
+          // the DV sidecar stores the PHYSICAL key name; the delete
+          // file publishes the logical one (resolution is by field id)
+          val physKey = keys.schema.fieldNames.head
+          val numBuckets = snap.entries.get(MergeInto.NumBucketsSlot)
+            .map(_.toInt)
+          val dvBuckets: Set[Int] = numBuckets.map { nb =>
+            keys.select(pmod(hash(col(physKey)), lit(nb)).cast("int")
+              .as("b")).distinct().collect().map(_.getInt(0)).toSet
+          }.getOrElse(Set.empty)
+          val suspect = files.map(_._1)
+            .filterNot(priorFiles.contains).filter { p =>
+              org.apache.spark.sql.GraftFiles
+                .bucketIdOf(new Path(p).getName) match {
+                case Some(b) =>
+                  numBuckets.isEmpty || dvBuckets.contains(b)
+                case None => true // unstamped: cannot prove it safe
+              }
+            }
+          require(suspect.isEmpty,
+            s"equality-delete export at $root: ${suspect.size} data " +
+              "file(s) are new in this snapshot AND may contain " +
+              "pending deleted keys — the strictly-older-sequence " +
+              "rule would miss them; export with position deletes " +
+              "instead")
+          val keyCol = colMap.getOrElse(physKey, physKey)
+          val keyId = idOf.getOrElse(keyCol,
+            throw new IllegalStateException(
+              s"deleted key column '$keyCol' is not in the exported " +
+                "schema — cannot express it as an equality delete"))
+          val keyMeta = new MetadataBuilder()
+            .putLong("parquet.field.id", keyId.toLong).build()
+          val outDf = keys
+            .select(col(physKey).cast(schema(keyCol).dataType)
+              .as(keyCol, keyMeta))
+            .distinct().orderBy(col(keyCol))
+          val n = outDf.count()
+          val (delPath, delLen) = stageDelete(outDf)
+          Some((delPath, delLen, n, 2, Some(keyId)))
+        }
       } else if (deleteSets.isEmpty) None
-      else {
+      else withSessionConf(spark,
+          "spark.sql.parquet.fieldId.write.enabled", "true") {
         import org.apache.spark.sql.Row
-        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         val delSchema = StructType(Seq(
           StructField("file_path", StringType, nullable = false,
             new MetadataBuilder()
@@ -821,7 +957,7 @@ object IcebergExport {
         val dmPath = new Path(metaDir(root),
           s"${java.util.UUID.randomUUID}-m1.avro")
         val dmLen = writeAvro(fs, dmPath, ManifestEntrySchema,
-          Map("schema" -> mapper.writeValueAsString(schemaJson),
+          Map("schema" -> mapper.writeValueAsString(resolvedSchemaJson),
             "schema-id" -> schemaId.toString,
             "partition-spec" -> "[]", "partition-spec-id" -> "0",
             "format-version" -> "2", "content" -> "deletes"), Seq(e))
@@ -868,7 +1004,7 @@ object IcebergExport {
           Option(p.get("current-snapshot-id")).filterNot(_.isNull)
             .map(_.asLong().toString)).getOrElse("null"),
         "format-version" -> "2"),
-      Seq(mf) ++ deleteManifest.map(_._1))
+      Seq(mf) ++ priorDeleteManifests ++ deleteManifest.map(_._1))
 
     // METADATA JSON
     val md = mapper.createObjectNode()
@@ -888,7 +1024,8 @@ object IcebergExport {
     val orders = md.putArray("sort-orders")
     orders.addObject().put("order-id", 0).putArray("fields")
     val props = md.putObject("properties")
-    props.put("schema.name-mapping.default", nameMapping(schemaJson))
+    props.put("schema.name-mapping.default",
+      nameMapping(resolvedSchemaJson, physOf))
       .put("format.default", "parquet")
     // bucket layout as namespaced table properties (ignored by foreign
     // engines): the read side turns them back into a BucketSpec'd scan
@@ -928,6 +1065,11 @@ object IcebergExport {
         .put("timestamp-ms", prior.get.get("last-updated-ms").asLong())
         .put("metadata-file", metadataFile(root, v).toString)
     }
+    // bounded like the metadata FILES (write.metadata.previous-
+    // versions-max behavior): entries beyond the retained window would
+    // dangle on files expireSnapshots deletes, breaking foreign
+    // metadata_log_entries / rollback-to-metadata-file surfaces
+    while (mlog.size() > MetadataLogMax) mlog.remove(0)
     val newV = priorVersion.getOrElse(0) + 1
     val out = metadataFile(root, newV)
     require(!fs.exists(out),
@@ -1297,6 +1439,7 @@ object IcebergExport {
     mlog.addObject()
       .put("timestamp-ms", md.get("last-updated-ms").asLong())
       .put("metadata-file", metadataFile(root, v).toString)
+    while (mlog.size() > MetadataLogMax) mlog.remove(0)
     md.set[JsonNode]("metadata-log", mlog)
     md.put("last-updated-ms", System.currentTimeMillis())
     val out = metadataFile(root, v + 1)
@@ -1518,34 +1661,50 @@ object IcebergExport {
         (delSeq, cols, df.get("file_path").toString)
       }
 
-    val zones = files.map { case (p, _, rc, _, (mins, maxs), nulls) =>
-      p -> org.apache.spark.sql.FileZone(Some(rc), mins, maxs, nulls)
+    // NAME MAPPING: the files' PHYSICAL column name per field id (the
+    // FIRST listed name — the name actually stored in the files). A
+    // renamed table's metadata publishes post-rename LOGICAL names on
+    // stable field ids; the scan reads the files under their physical
+    // names and aliases back. Identity when the table was never
+    // renamed, so the common path is untouched.
+    val nmPhysById: Map[Int, String] = (for {
+      props <- Option(md.get("properties")).toSeq
+      nm <- Option(props.get("schema.name-mapping.default")).toSeq
+      entry <- mapper.readTree(nm.asText()).elements().asScala
+      names = entry.get("names").elements().asScala.toSeq
+      if names.nonEmpty
+    } yield entry.get("field-id").asInt() -> names.head.asText()).toMap
+    val readPhysOf: Map[String, String] =
+      schemaJson.get("fields").elements().asScala.map { f =>
+        val logical = f.get("name").asText()
+        logical -> nmPhysById.getOrElse(f.get("id").asInt(), logical)
+      }.toMap
+    val renamedRead = readPhysOf.exists { case (l, p) => l != p }
+    val scanSchema =
+      if (!renamedRead) schema
+      else StructType(schema.fields.map(f =>
+        f.copy(name = readPhysOf.getOrElse(f.name, f.name))))
+    def toLogical(df: DataFrame): DataFrame =
+      if (!renamedRead) df
+      else df.select(schema.fields.toIndexedSeq.map { f =>
+        df(readPhysOf.getOrElse(f.name, f.name)).as(f.name) }: _*)
+
+    val zonesAll = files.map { case (p, _, rc, _, (mins, maxs), nulls) =>
+      def phys[V](m: Map[String, V]): Map[String, V] =
+        if (!renamedRead) m
+        else m.map { case (k, v2) => readPhysOf.getOrElse(k, k) -> v2 }
+      p -> org.apache.spark.sql.FileZone(Some(rc), phys(mins),
+        phys(maxs), phys(nulls))
     }.toMap
-    val scanFiles = files
-      .map { case (p, size, _, _, _, _) => (p, size, 0L) }.sortBy(_._1)
-    // BUCKETED scan when the table properties record the layout and
-    // every file name carries its stamped `_NNNNN` bucket id — key
-    // joins through the iceberg path run with zero shuffle, same as
-    // the native manifest read; any unstamped file falls back
-    val tableProps: Map[String, String] =
-      Option(md.get("properties")).map(_.properties().asScala
-        .map(e => e.getKey -> e.getValue.asText()).toMap)
-        .getOrElse(Map.empty)
-    val bucketed = for {
-      n <- tableProps.get("graft.numBuckets").map(_.toInt)
-      key <- tableProps.get("graft.bucketKey")
-      if schema.fieldNames.contains(key)
-      if scanFiles.forall { case (p, _, _) =>
-        org.apache.spark.sql.GraftFiles.bucketIdOf(
-          new Path(p).getName).isDefined
-      }
-    } yield org.apache.spark.sql.GraftFiles
-      .parquetBucketed(spark, scanFiles, schema, n, key, zones)
-    val scanned = bucketed.getOrElse(
-      org.apache.spark.sql.GraftFiles.parquet(spark, scanFiles, schema,
-        zones))
-    val deleted =
-      if (deleteGroups.isEmpty) scanned
+
+    // POSITION deletes -> per-file DV sets, keyed by file NAME like the
+    // Delta DV probe (the scan's _metadata.file_path renders scheme-
+    // qualified URIs); uniqueness-checked so the probe can never be
+    // ambiguous
+    val dvByName: Map[org.apache.spark.unsafe.types.UTF8String,
+        Array[Long]] =
+      if (deleteGroups.isEmpty)
+        Map.empty
       else {
         val dvSets: Map[String, Array[Long]] = files.flatMap {
           case (p, _, _, dataSeq, _, _) =>
@@ -1554,56 +1713,115 @@ object IcebergExport {
             if (merged.isEmpty) None
             else Some(p -> merged.flatten.distinct.sorted.toArray)
         }.toMap
-        if (dvSets.isEmpty) scanned
-        else {
-          // keyed by file NAME like the Delta DV probe (the scan's
-          // _metadata.file_path renders scheme-qualified URIs);
-          // uniqueness-checked so the probe can never be ambiguous
+        if (dvSets.nonEmpty) {
           val names = files.map(f => new Path(f._1).getName)
           require(names.distinct.size == names.size,
             s"iceberg table at $root has duplicate data-file NAMES " +
               "across directories while carrying position deletes — " +
               "the name-keyed probe would be ambiguous; read with a " +
               "full engine")
-          val byName = dvSets.map { case (p, arr) =>
-            org.apache.spark.unsafe.types.UTF8String
-              .fromString(new Path(p).getName) -> arr
-          }
-          import org.apache.spark.sql.functions.col
-          scanned.filter(graft.functions.DvFilter(
-            col("_metadata.file_name"), col("_metadata.row_index"),
-            byName))
+        }
+        dvSets.map { case (p, arr) =>
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(new Path(p).getName) -> arr
         }
       }
-    // EQUALITY DELETES: distributed null-safe anti-joins. The spec
-    // scopes each delete to data files with a STRICTLY OLDER data
-    // sequence number; this reader implements the uniform case (every
-    // data file predates every equality delete — the shape both our
-    // exporter and steady-state CDC writers produce) and refuses the
-    // mixed case by name rather than under- or over-deleting.
-    val eqApplied =
-      if (eqDeletes.isEmpty) deleted
+    def applyPosDv(df: DataFrame): DataFrame =
+      if (dvByName.isEmpty) df
       else {
-        val minDel = eqDeletes.map(_._1).min
-        val maxData = files.map(_._4).max
-        require(maxData < minDel,
-          s"iceberg table at $root has data files at sequence " +
-            s"$maxData not older than an equality delete at sequence " +
-            s"$minDel — per-file equality-delete scoping is not " +
-            "implemented; read with a full engine")
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        eqDeletes.foldLeft(deleted) { case (acc, (_, cols, path)) =>
-          val delSchema = StructType(cols.map { case (n, dt, id) =>
-            StructField(n, dt, nullable = true, new MetadataBuilder()
-              .putLong("parquet.field.id", id.toLong).build())
-          })
-          val delDf = spark.read.schema(delSchema).parquet(path)
-          val cond = cols.map { case (n, _, _) =>
-            acc(n) <=> delDf(n) }.reduce(_ && _)
-          acc.join(delDf, cond, "left_anti")
-        }
+        import org.apache.spark.sql.functions.col
+        df.filter(graft.functions.DvFilter(
+          col("_metadata.file_name"), col("_metadata.row_index"),
+          dvByName))
       }
-    eqApplied.select(schema.fieldNames.toIndexedSeq.map(
+
+    // EQUALITY DELETES: distributed null-safe anti-joins, scoped per
+    // the spec's strictly-older-sequence rule. The delete file's
+    // columns resolve by FIELD ID from its parquet footer (one driver-
+    // side footer read per delete file), falling back to name match
+    // for id-less foreign files — no session conf is touched.
+    def readEqDelete(cols: Seq[(String, DataType, Int)],
+        path: String): DataFrame = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(path), spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val msg = try r.getFooter.getFileMetaData.getSchema
+        finally r.close()
+      val byId: Map[Int, String] = msg.getFields.asScala.flatMap(f =>
+        Option(f.getId).map(id => id.intValue() -> f.getName)).toMap
+      val resolved = cols.map { case (n, dt, id) =>
+        (byId.getOrElse(id, n), n, dt) }
+      val delSchema = StructType(resolved.map { case (pn, _, dt) =>
+        StructField(pn, dt, nullable = true) })
+      val raw = spark.read.schema(delSchema).parquet(path)
+      raw.select(resolved.toIndexedSeq.map { case (pn, n, _) =>
+        raw(pn).as(n) }: _*)
+    }
+    def applyEq(df: DataFrame, idxs: Seq[Int]): DataFrame =
+      idxs.foldLeft(df) { case (acc, i) =>
+        val (_, cols, path) = eqDeletes(i)
+        val delDf = readEqDelete(cols, path)
+        val cond = cols.map { case (n, _, _) =>
+          acc(n) <=> delDf(n) }.reduce(_ && _)
+        acc.join(delDf, cond, "left_anti")
+      }
+    // which equality deletes reach a data file at `dataSeq`: strictly
+    // older data sequence only
+    def eqIdxs(dataSeq: Long): Seq[Int] =
+      eqDeletes.indices.filter(i => dataSeq < eqDeletes(i)._1)
+    val eqGroups = files.groupBy(f => eqIdxs(f._4))
+
+    val tableProps: Map[String, String] =
+      Option(md.get("properties")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty)
+    def scanFilesOf(group: Seq[(String, Long, Long, Long,
+        (Map[String, Any], Map[String, Any]), Map[String, Long])]) =
+      group.map { case (p, size, _, _, _, _) => (p, size, 0L) }
+        .sortBy(_._1)
+
+    val result =
+      if (eqGroups.size <= 1) {
+        // UNIFORM case (no equality deletes, or every data file shares
+        // one delete scope): single scan. BUCKETED when the table
+        // properties record the layout and every file name carries its
+        // stamped `_NNNNN` bucket id — key joins through the iceberg
+        // path run with zero shuffle, same as the native manifest
+        // read; any unstamped file falls back.
+        val scanFiles = scanFilesOf(files)
+        val bucketed = for {
+          n <- tableProps.get("graft.numBuckets").map(_.toInt)
+          key <- tableProps.get("graft.bucketKey")
+          if scanSchema.fieldNames.contains(key)
+          if scanFiles.forall { case (p, _, _) =>
+            org.apache.spark.sql.GraftFiles.bucketIdOf(
+              new Path(p).getName).isDefined
+          }
+        } yield org.apache.spark.sql.GraftFiles
+          .parquetBucketed(spark, scanFiles, scanSchema, n, key, zonesAll)
+        val scanned = bucketed.getOrElse(
+          org.apache.spark.sql.GraftFiles.parquet(spark, scanFiles,
+            scanSchema, zonesAll))
+        applyEq(toLogical(applyPosDv(scanned)),
+          eqGroups.keys.headOption.getOrElse(Nil))
+      } else {
+        // MIXED-SEQUENCE case (interleaved appends and deletes — the
+        // Flink-CDC steady state): data files group by their delete
+        // scope (at most one group per distinct data sequence, so
+        // O(snapshots) scans), each group anti-joins only the deletes
+        // that are strictly newer than it, and the groups union back.
+        // A globally-applied delete would wrongly remove keys
+        // re-inserted AFTER the delete; a refusal would strand every
+        // such table.
+        eqGroups.toSeq.sortBy(_._1.mkString(","))
+          .map { case (idxs, group) =>
+            val scanned = org.apache.spark.sql.GraftFiles.parquet(
+              spark, scanFilesOf(group), scanSchema,
+              group.map(f => f._1 -> zonesAll(f._1)).toMap)
+            applyEq(toLogical(applyPosDv(scanned)), idxs)
+          }.reduce(_.unionByName(_))
+      }
+    result.select(schema.fieldNames.toIndexedSeq.map(
       org.apache.spark.sql.functions.col): _*)
   }
 }

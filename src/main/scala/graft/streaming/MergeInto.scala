@@ -1113,7 +1113,22 @@ object MergeInto {
                  fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion < toVersion,
       s"changeFeed needs fromVersion < toVersion, got $fromVersion≥$toVersion")
-    val pre = readTableAt(spark, root, fromVersion)
+    // A column RENAMED between the two versions is the SAME column
+    // (rename is metadata-only; physical identity is the column): align
+    // the pre side to the post version's logical names through the
+    // physical name, or the diff would wrongly report the renamed
+    // column as dropped+added with NULL halves in every update pair.
+    val preSnap = ManifestStore.snapshotAt(spark, root, fromVersion)
+    val postSnap = ManifestStore.snapshotAt(spark, root, toVersion)
+    val preL2P = preSnap.toSeq.flatMap(physToLogical)
+      .map(_.swap).toMap // as-of logical -> physical
+    val postP2L = postSnap.toSeq.flatMap(physToLogical)
+      .toMap // physical -> post logical
+    val preRaw = readTableAt(spark, root, fromVersion)
+    val pre = preRaw.select(preRaw.columns.toIndexedSeq.map { c =>
+      val p = preL2P.getOrElse(c, c)
+      preRaw(c).as(postP2L.getOrElse(p, p))
+    }: _*)
     val post = readTableAt(spark, root, toVersion)
     // unified column set, post-side order first (the surviving schema),
     // pre-only columns (dropped by an evolution) appended

@@ -917,11 +917,50 @@ class DeltaExportSpec extends SparkSpec {
     assert(v1 == 1L)
     assert(DeltaExport.read(spark, root).columns.toSet
       .intersect(Set("label", "value")) == Set("label", "value"))
-    // colmap + change data feed refuses by name
-    val e1 = intercept[IllegalArgumentException] {
-      DeltaExport.export(spark, root, changeDataKey = Some("k"))
+    // colmap + CDF is SPEC-LEGAL (cdc files use physical names exactly
+    // like data files): a further merge exports with a change feed, the
+    // cdc file stores the PHYSICAL columns, and table_changes maps them
+    // back to the post-rename logical schema
+    MergeInto.mergeBatch(spark,
+      Seq((2L, "B", 21)).toDF("k", "label", "value"),
+      root, "k", numBuckets = 2)
+    val (v2, _) = DeltaExport.export(spark, root,
+      changeDataKey = Some("k"))
+    assert(v2 == 2L)
+    val ch = DeltaExport.readChanges(spark, root, 2L, 2L)
+    assert(ch.columns.contains("label") && ch.columns.contains("value")
+      && !ch.columns.contains("s"))
+    assert(ch.select("k", "label", "value", "_change_type")
+      .as[(Long, String, Int, String)].collect().toSet ==
+      Set((2L, "b", 20, "update_preimage"),
+        (2L, "B", 21, "update_postimage")))
+    assert(ch.select("_commit_version").as[Long].collect().toSet ==
+      Set(2L))
+    // the cdc FILE itself stores the physical column names
+    val cdcFile = new java.io.File(root, "_change_data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val cdcCols = spark.read.parquet(cdcFile.toString).columns.toSet
+    assert(cdcCols.contains("s") && cdcCols.contains("v") &&
+      !cdcCols.contains("label"))
+    // column-mapping ids are IMMUTABLE across exports: the id physical
+    // 's' carried in v0's schemaString is the id it still carries in
+    // v1's (written after the SECOND rename re-published metaData)
+    def idOfPhys(v: Long, phys: String): Long = {
+      val txt = scala.io.Source.fromFile(new java.io.File(
+        new java.io.File(root, "_delta_log"),
+        f"$v%020d.json")).getLines().mkString("\n")
+      val re = ("""\\"delta\.columnMapping\.id\\":(\d+),""" +
+        """\\"delta\.columnMapping\.physicalName\\":\\"""" +
+        phys + """\\"""").r
+      val re2 = ("""\\"delta\.columnMapping\.physicalName\\":\\"""" +
+        phys +
+        """\\",\\"delta\.columnMapping\.id\\":(\d+)""").r
+      re.findFirstMatchIn(txt).orElse(re2.findFirstMatchIn(txt))
+        .map(_.group(1).toLong).getOrElse(
+          fail(s"no colmap id for '$phys' in version $v"))
     }
-    assert(e1.getMessage.contains("column-mapped AND"))
+    assert(idOfPhys(1L, "s") == idOfPhys(0L, "s"))
+    assert(idOfPhys(1L, "v") == idOfPhys(0L, "v"))
     // a GENERATED column refuses the export by name
     val root2 = java.nio.file.Files.createTempDirectory("delta").toString
     MergeInto.mergeBatch(spark,

@@ -490,16 +490,72 @@ class IcebergExportSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
-  test("a RENAMED (column-mapped) table and GENERATED columns refuse " +
-      "the iceberg export by name — never a silently null column") {
+  test("a RENAMED table exports via the spec's stable field ids: " +
+      "metadata-only (no data file touched), name-mapping resolves the " +
+      "files' physical columns, the field id survives the rename, and " +
+      "merges after the rename keep working; GENERATED columns still " +
+      "refuse by name") {
     val root = java.nio.file.Files.createTempDirectory("iceberg").toString
     MergeInto.mergeBatch(spark,
-      Seq((1L, "a")).toDF("k", "s"), root, "k", numBuckets = 2)
-    MergeInto.renameColumn(spark, root, "s", "label")
-    val e1 = intercept[IllegalArgumentException] {
-      IcebergExport.export(spark, root)
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root, "k", numBuckets = 2)
+    IcebergExport.export(spark, root)
+    def dataFiles(): Map[String, Long] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        Option(d.listFiles()).toSeq.flatten.flatMap(f =>
+          if (f.isDirectory && f.getName != "metadata") walk(f)
+          else if (f.getName.endsWith(".parquet")) Seq(f) else Nil)
+      walk(new java.io.File(root))
+        .map(f => f.getPath -> f.lastModified()).toMap
     }
-    assert(e1.getMessage.contains("column map"))
+    val before = dataFiles()
+    MergeInto.renameColumn(spark, root, "s", "label")
+    val (s2, m2) = IcebergExport.export(spark, root)
+    assert(s2 == 2L)
+    assert(dataFiles() == before,
+      "rename export must be metadata-only — no data file touched")
+    // read-back under the POST-RENAME logical names, values intact
+    val got = IcebergExport.read(spark, root)
+    assert(got.columns.contains("label") && !got.columns.contains("s"))
+    assert(got.select("k", "label").orderBy("k")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // snapshot 1 still reads under ITS schema (pre-rename names)
+    val at1 = IcebergExport.readAt(spark, root, 1L).columns
+    assert(at1.contains("s") && !at1.contains("label"))
+    // field-id continuity: 'label' in the new schema carries the id
+    // 's' had in the old one (the spec's rename-keeps-the-id contract)
+    import scala.jdk.CollectionConverters._
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = m.readTree(scala.io.Source.fromFile(m2).mkString)
+    def idOf(schemaId: Int, name: String): Int =
+      md.get("schemas").elements().asScala
+        .find(_.get("schema-id").asInt() == schemaId).get
+        .get("fields").elements().asScala
+        .find(_.get("name").asText() == name).get.get("id").asInt()
+    assert(idOf(md.get("current-schema-id").asInt(), "label") ==
+      idOf(0, "s"))
+    // name-mapping lists the files' PHYSICAL name first, the logical
+    // name as an alias — how foreign engines resolve the id-less files
+    val nm = md.get("properties")
+      .get("schema.name-mapping.default").asText()
+    assert(nm.contains("\"s\"") && nm.contains("\"label\""))
+    // a merge ADDRESSED BY the new logical name keeps working, and the
+    // next export keeps the id
+    MergeInto.mergeBatch(spark, Seq((2L, "B")).toDF("k", "label"),
+      root, "k", numBuckets = 2)
+    val (s3, m3) = IcebergExport.export(spark, root)
+    assert(s3 == 3L)
+    assert(IcebergExport.read(spark, root).select("k", "label")
+      .orderBy("k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "B")))
+    val md3 = m.readTree(scala.io.Source.fromFile(m3).mkString)
+    val cur3 = md3.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() ==
+        md3.get("current-schema-id").asInt()).get
+    assert(cur3.get("fields").elements().asScala
+      .find(_.get("name").asText() == "label").get.get("id").asInt() ==
+      idOf(0, "s"))
+
     val root2 = java.nio.file.Files.createTempDirectory("iceberg").toString
     MergeInto.mergeBatch(spark,
       Seq((1L, 10)).toDF("k", "v"), root2, "k", numBuckets = 2)
@@ -508,6 +564,58 @@ class IcebergExportSpec extends SparkSpec {
       IcebergExport.export(spark, root2)
     }
     assert(e2.getMessage.contains("GENERATED"))
+  }
+
+  test("MIXED-SEQUENCE equality deletes: interleaved delete/merge " +
+      "cycles scope each delete to strictly-older files — a key " +
+      "re-inserted AFTER its delete survives, carried files still " +
+      "drop theirs") {
+    val root = java.nio.file.Files.createTempDirectory("iceberg").toString
+    // seq 1: keys 0..99
+    MergeInto.mergeBatch(spark,
+      (0L until 100L).map(k => (k, s"v$k")).toDF("k", "s"),
+      root, "k", numBuckets = 8)
+    IcebergExport.export(spark, root)
+    // seq 2: equality-delete every k%7==0 (files all carried @1)
+    MergeInto.deleteVector(spark, root, "k",
+      (0L until 100L by 7L).toDF("k"))
+    IcebergExport.export(spark, root, deleteFiles = true,
+      equalityDeletes = true)
+    // merge RE-INSERTS k=14 and updates k=3; their buckets rewrite,
+    // their keys leave the pending DV (MergeInto invariant)
+    MergeInto.mergeBatch(spark,
+      Seq((14L, "back"), (3L, "upd")).toDF("k", "s"),
+      root, "k", numBuckets = 8)
+    // seq 3: remaining pending keys ship as a second equality delete;
+    // the rewritten buckets are FRESH files in this snapshot — legal
+    // because no pending key hashes to a rewritten bucket
+    IcebergExport.export(spark, root, deleteFiles = true,
+      equalityDeletes = true)
+    val got = IcebergExport.read(spark, root).select("k", "s")
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    val want = ((0L until 100L)
+      .filter(k => k % 7 != 0 && k != 3).map(k => (k, s"v$k")) ++
+      Seq((14L, "back"), (3L, "upd"))).sortBy(_._1)
+    assert(got == want,
+      "delete@2 must reach seq-1 files but NOT the seq-3 re-insert")
+    // the plan really is per-group: a union of scans, not one global
+    // anti-join (k=14 would be wrongly deleted by a global apply)
+    assert(got.exists(_ == (14L -> "back")))
+    // equality mode refuses when a pending key's bucket is fresh:
+    // delete a key, then rewrite ITS OWN bucket via a raw re-merge of
+    // the same key set WITHOUT clearing... (not constructible through
+    // MergeInto — its invariant clears rewritten buckets' keys), so
+    // instead assert the first-export shape still refuses
+    val root2 = java.nio.file.Files.createTempDirectory("iceberg").toString
+    MergeInto.mergeBatch(spark,
+      (0L until 10L).map(k => (k, k)).toDF("k", "v"),
+      root2, "k", numBuckets = 2)
+    MergeInto.deleteVector(spark, root2, "k", Seq(0L).toDF("k"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergExport.export(spark, root2, deleteFiles = true,
+        equalityDeletes = true)
+    }
+    assert(e.getMessage.contains("position deletes instead"))
   }
 
   test("refusals are loud and by name; a missing version hint falls " +

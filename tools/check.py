@@ -2,7 +2,7 @@
 """Driver-mimic correctness check (dev tool only — the shipped library is
 pure Scala/Spark; this mirrors what the round driver does with Verify output).
 
-Usage: python3 tools/check.py [sfDir] [outDir]
+Usage: python3 tools/check.py [sfDir] [outDir] [workers]
 
 1. Expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have been run.
 2. For each query: loads <outDir>/<name> parquet (Spark result) via
@@ -11,6 +11,11 @@ Usage: python3 tools/check.py [sfDir] [outDir]
    it as a pandas frame (`.df()`), sorts columns by name, keeps rows in
    DELIVERED order, and compares TYPE-TAGGED canonical serializations of
    every cell — `(type(v).__name__, str(v))` — not Python `==`.
+
+Gates are checked in PARALLEL (process pool, default min(8, cpus); each
+worker owns its own DuckDB connection) — the serial sweep's wall grew
+linearly with the gate count and was half of the driver's correctness
+budget.
 
 Why delivered order: the driver hashes serialized frames in order. Every
 gate query ends in a total ORDER BY, but Spark's ASC default is NULLS
@@ -32,12 +37,29 @@ import json
 import math
 import os
 import sys
+from concurrent.futures import ProcessPoolExecutor
 
 import duckdb
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+_CON = None
+_SF_DIR = None
+
+
+def _init_worker(sf_dir, threads):
+    global _CON, _SF_DIR
+    _SF_DIR = sf_dir
+    _CON = duckdb.connect()
+    # cap per-worker DuckDB threads: 8 workers each defaulting to every
+    # core oversubscribes the box ~8x and runs SLOWER than serial
+    _CON.execute(f"SET threads TO {threads}")
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            _CON.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 
 def canon(val):
@@ -59,59 +81,60 @@ def frame_key(df):
     return [tuple(canon(v) for v in r) for r in rows]
 
 
+def check_one(task):
+    name, out_dir, oracle_sql = task
+    # part-file-name order = Spark's global output order for a sorted
+    # result (range-partitioned parts are written in order)
+    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+    if not files:
+        return name, "NO-OUTPUT"
+    got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+
+    if oracle_sql is None:
+        return name, (f"ROWS-ONLY ({len(got)} rows)"
+                      if len(got) > 0 else "ROWS-ONLY-EMPTY!")
+
+    try:
+        exp = _CON.sql(oracle_sql).df()
+    except Exception as e:
+        return name, f"ORACLE-SQL-ERROR: {e}"
+
+    if sorted(got.columns) != sorted(exp.columns):
+        return name, (f"SCHEMA-MISMATCH spark={sorted(got.columns)} "
+                      f"duck={sorted(exp.columns)}")
+    if len(got) != len(exp):
+        return name, (f"ROWCOUNT-MISMATCH spark={len(got)} "
+                      f"duck={len(exp)}")
+    g, e = frame_key(got), frame_key(exp)
+    if g != e:
+        diff = next((i, a, b)
+                    for i, (a, b) in enumerate(zip(g, e)) if a != b)
+        kind = ("ORDER-MISMATCH (sorted rows match)"
+                if sorted(g) == sorted(e) else "CELL-MISMATCH")
+        return name, (f"{kind} first-diff row {diff[0]}:\n"
+                      f"  spark={diff[1]}\n  duck ={diff[2]}")
+    return name, f"MATCH ({len(got)} rows)"
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
-
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    workers = int(sys.argv[3]) if len(sys.argv) > 3 else min(
+        8, os.cpu_count() or 4)
 
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
 
-    results = {}
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
-    for name in names:
-        # part-file-name order = Spark's global output order for a sorted
-        # result (range-partitioned parts are written in order)
-        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
-        if not files:
-            results[name] = "NO-OUTPUT"
-            continue
-        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
-
-        if name not in oracles:
-            results[name] = f"ROWS-ONLY ({len(got)} rows)" \
-                if len(got) > 0 else "ROWS-ONLY-EMPTY!"
-            continue
-
-        try:
-            exp = con.sql(oracles[name]).df()
-        except Exception as e:
-            results[name] = f"ORACLE-SQL-ERROR: {e}"
-            continue
-
-        if sorted(got.columns) != sorted(exp.columns):
-            results[name] = (f"SCHEMA-MISMATCH spark={sorted(got.columns)} "
-                             f"duck={sorted(exp.columns)}")
-        elif len(got) != len(exp):
-            results[name] = (f"ROWCOUNT-MISMATCH spark={len(got)} "
-                             f"duck={len(exp)}")
-        else:
-            g, e = frame_key(got), frame_key(exp)
-            if g != e:
-                diff = next((i, a, b)
-                            for i, (a, b) in enumerate(zip(g, e)) if a != b)
-                kind = ("ORDER-MISMATCH (sorted rows match)"
-                        if sorted(g) == sorted(e) else "CELL-MISMATCH")
-                results[name] = (f"{kind} first-diff row {diff[0]}:\n"
-                                 f"  spark={diff[1]}\n  duck ={diff[2]}")
-            else:
-                results[name] = f"MATCH ({len(got)} rows)"
+    tasks = [(n, out_dir, oracles.get(n)) for n in names]
+    results = {}
+    per_worker = max(2, (os.cpu_count() or 8) // workers)
+    with ProcessPoolExecutor(max_workers=workers,
+                             initializer=_init_worker,
+                             initargs=(sf_dir, per_worker)) as pool:
+        for name, res in pool.map(check_one, tasks):
+            results[name] = res
 
     ok = True
     for name, res in sorted(results.items()):
