@@ -552,16 +552,22 @@ object SimQueries {
       FROM errs GROUP BY 1 ORDER BY 1""",
 
     "sm15_topk_mmr" -> {
-      def step(t: Int) = s"""rem$t AS (
+      // AS MATERIALIZED on every level: DuckDB inlines CTEs by default
+      // and this chain references each sel level twice, doubling the
+      // expansion per step — 2^8 recomputations of the full-corpus
+      // cosine shortlist measured 556 s of the 638 s total oracle wall
+      // at sf0.01 (round-10 profile). Materialization is purely
+      // physical; results are unchanged.
+      def step(t: Int) = s"""rem$t AS MATERIALIZED (
         SELECT r.* FROM shortlist r
         WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
           WHERE s.query_id = r.query_id AND s.corpus_id = r.corpus_id)
-      ), pen$t AS (
+      ), pen$t AS MATERIALIZED (
         SELECT p.query_id, p.ca AS corpus_id, MAX(p.sim) AS mx
         FROM pairs p JOIN sel${t - 1} s
           ON s.query_id = p.query_id AND s.corpus_id = p.cb
         GROUP BY 1, 2
-      ), pk$t AS (
+      ), pk$t AS MATERIALIZED (
         SELECT query_id, corpus_id, score, $t AS pick FROM (
           SELECT r.query_id, r.corpus_id,
             0.5 * r.cos - 0.5 * pen.mx AS score,
@@ -570,14 +576,14 @@ object SimQueries {
           FROM rem$t r JOIN pen$t pen
             ON pen.query_id = r.query_id AND pen.corpus_id = r.corpus_id
         ) WHERE rn = 1
-      ), sel$t AS (
+      ), sel$t AS MATERIALIZED (
         SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pk$t
       )"""
       s"""
       WITH q AS (
         SELECT vec_id AS query_id, embedding AS qv FROM embeddings
         WHERE vec_id < $NQueries
-      ), shortlist AS (
+      ), shortlist AS MATERIALIZED (
         SELECT query_id, corpus_id, cos FROM (
           SELECT query_id, corpus_id, cos,
             ROW_NUMBER() OVER (PARTITION BY query_id
@@ -588,7 +594,7 @@ object SimQueries {
             FROM embeddings c, q WHERE c.vec_id != query_id
           )
         ) WHERE rank <= $MmrShortlist
-      ), pairs AS (
+      ), pairs AS MATERIALIZED (
         SELECT a.query_id, a.corpus_id AS ca, b.corpus_id AS cb,
           ${cosSql("ea.embedding", "eb.embedding")} AS sim
         FROM shortlist a
@@ -596,7 +602,7 @@ object SimQueries {
           AND a.corpus_id != b.corpus_id
         JOIN embeddings ea ON ea.vec_id = a.corpus_id
         JOIN embeddings eb ON eb.vec_id = b.corpus_id
-      ), sel1 AS (
+      ), sel1 AS MATERIALIZED (
         SELECT query_id, corpus_id, 0.5 * cos AS score, 1 AS pick
         FROM (
           SELECT query_id, corpus_id, cos,

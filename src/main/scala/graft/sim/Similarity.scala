@@ -198,15 +198,18 @@ object Similarity {
   private[sim] def autoCentroids(n: Long, cap: Int): Int =
     math.max(16, math.min(cap, math.ceil(math.sqrt(n.toDouble)).toInt))
 
-  /** Probe ~1/4 of the cells, floor 16 — the measured ≥0.7-recall point
-    * on unclustered embeddings (round-8 RecallTune sweep at sf0.1:
-    * 16/45 cells → 0.72 vs 8/45 → 0.56, at EQUAL wall time — candidate
-    * generation is bucketed either way and the extra candidates ride the
-    * same scan). The fraction, not the count, is what recall tracks, so
-    * the default stays O(√n · 1/4) candidates — sublinear at any scale.
+  /** Probe HALF the cells, floor 16 — the measured ≥0.8-recall point on
+    * unclustered embeddings (round-10 RecallTune sweep at sf0.1: probe
+    * c/2 → ivf 0.80 @ 1.17 s vs c/4 → 0.72 @ 1.16 s, EQUAL wall —
+    * candidate generation is bucketed either way and the extra
+    * candidates ride the same scan; ivfpq at c/2 measured 0.80 @ 2.23 s
+    * vs 0.72 @ 3.19 s, strictly better). The fraction, not the count,
+    * is what recall tracks, so the default stays O(√n · 1/2) candidates
+    * — sublinear at any scale; throughput-tuned callers pass an
+    * explicit `nProbe` down to ~numCentroids/64.
     */
   private[sim] def autoProbes(numCentroids: Int): Int =
-    math.max(16, numCentroids / 4)
+    math.max(16, numCentroids / 2)
 
   /** Bucket count sized for ~512 vectors per bucket: planes =
     * log2(n/512), clamped to [2, 20]. Fewer, fuller buckets + 1-bit

@@ -52,6 +52,20 @@ object RecallTune {
     for (np <- Seq(16, 20, 24); rr <- Seq(64, 128))
       m(s"ivfpq probe=$np rerank=$rr")(
         Similarity.ivfPqTopK(q, emb, 5, 16, 16, nProbe = np, rerank = rr))
+    // probe-fraction sweep at auto cell count (the ivf/ivfpq 0.8 hunt):
+    // recall tracks the probed FRACTION; wall is dominated by the
+    // bucketed candidate scan either way
+    val nEmb = emb.count()
+    val autoC = math.max(16, math.min(65536,
+      math.ceil(math.sqrt(nEmb.toDouble)).toInt)) // = autoCentroids
+    for (frac <- Seq(4, 3, 2))
+      m(s"ivf c=auto($autoC) probe=c/$frac")(
+        Similarity.ivfTopK(q, emb, 5, autoC, (autoC / frac).max(16)))
+    for (frac <- Seq(4, 3, 2); rr <- Seq(128, 192))
+      m(s"ivfpq probe=c/$frac rerank=$rr")(
+        Similarity.ivfPqTopK(q, emb, 5, 16, 16,
+          numCentroids = autoC, nProbe = (autoC / frac).max(16),
+          rerank = rr))
     m("rp DEFAULTS")(Similarity.rpTopK(q, emb, 5))
     for (rd <- Seq(16, 24, 32); div <- Seq(8, 6, 4))
       m(s"rp rpDims=$rd rerank=n/$div")(

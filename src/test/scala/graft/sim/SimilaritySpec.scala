@@ -138,12 +138,12 @@ class SimilaritySpec extends SparkSpec {
     // after the round-9 retune, deterministic per SF.
     val ivfAuto = (pairs(Similarity.ivfTopK(q, emb, 5)) & bf).size.toDouble / bf.size
     val lshAuto = (pairs(Similarity.lshTopK(q, emb, 5)) & bf).size.toDouble / bf.size
-    assert(ivfAuto >= 0.6, s"IVF default recall regressed: $ivfAuto")
+    assert(ivfAuto >= 0.7, s"IVF default recall regressed: $ivfAuto")
     assert(lshAuto >= 0.7, s"LSH default recall regressed: $lshAuto")
     // trained-quantizer defaults (measured 0.82 at sf0.1 post-retune)
     val kmAuto =
       (pairs(Similarity.kmeansIvfTopK(q, emb, 5)) & bf).size.toDouble / bf.size
-    assert(kmAuto >= 0.6, s"k-means IVF default recall regressed: $kmAuto")
+    assert(kmAuto >= 0.7, s"k-means IVF default recall regressed: $kmAuto")
     // binary quantization with the auto-sized exact-rerank shortlist:
     // 1-bit codes are the coarsest quantizer in the library, but the
     // n/8 shortlist keeps recall honest even on unclustered data
@@ -226,7 +226,7 @@ class SimilaritySpec extends SparkSpec {
     val ivfpq = pairs(Similarity.ivfPqTopK(q, emb, 5, m = 16,
       codebookSize = 16))
     val ipRecall = (ivfpq & bf).size.toDouble / bf.size
-    assert(ipRecall >= 0.5, s"IVF-PQ default recall regressed: $ipRecall")
+    assert(ipRecall >= 0.7, s"IVF-PQ default recall regressed: $ipRecall")
     // int8 scalar quantization + exact rerank: 8 bits/dim preserves the
     // dot-product head far better than 16 PQ codes, so the 64-deep
     // shortlist should recover nearly all true neighbors
