@@ -441,8 +441,14 @@ object DeltaExport {
       case LongType if v.isNumber => Some(v.asLong())
       case ShortType if v.isNumber => Some(v.asInt().toShort)
       case ByteType if v.isNumber => Some(v.asInt().toByte)
-      case DoubleType if v.isNumber => Some(v.asDouble())
-      case FloatType if v.isNumber => Some(v.asDouble().toFloat)
+      // float/double bounds from FOREIGN stats are deliberately NOT
+      // consumed (same policy as the Iceberg reader): Spark orders NaN
+      // LARGER than every value, so a writer that computed max ignoring
+      // NaN (parquet-footer-derived stats commonly do) records max=5.0
+      // for a file whose NaN rows DO match `d > 10` under Spark
+      // semantics — pruning on that bound silently loses rows. Integer/
+      // decimal/date bounds have no such hazard and stay consumed.
+      case DoubleType | FloatType => None
       case BooleanType if v.isBoolean => Some(v.asBoolean())
       case _: DecimalType if v.isNumber || v.isTextual =>
         Some(Decimal(new java.math.BigDecimal(v.asText())))
@@ -500,8 +506,15 @@ object DeltaExport {
             case x: Long => o.put(f.name, x)
             case x: Short => o.put(f.name, x.toInt)
             case x: Byte => o.put(f.name, x.toInt)
-            case x: Double => o.put(f.name, x)
-            case x: Float => o.put(f.name, x.toDouble)
+            // non-finite float bounds are unrepresentable in strict
+            // JSON and unsound to consume (Spark's max() returns NaN
+            // when any row is NaN) — a NaN-containing file publishes NO
+            // bound for that column, the only safe statement about it
+            case x: Double if java.lang.Double.isFinite(x) =>
+              o.put(f.name, x)
+            case x: Float if java.lang.Float.isFinite(x) =>
+              o.put(f.name, x.toDouble)
+            case _: Double | _: Float =>
             case x: Boolean => o.put(f.name, x)
             case x: java.math.BigDecimal => o.put(f.name, x)
             case x: java.sql.Date => o.put(f.name, x.toString)

@@ -122,6 +122,44 @@ object DeltaSoak {
     println(s"[deltasoak] CDF horizon OK: window at/above checkpoint " +
       s"$lastCp answers after cleanLog ($removed files expired); " +
       "windows below refuse by name")
+
+    // COLMAP × CDF leg: a mid-life RENAME turns the log into a
+    // name-mode column-mapped one from the next export on — cdc files
+    // switch to PHYSICAL column names like every other file of a
+    // mapped log, and table_changes must keep answering under the
+    // post-rename logical schema, one dense pre/post pair per version.
+    graft.streaming.MergeInto.renameColumn(spark, root, "s", "label")
+    val extra = 6
+    (cycles + 1 to cycles + extra).foreach { i =>
+      graft.streaming.MergeInto.mergeBatch(spark,
+        Seq((i % 200L, s"v$i", i * 1.0)).toDF("k", "label", "x"),
+        root, "k", numBuckets = 8)
+      val (v, _) = graft.streaming.DeltaExport.export(spark, root,
+        interval, changeDataKey = Some("k"))
+      require(v == i, s"expected delta version $i post-rename, got $v")
+    }
+    val mapped = graft.streaming.DeltaExport
+      .readChanges(spark, root, cycles + 1L, (cycles + extra).toLong)
+    require(mapped.columns.contains("label") &&
+      !mapped.columns.contains("s"),
+      s"mapped feed must speak logical names, got " +
+        mapped.columns.mkString(","))
+    val mappedVs = mapped.select("_commit_version").as[Long]
+      .collect().sorted
+    require(mappedVs.toSeq ==
+      (cycles + 1L to cycles + extra.toLong).flatMap(v => Seq(v, v)),
+      s"colmap CDF pairs: got ${mappedVs.mkString(",")}")
+    // the mapped table still reads whole through BOTH paths
+    val mHead = graft.streaming.DeltaExport.read(spark, root)
+      .select("k", "label", "x").as[(Long, String, Double)]
+      .collect().sorted
+    val mNative = graft.streaming.MergeInto.readTable(spark, root)
+      .select("k", "label", "x").as[(Long, String, Double)]
+      .collect().sorted
+    require(mHead.toSeq == mNative.toSeq,
+      "post-rename delta read diverged from the native manifest read")
+    println(s"[deltasoak] COLMAP x CDF OK: $extra mapped versions, " +
+      "physical-named cdc files, logical feed, dense pairs")
     spark.stop()
   }
 }
