@@ -34,5 +34,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (box has 128g): at 8g the ~1000 gate executions of a
+  // full Bench session (two warm passes + timed best-of-2) aged the
+  // heap enough that LATE-timed gates read 1.5-2x their isolation
+  // steady state — measured round 10, q86 control 1.21s vs timed 2.0s
+  // in one session. More headroom keeps the timed section honest.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -78,6 +78,11 @@ object Bench {
       catch { case e: Throwable => warmupFailed.getOrElseUpdate(n,
         "warm@" + sfDir + " " + failMsg(e)) }
     }
+    // settle the heap between the warm passes and the timed section —
+    // the warm passes execute every gate once and the garbage they
+    // leave otherwise taxes LATE-timed gates (round-10 measurement:
+    // q86 control 1.21 s vs its own timed run 2.0 s in one session)
+    System.gc()
 
     // DRIFT CONTROL: a pinned 5-query set timed FIRST each run (after
     // warm-up, before anything else competes for the JVM), spanning the
