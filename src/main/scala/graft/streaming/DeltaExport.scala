@@ -89,22 +89,37 @@ object DeltaExport {
   private[streaming] def encodePath(rel: String): String =
     new java.net.URI(null, null, rel, null).toASCIIString
 
-  /** Decode an action path. Absolute URIs (scheme present — the spec
-    * allows them for files outside the table root, e.g. shallow clones)
-    * are refused loudly: resolving them is a different trust and
-    * filesystem story. A string that is not a valid URI reference (a
-    * sloppy writer's raw space) is taken verbatim — refusing it would
-    * reject tables other engines read fine.
+  /** Decode an action path. The spec allows RELATIVE paths (the common
+    * case) and ABSOLUTE URIs/paths (files outside the table root — the
+    * shallow-clone shape); both decode here, and [[resolvePath]] keeps
+    * absolute ones as-is instead of prefixing the root. A string that
+    * is not a valid URI reference (a sloppy writer's raw space) is
+    * taken verbatim — refusing it would reject tables other engines
+    * read fine. An absolute path on an unreachable filesystem fails
+    * LOUDLY at open, naming the path.
     */
   private[streaming] def decodePath(raw: String): String =
     try {
       val u = new java.net.URI(raw)
-      require(u.getScheme == null,
-        s"delta add/remove path '$raw' is an absolute URI — external " +
-          "(shallow-cloned) file references are not supported by this " +
-          "reader")
-      u.getPath
+      if (u.getScheme == null) u.getPath
+      else new Path(u).toString // scheme kept, percent-escapes decoded
     } catch { case _: java.net.URISyntaxException => raw }
+
+  /** True when a decoded action path is absolute (scheme-qualified or
+    * rooted) — shallow-cloned logs reference such files verbatim.
+    */
+  private[streaming] def isAbsolutePath(p: String): Boolean =
+    // scheme detected by shape, not URI parsing — a decoded path may
+    // carry characters (spaces) java.net.URI refuses
+    p.startsWith("/") || p.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:.*")
+
+  /** A live-entry key as a readable location: absolute keys verbatim
+    * (never under the root — so vacuum/clean sweeps, which walk only
+    * the root, can never delete a clone's source files), relative keys
+    * under the table root.
+    */
+  private[streaming] def resolvePath(root: String, rel: String): String =
+    if (isAbsolutePath(rel)) rel else s"$root/$rel"
 
   private def listVersions(fs: FileSystem, root: String): Seq[(Long, Path)] = {
     val dir = logPath(root)
@@ -366,8 +381,12 @@ object DeltaExport {
             s"inline DV for $rel decodes to ${raw.length} bytes, " +
               s"descriptor says ${d.sizeInBytes}")
           raw.take(d.sizeInBytes)
-        case "u" =>
-          val p = dvPath(root, d)
+        case "u" | "p" =>
+          // "p" = the spec's absolute-path storage (shallow clones):
+          // pathOrInlineDv IS the sidecar location; blob layout is
+          // identical to relative ("u") sidecars
+          val p = if (d.storageType == "p") new Path(d.pathOrInlineDv)
+            else dvPath(root, d)
           val all = sidecars.getOrElseUpdate(p.toString, readFully(fs, p))
           require(all.nonEmpty && all(0) == 1,
             s"DV sidecar $p has format version ${if (all.isEmpty) "?"
@@ -388,9 +407,6 @@ object DeltaExport {
           require(crc.getValue == Integer.toUnsignedLong(stored),
             s"DV blob at $p:$off fails its CRC-32 — corrupt sidecar")
           out
-        case "p" => throw new IllegalArgumentException(
-          s"DV for $rel uses absolute-path storage ('p') — external " +
-            "file references are not supported by this reader")
         case other => throw new IllegalArgumentException(
           s"DV for $rel uses unknown storage type '$other'")
       }
@@ -427,7 +443,7 @@ object DeltaExport {
               types.get(e.getKey).flatMap(dt => castStat(e.getValue, dt))
                 .map(v => e.getKey -> v)
             }.toMap).getOrElse(Map.empty)
-          Some(s"$root/$rel" -> org.apache.spark.sql.FileZone(
+          Some(resolvePath(root, rel) -> org.apache.spark.sql.FileZone(
             Option(n.get("numRecords")).filter(_.isNumber).map(_.asLong()),
             vals("minValues"), vals("maxValues"), num("nullCount")))
         } catch { case _: Exception => None }
@@ -1652,8 +1668,13 @@ object DeltaExport {
     // existence sweep AFTER the metadata-level refusals: a table this
     // reader cannot interpret should say so by name, not "missing file"
     if (validate) {
-      val dead = st.live.keysIterator.map(rel => s"$root/$rel")
-        .filterNot(p => fs.exists(new Path(p))).toSeq
+      // absolute (shallow-cloned) entries may live on a different
+      // filesystem than the root — resolve each path's own FS
+      val dead = st.live.keysIterator.map(resolvePath(root, _))
+        .filterNot { p =>
+          val hp = new Path(p)
+          hp.getFileSystem(conf).exists(hp)
+        }.toSeq
       require(dead.isEmpty,
         s"delta log at $root references ${dead.size} missing file(s) — " +
           s"e.g. ${dead.head}; vacuumed after export? Re-export the " +
@@ -1663,7 +1684,8 @@ object DeltaExport {
     val scanned =
       if (st.partitionCols.isEmpty) {
         val files = st.live.toSeq.sortBy(_._1)
-          .map { case (rel, e) => (s"$root/$rel", e.size, e.modTime) }
+          .map { case (rel, e) =>
+            (resolvePath(root, rel), e.size, e.modTime) }
         val physSchema = StructType(full.fields.map(physField))
         val zones = statsZones(root, st.live,
           physSchema.fields.map(f => f.name -> f.dataType).toMap)
@@ -1710,7 +1732,7 @@ object DeltaExport {
               }
             }
             (vals, entries.sortBy(_._1).map { case (rel, e) =>
-              (s"$root/$rel", e.size, e.modTime) })
+              (resolvePath(root, rel), e.size, e.modTime) })
           }
         org.apache.spark.sql.GraftFiles
           .parquetPartitioned(spark, groups, partSchema, dataSchema,
@@ -1811,14 +1833,15 @@ object DeltaExport {
       val cdc = nodes.filter(_.has("cdc"))
         .map(n => decodePath(n.get("cdc").get("path").asText()))
       if (cdc.nonEmpty)
-        toLogical(spark.read.parquet(cdc.map(rel => s"$root/$rel"): _*))
+        toLogical(spark.read.parquet(
+          cdc.map(resolvePath(root, _)): _*))
           .withColumn("_commit_version", lit(v))
       else if (v == 0L) {
         val adds = nodes.filter(_.has("add"))
           .map(n => decodePath(n.get("add").get("path").asText()))
         require(adds.nonEmpty, s"delta v0 at $root has no add actions")
         toLogical(spark.read
-          .parquet(adds.map(rel => s"$root/$rel"): _*)
+          .parquet(adds.map(resolvePath(root, _)): _*)
           .drop("__bucket"))
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(0L))

@@ -247,8 +247,10 @@ class DeltaExportSpec extends SparkSpec {
     }
     assert(e1.getMessage.contains("typeWidening"))
 
-    // an ABSOLUTE-path deletion vector (storageType p) is an external
-    // file reference — refused like shallow-cloned adds
+    // an ABSOLUTE-path deletion vector (storageType p) on an
+    // unreachable filesystem fails LOUDLY at open naming the path —
+    // local absolute sidecars are a supported capability
+    // (ForeignShapeSpec's shallow-clone test)
     val dv = freshLog(Seq(
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["deletionVectors"],""" +
@@ -256,11 +258,13 @@ class DeltaExportSpec extends SparkSpec {
       """{"add":{"path":"f.parquet","size":1,"modificationTime":1,""" +
         """"dataChange":true,"partitionValues":{},""" +
         """"deletionVector":{"storageType":"p","pathOrInlineDv":""" +
-        """"s3://elsewhere/dv.bin","sizeInBytes":40,"cardinality":6}}}"""))
-    val e3 = intercept[IllegalArgumentException] {
+        """"/nonexistent-clone-src/dv.bin","sizeInBytes":40,""" +
+        """"cardinality":6,"offset":1}}}"""))
+    val e3 = intercept[Exception] {
       DeltaExport.read(spark, dv)
     }
-    assert(e3.getMessage.contains("absolute-path storage"))
+    assert(e3.getMessage.contains("dv.bin") ||
+      e3.getMessage.contains("nonexistent-clone-src"))
 
     // a version gap is refused, not silently skipped
     val gap = freshLog(Seq(
@@ -318,7 +322,9 @@ class DeltaExportSpec extends SparkSpec {
     // reaches the empty-table check — the hint did not block the replay
     assert(e6b.getMessage.contains("no live files"))
 
-    // an absolute-URI add path (external/shallow-cloned file) is refused
+    // an absolute-URI add path (shallow-cloned file) that does NOT
+    // exist fails the existence sweep loudly, naming the path — the
+    // POSITIVE shallow-clone read is ForeignShapeSpec's
     val ext = freshLog(Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", meta,
       """{"add":{"path":"file:///elsewhere/f.parquet","size":1,""" +
@@ -326,7 +332,8 @@ class DeltaExportSpec extends SparkSpec {
     val e7 = intercept[IllegalArgumentException] {
       DeltaExport.read(spark, ext)
     }
-    assert(e7.getMessage.contains("absolute URI"))
+    assert(e7.getMessage.contains("missing file"))
+    assert(e7.getMessage.contains("/elsewhere/f.parquet"))
   }
 
   test("action paths are percent-encoded per RFC 2396 and decoded on " +

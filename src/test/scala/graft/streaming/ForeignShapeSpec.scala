@@ -185,6 +185,73 @@ class ForeignShapeSpec extends SparkSpec {
     assert(got.size == 50 && got.contains((1L, "upd")))
   }
 
+  test("delta: SHALLOW-CLONE shape — absolute-path adds (plain AND " +
+      "percent-encoded file: URI) plus an absolute-path (p-storage) DV " +
+      "sidecar read correctly; clone-source files are never under the " +
+      "root, so vacuum can never touch them") {
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("clone-src").toString
+    def stage(rows: Seq[(Long, String)], name: String): java.io.File = {
+      val tmpd = java.nio.file.Files.createTempDirectory("cs").toString
+      rows.toDF("k", "s").coalesce(1).write.mode("overwrite").parquet(tmpd)
+      val part = new java.io.File(tmpd).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val dst = new java.io.File(srcDir, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst
+    }
+    val f1 = stage(Seq((1L, "a"), (2L, "b"), (3L, "c")), "f1.parquet")
+    val f2 = stage(Seq((10L, "x")), "f 2.parquet") // space → %20 in URI
+    // p-storage DV sidecar: format byte 1, then [len][bitmap][crc32]
+    // at offset 1 — deletes ROW 0 of f1
+    val bm = RoaringBitmap64(Seq(0L)).serialize()
+    val bb = java.nio.ByteBuffer.allocate(9 + bm.length) // big-endian
+    bb.put(1.toByte).putInt(bm.length).put(bm)
+    val crc = new java.util.zip.CRC32(); crc.update(bm)
+    bb.putInt(crc.getValue.toInt)
+    val dvFile = new java.io.File(srcDir, "dv.bin")
+    java.nio.file.Files.write(dvFile.toPath,
+      java.util.Arrays.copyOf(bb.array(), bb.position()))
+
+    val root = java.nio.file.Files.createTempDirectory("fshape").toString
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType)))
+    val meta = {
+      val n = m.createObjectNode()
+      val md = n.putObject("metaData")
+      md.put("id", "clone")
+      md.putObject("format").put("provider", "parquet")
+      md.put("schemaString", schema.json)
+      md.putArray("partitionColumns")
+      md.putObject("configuration")
+      m.writeValueAsString(n)
+    }
+    val f2Uri = f2.toURI.toASCIIString // file:///...f%202.parquet
+    assert(f2Uri.contains("%20"))
+    val dir = new java.io.File(root, "_delta_log"); dir.mkdirs()
+    val w = new java.io.PrintWriter(
+      new java.io.File(dir, "00000000000000000000.json"), "UTF-8")
+    try Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}""",
+      meta,
+      s"""{"add":{"path":"${f1.getAbsolutePath}","size":${f1.length()},""" +
+        """"modificationTime":1,"dataChange":true,"partitionValues":{},""" +
+        s""""deletionVector":{"storageType":"p","pathOrInlineDv":""" +
+        s""""${dvFile.getAbsolutePath}","offset":1,""" +
+        s""""sizeInBytes":${bm.length},"cardinality":1}}}""",
+      s"""{"add":{"path":"$f2Uri","size":${f2.length()},""" +
+        """"modificationTime":1,"dataChange":true,"partitionValues":{}}}"""
+    ).foreach(w.println) finally w.close()
+
+    val got = DeltaExport.read(spark, root).select("k", "s")
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((2L, "b"), (3L, "c"), (10L, "x")),
+      "row 0 of the cloned file must be DV-subtracted; the URI add " +
+        "must decode its percent-escapes")
+  }
+
   test("iceberg: a NON-IDENTITY partition transform in foreign " +
       "metadata reads correctly — files store every column, so only " +
       "manifest pruning is skipped, never rows") {
