@@ -443,6 +443,60 @@ object CdcQueries {
     store
   }
 
+  /** Materialize a SHALLOW-CLONE delta log once per sfDir: a fresh v0
+    * log whose add actions reference the MERGED orders table's live
+    * data files by ABSOLUTE URI — zero bytes copied, the exact log
+    * shape `CLONE` produces. The reader must resolve the external
+    * references verbatim (never under the clone root) and answer
+    * identically to the source.
+    */
+  private def deltaShallowCloneDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_delta_clonelog_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val src = mergedOrdersTableDir(s, dir)
+        val files = graft.streaming.MergeInto.readTable(s, src)
+          .inputFiles.sorted // absolute file: URIs of the live set
+        require(files.nonEmpty, s"clone source $src has no live files")
+        val schema = s.read.parquet(files.head).schema
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+        lines +=
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+        val meta = m.createObjectNode()
+        val md = meta.putObject("metaData")
+        md.put("id", "graft-shallow-clone")
+        md.putObject("format").put("provider", "parquet")
+        md.put("schemaString", schema.json)
+        md.putArray("partitionColumns")
+        md.putObject("configuration")
+        lines += m.writeValueAsString(meta)
+        files.foreach { uri =>
+          val f = if (uri.startsWith("file:"))
+            new java.io.File(new java.net.URI(uri))
+          else new java.io.File(uri)
+          val n = m.createObjectNode()
+          val a = n.putObject("add")
+          a.put("path", uri).put("size", f.length())
+            .put("modificationTime", f.lastModified())
+            .put("dataChange", true)
+          a.putObject("partitionValues")
+          lines += m.writeValueAsString(n)
+        }
+        val logDir = new java.io.File(store, "_delta_log")
+        logDir.mkdirs()
+        require(logDir.isDirectory, s"cannot create $logDir")
+        val w = new java.io.PrintWriter(
+          new java.io.File(logDir, "00000000000000000000.json"), "UTF-8")
+        try lines.foreach(w.println) finally w.close()
+    }
+    store
+  }
+
   /** Materialize the COLUMN-MAPPED CDF delta table once per sfDir:
     * version 0 exports the CREATE payloads with a change feed, a
     * METADATA-ONLY rename (status → order_status) follows, and version
@@ -1972,6 +2026,18 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // SHALLOW-CLONE LOG driver-gated (absolute-path adds — the CLONE
+    // shape): a v0 log referencing the merged table's files by
+    // absolute URI, zero bytes copied; the native reader resolves the
+    // external references verbatim and answers exactly the source's
+    // merged state. Same oracle as cdc_merge_into.
+    "cdc_delta_shallow_clone" -> ((s, dir) => {
+      val store = deltaShallowCloneDir(s, dir)
+      graft.streaming.DeltaExport.read(s, store)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
     // COLUMN-MAPPED CHANGE DATA FEED driver-gated (rename + CDF — both
     // common on real tables, and spec-legal together): version 1's cdc
     // files store PHYSICAL column names like every other file of a
@@ -2714,6 +2780,8 @@ object CdcQueries {
     "cdc_delta_export_colmap" -> renameFinalSql,
 
     "cdc_iceberg_rename" -> renameFinalSql,
+
+    "cdc_delta_shallow_clone" -> mergeFinalStateSql,
 
     // CREATEs with the UPDATE batch applied; id%7==0 keys survive ONLY
     // when updated (re-inserted after their equality delete)
