@@ -420,7 +420,14 @@ object CdcQueries {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    val root = Paths.get(s"$base/$key/orders_iceberg_eqmix_v1")
+    // _v2: the merge touches only a SMALL deterministic update set (8
+    // lowest update ids + the lowest id%7==0 one) so MOST buckets stay
+    // carried at sequence 1 at EVERY scale factor — snapshot 3 then has
+    // data files at sequences 1 AND 3 with deletes at 2 and 3, and the
+    // reader's per-file scoping (not the uniform fast path) answers.
+    // (_v1's full UPDATE batch rewrote every bucket at sf>=0.01, which
+    // collapsed the gate to one sequence group.)
+    val root = Paths.get(s"$base/$key/orders_iceberg_eqmix_v2")
     val store = root.resolve("table").toString
     graft.streaming.FixtureLock.once(root) {
         val log = changeLog(s, dir)
@@ -433,8 +440,15 @@ object CdcQueries {
         val (v2, _) = graft.streaming.IcebergExport.export(s, store,
           deleteFiles = true, equalityDeletes = true)
         require(v2 == 2L, s"fixture expected iceberg snapshot 2, got $v2")
-        val b2 = log.filter(col("operation_type") === "UPDATE")
+        val updAll = log.filter(col("operation_type") === "UPDATE")
           .select(col("id"), col("status"), col("totalprice"))
+        // the deterministic RE-INSERT: the lowest updated id the
+        // equality delete named (id%7==0) — its post-delete file must
+        // survive the delete under per-file scoping
+        val b2 = updAll.orderBy(col("id")).limit(8)
+          .unionByName(updAll.filter(col("id") % 7 === 0)
+            .orderBy(col("id")).limit(1))
+          .distinct()
         graft.streaming.MergeInto.mergeBatch(s, b2, store, "id")
         val (v3, _) = graft.streaming.IcebergExport.export(s, store,
           deleteFiles = true, equalityDeletes = true)
@@ -2783,11 +2797,19 @@ object CdcQueries {
 
     "cdc_delta_shallow_clone" -> mergeFinalStateSql,
 
-    // CREATEs with the UPDATE batch applied; id%7==0 keys survive ONLY
-    // when updated (re-inserted after their equality delete)
+    // CREATEs with the SMALL update batch applied (8 lowest update ids
+    // + the lowest id%7==0 one); id%7==0 keys survive ONLY when updated
+    // (re-inserted after their equality delete)
     "cdc_iceberg_eq_mixed" -> s"""$changesCte, u AS (
-        SELECT id, status, totalprice FROM changes
-        WHERE operation_type = 'UPDATE')
+        SELECT DISTINCT id, status, totalprice FROM (
+          SELECT id, status, totalprice FROM (
+            SELECT id, status, totalprice FROM changes
+            WHERE operation_type = 'UPDATE' ORDER BY id LIMIT 8)
+          UNION ALL
+          SELECT id, status, totalprice FROM (
+            SELECT id, status, totalprice FROM changes
+            WHERE operation_type = 'UPDATE' AND id % 7 = 0
+            ORDER BY id LIMIT 1)))
       SELECT id, status, totalprice FROM (
         SELECT c.id,
           CASE WHEN u.id IS NOT NULL THEN u.status ELSE c.status END
