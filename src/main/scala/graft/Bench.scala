@@ -96,14 +96,16 @@ object Bench {
     // in-session spot checks.
     val controlSet = Seq("q86_rfm", "q18_percentiles", "cdc_decode_envelope",
       "sm1_topk_bruteforce", "dd1_exact_groups")
-    val control = controlSet.flatMap { name =>
-      val times = (1 to 2).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { run(sfDir, name); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
+    def measureControl(): Seq[(String, Double)] =
+      controlSet.flatMap { name =>
+        val times = (1 to 2).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try { run(sfDir, name); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
+        }
+        if (times.isEmpty) None else Some(name -> times.min)
       }
-      if (times.isEmpty) None else Some(name -> times.min)
-    }
+    val control = measureControl()
 
     // Best-of-2 per query: single-JVM local mode has multi-second GC/JIT
     // jitter; the min is the steady-state cost of the plan. A query that
@@ -181,13 +183,24 @@ object Bench {
     val driftFull = drifted.map { case (k, r) => "\"" + k + "\":" + r }
       .mkString("{", ",", "}")
 
+    // the control set re-measured AFTER the timed pass brackets the
+    // session: controlEnd >> control means WITHIN-session drift (heap,
+    // page cache, co-tenant load) polluted the late-timed gates —
+    // round 10 measured one session whose early control read 3x its
+    // same-day twin runs while the timed section was normal; without
+    // the bracket that shape is indistinguishable from a regression.
+    val controlEnd = measureControl()
     val controlFull = control.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val controlEndFull = controlEnd
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val wfailFull = warmupFailed.map { case (k, v) =>
       jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val profile = finalResults.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{\"queries\":{", ",",
         s"},\"total\":$total,\"control\":$controlFull," +
+          s""""controlEnd":$controlEndFull,""" +
           s""""drift":$driftFull,"warmupFailed":$wfailFull,""" +
           s""""errors":$errsFull}""")
     java.nio.file.Files.writeString(
@@ -225,10 +238,12 @@ object Bench {
 
     val budget = 1500
     val bySlow = finalResults.sortBy(-_._2)
-    val ctl = control.map { case (k, v) =>
-      // short keys: the control block must not eat the line budget
+    def shortCtl(c: Seq[(String, Double)]) = c.map { case (k, v) =>
+      // short keys: the control blocks must not eat the line budget
       "\"" + k.takeWhile(_ != '_') + "\":" + sec(v)
     }.mkString("{", ",", "}")
+    val ctl = shortCtl(control)
+    val ctlEnd = shortCtl(controlEnd)
     // stdout carries the top-5 drifted gates (full list in the profile)
     val driftTop = drifted.take(5)
       .map { case (k, r) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
@@ -238,7 +253,7 @@ object Bench {
       (if (warmupFailed.size > 3)
         Seq(jstr("+" + (warmupFailed.size - 3) + " more")) else Nil))
       .mkString("[", ",", "]")
-    val head = s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","errors":$errs,"warmupFailed":$wfail,"control":$ctl,"drift":$driftTop,"recall":$recall,"queries":{"""
+    val head = s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","errors":$errs,"warmupFailed":$wfail,"control":$ctl,"controlEnd":$ctlEnd,"drift":$driftTop,"recall":$recall,"queries":{"""
     val fixedTail = 90 // "},"omitted":{"n":NN,"sec":NNN.NNN},"profile":"bench_profile.json"}"
     var used = head.length + fixedTail
     val kept = bySlow.takeWhile { case (k, v) =>

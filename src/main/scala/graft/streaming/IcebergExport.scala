@@ -222,6 +222,14 @@ object IcebergExport {
       case "struct" => StructType(
         t.get("fields").elements().asScala.map { f =>
           val name = f.get("name").asText()
+          // v3 column DEFAULTS: files written BEFORE the column was
+          // added must surface the default, not null — this reader
+          // would silently null them, so refuse by name
+          require(!f.has("initial-default") && !f.has("write-default"),
+            s"iceberg column '$at.$name' declares a DEFAULT value " +
+              "(v3 initial-default/write-default) — files predating " +
+              "the column would read as NULL instead of the default; " +
+              "read with a full engine")
           StructField(name, sparkType(f.get("type"), s"$at.$name"),
             nullable = !f.get("required").asBoolean())
         }.toArray)
@@ -1467,8 +1475,9 @@ object IcebergExport {
   }
 
   /** Read snapshot `snapshotId` (-1 = current). Refuses loudly: format
-    * versions above 2, delete manifests/files, non-parquet files,
-    * unsupported types — never a misread.
+    * versions above 3, v3-only features in use (puffin deletion
+    * vectors, column defaults, unknown types), non-parquet files —
+    * never a misread.
     */
   def readAt(spark: SparkSession, root: String,
       snapshotId: Long): DataFrame = {
@@ -1479,9 +1488,16 @@ object IcebergExport {
         s"no iceberg metadata under ${metaDir(root)}"))
     val md = mapper.readTree(readFully(fs, metadataFile(root, v)))
     val fv = md.get("format-version").asInt()
-    require(fv <= 2,
+    // v3 metadata is accepted when the snapshot USES no v3-only
+    // feature: the table/manifest structures are upward-compatible, and
+    // the features that are not — puffin deletion vectors (non-parquet
+    // delete files), unknown/new column types, column DEFAULT values —
+    // each refuse by name below at the exact place they would otherwise
+    // misread. Versions above 3 are unknown territory and refuse here.
+    require(fv <= 3,
       s"iceberg table at $root is format-version $fv — this reader " +
-        "implements the spec through v2 only")
+        "implements the spec through v3 (v3-only features refused by " +
+        "name)")
     val targetId =
       if (snapshotId >= 0) snapshotId
       else Option(md.get("current-snapshot-id")).filterNot(_.isNull)
@@ -1631,7 +1647,8 @@ object IcebergExport {
         val fmt = df.get("file_format").toString
         require(fmt.equalsIgnoreCase("parquet"),
           s"iceberg table at $root stores '$fmt' delete files — only " +
-            "parquet is supported")
+            "parquet position/equality deletes are supported (v3 " +
+            "puffin deletion vectors are not)")
         (df, delSeq, content)
     }
     val deleteGroups: Seq[(Long, Map[String, Array[Long]])] =

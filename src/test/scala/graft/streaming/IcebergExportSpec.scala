@@ -642,28 +642,53 @@ class IcebergExportSpec extends SparkSpec {
     assert(IcebergExport.read(spark, root).select("k").as[Long]
       .collect().toSeq == Seq(2L))
 
-    // format-version 3 refuses
+    // format-version 3 WITHOUT v3-only features reads (the structures
+    // are upward-compatible); v3 column DEFAULTS refuse by name; v4
+    // refuses outright
     val mdDir = new java.io.File(root, "metadata")
     val newest = mdDir.listFiles().map(_.getName)
       .filter(_.matches("v\\d+\\.metadata\\.json")).sorted.last
     val txt = scala.io.Source.fromFile(
       new java.io.File(mdDir, newest)).mkString
-    val v3 = txt.replace("\"format-version\" : 2",
-      "\"format-version\" : 3")
     val vNum = newest.stripPrefix("v")
       .stripSuffix(".metadata.json").toInt
     val bump = s"v${vNum + 1}.metadata.json"
-    val w = new java.io.PrintWriter(new java.io.File(mdDir, bump), "UTF-8")
-    try w.print(v3) finally w.close()
-    // the export above re-published the hint; point it at the forgery
-    val hw = new java.io.PrintWriter(
-      new java.io.File(mdDir, "version-hint.text"), "UTF-8")
-    try hw.print((vNum + 1).toString) finally hw.close()
+    def forge(content: String): Unit = {
+      val w = new java.io.PrintWriter(
+        new java.io.File(mdDir, bump), "UTF-8")
+      try w.print(content) finally w.close()
+      new java.io.File(mdDir, "." + bump + ".crc").delete()
+      val hw = new java.io.PrintWriter(
+        new java.io.File(mdDir, "version-hint.text"), "UTF-8")
+      try hw.print((vNum + 1).toString) finally hw.close()
+      new java.io.File(mdDir, ".version-hint.text.crc").delete()
+    }
+    forge(txt.replace("\"format-version\" : 2",
+      "\"format-version\" : 3"))
+    assert(IcebergExport.read(spark, root).select("k").as[Long]
+      .collect().toSeq == Seq(2L),
+      "a v3 table using no v3-only feature must read")
+    // a v3 column DEFAULT refuses by name (old files would null it)
+    forge(txt.replace("\"format-version\" : 2",
+        "\"format-version\" : 3")
+      .replaceFirst("\\\"name\\\" : \\\"k\\\"",
+        "\\\"name\\\" : \\\"k\\\", \\\"initial-default\\\" : 7"))
+    val eDef = intercept[IllegalArgumentException] {
+      IcebergExport.read(spark, root)
+    }
+    assert(eDef.getMessage.contains("DEFAULT"))
+    // v4 refuses outright
+    forge(txt.replace("\"format-version\" : 2",
+      "\"format-version\" : 4"))
     val e1 = intercept[IllegalArgumentException] {
       IcebergExport.read(spark, root)
     }
-    assert(e1.getMessage.contains("format-version 3"))
+    assert(e1.getMessage.contains("format-version 4"))
     assert(new java.io.File(mdDir, bump).delete())
+    val hw2 = new java.io.PrintWriter(
+      new java.io.File(mdDir, "version-hint.text"), "UTF-8")
+    try hw2.print(vNum.toString) finally hw2.close()
+    new java.io.File(mdDir, ".version-hint.text.crc").delete()
 
     // a snapshot id that never existed refuses
     val e2 = intercept[IllegalArgumentException] {
