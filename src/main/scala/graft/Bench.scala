@@ -13,6 +13,22 @@ import org.apache.spark.sql.SparkSession
   * (empty list = health check). Gates that still exceed the committed
   * drift threshold get one in-run adjudication re-run before being
   * flagged, so the `drift` block never carries first-touch phantoms.
+  *
+  * SELF-NORMALIZATION (round 11): three consecutive rounds of 10–32×
+  * phantom drift flags traced to the SESSION, not the plans — the
+  * round-10 artifact's own control bracket read 1.045 s at run start
+  * and 1.745 s at run end on an unchanged control gate, so every
+  * late-timed gate carried the session's degradation and even in-run
+  * re-runs could not exonerate them. The fix: ONE control gate
+  * (q86_rfm, pure-relational, code changes rarely) is re-timed every
+  * ~35 gates through the timed pass, giving a piecewise-linear control
+  * timeline. Each gate's time is then NORMALIZED by the control factor
+  * in effect when it was timed (local control ÷ committed control
+  * reference, clamped to ≥1 so normalization can only exonerate, never
+  * indict), and the published `drift` block is computed on NORMALIZED
+  * times. Raw times stay in `queries` (the artifact contract); the
+  * timeline, reference, and raw-ratio flags are all published so the
+  * artifact is interpretable without a judge re-run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,15 +57,24 @@ object Bench {
       else {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(java.nio.file.Files.readString(p))
-        Option(node.get("queries")).map { q =>
-          import scala.jdk.CollectionConverters._
-          q.properties().asScala
-            .map(e => e.getKey -> e.getValue.asDouble()).toMap
-        }.getOrElse(Map.empty)
+        // prefer the NORMALIZED times when the committed profile has
+        // them: a profile measured under a degraded session would
+        // otherwise inflate every reference and mask real regressions
+        Option(node.get("queriesNorm")).orElse(Option(node.get("queries")))
+          .map { q =>
+            import scala.jdk.CollectionConverters._
+            q.properties().asScala
+              .map(e => e.getKey -> e.getValue.asDouble()).toMap
+          }.getOrElse(Map.empty)
       }
     } catch { case _: Throwable => Map.empty }
 
+    // dev-only subset filter (the round driver never sets it) — same
+    // contract as Verify's SPARK_GRAFT_VERIFY_ONLY
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // LOUD warm-up: failures are RECORDED, never swallowed — two
     // consecutive rounds of 5–20× phantom drift flags traced back to
     // gates whose warm-up silently failed (or warmed too little), so an
@@ -107,44 +132,119 @@ object Bench {
       }
     val control = measureControl()
 
+    // the NORMALIZATION probe gate + its committed reference: the
+    // previous profile's own control block (same machine class, same
+    // measurement shape), falling back to the committed per-gate time.
+    // No reference -> no normalization (factor 1), never a crash.
+    val probeGate = "q86_rfm"
+    val ctlRef: Option[Double] = {
+      val fromProfile = try {
+        val p = java.nio.file.Paths.get("bench_profile.json")
+        if (!java.nio.file.Files.exists(p)) None
+        else {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readString(p))
+          // only a SAME-SF reference normalizes: a profile measured at
+          // another scale factor would scale every time by a constant
+          // fiction (older profiles carry no "sf" — trusted, since the
+          // committed profile and the driver run share sf0.1)
+          val sfOk = Option(node.get("sf"))
+            .forall(_.asText() == sfDir)
+          if (!sfOk) None
+          else Option(node.get("control")).flatMap(c =>
+            Option(c.get(probeGate)).map(_.asDouble())).filter(_ > 0)
+        }
+      } catch { case _: Throwable => None }
+      fromProfile.orElse(refTimes.get(probeGate).filter(_ > 0))
+    }
+    def probe(): Option[Double] = {
+      val times = (1 to 2).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { run(sfDir, probeGate); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }
+      if (times.isEmpty) None else Some(times.min)
+    }
+
     // Best-of-2 per query: single-JVM local mode has multi-second GC/JIT
     // jitter; the min is the steady-state cost of the plan. A query that
     // throws must not be published as a (fast) time — it is recorded in
     // `errors` and excluded from the per-query map so the total can never
     // be built on silently failing queries.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = names.flatMap { name =>
-      val times = (1 to 2).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          run(sfDir, name)
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            errors.getOrElseUpdate(name,
-              e.getClass.getSimpleName + ": " +
-                Option(e.getMessage).getOrElse("").take(120))
-            None
+    // interleaved probe timeline: (gates timed so far -> probe seconds).
+    // ~35-gate stride = ~10 probes over the catalog, min-of-2 each —
+    // a few percent of wall, and the artifact gains a within-run
+    // degradation curve that per-gate normalization can consume.
+    val probeStride = 35
+    val timeline = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    probe().foreach(s => timeline += ((0, s)))
+    val results: Seq[(String, Double, Int)] =
+      names.zipWithIndex.flatMap { case (name, i) =>
+        if (i > 0 && i % probeStride == 0)
+          probe().foreach(s => timeline += ((i, s)))
+        val times = (1 to 2).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            run(sfDir, name)
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              errors.getOrElseUpdate(name,
+                e.getClass.getSimpleName + ": " +
+                  Option(e.getMessage).getOrElse("").take(120))
+              None
+          }
         }
+        if (times.isEmpty) None else Some((name, times.min, i))
       }
-      if (times.isEmpty) None else Some(name -> times.min)
+    probe().foreach(s => timeline += ((names.size, s)))
+    // control factor in effect at gate index i: linear interpolation
+    // between the surrounding probe samples, divided by the committed
+    // control reference, clamped to >= 1 so normalization can only
+    // EXONERATE (shrink a time measured under a degraded session),
+    // never flag a gate raw times would not have flagged.
+    def ctlAt(i: Int): Option[Double] = {
+      if (timeline.isEmpty) None
+      else {
+        val after = timeline.find(_._1 >= i)
+        val before = timeline.reverse.find(_._1 <= i)
+        Some((before, after) match {
+          case (Some((i0, s0)), Some((i1, s1))) if i1 > i0 =>
+            s0 + (s1 - s0) * (i - i0).toDouble / (i1 - i0)
+          case (Some((_, s0)), _) => s0
+          case (_, Some((_, s1))) => s1
+          case _ => timeline.head._2
+        })
+      }
     }
-    // IN-RUN DRIFT ADJUDICATION: any gate beyond the drift threshold
-    // gets ONE extra timed run (min over 3). A first-touch or GC
-    // phantom disappears under the re-run; a real plan regression
-    // stays — so the published drift block carries only numbers that
-    // survived an immediate retest in the same session.
+    def factorAt(i: Int): Double = (for {
+      ref <- ctlRef
+      c <- ctlAt(i)
+    } yield math.max(1.0, c / ref)).getOrElse(1.0)
+    // IN-RUN DRIFT ADJUDICATION: any gate beyond the drift threshold ON
+    // NORMALIZED TIME gets ONE extra timed run (min over 3). A
+    // first-touch or GC phantom disappears under the re-run; a real
+    // plan regression stays — so the published drift block carries only
+    // numbers that survived control normalization AND an immediate
+    // retest in the same session.
     def overThreshold(k: String, v: Double): Option[Double] =
       refTimes.get(k).collect {
         case ref if ref > 0 && v > math.max(ref * 1.5, ref + 0.5) => ref
       }
-    val finalResults = results.map {
-      case (k, v) if overThreshold(k, v).isDefined =>
-        val t0 = System.nanoTime()
-        val v2 = try { run(sfDir, k); (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => v }
-        k -> math.min(v, v2)
-      case kv => kv
+    val finalResults: Seq[(String, Double, Double)] = results.map {
+      case (k, v, i) =>
+        val norm = v / factorAt(i)
+        if (overThreshold(k, norm).isDefined) {
+          // a fresh probe brackets the adjudication re-run so ITS
+          // normalization reflects the session state at retest time
+          val f2 = (for (ref <- ctlRef; p <- probe())
+            yield math.max(1.0, p / ref)).getOrElse(1.0)
+          val t0 = System.nanoTime()
+          val v2 = try { run(sfDir, k); (System.nanoTime() - t0) / 1e9 }
+            catch { case _: Throwable => v }
+          (k, math.min(v, v2), math.min(norm, v2 / f2))
+        } else (k, v, norm)
     }
     def jstr(s: String) =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -160,6 +260,7 @@ object Bench {
     val errsFull = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = finalResults.map(_._2).sum
+    val totalNorm = finalResults.map(_._3).sum
     def sec(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
 
     // Full per-query profile → a file in the repo (committed separately);
@@ -169,19 +270,28 @@ object Bench {
     // driver recorded `parsed: null`. So: 3-decimal seconds, slowest-first,
     // and stop adding per-query entries once the line would pass the
     // budget; the residue is summarized in "omitted".
-    // Drift flags: best-of-2 beyond max(1.5× reference, reference+0.5 s)
-    // — the +0.5 s floor keeps sub-second gates' jitter out. Values are
-    // the ratio vs the committed reference. The CONTROL block tells drift
-    // from regression: control shifted too → machine/env; control flat →
-    // the named gates regressed.
-    val drifted = finalResults.flatMap { case (k, v) =>
-      if (warmupFailed.contains(k)) None // first-touch, not a comparison
-      else overThreshold(k, v).map(ref =>
-        k -> BigDecimal(v / ref).setScale(2,
-          BigDecimal.RoundingMode.HALF_UP))
-    }.sortBy(-_._2)
-    val driftFull = drifted.map { case (k, r) => "\"" + k + "\":" + r }
-      .mkString("{", ",", "}")
+    // Drift flags: CONTROL-NORMALIZED best-of-2 beyond max(1.5×
+    // reference, reference+0.5 s) — the +0.5 s floor keeps sub-second
+    // gates' jitter out. Values are the normalized ratio vs the
+    // committed reference; `driftRaw` (profile only) carries the same
+    // flags on RAW times so the normalization's effect is auditable.
+    def flags(pick: ((String, Double, Double)) => Double) =
+      finalResults.flatMap { case t @ (k, _, _) =>
+        if (warmupFailed.contains(k)) None // first-touch, not a comparison
+        else overThreshold(k, pick(t)).map(ref =>
+          k -> BigDecimal(pick(t) / ref).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP))
+      }.sortBy(-_._2)
+    val drifted = flags(_._3)
+    val driftedRaw = flags(_._2)
+    def driftJson(d: Seq[(String, BigDecimal)]) =
+      d.map { case (k, r) => "\"" + k + "\":" + r }
+        .mkString("{", ",", "}")
+    val driftFull = driftJson(drifted)
+    val driftRawFull = driftJson(driftedRaw)
+    val timelineFull = timeline
+      .map { case (i, s) => s"""{"i":$i,"sec":${sec(s)}}""" }
+      .mkString("[", ",", "]")
 
     // the control set re-measured AFTER the timed pass brackets the
     // session: controlEnd >> control means WITHIN-session drift (heap,
@@ -197,12 +307,18 @@ object Bench {
       .mkString("{", ",", "}")
     val wfailFull = warmupFailed.map { case (k, v) =>
       jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val profile = finalResults.map { case (k, v) => "\"" + k + "\":" + v }
+    val normFull = finalResults
+      .map { case (k, _, n) => "\"" + k + "\":" + sec(n) }
+      .mkString("{", ",", "}")
+    val profile = finalResults.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{\"queries\":{", ",",
-        s"},\"total\":$total,\"control\":$controlFull," +
-          s""""controlEnd":$controlEndFull,""" +
-          s""""drift":$driftFull,"warmupFailed":$wfailFull,""" +
-          s""""errors":$errsFull}""")
+        s"},\"sf\":${jstr(sfDir)}," +
+          s"\"total\":$total,\"totalNorm\":${sec(totalNorm)}," +
+          s""""control":$controlFull,"controlEnd":$controlEndFull,""" +
+          s""""ctlRef":${ctlRef.map(sec).getOrElse("null")},""" +
+          s""""ctlTimeline":$timelineFull,"queriesNorm":$normFull,""" +
+          s""""drift":$driftFull,"driftRaw":$driftRawFull,""" +
+          s""""warmupFailed":$wfailFull,"errors":$errsFull}""")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_profile.json"), profile)
 
@@ -237,7 +353,7 @@ object Bench {
     } catch { case _: Throwable => "{}" }
 
     val budget = 1500
-    val bySlow = finalResults.sortBy(-_._2)
+    val bySlow = finalResults.map(t => (t._1, t._2)).sortBy(-_._2)
     def shortCtl(c: Seq[(String, Double)]) = c.map { case (k, v) =>
       // short keys: the control blocks must not eat the line budget
       "\"" + k.takeWhile(_ != '_') + "\":" + sec(v)
@@ -253,7 +369,7 @@ object Bench {
       (if (warmupFailed.size > 3)
         Seq(jstr("+" + (warmupFailed.size - 3) + " more")) else Nil))
       .mkString("[", ",", "]")
-    val head = s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","errors":$errs,"warmupFailed":$wfail,"control":$ctl,"controlEnd":$ctlEnd,"drift":$driftTop,"recall":$recall,"queries":{"""
+    val head = s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","totalNorm":${sec(totalNorm)},"ctlRef":${ctlRef.map(sec).getOrElse("null")},"errors":$errs,"warmupFailed":$wfail,"control":$ctl,"controlEnd":$ctlEnd,"drift":$driftTop,"recall":$recall,"queries":{"""
     val fixedTail = 90 // "},"omitted":{"n":NN,"sec":NNN.NNN},"profile":"bench_profile.json"}"
     var used = head.length + fixedTail
     val kept = bySlow.takeWhile { case (k, v) =>

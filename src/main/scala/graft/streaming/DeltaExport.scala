@@ -1065,9 +1065,20 @@ object DeltaExport {
           p -> l
         }.toMap
     require(!snap.entries.keys.exists(_.startsWith(MergeInto.GenPrefix)),
-      s"table at $root has GENERATED (virtual) columns — nothing is " +
+      s"table at $root has VIRTUAL generated columns — nothing is " +
         "stored for them, so a foreign Delta reader would silently " +
-        "miss them; drop them before exporting")
+        "miss them; run MergeInto.materializeGeneratedColumn first " +
+        "(stores the values files-in-place-ably and keeps the " +
+        "generation contract), or drop them")
+    // STORED generated columns (materializeGeneratedColumn) export per
+    // the protocol's generated-column contract: values are in the data
+    // files, the expression publishes as delta.generationExpression
+    // field metadata, and the generatedColumns writer feature (legacy
+    // writer 4) tells foreign WRITERS to keep computing it
+    val genStored: Map[String, String] = snap.entries.toSeq
+      .filter(_._1.startsWith(MergeInto.GenStoredPrefix))
+      .map { case (k, v) =>
+        k.stripPrefix(MergeInto.GenStoredPrefix) -> v }.toMap
     val physSchema = tableSchema(spark, root, snap)
     // column-mapping ids are UNIQUE AND IMMUTABLE per the protocol:
     // reuse the id each physical column carried in the previous log's
@@ -1088,7 +1099,7 @@ object DeltaExport {
           }
         }
       }.toMap
-    val schema =
+    val schema0 =
       if (colMap.isEmpty) physSchema
       else {
         var nextId = math.max(
@@ -1103,6 +1114,16 @@ object DeltaExport {
               .putLong("delta.columnMapping.id", id).build())
         })
       }
+    val schema =
+      if (genStored.isEmpty) schema0
+      else StructType(schema0.fields.map { f =>
+        genStored.get(f.name) match {
+          case Some(genSql) => f.copy(metadata = new MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString("delta.generationExpression", genSql).build())
+          case None => f
+        }
+      })
     val schemaJson = schema.json
 
     val newDvSets = pendingDeletePositions(spark, root, dvRel, files)
@@ -1149,7 +1170,8 @@ object DeltaExport {
       if (wantDvNow) 3 else 1, if (v2Checkpoints) 3 else 1,
       if (wantColmap) 2 else 1).max
     val desiredWriter = Seq(prev.writerVersion, 2,
-      if (wantCdf) 4 else 0, if (wantDvNow) 7 else 0,
+      if (wantCdf) 4 else 0, if (genStored.nonEmpty) 4 else 0,
+      if (wantDvNow) 7 else 0,
       if (v2Checkpoints) 7 else 0, if (wantColmap) 5 else 0).max
     val legacyColmap =
       if (prev.readerVersion == 2 || prev.mappingMode != "none" ||
@@ -1170,7 +1192,9 @@ object DeltaExport {
           (if (wantCdf || prev.writerVersion >= 4 ||
               prev.configuration.get("delta.enableChangeDataFeed")
                 .contains("true"))
-            Set("changeDataFeed") else Set.empty[String])
+            Set("changeDataFeed") else Set.empty[String]) ++
+          (if (genStored.nonEmpty || prev.writerVersion >= 4)
+            Set("generatedColumns") else Set.empty[String])
       else prev.writerFeatures
     // bucket layout rides along as NAMESPACED table properties (foreign
     // engines ignore unknown keys, per the spec): the read side turns

@@ -29,15 +29,28 @@ import org.apache.spark.sql.types._
   * place, nothing copied.
   *
   * Design decisions, each pinned to the spec:
-  *  - Snapshots are FULL REWRITES: every export writes one fresh
-  *    manifest covering the whole live set (`status=ADDED`, the
-  *    snapshot's own sequence number). The spec explicitly allows
-  *    manifests to be rewritten at any time; sequence-number semantics
-  *    only matter relative to delete files, which this writer never
-  *    emits. Cost per export is O(live files) metadata — the same bound
-  *    as [[DeltaExport]]'s checkpoint, paid every time instead of every
-  *    interval. Incremental manifest reuse is a possible refinement,
-  *    not a correctness gap.
+  *  - Snapshots REUSE prior manifests incrementally (the shape of
+  *    Iceberg's own fast-append): a previous data manifest whose files
+  *    are ALL still live is carried VERBATIM into the new manifest
+  *    list; only new files — plus the still-live survivors of
+  *    manifests that lost a file — are written into one fresh manifest
+  *    (new files `status=ADDED` at the snapshot's sequence, survivors
+  *    `status=EXISTING` at their original one, the spec's
+  *    rewritten-manifest rule). Steady-state metadata cost per export
+  *    is O(new files + files in touched manifests), NOT O(live files);
+  *    a pure delete-vector export writes no data manifest at all. To
+  *    bound manifest-list growth the writer folds the SMALLEST carried
+  *    manifests into the fresh one when the count would exceed
+  *    [[MaxCarriedDataManifests]] — LSM-style geometric merging,
+  *    amortized O(new · log live), the bargain Iceberg's
+  *    commit.manifest.min-count-to-merge strikes.
+  *  - Carried DELETE manifests are dropped once provably unreachable:
+  *    an equality delete reaches only strictly-older data sequences, a
+  *    position delete only older-or-equal sequences AND files it names
+  *    by path — when no live data file satisfies that scope (e.g. every
+  *    deleted-from bucket has since been rewritten), carrying the
+  *    manifest forever would grow the list and tax every reader for
+  *    the life of the table.
   *  - `record_count` (required by the spec per data file) comes from
   *    one parquet FOOTER read per NEW file — the exact cost Iceberg's
   *    own `add_files` import procedure pays; counts for carried-over
@@ -222,14 +235,18 @@ object IcebergExport {
       case "struct" => StructType(
         t.get("fields").elements().asScala.map { f =>
           val name = f.get("name").asText()
-          // v3 column DEFAULTS: files written BEFORE the column was
-          // added must surface the default, not null — this reader
-          // would silently null them, so refuse by name
-          require(!f.has("initial-default") && !f.has("write-default"),
-            s"iceberg column '$at.$name' declares a DEFAULT value " +
-              "(v3 initial-default/write-default) — files predating " +
-              "the column would read as NULL instead of the default; " +
-              "read with a full engine")
+          // v3 column DEFAULTS: TOP-LEVEL initial-defaults are read
+          // natively (readAt probes which files lack the field and
+          // surfaces the default there — the spec's read-side
+          // semantics; write-default is writer-only and ignored).
+          // NESTED defaults would need per-file struct surgery this
+          // reader does not do — refuse by name, never null silently.
+          require(at.isEmpty ||
+              (!f.has("initial-default") && !f.has("write-default")),
+            s"iceberg column '$at.$name' declares a NESTED DEFAULT " +
+              "value (v3 initial-default/write-default below the top " +
+              "level) — files predating the field would read as NULL " +
+              "instead of the default; read with a full engine")
           StructField(name, sparkType(f.get("type"), s"$at.$name"),
             nullable = !f.get("required").asBoolean())
         }.toArray)
@@ -524,16 +541,53 @@ object IcebergExport {
   /** Run `body` with a session conf pinned, restoring the prior value
     * (or unsetting) afterwards — export-side writes materialize EAGERLY
     * inside `body`, so the conf never leaks into unrelated scans or
-    * writes in the same session.
+    * writes in the same session. Delegates to [[ConfPin]] (refcounted):
+    * concurrent gates over one SparkSession cannot interleave a restore
+    * into another gate's pinned write.
     */
   private def withSessionConf[T](spark: SparkSession, key: String,
-      value: String)(body: => T): T = {
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, value)
-    try body finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+      value: String)(body: => T): T =
+    ConfPin.withValue(spark, key, value)(body)
+
+  /** Decode one v3 `deletion-vector-v1` puffin blob into sorted row
+    * positions. Layout per the Iceberg v3 spec: the puffin file opens
+    * with magic `PFA1`; the blob at (offset, size) is framed as a
+    * 4-byte big-endian length of (magic + vector), the 4-byte bitmap
+    * magic, the vector in the portable 64-bit RoaringBitmap format
+    * (byte-identical to the Delta protocol's DV serialization — the v3
+    * spec adopted it for cross-format compatibility, so
+    * [[RoaringBitmap64]] decodes both), and a big-endian CRC-32 of
+    * (magic + vector). Every framing violation refuses loudly by name.
+    */
+  private def readPuffinDv(fs: FileSystem, p: Path, offset: Long,
+      size: Long, root: String): Array[Long] = {
+    def refuse(why: String): Nothing = throw new IllegalArgumentException(
+      s"iceberg table at $root: puffin deletion vector $p ($why) — " +
+        "read with a full engine")
+    if (size < 12 || size > Int.MaxValue)
+      refuse(s"blob size $size is not a framed deletion-vector-v1")
+    val in = fs.open(p)
+    val (head, buf) = try {
+      val h = new Array[Byte](4)
+      in.readFully(0L, h)
+      val b = new Array[Byte](size.toInt)
+      in.readFully(offset, b)
+      (h, b)
+    } finally in.close()
+    if (!java.util.Arrays.equals(head,
+        Array[Byte]('P'.toByte, 'F'.toByte, 'A'.toByte, '1'.toByte)))
+      refuse("file does not open with the puffin magic PFA1")
+    val innerLen = java.nio.ByteBuffer.wrap(buf, 0, 4).getInt // BE
+    if (innerLen < 4 || innerLen.toLong + 8 > size)
+      refuse(s"framed length $innerLen does not fit blob size $size")
+    val body = java.util.Arrays.copyOfRange(buf, 4, 4 + innerLen)
+    val crcWant = java.nio.ByteBuffer.wrap(buf, 4 + innerLen, 4).getInt
+    val crc = new java.util.zip.CRC32()
+    crc.update(body)
+    if (crc.getValue.toInt != crcWant)
+      refuse(f"CRC-32 mismatch (stored 0x$crcWant%08x)")
+    // body = bitmap magic + portable bitmap; the codec validates magic
+    RoaringBitmap64.deserialize(body).values.toArray
   }
 
   private def optLong(r: GenericRecord, name: String): Option[Long] =
@@ -567,6 +621,13 @@ object IcebergExport {
   /** The spec's reserved field ids for position-delete file columns. */
   private val PosDeletePathFieldId = 2147483546L
   private val PosDeletePosFieldId = 2147483545L
+
+  /** Carried-data-manifest cap: above it the next export folds the
+    * SMALLEST carried manifests into its fresh manifest (LSM-style
+    * geometric merging — amortized O(new · log live) metadata writes).
+    * 8 keeps worst-case reader manifest opens and list length bounded.
+    */
+  private val MaxCarriedDataManifests = 8
 
   /** Publish the latest committed snapshot as the next Iceberg
     * snapshot. Idempotent: when the previous Iceberg snapshot already
@@ -604,9 +665,11 @@ object IcebergExport {
         "materializeDeletes before exporting, or pass deleteFiles=true " +
         "to publish it as position delete files")
     require(!snap.entries.keys.exists(_.startsWith(MergeInto.GenPrefix)),
-      s"table at $root has GENERATED (virtual) columns — nothing is " +
+      s"table at $root has VIRTUAL generated columns — nothing is " +
         "stored for them, so a foreign Iceberg reader would silently " +
-        "miss them; drop them before exporting")
+        "miss them; run MergeInto.materializeGeneratedColumn first " +
+        "(Iceberg has no generated-column metadata, but the stored " +
+        "values export as a plain column), or drop them")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = metaDir(root).getFileSystem(conf)
     val rootAbs = fs.makeQualified(new Path(root)).toUri.getPath
@@ -734,51 +797,74 @@ object IcebergExport {
     val now = System.currentTimeMillis()
     if (!fs.exists(metaDir(root))) fs.mkdirs(metaDir(root))
 
-    // previous manifest's entries: row counts AND column stats ride
-    // along for carried-over files; only NEW files cost a footer read
-    // (counts) + one slice of the stats aggregation
-    // (original data sequence number, data_file record) per carried
-    // path — carried entries keep the sequence they were FIRST added
-    // at (written back as status=EXISTING), which is what makes
-    // equality deletes (strictly-newer-sequence semantics) applicable
-    // to them
-    val priorFiles: Map[String, (Long, GenericRecord)] = (for {
-      p <- prior.toSeq
-      cs <- Option(p.get("current-snapshot-id")).filterNot(_.isNull).toSeq
-      sn <- p.get("snapshots").elements().asScala
-        .find(_.get("snapshot-id").asLong() == cs.asLong()).toSeq
-      mf <- readAvro(fs, new Path(sn.get("manifest-list").asText()))
-      if optInt(mf, "content", 0) == 0
-      mfSeq = optLong(mf, "sequence_number").getOrElse(0L)
-      e <- readAvro(fs, new Path(mf.get("manifest_path").toString))
-      df = e.get("data_file").asInstanceOf[GenericRecord]
-    } yield df.get("file_path").toString ->
-        ((optLong(e, "sequence_number").getOrElse(mfSeq), df))).toMap
-    // the prior snapshot's DELETE manifests stay in force: their files
-    // keep applying to strictly-older (position: older-or-equal) data
-    // sequences, which carried EXISTING entries still have. Carried
-    // verbatim — original sequence numbers preserved — so interleaved
-    // append/delete cycles stay correct under the reader's per-file
-    // sequence scoping.
-    val priorDeleteManifests: Seq[GenericRecord] = (for {
-      p <- prior.toSeq
-      cs <- Option(p.get("current-snapshot-id")).filterNot(_.isNull).toSeq
-      sn <- p.get("snapshots").elements().asScala
-        .find(_.get("snapshot-id").asLong() == cs.asLong()).toSeq
-      mf <- readAvro(fs, new Path(sn.get("manifest-list").asText()))
-      if optInt(mf, "content", 0) == 1
-    } yield {
+    // previous snapshot's manifest list, STRUCTURED per manifest: a
+    // data manifest whose files are all still live carries VERBATIM
+    // into the new list (Iceberg's fast-append shape); the rest rewrite
+    // into this snapshot's one fresh manifest. Row counts AND column
+    // stats ride along for every carried-over file; only NEW files cost
+    // a footer read (counts) + one slice of the stats aggregation.
+    // Carried entries keep the sequence they were FIRST added at
+    // (written back as status=EXISTING when rewritten), which is what
+    // makes equality deletes (strictly-newer-sequence semantics)
+    // applicable to them.
+    def cloneManifestFile(mf: GenericRecord): GenericRecord = {
       val c = new GenericData.Record(ManifestFileSchema)
       ManifestFileSchema.getFields.asScala.foreach { f =>
         if (mf.getSchema.getField(f.name()) != null)
           c.put(f.name(), mf.get(f.name()))
       }
       c
-    }).toVector
+    }
+    val priorManifests: Seq[(GenericRecord, Int, Seq[(Long, GenericRecord)])] =
+      (for {
+        p <- prior.toSeq
+        cs <- Option(p.get("current-snapshot-id")).filterNot(_.isNull).toSeq
+        sn <- p.get("snapshots").elements().asScala
+          .find(_.get("snapshot-id").asLong() == cs.asLong()).toSeq
+        mf <- readAvro(fs, new Path(sn.get("manifest-list").asText()))
+      } yield {
+        val mfSeq = optLong(mf, "sequence_number").getOrElse(0L)
+        val ents = readAvro(fs, new Path(mf.get("manifest_path").toString))
+          .map(e => (optLong(e, "sequence_number").getOrElse(mfSeq),
+            e.get("data_file").asInstanceOf[GenericRecord]))
+        (cloneManifestFile(mf), optInt(mf, "content", 0), ents)
+      }).toVector
+    val priorDataManifests = priorManifests.collect {
+      case (mf, 0, ents) => (mf, ents) }
+    val priorFiles: Map[String, (Long, GenericRecord)] =
+      priorDataManifests.flatMap(_._2.map { case (s, df) =>
+        df.get("file_path").toString -> ((s, df)) }).toMap
     val priorCounts = priorFiles.map { case (p, (_, df)) =>
       p -> df.get("record_count").asInstanceOf[Long] }
     val counts = recordCounts(fs, files, priorCounts, conf)
     val newPaths = files.map(_._1).filterNot(priorFiles.contains)
+
+    // MANIFEST CARRY: split prior data manifests into carryable (every
+    // file still live — reference the avro verbatim, zero bytes
+    // written) and dirty (a file was removed — its survivors rewrite
+    // into this snapshot's fresh manifest). Compaction is LSM-style:
+    // once the carried count would exceed the cap, the SMALLEST
+    // manifests fold into this snapshot's fresh manifest while the
+    // largest carry on — list length stays bounded at the cap, the big
+    // manifests form a geometric ladder, and amortized metadata write
+    // cost is O(new files · log(live files)), never a full rewrite
+    // (the same bin-pack bargain Iceberg's commit.manifest.min-count-
+    // to-merge strikes).
+    val liveSet = files.map(_._1).toSet
+    val (carryable, dirty) = priorDataManifests.partition {
+      case (_, ents) =>
+        ents.forall { case (_, df) =>
+          liveSet.contains(df.get("file_path").toString) }
+    }
+    val carriedData =
+      if (carryable.size + 1 <= MaxCarriedDataManifests) carryable
+      else carryable.sortBy(_._2.size)
+        .takeRight(MaxCarriedDataManifests - 1)
+    val carriedPaths: Set[String] =
+      carriedData.flatMap(_._2.map(_._2.get("file_path").toString)).toSet
+    // files the fresh manifest must cover: new adds + survivors of
+    // dirty manifests + entries of folded (compacted-away) manifests
+    val newManifestFiles = files.filterNot(f => carriedPaths.contains(f._1))
     // stats are computed against the files' PHYSICAL columns, then
     // re-keyed to the logical names putStats/idOf speak (identity when
     // the table was never renamed)
@@ -792,10 +878,12 @@ object IcebergExport {
     }
 
     // MANIFEST: new files as ADDED at this snapshot's sequence,
-    // carried files as EXISTING at their ORIGINAL sequence (the spec's
-    // rewritten-manifest shape — what keeps strictly-newer equality
-    // deletes applicable to them)
-    val entries = files.sortBy(_._1).map { case (p, size) =>
+    // rewritten-in files as EXISTING at their ORIGINAL sequence (the
+    // spec's rewritten-manifest shape — what keeps strictly-newer
+    // equality deletes applicable to them). Skipped entirely when a
+    // snapshot adds no data file and removes none (pure delete-vector
+    // exports) — every data manifest carries.
+    val entries = newManifestFiles.sortBy(_._1).map { case (p, size) =>
       val df = new GenericData.Record(
         ManifestEntrySchema.getField("data_file").schema())
       df.put("content", 0)
@@ -832,15 +920,20 @@ object IcebergExport {
       e.put("data_file", df)
       e
     }
-    val minSeq = (Seq(seq) ++ files.flatMap(f =>
+    val minSeq = (Seq(seq) ++ newManifestFiles.flatMap(f =>
       priorFiles.get(f._1).map(_._1))).min
-    val manifestPath = new Path(metaDir(root),
-      s"${java.util.UUID.randomUUID}-m0.avro")
-    val manifestLen = writeAvro(fs, manifestPath, ManifestEntrySchema,
-      Map("schema" -> mapper.writeValueAsString(resolvedSchemaJson),
-        "schema-id" -> schemaId.toString,
-        "partition-spec" -> "[]", "partition-spec-id" -> "0",
-        "format-version" -> "2", "content" -> "data"), entries)
+    val newManifest: Option[(Path, Long)] =
+      if (entries.isEmpty) None
+      else {
+        val manifestPath = new Path(metaDir(root),
+          s"${java.util.UUID.randomUUID}-m0.avro")
+        val manifestLen = writeAvro(fs, manifestPath, ManifestEntrySchema,
+          Map("schema" -> mapper.writeValueAsString(resolvedSchemaJson),
+            "schema-id" -> schemaId.toString,
+            "partition-spec" -> "[]", "partition-spec-id" -> "0",
+            "format-version" -> "2", "content" -> "data"), entries)
+        Some((manifestPath, manifestLen))
+      }
 
     // DELETE FILE + DELETE MANIFEST (only when deletes pend): position
     // mode writes the sorted (file_path, pos) parquet with the spec's
@@ -986,23 +1079,60 @@ object IcebergExport {
         (mf, n)
       }
 
-    // MANIFEST LIST
-    val (carried, freshFiles) = files.partition(f =>
-      priorFiles.contains(f._1))
-    val mf = new GenericData.Record(ManifestFileSchema)
-    mf.put("manifest_path", manifestPath.toString)
-    mf.put("manifest_length", manifestLen)
-    mf.put("partition_spec_id", 0)
-    mf.put("content", 0)
-    mf.put("sequence_number", seq)
-    mf.put("min_sequence_number", minSeq)
-    mf.put("added_snapshot_id", snapshotId)
-    mf.put("added_files_count", freshFiles.size)
-    mf.put("existing_files_count", carried.size)
-    mf.put("deleted_files_count", 0)
-    mf.put("added_rows_count", freshFiles.map(f => counts(f._1)).sum)
-    mf.put("existing_rows_count", carried.map(f => counts(f._1)).sum)
-    mf.put("deleted_rows_count", 0L)
+    // DELETE-MANIFEST REACHABILITY: a carried delete manifest stays in
+    // force only while it can still subtract something. An equality
+    // delete reaches live files with a STRICTLY older data sequence; a
+    // position delete reaches older-or-equal sequences AND only files
+    // it names by path (one bounded driver-side read of its file_path
+    // column — the same volume every merge-on-read reader of the table
+    // would otherwise pay on EVERY read, paid here once at export to
+    // stop paying it forever). Unreachable manifests drop from the
+    // list; their files remain on disk for time travel until
+    // expireSnapshots collects them.
+    val liveSeqByPath: Map[String, Long] = files.map(f =>
+      f._1 -> priorFiles.get(f._1).map(_._1).getOrElse(seq)).toMap
+    def deleteReaches(delSeq: Long, df: GenericRecord): Boolean =
+      optInt(df, "content", 0) match {
+        case 2 => liveSeqByPath.values.exists(_ < delSeq)
+        case _ =>
+          liveSeqByPath.values.exists(_ <= delSeq) && {
+            val refd = spark.read
+              .parquet(df.get("file_path").toString)
+              .select("file_path").distinct()
+              .collect().map(_.getString(0)).toSet
+            liveSeqByPath.exists { case (p, s) =>
+              s <= delSeq && refd.contains(p) }
+          }
+      }
+    val keptDeleteManifests: Seq[GenericRecord] =
+      priorManifests.collect {
+        case (mf, 1, ents)
+            if ents.exists { case (s, df) => deleteReaches(s, df) } => mf
+      }
+
+    // MANIFEST LIST: carried data manifests verbatim, then this
+    // snapshot's fresh manifest (if any), then still-reaching delete
+    // manifests, then this snapshot's delete manifest (if any)
+    val newMfRec: Option[GenericRecord] = newManifest.map {
+      case (manifestPath, manifestLen) =>
+        val (existing, fresh) = newManifestFiles.partition(f =>
+          priorFiles.contains(f._1))
+        val mf = new GenericData.Record(ManifestFileSchema)
+        mf.put("manifest_path", manifestPath.toString)
+        mf.put("manifest_length", manifestLen)
+        mf.put("partition_spec_id", 0)
+        mf.put("content", 0)
+        mf.put("sequence_number", seq)
+        mf.put("min_sequence_number", minSeq)
+        mf.put("added_snapshot_id", snapshotId)
+        mf.put("added_files_count", fresh.size)
+        mf.put("existing_files_count", existing.size)
+        mf.put("deleted_files_count", 0)
+        mf.put("added_rows_count", fresh.map(f => counts(f._1)).sum)
+        mf.put("existing_rows_count", existing.map(f => counts(f._1)).sum)
+        mf.put("deleted_rows_count", 0L)
+        mf
+    }
     val listPath = new Path(metaDir(root),
       s"snap-$snapshotId-1-${java.util.UUID.randomUUID}.avro")
     writeAvro(fs, listPath, ManifestFileSchema,
@@ -1012,7 +1142,8 @@ object IcebergExport {
           Option(p.get("current-snapshot-id")).filterNot(_.isNull)
             .map(_.asLong().toString)).getOrElse("null"),
         "format-version" -> "2"),
-      Seq(mf) ++ priorDeleteManifests ++ deleteManifest.map(_._1))
+      carriedData.map(_._1) ++ newMfRec.toSeq ++
+        keptDeleteManifests ++ deleteManifest.map(_._1))
 
     // METADATA JSON
     val md = mapper.createObjectNode()
@@ -1042,6 +1173,15 @@ object IcebergExport {
       props.put("graft.numBuckets", n)
       props.put("graft.bucketKey", key)
     }
+    // stored generated columns export as plain columns (values are in
+    // the files); the expression rides along as a namespaced property
+    // so a round trip back through this library keeps the contract
+    snap.entries.toSeq
+      .filter(_._1.startsWith(MergeInto.GenStoredPrefix))
+      .foreach { case (k, v) =>
+        props.put("graft.generationExpression." +
+          k.stripPrefix(MergeInto.GenStoredPrefix), v)
+      }
     md.put("current-snapshot-id", snapshotId)
     val snapsArr = md.putArray("snapshots")
     prior.foreach(_.get("snapshots").elements().asScala
@@ -1422,10 +1562,17 @@ object IcebergExport {
     val keptRefs = kept.map(s => refs(s.get("manifest-list").asText()))
     val liveManifests = keptRefs.flatMap(_._1).toSet
     val liveDeletes = keptRefs.flatMap(_._2).toSet
-    var removed = 0
-    expired.foreach { s =>
+    // READ every expired snapshot's refs BEFORE deleting anything:
+    // manifests are SHARED across consecutive snapshots (delete
+    // manifests carried verbatim, data manifests carried by the
+    // incremental export), so deleting one snapshot's orphans can
+    // remove a file a later expired snapshot's walk still needs to open
+    val expiredRefs = expired.map { s =>
       val listPath = s.get("manifest-list").asText()
-      val (ms, ds) = refs(listPath)
+      (listPath, refs(listPath))
+    }
+    var removed = 0
+    expiredRefs.foreach { case (listPath, (ms, ds)) =>
       (ms -- liveManifests).foreach { p =>
         if (fs.delete(new Path(p), false)) removed += 1 }
       (ds -- liveDeletes).foreach { p =>
@@ -1474,10 +1621,11 @@ object IcebergExport {
     removed + trimmed
   }
 
-  /** Read snapshot `snapshotId` (-1 = current). Refuses loudly: format
-    * versions above 3, v3-only features in use (puffin deletion
-    * vectors, column defaults, unknown types), non-parquet files —
-    * never a misread.
+  /** Read snapshot `snapshotId` (-1 = current). v3 puffin DELETION
+    * VECTORS are read natively (the blob shares the Delta DV byte
+    * layout). Refuses loudly: format versions above 3, remaining
+    * v3-only features in use (column defaults, unknown types),
+    * non-parquet data files — never a misread.
     */
   def readAt(spark: SparkSession, root: String,
       snapshotId: Long): DataFrame = {
@@ -1488,12 +1636,13 @@ object IcebergExport {
         s"no iceberg metadata under ${metaDir(root)}"))
     val md = mapper.readTree(readFully(fs, metadataFile(root, v)))
     val fv = md.get("format-version").asInt()
-    // v3 metadata is accepted when the snapshot USES no v3-only
-    // feature: the table/manifest structures are upward-compatible, and
-    // the features that are not — puffin deletion vectors (non-parquet
-    // delete files), unknown/new column types, column DEFAULT values —
-    // each refuse by name below at the exact place they would otherwise
-    // misread. Versions above 3 are unknown territory and refuse here.
+    // v3 metadata is accepted when the snapshot uses only features this
+    // reader implements: the table/manifest structures are upward-
+    // compatible, puffin deletion vectors decode natively, and the
+    // features that remain out — unknown/new column types, column
+    // DEFAULT values — each refuse by name below at the exact place
+    // they would otherwise misread. Versions above 3 are unknown
+    // territory and refuse here.
     require(fv <= 3,
       s"iceberg table at $root is format-version $fv — this reader " +
         "implements the spec through v3 (v3-only features refused by " +
@@ -1547,39 +1696,142 @@ object IcebergExport {
         .map(e => (e, optLong(e, "sequence_number").getOrElse(mfSeq),
           specId))
     }
-    /** identity-partition values -> zone bounds (min = max = value; a
-      * null partition value means every row is null). Catalyst runtime
-      * forms, matching the prover's interpreted orderings.
+    /** Partition values -> zone bounds + equality provers, TRANSFORM-
+      * AWARE (the spec's Appendix-B semantics via
+      * [[IcebergTransforms]]):
+      *  - identity: min = max = value
+      *  - truncate[W] on int/long: source in [v, v+W-1]; on string: the
+      *    value is a PREFIX, so it lower-bounds the source (no upper)
+      *  - day/month/year/hour: the covered date/timestamp range
+      *  - bucket[N]: no range exists — instead an equality prover
+      *    (literal hashes to a different bucket => the file can't hold
+      *    it), consulted by ZonePrune for =/IN predicates only
+      * A null partition value means every row's source is null (every
+      * modeled transform maps null to null and nothing else to null);
+      * unknown transforms — including void, which maps EVERYTHING to
+      * null — contribute nothing. All values in Catalyst runtime form,
+      * matching the prover's interpreted orderings.
       */
+    val TransformRe = """^(\w+)\[(\d+)\]$""".r
     def partZone(df: GenericRecord, specId: Int, rc: Long)
-        : (Map[String, Any], Map[String, Long]) = {
+        : (Map[String, Any], Map[String, Any], Map[String, Long],
+           Map[String, Any => Boolean]) = {
       val part = Option(df.get("partition"))
         .collect { case r: GenericRecord => r }
-      val bounds = scala.collection.mutable.Map.empty[String, Any]
+      val mins = scala.collection.mutable.Map.empty[String, Any]
+      val maxs = scala.collection.mutable.Map.empty[String, Any]
       val nulls = scala.collection.mutable.Map.empty[String, Long]
+      val excl =
+        scala.collection.mutable.Map.empty[String, Any => Boolean]
+      import graft.streaming.{IcebergTransforms => IT}
       for {
         p <- part.toSeq
         (fname, transform, srcId) <- specsById.getOrElse(specId, Nil)
-        if transform == "identity" // other transforms: files still
-        // store the source column; we simply cannot prune on them
         if p.getSchema.getField(fname) != null
         (colName, dt) <- topById.get(srcId)
-      } Option(p.get(fname)) match {
-        case None => nulls += colName -> rc // all rows null
-        case Some(v) =>
-          nulls += colName -> 0L
-          val conv: Option[Any] = dt match {
-            case IntegerType | DateType =>
-              Some(v.asInstanceOf[Number].intValue())
-            case LongType => Some(v.asInstanceOf[Number].longValue())
-            case BooleanType => Some(v.asInstanceOf[Boolean])
-            case StringType => Some(org.apache.spark.unsafe.types
-              .UTF8String.fromString(v.toString))
-            case _ => None // unmodeled type: never prune on it
-          }
-          conv.foreach(bounds += colName -> _)
+      } {
+        val (tname, width) = transform match {
+          case TransformRe(t, w) => (t, w.toInt)
+          case t => (t, 0)
+        }
+        val known = tname match {
+          case "identity" | "day" | "month" | "year" | "hour" => true
+          case "bucket" | "truncate" => width > 0
+          case _ => false // incl. void: maps EVERYTHING to null
+        }
+        if (known) Option(p.get(fname)) match {
+          case None => nulls += colName -> rc // all source rows null
+          case Some(v0) =>
+            nulls += colName -> 0L
+            def point(v: Any): Unit = { mins += colName -> v
+              maxs += colName -> v }
+            def range(lo: Any, hi: Any): Unit = { mins += colName -> lo
+              maxs += colName -> hi }
+            (tname, dt) match {
+              case ("identity", IntegerType | DateType) =>
+                point(v0.asInstanceOf[Number].intValue())
+              case ("identity", LongType | TimestampType |
+                  TimestampNTZType) =>
+                point(v0.asInstanceOf[Number].longValue())
+              case ("identity", BooleanType) =>
+                point(v0.asInstanceOf[Boolean])
+              case ("identity", StringType) =>
+                point(org.apache.spark.unsafe.types
+                  .UTF8String.fromString(v0.toString))
+              case ("bucket", _) =>
+                val b = v0.asInstanceOf[Number].intValue()
+                // an out-of-range bucket id is corrupt metadata: never
+                // prune on it
+                if (b >= 0 && b < width) {
+                  val f: Option[Any => Boolean] = dt match {
+                    case IntegerType => Some {
+                      case x: Int => IT.bucketLong(x.toLong, width) != b
+                      case _ => false }
+                    case LongType => Some {
+                      case x: Long => IT.bucketLong(x, width) != b
+                      case _ => false }
+                    case DateType => Some {
+                      case x: Int => IT.bucketLong(x.toLong, width) != b
+                      case _ => false }
+                    case TimestampType | TimestampNTZType => Some {
+                      case x: Long => IT.bucketLong(x, width) != b
+                      case _ => false }
+                    case StringType => Some {
+                      case x: org.apache.spark.unsafe.types.UTF8String =>
+                        IT.bucketBytes(x.getBytes, width) != b
+                      case _ => false }
+                    case _: DecimalType => Some {
+                      case x: org.apache.spark.sql.types.Decimal =>
+                        IT.bucketDecimal(
+                          x.toJavaBigDecimal.unscaledValue(), width) != b
+                      case _ => false }
+                    case _ => None
+                  }
+                  f.foreach(excl += colName -> _)
+                }
+              case ("truncate", IntegerType) =>
+                val v = v0.asInstanceOf[Number].intValue()
+                val hi = v.toLong + width - 1
+                range(v, if (hi > Int.MaxValue) Int.MaxValue else hi.toInt)
+              case ("truncate", LongType) =>
+                val v = v0.asInstanceOf[Number].longValue()
+                val hi = v + (width - 1)
+                if (hi >= v) range(v, hi)
+                else mins += colName -> v // overflow: lower bound only
+              case ("truncate", StringType) =>
+                mins += colName -> org.apache.spark.unsafe.types
+                  .UTF8String.fromString(v0.toString)
+              case ("day", DateType) =>
+                point(v0.asInstanceOf[Number].intValue())
+              case ("day", TimestampType | TimestampNTZType) =>
+                val (lo, hi) =
+                  IT.dayToMicros(v0.asInstanceOf[Number].longValue())
+                range(lo, hi)
+              case ("hour", TimestampType | TimestampNTZType) =>
+                val (lo, hi) =
+                  IT.hourToMicros(v0.asInstanceOf[Number].longValue())
+                range(lo, hi)
+              case ("month", DateType) =>
+                val (lo, hi) =
+                  IT.monthToDays(v0.asInstanceOf[Number].intValue())
+                range(lo.toInt, hi.toInt)
+              case ("month", TimestampType | TimestampNTZType) =>
+                val (d0, d1) =
+                  IT.monthToDays(v0.asInstanceOf[Number].intValue())
+                range(IT.dayToMicros(d0)._1, IT.dayToMicros(d1)._2)
+              case ("year", DateType) =>
+                val (lo, hi) =
+                  IT.yearToDays(v0.asInstanceOf[Number].intValue())
+                range(lo.toInt, hi.toInt)
+              case ("year", TimestampType | TimestampNTZType) =>
+                val (d0, d1) =
+                  IT.yearToDays(v0.asInstanceOf[Number].intValue())
+                range(IT.dayToMicros(d0)._1, IT.dayToMicros(d1)._2)
+              case _ => // unmodeled (type, transform): never prune
+            }
+        }
       }
-      (bounds.toMap, nulls.toMap)
+      (mins.toMap, maxs.toMap, nulls.toMap, excl.toMap)
     }
     /** manifest column stats -> zone bounds, decoded per the schema's
       * field ids (strings/floats deliberately not consumed — see
@@ -1619,12 +1871,12 @@ object IcebergExport {
           s"iceberg table at $root stores '$fmt' data files — only " +
             "parquet is supported")
         val rc = df.get("record_count").asInstanceOf[Long]
-        val (pBounds, pNulls) = partZone(df, specId, rc)
+        val (pMins, pMaxs, pNulls, pExcl) = partZone(df, specId, rc)
         val (mins, maxs, sNulls) = statsZone(df)
         (df.get("file_path").toString,
           df.get("file_size_in_bytes").asInstanceOf[Long],
-          rc, seq, (pBounds ++ mins, pBounds ++ maxs),
-          pNulls ++ sNulls)
+          rc, seq, (pMins ++ mins, pMaxs ++ maxs),
+          pNulls ++ sNulls, pExcl)
     }
     require(files.nonEmpty,
       s"iceberg snapshot $targetId at $root lists no live files")
@@ -1645,21 +1897,42 @@ object IcebergExport {
             s"$content — only position (1) and equality (2) deletes " +
             "are defined by the spec")
         val fmt = df.get("file_format").toString
-        require(fmt.equalsIgnoreCase("parquet"),
+        val puffin = fmt.equalsIgnoreCase("puffin")
+        require(fmt.equalsIgnoreCase("parquet") ||
+            (puffin && content == 1),
           s"iceberg table at $root stores '$fmt' delete files — only " +
-            "parquet position/equality deletes are supported (v3 " +
-            "puffin deletion vectors are not)")
-        (df, delSeq, content)
+            "parquet position/equality deletes and v3 puffin deletion " +
+            "vectors (content=1) are supported")
+        (df, delSeq, content, puffin)
     }
     val deleteGroups: Seq[(Long, Map[String, Array[Long]])] =
-      deleteEntries.collect { case (df, delSeq, 1) =>
-        val rows = spark.read.parquet(df.get("file_path").toString)
-          .select("file_path", "pos").collect()
-        (delSeq, rows.groupBy(_.getString(0))
-          .map { case (p, rs) => p -> rs.map(_.getLong(1)).sorted })
+      deleteEntries.collect {
+        case (df, delSeq, 1, true) =>
+          // v3 DELETION VECTOR: one puffin blob per referenced data
+          // file, located by the manifest's (offset, size) — the blob
+          // is byte-identical to the Delta DV layout (the v3 spec chose
+          // it for exactly this cross-format reuse), so the same
+          // RoaringBitmap64 codec decodes it
+          def need(field: String): Unit = require(
+            df.getSchema.getField(field) != null && df.get(field) != null,
+            s"iceberg table at $root carries a puffin deletion vector " +
+              s"without '$field' — the v3 spec requires it; read with " +
+              "a full engine")
+          need("referenced_data_file")
+          need("content_offset"); need("content_size_in_bytes")
+          val ref = df.get("referenced_data_file").toString
+          (delSeq, Map(ref -> readPuffinDv(fs,
+            new Path(df.get("file_path").toString),
+            optLong(df, "content_offset").get,
+            optLong(df, "content_size_in_bytes").get, root)))
+        case (df, delSeq, 1, false) =>
+          val rows = spark.read.parquet(df.get("file_path").toString)
+            .select("file_path", "pos").collect()
+          (delSeq, rows.groupBy(_.getString(0))
+            .map { case (p, rs) => p -> rs.map(_.getLong(1)).sorted })
       }
     val eqDeletes: Seq[(Long, Seq[(String, DataType, Int)], String)] =
-      deleteEntries.collect { case (df, delSeq, 2) =>
+      deleteEntries.collect { case (df, delSeq, 2, _) =>
         val idsField = df.getSchema.getField("equality_ids")
         val ids: Seq[Int] =
           if (idsField == null) Nil
@@ -1697,22 +1970,111 @@ object IcebergExport {
         logical -> nmPhysById.getOrElse(f.get("id").asInt(), logical)
       }.toMap
     val renamedRead = readPhysOf.exists { case (l, p) => l != p }
-    val scanSchema =
-      if (!renamedRead) schema
-      else StructType(schema.fields.map(f =>
-        f.copy(name = readPhysOf.getOrElse(f.name, f.name))))
-    def toLogical(df: DataFrame): DataFrame =
-      if (!renamedRead) df
-      else df.select(schema.fields.toIndexedSeq.map { f =>
-        df(readPhysOf.getOrElse(f.name, f.name)).as(f.name) }: _*)
+    val idOfLogical: Map[String, Int] =
+      schemaJson.get("fields").elements().asScala.map(f =>
+        f.get("name").asText() -> f.get("id").asInt()).toMap
 
-    val zonesAll = files.map { case (p, _, rc, _, (mins, maxs), nulls) =>
-      def phys[V](m: Map[String, V]): Map[String, V] =
-        if (!renamedRead) m
-        else m.map { case (k, v2) => readPhysOf.getOrElse(k, k) -> v2 }
-      p -> org.apache.spark.sql.FileZone(Some(rc), phys(mins),
-        phys(maxs), phys(nulls))
-    }.toMap
+    // v3 TOP-LEVEL initial-defaults, decoded from the spec's JSON
+    // single-value serialization into Catalyst literals. Surfaced for
+    // files that LACK the field (the spec's read-side semantics —
+    // pre-evolution files must answer the default, not NULL); a file
+    // that stores the column, even as explicit nulls, is untouched.
+    // write-default is writer-side only and deliberately ignored.
+    val initialDefaults: Map[String, org.apache.spark.sql.Column] =
+      schemaJson.get("fields").elements().asScala.flatMap { f =>
+        Option(f.get("initial-default")).filterNot(_.isNull).map { d =>
+          val name = f.get("name").asText()
+          val dt = schema(name).dataType
+          def refuse(): Nothing = throw new IllegalArgumentException(
+            s"iceberg column '$name' ($dt) carries an initial-default " +
+              s"this reader does not decode ($d) — read with a full " +
+              "engine")
+          import org.apache.spark.sql.functions.lit
+          val c: org.apache.spark.sql.Column = dt match {
+            case BooleanType if d.isBoolean => lit(d.asBoolean())
+            case IntegerType if d.isNumber => lit(d.asInt())
+            case LongType if d.isNumber => lit(d.asLong())
+            case FloatType if d.isNumber => lit(d.asDouble().toFloat)
+            case DoubleType if d.isNumber => lit(d.asDouble())
+            case StringType if d.isTextual => lit(d.asText())
+            case _: DecimalType if d.isTextual || d.isNumber =>
+              lit(new java.math.BigDecimal(d.asText()))
+            case DateType if d.isTextual =>
+              lit(java.time.LocalDate.parse(d.asText()))
+            case TimestampNTZType if d.isTextual =>
+              lit(java.time.LocalDateTime.parse(d.asText()))
+            case TimestampType if d.isTextual =>
+              lit(java.sql.Timestamp.from(java.time.OffsetDateTime
+                .parse(d.asText()).toInstant))
+            case _ => refuse()
+          }
+          name -> c.cast(dt)
+        }
+      }.toMap
+
+    // The spec scopes `schema.name-mapping.default` to files WITHOUT
+    // embedded field ids. An id-bearing file resolves columns by ITS
+    // OWN footer ids (a renamed logical column may be stored under any
+    // historical name there — applying the mapping's physical name
+    // would silently null or alias it), and a field id absent from such
+    // a file reads as NULL — or its initial-default — never by name
+    // fallback (a same-named column with a DIFFERENT id must not leak
+    // through). Only RENAMED or default-carrying tables pay the
+    // per-file footer probe — one driver-side footer read per data
+    // file, the cost readEqDelete already pays per delete file; the
+    // common path is untouched.
+    val needProbe = renamedRead || initialDefaults.nonEmpty
+    val footerInfo: Map[String, (Set[String], Map[Int, String])] =
+      if (!needProbe) Map.empty
+      else files.map { case (p, _, _, _, _, _, _) =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(p), spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val msg = try r.getFooter.getFileMetaData.getSchema
+          finally r.close()
+        p -> ((msg.getFields.asScala.map(_.getName).toSet,
+          msg.getFields.asScala.flatMap(f =>
+            Option(f.getId).map(id => id.intValue() -> f.getName)).toMap))
+      }.toMap
+    /** logical -> file-physical column naming for one data file (empty
+      * = identity). A sentinel name no parquet writer emits stands in
+      * for an id the file does not carry, so the scan surfaces NULL for
+      * it (the spec's missing-field semantics).
+      */
+    def namingOf(p: String): Map[String, String] =
+      if (!renamedRead) Map.empty
+      else footerInfo.get(p).map(_._2).filter(_.nonEmpty) match {
+        case Some(byId) => schema.fieldNames.map { l =>
+          val id = idOfLogical.getOrElse(l, -1)
+          l -> byId.getOrElse(id, s"__graft_absent_$id")
+        }.toMap
+        case _ => readPhysOf
+      }
+    /** defaulted columns this data file does NOT store (id probe for
+      * id-bearing files, physical-name probe otherwise).
+      */
+    def absentOf(p: String): Set[String] =
+      if (initialDefaults.isEmpty) Set.empty
+      else {
+        val (names, ids) = footerInfo(p)
+        initialDefaults.keySet.filter { c =>
+          if (ids.nonEmpty) !ids.contains(idOfLogical.getOrElse(c, -1))
+          else !names.contains(readPhysOf.getOrElse(c, c))
+        }
+      }
+
+    def zonesFor(group: Seq[(String, Long, Long, Long,
+        (Map[String, Any], Map[String, Any]), Map[String, Long],
+        Map[String, Any => Boolean])],
+        naming: Map[String, String])
+        : Map[String, org.apache.spark.sql.FileZone] =
+      group.map { case (p, _, rc, _, (mins, maxs), nulls, excl) =>
+        def phys[V](m: Map[String, V]): Map[String, V] =
+          if (naming.isEmpty) m
+          else m.map { case (k, v2) => naming.getOrElse(k, k) -> v2 }
+        p -> org.apache.spark.sql.FileZone(Some(rc), phys(mins),
+          phys(maxs), phys(nulls), phys(excl))
+      }.toMap
 
     // POSITION deletes -> per-file DV sets, keyed by file NAME like the
     // Delta DV probe (the scan's _metadata.file_path renders scheme-
@@ -1724,7 +2086,7 @@ object IcebergExport {
         Map.empty
       else {
         val dvSets: Map[String, Array[Long]] = files.flatMap {
-          case (p, _, _, dataSeq, _, _) =>
+          case (p, _, _, dataSeq, _, _, _) =>
             val merged = deleteGroups
               .filter(_._1 >= dataSeq).flatMap(_._2.get(p))
             if (merged.isEmpty) None
@@ -1786,26 +2148,51 @@ object IcebergExport {
     // older data sequence only
     def eqIdxs(dataSeq: Long): Seq[Int] =
       eqDeletes.indices.filter(i => dataSeq < eqDeletes(i)._1)
-    val eqGroups = files.groupBy(f => eqIdxs(f._4))
 
     val tableProps: Map[String, String] =
       Option(md.get("properties")).map(_.properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap)
         .getOrElse(Map.empty)
     def scanFilesOf(group: Seq[(String, Long, Long, Long,
-        (Map[String, Any], Map[String, Any]), Map[String, Long])]) =
-      group.map { case (p, size, _, _, _, _) => (p, size, 0L) }
+        (Map[String, Any], Map[String, Any]), Map[String, Long],
+        Map[String, Any => Boolean])]) =
+      group.map { case (p, size, _, _, _, _, _) => (p, size, 0L) }
         .sortBy(_._1)
 
+    // Data files group by (equality-delete scope, physical naming,
+    // absent defaulted columns): each group scans once under ITS
+    // column names against ONLY the deletes strictly newer than it —
+    // absent defaulted columns surface their initial-default as a
+    // literal projection — and the groups union back. One group per
+    // distinct combination — O(snapshots) scans worst case; exactly
+    // one group on the common path.
+    def toLogical(df: DataFrame, naming: Map[String, String],
+        absent: Set[String]): DataFrame =
+      if (naming.isEmpty && absent.isEmpty) df
+      else df.select(schema.fields.toIndexedSeq.map { f =>
+        if (absent.contains(f.name)) initialDefaults(f.name).as(f.name)
+        else df(naming.getOrElse(f.name, f.name)).as(f.name) }: _*)
+    def scanSchemaOf(naming: Map[String, String]): StructType =
+      if (naming.isEmpty) schema
+      else StructType(schema.fields.map(f =>
+        f.copy(name = naming.getOrElse(f.name, f.name))))
+    val scanGroups = files
+      .groupBy(f => (eqIdxs(f._4), namingOf(f._1), absentOf(f._1)))
+      .toSeq.sortBy { case ((idxs, naming, absent), _) =>
+        (idxs.mkString(","), naming.toSeq.sorted.mkString(","),
+          absent.toSeq.sorted.mkString(",")) }
+
     val result =
-      if (eqGroups.size <= 1) {
-        // UNIFORM case (no equality deletes, or every data file shares
-        // one delete scope): single scan. BUCKETED when the table
+      if (scanGroups.size == 1) {
+        // UNIFORM case: single scan. BUCKETED when the table
         // properties record the layout and every file name carries its
         // stamped `_NNNNN` bucket id — key joins through the iceberg
         // path run with zero shuffle, same as the native manifest
         // read; any unstamped file falls back.
-        val scanFiles = scanFilesOf(files)
+        val ((idxs, naming, absent), group) = scanGroups.head
+        val scanSchema = scanSchemaOf(naming)
+        val scanFiles = scanFilesOf(group)
+        val zones = zonesFor(group, naming)
         val bucketed = for {
           n <- tableProps.get("graft.numBuckets").map(_.toInt)
           key <- tableProps.get("graft.bucketKey")
@@ -1815,28 +2202,24 @@ object IcebergExport {
               new Path(p).getName).isDefined
           }
         } yield org.apache.spark.sql.GraftFiles
-          .parquetBucketed(spark, scanFiles, scanSchema, n, key, zonesAll)
+          .parquetBucketed(spark, scanFiles, scanSchema, n, key, zones)
         val scanned = bucketed.getOrElse(
           org.apache.spark.sql.GraftFiles.parquet(spark, scanFiles,
-            scanSchema, zonesAll))
-        applyEq(toLogical(applyPosDv(scanned)),
-          eqGroups.keys.headOption.getOrElse(Nil))
+            scanSchema, zones))
+        applyEq(toLogical(applyPosDv(scanned), naming, absent), idxs)
       } else {
-        // MIXED-SEQUENCE case (interleaved appends and deletes — the
-        // Flink-CDC steady state): data files group by their delete
-        // scope (at most one group per distinct data sequence, so
-        // O(snapshots) scans), each group anti-joins only the deletes
-        // that are strictly newer than it, and the groups union back.
-        // A globally-applied delete would wrongly remove keys
-        // re-inserted AFTER the delete; a refusal would strand every
-        // such table.
-        eqGroups.toSeq.sortBy(_._1.mkString(","))
-          .map { case (idxs, group) =>
-            val scanned = org.apache.spark.sql.GraftFiles.parquet(
-              spark, scanFilesOf(group), scanSchema,
-              group.map(f => f._1 -> zonesAll(f._1)).toMap)
-            applyEq(toLogical(applyPosDv(scanned)), idxs)
-          }.reduce(_.unionByName(_))
+        // MIXED case (interleaved appends and deletes — the Flink-CDC
+        // steady state — and/or heterogeneous file schemas after a
+        // rename or a defaulted column add). A globally-applied delete
+        // would wrongly remove keys re-inserted AFTER the delete; a
+        // globally-applied name mapping or default would silently
+        // misread; a refusal would strand every such table.
+        scanGroups.map { case ((idxs, naming, absent), group) =>
+          val scanned = org.apache.spark.sql.GraftFiles.parquet(
+            spark, scanFilesOf(group), scanSchemaOf(naming),
+            zonesFor(group, naming))
+          applyEq(toLogical(applyPosDv(scanned), naming, absent), idxs)
+        }.reduce(_.unionByName(_))
       }
     result.select(schema.fieldNames.toIndexedSeq.map(
       org.apache.spark.sql.functions.col): _*)

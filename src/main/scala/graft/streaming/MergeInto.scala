@@ -65,10 +65,12 @@ object MergeInto {
         return
     }
     snap0.foreach { sn =>
-      val clash = source.columns.filter(generatedCols(sn).map(_._1).toSet)
+      val clash = source.columns.filter((generatedCols(sn) ++
+        storedGeneratedCols(sn)).map(_._1).toSet)
       require(clash.isEmpty, "MERGE source writes GENERATED column(s) " +
-        s"${clash.mkString(", ")} — generated columns are computed on " +
-        "read, never stored")
+        s"${clash.mkString(", ")} — generated columns are computed by " +
+        "the engine (virtual: on read; stored: on write), never " +
+        "supplied")
     }
     val srcP = snap0.map(toPhysical(source, _)).getOrElse(source)
     val keyP = physicalName(snap0, keyCol)
@@ -126,7 +128,7 @@ object MergeInto {
     val upserts = deleteCol.map(d => physicalName(snap0, d))
       .map(d => bucketed.filter(!coalesce(col(d),
       lit(false))).drop(d)).getOrElse(bucketed)
-    val merged =
+    val merged0 =
       if (touchedPaths.isEmpty) upserts
       else {
         // DV-deleted rows must not survive a rewrite of their bucket: the
@@ -164,6 +166,14 @@ object MergeInto {
         // columns gets NULL for them
         kept.unionByName(incoming, allowMissingColumns = true)
       }
+    // STORED generated columns recompute on every write (the Delta
+    // contract: writers store the value, readers never recompute). Kept
+    // rows recompute to their existing value — the expressions are
+    // deterministic over stored, never-renamed columns by construction.
+    val merged = snap.map(sn => storedGeneratedCols(sn)
+        .foldLeft(merged0) { case (df, (nm, sql)) =>
+          df.withColumn(nm, expr(sql)) })
+      .getOrElse(merged0)
 
     // CHECK constraints guard the write path: rows this statement CHANGES
     // (post-merge, so a partial update that breaks a constraint is caught)
@@ -656,15 +666,21 @@ object MergeInto {
     require(!snap.entries.contains(GenPrefix + from),
       s"'$from' is a GENERATED column — drop and re-add it under the new " +
         "name (nothing is stored, so no rewrite is saved by renaming)")
+    require(!snap.entries.contains(GenStoredPrefix + from),
+      s"'$from' is a STORED generated column — its generation " +
+        "expression is published to foreign formats under this name; " +
+        "renaming would break the recompute-on-write contract")
     val ident = ("""\b""" + java.util.regex.Pattern.quote(from) + """\b""").r
     snap.entries.filter(_._1.startsWith(CheckPrefix)).foreach {
       case (slot, sql) => require(ident.findFirstIn(sql).isEmpty,
         s"CHECK '${slot.stripPrefix(CheckPrefix)}' references '$from' — " +
           "drop it, rename, and re-add it against the new name")
     }
-    snap.entries.filter(_._1.startsWith(GenPrefix)).foreach {
+    (snap.entries.filter(_._1.startsWith(GenPrefix)) ++
+        snap.entries.filter(_._1.startsWith(GenStoredPrefix))).foreach {
       case (slot, sql) => require(ident.findFirstIn(sql).isEmpty,
-        s"generated column '${slot.stripPrefix(GenPrefix)}' references " +
+        s"generated column '${slot.stripPrefix(GenPrefix)
+          .stripPrefix(GenStoredPrefix)}' references " +
           s"'$from' — drop it, rename, and re-add it against the new name")
     }
     val phys = physicalName(Some(snap), from)
@@ -687,11 +703,74 @@ object MergeInto {
     */
   val GenPrefix = "__gen:"
 
+  /** Metadata slot prefix for STORED generated columns
+    * (`__genstored:<name>` → SQL expression): the values are physically
+    * in the buckets — [[materializeGeneratedColumn]] computed them once
+    * and every later merge/sync RECOMPUTES them for the rows it writes
+    * (the Delta protocol's generated-column contract: writers store,
+    * readers never recompute). This is what makes the column exportable
+    * files-in-place; the expression itself rides along so exporters can
+    * publish `delta.generationExpression`.
+    */
+  val GenStoredPrefix = "__genstored:"
+
   private def generatedCols(
       snap: ManifestStore.Snapshot): Seq[(String, String)] =
     snap.entries.toSeq.filter(_._1.startsWith(GenPrefix))
       .map { case (slot, sql) => (slot.stripPrefix(GenPrefix), sql) }
       .sortBy(_._1)
+
+  private def storedGeneratedCols(
+      snap: ManifestStore.Snapshot): Seq[(String, String)] =
+    snap.entries.toSeq.filter(_._1.startsWith(GenStoredPrefix))
+      .map { case (slot, sql) =>
+        (slot.stripPrefix(GenStoredPrefix), sql) }
+      .sortBy(_._1)
+
+  /** Materialize a VIRTUAL generated column into the stored buckets —
+    * the ALTER a table runs before a foreign-format export. The Delta
+    * protocol requires generated columns' values to be STORED (readers
+    * never recompute), so a virtual column cannot ship files-in-place.
+    * One atomic commit rewrites every bucket with the column computed
+    * (a pending deletion vector is materialized for free, like
+    * [[rebucket]]) and moves the definition to the [[GenStoredPrefix]]
+    * slot: merge sources still may not write it, the engine recomputes
+    * it for every row a merge/sync writes, CHECKs keep resolving (the
+    * column is now physically present), and the exporters publish
+    * `delta.generationExpression`. Time travel before this commit reads
+    * the virtual definition, after it the stored values — identical by
+    * construction.
+    */
+  def materializeGeneratedColumn(spark: SparkSession, root: String,
+      name: String): Unit = {
+    val snap = ManifestStore.latest(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed table under $root"))
+    val sql = snap.entries.getOrElse(GenPrefix + name,
+      throw new IllegalArgumentException(
+        s"no VIRTUAL generated column '$name' on $root"))
+    val n = snap.entries.getOrElse(NumBucketsSlot,
+      throw new IllegalStateException(
+        s"table at $root has no $NumBucketsSlot metadata")).toInt
+    val keyP = snap.entries(BucketKeySlot)
+    val paths = ManifestStore.resolvePaths(root, snap)
+    require(paths.nonEmpty, s"manifest v${snap.version} references no data")
+    val rows = subtractDv(spark, root, snap,
+      readRows(spark, root, snap, paths).drop("__bucket", "__dir"))
+    val withCol = rows.withColumn(name, expr(sql))
+    val rebucketed = withCol.withColumn("__bucket",
+      pmod(hash(col(keyP)), lit(n)))
+    val version = ManifestStore.versionAfter(Some(snap))
+    val rel = ManifestStore.dataRel(version)
+    val written: Set[Int] = stageBuckets(spark, rebucketed, root, rel)
+    val entries =
+      snap.entries.filterNot { case (k, _) => k.forall(_.isDigit) } -
+        DvSlot - (GenPrefix + name) ++
+        written.map(b => b.toString -> s"$rel/__dir=$b") +
+        (GenStoredPrefix + name -> sql) +
+        (SchemaSlot ->
+          unionSchema(new types.StructType(), rebucketed.schema).json)
+    ManifestStore.commit(spark, root, version, entries)
+  }
 
   /** `ALTER TABLE ADD COLUMN <name> GENERATED ALWAYS AS (<sql>) VIRTUAL`.
     * Refuses: name collisions, bookkeeping/manifest-hostile names, an
@@ -719,7 +798,8 @@ object MergeInto {
     require(!table.columns.contains(name),
       s"column '$name' already exists on $root")
     val mappedOrGen = physToLogical(snap).filter(p => p._1 != p._2)
-      .map(_._2) ++ generatedCols(snap).map(_._1)
+      .map(_._2) ++ generatedCols(snap).map(_._1) ++
+      storedGeneratedCols(snap).map(_._1)
     mappedOrGen.foreach { c =>
       val ident = ("""\b""" + java.util.regex.Pattern.quote(c) + """\b""").r
       require(ident.findFirstIn(sql).isEmpty,
@@ -845,10 +925,12 @@ object MergeInto {
     // column-map translation, as in mergeBatch: callers speak logical
     val snapM = ManifestStore.latest(spark, root)
     snapM.foreach { sn =>
-      val clash = snapshot.columns.filter(generatedCols(sn).map(_._1).toSet)
+      val clash = snapshot.columns.filter((generatedCols(sn) ++
+        storedGeneratedCols(sn)).map(_._1).toSet)
       require(clash.isEmpty, "sync snapshot writes GENERATED column(s) " +
-        s"${clash.mkString(", ")} — generated columns are computed on " +
-        "read, never stored")
+        s"${clash.mkString(", ")} — generated columns are computed by " +
+        "the engine (virtual: on read; stored: on write), never " +
+        "supplied")
     }
     val snapP = snapM.map(toPhysical(snapshot, _)).getOrElse(snapshot)
     val keyP = physicalName(snapM, keyCol)
@@ -869,7 +951,7 @@ object MergeInto {
       if (paths.isEmpty) null
       else subtractDv(spark, root, snap,
         readRows(spark, root, snap, paths).drop("__bucket", "__dir"))
-    val merged =
+    val merged0 =
       if (target == null || updP.isEmpty) snapP // table := snapshot
       else {
         // matched keys: updateCols from the snapshot, everything else
@@ -888,6 +970,10 @@ object MergeInto {
           target.select(col(keyP)), Seq(keyP), "left_anti")
         updated.unionByName(inserts, allowMissingColumns = true)
       }
+    // stored generated columns recompute on write, as in mergeBatch
+    val merged = storedGeneratedCols(snap)
+      .foldLeft(merged0) { case (df, (nm, sql)) =>
+        df.withColumn(nm, expr(sql)) }
     // a sync redefines every row, so every row is a "changed" row
     enforceChecks(spark, snap, toLogical(merged, snap))
     val bucketed = merged
@@ -901,6 +987,8 @@ object MergeInto {
     val entries = Map(NumBucketsSlot -> numBuckets.toString,
       BucketKeySlot -> keyP) ++
       snap.entries.filter(_._1.startsWith(CheckPrefix)) ++
+      snap.entries.filter(_._1.startsWith(GenPrefix)) ++
+      snap.entries.filter(_._1.startsWith(GenStoredPrefix)) ++
       snap.entries.get(ColMapSlot).map(ColMapSlot -> _) ++
       written.map(b => b.toString -> s"$rel/__dir=$b") +
       (SchemaSlot ->

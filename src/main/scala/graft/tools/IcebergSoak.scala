@@ -116,6 +116,76 @@ object IcebergSoak {
     require(oldRows > 0, s"retained snapshot ${old.snapshotId} is empty")
     println(s"[icebergsoak] head rows=${ice.size} (== native), " +
       s"snapshot ${old.snapshotId} rows=$oldRows — OK")
+
+    // GROWTH phase: incremental manifest reuse must keep export
+    // metadata cost O(new files) while the LIVE FILE COUNT grows ~60x.
+    // A 256-bucket table gains two fresh buckets per cycle (pure
+    // appends — nothing removed), so a full-rewrite exporter would
+    // write linearly more manifest bytes per export; the carry path
+    // writes one small manifest (2 entries + survivors of the
+    // occasional compaction) regardless of table size.
+    val root2 = java.nio.file.Files.createTempDirectory("iceberg-soak")
+      .toString + "/t2"
+    val keyByBucket: Map[Int, Long] = spark.range(200000)
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(
+            org.apache.spark.sql.functions.col("id")),
+          org.apache.spark.sql.functions.lit(256)).as("b"))
+      .groupBy("b")
+      .agg(org.apache.spark.sql.functions.min("id").as("k"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def metaBytes(): Map[String, Long] =
+      Option(new java.io.File(root2, "metadata").listFiles())
+        .toSeq.flatten.map(f => f.getName -> f.length()).toMap
+    graft.streaming.MergeInto.mergeBatch(spark,
+      Seq((keyByBucket(0), "g0"), (keyByBucket(1), "g1")).toDF("k", "s"),
+      root2, "k", numBuckets = 256)
+    graft.streaming.IcebergExport.export(spark, root2)
+    val growCycles = math.min(cycles, 60)
+    val written = (1 to growCycles).map { i =>
+      val b0 = 2 * i; val b1 = 2 * i + 1
+      graft.streaming.MergeInto.mergeBatch(spark,
+        Seq((keyByBucket(b0), s"g$b0"), (keyByBucket(b1), s"g$b1"))
+          .toDF("k", "s"), root2, "k", numBuckets = 256)
+      val before = metaBytes()
+      graft.streaming.IcebergExport.export(spark, root2)
+      val after = metaBytes()
+      // the real maintenance cadence, same as phase 1: without it the
+      // metadata.json's snapshot array grows one entry per commit and
+      // would dominate the byte measurement (that growth is snapshot
+      // RETENTION, not manifest-rewrite cost)
+      if (i % expireEvery == 0)
+        graft.streaming.IcebergExport.expireSnapshots(spark, root2,
+          keepLast = 5)
+      (after.keySet -- before.keySet).toSeq.map(after).sum
+    }
+    def wavg(r: Range) = r.map(written(_)).sum.toDouble / r.size
+    val wEarly = wavg(0 until 10)
+    val wLate = wavg(growCycles - 10 until growCycles)
+    val liveFiles = graft.streaming.IcebergExport.read(spark, root2)
+      .select(org.apache.spark.sql.functions
+        .input_file_name()).distinct().count()
+    println(f"[icebergsoak] growth: live files=$liveFiles, metadata " +
+      f"bytes/export early=${wEarly}%.0f late=${wLate}%.0f " +
+      f"ratio=${wLate / wEarly}%.2f")
+    require(liveFiles >= 2L * growCycles,
+      s"growth phase expected >=${2 * growCycles} live files, " +
+        s"got $liveFiles")
+    // full-rewrite would be ~60x here; the amortized carry path stays
+    // within a small constant of the first decade (compaction every
+    // ~8th export rewrites O(live) once — hence the 3x allowance, not
+    // a linear one)
+    require(wLate / wEarly < 3.0,
+      f"metadata bytes per export grew ${wLate / wEarly}%.2fx while " +
+        "live files grew — manifest carry is not incremental")
+    val g = graft.streaming.IcebergExport.read(spark, root2)
+      .select("k", "s").as[(Long, String)].collect().toSet
+    val wantG = (0 until 2 * (growCycles + 1))
+      .map(b => keyByBucket(b) -> s"g$b").toSet
+    require(g == wantG, s"growth table diverged: ${g.size} rows vs " +
+      s"${wantG.size} expected")
+    println(s"[icebergsoak] growth table rows=${g.size} — OK")
     spark.stop()
   }
 }

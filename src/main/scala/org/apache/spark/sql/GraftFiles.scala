@@ -18,10 +18,19 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * already in Catalyst runtime form (Int/Long/Double/Decimal/days-int…).
   * A column absent from the maps simply cannot prune — absence is always
   * safe, never wrong.
+  *
+  * `eqExclude` extends the range model to NON-RANGE partition layouts
+  * (Iceberg's bucket[N] transform): per column, a prover that answers
+  * "this literal value provably CANNOT occur in the file" (e.g. the
+  * literal hashes to a different bucket). Consulted only for
+  * equality/IN predicates whose literal type equals the column type —
+  * same soundness contract as the range maps: a missing entry keeps
+  * the file.
   */
 final case class FileZone(numRecords: Option[Long],
     mins: Map[String, Any], maxs: Map[String, Any],
-    nullCounts: Map[String, Long])
+    nullCounts: Map[String, Long],
+    eqExclude: Map[String, Any => Boolean] = Map.empty)
 
 /** A [[FileIndex]] fed from table-format metadata instead of filesystem
   * listings. Spark's path-based `spark.read.parquet(paths)` pays one
@@ -157,12 +166,15 @@ private[sql] object ZonePrune {
     case _ => false
   }
 
-  /** v provably outside [min, max] of a.name. */
+  /** v provably outside [min, max] of a.name, or excluded by the
+    * file's non-range equality prover (bucket-transform layouts).
+    */
   private def outside(a: AttributeReference, v: Any, dt: DataType,
       z: FileZone): Boolean =
     a.dataType == dt && v != null && (
       z.mins.get(a.name).exists(mn => ord(dt).gt(mn, v)) ||
-      z.maxs.get(a.name).exists(mx => ord(dt).lt(mx, v)))
+      z.maxs.get(a.name).exists(mx => ord(dt).lt(mx, v)) ||
+      z.eqExclude.get(a.name).exists(f => f(v)))
 }
 
 /** Bridge into `private[sql]` scan construction (same pattern as

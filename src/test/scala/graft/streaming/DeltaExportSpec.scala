@@ -896,6 +896,54 @@ class DeltaExportSpec extends SparkSpec {
     assert(DeltaExport.cleanLog(spark, root) == 0)
   }
 
+  test("STORED generated columns export per the protocol: values in " +
+      "the files, delta.generationExpression in the schemaString, the " +
+      "generatedColumns writer feature declared; VIRTUAL ones still " +
+      "refuse with the materialize hint; the Iceberg twin exports too") {
+    val root = java.nio.file.Files.createTempDirectory("delta").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, 10), (2L, 25)).toDF("k", "v"), root, "k", numBuckets = 2)
+    MergeInto.addGeneratedColumn(spark, root, "band", "v div 10")
+    val eVirt = intercept[IllegalArgumentException] {
+      DeltaExport.export(spark, root)
+    }
+    assert(eVirt.getMessage.contains("materializeGeneratedColumn"))
+    MergeInto.materializeGeneratedColumn(spark, root, "band")
+    val (v0, logFile) = DeltaExport.export(spark, root)
+    assert(v0 == 0L)
+    val l0 = scala.io.Source.fromFile(logFile).getLines().mkString("\n")
+    assert(l0.contains("delta.generationExpression"))
+    assert(l0.contains("v div 10"))
+    assert(l0.contains("\"minWriterVersion\":4"))
+    // the native reader returns the stored values; the expression
+    // lives in the log's schemaString field metadata (the protocol
+    // surface — readers consume values, WRITERS consume the expression)
+    val got = DeltaExport.read(spark, root)
+    assert(got.select("k", "band").as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 2L))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schemaStr = scala.io.Source.fromFile(logFile).getLines()
+      .map(om.readTree).find(_.has("metaData")).get
+      .get("metaData").get("schemaString").asText()
+    val st = org.apache.spark.sql.types.DataType.fromJson(schemaStr)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(st("band").metadata
+      .getString("delta.generationExpression") == "v div 10")
+    // a merge recomputes and the next export ships the fresh values
+    MergeInto.mergeBatch(spark, Seq((2L, 47)).toDF("k", "v"),
+      root, "k", numBuckets = 2)
+    DeltaExport.export(spark, root)
+    assert(DeltaExport.read(spark, root).select("k", "band")
+      .as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 4L))
+    // the Iceberg twin: stored values export as a plain column, the
+    // expression rides as a namespaced table property
+    val (_, mdPath) = IcebergExport.export(spark, root)
+    assert(IcebergExport.read(spark, root).select("k", "band")
+      .as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 4L))
+    assert(scala.io.Source.fromFile(mdPath).mkString
+      .contains("graft.generationExpression.band"))
+  }
+
   test("a RENAMED table exports as a NAME-MODE COLUMN-MAPPED delta log " +
       "(logical schemaString over untouched physical files); generated " +
       "columns and the colmap+CDF combination refuse") {
@@ -976,7 +1024,7 @@ class DeltaExportSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException] {
       DeltaExport.export(spark, root2)
     }
-    assert(e2.getMessage.contains("GENERATED"))
+    assert(e2.getMessage.contains("VIRTUAL generated"))
   }
 
   test("v2 checkpoints round-trip: UUID-named top + sidecar actions, " +

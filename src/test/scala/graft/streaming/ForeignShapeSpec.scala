@@ -32,7 +32,10 @@ import graft.SparkSpec
   *  - float/double column bounds           never consumed (boundValue);
   *      never written by the exporter — same NaN hazard      [here]
   *  - id-less files via name-mapping       ACCEPTED [IcebergExportSpec]
-  *  - format-version 3                     REFUSED  [IcebergExportSpec]
+  *  - format-version 3                     ACCEPTED when no v3-only
+  *      feature is used; column DEFAULTs / puffin DVs / unknown types
+  *      REFUSED by name at the misread point   [IcebergExportSpec]
+  *  - format-version 4+                    REFUSED  [IcebergExportSpec]
   *  - non-parquet file_format              REFUSED  [IcebergExportSpec]
   */
 class ForeignShapeSpec extends SparkSpec {

@@ -563,7 +563,234 @@ class IcebergExportSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException] {
       IcebergExport.export(spark, root2)
     }
-    assert(e2.getMessage.contains("GENERATED"))
+    assert(e2.getMessage.contains("VIRTUAL generated"))
+  }
+
+  test("INCREMENTAL manifest reuse: untouched manifests carry VERBATIM " +
+      "(same avro path, zero bytes rewritten); a pure delete-vector " +
+      "export writes NO data manifest; an unreachable delete manifest " +
+      "drops from the list; the carry cap compacts back to one") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import org.apache.avro.file.DataFileReader
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = java.nio.file.Files.createTempDirectory("iceberg").toString
+    val metaDir = new java.io.File(root, "metadata")
+    def listEntries(): Seq[(String, Int)] = {
+      val newest = metaDir.listFiles().map(_.getName)
+        .filter(_.matches("v\\d+\\.metadata\\.json"))
+        .maxBy(_.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+      val md = m.readTree(scala.io.Source.fromFile(
+        new java.io.File(metaDir, newest)).mkString)
+      val sn = md.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() ==
+          md.get("current-snapshot-id").asLong()).get
+      val r = new DataFileReader[GenericRecord](
+        new java.io.File(sn.get("manifest-list").asText()),
+        new GenericDatumReader[GenericRecord]())
+      val recs = r.iterator().asScala.map(rec =>
+        (rec.get("manifest_path").toString,
+          rec.get("content").asInstanceOf[Int])).toVector
+      r.close(); recs
+    }
+    // keys bucketed under pmod(hash, 16) so later merges can land in
+    // FRESH buckets (a pure append: new file, nothing removed)
+    import org.apache.spark.sql.functions.{hash => shash, pmod, lit}
+    def keyIn(bucket: Int): Long = (0L until 10000L).find(k =>
+      spark.range(k, k + 1).select(pmod(shash(col("id")), lit(16)))
+        .head().getInt(0) == bucket).get
+    // snapshot 1: two buckets' worth of data
+    val k0 = keyIn(0); val k1 = keyIn(1)
+    MergeInto.mergeBatch(spark,
+      Seq((k0, "a"), (k1, "b")).toDF("k", "s"), root, "k",
+      numBuckets = 16)
+    IcebergExport.export(spark, root)
+    val l1 = listEntries()
+    assert(l1.size == 1 && l1.head._2 == 0)
+    // snapshot 2: a key in a FRESH bucket — pure append. The prior
+    // manifest must carry VERBATIM (same path), plus one new manifest.
+    val k2 = keyIn(2)
+    MergeInto.mergeBatch(spark, Seq((k2, "c")).toDF("k", "s"),
+      root, "k", numBuckets = 16)
+    IcebergExport.export(spark, root)
+    val l2 = listEntries()
+    assert(l2.map(_._1).contains(l1.head._1),
+      s"prior manifest must carry verbatim: $l2 vs $l1")
+    assert(l2.size == 2 && l2.forall(_._2 == 0))
+    // snapshot 3: pure delete-vector export — NO new data manifest
+    // (both data manifests carried), one delete manifest
+    val m0Before = metaFiles(root).count(_.endsWith("-m0.avro"))
+    MergeInto.deleteVector(spark, root, "k", Seq(k1).toDF("k"))
+    IcebergExport.export(spark, root, deleteFiles = true)
+    assert(metaFiles(root).count(_.endsWith("-m0.avro")) == m0Before,
+      "a pure delete-vector export must write no data manifest")
+    val l3 = listEntries()
+    assert(l3.count(_._2 == 0) == 2 && l3.count(_._2 == 1) == 1)
+    assert(l2.map(_._1).toSet.subsetOf(l3.map(_._1).toSet))
+    assert(IcebergExport.read(spark, root).select("k", "s")
+      .as[(Long, String)].collect().toSet ==
+      Set(k0 -> "a", k2 -> "c"))
+    // snapshot 4: materializing the delete rewrites k1's bucket — the
+    // position delete's only referenced file is gone, so the delete
+    // manifest is UNREACHABLE and must drop from the list
+    MergeInto.materializeDeletes(spark, root, "k")
+    IcebergExport.export(spark, root)
+    val l4 = listEntries()
+    assert(l4.count(_._2 == 1) == 0,
+      s"unreachable delete manifest must drop: $l4")
+    assert(IcebergExport.read(spark, root).select("k", "s")
+      .as[(Long, String)].collect().toSet ==
+      Set(k0 -> "a", k2 -> "c"))
+    // carry cap: keep appending fresh buckets; the list length stays
+    // AT the cap (LSM folding: the smallest carried manifests merge
+    // into each fresh one instead of growing the list), and at least
+    // one fold is observable as a non-growing step
+    var maxSeen = l4.count(_._2 == 0)
+    var folded = false
+    var prevN = maxSeen
+    (3 to 14).foreach { b =>
+      val kb = keyIn(b)
+      MergeInto.mergeBatch(spark, Seq((kb, s"v$b")).toDF("k", "s"),
+        root, "k", numBuckets = 16)
+      IcebergExport.export(spark, root)
+      val n = listEntries().count(_._2 == 0)
+      maxSeen = math.max(maxSeen, n)
+      if (n <= prevN) folded = true
+      prevN = n
+    }
+    assert(maxSeen <= 8, s"carried manifests must stay capped: $maxSeen")
+    assert(folded, "the cap must fold smallest manifests, not grow")
+    // the table stays correct through the whole churn
+    val got = IcebergExport.read(spark, root).select("k", "s")
+      .as[(Long, String)].collect().toSet
+    val want = Set(k0 -> "a", k2 -> "c") ++
+      (3 to 14).map(b => keyIn(b) -> s"v$b").toSet
+    assert(got == want)
+    // ...and time travel to the pre-churn snapshot still answers
+    assert(IcebergExport.readAt(spark, root, 3L).select("k", "s")
+      .as[(Long, String)].collect().toSet ==
+      Set(k0 -> "a", k2 -> "c"))
+  }
+
+  test("name mapping is scoped to ID-LESS files: an id-bearing file " +
+      "in a renamed table resolves by its OWN footer ids (logical-name " +
+      "storage reads through; a same-named column with a DIFFERENT id " +
+      "reads NULL, never aliased through the mapping)") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.avro.generic.{GenericData, GenericDatumReader,
+      GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = java.nio.file.Files.createTempDirectory("iceberg").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root, "k", numBuckets = 2)
+    IcebergExport.export(spark, root)
+    MergeInto.renameColumn(spark, root, "s", "label")
+    val (_, mdPath) = IcebergExport.export(spark, root)
+    val md = m.readTree(scala.io.Source.fromFile(mdPath).mkString)
+    val cur = md.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() ==
+        md.get("current-schema-id").asInt()).get
+    def idOf(name: String): Long = cur.get("fields").elements().asScala
+      .find(_.get("name").asText() == name).get.get("id").asLong()
+
+    // two FOREIGN id-bearing data files (a post-rename Iceberg writer's
+    // shape — parquet field ids embedded, columns stored under whatever
+    // name was current):
+    //  idfile: stores (k, label) under the LOGICAL names, correct ids
+    //  poison: stores (k, s) where 's' — the name-mapping's physical
+    //          name for 'label' — carries a DIFFERENT (unknown) id, and
+    //          label's id is ABSENT: label must surface NULL
+    def fid(id: Long) = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    def stageIdFile(df: org.apache.spark.sql.DataFrame,
+        name: String): java.io.File = {
+      val tmpd = java.nio.file.Files.createTempDirectory("idf").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+      val part = new java.io.File(tmpd).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val out = new java.io.File(root, name)
+      java.nio.file.Files.move(part.toPath, out.toPath)
+      out
+    }
+    val idfile = stageIdFile(
+      Seq((5L, "idfile")).toDF("k", "label").select(
+        col("k").as("k", fid(idOf("k"))),
+        col("label").as("label", fid(idOf("label")))), "fid-a.parquet")
+    val poison = stageIdFile(
+      Seq((6L, "WRONG")).toDF("k", "s").select(
+        col("k").as("k", fid(idOf("k"))),
+        col("s").as("s", fid(999L))), "fid-b.parquet")
+
+    // splice both into the current snapshot: a new DATA manifest (avro
+    // schemas cloned from the table's own files, the foreign-engine
+    // move) appended to the manifest list in place
+    val metaDir = new java.io.File(root, "metadata")
+    val sn = md.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() ==
+        md.get("current-snapshot-id").asLong()).get
+    val listFile = new java.io.File(sn.get("manifest-list").asText())
+    val listReader = new DataFileReader[GenericRecord](listFile,
+      new GenericDatumReader[GenericRecord]())
+    val listSchema = listReader.getSchema
+    val listRecs = listReader.iterator().asScala.toVector
+    listReader.close()
+    val dataMf = listRecs.find(r => r.get("content") == 0).get
+    val mfFile = new java.io.File(dataMf.get("manifest_path").toString)
+    val mfReader = new DataFileReader[GenericRecord](mfFile,
+      new GenericDatumReader[GenericRecord]())
+    val entrySchema = mfReader.getSchema
+    mfReader.close()
+    val seq = md.get("last-sequence-number").asLong()
+    def entryFor(f: java.io.File): GenericRecord = {
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", seq)
+      e.put("sequence_number", seq)
+      e.put("file_sequence_number", seq)
+      val dfr = new GenericData.Record(
+        entrySchema.getField("data_file").schema())
+      dfr.put("content", 0)
+      dfr.put("file_path", f.getAbsolutePath)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", new GenericData.Record(
+        dfr.getSchema.getField("partition").schema()))
+      dfr.put("record_count", 1L)
+      dfr.put("file_size_in_bytes", f.length())
+      e.put("data_file", dfr)
+      e
+    }
+    val newMf = new java.io.File(metaDir, "forged-m9.avro")
+    val mw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](entrySchema))
+    mw.create(entrySchema, newMf)
+    mw.append(entryFor(idfile)); mw.append(entryFor(poison))
+    mw.close()
+    val mfRec = new GenericData.Record(listSchema)
+    listSchema.getFields.asScala.foreach(f =>
+      mfRec.put(f.name(), dataMf.get(f.name())))
+    mfRec.put("manifest_path", newMf.getAbsolutePath)
+    mfRec.put("manifest_length", newMf.length())
+    mfRec.put("added_files_count", 2)
+    mfRec.put("existing_files_count", 0)
+    mfRec.put("added_rows_count", 2L)
+    mfRec.put("existing_rows_count", 0L)
+    assert(listFile.delete())
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](listSchema))
+    lw.create(listSchema, listFile)
+    (listRecs :+ mfRec).foreach(lw.append)
+    lw.close()
+    new java.io.File(metaDir, "." + listFile.getName + ".crc").delete()
+
+    val got = IcebergExport.read(spark, root)
+      .select("k", "label").orderBy("k")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(got == Seq(1L -> Some("a"), 2L -> Some("b"),
+      5L -> Some("idfile"), 6L -> None),
+      "id-bearing files must resolve by their own footer ids: the " +
+        "logical-name file reads through, the poison file's same-named " +
+        "different-id column must surface NULL — got " + got)
   }
 
   test("MIXED-SEQUENCE equality deletes: interleaved delete/merge " +
@@ -618,6 +845,167 @@ class IcebergExportSpec extends SparkSpec {
     assert(e.getMessage.contains("position deletes instead"))
   }
 
+  test("v3 PUFFIN deletion vectors read natively: the blob's framed " +
+      "roaring bitmap subtracts the referenced file's positions; a " +
+      "corrupted CRC and a missing referenced_data_file refuse loudly") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.avro.generic.{GenericData, GenericDatumReader,
+      GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = java.nio.file.Files.createTempDirectory("iceberg").toString
+    MergeInto.mergeBatch(spark,
+      (0L until 40L).map(k => (k, s"v$k")).toDF("k", "s"),
+      root, "k", numBuckets = 2)
+    IcebergExport.export(spark, root)
+    val metaDir = new java.io.File(root, "metadata")
+
+    // pick one data file; its row positions for keys to delete
+    val md0 = m.readTree(scala.io.Source.fromFile(
+      new java.io.File(metaDir, "v1.metadata.json")).mkString)
+    val sn = md0.get("snapshots").elements().asScala.next()
+    val listFile = new java.io.File(sn.get("manifest-list").asText())
+    val lr = new DataFileReader[GenericRecord](listFile,
+      new GenericDatumReader[GenericRecord]())
+    val listSchema = lr.getSchema
+    val listRecs = lr.iterator().asScala.toVector
+    lr.close()
+    val mr = new DataFileReader[GenericRecord](
+      new java.io.File(listRecs.head.get("manifest_path").toString),
+      new GenericDatumReader[GenericRecord]())
+    val dataFile = mr.iterator().asScala.next()
+      .get("data_file").asInstanceOf[GenericRecord]
+      .get("file_path").toString
+    mr.close()
+    val inFile = spark.read.parquet(dataFile)
+      .select(col("k"), col("_metadata.row_index").as("pos"))
+      .as[(Long, Long)].collect().toMap
+    val keysInFile = inFile.keys.toSeq.sorted
+    val delKeys = keysInFile.take(3)
+    val delPos = delKeys.map(inFile)
+
+    // PUFFIN file: magic, one deletion-vector-v1 blob (BE framed len,
+    // bitmap magic + portable roaring, BE CRC-32), trailing junk footer
+    val bmp = RoaringBitmap64(delPos).serialize()
+    val frame = java.nio.ByteBuffer.allocate(4 + bmp.length + 4)
+    frame.putInt(bmp.length)
+    frame.put(bmp)
+    val crc = new java.util.zip.CRC32(); crc.update(bmp)
+    frame.putInt(crc.getValue.toInt)
+    val puffin = new java.io.File(metaDir, "dv.puffin")
+    val po = new java.io.FileOutputStream(puffin)
+    val magic = Array[Byte]('P', 'F', 'A', '1')
+    po.write(magic); po.write(frame.array())
+    po.write(magic); po.write("{}".getBytes("UTF-8")) // fake footer
+    po.close()
+    val blobOffset = 4L
+    val blobSize = (4 + bmp.length + 4).toLong
+
+    // v3 delete manifest carrying the DV reference fields
+    val v3Entry = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"sequence_number","type":["null","long"],"default":null},
+        |{"name":"file_sequence_number","type":["null","long"],
+        | "default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2",
+        | "fields":[
+        |  {"name":"content","type":"int"},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"partition","type":{"type":"record","name":"r102",
+        |   "fields":[]}},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"},
+        |  {"name":"referenced_data_file","type":["null","string"],
+        |   "default":null},
+        |  {"name":"content_offset","type":["null","long"],
+        |   "default":null},
+        |  {"name":"content_size_in_bytes","type":["null","long"],
+        |   "default":null}
+        |]}}]}""".stripMargin)
+    def writeDvManifest(name: String,
+        put: GenericRecord => Unit): java.io.File = {
+      val e = new GenericData.Record(v3Entry)
+      e.put("status", 1); e.put("snapshot_id", 1L)
+      e.put("sequence_number", 1L); e.put("file_sequence_number", 1L)
+      val dfr = new GenericData.Record(
+        v3Entry.getField("data_file").schema())
+      dfr.put("content", 1)
+      dfr.put("file_path", puffin.getAbsolutePath)
+      dfr.put("file_format", "PUFFIN")
+      dfr.put("partition", new GenericData.Record(
+        dfr.getSchema.getField("partition").schema()))
+      dfr.put("record_count", delPos.size.toLong)
+      dfr.put("file_size_in_bytes", puffin.length())
+      dfr.put("referenced_data_file", dataFile)
+      dfr.put("content_offset", blobOffset)
+      dfr.put("content_size_in_bytes", blobSize)
+      put(dfr)
+      e.put("data_file", dfr)
+      val out = new java.io.File(metaDir, name)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](v3Entry))
+      w.create(v3Entry, out); w.append(e); w.close()
+      out
+    }
+    def spliceList(dvManifest: java.io.File): Unit = {
+      val rec = new GenericData.Record(listSchema)
+      listSchema.getFields.asScala.foreach(f =>
+        rec.put(f.name(), listRecs.head.get(f.name())))
+      rec.put("manifest_path", dvManifest.getAbsolutePath)
+      rec.put("manifest_length", dvManifest.length())
+      rec.put("content", 1)
+      rec.put("added_files_count", 1)
+      rec.put("existing_files_count", 0)
+      rec.put("added_rows_count", delPos.size.toLong)
+      rec.put("existing_rows_count", 0L)
+      assert(listFile.delete())
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](listSchema))
+      w.create(listSchema, listFile)
+      (listRecs :+ rec).foreach(w.append)
+      w.close()
+      new java.io.File(metaDir, "." + listFile.getName + ".crc").delete()
+    }
+    spliceList(writeDvManifest("forged-dv-m1.avro", _ => ()))
+    // bump to format-version 3 (DVs are a v3 feature)
+    val mdFile = new java.io.File(metaDir, "v1.metadata.json")
+    val txt = scala.io.Source.fromFile(mdFile).mkString
+    val w3 = new java.io.PrintWriter(mdFile, "UTF-8")
+    try w3.print(txt.replace("\"format-version\" : 2",
+      "\"format-version\" : 3")) finally w3.close()
+    new java.io.File(metaDir, "." + mdFile.getName + ".crc").delete()
+
+    val got = IcebergExport.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq
+    assert(got == (0L until 40L).filterNot(delKeys.contains).sorted,
+      s"DV must subtract exactly ${delKeys.sorted} — got ${got.size} rows")
+
+    // corrupted bitmap byte (inside the CRC-covered body) refuses loudly
+    val raw2 = java.nio.file.Files.readAllBytes(puffin.toPath)
+    raw2(12) = (raw2(12) ^ 0x5a).toByte
+    java.nio.file.Files.write(puffin.toPath, raw2)
+    new java.io.File(metaDir, ".dv.puffin.crc").delete()
+    val eCrc = intercept[IllegalArgumentException] {
+      IcebergExport.read(spark, root).collect()
+    }
+    assert(eCrc.getMessage.contains("CRC"))
+    java.nio.file.Files.write(puffin.toPath,
+      java.nio.file.Files.readAllBytes(puffin.toPath)
+        .updated(12, (raw2(12) ^ 0x5a).toByte))
+    new java.io.File(metaDir, ".dv.puffin.crc").delete()
+
+    // a DV without referenced_data_file refuses by name
+    spliceList(writeDvManifest("forged-dv-m2.avro",
+      _.put("referenced_data_file", null)))
+    val eRef = intercept[IllegalArgumentException] {
+      IcebergExport.read(spark, root).collect()
+    }
+    assert(eRef.getMessage.contains("referenced_data_file"))
+  }
+
   test("refusals are loud and by name; a missing version hint falls " +
       "back to the newest metadata file") {
     val root = java.nio.file.Files.createTempDirectory("iceberg").toString
@@ -668,15 +1056,43 @@ class IcebergExportSpec extends SparkSpec {
     assert(IcebergExport.read(spark, root).select("k").as[Long]
       .collect().toSeq == Seq(2L),
       "a v3 table using no v3-only feature must read")
-    // a v3 column DEFAULT refuses by name (old files would null it)
+    // a v3 initial-default on a STORED column reads through unchanged
+    // (the default only fires for files that lack the field)
     forge(txt.replace("\"format-version\" : 2",
         "\"format-version\" : 3")
       .replaceFirst("\\\"name\\\" : \\\"k\\\"",
         "\\\"name\\\" : \\\"k\\\", \\\"initial-default\\\" : 7"))
-    val eDef = intercept[IllegalArgumentException] {
-      IcebergExport.read(spark, root)
+    assert(IcebergExport.read(spark, root).select("k").as[Long]
+      .collect().toSeq == Seq(2L),
+      "a default on a stored column must not change its values")
+    // an ADDED defaulted column: no data file stores it, so every row
+    // surfaces the initial-default (the v3 read-side semantics)
+    locally {
+      import scala.jdk.CollectionConverters._
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val mdNode = m.readTree(txt)
+        .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      mdNode.put("format-version", 3)
+      val curSchema = mdNode.get("schemas").elements().asScala
+        .find(_.get("schema-id").asInt() ==
+          mdNode.get("current-schema-id").asInt()).get
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val bonus = curSchema.withArray("fields").addObject()
+      bonus.put("id", 99).put("name", "bonus")
+        .put("required", false).put("type", "long")
+        .put("initial-default", 7)
+      forge(m.writeValueAsString(mdNode))
+      assert(IcebergExport.read(spark, root).select("k", "bonus")
+        .as[(Long, Long)].collect().toSeq == Seq((2L, 7L)),
+        "an added defaulted column must surface the default, not NULL")
+      // ...and an undecodable default (wrong JSON shape) refuses by name
+      bonus.put("initial-default", "not-a-long")
+      forge(m.writeValueAsString(mdNode))
+      val eDef = intercept[IllegalArgumentException] {
+        IcebergExport.read(spark, root).collect()
+      }
+      assert(eDef.getMessage.contains("initial-default"))
     }
-    assert(eDef.getMessage.contains("DEFAULT"))
     // v4 refuses outright
     forge(txt.replace("\"format-version\" : 2",
       "\"format-version\" : 4"))

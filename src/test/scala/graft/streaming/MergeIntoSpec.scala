@@ -71,6 +71,56 @@ class MergeIntoSpec extends SparkSpec {
     assert(!table(root).columns.contains("band"))
   }
 
+  test("STORED generated column: materialize rewrites once, merges " +
+      "recompute on write, writes/renames refused, time travel keeps " +
+      "the virtual definition before the rewrite") {
+    val root = java.nio.file.Files.createTempDirectory("genst").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, 10), (2L, 25), (3L, 31)).toDF("k", "v"),
+      root, "k", numBuckets = 4)
+    MergeInto.addGeneratedColumn(spark, root, "band", "v div 10")
+    val vVirtual = ManifestStore.latest(spark, root).get.version
+    MergeInto.materializeGeneratedColumn(spark, root, "band")
+    val snap = ManifestStore.latest(spark, root).get
+    assert(!snap.entries.contains(MergeInto.GenPrefix + "band"))
+    assert(snap.entries(MergeInto.GenStoredPrefix + "band") == "v div 10")
+    // the value is PHYSICALLY in the buckets now
+    val paths = ManifestStore.resolvePaths(root, snap)
+    val raw = spark.read.parquet(paths: _*)
+    assert(raw.columns.contains("band"))
+    assert(table(root).select("k", "band").as[(Long, Long)]
+      .collect().toMap == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // a merge RECOMPUTES the stored value for the rows it writes
+    MergeInto.mergeBatch(spark, Seq((2L, 47), (4L, 52)).toDF("k", "v"),
+      root, "k", numBuckets = 4)
+    assert(table(root).select("k", "band").as[(Long, Long)]
+      .collect().toMap ==
+      Map(1L -> 1L, 2L -> 4L, 3L -> 3L, 4L -> 5L))
+    // writing it stays refused; renaming it or its source stays refused
+    intercept[IllegalArgumentException] {
+      MergeInto.mergeBatch(spark,
+        Seq((5L, 50, 9L)).toDF("k", "v", "band"), root, "k",
+        numBuckets = 4)
+    }
+    intercept[IllegalArgumentException] {
+      MergeInto.renameColumn(spark, root, "band", "band2")
+    }
+    intercept[IllegalArgumentException] {
+      MergeInto.renameColumn(spark, root, "v", "value")
+    }
+    // time travel to the virtual-era version still computes on read
+    assert(MergeInto.readTableAt(spark, root, vVirtual)
+      .select("k", "band").as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // syncSnapshot recomputes too and carries the slot
+    MergeInto.syncSnapshot(spark,
+      Seq((1L, 99), (2L, 11)).toDF("k", "v"), root, "k", numBuckets = 4)
+    assert(table(root).select("k", "band").as[(Long, Long)]
+      .collect().toMap == Map(1L -> 9L, 2L -> 1L))
+    assert(ManifestStore.latest(spark, root).get
+      .entries.contains(MergeInto.GenStoredPrefix + "band"))
+  }
+
   test("rebucket: rows survive the rewrite, the DV materializes, history " +
       "reads under the old spec, and the old count is refused after") {
     val root = java.nio.file.Files.createTempDirectory("rebucket").toString
