@@ -598,6 +598,119 @@ object CdcQueries {
     store
   }
 
+  /** Materialize the ICEBERG V3 PUFFIN-DV table once per sfDir: the
+    * CREATE payloads published as snapshot 1 across 4 range files, then
+    * the id%7 keys hand-forged into a v3 deletion-vector snapshot (the
+    * Spark-4/Iceberg-1.8 merge-on-read shape this exporter does not
+    * write) — the reader must decode the framed roaring blobs from the
+    * puffin file and subtract per referenced data file.
+    */
+  private def icebergV3DvTableDir(s: SparkSession, dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_iceberg_v3dv_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val creates = changeLog(s, dir)
+          .filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        graft.streaming.IcebergExport.publish(
+          s, creates.repartitionByRange(4, col("id")), store)
+        graft.streaming.ForeignIcebergShapes.forgeV3Dv(
+          s, store, col("id") % 7 === 0)
+    }
+    store
+  }
+
+  /** Materialize the ICEBERG V3 INITIAL-DEFAULT table once per sfDir:
+    * the CREATE payloads published, then a `priority` column hand-added
+    * to the metadata with `initial-default: 3` (the v3 evolved-schema
+    * shape) — no data file stores it, so every row must surface the
+    * default, never NULL.
+    */
+  private def icebergV3DefaultTableDir(s: SparkSession,
+      dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_iceberg_v3def_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val creates = changeLog(s, dir)
+          .filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        graft.streaming.IcebergExport.publish(
+          s, creates.repartitionByRange(4, col("id")), store)
+        graft.streaming.ForeignIcebergShapes.addDefaultedColumn(
+          store, "priority", "long",
+          com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+            .numberNode(3L))
+    }
+    store
+  }
+
+  /** Materialize the BUCKET-TRANSFORM iceberg table once per sfDir: the
+    * CREATE payloads partitioned by the spec's `bucket[8]` of id (the
+    * real murmur3 transform, via [[graft.functions.IcebergBucket]]),
+    * published identity-partitioned and then re-declared as bucket[8]
+    * over id in the metadata — exactly the table a foreign
+    * bucket-partitioned writer produces. Point lookups must prune to
+    * the matching bucket's files from the manifest values alone.
+    */
+  private def icebergBucketTableDir(s: SparkSession,
+      dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_iceberg_bucket_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val creates = changeLog(s, dir)
+          .filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+          .withColumn("p", graft.functions.IcebergBucket(col("id"), 8))
+        graft.streaming.IcebergExport.exportPartitioned(
+          s, creates, store, Seq("p"))
+        graft.streaming.ForeignIcebergShapes.retransform(
+          store, "bucket[8]", "id")
+    }
+    store
+  }
+
+  /** Materialize the DELTA STORED-GENERATED-COLUMN table once per
+    * sfDir: the CREATE payloads merged, a `price_band` column added
+    * GENERATED (virtual), materialized into the buckets, and exported —
+    * the log must carry `delta.generationExpression` + the
+    * generatedColumns writer feature, and the native reader must return
+    * the stored values.
+    */
+  private def deltaGeneratedTableDir(s: SparkSession,
+      dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_delta_gen_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val creates = changeLog(s, dir)
+          .filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        graft.streaming.MergeInto.mergeBatch(s, creates, store, "id")
+        graft.streaming.MergeInto.addGeneratedColumn(s, store,
+          "price_band",
+          "CASE WHEN totalprice >= 150000.0 THEN 'high' ELSE 'low' END")
+        graft.streaming.MergeInto.materializeGeneratedColumn(
+          s, store, "price_band")
+        graft.streaming.DeltaExport.export(s, store)
+    }
+    store
+  }
+
   /** Materialize the delta V2-CHECKPOINT table once per sfDir: the same
     * 13-version merge/export cadence as [[deltaCheckpointTableDir]], but
     * exported with `v2Checkpoints = true` — UUID-named checkpoint tops
@@ -1876,6 +1989,60 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // ICEBERG V3 PUFFIN DELETION VECTORS driver-gated: a foreign
+    // Spark-4/Iceberg-1.8 merge-on-read shape — per-file roaring
+    // bitmaps in a puffin file, referenced by content_offset/size from
+    // a content=1 manifest — decoded natively and subtracted. Oracle =
+    // the CREATE payloads minus the id%7 keys.
+    "cdc_iceberg_v3_dv" -> ((s, dir) => {
+      val store = icebergV3DvTableDir(s, dir)
+      graft.streaming.IcebergExport.read(s, store)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // ICEBERG V3 INITIAL-DEFAULT driver-gated: a column added to the
+    // metadata with a default AFTER every data file was written — the
+    // v3 read-side semantics say pre-evolution files answer the
+    // default, not NULL. Oracle appends the constant.
+    "cdc_iceberg_v3_default" -> ((s, dir) => {
+      val store = icebergV3DefaultTableDir(s, dir)
+      graft.streaming.IcebergExport.read(s, store)
+        .select(col("id"), col("status"), col("totalprice"),
+          col("priority"))
+        .orderBy(col("id"))
+    }),
+
+    // BUCKET-TRANSFORM PRUNING driver-gated: a bucket[8]-partitioned
+    // foreign table (real murmur3 transform values) point-looked-up by
+    // the SOURCE column — the equality prover prunes non-matching
+    // buckets from the manifest values alone (file-count pin in
+    // IcebergTransformsSpec); the answer must equal the relational
+    // filter at the same key.
+    "cdc_iceberg_bucket_prune" -> ((s, dir) => {
+      val store = icebergBucketTableDir(s, dir)
+      val mn = changeLog(s, dir)
+        .filter(col("operation_type") === "CREATE")
+        .agg(min(col("id"))).head.getLong(0)
+      graft.streaming.IcebergExport.read(s, store)
+        .filter(col("id") === mn)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // DELTA STORED GENERATED COLUMN driver-gated: a virtual generated
+    // column materialized into the buckets and exported per the
+    // protocol (values stored, delta.generationExpression published,
+    // generatedColumns writer feature) — the native reader returns the
+    // stored values. Oracle recomputes the same expression.
+    "cdc_delta_generated" -> ((s, dir) => {
+      val store = deltaGeneratedTableDir(s, dir)
+      graft.streaming.DeltaExport.read(s, store)
+        .select(col("id"), col("status"), col("totalprice"),
+          col("price_band"))
+        .orderBy(col("id"))
+    }),
+
     // V2 CHECKPOINT REPLAY driver-gated: 13 exported delta versions with
     // UUID-named v2 checkpoint tops + `_sidecars/` add parquets, the
     // pre-checkpoint JSON expired — the reader reconstructs the state
@@ -2737,6 +2904,37 @@ object CdcQueries {
       SELECT id, status, totalprice FROM changes
       WHERE operation_type = 'CREATE' AND id % 7 != 0
       ORDER BY id""",
+
+    // v3 puffin deletion vectors: same answer, reached through the
+    // roaring blobs — the files still hold the rows.
+    "cdc_iceberg_v3_dv" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE' AND id % 7 != 0
+      ORDER BY id""",
+
+    // v3 initial-default: every file predates the column, so every row
+    // surfaces the default constant.
+    "cdc_iceberg_v3_default" -> s"""$changesCte
+      SELECT id, status, totalprice, CAST(3 AS BIGINT) AS priority
+      FROM changes WHERE operation_type = 'CREATE' ORDER BY id""",
+
+    // bucket[8]-pruned point lookup = the relational filter at the
+    // same key (the minimum CREATE id, computed identically).
+    "cdc_iceberg_bucket_prune" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE'
+        AND id = (SELECT MIN(id) FROM changes
+                  WHERE operation_type = 'CREATE')
+      ORDER BY id""",
+
+    // stored generated column: the oracle recomputes the published
+    // delta.generationExpression (double comparison — exact in both
+    // engines).
+    "cdc_delta_generated" -> s"""$changesCte
+      SELECT id, status, totalprice,
+        CASE WHEN totalprice >= 150000.0 THEN 'high' ELSE 'low' END
+          AS price_band
+      FROM changes WHERE operation_type = 'CREATE' ORDER BY id""",
 
     // Our partitioned iceberg publish read back = the CREATE payloads.
     "cdc_iceberg_export_part" -> s"""$changesCte
