@@ -711,6 +711,36 @@ object CdcQueries {
     store
   }
 
+  /** Materialize the DELTA CHECK-CONSTRAINT table once per sfDir: the
+    * CREATE payloads merged under a CHECK, exported — the log must
+    * carry `delta.constraints.*` + the checkConstraints writer feature
+    * (the invariant travels with the table) and the reader returns the
+    * data unchanged.
+    */
+  private def deltaConstraintTableDir(s: SparkSession,
+      dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_delta_check_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val creates = changeLog(s, dir)
+          .filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        graft.streaming.MergeInto.mergeBatch(s, creates, store, "id")
+        graft.streaming.MergeInto.addCheckConstraint(s, store,
+          "totalprice_pos", "totalprice > 0")
+        val (_, logFile) = graft.streaming.DeltaExport.export(s, store)
+        val log = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(logFile)), "UTF-8")
+        require(log.contains("delta.constraints.totalprice_pos"),
+          "fixture expected the CHECK to publish in the delta log")
+    }
+    store
+  }
+
   /** Materialize the delta V2-CHECKPOINT table once per sfDir: the same
     * 13-version merge/export cadence as [[deltaCheckpointTableDir]], but
     * exported with `v2Checkpoints = true` — UUID-named checkpoint tops
@@ -2043,6 +2073,17 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // DELTA CHECK-CONSTRAINT EXPORT driver-gated: the table's CHECK
+    // publishes as delta.constraints.* configuration + the
+    // checkConstraints writer feature (asserted at fixture build), and
+    // the native reader returns the constrained data unchanged.
+    "cdc_delta_constraints" -> ((s, dir) => {
+      val store = deltaConstraintTableDir(s, dir)
+      graft.streaming.DeltaExport.read(s, store)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
     // V2 CHECKPOINT REPLAY driver-gated: 13 exported delta versions with
     // UUID-named v2 checkpoint tops + `_sidecars/` add parquets, the
     // pre-checkpoint JSON expired — the reader reconstructs the state
@@ -2926,6 +2967,12 @@ object CdcQueries {
         AND id = (SELECT MIN(id) FROM changes
                   WHERE operation_type = 'CREATE')
       ORDER BY id""",
+
+    // constrained table read back = the CREATE payloads (the CHECK
+    // travels as configuration; data unchanged).
+    "cdc_delta_constraints" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE' ORDER BY id""",
 
     // stored generated column: the oracle recomputes the published
     // delta.generationExpression (double comparison — exact in both

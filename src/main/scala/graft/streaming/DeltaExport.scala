@@ -1079,6 +1079,16 @@ object DeltaExport {
       .filter(_._1.startsWith(MergeInto.GenStoredPrefix))
       .map { case (k, v) =>
         k.stripPrefix(MergeInto.GenStoredPrefix) -> v }.toMap
+    // CHECK constraints export as the protocol's `delta.constraints.*`
+    // configuration + the checkConstraints feature (legacy writer 3):
+    // a foreign WRITER that ignored them could violate an invariant
+    // this engine enforces on every merge — publishing them makes the
+    // contract travel with the table
+    val checksCfg: Map[String, String] = snap.entries.toSeq
+      .filter(_._1.startsWith(MergeInto.CheckPrefix))
+      .map { case (k, v) =>
+        "delta.constraints." + k.stripPrefix(MergeInto.CheckPrefix) -> v
+      }.toMap
     val physSchema = tableSchema(spark, root, snap)
     // column-mapping ids are UNIQUE AND IMMUTABLE per the protocol:
     // reuse the id each physical column carried in the previous log's
@@ -1142,11 +1152,18 @@ object DeltaExport {
         case (Some(a), Some(b)) => java.util.Arrays.equals(a, b)
         case _ => false
       }
+    // constraint changes are CONFIG changes: an added/dropped CHECK with
+    // no file change must still publish a metaData action, so the
+    // idempotency probe compares the constraint surface too (the rest
+    // of the configuration is derived from inputs already compared)
+    val sameConstraints =
+      prev.configuration.filter(_._1.startsWith("delta.constraints.")) ==
+        checksCfg
     val sameFiles = prev.version >= 0 &&
       prev.live.keySet == files.map(_._1).toSet &&
       files.forall { case (p, s, mt) =>
         prev.live.get(p).exists(e => e.size == s && e.modTime == mt) } &&
-      prev.schemaJson.contains(schemaJson)
+      prev.schemaJson.contains(schemaJson) && sameConstraints
     if (sameFiles && (newDvSets.keySet ++ prevDvSets.keySet).forall(dvSame))
       return (prev.version, existing.toString)
 
@@ -1171,6 +1188,7 @@ object DeltaExport {
       if (wantColmap) 2 else 1).max
     val desiredWriter = Seq(prev.writerVersion, 2,
       if (wantCdf) 4 else 0, if (genStored.nonEmpty) 4 else 0,
+      if (checksCfg.nonEmpty) 3 else 0,
       if (wantDvNow) 7 else 0,
       if (v2Checkpoints) 7 else 0, if (wantColmap) 5 else 0).max
     val legacyColmap =
@@ -1194,7 +1212,9 @@ object DeltaExport {
                 .contains("true"))
             Set("changeDataFeed") else Set.empty[String]) ++
           (if (genStored.nonEmpty || prev.writerVersion >= 4)
-            Set("generatedColumns") else Set.empty[String])
+            Set("generatedColumns") else Set.empty[String]) ++
+          (if (checksCfg.nonEmpty || prev.writerVersion >= 3)
+            Set("checkConstraints") else Set.empty[String])
       else prev.writerFeatures
     // bucket layout rides along as NAMESPACED table properties (foreign
     // engines ignore unknown keys, per the spec): the read side turns
@@ -1205,7 +1225,9 @@ object DeltaExport {
       key <- snap.entries.get(MergeInto.BucketKeySlot)
     } yield Map("graft.numBuckets" -> n, "graft.bucketKey" -> key))
       .getOrElse(Map.empty[String, String])
-    val newConfig = prev.configuration ++ bucketProps ++
+    val newConfig = prev.configuration
+      .filterNot(_._1.startsWith("delta.constraints.")) ++ checksCfg ++
+      bucketProps ++
       (if (wantCdf) Map("delta.enableChangeDataFeed" -> "true")
        else Map.empty) ++
       (if (wantDvNow) Map("delta.enableDeletionVectors" -> "true")
@@ -1662,7 +1684,12 @@ object DeltaExport {
     if (mode == "id") {
       // session-scoped, metadata-gated: only schemas that CARRY
       // parquet.field.id metadata are affected, so leaving it on is
-      // harmless to every other scan
+      // harmless to every other scan. Deliberately NOT restored (and
+      // not ConfPin'd): the scan built below executes LAZILY after this
+      // function returns — a restore would race the read itself, and a
+      // true default here would break every later id-mapped collect
+      // (reviewed round 11; the write-side pins, which ARE eager, go
+      // through ConfPin)
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
       // eager metadata validation BEFORE the existence sweep: a table
       // this reader cannot match by id must say so by name, not

@@ -896,6 +896,30 @@ class DeltaExportSpec extends SparkSpec {
     assert(DeltaExport.cleanLog(spark, root) == 0)
   }
 
+  test("CHECK constraints export as delta.constraints.* configuration " +
+      "+ the checkConstraints writer feature; an add/drop with no file " +
+      "change still publishes a metaData action") {
+    val root = java.nio.file.Files.createTempDirectory("delta").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, 10), (2L, 25)).toDF("k", "v"), root, "k", numBuckets = 2)
+    MergeInto.addCheckConstraint(spark, root, "v_pos", "v > 0")
+    val (v0, logFile) = DeltaExport.export(spark, root)
+    val l0 = scala.io.Source.fromFile(logFile).getLines().mkString("\n")
+    assert(l0.contains("\"delta.constraints.v_pos\":\"v > 0\""))
+    assert(l0.contains("\"minWriterVersion\":3"))
+    // idempotent while nothing changed
+    assert(DeltaExport.export(spark, root)._1 == v0)
+    // DROPPING the check changes no file — the export must still
+    // publish a fresh metaData without the constraint (a foreign writer
+    // would otherwise keep enforcing a dropped invariant)
+    MergeInto.dropCheckConstraint(spark, root, "v_pos")
+    val (v1, log1) = DeltaExport.export(spark, root)
+    assert(v1 == v0 + 1)
+    assert(!scala.io.Source.fromFile(log1).getLines().mkString("\n")
+      .contains("delta.constraints"))
+    assert(DeltaExport.read(spark, root).count() == 2)
+  }
+
   test("STORED generated columns export per the protocol: values in " +
       "the files, delta.generationExpression in the schemaString, the " +
       "generatedColumns writer feature declared; VIRTUAL ones still " +
