@@ -1194,7 +1194,8 @@ object IcebergExport {
     sn.put("schema-id", schemaId)
     val summary = sn.putObject("summary")
     summary.put("operation", "overwrite")
-      .put("added-data-files", files.size.toString)
+      .put("added-data-files", newPaths.size.toString)
+      .put("total-data-files", files.size.toString)
       .put("total-records", counts.values.sum.toString)
       .put("graft.manifest-version", snap.version.toString)
     publishedDelete.foreach { case (_, _, n, content, _) =>
