@@ -147,12 +147,18 @@ object Bench {
           // only a SAME-SF reference normalizes: a profile measured at
           // another scale factor would scale every time by a constant
           // fiction (older profiles carry no "sf" — trusted, since the
-          // committed profile and the driver run share sf0.1)
+          // committed profile and the driver run share sf0.1).
+          // PREFER the profile's own ctlRef — the baseline its
+          // queriesNorm are denominated in — so the normalization unit
+          // is a FIXED POINT across rounds; the raw control sample is
+          // only the bootstrap for profiles that predate ctlRef.
           val sfOk = Option(node.get("sf"))
             .forall(_.asText() == sfDir)
           if (!sfOk) None
-          else Option(node.get("control")).flatMap(c =>
-            Option(c.get(probeGate)).map(_.asDouble())).filter(_ > 0)
+          else Option(node.get("ctlRef")).filterNot(_.isNull)
+            .map(_.asDouble()).filter(_ > 0)
+            .orElse(Option(node.get("control")).flatMap(c =>
+              Option(c.get(probeGate)).map(_.asDouble())).filter(_ > 0))
         }
       } catch { case _: Throwable => None }
       fromProfile.orElse(refTimes.get(probeGate).filter(_ > 0))
