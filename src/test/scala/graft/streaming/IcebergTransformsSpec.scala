@@ -122,6 +122,59 @@ class IcebergTransformsSpec extends SparkSpec {
       "k >= 350 only reaches the [300,399] slice")
   }
 
+  test("bucket/truncate pruning on STRING sources: UTF-8 hash buckets " +
+      "prune equality; prefix values lower-bound ranges (no upper — " +
+      "a prefix never caps the source)") {
+    // bucket[16] over a string key
+    val root = java.nio.file.Files.createTempDirectory("itrans").toString
+    val rows = (0 until 64).map { i =>
+      val sv = s"name-$i"
+      (i.toLong, sv,
+        IcebergTransforms.bucketBytes(sv.getBytes("UTF-8"), 16))
+    }
+    IcebergExport.exportPartitioned(spark,
+      rows.toDF("k", "s", "p"), root, Seq("p"))
+    retransform(root, "bucket[16]", "s")
+    val total = scannedFiles(IcebergExport.read(spark, root).select("k"))
+    assert(total >= 8)
+    val hit = IcebergExport.read(spark, root)
+      .filter(col("s") === "name-34")
+    assert(hit.select("k").as[Long].collect().toSeq == Seq(34L))
+    assert(scannedFiles(hit.select("k", "s")) < total)
+    // a string RANGE cannot bucket-prune
+    val rng = IcebergExport.read(spark, root).filter(col("s") >= "name-9")
+    assert(scannedFiles(rng.select("k")) == total)
+
+    // truncate[4] over a string: four prefix groups
+    val root2 = java.nio.file.Files.createTempDirectory("itrans").toString
+    val prefixes = Seq("aaaa", "bbbb", "cccc", "dddd")
+    val rows2 = (0 until 80).map { i =>
+      val sv = s"${prefixes(i % 4)}-$i"
+      (i.toLong, sv, sv.take(4))
+    }
+    IcebergExport.exportPartitioned(spark,
+      rows2.toDF("k", "s", "p"), root2, Seq("p"))
+    retransform(root2, "truncate[4]", "s")
+    val total2 =
+      scannedFiles(IcebergExport.read(spark, root2).select("k"))
+    assert(total2 >= 4)
+    // equality prunes via the prefix LOWER bound (higher-prefix files'
+    // min exceeds the literal)
+    val eq = IcebergExport.read(spark, root2)
+      .filter(col("s") === "aaaa-8")
+    assert(eq.count() == 1)
+    assert(scannedFiles(eq.select("k", "s")) == total2 / 4)
+    // s < "bbbb" prunes every file whose prefix min is >= "bbbb"
+    val lt = IcebergExport.read(spark, root2).filter(col("s") < "bbbb")
+    assert(lt.count() == 20)
+    assert(scannedFiles(lt.select("k")) == total2 / 4)
+    // s >= "cccc" must NOT prune on the missing upper bound alone —
+    // every file scans (a prefix lower bound can only exclude ABOVE the
+    // literal), and the answer is still exact
+    val ge = IcebergExport.read(spark, root2).filter(col("s") >= "cccc")
+    assert(ge.count() == 40)
+  }
+
   test("day/month pruning on timestamp/date sources: time-range " +
       "predicates scan only the covering partitions") {
     // day transform over a TIMESTAMP source
