@@ -581,7 +581,7 @@ object CdcQueries {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    val root = Paths.get(s"$base/$key/orders_iceberg_dv_v1")
+    val root = Paths.get(s"$base/$key/orders_iceberg_dv_v2")
     val store = root.resolve("table").toString
     graft.streaming.FixtureLock.once(root) {
         val log = changeLog(s, dir)
@@ -2073,6 +2073,19 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // ICEBERG INCREMENTAL APPEND SCAN driver-gated: the rows appended
+    // in (0, 2] over the position-delete table — snapshot 1 appends the
+    // CREATE payloads, snapshot 2 is delete-only and contributes
+    // nothing, and the delete is NOT subtracted (an append scan is an
+    // insertion feed, not a snapshot diff — the semantic distinction
+    // from cdc_iceberg_pos_delete). Oracle = ALL CREATE payloads.
+    "cdc_iceberg_incr_append" -> ((s, dir) => {
+      val store = icebergDvTableDir(s, dir)
+      graft.streaming.IcebergExport.readIncremental(s, store, 0L, 2L)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
     // DELTA CHECK-CONSTRAINT EXPORT driver-gated: the table's CHECK
     // publishes as delta.constraints.* configuration + the
     // checkConstraints writer feature (asserted at fixture build), and
@@ -2967,6 +2980,12 @@ object CdcQueries {
         AND id = (SELECT MIN(id) FROM changes
                   WHERE operation_type = 'CREATE')
       ORDER BY id""",
+
+    // incremental APPEND scan over (0, 2]: every appended row — the
+    // snapshot-2 delete is an insertion-feed no-op, NOT subtracted.
+    "cdc_iceberg_incr_append" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE' ORDER BY id""",
 
     // constrained table read back = the CREATE payloads (the CHECK
     // travels as configuration; data unchanged).

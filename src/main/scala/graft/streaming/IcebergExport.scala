@@ -1192,8 +1192,17 @@ object IcebergExport {
     sn.put("timestamp-ms", now)
     sn.put("manifest-list", listPath.toString)
     sn.put("schema-id", schemaId)
+    // the spec's operation classes drive FOREIGN incremental consumers
+    // (an incremental append scan accepts 'append', skips 'delete',
+    // refuses 'overwrite'): claim the narrowest class that is true
+    val removedAny = priorFiles.keySet.exists(p => !liveSet.contains(p))
+    val operation =
+      if (!removedAny && newPaths.isEmpty && publishedDelete.isDefined)
+        "delete"
+      else if (!removedAny && publishedDelete.isEmpty) "append"
+      else "overwrite"
     val summary = sn.putObject("summary")
-    summary.put("operation", "overwrite")
+    summary.put("operation", operation)
       .put("added-data-files", newPaths.size.toString)
       .put("total-data-files", files.size.toString)
       .put("total-records", counts.values.sum.toString)
@@ -1520,6 +1529,92 @@ object IcebergExport {
         s"timestamp $tsMs predates the first iceberg snapshot of $root " +
           s"(earliest ${snaps.headOption.map(_.timestampMs).getOrElse(-1L)})"))
     readAt(spark, root, at.snapshotId)
+  }
+
+  /** INCREMENTAL APPEND SCAN — the rows appended in snapshots
+    * `(fromSnapshotId, toSnapshotId]`, the spec's incremental-read
+    * contract (Spark's `start-snapshot-id`/`end-snapshot-id` read):
+    * every `append` snapshot in range contributes exactly the data
+    * files it ADDED (status=1 entries of manifests stamped with its
+    * snapshot id — carried manifests keep their ORIGINAL
+    * added_snapshot_id, so reused metadata never re-emits old rows),
+    * `delete` snapshots contribute nothing and are skipped, and an
+    * `overwrite` snapshot in range REFUSES by name — its rewritten
+    * rows are not appends and silently emitting them would double-count
+    * (the same refusal Spark's Iceberg incremental source raises).
+    * Deletes are deliberately NOT subtracted: an append scan is a
+    * change feed of insertions, not a snapshot diff — pair with
+    * [[readAt]] for point-in-time states. `fromSnapshotId = 0` starts
+    * before the first snapshot.
+    */
+  def readIncremental(spark: SparkSession, root: String,
+      fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    require(fromSnapshotId < toSnapshotId,
+      s"empty incremental range ($fromSnapshotId, $toSnapshotId]")
+    val fs = metaDir(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val v = currentMetadataVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no iceberg metadata under ${metaDir(root)}"))
+    val md = mapper.readTree(readFully(fs, metadataFile(root, v)))
+    val all = md.get("snapshots").elements().asScala.toVector
+      .sortBy(_.get("snapshot-id").asLong())
+    val inRange = all.filter { s =>
+      val id = s.get("snapshot-id").asLong()
+      id > fromSnapshotId && id <= toSnapshotId
+    }
+    require(inRange.exists(_.get("snapshot-id").asLong() == toSnapshotId),
+      s"iceberg table at $root has no snapshot $toSnapshotId (expired?)")
+    require(fromSnapshotId == 0 ||
+      all.exists(_.get("snapshot-id").asLong() == fromSnapshotId),
+      s"iceberg table at $root has no snapshot $fromSnapshotId " +
+        "(expired?) — an incremental read from an expired base would " +
+        "silently skip its appends")
+    val added: Seq[(String, Long)] = inRange.flatMap { s =>
+      val sid = s.get("snapshot-id").asLong()
+      val op = Option(s.get("summary"))
+        .flatMap(m => Option(m.get("operation"))).map(_.asText())
+        .getOrElse("overwrite")
+      op match {
+        case "delete" => Nil // removes rows only; nothing appended
+        case "append" =>
+          readAvro(fs, new Path(s.get("manifest-list").asText()))
+            .filter(mf => optInt(mf, "content", 0) == 0)
+            .filter(mf => optLong(mf, "added_snapshot_id").contains(sid))
+            .flatMap(mf => readAvro(fs,
+              new Path(mf.get("manifest_path").toString)))
+            .filter(e => e.get("status").asInstanceOf[Int] == 1)
+            .map { e =>
+              val df = e.get("data_file").asInstanceOf[GenericRecord]
+              require(optInt(df, "content", 0) == 0 &&
+                df.get("file_format").toString
+                  .equalsIgnoreCase("parquet"),
+                s"iceberg snapshot $sid at $root lists a non-parquet " +
+                  "or non-data ADDED file in an append snapshot — " +
+                  "corrupt metadata")
+              (df.get("file_path").toString,
+                df.get("file_size_in_bytes").asInstanceOf[Long])
+            }
+        case other => throw new IllegalArgumentException(
+          s"iceberg snapshot $sid at $root is a '$other' snapshot — " +
+            "an incremental APPEND scan cannot represent rewritten " +
+            "rows; read snapshots with readAt and diff, or narrow the " +
+            "range")
+      }
+    }.distinct
+    val schemaId = Option(inRange.last.get("schema-id")).map(_.asInt())
+      .getOrElse(md.get("current-schema-id").asInt())
+    val schemaJson = md.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() == schemaId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"iceberg table at $root names schema $schemaId but does not " +
+          "carry it"))
+    val schema = sparkType(schemaJson, "").asInstanceOf[StructType]
+    if (added.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else org.apache.spark.sql.GraftFiles.parquet(spark,
+      added.map { case (p, sz) => (p, sz, 0L) }.sortBy(_._1), schema)
   }
 
   /** EXPIRE old snapshots — the spec's `expire_snapshots` maintenance:

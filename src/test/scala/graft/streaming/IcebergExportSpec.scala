@@ -71,10 +71,12 @@ class IcebergExportSpec extends SparkSpec {
     assert(asOf1.columns.sorted.toSeq == Seq("__bucket", "k", "s"))
     assert(asOf1.select("k", "s").as[(Long, String)].collect()
       .sorted.toSeq == Seq((1L, "a"), (2L, "b")))
-    // history: two snapshots, both overwrite, ascending
+    // history: two snapshots, ascending; the FIRST export appends,
+    // the bucket-rewriting merge overwrites (the spec's operation
+    // classes — foreign incremental consumers branch on them)
     val snaps = IcebergExport.snapshots(spark, root)
     assert(snaps.map(_.snapshotId) == Seq(1L, 2L))
-    assert(snaps.forall(_.operation == "overwrite"))
+    assert(snaps.map(_.operation) == Seq("append", "overwrite"))
     // field-id stability: column k keeps its id across the two schemas
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     val md = m.readTree(scala.io.Source.fromFile(
@@ -670,6 +672,55 @@ class IcebergExportSpec extends SparkSpec {
     assert(IcebergExport.readAt(spark, root, 3L).select("k", "s")
       .as[(Long, String)].collect().toSet ==
       Set(k0 -> "a", k2 -> "c"))
+  }
+
+  test("INCREMENTAL APPEND SCAN: (from, to] yields exactly the rows " +
+      "appended in range — delete snapshots skip, overwrite snapshots " +
+      "refuse by name, carried manifests never re-emit old rows") {
+    import org.apache.spark.sql.functions.{hash => shash, pmod, lit}
+    val root = java.nio.file.Files.createTempDirectory("iceberg").toString
+    def keyIn(bucket: Int): Long = (0L until 10000L).find(k =>
+      spark.range(k, k + 1).select(pmod(shash(col("id")), lit(16)))
+        .head().getInt(0) == bucket).get
+    // snapshots 1-3: appends (fresh buckets); snapshot 4: delete-only
+    val (k0, k1, k2, k3) = (keyIn(0), keyIn(1), keyIn(2), keyIn(3))
+    MergeInto.mergeBatch(spark,
+      Seq((k0, "a"), (k1, "b")).toDF("k", "s"), root, "k",
+      numBuckets = 16)
+    IcebergExport.export(spark, root)
+    MergeInto.mergeBatch(spark, Seq((k2, "c")).toDF("k", "s"),
+      root, "k", numBuckets = 16)
+    IcebergExport.export(spark, root)
+    MergeInto.mergeBatch(spark, Seq((k3, "d")).toDF("k", "s"),
+      root, "k", numBuckets = 16)
+    IcebergExport.export(spark, root)
+    MergeInto.deleteVector(spark, root, "k", Seq(k1).toDF("k"))
+    IcebergExport.export(spark, root, deleteFiles = true)
+    assert(IcebergExport.snapshots(spark, root).map(_.operation) ==
+      Seq("append", "append", "append", "delete"))
+    def incr(from: Long, to: Long): Set[(Long, String)] =
+      IcebergExport.readIncremental(spark, root, from, to)
+        .select("k", "s").as[(Long, String)].collect().toSet
+    // full history = every append; the delete is NOT subtracted (an
+    // append scan is an insertion feed, not a snapshot diff)
+    assert(incr(0L, 4L) ==
+      Set(k0 -> "a", k1 -> "b", k2 -> "c", k3 -> "d"))
+    // (1, 2]: only snapshot 2's append
+    assert(incr(1L, 2L) == Set(k2 -> "c"))
+    // (2, 4]: snapshot 3's append; the delete contributes nothing
+    assert(incr(2L, 4L) == Set(k3 -> "d"))
+    // (3, 4]: only the delete snapshot — empty, not an error
+    assert(incr(3L, 4L).isEmpty)
+    // a bucket REWRITE makes an overwrite snapshot: the scan refuses
+    MergeInto.mergeBatch(spark, Seq((k0, "A")).toDF("k", "s"),
+      root, "k", numBuckets = 16)
+    IcebergExport.export(spark, root, deleteFiles = true)
+    val e = intercept[IllegalArgumentException] {
+      IcebergExport.readIncremental(spark, root, 4L, 5L).collect()
+    }
+    assert(e.getMessage.contains("overwrite"))
+    // ...but a range that STOPS before it still answers
+    assert(incr(2L, 3L) == Set(k3 -> "d"))
   }
 
   test("name mapping is scoped to ID-LESS files: an id-bearing file " +
