@@ -175,13 +175,29 @@ object AdvancedQueries {
       val key = dir.replaceAll("[^A-Za-z0-9]", "_")
       val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
         System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-      def ensure(name: String, df: DataFrame, bucketCol: String): String = {
+      // the bucketed data is written ONCE per SF (cross-process
+      // FixtureLock, like every lake fixture); each session only
+      // REGISTERS the external bucketed table over the existing files.
+      // The previous shape rewrote the data whenever a fresh session's
+      // catalog lacked the table — a concurrent reader in another
+      // process could see its planned files deleted mid-scan.
+      def ensure(name: String, df: => DataFrame,
+          bucketCol: String): String = {
         val tbl = s"graft_${name}_$key"
-        if (!s.catalog.tableExists(tbl))
-          df.write.mode("overwrite")
-            .option("path", s"$base/$key/buckets/$name")
-            .bucketBy(8, bucketCol).sortBy(bucketCol)
-            .saveAsTable(tbl)
+        if (s.catalog.tableExists(tbl)) return tbl
+        val root = java.nio.file.Paths
+          .get(s"$base/$key/buckets_v2/$name")
+        val dataPath = root.resolve("table").toString
+        val d = df
+        graft.streaming.FixtureLock.once(root) {
+          val tmp = tbl + "_writer"
+          d.write.mode("overwrite").option("path", dataPath)
+            .bucketBy(8, bucketCol).sortBy(bucketCol).saveAsTable(tmp)
+          s.sql(s"DROP TABLE IF EXISTS $tmp") // external: files remain
+        }
+        s.sql(s"CREATE TABLE IF NOT EXISTS $tbl (${d.schema.toDDL}) " +
+          s"USING parquet CLUSTERED BY ($bucketCol) " +
+          s"SORTED BY ($bucketCol) INTO 8 BUCKETS LOCATION '$dataPath'")
         tbl
       }
       val o = ensure("orders_b", Tables(s, dir, "orders"), "o_custkey")
