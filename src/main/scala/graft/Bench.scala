@@ -25,10 +25,15 @@ import org.apache.spark.sql.SparkSession
   * timeline. Each gate's time is then NORMALIZED by the control factor
   * in effect when it was timed (local control ÷ committed control
   * reference, clamped to ≥1 so normalization can only exonerate, never
-  * indict), and the published `drift` block is computed on NORMALIZED
-  * times. Raw times stay in `queries` (the artifact contract); the
-  * timeline, reference, and raw-ratio flags are all published so the
-  * artifact is interpretable without a judge re-run.
+  * indict), and the published `drift` block requires exceeding the
+  * threshold on BOTH surfaces — raw vs committed raw AND normalized
+  * vs committed normalized. A real plan regression inflates both
+  * ratios; each phantom class inflates only one (session degradation
+  * inflates raw only; a previous session whose control spiked harder
+  * than its gates biases the committed norms low, inflating the norm
+  * ratio only). Raw times stay in `queries` (the artifact contract);
+  * the timeline, references, and raw-only flags are all published so
+  * the artifact is interpretable without a judge re-run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -51,23 +56,32 @@ object Bench {
     // loaded BEFORE this run overwrites the file: the drift block below
     // flags gates mechanically, so a round-over-round regression is named
     // in the bench JSON itself instead of by judge-side diffing.
-    val refTimes: Map[String, Double] = try {
+    // BOTH reference surfaces load: raw times AND normalized times. A
+    // drift flag requires exceeding the threshold against BOTH — a real
+    // plan regression inflates both ratios, while each phantom class
+    // inflates only one (session degradation inflates raw but not
+    // normalized; a previous session whose CONTROL spiked harder than
+    // its gates biases the committed norms low, inflating the norm
+    // ratio but not the raw one).
+    def loadRef(field: String): Map[String, Double] = try {
       val p = java.nio.file.Paths.get("bench_profile.json")
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(java.nio.file.Files.readString(p))
-        // prefer the NORMALIZED times when the committed profile has
-        // them: a profile measured under a degraded session would
-        // otherwise inflate every reference and mask real regressions
-        Option(node.get("queriesNorm")).orElse(Option(node.get("queries")))
-          .map { q =>
-            import scala.jdk.CollectionConverters._
-            q.properties().asScala
-              .map(e => e.getKey -> e.getValue.asDouble()).toMap
-          }.getOrElse(Map.empty)
+        Option(node.get(field)).map { q =>
+          import scala.jdk.CollectionConverters._
+          q.properties().asScala
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap
+        }.getOrElse(Map.empty)
       }
     } catch { case _: Throwable => Map.empty }
+    val refRaw: Map[String, Double] = loadRef("queries")
+    val refNorm0 = loadRef("queriesNorm")
+    val refNorm: Map[String, Double] =
+      if (refNorm0.nonEmpty) refNorm0 else refRaw
+    val refTimes: Map[String, Double] =
+      if (refNorm0.nonEmpty) refNorm0 else refRaw
 
     // dev-only subset filter (the round driver never sets it) — same
     // contract as Verify's SPARK_GRAFT_VERIFY_ONLY
@@ -228,20 +242,20 @@ object Bench {
       ref <- ctlRef
       c <- ctlAt(i)
     } yield math.max(1.0, c / ref)).getOrElse(1.0)
-    // IN-RUN DRIFT ADJUDICATION: any gate beyond the drift threshold ON
-    // NORMALIZED TIME gets ONE extra timed run (min over 3). A
-    // first-touch or GC phantom disappears under the re-run; a real
-    // plan regression stays — so the published drift block carries only
-    // numbers that survived control normalization AND an immediate
-    // retest in the same session.
-    def overThreshold(k: String, v: Double): Option[Double] =
-      refTimes.get(k).collect {
-        case ref if ref > 0 && v > math.max(ref * 1.5, ref + 0.5) => ref
-      }
+    // IN-RUN DRIFT ADJUDICATION: any gate beyond the drift threshold on
+    // BOTH the raw and the normalized surface gets ONE extra timed run
+    // (min over 3). A first-touch or GC phantom disappears under the
+    // re-run; a real plan regression stays — so the published drift
+    // block carries only numbers that survived control normalization,
+    // the dual-surface test, AND an immediate retest in the session.
+    def over(ref: Option[Double], v: Double): Boolean =
+      ref.exists(r => r > 0 && v > math.max(r * 1.5, r + 0.5))
+    def flaggedBoth(k: String, raw: Double, norm: Double): Boolean =
+      over(refRaw.get(k), raw) && over(refNorm.get(k), norm)
     val finalResults: Seq[(String, Double, Double)] = results.map {
       case (k, v, i) =>
         val norm = v / factorAt(i)
-        if (overThreshold(k, norm).isDefined) {
+        if (flaggedBoth(k, v, norm)) {
           // a fresh probe brackets the adjudication re-run so ITS
           // normalization reflects the session state at retest time
           val f2 = (for (ref <- ctlRef; p <- probe())
@@ -276,20 +290,26 @@ object Bench {
     // driver recorded `parsed: null`. So: 3-decimal seconds, slowest-first,
     // and stop adding per-query entries once the line would pass the
     // budget; the residue is summarized in "omitted".
-    // Drift flags: CONTROL-NORMALIZED best-of-2 beyond max(1.5×
-    // reference, reference+0.5 s) — the +0.5 s floor keeps sub-second
-    // gates' jitter out. Values are the normalized ratio vs the
-    // committed reference; `driftRaw` (profile only) carries the same
-    // flags on RAW times so the normalization's effect is auditable.
-    def flags(pick: ((String, Double, Double)) => Double) =
-      finalResults.flatMap { case t @ (k, _, _) =>
-        if (warmupFailed.contains(k)) None // first-touch, not a comparison
-        else overThreshold(k, pick(t)).map(ref =>
-          k -> BigDecimal(pick(t) / ref).setScale(2,
-            BigDecimal.RoundingMode.HALF_UP))
-      }.sortBy(-_._2)
-    val drifted = flags(_._3)
-    val driftedRaw = flags(_._2)
+    // Drift flags: best-of-2 beyond max(1.5× reference, reference+0.5 s)
+    // on BOTH surfaces — raw vs the committed raw times AND
+    // control-normalized vs the committed normalized times; the +0.5 s
+    // floor keeps sub-second gates' jitter out. The published ratio is
+    // the SMALLER of the two (the conservative claim). `driftRaw`
+    // (profile only) carries the raw-only flags so the dual test's
+    // effect is auditable.
+    def ratio2(v: Double) =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val drifted = finalResults.flatMap { case (k, raw, norm) =>
+      if (warmupFailed.contains(k)) None // first-touch, not a comparison
+      else if (!flaggedBoth(k, raw, norm)) None
+      else Some(k -> ratio2(math.min(
+        refRaw.get(k).map(raw / _).getOrElse(Double.MaxValue),
+        refNorm.get(k).map(norm / _).getOrElse(Double.MaxValue))))
+    }.sortBy(-_._2)
+    val driftedRaw = finalResults.flatMap { case (k, raw, _) =>
+      if (warmupFailed.contains(k) || !over(refRaw.get(k), raw)) None
+      else Some(k -> ratio2(raw / refRaw(k)))
+    }.sortBy(-_._2)
     def driftJson(d: Seq[(String, BigDecimal)]) =
       d.map { case (k, r) => "\"" + k + "\":" + r }
         .mkString("{", ",", "}")
