@@ -19,10 +19,14 @@ import org.apache.spark.sql.SparkSession
   * round-10 artifact's own control bracket read 1.045 s at run start
   * and 1.745 s at run end on an unchanged control gate, so every
   * late-timed gate carried the session's degradation and even in-run
-  * re-runs could not exonerate them. The fix: ONE control gate
-  * (q86_rfm, pure-relational, code changes rarely) is re-timed every
-  * ~35 gates through the timed pass, giving a piecewise-linear control
-  * timeline. Each gate's time is then NORMALIZED by the control factor
+  * re-runs could not exonerate them. The fix: control gates re-timed
+  * every ~35 gates through the timed pass give piecewise-linear
+  * control timelines. Round 12 widened the single q86 probe to ONE
+  * PROBE PER GATE FAMILY — q86_rfm (scan+window), dd1_exact_groups
+  * (corpus shuffle), cdc_decode_envelope (lakehouse) — because r11's
+  * residual sub-2× flags were all shuffle/iterative gates normalized
+  * by a scan-shaped control that under-felt their degradation mode.
+  * Each gate's time is then NORMALIZED by ITS family's control factor
   * in effect when it was timed (local control ÷ committed control
   * reference, clamped to ≥1 so normalization can only exonerate, never
   * indict), and the published `drift` block requires exceeding the
@@ -146,41 +150,63 @@ object Bench {
       }
     val control = measureControl()
 
-    // the NORMALIZATION probe gate + its committed reference: the
-    // previous profile's own control block (same machine class, same
-    // measurement shape), falling back to the committed per-gate time.
-    // No reference -> no normalization (factor 1), never a crash.
-    val probeGate = "q86_rfm"
-    val ctlRef: Option[Double] = {
-      val fromProfile = try {
+    // NORMALIZATION probes — one per GATE FAMILY (round-12 task: the
+    // single q86 probe under-corrected families with different session-
+    // degradation sensitivity; r11's five sub-2x flags were all
+    // shuffle/iterative gates normalized by a scan-shaped control).
+    // Three probes span the execution shapes: q86_rfm (scan+window
+    // relational), dd1_exact_groups (corpus shuffle/hash-agg),
+    // cdc_decode_envelope (lakehouse/streaming fixture + parse). Each
+    // gate normalizes by ITS family's factor.
+    val familyProbe: Map[String, String] = Map(
+      "scan" -> "q86_rfm",
+      "shuffle" -> "dd1_exact_groups",
+      "lake" -> "cdc_decode_envelope")
+    def familyOf(name: String): String =
+      if (name.startsWith("cdc") || name.startsWith("ev") ||
+        name.startsWith("mm") || name.startsWith("zm") ||
+        name.startsWith("dq")) "lake"
+      else if (name.startsWith("q")) "scan"
+      else "shuffle" // dd/sm/tx/cur/pk/dc/er/sj/aj: corpus shuffle gates
+    val probeGates = familyProbe.values.toSeq.distinct.sorted
+    // per-probe committed references: the profile's own ctlRefs (the
+    // baselines its queriesNorm are denominated in — a FIXED POINT
+    // across rounds), legacy single-probe ctlRef for q86, then the
+    // committed per-gate time as bootstrap. Only a SAME-SF profile
+    // normalizes. No reference -> factor 1, never a crash.
+    val ctlRefs: Map[String, Double] = {
+      val fromProfile: Map[String, Double] = try {
         val p = java.nio.file.Paths.get("bench_profile.json")
-        if (!java.nio.file.Files.exists(p)) None
+        if (!java.nio.file.Files.exists(p)) Map.empty
         else {
           val node = new com.fasterxml.jackson.databind.ObjectMapper()
             .readTree(java.nio.file.Files.readString(p))
-          // only a SAME-SF reference normalizes: a profile measured at
-          // another scale factor would scale every time by a constant
-          // fiction (older profiles carry no "sf" — trusted, since the
-          // committed profile and the driver run share sf0.1).
-          // PREFER the profile's own ctlRef — the baseline its
-          // queriesNorm are denominated in — so the normalization unit
-          // is a FIXED POINT across rounds; the raw control sample is
-          // only the bootstrap for profiles that predate ctlRef.
           val sfOk = Option(node.get("sf"))
             .forall(_.asText() == sfDir)
-          if (!sfOk) None
-          else Option(node.get("ctlRef")).filterNot(_.isNull)
-            .map(_.asDouble()).filter(_ > 0)
-            .orElse(Option(node.get("control")).flatMap(c =>
-              Option(c.get(probeGate)).map(_.asDouble())).filter(_ > 0))
+          if (!sfOk) Map.empty
+          else {
+            import scala.jdk.CollectionConverters._
+            val multi = Option(node.get("ctlRefs")).map(_.properties()
+              .asScala.map(e => e.getKey -> e.getValue.asDouble())
+              .filter(_._2 > 0).toMap).getOrElse(Map.empty)
+            val legacy = Option(node.get("ctlRef")).filterNot(_.isNull)
+              .map(_.asDouble()).filter(_ > 0)
+              .orElse(Option(node.get("control")).flatMap(c =>
+                Option(c.get("q86_rfm")).map(_.asDouble()))
+                .filter(_ > 0))
+              .map(v => Map("q86_rfm" -> v)).getOrElse(Map.empty)
+            legacy ++ multi
+          }
         }
-      } catch { case _: Throwable => None }
-      fromProfile.orElse(refTimes.get(probeGate).filter(_ > 0))
+      } catch { case _: Throwable => Map.empty }
+      probeGates.flatMap(g => fromProfile.get(g)
+        .orElse(refTimes.get(g).filter(_ > 0)).map(g -> _)).toMap
     }
-    def probe(): Option[Double] = {
+    val ctlRef: Option[Double] = ctlRefs.get("q86_rfm") // legacy surface
+    def probeOnce(gate: String): Option[Double] = {
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { run(sfDir, probeGate); Some((System.nanoTime() - t0) / 1e9) }
+        try { run(sfDir, gate); Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => None }
       }
       if (times.isEmpty) None else Some(times.min)
@@ -192,17 +218,22 @@ object Bench {
     // `errors` and excluded from the per-query map so the total can never
     // be built on silently failing queries.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // interleaved probe timeline: (gates timed so far -> probe seconds).
-    // ~35-gate stride = ~10 probes over the catalog, min-of-2 each —
-    // a few percent of wall, and the artifact gains a within-run
-    // degradation curve that per-gate normalization can consume.
+    // interleaved probe timelines, one per family probe: (gates timed
+    // so far -> probe seconds). ~35-gate stride = ~10 probe points over
+    // the catalog, min-of-2 each, three probes per point — a few
+    // percent of wall, and the artifact gains per-family within-run
+    // degradation curves that per-gate normalization consumes.
     val probeStride = 35
-    val timeline = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
-    probe().foreach(s => timeline += ((0, s)))
+    val timelines: Map[String,
+        scala.collection.mutable.ArrayBuffer[(Int, Double)]] =
+      probeGates.map(g => g ->
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]).toMap
+    def probeAll(i: Int): Unit = probeGates.foreach(g =>
+      probeOnce(g).foreach(s => timelines(g) += ((i, s))))
+    probeAll(0)
     val results: Seq[(String, Double, Int)] =
       names.zipWithIndex.flatMap { case (name, i) =>
-        if (i > 0 && i % probeStride == 0)
-          probe().foreach(s => timeline += ((i, s)))
+        if (i > 0 && i % probeStride == 0) probeAll(i)
         val times = (1 to 2).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
@@ -218,13 +249,15 @@ object Bench {
         }
         if (times.isEmpty) None else Some((name, times.min, i))
       }
-    probe().foreach(s => timeline += ((names.size, s)))
-    // control factor in effect at gate index i: linear interpolation
-    // between the surrounding probe samples, divided by the committed
-    // control reference, clamped to >= 1 so normalization can only
-    // EXONERATE (shrink a time measured under a degraded session),
-    // never flag a gate raw times would not have flagged.
-    def ctlAt(i: Int): Option[Double] = {
+    probeAll(names.size)
+    // control factor in effect at gate index i FOR A FAMILY: linear
+    // interpolation between the family probe's surrounding samples,
+    // divided by that probe's committed reference, clamped to >= 1 so
+    // normalization can only EXONERATE (shrink a time measured under a
+    // degraded session), never flag a gate raw times would not have
+    // flagged.
+    def ctlAt(gate: String, i: Int): Option[Double] = {
+      val timeline = timelines(gate)
       if (timeline.isEmpty) None
       else {
         val after = timeline.find(_._1 >= i)
@@ -238,10 +271,13 @@ object Bench {
         })
       }
     }
-    def factorAt(i: Int): Double = (for {
-      ref <- ctlRef
-      c <- ctlAt(i)
-    } yield math.max(1.0, c / ref)).getOrElse(1.0)
+    def factorAt(name: String, i: Int): Double = {
+      val gate = familyProbe(familyOf(name))
+      (for {
+        ref <- ctlRefs.get(gate)
+        c <- ctlAt(gate, i)
+      } yield math.max(1.0, c / ref)).getOrElse(1.0)
+    }
     // IN-RUN DRIFT ADJUDICATION: any gate beyond the drift threshold on
     // BOTH the raw and the normalized surface gets ONE extra timed run
     // (min over 3). A first-touch or GC phantom disappears under the
@@ -254,11 +290,12 @@ object Bench {
       over(refRaw.get(k), raw) && over(refNorm.get(k), norm)
     val finalResults: Seq[(String, Double, Double)] = results.map {
       case (k, v, i) =>
-        val norm = v / factorAt(i)
+        val norm = v / factorAt(k, i)
         if (flaggedBoth(k, v, norm)) {
-          // a fresh probe brackets the adjudication re-run so ITS
-          // normalization reflects the session state at retest time
-          val f2 = (for (ref <- ctlRef; p <- probe())
+          // a fresh FAMILY probe brackets the adjudication re-run so
+          // ITS normalization reflects the session state at retest time
+          val gate = familyProbe(familyOf(k))
+          val f2 = (for (ref <- ctlRefs.get(gate); p <- probeOnce(gate))
             yield math.max(1.0, p / ref)).getOrElse(1.0)
           val t0 = System.nanoTime()
           val v2 = try { run(sfDir, k); (System.nanoTime() - t0) / 1e9 }
@@ -315,9 +352,16 @@ object Bench {
         .mkString("{", ",", "}")
     val driftFull = driftJson(drifted)
     val driftRawFull = driftJson(driftedRaw)
-    val timelineFull = timeline
+    def timelineJson(g: String) = timelines(g)
       .map { case (i, s) => s"""{"i":$i,"sec":${sec(s)}}""" }
       .mkString("[", ",", "]")
+    val timelineFull = timelineJson("q86_rfm") // legacy surface
+    val timelinesFull = probeGates
+      .map(g => "\"" + g + "\":" + timelineJson(g))
+      .mkString("{", ",", "}")
+    val ctlRefsFull = probeGates.flatMap(g =>
+      ctlRefs.get(g).map(r => "\"" + g + "\":" + sec(r)))
+      .mkString("{", ",", "}")
 
     // the control set re-measured AFTER the timed pass brackets the
     // session: controlEnd >> control means WITHIN-session drift (heap,
@@ -342,6 +386,7 @@ object Bench {
           s"\"total\":$total,\"totalNorm\":${sec(totalNorm)}," +
           s""""control":$controlFull,"controlEnd":$controlEndFull,""" +
           s""""ctlRef":${ctlRef.map(sec).getOrElse("null")},""" +
+          s""""ctlRefs":$ctlRefsFull,"ctlTimelines":$timelinesFull,""" +
           s""""ctlTimeline":$timelineFull,"queriesNorm":$normFull,""" +
           s""""drift":$driftFull,"driftRaw":$driftRawFull,""" +
           s""""warmupFailed":$wfailFull,"errors":$errsFull}""")

@@ -652,6 +652,106 @@ object CdcQueries {
     store
   }
 
+  /** Materialize the ICEBERG V3 DV-EXPORT table once per sfDir: the
+    * CREATE payloads exported as snapshot 1, then the id%7 keys deleted
+    * merge-on-read and exported with `deletionVectors = true` —
+    * snapshot 2 publishes the spec's v3 PUFFIN DELETION VECTORS (one
+    * roaring blob per referenced data file, format-version 3) NATIVELY
+    * (the write half of the forged-foreign read path cdc_iceberg_v3_dv
+    * exercises). No data file is rewritten; the export's scan is
+    * bounded to the deleted keys' buckets, its metadata to O(deleted
+    * rows) puffin bytes.
+    */
+  private def icebergDvExportTableDir(s: SparkSession,
+      dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_iceberg_dvexp_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val log = changeLog(s, dir)
+        val b1 = log.filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        graft.streaming.MergeInto.mergeBatch(s, b1, store, "id")
+        graft.streaming.IcebergExport.export(s, store)
+        graft.streaming.MergeInto.deleteVector(s, store, "id",
+          b1.filter(col("id") % 7 === 0).select(col("id")))
+        val (v, _) = graft.streaming.IcebergExport.export(s, store,
+          deleteFiles = true, deletionVectors = true)
+        require(v == 2L, s"fixture expected iceberg snapshot 2, got $v")
+    }
+    store
+  }
+
+  /** Materialize the ICEBERG CHANGELOG table once per sfDir: the same
+    * two-batch merge as [[mergedOrdersTableDir]], exported after EACH
+    * batch — snapshot 1 is the CREATE state, snapshot 2 the merged
+    * final state (an `overwrite` snapshot: buckets were rewritten).
+    * [[graft.streaming.IcebergExport.readChanges]] diffs the two into
+    * the net change feed an incremental APPEND scan cannot represent.
+    */
+  private def icebergChangelogTableDir(s: SparkSession,
+      dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_iceberg_changelog_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        import org.apache.spark.sql.expressions.Window
+        val log = changeLog(s, dir)
+        val b1 = log.filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        val w = Window.partitionBy(col("id"))
+          .orderBy(col("log_seq_num").desc)
+        val b2 = log.filter(col("operation_type") =!= "CREATE")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("id"), col("status"), col("totalprice"),
+            (col("operation_type") === "DELETE").as("del"))
+        graft.streaming.MergeInto.mergeBatch(s, b1, store, "id")
+        graft.streaming.IcebergExport.export(s, store)
+        graft.streaming.MergeInto.mergeBatch(s, b2, store, "id",
+          deleteCol = Some("del"))
+        val (v, _) = graft.streaming.IcebergExport.export(s, store)
+        require(v == 2L, s"fixture expected iceberg snapshot 2, got $v")
+    }
+    store
+  }
+
+  /** Materialize the ICEBERG V3 NESTED-DEFAULT table once per sfDir:
+    * the CREATE payloads published with a STRUCT column, then a child
+    * field hand-added to the struct in the metadata with
+    * `initial-default: 7` — every data file predates the child, so the
+    * read must surface the default INSIDE each non-null struct, never
+    * NULL (the struct-surgery read path the top-level default gate
+    * cannot reach).
+    */
+  private def icebergNestedDefaultTableDir(s: SparkSession,
+      dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_iceberg_nestdef_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val creates = changeLog(s, dir)
+          .filter(col("operation_type") === "CREATE")
+          .select(col("id"),
+            struct(col("status"), col("totalprice")).as("info"))
+        graft.streaming.IcebergExport.publish(
+          s, creates.repartitionByRange(4, col("id")), store)
+        graft.streaming.ForeignIcebergShapes.addNestedDefaultedColumn(
+          store, "info", "flag", "long",
+          com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+            .numberNode(7L))
+    }
+    store
+  }
+
   /** Materialize the BUCKET-TRANSFORM iceberg table once per sfDir: the
     * CREATE payloads partitioned by the spec's `bucket[8]` of id (the
     * real murmur3 transform, via [[graft.functions.IcebergBucket]]),
@@ -2031,6 +2131,46 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // ICEBERG V3 DV EXPORT driver-gated (the WRITE half of
+    // cdc_iceberg_v3_dv): pending merge-on-read deletes published
+    // NATIVELY as v3 puffin deletion vectors (one roaring blob per
+    // referenced data file, content_offset/size manifest fields,
+    // format-version 3) and round-tripped by the native reader. Oracle
+    // = the CREATE payloads minus the id%7 keys.
+    "cdc_iceberg_v3_dv_export" -> ((s, dir) => {
+      val store = icebergDvExportTableDir(s, dir)
+      graft.streaming.IcebergExport.read(s, store)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
+    // ICEBERG CHANGELOG SCAN driver-gated: the NET row-level diff of
+    // snapshots 1→2 (an overwrite snapshot readIncremental refuses by
+    // name) via the null-safe key-level value diff — the iceberg twin
+    // of cdc_change_feed, sharing its oracle: the changelog over the
+    // exported table must equal the manifest-store change feed.
+    "cdc_iceberg_changelog" -> ((s, dir) => {
+      val store = icebergChangelogTableDir(s, dir)
+      graft.streaming.IcebergExport.readChanges(s, store, 1L, 2L, "id")
+        .select(col("id"), col("status"), col("totalprice"),
+          col("_change_type"))
+        .orderBy(col("id"), col("_change_type"))
+    }),
+
+    // ICEBERG V3 NESTED INITIAL-DEFAULT driver-gated: a struct CHILD
+    // added to the metadata with a default after every file was
+    // written — the reader must patch the default INSIDE each struct
+    // (per-file footer probe + withField), not just at the top level.
+    // Oracle appends the constant to the flattened struct fields.
+    "cdc_iceberg_v3_nested_default" -> ((s, dir) => {
+      val store = icebergNestedDefaultTableDir(s, dir)
+      graft.streaming.IcebergExport.read(s, store)
+        .select(col("id"), col("info.status").as("status"),
+          col("info.totalprice").as("totalprice"),
+          col("info.flag").as("flag"))
+        .orderBy(col("id"))
+    }),
+
     // ICEBERG V3 INITIAL-DEFAULT driver-gated: a column added to the
     // metadata with a default AFTER every data file was written — the
     // v3 read-side semantics say pre-evolution files answer the
@@ -2970,6 +3110,24 @@ object CdcQueries {
     // surfaces the default constant.
     "cdc_iceberg_v3_default" -> s"""$changesCte
       SELECT id, status, totalprice, CAST(3 AS BIGINT) AS priority
+      FROM changes WHERE operation_type = 'CREATE' ORDER BY id""",
+
+    // natively-exported v3 deletion vectors: same answer as the forged
+    // read gate — the files still hold the rows, the puffin blobs say
+    // otherwise.
+    "cdc_iceberg_v3_dv_export" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE' AND id % 7 != 0
+      ORDER BY id""",
+
+    // the iceberg changelog scan = the manifest-store change feed (the
+    // two snapshots are the same two states).
+    "cdc_iceberg_changelog" -> changeFeedOracleSql,
+
+    // v3 NESTED initial-default: every file predates the struct child,
+    // so every row surfaces the constant inside its struct.
+    "cdc_iceberg_v3_nested_default" -> s"""$changesCte
+      SELECT id, status, totalprice, CAST(7 AS BIGINT) AS flag
       FROM changes WHERE operation_type = 'CREATE' ORDER BY id""",
 
     // bucket[8]-pruned point lookup = the relational filter at the

@@ -77,6 +77,40 @@ object ForeignIcebergShapes {
     rewrite(mdFile, mapper.writeValueAsString(md))
   }
 
+  /** Add a NESTED struct child with a v3 `initial-default` to the
+    * current schema: `parentCol` must be an existing struct column (no
+    * data file stores the child — the read must surface the default
+    * inside every non-null struct). Bumps the table to v3.
+    */
+  def addNestedDefaultedColumn(root: String, parentCol: String,
+      name: String, icebergType: String,
+      defaultJson: com.fasterxml.jackson.databind.JsonNode): Unit = {
+    val mdFile = newestMetadata(root)
+    val md = mapper.readTree(
+      new String(java.nio.file.Files.readAllBytes(mdFile.toPath),
+        "UTF-8")).deepCopy[ObjectNode]()
+    md.put("format-version", 3)
+    val cur = md.get("schemas").elements().asScala
+      .find(_.get("schema-id").asInt() ==
+        md.get("current-schema-id").asInt()).get
+      .asInstanceOf[ObjectNode]
+    val parent = cur.withArray("fields").elements().asScala
+      .find(_.get("name").asText() == parentCol)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column '$parentCol' in the current schema"))
+      .get("type")
+    require(parent.isObject && parent.get("type").asText() == "struct",
+      s"column '$parentCol' is not a struct")
+    val id = md.get("last-column-id").asInt() + 1
+    val f = parent.asInstanceOf[ObjectNode].withArray("fields")
+      .addObject()
+    f.put("id", id).put("name", name).put("required", false)
+      .put("type", icebergType)
+    f.set[ObjectNode]("initial-default", defaultJson)
+    md.put("last-column-id", id)
+    rewrite(mdFile, mapper.writeValueAsString(md))
+  }
+
   /** Rewrite the single partition-spec field: `transform` over
     * `sourceCol`'s field id — the metadata a foreign writer partitioned
     * by bucket[N]/truncate[W]/day/… publishes. The manifest partition

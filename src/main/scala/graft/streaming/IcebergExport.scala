@@ -214,8 +214,17 @@ object IcebergExport {
 
   private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
 
-  /** Iceberg type JSON -> Catalyst. Unknowns refuse by name. */
-  private def sparkType(t: JsonNode, at: String): DataType =
+  /** Iceberg type JSON -> Catalyst. Unknowns refuse by name.
+    * `inContainer` marks list/map interiors: a v3 `initial-default` on
+    * a struct field is readable (top-level OR struct-nested — readAt
+    * surfaces it per file via [[FileResolution]]), but one inside a
+    * list/map element cannot be surfaced per element by this reader and
+    * refuses by name, never nulls silently. `write-default` is
+    * writer-side only and ignored everywhere (the spec's read semantics
+    * consume only initial-default).
+    */
+  private def sparkType(t: JsonNode, at: String,
+      inContainer: Boolean = false): DataType =
     if (t.isTextual) t.asText() match {
       case "boolean" => BooleanType
       case "int" => IntegerType
@@ -235,27 +244,22 @@ object IcebergExport {
       case "struct" => StructType(
         t.get("fields").elements().asScala.map { f =>
           val name = f.get("name").asText()
-          // v3 column DEFAULTS: TOP-LEVEL initial-defaults are read
-          // natively (readAt probes which files lack the field and
-          // surfaces the default there — the spec's read-side
-          // semantics; write-default is writer-only and ignored).
-          // NESTED defaults would need per-file struct surgery this
-          // reader does not do — refuse by name, never null silently.
-          require(at.isEmpty ||
-              (!f.has("initial-default") && !f.has("write-default")),
-            s"iceberg column '$at.$name' declares a NESTED DEFAULT " +
-              "value (v3 initial-default/write-default below the top " +
-              "level) — files predating the field would read as NULL " +
-              "instead of the default; read with a full engine")
-          StructField(name, sparkType(f.get("type"), s"$at.$name"),
+          require(!(inContainer && f.has("initial-default")),
+            s"iceberg column '$at.$name' declares an initial-default " +
+              "INSIDE a list/map — per-element default surfacing is " +
+              "not expressible in this reader; files predating the " +
+              "field would read as NULL instead of the default; read " +
+              "with a full engine")
+          StructField(name,
+            sparkType(f.get("type"), s"$at.$name", inContainer),
             nullable = !f.get("required").asBoolean())
         }.toArray)
       case "list" => ArrayType(
-        sparkType(t.get("element"), s"$at.element"),
+        sparkType(t.get("element"), s"$at.element", inContainer = true),
         containsNull = !t.get("element-required").asBoolean())
       case "map" => MapType(
-        sparkType(t.get("key"), s"$at.key"),
-        sparkType(t.get("value"), s"$at.value"),
+        sparkType(t.get("key"), s"$at.key", inContainer = true),
+        sparkType(t.get("value"), s"$at.value", inContainer = true),
         valueContainsNull = !t.get("value-required").asBoolean())
       case other => throw new IllegalArgumentException(
         s"iceberg column '$at' has nested type '$other' — not " +
@@ -361,7 +365,13 @@ object IcebergExport {
          |     {"name":"value","type":"bytes","field-id":130}]}}]},
          |  {"name":"equality_ids","default":null,"field-id":135,
          |   "type":["null",{"type":"array","items":"int",
-         |    "element-id":136}]}
+         |    "element-id":136}]},
+         |  {"name":"referenced_data_file","type":["null","string"],
+         |   "default":null,"field-id":143},
+         |  {"name":"content_offset","type":["null","long"],
+         |   "default":null,"field-id":144},
+         |  {"name":"content_size_in_bytes","type":["null","long"],
+         |   "default":null,"field-id":145}
          |]}}]}""".stripMargin)
   }
 
@@ -652,18 +662,36 @@ object IcebergExport {
     * carried from a previous snapshot (new-in-this-snapshot files would
     * escape the delete); a rewritten-bucket snapshot refuses loudly —
     * fall back to position deletes there.
+    *
+    * With `deletionVectors = true` (v3), the same per-file positions
+    * publish as the spec's DELETION VECTORS instead: one puffin file
+    * holding one `deletion-vector-v1` roaring blob per referenced data
+    * file (byte-identical to the Delta DV layout — the v3 spec adopted
+    * it), referenced through `referenced_data_file`/`content_offset`/
+    * `content_size_in_bytes` manifest fields, and the metadata bumps to
+    * format-version 3 — the Spark-4/Iceberg-1.8 merge-on-read write
+    * shape, O(deleted rows) bytes, no table rewrite. Row-lineage fields
+    * (`next-row-id`, per-file `first_row_id`) are deliberately NOT
+    * published: this writer claims only the v3 features it emits, and
+    * its reader (plus any v3 reader that treats lineage as optional
+    * metadata) ignores them. A v3 table never downgrades: later exports
+    * keep the prior format-version even in position/equality modes.
     */
   def export(spark: SparkSession, root: String,
       deleteFiles: Boolean = false,
-      equalityDeletes: Boolean = false): (Long, String) = {
+      equalityDeletes: Boolean = false,
+      deletionVectors: Boolean = false): (Long, String) = {
+    require(!(equalityDeletes && deletionVectors),
+      "equalityDeletes and deletionVectors are exclusive publish shapes")
     val snap = ManifestStore.latest(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed table under $root"))
     val dvRel = snap.entries.get(MergeInto.DvSlot)
-    require(dvRel.isEmpty || deleteFiles,
+    require(dvRel.isEmpty || deleteFiles || deletionVectors,
       s"table at $root has a pending deletion vector — foreign Iceberg " +
         "readers cannot subtract the raw key sidecar; run " +
         "materializeDeletes before exporting, or pass deleteFiles=true " +
-        "to publish it as position delete files")
+        "to publish it as position delete files (deletionVectors=true " +
+        "for the v3 puffin shape)")
     require(!snap.entries.keys.exists(_.startsWith(MergeInto.GenPrefix)),
       s"table at $root has VIRTUAL generated columns — nothing is " +
         "stored for them, so a foreign Iceberg reader would silently " +
@@ -720,6 +748,18 @@ object IcebergExport {
     }
     val lastSeq = prior.map(_.get("last-sequence-number").asLong())
       .getOrElse(0L)
+    // FORMAT-VERSION continuity: a table once published at v3 (deletion
+    // vectors) never downgrades — v2 metadata cannot describe the puffin
+    // manifests later snapshots may still carry. Unknown higher versions
+    // refuse (same boundary as readAt).
+    val priorFv = prior.map(_.get("format-version").asInt()).getOrElse(2)
+    require(priorFv <= 3,
+      s"iceberg table at $root is format-version $priorFv — this " +
+        "exporter implements the spec through v3")
+    // v3 iff this snapshot publishes deletion vectors, else the prior
+    // version carries forward (never a downgrade)
+    val fv = if (deletionVectors && deleteSets.nonEmpty) 3
+      else math.max(2, priorFv)
     val tableUuid = prior.map(_.get("table-uuid").asText()).getOrElse(
       java.util.UUID.nameUUIDFromBytes(
         s"iceberg:$rootAbs".getBytes("UTF-8")).toString)
@@ -931,7 +971,7 @@ object IcebergExport {
           Map("schema" -> mapper.writeValueAsString(resolvedSchemaJson),
             "schema-id" -> schemaId.toString,
             "partition-spec" -> "[]", "partition-spec-id" -> "0",
-            "format-version" -> "2", "content" -> "data"), entries)
+            "format-version" -> fv.toString, "content" -> "data"), entries)
         Some((manifestPath, manifestLen))
       }
 
@@ -955,7 +995,13 @@ object IcebergExport {
       fs.delete(tmpDir, true)
       (delPath, fs.getFileStatus(delPath).getLen)
     }
-    val publishedDelete: Option[(Path, Long, Long, Int, Option[Int])] =
+    // One element per delete FILE ENTRY this snapshot publishes:
+    // (path, file length, deleted-row count, content, equality field id,
+    // DV reference (referenced data file, blob offset, blob size)).
+    // Position/equality modes publish one entry; DV mode one per
+    // referenced data file (all pointing into the one puffin file).
+    val publishedDeletes: Seq[(Path, Long, Long, Int, Option[Int],
+        Option[(String, Long, Long)])] =
       if (equalityDeletes && dvRel.isDefined) {
         // Fresh (new-in-this-snapshot) data files carry the snapshot's
         // own sequence number, so the new equality delete — strictly-
@@ -1011,9 +1057,69 @@ object IcebergExport {
             .distinct().orderBy(col(keyCol))
           val n = outDf.count()
           val (delPath, delLen) = stageDelete(outDf)
-          Some((delPath, delLen, n, 2, Some(keyId)))
+          Seq((delPath, delLen, n, 2, Some(keyId), None))
         }
-      } else if (deleteSets.isEmpty) None
+      } else if (deleteSets.isEmpty) Nil
+      else if (deletionVectors) {
+        // V3 DELETION VECTORS: one puffin file, one deletion-vector-v1
+        // blob per referenced data file. Blob framing per the v3 spec
+        // (the layout readPuffinDv decodes): 4-byte BE length of
+        // (bitmap magic + portable 64-bit roaring vector), that body,
+        // 4-byte BE CRC-32 of the body. The file closes with a
+        // spec-correct puffin footer (Magic, JSON FooterPayload, LE
+        // payload size, flags, Magic) so foreign puffin readers can
+        // enumerate the blobs too. Bytes written: O(deleted rows) —
+        // no table scan, no data-file rewrite.
+        val puffinPath = new Path(metaDir(root),
+          s"${java.util.UUID.randomUUID}-dv.puffin")
+        val magic = Array[Byte]('P', 'F', 'A', '1')
+        val out = new java.io.ByteArrayOutputStream()
+        out.write(magic)
+        val blobAt: Seq[(String, Long, Long, Long)] =
+          deleteSets.toSeq.sortBy(_._1).map { case (p, poss) =>
+            val off = out.size().toLong
+            val body = RoaringBitmap64(poss.toSeq.sorted).serialize()
+            val frame = java.nio.ByteBuffer
+              .allocate(4 + body.length + 4) // defaults to BIG_ENDIAN
+            frame.putInt(body.length)
+            frame.put(body)
+            val crc = new java.util.zip.CRC32()
+            crc.update(body)
+            frame.putInt(crc.getValue.toInt)
+            out.write(frame.array())
+            (p, off, (4 + body.length + 4).toLong, poss.length.toLong)
+          }
+        out.write(magic) // footer opens with the magic again
+        val payload = mapper.createObjectNode()
+        val blobsArr = payload.putArray("blobs")
+        blobAt.foreach { case (p, off, sz, n) =>
+          val b = blobsArr.addObject()
+          b.put("type", "deletion-vector-v1")
+          b.putArray("fields")
+          b.put("snapshot-id", snapshotId)
+          b.put("sequence-number", seq)
+          b.put("offset", off)
+          b.put("length", sz)
+          b.putObject("properties")
+            .put("referenced-data-file", p)
+            .put("cardinality", n.toString)
+        }
+        payload.putObject("properties").put("created-by", "graft")
+        val pj = mapper.writeValueAsString(payload).getBytes("UTF-8")
+        out.write(pj)
+        val tail = java.nio.ByteBuffer.allocate(12)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        tail.putInt(pj.length)
+        tail.putInt(0) // flags: payload uncompressed
+        tail.put(magic)
+        out.write(tail.array())
+        val os = fs.create(puffinPath, false)
+        try os.write(out.toByteArray) finally os.close()
+        val totalLen = fs.getFileStatus(puffinPath).getLen
+        blobAt.map { case (p, off, sz, n) =>
+          (puffinPath, totalLen, n, 1, None, Some((p, off, sz)))
+        }
+      }
       else withSessionConf(spark,
           "spark.sql.parquet.fieldId.write.enabled", "true") {
         import org.apache.spark.sql.Row
@@ -1029,39 +1135,52 @@ object IcebergExport {
         }
         val (delPath, delLen) =
           stageDelete(spark.createDataFrame(rows.asJava, delSchema))
-        Some((delPath, delLen, rows.size.toLong, 1, None))
+        Seq((delPath, delLen, rows.size.toLong, 1, None, None))
       }
     val deleteManifest: Option[(GenericRecord, Long)] =
-      publishedDelete.map { case (delPath, delLen, n, content, eqId) =>
-        val df = new GenericData.Record(
-          ManifestEntrySchema.getField("data_file").schema())
-        df.put("content", content) // 1=position, 2=equality deletes
-        df.put("file_path", delPath.toString)
-        df.put("file_format", "PARQUET")
-        df.put("partition", new GenericData.Record(
-          df.getSchema.getField("partition").schema()))
-        df.put("record_count", n)
-        df.put("file_size_in_bytes", delLen)
-        eqId.foreach { id =>
-          val arrSchema = df.getSchema.getField("equality_ids")
-            .schema().getTypes.get(1)
-          val ids = new GenericData.Array[Integer](1, arrSchema)
-          ids.add(id)
-          df.put("equality_ids", ids)
+      if (publishedDeletes.isEmpty) None
+      else {
+        val ents = publishedDeletes.map {
+          case (delPath, delLen, n, content, eqId, dvref) =>
+            val df = new GenericData.Record(
+              ManifestEntrySchema.getField("data_file").schema())
+            df.put("content", content) // 1=position, 2=equality deletes
+            df.put("file_path", delPath.toString)
+            df.put("file_format",
+              if (dvref.isDefined) "PUFFIN" else "PARQUET")
+            df.put("partition", new GenericData.Record(
+              df.getSchema.getField("partition").schema()))
+            df.put("record_count", n)
+            df.put("file_size_in_bytes", delLen)
+            eqId.foreach { id =>
+              val arrSchema = df.getSchema.getField("equality_ids")
+                .schema().getTypes.get(1)
+              val ids = new GenericData.Array[Integer](1, arrSchema)
+              ids.add(id)
+              df.put("equality_ids", ids)
+            }
+            dvref.foreach { case (ref, off, sz) =>
+              df.put("referenced_data_file", ref)
+              df.put("content_offset", off)
+              df.put("content_size_in_bytes", sz)
+            }
+            val e = new GenericData.Record(ManifestEntrySchema)
+            e.put("status", 1)
+            e.put("snapshot_id", snapshotId)
+            e.put("sequence_number", seq)
+            e.put("file_sequence_number", seq)
+            e.put("data_file", df)
+            e
         }
-        val e = new GenericData.Record(ManifestEntrySchema)
-        e.put("status", 1)
-        e.put("snapshot_id", snapshotId)
-        e.put("sequence_number", seq)
-        e.put("file_sequence_number", seq)
-        e.put("data_file", df)
+        val n = publishedDeletes.map(_._3).sum
         val dmPath = new Path(metaDir(root),
           s"${java.util.UUID.randomUUID}-m1.avro")
         val dmLen = writeAvro(fs, dmPath, ManifestEntrySchema,
           Map("schema" -> mapper.writeValueAsString(resolvedSchemaJson),
             "schema-id" -> schemaId.toString,
             "partition-spec" -> "[]", "partition-spec-id" -> "0",
-            "format-version" -> "2", "content" -> "deletes"), Seq(e))
+            "format-version" -> fv.toString, "content" -> "deletes"),
+          ents)
         val mf = new GenericData.Record(ManifestFileSchema)
         mf.put("manifest_path", dmPath.toString)
         mf.put("manifest_length", dmLen)
@@ -1070,13 +1189,13 @@ object IcebergExport {
         mf.put("sequence_number", seq)
         mf.put("min_sequence_number", seq)
         mf.put("added_snapshot_id", snapshotId)
-        mf.put("added_files_count", 1)
+        mf.put("added_files_count", ents.size)
         mf.put("existing_files_count", 0)
         mf.put("deleted_files_count", 0)
         mf.put("added_rows_count", n)
         mf.put("existing_rows_count", 0L)
         mf.put("deleted_rows_count", 0L)
-        (mf, n)
+        Some((mf: GenericRecord, n))
       }
 
     // DELETE-MANIFEST REACHABILITY: a carried delete manifest stays in
@@ -1094,6 +1213,15 @@ object IcebergExport {
     def deleteReaches(delSeq: Long, df: GenericRecord): Boolean =
       optInt(df, "content", 0) match {
         case 2 => liveSeqByPath.values.exists(_ < delSeq)
+        case _ if df.getSchema.getField("file_format") != null &&
+            df.get("file_format").toString.equalsIgnoreCase("puffin") =>
+          // v3 DELETION VECTOR: names exactly one data file in its
+          // manifest entry — reachability is that file's liveness, no
+          // blob read needed (parquet-reading a puffin would crash)
+          Option(df.getSchema.getField("referenced_data_file"))
+            .flatMap(_ => Option(df.get("referenced_data_file")))
+            .map(_.toString)
+            .exists(ref => liveSeqByPath.get(ref).exists(_ <= delSeq))
         case _ =>
           liveSeqByPath.values.exists(_ <= delSeq) && {
             val refd = spark.read
@@ -1141,13 +1269,13 @@ object IcebergExport {
         "parent-snapshot-id" -> prior.flatMap(p =>
           Option(p.get("current-snapshot-id")).filterNot(_.isNull)
             .map(_.asLong().toString)).getOrElse("null"),
-        "format-version" -> "2"),
+        "format-version" -> fv.toString),
       carriedData.map(_._1) ++ newMfRec.toSeq ++
         keptDeleteManifests ++ deleteManifest.map(_._1))
 
     // METADATA JSON
     val md = mapper.createObjectNode()
-    md.put("format-version", 2)
+    md.put("format-version", fv)
     md.put("table-uuid", tableUuid)
     md.put("location", rootAbs)
     md.put("last-sequence-number", seq)
@@ -1188,6 +1316,12 @@ object IcebergExport {
       .foreach(snapsArr.add))
     val sn = snapsArr.addObject()
     sn.put("snapshot-id", snapshotId)
+    // parent-snapshot-id (spec snapshot field): the lineage pointer
+    // incremental/changelog consumers walk — numeric id order is NOT
+    // commit order for foreign writers
+    prior.flatMap(p => Option(p.get("current-snapshot-id"))
+      .filterNot(_.isNull)).foreach(c =>
+        sn.put("parent-snapshot-id", c.asLong()))
     sn.put("sequence-number", seq)
     sn.put("timestamp-ms", now)
     sn.put("manifest-list", listPath.toString)
@@ -1197,9 +1331,9 @@ object IcebergExport {
     // refuses 'overwrite'): claim the narrowest class that is true
     val removedAny = priorFiles.keySet.exists(p => !liveSet.contains(p))
     val operation =
-      if (!removedAny && newPaths.isEmpty && publishedDelete.isDefined)
+      if (!removedAny && newPaths.isEmpty && publishedDeletes.nonEmpty)
         "delete"
-      else if (!removedAny && publishedDelete.isEmpty) "append"
+      else if (!removedAny && publishedDeletes.isEmpty) "append"
       else "overwrite"
     val summary = sn.putObject("summary")
     summary.put("operation", operation)
@@ -1207,9 +1341,14 @@ object IcebergExport {
       .put("total-data-files", files.size.toString)
       .put("total-records", counts.values.sum.toString)
       .put("graft.manifest-version", snap.version.toString)
-    publishedDelete.foreach { case (_, _, n, content, _) =>
-      summary.put(if (content == 2) "added-equality-deletes"
-        else "added-position-deletes", n.toString) }
+    if (publishedDeletes.nonEmpty) {
+      val n = publishedDeletes.map(_._3).sum
+      summary.put(if (publishedDeletes.head._4 == 2)
+        "added-equality-deletes" else "added-position-deletes",
+        n.toString)
+      val dvs = publishedDeletes.count(_._6.isDefined)
+      if (dvs > 0) summary.put("added-dvs", dvs.toString)
+    }
     val slog = md.putArray("snapshot-log")
     prior.foreach(_.get("snapshot-log").elements().asScala
       .foreach(slog.add))
@@ -1468,6 +1607,218 @@ object IcebergExport {
     finally in.close()
   }
 
+  /** Decode a v3 `initial-default` (the spec's JSON single-value
+    * serialization) into a Catalyst literal; undecodable shapes refuse
+    * by name, never null silently.
+    */
+  private def decodeDefault(name: String, dt: DataType,
+      d: JsonNode): org.apache.spark.sql.Column = {
+    def refuse(): Nothing = throw new IllegalArgumentException(
+      s"iceberg column '$name' ($dt) carries an initial-default " +
+        s"this reader does not decode ($d) — read with a full engine")
+    import org.apache.spark.sql.functions.lit
+    val c: org.apache.spark.sql.Column = dt match {
+      case BooleanType if d.isBoolean => lit(d.asBoolean())
+      case IntegerType if d.isNumber => lit(d.asInt())
+      case LongType if d.isNumber => lit(d.asLong())
+      case FloatType if d.isNumber => lit(d.asDouble().toFloat)
+      case DoubleType if d.isNumber => lit(d.asDouble())
+      case StringType if d.isTextual => lit(d.asText())
+      case _: DecimalType if d.isTextual || d.isNumber =>
+        lit(new java.math.BigDecimal(d.asText()))
+      case DateType if d.isTextual =>
+        lit(java.time.LocalDate.parse(d.asText()))
+      case TimestampNTZType if d.isTextual =>
+        lit(java.time.LocalDateTime.parse(d.asText()))
+      case TimestampType if d.isTextual =>
+        lit(java.sql.Timestamp.from(java.time.OffsetDateTime
+          .parse(d.asText()).toInstant))
+      case _ => refuse()
+    }
+    c.cast(dt)
+  }
+
+  /** Every `initial-default` in the schema as (name path, field id,
+    * decoded literal) — top-level and struct-nested at any depth
+    * (list/map interiors were refused at type mapping). The spec's
+    * read-side semantics: files that PREDATE the field answer the
+    * default; a file that stores the column, even as explicit nulls,
+    * is untouched. A default on a struct-typed field itself is not
+    * decodable and refuses in [[decodeDefault]].
+    */
+  private def collectDefaults(schemaJson: JsonNode, schema: StructType)
+      : Seq[(String, Int, org.apache.spark.sql.Column)] = {
+    val out = Seq.newBuilder[(String, Int, org.apache.spark.sql.Column)]
+    def walk(t: JsonNode, dt: DataType, at: String): Unit = (dt, t) match {
+      case (s: StructType, o) if o.isObject &&
+          o.get("type").asText() == "struct" =>
+        o.get("fields").elements().asScala.foreach { f =>
+          val name = f.get("name").asText()
+          val path = if (at.isEmpty) name else s"$at.$name"
+          val fdt = s(name).dataType
+          Option(f.get("initial-default")).filterNot(_.isNull).foreach {
+            d => out += ((path, f.get("id").asInt(),
+              decodeDefault(path, fdt, d)))
+          }
+          walk(f.get("type"), fdt, path)
+        }
+      case _ => // primitives and list/map interiors: nothing to collect
+    }
+    walk(schemaJson, schema, "")
+    out.result()
+  }
+
+  /** All nested name paths + field-id -> path of one parquet footer
+    * schema (group nesting = struct nesting; list/map wrapper groups
+    * appear under their own names and are never consulted — container
+    * defaults were refused at type mapping).
+    */
+  private def footerPaths(msg: org.apache.parquet.schema.GroupType)
+      : (Set[String], Map[Int, String]) = {
+    val names = Set.newBuilder[String]
+    val ids = Map.newBuilder[Int, String]
+    def walk(g: org.apache.parquet.schema.GroupType, at: String): Unit =
+      g.getFields.asScala.foreach { f =>
+        val path = if (at.isEmpty) f.getName else s"$at.${f.getName}"
+        names += path
+        Option(f.getId).foreach(id => ids += id.intValue() -> path)
+        f match {
+          case gt: org.apache.parquet.schema.GroupType => walk(gt, path)
+          case _ =>
+        }
+      }
+    walk(msg, "")
+    (names.result(), ids.result())
+  }
+
+  /** Per-file logical-column resolution shared by [[readAt]] and
+    * [[readIncremental]]: `schema.name-mapping.default` physical names,
+    * per-file parquet-footer field-id resolution, and v3
+    * `initial-default` surfacing (top-level AND struct-nested).
+    *
+    * The spec scopes `schema.name-mapping.default` to files WITHOUT
+    * embedded field ids. An id-bearing file resolves columns by ITS
+    * OWN footer ids (a renamed logical column may be stored under any
+    * historical name there — applying the mapping's physical name
+    * would silently null or alias it), and a field id absent from such
+    * a file reads as NULL — or its initial-default — never by name
+    * fallback (a same-named column with a DIFFERENT id must not leak
+    * through). Only RENAMED or default-carrying tables pay the
+    * per-file footer probe — one driver-side footer read per data
+    * file, the cost readEqDelete already pays per delete file; the
+    * common path is untouched.
+    *
+    * NESTED defaults: a struct child added with an initial-default
+    * surfaces inside files that lack the child — detected per file by
+    * footer id (or physical name path for id-less files) and patched
+    * in with `withField`; a row whose struct is NULL stays NULL (the
+    * struct itself has no default — UpdateFields is null-propagating).
+    */
+  private final class FileResolution(spark: SparkSession, root: String,
+      md: JsonNode, schemaJson: JsonNode, val schema: StructType) {
+    import org.apache.spark.sql.Column
+
+    // files' PHYSICAL column name per field id (the FIRST listed name —
+    // the name actually stored in the files). A renamed table's
+    // metadata publishes post-rename LOGICAL names on stable field ids;
+    // the scan reads the files under their physical names and aliases
+    // back. Identity when the table was never renamed.
+    private val nmPhysById: Map[Int, String] = (for {
+      props <- Option(md.get("properties")).toSeq
+      nm <- Option(props.get("schema.name-mapping.default")).toSeq
+      entry <- mapper.readTree(nm.asText()).elements().asScala
+      names = entry.get("names").elements().asScala.toSeq
+      if names.nonEmpty
+    } yield entry.get("field-id").asInt() -> names.head.asText()).toMap
+    val readPhysOf: Map[String, String] =
+      schemaJson.get("fields").elements().asScala.map { f =>
+        val logical = f.get("name").asText()
+        logical -> nmPhysById.getOrElse(f.get("id").asInt(), logical)
+      }.toMap
+    val renamedRead: Boolean = readPhysOf.exists { case (l, p) => l != p }
+    private val idOfLogical: Map[String, Int] =
+      schemaJson.get("fields").elements().asScala.map(f =>
+        f.get("name").asText() -> f.get("id").asInt()).toMap
+
+    private val defaultList: Seq[(String, Int, Column)] =
+      collectDefaults(schemaJson, schema)
+    val initialDefaults: Map[String, Column] =
+      defaultList.map(d => d._1 -> d._3).toMap
+    private val defaultIdOf: Map[String, Int] =
+      defaultList.map(d => d._1 -> d._2).toMap
+
+    val needProbe: Boolean = renamedRead || initialDefaults.nonEmpty
+    private var footerInfo: Map[String, (Set[String], Map[Int, String])] =
+      Map.empty
+
+    /** Footer-probe `paths` (no-op unless a rename/default is in play). */
+    def probe(paths: Seq[String]): Unit =
+      if (needProbe) footerInfo = paths.map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(p), spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val msg = try r.getFooter.getFileMetaData.getSchema
+          finally r.close()
+        p -> footerPaths(msg)
+      }.toMap
+
+    /** logical -> file-physical column naming for one data file (empty
+      * = identity). A sentinel name no parquet writer emits stands in
+      * for an id the file does not carry, so the scan surfaces NULL
+      * for it (the spec's missing-field semantics).
+      */
+    def namingOf(p: String): Map[String, String] =
+      if (!renamedRead) Map.empty
+      else footerInfo.get(p)
+        .map(_._2.filter(!_._2.contains('.'))).filter(_.nonEmpty) match {
+        case Some(byId) => schema.fieldNames.map { l =>
+          val id = idOfLogical.getOrElse(l, -1)
+          l -> byId.getOrElse(id, s"__graft_absent_$id")
+        }.toMap
+        case _ => readPhysOf
+      }
+
+    /** defaulted paths this data file does NOT store (id probe for
+      * id-bearing files, physical-name-path probe otherwise).
+      */
+    def absentOf(p: String): Set[String] =
+      if (initialDefaults.isEmpty) Set.empty
+      else {
+        val (names, ids) = footerInfo(p)
+        initialDefaults.keySet.filter { c =>
+          if (ids.nonEmpty) !ids.contains(defaultIdOf(c))
+          else {
+            val top = c.takeWhile(_ != '.')
+            val phys = readPhysOf.getOrElse(top, top) + c.drop(top.length)
+            !names.contains(phys)
+          }
+        }
+      }
+
+    def scanSchemaOf(naming: Map[String, String]): StructType =
+      if (naming.isEmpty) schema
+      else StructType(schema.fields.map(f =>
+        f.copy(name = naming.getOrElse(f.name, f.name))))
+
+    /** Rename scanned physical columns back to logical and surface the
+      * defaults this file's rows must answer: whole-column defaults as
+      * literal projections, struct-nested ones patched in per field.
+      */
+    def toLogical(df: DataFrame, naming: Map[String, String],
+        absent: Set[String]): DataFrame =
+      if (naming.isEmpty && absent.isEmpty) df
+      else df.select(schema.fields.toIndexedSeq.map { f =>
+        if (absent.contains(f.name)) initialDefaults(f.name).as(f.name)
+        else {
+          val base = df(naming.getOrElse(f.name, f.name))
+          val nested = absent.filter(_.startsWith(f.name + "."))
+          nested.toSeq.sorted.foldLeft(base)((c, pth) =>
+            c.withField(pth.stripPrefix(f.name + "."),
+              initialDefaults(pth))).as(f.name)
+        }
+      }: _*)
+  }
+
   /** The metadata version to read: the `version-hint.text` pointer when
     * present (HadoopCatalog's convention), else the newest
     * `v<N>.metadata.json` in the metadata directory — the hint is an
@@ -1544,32 +1895,61 @@ object IcebergExport {
     * (the same refusal Spark's Iceberg incremental source raises).
     * Deletes are deliberately NOT subtracted: an append scan is a
     * change feed of insertions, not a snapshot diff — pair with
-    * [[readAt]] for point-in-time states. `fromSnapshotId = 0` starts
-    * before the first snapshot.
+    * [[readAt]] for point-in-time states, or [[readChanges]] for the
+    * net row-level diff (which also covers the overwrite snapshots
+    * this scan refuses). `fromSnapshotId = 0` starts before the first
+    * snapshot (refused if a snapshot actually has id 0).
+    *
+    * The range resolves through the SNAPSHOT-LOG (the spec's
+    * commit-ordered history), never numeric id order — foreign writers
+    * assign random, possibly negative, snapshot ids. Renamed or
+    * default-bearing tables resolve each added file through the same
+    * per-file footer-id / name-mapping / initial-default machinery as
+    * [[readAt]] — a scan under the logical schema alone would silently
+    * NULL a renamed or defaulted column.
     */
   def readIncremental(spark: SparkSession, root: String,
       fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
-    require(fromSnapshotId < toSnapshotId,
-      s"empty incremental range ($fromSnapshotId, $toSnapshotId]")
     val fs = metaDir(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val v = currentMetadataVersion(fs, root).getOrElse(
       throw new IllegalArgumentException(
         s"no iceberg metadata under ${metaDir(root)}"))
     val md = mapper.readTree(readFully(fs, metadataFile(root, v)))
-    val all = md.get("snapshots").elements().asScala.toVector
-      .sortBy(_.get("snapshot-id").asLong())
-    val inRange = all.filter { s =>
-      val id = s.get("snapshot-id").asLong()
-      id > fromSnapshotId && id <= toSnapshotId
-    }
-    require(inRange.exists(_.get("snapshot-id").asLong() == toSnapshotId),
-      s"iceberg table at $root has no snapshot $toSnapshotId (expired?)")
-    require(fromSnapshotId == 0 ||
-      all.exists(_.get("snapshot-id").asLong() == fromSnapshotId),
-      s"iceberg table at $root has no snapshot $fromSnapshotId " +
-        "(expired?) — an incremental read from an expired base would " +
-        "silently skip its appends")
+    val byId: Map[Long, JsonNode] =
+      md.get("snapshots").elements().asScala
+        .map(s => s.get("snapshot-id").asLong() -> (s: JsonNode)).toMap
+    val logIds: Seq[Long] = Option(md.get("snapshot-log")).toSeq
+      .flatMap(_.elements().asScala)
+      .map(_.get("snapshot-id").asLong()).toVector
+    require(logIds.nonEmpty,
+      s"iceberg table at $root carries no snapshot-log — cannot order " +
+        "snapshots for an incremental read")
+    val toIdx = logIds.indexOf(toSnapshotId)
+    require(toIdx >= 0,
+      s"iceberg table at $root has no snapshot $toSnapshotId in its " +
+        "snapshot log (expired?)")
+    require(fromSnapshotId != 0L || !logIds.contains(0L),
+      s"iceberg table at $root HAS a snapshot with id 0 — the " +
+        "from-the-beginning sentinel is ambiguous here; pass the " +
+        "explicit from snapshot id")
+    val fromIdx =
+      if (fromSnapshotId == 0L) -1
+      else {
+        val i = logIds.indexOf(fromSnapshotId)
+        require(i >= 0,
+          s"iceberg table at $root has no snapshot $fromSnapshotId in " +
+            "its snapshot log (expired?) — an incremental read from " +
+            "an expired base would silently skip its appends")
+        i
+      }
+    require(fromIdx < toIdx,
+      s"empty incremental range ($fromSnapshotId, $toSnapshotId]: the " +
+        "end snapshot does not follow the start in the snapshot log")
+    val inRange = logIds.slice(fromIdx + 1, toIdx + 1).map(id =>
+      byId.getOrElse(id, throw new IllegalArgumentException(
+        s"iceberg table at $root: snapshot-log names snapshot $id but " +
+          "the metadata does not carry it (expired?)")))
     val added: Seq[(String, Long)] = inRange.flatMap { s =>
       val sid = s.get("snapshot-id").asLong()
       val op = Option(s.get("summary"))
@@ -1598,7 +1978,7 @@ object IcebergExport {
         case other => throw new IllegalArgumentException(
           s"iceberg snapshot $sid at $root is a '$other' snapshot — " +
             "an incremental APPEND scan cannot represent rewritten " +
-            "rows; read snapshots with readAt and diff, or narrow the " +
+            "rows; use readChanges for the net diff, or narrow the " +
             "range")
       }
     }.distinct
@@ -1613,8 +1993,80 @@ object IcebergExport {
     if (added.isEmpty)
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    else org.apache.spark.sql.GraftFiles.parquet(spark,
-      added.map { case (p, sz) => (p, sz, 0L) }.sortBy(_._1), schema)
+    else {
+      val res = new FileResolution(spark, root, md, schemaJson, schema)
+      res.probe(added.map(_._1))
+      added.groupBy(f => (res.namingOf(f._1), res.absentOf(f._1)))
+        .toSeq.sortBy { case ((naming, absent), _) =>
+          (naming.toSeq.sorted.mkString(","),
+            absent.toSeq.sorted.mkString(",")) }
+        .map { case ((naming, absent), group) =>
+          val scanned = org.apache.spark.sql.GraftFiles.parquet(spark,
+            group.map { case (p, sz) => (p, sz, 0L) }.sortBy(_._1),
+            res.scanSchemaOf(naming))
+          res.toLogical(scanned, naming, absent)
+        }.reduce(_.unionByName(_))
+        .select(schema.fieldNames.toIndexedSeq.map(
+          org.apache.spark.sql.functions.col): _*)
+    }
+  }
+
+  /** CHANGELOG SCAN — the NET row-level changes between two snapshots,
+    * computed as the null-safe key-level value diff of the two snapshot
+    * states (the same semantics as [[MergeInto.changeFeed]] /
+    * Iceberg's own changelog scan's net-changes view). Covers the
+    * overwrite snapshots [[readIncremental]] refuses: one row per
+    * inserted/deleted key, an update_preimage/update_postimage pair
+    * per value-changed key, nothing for keys rewritten to identical
+    * values. Column identity across the range follows FIELD IDS — a
+    * column renamed between the snapshots diffs as ONE column under
+    * its post-rename name. Output: the post-snapshot schema plus
+    * `_change_type`.
+    *
+    * Scale shape: two manifest-planned snapshot scans into one
+    * null-safe full-outer join on the key — shuffle proportional to
+    * the two snapshots, the same cost class as the merge that produced
+    * them; deletes/DVs are subtracted by each readAt before the diff,
+    * so the feed reports logical rows, never resurrected ones.
+    */
+  def readChanges(spark: SparkSession, root: String,
+      fromSnapshotId: Long, toSnapshotId: Long,
+      keyCol: String): DataFrame = {
+    val fs = metaDir(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val v = currentMetadataVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no iceberg metadata under ${metaDir(root)}"))
+    val md = mapper.readTree(readFully(fs, metadataFile(root, v)))
+    def topIdsOf(snapshotId: Long): Map[String, Int] = {
+      val sn = md.get("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == snapshotId)
+        .getOrElse(throw new IllegalArgumentException(
+          s"iceberg table at $root has no snapshot $snapshotId " +
+            "(expired?)"))
+      val schemaId = Option(sn.get("schema-id")).map(_.asInt())
+        .getOrElse(md.get("current-schema-id").asInt())
+      md.get("schemas").elements().asScala
+        .find(_.get("schema-id").asInt() == schemaId)
+        .getOrElse(throw new IllegalArgumentException(
+          s"iceberg table at $root names schema $schemaId but does " +
+            "not carry it"))
+        .get("fields").elements().asScala
+        .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    }
+    val preIdOf = topIdsOf(fromSnapshotId)
+    val postNameOf = topIdsOf(toSnapshotId).map(_.swap)
+    val pre0 = readAt(spark, root, fromSnapshotId)
+    val post = readAt(spark, root, toSnapshotId)
+    // align pre-side names to the post snapshot's through the stable
+    // field ids (identity when nothing was renamed)
+    val pre = pre0.select(pre0.columns.toIndexedSeq.map { c =>
+      pre0(c).as(preIdOf.get(c).flatMap(postNameOf.get).getOrElse(c))
+    }: _*)
+    require(post.columns.contains(keyCol),
+      s"changelog key column '$keyCol' is not in snapshot " +
+        s"$toSnapshotId's schema at $root")
+    MergeInto.keyLevelDiff(pre, post, keyCol)
   }
 
   /** EXPIRE old snapshots — the spec's `expire_snapshots` maintenance:
@@ -2047,117 +2499,16 @@ object IcebergExport {
         (delSeq, cols, df.get("file_path").toString)
       }
 
-    // NAME MAPPING: the files' PHYSICAL column name per field id (the
-    // FIRST listed name — the name actually stored in the files). A
-    // renamed table's metadata publishes post-rename LOGICAL names on
-    // stable field ids; the scan reads the files under their physical
-    // names and aliases back. Identity when the table was never
-    // renamed, so the common path is untouched.
-    val nmPhysById: Map[Int, String] = (for {
-      props <- Option(md.get("properties")).toSeq
-      nm <- Option(props.get("schema.name-mapping.default")).toSeq
-      entry <- mapper.readTree(nm.asText()).elements().asScala
-      names = entry.get("names").elements().asScala.toSeq
-      if names.nonEmpty
-    } yield entry.get("field-id").asInt() -> names.head.asText()).toMap
-    val readPhysOf: Map[String, String] =
-      schemaJson.get("fields").elements().asScala.map { f =>
-        val logical = f.get("name").asText()
-        logical -> nmPhysById.getOrElse(f.get("id").asInt(), logical)
-      }.toMap
-    val renamedRead = readPhysOf.exists { case (l, p) => l != p }
-    val idOfLogical: Map[String, Int] =
-      schemaJson.get("fields").elements().asScala.map(f =>
-        f.get("name").asText() -> f.get("id").asInt()).toMap
-
-    // v3 TOP-LEVEL initial-defaults, decoded from the spec's JSON
-    // single-value serialization into Catalyst literals. Surfaced for
-    // files that LACK the field (the spec's read-side semantics —
-    // pre-evolution files must answer the default, not NULL); a file
-    // that stores the column, even as explicit nulls, is untouched.
-    // write-default is writer-side only and deliberately ignored.
-    val initialDefaults: Map[String, org.apache.spark.sql.Column] =
-      schemaJson.get("fields").elements().asScala.flatMap { f =>
-        Option(f.get("initial-default")).filterNot(_.isNull).map { d =>
-          val name = f.get("name").asText()
-          val dt = schema(name).dataType
-          def refuse(): Nothing = throw new IllegalArgumentException(
-            s"iceberg column '$name' ($dt) carries an initial-default " +
-              s"this reader does not decode ($d) — read with a full " +
-              "engine")
-          import org.apache.spark.sql.functions.lit
-          val c: org.apache.spark.sql.Column = dt match {
-            case BooleanType if d.isBoolean => lit(d.asBoolean())
-            case IntegerType if d.isNumber => lit(d.asInt())
-            case LongType if d.isNumber => lit(d.asLong())
-            case FloatType if d.isNumber => lit(d.asDouble().toFloat)
-            case DoubleType if d.isNumber => lit(d.asDouble())
-            case StringType if d.isTextual => lit(d.asText())
-            case _: DecimalType if d.isTextual || d.isNumber =>
-              lit(new java.math.BigDecimal(d.asText()))
-            case DateType if d.isTextual =>
-              lit(java.time.LocalDate.parse(d.asText()))
-            case TimestampNTZType if d.isTextual =>
-              lit(java.time.LocalDateTime.parse(d.asText()))
-            case TimestampType if d.isTextual =>
-              lit(java.sql.Timestamp.from(java.time.OffsetDateTime
-                .parse(d.asText()).toInstant))
-            case _ => refuse()
-          }
-          name -> c.cast(dt)
-        }
-      }.toMap
-
-    // The spec scopes `schema.name-mapping.default` to files WITHOUT
-    // embedded field ids. An id-bearing file resolves columns by ITS
-    // OWN footer ids (a renamed logical column may be stored under any
-    // historical name there — applying the mapping's physical name
-    // would silently null or alias it), and a field id absent from such
-    // a file reads as NULL — or its initial-default — never by name
-    // fallback (a same-named column with a DIFFERENT id must not leak
-    // through). Only RENAMED or default-carrying tables pay the
-    // per-file footer probe — one driver-side footer read per data
-    // file, the cost readEqDelete already pays per delete file; the
-    // common path is untouched.
-    val needProbe = renamedRead || initialDefaults.nonEmpty
-    val footerInfo: Map[String, (Set[String], Map[Int, String])] =
-      if (!needProbe) Map.empty
-      else files.map { case (p, _, _, _, _, _, _) =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new Path(p), spark.sparkContext.hadoopConfiguration)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val msg = try r.getFooter.getFileMetaData.getSchema
-          finally r.close()
-        p -> ((msg.getFields.asScala.map(_.getName).toSet,
-          msg.getFields.asScala.flatMap(f =>
-            Option(f.getId).map(id => id.intValue() -> f.getName)).toMap))
-      }.toMap
-    /** logical -> file-physical column naming for one data file (empty
-      * = identity). A sentinel name no parquet writer emits stands in
-      * for an id the file does not carry, so the scan surfaces NULL for
-      * it (the spec's missing-field semantics).
-      */
-    def namingOf(p: String): Map[String, String] =
-      if (!renamedRead) Map.empty
-      else footerInfo.get(p).map(_._2).filter(_.nonEmpty) match {
-        case Some(byId) => schema.fieldNames.map { l =>
-          val id = idOfLogical.getOrElse(l, -1)
-          l -> byId.getOrElse(id, s"__graft_absent_$id")
-        }.toMap
-        case _ => readPhysOf
-      }
-    /** defaulted columns this data file does NOT store (id probe for
-      * id-bearing files, physical-name probe otherwise).
-      */
-    def absentOf(p: String): Set[String] =
-      if (initialDefaults.isEmpty) Set.empty
-      else {
-        val (names, ids) = footerInfo(p)
-        initialDefaults.keySet.filter { c =>
-          if (ids.nonEmpty) !ids.contains(idOfLogical.getOrElse(c, -1))
-          else !names.contains(readPhysOf.getOrElse(c, c))
-        }
-      }
+    // NAME MAPPING + v3 INITIAL-DEFAULTS, per file — the shared
+    // [[FileResolution]] (same machinery readIncremental uses): a
+    // renamed table's files scan under their physical names (footer-id
+    // resolved for id-bearing files) and alias back; files that lack a
+    // defaulted field — top-level or struct-nested — answer the
+    // default, never NULL.
+    val res = new FileResolution(spark, root, md, schemaJson, schema)
+    res.probe(files.map(_._1))
+    def namingOf(p: String): Map[String, String] = res.namingOf(p)
+    def absentOf(p: String): Set[String] = res.absentOf(p)
 
     def zonesFor(group: Seq[(String, Long, Long, Long,
         (Map[String, Any], Map[String, Any]), Map[String, Long],
@@ -2263,15 +2614,9 @@ object IcebergExport {
     // distinct combination — O(snapshots) scans worst case; exactly
     // one group on the common path.
     def toLogical(df: DataFrame, naming: Map[String, String],
-        absent: Set[String]): DataFrame =
-      if (naming.isEmpty && absent.isEmpty) df
-      else df.select(schema.fields.toIndexedSeq.map { f =>
-        if (absent.contains(f.name)) initialDefaults(f.name).as(f.name)
-        else df(naming.getOrElse(f.name, f.name)).as(f.name) }: _*)
+        absent: Set[String]): DataFrame = res.toLogical(df, naming, absent)
     def scanSchemaOf(naming: Map[String, String]): StructType =
-      if (naming.isEmpty) schema
-      else StructType(schema.fields.map(f =>
-        f.copy(name = naming.getOrElse(f.name, f.name))))
+      res.scanSchemaOf(naming)
     val scanGroups = files
       .groupBy(f => (eqIdxs(f._4), namingOf(f._1), absentOf(f._1)))
       .toSeq.sortBy { case ((idxs, naming, absent), _) =>

@@ -1218,6 +1218,17 @@ object MergeInto {
       preRaw(c).as(postP2L.getOrElse(p, p))
     }: _*)
     val post = readTableAt(spark, root, toVersion)
+    keyLevelDiff(pre, post, keyCol)
+  }
+
+  /** The key-level value diff both change feeds share ([[changeFeed]]
+    * and [[IcebergExport.readChanges]]): one full-outer null-safe join
+    * on the key, one explode — insert/delete rows plus
+    * update_preimage/update_postimage pairs, identical-value rewrites
+    * emit nothing. Columns absent on one side compare as NULL.
+    */
+  private[streaming] def keyLevelDiff(pre: DataFrame, post: DataFrame,
+      keyCol: String): DataFrame = {
     // unified column set, post-side order first (the surviving schema),
     // pre-only columns (dropped by an evolution) appended
     val all = post.schema.fields.toSeq ++

@@ -32,9 +32,18 @@ import graft.SparkSpec
   *  - float/double column bounds           never consumed (boundValue);
   *      never written by the exporter — same NaN hazard      [here]
   *  - id-less files via name-mapping       ACCEPTED [IcebergExportSpec]
-  *  - format-version 3                     ACCEPTED when no v3-only
-  *      feature is used; column DEFAULTs / puffin DVs / unknown types
-  *      REFUSED by name at the misread point   [IcebergExportSpec]
+  *  - format-version 3                     ACCEPTED for implemented
+  *      features; remaining v3-only shapes refuse by name at the
+  *      misread point                          [IcebergExportSpec]
+  *  - v3 puffin deletion vectors           ACCEPTED (decoded natively;
+  *      written too via export(deletionVectors)) [IcebergExportSpec]
+  *  - v3 initial-defaults, top-level and
+  *      struct-nested                      ACCEPTED (surfaced per file)
+  *  - v3 initial-default inside a LIST/MAP
+  *      element                            REFUSED  [IcebergExportSpec]
+  *  - unknown v3 column types              REFUSED  [IcebergExportSpec]
+  *  - random/negative foreign snapshot ids ACCEPTED (snapshot-log
+  *      lineage, never numeric order)          [IcebergExportSpec]
   *  - format-version 4+                    REFUSED  [IcebergExportSpec]
   *  - non-parquet file_format              REFUSED  [IcebergExportSpec]
   */

@@ -723,6 +723,317 @@ class IcebergExportSpec extends SparkSpec {
     assert(incr(2L, 3L) == Set(k3 -> "d"))
   }
 
+  test("v3 DELETION VECTORS export natively: puffin blobs per data " +
+      "file (framed roaring + CRC, spec footer), format-version 3, no " +
+      "data manifest on a pure-delete snapshot, reader round-trips, " +
+      "and a later export walks the carried puffin manifest without " +
+      "parquet-reading it") {
+    val root = java.nio.file.Files.createTempDirectory("iceberg").toString
+    MergeInto.mergeBatch(spark,
+      (0L until 400L).map(k => (k, s"v$k")).toDF("k", "s"),
+      root, "k", numBuckets = 2)
+    IcebergExport.export(spark, root) // snapshot 1, plain
+    val dataManifestsBefore = metaFiles(root).count(_.endsWith("-m0.avro"))
+    MergeInto.deleteVector(spark, root, "k",
+      (0L until 400L by 3L).toDF("k"))
+    val (s2, m2) = IcebergExport.export(spark, root,
+      deleteFiles = true, deletionVectors = true)
+    assert(s2 == 2L)
+    // v3 metadata + DV summary
+    val md2 = scala.io.Source.fromFile(m2).mkString
+    assert(md2.contains("\"format-version\" : 3"))
+    assert(md2.contains("added-dvs"))
+    assert(md2.contains("added-position-deletes"))
+    // the puffin file is framed per the spec: opens AND closes with
+    // the magic (leading magic + trailing footer magic)
+    val names2 = metaFiles(root)
+    val puffinName = names2.find(_.endsWith("-dv.puffin"))
+    assert(puffinName.isDefined, "expected a -dv.puffin file")
+    val raw = java.nio.file.Files.readAllBytes(new java.io.File(
+      new java.io.File(root, "metadata"), puffinName.get).toPath)
+    assert(new String(raw.take(4), "ISO-8859-1") == "PFA1")
+    assert(new String(raw.takeRight(4), "ISO-8859-1") == "PFA1")
+    // the footer payload enumerates deletion-vector-v1 blobs
+    assert(new String(raw, "ISO-8859-1").contains("deletion-vector-v1"))
+    // a PURE delete-vector snapshot writes no new data manifest
+    assert(metaFiles(root).count(_.endsWith("-m0.avro")) ==
+      dataManifestsBefore)
+    // ... and no position-delete parquet (the puffin IS the delete)
+    assert(!names2.exists(_.endsWith("-deletes.parquet")))
+    // the reader subtracts the vectors; snapshot 1 still reads all
+    val want1 = (0L until 400L).filterNot(_ % 3 == 0)
+    assert(IcebergExport.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq == want1)
+    assert(IcebergExport.readAt(spark, root, 1L).count() == 400L)
+    // idempotent re-export
+    assert(IcebergExport.export(spark, root,
+      deleteFiles = true, deletionVectors = true)._1 == 2L)
+    // deletes ACCUMULATE; the next DV export carries the snapshot-2
+    // puffin manifest through deleteReaches (no parquet misread — the
+    // ADVICE regression) and the union subtracts
+    MergeInto.deleteVector(spark, root, "k",
+      (0L until 400L by 5L).toDF("k"))
+    val (s3, m3) = IcebergExport.export(spark, root,
+      deleteFiles = true, deletionVectors = true)
+    assert(s3 == 3L)
+    // v3 never downgrades
+    assert(scala.io.Source.fromFile(m3).mkString
+      .contains("\"format-version\" : 3"))
+    val want2 = (0L until 400L).filter(k => k % 3 != 0 && k % 5 != 0)
+    assert(IcebergExport.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq == want2)
+    assert(IcebergExport.readAt(spark, root, 2L).count() ==
+      want1.size.toLong)
+    // a bucket rewrite after the DVs also walks the carried puffin
+    // manifests safely and the rewritten key reinstates
+    MergeInto.mergeBatch(spark, Seq((3L, "back")).toDF("k", "s"),
+      root, "k", numBuckets = 2)
+    val (s4, _) = IcebergExport.export(spark, root,
+      deleteFiles = true, deletionVectors = true)
+    assert(s4 == 4L)
+    val after = IcebergExport.read(spark, root)
+      .select("k", "s").as[(Long, String)].collect().toMap
+    assert(after(3L) == "back")
+    assert(!after.contains(5L) && !after.contains(6L))
+  }
+
+  test("CHANGELOG SCAN readChanges: the net key-level diff of two " +
+      "snapshots equals the manifest-store change feed, covers the " +
+      "overwrite snapshot readIncremental refuses, and identical " +
+      "rewrites emit nothing") {
+    val root = java.nio.file.Files.createTempDirectory("iceberg").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40))
+        .toDF("k", "s", "v"),
+      root, "k", numBuckets = 2)
+    IcebergExport.export(spark, root)
+    // update k=1, delete k=2, insert k=5, rewrite k=3 IDENTICALLY
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "A", 11, false), (2L, "b", 20, true),
+        (5L, "e", 50, false), (3L, "c", 30, false))
+        .toDF("k", "s", "v", "del"),
+      root, "k", deleteCol = Some("del"), numBuckets = 2)
+    IcebergExport.export(spark, root)
+    val feed = IcebergExport.readChanges(spark, root, 1L, 2L, "k")
+      .select("k", "s", "v", "_change_type")
+      .as[(Long, String, Int, String)].collect().toSet
+    assert(feed == Set(
+      (1L, "a", 10, "update_preimage"), (1L, "A", 11, "update_postimage"),
+      (2L, "b", 20, "delete"), (5L, "e", 50, "insert")))
+    // identical rewrite (k=3) emitted nothing; k=4 untouched
+    assert(!feed.exists(_._1 == 3L) && !feed.exists(_._1 == 4L))
+    // equals the manifest-store change feed over the same two states
+    val storeFeed = MergeInto.changeFeed(spark, root, "k", 1L, 2L)
+      .select("k", "s", "v", "_change_type")
+      .as[(Long, String, Int, String)].collect().toSet
+    assert(feed == storeFeed)
+    // the same range refuses as an APPEND scan (overwrite snapshot) —
+    // readChanges is the documented alternative
+    val e = intercept[IllegalArgumentException] {
+      IcebergExport.readIncremental(spark, root, 1L, 2L).collect()
+    }
+    assert(e.getMessage.contains("readChanges"))
+  }
+
+  test("readIncremental RESOLVES renames and initial-defaults like " +
+      "readAt: physical-named files alias back to logical names, files " +
+      "predating a defaulted column answer the default — never a " +
+      "silent NULL") {
+    import org.apache.spark.sql.functions.{hash => shash, pmod, lit}
+    val root = java.nio.file.Files.createTempDirectory("iceberg").toString
+    def keyIn(bucket: Int): Long = (0L until 10000L).find(k =>
+      spark.range(k, k + 1).select(pmod(shash(col("id")), lit(16)))
+        .head().getInt(0) == bucket).get
+    val (k0, k2) = (keyIn(0), keyIn(2))
+    MergeInto.mergeBatch(spark, Seq((k0, "a")).toDF("k", "s"),
+      root, "k", numBuckets = 16)
+    IcebergExport.export(spark, root) // snapshot 1 (append)
+    MergeInto.renameColumn(spark, root, "s", "label")
+    IcebergExport.export(spark, root) // snapshot 2 (metadata-only)
+    MergeInto.mergeBatch(spark, Seq((k2, "c")).toDF("k", "label"),
+      root, "k", numBuckets = 16)
+    IcebergExport.export(spark, root) // snapshot 3 (fresh-bucket append)
+    assert(IcebergExport.snapshots(spark, root).map(_.operation) ==
+      Seq("append", "append", "append"))
+    // every appended file stores the PHYSICAL column 's'; the scan
+    // must alias it back to 'label', never read NULLs (the r11 ADVICE
+    // finding: the logical-schema scan silently nulled renamed columns)
+    val all = IcebergExport.readIncremental(spark, root, 0L, 3L)
+    assert(all.columns.toSeq.contains("label"))
+    assert(all.select("k", "label").as[(Long, String)].collect().toSet ==
+      Set(k0 -> "a", k2 -> "c"))
+    // a v3 initial-default column added AFTER the appends surfaces in
+    // the incremental scan too (every file predates it)
+    ForeignIcebergShapes.addDefaultedColumn(root, "pri", "long",
+      com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+        .numberNode(9L))
+    val withDefault = IcebergExport.readIncremental(spark, root, 1L, 3L)
+    assert(withDefault.select("k", "label", "pri")
+      .as[(Long, String, Long)].collect().toSet == Set((k2, "c", 9L)))
+  }
+
+  test("readIncremental walks the SNAPSHOT-LOG, not numeric id order: " +
+      "a foreign table with random (negative, non-monotone) snapshot " +
+      "ids scans the right range; the id-0 sentinel refuses when a " +
+      "real snapshot claims id 0") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.avro.generic.{GenericData, GenericDatumReader,
+      GenericDatumWriter, GenericRecord}
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.spark.sql.functions.{hash => shash, pmod, lit}
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = java.nio.file.Files.createTempDirectory("iceberg").toString
+    def keyIn(bucket: Int): Long = (0L until 10000L).find(k =>
+      spark.range(k, k + 1).select(pmod(shash(col("id")), lit(16)))
+        .head().getInt(0) == bucket).get
+    val (k0, k1, k2) = (keyIn(0), keyIn(1), keyIn(2))
+    MergeInto.mergeBatch(spark, Seq((k0, "a")).toDF("k", "s"),
+      root, "k", numBuckets = 16)
+    IcebergExport.export(spark, root)
+    MergeInto.mergeBatch(spark, Seq((k1, "b")).toDF("k", "s"),
+      root, "k", numBuckets = 16)
+    IcebergExport.export(spark, root)
+    MergeInto.mergeBatch(spark, Seq((k2, "c")).toDF("k", "s"),
+      root, "k", numBuckets = 16)
+    IcebergExport.export(spark, root)
+    // forge foreign ids: commit order stays 1,2,3 in the snapshot-log
+    // but ids become -5, 99, -1 — numeric order (-5, -1, 99) is WRONG
+    val remap = Map(1L -> -5L, 2L -> 99L, 3L -> -1L)
+    val metaDir = new java.io.File(root, "metadata")
+    val mdFile = metaDir.listFiles()
+      .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+      .maxBy(_.getName.stripPrefix("v").stripSuffix(".metadata.json")
+        .toInt)
+    val md = m.readTree(new String(
+      java.nio.file.Files.readAllBytes(mdFile.toPath), "UTF-8"))
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    md.put("current-snapshot-id",
+      remap(md.get("current-snapshot-id").asLong()))
+    md.get("snapshots").elements().asScala.foreach { s =>
+      val o = s.asInstanceOf[
+        com.fasterxml.jackson.databind.node.ObjectNode]
+      o.put("snapshot-id", remap(o.get("snapshot-id").asLong()))
+      Option(o.get("parent-snapshot-id")).filterNot(_.isNull)
+        .foreach(p => o.put("parent-snapshot-id", remap(p.asLong())))
+    }
+    md.get("snapshot-log").elements().asScala.foreach { s =>
+      val o = s.asInstanceOf[
+        com.fasterxml.jackson.databind.node.ObjectNode]
+      o.put("snapshot-id", remap(o.get("snapshot-id").asLong()))
+    }
+    val w = new java.io.PrintWriter(mdFile, "UTF-8")
+    try w.print(m.writeValueAsString(md)) finally w.close()
+    new java.io.File(metaDir, "." + mdFile.getName + ".crc").delete()
+    // rewrite each manifest list's added_snapshot_id to the new ids
+    md.get("snapshots").elements().asScala.foreach { s =>
+      val listFile = new java.io.File(s.get("manifest-list").asText())
+      val r = new DataFileReader[GenericRecord](listFile,
+        new GenericDatumReader[GenericRecord]())
+      val schema = r.getSchema
+      val recs = r.iterator().asScala.toVector
+      r.close()
+      recs.foreach { rec =>
+        val old = rec.get("added_snapshot_id").asInstanceOf[Long]
+        remap.get(old).foreach(n => rec.put("added_snapshot_id", n))
+      }
+      assert(listFile.delete())
+      val wr = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      wr.create(schema, listFile)
+      recs.foreach(wr.append)
+      wr.close()
+      new java.io.File(listFile.getParentFile,
+        "." + listFile.getName + ".crc").delete()
+    }
+    def incr(from: Long, to: Long): Set[(Long, String)] =
+      IcebergExport.readIncremental(spark, root, from, to)
+        .select("k", "s").as[(Long, String)].collect().toSet
+    // (-5, 99] = commit 2 only; (99, -1] = commit 3 only (numeric
+    // interval logic would refuse or mis-select both)
+    assert(incr(-5L, 99L) == Set(k1 -> "b"))
+    assert(incr(99L, -1L) == Set(k2 -> "c"))
+    // sentinel 0 = from the beginning (no snapshot claims id 0 here)
+    assert(incr(0L, -1L) ==
+      Set(k0 -> "a", k1 -> "b", k2 -> "c"))
+    // expired-from still refuses by name
+    val e = intercept[IllegalArgumentException] {
+      IcebergExport.readIncremental(spark, root, 7L, -1L)
+    }
+    assert(e.getMessage.contains("no snapshot 7"))
+    // a table where a REAL snapshot claims id 0 makes the sentinel
+    // ambiguous — refuse, never guess
+    val remap0 = Map(-5L -> 0L)
+    val md0 = m.readTree(new String(
+      java.nio.file.Files.readAllBytes(mdFile.toPath), "UTF-8"))
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    (md0.get("snapshots").elements().asScala ++
+        md0.get("snapshot-log").elements().asScala).foreach { s =>
+      val o = s.asInstanceOf[
+        com.fasterxml.jackson.databind.node.ObjectNode]
+      remap0.get(o.get("snapshot-id").asLong())
+        .foreach(n => o.put("snapshot-id", n))
+    }
+    val w0 = new java.io.PrintWriter(mdFile, "UTF-8")
+    try w0.print(m.writeValueAsString(md0)) finally w0.close()
+    new java.io.File(metaDir, "." + mdFile.getName + ".crc").delete()
+    val e0 = intercept[IllegalArgumentException] {
+      IcebergExport.readIncremental(spark, root, 0L, -1L)
+    }
+    assert(e0.getMessage.contains("sentinel"))
+  }
+
+  test("NESTED v3 initial-defaults: a struct child added after the " +
+      "files surfaces inside every non-null struct; a NULL struct " +
+      "stays NULL; a default inside a LIST element refuses by name") {
+    val root = java.nio.file.Files.createTempDirectory("iceberg").toString
+    val df = Seq((1L, Some(("a", 10)), Seq(1, 2)),
+        (2L, None, Seq(3)),
+        (3L, Some(("c", 30)), Seq.empty[Int]))
+      .toDF("k", "info", "xs")
+    IcebergExport.publish(spark, df, root)
+    ForeignIcebergShapes.addNestedDefaultedColumn(root, "info", "flag",
+      "long", com.fasterxml.jackson.databind.node.JsonNodeFactory
+        .instance.numberNode(7L))
+    val got = IcebergExport.read(spark, root)
+      .select(col("k"), col("info._1").as("a"), col("info.flag"),
+        (col("info").isNull).as("structNull"))
+      .as[(Long, Option[String], Option[Long], Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Some("a"), Some(7L), false),
+      (2L, None, None, true), // null struct stays null
+      (3L, Some("c"), Some(7L), false)))
+    // a default buried in a list element struct refuses by name
+    val root2 = java.nio.file.Files.createTempDirectory("iceberg").toString
+    val df2 = Seq((1L, Seq(("a", 1)))).toDF("k", "items")
+    IcebergExport.publish(spark, df2, root2)
+    // hand-add an initial-default to a field of the list's element
+    import scala.jdk.CollectionConverters._
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metaDir2 = new java.io.File(root2, "metadata")
+    val mdFile2 = metaDir2.listFiles()
+      .filter(_.getName.matches("v\\d+\\.metadata\\.json")).head
+    val md2 = m.readTree(new String(
+      java.nio.file.Files.readAllBytes(mdFile2.toPath), "UTF-8"))
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    md2.put("format-version", 3)
+    val itemsType = md2.get("schemas").elements().asScala.next()
+      .get("fields").elements().asScala
+      .find(_.get("name").asText() == "items").get.get("type")
+    val elemFields = itemsType.get("element").get("fields")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    elemFields.get(0)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("initial-default", "zz")
+    val w2 = new java.io.PrintWriter(mdFile2, "UTF-8")
+    try w2.print(m.writeValueAsString(md2)) finally w2.close()
+    new java.io.File(metaDir2, "." + mdFile2.getName + ".crc").delete()
+    val e = intercept[IllegalArgumentException] {
+      IcebergExport.read(spark, root2).collect()
+    }
+    assert(e.getMessage.contains("INSIDE a list/map"))
+  }
+
   test("name mapping is scoped to ID-LESS files: an id-bearing file " +
       "in a renamed table resolves by its OWN footer ids (logical-name " +
       "storage reads through; a same-named column with a DIFFERENT id " +
