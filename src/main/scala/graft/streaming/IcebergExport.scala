@@ -675,7 +675,10 @@ object IcebergExport {
     * published: this writer claims only the v3 features it emits, and
     * its reader (plus any v3 reader that treats lineage as optional
     * metadata) ignores them. A v3 table never downgrades: later exports
-    * keep the prior format-version even in position/equality modes.
+    * keep the prior format-version, and — because the v3 spec
+    * DEPRECATES position-delete parquet files — a v3 table publishes
+    * new position deletes as deletion vectors automatically, whether
+    * or not the flag is passed (equality deletes stay legal in v3).
     */
   def export(spark: SparkSession, root: String,
       deleteFiles: Boolean = false,
@@ -756,9 +759,14 @@ object IcebergExport {
     require(priorFv <= 3,
       s"iceberg table at $root is format-version $priorFv — this " +
         "exporter implements the spec through v3")
+    // A table already at v3 publishes new position deletes as DELETION
+    // VECTORS automatically: the v3 spec deprecates position-delete
+    // parquet files (writers must not add them to v3 tables), and the
+    // two shapes are semantically identical merge-on-read deletes.
+    val dvMode = deletionVectors || (priorFv == 3 && !equalityDeletes)
     // v3 iff this snapshot publishes deletion vectors, else the prior
     // version carries forward (never a downgrade)
-    val fv = if (deletionVectors && deleteSets.nonEmpty) 3
+    val fv = if (dvMode && deleteSets.nonEmpty) 3
       else math.max(2, priorFv)
     val tableUuid = prior.map(_.get("table-uuid").asText()).getOrElse(
       java.util.UUID.nameUUIDFromBytes(
@@ -1060,7 +1068,7 @@ object IcebergExport {
           Seq((delPath, delLen, n, 2, Some(keyId), None))
         }
       } else if (deleteSets.isEmpty) Nil
-      else if (deletionVectors) {
+      else if (dvMode) {
         // V3 DELETION VECTORS: one puffin file, one deletion-vector-v1
         // blob per referenced data file. Blob framing per the v3 spec
         // (the layout readPuffinDv decodes): 4-byte BE length of

@@ -55,8 +55,12 @@ object IcebergSoak {
           root, "k", numBuckets = 8)
       }
       val t0 = System.nanoTime()
+      // first half soaks the v2 position-delete publish; past half the
+      // table upgrades to v3 and every later delete publishes as a
+      // PUFFIN DELETION VECTOR (auto once v3) — both shapes long-
+      // horizon, decade averages comparable across the switch
       val (sid, _) = graft.streaming.IcebergExport.export(spark, root,
-        deleteFiles = true)
+        deleteFiles = true, deletionVectors = i > cycles / 2)
       val sec = (System.nanoTime() - t0) / 1e9
       require(sid == i + 1, s"expected iceberg snapshot ${i + 1}, got $sid")
       if (i % expireEvery == 0) {

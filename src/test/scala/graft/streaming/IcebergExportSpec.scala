@@ -768,17 +768,19 @@ class IcebergExportSpec extends SparkSpec {
     // idempotent re-export
     assert(IcebergExport.export(spark, root,
       deleteFiles = true, deletionVectors = true)._1 == 2L)
-    // deletes ACCUMULATE; the next DV export carries the snapshot-2
-    // puffin manifest through deleteReaches (no parquet misread — the
-    // ADVICE regression) and the union subtracts
+    // deletes ACCUMULATE; the next delete export — WITHOUT the flag —
+    // still publishes puffin (a v3 table auto-upgrades: the spec
+    // deprecates position-delete parquets in v3) and carries the
+    // snapshot-2 puffin manifest through deleteReaches (no parquet
+    // misread — the ADVICE regression)
     MergeInto.deleteVector(spark, root, "k",
       (0L until 400L by 5L).toDF("k"))
-    val (s3, m3) = IcebergExport.export(spark, root,
-      deleteFiles = true, deletionVectors = true)
+    val (s3, m3) = IcebergExport.export(spark, root, deleteFiles = true)
     assert(s3 == 3L)
-    // v3 never downgrades
+    // v3 never downgrades; still no position-delete parquet anywhere
     assert(scala.io.Source.fromFile(m3).mkString
       .contains("\"format-version\" : 3"))
+    assert(!metaFiles(root).exists(_.endsWith("-deletes.parquet")))
     val want2 = (0L until 400L).filter(k => k % 3 != 0 && k % 5 != 0)
     assert(IcebergExport.read(spark, root).select("k").as[Long]
       .collect().sorted.toSeq == want2)
