@@ -752,6 +752,33 @@ object CdcQueries {
     store
   }
 
+  /** Materialize the ID-MAPPED Delta publish once per sfDir: the CREATE
+    * payloads published as a NEW table with `delta.columnMapping.mode =
+    * id` — every field gets a unique immutable id, the files store
+    * synthetic physical names (`col_<id>`) WITH parquet field ids, and
+    * the reader must resolve columns by FIELD ID (the create-time-only
+    * mode the Delta protocol allows; the incremental exporter stays
+    * name-mode exactly because existing id-less files cannot be
+    * retrofitted).
+    */
+  private def deltaIdMappedTableDir(s: SparkSession,
+      dir: String): String = {
+    import java.nio.file.Paths
+    val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
+    val root = Paths.get(s"$base/$key/orders_delta_idmap_v1")
+    val store = root.resolve("table").toString
+    graft.streaming.FixtureLock.once(root) {
+        val creates = changeLog(s, dir)
+          .filter(col("operation_type") === "CREATE")
+          .select(col("id"), col("status"), col("totalprice"))
+        graft.streaming.DeltaExport.publishIdMapped(
+          s, creates.repartitionByRange(4, col("id")), store)
+    }
+    store
+  }
+
   /** Materialize the BUCKET-TRANSFORM iceberg table once per sfDir: the
     * CREATE payloads partitioned by the spec's `bucket[8]` of id (the
     * real murmur3 transform, via [[graft.functions.IcebergBucket]]),
@@ -2131,6 +2158,19 @@ object CdcQueries {
         .orderBy(col("id"))
     }),
 
+    // ID-MODE COLUMN-MAPPED DELTA PUBLISH driver-gated (the WRITE half
+    // of cdc_delta_colmap_id): a new table published with mode=id —
+    // files store synthetic physical names (col_<id>) with parquet
+    // field ids, the schemaString publishes logical names over
+    // physicalName+id, and the native reader resolves by FIELD ID.
+    // Oracle = the CREATE payloads.
+    "cdc_delta_idmap_export" -> ((s, dir) => {
+      val store = deltaIdMappedTableDir(s, dir)
+      graft.streaming.DeltaExport.read(s, store)
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
     // ICEBERG V3 DV EXPORT driver-gated (the WRITE half of
     // cdc_iceberg_v3_dv): pending merge-on-read deletes published
     // NATIVELY as v3 puffin deletion vectors (one roaring blob per
@@ -3111,6 +3151,11 @@ object CdcQueries {
     "cdc_iceberg_v3_default" -> s"""$changesCte
       SELECT id, status, totalprice, CAST(3 AS BIGINT) AS priority
       FROM changes WHERE operation_type = 'CREATE' ORDER BY id""",
+
+    // our id-mapped publish read back by field id = the CREATE payloads.
+    "cdc_delta_idmap_export" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE' ORDER BY id""",
 
     // natively-exported v3 deletion vectors: same answer as the forged
     // read gate — the files still hold the rows, the puffin blobs say

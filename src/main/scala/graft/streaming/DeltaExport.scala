@@ -1586,6 +1586,125 @@ object DeltaExport {
     (0L, out.toString)
   }
 
+  /** Publish `df` as a NEW Delta table at `root` with ID-MODE COLUMN
+    * MAPPING — the mode the protocol only allows at CREATE time (an
+    * existing table's id-less files can never be retrofitted, which is
+    * why the incremental exporter publishes renamed tables as
+    * name-mode: Delta itself permits `none → name` but not
+    * `none → id`). Every field — nested struct fields included — gets
+    * a unique immutable `delta.columnMapping.id` and a synthetic
+    * physical name (`col_<id>`, the delta-spark shape), the data files
+    * are written under the PHYSICAL names WITH `parquet.field.id`
+    * footer metadata, and the schemaString publishes the logical names
+    * over physicalName+id per field — an id-resolving engine (this
+    * repo's reader included) matches columns by FIELD ID, so renames
+    * of the logical surface never touch a file. One-shot v0; an
+    * existing log refuses loudly. Protocol: legacy reader 2 / writer 5
+    * (the column-mapping versions delta-spark publishes).
+    */
+  def publishIdMapped(spark: SparkSession, df: DataFrame,
+      root: String): (Long, String) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = logPath(root).getFileSystem(conf)
+    require(!fs.exists(logPath(root)),
+      s"a delta log already exists at $root — publishIdMapped creates " +
+        "a NEW table only (the protocol allows id mode at creation " +
+        "because only then do all files carry field ids)")
+    // ids assigned DFS over every struct field — unique and immutable
+    // for the table's life per the protocol
+    var nextId = 0L
+    def mapped(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        val id = { nextId += 1; nextId }
+        StructField(f.name, mapped(f.dataType), f.nullable,
+          new MetadataBuilder().withMetadata(f.metadata)
+            .putString("delta.columnMapping.physicalName", s"col_$id")
+            .putLong("delta.columnMapping.id", id).build())
+      })
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = mapped(a.elementType))
+      case mt: org.apache.spark.sql.types.MapType =>
+        mt.copy(keyType = mapped(mt.keyType),
+          valueType = mapped(mt.valueType))
+      case other => other
+    }
+    val logical = mapped(df.schema).asInstanceOf[StructType]
+    // physical write schema: physical names + parquet.field.id footer
+    // metadata at every level (Spark's parquet writer emits the ids
+    // when fieldId.write is enabled)
+    def phys(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        StructField(
+          f.metadata.getString("delta.columnMapping.physicalName"),
+          phys(f.dataType), f.nullable,
+          new MetadataBuilder().putLong("parquet.field.id",
+            f.metadata.getLong("delta.columnMapping.id")).build())
+      })
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = phys(a.elementType))
+      case mt: org.apache.spark.sql.types.MapType =>
+        mt.copy(keyType = phys(mt.keyType), valueType = phys(mt.valueType))
+      case other => other
+    }
+    val physSchema = phys(logical).asInstanceOf[StructType]
+    // positional struct cast renames nested fields to their physical
+    // names; the `as(name, metadata)` carries the top-level field ids
+    val renamed = df.select(df.schema.fields.zip(physSchema.fields)
+      .toIndexedSeq.map { case (lf, pf) =>
+        df(lf.name).cast(pf.dataType).as(pf.name, pf.metadata)
+      }: _*)
+    ConfPin.withValue(spark,
+        "spark.sql.parquet.fieldId.write.enabled", "true") {
+      renamed.write.parquet(s"$root/data")
+    }
+
+    val m = mapper
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val protocol = m.createObjectNode()
+    protocol.putObject("protocol")
+      .put("minReaderVersion", 2).put("minWriterVersion", 5)
+    lines += m.writeValueAsString(protocol)
+    val meta = m.createObjectNode()
+    val md = meta.putObject("metaData")
+    md.put("id", tableId(root))
+    md.putObject("format").put("provider", "parquet").putObject("options")
+    md.put("schemaString", logical.json)
+    md.putArray("partitionColumns")
+    md.putObject("configuration")
+      .put("delta.columnMapping.mode", "id")
+      .put("delta.columnMapping.maxColumnId", nextId.toString)
+    md.put("createdTime", System.currentTimeMillis())
+    lines += m.writeValueAsString(meta)
+    val ci = m.createObjectNode()
+    ci.putObject("commitInfo").put("timestamp", System.currentTimeMillis())
+      .put("operation", "WRITE").put("engineInfo", "graft-delta-export/1")
+    lines += m.writeValueAsString(ci)
+    val rootUri = new Path(root).toUri.getPath.stripSuffix("/")
+    val it = fs.listFiles(new Path(s"$root/data"), true)
+    val adds = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val rel = f.getPath.toUri.getPath.stripPrefix(rootUri + "/")
+        val n = m.createObjectNode()
+        val a = n.putObject("add")
+        a.put("path", encodePath(rel)).put("size", f.getLen)
+          .put("modificationTime", f.getModificationTime)
+          .put("dataChange", true)
+        a.putObject("partitionValues")
+        adds += m.writeValueAsString(n)
+      }
+    }
+    lines ++= adds.sorted
+    val out = new Path(logPath(root), f"${0L}%020d.json")
+    fs.mkdirs(logPath(root))
+    val os = fs.create(out, false)
+    try os.write((lines.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    (0L, out.toString)
+  }
+
   /** Read the exported table at its latest delta version. */
   def read(spark: SparkSession, root: String): DataFrame =
     readAt(spark, root, -1L)

@@ -849,6 +849,95 @@ class DeltaExportSpec extends SparkSpec {
       Seq((1L, "x"), (2L, "y")))
   }
 
+  test("publishIdMapped WRITES an id-mode table: files carry parquet " +
+      "field ids (nested too), logical names resolve by ID even after " +
+      "a forged physical-name swap, and an existing log refuses") {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = java.nio.file.Files.createTempDirectory("delta").toString
+    val df = Seq((1L, "a", "x", ("p", 10)), (2L, "b", "y", ("q", 20)))
+      .toDF("k", "s1", "s2", "info")
+    DeltaExport.publishIdMapped(spark, df, root)
+    // the log publishes id mode + maxColumnId; schemaString carries an
+    // id and a synthetic physical name on every field
+    val log = scala.io.Source.fromFile(new java.io.File(
+      new java.io.File(root, "_delta_log"),
+      "00000000000000000000.json")).mkString
+    assert(log.contains("\"delta.columnMapping.mode\":\"id\""))
+    assert(log.contains("delta.columnMapping.maxColumnId"))
+    // the written parquet footers carry field ids at EVERY level
+    val part = new java.io.File(s"$root/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part.toString),
+      spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val msg = try r.getFooter.getFileMetaData.getSchema finally r.close()
+    assert(msg.getFields.asScala.forall(_.getId != null),
+      "every top-level parquet field must carry an id")
+    val infoGroup = msg.getFields.asScala
+      .find(!_.isPrimitive).get.asGroupType()
+    assert(infoGroup.getFields.asScala.forall(_.getId != null),
+      "nested struct fields must carry ids too")
+    // physical column names are synthetic — no logical name in the file
+    assert(msg.getFields.asScala.forall(_.getName.startsWith("col_")))
+    // read back under logical names, values intact (struct included)
+    val got = DeltaExport.read(spark, root)
+    assert(got.columns.toSeq == Seq("k", "s1", "s2", "info"))
+    assert(got.select("k", "s1", "s2", "info._1", "info._2")
+      .as[(Long, String, String, String, Int)].collect().sorted.toSeq ==
+      Seq((1L, "a", "x", "p", 10), (2L, "b", "y", "q", 20)))
+    // FORGE: swap the two same-typed fields' physicalNames in the
+    // schemaString (foreign id-mode physical names are arbitrary and
+    // uncorrelated) — a name-matching reader would swap s1/s2 values;
+    // id resolution must still return them correctly
+    val logFile = new java.io.File(new java.io.File(root, "_delta_log"),
+      "00000000000000000000.json")
+    val swapped = scala.io.Source.fromFile(logFile).getLines().map {
+      line =>
+        if (!line.contains("metaData")) line
+        else {
+          val node = m.readTree(line)
+            .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+          val mdn = node.get("metaData")
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          val schema = DataType.fromJson(
+            mdn.get("schemaString").asText()).asInstanceOf[StructType]
+          def physOf(n: String) = schema(n).metadata
+            .getString("delta.columnMapping.physicalName")
+          val (p1, p2) = (physOf("s1"), physOf("s2"))
+          val newSchema = StructType(schema.fields.map { f =>
+            val np = f.name match {
+              case "s1" => p2
+              case "s2" => p1
+              case _ => f.metadata
+                .getString("delta.columnMapping.physicalName")
+            }
+            f.copy(metadata = new MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString("delta.columnMapping.physicalName", np).build())
+          })
+          mdn.put("schemaString", newSchema.json)
+          m.writeValueAsString(node)
+        }
+    }.toVector
+    val w = new java.io.PrintWriter(logFile, "UTF-8")
+    try swapped.foreach(w.println) finally w.close()
+    new java.io.File(logFile.getParentFile,
+      "." + logFile.getName + ".crc").delete()
+    val got2 = DeltaExport.read(spark, root)
+      .select("k", "s1", "s2").as[(Long, String, String)]
+      .collect().sorted.toSeq
+    assert(got2 == Seq((1L, "a", "x"), (2L, "b", "y")),
+      "id resolution must survive uncorrelated physical names")
+    // one-shot surface: an existing log refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.publishIdMapped(spark, df, root)
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
   test("history, timestamp time travel, and cleanLog round out the " +
       "consumer surface") {
     val root = java.nio.file.Files.createTempDirectory("delta").toString
