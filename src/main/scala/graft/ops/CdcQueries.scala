@@ -698,7 +698,9 @@ object CdcQueries {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = sys.env.getOrElse("SPARK_GRAFT_LAKE_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_fixture_lake")
-    val root = Paths.get(s"$base/$key/orders_iceberg_changelog_v1")
+    // _v2: a foreign "audit" TAG forged at snapshot 1 (the tag-read
+    // gate resolves it by name; the changelog gate ignores refs)
+    val root = Paths.get(s"$base/$key/orders_iceberg_changelog_v2")
     val store = root.resolve("table").toString
     graft.streaming.FixtureLock.once(root) {
         import org.apache.spark.sql.expressions.Window
@@ -717,6 +719,7 @@ object CdcQueries {
           deleteCol = Some("del"))
         val (v, _) = graft.streaming.IcebergExport.export(s, store)
         require(v == 2L, s"fixture expected iceberg snapshot 2, got $v")
+        graft.streaming.ForeignIcebergShapes.addRef(store, "audit", 1L)
     }
     store
   }
@@ -2197,6 +2200,17 @@ object CdcQueries {
         .orderBy(col("id"), col("_change_type"))
     }),
 
+    // ICEBERG SNAPSHOT-REF (tag) READ driver-gated: a foreign "audit"
+    // TAG forged at snapshot 1 of the changelog table resolves by NAME
+    // through the spec's refs map — named time travel, the surface
+    // `VERSION AS OF 'tag'` engines expose. Oracle = the CREATE state.
+    "cdc_iceberg_tag_read" -> ((s, dir) => {
+      val store = icebergChangelogTableDir(s, dir)
+      graft.streaming.IcebergExport.readRef(s, store, "audit")
+        .select(col("id"), col("status"), col("totalprice"))
+        .orderBy(col("id"))
+    }),
+
     // ICEBERG V3 NESTED INITIAL-DEFAULT driver-gated: a struct CHILD
     // added to the metadata with a default after every file was
     // written — the reader must patch the default INSIDE each struct
@@ -3168,6 +3182,11 @@ object CdcQueries {
     // the iceberg changelog scan = the manifest-store change feed (the
     // two snapshots are the same two states).
     "cdc_iceberg_changelog" -> changeFeedOracleSql,
+
+    // the forged "audit" tag names snapshot 1 = the CREATE batch.
+    "cdc_iceberg_tag_read" -> s"""$changesCte
+      SELECT id, status, totalprice FROM changes
+      WHERE operation_type = 'CREATE' ORDER BY id""",
 
     // v3 NESTED initial-default: every file predates the struct child,
     // so every row surfaces the constant inside its struct.

@@ -77,6 +77,24 @@ object ForeignIcebergShapes {
     rewrite(mdFile, mapper.writeValueAsString(md))
   }
 
+  /** Add a named REF (tag or branch) pointing at `snapshotId` — the
+    * metadata a foreign writer's `CREATE TAG`/`CREATE BRANCH`
+    * publishes in the spec's `refs` table-metadata map.
+    */
+  def addRef(root: String, name: String, snapshotId: Long,
+      refType: String = "tag"): Unit = {
+    val mdFile = newestMetadata(root)
+    val md = mapper.readTree(
+      new String(java.nio.file.Files.readAllBytes(mdFile.toPath),
+        "UTF-8")).deepCopy[ObjectNode]()
+    val refs = Option(md.get("refs")).collect {
+      case o: ObjectNode => o
+    }.getOrElse(md.putObject("refs"))
+    refs.putObject(name).put("snapshot-id", snapshotId)
+      .put("type", refType)
+    rewrite(mdFile, mapper.writeValueAsString(md))
+  }
+
   /** Add a NESTED struct child with a v3 `initial-default` to the
     * current schema: `parentCol` must be an existing struct column (no
     * data file stores the child — the read must surface the default

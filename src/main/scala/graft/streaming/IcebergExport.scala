@@ -1357,6 +1357,20 @@ object IcebergExport {
       val dvs = publishedDeletes.count(_._6.isDefined)
       if (dvs > 0) summary.put("added-dvs", dvs.toString)
     }
+    // SNAPSHOT REFS (the spec's named branches/tags): `main` tracks the
+    // current snapshot — the branch every Iceberg engine reads by
+    // default — and refs a FOREIGN writer added (audit tags, staging
+    // branches) carry forward verbatim as long as their snapshot is
+    // still retained; [[readRef]] resolves them by name.
+    val refs = md.putObject("refs")
+    for {
+      p <- prior
+      pr <- Option(p.get("refs"))
+      e <- pr.properties().asScala
+      if e.getKey != "main"
+    } refs.set[JsonNode](e.getKey, e.getValue)
+    refs.putObject("main").put("snapshot-id", snapshotId)
+      .put("type", "branch")
     val slog = md.putArray("snapshot-log")
     prior.foreach(_.get("snapshot-log").elements().asScala
       .foreach(slog.add))
@@ -1582,6 +1596,8 @@ object IcebergExport {
     sn.putObject("summary").put("operation", "append")
       .put("added-data-files", files.size.toString)
       .put("total-records", counts.values.sum.toString)
+    md.putObject("refs").putObject("main")
+      .put("snapshot-id", snapshotId).put("type", "branch")
     md.putArray("snapshot-log").addObject()
       .put("timestamp-ms", now).put("snapshot-id", snapshotId)
     md.putArray("metadata-log")
@@ -1875,6 +1891,29 @@ object IcebergExport {
   def read(spark: SparkSession, root: String): DataFrame =
     readAt(spark, root, -1L)
 
+  /** Read the snapshot a NAMED REF points at — the spec's `refs`
+    * table-metadata map (branches and tags): the exporter maintains
+    * `main`, and audit tags / staging branches a foreign writer added
+    * carry forward until their snapshot expires. Unknown refs refuse
+    * by name, listing the ones that exist.
+    */
+  def readRef(spark: SparkSession, root: String, ref: String): DataFrame = {
+    val fs = metaDir(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val v = currentMetadataVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no iceberg metadata under ${metaDir(root)}"))
+    val md = mapper.readTree(readFully(fs, metadataFile(root, v)))
+    val known = Option(md.get("refs")).toSeq
+      .flatMap(_.properties().asScala.map(e => e.getKey -> e.getValue))
+      .toMap
+    val e = known.getOrElse(ref, throw new IllegalArgumentException(
+      s"iceberg table at $root has no ref '$ref' — known refs: " +
+        (if (known.isEmpty) "(none)"
+         else known.keys.toSeq.sorted.mkString(", "))))
+    readAt(spark, root, e.get("snapshot-id").asLong())
+  }
+
   /** Read the snapshot CURRENT AS OF `tsMs` — the newest snapshot whose
     * commit timestamp is <= the asked instant, resolved from the
     * snapshot log (the spec's own timestamp-travel contract). A
@@ -2145,6 +2184,15 @@ object IcebergExport {
       .filter(e => keptIds.contains(e.get("snapshot-id").asLong()))
       .foreach(keptLog.add)
     md.set[JsonNode]("snapshot-log", keptLog)
+    // refs pointing at expired snapshots drop with them (a dangling
+    // ref would resolve to a loud expired-id refusal anyway; dropping
+    // keeps the surface honest)
+    val keptRefsNode = mapper.createObjectNode()
+    Option(md.get("refs")).toSeq
+      .flatMap(_.properties().asScala)
+      .filter(e => keptIds.contains(e.getValue.get("snapshot-id").asLong()))
+      .foreach(e => keptRefsNode.set[JsonNode](e.getKey, e.getValue))
+    md.set[JsonNode]("refs", keptRefsNode)
     val mlog = Option(md.get("metadata-log"))
       .map(_.deepCopy[ArrayNode]()).getOrElse(mapper.createArrayNode())
     mlog.addObject()

@@ -164,7 +164,15 @@ class PlanGuardSpec extends SparkSpec {
     // probe curve: every tier's shortlist pre-limits below the exchange
     "sm23_ivf_probe_curve" -> Seq("WindowGroupLimit"),
     // content-defined chunking: one scan-side rolling-hash kernel pass
-    "dd14_cdc_chunks" -> Seq("cdc_boundaries")
+    "dd14_cdc_chunks" -> Seq("cdc_boundaries"),
+    // iceberg changelog: the net diff is ONE null-safe full-outer
+    // sort-merge join on the key — shuffle proportional to the two
+    // snapshots, the same cost class as the merge that produced them
+    "cdc_iceberg_changelog" -> Seq("SortMergeJoin", "FullOuter"),
+    // v3 deletion vectors subtract through the scan-side dv_survives
+    // kernel (name-keyed bitmap probe), never a join against the
+    // deleted-position set
+    "cdc_iceberg_v3_dv_export" -> Seq("dv_survives")
   )
 
   /** query -> plan fragments that must NOT appear */
@@ -195,6 +203,13 @@ class PlanGuardSpec extends SparkSpec {
     "q42_fuzzy_join" -> Seq("BroadcastNestedLoopJoin", "CartesianProduct"),
     // span coverage joins on the shingle key, never all-pairs
     "dd9_span_dedup" -> Seq("BroadcastNestedLoopJoin", "CartesianProduct"),
+    // the changelog diff must stay a keyed join — a nested loop means
+    // the null-safe key equality degenerated to all-pairs
+    "cdc_iceberg_changelog" ->
+      Seq("BroadcastNestedLoopJoin", "CartesianProduct"),
+    // the DV subtraction is a filter: no join may appear between the
+    // snapshot scan and the deleted positions
+    "cdc_iceberg_v3_dv_export" -> Seq("Join"),
     // the whole point of bucketing: NO shuffle on either join input
     // (the post-join groupBy exchange is on c_nationkey, not these keys)
     "q40_bucketed_join" ->

@@ -984,6 +984,52 @@ class IcebergExportSpec extends SparkSpec {
     assert(e0.getMessage.contains("sentinel"))
   }
 
+  test("SNAPSHOT REFS: export maintains the main branch, foreign tags " +
+      "carry across exports, readRef resolves by name, unknown refs " +
+      "refuse listing the known ones, expiration drops dangling refs") {
+    val root = java.nio.file.Files.createTempDirectory("iceberg").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root, "k", numBuckets = 2)
+    IcebergExport.export(spark, root)
+    MergeInto.mergeBatch(spark, Seq((1L, "A")).toDF("k", "s"),
+      root, "k", numBuckets = 2)
+    IcebergExport.export(spark, root)
+    // main tracks the current snapshot
+    assert(IcebergExport.readRef(spark, root, "main")
+      .select("k", "s").as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "A"), (2L, "b")))
+    // a foreign tag at snapshot 1 resolves to the pre-update state...
+    ForeignIcebergShapes.addRef(root, "audit", 1L)
+    assert(IcebergExport.readRef(spark, root, "audit")
+      .select("k", "s").as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // ...and CARRIES across the next export, while main advances
+    MergeInto.mergeBatch(spark, Seq((2L, "B")).toDF("k", "s"),
+      root, "k", numBuckets = 2)
+    IcebergExport.export(spark, root)
+    assert(IcebergExport.readRef(spark, root, "audit")
+      .select("k", "s").as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    assert(IcebergExport.readRef(spark, root, "main")
+      .select("k", "s").as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "A"), (2L, "B")))
+    // unknown refs refuse by name, listing the known ones
+    val e = intercept[IllegalArgumentException] {
+      IcebergExport.readRef(spark, root, "nope")
+    }
+    assert(e.getMessage.contains("no ref 'nope'") &&
+      e.getMessage.contains("audit") && e.getMessage.contains("main"))
+    // expiration drops refs whose snapshot expired; main survives
+    IcebergExport.expireSnapshots(spark, root, keepLast = 1)
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergExport.readRef(spark, root, "audit")
+    }
+    assert(e2.getMessage.contains("no ref 'audit'"))
+    assert(IcebergExport.readRef(spark, root, "main")
+      .select("k", "s").as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "A"), (2L, "B")))
+  }
+
   test("NESTED v3 initial-defaults: a struct child added after the " +
       "files surfaces inside every non-null struct; a NULL struct " +
       "stays NULL; a default inside a LIST element refuses by name") {
