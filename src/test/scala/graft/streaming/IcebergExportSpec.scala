@@ -984,6 +984,102 @@ class IcebergExportSpec extends SparkSpec {
     assert(e0.getMessage.contains("sentinel"))
   }
 
+  test("PARTITION-SPEC EVOLUTION: a table whose old manifests are " +
+      "unpartitioned (spec 0) and new ones identity-partitioned " +
+      "(spec 1) reads correctly per manifest — values right, pruning " +
+      "applies only to the spec-1 files") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter,
+      GenericRecord}
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    // table A: unpartitioned (spec 0); table B: partitioned by dt
+    // (spec with real source ids) — same logical schema
+    val rootA = java.nio.file.Files.createTempDirectory("iceberg").toString
+    val rootB = java.nio.file.Files.createTempDirectory("iceberg").toString
+    IcebergExport.publish(spark,
+      Seq((1L, "x", "a"), (2L, "y", "a")).toDF("k", "s", "dt"), rootA)
+    IcebergExport.exportPartitioned(spark,
+      Seq((3L, "z", "b"), (4L, "w", "c")).toDF("k", "s", "dt"),
+      rootB, Seq("dt"))
+    // forge: splice B's partition spec (as spec-id 1) and B's manifests
+    // (partition_spec_id rewritten to 1) into A's metadata — the shape
+    // a real `ALTER TABLE ... ADD PARTITION FIELD` leaves behind: old
+    // manifests keep spec 0, new ones carry spec 1
+    def newest(root: String) = new java.io.File(root, "metadata")
+      .listFiles().filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+      .maxBy(_.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+    val mdA = m.readTree(new String(java.nio.file.Files.readAllBytes(
+      newest(rootA).toPath), "UTF-8"))
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val mdB = m.readTree(new String(java.nio.file.Files.readAllBytes(
+      newest(rootB).toPath), "UTF-8"))
+    // align spec-1's source-id to A's schema (same field order, ids
+    // assigned identically by the exporter — assert to be safe)
+    def idOf(md: com.fasterxml.jackson.databind.JsonNode,
+        name: String): Int =
+      md.get("schemas").elements().asScala.next()
+        .get("fields").elements().asScala
+        .find(_.get("name").asText() == name).get.get("id").asInt()
+    assert(idOf(mdA, "dt") == idOf(mdB, "dt"))
+    val specB = mdB.get("partition-specs").elements().asScala.next()
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    specB.put("spec-id", 1)
+    mdA.withArray("partition-specs").add(specB)
+    mdA.put("last-partition-id", 1000)
+    // append B's manifest-list records (spec id -> 1) to A's list
+    val listA = new java.io.File(mdA.get("snapshots").elements().asScala
+      .next().get("manifest-list").asText())
+    val listB = new java.io.File(mdB.get("snapshots").elements().asScala
+      .next().get("manifest-list").asText())
+    def records(f: java.io.File) = {
+      val r = new DataFileReader[GenericRecord](f,
+        new GenericDatumReader[GenericRecord]())
+      val (schema, recs) = (r.getSchema, r.iterator().asScala.toVector)
+      r.close(); (schema, recs)
+    }
+    val (schemaA, recsA) = records(listA)
+    val (_, recsB) = records(listB)
+    recsB.foreach(_.put("partition_spec_id", 1))
+    assert(listA.delete())
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schemaA))
+    w.create(schemaA, listA)
+    (recsA ++ recsB).foreach(w.append)
+    w.close()
+    new java.io.File(listA.getParentFile,
+      "." + listA.getName + ".crc").delete()
+    val wA = new java.io.PrintWriter(newest(rootA), "UTF-8")
+    try wA.print(m.writeValueAsString(mdA)) finally wA.close()
+    new java.io.File(newest(rootA).getParentFile,
+      "." + newest(rootA).getName + ".crc").delete()
+    // the union reads correctly across both specs
+    val got = IcebergExport.read(spark, rootA)
+    assert(got.select("k", "s", "dt").as[(Long, String, String)]
+      .collect().sorted.toSeq == Seq((1L, "x", "a"), (2L, "y", "a"),
+        (3L, "z", "b"), (4L, "w", "c")))
+    // a dt predicate prunes the spec-1 manifests' partition values;
+    // spec-0 files (no partition tuple) are scanned, values still right
+    val filtered = IcebergExport.read(spark, rootA)
+      .filter(col("dt") === "b")
+    filtered.collect()
+    val exec = filtered.queryExecution.executedPlan
+    val finalPlan = exec.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+    }.getOrElse(exec)
+    val scanned = (finalPlan.collectLeaves() :+ finalPlan).collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.get
+    val total = IcebergExport.read(spark, rootA).inputFiles.length
+    assert(scanned < total,
+      s"expected the dt=c spec-1 file pruned from manifest values, " +
+        s"scanned $scanned of $total")
+    assert(filtered.select("k", "s", "dt").as[(Long, String, String)]
+      .collect().toSeq == Seq((3L, "z", "b")))
+  }
+
   test("SNAPSHOT REFS: export maintains the main branch, foreign tags " +
       "carry across exports, readRef resolves by name, unknown refs " +
       "refuse listing the known ones, expiration drops dangling refs") {
