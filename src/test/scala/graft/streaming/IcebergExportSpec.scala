@@ -835,6 +835,30 @@ class IcebergExportSpec extends SparkSpec {
       IcebergExport.readIncremental(spark, root, 1L, 2L).collect()
     }
     assert(e.getMessage.contains("readChanges"))
+
+    // SCHEMA EVOLUTION across the diffed range: a column added between
+    // the snapshots compares as NULL on the pre side (an update pair
+    // shows null -> value), and a RENAME between them diffs as ONE
+    // column under the post-rename name (field-id alignment)
+    val root2 = java.nio.file.Files.createTempDirectory("iceberg").toString
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root2, "k",
+      numBuckets = 2)
+    IcebergExport.export(spark, root2)
+    MergeInto.renameColumn(spark, root2, "s", "label")
+    MergeInto.mergeBatch(spark,
+      Seq((1L, "A", 0.5)).toDF("k", "label", "score"), root2, "k",
+      numBuckets = 2)
+    IcebergExport.export(spark, root2)
+    val feed2 = IcebergExport.readChanges(spark, root2, 1L, 2L, "k")
+    assert(feed2.columns.contains("label") &&
+      !feed2.columns.contains("s"))
+    val rows2 = feed2
+      .select("k", "label", "score", "_change_type")
+      .as[(Long, String, Option[Double], String)].collect().toSet
+    assert(rows2 == Set(
+      (1L, "a", None, "update_preimage"),
+      (1L, "A", Some(0.5), "update_postimage")))
   }
 
   test("readIncremental RESOLVES renames and initial-defaults like " +
