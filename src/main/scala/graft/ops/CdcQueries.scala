@@ -2200,6 +2200,21 @@ object CdcQueries {
         .orderBy(col("id"), col("_change_type"))
     }),
 
+    // ICEBERG FILES METADATA TABLE driver-gated (the `tbl$files`
+    // inspection surface, planned from metadata alone): per content
+    // class, the entry count and the record_count sum — data files
+    // must account for every CREATE row and the forged v3 deletion
+    // vectors for every id%7 key (a DV entry's record_count is its
+    // cardinality), each across the 4 range files.
+    "cdc_iceberg_files_meta" -> ((s, dir) => {
+      val store = icebergV3DvTableDir(s, dir)
+      graft.streaming.IcebergExport.metaTable(s, store, "files")
+        .groupBy(col("content"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("record_count")).as("total_records"))
+        .orderBy(col("content"))
+    }),
+
     // ICEBERG SNAPSHOT-REF (tag) READ driver-gated: a foreign "audit"
     // TAG forged at snapshot 1 of the changelog table resolves by NAME
     // through the spec's refs map — named time travel, the surface
@@ -3187,6 +3202,18 @@ object CdcQueries {
     "cdc_iceberg_tag_read" -> s"""$changesCte
       SELECT id, status, totalprice FROM changes
       WHERE operation_type = 'CREATE' ORDER BY id""",
+
+    // files metadata: 4 range data files accounting for every CREATE
+    // row; 4 DV entries whose cardinalities sum to the deleted keys.
+    "cdc_iceberg_files_meta" -> s"""$changesCte
+      SELECT content, n_files, total_records FROM (
+        SELECT 0 AS content, CAST(4 AS BIGINT) AS n_files,
+          COUNT(*) AS total_records
+        FROM changes WHERE operation_type = 'CREATE'
+        UNION ALL
+        SELECT 1, CAST(4 AS BIGINT), COUNT(*)
+        FROM changes WHERE operation_type = 'CREATE' AND id % 7 = 0
+      ) ORDER BY content""",
 
     // v3 NESTED initial-default: every file predates the struct child,
     // so every row surfaces the constant inside its struct.

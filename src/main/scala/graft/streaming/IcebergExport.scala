@@ -1891,6 +1891,109 @@ object IcebergExport {
   def read(spark: SparkSession, root: String): DataFrame =
     readAt(spark, root, -1L)
 
+  /** METADATA TABLES — the inspection surface every Iceberg engine
+    * exposes (`SELECT * FROM tbl$files`, `$snapshots`, …) as
+    * DataFrames planned from the METADATA alone: no data file is
+    * touched, the walk is bounded driver-side metadata (the same
+    * contract as Spark's FileIndex). Kinds:
+    *  - `snapshots`: committed_at_ms | snapshot_id | parent_id |
+    *    sequence_number | operation | manifest_list
+    *  - `history`: made_current_at_ms | snapshot_id | is_current
+    *    (the snapshot-log, the lineage incremental reads walk)
+    *  - `refs`: name | type | snapshot_id
+    *  - `manifests`: path | length | partition_spec_id | content |
+    *    added_snapshot_id | added_files_count | existing_files_count |
+    *    deleted_files_count | added_rows_count
+    *  - `files`: content | file_path | file_format | record_count |
+    *    file_size_in_bytes | data_sequence_number — the CURRENT
+    *    snapshot's live entries, delete files included (a DV entry's
+    *    record_count is its cardinality)
+    * Unknown kinds refuse by name.
+    */
+  def metaTable(spark: SparkSession, root: String,
+      kind: String): DataFrame = {
+    import spark.implicits._
+    val fs = metaDir(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val v = currentMetadataVersion(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no iceberg metadata under ${metaDir(root)}"))
+    val md = mapper.readTree(readFully(fs, metadataFile(root, v)))
+    def snaps = md.get("snapshots").elements().asScala.toVector
+    kind match {
+      case "snapshots" => snaps.map { s =>
+        (s.get("timestamp-ms").asLong(),
+          s.get("snapshot-id").asLong(),
+          Option(s.get("parent-snapshot-id")).filterNot(_.isNull)
+            .map(_.asLong()),
+          Option(s.get("sequence-number")).map(_.asLong()).getOrElse(0L),
+          Option(s.get("summary")).flatMap(x =>
+            Option(x.get("operation"))).map(_.asText()).getOrElse(""),
+          s.get("manifest-list").asText())
+      }.toDF("committed_at_ms", "snapshot_id", "parent_id",
+        "sequence_number", "operation", "manifest_list")
+      case "history" =>
+        val cur = Option(md.get("current-snapshot-id"))
+          .filterNot(_.isNull).map(_.asLong())
+        Option(md.get("snapshot-log")).toSeq
+          .flatMap(_.elements().asScala).map { e =>
+            (e.get("timestamp-ms").asLong(),
+              e.get("snapshot-id").asLong(),
+              cur.contains(e.get("snapshot-id").asLong()))
+          }.toDF("made_current_at_ms", "snapshot_id", "is_current")
+      case "refs" => Option(md.get("refs")).toSeq
+        .flatMap(_.properties().asScala).map { e =>
+          (e.getKey, e.getValue.get("type").asText(),
+            e.getValue.get("snapshot-id").asLong())
+        }.toDF("name", "type", "snapshot_id")
+      case "manifests" =>
+        val cur = Option(md.get("current-snapshot-id"))
+          .filterNot(_.isNull).map(_.asLong()).getOrElse(
+            throw new IllegalArgumentException(
+              s"iceberg table at $root has no current snapshot"))
+        val sn = snaps.find(_.get("snapshot-id").asLong() == cur).get
+        readAvro(fs, new Path(sn.get("manifest-list").asText())).map {
+          mf => (mf.get("manifest_path").toString,
+            mf.get("manifest_length").asInstanceOf[Long],
+            optInt(mf, "partition_spec_id", 0),
+            optInt(mf, "content", 0),
+            optLong(mf, "added_snapshot_id").getOrElse(0L),
+            optInt(mf, "added_files_count", 0),
+            optInt(mf, "existing_files_count", 0),
+            optInt(mf, "deleted_files_count", 0),
+            optLong(mf, "added_rows_count").getOrElse(0L))
+        }.toDF("path", "length", "partition_spec_id", "content",
+          "added_snapshot_id", "added_files_count",
+          "existing_files_count", "deleted_files_count",
+          "added_rows_count")
+      case "files" =>
+        val cur = Option(md.get("current-snapshot-id"))
+          .filterNot(_.isNull).map(_.asLong()).getOrElse(
+            throw new IllegalArgumentException(
+              s"iceberg table at $root has no current snapshot"))
+        val sn = snaps.find(_.get("snapshot-id").asLong() == cur).get
+        readAvro(fs, new Path(sn.get("manifest-list").asText()))
+          .flatMap { mf =>
+            val mfSeq = optLong(mf, "sequence_number").getOrElse(0L)
+            readAvro(fs, new Path(mf.get("manifest_path").toString))
+              .filter(e => e.get("status").asInstanceOf[Int] != 2)
+              .map { e =>
+                val df = e.get("data_file").asInstanceOf[GenericRecord]
+                (optInt(df, "content", 0),
+                  df.get("file_path").toString,
+                  df.get("file_format").toString,
+                  df.get("record_count").asInstanceOf[Long],
+                  df.get("file_size_in_bytes").asInstanceOf[Long],
+                  optLong(e, "sequence_number").getOrElse(mfSeq))
+              }
+          }.toDF("content", "file_path", "file_format", "record_count",
+            "file_size_in_bytes", "data_sequence_number")
+      case other => throw new IllegalArgumentException(
+        s"unknown iceberg metadata table '$other' — known: snapshots, " +
+          "history, refs, manifests, files")
+    }
+  }
+
   /** Read the snapshot a NAMED REF points at — the spec's `refs`
     * table-metadata map (branches and tags): the exporter maintains
     * `main`, and audit tags / staging branches a foreign writer added

@@ -1008,6 +1008,46 @@ class IcebergExportSpec extends SparkSpec {
     assert(e0.getMessage.contains("sentinel"))
   }
 
+  test("METADATA TABLES: snapshots/history/refs/manifests/files answer " +
+      "from metadata alone and agree with the table's own accounting; " +
+      "unknown kinds refuse by name") {
+    val root = java.nio.file.Files.createTempDirectory("iceberg").toString
+    MergeInto.mergeBatch(spark,
+      (0L until 100L).map(k => (k, s"v$k")).toDF("k", "s"),
+      root, "k", numBuckets = 2)
+    IcebergExport.export(spark, root)
+    MergeInto.deleteVector(spark, root, "k", Seq(7L, 14L).toDF("k"))
+    IcebergExport.export(spark, root, deleteFiles = true)
+    def meta(kind: String) = IcebergExport.metaTable(spark, root, kind)
+    // snapshots: two, linked by parent_id, narrowest operations
+    val sn = meta("snapshots")
+      .select("snapshot_id", "parent_id", "operation")
+      .as[(Long, Option[Long], String)].collect().sortBy(_._1).toSeq
+    assert(sn == Seq((1L, None, "append"), (2L, Some(1L), "delete")))
+    // history: commit order, current flagged last
+    val hist = meta("history").select("snapshot_id", "is_current")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(hist == Seq((1L, false), (2L, true)))
+    // refs: main tracks the current snapshot
+    assert(meta("refs").select("name", "type", "snapshot_id")
+      .as[(String, String, Long)].collect().toSeq ==
+      Seq(("main", "branch", 2L)))
+    // manifests: one carried data manifest + one delete manifest
+    val mfs = meta("manifests").select("content", "added_snapshot_id")
+      .as[(Int, Long)].collect().sorted.toSeq
+    assert(mfs == Seq((0, 1L), (1, 2L)))
+    // files: data entries account for every row, the position-delete
+    // entry for both deleted keys; nothing reads a data file to answer
+    val files = meta("files")
+      .groupBy(col("content")).agg(sum(col("record_count")).as("n"))
+      .as[(Int, Long)].collect().sorted.toSeq
+    assert(files == Seq((0, 100L), (1, 2L)))
+    val e = intercept[IllegalArgumentException] {
+      IcebergExport.metaTable(spark, root, "partitions")
+    }
+    assert(e.getMessage.contains("unknown iceberg metadata table"))
+  }
+
   test("PARTITION-SPEC EVOLUTION: a table whose old manifests are " +
       "unpartitioned (spec 0) and new ones identity-partitioned " +
       "(spec 1) reads correctly per manifest — values right, pruning " +
