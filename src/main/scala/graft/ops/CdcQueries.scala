@@ -2200,6 +2200,18 @@ object CdcQueries {
         .orderBy(col("id"), col("_change_type"))
     }),
 
+    // DELTA FILES METADATA TABLE driver-gated (DESCRIBE-DETAIL-class
+    // inspection from the log alone): over the protocol-DV table, the
+    // add.stats record counts must account for every CREATE row (the
+    // files still hold them) and the DV descriptors' cardinalities for
+    // every id%7 deleted key — both sums fully data-derived.
+    "cdc_delta_files_meta" -> ((s, dir) => {
+      val store = deltaDvTableDir(s, dir)
+      graft.streaming.DeltaExport.metaTable(s, store, "files")
+        .agg(sum(col("num_records")).as("total_records"),
+          sum(col("dv_cardinality")).as("total_deleted"))
+    }),
+
     // ICEBERG FILES METADATA TABLE driver-gated (the `tbl$files`
     // inspection surface, planned from metadata alone): per content
     // class, the entry count and the record_count sum — data files
@@ -3202,6 +3214,16 @@ object CdcQueries {
     "cdc_iceberg_tag_read" -> s"""$changesCte
       SELECT id, status, totalprice FROM changes
       WHERE operation_type = 'CREATE' ORDER BY id""",
+
+    // delta files metadata: stats account for every CREATE row, DV
+    // descriptors for every id%7 deleted key.
+    "cdc_delta_files_meta" -> s"""$changesCte
+      SELECT
+        (SELECT COUNT(*) FROM changes WHERE operation_type = 'CREATE')
+          AS total_records,
+        (SELECT COUNT(*) FROM changes
+         WHERE operation_type = 'CREATE' AND id % 7 = 0)
+          AS total_deleted""",
 
     // files metadata: 4 range data files accounting for every CREATE
     // row; 4 DV entries whose cardinalities sum to the deleted keys.

@@ -1705,6 +1705,60 @@ object DeltaExport {
     (0L, out.toString)
   }
 
+  /** METADATA TABLES — the Delta inspection surface (`DESCRIBE
+    * DETAIL`, `DESCRIBE HISTORY`, the files listing) as DataFrames
+    * answered from the LOG alone — no data file touched, bounded
+    * driver-side replay (the cost every Delta engine pays to plan).
+    * Kinds:
+    *  - `files`: file_path | size_in_bytes | modification_time_ms |
+    *    num_records (from add.stats, null when the writer recorded
+    *    none) | dv_cardinality (0 without a DV) — the LIVE adds at the
+    *    latest version; physical rows, before DV subtraction
+    *  - `history`: version | timestamp_ms | operation
+    *  - `detail`: one row — format | id | num_files | size_in_bytes |
+    *    min_reader_version | min_writer_version | column_mapping_mode
+    *    | partition_columns
+    * Unknown kinds refuse by name.
+    */
+  def metaTable(spark: SparkSession, root: String,
+      kind: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = logPath(root).getFileSystem(conf)
+    kind match {
+      case "files" =>
+        val st = replay(spark, fs, root, None)
+        require(st.version >= 0, s"no delta log under $root/$LogDir")
+        st.live.toSeq.sortBy(_._1).map { case (rel, e) =>
+          val numRecords = e.stats.flatMap { j =>
+            val n = mapper.readTree(j)
+            Option(n.get("numRecords")).filter(_.isNumber)
+              .map(_.asLong())
+          }
+          (rel, e.size, e.modTime, numRecords,
+            e.dv.map(_.cardinality).getOrElse(0L))
+        }.toDF("file_path", "size_in_bytes", "modification_time_ms",
+          "num_records", "dv_cardinality")
+      case "history" =>
+        history(spark, root).map(c =>
+          (c.version, c.timestamp, c.operation))
+          .toDF("version", "timestamp_ms", "operation")
+      case "detail" =>
+        val st = replay(spark, fs, root, None)
+        require(st.version >= 0, s"no delta log under $root/$LogDir")
+        Seq(("parquet", tableId(root), st.live.size.toLong,
+          st.live.valuesIterator.map(_.size).sum,
+          st.readerVersion, st.writerVersion, st.mappingMode,
+          st.partitionCols))
+          .toDF("format", "id", "num_files", "size_in_bytes",
+            "min_reader_version", "min_writer_version",
+            "column_mapping_mode", "partition_columns")
+      case other => throw new IllegalArgumentException(
+        s"unknown delta metadata table '$other' — known: files, " +
+          "history, detail")
+    }
+  }
+
   /** Read the exported table at its latest delta version. */
   def read(spark: SparkSession, root: String): DataFrame =
     readAt(spark, root, -1L)

@@ -938,6 +938,37 @@ class DeltaExportSpec extends SparkSpec {
     assert(e.getMessage.contains("already exists"))
   }
 
+  test("METADATA TABLES: files/history/detail answer from the log " +
+      "alone and agree with the table's accounting; unknown kinds " +
+      "refuse by name") {
+    val root = java.nio.file.Files.createTempDirectory("delta").toString
+    MergeInto.mergeBatch(spark,
+      (0L until 100L).map(k => (k, s"v$k")).toDF("k", "s"),
+      root, "k", numBuckets = 2)
+    DeltaExport.export(spark, root)
+    MergeInto.deleteVector(spark, root, "k", Seq(7L, 14L).toDF("k"))
+    DeltaExport.export(spark, root, deleteVectors = true)
+    def meta(kind: String) = DeltaExport.metaTable(spark, root, kind)
+    // files: stats account for every physical row, DVs for the deletes
+    val files = meta("files")
+      .agg(sum(col("num_records")), sum(col("dv_cardinality")))
+      .as[(Long, Long)].head()
+    assert(files == ((100L, 2L)))
+    // history: two commits, ascending versions
+    assert(meta("history").select("version").as[Long].collect().toSeq
+      .sorted == Seq(0L, 1L))
+    // detail: one row, protocol versions reflect the DV upgrade
+    val det = meta("detail").select("num_files", "min_reader_version",
+      "min_writer_version", "column_mapping_mode")
+      .as[(Long, Int, Int, String)].head()
+    assert(det._2 == 3 && det._3 == 7 && det._4 == "none")
+    assert(det._1 == meta("files").count())
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.metaTable(spark, root, "partitions")
+    }
+    assert(e.getMessage.contains("unknown delta metadata table"))
+  }
+
   test("history, timestamp time travel, and cleanLog round out the " +
       "consumer surface") {
     val root = java.nio.file.Files.createTempDirectory("delta").toString
