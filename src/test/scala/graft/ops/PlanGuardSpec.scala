@@ -297,9 +297,10 @@ class PlanGuardSpec extends SparkSpec {
         "cur13_lr_quality_model", "er1_entity_clusters", "q65_hits",
         // reads committed __stat: manifest METADATA — no file scan exists
         "cdc_merge_analyze",
-        // the iceberg $files inspection table is driver-collected
-        // METADATA (LocalTableScan) — no file scan exists by design
-        "cdc_iceberg_files_meta")
+        // the iceberg/delta $files inspection tables are driver-
+        // collected METADATA (LocalTableScan) — no file scan exists
+        // by design
+        "cdc_iceberg_files_meta", "cdc_delta_files_meta")
     (SparkEntry.queries.keySet -- rddRooted).toSeq.sorted.foreach { name =>
       assert(plan(name).contains("PushedFilters: ["),
         s"$name scan lost pushdown metadata")
