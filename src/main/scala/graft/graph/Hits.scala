@@ -53,27 +53,41 @@ object Hits {
     // under GraphOps.BroadcastNodeCap the score tables broadcast, so the
     // edge list never shuffles for the per-round joins
     val nNodes = nodes.count()
-    var scores = nodes.select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
-    for (_ <- 1 to iters) {
+    if (iters == 0)
+      return nodes.select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+    // r12 optimization round (guide §2.4): the r11 loop re-assembled the
+    // full node scaffold (nodes ⋈ hub ⋈ auth, zero-filled, checkpointed)
+    // EVERY round, only for the next round's inner join to discard the
+    // zero rows again — every e.src is in hub (it has outgoing edges) and
+    // every e.dst is in auth, so the per-round joins see identical rows
+    // without the scaffold. Two node-table joins per round deleted (above
+    // the broadcast cap those are node-table shuffles); the zero-fill for
+    // edge-less nodes happens ONCE at the end. Bits unchanged: summed
+    // contributions come from the same present rows either way.
+    var hub = nodes.select(col("id"), lit(1.0).as("h"))
+    var auth: DataFrame = null
+    for (round <- 1 to iters) {
       val aRaw = e
         .join(GraphOps.nodeSide(
-          scores.select(col("id").as("src"), col("hub")), nNodes), "src")
-        .groupBy(col("dst")).agg(sum(floor(col("hub") * Grid) / Grid).as("a"))
+          hub.select(col("id").as("src"), col("h")), nNodes), "src")
+        .groupBy(col("dst")).agg(sum(floor(col("h") * Grid) / Grid).as("a"))
         .select(col("dst").as("id"), col("a"))
-      val auth = normalized(aRaw, "a")
+      auth = normalized(aRaw, "a").graftCheckpoint()
       val hRaw = e
         .join(GraphOps.nodeSide(
           auth.select(col("id").as("dst"), col("a")), nNodes), "dst")
         .groupBy(col("src")).agg(sum(floor(col("a") * Grid) / Grid).as("h"))
         .select(col("src").as("id"), col("h"))
-      val hub = normalized(hRaw, "h")
-      scores = nodes
-        .join(hub, Seq("id"), "left")
-        .join(auth, Seq("id"), "left")
-        .select(col("id"), coalesce(col("h"), lit(0.0)).as("hub"),
-          coalesce(col("a"), lit(0.0)).as("auth"))
-        .graftCheckpoint()
+      // the final round's hub has exactly ONE consumer (the assembly
+      // below) — a lineage-cut there would materialize it just to read
+      // it back once
+      hub = if (round < iters) normalized(hRaw, "h").graftCheckpoint()
+        else normalized(hRaw, "h")
     }
-    scores
+    nodes
+      .join(hub, Seq("id"), "left")
+      .join(auth, Seq("id"), "left")
+      .select(col("id"), coalesce(col("h"), lit(0.0)).as("hub"),
+        coalesce(col("a"), lit(0.0)).as("auth"))
   }
 }

@@ -36,8 +36,8 @@ object LabelPropagation {
     // under GraphOps.BroadcastNodeCap the label table broadcasts, so the
     // edge list never shuffles for the per-round join
     val nNodes = labels.count()
-    for (_ <- 1 to rounds) {
-      labels = und
+    for (round <- 1 to rounds) {
+      val next = und
         .join(GraphOps.nodeSide(
           labels.select(col("id").as("dst"), col("label")), nNodes), "dst")
         .groupBy(col("src"), col("label"))
@@ -45,7 +45,10 @@ object LabelPropagation {
         .groupBy(col("src"))
         .agg(max(struct(col("cnt"), (col("label") * -1).as("nl"))).as("m"))
         .select(col("src").as("id"), (col("m.nl") * -1).as("label"))
-        .graftCheckpoint(true)
+      // intermediate rounds cut lineage; the FINAL round has one consumer
+      // (the caller), so a checkpoint there would materialize the result
+      // just to read it back once (r12 optimization round)
+      labels = if (round < rounds) next.graftCheckpoint(true) else next
     }
     labels
   }

@@ -44,7 +44,7 @@ object ShortestPaths {
     var dist = sources.select(col("id")).distinct()
       .withColumn("dist", lit(0L))
       .graftCheckpoint(true)
-    for (_ <- 1 to maxHops) {
+    for (round <- 1 to maxHops) {
       // measured: hinting the frontier side broadcast (GraphOps.nodeSide)
       // is a net LOSS here — the relax round is dominated by the min-agg
       // exchange, and the per-round count+broadcast-build jobs outweigh
@@ -52,10 +52,13 @@ object ShortestPaths {
       val relaxed = und
         .join(dist.select(col("id").as("src"), col("dist")), "src")
         .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
-      dist = dist.unionByName(relaxed)
+      val next = dist.unionByName(relaxed)
         .groupBy(col("id"))
         .agg(min(col("dist")).as("dist"))
-        .graftCheckpoint(true)
+      // intermediate rounds cut lineage; the FINAL round has one consumer
+      // (the caller), so a checkpoint there would materialize the result
+      // just to read it back once (r12 optimization round)
+      dist = if (round < maxHops) next.graftCheckpoint(true) else next
     }
     dist
   }

@@ -346,14 +346,20 @@ object CorpusQueries {
       val toks = uni.unionAll(bi)
         .withColumn("b", pmod(Hash60(col("f")), lit(DsirBuckets)))
         .select(col("doc_id"), col("lang"), col("b"))
-      val rawD = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-      val tgtD = toks.filter(col("lang") === DsirTargetLang)
-        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-      val tot = rawD.agg(sum(col("cr")).as("nr"))
-        .crossJoin(tgtD.agg(sum(col("ct")).as("nt")))
-      val lr = rawD.join(tgtD, Seq("b"), "left").crossJoin(broadcast(tot))
+      // both distributions in ONE conditional aggregation over the token
+      // stream (r12 optimization round, guide §2.3 "aggregate before you
+      // shuffle"): the r11 shape ran two separate aggs (raw + target-
+      // filtered) over the same explode and left-joined them back — one
+      // extra full tokenize+explode pass and a bucket-table join for the
+      // same integers (ct with no target rows was NULL→coalesce 0; the
+      // conditional sum lands 0 directly).
+      val dist = toks.groupBy(col("b")).agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L))
+          .as("ct"))
+      val tot = dist.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+      val lr = dist.crossJoin(broadcast(tot))
         .select(col("b"),
-          ((round(log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+          ((round(log((col("ct") + 1).cast("double") /
               (col("nt") + DsirBuckets)) * LogGrid, 0) / LogGrid) -
            (round(log((col("cr") + 1).cast("double") /
               (col("nr") + DsirBuckets)) * LogGrid, 0) / LogGrid)).as("lr"))

@@ -154,11 +154,21 @@ object InferenceQueries {
           expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("us"))
       val span = o.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
         .select(expr("(lo + hi) div 2").as("mid"))
-      val tagged = o.crossJoin(broadcast(span))
-        .select(col("v"), (col("us") < col("mid")).as("is_a"))
+      // ONE compressed pass over the facts — distinct cent value with its
+      // per-period counts. Every later stage (decile cuts, bin
+      // assignment, per-bin counts) derives from this bounded table, so
+      // the fact table is scanned exactly TWICE (span + here); the r11
+      // shape scanned it four times and re-joined the FACTS against the
+      // bin table (guide §2.3 "aggregate before you shuffle" / §2.4 —
+      // that fact-sized join is gone, the counts fold on the compressed
+      // rows instead; same integers, r12 optimization round).
+      val byV = o.crossJoin(broadcast(span))
+        .groupBy(col("v"))
+        .agg(sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("ca"),
+          sum(when(col("us") < col("mid"), 0L).otherwise(1L)).as("cb"))
       // expected-period decile cuts from the compressed distinct table
-      val byVa = tagged.filter(col("is_a")).groupBy(col("v"))
-        .agg(count(lit(1)).as("cnt"))
+      val byVa = byV.filter(col("ca") > 0)
+        .select(col("v"), col("ca").as("cnt"))
       val cum = graft.pack.PrefixSum.runningSum(byVa,
         expr("v div 100000"), Seq(col("v")), col("cnt"), "cum")
       val na = byVa.agg(sum(col("cnt")).as("na"))
@@ -167,15 +177,15 @@ object InferenceQueries {
           col("cum"), col("na"))
         .filter(col("cum") * 10 >= col("k") * col("na"))
         .groupBy(col("k")).agg(min(col("v")).as("cut"))
-      // bin per DISTINCT value (bin = #cuts <= v), then back to the facts
-      val binOf = tagged.select(col("v")).distinct()
+      // bin per DISTINCT value (bin = #cuts <= v), folded with the
+      // compressed per-period counts — never against the raw facts
+      val binOf = byV.select(col("v"))
         .join(broadcast(cuts), col("cut") <= col("v"), "left_outer")
         .groupBy(col("v"))
         .agg(count(col("k")).cast("int").as("bin"))
-      val cells = tagged.join(binOf, Seq("v"))
+      val cells = byV.join(binOf, Seq("v"))
         .groupBy(col("bin"))
-        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na_raw"),
-          sum(when(col("is_a"), 0L).otherwise(1L)).as("nb_raw"))
+        .agg(sum(col("ca")).as("na_raw"), sum(col("cb")).as("nb_raw"))
       // all 10 bins present even when one period misses a bin entirely
       val bins = cells.sparkSession.range(10)
         .select(col("id").cast("int").as("bin"))
@@ -337,16 +347,20 @@ object InferenceQueries {
     // (whitespace split of lower(trim(text))); the word-level full outer
     // join is an equi-join on the token — vocabulary-sized, never O(n²).
     "q115_jsd" -> ((s, dir) => {
-      def counts(src: String, out: String): DataFrame =
-        Tables(s, dir, "documents")
-          .filter(col("source") === src)
-          .select(explode(split(lower(trim(col("text"))), "\\s+"))
-            .as("w"))
-          .groupBy(col("w")).agg(count(lit(1)).as(out))
-      val joined = counts("src1", "a")
-        .join(counts("src2", "b"), Seq("w"), "full_outer")
-        .select(col("w"), coalesce(col("a"), lit(0L)).as("a"),
-          coalesce(col("b"), lit(0L)).as("b"))
+      // ONE conditional aggregation over one tokenize pass (r12
+      // optimization round, guide §2.3): the r11 shape tokenized the
+      // corpus twice (one filtered pass per source) and full-outer-joined
+      // the two vocab tables — same integers as conditional sums over the
+      // union'd pass (a word absent from a source lands 0 directly, where
+      // the outer join produced NULL→coalesce 0), one scan and zero joins
+      // cheaper.
+      val toks = Tables(s, dir, "documents")
+        .filter(col("source").isin("src1", "src2"))
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      val joined = toks.groupBy(col("w"))
+        .agg(sum(when(col("source") === "src1", 1L).otherwise(0L)).as("a"),
+          sum(when(col("source") === "src1", 0L).otherwise(1L)).as("b"))
       val tot = joined.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
       joined.crossJoin(broadcast(tot))
         .select(col("ta"), col("tb"),
