@@ -48,11 +48,25 @@ object RankPercentiles {
     // nulls must not form their own __v group: they'd inflate __n and
     // shift every cumulative rank range (Spark's Percentile ignores them)
     val vals = counts.where(col("__v").isNotNull)
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
     // 0-indexed sorted ranks covered by this distinct value:
-    // [__cum_start, __cum_end)
-    val cum = vals
-      .withColumn("__cum_end", sum(col("__cnt")).over(w))
+    // [__cum_start, __cum_end). r12 optimization round: the plain
+    // group-partitioned running window gave the whole distinct table
+    // |groups| tasks at ANY scale (a handful of event types serializes a
+    // 100 TB percentile pass); the bucketed per-group prefix sum restores
+    // key-parallelism. Buckets come from a per-group affine value map —
+    // monotone in __v by construction, so the running sums are the same
+    // integers in the same order; bucket skew only costs parallelism,
+    // never correctness.
+    val bounds = vals.groupBy(col(groupCol))
+      .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    val bucketed = vals.join(broadcast(bounds), groupCol)
+    val bucket = when(col("__mx") > col("__mn"),
+      floor((col("__v") - col("__mn")) / (col("__mx") - col("__mn"))
+        * 1024.0).cast("long")).otherwise(lit(0L))
+    val cum = graft.pack.PrefixSum.runningSumsBy(bucketed,
+        Seq(col(groupCol)), bucket, Seq(col("__v")),
+        Seq(col("__cnt") -> "__cum_end"))
+      .drop("__mn", "__mx")
       .withColumn("__cum_start", col("__cum_end") - col("__cnt"))
     val totals = cum.groupBy(col(groupCol)).agg(max(col("__cum_end")).as("__n"))
     val joined = cum.join(broadcast(totals), groupCol)

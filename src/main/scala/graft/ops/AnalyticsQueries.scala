@@ -609,11 +609,15 @@ object AnalyticsQueries {
         col("l_quantity").cast("long").as("qty"))
       val byPrice = w.groupBy(col("flag"), col("cents"))
         .agg(sum(col("qty")).as("wt"))
-      val cum = Window.partitionBy(col("flag")).orderBy(col("cents"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = byPrice.groupBy(col("flag"))
         .agg(sum(col("wt")).as("tot_weight"))
-      byPrice.withColumn("cumw", sum(col("wt")).over(cum))
+      // r12 optimization round: the flag-partitioned running window gave
+      // the whole compressed table |flags| tasks (≈3) at ANY scale —
+      // bucketed per-flag prefix sum restores key-parallelism (same
+      // integer sums, PrefixSum.runningSumsBy)
+      graft.pack.PrefixSum.runningSumsBy(byPrice, Seq(col("flag")),
+          expr("cents div 100000"), Seq(col("cents")),
+          Seq(col("wt") -> "cumw"))
         .join(tot, "flag")
         .filter(col("cumw") * 2 >= col("tot_weight"))
         .groupBy(col("flag"), col("tot_weight"))
@@ -999,9 +1003,11 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("w"))
       val tot = byDelta.groupBy(col("segment"))
         .agg(sum(col("w")).as("n_converted"))
-      val cum = Window.partitionBy(col("segment")).orderBy(col("delta_s"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      byDelta.withColumn("cumw", sum(col("w")).over(cum))
+      // r12: segment-partitioned running window = |segments| tasks at any
+      // scale; bucketed per-segment prefix sum (same integers)
+      graft.pack.PrefixSum.runningSumsBy(byDelta, Seq(col("segment")),
+          expr("delta_s div 3600"), Seq(col("delta_s")),
+          Seq(col("w") -> "cumw"))
         .join(tot, "segment")
         .filter(col("cumw") * 2 >= col("n_converted"))
         .groupBy(col("segment"), col("n_converted"))
@@ -1524,10 +1530,12 @@ object AnalyticsQueries {
           round(col("o_totalprice") * 100).cast("long").as("cents"))
       val byV = seg.groupBy(col("segment"), col("cents"))
         .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("segment")).orderBy(col("cents"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = byV.groupBy(col("segment")).agg(sum(col("cnt")).as("n"))
-      val cum = byV.withColumn("cum", sum(col("cnt")).over(w))
+      // r12: segment-partitioned running window = |segments| tasks at any
+      // scale; bucketed per-segment prefix sum (same integers)
+      val cum = graft.pack.PrefixSum.runningSumsBy(byV,
+          Seq(col("segment")), expr("cents div 100000"),
+          Seq(col("cents")), Seq(col("cnt") -> "cum"))
         .join(broadcast(tot), Seq("segment"))
       def quart(p: Int) =
         min(when(col("cum") * 4 >= col("n") * p, col("cents")))

@@ -1084,10 +1084,11 @@ object InferenceQueries {
       val byV = tagged.groupBy(col("v"))
         .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
           sum(when(col("is_a"), 0L).otherwise(1L)).as("cb"))
-      val cum = graft.pack.PrefixSum.runningSum(
-        graft.pack.PrefixSum.runningSum(byV,
-          expr("v div 100000"), Seq(col("v")), col("ca"), "cuma"),
-        expr("v div 100000"), Seq(col("v")), col("cb"), "cumb")
+      // both running counts in ONE prefix-sum decomposition (r12: the
+      // chained single-column calls re-ran the bucket pass per column)
+      val cum = graft.pack.PrefixSum.runningSums(byV,
+        expr("v div 100000"), Seq(col("v")),
+        Seq(col("ca") -> "cuma", col("cb") -> "cumb"))
       val tot = byV.agg(sum(col("ca")).as("n"), sum(col("cb")).as("m"))
       cum.crossJoin(broadcast(tot))
         .select(col("n"), col("m"),

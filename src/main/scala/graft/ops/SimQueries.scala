@@ -176,21 +176,28 @@ object SimQueries {
     // against the brute-force truth at nprobe ∈ {1,2,4,8}, as integers
     // (hits and a ppm recall division — nothing approximate about the
     // evaluation itself). sm20's tier structure applied to the probe
-    // budget instead of the embedding dim. Gate-scale note: the four
-    // tiers re-run cell assignment; a production sweep would share the
-    // one assignment and vary only the probed-cell filter.
+    // budget instead of the embedding dim. r12 optimization round: the
+    // four tiers now SHARE one cell assignment (prefix-stable nearest
+    // ordering — Similarity.ivfTopKAtProbes) and the brute-force truth is
+    // lineage-cut once instead of re-deriving per tier — the production
+    // sweep shape the earlier note said a real run would use. Per-tier
+    // rows are bit-identical to per-tier ivfTopK calls.
     "sm23_ivf_probe_curve" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("id") < NQueries)
       val truth = Similarity.bruteForceTopK(q, e, K)
-        .select(col("query_id"), col("corpus_id"))
-      Seq(1, 2, 4, 8).map { p =>
-          Similarity.ivfTopK(q, e, K, NumCentroids, p)
-            .select(col("query_id"), col("corpus_id"))
-            .join(truth, Seq("query_id", "corpus_id"), "left_semi")
-            .agg(count(lit(1)).as("n_hits"))
-            .select(lit(p).as("nprobe"), col("n_hits"))
-        }.reduce(_ unionAll _)
+        .select(col("query_id"), col("corpus_id")).localCheckpoint()
+      val hits = Similarity
+        .ivfTopKAtProbes(q, e, K, NumCentroids, Seq(1, 2, 4, 8))
+        .select(col("nprobe"), col("query_id"), col("corpus_id"))
+        .join(truth, Seq("query_id", "corpus_id"), "left_semi")
+        .groupBy(col("nprobe")).agg(count(lit(1)).as("__h"))
+      // every tier emits a row even at zero hits (the ungrouped count of
+      // the old per-tier shape) — left join against the literal tier set
+      q.sparkSession.range(0, 4)
+        .select(expr("shiftleft(1, CAST(id AS INT))").as("nprobe"))
+        .join(hits, Seq("nprobe"), "left")
+        .select(col("nprobe"), coalesce(col("__h"), lit(0L)).as("n_hits"))
         .withColumn("recall_ppm",
           expr(s"n_hits * 1000000 div ${NQueries * K}"))
         .orderBy(col("nprobe"))

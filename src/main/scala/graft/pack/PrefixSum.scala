@@ -46,28 +46,72 @@ object PrefixSum {
     * would for the single-window form.
     */
   def runningSum(df: DataFrame, bucket: Column, order: Seq[Column],
-      value: Column, out: String): DataFrame = {
-    val tagged = df.withColumn("__ps_bucket", bucket)
-      .withColumn("__ps_v", value)
+      value: Column, out: String): DataFrame =
+    runningSums(df, bucket, order, Seq(value -> out))
 
-    val totals = tagged.groupBy(col("__ps_bucket"))
-      .agg(sum(col("__ps_v")).as("__ps_total"))
+  /** Several running sums over the SAME order in ONE decomposition pass —
+    * one bucket-totals aggregate, one bounded bucket window, one
+    * broadcast-back and one partitioned within-bucket window computing
+    * every requested column (r12 optimization round: chaining
+    * single-column [[runningSum]] calls re-ran all four steps per
+    * column; q126's two chained calls halve to one pass here).
+    *
+    * @param values (value expression, output column name) pairs.
+    */
+  def runningSums(df: DataFrame, bucket: Column, order: Seq[Column],
+      values: Seq[(Column, String)]): DataFrame =
+    runningSumsBy(df, Nil, bucket, order, values)
 
-    // BOUNDED global window (one row per bucket, never the input table);
-    // inclusive-minus-own avoids a typed zero literal for the first bucket.
-    val overBuckets = Window.orderBy(col("__ps_bucket"))
+  /** [[runningSums]] with PARTITION columns — the distributed form of
+    * `SUM(x) OVER (PARTITION BY p ORDER BY k)` for LOW-cardinality `p`
+    * (r12 optimization round): a handful of partition values gives the
+    * plain window a handful of tasks no matter how large the input, the
+    * same serialization hazard as the partitionless form, just divided by
+    * |p|. Buckets restore key-parallelism WITHIN each partition value;
+    * the only per-partition serial step stays the bounded bucket-offset
+    * window.
+    */
+  def runningSumsBy(df: DataFrame, partitionCols: Seq[Column],
+      bucket: Column, order: Seq[Column],
+      values: Seq[(Column, String)]): DataFrame = {
+    val vcol: Int => String = i => s"__ps_v$i"
+    val pcol: Int => String = i => s"__ps_p$i"
+    val tagged0 = partitionCols.zipWithIndex.foldLeft(df) {
+      case (d, (p, i)) => d.withColumn(pcol(i), p)
+    }
+    val tagged = values.zipWithIndex.foldLeft(
+      tagged0.withColumn("__ps_bucket", bucket)) { case (d, ((v, _), i)) =>
+      d.withColumn(vcol(i), v)
+    }
+    val pkeys = partitionCols.indices.map(i => col(pcol(i)))
+    val keys = pkeys :+ col("__ps_bucket")
+
+    val totals = tagged.groupBy(keys: _*)
+      .agg(sum(col(vcol(0))).as("__ps_total0"),
+        values.indices.drop(1)
+          .map(i => sum(col(vcol(i))).as(s"__ps_total$i")): _*)
+
+    // BOUNDED window (one row per bucket and partition value, never the
+    // input table); inclusive-minus-own avoids a typed zero literal for
+    // the first bucket.
+    val overBuckets = Window.partitionBy(pkeys: _*)
+      .orderBy(col("__ps_bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = totals
-      .withColumn("__ps_offset",
-        sum(col("__ps_total")).over(overBuckets) - col("__ps_total"))
-      .select(col("__ps_bucket"), col("__ps_offset"))
+    val offsets = values.indices.foldLeft(totals) { (d, i) =>
+      d.withColumn(s"__ps_offset$i",
+        sum(col(s"__ps_total$i")).over(overBuckets) - col(s"__ps_total$i"))
+    }.select(keys ++ values.indices.map(i => col(s"__ps_offset$i")): _*)
 
-    val within = Window.partitionBy(col("__ps_bucket"))
+    val within = Window.partitionBy(keys: _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged.join(broadcast(offsets), Seq("__ps_bucket"))
-      .withColumn(out, col("__ps_offset") + sum(col("__ps_v")).over(within))
-      .drop("__ps_bucket", "__ps_v", "__ps_offset")
+    val joined = tagged.join(broadcast(offsets),
+      partitionCols.indices.map(pcol) :+ "__ps_bucket")
+    values.zipWithIndex.foldLeft(joined) { case (d, ((_, out), i)) =>
+      d.withColumn(out,
+        col(s"__ps_offset$i") + sum(col(vcol(i))).over(within))
+    }.drop(Seq("__ps_bucket") ++ partitionCols.indices.map(pcol) ++
+      values.indices.flatMap(i => Seq(vcol(i), s"__ps_offset$i")): _*)
   }
 
   /** `out = ROW_NUMBER() OVER (ORDER BY order)` for a TOTAL order —

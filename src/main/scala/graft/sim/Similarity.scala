@@ -302,6 +302,66 @@ object Similarity {
     probeTopK(queries, corpus, centroids, k, p)
   }
 
+  /** IVF top-K at SEVERAL probe budgets from ONE shared cell assignment
+    * (r12 optimization round): the probe-curve instrument previously
+    * called [[ivfTopK]] once per tier, re-running the corpus cell
+    * assignment and the query assignment per tier. Cells of a vector are
+    * a PREFIX-stable nearest ordering (score desc, centroid id asc — the
+    * NearestCells contract), so one max-probe query assignment carries
+    * every tier: tier p keeps probe ranks < p and proceeds exactly as
+    * [[ivfTopK]] would. The corpus assignment (identical at every tier)
+    * is lineage-cut once, the production "share the one assignment"
+    * sweep. Output = ivfTopK(queries, corpus, k, numCentroids, p) with a
+    * literal `nprobe` column, per requested p — bit-identical rows.
+    */
+  def ivfTopKAtProbes(queries: DataFrame, corpus: DataFrame, k: Int,
+                      numCentroids: Int, probes: Seq[Int]): DataFrame = {
+    val maxP = probes.max
+    val centroids = strideCentroids(corpus, numCentroids)
+      .withColumn("cn", norm(col("cvec")))
+    val local = localCentroids(centroids)
+    val corpusCells = (local match {
+      case Some(l) => cellAssignLocal(
+        corpus.select(col("id").as("corpus_id"), col("vec").as("cv")),
+        l, "cv", 1)
+      case None => cellAssignJoin(
+        corpus.select(col("id").as("corpus_id"), col("vec").as("cv")),
+        centroids, "corpus_id", "cv", 1)
+    }).localCheckpoint()
+    // query side: ONE max-probe assignment, probe rank kept so each tier
+    // is a filter instead of a re-assignment
+    val qSide = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val queryCells = (local match {
+      case Some(l) =>
+        qSide.select(col("query_id"), col("qv"),
+          posexplode(graft.functions.NearestCells(col("qv"), l, maxP))
+            .as(Seq("__pr", "centroid_id")))
+      case None =>
+        val scored = qSide.crossJoin(broadcast(centroids))
+          .withColumn("__cs", dot(col("qv"), col("cvec"))
+            / (norm(col("qv")) * col("cn")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("__cs").desc, col("centroid_id"))
+        scored.withColumn("__pr", row_number().over(w) - 1)
+          .filter(col("__pr") < maxP)
+          .drop("cvec", "cn", "__cs")
+    }).localCheckpoint()
+    probes.map { p =>
+      val qc = queryCells.filter(col("__pr") < p)
+        .select(col("query_id"), col("qv"), col("centroid_id"))
+      val scored = corpusCells.join(broadcast(qc), Seq("centroid_id"))
+        .filter(col("query_id") =!= col("corpus_id"))
+        .withColumn("cos", dot(col("qv"), col("cv"))
+          / (norm(col("qv")) * norm(col("cv"))))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("corpus_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(lit(p).as("nprobe"), col("query_id"), col("corpus_id"),
+          col("cos"), col("rank"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Stride-seeded coarse quantizer: every ceil(n/numCentroids)-th corpus
     * vector by id — at most `numCentroids` of them at any corpus size.
     */
