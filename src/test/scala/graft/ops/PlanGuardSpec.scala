@@ -124,9 +124,11 @@ class PlanGuardSpec extends SparkSpec {
     // EWMA: the sequential fold is the scan-side int_ewma kernel over the
     // bounded collected series — no iterative joins
     "q77_ewma" -> Seq("int_ewma"),
-    // weighted median: running-weight window is PARTITIONED by flag
-    // (key-parallel), never a global sort of the compressed domain
-    "q75_weighted_median" -> Seq("windowspecdefinition(flag"),
+    // weighted median: the running-weight window rides the PrefixSum
+    // decomposition — partitioned by (flag, price-range bucket), never a
+    // per-flag serial sort of the compressed domain (r12: |flags| ≈ 3
+    // made the flag-partitioned window a 3-task sort at any scale)
+    "q75_weighted_median" -> Seq("windowspecdefinition(__ps_p0"),
     // equi-depth histogram: the NTILE-equivalent rank comes from the
     // PrefixSum decomposition — the corpus-sized window must be
     // PARTITIONED by the price-range bucket (the round-5 audit's one
@@ -297,6 +299,10 @@ class PlanGuardSpec extends SparkSpec {
         "cur13_lr_quality_model", "er1_entity_clusters", "q65_hits",
         // reads committed __stat: manifest METADATA — no file scan exists
         "cdc_merge_analyze",
+        // r12: the probe-curve sweep localCheckpoints its shared corpus
+        // cell assignment and brute-force truth (one assignment for all
+        // four tiers) — the gate plan roots on LogicalRDD scans
+        "sm23_ivf_probe_curve",
         // the iceberg/delta $files inspection tables are driver-
         // collected METADATA (LocalTableScan) — no file scan exists
         // by design
