@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object RankPercentiles {
 
+  /** Compressed-table size above which the cumulative step switches from
+    * the plain per-group running window to the bucketed PrefixSum
+    * decomposition. Below it the worst case is one ≤4M-row window task —
+    * bounded work regardless of input size, because the table this sizes
+    * is the DISTINCT (group, value) aggregate, not the input.
+    */
+  val PlainWindowCap: Long = 1L << 22
+
   /** One row per group: `groupCol`, one named column per requested
     * percentile, and `n` (the group's row count).
     *
@@ -36,38 +44,61 @@ object RankPercentiles {
     * @param probs    (output column name, probability in [0,1]) pairs
     */
   def exact(df: DataFrame, groupCol: String, valueCol: String,
-            probs: Seq[(String, Double)]): DataFrame = {
+            probs: Seq[(String, Double)],
+            plainWindowCap: Long = PlainWindowCap): DataFrame = {
     // one heavy pass: distinct (group, value) counts with null kept as its
     // own row for now — both the percentile branch and the all-groups
-    // branch below hang off this aggregate, so the scan+partial-agg
-    // exchange is computed once and reused (ReusedExchange), not scanned
-    // twice.
-    val counts = df
+    // branch below hang off this aggregate. The aggregate is
+    // LINEAGE-CUT (r12 optimization round): the kernel references its
+    // compressed table ~8× downstream (bounds join, bucket totals,
+    // within-bucket window, group totals, all-groups restore), and each
+    // reference re-inlines the whole INPUT plan — composing the kernel
+    // with itself (q49: median, then median of deviations) squared that
+    // into a 264-Exchange physical plan whose AQE orchestration cost
+    // dwarfed the data (measured 8.6 s vs 2.6 s for the single kernel at
+    // sf0.1/local[32]). The cut materializes exactly what the exchange
+    // below it would have written anyway — one row per distinct (group,
+    // value) — and every downstream reference expands a leaf instead of
+    // the input subtree.
+    val counts = graft.graph.GraphOps.checkpoint(df
       .groupBy(col(groupCol), col(valueCol).cast("double").as("__v"))
-      .agg(count(lit(1)).as("__cnt"))
+      .agg(count(lit(1)).as("__cnt")))
     // nulls must not form their own __v group: they'd inflate __n and
     // shift every cumulative rank range (Spark's Percentile ignores them)
     val vals = counts.where(col("__v").isNotNull)
     // 0-indexed sorted ranks covered by this distinct value:
     // [__cum_start, __cum_end). r12 optimization round: the plain
-    // group-partitioned running window gave the whole distinct table
-    // |groups| tasks at ANY scale (a handful of event types serializes a
-    // 100 TB percentile pass); the bucketed per-group prefix sum restores
-    // key-parallelism. Buckets come from a per-group affine value map —
-    // monotone in __v by construction, so the running sums are the same
-    // integers in the same order; bucket skew only costs parallelism,
-    // never correctness.
-    val bounds = vals.groupBy(col(groupCol))
-      .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
-    val bucketed = vals.join(broadcast(bounds), groupCol)
-    val bucket = when(col("__mx") > col("__mn"),
-      floor((col("__v") - col("__mn")) / (col("__mx") - col("__mn"))
-        * 1024.0).cast("long")).otherwise(lit(0L))
-    val cum = graft.pack.PrefixSum.runningSumsBy(bucketed,
-        Seq(col(groupCol)), bucket, Seq(col("__v")),
-        Seq(col("__cnt") -> "__cum_end"))
-      .drop("__mn", "__mx")
-      .withColumn("__cum_start", col("__cum_end") - col("__cnt"))
+    // group-partitioned running window gives the whole distinct table
+    // |groups| tasks — a handful of event types would serialize a 100 TB
+    // percentile pass — so ABOVE the cap the bucketed per-group prefix
+    // sum restores key-parallelism (buckets from a per-group affine value
+    // map: monotone in __v by construction, so the running sums are the
+    // same integers in the same order; bucket skew only costs
+    // parallelism, never correctness). BELOW the cap the plain window is
+    // strictly better — one exchange instead of the decomposition's
+    // three, and a ≤4M-row window task is sub-second. The switch is on
+    // the MEASURED compressed size (counts is already materialized by
+    // the lineage cut above, so the count() reads cached blocks — the
+    // GraphOps.BroadcastNodeCap pattern: measured data decides, never a
+    // constant tuned to the local core count).
+    val cum = if (counts.count() <= plainWindowCap) {
+      val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vals.withColumn("__cum_end", sum(col("__cnt")).over(w))
+        .withColumn("__cum_start", col("__cum_end") - col("__cnt"))
+    } else {
+      val bounds = vals.groupBy(col(groupCol))
+        .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+      val bucketed = vals.join(broadcast(bounds), groupCol)
+      val bucket = when(col("__mx") > col("__mn"),
+        floor((col("__v") - col("__mn")) / (col("__mx") - col("__mn"))
+          * 1024.0).cast("long")).otherwise(lit(0L))
+      graft.pack.PrefixSum.runningSumsBy(bucketed,
+          Seq(col(groupCol)), bucket, Seq(col("__v")),
+          Seq(col("__cnt") -> "__cum_end"))
+        .drop("__mn", "__mx")
+        .withColumn("__cum_start", col("__cum_end") - col("__cnt"))
+    }
     val totals = cum.groupBy(col(groupCol)).agg(max(col("__cum_end")).as("__n"))
     val joined = cum.join(broadcast(totals), groupCol)
 

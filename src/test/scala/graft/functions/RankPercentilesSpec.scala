@@ -36,6 +36,16 @@ class RankPercentilesSpec extends SparkSpec {
 
     // exact tuple equality — the interpolation must be bit-identical
     assert(got.toSeq == expected.toSeq)
+
+    // the ABOVE-cap bucketed decomposition must land the same bits
+    // (cap 0 forces it regardless of the measured compressed size)
+    val gotBucketed = RankPercentiles.exact(df, "g", "v",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p99" -> 0.99),
+        plainWindowCap = 0L)
+      .orderBy(col("g"))
+      .collect().map(r => (r.getString(0),
+        r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(gotBucketed.toSeq == expected.toSeq)
   }
 
   test("nulls are ignored like the aggregate (mixed-null and all-null groups)") {
@@ -69,5 +79,38 @@ class RankPercentilesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("ObjectHashAggregate"))
     assert(plan.contains("Window"))
+  }
+
+  test("composed kernels do not multiply the plan (q49 regression)") {
+    // The kernel references its compressed table ~8x downstream; without
+    // the lineage cut at `counts`, feeding one kernel's output into
+    // another squared the references into a 264-Exchange physical plan
+    // (q49_mad_outliers, r12 optimization round). Pin: the composed
+    // median-of-deviations plan stays bounded AND bit-identical to the
+    // aggregate form.
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 300).map { i =>
+      (s"g${i % 3}", math.floor(rnd.nextDouble() * 30 - 15) / 2.0)
+    }.toDF("g", "v")
+    val med = RankPercentiles.exact(df, "g", "v", Seq("med" -> 0.5))
+      .select(col("g"), col("med"))
+    val dev = df.join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(col("v") - col("med")).as("d"))
+    val mad = RankPercentiles.exact(dev, "g", "d", Seq("mad" -> 0.5))
+    val nExch = "(?i)exchange".r
+      .findAllIn(mad.queryExecution.executedPlan.toString).size
+    assert(nExch <= 24, s"composed percentile kernels re-inflated the " +
+      s"plan: $nExch Exchange nodes")
+
+    val expMed = df.groupBy(col("g"))
+      .agg(percentile(col("v"), lit(0.5)).as("med"))
+    val expDev = df.join(broadcast(expMed), Seq("g"))
+      .select(col("g"), abs(col("v") - col("med")).as("d"))
+    val expected = expDev.groupBy(col("g"))
+      .agg(percentile(col("d"), lit(0.5)).as("mad"))
+      .orderBy(col("g")).collect().map(r => (r.getString(0), r.getDouble(1)))
+    val got = mad.select(col("g"), col("mad")).orderBy(col("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq == expected.toSeq)
   }
 }

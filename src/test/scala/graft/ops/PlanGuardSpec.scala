@@ -303,6 +303,10 @@ class PlanGuardSpec extends SparkSpec {
         // cell assignment and brute-force truth (one assignment for all
         // four tiers) — the gate plan roots on LogicalRDD scans
         "sm23_ivf_probe_curve",
+        // r12: RankPercentiles lineage-cuts its distinct (group, value)
+        // aggregate (composing the kernel squared the plan — q49 hit 264
+        // Exchanges), so its consumers root on the checkpointed RDD
+        "q18_percentiles", "q49_mad_outliers",
         // the iceberg/delta $files inspection tables are driver-
         // collected METADATA (LocalTableScan) — no file scan exists
         // by design
