@@ -99,9 +99,16 @@ object Scd2 {
       tsCol: String, payloadCols: Seq[String],
       numPartitions: Int = 0): DataFrame = {
     val cols = (Seq(key, orderCol, tsCol) ++ payloadCols).distinct
-    val led = graft.joins.RangeLead.withLead(
-      changes.select(cols.map(col): _*),
-      key, orderCol, tsCol, "__next_ts", numPartitions)
+    // The led table feeds two consumers (multiplicity agg + join), and
+    // RangeLead's range-sorted reduce stage re-runs per consuming job
+    // (only its shuffle MAP stage is reused) — the lineage cut runs the
+    // sort once and both consumers read the materialized rows (r12
+    // optimization round; one materialization vs two full re-sorts at
+    // any scale).
+    val led = graft.graph.GraphOps.checkpoint(
+      graft.joins.RangeLead.withLead(
+        changes.select(cols.map(col): _*),
+        key, orderCol, tsCol, "__next_ts", numPartitions))
     val counts = led.groupBy(col(key))
       .agg(count(lit(1)).as("__change_count"))
     led.join(counts, Seq(key))

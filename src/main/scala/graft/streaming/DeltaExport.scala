@@ -927,23 +927,43 @@ object DeltaExport {
   private[streaming] def snapshotFiles(fs: FileSystem, root: String,
       snap: ManifestStore.Snapshot): Seq[(String, Long, Long)] = {
     val rootUri = new Path(root).toUri.getPath.stripSuffix("/")
-    ManifestStore.resolvePaths(root, snap).flatMap { dir =>
-      val it = fs.listFiles(new Path(dir), true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
-      while (it.hasNext) {
-        val f = it.next()
-        val name = f.getPath.getName
-        if (name.endsWith(".parquet") || name.startsWith("part-")) {
-          val abs = f.getPath.toUri.getPath
-          require(abs.startsWith(rootUri + "/"),
-            s"data file $abs lies outside the table root $rootUri — " +
-              "cannot express it as a relative delta add path")
-          buf += ((abs.stripPrefix(rootUri + "/"), f.getLen,
-            f.getModificationTime))
+    val paths = ManifestStore.resolvePaths(root, snap)
+    // manifest-recorded file statuses (the `__fs:` slots commit writes)
+    // plan the export with ZERO filesystem listings — the same planning
+    // I/O the read path already skips (r12 optimization round; on an
+    // object store the recursive listing is the expensive planning step,
+    // guide §6). Same name filter as the listing: statFiles recorded
+    // only .parquet/part- files. Stores committed before the stats slot
+    // existed fall back to the recursive listing below.
+    val rels = paths.map(_.stripPrefix(s"$root/"))
+    ManifestStore.fileStats(root, snap, rels).map { files =>
+      files.map { case (abs, len, mtime) =>
+        val absPath = new Path(abs).toUri.getPath
+        require(absPath.startsWith(rootUri + "/"),
+          s"data file $absPath lies outside the table root $rootUri — " +
+            "cannot express it as a relative delta add path")
+        (absPath.stripPrefix(rootUri + "/"), len, mtime)
+      }.sortBy(_._1)
+    }.getOrElse {
+      paths.flatMap { dir =>
+        val it = fs.listFiles(new Path(dir), true)
+        val buf =
+          scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+        while (it.hasNext) {
+          val f = it.next()
+          val name = f.getPath.getName
+          if (name.endsWith(".parquet") || name.startsWith("part-")) {
+            val abs = f.getPath.toUri.getPath
+            require(abs.startsWith(rootUri + "/"),
+              s"data file $abs lies outside the table root $rootUri — " +
+                "cannot express it as a relative delta add path")
+            buf += ((abs.stripPrefix(rootUri + "/"), f.getLen,
+              f.getModificationTime))
+          }
         }
-      }
-      buf
-    }.sortBy(_._1)
+        buf
+      }.sortBy(_._1)
+    }
   }
 
   private[streaming] def tableSchema(spark: SparkSession, root: String,

@@ -307,6 +307,10 @@ class PlanGuardSpec extends SparkSpec {
         // aggregate (composing the kernel squared the plan — q49 hit 264
         // Exchanges), so its consumers root on the checkpointed RDD
         "q18_percentiles", "q49_mad_outliers",
+        // r12: the incremental merge lineage-cuts the decoded change log
+        // (it is referenced 4x — store build, anti/semi joins, batch
+        // union — and each reference re-ran the NDJSON decode)
+        "cdc_scd2_incremental",
         // the iceberg/delta $files inspection tables are driver-
         // collected METADATA (LocalTableScan) — no file scan exists
         // by design
