@@ -18,6 +18,13 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // sort shuffle writer, never bypass-merge: below 200 reduce
+      // partitions the bypass writer creates one file per partition per
+      // map task — an O(M×R) creation storm that dominates on
+      // latency-bound filesystems (object stores, contended local
+      // disks); above 200 Spark takes the sort path anyway, so this
+      // removes the small-count special case
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .withExtensions(new functions.GraftExtensions)
   }
 

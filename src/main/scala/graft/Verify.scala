@@ -26,6 +26,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // sort shuffle writer, never bypass-merge — see Bench.scala: the
+      // bypass writer's O(maps × partitions) file creation is the
+      // dominant blocked time on latency-bound filesystems
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

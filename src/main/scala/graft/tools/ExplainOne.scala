@@ -18,7 +18,10 @@ object ExplainOne {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // match the bench session: sort shuffle writer, never bypass-merge
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     @volatile var last: QueryExecution = null
     spark.listenerManager.register(new QueryExecutionListener {
