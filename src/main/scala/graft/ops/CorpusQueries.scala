@@ -388,15 +388,26 @@ object CorpusQueries {
       val toks = Tables(s, dir, "documents")
         .select(col("doc_id"),
           explode(TextFunctions.tokens(col("text"))).as("term"))
-      val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      // ONE tokenize pass (r12 optimization round): the per-(doc, term)
+      // multiplicity table feeds BOTH the term-frequency model and the
+      // scoring join (the r11 shape re-tokenized the corpus for each);
+      // the lineage cut materializes the compressed table once. Scoring
+      // weights each term's grid-quantized logp by its multiplicity —
+      // m·(k/2^20) is exact in a double, so the per-doc sum is
+      // bit-identical to the per-instance sum it replaces.
+      val gDoc = graft.graph.GraphOps.checkpoint(
+        toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("m")))
+      val tf = gDoc.groupBy(col("term")).agg(sum(col("m")).as("c"))
       val tot = tf.agg(sum(col("c")).as("t"))
       val logp = tf.crossJoin(broadcast(tot))
         .select(col("term"),
           (round(log(col("c").cast("double") / col("t")) * LogGrid, 0) /
             LogGrid).as("logp"))
-      toks.join(logp, Seq("term"))
+      gDoc.join(logp, Seq("term"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("logp")).as("sum_logp"))
+        .agg(sum(col("m")).as("n_tokens"),
+          sum(col("m") * col("logp")).as("sum_logp"))
         .select(col("doc_id"), col("n_tokens"),
           (col("sum_logp") / col("n_tokens")).as("avg_logprob"))
         .orderBy(col("doc_id"))
@@ -421,31 +432,41 @@ object CorpusQueries {
         .withColumn("prev",
           when(col("pos") > 0, element_at(col("t"), col("pos"))))
         .select(col("doc_id"), col("prev"), col("w"))
-      val c1 = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      // ONE tokenize pass (r12 optimization round): the r11 shape
+      // re-tokenized the corpus FOUR times (unigram counts, bigram
+      // counts, and one scoring branch per tok half). The per-(doc,
+      // prev, w) multiplicity table is lineage-cut once; the count
+      // tables re-aggregate it (same integers), and scoring is ONE
+      // null-safe-keyed join against the union of both probability
+      // tables (a first token's prev is null on both sides) weighted by
+      // multiplicity — m·(k/2^20) is exact in a double, so per-doc sums
+      // are bit-identical to the per-instance sums they replace.
+      val gDoc = graft.graph.GraphOps.checkpoint(
+        tok.groupBy(col("doc_id"), col("prev"), col("w"))
+          .agg(count(lit(1)).as("m")))
+      val c1 = gDoc.groupBy(col("w")).agg(sum(col("m")).as("c"))
       val n = c1.agg(sum(col("c")).as("n"))
-      val c2 = tok.filter(col("prev").isNotNull)
-        .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c2"))
+      val c2 = gDoc.filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("w")).agg(sum(col("m")).as("c2"))
       val cs = c2.groupBy(col("prev")).agg(sum(col("c2")).as("cs"))
       val p1 = c1.crossJoin(broadcast(n))
-        .select(col("w"),
+        .select(lit(null).cast("string").as("prev"), col("w"),
           (round(log(col("c").cast("double") / col("n")) * LogGrid, 0) /
             LogGrid).as("lp"))
+      // No broadcast hints: p1 is |V| rows and p2 is O(observed bigrams)
+      // — bounded at fixture scale (AQE broadcasts them) but corpus-sized
+      // in the worst case at 100 TB, where these must be shuffle joins.
       val p2 = c2.join(cs, Seq("prev")).join(c1, Seq("w"))
         .crossJoin(broadcast(n))
         .select(col("prev"), col("w"),
           (round(log(lit(lam) * (col("c2").cast("double") / col("cs")) +
             lit(1 - lam) * (col("c").cast("double") / col("n"))) * LogGrid,
             0) / LogGrid).as("lp"))
-      // No broadcast hints: p1 is |V| rows and p2 is O(observed bigrams)
-      // — bounded at fixture scale (AQE broadcasts them) but corpus-sized
-      // in the worst case at 100 TB, where these must be shuffle joins.
-      val scored = tok.filter(col("prev").isNull)
-          .join(p1, Seq("w")).select(col("doc_id"), col("lp"))
-        .unionAll(tok.filter(col("prev").isNotNull)
-          .join(p2, Seq("prev", "w"))
-          .select(col("doc_id"), col("lp")))
-      scored.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("s"))
+      val p = p1.unionByName(p2)
+      gDoc.join(p, gDoc("prev") <=> p("prev") && gDoc("w") === p("w"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("m")).as("n_tokens"),
+          sum(col("m") * col("lp")).as("s"))
         .select(col("doc_id"), col("n_tokens"),
           (col("s") / col("n_tokens")).as("avg_logprob"))
         .orderBy(col("doc_id"))
@@ -473,10 +494,17 @@ object CorpusQueries {
         .withColumn("prev",
           when(col("pos") > 0, element_at(col("t"), col("pos"))))
         .select(col("doc_id"), col("prev"), col("w"))
-      val c1 = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      // ONE tokenize pass + multiplicity-weighted scoring via a single
+      // null-safe-keyed join — same restructure as tx16 (see there for
+      // the bit-exactness argument); every count table re-aggregates the
+      // lineage-cut per-(doc, prev, w) table to the same integers.
+      val gDoc = graft.graph.GraphOps.checkpoint(
+        tok.groupBy(col("doc_id"), col("prev"), col("w"))
+          .agg(count(lit(1)).as("m")))
+      val c1 = gDoc.groupBy(col("w")).agg(sum(col("m")).as("c"))
       val n = c1.agg(sum(col("c")).as("n"))
-      val c2 = tok.filter(col("prev").isNotNull)
-        .groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c2"))
+      val c2 = gDoc.filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("w")).agg(sum(col("m")).as("c2"))
       // n1p = N1+(prev ·): distinct continuations of prev
       val cs = c2.groupBy(col("prev"))
         .agg(sum(col("c2")).as("cs"), count(lit(1)).as("n1p"))
@@ -484,7 +512,7 @@ object CorpusQueries {
       val cont = c2.groupBy(col("w")).agg(count(lit(1)).as("cont"))
       val btypes = c2.agg(count(lit(1)).as("btypes"))
       val p1 = c1.crossJoin(broadcast(n))
-        .select(col("w"),
+        .select(lit(null).cast("string").as("prev"), col("w"),
           (round(log(col("c").cast("double") / col("n")) * LogGrid, 0) /
             LogGrid).as("lp"))
       val p2 = c2.join(cs, Seq("prev")).join(cont, Seq("w"))
@@ -495,13 +523,11 @@ object CorpusQueries {
             lit(D) * col("n1p").cast("double") / col("cs").cast("double") *
               (col("cont").cast("double") / col("btypes").cast("double"))) *
             LogGrid, 0) / LogGrid).as("lp"))
-      val scored = tok.filter(col("prev").isNull)
-          .join(p1, Seq("w")).select(col("doc_id"), col("lp"))
-        .unionAll(tok.filter(col("prev").isNotNull)
-          .join(p2, Seq("prev", "w"))
-          .select(col("doc_id"), col("lp")))
-      scored.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("s"))
+      val p = p1.unionByName(p2)
+      gDoc.join(p, gDoc("prev") <=> p("prev") && gDoc("w") === p("w"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("m")).as("n_tokens"),
+          sum(col("m") * col("lp")).as("s"))
         .select(col("doc_id"), col("n_tokens"),
           (col("s") / col("n_tokens")).as("avg_logprob"))
         .orderBy(col("doc_id"))

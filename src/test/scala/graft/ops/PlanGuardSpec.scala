@@ -311,6 +311,10 @@ class PlanGuardSpec extends SparkSpec {
         // (it is referenced 4x — store build, anti/semi joins, batch
         // union — and each reference re-ran the NDJSON decode)
         "cdc_scd2_incremental",
+        // r12: the LM scorers lineage-cut their per-(doc, gram)
+        // multiplicity table — the one tokenize pass the count tables
+        // and the scoring join all re-aggregate (was 2-4 passes)
+        "tx9_unigram_logprob", "tx16_bigram_lm", "tx35_kneser_ney",
         // the iceberg/delta $files inspection tables are driver-
         // collected METADATA (LocalTableScan) — no file scan exists
         // by design
