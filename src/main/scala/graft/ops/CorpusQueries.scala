@@ -577,15 +577,30 @@ object CorpusQueries {
     // executes.
     "cur4_pipeline" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val curated = docs.select(col("doc_id"), col("lang"),
-          TextFunctions.langId(col("text")).as("lang_pred"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens"),
-          TextFunctions.qualityScore(col("text")).as("quality"))
+      // ONE text pass for every per-doc scalar the curation and
+      // exact-dedup stages consume (r12 optimization round: each stage
+      // re-ran its text kernels over the corpus); the lineage-cut table
+      // is 6 narrow scalars per doc. The near-dup/semantic stages keep
+      // their library shapes (their signature passes shuffle hashed
+      // grams, not text). Same keep set: the fingerprint window below
+      // IS Dedup.dropExactDuplicates' formulation over the precomputed
+      // fp column.
+      val perDoc = graft.graph.GraphOps.checkpoint(docs.select(
+        col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("lang_pred"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.fingerprint(col("text")).as("fp")))
+      val curated = perDoc
         .filter(col("quality") >= 0.6 &&
           col("n_tokens").between(20, 2000) &&
           col("lang_pred") === col("lang"))
         .select(col("doc_id"), col("n_tokens"))
-      val exactKeep = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+      val wFp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp"))
+      val exactKeep = perDoc
+        .withColumn("__keep", min(col("doc_id")).over(wFp))
+        .filter(col("doc_id") === col("__keep"))
         .select(col("doc_id"))
       val nearDrops = Dedup.nearDuplicatePairs(docs, "text", "doc_id",
           DedupQueries.JaccardTau, DedupQueries.ShingleN,
