@@ -607,8 +607,13 @@ object AnalyticsQueries {
         col("l_returnflag").as("flag"),
         round(col("l_extendedprice") * 100).cast("long").as("cents"),
         col("l_quantity").cast("long").as("qty"))
-      val byPrice = w.groupBy(col("flag"), col("cents"))
-        .agg(sum(col("qty")).as("wt"))
+      // lineage-cut (r12): byPrice is referenced three times (totals +
+      // the decomposition's two passes) and each reference re-aggregated
+      // the LINEITEM fact — the cut materializes the compressed table
+      // once and the consumers read a leaf
+      val byPrice = graft.graph.GraphOps.checkpoint(
+        w.groupBy(col("flag"), col("cents"))
+          .agg(sum(col("qty")).as("wt")))
       val tot = byPrice.groupBy(col("flag"))
         .agg(sum(col("wt")).as("tot_weight"))
       // r12 optimization round: the flag-partitioned running window gave
@@ -1528,8 +1533,12 @@ object AnalyticsQueries {
           col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("segment"),
           round(col("o_totalprice") * 100).cast("long").as("cents"))
-      val byV = seg.groupBy(col("segment"), col("cents"))
-        .agg(count(lit(1)).as("cnt"))
+      // lineage-cut (r12): byV feeds the totals, the prefix-sum passes
+      // and the final fence fold — each reference re-ran the
+      // orders⋈customer join + aggregation without it
+      val byV = graft.graph.GraphOps.checkpoint(
+        seg.groupBy(col("segment"), col("cents"))
+          .agg(count(lit(1)).as("cnt")))
       val tot = byV.groupBy(col("segment")).agg(sum(col("cnt")).as("n"))
       // r12: segment-partitioned running window = |segments| tasks at any
       // scale; bucketed per-segment prefix sum (same integers)

@@ -162,10 +162,14 @@ object InferenceQueries {
       // bin table (guide §2.3 "aggregate before you shuffle" / §2.4 —
       // that fact-sized join is gone, the counts fold on the compressed
       // rows instead; same integers, r12 optimization round).
-      val byV = o.crossJoin(broadcast(span))
+      val byV = graft.graph.GraphOps.checkpoint(o
+        .crossJoin(broadcast(span))
         .groupBy(col("v"))
         .agg(sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("ca"),
-          sum(when(col("us") < col("mid"), 0L).otherwise(1L)).as("cb"))
+          sum(when(col("us") < col("mid"), 0L).otherwise(1L)).as("cb")))
+      // ^ lineage-cut (r12): byV feeds the decile cuts, the bin
+      // assignment and the per-bin fold — three references that each
+      // re-ran the fact aggregation (53 Exchange nodes in the plan)
       // expected-period decile cuts from the compressed distinct table
       val byVa = byV.filter(col("ca") > 0)
         .select(col("v"), col("ca").as("cnt"))
@@ -406,7 +410,13 @@ object InferenceQueries {
       val ev = Tables(s, dir, "orders")
         .select(round(col("o_totalprice") * 100).cast("long").as("v"),
           substring(col("o_orderpriority"), 1, 1).as("g"))
-      val byV = ev.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      // ONE fact pass (r12): the per-(group, value) table is lineage-cut
+      // and byV re-aggregates it — the r11 shape scanned the fact once
+      // for byV and once for the per-group fold, and byV's two consumers
+      // (rank decomposition + tie term) re-ran the aggregation
+      val byGV = graft.graph.GraphOps.checkpoint(
+        ev.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c")))
+      val byV = byGV.groupBy(col("v")).agg(sum(col("c")).as("cnt"))
       val cum = graft.pack.PrefixSum.runningSum(byV,
         expr("v div 100000"), Seq(col("v")), col("cnt"), "cum")
       val r2 = cum.select(col("v"),
@@ -414,8 +424,7 @@ object InferenceQueries {
       val ties = byV.agg(
         expr("""CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt)
           AS BIGINT)""").as("t"))
-      val st = ev.groupBy(col("g"), col("v"))
-        .agg(count(lit(1)).as("c"))
+      val st = byGV
         .join(r2, Seq("v"))
         .groupBy(col("g"))
         .agg(sum(col("c")).as("n"),
@@ -520,13 +529,18 @@ object InferenceQueries {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
         .distinct()
-      val pairs = e.as("a").join(e.as("b"),
+      // lineage-cut (r12): pairs is referenced three times (both degree
+      // unions + the final stat join) and each reference re-ran the
+      // co-purchase self-join + aggregation (40 Exchange nodes); the
+      // min-support pair graph is the bounded table this gate is
+      // designed around — materialize it once
+      val pairs = graft.graph.GraphOps.checkpoint(e.as("a").join(e.as("b"),
           col("a.cust") === col("b.cust") &&
             col("a.supp") < col("b.supp"))
         .groupBy(col("a.supp").as("sa"), col("b.supp").as("sb"))
         .agg(count(lit(1)).as("nc"))
         .filter(col("nc") >= 3)
-        .select(col("sa"), col("sb"))
+        .select(col("sa"), col("sb")))
       val deg = pairs.select(col("sa").as("node"))
         .unionAll(pairs.select(col("sb").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -563,9 +577,12 @@ object InferenceQueries {
     // arithmetic rides PrefixSum, sums ride DECIMAL(38,0), and both means
     // land as exact ppm integral divisions — no doubles anywhere.
     "q120_trimmed_mean" -> ((s, dir) => {
-      val byV = Tables(s, dir, "orders")
+      // lineage-cut (r12): byV feeds the rank decomposition, the total
+      // and (via cum) the cut probe + kept fold — references that each
+      // re-ran the fact aggregation
+      val byV = graft.graph.GraphOps.checkpoint(Tables(s, dir, "orders")
         .select(round(col("o_totalprice") * 100).cast("long").as("v"))
-        .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("v")).agg(count(lit(1)).as("cnt")))
       val cum = graft.pack.PrefixSum.runningSum(byV,
         expr("v div 100000"), Seq(col("v")), col("cnt"), "cum")
       val tot = byV.agg(sum(col("cnt")).as("n"))
@@ -602,9 +619,11 @@ object InferenceQueries {
     // never the fact table, so the quadratic is a constant ~3M sign
     // evaluations; the fact table contributes one hash agg.
     "q121_mann_kendall" -> ((s, dir) => {
-      val daily = Tables(s, dir, "orders")
+      // lineage-cut (r12): daily feeds the pair self-join, the tie term
+      // and the count — the cut runs the fact aggregation once
+      val daily = graft.graph.GraphOps.checkpoint(Tables(s, dir, "orders")
         .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(count(lit(1)).as("x"))
+        .agg(count(lit(1)).as("x")))
       val st = daily.as("a").join(daily.as("b"),
           col("a.day") < col("b.day"))
         .agg(sum(signum(col("b.x") - col("a.x")).cast("long")).as("s"))
@@ -687,6 +706,11 @@ object InferenceQueries {
     // by segment or runs over the bounded aggregate; the level-0 split
     // joins back as a broadcast scalar.
     "q123_binseg_changepoint" -> ((s, dir) => {
+      // NOT lineage-cut (r12, deliberate): daily is multi-referenced,
+      // but its partitionless level-0 window is only provably bounded
+      // to the plan guard while the window's child is the Aggregate
+      // itself — a checkpoint leaf would hide that; runtime exchange
+      // reuse already dedups the shared partial aggregation
       val daily = Tables(s, dir, "orders")
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(count(lit(1)).as("x"))
@@ -1078,12 +1102,22 @@ object InferenceQueries {
       val o = Tables(s, dir, "orders")
         .select(round(col("o_totalprice") * 100).cast("long").as("v"),
           expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("us"))
-      val mid = o.agg(expr("(min(us) + max(us)) div 2").as("mid"))
-      val tagged = o.crossJoin(broadcast(mid))
-        .select(col("v"), (col("us") < col("mid")).as("is_a"))
-      val byV = tagged.groupBy(col("v"))
-        .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
-          sum(when(col("is_a"), 0L).otherwise(1L)).as("cb"))
+      // ONE fact pass (r12): o_orderdate is day-granular, so the
+      // per-(value, day) aggregate is a compressed table the midpoint
+      // probe AND the per-period split both fold from — the r11 shape
+      // scanned the fact once for min/max and again for the tagged
+      // aggregation; min/max over the compressed table are the same
+      // values, and the re-aggregated per-period counts the same
+      // integers
+      val byVU = graft.graph.GraphOps.checkpoint(
+        o.groupBy(col("v"), col("us")).agg(count(lit(1)).as("c")))
+      val mid = byVU.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val byV = byVU.crossJoin(broadcast(mid))
+        .groupBy(col("v"))
+        .agg(sum(when(col("us") < col("mid"), col("c")).otherwise(0L))
+          .as("ca"),
+          sum(when(col("us") < col("mid"), 0L).otherwise(col("c")))
+          .as("cb"))
       // both running counts in ONE prefix-sum decomposition (r12: the
       // chained single-column calls re-ran the bucket pass per column)
       val cum = graft.pack.PrefixSum.runningSums(byV,

@@ -315,6 +315,14 @@ class PlanGuardSpec extends SparkSpec {
         // multiplicity table — the one tokenize pass the count tables
         // and the scoring join all re-aggregate (was 2-4 passes)
         "tx9_unigram_logprob", "tx16_bigram_lm", "tx35_kneser_ney",
+        // r12: these gates lineage-cut their compressed distinct-value/
+        // pair tables (each was multi-referenced and re-ran its fact
+        // aggregation per reference), so their plans root on the
+        // checkpointed RDD
+        "q75_weighted_median", "q108_boxplot", "q112_psi",
+        "q116_kruskal_wallis",
+        "q118_assortativity", "q120_trimmed_mean", "q121_mann_kendall",
+        "q126_cvm_drift",
         // the iceberg/delta $files inspection tables are driver-
         // collected METADATA (LocalTableScan) — no file scan exists
         // by design
