@@ -46,7 +46,11 @@ object NaiveBayesText {
     */
   def heldOutPredictions(docs: DataFrame, evalMod: Int = 5): DataFrame = {
     val g = Grid.toDouble
-    val db = bigramCountRows(docs)
+    // lineage-cut (r12 optimization round): the bigram-count table is
+    // referenced by the train aggregation, the vocab-size count (a
+    // driver action), and the eval scoring path — each reference re-ran
+    // the text scan + CharNgrams explosion; the cut runs it once
+    val db = graft.graph.GraphOps.checkpoint(bigramCountRows(docs))
     val train = db.filter(col("id") % evalMod =!= 0)
     val counts = train.groupBy(col("label"), col("bg"))
       .agg(sum(col("k")).as("c"))

@@ -236,10 +236,16 @@ object DedupQueries {
     // is one semi-join on pair keys + three scalar counts.
     "dd12_lsh_eval" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val truth = Dedup.exactJaccardPairs(docs, "text", "doc_id",
-        JaccardTau, ShingleN).select(col("id_a"), col("id_b"))
-      val cand = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
-        ShingleN, Bands, RowsPerBand)
+      // lineage-cut (r12): truth and cand are each referenced twice
+      // (the hit semi-join + their scalar counts), and every reference
+      // re-ran the full exact-Jaccard / banded-LSH pair pipeline — the
+      // cuts materialize the two bounded pair sets once
+      val truth = graft.graph.GraphOps.checkpoint(
+        Dedup.exactJaccardPairs(docs, "text", "doc_id",
+          JaccardTau, ShingleN).select(col("id_a"), col("id_b")))
+      val cand = graft.graph.GraphOps.checkpoint(
+        Dedup.minhashCandidatePairs(docs, "text", "doc_id",
+          ShingleN, Bands, RowsPerBand))
       val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
       truth.agg(count(lit(1)).as("n_truth"))
         .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
@@ -375,12 +381,16 @@ object DedupQueries {
         JaccardTau, ShingleN, Bands, RowsPerBand)
       val comp = graft.graph.ConnectedComponents
         .minLabel(pairs, "id_a", "id_b")
-      val labeled = docs
+      // lineage-cut (r12): labeled feeds the size aggregate AND the
+      // argmax window, whose exchange children differ (partial-agg vs
+      // raw rows) so runtime exchange reuse cannot dedup them — without
+      // the cut each consumer re-ran the quality kernel + label join
+      val labeled = graft.graph.GraphOps.checkpoint(docs
         .select(col("doc_id"),
           graft.text.TextFunctions.qualityScore(col("text")).as("quality"))
         .join(comp, docs("doc_id") === comp("id"), "left")
         .select(col("doc_id"), col("quality"),
-          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+          coalesce(col("component"), col("doc_id")).as("cluster_id")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("cluster_id"))
         .orderBy(col("quality").desc, col("doc_id"))

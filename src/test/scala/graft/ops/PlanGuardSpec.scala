@@ -323,6 +323,10 @@ class PlanGuardSpec extends SparkSpec {
         "q116_kruskal_wallis",
         "q118_assortativity", "q120_trimmed_mean", "q121_mann_kendall",
         "q126_cvm_drift",
+        // r12: dd12 cuts its truth/cand pair sets (each referenced by
+        // the hit semi-join AND a scalar count); tx23's NaiveBayesText
+        // cuts the bigram-count table; cur14 cuts its labeled table
+        "dd12_lsh_eval", "tx23_nb_langid", "cur14_canonical_pick",
         // the iceberg/delta $files inspection tables are driver-
         // collected METADATA (LocalTableScan) — no file scan exists
         // by design
