@@ -616,11 +616,13 @@ object AnalyticsQueries {
           .agg(sum(col("qty")).as("wt")))
       val tot = byPrice.groupBy(col("flag"))
         .agg(sum(col("wt")).as("tot_weight"))
-      // r12 optimization round: the flag-partitioned running window gave
-      // the whole compressed table |flags| tasks (≈3) at ANY scale —
-      // bucketed per-flag prefix sum restores key-parallelism (same
-      // integer sums, PrefixSum.runningSumsBy)
-      graft.pack.PrefixSum.runningSumsBy(byPrice, Seq(col("flag")),
+      // r12 optimization round: adaptive on the MEASURED compressed
+      // size (free — byPrice is checkpointed): small tables take the
+      // plain flag-partitioned window (one exchange); above the cap the
+      // bucketed per-flag prefix sum restores key-parallelism (a
+      // |flags|-task window at 100 TB is the serialization hazard).
+      // Same integer sums either way.
+      graft.pack.PrefixSum.runningSumsByAdaptive(byPrice, Seq(col("flag")),
           expr("cents div 100000"), Seq(col("cents")),
           Seq(col("wt") -> "cumw"))
         .join(tot, "flag")
@@ -1004,13 +1006,19 @@ object AnalyticsQueries {
       val seg = converts.join(Tables(s, dir, "customer"),
           col("user_id") === col("c_custkey"))
         .select(col("c_mktsegment").as("segment"), col("delta_s"))
-      val byDelta = seg.groupBy(col("segment"), col("delta_s"))
-        .agg(count(lit(1)).as("w"))
+      // lineage-cut (r12): byDelta fed the total AND the running-window
+      // passes — each reference re-ran the whole funnel (two event
+      // scans + two joins); the cut runs it once
+      val byDelta = graft.graph.GraphOps.checkpoint(
+        seg.groupBy(col("segment"), col("delta_s"))
+          .agg(count(lit(1)).as("w")))
       val tot = byDelta.groupBy(col("segment"))
         .agg(sum(col("w")).as("n_converted"))
-      // r12: segment-partitioned running window = |segments| tasks at any
-      // scale; bucketed per-segment prefix sum (same integers)
-      graft.pack.PrefixSum.runningSumsBy(byDelta, Seq(col("segment")),
+      // r12: adaptive on the measured compressed size — plain
+      // segment-partitioned window when small, bucketed per-segment
+      // prefix sum above the cap (same integers)
+      graft.pack.PrefixSum.runningSumsByAdaptive(byDelta,
+          Seq(col("segment")),
           expr("delta_s div 3600"), Seq(col("delta_s")),
           Seq(col("w") -> "cumw"))
         .join(tot, "segment")
@@ -1540,9 +1548,10 @@ object AnalyticsQueries {
         seg.groupBy(col("segment"), col("cents"))
           .agg(count(lit(1)).as("cnt")))
       val tot = byV.groupBy(col("segment")).agg(sum(col("cnt")).as("n"))
-      // r12: segment-partitioned running window = |segments| tasks at any
-      // scale; bucketed per-segment prefix sum (same integers)
-      val cum = graft.pack.PrefixSum.runningSumsBy(byV,
+      // r12: adaptive on the measured compressed size (byV is
+      // checkpointed) — plain segment-partitioned window when small,
+      // bucketed per-segment prefix sum above the cap (same integers)
+      val cum = graft.pack.PrefixSum.runningSumsByAdaptive(byV,
           Seq(col("segment")), expr("cents div 100000"),
           Seq(col("cents")), Seq(col("cnt") -> "cum"))
         .join(broadcast(tot), Seq("segment"))

@@ -120,4 +120,45 @@ object PrefixSum {
   def globalRowNumber(df: DataFrame, bucket: Column, order: Seq[Column],
       out: String): DataFrame =
     runningSum(df, bucket, order, lit(1L), out)
+
+  /** Compressed-table size at or below which [[runningSumsByAdaptive]]
+    * uses the plain partitioned window: the worst case is one ≤4M-row
+    * window task per partition value — bounded work at any input scale,
+    * because callers pass a COMPRESSED table (distinct values), never
+    * raw facts. Mirrors RankPercentiles.PlainWindowCap.
+    */
+  val PlainWindowCap: Long = 1L << 22
+
+  /** [[runningSumsBy]] that picks its shape from the MEASURED input
+    * size — the GraphOps.BroadcastNodeCap pattern (measured data
+    * decides, never a constant tuned to local cores). At or below `cap`
+    * rows the plain `SUM(v) OVER (PARTITION BY p ORDER BY k)` window
+    * runs: one exchange instead of the decomposition's three, and a
+    * ≤4M-row window task is sub-second. Above it the bucketed
+    * decomposition restores within-partition key-parallelism. Both
+    * shapes produce identical integers (exact types reassociate
+    * freely).
+    *
+    * `df` must be cheap to re-count — callers pass a lineage-cut
+    * (checkpointed) compressed table, so the count reads cached blocks.
+    * Requires at least one partition column: the partitionless form
+    * must stay on the decomposition (a plain partitionless window is
+    * the single-task shape the plan guard bans).
+    */
+  def runningSumsByAdaptive(df: DataFrame, partitionCols: Seq[Column],
+      bucket: Column, order: Seq[Column],
+      values: Seq[(Column, String)],
+      cap: Long = PlainWindowCap): DataFrame = {
+    require(partitionCols.nonEmpty,
+      "runningSumsByAdaptive needs partition columns — use runningSums " +
+        "for the global form (its plain-window fallback would be the " +
+        "single-task plan the decomposition exists to avoid)")
+    if (df.count() <= cap) {
+      val w = Window.partitionBy(partitionCols: _*).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      values.foldLeft(df) { case (d, (v, out)) =>
+        d.withColumn(out, sum(v).over(w))
+      }
+    } else runningSumsBy(df, partitionCols, bucket, order, values)
+  }
 }

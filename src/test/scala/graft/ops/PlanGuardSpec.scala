@@ -124,11 +124,11 @@ class PlanGuardSpec extends SparkSpec {
     // EWMA: the sequential fold is the scan-side int_ewma kernel over the
     // bounded collected series — no iterative joins
     "q77_ewma" -> Seq("int_ewma"),
-    // weighted median: the running-weight window rides the PrefixSum
-    // decomposition — partitioned by (flag, price-range bucket), never a
-    // per-flag serial sort of the compressed domain (r12: |flags| ≈ 3
-    // made the flag-partitioned window a 3-task sort at any scale)
-    "q75_weighted_median" -> Seq("windowspecdefinition(__ps_p0"),
+    // weighted median: the running-weight window is PARTITIONED (by
+    // flag at the guard's measured size, by (flag, bucket) above the
+    // PrefixSum.PlainWindowCap — the adaptive switch is on the MEASURED
+    // compressed size; PrefixSumSpec pins the above-cap decomposition)
+    "q75_weighted_median" -> Seq("windowspecdefinition(flag"),
     // equi-depth histogram: the NTILE-equivalent rank comes from the
     // PrefixSum decomposition — the corpus-sized window must be
     // PARTITIONED by the price-range bucket (the round-5 audit's one
@@ -325,8 +325,10 @@ class PlanGuardSpec extends SparkSpec {
         "q126_cvm_drift",
         // r12: dd12 cuts its truth/cand pair sets (each referenced by
         // the hit semi-join AND a scalar count); tx23's NaiveBayesText
-        // cuts the bigram-count table; cur14 cuts its labeled table
+        // cuts the bigram-count table; cur14 cuts its labeled table;
+        // q85 cuts its per-(segment, delay) funnel table
         "dd12_lsh_eval", "tx23_nb_langid", "cur14_canonical_pick",
+        "q85_funnel_time",
         // the iceberg/delta $files inspection tables are driver-
         // collected METADATA (LocalTableScan) — no file scan exists
         // by design

@@ -69,4 +69,31 @@ class PrefixSumSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(__ps_bucket"),
       "within-bucket window lost its partition key")
   }
+
+  test("runningSumsByAdaptive: both shapes, identical sums") {
+    val parted = rows.withColumn("p", $"k" % 3)
+    val expected = parted.withColumn("cum",
+      sum($"v").over(Window.partitionBy($"p").orderBy($"k", $"id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"id", $"cum")
+    // below the cap: the plain partitioned window (one exchange)
+    val plain = PrefixSum.runningSumsByAdaptive(parted, Seq($"p"),
+        expr("k div 17"), Seq($"k", $"id"), Seq($"v" -> "cum"))
+    assert(plain.select($"id", $"cum").except(expected).isEmpty &&
+      expected.except(plain.select($"id", $"cum")).isEmpty)
+    assert(!plain.queryExecution.executedPlan.toString
+      .contains("windowspecdefinition(__ps_bucket"))
+    // cap 0 forces the bucketed decomposition — same integers
+    val bucketed = PrefixSum.runningSumsByAdaptive(parted, Seq($"p"),
+        expr("k div 17"), Seq($"k", $"id"), Seq($"v" -> "cum"), cap = 0L)
+    assert(bucketed.select($"id", $"cum").except(expected).isEmpty &&
+      expected.except(bucketed.select($"id", $"cum")).isEmpty)
+    assert(bucketed.queryExecution.executedPlan.toString
+      .contains("windowspecdefinition(__ps_p0"))
+    // the global form must refuse the adaptive fallback
+    intercept[IllegalArgumentException] {
+      PrefixSum.runningSumsByAdaptive(parted, Nil, expr("k div 17"),
+        Seq($"k", $"id"), Seq($"v" -> "cum"))
+    }
+  }
 }
