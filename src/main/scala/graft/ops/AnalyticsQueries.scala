@@ -824,10 +824,14 @@ object AnalyticsQueries {
     // shape: one scan-side predict + one |langs|²-bounded cell agg; the
     // margins join the bounded cell table.
     "q80_langid_prf" -> ((s, dir) => {
-      val cells = Tables(s, dir, "documents")
+      // |langs|²-bounded cell table, referenced THREE times (truth/preds
+      // margins + the diagonal) — each reference re-ran the corpus scan
+      // plus the langId text kernel (r13 optimization round, guide §5):
+      // the lineage cut makes it one corpus pass at any scale
+      val cells = graft.graph.GraphOps.checkpoint(Tables(s, dir, "documents")
         .groupBy(col("lang"),
           graft.text.TextFunctions.langId(col("text")).as("pred"))
-        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n")))
       val truth = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_true"))
       val preds = cells.groupBy(col("pred")).agg(sum(col("n")).as("n_pred"))
       val diag = cells.filter(col("lang") === col("pred"))
@@ -1041,7 +1045,14 @@ object AnalyticsQueries {
     "q86_rfm" -> ((s, dir) => {
       val gmax = Tables(s, dir, "orders")
         .agg(max(to_date(col("o_orderdate"))).as("max_day"))
-      val rfm = Tables(s, dir, "orders")
+      // the customer aggregate is referenced FOUR times (the final
+      // binning pass + one thresholds() per metric) and each reference
+      // re-inlined the orders scan + aggregation — runtime ReuseExchange
+      // cannot dedup them because the threshold consumers re-aggregate
+      // by different keys (r13 optimization round, guide §5): the
+      // explicit lineage cut runs the fact aggregation ONCE (4 fact
+      // passes → 1 at any scale) and every reference expands a leaf
+      val rfm = graft.graph.GraphOps.checkpoint(Tables(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(max(to_date(col("o_orderdate"))).as("last_day"),
           count(lit(1)).as("f"),
@@ -1049,7 +1060,7 @@ object AnalyticsQueries {
         .crossJoin(broadcast(gmax))
         .select(col("o_custkey"),
           datediff(col("max_day"), col("last_day")).cast("long").as("r"),
-          col("f"), col("m"))
+          col("f"), col("m")))
       def thresholds(metric: String): DataFrame = {
         val byVal = rfm.groupBy(col(metric).as("v"))
           .agg(count(lit(1)).as("c"))

@@ -332,7 +332,11 @@ class PlanGuardSpec extends SparkSpec {
         // the iceberg/delta $files inspection tables are driver-
         // collected METADATA (LocalTableScan) — no file scan exists
         // by design
-        "cdc_iceberg_files_meta", "cdc_delta_files_meta")
+        "cdc_iceberg_files_meta", "cdc_delta_files_meta",
+        // r13: q86 cuts its 4×-referenced customer RFM aggregate; q80
+        // cuts its 3×-referenced langId confusion-cell table — both
+        // plans root on the checkpointed RDD
+        "q86_rfm", "q80_langid_prf")
     (SparkEntry.queries.keySet -- rddRooted).toSeq.sorted.foreach { name =>
       assert(plan(name).contains("PushedFilters: ["),
         s"$name scan lost pushdown metadata")
