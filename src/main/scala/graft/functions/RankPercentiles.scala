@@ -63,6 +63,53 @@ object RankPercentiles {
     val counts = graft.graph.GraphOps.checkpoint(df
       .groupBy(col(groupCol), col(valueCol).cast("double").as("__v"))
       .agg(count(lit(1)).as("__cnt")))
+    fromCounts(counts, groupCol, probs, counts.count() <= plainWindowCap)
+  }
+
+  /** [[exact]] over PRE-COUNTED rows: `df` carries one row per (group,
+    * value) observation batch with `weightCol` occurrences — the form a
+    * caller holds after its own compression pass (e.g. q49 derives the
+    * deviation multiset from the value multiset without re-scanning the
+    * fact table). Equivalent to `exact` on the weight-expanded rows:
+    * the internal re-aggregation sums weights where `exact` counts rows,
+    * and integer sums are the same longs in any order.
+    *
+    * The internal lineage cut is the CALLER's choice here (r13, the
+    * r12-verdict q49 adjudication): a caller whose input already roots
+    * on a checkpointed leaf (plus cheap derivations) skips the cut —
+    * at bench scale each eager cut is a blocking job whose
+    * materialization costs more than the shallow re-inlining it avoids,
+    * and at any scale re-expanding a leaf-rooted subtree is one
+    * runtime-reused exchange, not a recompute. `sizeHint` (an upper
+    * bound on the distinct row count, e.g. the caller's own measured
+    * table size) picks the cumulative shape without forcing a count
+    * job when the cut is skipped; comparing an UPPER BOUND to the cap
+    * is always safe — it can only choose the decomposition where the
+    * plain window would also have been fine, never the reverse.
+    */
+  def exactWeighted(df: DataFrame, groupCol: String, valueCol: String,
+                    weightCol: String, probs: Seq[(String, Double)],
+                    plainWindowCap: Long = PlainWindowCap,
+                    cutInput: Boolean = true,
+                    sizeHint: Option[Long] = None): DataFrame = {
+    val counts0 = df
+      .groupBy(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .agg(sum(col(weightCol)).as("__cnt"))
+    val counts =
+      if (cutInput) graft.graph.GraphOps.checkpoint(counts0) else counts0
+    val n = sizeHint.getOrElse(counts.count())
+    fromCounts(counts, groupCol, probs, n <= plainWindowCap)
+  }
+
+  /** Shared kernel body over the distinct (group, __v, __cnt) table.
+    * `plainWindow` picks the cumulative shape (measured by the caller —
+    * below the cap the plain per-group running window is one exchange;
+    * above it the bucketed PrefixSum decomposition keeps within-group
+    * key-parallelism at 100 TB).
+    */
+  private def fromCounts(counts: DataFrame, groupCol: String,
+                         probs: Seq[(String, Double)],
+                         plainWindow: Boolean): DataFrame = {
     // nulls must not form their own __v group: they'd inflate __n and
     // shift every cumulative rank range (Spark's Percentile ignores them)
     val vals = counts.where(col("__v").isNotNull)
@@ -77,11 +124,12 @@ object RankPercentiles {
     // parallelism, never correctness). BELOW the cap the plain window is
     // strictly better — one exchange instead of the decomposition's
     // three, and a ≤4M-row window task is sub-second. The switch is on
-    // the MEASURED compressed size (counts is already materialized by
-    // the lineage cut above, so the count() reads cached blocks — the
-    // GraphOps.BroadcastNodeCap pattern: measured data decides, never a
-    // constant tuned to the local core count).
-    val cum = if (counts.count() <= plainWindowCap) {
+    // the MEASURED compressed size supplied by the caller (exact counts
+    // its checkpointed table from cache; exactWeighted may substitute a
+    // caller-measured upper bound — the GraphOps.BroadcastNodeCap
+    // pattern: measured data decides, never a constant tuned to the
+    // local core count).
+    val cum = if (plainWindow) {
       val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       vals.withColumn("__cum_end", sum(col("__cnt")).over(w))

@@ -1319,24 +1319,50 @@ object AdvancedQueries {
     // single-op IEEE (sub, abs, one multiply, compare) on values both
     // engines derive identically — no grids needed; the kernel's
     // interpolation already matches quantile_cont bit-for-bit (q18).
+    //
+    // ONE fact pass (r13, the r12-verdict q49 adjudication): the r12
+    // shape scanned events three times (median kernel, deviation join
+    // for the MAD kernel, final flag aggregation) and each kernel call
+    // paid its own eager lineage-cut + count barrier — the driver
+    // measured the composition SLOWER than the r11 form it replaced.
+    // Everything after the first distinct (event_type, value, count)
+    // aggregation is derivable from that table alone: the deviation
+    // multiset is |v − med| with the same counts (values symmetric
+    // around the median merge by re-aggregation — exactly the rows the
+    // kernel's internal distinct pass would have produced), and the
+    // outlier/row totals are integer sums of the counts. So: one fact
+    // aggregation, lineage-cut once, one measured count; both kernel
+    // calls run weighted on the compressed table with the cut skipped
+    // (their inputs root on the leaf) and the measured size as the
+    // shape hint (deviation distincts ≤ value distincts). Bit-identical:
+    // same medians (same kernel on the same counts), same deviations
+    // (per distinct value instead of per row), same integer sums.
     "q49_mad_outliers" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
-        .select(col("event_type"), col("value"))
-      val med = graft.functions.RankPercentiles
-        .exact(ev, "event_type", "value", Seq("med" -> 0.5))
-        .select(col("event_type"), col("med"))
-      val dev = ev.join(broadcast(med), Seq("event_type"))
+      val counts = graft.graph.GraphOps.checkpoint(
+        Tables(s, dir, "events")
+          .groupBy(col("event_type"), col("value").cast("double").as("v"))
+          .agg(count(lit(1)).as("cnt")))
+      val nDistinct = counts.count()
+      val med = graft.graph.GraphOps.checkpoint(
+        graft.functions.RankPercentiles
+          .exactWeighted(counts, "event_type", "v", "cnt",
+            Seq("med" -> 0.5), cutInput = false,
+            sizeHint = Some(nDistinct))
+          .select(col("event_type"), col("med")))
+      val devCounts = counts.join(broadcast(med), Seq("event_type"))
         .select(col("event_type"), col("med"),
-          abs(col("value") - col("med")).as("dev"))
+          abs(col("v") - col("med")).as("dev"), col("cnt"))
       val mad = graft.functions.RankPercentiles
-        .exact(dev, "event_type", "dev", Seq("mad" -> 0.5))
+        .exactWeighted(devCounts, "event_type", "dev", "cnt",
+          Seq("mad" -> 0.5), cutInput = false,
+          sizeHint = Some(nDistinct))
         .select(col("event_type"), col("mad"))
-      dev.join(broadcast(mad), Seq("event_type"))
+      devCounts.join(broadcast(mad), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(first(col("med")).as("median"), first(col("mad")).as("mad"),
-          sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
-            .as("n_outliers"),
-          count(lit(1)).as("n"))
+          sum(when(col("dev") > lit(3.0) * col("mad"), col("cnt"))
+            .otherwise(0L)).as("n_outliers"),
+          sum(col("cnt")).as("n"))
         .orderBy(col("event_type"))
     }),
 

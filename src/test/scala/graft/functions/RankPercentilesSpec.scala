@@ -113,4 +113,75 @@ class RankPercentilesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getDouble(1)))
     assert(got.toSeq == expected.toSeq)
   }
+
+  test("exactWeighted == exact on the weight-expanded rows (all modes)") {
+    // the q49 shape (r13): the caller compresses once, then runs BOTH
+    // kernel calls weighted with the cut skipped and a measured size
+    // hint — every mode must land the aggregate's exact bits
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map { i =>
+      (s"g${i % 4}", math.floor(rnd.nextDouble() * 24 - 12) / 4.0)
+    } :+ (("solo", -7.5))
+    val df = rows.toDF("g", "v")
+    val counts = graft.graph.GraphOps.checkpoint(
+      df.groupBy(col("g"), col("v")).agg(count(lit(1)).as("w")))
+    val n = counts.count()
+
+    val expected = RankPercentiles.exact(df, "g", "v",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))
+      .orderBy(col("g")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+
+    def weighted(cut: Boolean, hint: Option[Long], cap: Long) =
+      RankPercentiles.exactWeighted(counts, "g", "v", "w",
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9),
+          plainWindowCap = cap, cutInput = cut, sizeHint = hint)
+        .orderBy(col("g")).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getLong(4)))
+
+    // cut + self-measured (the default), uncut + hinted (the q49 mode),
+    // and the above-cap bucketed shape (cap 0 forces the decomposition)
+    assert(weighted(cut = true, hint = None,
+      cap = RankPercentiles.PlainWindowCap).toSeq == expected.toSeq)
+    assert(weighted(cut = false, hint = Some(n),
+      cap = RankPercentiles.PlainWindowCap).toSeq == expected.toSeq)
+    assert(weighted(cut = false, hint = Some(n), cap = 0L).toSeq
+      == expected.toSeq)
+  }
+
+  test("weighted composition from one compressed table (the q49 r13 shape)") {
+    // median AND median-of-deviations both derived from ONE distinct
+    // (group, value, count) table — bit-identical to the aggregate form
+    // over raw rows, and the deviation re-aggregation (values symmetric
+    // around the median merge) must not disturb the ranks
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 500).map { i =>
+      (s"g${i % 3}", math.floor(rnd.nextDouble() * 20 - 10) / 2.0)
+    }.toDF("g", "v")
+    val counts = graft.graph.GraphOps.checkpoint(
+      df.groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt")))
+    val n = counts.count()
+    val med = graft.graph.GraphOps.checkpoint(
+      RankPercentiles.exactWeighted(counts, "g", "v", "cnt",
+          Seq("med" -> 0.5), cutInput = false, sizeHint = Some(n))
+        .select(col("g"), col("med")))
+    val devCounts = counts.join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(col("v") - col("med")).as("d"), col("cnt"))
+    val got = RankPercentiles.exactWeighted(devCounts, "g", "d", "cnt",
+        Seq("mad" -> 0.5), cutInput = false, sizeHint = Some(n))
+      .select(col("g"), col("mad")).orderBy(col("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+
+    val expMed = df.groupBy(col("g"))
+      .agg(percentile(col("v"), lit(0.5)).as("med"))
+    val expected = df.join(broadcast(expMed), Seq("g"))
+      .select(col("g"), abs(col("v") - col("med")).as("d"))
+      .groupBy(col("g"))
+      .agg(percentile(col("d"), lit(0.5)).as("mad"))
+      .orderBy(col("g")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq == expected.toSeq)
+  }
 }
