@@ -35,15 +35,22 @@ object Hierarchy {
     var st = nodes.select(col("id"), col("parent").as("anc"),
       lit(1L).as("len"), col("weight").as("s"))
       .graftCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      st = st.as("a")
+    for (round <- 1 to rounds) {
+      val next = st.as("a")
         .join(st.as("b"), col("a.anc") === col("b.id"), "left")
         .select(col("a.id"),
           // no match (done, or dangling parent): the segment is complete
           col("b.anc").as("anc"),
           (col("a.len") + coalesce(col("b.len"), lit(0L))).as("len"),
           (col("a.s") + coalesce(col("b.s"), lit(0L))).as("s"))
-        .graftCheckpoint(true)
+      // EVERY-OTHER-round lineage cuts (r13, the r12-verdict cadence
+      // task): an uncut round leaves the next round's self-join holding
+      // two copies of its plan, but those subtrees are byte-identical so
+      // runtime ReuseExchange computes them once — cutting on even
+      // rounds halves the job barriers at ≤ 2-round plan depth. The
+      // FINAL round stays uncut (one consumer: the caller).
+      st = if (round < rounds && round % 2 == 0) next.graftCheckpoint(true)
+        else next
     }
     st.select(col("id"), col("len").as("chain_len"),
       col("s").as("chain_sum"))

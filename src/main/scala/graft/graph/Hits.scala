@@ -35,10 +35,14 @@ object Hits {
     *   edges score 0 on the hub (resp. authority) axis.
     */
   def hits(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().graftCheckpoint()
+    // setup cuts are LAZY (r13, guide §5): nodes.count() below is the
+    // next action and materializes both in one job chain instead of two
+    // back-to-back eager barriers
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .graftCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
-      .distinct().graftCheckpoint()
+      .distinct().graftCheckpoint(false)
 
     def normalized(raw: DataFrame, c: String): DataFrame = {
       // scalar L2 normalizer, broadcast back — grid-exact sum of squares
@@ -72,7 +76,14 @@ object Hits {
           hub.select(col("id").as("src"), col("h")), nNodes), "src")
         .groupBy(col("dst")).agg(sum(floor(col("h") * Grid) / Grid).as("a"))
         .select(col("dst").as("id"), col("a"))
-      auth = normalized(aRaw, "a").graftCheckpoint()
+      // intermediate auth has ONE consumer (this round's hRaw, whose cut
+      // bounds the plan the same round) — its eager cut was a pure job
+      // barrier; normalized()'s double reference to aRaw is byte-identical
+      // so runtime ReuseExchange computes it once (r13, the r12-verdict
+      // cadence task). The FINAL round's auth keeps the cut: it feeds
+      // both hRaw and the zero-fill assembly after the loop.
+      auth = if (round < iters) normalized(aRaw, "a")
+        else normalized(aRaw, "a").graftCheckpoint()
       val hRaw = e
         .join(GraphOps.nodeSide(
           auth.select(col("id").as("dst"), col("a")), nNodes), "dst")

@@ -31,7 +31,10 @@ object KCore {
     val sym = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
       .distinct()
-    var und = sym.graftCheckpoint(true)
+    // lazy setup cut: the convergence count below is the next action and
+    // materializes it (r13, guide §5) — the per-round cuts+counts stay
+    // (the early-exit check is load-bearing)
+    var und = sym.graftCheckpoint(false)
     // early-exit at the fixpoint: a round that removes no edge removed no
     // node (nodes exist only through edges), so every later round is an
     // identical materialization — stop. The count is one job over the

@@ -26,13 +26,17 @@ object LabelPropagation {
     * @return (id, label) — the node's community label after `rounds`.
     */
   def propagate(edges: DataFrame, rounds: Int): DataFrame = {
+    // setup cuts are LAZY (r13, guide §5): the labels.count() below is
+    // the next action and materializes both in one job chain — the two
+    // eager cuts were back-to-back blocking barriers computing the same
+    // thing
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .graftCheckpoint(true)
+      .graftCheckpoint(false)
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .graftCheckpoint(true)
+      .graftCheckpoint(false)
     // under GraphOps.BroadcastNodeCap the label table broadcasts, so the
     // edge list never shuffles for the per-round join
     val nNodes = labels.count()
@@ -45,10 +49,14 @@ object LabelPropagation {
         .groupBy(col("src"))
         .agg(max(struct(col("cnt"), (col("label") * -1).as("nl"))).as("m"))
         .select(col("src").as("id"), (col("m.nl") * -1).as("label"))
-      // intermediate rounds cut lineage; the FINAL round has one consumer
-      // (the caller), so a checkpoint there would materialize the result
-      // just to read it back once (r12 optimization round)
-      labels = if (round < rounds) next.graftCheckpoint(true) else next
+      // EVERY-OTHER-round lineage cuts (r13, the r12-verdict cadence
+      // task): each eager cut is a sequential job barrier, and labels
+      // feed exactly ONE consumer per round (the next round's join), so
+      // an uncut round costs plan depth, not recompute — cutting on even
+      // rounds keeps plans ≤ 2 rounds deep at half the barriers. The
+      // FINAL round stays uncut (one consumer: the caller; r12).
+      labels = if (round < rounds && round % 2 == 0)
+        next.graftCheckpoint(true) else next
     }
     labels
   }

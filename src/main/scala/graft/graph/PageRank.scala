@@ -52,14 +52,16 @@ object PageRank {
     // materialize the symmetrized edge list and degrees once — every
     // iteration re-reads them, and without the checkpoint each round's
     // lineage would recompute the upstream edge derivation (the same
-    // reason ConnectedComponents checkpoints per round)
+    // reason ConnectedComponents checkpoints per round). The cuts are
+    // LAZY (r13, guide §5): deg.count() below is the next action and
+    // materializes both in one job chain instead of two eager barriers.
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .graftCheckpoint()
+      .graftCheckpoint(false)
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .select(col("src").as("id"), col("outdeg"))
-      .graftCheckpoint()
+      .graftCheckpoint(false)
     val n = deg.agg(count(lit(1)).as("n"))
     // under GraphOps.BroadcastNodeCap the rank table broadcasts, so the
     // edge list never shuffles for the per-round contribution join
@@ -119,15 +121,16 @@ object PageRank {
                                       iters: Int, damping: Double,
                                       forceWide: Option[Boolean])
       : DataFrame = {
+    // lazy setup cuts: deg.count() below materializes the chain (r13)
     val und = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .graftCheckpoint()
+      .graftCheckpoint(false)
     val seedIds = seeds.select(col("id")).distinct()
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .select(col("src").as("id"), col("outdeg"))
       .join(seedIds.withColumn("__seed", lit(1)), Seq("id"), "left_outer")
-      .graftCheckpoint()
+      .graftCheckpoint(false)
     // bounded driver scalars: node and seed counts
     val nNodes = deg.count()
     val nSeeds = deg.filter(col("__seed").isNotNull).count()

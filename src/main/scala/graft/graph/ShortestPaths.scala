@@ -55,10 +55,14 @@ object ShortestPaths {
       val next = dist.unionByName(relaxed)
         .groupBy(col("id"))
         .agg(min(col("dist")).as("dist"))
-      // intermediate rounds cut lineage; the FINAL round has one consumer
-      // (the caller), so a checkpoint there would materialize the result
-      // just to read it back once (r12 optimization round)
-      dist = if (round < maxHops) next.graftCheckpoint(true) else next
+      // EVERY-OTHER-round lineage cuts (r13, the r12-verdict cadence
+      // task): an uncut round leaves the next round referencing its plan
+      // twice (the union + the relax join), but the duplicated aggregate
+      // subtrees are byte-identical so runtime ReuseExchange computes
+      // them once — cutting on even rounds keeps plans ≤ 2 rounds deep
+      // at half the job barriers. The FINAL round stays uncut (r12).
+      dist = if (round < maxHops && round % 2 == 0)
+        next.graftCheckpoint(true) else next
     }
     dist
   }
