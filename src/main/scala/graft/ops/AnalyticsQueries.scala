@@ -1793,11 +1793,15 @@ object AnalyticsQueries {
     // melt the join; the cap is part of the semantics and mirrored in
     // the oracle). Equi-join on the part key, never all-pairs.
     "q103_common_neighbors" -> ((s, dir) => {
-      val edges = Tables(s, dir, "lineitem")
+      // the distinct edge set feeds the degree aggregate, the semi-join
+      // probe AND the id-range measurement below — cut once (r13; the
+      // r12 shape relied on runtime exchange reuse for the first two,
+      // which a separate driver action cannot join)
+      val edges = graft.graph.GraphOps.checkpoint(Tables(s, dir, "lineitem")
         .join(Tables(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_partkey").as("p"), col("o_custkey").as("c"))
-        .distinct()
+        .distinct())
       // the deg≤64 cap that excludes celebrity parts also BOUNDS the
       // per-part buyer list, so wedges enumerate from one grouped
       // sorted array per part with a scan-side tail-slice generator —
@@ -1806,22 +1810,41 @@ object AnalyticsQueries {
       // count + semi-join), so no agg buffer ever exceeds 64 elements;
       // collecting first and filtering on size would build a celebrity
       // part's full multi-million-buyer array before discarding it.
-      // Steady-state cost is the ~9M-wedge pair aggregation itself
-      // (~2.9 s at sf0.1) — genuine output volume, shared by any shape.
+      // Steady-state cost is the ~9M-wedge pair aggregation itself —
+      // genuine output volume, so the pair key is PACKED into one long
+      // when the measured id range allows (PackedPairs, guide §2.3):
+      // half the grouping-key bytes through the biggest exchange.
+      val ids = edges.agg(min(col("c")), max(col("c"))).head()
+      val packed = !ids.isNullAt(0) &&
+        graft.graph.PackedPairs.fits(ids.getLong(0), ids.getLong(1))
       val small = edges.groupBy(col("p"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") <= 64).select(col("p"))
       val grouped = edges.join(small, Seq("p"), "left_semi")
         .groupBy(col("p"))
         .agg(sort_array(collect_list(col("c"))).as("cs"))
-      grouped
+      val pairs = grouped
         .select(posexplode(col("cs")).as(Seq("i", "c1")), col("cs"))
         .select(col("c1"), explode(
           slice(col("cs"), col("i") + 2, size(col("cs")))).as("c2"))
-        .groupBy(col("c1"), col("c2"))
-        .agg(count(lit(1)).as("n_common"))
-        .orderBy(col("n_common").desc, col("c1"), col("c2"))
-        .limit(20)
+      if (packed)
+        pairs
+          .select(graft.graph.PackedPairs.pack(col("c1"), col("c2"))
+            .as("pr"))
+          .groupBy(col("pr"))
+          .agg(count(lit(1)).as("n_common"))
+          // pr's numeric order IS (c1, c2) lexicographic for in-range ids
+          .orderBy(col("n_common").desc, col("pr"))
+          .limit(20)
+          .select(graft.graph.PackedPairs.hi(col("pr")).as("c1"),
+            graft.graph.PackedPairs.lo(col("pr")).as("c2"),
+            col("n_common"))
+      else
+        pairs
+          .groupBy(col("c1"), col("c2"))
+          .agg(count(lit(1)).as("n_common"))
+          .orderBy(col("n_common").desc, col("c1"), col("c2"))
+          .limit(20)
     }),
 
     // ADAMIC–ADAR link prediction over the same co-purchase graph: common
@@ -1836,11 +1859,16 @@ object AnalyticsQueries {
     // discipline) — the pair score is then an exact integer sum divided
     // by 2^20, bit-identical at any partitioning.
     "q136_adamic_adar" -> ((s, dir) => {
-      val edges = Tables(s, dir, "lineitem")
+      // distinct edges cut once; pair key packed into one long when the
+      // measured id range allows — same rationale as q103 (r13)
+      val edges = graft.graph.GraphOps.checkpoint(Tables(s, dir, "lineitem")
         .join(Tables(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_partkey").as("p"), col("o_custkey").as("c"))
-        .distinct()
+        .distinct())
+      val ids = edges.agg(min(col("c")), max(col("c"))).head()
+      val packed = !ids.isNullAt(0) &&
+        graft.graph.PackedPairs.fits(ids.getLong(0), ids.getLong(1))
       val degs = edges.groupBy(col("p"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= 2 && col("deg") <= 64)
@@ -1850,16 +1878,32 @@ object AnalyticsQueries {
         .withColumn("w",
           floor(lit(1048576.0) / log(col("deg").cast("double")))
             .cast("long"))
-      grouped
+      val pairs = grouped
         .select(col("w"), posexplode(col("cs")).as(Seq("i", "c1")),
           col("cs"))
         .select(col("c1"), col("w"), explode(
           slice(col("cs"), col("i") + 2, size(col("cs")))).as("c2"))
-        .groupBy(col("c1"), col("c2"))
-        .agg((sum(col("w")).cast("double") / lit(1048576.0)).as("aa_score"),
-          count(lit(1)).as("n_common"))
-        .orderBy(col("aa_score").desc, col("c1"), col("c2"))
-        .limit(20)
+      if (packed)
+        pairs
+          .select(graft.graph.PackedPairs.pack(col("c1"), col("c2"))
+            .as("pr"), col("w"))
+          .groupBy(col("pr"))
+          .agg((sum(col("w")).cast("double") / lit(1048576.0))
+            .as("aa_score"),
+            count(lit(1)).as("n_common"))
+          .orderBy(col("aa_score").desc, col("pr"))
+          .limit(20)
+          .select(graft.graph.PackedPairs.hi(col("pr")).as("c1"),
+            graft.graph.PackedPairs.lo(col("pr")).as("c2"),
+            col("aa_score"), col("n_common"))
+      else
+        pairs
+          .groupBy(col("c1"), col("c2"))
+          .agg((sum(col("w")).cast("double") / lit(1048576.0))
+            .as("aa_score"),
+            count(lit(1)).as("n_common"))
+          .orderBy(col("aa_score").desc, col("c1"), col("c2"))
+          .limit(20)
     }),
 
     // CUMULATIVE REACH — running COUNT(DISTINCT user) by day, the

@@ -81,11 +81,16 @@ object InferenceQueries {
     // wedge generator is a scan-side slice explode — never an all-pairs
     // join.
     "q110_resource_alloc" -> ((s, dir) => {
-      val edges = Tables(s, dir, "lineitem")
+      // distinct edges cut once; pair key packed into one long when the
+      // measured id range allows — same rationale as q103 (r13)
+      val edges = graft.graph.GraphOps.checkpoint(Tables(s, dir, "lineitem")
         .join(Tables(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_partkey").as("p"), col("o_custkey").as("c"))
-        .distinct()
+        .distinct())
+      val ids = edges.agg(min(col("c")), max(col("c"))).head()
+      val packed = !ids.isNullAt(0) &&
+        graft.graph.PackedPairs.fits(ids.getLong(0), ids.getLong(1))
       val small = edges.groupBy(col("p"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") <= 64).select(col("p"))
@@ -93,16 +98,29 @@ object InferenceQueries {
         .groupBy(col("p"))
         .agg(sort_array(collect_list(col("c"))).as("cs"))
         .withColumn("w", expr("1000000000000 div size(cs)"))
-      grouped
+      val pairs = grouped
         .select(posexplode(col("cs")).as(Seq("i", "c1")), col("cs"),
           col("w"))
         .select(col("c1"), explode(
           slice(col("cs"), col("i") + 2, size(col("cs")))).as("c2"),
           col("w"))
-        .groupBy(col("c1"), col("c2"))
-        .agg(count(lit(1)).as("n_common"), sum(col("w")).as("ra_score"))
-        .orderBy(col("ra_score").desc, col("c1"), col("c2"))
-        .limit(20)
+      if (packed)
+        pairs
+          .select(graft.graph.PackedPairs.pack(col("c1"), col("c2"))
+            .as("pr"), col("w"))
+          .groupBy(col("pr"))
+          .agg(count(lit(1)).as("n_common"), sum(col("w")).as("ra_score"))
+          .orderBy(col("ra_score").desc, col("pr"))
+          .limit(20)
+          .select(graft.graph.PackedPairs.hi(col("pr")).as("c1"),
+            graft.graph.PackedPairs.lo(col("pr")).as("c2"),
+            col("n_common"), col("ra_score"))
+      else
+        pairs
+          .groupBy(col("c1"), col("c2"))
+          .agg(count(lit(1)).as("n_common"), sum(col("w")).as("ra_score"))
+          .orderBy(col("ra_score").desc, col("c1"), col("c2"))
+          .limit(20)
     }),
 
     // GINI COEFFICIENT of customer revenue concentration — the one-number

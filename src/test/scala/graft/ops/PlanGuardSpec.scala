@@ -336,7 +336,11 @@ class PlanGuardSpec extends SparkSpec {
         // r13: q86 cuts its 4×-referenced customer RFM aggregate; q80
         // cuts its 3×-referenced langId confusion-cell table — both
         // plans root on the checkpointed RDD
-        "q86_rfm", "q80_langid_prf")
+        "q86_rfm", "q80_langid_prf",
+        // r13: the wedge trio cuts its distinct edge set (degree agg +
+        // probe + the PackedPairs id-range measurement all read it)
+        "q103_common_neighbors", "q110_resource_alloc",
+        "q136_adamic_adar")
     (SparkEntry.queries.keySet -- rddRooted).toSeq.sorted.foreach { name =>
       assert(plan(name).contains("PushedFilters: ["),
         s"$name scan lost pushdown metadata")
