@@ -75,14 +75,14 @@ object SearchQueries {
   private val Composed = " café öl år éclair "
 
   /** Materialize the TRAINED BPE merge table once per sfDir (the
-    * trigram-index fixture pattern above). Four gates (tx19/tx20/tx33/
+    * trigram-index fixture pattern above). The ENCODE gates (tx20/tx33/
     * cur12) consume the same trained state; before this cache each
-    * independently re-ran the 6-round iterative training — ~4× the
-    * training cost per bench pass and the round-11 drift flag on cur12.
-    * Training is a pure function of the corpus, so the cached table IS
-    * the gate result for tx19 and the shared input everywhere else. At
-    * lake scale this is the tokenizer artifact a pipeline trains once
-    * and ships to every encode job.
+    * independently re-ran the iterative training — ~4× the training
+    * cost per bench pass and the round-11 drift flag on cur12. Training
+    * is a pure function of the corpus, so the cached table equals what
+    * tx19 (the training gate, which runs Bpe.train directly — r13)
+    * computes. At lake scale this is the tokenizer artifact a pipeline
+    * trains once and ships to every encode job.
     */
   private def bpeMergesDir(s: SparkSession, dir: String): String = {
     import java.nio.file.Paths
@@ -225,8 +225,16 @@ object SearchQueries {
     // All-integer, tie-broken (count DESC, pair ASC) — bit-exact. The
     // fixture is the training run's output verbatim, so this gate still
     // verifies training against the oracle's re-derivation.
+    // tx19 IS the training gate, so its timed path runs the training
+    // computation itself (r13, the r12-verdict tx19 task: reading the
+    // per-SF fixture here made the gate a read of its own precomputed
+    // output). Training is deterministic, so the result equals the
+    // fixture the OTHER consumers (tx20/tx33/cur12) still share — they
+    // model the ship-the-artifact side of a tokenizer pipeline, while
+    // this gate times the train side.
     "tx19_bpe_merges" -> ((s, dir) =>
-      trainedMerges(s, dir).orderBy(col("round"))),
+      Bpe.train(Tables(s, dir, "documents"), BpeRounds)._1
+        .orderBy(col("round"))),
 
     // Encode the corpus under the trained merges: per-doc subword piece
     // counts — the number every token-budget / packing decision consumes.
