@@ -36,9 +36,24 @@ object GraphOps {
         val sc = spark.sparkContext
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
         df.checkpoint(eager)
-      case None => df.localCheckpoint(eager)
+      case None =>
+        // Loud once-per-JVM warning on real clusters (r13, advisor item):
+        // localCheckpoint blocks live only on executors and the TRUNCATED
+        // lineage cannot recompute them, so executor loss (preemption,
+        // dynamic-allocation release) fails the query instead of slowing
+        // it. Local mode is exempt — the driver IS the executor.
+        if (!spark.sparkContext.isLocal && !clusterWarned.getAndSet(true))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"graft lineage cuts are using localCheckpoint on a " +
+              s"non-local master: executor loss will FAIL queries that " +
+              s"cross a cut instead of recomputing. Set $CheckpointDirConf " +
+              "to a durable path (HDFS/S3) for cluster deployments.")
+        df.localCheckpoint(eager)
     }
   }
+
+  private val clusterWarned =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Postfix form so call chains read like the `localCheckpoint` they
     * replace: `edges.distinct().graftCheckpoint(true)`.

@@ -463,7 +463,12 @@ object CorpusQueries {
             lit(1 - lam) * (col("c").cast("double") / col("n"))) * LogGrid,
             0) / LogGrid).as("lp"))
       val p = p1.unionByName(p2)
-      gDoc.join(p, gDoc("prev") <=> p("prev") && gDoc("w") === p("w"))
+      // explicit aliases: p shares lineage with gDoc (its attributes carry
+      // gDoc's expression ids through the aggregates and unionByName), so
+      // resolution must not depend on dataset-id self-join disambiguation
+      // (r13, advisor item)
+      gDoc.as("d").join(p.as("pp"),
+          col("d.prev") <=> col("pp.prev") && col("d.w") === col("pp.w"))
         .groupBy(col("doc_id"))
         .agg(sum(col("m")).as("n_tokens"),
           sum(col("m") * col("lp")).as("s"))
@@ -524,7 +529,12 @@ object CorpusQueries {
               (col("cont").cast("double") / col("btypes").cast("double"))) *
             LogGrid, 0) / LogGrid).as("lp"))
       val p = p1.unionByName(p2)
-      gDoc.join(p, gDoc("prev") <=> p("prev") && gDoc("w") === p("w"))
+      // explicit aliases: p shares lineage with gDoc (its attributes carry
+      // gDoc's expression ids through the aggregates and unionByName), so
+      // resolution must not depend on dataset-id self-join disambiguation
+      // (r13, advisor item)
+      gDoc.as("d").join(p.as("pp"),
+          col("d.prev") <=> col("pp.prev") && col("d.w") === col("pp.w"))
         .groupBy(col("doc_id"))
         .agg(sum(col("m")).as("n_tokens"),
           sum(col("m") * col("lp")).as("s"))

@@ -141,11 +141,16 @@ object PrefixSum {
     *
     * `df` must be cheap to re-count — callers pass a lineage-cut
     * (checkpointed) compressed table, so the count reads cached blocks.
+    * The contract is GUARDED, not just documented (r13, advisor item):
+    * a raw multi-node plan is checkpointed here before the count, so a
+    * future caller passing an uncut pipeline pays one materialization
+    * instead of silently executing its whole upstream twice (once for
+    * the count, once for the result).
     * Requires at least one partition column: the partitionless form
     * must stay on the decomposition (a plain partitionless window is
     * the single-task shape the plan guard bans).
     */
-  def runningSumsByAdaptive(df: DataFrame, partitionCols: Seq[Column],
+  def runningSumsByAdaptive(df0: DataFrame, partitionCols: Seq[Column],
       bucket: Column, order: Seq[Column],
       values: Seq[(Column, String)],
       cap: Long = PlainWindowCap): DataFrame = {
@@ -153,6 +158,12 @@ object PrefixSum {
       "runningSumsByAdaptive needs partition columns — use runningSums " +
         "for the global form (its plain-window fallback would be the " +
         "single-task plan the decomposition exists to avoid)")
+    val df = df0.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df0
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        df0
+      case _ => graft.graph.GraphOps.checkpoint(df0)
+    }
     if (df.count() <= cap) {
       val w = Window.partitionBy(partitionCols: _*).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
