@@ -339,8 +339,18 @@ object InferenceQueries {
           "concat(substring(name, 1, pos - 1), " +
             "substring(name, pos + 1, length(name))) AS name")
       val records = cust.unionByName(typo)
-      val vars = records.select(col("id"),
-        explode(graft.text.DeletionVariants(col("name"))).as("v"))
+      // materialized ONCE (r13, er1's pattern): the executed self-join
+      // ran the DeletionVariants explode DAG on BOTH sides (the
+      // broadcast build and the stream) — the cut computes the variant
+      // table once and both sides read the leaf. Length-bucketed
+      // blocking was adjudicated and REJECTED here: the join key is the
+      // variant string itself, and equal variants already have equal
+      // lengths (the ±1-length relation between the ORIGINAL names is
+      // implied by sharing a variant), so a length predicate adds no
+      // selectivity and no shuffle reduction.
+      val vars = graft.graph.GraphOps.checkpoint(
+        records.select(col("id"),
+          explode(graft.text.DeletionVariants(col("name"))).as("v")))
       val cand = vars.as("a").join(vars.as("b"),
           col("a.v") === col("b.v") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
