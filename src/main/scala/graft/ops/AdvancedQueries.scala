@@ -278,8 +278,14 @@ object AdvancedQueries {
           .filter(col("rn") <= K)
           .withColumn("tag", lit(tag))
       }
-      val a = sketch(col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"), "a")
-      val b = sketch(col("ts") >= lit("2024-01-24 00:00:00").cast("timestamp"), "b")
+      // the two K-row-per-type sketches are each referenced THREE times
+      // (own estimate, union sketch, intersection) — every reference
+      // re-ran the events scan + distinct + top-K window (r13, guide
+      // §5): cut once; the leaves are ≤ K rows per event type
+      val a = graft.graph.GraphOps.checkpoint(sketch(
+        col("ts") < lit("2024-01-08 00:00:00").cast("timestamp"), "a"))
+      val b = graft.graph.GraphOps.checkpoint(sketch(
+        col("ts") >= lit("2024-01-24 00:00:00").cast("timestamp"), "b"))
       // θ and estimate per sketch: exact when the set never filled K slots
       def estOf(sk: DataFrame, name: String) = sk.groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"), max(col("h")).as("hk"))

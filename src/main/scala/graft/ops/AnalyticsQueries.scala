@@ -643,11 +643,15 @@ object AnalyticsQueries {
     // Scale shape: one join keyed on user, one contingency hash agg —
     // the row/col margins join the BOUNDED cell table.
     "q76_chi2" -> ((s, dir) => {
-      val cells = Tables(s, dir, "events")
+      // |types|×|segments|-bounded contingency table, referenced FOUR
+      // times (row/column margins, the grand total and the term join) —
+      // each reference re-ran the events⋈customer fact join (r13,
+      // guide §5): the lineage cut makes it one fact pass at any scale
+      val cells = graft.graph.GraphOps.checkpoint(Tables(s, dir, "events")
         .join(Tables(s, dir, "customer"),
           col("user_id") === col("c_custkey"))
         .groupBy(col("event_type"), col("c_mktsegment").as("segment"))
-        .agg(count(lit(1)).as("obs"))
+        .agg(count(lit(1)).as("obs")))
       val rows = cells.groupBy(col("event_type"))
         .agg(sum(col("obs")).as("rt"))
       val colsT = cells.groupBy(col("segment"))
@@ -1154,11 +1158,12 @@ object AnalyticsQueries {
       val g = 1048576L
       def lng(c: org.apache.spark.sql.Column) =
         round(log(c.cast("double")) * g).cast("long")
-      val cells = Tables(s, dir, "events")
+      // same 4×-referenced contingency shape as q76 — cut once (r13)
+      val cells = graft.graph.GraphOps.checkpoint(Tables(s, dir, "events")
         .join(Tables(s, dir, "customer"),
           col("user_id") === col("c_custkey"))
         .groupBy(col("event_type"), col("c_mktsegment").as("segment"))
-        .agg(count(lit(1)).as("n_xy"))
+        .agg(count(lit(1)).as("n_xy")))
       val rx = cells.groupBy(col("event_type")).agg(sum(col("n_xy")).as("n_x"))
       val cy = cells.groupBy(col("segment")).agg(sum(col("n_xy")).as("n_y"))
       val n = cells.agg(sum(col("n_xy")).as("n"))

@@ -340,7 +340,9 @@ class PlanGuardSpec extends SparkSpec {
         // r13: the wedge trio cuts its distinct edge set (degree agg +
         // probe + the PackedPairs id-range measurement all read it)
         "q103_common_neighbors", "q110_resource_alloc",
-        "q136_adamic_adar")
+        "q136_adamic_adar",
+        // r13: q76/q89 cut their 4×-referenced contingency tables
+        "q76_chi2", "q89_mutual_info")
     (SparkEntry.queries.keySet -- rddRooted).toSeq.sorted.foreach { name =>
       assert(plan(name).contains("PushedFilters: ["),
         s"$name scan lost pushdown metadata")
