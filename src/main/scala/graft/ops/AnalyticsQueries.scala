@@ -1706,6 +1706,11 @@ object AnalyticsQueries {
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("value"),
           (col("event_type") === "click").cast("long").as("is_a"))
+      // byVal's two references (prefix-sum pass + group totals) are
+      // byte-identical below the aggregate, so runtime ReuseExchange
+      // already computes the fact aggregation once — a lineage cut here
+      // measured WORSE (1.10 -> 1.28 s A/B, r13): the barrier costs more
+      // than the post-agg duplicate it removes
       val byVal = ev.groupBy(col("value"))
         .agg(sum(col("is_a")).as("a"), sum(lit(1L) - col("is_a")).as("b"))
         .withColumn("cnt", col("a") + col("b"))
@@ -1740,10 +1745,14 @@ object AnalyticsQueries {
     // and rides PrefixSum.
     "q102_spearman" -> ((s, dir) => {
       val Dec38 = DecimalType(38, 0)
-      val cust = Tables(s, dir, "orders")
+      // per-customer aggregate referenced THREE times (both metric rank
+      // tables + the final rank-attach join) — each reference re-ran the
+      // orders aggregation (r13, guide §5): the cut makes it one fact
+      // pass at any scale
+      val cust = graft.graph.GraphOps.checkpoint(Tables(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("f"),
-          sum(round(col("o_totalprice") * 100).cast("long")).as("m"))
+          sum(round(col("o_totalprice") * 100).cast("long")).as("m")))
       // doubled average-tie rank per distinct metric value
       def ranksSmall(metric: String): DataFrame = {
         // bounded domain (≤ max orders per customer distinct values):

@@ -341,8 +341,9 @@ class PlanGuardSpec extends SparkSpec {
         // probe + the PackedPairs id-range measurement all read it)
         "q103_common_neighbors", "q110_resource_alloc",
         "q136_adamic_adar",
-        // r13: q76/q89 cut their 4×-referenced contingency tables
-        "q76_chi2", "q89_mutual_info")
+        // r13: q76/q89 cut their 4×-referenced contingency tables;
+        // q102 cuts its 3×-referenced per-customer aggregate
+        "q76_chi2", "q89_mutual_info", "q102_spearman")
     (SparkEntry.queries.keySet -- rddRooted).toSeq.sorted.foreach { name =>
       assert(plan(name).contains("PushedFilters: ["),
         s"$name scan lost pushdown metadata")
