@@ -1827,14 +1827,19 @@ object AnalyticsQueries {
       // Steady-state cost is the ~9M-wedge pair aggregation itself —
       // genuine output volume, so the pair key is PACKED into one long
       // when the measured id range allows (PackedPairs, guide §2.3):
-      // half the grouping-key bytes through the biggest exchange.
-      val ids = edges.agg(min(col("c")), max(col("c"))).head()
-      val packed = !ids.isNullAt(0) &&
-        graft.graph.PackedPairs.fits(ids.getLong(0), ids.getLong(1))
+      // half the grouping-key bytes through the biggest exchange. The
+      // same one-action Wedges.stats pass also measures the exact wedge
+      // mass, which sizes the explode stage's parallelism (Wedges.fanout
+      // — AQE coalesces that stage's input by INPUT bytes and cannot see
+      // the ~50× generate multiplier).
+      val st = graft.graph.Wedges.stats(edges, 1L, 64L)
+      val packed = !st.empty &&
+        graft.graph.PackedPairs.fits(st.minId, st.maxId)
       val small = edges.groupBy(col("p"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") <= 64).select(col("p"))
-      val grouped = edges.join(small, Seq("p"), "left_semi")
+      val grouped = graft.graph.Wedges.fanout(
+          edges.join(small, Seq("p"), "left_semi"), "p", st.wedges)
         .groupBy(col("p"))
         .agg(sort_array(collect_list(col("c"))).as("cs"))
       val pairs = grouped
@@ -1880,13 +1885,16 @@ object AnalyticsQueries {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_partkey").as("p"), col("o_custkey").as("c"))
         .distinct())
-      val ids = edges.agg(min(col("c")), max(col("c"))).head()
-      val packed = !ids.isNullAt(0) &&
-        graft.graph.PackedPairs.fits(ids.getLong(0), ids.getLong(1))
+      // one Wedges.stats action: id range (pack decision) + measured
+      // wedge mass (explode-stage parallelism) — same rationale as q103
+      val st = graft.graph.Wedges.stats(edges, 2L, 64L)
+      val packed = !st.empty &&
+        graft.graph.PackedPairs.fits(st.minId, st.maxId)
       val degs = edges.groupBy(col("p"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= 2 && col("deg") <= 64)
-      val grouped = edges.join(degs, Seq("p"))
+      val grouped = graft.graph.Wedges.fanout(
+          edges.join(degs, Seq("p")), "p", st.wedges)
         .groupBy(col("p"), col("deg"))
         .agg(sort_array(collect_list(col("c"))).as("cs"))
         .withColumn("w",

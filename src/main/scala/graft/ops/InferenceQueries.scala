@@ -88,13 +88,16 @@ object InferenceQueries {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("l_partkey").as("p"), col("o_custkey").as("c"))
         .distinct())
-      val ids = edges.agg(min(col("c")), max(col("c"))).head()
-      val packed = !ids.isNullAt(0) &&
-        graft.graph.PackedPairs.fits(ids.getLong(0), ids.getLong(1))
+      // one Wedges.stats action: id range (pack decision) + measured
+      // wedge mass (explode-stage parallelism) — same rationale as q103
+      val st = graft.graph.Wedges.stats(edges, 1L, 64L)
+      val packed = !st.empty &&
+        graft.graph.PackedPairs.fits(st.minId, st.maxId)
       val small = edges.groupBy(col("p"))
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") <= 64).select(col("p"))
-      val grouped = edges.join(small, Seq("p"), "left_semi")
+      val grouped = graft.graph.Wedges.fanout(
+          edges.join(small, Seq("p"), "left_semi"), "p", st.wedges)
         .groupBy(col("p"))
         .agg(sort_array(collect_list(col("c"))).as("cs"))
         .withColumn("w", expr("1000000000000 div size(cs)"))
