@@ -34,4 +34,23 @@ class LabelPropagationSpec extends SparkSpec {
     val edges = (1L to 60L).flatMap(i => Seq((i, i % 7), (i, (i * 3) % 11)))
     assert(run(edges) == run(edges))
   }
+
+  test("packed argmax == struct argmax (ids above IdCap force the fallback)") {
+    // same graph, ids shifted by IdCap: the shifted run fails the
+    // measured-range gate and takes the struct path; labels must match
+    // modulo the shift on every node, for several round counts
+    val edges = (1L to 80L).flatMap(i =>
+      Seq((i, i % 9), (i, (i * 5) % 13), (i % 9, (i * 2) % 17)))
+    for (r <- Seq(1, 2, 3, 5)) {
+      val packedRun = run(edges, rounds = r)
+      val shifted = edges.map { case (a, b) =>
+        (a + PackedPairs.IdCap, b + PackedPairs.IdCap) }
+      val structRun = LabelPropagation
+        .propagate(shifted.toDF("src", "dst"), r)
+        .as[(Long, Long)].collect().toMap
+      assert(packedRun.map { case (k, v) =>
+        (k + PackedPairs.IdCap, v + PackedPairs.IdCap) } == structRun,
+        s"rounds=$r")
+    }
+  }
 }
