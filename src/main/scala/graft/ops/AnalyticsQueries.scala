@@ -1256,22 +1256,29 @@ object AnalyticsQueries {
     // revenue share (top ~80% of revenue = A, next 15% = B, tail = C) —
     // the Pareto workhorse of supply-chain analytics. The lineitem fact is
     // reduced by one hash agg first; the cumulative revenue over parts
-    // (rev desc, partkey) runs as the PrefixSum two-phase decomposition —
+    // (rev desc, partkey) rides the measured-size adaptive PrefixSum —
     // the part DIMENSION scales with SF too (20B parts at 100 TB-class
-    // SF), so even the dimension-sized running sum is partitioned:
-    // revenue-range buckets → per-bucket totals → tiny offset cumsum →
-    // within-bucket partitioned window. Integer-cents sums reassociate
-    // exactly, so the result is bit-identical to the single global window.
+    // SF), so above the measured cap the dimension-sized running sum is
+    // partitioned: revenue-range buckets → per-bucket totals → tiny
+    // offset cumsum → within-bucket partitioned window. Integer-cents
+    // sums reassociate exactly, so both shapes are bit-identical.
     "q91_abc_class" -> ((s, dir) => {
-      val rev = Tables(s, dir, "lineitem")
+      val rev0 = Tables(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
         .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
           .as("rev_cents"))
-      val tot = rev.agg(sum(col("rev_cents")).as("tot"))
-      val bounds = rev.agg(max(col("rev_cents")).as("__hi"),
+      val bounds = rev0.agg(max(col("rev_cents")).as("__hi"),
         (max(col("rev_cents")) - min(col("rev_cents")) + 1).as("__span"))
-      graft.pack.PrefixSum.runningSum(
-          rev.crossJoin(broadcast(bounds)),
+      // lineage-cut (r13): the bounds-tagged per-part aggregate feeds the
+      // running sum AND the grand total (the two aggregates below the
+      // cut are byte-identical, so the cut's one action computes the
+      // fact pass once); the cut also lets the measured-size adaptive
+      // count it for free
+      val rev = graft.graph.GraphOps.checkpoint(
+        rev0.crossJoin(broadcast(bounds)))
+      val tot = rev.agg(sum(col("rev_cents")).as("tot"))
+      graft.pack.PrefixSum.runningSumAdaptive(
+          rev,
           expr("(__hi - rev_cents) * 1024 div __span"),
           Seq(col("rev_cents").desc, col("l_partkey")),
           col("rev_cents"), "cum")
@@ -1769,7 +1776,9 @@ object AnalyticsQueries {
       def ranksWide(metric: String, bucket: Column): DataFrame = {
         val byV = cust.groupBy(col(metric).as("v"))
           .agg(count(lit(1)).as("cnt"))
-        graft.pack.PrefixSum.runningSum(byV, bucket, Seq(col("v")),
+        // measured-size adaptive (r13; the kernel cuts byV — one cheap
+        // aggregation job over the checkpointed cust blocks)
+        graft.pack.PrefixSum.runningSumAdaptive(byV, bucket, Seq(col("v")),
             col("cnt"), "cum")
           .select(col("v").as(metric),
             (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1)

@@ -142,7 +142,9 @@ object InferenceQueries {
         .groupBy(col("o_custkey"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
       val byV = cust.groupBy(col("x")).agg(count(lit(1)).as("cnt"))
-      val cum = graft.pack.PrefixSum.runningSum(byV,
+      // measured-size adaptive (r13): one constant-partition window over
+      // the kernel-cut compressed table below the cap, decomposition above
+      val cum = graft.pack.PrefixSum.runningSumAdaptive(byV,
         expr("x div 100000"), Seq(col("x")), col("cnt"), "cum")
       cum
         .select(col("cnt"),
@@ -194,7 +196,9 @@ object InferenceQueries {
       // expected-period decile cuts from the compressed distinct table
       val byVa = byV.filter(col("ca") > 0)
         .select(col("v"), col("ca").as("cnt"))
-      val cum = graft.pack.PrefixSum.runningSum(byVa,
+      // measured-size adaptive (r13; the kernel cuts its input, one cheap
+      // job over byV's cached blocks)
+      val cum = graft.pack.PrefixSum.runningSumAdaptive(byVa,
         expr("v div 100000"), Seq(col("v")), col("cnt"), "cum")
       val na = byVa.agg(sum(col("cnt")).as("na"))
       val cuts = cum.crossJoin(broadcast(na))
@@ -296,8 +300,11 @@ object InferenceQueries {
       val ev = Tables(s, dir, "events")
         .select(round(col("value") * 100).cast("long").as("v"),
           (col("event_type") === "purchase").as("b"))
-      val byV = ev.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-      val cum = graft.pack.PrefixSum.runningSum(byV,
+      // lineage-cut (r13): byV feeds the rank pass AND the total; the cut
+      // also lets the measured-size adaptive below count it for free
+      val byV = graft.graph.GraphOps.checkpoint(
+        ev.groupBy(col("v")).agg(count(lit(1)).as("cnt")))
+      val cum = graft.pack.PrefixSum.runningSumAdaptive(byV,
         expr("v div 100000"), Seq(col("v")), col("cnt"), "cum")
       val tot = byV.agg(sum(col("cnt")).as("n"))
       val med = cum.crossJoin(broadcast(tot))
@@ -448,7 +455,9 @@ object InferenceQueries {
       val byGV = graft.graph.GraphOps.checkpoint(
         ev.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c")))
       val byV = byGV.groupBy(col("v")).agg(sum(col("c")).as("cnt"))
-      val cum = graft.pack.PrefixSum.runningSum(byV,
+      // measured-size adaptive (r13; the kernel cuts byV — one cheap
+      // aggregation job over byGV's cached blocks)
+      val cum = graft.pack.PrefixSum.runningSumAdaptive(byV,
         expr("v div 100000"), Seq(col("v")), col("cnt"), "cum")
       val r2 = cum.select(col("v"),
         (lit(2L) * col("cum") - col("cnt") + 1L).as("r2"))
@@ -614,7 +623,10 @@ object InferenceQueries {
       val byV = graft.graph.GraphOps.checkpoint(Tables(s, dir, "orders")
         .select(round(col("o_totalprice") * 100).cast("long").as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("cnt")))
-      val cum = graft.pack.PrefixSum.runningSum(byV,
+      // measured-size adaptive (r13): the checkpointed compressed table
+      // counts for free; below the cap the running count is ONE
+      // constant-partition window instead of the 4-step decomposition
+      val cum = graft.pack.PrefixSum.runningSumAdaptive(byV,
         expr("v div 100000"), Seq(col("v")), col("cnt"), "cum")
       val tot = byV.agg(sum(col("cnt")).as("n"))
         .select(col("n"), expr("n div 20").as("l"),
@@ -890,8 +902,11 @@ object InferenceQueries {
       val cust = Tables(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
-      val byV = cust.groupBy(col("x")).agg(count(lit(1)).as("cnt"))
-      val cum = graft.pack.PrefixSum.runningSum(byV,
+      // lineage-cut (r13): byV feeds the rank pass AND the total; the cut
+      // also lets the measured-size adaptive below count it for free
+      val byV = graft.graph.GraphOps.checkpoint(
+        cust.groupBy(col("x")).agg(count(lit(1)).as("cnt")))
+      val cum = graft.pack.PrefixSum.runningSumAdaptive(byV,
         expr("x div 100000"), Seq(col("x")), col("cnt"), "cum")
       val tot = byV.agg(sum(col("cnt")).as("n"),
         sum(expr("CAST(x AS DECIMAL(38,0)) * cnt")).as("sx"))
@@ -1149,9 +1164,11 @@ object InferenceQueries {
           .as("ca"),
           sum(when(col("us") < col("mid"), 0L).otherwise(col("c")))
           .as("cb"))
-      // both running counts in ONE prefix-sum decomposition (r12: the
-      // chained single-column calls re-ran the bucket pass per column)
-      val cum = graft.pack.PrefixSum.runningSums(byV,
+      // both running counts in ONE prefix-sum pass (r12: the chained
+      // single-column calls re-ran the bucket pass per column); the pass
+      // is measured-size adaptive (r13; the kernel cuts byV — one cheap
+      // aggregation job over byVU's cached blocks)
+      val cum = graft.pack.PrefixSum.runningSumsAdaptive(byV,
         expr("v div 100000"), Seq(col("v")),
         Seq(col("ca") -> "cuma", col("cb") -> "cumb"))
       val tot = byV.agg(sum(col("ca")).as("n"), sum(col("cb")).as("m"))

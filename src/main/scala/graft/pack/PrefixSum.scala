@@ -129,6 +129,53 @@ object PrefixSum {
     */
   val PlainWindowCap: Long = 1L << 22
 
+  /** [[runningSums]] that picks its shape from the MEASURED input size —
+    * the partitionless twin of [[runningSumsByAdaptive]]. At or below
+    * `cap` rows the running sums compute in ONE plain global window:
+    * one single-partition exchange + one ≤cap-row window task — exactly
+    * the bounded-single-task worst case [[runningSumsByAdaptive]]
+    * already accepts when a partition value holds the whole table. The
+    * MEASUREMENT is the bound: above `cap` the four-step bucketed
+    * decomposition runs unchanged (so the 100 TB shape is the
+    * decomposition; the single-task plan exists only where the table
+    * was measured bounded — a runtime guarantee strictly stronger than
+    * the static window-over-aggregate shape PlanGuardSpec's global
+    * check looks for; callers join that check's measuredCapGlobal
+    * exemption). Saves the decomposition's two extra exchanges and its
+    * broadcast on every bounded call — the dominant cost of the kernel
+    * at bench scale, where the compressed tables are a few thousand
+    * rows.
+    *
+    * Same guarded cheap-to-recount contract as the partitioned form:
+    * non-leaf inputs are checkpointed before the sizing count.
+    */
+  def runningSumsAdaptive(df0: DataFrame, bucket: Column,
+      order: Seq[Column], values: Seq[(Column, String)],
+      cap: Long = PlainWindowCap): DataFrame = {
+    val df = cutForCount(df0)
+    if (df.count() <= cap) {
+      val w = Window.orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      values.foldLeft(df) { case (d, (v, out)) =>
+        d.withColumn(out, sum(v).over(w))
+      }
+    } else runningSums(df, bucket, order, values)
+  }
+
+  /** Single-column [[runningSumsAdaptive]]. */
+  def runningSumAdaptive(df: DataFrame, bucket: Column, order: Seq[Column],
+      value: Column, out: String,
+      cap: Long = PlainWindowCap): DataFrame =
+    runningSumsAdaptive(df, bucket, order, Seq(value -> out), cap)
+
+  private def cutForCount(df0: DataFrame): DataFrame =
+    df0.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df0
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        df0
+      case _ => graft.graph.GraphOps.checkpoint(df0)
+    }
+
   /** [[runningSumsBy]] that picks its shape from the MEASURED input
     * size — the GraphOps.BroadcastNodeCap pattern (measured data
     * decides, never a constant tuned to local cores). At or below `cap`
@@ -146,9 +193,6 @@ object PrefixSum {
     * future caller passing an uncut pipeline pays one materialization
     * instead of silently executing its whole upstream twice (once for
     * the count, once for the result).
-    * Requires at least one partition column: the partitionless form
-    * must stay on the decomposition (a plain partitionless window is
-    * the single-task shape the plan guard bans).
     */
   def runningSumsByAdaptive(df0: DataFrame, partitionCols: Seq[Column],
       bucket: Column, order: Seq[Column],
@@ -158,12 +202,7 @@ object PrefixSum {
       "runningSumsByAdaptive needs partition columns — use runningSums " +
         "for the global form (its plain-window fallback would be the " +
         "single-task plan the decomposition exists to avoid)")
-    val df = df0.queryExecution.analyzed match {
-      case _: org.apache.spark.sql.execution.LogicalRDD => df0
-      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        df0
-      case _ => graft.graph.GraphOps.checkpoint(df0)
-    }
+    val df = cutForCount(df0)
     if (df.count() <= cap) {
       val w = Window.partitionBy(partitionCols: _*).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

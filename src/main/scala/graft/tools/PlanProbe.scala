@@ -16,7 +16,8 @@ object PlanProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val markers = Seq("TakeOrderedAndProject", "WindowGroupLimit",
-      "ObjectHashAggregate", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+      "ObjectHashAggregate", "SortAggregate", "BroadcastHashJoin",
+      "BroadcastNestedLoopJoin",
       "SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
       "LeftSemi", "LeftAnti", "Window", "PushedFilters: [",
       "WholeStageCodegen")

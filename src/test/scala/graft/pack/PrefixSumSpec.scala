@@ -90,10 +90,35 @@ class PrefixSumSpec extends SparkSpec {
       expected.except(bucketed.select($"id", $"cum")).isEmpty)
     assert(bucketed.queryExecution.executedPlan.toString
       .contains("windowspecdefinition(__ps_p0"))
-    // the global form must refuse the adaptive fallback
+    // the PARTITIONED form must refuse an empty partition list — the
+    // sanctioned global path is runningSumsAdaptive, whose plain branch
+    // is gated on the measured count
     intercept[IllegalArgumentException] {
       PrefixSum.runningSumsByAdaptive(parted, Nil, expr("k div 17"),
         Seq($"k", $"id"), Seq($"v" -> "cum"))
     }
+  }
+
+  test("runningSumsAdaptive (global): both shapes, identical sums") {
+    val expected = rows.withColumn("cum",
+      sum($"v").over(Window.orderBy($"k", $"id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"id", $"cum")
+    // below the cap: one plain global window over the measured-bounded
+    // (checkpointed) input
+    val plain = PrefixSum.runningSumsAdaptive(rows,
+      expr("k div 17"), Seq($"k", $"id"), Seq($"v" -> "cum"))
+    assert(plain.select($"id", $"cum").except(expected).isEmpty &&
+      expected.except(plain.select($"id", $"cum")).isEmpty)
+    assert(!plain.queryExecution.executedPlan.toString
+      .contains("windowspecdefinition(__ps_bucket"))
+    // cap 0 forces the bucketed decomposition — same integers, and the
+    // corpus-sized window keeps its bucket partition key
+    val bucketed = PrefixSum.runningSumsAdaptive(rows,
+      expr("k div 17"), Seq($"k", $"id"), Seq($"v" -> "cum"), cap = 0L)
+    assert(bucketed.select($"id", $"cum").except(expected).isEmpty &&
+      expected.except(bucketed.select($"id", $"cum")).isEmpty)
+    assert(bucketed.queryExecution.executedPlan.toString
+      .contains("windowspecdefinition(__ps_bucket"))
   }
 }
